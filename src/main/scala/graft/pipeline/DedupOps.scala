@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, Spark-first:
+  *
+  * - exact dedup: hash-groupBy on content digest — one shuffle on the
+  *   digest, arbitrarily parallel;
+  * - MinHash + LSH near-dup: shingle → per-doc signature (map-only) →
+  *   band explosion → shuffle on (band, band_hash) → candidate pairs.
+  *   At 100 TB the only shuffled data is (doc_id, band_hash) pairs —
+  *   signatures and text stay columnar in the map stage;
+  * - SimHash: 48-bit per-doc signature (map-only), near-dups = equal
+  *   signatures (or small Hamming distance via multi-probe);
+  * - n-gram Jaccard: exact verification on candidate pairs (explode +
+  *   join), intended to run AFTER LSH pruning, never all-pairs.
+  *
+  * All hashing is MD5-derived (HashFns) so every op has an exact DuckDB
+  * oracle.
+  */
+object DedupOps {
+
+  /** Content digest for exact dedup. */
+  def digest(c: Column): Column = md5(c.cast("binary"))
+
+  /** Exact duplicate groups: one row per distinct content, with the
+    * representative (min id) and the duplicate count. */
+  def exactDupGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(digest(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep the min-id row per distinct content. */
+  def dedupExact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val groups = exactDupGroups(df, contentCol, idCol)
+    df.join(groups, digest(col(contentCol)) === groups("content_hash") &&
+      col(idCol) === groups("keep_id"), "left_semi")
+  }
+
+  /** MinHash signature: array of `numHashes` minima of keyed 32-bit hashes
+    * over the document's k-shingles. Map-only, codegen'd. Empty shingle
+    * set → all-sentinel signature (2^32, outside hash range). */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = TextOps.shingles(text, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => aggregate(sh, lit(4294967296L),
+        (m, s) => least(m, HashFns.keyedHash32(i, s))))
+  }
+
+  /** LSH band keys: the signature split into `bands` rows-per-band chunks,
+    * each hashed to one band key. Emits an array of `bands` strings. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast("string"))).cast("binary")))
+
+  /** Candidate near-dup pairs via MinHash LSH: docs sharing ≥1 band.
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            shingleK: Int = 3, numHashes: Int = 12,
+                            bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withBands = df.select(col(idCol).as("doc_id"),
+      posexplode(lshBandKeys(
+        minhashSignature(col(textCol), shingleK, numHashes), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    val a = withBands.as("a"); val b = withBands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** 48-bit SimHash per document (bit b set iff the b-th bit of the
+    * document's token hashes is set in the majority). 48 bits keeps the
+    * packed value positive in int64 for engine-portable arithmetic.
+    *
+    * Shape: explode tokens → 48 conditional-sum aggregates → pack. The
+    * shuffle is on the id column only; at scale this is one map + one
+    * partial-aggregated shuffle (all 48 sums combine map-side). */
+  def simhash48(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", HashFns.hash60(col("t")))
+    val bitSums = (0 until 48).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"s$b")
+    }
+    val packed = (0 until 48).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (id_a, id_b): |A ∩ B| / |A ∪ B| over distinct k-shingles. Runs as
+    * explode + join on shingle — only over the candidate set. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
+                   idCol: String, shingleK: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - coalesce(col("n_inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numeric discipline: embeddings are scaled to integers
+  * (round(x·1000) as long) before any arithmetic, so dot products and
+  * norms are *exact* int64 values and the final cosine — a few IEEE ops on
+  * exact integers — is bit-identical across engines (the DuckDB oracle
+  * reproduces it). No UDFs: `transform`/`zip_with`/`aggregate` are
+  * codegen'd columnar expressions.
+  *
+  * Scale paths:
+  * - `bruteForceTopK`: broadcast the (small) query set against the corpus;
+  *   one map stage + per-query top-k. Right answer, O(|Q|·|C|) — the
+  *   baseline and the verifier.
+  * - `lshCosineTopK`: random-hyperplane LSH — deterministic integer
+  *   hyperplanes from the MD5 family, bucket join, exact rerank within
+  *   bucket. Sub-linear candidate sets at the cost of recall; bucket
+  *   width is the knob.
+  */
+object SimilarityOps {
+
+  /** Integer-scaled embedding: floor(x·1000 + 0.5) per element — floor
+    * (not round) because floor is bit-identical across engines, while
+    * double→int casts round in DuckDB and truncate in Spark. */
+  def scaled(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from exact integer dot/norms (deterministic IEEE). */
+  def cosineFromInts(dotI: Column, n2a: Column, n2b: Column): Column =
+    dotI.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * `queries` and `corpus` must both have (idCol, vecCol). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("dot_scaled"),
+        cosineFromInts(dot(col("qv"), col("cv")),
+          norm2(col("qv")), norm2(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** Deterministic integer hyperplane weight for (plane p, dim j):
+    * in [-1000, 1000], from the portable hash family. */
+  private def planeWeight(p: Int, j: Column): Column =
+    HashFns.keyedHash32(lit(p), j.cast("string")) % 2001 - 1000
+
+  /** Sign-of-projection LSH bucket: `planes` bits packed to a long.
+    * The projection is an exact integer dot product of the scaled vector
+    * with an integer hyperplane, so bucketing is deterministic. */
+  def lshBucket(e: Column, planes: Int): Column = {
+    val s = scaled(e)
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(s, sequence(lit(0), size(s) - 1),
+          (x, j) => x * planeWeight(p, j)),
+        lit(0L), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: bucket queries and corpus by `planes`-bit LSH signature,
+    * join on bucket, exact cosine rerank within bucket. Approximate —
+    * recall depends on `planes` (fewer planes → bigger buckets → higher
+    * recall and cost). */
+  def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      scaled(col(vecCol)).as("qv"), lshBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      scaled(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromInts(dot(col("qv"), col("cv")),
+          norm2(col("qv")), norm2(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
+    * via LSH buckets (exact within-bucket verification). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, planes: Int = 6): DataFrame = {
+    val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        cosineFromInts(dot(col("a.v"), col("b.v")),
+          norm2(col("a.v")), norm2(col("b.v"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

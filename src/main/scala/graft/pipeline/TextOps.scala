@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID (stopword-profile heuristic), quality scoring,
+  * token counting, document fingerprinting.
+  *
+  * Design rules for 100 TB scale:
+  * - everything is a columnar expression over built-in higher-order
+  *   functions (codegen'd, no UDF, no shuffle) — these ops cost one map
+  *   stage regardless of data size;
+  * - no transcendental functions (exp/ln) so results are bit-reproducible
+  *   across engines (the DuckDB oracles reproduce them exactly);
+  * - integer/decimal arithmetic where possible, IEEE double division only
+  *   on exact integer inputs.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Stopword-profile language scores. Each language is scored by the
+    * number of tokens that hit its profile; winner is the max score with
+    * lexicographic tie-break. A real system would plug in larger profiles;
+    * the operator shape (argmax over per-profile token-match counts in one
+    * map stage) is the scale path. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+  )
+
+  def langScore(text: Column, profile: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(profile.map(lit): _*)))
+  }
+
+  /** Predicted language + its score; ties break to the lexicographically
+    * first language code (profiles are pre-sorted). */
+  def languageId(text: Column): Column = {
+    val scored = langProfiles.map { case (code, prof) =>
+      struct(langScore(text, prof).as("score"), lit(code).as("lang"))
+    }
+    // argmax by (score, then reversed-lang) — greatest() picks the largest
+    // struct lexicographically; to make ties prefer the *first* code we
+    // compare on (score ASC, lang DESC) inverted via negated comparison:
+    // simpler: fold manually with when().
+    scored.reduceLeft { (best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+    }
+  }
+
+  /** Quality heuristics: token count, char count, mean token length, and a
+    * stopword ratio; composite linear score clamped to [0, 100]. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text).cast("long")
+    val nChar = charCount(text).cast("long")
+    val stop = langScore(text, langProfiles.flatMap(_._2).distinct.sorted).cast("long")
+    val meanLen = (nChar - (nTok - lit(1))).cast("double") / nTok.cast("double")
+    val stopRatio = stop.cast("double") / nTok.cast("double")
+    val score =
+      least(lit(100.0), greatest(lit(0.0),
+        lit(20.0) + nTok.cast("double") * lit(0.5)
+          - stopRatio * lit(30.0) + meanLen * lit(5.0)))
+    Seq("n_tokens" -> nTok, "n_chars" -> nChar, "n_stopwords" -> stop,
+      "mean_token_len" -> meanLen, "stopword_ratio" -> stopRatio,
+      "quality_score" -> score)
+  }
+
+  /** Rolling polynomial fingerprint over tokens, modulo a prime so the
+    * arithmetic never overflows int64 (DuckDB errors on overflow; JVM
+    * wraps — staying under 2^63 keeps both engines identical):
+    * fp = fold(tokens, 0, (acc, t) → (acc * 31 + hash32(t)) % 1e9+7). */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31 + HashFns.hash32(t)) % 1000000007L)
+
+  /** Word k-gram shingles as strings; empty array when fewer than k
+    * tokens (guard: sequence(0, negative) would throw). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  // ---- DuckDB oracle fragments ------------------------------------------
+
+  def tokensSql(expr: String): String = s"string_split($expr, ' ')"
+
+  def langScoreSql(expr: String, profile: Seq[String]): String = {
+    val inList = profile.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(${tokensSql(expr)}, t -> t IN ($inList)))"
+  }
+
+  def fingerprintSql(expr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(${tokensSql(expr)}, " +
+      s"t -> ${HashFns.hash32Sql("t")})), (acc, x) -> (acc * 31 + x) % 1000000007)"
+
+  def shinglesSql(expr: String, k: Int): String = {
+    val toks = tokensSql(expr)
+    s"CASE WHEN len($toks) < $k THEN [] " +
+      s"ELSE list_transform(range(1, len($toks) - $k + 2), " +
+      s"i -> array_to_string($toks[i:i+${k - 1}], ' ')) END"
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.operators.OrderBookOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-book replay queries over the derived events stream — the
+  * reference's entire public surface (SURVEY.md §2.1: O1/O2/O3), exercised
+  * at driver scale with relational DuckDB oracles. */
+object BookQueries {
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("bbo_updates_n1", (s, d) => bboUpdates(s, d, 1), Some(updatesOracle(1)), bench = true),
+    GraftQuery("bbo_updates_n2", (s, d) => bboUpdates(s, d, 2), Some(updatesOracle(2)), bench = true),
+    GraftQuery("bbo_updates_n5", (s, d) => bboUpdates(s, d, 5), Some(updatesOracle(5)), bench = true),
+    GraftQuery("bbo_mutations_n1", (s, d) => bboMutations(s, d, 1), Some(mutationsOracle(1)), bench = true),
+    GraftQuery("bbo_mutations_n2", (s, d) => bboMutations(s, d, 2), Some(mutationsOracle(2))),
+    // O3 fed all-null prevs must equal plain mutations (reference
+    // test_calculate_bbo.py:194-259) — so the O2 oracle IS the O3 oracle.
+    GraftQuery("bbo_modify_nullprev_n2", (s, d) => bboModifyNullPrev(s, d, 2), Some(mutationsOracle(2))),
+  )
+
+  private def proj(n: Int) = Seq("product", "seq") ++ OrderBookOps.bboFieldNames(n)
+
+  def bboUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+    OrderBookOps.topNLevelsFromPriceUpdates(
+      stream, "price", "qty", "is_bid", n,
+      partitionBy = Seq("product"), orderBy = Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  def bboMutations(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = false)
+    OrderBookOps.topNLevelsFromPriceMutations(
+      stream, "price", "qty", "is_bid", n,
+      partitionBy = Seq("product"), orderBy = Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  def bboModifyNullPrev(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = false)
+      .withColumn("prev_price", lit(null).cast("long"))
+      .withColumn("prev_qty", lit(null).cast("long"))
+    OrderBookOps.topNLevelsFromPriceMutationsWithModify(
+      stream, "price", "qty", "is_bid", "prev_price", "prev_qty", n,
+      partitionBy = Seq("product"), orderBy = Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  // ---- DuckDB oracles: rebuild per-row book state relationally ----------
+
+  private def gridAndState(streamSql: String, stateExpr: String): String =
+    s"""WITH upd AS (
+       |$streamSql
+       |), grid AS (
+       |  SELECT r.seq, r.product, l.is_bid, l.price
+       |  FROM (SELECT seq, product FROM upd) r
+       |  JOIN (SELECT DISTINCT product, is_bid, price FROM upd) l USING (product)
+       |), state AS (
+       |  SELECT g.seq, g.product, g.is_bid, g.price,
+       |         $stateExpr OVER (
+       |           PARTITION BY g.product, g.is_bid, g.price ORDER BY g.seq) AS qty
+       |  FROM grid g LEFT JOIN upd u
+       |    ON u.product = g.product AND u.is_bid = g.is_bid
+       |   AND u.price = g.price AND u.seq = g.seq
+       |)""".stripMargin
+
+  private def topNSelect(n: Int): String =
+    if (n == 1)
+      """
+        |SELECT seq, product,
+        |  max(price) FILTER (WHERE is_bid AND qty > 0) AS bid_price_1,
+        |  arg_max(qty, price) FILTER (WHERE is_bid AND qty > 0) AS bid_qty_1,
+        |  min(price) FILTER (WHERE NOT is_bid AND qty > 0) AS ask_price_1,
+        |  arg_min(qty, price) FILTER (WHERE NOT is_bid AND qty > 0) AS ask_qty_1
+        |FROM state GROUP BY seq, product""".stripMargin
+    else {
+      val cols = (1 to n).map(i => s"bp[$i] AS bid_price_$i") ++
+        (1 to n).map(i => s"bq[$i] AS bid_qty_$i") ++
+        (1 to n).map(i => s"ap[$i] AS ask_price_$i") ++
+        (1 to n).map(i => s"aq[$i] AS ask_qty_$i")
+      s""", lists AS (
+         |  SELECT seq, product,
+         |    list(price ORDER BY price DESC) FILTER (WHERE is_bid AND qty > 0) AS bp,
+         |    list(qty ORDER BY price DESC) FILTER (WHERE is_bid AND qty > 0) AS bq,
+         |    list(price ORDER BY price ASC) FILTER (WHERE NOT is_bid AND qty > 0) AS ap,
+         |    list(qty ORDER BY price ASC) FILTER (WHERE NOT is_bid AND qty > 0) AS aq
+         |  FROM state GROUP BY seq, product
+         |)
+         |SELECT seq, product, ${cols.mkString(", ")} FROM lists""".stripMargin
+    }
+
+  def updatesOracle(n: Int): String =
+    gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = true),
+      "last_value(u.qty IGNORE NULLS)") + topNSelect(n)
+
+  def mutationsOracle(n: Int): String =
+    gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = false),
+      "sum(u.qty)") + topNSelect(n)
+}

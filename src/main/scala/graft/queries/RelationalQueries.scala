@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The host-surface operators the reference composes with (SURVEY.md §2.7):
+  * projection/rename, predicates, when/isin, group-by aggregation, equi-join
+  * (broadcast for small dims), sort/limit, window functions, float→int price
+  * scaling — each exercised as an oracle-checked query on the TPC-H-ish
+  * tables.
+  *
+  * Float discipline: raw doubles are cast to DECIMAL(18,2) *before*
+  * arithmetic so sums are exact and order-insensitive (Spark shuffles make
+  * double-sum ordering nondeterministic); results are cast back to DOUBLE
+  * at the end. This mirrors the reference's own integer-scaling recipe for
+  * prices (reference README.md:145-158).
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q1_pricing_summary", pricingSummary, Some(pricingSummarySql), bench = true),
+    GraftQuery("q_revenue_by_nation", revenueByNation, Some(revenueByNationSql), bench = true),
+    GraftQuery("q_topk_orders", topkOrders, Some(topkOrdersSql)),
+    GraftQuery("q_window_running", windowRunning, Some(windowRunningSql), bench = true),
+    GraftQuery("q_normalize_messages", normalizeMessages, Some(normalizeMessagesSql)),
+    GraftQuery("q_orders_per_status", ordersPerStatus, Some(ordersPerStatusSql)),
+  )
+
+  /** TPC-H Q1-shaped pricing summary: filter + group-by agg with exact
+    * decimal sums. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.read(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(30, 4))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue per nation: 4-way equi-join with broadcast dims + agg. */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.read(spark, sfDir, "customer")
+    val ord = Tables.read(spark, sfDir, "orders")
+    val li = Tables.read(spark, sfDir, "lineitem")
+    val nat = Tables.read(spark, sfDir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(30, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def revenueByNationSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Top-K with deterministic tie-break. */
+  def topkOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  def topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** Analytic windows over the events stream: running decimal sum and
+    * row_number per user, ordered by event_id. */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.read(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast(dec)).over(w).cast("double").as("running_value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+  }
+
+  def windowRunningSql: String =
+    """SELECT event_id, user_id,
+      |  row_number() OVER w AS rn,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+      |  lag(event_type, 1) OVER w AS prev_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin
+
+  /** The README normalization recipe (reference README.md:133-178): string
+    * side → boolean, message-type → signed qty via when/isin, float price →
+    * scaled long (×100, round, cast). */
+  def normalizeMessages(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        col("event_type").isin("view", "click", "signup").as("is_bid"),
+        round(col("value") * 100).cast("long").as("price_scaled"),
+        when(col("event_type").isin("error", "purchase"),
+          -(col("event_id") % 50 + 1)).otherwise(col("event_id") % 50 + 1)
+          .as("qty_signed"))
+
+  def normalizeMessagesSql: String =
+    """SELECT event_id,
+      |  event_type IN ('view','click','signup') AS is_bid,
+      |  CAST(round(value * 100) AS BIGINT) AS price_scaled,
+      |  CASE WHEN event_type IN ('error','purchase')
+      |       THEN -(event_id % 50 + 1) ELSE event_id % 50 + 1 END AS qty_signed
+      |FROM events""".stripMargin
+
+  /** Distinct-ish aggregation with having-style filter. */
+  def ordersPerStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .filter(col("n") > 0)
+
+  def ordersPerStatusSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  count(DISTINCT o_custkey) AS n_custs
+      |FROM orders GROUP BY o_orderstatus, o_orderpriority HAVING count(*) > 0""".stripMargin
+}

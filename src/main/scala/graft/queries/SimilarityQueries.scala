@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.pipeline.SimilarityOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the `embeddings` table. All arithmetic is
+  * integer-scaled (floor(x·1000+0.5)) so dot products and norms are exact
+  * and the cosine — IEEE ops on exact ints — matches DuckDB bit-for-bit. */
+object SimilarityQueries {
+
+  private val TOPK = 5
+  private val PLANES = 6
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_embed_topk", embedTopK, Some(embedTopKSql), bench = true),
+    GraftQuery("q_embed_lsh_topk", embedLshTopK, Some(embedLshTopKSql)),
+    GraftQuery("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+  )
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "embeddings")
+
+  /** Queries = every 50th vector; exact brute-force top-5 by cosine. */
+  def embedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    SimilarityOps.bruteForceTopK(q, e, "vec_id", "embedding", TOPK)
+  }
+
+  private val svSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private def norm2Sql(a: String) =
+    s"CAST(list_sum(list_transform($a, x -> x * x)) AS BIGINT)"
+
+  def embedTopKSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.sv", "c.sv")} AS dot_scaled,
+       |    CAST(${dotSql("q.sv", "c.sv")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql("q.sv")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql("c.sv")} AS DOUBLE))) AS cosine
+       |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, neighbor_id, dot_scaled, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TOPK""".stripMargin
+
+  /** ANN: LSH-bucketed top-5 (approximate; deterministic buckets). */
+  def embedLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    SimilarityOps.lshCosineTopK(q, e, "vec_id", "embedding", TOPK, PLANES)
+  }
+
+  /** SQL reconstruction of the deterministic hyperplane buckets. */
+  private def bucketSql(sv: String): String = {
+    val terms = (0 until PLANES).map { p =>
+      val w = s"((('0x'||substr(md5('$p' || ':' || CAST(j AS VARCHAR)),1,8))::BIGINT) % 2001 - 1000)"
+      s"CASE WHEN CAST(list_sum(list_transform(range(0, len($sv)), j -> $sv[j+1] * $w)) AS BIGINT) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  def embedLshTopKSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket
+       |  FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(${dotSql("q.sv", "c.sv")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql("q.sv")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql("c.sv")} AS DOUBLE))) AS cosine
+       |  FROM v q JOIN v c ON q.bucket = c.bucket
+       |   AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TOPK""".stripMargin
+
+  /** Embedding near-duplicate pairs above a cosine threshold, via LSH
+    * buckets with exact in-bucket verification. */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.cosineNearDupPairs(emb(spark, sfDir), "vec_id", "embedding",
+      threshold = 0.3, planes = PLANES)
+
+  def embedNearDupSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket
+       |  FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
+       |    / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
+       |       * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) AS cosine
+       |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
+       |    / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
+       |       * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) >= 0.3""".stripMargin
+}

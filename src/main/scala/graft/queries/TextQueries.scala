@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.pipeline.{DedupOps, HashFns, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication queries over the `documents` table, each
+  * backed by the graft.pipeline operators with exact DuckDB oracles
+  * (MD5-portable hashing, no transcendental math). */
+object TextQueries {
+
+  private val K = 3 // shingle size
+  private val NUM_HASHES = 12
+  private val BANDS = 4
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
+    GraftQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
+    GraftQuery("q_lang_id", langId, Some(langIdSql)),
+    GraftQuery("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
+    GraftQuery("q_minhash_sig", minhashSig, Some(minhashSigSql), bench = true),
+    GraftQuery("q_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    GraftQuery("q_simhash", simhashQ, Some(simhashSql)),
+    GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+  )
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+
+  // ---- exact dedup -------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.exactDupGroups(docs(spark, sfDir), "text", "doc_id")
+
+  def dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_dups
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---- token/quality stats ----------------------------------------------
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(spark, sfDir).select(col("doc_id") +: cols: _*)
+  }
+
+  def textStatsSql: String = {
+    val stopList = TextOps.langProfiles.flatMap(_._2).distinct.sorted
+    val stop = TextOps.langScoreSql("text", stopList)
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(STOP AS BIGINT) AS n_stopwords,
+      |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+      |  CAST(STOP AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+      |  least(100.0, greatest(0.0,
+      |    20.0 + CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+      |    - (CAST(STOP AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 30.0
+      |    + (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0)) AS quality_score
+      |FROM documents""".stripMargin.replace("STOP", stop)
+  }
+
+  // ---- language id -------------------------------------------------------
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = TextOps.languageId(col("text"))
+    docs(spark, sfDir).select(col("doc_id"),
+      li.getField("lang").as("lang_pred"),
+      li.getField("score").cast("long").as("lang_score"))
+  }
+
+  def langIdSql: String = {
+    val scores = TextOps.langProfiles.map { case (code, prof) =>
+      s"${TextOps.langScoreSql("text", prof)} AS s_$code"
+    }.mkString(",\n    ")
+    val branches = TextOps.langProfiles.map { case (code, _) =>
+      s"SELECT doc_id, '$code' AS lang_pred, s_$code AS lang_score FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents
+       |), u AS (
+       |  $branches
+       |)
+       |SELECT doc_id, lang_pred, CAST(lang_score AS BIGINT) AS lang_score FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY lang_score DESC, lang_pred) AS rn
+       |  FROM u
+       |) WHERE rn = 1""".stripMargin
+  }
+
+  // ---- fingerprint -------------------------------------------------------
+
+  def fingerprintQ(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint"))
+
+  def fingerprintSql: String =
+    s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fingerprint
+       |FROM documents""".stripMargin
+
+  // ---- minhash -----------------------------------------------------------
+
+  def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+        posexplode(DedupOps.minhashSignature(col("text"), K, NUM_HASHES))
+          .as(Seq("h", "sig")))
+      .select(col("doc_id"), col("h").cast("long").as("h"), col("sig"))
+
+  private def shinglesCte: String =
+    s"WITH sh AS (SELECT doc_id, ${TextOps.shinglesSql("text", K)} AS shs FROM documents)"
+
+  private def sigExpr: String =
+    s"""CASE WHEN len(shs) = 0 THEN 4294967296
+       |       ELSE list_min(list_transform(shs,
+       |         s -> ${HashFns.keyedHash32Sql("CAST(h AS VARCHAR)", "s")})) END""".stripMargin
+
+  def minhashSigSql: String =
+    s"""$shinglesCte
+       |SELECT doc_id, h, $sigExpr AS sig
+       |FROM sh, (SELECT unnest(range(0, $NUM_HASHES)) AS h) hs""".stripMargin
+
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.minhashCandidatePairs(docs(spark, sfDir), "text", "doc_id",
+      K, NUM_HASHES, BANDS)
+
+  def minhashPairsSql: String = {
+    val r = NUM_HASHES / BANDS
+    s"""$shinglesCte, sig AS (
+       |  SELECT doc_id, list_transform(range(0, $NUM_HASHES), h -> $sigExpr) AS sig
+       |  FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, md5(array_to_string(
+       |    list_transform(sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+       |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b) bs
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---- simhash -----------------------------------------------------------
+
+  def simhashQ(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.simhash48(docs(spark, sfDir), "text", "doc_id")
+
+  def simhashSql: String =
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    t -> ${HashFns.hash60Sql("t")}) AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(list_sum(list_transform(range(0, 48),
+       |  b -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+       |            THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |FROM hs""".stripMargin
+
+  // ---- n-gram jaccard ----------------------------------------------------
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val pairs = d.select(col("doc_id").as("id_a"))
+      .filter(col("id_a") % 50 === 0)
+      .join(d.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    DedupOps.ngramJaccard(d, pairs, "text", "doc_id", K)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
+  def ngramJaccardSql: String =
+    s"""WITH shr AS (
+       |  SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh FROM documents
+       |), shd AS (
+       |  SELECT DISTINCT doc_id, sh FROM shr
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM documents a JOIN documents b
+       |    ON a.doc_id % 50 = 0 AND b.doc_id > a.doc_id
+       |), inter AS (
+       |  SELECT p.id_a, p.id_b, count(*) AS n_inter
+       |  FROM pairs p
+       |  JOIN shd sa ON sa.doc_id = p.id_a
+       |  JOIN shd sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+       |  GROUP BY p.id_a, p.id_b
+       |)
+       |SELECT p.id_a, p.id_b, coalesce(i.n_inter, 0) AS n_inter,
+       |  ca.n_sh AS n_a, cb.n_sh AS n_b,
+       |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |    / CAST(ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+       |FROM pairs p
+       |JOIN cnt ca ON ca.doc_id = p.id_a
+       |JOIN cnt cb ON cb.doc_id = p.id_b
+       |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin
+}
