@@ -105,18 +105,20 @@ object TextQueries {
   // ---- minhash -----------------------------------------------------------
 
   def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(col("doc_id"),
-        posexplode(DedupOps.minhashSignature(col("text"), K, NUM_HASHES))
-          .as(Seq("h", "sig")))
+    DedupOps.withMinhashSignature(docs(spark, sfDir), "text", "sig_arr", K, NUM_HASHES)
+      .select(col("doc_id"), posexplode(col("sig_arr")).as(Seq("h", "sig")))
       .select(col("doc_id"), col("h").cast("long").as("h"), col("sig"))
 
   private def shinglesCte: String =
-    s"WITH sh AS (SELECT doc_id, ${TextOps.shinglesSql("text", K)} AS shs FROM documents)"
+    s"WITH sh AS (SELECT doc_id, list_transform(${TextOps.shinglesSql("text", K)}, " +
+      s"s -> ${HashFns.hash32Sql("s")}) AS hs FROM documents)"
+
+  private val P = DedupOps.MinhashPrime
 
   private def sigExpr: String =
-    s"""CASE WHEN len(shs) = 0 THEN 4294967296
-       |       ELSE list_min(list_transform(shs,
-       |         s -> ${HashFns.keyedHash32Sql("CAST(h AS VARCHAR)", "s")})) END""".stripMargin
+    s"""CASE WHEN len(hs) = 0 THEN $P
+       |       ELSE list_min(list_transform(hs,
+       |         v -> (v * (h * 2 + 1) + (h * h * 65537 + 7)) % $P)) END""".stripMargin
 
   def minhashSigSql: String =
     s"""$shinglesCte

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup keeps min id per distinct content") {
+    val df = Seq((5L, "aaa"), (2L, "aaa"), (3L, "bbb"), (9L, "bbb"), (1L, "ccc"))
+      .toDF("doc_id", "text")
+    val groups = DedupOps.exactDupGroups(df, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(groups.map(g => (g._2, g._3)) == Set((2L, 2L), (3L, 2L), (1L, 1L)))
+    val kept = DedupOps.dedupExact(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 1L))
+  }
+
+  test("shingles produce k-grams; short texts produce none") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val sh = df.select(col("id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("identical docs share every minhash band; disjoint docs share none") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
+        shingleK = 3, numHashes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0, known overlap") {
+    val docs = Seq(
+      (1L, "a b c d e"), // shingles: abc bcd cde
+      (2L, "a b c d e"),
+      (3L, "x y z w v"),
+      (4L, "b c d e f")) // shingles: bcd cde def -> inter {bcd,cde}=2, union 4
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = DedupOps.ngramJaccard(docs, pairs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+    assert(j((1L, 4L)) == 0.5)
+  }
+
+  test("simhash: identical docs equal, different docs differ") {
+    val df = Seq((1L, "spark scala data"), (2L, "spark scala data"),
+      (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val s = DedupOps.simhash48(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(3L))
+    assert(s.values.forall(v => v >= 0 && v < (1L << 48)))
+  }
+
+  test("language id picks the matching profile") {
+    val df = Seq(
+      (1L, "der hund und die katze ist das"),
+      (2L, "the cat is a friend of the dog"),
+      (3L, "le chat et la vache est les"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.languageId(col("text")).getField("lang").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 2L -> "en", 3L -> "fr"))
+  }
+
+  test("brute-force cosine top-k finds the aligned vector first") {
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // nearly aligned
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite
+      (4L, Array(0.5f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.bruteForceTopK(q, corpus, "vec_id", "embedding", 3)
+      .orderBy(desc("cosine"))
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L))
+    assert(got(0)._2 > 0.99 && got(2)._2 == 0.0)
+  }
+
+  test("lsh buckets: identical vectors collide; lsh topk ranks by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(2.0f, 4.0f, 6.0f))) // colinear -> same projections signs
+      .toDF("vec_id", "embedding")
+    val b = vecs.select(SimilarityOps.lshBucket(col("embedding"), 8).as("b"))
+      .as[Long].collect()
+    assert(b.distinct.length == 1)
+    val topk = SimilarityOps.lshCosineTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2, 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(topk.map(_._1).toSet == Set(1L, 2L))
+    assert(topk.forall(_._2 > 0.999))
+  }
+
+  test("multimodal: byte stats stub matches known ascii content") {
+    val df = Seq((7L, "ab")).toDF("media_id", "content") // 'a'=97 'b'=98
+    val out = MultimodalOps.decodeFeaturesStub(
+      df.withColumn("content", col("content").cast("binary")), "content", "media_id")
+      .collect().head
+    assert(out.getLong(0) == 7L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 195L && out.getLong(3) == 97500L)
+  }
+
+  test("multimodal: frame sampling emits numFrames rows per media row") {
+    val df = Seq((1L, "xyz"), (2L, "abc")).toDF("media_id", "content")
+      .withColumn("content", col("content").cast("binary"))
+    val frames = MultimodalOps.frameSampleStub(df, "content", "media_id", 3)
+    assert(frames.count() == 6)
+    assert(frames.select("frame_digest").distinct().count() == 6)
+    val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(idx == Seq(0, 0, 1, 1, 2, 2))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "text")
+    val fp = df.select(col("id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+}
