@@ -52,6 +52,12 @@ final class BookSide(val isBid: Boolean, val n: Int) {
   @inline def levelCount: Int = levels.size
   def levelQty(p: Long): Option[Long] = levels.get(key(p))
 
+  /** Codec support: iterate raw (key, qty) level entries. */
+  private[core] def foreachLevel(f: (Long, Long) => Unit): Unit =
+    levels.foreach { case (k, q) => f(k, q) }
+  /** Codec support: insert a raw (key, qty) entry without cache updates. */
+  private[core] def putLevelRaw(k: Long, q: Long): Unit = levels(k) = q
+
   /** i-th best tracked price/qty (0-based), or None if fewer levels. */
   def topPrice(i: Int): Option[Long] =
     if (i < len) Some(price(topKeys(i))) else None

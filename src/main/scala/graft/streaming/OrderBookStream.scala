@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.core.{BookCodec, OrderBook, OrderBookException, Transitions}
+import graft.operators.OrderBookOps
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming form of the book replay: the same per-product fold,
+  * with book state carried across micro-batches in the state store
+  * (`flatMapGroupsWithState`).
+  *
+  * Ordering contract: rows are sorted by the order column *within each
+  * micro-batch group* before folding (Spark provides no cross-batch
+  * ordering — late events are the caller's watermarking problem, exactly
+  * as the reference requires pre-sorted input, README.md:182). State is
+  * the compact BookCodec encoding, so a 1000-executor cluster holds one
+  * small blob per product, not per row.
+  */
+object OrderBookStream {
+
+  /** Streaming top-N-levels from price updates. `df` must be a streaming
+    * DataFrame. Emits one row per input event (append mode). */
+  def topNLevelsFromPriceUpdates(
+      df: DataFrame, price: String, qty: String, isBid: String, n: Int,
+      partitionBy: String, orderBy: String): DataFrame =
+    replayStream(df, price, qty, isBid, n, partitionBy, orderBy, mutation = false)
+
+  def topNLevelsFromPriceMutations(
+      df: DataFrame, price: String, qty: String, isBid: String, n: Int,
+      partitionBy: String, orderBy: String): DataFrame =
+    replayStream(df, price, qty, isBid, n, partitionBy, orderBy, mutation = true)
+
+  private def replayStream(
+      df: DataFrame, price: String, qty: String, isBid: String, n: Int,
+      partitionBy: String, orderBy: String, mutation: Boolean): DataFrame = {
+
+    val outSchema = StructType(
+      StructField(partitionBy, LongType) +:
+        StructField(orderBy, LongType) +:
+        OrderBookOps.bboFieldNames(n).map(StructField(_, LongType, nullable = true)))
+
+    val work = df.select(
+      col(partitionBy).cast("long").as("pkey"),
+      col(orderBy).cast("long").as("okey"),
+      col(price).cast("long").as("price"),
+      col(qty).cast("long").as("qty"),
+      col(isBid).cast("boolean").as("is_bid"))
+
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaBoolean)
+
+    work.as[(Long, Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
+         state: GroupState[Array[Byte]]) =>
+          val book =
+            if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
+          // fold in order within this micro-batch
+          val sorted = rows.toArray.sortBy(_._2)
+          val out = sorted.iterator.map { case (_, okey, p, q, b) =>
+            if (mutation) Transitions.applyMutation(book, b, p, q)
+            else Transitions.applyUpdate(book, b, p, q)
+            val vals = new Array[Any](2 + 4 * n)
+            vals(0) = key
+            vals(1) = okey
+            book.snapshotInto(vals, 2)
+            new GenericRowWithSchema(vals, outSchema): Row
+          }.toArray
+          state.update(BookCodec.serialize(book))
+          out.iterator
+      }(Encoders.BINARY, rowEnc)
+  }
+}

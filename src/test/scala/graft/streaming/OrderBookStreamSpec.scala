@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.operators.OrderBookOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming replay must match the batch replay when events arrive in
+  * order across micro-batches (state carried in the state store). */
+class OrderBookStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("two micro-batches == one batch replay (updates, n=2, two products)") {
+    val price = Seq(1L, 2, 3, 6, 5, 4, 3, 1, 2, 5, 4, 6)
+    val qty = Seq(1L, 2, 3, 6, 5, 4, 0, 0, 0, 0, 0, 0)
+    val isBid = Seq(true, true, true, false, false, false, true, true, true, false, false, false)
+    // (product, seq, price, qty, is_bid) for two products interleaved
+    val events = for (p <- Seq(1L, 2L); i <- 0 until 12)
+      yield (p, i.toLong, price(i), qty(i), isBid(i))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean)]
+    val sdf = mem.toDF.toDF("product", "seq", "price", "qty", "is_bid")
+    val out = OrderBookStream.topNLevelsFromPriceUpdates(
+      sdf, "price", "qty", "is_bid", n = 2, partitionBy = "product", orderBy = "seq")
+    val query = out.writeStream.format("memory").queryName("bbo_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = events.splitAt(14)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("bbo_stream")
+      .orderBy("product", "seq").collect()
+
+    val batch = OrderBookOps.topNLevelsFromPriceUpdates(
+        events.toDF("product", "seq", "price", "qty", "is_bid"),
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+      .select(col("product") +: col("seq") +: OrderBookOps.bboFieldNames(2).map(col): _*)
+      .orderBy("product", "seq").collect()
+
+    assert(streamed.length == 24 && batch.length == 24)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+}
