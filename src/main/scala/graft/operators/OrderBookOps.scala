@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.{OrderBook, OrderBookException, Transitions}
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -47,14 +48,14 @@ object OrderBookOps {
   def topNLevelsFromPriceUpdates(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
-    replay(df, price, qty, isBid, None, None, n, partitionBy, orderBy, Updates)
+    replayExec(df, price, qty, isBid, None, None, n, partitionBy, orderBy, 0)
 
   /** O2 — replay signed deltas: qty>0 adds, qty<0 deletes |qty|, qty==0
     * no-op. Reference: __init__.py:101-154, calculate_bbo.rs:172-215. */
   def topNLevelsFromPriceMutations(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
-    replay(df, price, qty, isBid, None, None, n, partitionBy, orderBy, Mutations)
+    replayExec(df, price, qty, isBid, None, None, n, partitionBy, orderBy, 1)
 
   /** O3 — as O2 plus modify (move/resize an order) when prev_price/prev_qty
     * are set; both-or-neither semantics per row enforced by the 9-case
@@ -64,8 +65,66 @@ object OrderBookOps {
       df: DataFrame, price: String, qty: String, isBid: String,
       prevPrice: String, prevQty: String, n: Int,
       partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
+    replayExec(df, price, qty, isBid, Some(prevPrice), Some(prevQty), n,
+      partitionBy, orderBy, 2)
+
+  /** flatMapSortedGroups embodiments — kept as the cross-implementation
+    * oracle for the custom physical operator (same results, Row-based). */
+  def topNLevelsFromPriceUpdatesViaGroups(
+      df: DataFrame, price: String, qty: String, isBid: String, n: Int,
+      partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
+    replay(df, price, qty, isBid, None, None, n, partitionBy, orderBy, Updates)
+
+  def topNLevelsFromPriceMutationsViaGroups(
+      df: DataFrame, price: String, qty: String, isBid: String, n: Int,
+      partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
+    replay(df, price, qty, isBid, None, None, n, partitionBy, orderBy, Mutations)
+
+  def topNLevelsFromPriceMutationsWithModifyViaGroups(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      prevPrice: String, prevQty: String, n: Int,
+      partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
     replay(df, price, qty, isBid, Some(prevPrice), Some(prevQty), n,
       partitionBy, orderBy, Modify)
+
+  /** Fast path: plan the replay as the custom BboReplayNode — Spark
+    * inserts the (single) exchange + sort; the fold runs over UnsafeRows
+    * in BboReplayExec. */
+  private def replayExec(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      prevPrice: Option[String], prevQty: Option[String], n: Int,
+      partitionBy: Seq[String], orderBy: Seq[String], mode: Int): DataFrame = {
+    import graft.plans.{BboReplayNode, BboReplayStrategy}
+    import org.apache.spark.sql.GraftColumnBridge
+    require(n >= 1, s"Unsupported number of levels: $n (must be >= 1)")
+    require(orderBy.nonEmpty,
+      "orderBy must be non-empty: Spark provides no implicit row order, and " +
+        "book replay is order-sensitive (reference README.md:182)")
+    val clash = df.columns.toSet.intersect(bboFieldNames(n).toSet)
+    require(clash.isEmpty, s"Input already has output columns: $clash")
+
+    val spark = df.sparkSession
+    BboReplayStrategy.ensureRegistered(spark)
+    val analyzed = df.queryExecution.analyzed
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(name: String): catalyst.expressions.Attribute =
+      analyzed.output.find(a => resolver(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Column '$name' not found among ${analyzed.output.map(_.name).mkString(", ")}"))
+    def asLong(name: String) = catalyst.expressions.Cast(attr(name), LongType)
+    val node = BboReplayNode(
+      mode, n,
+      asLong(price),
+      asLong(qty),
+      catalyst.expressions.Cast(attr(isBid), BooleanType),
+      prevPrice.map(asLong),
+      prevQty.map(asLong),
+      partitionBy.map(attr(_): catalyst.expressions.Expression),
+      orderBy.map(attr(_): catalyst.expressions.Expression),
+      BboReplayNode.mkBboAttrs(n),
+      analyzed)
+    GraftColumnBridge.ofRows(spark, node)
+  }
 
   /** Re-assemble the flat bbo columns into a single struct column, the
     * reference's pre-`unnest` shape (reference: README.md:34). */

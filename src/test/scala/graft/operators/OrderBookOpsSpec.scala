@@ -195,4 +195,22 @@ class OrderBookOpsSpec extends AnyFunSuite {
     assert(flat.columns.toSet == out.columns.toSet)
     assert(flat.count() == 12)
   }
+
+  test("custom exec == flatMapGroups implementation on derived events") {
+    import graft.queries.EventStreams
+    for (mutation <- Seq(false, true)) {
+      val stream = EventStreams.bookStream(spark, "/root/testdata/sf0.001", qtyZeroEvery5 = !mutation)
+      def run(f: (org.apache.spark.sql.DataFrame, String, String, String, Int, Seq[String], Seq[String]) => org.apache.spark.sql.DataFrame) =
+        f(stream, "price", "qty", "is_bid", 3, Seq("product"), Seq("seq"))
+          .orderBy("product", "seq").collect().toSeq
+      val (a, b) =
+        if (mutation)
+          (run(OrderBookOps.topNLevelsFromPriceMutations),
+            run(OrderBookOps.topNLevelsFromPriceMutationsViaGroups))
+        else
+          (run(OrderBookOps.topNLevelsFromPriceUpdates),
+            run(OrderBookOps.topNLevelsFromPriceUpdatesViaGroups))
+      assert(a.size == 1000 && a == b, s"mutation=$mutation")
+    }
+  }
 }
