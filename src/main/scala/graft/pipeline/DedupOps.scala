@@ -61,22 +61,33 @@ object DedupOps {
         transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast("string"))).cast("binary")))
 
-  /** DataFrame-level staged signature: materializes the per-shingle hash
-    * array in its own projection so the `numHashes` permutation minima
-    * reuse it instead of recomputing shingles+MD5 per permutation
-    * (Catalyst keeps the projections separate because the hash array is
-    * expensive and multiply-referenced — measured 4× faster than the
-    * inline expression). */
-  def withMinhashSignature(df: DataFrame, textCol: String, sigCol: String,
-                           shingleK: Int = 3, numHashes: Int = 12): DataFrame = {
-    val hsCol = "__mh_hs"
-    df.withColumn(hsCol,
-        transform(TextOps.shingles(col(textCol), shingleK), s => HashFns.hash32(s)))
-      .withColumn(sigCol,
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => aggregate(col(hsCol), lit(MinhashPrime),
-            (m, v) => least(m, (v * (i * 2 + 1) + (i * i * 65537 + 7)) % MinhashPrime))))
-      .drop(hsCol)
+  /** DataFrame-level signature: explode shingles → one MD5 per shingle
+    * row → `numHashes` partial-aggregated min() columns → join back.
+    *
+    * Why not a single columnar expression: Catalyst's CollapseProject
+    * re-inlines a staged hash-array alias (it is referenced once
+    * *lexically* even though the permutation loop evaluates it numHashes
+    * times at runtime), silently recomputing every MD5 numHashes-fold.
+    * The explode+groupBy shape computes each shingle hash exactly once,
+    * combines map-side (the shuffle carries only numHashes partial minima
+    * per id), and cannot be de-staged by the optimizer. `idCol` must be
+    * unique. Docs with no shingles get the all-sentinel signature. */
+  def withMinhashSignature(df: DataFrame, textCol: String, idCol: String,
+                           sigCol: String, shingleK: Int = 3,
+                           numHashes: Int = 12): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextOps.shingles(col(textCol), shingleK)).as("__mh_sh"))
+      .select(col(idCol), HashFns.hash32(col("__mh_sh")).as("__mh_h"))
+    val mins = (0 until numHashes).map { i =>
+      min((col("__mh_h") * (2 * i + 1) + (i * i * 65537 + 7)) % MinhashPrime)
+        .as(s"__mh_s$i")
+    }
+    val sigs = tok.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__mh_s$i")): _*).as(sigCol))
+    val sentinel = array(Seq.fill(numHashes)(lit(MinhashPrime)): _*)
+    df.join(sigs, Seq(idCol), "left")
+      .withColumn(sigCol, coalesce(col(sigCol), sentinel))
   }
 
   /** Candidate near-dup pairs via MinHash LSH: docs sharing ≥1 band.
@@ -85,7 +96,7 @@ object DedupOps {
                             shingleK: Int = 3, numHashes: Int = 12,
                             bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = withMinhashSignature(df, textCol, "__mh_sig", shingleK, numHashes)
+    val withSig = withMinhashSignature(df, textCol, idCol, "__mh_sig", shingleK, numHashes)
     val withBands = withSig.select(col(idCol).as("doc_id"),
       posexplode(lshBandKeys(col("__mh_sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))

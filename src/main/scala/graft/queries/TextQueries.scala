@@ -105,7 +105,7 @@ object TextQueries {
   // ---- minhash -----------------------------------------------------------
 
   def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
-    DedupOps.withMinhashSignature(docs(spark, sfDir), "text", "sig_arr", K, NUM_HASHES)
+    DedupOps.withMinhashSignature(docs(spark, sfDir), "text", "doc_id", "sig_arr", K, NUM_HASHES)
       .select(col("doc_id"), posexplode(col("sig_arr")).as(Seq("h", "sig")))
       .select(col("doc_id"), col("h").cast("long").as("h"), col("sig"))
 
