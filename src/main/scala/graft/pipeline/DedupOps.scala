@@ -30,11 +30,15 @@ object DedupOps {
     df.groupBy(digest(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup: keep the min-id row per distinct content. */
+  /** Exact dedup: keep the min-id row per distinct content. One shuffle
+    * (window on the digest) instead of aggregate + join — at scale the
+    * digest shuffle is the whole cost either way, so pay it once. */
   def dedupExact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val groups = exactDupGroups(df, contentCol, idCol)
-    df.join(groups, digest(col(contentCol)) === groups("content_hash") &&
-      col(idCol) === groups("keep_id"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(digest(col(contentCol))).orderBy(col(idCol))
+    df.withColumn("__dd_rn", row_number().over(w))
+      .filter(col("__dd_rn") === 1)
+      .drop("__dd_rn")
   }
 
   /** Prime just above 2^32, the modulus of the MinHash permutation

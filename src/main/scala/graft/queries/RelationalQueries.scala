@@ -27,7 +27,53 @@ object RelationalQueries {
     GraftQuery("q_window_running", windowRunning, Some(windowRunningSql), bench = true),
     GraftQuery("q_normalize_messages", normalizeMessages, Some(normalizeMessagesSql)),
     GraftQuery("q_orders_per_status", ordersPerStatus, Some(ordersPerStatusSql)),
+    GraftQuery("q_semi_anti_join", semiAntiJoin, Some(semiAntiJoinSql)),
+    GraftQuery("q_set_ops", setOps, Some(setOpsSql)),
   )
+
+  /** EXISTS / NOT EXISTS via left_semi / left_anti joins: customers with
+    * and without urgent orders. */
+  def semiAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.read(spark, sfDir, "customer")
+    val urgent = Tables.read(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val withU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_urgent"))
+    val withoutU = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_urgent"))
+    withU.unionAll(withoutU)
+  }
+
+  def semiAntiJoinSql: String =
+    """SELECT c_custkey, TRUE AS has_urgent FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT c_custkey, FALSE AS has_urgent FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Set operations over derived key sets: customers who ordered vs the
+    * full customer set (union/intersect/except counts). */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.read(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    val ordered = Tables.read(spark, sfDir, "orders").select(col("o_custkey").as("k"))
+    val u = all.union(ordered).distinct().count()
+    val i = all.intersect(ordered).count()
+    val e = all.except(ordered).count()
+    import spark.implicits._
+    Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+  }
+
+  def setOpsSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
+      |                         UNION SELECT o_custkey FROM orders)) AS n_union,
+      |  (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
+      |                         INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
+      |                         EXCEPT SELECT o_custkey FROM orders)) AS n_except""".stripMargin
 
   /** TPC-H Q1-shaped pricing summary: filter + group-by agg with exact
     * decimal sums. */

@@ -227,4 +227,47 @@ class CoreBookSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("brute-force oracle: random valid modify streams (O3) match rescan") {
+    val rnd = new scala.util.Random(2024)
+    for (n <- Seq(1, 2, 4); trial <- 0 until 10) {
+      val book = new OrderBook(n)
+      // model: per side, live orders (price, qty); levels = sums per price
+      val orders = Map(true -> scala.collection.mutable.ArrayBuffer[(Long, Long)](),
+        false -> scala.collection.mutable.ArrayBuffer[(Long, Long)]())
+      for (_ <- 0 until 500) {
+        val isBid = rnd.nextBoolean()
+        val os = orders(isBid)
+        rnd.nextInt(4) match {
+          case 0 | 3 => // add a new order (no prevs)
+            val p = 1L + rnd.nextInt(15); val q = 1L + rnd.nextInt(9)
+            Transitions.applyMutationWithModify(book, isBid, p, q, hasPrevPrice = false, 0, hasPrevQty = false, 0)
+            os += ((p, q))
+          case 1 if os.nonEmpty => // modify: move/resize an existing order
+            val i = rnd.nextInt(os.size)
+            val (p0, q0) = os(i)
+            val p1 = 1L + rnd.nextInt(15); val q1 = 1L + rnd.nextInt(9)
+            Transitions.applyMutationWithModify(book, isBid, p1, q1, hasPrevPrice = true, p0, hasPrevQty = true, q0)
+            os(i) = (p1, q1)
+          case 2 if os.nonEmpty => // cancel: qty=0 with prevs
+            val i = rnd.nextInt(os.size)
+            val (p0, q0) = os.remove(i)
+            Transitions.applyMutationWithModify(book, isBid, p0, 0, hasPrevPrice = true, p0, hasPrevQty = true, q0)
+          case _ => // fall back to add
+            val p = 1L + rnd.nextInt(15); val q = 1L + rnd.nextInt(9)
+            Transitions.applyMutationWithModify(book, isBid, p, q, hasPrevPrice = false, 0, hasPrevQty = false, 0)
+            os += ((p, q))
+        }
+        // brute-force expectation from the model
+        def levels(b: Boolean) = orders(b).groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toSeq.filter(_._2 != 0)
+        val expBid = levels(true).sortBy(-_._1).take(n)
+        val expAsk = levels(false).sortBy(_._1).take(n)
+        val exp =
+          expBid.map(x => Some(x._1)).padTo(n, None) ++ expBid.map(x => Some(x._2)).padTo(n, None) ++
+            expAsk.map(x => Some(x._1)).padTo(n, None) ++ expAsk.map(x => Some(x._2)).padTo(n, None)
+        assert(snapshot(book) == exp, s"n=$n trial=$trial")
+      }
+    }
+  }
 }
