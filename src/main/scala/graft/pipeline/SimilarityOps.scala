@@ -101,6 +101,52 @@ object SimilarityOps {
       .drop("rank")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest centroid ("cell"); queries probe the
+    * `nProbes` nearest cells and rerank exactly within them.
+    *
+    * Centroids here are a deterministic sample of the corpus (every
+    * `centroidStride`-th id) — a real deployment would plug in k-means
+    * centroids; the operator shape is identical: broadcast the (small)
+    * centroid set, one map stage to assign cells, shuffle corpus once on
+    * cell id, then probe-join. Recall/cost knob: `nProbes` of
+    * `numCentroids` cells scanned per query.
+    *
+    * All distances are exact-integer dot/norm arithmetic (scaled), so
+    * assignment and ranking are deterministic and oracle-reproducible. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroidStride: Int = 37,
+              nProbes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cent_id"), scaled(col(vecCol)).as("cent_v"))
+    // nearest-cell assignment: cosine against every centroid, keep top-m
+    def assign(df: DataFrame, side: String, m: Int): DataFrame = {
+      val v = df.select(col(idCol).as(s"${side}_id"), scaled(col(vecCol)).as(s"${side}_v"))
+      val scored = v.crossJoin(broadcast(cents))
+        .select(col(s"${side}_id"), col(s"${side}_v"), col("cent_id"),
+          cosineFromInts(dot(col(s"${side}_v"), col("cent_v")),
+            norm2(col(s"${side}_v")), norm2(col("cent_v"))).as("cent_cos"))
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= m)
+        .select(col(s"${side}_id"), col(s"${side}_v"), col("cent_id"))
+    }
+    val corpusCells = assign(corpus, "c", 1)    // each vector lives in 1 cell
+    val queryProbes = assign(queries, "q", nProbes) // queries probe nProbes cells
+    val scored = corpusCells.join(broadcast(queryProbes), "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        cosineFromInts(dot(col("q_v"), col("c_v")),
+          norm2(col("q_v")), norm2(col("c_v"))).as("cosine"))
+      .distinct() // a neighbor may appear via several probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * via LSH buckets (exact within-bucket verification). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

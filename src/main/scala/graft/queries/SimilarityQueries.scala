@@ -16,7 +16,58 @@ object SimilarityQueries {
     GraftQuery("q_embed_topk", embedTopK, Some(embedTopKSql), bench = true),
     GraftQuery("q_embed_lsh_topk", embedLshTopK, Some(embedLshTopKSql)),
     GraftQuery("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+    GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
   )
+
+  private val CENT_STRIDE = 37
+  private val N_PROBES = 2
+
+  /** IVF ANN: deterministic coarse cells (every 37th vector), 2 probes. */
+  def embedIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    SimilarityOps.ivfTopK(q, e, "vec_id", "embedding", TOPK, CENT_STRIDE, N_PROBES)
+  }
+
+  def embedIvfTopKSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, sv AS cent_v FROM v WHERE vec_id % $CENT_STRIDE = 0
+       |), cassign AS (
+       |  SELECT c_id, c_v, cent_id FROM (
+       |    SELECT v.vec_id AS c_id, v.sv AS c_v, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(${dotSql("v.sv", "c.cent_v")} AS DOUBLE)
+       |          / (sqrt(CAST(${norm2Sql("v.sv")} AS DOUBLE))
+       |             * sqrt(CAST(${norm2Sql("c.cent_v")} AS DOUBLE))) DESC,
+       |        c.cent_id) AS rk
+       |    FROM v, cents c
+       |  ) WHERE rk <= 1
+       |), qprobe AS (
+       |  SELECT q_id, q_v, cent_id FROM (
+       |    SELECT v.vec_id AS q_id, v.sv AS q_v, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(${dotSql("v.sv", "c.cent_v")} AS DOUBLE)
+       |          / (sqrt(CAST(${norm2Sql("v.sv")} AS DOUBLE))
+       |             * sqrt(CAST(${norm2Sql("c.cent_v")} AS DOUBLE))) DESC,
+       |        c.cent_id) AS rk
+       |    FROM v, cents c
+       |    WHERE v.vec_id % 50 = 0
+       |  ) WHERE rk <= $N_PROBES
+       |), scored AS (
+       |  SELECT DISTINCT q.q_id AS query_id, a.c_id AS neighbor_id,
+       |    CAST(${dotSql("q.q_v", "a.c_v")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql("q.q_v")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql("a.c_v")} AS DOUBLE))) AS cosine
+       |  FROM qprobe q JOIN cassign a ON q.cent_id = a.cent_id
+       |  WHERE q.q_id <> a.c_id
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TOPK""".stripMargin
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "embeddings")

@@ -136,4 +136,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fp(1L) != fp(2L))
     assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
   }
+
+  test("ivf topk: probing finds the aligned neighbor (recall sanity)") {
+    val vecs = (0L until 60L).map { i =>
+      // three well-separated directions with noise-free members
+      val base = (i % 3).toInt
+      val v = Array.fill(4)(0.0f); v(base) = 1.0f; v(3) = 0.01f * (i / 3)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0) // direction 0
+    val got = SimilarityOps.ivfTopK(q, vecs, "vec_id", "embedding", 3,
+      centroidStride = 5, nProbes = 2).collect()
+    assert(got.nonEmpty && got.length <= 3)
+    // every returned neighbor is direction-0 (cosine ~1), never orthogonal
+    assert(got.forall(_.getDouble(2) > 0.9))
+  }
 }

@@ -45,4 +45,30 @@ class OrderBookStreamSpec extends AnyFunSuite {
     assert(streamed.length == 24 && batch.length == 24)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("streaming mutations across three micro-batches == batch") {
+    val events = for (p <- Seq(7L); i <- 0 until 12)
+      yield (p, i.toLong,
+        Seq(1L, 2, 3, 6, 5, 4, 3, 1, 2, 5, 4, 6)(i),
+        Seq(1L, 2, 3, 6, 5, 4, -3, -1, -2, -5, -4, -6)(i),
+        Seq(true, true, true, false, false, false, true, true, true, false, false, false)(i))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean)]
+    val sdf = mem.toDF.toDF("product", "seq", "price", "qty", "is_bid")
+    val out = OrderBookStream.topNLevelsFromPriceMutations(
+      sdf, "price", "qty", "is_bid", n = 1, partitionBy = "product", orderBy = "seq")
+    val query = out.writeStream.format("memory").queryName("bbo_stream_mut")
+      .outputMode("append").start()
+    try {
+      events.grouped(5).foreach { b => mem.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val streamed = spark.table("bbo_stream_mut").orderBy("seq").collect()
+    val batch = OrderBookOps.topNLevelsFromPriceMutations(
+        events.toDF("product", "seq", "price", "qty", "is_bid"),
+        "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+      .select(col("product") +: col("seq") +: OrderBookOps.bboFieldNames(1).map(col): _*)
+      .orderBy("seq").collect()
+    assert(streamed.length == 12)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
 }
