@@ -48,7 +48,7 @@ object DedupOps {
   /** MinHash signature via the standard affine-permutation family: one
     * base 32-bit hash per shingle, then sig_i = min over shingles of
     * (h·(2i+1) + i²·65537 + 7) mod p. One MD5 per shingle total (the
-    * permutations are pure arithmetic), map-only, codegen'd. Empty
+    * permutations are pure arithmetic), map-only. Empty
     * shingle set → all-sentinel signature (= p, above any residue). */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
     val hs = transform(TextOps.shingles(text, shingleK), s => HashFns.hash32(s))

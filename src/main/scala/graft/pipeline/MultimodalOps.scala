@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * real (and what matters at 100 TB) is the Spark-side shape:
   * - payloads stay opaque binary end-to-end (no driver materialization);
   * - cheap metadata (sizes, digests, fake dimensions) is columnar,
-  *   codegen'd expression work;
+  *   columnar built-in expression work;
   * - the expensive "decode" runs batch-wise via `mapPartitions` with a
   *   declared output schema — exactly where a Pandas-UDF/JNI decoder
   *   would slot in — so partitioning, schema, and batch shape are all

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * norms are *exact* int64 values and the final cosine — a few IEEE ops on
   * exact integers — is bit-identical across engines (the DuckDB oracle
   * reproduces it). No UDFs: `transform`/`zip_with`/`aggregate` are
-  * codegen'd columnar expressions.
+  * columnar built-in expressions (no UDF serialization; higher-order fns evaluate via Catalyst's interpreted path inside whole-stage-codegen'd projects).
   *
   * Scale paths:
   * - `bruteForceTopK`: broadcast the (small) query set against the corpus;

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *
   * Design rules for 100 TB scale:
   * - everything is a columnar expression over built-in higher-order
-  *   functions (codegen'd, no UDF, no shuffle) — these ops cost one map
+  *   functions (built-in columnar expressions, no UDF, no shuffle) — these ops cost one map
   *   stage regardless of data size;
   * - no transcendental functions (exp/ln) so results are bit-reproducible
   *   across engines (the DuckDB oracles reproduce them exactly);

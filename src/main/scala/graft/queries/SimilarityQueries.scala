@@ -16,7 +16,7 @@ object SimilarityQueries {
     GraftQuery("q_embed_topk", embedTopK, Some(embedTopKSql), bench = true),
     GraftQuery("q_embed_lsh_topk", embedLshTopK, Some(embedLshTopKSql)),
     GraftQuery("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
-    GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
+    GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql), bench = true),
   )
 
   private val CENT_STRIDE = 37

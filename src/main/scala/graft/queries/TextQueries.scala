@@ -20,7 +20,7 @@ object TextQueries {
     GraftQuery("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     GraftQuery("q_minhash_sig", minhashSig, Some(minhashSigSql), bench = true),
     GraftQuery("q_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
-    GraftQuery("q_simhash", simhashQ, Some(simhashSql)),
+    GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
   )
 
