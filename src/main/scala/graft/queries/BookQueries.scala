@@ -18,7 +18,17 @@ object BookQueries {
     // O3 fed all-null prevs must equal plain mutations (reference
     // test_calculate_bbo.py:194-259) — so the O2 oracle IS the O3 oracle.
     GraftQuery("bbo_modify_nullprev_n2", (s, d) => bboModifyNullPrev(s, d, 2), Some(mutationsOracle(2))),
+    // parallel-prefix replay is output-identical to the serial fold, so it
+    // shares the serial oracle.
+    GraftQuery("bbo_parallel_updates_n2", (s, d) => bboParallelUpdates(s, d, 2), Some(updatesOracle(2))),
   )
+
+  def bboParallelUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+    graft.operators.ParallelReplay.topNLevelsFromPriceUpdatesParallel(
+        stream, "price", "qty", "is_bid", n, "product", "seq", segments = 8)
+      .select(proj(n).map(col): _*)
+  }
 
   private def proj(n: Int) = Seq("product", "seq") ++ OrderBookOps.bboFieldNames(n)
 

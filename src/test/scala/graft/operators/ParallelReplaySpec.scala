@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.queries.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parallel-prefix replay must be bit-identical to the serial fold. */
+class ParallelReplaySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def proj(n: Int) = Seq("product", "seq") ++ OrderBookOps.bboFieldNames(n)
+
+  for (mutation <- Seq(false, true); segments <- Seq(1, 4, 7)) {
+    test(s"parallel(segments=$segments) == serial, mutation=$mutation, derived events") {
+      val stream = EventStreams.bookStream(
+        spark, "/root/testdata/sf0.001", qtyZeroEvery5 = !mutation)
+      val serial =
+        if (mutation) OrderBookOps.topNLevelsFromPriceMutations(
+          stream, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+        else OrderBookOps.topNLevelsFromPriceUpdates(
+          stream, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+      val parallel =
+        if (mutation) ParallelReplay.topNLevelsFromPriceMutationsParallel(
+          stream, "price", "qty", "is_bid", 2, "product", "seq", segments)
+        else ParallelReplay.topNLevelsFromPriceUpdatesParallel(
+          stream, "price", "qty", "is_bid", 2, "product", "seq", segments)
+      val a = serial.select(proj(2).map(col): _*).orderBy("product", "seq").collect()
+      val b = parallel.select(proj(2).map(col): _*).orderBy("product", "seq").collect()
+      assert(a.length == 1000 && b.length == 1000)
+      a.zip(b).foreach { case (x, y) => assert(x == y) }
+    }
+  }
+
+  test("parallel replay with a tiny product (fewer events than segments)") {
+    val df = Seq(
+      ("X", 0L, 5L, 3L, true),
+      ("X", 1L, 6L, 2L, true),
+      ("Y", 0L, 9L, 1L, false))
+      .toDF("product", "seq", "price", "qty", "is_bid")
+    val out = ParallelReplay.topNLevelsFromPriceUpdatesParallel(
+        df, "price", "qty", "is_bid", 1, "product", "seq", segments = 8)
+      .orderBy("product", "seq").collect()
+    assert(out.length == 3)
+    assert(out(1).getLong(5) == 6L) // X seq1: best bid 6
+    assert(out(2).getLong(7) == 9L) // Y: best ask 9
+  }
+
+  test("over-delete still fails in parallel mode (error not masked)") {
+    val df = Seq(
+      ("X", 0L, 5L, 3L, true),
+      ("X", 1L, 5L, -9L, true)) // over-delete in segment 1
+      .toDF("product", "seq", "price", "qty", "is_bid")
+    val out = ParallelReplay.topNLevelsFromPriceMutationsParallel(
+      df, "price", "qty", "is_bid", 1, "product", "seq", segments = 2)
+    val e = intercept[org.apache.spark.SparkException] { out.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("Qty exceeds available"))))
+  }
+}
