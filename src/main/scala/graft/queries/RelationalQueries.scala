@@ -29,7 +29,60 @@ object RelationalQueries {
     GraftQuery("q_orders_per_status", ordersPerStatus, Some(ordersPerStatusSql)),
     GraftQuery("q_semi_anti_join", semiAntiJoin, Some(semiAntiJoinSql)),
     GraftQuery("q_set_ops", setOps, Some(setOpsSql)),
+    GraftQuery("q6_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
+    GraftQuery("q_brand_volume_by_region", brandVolumeByRegion, Some(brandVolumeByRegionSql)),
   )
+
+  /** TPC-H Q6-shaped: pure filter + single aggregate (range predicates on
+    * date, discount, quantity — all pushed to the scan). */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+          .cast(DecimalType(30, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  def forecastRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Star join across part, supplier, nation, region: brand volume per
+    * supplier region (covers every dimension table). */
+  def brandVolumeByRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.read(spark, sfDir, "lineitem")
+    val part = Tables.read(spark, sfDir, "part")
+    val supp = Tables.read(spark, sfDir, "supplier")
+    val nat = Tables.read(spark, sfDir, "nation")
+    val reg = Tables.read(spark, sfDir, "region")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("volume"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def brandVolumeByRegionSql: String =
+    """SELECT r_name, p_brand,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, p_brand""".stripMargin
 
   /** EXISTS / NOT EXISTS via left_semi / left_anti joins: customers with
     * and without urgent orders. */
