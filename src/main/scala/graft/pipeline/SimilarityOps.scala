@@ -29,11 +29,12 @@ object SimilarityOps {
   def scaled(e: Column): Column =
     transform(e, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product — a codegen'd custom expression
+    * (graft.functions.LongArrayDot); semantically identical to
+    * `aggregate(zip_with(a, b, _*_), 0, _+_)` but a straight long loop. */
+  def dot(a: Column, b: Column): Column = graft.functions.LongArrayDot.dot(a, b)
 
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  def norm2(a: Column): Column = graft.functions.LongArrayDot.dot(a, a)
 
   /** Cosine from exact integer dot/norms (deterministic IEEE). */
   def cosineFromInts(dotI: Column, n2a: Column, n2b: Column): Column =
