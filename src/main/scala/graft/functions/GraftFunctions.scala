@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.plans.BboWindowAggregate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration: makes the engine's custom expressions
+  * callable from `spark.sql` —
+  *
+  * {{{
+  *   SELECT *, bbo_from_price_updates(price, qty, is_bid, 2) OVER (
+  *     PARTITION BY product ORDER BY seq
+  *     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bbo
+  *   FROM events_stream
+  * }}}
+  *
+  * The trailing integer literal is `n` (top-N depth), mirroring the
+  * reference's `n` kwarg (reference __init__.py:22-210).
+  */
+object GraftFunctions {
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("long_array_dot",
+      exprs => {
+        require(exprs.size == 2, "long_array_dot(a, b)")
+        LongArrayDot(exprs(0), exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("bbo_from_price_updates",
+      exprs => mkBbo(0, 4, exprs), "built-in")
+    reg.createOrReplaceTempFunction("bbo_from_price_mutations",
+      exprs => mkBbo(1, 4, exprs), "built-in")
+    reg.createOrReplaceTempFunction("bbo_from_price_mutations_with_modify",
+      exprs => mkBbo(2, 6, exprs), "built-in")
+  }
+
+  private def mkBbo(mode: Int, arity: Int, exprs: Seq[Expression]): Expression = {
+    require(exprs.size == arity,
+      s"expected $arity arguments (event columns..., n literal), got ${exprs.size}")
+    val n = exprs.last match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"the last argument must be an integer literal for n, got $other")
+    }
+    BboWindowAggregate(mode, n, exprs.init.toIndexedSeq).toAggregateExpression()
+  }
+}

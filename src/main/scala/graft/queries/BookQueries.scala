@@ -21,7 +21,26 @@ object BookQueries {
     // parallel-prefix replay is output-identical to the serial fold, so it
     // shares the serial oracle.
     GraftQuery("bbo_parallel_updates_n2", (s, d) => bboParallelUpdates(s, d, 2), Some(updatesOracle(2))),
+    // the SQL surface (registered window aggregate) shares the oracle too
+    GraftQuery("bbo_sql_updates_n1", bboSqlUpdates, Some(updatesOracle(1))),
   )
+
+  /** The same replay via the registered SQL window function — exercises
+    * the spark.sql surface end-to-end. */
+  def bboSqlUpdates(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+      .createOrReplaceTempView("graft_book_stream")
+    spark.sql(
+      """SELECT seq, product,
+        |  bbo.bid_price_1, bbo.bid_qty_1, bbo.ask_price_1, bbo.ask_qty_1
+        |FROM (
+        |  SELECT seq, product, bbo_from_price_updates(price, qty, is_bid, 1) OVER (
+        |    PARTITION BY product ORDER BY seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bbo
+        |  FROM graft_book_stream
+        |)""".stripMargin)
+  }
 
   def bboParallelUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
