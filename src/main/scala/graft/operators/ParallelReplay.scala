@@ -53,10 +53,21 @@ object ParallelReplay {
     replayParallel(df, price, qty, isBid, n, partitionBy, orderBy, segments,
       mutation = true)
 
+  /** O3 parallel replay. Every modify decomposes into at most two
+    * row-local level deltas (update.rs:132-161 is state-free), so segment
+    * net states are again plain delta sums; seeds enter as plain adds
+    * (null prevs), real rows fold with the full 9-case semantics. */
+  def topNLevelsFromPriceMutationsWithModifyParallel(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      prevPrice: String, prevQty: String, n: Int,
+      partitionBy: String, orderBy: String, segments: Int): DataFrame =
+    replayParallel(df, price, qty, isBid, n, partitionBy, orderBy, segments,
+      mutation = true, modifyCols = Some((prevPrice, prevQty)))
+
   private def replayParallel(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String, segments: Int,
-      mutation: Boolean): DataFrame = {
+      mutation: Boolean, modifyCols: Option[(String, String)] = None): DataFrame = {
     require(segments >= 1, "segments must be >= 1")
     require(n >= 1, s"Unsupported number of levels: $n")
     val clash = df.columns.toSet.intersect(OrderBookOps.bboFieldNames(n).toSet)
@@ -78,9 +89,34 @@ object ParallelReplay {
       .withColumn("__g_qty", col(qty).cast(LongType))
       .withColumn("__g_isbid", col(isBid).cast(BooleanType))
 
+    // For O3, each row's net level effect is a row-local delta list
+    // (9-case table, update.rs:132-161); invalid combinations get an
+    // empty list here — stage 3 raises on the actual row either way.
+    def modifyDeltas(pp: org.apache.spark.sql.Column, pq: org.apache.spark.sql.Column) = {
+      val p = col("__g_price"); val q = col("__g_qty")
+      def d(px: org.apache.spark.sql.Column, dq: org.apache.spark.sql.Column) =
+        struct(px.as("px"), dq.as("dq"))
+      val empty = array().cast("array<struct<px:bigint,dq:bigint>>")
+      when(q > 0 && pp.isNotNull && pq.isNotNull, array(d(pp, -pq), d(p, q)))
+        .when(q > 0 && pq.isNotNull && pp.isNull, array(d(p, -(pq - q))))
+        .when(q > 0 && pq.isNull && pp.isNull, array(d(p, q)))
+        .when(q === 0 && pq.isNotNull && pp.isNotNull, array(d(pp, -pq)))
+        .when(q === 0 && pq.isNotNull && pp.isNull, array(d(p, -pq)))
+        .when(q < 0 && pq.isNull && pp.isNull, array(d(p, q)))
+        .otherwise(empty)
+    }
+
     // -- stage 2: per-segment net states and entering (prefix) states -----
     val segState =
-      if (mutation)
+      if (modifyCols.isDefined) {
+        val (ppCol, pqCol) = modifyCols.get
+        withSeg
+          .withColumn("__delta", explode(modifyDeltas(
+            col(ppCol).cast(LongType), col(pqCol).cast(LongType))))
+          .groupBy(col(partitionBy).as("__p"), col("__seg"),
+            col("__g_isbid").as("__b"), col("__delta.px").as("__px"))
+          .agg(sum(col("__delta.dq")).as("__state"))
+      } else if (mutation)
         withSeg.groupBy(col(partitionBy).as("__p"), col("__seg"),
             col("__g_isbid").as("__b"), col("__g_price").as("__px"))
           .agg(sum(col("__g_qty")).as("__state"))
@@ -125,7 +161,12 @@ object ParallelReplay {
     val unioned = evSide.unionByName(seedSide)
 
     val replayed =
-      if (mutation)
+      if (modifyCols.isDefined) {
+        val (ppCol, pqCol) = modifyCols.get
+        OrderBookOps.topNLevelsFromPriceMutationsWithModify(
+          unioned, "__g_price", "__g_qty", "__g_isbid", ppCol, pqCol, n,
+          Seq(partitionBy, "__seg"), Seq("__rank", orderBy))
+      } else if (mutation)
         OrderBookOps.topNLevelsFromPriceMutations(
           unioned, "__g_price", "__g_qty", "__g_isbid", n,
           Seq(partitionBy, "__seg"), Seq("__rank", orderBy))

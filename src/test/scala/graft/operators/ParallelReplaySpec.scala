@@ -60,4 +60,45 @@ class ParallelReplaySpec extends AnyFunSuite {
     assert(chain(e).exists(t =>
       Option(t.getMessage).exists(_.contains("Qty exceeds available"))))
   }
+
+  test("parallel O3 modify == serial on random valid modify streams") {
+    val rnd = new scala.util.Random(99)
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Boolean, Option[Long], Option[Long])]()
+    for (product <- Seq("A", "B")) {
+      val orders = Map(true -> scala.collection.mutable.ArrayBuffer[(Long, Long)](),
+        false -> scala.collection.mutable.ArrayBuffer[(Long, Long)]())
+      var seq = 0L
+      for (_ <- 0 until 400) {
+        val isBid = rnd.nextBoolean()
+        val os = orders(isBid)
+        rnd.nextInt(4) match {
+          case 1 if os.nonEmpty =>
+            val i = rnd.nextInt(os.size); val (p0, q0) = os(i)
+            val p1 = 1L + rnd.nextInt(15); val q1 = 1L + rnd.nextInt(9)
+            rows += ((product, seq, p1, q1, isBid, Some(p0), Some(q0)))
+            os(i) = (p1, q1)
+          case 2 if os.nonEmpty =>
+            val i = rnd.nextInt(os.size); val (p0, q0) = os.remove(i)
+            rows += ((product, seq, p0, 0L, isBid, Some(p0), Some(q0)))
+          case _ =>
+            val p = 1L + rnd.nextInt(15); val q = 1L + rnd.nextInt(9)
+            rows += ((product, seq, p, q, isBid, None, None))
+            os += ((p, q))
+        }
+        seq += 1
+      }
+    }
+    val df = rows.toSeq.toDF("product", "seq", "price", "qty", "is_bid", "prev_price", "prev_qty")
+    val serial = OrderBookOps.topNLevelsFromPriceMutationsWithModify(
+      df, "price", "qty", "is_bid", "prev_price", "prev_qty", 3,
+      Seq("product"), Seq("seq"))
+    val parallel = ParallelReplay.topNLevelsFromPriceMutationsWithModifyParallel(
+      df, "price", "qty", "is_bid", "prev_price", "prev_qty", 3,
+      "product", "seq", segments = 5)
+    val cols = (Seq("product", "seq") ++ OrderBookOps.bboFieldNames(3)).map(col)
+    val a = serial.select(cols: _*).orderBy("product", "seq").collect()
+    val b = parallel.select(cols: _*).orderBy("product", "seq").collect()
+    assert(a.length == 800 && b.length == 800)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
 }
