@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-series) join: for every left row, the latest right row at
+  * or before the left row's time, within the same keys — the canonical
+  * market-data enrichment (trade ← prevailing quote).
+  *
+  * Spark has no native as-of join; the scalable composition is
+  * union-tag + running last-non-null window:
+  *
+  *  - tag left and right rows, union them, shuffle ONCE on the join keys,
+  *    sort within partitions by (time, tag) with right-before-left at
+  *    equal times;
+  *  - a running `last(value, ignoreNulls)` window carries each right
+  *    row's payload forward to every later left row;
+  *  - keep the left rows.
+  *
+  * This is O(n log n) in the partition (the sort), with no per-row point
+  * lookups or range joins — the same plan shape as the book replay, so
+  * the same bucketing story removes the shuffle at scale. An optional
+  * `tolerance` nulls out matches older than `time - tolerance`.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join.
+    *
+    * @param left      driving rows (kept 1:1 in the output)
+    * @param right     quotes side; must contain keys ++ timeCol ++ valueCols
+    * @param timeCol   ordering column name, present in both inputs
+    * @param keys      equi-join key column names, present in both inputs
+    * @param valueCols right-side payload columns to carry onto left rows
+    * @param tolerance max allowed (leftTime − rightTime); None = unbounded
+    */
+  def joinAsOfBackward(left: DataFrame, right: DataFrame, timeCol: String,
+                       keys: Seq[String], valueCols: Seq[String],
+                       tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    val clash = left.columns.toSet.intersect(valueCols.toSet)
+    require(clash.isEmpty, s"left already has value columns: $clash")
+
+    val leftCols = left.columns.toSeq
+    // the right payload travels as ONE nullable struct so the matched time
+    // and every value column always come from the same right row (even if
+    // individual right values are null)
+    val packed = struct(
+      (col(timeCol).cast("long").as("__rt") +: valueCols.map(c => col(c).as(c))): _*)
+    val lAligned = left
+      .withColumn("__rpack", lit(null).cast(
+        right.select(packed.as("__rpack")).schema("__rpack").dataType))
+      .withColumn("__tag", lit(1))
+    val rAligned = right
+      .select((keys :+ timeCol).map(col) :+ packed.as("__rpack"): _*)
+      .withColumn("__tag", lit(0))
+    val rFull = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+      .foldLeft(rAligned) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
+
+    // right rows sort before left rows at equal time (backward includes ties)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__asof",
+      last(col("__rpack"), ignoreNulls = true).over(w))
+
+    val inTol = tolerance match {
+      case Some(t) =>
+        col("__asof").isNotNull &&
+          (col(timeCol).cast("long") - col("__asof.__rt")) <= t
+      case None => col("__asof").isNotNull
+    }
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => when(inTol, col(s"__asof.$c")).otherwise(lit(null)).as(c)) :+
+        when(inTol, col("__asof.__rt")).otherwise(lit(null)).as(s"asof_$timeCol"): _*)
+  }
+}

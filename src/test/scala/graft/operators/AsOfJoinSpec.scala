@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val quotes = Seq(
+    ("A", 10L, 100L), ("A", 20L, 110L), ("A", 40L, 120L),
+    ("B", 15L, 500L))
+    .toDF("sym", "t", "px")
+
+  private val trades = Seq(
+    ("A", 5L, 1L),   // before any quote -> no match
+    ("A", 10L, 2L),  // equal time -> matches the 10 quote (backward incl. ties)
+    ("A", 25L, 3L),  // between -> 20 quote
+    ("A", 99L, 4L),  // after last -> 40 quote
+    ("B", 16L, 5L),  // B's only quote
+    ("C", 50L, 6L))  // no quotes for C
+    .toDF("sym", "t", "qty")
+
+  test("backward as-of join picks the latest quote at or before each trade") {
+    val out = AsOfJoin.joinAsOfBackward(trades, quotes, "t", Seq("sym"), Seq("px"))
+      .orderBy("sym", "t").collect()
+    def px(i: Int): Option[Long] = if (out(i).isNullAt(3)) None else Some(out(i).getLong(3))
+    def at(i: Int): Option[Long] = if (out(i).isNullAt(4)) None else Some(out(i).getLong(4))
+    assert(px(0).isEmpty && at(0).isEmpty)              // A@5
+    assert(px(1) == Some(100L) && at(1) == Some(10L))   // A@10 tie
+    assert(px(2) == Some(110L) && at(2) == Some(20L))   // A@25
+    assert(px(3) == Some(120L) && at(3) == Some(40L))   // A@99
+    assert(px(4) == Some(500L))                         // B@16
+    assert(px(5).isEmpty)                               // C@50
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsOfJoin.joinAsOfBackward(trades, quotes, "t", Seq("sym"), Seq("px"),
+        tolerance = Some(10L))
+      .orderBy("sym", "t").collect()
+    def px(i: Int): Option[Long] = if (out(i).isNullAt(3)) None else Some(out(i).getLong(3))
+    assert(px(1) == Some(100L)) // A@10, age 0 <= 10
+    assert(px(2) == Some(110L)) // A@25, age 5 <= 10
+    assert(px(3).isEmpty)       // A@99, age 59 > 10 -> stale
+  }
+
+  test("left row count is preserved and left columns untouched") {
+    val out = AsOfJoin.joinAsOfBackward(trades, quotes, "t", Seq("sym"), Seq("px"))
+    assert(out.count() == 6)
+    assert(out.columns.toSeq == Seq("sym", "t", "qty", "px", "asof_t"))
+    assert(out.agg(sum("qty")).collect()(0).getLong(0) == 21L)
+  }
+}
