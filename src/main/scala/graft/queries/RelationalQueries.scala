@@ -32,7 +32,20 @@ object RelationalQueries {
     GraftQuery("q6_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
     GraftQuery("q_asof_join", asofJoin, Some(asofJoinSql), bench = true),
     GraftQuery("q_brand_volume_by_region", brandVolumeByRegion, Some(brandVolumeByRegionSql)),
+    GraftQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
   )
+
+  /** Hierarchical totals via ROLLUP (the grouping-sets family). */
+  def rollupOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+
+  def rollupOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** TPC-H Q6-shaped: pure filter + single aggregate (range predicates on
     * date, discount, quantity — all pushed to the scan). */
@@ -140,6 +153,8 @@ object RelationalQueries {
         sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
           .cast(DecimalType(30, 4))).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_discount").cast(dec)).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -148,6 +163,8 @@ object RelationalQueries {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
