@@ -25,9 +25,9 @@ object Registry {
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }
 
-/** Plain readers for the driver tables (TESTDATA.md). */
+/** Readers for the driver tables (TESTDATA.md) — explicit schemas via
+  * the source layer. */
 object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") EventStreams.events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.sources.TableSources.read(spark, sfDir, name)
 }
