@@ -23,6 +23,13 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword count: maximal alphanumeric runs (the regex kept to
+    * a subset with identical semantics in Java regex and RE2, so the
+    * oracle reproduces it). A real tokenizer plugs in here; the count is
+    * the budget-estimation signal pipelines need. */
+  def subtokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z0-9]+"))
+
   def charCount(text: Column): Column = length(text)
 
   /** Stopword-profile language scores. Each language is scored by the
@@ -69,7 +76,8 @@ object TextOps {
       least(lit(100.0), greatest(lit(0.0),
         lit(20.0) + nTok.cast("double") * lit(0.5)
           - stopRatio * lit(30.0) + meanLen * lit(5.0)))
-    Seq("n_tokens" -> nTok, "n_chars" -> nChar, "n_stopwords" -> stop,
+    Seq("n_tokens" -> nTok, "n_subtokens" -> subtokenCount(text).cast("long"),
+      "n_chars" -> nChar, "n_stopwords" -> stop,
       "mean_token_len" -> meanLen, "stopword_ratio" -> stopRatio,
       "quality_score" -> score)
   }
