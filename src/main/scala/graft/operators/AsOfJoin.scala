@@ -38,8 +38,14 @@ object AsOfJoin {
                        keys: Seq[String], valueCols: Seq[String],
                        tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
-    val clash = left.columns.toSet.intersect(valueCols.toSet)
-    require(clash.isEmpty, s"left already has value columns: $clash")
+    val reserved = valueCols.toSet ++ Set(s"asof_$timeCol", "__rpack", "__tag", "__asof")
+    val clash = left.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"left already has reserved/output columns: $clash")
+
+    // SQL equi-join semantics: null keys never match. Right rows with a
+    // null key can never be picked up; left rows with null keys then land
+    // in a partition with no right rows and get a null match.
+    val rightNonNull = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
 
     val leftCols = left.columns.toSeq
     // the right payload travels as ONE nullable struct so the matched time
@@ -51,7 +57,7 @@ object AsOfJoin {
       .withColumn("__rpack", lit(null).cast(
         right.select(packed.as("__rpack")).schema("__rpack").dataType))
       .withColumn("__tag", lit(1))
-    val rAligned = right
+    val rAligned = rightNonNull
       .select((keys :+ timeCol).map(col) :+ packed.as("__rpack"): _*)
       .withColumn("__tag", lit(0))
     val rFull = leftCols.filterNot(c => keys.contains(c) || c == timeCol)

@@ -77,13 +77,24 @@ object ParallelReplay {
     val bounds = df.groupBy(col(partitionBy).as("__pb_key"))
       .agg(min(col(orderBy).cast("long")).as("__pb_min"),
         max(col(orderBy).cast("long")).as("__pb_max"))
+    // null-safe key join (null products replay as their own group, like the
+    // serial path); a null order value makes the fold ill-defined -> raise
     val withSeg = df
-      .join(broadcast(bounds), col(partitionBy) === col("__pb_key"))
+      .withColumn("__ord_ck",
+        when(col(orderBy).isNull, raise_error(lit(
+          s"order column '$orderBy' must not be null for parallel replay")))
+          .otherwise(lit(1)))
+      .join(broadcast(bounds), col(partitionBy) <=> col("__pb_key"))
       .withColumn("__seg",
         when(col("__pb_max") === col("__pb_min"), lit(0))
           .otherwise(least(lit(segments - 1),
-            floor((col(orderBy).cast("long") - col("__pb_min")) * segments /
-              (col("__pb_max") - col("__pb_min") + 1)).cast("int"))))
+            // double arithmetic: overflow-free and monotonic in the order
+            // value, which is all segmentation needs (any non-decreasing
+            // assignment is correct)
+            floor((col(orderBy).cast("long") - col("__pb_min")).cast("double")
+              * segments /
+              (col("__pb_max") - col("__pb_min") + 1).cast("double")).cast("int"))))
+      .drop("__ord_ck")
       .drop("__pb_key", "__pb_min", "__pb_max")
       .withColumn("__g_price", col(price).cast(LongType))
       .withColumn("__g_qty", col(qty).cast(LongType))

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   one map stage + per-query top-k. Right answer, O(|Q|·|C|) — the
   *   baseline and the verifier.
   * - `lshCosineTopK`: random-hyperplane LSH — deterministic integer
-  *   hyperplanes from the MD5 family, bucket join, exact rerank within
+  *   hyperplanes (arithmetic LCG family), bucket join, exact rerank within
   *   bucket. Sub-linear candidate sets at the cost of recall; bucket
   *   width is the knob.
   */
@@ -60,16 +60,25 @@ object SimilarityOps {
       .drop("rank")
   }
 
-  /** Deterministic integer hyperplane weight for (plane p, dim j):
-    * in [-1000, 1000], from the portable hash family. */
-  private def planeWeight(p: Int, j: Column): Column =
-    HashFns.keyedHash32(lit(p), j.cast("string")) % 2001 - 1000
+  /** Deterministic integer hyperplane weight for (plane p, dim j): a
+    * pure-arithmetic LCG-style family in [-1000, 1000]. No hashing on
+    * the hot path (the earlier MD5 family cost one digest per
+    * row × plane × dimension) and trivially reproducible in the oracle. */
+  private[pipeline] def planeWeight(p: Int, j: Column): Column =
+    (j * (48271 * (p + 1)) + p * 65537 + 11) % 2001 - 1000
+  def planeWeightSql(p: Int, j: String): String =
+    s"(($j * ${48271 * (p + 1)} + ${p * 65537 + 11}) % 2001 - 1000)"
 
   /** Sign-of-projection LSH bucket: `planes` bits packed to a long.
     * The projection is an exact integer dot product of the scaled vector
     * with an integer hyperplane, so bucketing is deterministic. */
-  def lshBucket(e: Column, planes: Int): Column = {
-    val s = scaled(e)
+  def lshBucket(e: Column, planes: Int): Column =
+    lshBucketScaled(scaled(e), planes)
+
+  /** Bucket from an already-scaled array — callers should materialize the
+    * scaled array in its own projection so the `planes` projections reuse
+    * it (multiply-referenced expensive aliases are not re-inlined). */
+  def lshBucketScaled(s: Column, planes: Int): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(s, sequence(lit(0), size(s) - 1),
@@ -77,7 +86,6 @@ object SimilarityOps {
         lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** ANN top-k: bucket queries and corpus by `planes`-bit LSH signature,
     * join on bucket, exact cosine rerank within bucket. Approximate —
@@ -86,10 +94,10 @@ object SimilarityOps {
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"),
-      scaled(col(vecCol)).as("qv"), lshBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      scaled(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucketScaled(col("qv"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucketScaled(col("cv"), planes))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -152,8 +160,8 @@ object SimilarityOps {
     * via LSH buckets (exact within-bucket verification). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6): DataFrame = {
-    val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+    val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucketScaled(col("v"), planes))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -28,7 +28,7 @@ object TextOps {
     * oracle reproduces it). A real tokenizer plugs in here; the count is
     * the budget-estimation signal pipelines need. */
   def subtokenCount(text: Column): Column =
-    regexp_count(text, lit("[a-z0-9]+"))
+    regexp_count(text, lit("[A-Za-z0-9]+"))
 
   def charCount(text: Column): Column = length(text)
 

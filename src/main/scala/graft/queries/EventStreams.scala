@@ -26,20 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
-  /** `events` read with an explicit schema: the table's `ts` column is
-    * TIMESTAMP(NANOS) which vanilla Spark refuses to read; every derived
-    * stream orders by `event_id` instead, so we simply never scan `ts`
-    * (user-provided schema → the parquet reader prunes the column). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
-  }
+  /** `events` via the source layer (explicit schema; the TIMESTAMP(NANOS)
+    * `ts` column is omitted there so it is never scanned). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "events")
 
   /** Common derived columns; `qtyZeroEvery5` selects the updates variant. */
   def bookStream(spark: SparkSession, sfDir: String, qtyZeroEvery5: Boolean): DataFrame = {

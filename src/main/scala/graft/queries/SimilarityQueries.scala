@@ -115,7 +115,7 @@ object SimilarityQueries {
   /** SQL reconstruction of the deterministic hyperplane buckets. */
   private def bucketSql(sv: String): String = {
     val terms = (0 until PLANES).map { p =>
-      val w = s"((('0x'||substr(md5('$p' || ':' || CAST(j AS VARCHAR)),1,8))::BIGINT) % 2001 - 1000)"
+      val w = graft.pipeline.SimilarityOps.planeWeightSql(p, "j")
       s"CASE WHEN CAST(list_sum(list_transform(range(0, len($sv)), j -> $sv[j+1] * $w)) AS BIGINT) > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END"
     }
     terms.mkString("(", " + ", ")")

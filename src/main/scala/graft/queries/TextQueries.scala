@@ -49,7 +49,7 @@ object TextQueries {
     val stop = TextOps.langScoreSql("text", stopList)
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_subtokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_subtokens,
       |  CAST(length(text) AS BIGINT) AS n_chars,
       |  CAST(STOP AS BIGINT) AS n_stopwords,
       |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)

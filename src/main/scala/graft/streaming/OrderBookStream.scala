@@ -42,6 +42,17 @@ object OrderBookStream {
         StructField(orderBy, LongType) +:
         OrderBookOps.bboFieldNames(n).map(StructField(_, LongType, nullable = true)))
 
+    def requireIntegral(c: String): Unit = {
+      val t = df.schema(c).dataType
+      require(t == LongType || t == IntegerType ||
+        t == org.apache.spark.sql.types.ShortType ||
+        t == org.apache.spark.sql.types.ByteType,
+        s"column '$c' must be an integral type for the streaming replay " +
+          s"(got ${t.catalogString}); fractional keys would silently merge " +
+          "books / scramble order")
+    }
+    requireIntegral(partitionBy)
+    requireIntegral(orderBy)
     val work = df.select(
       col(partitionBy).cast("long").as("pkey"),
       col(orderBy).cast("long").as("okey"),
