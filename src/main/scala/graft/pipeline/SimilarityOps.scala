@@ -110,6 +110,61 @@ object SimilarityOps {
       .drop("rank")
   }
 
+  /** Deterministic Lloyd's k-means over integer-scaled vectors, for use
+    * as the IVF coarse quantizer. Everything stays in exact integer
+    * arithmetic — assignments by exact scaled-cosine argmin (ties to the
+    * lower cluster id), new centroids as floor(elementwise sum / count) —
+    * so given the same input the trained centroids are bit-reproducible
+    * on any cluster size or partitioning. Initialization: every
+    * (n/k)-th vector by ascending id (deterministic seeding). Empty
+    * clusters keep their previous centroid. Centroids are collected per
+    * iteration (k × dim longs — tiny) and re-broadcast. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && iters >= 0)
+    val v = df.select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
+    val n = v.count()
+    val stride = math.max(1L, n / k)
+    var cents = v
+      .withColumn("__rn", row_number().over(Window.orderBy(col("vid"))) - 1)
+      .filter(col("__rn") % stride === 0)
+      .withColumn("cent_id", (col("__rn") / stride).cast("long"))
+      .filter(col("cent_id") < k)
+      .select(col("cent_id"), col("sv").as("cent_v"))
+    for (_ <- 0 until iters) {
+      val assigned = v.crossJoin(broadcast(cents))
+        .select(col("vid"), col("sv"), col("cent_id"),
+          cosineFromInts(dot(col("sv"), col("cent_v")),
+            norm2(col("sv")), norm2(col("cent_v"))).as("cc"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("cc").desc, col("cent_id"))
+      val best = assigned.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+      // exact integer mean per dimension: floor(sum / count)
+      val dims = best
+        .select(col("cent_id"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg((sum(col("x")) - pmod(sum(col("x")), count(lit(1)))).as("num"),
+          count(lit(1)).as("cnt"))
+        .select(col("cent_id"), col("dim"), (col("num") / col("cnt")).cast("long").as("cx"))
+      val updated = dims.groupBy(col("cent_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"))
+        .select(col("cent_id"), transform(col("ds"), s => s.getField("cx")).as("cent_v"))
+      // keep previous centroid for clusters that lost all members
+      cents = cents.as("old").join(updated.as("new"), Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new.cent_v"), col("old.cent_v")).as("cent_v"))
+    }
+    cents
+  }
+
+  /** IVF top-k with externally-trained centroids (e.g. kmeansCentroids).
+    * `centroids` must have (cent_id, cent_v: array<bigint>). */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, idCol: String,
+                           vecCol: String, centroids: DataFrame, k: Int,
+                           nProbes: Int): DataFrame =
+    ivfTopKImpl(queries, corpus, idCol, vecCol, centroids, k, nProbes)
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     * vector to its nearest centroid ("cell"); queries probe the
     * `nProbes` nearest cells and rerank exactly within them.
@@ -126,9 +181,15 @@ object SimilarityOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, centroidStride: Int = 37,
               nProbes: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = corpus.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("cent_id"), scaled(col(vecCol)).as("cent_v"))
+    ivfTopKImpl(queries, corpus, idCol, vecCol, cents, k, nProbes)
+  }
+
+  private def ivfTopKImpl(queries: DataFrame, corpus: DataFrame, idCol: String,
+                          vecCol: String, cents: DataFrame, k: Int,
+                          nProbes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // nearest-cell assignment: cosine against every centroid, keep top-m
     def assign(df: DataFrame, side: String, m: Int): DataFrame = {
       val v = df.select(col(idCol).as(s"${side}_id"), scaled(col(vecCol)).as(s"${side}_v"))

@@ -151,4 +151,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // every returned neighbor is direction-0 (cosine ~1), never orthogonal
     assert(got.forall(_.getDouble(2) > 0.9))
   }
+
+  test("deterministic k-means separates clusters and trains IVF") {
+    // three tight clusters in 4-d
+    val vecs = (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.fill(4)(0.05f * ((i / 3) % 3)); v(c) = 10.0f + (i % 2)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 3)
+    val got = cents.collect()
+    assert(got.length == 3)
+    // run twice -> bit-identical centroids (determinism)
+    val again = SimilarityOps.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 3)
+      .collect()
+    assert(got.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // trained IVF finds same-cluster neighbors
+    val q = vecs.filter(col("vec_id") === 0)
+    val topk = SimilarityOps.ivfTopKWithCentroids(q, vecs, "vec_id", "embedding",
+      cents, k = 5, nProbes = 1).collect()
+    assert(topk.nonEmpty)
+    assert(topk.forall(r => r.getLong(1) % 3 == 0), // neighbors from cluster 0 only
+      topk.map(_.getLong(1)).mkString(","))
+  }
 }
