@@ -81,7 +81,8 @@ object DedupOps {
                            numHashes: Int = 12): DataFrame = {
     val tok = df.select(col(idCol),
         explode(TextOps.shingles(col(textCol), shingleK)).as("__mh_sh"))
-      .select(col(idCol), HashFns.hash32(col("__mh_sh")).as("__mh_h"))
+      .select(col(idCol),
+        graft.functions.StringPolyHash.polyHash(col("__mh_sh")).as("__mh_h"))
     val mins = (0 until numHashes).map { i =>
       min((col("__mh_h") * (2 * i + 1) + (i * i * 65537 + 7)) % MinhashPrime)
         .as(s"__mh_s$i")

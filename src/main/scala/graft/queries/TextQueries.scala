@@ -112,7 +112,7 @@ object TextQueries {
 
   private def shinglesCte: String =
     s"WITH sh AS (SELECT doc_id, list_transform(${TextOps.shinglesSql("text", K)}, " +
-      s"s -> ${HashFns.hash32Sql("s")}) AS hs FROM documents)"
+      s"s -> ${graft.functions.StringPolyHash.polyHashSql("s")}) AS hs FROM documents)"
 
   private val P = DedupOps.MinhashPrime
 
