@@ -37,13 +37,23 @@ case class LongArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // always nullable: a null input array OR a null element yields null
+  // (ev.isNull must be assignable in the generated loop)
+  override def nullable: Boolean = true
+
+  // a null ELEMENT nulls the whole result, matching the composable
+  // aggregate(zip_with(...)) form (null * x = null, null + x = null)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val len = math.min(x.numElements(), y.numElements())
     var sum = 0L
     var i = 0
-    while (i < len) { sum += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < len) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     sum
   }
 
@@ -56,6 +66,7 @@ case class LongArrayDot(left: Expression, right: Expression)
          |int $len = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $sum = 0L;
          |for (int $i = 0; $i < $len; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $sum;

@@ -42,10 +42,12 @@ object AsOfJoin {
     val clash = left.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"left already has reserved/output columns: $clash")
 
-    // SQL equi-join semantics: null keys never match. Right rows with a
-    // null key can never be picked up; left rows with null keys then land
-    // in a partition with no right rows and get a null match.
-    val rightNonNull = keys.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+    // SQL equi-join semantics: null keys never match, and a null right
+    // time can never satisfy leftTime >= rightTime (the comparison is
+    // NULL) — filter both so a null-time quote can't sort nulls-first and
+    // leak its payload onto early left rows.
+    val rightNonNull = (keys :+ timeCol)
+      .foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
 
     val leftCols = left.columns.toSeq
     // the right payload travels as ONE nullable struct so the matched time

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * - n-gram Jaccard: exact verification on candidate pairs (explode +
   *   join), intended to run AFTER LSH pruning, never all-pairs.
   *
-  * All hashing is MD5-derived (HashFns) so every op has an exact DuckDB
+  * All hashing is engine-portable (MD5-derived via HashFns, or the
+  * codegen'd StringPolyHash byte fold) so every op has an exact DuckDB
   * oracle.
   */
 object DedupOps {
@@ -47,11 +48,12 @@ object DedupOps {
 
   /** MinHash signature via the standard affine-permutation family: one
     * base 32-bit hash per shingle, then sig_i = min over shingles of
-    * (h·(2i+1) + i²·65537 + 7) mod p. One MD5 per shingle total (the
-    * permutations are pure arithmetic), map-only. Empty
+    * (h·(2i+1) + i²·65537 + 7) mod p. One poly-hash per shingle total
+    * (the permutations are pure arithmetic), map-only. Empty
     * shingle set → all-sentinel signature (= p, above any residue). */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hs = transform(TextOps.shingles(text, shingleK), s => HashFns.hash32(s))
+    val hs = transform(TextOps.shingles(text, shingleK),
+      s => graft.functions.StringPolyHash.polyHash(s))
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => aggregate(hs, lit(MinhashPrime),
         (m, v) => least(m, (v * (i * 2 + 1) + (i * i * 65537 + 7)) % MinhashPrime)))
@@ -65,13 +67,14 @@ object DedupOps {
         transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast("string"))).cast("binary")))
 
-  /** DataFrame-level signature: explode shingles → one MD5 per shingle
-    * row → `numHashes` partial-aggregated min() columns → join back.
+  /** DataFrame-level signature: explode shingles → one poly-hash per
+    * shingle row → `numHashes` partial-aggregated min() columns → join
+    * back.
     *
     * Why not a single columnar expression: Catalyst's CollapseProject
     * re-inlines a staged hash-array alias (it is referenced once
     * *lexically* even though the permutation loop evaluates it numHashes
-    * times at runtime), silently recomputing every MD5 numHashes-fold.
+    * times at runtime), silently recomputing every hash numHashes-fold.
     * The explode+groupBy shape computes each shingle hash exactly once,
     * combines map-side (the shuffle carries only numHashes partial minima
     * per id), and cannot be de-staged by the optimizer. `idCol` must be

@@ -151,9 +151,16 @@ object SimilarityOps {
         .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"))
         .select(col("cent_id"), transform(col("ds"), s => s.getField("cx")).as("cent_v"))
       // keep previous centroid for clusters that lost all members
-      cents = cents.as("old").join(updated.as("new"), Seq("cent_id"), "left")
+      val next = cents.as("old").join(updated.as("new"), Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("new.cent_v"), col("old.cent_v")).as("cent_v"))
+      // materialize: k x dim longs. Without this each iteration's plan
+      // embeds the full lineage of all prior iterations (geometric
+      // plan growth); collecting keeps every iteration's plan flat.
+      val rows = next.collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1).toArray))
+      import df.sparkSession.implicits._
+      cents = rows.toSeq.toDF("cent_id", "cent_v")
     }
     cents
   }

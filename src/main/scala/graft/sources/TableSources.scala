@@ -78,8 +78,12 @@ object TableSources {
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType))))
 
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(schemas.contains(name),
+      s"unknown table '$name'; known: ${schemas.keys.toSeq.sorted.mkString(", ")} " +
+        "(add a schema entry to TableSources.schemas for new tables)")
     spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Format round-trip helpers (parquet/orc/json/csv), used to move
     * derived datasets between pipeline stages. */

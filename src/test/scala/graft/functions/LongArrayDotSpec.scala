@@ -58,4 +58,13 @@ class LongArrayDotSpec extends AnyFunSuite {
       err.getMessage.toLowerCase.contains("datatype_mismatch") ||
       err.getMessage.toLowerCase.contains("array<bigint>"))
   }
+
+  test("null ELEMENT nulls the result, matching the HOF form") {
+    val df = Seq((1L, Seq(Some(1L), None, Some(3L)), Seq(Some(2L), Some(2L), Some(2L))))
+      .toDF("id", "a", "b")
+    val out = df.select(
+      LongArrayDot.dot(col("a"), col("b")).as("fast"),
+      hofDot(col("a"), col("b")).as("slow")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
 }
