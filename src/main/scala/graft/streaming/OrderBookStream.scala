@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
   */
 object OrderBookStream {
 
+  /** Typed micro-batch event for the modify variant. */
+  case class ModifyEvent(pkey: Long, okey: Long, price: Long, qty: Long,
+                         isBid: Boolean, pp: Option[Long], pq: Option[Long])
+
   /** Streaming top-N-levels from price updates. `df` must be a streaming
     * DataFrame. Emits one row per input event (append mode). */
   def topNLevelsFromPriceUpdates(
@@ -32,6 +36,62 @@ object OrderBookStream {
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String): DataFrame =
     replayStream(df, price, qty, isBid, n, partitionBy, orderBy, mutation = true)
+
+  /** Streaming O3: mutations with modify (nullable prev columns). */
+  def topNLevelsFromPriceMutationsWithModify(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      prevPrice: String, prevQty: String, n: Int,
+      partitionBy: String, orderBy: String): DataFrame = {
+
+    val outSchema = StructType(
+      StructField(partitionBy, LongType) +:
+        StructField(orderBy, LongType) +:
+        OrderBookOps.bboFieldNames(n).map(StructField(_, LongType, nullable = true)))
+
+    def requireIntegral(c: String): Unit = {
+      val t = df.schema(c).dataType
+      require(t == LongType || t == IntegerType ||
+        t == org.apache.spark.sql.types.ShortType ||
+        t == org.apache.spark.sql.types.ByteType,
+        s"column '$c' must be an integral type for the streaming replay " +
+          s"(got ${t.catalogString})")
+    }
+    requireIntegral(partitionBy)
+    requireIntegral(orderBy)
+
+    val work = df.select(
+      col(partitionBy).cast("long").as("pkey"),
+      col(orderBy).cast("long").as("okey"),
+      col(price).cast("long").as("price"),
+      col(qty).cast("long").as("qty"),
+      col(isBid).cast("boolean").as("isBid"),
+      col(prevPrice).cast("long").as("pp"),
+      col(prevQty).cast("long").as("pq"))
+
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val evEnc: Encoder[ModifyEvent] = Encoders.product[ModifyEvent]
+
+    work.as[ModifyEvent]
+      .groupByKey(_.pkey)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Array[Byte], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ModifyEvent], state: GroupState[Array[Byte]]) =>
+          val book =
+            if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
+          val sorted = rows.toArray.sortBy(_.okey)
+          val out = sorted.iterator.map { e =>
+            Transitions.applyMutationWithModify(book, e.isBid, e.price, e.qty,
+              e.pp.isDefined, e.pp.getOrElse(0L), e.pq.isDefined, e.pq.getOrElse(0L))
+            val vals = new Array[Any](2 + 4 * n)
+            vals(0) = key
+            vals(1) = e.okey
+            book.snapshotInto(vals, 2)
+            new GenericRowWithSchema(vals, outSchema): Row
+          }.toArray
+          state.update(BookCodec.serialize(book))
+          out.iterator
+      }(Encoders.BINARY, rowEnc)
+  }
 
   private def replayStream(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,

@@ -213,4 +213,12 @@ class OrderBookOpsSpec extends AnyFunSuite {
       assert(a.size == 1000 && a == b, s"mutation=$mutation")
     }
   }
+
+  test("updates 12-event pattern n=2 reps=1000 steady state (pytest max reps)") {
+    val out = OrderBookOps.topNLevelsFromPriceUpdates(
+      pattern12(1000, mutation = false), "price", "qty", "is_bid", 2,
+      partitionBy = Nil, orderBy = Seq("seq"))
+    checkTop1(out)
+    assert(out.count() == 12000)
+  }
 }

@@ -71,4 +71,37 @@ class OrderBookStreamSpec extends AnyFunSuite {
     assert(streamed.length == 12)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("streaming modify (O3) across micro-batches == batch") {
+    // cyclic modify fixture (calculate_bbo.rs:338-370) on one product
+    val rows = Seq(
+      (9L, 0L, 1L, 1L, true, None, None),
+      (9L, 1L, 6L, 6L, false, None, None),
+      (9L, 2L, 2L, 2L, true, Some(1L), Some(1L)),
+      (9L, 3L, 3L, 3L, true, Some(2L), Some(2L)),
+      (9L, 4L, 1L, 1L, true, Some(3L), Some(3L)),
+      (9L, 5L, 5L, 5L, false, Some(6L), Some(6L)),
+      (9L, 6L, 4L, 4L, false, Some(5L), Some(5L)),
+      (9L, 7L, 6L, 6L, false, Some(4L), Some(4L)))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean, Option[Long], Option[Long])]
+    val sdf = mem.toDF.toDF("product", "seq", "price", "qty", "is_bid", "prev_price", "prev_qty")
+    val out = OrderBookStream.topNLevelsFromPriceMutationsWithModify(
+      sdf, "price", "qty", "is_bid", "prev_price", "prev_qty", n = 1,
+      partitionBy = "product", orderBy = "seq")
+    val query = out.writeStream.format("memory").queryName("bbo_stream_mod")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { b => mem.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val streamed = spark.table("bbo_stream_mod").orderBy("seq").collect()
+    val batch = OrderBookOps.topNLevelsFromPriceMutationsWithModify(
+        rows.toDF("product", "seq", "price", "qty", "is_bid", "prev_price", "prev_qty"),
+        "price", "qty", "is_bid", "prev_price", "prev_qty", 1,
+        Seq("product"), Seq("seq"))
+      .select(col("product") +: col("seq") +: OrderBookOps.bboFieldNames(1).map(col): _*)
+      .orderBy("seq").collect()
+    assert(streamed.length == 8)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
 }
