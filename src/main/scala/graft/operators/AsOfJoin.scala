@@ -86,4 +86,54 @@ object AsOfJoin {
         valueCols.map(c => when(inTol, col(s"__asof.$c")).otherwise(lit(null)).as(c)) :+
         when(inTol, col("__asof.__rt")).otherwise(lit(null)).as(s"asof_$timeCol"): _*)
   }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row at or
+    * after the left row's time within the same keys (quote that will
+    * prevail next). Same union-tag shape with a descending-time window. */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, timeCol: String,
+                      keys: Seq[String], valueCols: Seq[String],
+                      tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    val reserved = valueCols.toSet ++ Set(s"asof_$timeCol", "__rpack", "__tag", "__asof")
+    val clash = left.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"left already has reserved/output columns: $clash")
+
+    val rightNonNull = (keys :+ timeCol)
+      .foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
+
+    val leftCols = left.columns.toSeq
+    val packed = struct(
+      (col(timeCol).cast("long").as("__rt") +: valueCols.map(c => col(c).as(c))): _*)
+    val lAligned = left
+      .withColumn("__rpack", lit(null).cast(
+        right.select(packed.as("__rpack")).schema("__rpack").dataType))
+      .withColumn("__tag", lit(1))
+    val rAligned = rightNonNull
+      .select((keys :+ timeCol).map(col) :+ packed.as("__rpack"): _*)
+      .withColumn("__tag", lit(0))
+    val rFull = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+      .foldLeft(rAligned) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
+
+    // time DESCENDING, right rows first at equal time (forward incl. ties):
+    // the running last-non-null then carries the earliest later right row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__asof",
+      last(col("__rpack"), ignoreNulls = true).over(w))
+
+    val inTol = tolerance match {
+      case Some(t) =>
+        col("__asof").isNotNull &&
+          (col("__asof.__rt") - col(timeCol).cast("long")) <= t
+      case None => col("__asof").isNotNull
+    }
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => when(inTol, col(s"__asof.$c")).otherwise(lit(null)).as(c)) :+
+        when(inTol, col("__asof.__rt")).otherwise(lit(null)).as(s"asof_$timeCol"): _*)
+  }
 }

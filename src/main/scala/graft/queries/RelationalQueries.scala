@@ -31,6 +31,7 @@ object RelationalQueries {
     GraftQuery("q_set_ops", setOps, Some(setOpsSql)),
     GraftQuery("q6_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
     GraftQuery("q_asof_join", asofJoin, Some(asofJoinSql), bench = true),
+    GraftQuery("q_asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
     GraftQuery("q_brand_volume_by_region", brandVolumeByRegion, Some(brandVolumeByRegionSql)),
     GraftQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
   )
@@ -292,4 +293,34 @@ object RelationalQueries {
       |SELECT t.user_id, t.t, t.trade_val, q.quote_px, q.t AS asof_t
       |FROM trades t ASOF LEFT JOIN quotes q
       |  ON t.user_id = q.user_id AND t.t >= q.t""".stripMargin
+
+  /** Forward as-of: each trade matched to the NEXT quote at or after it. */
+  def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.read(spark, sfDir, "events")
+    val quotes = ev.filter(col("event_id") % 2 === 0).select(
+      col("user_id"),
+      col("event_id").as("t"),
+      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
+    val trades = ev.filter(col("event_id") % 2 === 1).select(
+      col("user_id"),
+      col("event_id").as("t"),
+      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    graft.operators.AsOfJoin.joinAsOfForward(
+      trades, quotes, timeCol = "t", keys = Seq("user_id"),
+      valueCols = Seq("quote_px"))
+  }
+
+  def asofJoinForwardSql: String =
+    """WITH quotes AS (
+      |  SELECT user_id, event_id AS t,
+      |         50 + (event_id * 2654435761) % 45 AS quote_px
+      |  FROM events WHERE event_id % 2 = 0
+      |), trades AS (
+      |  SELECT user_id, event_id AS t,
+      |         1 + (event_id * 48271) % 100 AS trade_val
+      |  FROM events WHERE event_id % 2 = 1
+      |)
+      |SELECT t.user_id, t.t, t.trade_val, q.quote_px, q.t AS asof_t
+      |FROM trades t ASOF LEFT JOIN quotes q
+      |  ON t.user_id = q.user_id AND t.t <= q.t""".stripMargin
 }

@@ -51,4 +51,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("sym", "t", "qty", "px", "asof_t"))
     assert(out.agg(sum("qty")).collect()(0).getLong(0) == 21L)
   }
+
+  test("forward as-of picks the earliest quote at or after each trade") {
+    val out = AsOfJoin.joinAsOfForward(trades, quotes, "t", Seq("sym"), Seq("px"))
+      .orderBy("sym", "t").collect()
+    def px(i: Int): Option[Long] = if (out(i).isNullAt(3)) None else Some(out(i).getLong(3))
+    def at(i: Int): Option[Long] = if (out(i).isNullAt(4)) None else Some(out(i).getLong(4))
+    assert(px(0) == Some(100L) && at(0) == Some(10L)) // A@5 -> next quote 10
+    assert(px(1) == Some(100L) && at(1) == Some(10L)) // A@10 tie -> same-time quote
+    assert(px(2) == Some(120L) && at(2) == Some(40L)) // A@25 -> 40
+    assert(px(3).isEmpty)                             // A@99 -> none after
+    assert(px(4).isEmpty)                             // B@16 -> B quote was at 15
+    assert(px(5).isEmpty)                             // C -> no quotes
+  }
 }
