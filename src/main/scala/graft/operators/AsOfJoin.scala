@@ -5,27 +5,35 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (time-series) join: for every left row, the latest right row at
-  * or before the left row's time, within the same keys — the canonical
-  * market-data enrichment (trade ← prevailing quote).
+  * or before (backward) / earliest at or after (forward) the left row's
+  * time, within the same keys — the canonical market-data enrichment
+  * (trade ← prevailing quote).
   *
   * Spark has no native as-of join; the scalable composition is
   * union-tag + running last-non-null window:
   *
   *  - tag left and right rows, union them, shuffle ONCE on the join keys,
   *    sort within partitions by (time, tag) with right-before-left at
-  *    equal times;
-  *  - a running `last(value, ignoreNulls)` window carries each right
-  *    row's payload forward to every later left row;
+  *    equal times (time descending for the forward direction);
+  *  - a running `last(payload, ignoreNulls)` window carries each right
+  *    row's payload to every in-scope left row — the payload travels as
+  *    ONE nullable struct so the matched time and every value column
+  *    always come from the same right row, even when individual right
+  *    values are null;
   *  - keep the left rows.
   *
   * This is O(n log n) in the partition (the sort), with no per-row point
   * lookups or range joins — the same plan shape as the book replay, so
   * the same bucketing story removes the shuffle at scale. An optional
-  * `tolerance` nulls out matches older than `time - tolerance`.
+  * `tolerance` nulls out matches farther than `tolerance` ticks away.
+  *
+  * SQL equi-join semantics: null keys never match; a null right time
+  * never matches (the comparison would be NULL) — both are filtered from
+  * the right side, so left rows keyed to them get a null match.
   */
 object AsOfJoin {
 
-  /** Backward as-of join.
+  /** Backward as-of join: latest right row with rightTime <= leftTime.
     *
     * @param left      driving rows (kept 1:1 in the output)
     * @param right     quotes side; must contain keys ++ timeCol ++ valueCols
@@ -36,63 +44,18 @@ object AsOfJoin {
     */
   def joinAsOfBackward(left: DataFrame, right: DataFrame, timeCol: String,
                        keys: Seq[String], valueCols: Seq[String],
-                       tolerance: Option[Long] = None): DataFrame = {
-    require(keys.nonEmpty, "as-of join requires at least one key column")
-    val reserved = valueCols.toSet ++ Set(s"asof_$timeCol", "__rpack", "__tag", "__asof")
-    val clash = left.columns.toSet.intersect(reserved)
-    require(clash.isEmpty, s"left already has reserved/output columns: $clash")
+                       tolerance: Option[Long] = None): DataFrame =
+    joinAsOf(left, right, timeCol, keys, valueCols, tolerance, forward = false)
 
-    // SQL equi-join semantics: null keys never match, and a null right
-    // time can never satisfy leftTime >= rightTime (the comparison is
-    // NULL) — filter both so a null-time quote can't sort nulls-first and
-    // leak its payload onto early left rows.
-    val rightNonNull = (keys :+ timeCol)
-      .foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
-
-    val leftCols = left.columns.toSeq
-    // the right payload travels as ONE nullable struct so the matched time
-    // and every value column always come from the same right row (even if
-    // individual right values are null)
-    val packed = struct(
-      (col(timeCol).cast("long").as("__rt") +: valueCols.map(c => col(c).as(c))): _*)
-    val lAligned = left
-      .withColumn("__rpack", lit(null).cast(
-        right.select(packed.as("__rpack")).schema("__rpack").dataType))
-      .withColumn("__tag", lit(1))
-    val rAligned = rightNonNull
-      .select((keys :+ timeCol).map(col) :+ packed.as("__rpack"): _*)
-      .withColumn("__tag", lit(0))
-    val rFull = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
-      .foldLeft(rAligned) { (d, c) =>
-        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-    val unioned = lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
-
-    // right rows sort before left rows at equal time (backward includes ties)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__asof",
-      last(col("__rpack"), ignoreNulls = true).over(w))
-
-    val inTol = tolerance match {
-      case Some(t) =>
-        col("__asof").isNotNull &&
-          (col(timeCol).cast("long") - col("__asof.__rt")) <= t
-      case None => col("__asof").isNotNull
-    }
-    carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++
-        valueCols.map(c => when(inTol, col(s"__asof.$c")).otherwise(lit(null)).as(c)) :+
-        when(inTol, col("__asof.__rt")).otherwise(lit(null)).as(s"asof_$timeCol"): _*)
-  }
-
-  /** Forward as-of join: for every left row, the EARLIEST right row at or
-    * after the left row's time within the same keys (quote that will
-    * prevail next). Same union-tag shape with a descending-time window. */
+  /** Forward as-of join: earliest right row with rightTime >= leftTime. */
   def joinAsOfForward(left: DataFrame, right: DataFrame, timeCol: String,
                       keys: Seq[String], valueCols: Seq[String],
-                      tolerance: Option[Long] = None): DataFrame = {
+                      tolerance: Option[Long] = None): DataFrame =
+    joinAsOf(left, right, timeCol, keys, valueCols, tolerance, forward = true)
+
+  private def joinAsOf(left: DataFrame, right: DataFrame, timeCol: String,
+                       keys: Seq[String], valueCols: Seq[String],
+                       tolerance: Option[Long], forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     val reserved = valueCols.toSet ++ Set(s"asof_$timeCol", "__rpack", "__tag", "__asof")
     val clash = left.columns.toSet.intersect(reserved)
@@ -117,18 +80,19 @@ object AsOfJoin {
       }
     val unioned = lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
 
-    // time DESCENDING, right rows first at equal time (forward incl. ties):
-    // the running last-non-null then carries the earliest later right row
+    // right rows sort before left rows at equal time (ties match)
+    val timeOrder = if (forward) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).desc, col("__tag").asc)
+      .orderBy(timeOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__asof",
       last(col("__rpack"), ignoreNulls = true).over(w))
 
+    val age =
+      if (forward) col("__asof.__rt") - col(timeCol).cast("long")
+      else col(timeCol).cast("long") - col("__asof.__rt")
     val inTol = tolerance match {
-      case Some(t) =>
-        col("__asof").isNotNull &&
-          (col("__asof.__rt") - col(timeCol).cast("long")) <= t
+      case Some(t) => col("__asof").isNotNull && age <= t
       case None => col("__asof").isNotNull
     }
     carried.filter(col("__tag") === 1)
