@@ -23,7 +23,62 @@ object BookQueries {
     GraftQuery("bbo_parallel_updates_n2", (s, d) => bboParallelUpdates(s, d, 2), Some(updatesOracle(2))),
     // the SQL surface (registered window aggregate) shares the oracle too
     GraftQuery("bbo_sql_updates_n1", bboSqlUpdates, Some(updatesOracle(1))),
+    // O3 with REAL modifies: each (product, side, slot) tracks one order
+    // whose previous (price, qty) comes from lag() over its own history —
+    // a valid modify stream derived obliviously from events.
+    GraftQuery("bbo_modify_real_n2", (s, d) => bboModifyReal(s, d, 2), Some(modifyRealOracle(2))),
   )
+
+  /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
+    * modified within (product, side); lag over the slot's history gives
+    * the exact previous (price, qty), so prev always matches book state
+    * (first event per slot = plain add with null prevs). */
+  def bboModifyReal(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = false)
+      .withColumn("slot", (col("seq") * 31) % 4)
+    val w = Window.partitionBy(col("product"), col("is_bid"), col("slot"))
+      .orderBy(col("seq"))
+    val stream = base
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+    OrderBookOps.topNLevelsFromPriceMutationsWithModify(
+      stream, "price", "qty", "is_bid", "prev_price", "prev_qty", n,
+      partitionBy = Seq("product"), orderBy = Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  /** Oracle: explode each modify into its level deltas (+qty@price,
+    * −prev_qty@prev_price), pre-aggregate per (seq, level), then the
+    * standard grid + running-sum state reconstruction. */
+  def modifyRealOracle(n: Int): String =
+    s"""WITH ev AS (
+       |${EventStreams.bookStreamSql(qtyZeroEvery5 = false)}
+       |), sl AS (
+       |  SELECT *, (seq * 31) % 4 AS slot FROM ev
+       |), mods AS (
+       |  SELECT *, lag(price) OVER w AS prev_price, lag(qty) OVER w AS prev_qty
+       |  FROM sl WINDOW w AS (PARTITION BY product, is_bid, slot ORDER BY seq)
+       |), deltas AS (
+       |  SELECT seq, product, is_bid, price, qty FROM mods
+       |  UNION ALL
+       |  SELECT seq, product, is_bid, prev_price AS price, -prev_qty AS qty
+       |  FROM mods WHERE prev_price IS NOT NULL
+       |), upd AS (
+       |  SELECT seq, product, is_bid, price, sum(qty) AS qty
+       |  FROM deltas GROUP BY seq, product, is_bid, price
+       |), grid AS (
+       |  SELECT r.seq, r.product, l.is_bid, l.price
+       |  FROM (SELECT seq, product FROM mods) r
+       |  JOIN (SELECT DISTINCT product, is_bid, price FROM upd) l USING (product)
+       |), state AS (
+       |  SELECT g.seq, g.product, g.is_bid, g.price,
+       |         sum(u.qty) OVER (
+       |           PARTITION BY g.product, g.is_bid, g.price ORDER BY g.seq) AS qty
+       |  FROM grid g LEFT JOIN upd u
+       |    ON u.product = g.product AND u.is_bid = g.is_bid
+       |   AND u.price = g.price AND u.seq = g.seq
+       |)""".stripMargin + topNSelect(n)
 
   /** The same replay via the registered SQL window function — exercises
     * the spark.sql surface end-to-end. */
@@ -95,7 +150,7 @@ object BookQueries {
        |   AND u.price = g.price AND u.seq = g.seq
        |)""".stripMargin
 
-  private def topNSelect(n: Int): String =
+  private[queries] def topNSelect(n: Int): String =
     if (n == 1)
       """
         |SELECT seq, product,
