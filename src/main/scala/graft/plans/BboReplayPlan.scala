@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
 /** Whole-operator form of the book replay: a custom LogicalPlan +
@@ -73,7 +74,13 @@ case class BboReplayExec(
   override def outputPartitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numBooks" -> SQLMetrics.createMetric(sparkContext, "number of books replayed"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numBooks = longMetric("numBooks")
     val modeL = mode; val nL = n
     val childOutput = child.output
     val boundPrice = BindReferences.bindReference(price, childOutput)
@@ -100,9 +107,11 @@ case class BboReplayExec(
           if (curKey == null || !curKey.equals(k)) {
             curKey = k.copy()
             book = new OrderBook(nL)
+            numBooks += 1
           }
         } else if (book == null) {
           book = new OrderBook(nL)
+          numBooks += 1
         }
 
         val pv = boundPrice.eval(row)
@@ -131,6 +140,7 @@ case class BboReplayExec(
           else bboRow.setLong(i, snap(i).asInstanceOf[Long])
           i += 1
         }
+        numOutputRows += 1
         outProj(joined(row, bboRow))
       }
     }

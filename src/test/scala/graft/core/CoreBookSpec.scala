@@ -270,4 +270,28 @@ class CoreBookSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("n larger than the level domain (sparse top-N array)") {
+    for (n <- Seq(20, 100)) {
+      val rnd = new scala.util.Random(5)
+      val book = new OrderBook(n)
+      val refs = Map(true -> scala.collection.mutable.HashMap[Long, Long](),
+        false -> scala.collection.mutable.HashMap[Long, Long]())
+      for (_ <- 0 until 300) {
+        val isBid = rnd.nextBoolean()
+        val price = 1L + rnd.nextInt(12) // only 12 possible levels << n
+        val qty = rnd.nextInt(4).toLong
+        Transitions.applyUpdate(book, isBid, price, qty)
+        val ref = refs(isBid)
+        if (qty == 0L) ref.remove(price) else ref(price) = qty
+        val got = snapshot(book)
+        val expBid = refs(true).toSeq.sortBy(-_._1).take(n)
+        val expAsk = refs(false).toSeq.sortBy(_._1).take(n)
+        val exp =
+          expBid.map(x => Some(x._1)).padTo(n, None) ++ expBid.map(x => Some(x._2)).padTo(n, None) ++
+            expAsk.map(x => Some(x._1)).padTo(n, None) ++ expAsk.map(x => Some(x._2)).padTo(n, None)
+        assert(got == exp, s"n=$n")
+      }
+    }
+  }
 }
