@@ -294,4 +294,76 @@ class CoreBookSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mixed-operator soak: interleaved O1/O2/O3 ops match brute force") {
+    for (seed <- 0 until 10; n <- Seq(1, 2, 3, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val book = new OrderBook(n)
+      val refs = Map(true -> scala.collection.mutable.HashMap[Long, Long](),
+        false -> scala.collection.mutable.HashMap[Long, Long]())
+      val orders = Map(true -> scala.collection.mutable.ArrayBuffer[(Long, Long)](),
+        false -> scala.collection.mutable.ArrayBuffer[(Long, Long)]())
+      for (step <- 0 until 200) {
+        val isBid = rnd.nextBoolean()
+        val ref = refs(isBid); val os = orders(isBid)
+        rnd.nextInt(6) match {
+          case 0 | 1 =>
+            val p = 1L + rnd.nextInt(25); val q = rnd.nextInt(6).toLong
+            Transitions.applyUpdate(book, isBid, p, q)
+            if (q == 0) { ref.remove(p); os.filterInPlace(_._1 != p) }
+            else { os.filterInPlace(_._1 != p); os += ((p, q)); ref(p) = q }
+          case 2 =>
+            val p = 1L + rnd.nextInt(25); val q = 1L + rnd.nextInt(8)
+            Transitions.applyMutation(book, isBid, p, q)
+            ref(p) = ref.getOrElse(p, 0L) + q; os += ((p, q))
+          case 3 if os.nonEmpty =>
+            val i = rnd.nextInt(os.size); val (p0, q0) = os(i)
+            if (ref.getOrElse(p0, 0L) >= q0) {
+              val p1 = 1L + rnd.nextInt(25); val q1 = 1L + rnd.nextInt(8)
+              Transitions.applyMutationWithModify(book, isBid, p1, q1, true, p0, true, q0)
+              val left = ref(p0) - q0
+              if (left == 0) ref.remove(p0) else ref(p0) = left
+              ref(p1) = ref.getOrElse(p1, 0L) + q1
+              os(i) = (p1, q1)
+            }
+          case 4 if os.nonEmpty =>
+            val i = rnd.nextInt(os.size); val (p0, q0) = os(i)
+            if (ref.getOrElse(p0, 0L) >= q0) {
+              Transitions.applyMutationWithModify(book, isBid, p0, 0L, true, p0, true, q0)
+              val left = ref(p0) - q0
+              if (left == 0) ref.remove(p0) else ref(p0) = left
+              os.remove(i)
+            }
+          case _ =>
+            if (ref.nonEmpty) {
+              val (p, have) = ref.toSeq(rnd.nextInt(ref.size))
+              val d = 1L + rnd.nextInt(have.toInt)
+              Transitions.applyMutation(book, isBid, p, -d)
+              if (d == have) { ref.remove(p); os.filterInPlace(_._1 != p) }
+              else {
+                ref(p) = have - d
+                var rem = d; var j = os.length - 1
+                while (rem > 0 && j >= 0) {
+                  if (os(j)._1 == p) {
+                    val take = math.min(rem, os(j)._2)
+                    if (take == os(j)._2) os.remove(j) else os(j) = (p, os(j)._2 - take)
+                    rem -= take
+                  }
+                  j -= 1
+                }
+              }
+            }
+        }
+        val got = snapshot(book)
+        def top(b: Boolean) = {
+          val lv = refs(b).toSeq.filter(_._2 != 0)
+          (if (b) lv.sortBy(-_._1) else lv.sortBy(_._1)).take(n)
+        }
+        val eb = top(true); val ea = top(false)
+        val exp = eb.map(x => Some(x._1)).padTo(n, None) ++ eb.map(x => Some(x._2)).padTo(n, None) ++
+          ea.map(x => Some(x._1)).padTo(n, None) ++ ea.map(x => Some(x._2)).padTo(n, None)
+        assert(got == exp, s"seed=$seed n=$n step=$step")
+      }
+    }
+  }
 }
