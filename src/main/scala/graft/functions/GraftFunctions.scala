@@ -2,8 +2,8 @@ package graft.functions
 
 import graft.plans.BboWindowAggregate
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
 
 /** SQL-surface registration: makes the engine's custom expressions
   * callable from `spark.sql` —
@@ -43,6 +43,14 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"the last argument must be an integer literal for n, got $other")
     }
-    BboWindowAggregate(mode, n, exprs.init.toIndexedSeq).toAggregateExpression()
+    // Cast event children to the fold's types at analysis time (the Scala
+    // BboWindow API casts; without this an INT price column would fail at
+    // execution with a ClassCastException instead of resolving cleanly).
+    // Child order is (price, qty, is_bid[, prev_price, prev_qty]).
+    val casted = exprs.init.zipWithIndex.map {
+      case (e, 2) => Cast(e, BooleanType)
+      case (e, _) => Cast(e, LongType)
+    }
+    BboWindowAggregate(mode, n, casted.toIndexedSeq).toAggregateExpression()
   }
 }

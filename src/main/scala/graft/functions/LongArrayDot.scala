@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * kernel of every similarity operator (dot, and norms via dot(a, a)).
   *
   * Semantics match the composable form exactly: index-ordered
-  * multiply-accumulate over min(len(a), len(b)) elements (elements are
-  * non-null by construction — scaled embeddings).
+  * multiply-accumulate; NULL if either array is null, any element is
+  * null, or the lengths differ (zip_with null-pads the shorter array, so
+  * the composable form also yields NULL on a length mismatch — returning
+  * a min-length partial sum here would silently diverge).
   */
 case class LongArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -46,7 +48,8 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val len = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val len = x.numElements()
     var sum = 0L
     var i = 0
     while (i < len) {
@@ -63,11 +66,14 @@ case class LongArrayDot(left: Expression, right: Expression)
       val len = ctx.freshName("len")
       val sum = ctx.freshName("sum")
       s"""
-         |int $len = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $sum = 0L;
-         |for (int $i = 0; $i < $len; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $sum += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $len = $a.numElements();
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $sum;
        """.stripMargin

@@ -80,8 +80,16 @@ object AsOfJoin {
       }
     val unioned = lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
 
-    // right rows sort before left rows at equal time (ties match)
-    val timeOrder = if (forward) col(timeCol).desc else col(timeCol).asc
+    // right rows sort before left rows at equal time (ties match).
+    // Nulls sort FIRST in both directions: a left row with a null time
+    // precedes every right row in the window, so the running last() sees
+    // no right payload and the match is null — consistent across
+    // directions and with SQL comparison semantics (NULL time matches
+    // nothing; DuckDB ASOF behaves the same). The default desc ordering
+    // is nulls-LAST, which would hand null-time left rows the earliest
+    // quote in the forward direction.
+    val timeOrder =
+      if (forward) col(timeCol).desc_nulls_first else col(timeCol).asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(timeOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -96,7 +96,10 @@ object OrderBookOps {
       partitionBy: Seq[String], orderBy: Seq[String], mode: Int): DataFrame = {
     import graft.plans.{BboReplayNode, BboReplayStrategy}
     import org.apache.spark.sql.GraftColumnBridge
-    require(n >= 1, s"Unsupported number of levels: $n (must be >= 1)")
+    // Contract parity with the reference: n outside 1..=20 is rejected with
+    // the same message (calculate_bbo.rs:117-127). The core OrderBook
+    // itself handles any n >= 1 — the bound is a public-API contract.
+    require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
     require(orderBy.nonEmpty,
       "orderBy must be non-empty: Spark provides no implicit row order, and " +
         "book replay is order-sensitive (reference README.md:182)")
@@ -141,7 +144,10 @@ object OrderBookOps {
       df: DataFrame, price: String, qty: String, isBid: String,
       prevPrice: Option[String], prevQty: Option[String], n: Int,
       partitionBy: Seq[String], orderBy: Seq[String], mode: Mode): DataFrame = {
-    require(n >= 1, s"Unsupported number of levels: $n (must be >= 1)")
+    // Contract parity with the reference: n outside 1..=20 is rejected with
+    // the same message (calculate_bbo.rs:117-127). The core OrderBook
+    // itself handles any n >= 1 — the bound is a public-API contract.
+    require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
     require(orderBy.nonEmpty,
       "orderBy must be non-empty: Spark provides no implicit row order, and " +
         "book replay is order-sensitive (reference README.md:182)")

@@ -69,7 +69,19 @@ object ParallelReplay {
       partitionBy: String, orderBy: String, segments: Int,
       mutation: Boolean, modifyCols: Option[(String, String)] = None): DataFrame = {
     require(segments >= 1, "segments must be >= 1")
-    require(n >= 1, s"Unsupported number of levels: $n")
+    require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
+    // The segment fold's max_by tiebreak and the segmentation both read the
+    // order column through cast(long); a timestamp cast TRUNCATES to whole
+    // seconds, which would make sub-second-distinct events tie in max_by
+    // (nondeterministic "last set") and silently break the bit-identical-
+    // to-serial guarantee. Require an integral order column, like the
+    // streaming form does.
+    val obType = df.schema(df.schema.fieldIndex(orderBy)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(obType),
+      s"order column '$orderBy' must be an integral type for parallel " +
+        s"replay (got ${obType.catalogString}); cast timestamps to " +
+        "epoch-nanos/micros first — cast(long) would truncate to seconds " +
+        "and break the deterministic last-write-wins tiebreak")
     val clash = df.columns.toSet.intersect(OrderBookOps.bboFieldNames(n).toSet)
     require(clash.isEmpty, s"Input already has output columns: $clash")
 

@@ -65,7 +65,10 @@ object SimilarityOps {
     * the hot path (the earlier MD5 family cost one digest per
     * row × plane × dimension) and trivially reproducible in the oracle. */
   private[pipeline] def planeWeight(p: Int, j: Column): Column =
-    (j * (48271 * (p + 1)) + p * 65537 + 11) % 2001 - 1000
+    // j arrives as an int (sequence() index); promote to long BEFORE the
+    // multiply — the oracle computes in int64, and 32-bit j·48271·(p+1)
+    // overflows for dims ≳5560 at p=7 (ANSI error or silent divergence).
+    (j.cast("long") * lit(48271L * (p + 1)) + lit(p * 65537L + 11)) % 2001 - 1000
   def planeWeightSql(p: Int, j: String): String =
     s"(($j * ${48271 * (p + 1)} + ${p * 65537 + 11}) % 2001 - 1000)"
 
@@ -110,15 +113,62 @@ object SimilarityOps {
       .drop("rank")
   }
 
+  /** Driver-side centroid snapshot: (cent_id, vector, sqrt(norm2)) sorted
+    * by id. The sqrt is precomputed with `java.lang.Math.sqrt` — the same
+    * IEEE operation Spark's SQRT and DuckDB's sqrt perform on the same
+    * long-cast double, so cosines built from it are bit-identical to
+    * computing the sqrt per row. Centroid sets are small by contract
+    * (coarse quantizers are k ≈ thousands even at 100 TB), so collecting
+    * them is a planning-time constant, not a data-path action. */
+  private def collectCentroids(cents: DataFrame): Seq[(Long, Seq[Long], Double)] =
+    cents.collect().map { r =>
+      val v = r.getSeq[Long](1)
+      var n2 = 0L
+      v.foreach(x => n2 += x * x)
+      (r.getLong(0), v, math.sqrt(n2.toDouble))
+    }.toSeq.sortBy(_._1)
+
+  private def centroidsLiteral(cs: Seq[(Long, Seq[Long], Double)]): Column =
+    typedLit(cs)
+
+  /** Per-row cell scores against the broadcast centroid literal: one
+    * map-only `transform` emitting (cosine, cent_id) structs — no
+    * crossJoin row amplification, no Window, no Exchange. */
+  private def cellScores(sv: Column, centsLit: Column): Column =
+    transform(centsLit, c => struct(
+      (dot(sv, c.getField("_2")).cast("double") /
+        (sqrt(norm2(sv).cast("double")) * c.getField("_3"))).as("cos"),
+      c.getField("_1").as("cent_id")))
+
+  /** Sort comparator: cosine descending, cent_id ascending — the exact
+    * ordering the oracle's `row_number() OVER (ORDER BY cos DESC, id)`
+    * uses (Spark and DuckDB both treat NaN as greater than any number). */
+  private val cellCmp: (Column, Column) => Column = (l, r) =>
+    when(l.getField("cos") > r.getField("cos"), -1)
+      .when(l.getField("cos") < r.getField("cos"), 1)
+      .when(l.getField("cent_id") < r.getField("cent_id"), -1)
+      .when(l.getField("cent_id") > r.getField("cent_id"), 1)
+      .otherwise(0)
+
+  /** The m best cells for a scaled vector, as an array of cent_ids. */
+  private def topCells(sv: Column, centsLit: Column, m: Int): Column =
+    transform(slice(array_sort(cellScores(sv, centsLit), cellCmp), 1, m),
+      s => s.getField("cent_id"))
+
   /** Deterministic Lloyd's k-means over integer-scaled vectors, for use
     * as the IVF coarse quantizer. Everything stays in exact integer
-    * arithmetic — assignments by exact scaled-cosine argmin (ties to the
+    * arithmetic — assignments by exact scaled-cosine argmax (ties to the
     * lower cluster id), new centroids as floor(elementwise sum / count) —
     * so given the same input the trained centroids are bit-reproducible
     * on any cluster size or partitioning. Initialization: every
     * (n/k)-th vector by ascending id (deterministic seeding). Empty
-    * clusters keep their previous centroid. Centroids are collected per
-    * iteration (k × dim longs — tiny) and re-broadcast. */
+    * clusters keep their previous centroid.
+    *
+    * Scale shape per iteration: assignment is a MAP-ONLY argmax over the
+    * broadcast centroid literal (no |C|×k crossJoin, no per-vector sort),
+    * then one partial-aggregated shuffle of (cent_id, dim) sums. The k ×
+    * dim centroid state lives on the driver between iterations (tiny),
+    * which also keeps every iteration's plan flat. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -126,20 +176,20 @@ object SimilarityOps {
     val v = df.select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
     val n = v.count()
     val stride = math.max(1L, n / k)
-    var cents = v
+    var cents: Seq[(Long, Seq[Long])] = v
       .withColumn("__rn", row_number().over(Window.orderBy(col("vid"))) - 1)
       .filter(col("__rn") % stride === 0)
       .withColumn("cent_id", (col("__rn") / stride).cast("long"))
       .filter(col("cent_id") < k)
       .select(col("cent_id"), col("sv").as("cent_v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val assigned = v.crossJoin(broadcast(cents))
-        .select(col("vid"), col("sv"), col("cent_id"),
-          cosineFromInts(dot(col("sv"), col("cent_v")),
-            norm2(col("sv")), norm2(col("cent_v"))).as("cc"))
-      val w = Window.partitionBy(col("vid")).orderBy(col("cc").desc, col("cent_id"))
-      val best = assigned.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
+      val centsLit = centroidsLiteral(cents.map { case (id, cv) =>
+        var n2 = 0L; cv.foreach(x => n2 += x * x)
+        (id, cv, math.sqrt(n2.toDouble))
+      })
+      val best = v.select(col("sv"),
+        element_at(topCells(col("sv"), centsLit, 1), 1).as("cent_id"))
       // exact integer mean per dimension: floor(sum / count)
       val dims = best
         .select(col("cent_id"), posexplode(col("sv")).as(Seq("dim", "x")))
@@ -150,19 +200,12 @@ object SimilarityOps {
       val updated = dims.groupBy(col("cent_id"))
         .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"))
         .select(col("cent_id"), transform(col("ds"), s => s.getField("cx")).as("cent_v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
       // keep previous centroid for clusters that lost all members
-      val next = cents.as("old").join(updated.as("new"), Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("new.cent_v"), col("old.cent_v")).as("cent_v"))
-      // materialize: k x dim longs. Without this each iteration's plan
-      // embeds the full lineage of all prior iterations (geometric
-      // plan growth); collecting keeps every iteration's plan flat.
-      val rows = next.collect().map(r =>
-        (r.getLong(0), r.getSeq[Long](1).toArray))
-      import df.sparkSession.implicits._
-      cents = rows.toSeq.toDF("cent_id", "cent_v")
+      cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
     }
-    cents
+    import df.sparkSession.implicits._
+    cents.toDF("cent_id", "cent_v")
   }
 
   /** IVF top-k with externally-trained centroids (e.g. kmeansCentroids).
@@ -197,17 +240,16 @@ object SimilarityOps {
                           vecCol: String, cents: DataFrame, k: Int,
                           nProbes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // nearest-cell assignment: cosine against every centroid, keep top-m
+    val centsLit = centroidsLiteral(collectCentroids(cents))
+    // nearest-cell assignment: map-only top-m over the broadcast centroid
+    // literal — the former crossJoin(broadcast)+Window form materialized
+    // |C|×|cents| intermediate rows and sorted per vector (a 4000×
+    // blow-up at a 4k-centroid 100 TB deployment); this is one projection
+    // + a generator, no Exchange, no Window.
     def assign(df: DataFrame, side: String, m: Int): DataFrame = {
       val v = df.select(col(idCol).as(s"${side}_id"), scaled(col(vecCol)).as(s"${side}_v"))
-      val scored = v.crossJoin(broadcast(cents))
-        .select(col(s"${side}_id"), col(s"${side}_v"), col("cent_id"),
-          cosineFromInts(dot(col(s"${side}_v"), col("cent_v")),
-            norm2(col(s"${side}_v")), norm2(col("cent_v"))).as("cent_cos"))
-      val w = Window.partitionBy(col(s"${side}_id"))
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= m)
-        .select(col(s"${side}_id"), col(s"${side}_v"), col("cent_id"))
+      v.select(col(s"${side}_id"), col(s"${side}_v"),
+        explode(topCells(col(s"${side}_v"), centsLit, m)).as("cent_id"))
     }
     val corpusCells = assign(corpus, "c", 1)    // each vector lives in 1 cell
     val queryProbes = assign(queries, "q", nProbes) // queries probe nProbes cells

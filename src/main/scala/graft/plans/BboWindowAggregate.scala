@@ -33,7 +33,7 @@ case class BboWindowAggregate(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[OrderBook] {
 
-  require(n >= 1, s"Unsupported number of levels: $n")
+  require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
   require((mode == 2 && children.size == 5) || (mode != 2 && children.size == 3),
     "updates/mutations take (price, qty, is_bid); modify takes " +
       "(price, qty, is_bid, prev_price, prev_qty)")

@@ -28,7 +28,7 @@ object RelationalQueries {
     GraftQuery("q_normalize_messages", normalizeMessages, Some(normalizeMessagesSql)),
     GraftQuery("q_orders_per_status", ordersPerStatus, Some(ordersPerStatusSql)),
     GraftQuery("q_semi_anti_join", semiAntiJoin, Some(semiAntiJoinSql)),
-    GraftQuery("q_set_ops", setOps, Some(setOpsSql)),
+    GraftQuery("q_set_ops", setOps, Some(setOpsSql), bench = true),
     GraftQuery("q6_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
     GraftQuery("q_asof_join", asofJoin, Some(asofJoinSql), bench = true),
     GraftQuery("q_asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
@@ -123,15 +123,26 @@ object RelationalQueries {
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
   /** Set operations over derived key sets: customers who ordered vs the
-    * full customer set (union/intersect/except counts). */
+    * full customer set (union/intersect/except counts).
+    *
+    * One fully-lazy plan: tag each side, union, single shuffle on the key
+    * with presence flags (max combines map-side), then one global
+    * aggregate derives all three counts — instead of three separate
+    * distinct/intersect/except jobs (and instead of running them eagerly
+    * at plan construction, which made the returned frame a driver-side
+    * literal). */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val all = Tables.read(spark, sfDir, "customer").select(col("c_custkey").as("k"))
-    val ordered = Tables.read(spark, sfDir, "orders").select(col("o_custkey").as("k"))
-    val u = all.union(ordered).distinct().count()
-    val i = all.intersect(ordered).count()
-    val e = all.except(ordered).count()
-    import spark.implicits._
-    Seq((u, i, e)).toDF("n_union", "n_intersect", "n_except")
+    val all = Tables.read(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), lit(1).as("src"))
+    val ordered = Tables.read(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"), lit(2).as("src"))
+    all.unionAll(ordered)
+      .groupBy(col("k"))
+      .agg(max(col("src") === 1).as("in_a"), max(col("src") === 2).as("in_b"))
+      .agg(
+        count(lit(1)).as("n_union"),
+        count(when(col("in_a") && col("in_b"), 1)).as("n_intersect"),
+        count(when(col("in_a") && !col("in_b"), 1)).as("n_except"))
   }
 
   def setOpsSql: String =

@@ -27,14 +27,15 @@ class LongArrayDotSpec extends AnyFunSuite {
   test("edge cases: empty arrays, unequal lengths, nulls") {
     val df = Seq(
       (1L, Some(Array.empty[Long]), Some(Array.empty[Long])),
-      (2L, Some(Array(1L, 2L, 3L)), Some(Array(10L, 20L))), // min-length semantics
+      (2L, Some(Array(1L, 2L, 3L)), Some(Array(10L, 20L))), // length mismatch -> null
       (3L, None, Some(Array(1L))),
       (4L, Some(Array(5L)), None))
       .toDF("id", "a", "b")
     val out = df.select(col("id"), LongArrayDot.dot(col("a"), col("b")).as("d"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(out(1L) == Some(0L))
-    assert(out(2L) == Some(1L * 10 + 2L * 20))
+    // unequal lengths: the HOF form (zip_with null-pads) yields NULL too
+    assert(out(2L).isEmpty)
     assert(out(3L).isEmpty && out(4L).isEmpty)
   }
 

@@ -64,4 +64,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(px(4).isEmpty)                             // B@16 -> B quote was at 15
     assert(px(5).isEmpty)                             // C -> no quotes
   }
+
+  test("a null left time matches nothing in either direction") {
+    // DuckDB ASOF (and SQL comparison semantics) never match a NULL time;
+    // the forward direction used to inherit the earliest quote because
+    // desc ordering defaults to nulls-LAST.
+    val nullTrades = Seq(
+      ("A", Some(25L), 1L),
+      ("A", None, 2L))
+      .toDF("sym", "t", "qty")
+    for (forward <- Seq(false, true)) {
+      val out = (if (forward)
+        AsOfJoin.joinAsOfForward(nullTrades, quotes, "t", Seq("sym"), Seq("px"))
+      else
+        AsOfJoin.joinAsOfBackward(nullTrades, quotes, "t", Seq("sym"), Seq("px")))
+        .orderBy(col("t").asc_nulls_last).collect()
+      assert(out.length == 2)
+      assert(!out(0).isNullAt(3), s"forward=$forward: non-null time must match")
+      assert(out(1).isNullAt(3) && out(1).isNullAt(4),
+        s"forward=$forward: null-time left row must not match any quote")
+    }
+  }
 }
