@@ -47,13 +47,13 @@ object DedupOps {
   val MinhashPrime: Long = 4294967311L
 
   /** MinHash signature via the standard affine-permutation family: one
-    * base 32-bit hash per shingle, then sig_i = min over shingles of
-    * (h·(2i+1) + i²·65537 + 7) mod p. One poly-hash per shingle total
-    * (the permutations are pure arithmetic), map-only. Empty
-    * shingle set → all-sentinel signature (= p, above any residue). */
+    * rolling shingle hash per k-window (TokenShingleHash — single pass,
+    * no shingle strings), then sig_i = min over shingles of
+    * (h·(2i+1) + i²·65537 + 7) mod p. The permutations are pure
+    * arithmetic, map-only. Empty shingle set → all-sentinel signature
+    * (= p, above any residue). */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hs = transform(TextOps.shingles(text, shingleK),
-      s => graft.functions.StringPolyHash.polyHash(s))
+    val hs = graft.functions.TokenShingleHash.shingleHashes(text, shingleK)
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => aggregate(hs, lit(MinhashPrime),
         (m, v) => least(m, (v * (i * 2 + 1) + (i * i * 65537 + 7)) % MinhashPrime)))
@@ -67,9 +67,10 @@ object DedupOps {
         transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast("string"))).cast("binary")))
 
-  /** DataFrame-level signature: explode shingles → one poly-hash per
-    * shingle row → `numHashes` partial-aggregated min() columns → join
-    * back.
+  /** DataFrame-level signature: one single-pass rolling-hash array per
+    * doc (TokenShingleHash — each input byte folded once, no shingle
+    * strings) → explode → `numHashes` partial-aggregated min() columns →
+    * join back.
     *
     * Why not a single columnar expression: Catalyst's CollapseProject
     * re-inlines a staged hash-array alias (it is referenced once
@@ -83,9 +84,8 @@ object DedupOps {
                            sigCol: String, shingleK: Int = 3,
                            numHashes: Int = 12): DataFrame = {
     val tok = df.select(col(idCol),
-        explode(TextOps.shingles(col(textCol), shingleK)).as("__mh_sh"))
-      .select(col(idCol),
-        graft.functions.StringPolyHash.polyHash(col("__mh_sh")).as("__mh_h"))
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
+        .as("__mh_h"))
     val mins = (0 until numHashes).map { i =>
       min((col("__mh_h") * (2 * i + 1) + (i * i * 65537 + 7)) % MinhashPrime)
         .as(s"__mh_s$i")
@@ -99,12 +99,21 @@ object DedupOps {
   }
 
   /** Candidate near-dup pairs via MinHash LSH: docs sharing ≥1 band.
-    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+    * Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Empty-shingle docs are EXCLUDED from banding: they all carry the
+    * identical all-sentinel signature, so every one of them would share
+    * every band key with every other — one quadratic hot bucket on a
+    * real corpus (which has millions of near-empty docs). They cannot be
+    * near-duplicates by Jaccard anyway (empty shingle sets), so dropping
+    * them changes no true candidate. sig[0] = p iff the shingle set was
+    * empty (any real shingle leaves a residue < p). */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleK: Int = 3, numHashes: Int = 12,
                             bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = withMinhashSignature(df, textCol, idCol, "__mh_sig", shingleK, numHashes)
+      .filter(col("__mh_sig").getItem(0) =!= MinhashPrime)
     val withBands = withSig.select(col(idCol).as("doc_id"),
       posexplode(lshBandKeys(col("__mh_sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))

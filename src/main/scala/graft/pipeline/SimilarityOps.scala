@@ -267,10 +267,16 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
-    * via LSH buckets (exact within-bucket verification). */
+    * via LSH buckets (exact within-bucket verification).
+    *
+    * Zero-norm vectors are EXCLUDED before bucketing: every zero vector
+    * projects to 0 on all hyperplanes, so they would all coalesce into
+    * bucket 0 — one quadratic hot bucket at corpus scale — and their
+    * cosine is undefined (0/0) anyway. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6): DataFrame = {
     val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"))
+      .filter(norm2(col("v")) > 0)
       .withColumn("bucket", lshBucketScaled(col("v"), planes))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&

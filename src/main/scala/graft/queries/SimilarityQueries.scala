@@ -149,6 +149,7 @@ object SimilarityQueries {
     s"""WITH v AS (
        |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket
        |  FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
+       |  WHERE ${norm2Sql("sv")} > 0
        |)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)

@@ -20,6 +20,7 @@ object TextQueries {
     GraftQuery("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     GraftQuery("q_minhash_sig", minhashSig, Some(minhashSigSql), bench = true),
     GraftQuery("q_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    GraftQuery("q_minhash_pairs_skew", minhashPairsSkew, Some(minhashPairsSkewSql)),
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
   )
@@ -110,9 +111,17 @@ object TextQueries {
       .select(col("doc_id"), posexplode(col("sig_arr")).as(Seq("h", "sig")))
       .select(col("doc_id"), col("h").cast("long").as("h"), col("sig"))
 
+  /** Token hashes → rolling k-window combine, mirroring the single-pass
+    * TokenShingleHash expression (no shingle strings on either engine). */
+  private def shinglesCteFrom(src: String): String =
+    s"WITH dsrc AS ($src), tht AS (SELECT doc_id, " +
+      s"list_transform(${TextOps.tokensSql("text")}, " +
+      s"t -> ${graft.functions.StringPolyHash.polyHashSql("t")}) AS th FROM dsrc), " +
+      s"sh AS (SELECT doc_id, " +
+      s"${graft.functions.TokenShingleHash.combineSql("th", K)} AS hs FROM tht)"
+
   private def shinglesCte: String =
-    s"WITH sh AS (SELECT doc_id, list_transform(${TextOps.shinglesSql("text", K)}, " +
-      s"s -> ${graft.functions.StringPolyHash.polyHashSql("s")}) AS hs FROM documents)"
+    shinglesCteFrom("SELECT doc_id, text FROM documents")
 
   private val P = DedupOps.MinhashPrime
 
@@ -130,11 +139,13 @@ object TextQueries {
     DedupOps.minhashCandidatePairs(docs(spark, sfDir), "text", "doc_id",
       K, NUM_HASHES, BANDS)
 
-  def minhashPairsSql: String = {
+  /** Shared LSH-pairs tail; empty-shingle docs are excluded from banding
+    * (the all-sentinel hot-bucket de-skew — see minhashCandidatePairs). */
+  private def pairsTail: String = {
     val r = NUM_HASHES / BANDS
-    s"""$shinglesCte, sig AS (
+    s""", sig AS (
        |  SELECT doc_id, list_transform(range(0, $NUM_HASHES), h -> $sigExpr) AS sig
-       |  FROM sh
+       |  FROM sh WHERE len(hs) > 0
        |), bands AS (
        |  SELECT doc_id, b, md5(array_to_string(
        |    list_transform(sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
@@ -144,6 +155,28 @@ object TextQueries {
        |FROM bands a JOIN bands b
        |  ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin
   }
+
+  def minhashPairsSql: String = shinglesCte + pairsTail
+
+  /** Skewed-corpus variant: a third of the docs are emptied and a
+    * seventh truncated below the shingle size — the shape of a real
+    * web corpus (millions of near-empty docs). Exercises the sentinel
+    * de-skew: without the banding filter every empty doc would pair
+    * with every other (quadratic hot bucket). */
+  private val skewTextExpr: String =
+    "CASE WHEN doc_id % 3 = 0 THEN '' WHEN doc_id % 7 = 0 THEN 'tiny doc' " +
+      "ELSE text END"
+
+  def minhashPairsSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(""))
+        .when(col("doc_id") % 7 === 0, lit("tiny doc"))
+        .otherwise(col("text")).as("text"))
+    DedupOps.minhashCandidatePairs(d, "text", "doc_id", K, NUM_HASHES, BANDS)
+  }
+
+  def minhashPairsSkewSql: String =
+    shinglesCteFrom(s"SELECT doc_id, $skewTextExpr AS text FROM documents") + pairsTail
 
   // ---- simhash -----------------------------------------------------------
 

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** De-skew contract for the LSH pair generators: near-empty docs (no
+  * shingles) and zero embeddings (no direction) are excluded from
+  * candidate generation, so a corpus dominated by them cannot form a
+  * quadratic hot bucket. */
+class DedupSkewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("empty/short docs never reach minhash banding; real dups still pair") {
+    val empties = (0L until 100L).map(i => (i, ""))           // all-sentinel
+    val shorts = (100L until 200L).map(i => (i, "two words")) // < k tokens
+    val dups = (200L until 205L).map(i => (i, "the same real document body here"))
+    val uniques = (300L until 305L).map(i =>
+      (i, s"totally distinct content number $i with several words"))
+    val df = (empties ++ shorts ++ dups ++ uniques).toDF("doc_id", "text")
+
+    val pairs = DedupOps.minhashCandidatePairs(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // without the sentinel filter the 200 shingle-less docs would form
+    // C(200,2) = 19900 pairs; with it, none of them appears at all
+    assert(pairs.forall { case (a, b) => a >= 200 && b >= 200 },
+      s"shingle-less doc leaked into candidates: ${pairs.take(5).toSeq}")
+    // the 5 identical docs must still produce all C(5,2) = 10 pairs
+    val dupPairs = pairs.filter { case (a, b) => a < 300 && b < 300 }
+    assert(dupPairs.length == 10)
+    // bounded overall: at most pairs among the 10 real docs
+    assert(pairs.length <= 45)
+  }
+
+  test("zero vectors never reach cosine near-dup bucketing") {
+    val zeros = (0L until 50L).map(i => (i, Array.fill(8)(0.0f)))
+    val realA = Seq((100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (101L, Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val df = (zeros ++ realA).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.cosineNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a >= 100 && b >= 100 })
+    assert(pairs.toSeq == Seq((100L, 101L)))
+  }
+}
