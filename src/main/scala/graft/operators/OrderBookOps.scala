@@ -68,6 +68,52 @@ object OrderBookOps {
     replayExec(df, price, qty, isBid, Some(prevPrice), Some(prevQty), n,
       partitionBy, orderBy, 2)
 
+  // ---- Column-typed overloads ------------------------------------------
+  // The reference's primary API accepts `pl.Expr | str` (_utils.py:15-52);
+  // these accept arbitrary Column expressions for the event and key
+  // arguments by materializing them as internal temp columns around the
+  // string-based fast path (the temps never appear in the output).
+
+  def topNLevelsFromPriceUpdates(
+      df: DataFrame, price: Column, qty: Column, isBid: Column, n: Int,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame =
+    viaTempColumns(df, Seq(price, qty, isBid), partitionBy, orderBy) {
+      (d, ev, pb, ob) =>
+        topNLevelsFromPriceUpdates(d, ev(0), ev(1), ev(2), n, pb, ob)
+    }
+
+  def topNLevelsFromPriceMutations(
+      df: DataFrame, price: Column, qty: Column, isBid: Column, n: Int,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame =
+    viaTempColumns(df, Seq(price, qty, isBid), partitionBy, orderBy) {
+      (d, ev, pb, ob) =>
+        topNLevelsFromPriceMutations(d, ev(0), ev(1), ev(2), n, pb, ob)
+    }
+
+  def topNLevelsFromPriceMutationsWithModify(
+      df: DataFrame, price: Column, qty: Column, isBid: Column,
+      prevPrice: Column, prevQty: Column, n: Int,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): DataFrame =
+    viaTempColumns(df, Seq(price, qty, isBid, prevPrice, prevQty),
+      partitionBy, orderBy) { (d, ev, pb, ob) =>
+      topNLevelsFromPriceMutationsWithModify(
+        d, ev(0), ev(1), ev(2), ev(3), ev(4), n, pb, ob)
+    }
+
+  private def viaTempColumns(df: DataFrame, ev: Seq[Column],
+      partitionBy: Seq[Column], orderBy: Seq[Column])
+      (run: (DataFrame, Seq[String], Seq[String], Seq[String]) => DataFrame): DataFrame = {
+    val evNames = ev.indices.map(i => s"__c_ev$i")
+    val pbNames = partitionBy.indices.map(i => s"__c_pb$i")
+    val obNames = orderBy.indices.map(i => s"__c_ob$i")
+    val clash = df.columns.toSet.intersect((evNames ++ pbNames ++ obNames).toSet)
+    require(clash.isEmpty, s"Input already has internal columns: $clash")
+    val withAll = (evNames.zip(ev) ++ pbNames.zip(partitionBy) ++ obNames.zip(orderBy))
+      .foldLeft(df) { case (d, (nm, c)) => d.withColumn(nm, c) }
+    run(withAll, evNames, pbNames, obNames)
+      .drop(evNames ++ pbNames ++ obNames: _*)
+  }
+
   /** flatMapSortedGroups embodiments — kept as the cross-implementation
     * oracle for the custom physical operator (same results, Row-based). */
   def topNLevelsFromPriceUpdatesViaGroups(

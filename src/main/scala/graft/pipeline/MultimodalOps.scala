@@ -29,17 +29,44 @@ object MultimodalOps {
     StructField("height", LongType, nullable = false),
     StructField("channels", LongType, nullable = false)))
 
-  /** Columnar metadata extraction over the opaque payload. width/height
-    * are a deterministic fake "header parse" derived from the digest —
-    * STUB for a real header reader. */
+  /** PNG signature bytes (\x89 P N G \r \n \x1a \n). */
+  private val PngSigHex = "89504E470D0A1A0A"
+
+  /** Build a real PNG prefix (signature + IHDR chunk: 4-byte big-endian
+    * width and height, bit depth 8, color type 6 = RGBA) around an
+    * arbitrary body — synthetic payloads with honest, parseable headers.
+    * Pure hex-string assembly, reproducible bit-for-bit in the oracle. */
+  def pngPayload(body: Column, width: Column, height: Column): Column =
+    unhex(concat(
+      lit(PngSigHex + "0000000D" + "49484452"), // len=13, "IHDR"
+      lpad(hex(width), 8, "0"),
+      lpad(hex(height), 8, "0"),
+      lit("0806000000"), // bit depth 8, color 6 (RGBA), comp/filter/interlace 0
+      hex(body.cast("binary"))))
+
+  /** Columnar metadata extraction over the opaque payload. PNG payloads
+    * get a REAL header parse — width/height as big-endian ints from the
+    * IHDR chunk, channels from the color type — in pure byte arithmetic
+    * (binary slice → hex → conv), no codec library. Non-PNG payloads
+    * fall back to the deterministic digest-derived fake (the remaining
+    * stub for formats whose headers need real decoders). */
   def extractMeta(content: Column): Column = {
+    def be(pos: Int, len: Int): Column =
+      conv(hex(substring(content, pos, len)), 16, 10).cast("long")
+    val isPng = octet_length(content) >= 29 &&
+      substring(content, 1, 8) === lit(PngSigHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray) &&
+      substring(content, 13, 4) === lit("IHDR".getBytes("US-ASCII"))
+    val colorType = be(26, 1)
+    val pngChannels = when(colorType === 0, 1L).when(colorType === 2, 3L)
+      .when(colorType === 3, 1L).when(colorType === 4, 2L)
+      .when(colorType === 6, 4L)
     val h = HashFns.hash32(content)
     struct(
       octet_length(content).cast("long").as("n_bytes"),
       md5(content).as("digest"),
-      (h % 1024 + 1).as("width"),
-      (shiftright(h, 10) % 1024 + 1).as("height"),
-      (h % 3 + 1).as("channels"))
+      when(isPng, be(17, 4)).otherwise(h % 1024 + 1).as("width"),
+      when(isPng, be(21, 4)).otherwise(shiftright(h, 10) % 1024 + 1).as("height"),
+      when(isPng, pngChannels).otherwise(h % 3 + 1).as("channels"))
   }
 
   /** STUB resize: the real implementation would decode, resample, and

@@ -15,6 +15,13 @@ object BookQueries {
     GraftQuery("bbo_updates_n5", (s, d) => bboUpdates(s, d, 5), Some(updatesOracle(5)), bench = true),
     GraftQuery("bbo_mutations_n1", (s, d) => bboMutations(s, d, 1), Some(mutationsOracle(1)), bench = true),
     GraftQuery("bbo_mutations_n2", (s, d) => bboMutations(s, d, 2), Some(mutationsOracle(2))),
+    // O2 with REAL deletes: within each (product, side, slot) chain the
+    // odd rows add and the even rows delete exactly the preceding add
+    // (lag), so inventory never goes negative and levels fill AND fully
+    // drain — the reference's fill-and-drain cycles
+    // (test_calculate_bbo.py:71-127) at driver scale.
+    GraftQuery("bbo_mutations_deletes_n2", (s, d) => bboMutationsDeletes(s, d, 2),
+      Some(mutationsDeletesOracle(2))),
     // O3 fed all-null prevs must equal plain mutations (reference
     // test_calculate_bbo.py:194-259) — so the O2 oracle IS the O3 oracle.
     GraftQuery("bbo_modify_nullprev_n2", (s, d) => bboModifyNullPrev(s, d, 2), Some(mutationsOracle(2))),
@@ -120,6 +127,46 @@ object BookQueries {
       stream, "price", "qty", "is_bid", n,
       partitionBy = Seq("product"), orderBy = Seq("seq"))
       .select(proj(n).map(col): _*)
+  }
+
+  /** Valid delete-bearing O2 stream: chain = (product, is_bid, slot);
+    * row_number odd → add (price, qty), even → delete the chain's
+    * immediately preceding add (price/qty via lag). Every delete is
+    * backed by its own chain's prior add at the same price, and chain
+    * inventories are non-negative at every prefix, so the summed book
+    * never over-deletes — ~50% deletes, levels drain to zero and refill. */
+  def bboMutationsDeletes(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = false)
+      .withColumn("slot", (col("seq") * 31) % 4)
+    val w = Window.partitionBy(col("product"), col("is_bid"), col("slot"))
+      .orderBy(col("seq"))
+    val stream = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("p_eff",
+        when(col("rn") % 2 === 0, lag(col("price"), 1).over(w)).otherwise(col("price")))
+      .withColumn("q_eff",
+        when(col("rn") % 2 === 0, -lag(col("qty"), 1).over(w)).otherwise(col("qty")))
+    OrderBookOps.topNLevelsFromPriceMutations(
+      stream, "p_eff", "q_eff", "is_bid", n,
+      partitionBy = Seq("product"), orderBy = Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  def mutationsDeletesOracle(n: Int): String = {
+    val streamSql =
+      s"""SELECT seq, product, is_bid,
+         |  CASE WHEN rn % 2 = 0 THEN pprice ELSE price END AS price,
+         |  CASE WHEN rn % 2 = 0 THEN -pqty ELSE qty END AS qty
+         |FROM (
+         |  SELECT *, row_number() OVER w AS rn,
+         |         lag(price) OVER w AS pprice, lag(qty) OVER w AS pqty
+         |  FROM (SELECT *, (seq * 31) % 4 AS slot FROM (
+         |${EventStreams.bookStreamSql(qtyZeroEvery5 = false)}
+         |  ))
+         |  WINDOW w AS (PARTITION BY product, is_bid, slot ORDER BY seq)
+         |)""".stripMargin
+    gridAndState(streamSql, "sum(u.qty)") + topNSelect(n)
   }
 
   def bboModifyNullPrev(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

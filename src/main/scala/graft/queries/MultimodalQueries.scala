@@ -21,28 +21,39 @@ object MultimodalQueries {
     Tables.read(spark, sfDir, "documents")
       .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
 
+  /** Real header parse, verified as a round-trip: payloads are synthetic
+    * PNGs whose IHDR encodes (doc_id%640+1, doc_id%480+1); extractMeta
+    * must recover exactly those from the BYTES (the oracle computes the
+    * expected values from the generator formulas, not from the payload).
+    * The digest is md5 over the payload's hex (DuckDB's md5 only takes
+    * VARCHAR, and hex round-trips the bytes faithfully on both engines). */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val png = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"),
+        MultimodalOps.pngPayload(col("text"),
+          col("doc_id") % 640 + 1, col("doc_id") % 480 + 1).as("content"))
     val m = MultimodalOps.resizeStub(
-      media(spark, sfDir).withColumn("meta", MultimodalOps.extractMeta(col("content"))),
+      png.withColumn("meta", MultimodalOps.extractMeta(col("content"))),
       "content", maxDim = 256L)
     m.select(col("media_id"),
-      col("meta.n_bytes").as("n_bytes"), col("meta.digest").as("digest"),
+      col("meta.n_bytes").as("n_bytes"),
+      md5(hex(col("content")).cast("binary")).as("digest"),
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.channels").as("channels"),
       col("resized_width"), col("resized_height"))
   }
 
   def mediaMetaSql: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      |    md5(text) AS digest,
-      |    ('0x'||substr(md5(text),1,8))::BIGINT AS h
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    doc_id % 640 + 1 AS width, doc_id % 480 + 1 AS height,
+      |    CAST(29 + length(text) AS BIGINT) AS n_bytes,
+      |    md5('89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |        lpad(to_hex(doc_id % 640 + 1), 8, '0') ||
+      |        lpad(to_hex(doc_id % 480 + 1), 8, '0') ||
+      |        '0806000000' || hex(text)) AS digest,
+      |    CAST(4 AS BIGINT) AS channels
       |  FROM documents
-      |), d AS (
-      |  SELECT media_id, n_bytes, digest,
-      |    h % 1024 + 1 AS width, (h >> 10) % 1024 + 1 AS height,
-      |    h % 3 + 1 AS channels
-      |  FROM m
       |)
       |SELECT media_id, n_bytes, digest, width, height, channels,
       |  CASE WHEN CAST(greatest(width, height) AS DOUBLE) / 256.0 > 1

@@ -52,6 +52,30 @@ class ContractSpec extends AnyFunSuite {
     assert(out(2).getLong(1) == 11L && out(2).getLong(2) == 2L)
   }
 
+  test("Column-typed overloads equal the string API, including expressions") {
+    // prices arrive scaled ×100 as doubles; the Column overload can
+    // normalize inline (the reference accepts pl.Expr the same way)
+    val raw = Seq(
+      (1L, 0L, true, 1000.0, 5L), (2L, 0L, false, 1200.0, 3L),
+      (3L, 0L, true, 1100.0, 2L), (4L, 1L, true, 900.0, 7L))
+      .toDF("seq", "product", "is_bid", "px100", "qty")
+    val viaColumns = OrderBookOps.topNLevelsFromPriceUpdates(
+        raw, round(col("px100") / 100).cast("long"), col("qty"), col("is_bid"), 1,
+        Seq(col("product")), Seq(col("seq")))
+      .orderBy("product", "seq").collect()
+    val viaStrings = OrderBookOps.topNLevelsFromPriceUpdates(
+        raw.withColumn("price", round(col("px100") / 100).cast("long")),
+        "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+      .drop("price").orderBy("product", "seq").collect()
+    assert(viaColumns.length == 4)
+    assert(viaColumns.toSeq == viaStrings.toSeq)
+    // output columns: input unchanged + bbo fields, no temp leakage
+    val cols = OrderBookOps.topNLevelsFromPriceUpdates(
+      raw, col("px100").cast("long"), col("qty"), col("is_bid"), 1,
+      Seq(col("product")), Seq(col("seq"))).columns.toSeq
+    assert(cols == raw.columns.toSeq ++ OrderBookOps.bboFieldNames(1))
+  }
+
   test("parallel replay rejects non-integral order columns") {
     val ts = stream.withColumn("ts", timestamp_seconds(col("seq")))
     val e = intercept[IllegalArgumentException] {
