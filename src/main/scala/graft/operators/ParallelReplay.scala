@@ -47,6 +47,55 @@ object ParallelReplay {
     replayParallel(df, price, qty, isBid, n, partitionBy, orderBy, segments,
       mutation = false)
 
+  // ---- auto-segmented variants -----------------------------------------
+  // Pick `segments` from data statistics instead of a caller constant, so
+  // a skewed single-product stream gets intra-product parallelism without
+  // tuning. One tiny planning-time aggregation job (count + distinct
+  // products) — an AQE-style statistics read, not a data-path action.
+
+  def topNLevelsFromPriceUpdatesParallelAuto(
+      df: DataFrame, price: String, qty: String, isBid: String, n: Int,
+      partitionBy: String, orderBy: String,
+      minRowsPerSegment: Long = DefaultMinRowsPerSegment): DataFrame =
+    topNLevelsFromPriceUpdatesParallel(df, price, qty, isBid, n, partitionBy,
+      orderBy, chooseSegments(df, partitionBy, minRowsPerSegment))
+
+  def topNLevelsFromPriceMutationsParallelAuto(
+      df: DataFrame, price: String, qty: String, isBid: String, n: Int,
+      partitionBy: String, orderBy: String,
+      minRowsPerSegment: Long = DefaultMinRowsPerSegment): DataFrame =
+    topNLevelsFromPriceMutationsParallel(df, price, qty, isBid, n, partitionBy,
+      orderBy, chooseSegments(df, partitionBy, minRowsPerSegment))
+
+  def topNLevelsFromPriceMutationsWithModifyParallelAuto(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      prevPrice: String, prevQty: String, n: Int,
+      partitionBy: String, orderBy: String,
+      minRowsPerSegment: Long = DefaultMinRowsPerSegment): DataFrame =
+    topNLevelsFromPriceMutationsWithModifyParallel(df, price, qty, isBid,
+      prevPrice, prevQty, n, partitionBy, orderBy,
+      chooseSegments(df, partitionBy, minRowsPerSegment))
+
+  /** Below this average product depth, splitting a product costs more in
+    * seed reconstruction + extra shuffle rows than the parallelism buys. */
+  val DefaultMinRowsPerSegment: Long = 1L << 16
+
+  /** Segments = min(enough (product × segment) tasks for ~2 waves over
+    * the cluster, average-depth / minRowsPerSegment), at least 1. Shallow
+    * many-product streams get 1 (the serial plan — already parallel
+    * across products); one deep product gets ~2× the core count. */
+  def chooseSegments(df: DataFrame, partitionBy: String,
+                     minRowsPerSegment: Long = DefaultMinRowsPerSegment): Int = {
+    val row = df.agg(count(lit(1)).as("n"),
+      count_distinct(col(partitionBy)).as("p")).head()
+    val n = row.getLong(0)
+    val p = math.max(1L, row.getLong(1))
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val byCores = math.ceil(2.0 * cores / p).toLong
+    val byDepth = math.max(1L, (n / p) / math.max(1L, minRowsPerSegment))
+    math.max(1L, math.min(byCores, byDepth)).toInt
+  }
+
   def topNLevelsFromPriceMutationsParallel(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String, segments: Int): DataFrame =

@@ -83,11 +83,8 @@ case class BboReplayExec(
     val numBooks = longMetric("numBooks")
     val modeL = mode; val nL = n
     val childOutput = child.output
-    val boundPrice = BindReferences.bindReference(price, childOutput)
-    val boundQty = BindReferences.bindReference(qty, childOutput)
-    val boundBid = BindReferences.bindReference(isBid, childOutput)
-    val boundPP = prevPrice.map(BindReferences.bindReference(_, childOutput))
-    val boundPQ = prevQty.map(BindReferences.bindReference(_, childOutput))
+    val priceE = price; val qtyE = qty; val bidE = isBid
+    val ppE = prevPrice; val pqE = prevQty
     val keyExprs = partitionKeys
     val outputAttrs = output
 
@@ -95,6 +92,14 @@ case class BboReplayExec(
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // identity projection materializing (input ++ bbo) to one UnsafeRow
       val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      // plan-time-resolved ordinal readers: the event expressions are
+      // bare casts over attributes, so each field is a direct primitive
+      // getter — no interpreted Cast.eval, no boxing per row
+      val priceF = BboReplayExec.longField(priceE, childOutput)
+      val qtyF = BboReplayExec.longField(qtyE, childOutput)
+      val bidF = BboReplayExec.boolField(bidE, childOutput)
+      val ppF = ppE.map(BboReplayExec.longField(_, childOutput))
+      val pqF = pqE.map(BboReplayExec.longField(_, childOutput))
       val bboRow = new GenericInternalRow(4 * nL)
       val joined = new JoinedRow
       var book: OrderBook = null
@@ -114,24 +119,21 @@ case class BboReplayExec(
           numBooks += 1
         }
 
-        val pv = boundPrice.eval(row)
-        val qv = boundQty.eval(row)
-        val bv = boundBid.eval(row)
-        if (bv == null) OrderBookException.missingValue("is_bid")
-        if (pv == null) OrderBookException.missingValue("price")
-        if (qv == null) OrderBookException.missingValue("qty")
-        val p = pv.asInstanceOf[Long]
-        val q = qv.asInstanceOf[Long]
-        val b = bv.asInstanceOf[Boolean]
+        if (bidF.isNull(row)) OrderBookException.missingValue("is_bid")
+        if (priceF.isNull(row)) OrderBookException.missingValue("price")
+        if (qtyF.isNull(row)) OrderBookException.missingValue("qty")
+        val b = bidF.get(row)
+        val p = priceF.get(row)
+        val q = qtyF.get(row)
         modeL match {
           case 0 => Transitions.applyUpdate(book, b, p, q)
           case 1 => Transitions.applyMutation(book, b, p, q)
           case 2 =>
-            val ppv = boundPP.get.eval(row)
-            val pqv = boundPQ.get.eval(row)
+            val hasPP = !ppF.get.isNull(row)
+            val hasPQ = !pqF.get.isNull(row)
             Transitions.applyMutationWithModify(book, b, p, q,
-              ppv != null, if (ppv != null) ppv.asInstanceOf[Long] else 0L,
-              pqv != null, if (pqv != null) pqv.asInstanceOf[Long] else 0L)
+              hasPP, if (hasPP) ppF.get.get(row) else 0L,
+              hasPQ, if (hasPQ) pqF.get.get(row) else 0L)
         }
         book.snapshotInto(snap, 0)
         var i = 0
@@ -148,6 +150,97 @@ case class BboReplayExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): BboReplayExec =
     copy(child = newChild)
+}
+
+object BboReplayExec {
+  import org.apache.spark.sql.types._
+
+  /** Primitive field reader: `isNull` must be called before `get` on each
+    * row (the generic fallback evaluates once in isNull and caches). */
+  sealed abstract class LongField {
+    def isNull(r: InternalRow): Boolean
+    def get(r: InternalRow): Long
+  }
+  sealed abstract class BoolField {
+    def isNull(r: InternalRow): Boolean
+    def get(r: InternalRow): Boolean
+  }
+
+  private def ordinalOf(a: Attribute, output: Seq[Attribute]): Int =
+    output.indexWhere(_.exprId == a.exprId)
+
+  /** Resolve an event expression to a direct ordinal getter when it is a
+    * bare (possibly cast) attribute — the shape the operator API always
+    * produces — else fall back to one interpreted eval per row. */
+  def longField(e: Expression, output: Seq[Attribute]): LongField = {
+    def direct(a: Attribute): Option[LongField] = {
+      val i = ordinalOf(a, output)
+      if (i < 0) None
+      else a.dataType match {
+        case LongType => Some(new LongField {
+          def isNull(r: InternalRow) = r.isNullAt(i)
+          def get(r: InternalRow) = r.getLong(i)
+        })
+        case IntegerType => Some(new LongField {
+          def isNull(r: InternalRow) = r.isNullAt(i)
+          def get(r: InternalRow) = r.getInt(i).toLong
+        })
+        case ShortType => Some(new LongField {
+          def isNull(r: InternalRow) = r.isNullAt(i)
+          def get(r: InternalRow) = r.getShort(i).toLong
+        })
+        case ByteType => Some(new LongField {
+          def isNull(r: InternalRow) = r.isNullAt(i)
+          def get(r: InternalRow) = r.getByte(i).toLong
+        })
+        case _ => None
+      }
+    }
+    val resolved = e match {
+      case a: Attribute => direct(a)
+      case c: Cast if c.dataType == LongType =>
+        c.child match {
+          case a: Attribute => direct(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    resolved.getOrElse {
+      val bound = BindReferences.bindReference(e, output)
+      new LongField {
+        private var v: Any = _
+        def isNull(r: InternalRow) = { v = bound.eval(r); v == null }
+        def get(r: InternalRow) = v.asInstanceOf[Long]
+      }
+    }
+  }
+
+  def boolField(e: Expression, output: Seq[Attribute]): BoolField = {
+    def direct(a: Attribute): Option[BoolField] = {
+      val i = ordinalOf(a, output)
+      if (i >= 0 && a.dataType == BooleanType) Some(new BoolField {
+        def isNull(r: InternalRow) = r.isNullAt(i)
+        def get(r: InternalRow) = r.getBoolean(i)
+      }) else None
+    }
+    val resolved = e match {
+      case a: Attribute => direct(a)
+      case c: Cast if c.dataType == BooleanType =>
+        c.child match {
+          case a: Attribute => direct(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    resolved.getOrElse {
+      val bound = BindReferences.bindReference(e, output)
+      new BoolField {
+        private var v: Any = _
+        def isNull(r: InternalRow) = { v = bound.eval(r); v == null }
+        def get(r: InternalRow) = v.asInstanceOf[Boolean]
+      }
+    }
+  }
 }
 
 /** Planner strategy mapping the logical node to its exec. Registered

@@ -33,6 +33,34 @@ class ParallelReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("auto-segmentation picks sane widths and stays bit-identical") {
+    val stream = EventStreams.bookStream(
+      spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)
+    // shallow many-product stream at the default threshold: don't split
+    assert(ParallelReplay.chooseSegments(stream, "product") == 1)
+    // forced-low threshold: follows the formula (cores-bounded for 8
+    // products, depth-bounded 1000/8/10 = 12)
+    val cores = spark.sparkContext.defaultParallelism
+    val forced = ParallelReplay.chooseSegments(stream, "product",
+      minRowsPerSegment = 10L)
+    assert(forced ==
+      math.max(1L, math.min(math.ceil(2.0 * cores / 8).toLong, 12L)).toInt)
+    // single-product: depth-bounded
+    val single = stream.withColumn("product", lit(0L))
+    assert(ParallelReplay.chooseSegments(single, "product",
+      minRowsPerSegment = 100L) == math.min(2L * cores, 10L))
+    // auto variant == serial, bit-identical
+    val serial = OrderBookOps.topNLevelsFromPriceUpdates(
+      stream, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val auto = ParallelReplay.topNLevelsFromPriceUpdatesParallelAuto(
+      stream, "price", "qty", "is_bid", 2, "product", "seq",
+      minRowsPerSegment = 25L)
+    val a = serial.select(proj(2).map(col): _*).orderBy("product", "seq").collect()
+    val b = auto.select(proj(2).map(col): _*).orderBy("product", "seq").collect()
+    assert(a.length == 1000 && b.length == 1000)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("parallel replay with a tiny product (fewer events than segments)") {
     val df = Seq(
       ("X", 0L, 5L, 3L, true),
