@@ -125,6 +125,23 @@ object DedupOps {
       .distinct()
   }
 
+  /** End-to-end near-duplicate dedup: LSH candidate pairs → exact n-gram
+    * Jaccard verification → drop every doc with a verified near-dup of
+    * smaller id. The decision rule is edge-local (no transitive closure /
+    * connected components — at corpus scale that is a deliberate choice:
+    * each drop is justified by a direct verified near-dup, and the kept
+    * set is deterministic). Cost shape: banding shuffle + candidate-only
+    * Jaccard joins + one left_anti — never all-pairs. */
+  def dedupNearMinhash(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                       jaccardThreshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numHashes, bands)
+    val drops = ngramJaccard(df, cand, textCol, idCol, shingleK)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_b").as("__nd_drop")).distinct()
+    df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")
+  }
+
   /** 48-bit SimHash per document (bit b set iff the b-th bit of the
     * document's token hashes is set in the majority). 48 bits keeps the
     * packed value positive in int64 for engine-portable arithmetic.

@@ -21,6 +21,7 @@ object TextQueries {
     GraftQuery("q_minhash_sig", minhashSig, Some(minhashSigSql), bench = true),
     GraftQuery("q_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     GraftQuery("q_minhash_pairs_skew", minhashPairsSkew, Some(minhashPairsSkewSql)),
+    GraftQuery("q_dedup_near", dedupNear, Some(dedupNearSql)),
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
   )
@@ -177,6 +178,53 @@ object TextQueries {
 
   def minhashPairsSkewSql: String =
     shinglesCteFrom(s"SELECT doc_id, $skewTextExpr AS text FROM documents") + pairsTail
+
+  // ---- end-to-end near-dup dedup ----------------------------------------
+
+  private val JACCARD_TH = 0.5
+
+  /** Full pipeline: LSH candidates → exact Jaccard verify → keep-min-id. */
+  def dedupNear(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.dedupNearMinhash(docs(spark, sfDir), "text", "doc_id",
+        K, NUM_HASHES, BANDS, JACCARD_TH)
+      .select(col("doc_id"))
+
+  def dedupNearSql: String = {
+    val r = NUM_HASHES / BANDS
+    s"""$shinglesCte, sig AS (
+       |  SELECT doc_id, list_transform(range(0, $NUM_HASHES), h -> $sigExpr) AS sig
+       |  FROM sh WHERE len(hs) > 0
+       |), bands AS (
+       |  SELECT doc_id, b, md5(array_to_string(
+       |    list_transform(sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+       |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b) bs
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |), shr AS (
+       |  SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh FROM documents
+       |), shd AS (
+       |  SELECT DISTINCT doc_id, sh FROM shr
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shd sa ON sa.doc_id = c.id_a
+       |  JOIN shd sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+       |  GROUP BY c.id_a, c.id_b
+       |), drops AS (
+       |  SELECT DISTINCT c.id_b FROM cand c
+       |  JOIN cnt ca ON ca.doc_id = c.id_a
+       |  JOIN cnt cb ON cb.doc_id = c.id_b
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |      / CAST(ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) >= $JACCARD_TH
+       |)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
+  }
 
   // ---- simhash -----------------------------------------------------------
 

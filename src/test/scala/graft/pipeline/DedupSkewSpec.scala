@@ -34,6 +34,25 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(pairs.length <= 45)
   }
 
+  test("end-to-end near-dup dedup keeps min-id representatives") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1/2
+      (4L, "completely different text about spark engines here"),
+      (5L, ""),                                              // no shingles
+      (6L, "two words"))                                     // < k tokens
+      .toDF("doc_id", "text")
+    val kept = DedupOps.dedupNearMinhash(docs, "text", "doc_id",
+        shingleK = 3, numHashes = 12, bands = 4, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 dropped (exact dup of 1); 3 dropped iff its jaccard vs 1 >= 0.5:
+    // shingles of 9-token docs differing in the last token share 6 of 7
+    // shingles -> union 8, jaccard 6/8 = 0.75 -> dropped.
+    // 5 and 6 have no shingles -> never candidates -> kept.
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+  }
+
   test("zero vectors never reach cosine near-dup bucketing") {
     val zeros = (0L until 50L).map(i => (i, Array.fill(8)(0.0f)))
     val realA = Seq((100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
