@@ -230,7 +230,7 @@ final class BookSide(val isBid: Boolean, val n: Int) {
 
 /** Two-sided book; routes by `is_bid` like the reference's `BidAskBook`
   * (reference: order_book_core/src/order_book.rs:24-71). */
-final class OrderBook(val n: Int) {
+final class OrderBook(val n: Int) extends BookKernel {
   val bids = new BookSide(isBid = true, n)
   val asks = new BookSide(isBid = false, n)
 
@@ -264,24 +264,26 @@ final class OrderBook(val n: Int) {
 }
 
 /** Per-row transition functions — the three public operators' semantics
-  * (reference: polars_order_book/src/update.rs:95-163). */
+  * (reference: polars_order_book/src/update.rs:95-163). Polymorphic over
+  * [[BookKernel]] so both the unified and the n=1 scalar engines share
+  * them. */
 object Transitions {
 
   /** O1 — price updates (level snapshots): always set_level.
     * Reference: update.rs:101-105. */
-  def applyUpdate(book: OrderBook, isBid: Boolean, price: Long, qty: Long): Unit =
+  def applyUpdate(book: BookKernel, isBid: Boolean, price: Long, qty: Long): Unit =
     book.setLevel(isBid, price, qty)
 
   /** O2 — price mutations (signed deltas): >0 add, <0 delete |qty|, ==0
     * no-op. Reference: update.rs:113-123. */
-  def applyMutation(book: OrderBook, isBid: Boolean, price: Long, qty: Long): Unit =
+  def applyMutation(book: BookKernel, isBid: Boolean, price: Long, qty: Long): Unit =
     if (qty > 0) book.addQty(isBid, price, qty)
     else if (qty < 0) book.deleteQty(isBid, price, -qty)
   // qty == 0: no-op ("adding could create a level, deleting could fail")
 
   /** O3 — mutation-with-modify, the 9-case table from the reference
     * (update.rs:132-161). hasPrevQty/hasPrevPrice encode SQL NULLs. */
-  def applyMutationWithModify(book: OrderBook, isBid: Boolean, price: Long, qty: Long,
+  def applyMutationWithModify(book: BookKernel, isBid: Boolean, price: Long, qty: Long,
                               hasPrevPrice: Boolean, prevPrice: Long,
                               hasPrevQty: Boolean, prevQty: Long): Unit = {
     if (!hasPrevQty && hasPrevPrice)

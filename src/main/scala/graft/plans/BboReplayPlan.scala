@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.core.{OrderBook, OrderBookException, Transitions}
+import graft.core.{BookKernel, OrderBookException, Transitions}
 import graft.operators.OrderBookOps
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
@@ -102,7 +102,7 @@ case class BboReplayExec(
       val pqF = pqE.map(BboReplayExec.longField(_, childOutput))
       val bboRow = new GenericInternalRow(4 * nL)
       val joined = new JoinedRow
-      var book: OrderBook = null
+      var book: BookKernel = null
       var curKey: UnsafeRow = null
       val snap = new Array[Any](4 * nL)
 
@@ -111,11 +111,11 @@ case class BboReplayExec(
           val k = keyProj(row)
           if (curKey == null || !curKey.equals(k)) {
             curKey = k.copy()
-            book = new OrderBook(nL)
+            book = BookKernel(nL)
             numBooks += 1
           }
         } else if (book == null) {
-          book = new OrderBook(nL)
+          book = BookKernel(nL)
           numBooks += 1
         }
 
