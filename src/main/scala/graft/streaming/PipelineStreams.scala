@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.pipeline.DedupOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface of the training-data pipeline: the same
+  * columnar operators as the batch path (`graft.pipeline`), composed with
+  * watermarks so state stays bounded on unbounded input.
+  *
+  * Scale model: every transform here is either map-only (the text/hash
+  * expressions are identical to the batch plan — one projection, no
+  * shuffle) or a keyed stateful op whose state the watermark expires.
+  * A 1000-executor cluster runs these exactly like the batch pipeline,
+  * micro-batch by micro-batch.
+  */
+object PipelineStreams {
+
+  /** Streaming exact dedup: keep the FIRST arrival of each distinct
+    * content (by digest), dropping later duplicates. State = one digest
+    * per distinct content seen within the watermark horizon — bounded,
+    * unlike an unconditional dropDuplicates. `eventTimeCol` must be a
+    * timestamp column; duplicates arriving later than `delay` past the
+    * watermark may be re-emitted (the standard streaming-dedup contract —
+    * at 100 TB/day the horizon is a deliberate state-size knob). */
+  def dedupExactStream(df: DataFrame, contentCol: String,
+                       eventTimeCol: String, delay: String): DataFrame =
+    df.withColumn("__content_hash", DedupOps.digest(col(contentCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicates("__content_hash")
+      .drop("__content_hash")
+
+  /** Streaming dedup *within* the event-time window only: duplicates of
+    * a doc re-appearing in a later window are kept (dedup-per-window is
+    * the common freshness-vs-coverage compromise for continuous corpus
+    * ingestion). */
+  def dedupExactStreamWindowed(df: DataFrame, contentCol: String,
+                               eventTimeCol: String, delay: String,
+                               window: String): DataFrame =
+    df.withColumn("__content_hash", DedupOps.digest(col(contentCol)))
+      .withColumn("__win", org.apache.spark.sql.functions.window(
+        col(eventTimeCol), window))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicates("__content_hash", "__win")
+      .drop("__content_hash", "__win")
+
+  /** Event-time windowed aggregation with watermark: per-window, per-key
+    * counts and an exact decimal sum — the canonical
+    * readStream→window→agg shape (append mode emits a window once the
+    * watermark passes it). */
+  def windowedCounts(df: DataFrame, eventTimeCol: String, keyCol: String,
+                     valueCol: String, windowLen: String,
+                     delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(
+        window(col(eventTimeCol), windowLen).as("win"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col(keyCol), col("n"), col("total"))
+}

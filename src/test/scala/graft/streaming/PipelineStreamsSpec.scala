@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("streaming exact dedup keeps first arrival across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.dedupExactStream(sdf, "text", "event_time", "10 seconds")
+    val query = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha", ts(10)), (2L, "beta", ts(11)), (3L, "alpha", ts(12)))
+      query.processAllAvailable()
+      mem.addData((4L, "alpha", ts(13)), (5L, "gamma", ts(14)), (6L, "beta", ts(15)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("dedup_stream")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // one row per distinct content, the first arrival: alpha->1, beta->2, gamma->5
+    assert(got == Seq(1L, 2L, 5L))
+  }
+
+  test("windowed counts with watermark emit closed windows (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Timestamp)]
+    val sdf = mem.toDF.toDF("event_type", "value", "event_time")
+    val out = PipelineStreams.windowedCounts(
+      sdf, "event_time", "event_type", "value", "10 seconds", "5 seconds")
+    val query = out.writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(("click", 1.5, ts(1)), ("click", 2.5, ts(3)), ("view", 1.0, ts(8)))
+      query.processAllAvailable()
+      // advance event time far past the first window + watermark -> closes it
+      mem.addData(("click", 9.0, ts(60)))
+      query.processAllAvailable()
+      mem.addData(("view", 1.0, ts(120)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("win_stream")
+      .select("event_type", "n", "total").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // first 10s window closed with click:2 (1.5+2.5) and view:1 (1.0);
+    // the ts(60) window closed when ts(120) advanced the watermark
+    assert(rows.contains(("click", 2L, 4.0)))
+    assert(rows.contains(("view", 1L, 1.0)))
+    assert(rows.contains(("click", 1L, 9.0)))
+  }
+
+  test("windowed dedup re-admits content in later windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.dedupExactStreamWindowed(
+      sdf, "text", "event_time", "5 seconds", "10 seconds")
+    val query = out.writeStream.format("memory").queryName("dedup_win_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha", ts(1)), (2L, "alpha", ts(3)),   // same window: dup
+        (3L, "alpha", ts(15)))                                   // next window: kept
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("dedup_win_stream")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+}
