@@ -19,8 +19,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: JIT + codegen + parquet footer caches.
+    // Warmup: JIT + codegen + parquet footer caches — including the
+    // replay exec at n=1 (scalar engine) and n=2 (unified engine) on a
+    // tiny synthetic stream, so the first timed query measures steady
+    // state instead of absorbing kernel JIT (round 1 showed
+    // bbo_updates_n1 ~2× its steady-state time for exactly this reason).
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    locally {
+      import org.apache.spark.sql.functions._
+      val ev = spark.range(20000).select(
+        col("id").as("seq"), (col("id") % 4).as("product"),
+        (col("id") % 2 === 0).as("is_bid"),
+        (col("id") % 37 + 1).as("price"), (col("id") % 9 + 1).as("qty"))
+      graft.operators.OrderBookOps.topNLevelsFromPriceUpdates(
+        ev, "price", "qty", "is_bid", 1, Seq("product"), Seq("seq")).count()
+      graft.operators.OrderBookOps.topNLevelsFromPriceUpdates(
+        ev, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq")).count()
+    }
 
     val benchSet = Registry.all.filter(_.bench)
     val results = benchSet.map { q =>
