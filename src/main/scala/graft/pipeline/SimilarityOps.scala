@@ -128,32 +128,14 @@ object SimilarityOps {
       (r.getLong(0), v, math.sqrt(n2.toDouble))
     }.toSeq.sortBy(_._1)
 
-  private def centroidsLiteral(cs: Seq[(Long, Seq[Long], Double)]): Column =
-    typedLit(cs)
-
-  /** Per-row cell scores against the broadcast centroid literal: one
-    * map-only `transform` emitting (cosine, cent_id) structs — no
-    * crossJoin row amplification, no Window, no Exchange. */
-  private def cellScores(sv: Column, centsLit: Column): Column =
-    transform(centsLit, c => struct(
-      (dot(sv, c.getField("_2")).cast("double") /
-        (sqrt(norm2(sv).cast("double")) * c.getField("_3"))).as("cos"),
-      c.getField("_1").as("cent_id")))
-
-  /** Sort comparator: cosine descending, cent_id ascending — the exact
-    * ordering the oracle's `row_number() OVER (ORDER BY cos DESC, id)`
-    * uses (Spark and DuckDB both treat NaN as greater than any number). */
-  private val cellCmp: (Column, Column) => Column = (l, r) =>
-    when(l.getField("cos") > r.getField("cos"), -1)
-      .when(l.getField("cos") < r.getField("cos"), 1)
-      .when(l.getField("cent_id") < r.getField("cent_id"), -1)
-      .when(l.getField("cent_id") > r.getField("cent_id"), 1)
-      .otherwise(0)
-
-  /** The m best cells for a scaled vector, as an array of cent_ids. */
-  private def topCells(sv: Column, centsLit: Column, m: Int): Column =
-    transform(slice(array_sort(cellScores(sv, centsLit), cellCmp), 1, m),
-      s => s.getField("cent_id"))
+  /** The m best cells for a scaled vector, as an array of cent_ids —
+    * the codegen'd kernel expression (straight dot/insert loop over the
+    * embedded centroid set); map-only, no crossJoin, no Window, no
+    * Exchange. Ordering: cosine DESC (NaN greatest), cent_id ASC —
+    * identical to the oracle's row_number ordering. */
+  private def topCells(sv: Column, cents: Seq[(Long, Seq[Long], Double)],
+                       m: Int): Column =
+    graft.functions.CentroidTopCells.topCells(sv, cents, m)
 
   /** Deterministic Lloyd's k-means over integer-scaled vectors, for use
     * as the IVF coarse quantizer. Everything stays in exact integer
@@ -184,12 +166,12 @@ object SimilarityOps {
       .select(col("cent_id"), col("sv").as("cent_v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val centsLit = centroidsLiteral(cents.map { case (id, cv) =>
+      val snapshot = cents.map { case (id, cv) =>
         var n2 = 0L; cv.foreach(x => n2 += x * x)
         (id, cv, math.sqrt(n2.toDouble))
-      })
+      }
       val best = v.select(col("sv"),
-        element_at(topCells(col("sv"), centsLit, 1), 1).as("cent_id"))
+        element_at(topCells(col("sv"), snapshot, 1), 1).as("cent_id"))
       // exact integer mean per dimension: floor(sum / count)
       val dims = best
         .select(col("cent_id"), posexplode(col("sv")).as(Seq("dim", "x")))
@@ -240,16 +222,16 @@ object SimilarityOps {
                           vecCol: String, cents: DataFrame, k: Int,
                           nProbes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centsLit = centroidsLiteral(collectCentroids(cents))
-    // nearest-cell assignment: map-only top-m over the broadcast centroid
-    // literal — the former crossJoin(broadcast)+Window form materialized
-    // |C|×|cents| intermediate rows and sorted per vector (a 4000×
-    // blow-up at a 4k-centroid 100 TB deployment); this is one projection
-    // + a generator, no Exchange, no Window.
+    val snapshot = collectCentroids(cents)
+    // nearest-cell assignment: map-only top-m via the codegen'd kernel
+    // over the embedded centroid set — the former crossJoin(broadcast)
+    // +Window form materialized |C|×|cents| intermediate rows and sorted
+    // per vector (a 4000× blow-up at a 4k-centroid 100 TB deployment);
+    // this is one projection + a generator, no Exchange, no Window.
     def assign(df: DataFrame, side: String, m: Int): DataFrame = {
       val v = df.select(col(idCol).as(s"${side}_id"), scaled(col(vecCol)).as(s"${side}_v"))
       v.select(col(s"${side}_id"), col(s"${side}_v"),
-        explode(topCells(col(s"${side}_v"), centsLit, m)).as("cent_id"))
+        explode(topCells(col(s"${side}_v"), snapshot, m)).as("cent_id"))
     }
     val corpusCells = assign(corpus, "c", 1)    // each vector lives in 1 cell
     val queryProbes = assign(queries, "q", nProbes) // queries probe nProbes cells
