@@ -45,14 +45,19 @@ object SimilarityOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms are computed ONCE per row below the join (the scaled vector
+    // is multi-referenced, so CollapseProject keeps it staged) — the
+    // per-pair work is one dot, not three
     val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("q_n2", norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
+      .withColumn("c_n2", norm2(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"), col("cv")).as("dot_scaled"),
         cosineFromInts(dot(col("qv"), col("cv")),
-          norm2(col("qv")), norm2(col("cv"))).as("cosine"))
+          col("q_n2"), col("c_n2")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -99,13 +104,15 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucketScaled(col("qv"), planes))
+      .withColumn("q_n2", norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucketScaled(col("cv"), planes))
+      .withColumn("c_n2", norm2(col("cv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFromInts(dot(col("qv"), col("cv")),
-          norm2(col("qv")), norm2(col("cv"))).as("cosine"))
+          col("q_n2"), col("c_n2")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -230,7 +237,8 @@ object SimilarityOps {
     // this is one projection + a generator, no Exchange, no Window.
     def assign(df: DataFrame, side: String, m: Int): DataFrame = {
       val v = df.select(col(idCol).as(s"${side}_id"), scaled(col(vecCol)).as(s"${side}_v"))
-      v.select(col(s"${side}_id"), col(s"${side}_v"),
+        .withColumn(s"${side}_n2", norm2(col(s"${side}_v")))
+      v.select(col(s"${side}_id"), col(s"${side}_v"), col(s"${side}_n2"),
         explode(topCells(col(s"${side}_v"), snapshot, m)).as("cent_id"))
     }
     val corpusCells = assign(corpus, "c", 1)    // each vector lives in 1 cell
@@ -239,7 +247,7 @@ object SimilarityOps {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         cosineFromInts(dot(col("q_v"), col("c_v")),
-          norm2(col("q_v")), norm2(col("c_v"))).as("cosine"))
+          col("q_n2"), col("c_n2")).as("cosine"))
       .distinct() // a neighbor may appear via several probed cells
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -258,14 +266,15 @@ object SimilarityOps {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6): DataFrame = {
     val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"))
-      .filter(norm2(col("v")) > 0)
+      .withColumn("n2", norm2(col("v")))
+      .filter(col("n2") > 0)
       .withColumn("bucket", lshBucketScaled(col("v"), planes))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         cosineFromInts(dot(col("a.v"), col("b.v")),
-          norm2(col("a.v")), norm2(col("b.v"))).as("cosine"))
+          col("a.n2"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
