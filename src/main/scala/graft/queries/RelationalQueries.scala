@@ -34,6 +34,8 @@ object RelationalQueries {
     GraftQuery("q_asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
     GraftQuery("q_brand_volume_by_region", brandVolumeByRegion, Some(brandVolumeByRegionSql)),
     GraftQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
+    GraftQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    GraftQuery("q_sessionize", sessionize, Some(sessionizeSql)),
   )
 
   /** Hierarchical totals via ROLLUP (the grouping-sets family). */
@@ -304,6 +306,68 @@ object RelationalQueries {
       |SELECT t.user_id, t.t, t.trade_val, q.quote_px, q.t AS asof_t
       |FROM trades t ASOF LEFT JOIN quotes q
       |  ON t.user_id = q.user_id AND t.t >= q.t""".stripMargin
+
+  /** Range (interval) join via binning: every trade matched to ALL
+    * quotes whose validity interval [s, s+17) contains the trade time —
+    * the binned equi-join plan instead of Spark's nested-loop inequality
+    * join; checked against DuckDB's plain range predicate. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.read(spark, sfDir, "events")
+    val quotes = ev.filter(col("event_id") % 2 === 0).select(
+      col("user_id"),
+      col("event_id").as("s"),
+      (col("event_id") + 17).as("e"),
+      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
+    val trades = ev.filter(col("event_id") % 2 === 1).select(
+      col("user_id"),
+      col("event_id").as("t"),
+      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    graft.operators.RangeJoin.joinPointInInterval(
+        trades, quotes, timeCol = "t", startCol = "s", endCol = "e",
+        keys = Seq("user_id"), binWidth = 16L)
+      .select(col("user_id"), col("t"), col("trade_val"),
+        col("s"), col("e"), col("quote_px"))
+  }
+
+  def rangeJoinSql: String =
+    """WITH quotes AS (
+      |  SELECT user_id, event_id AS s, event_id + 17 AS e,
+      |         50 + (event_id * 2654435761) % 45 AS quote_px
+      |  FROM events WHERE event_id % 2 = 0
+      |), trades AS (
+      |  SELECT user_id, event_id AS t,
+      |         1 + (event_id * 48271) % 100 AS trade_val
+      |  FROM events WHERE event_id % 2 = 1
+      |)
+      |SELECT t.user_id, t.t, t.trade_val, q.s, q.e, q.quote_px
+      |FROM trades t JOIN quotes q
+      |  ON t.user_id = q.user_id AND t.t >= q.s AND t.t < q.e""".stripMargin
+
+  /** Gap-based sessionization of the event log (gap > 40 starts a new
+    * session per user), rolled up to per-session stats. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sessionize.sessionStats(
+      Tables.read(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id").as("t")),
+      timeCol = "t", keys = Seq("user_id"), maxGap = 40L)
+
+  def sessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id AS t FROM events
+      |), m AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 40
+      |         THEN t END AS marker
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t)
+      |), s AS (
+      |  SELECT user_id, t,
+      |    last_value(marker IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS session_start
+      |  FROM m
+      |)
+      |SELECT user_id, session_start, count(*) AS n_events,
+      |  max(t) - min(t) AS span
+      |FROM s GROUP BY user_id, session_start""".stripMargin
 
   /** Forward as-of: each trade matched to the NEXT quote at or after it. */
   def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {

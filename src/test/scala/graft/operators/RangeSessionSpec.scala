@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeSessionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("binned range join == naive inequality join, several bin widths") {
+    val rnd = new scala.util.Random(17)
+    val left = (0 until 300).map(i =>
+      ("K" + rnd.nextInt(3), rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lv")
+    val right = (0 until 120).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      ("K" + rnd.nextInt(3), s, s + 1 + rnd.nextInt(40), i.toLong)
+    }.toDF("k", "s", "e", "rv")
+    val naive = left.join(right, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("k", "t", "lv", "s", "e", "rv")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    for (w <- Seq(1L, 7L, 16L, 64L, 1000L)) {
+      val binned = RangeJoin.joinPointInInterval(
+          left, right, "t", "s", "e", Seq("k"), binWidth = w)
+        .select("k", "t", "lv", "s", "e", "rv")
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      assert(binned == naive, s"binWidth=$w")
+    }
+  }
+
+  test("range join: boundary semantics (half-open), empty/invalid intervals") {
+    val left = Seq(("A", 10L), ("A", 14L), ("A", 15L)).toDF("k", "t")
+    val right = Seq(
+      ("A", 10L, 15L, "ok"),     // [10,15): matches t=10,14 not 15
+      ("A", 20L, 20L, "empty"),  // empty interval: no matches
+      ("A", 30L, 25L, "invalid") // end < start: filtered
+    ).toDF("k", "s", "e", "tag")
+    val out = RangeJoin.joinPointInInterval(left, right, "t", "s", "e", Seq("k"), 4L)
+      .select("t", "tag").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(out == Seq((10L, "ok"), (14L, "ok")))
+  }
+
+  test("sessionization splits on gaps and rolls up correctly") {
+    val df = Seq(
+      ("u1", 1L), ("u1", 5L), ("u1", 9L),      // session 1: 1..9
+      ("u1", 60L), ("u1", 61L),                // session 60 (gap 51)
+      ("u2", 5L))                              // own key
+      .toDF("user", "t")
+    val stats = Sessionize.sessionStats(df, "t", Seq("user"), maxGap = 40L)
+      .orderBy("user", "session_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stats == Seq(
+      ("u1", 1L, 3L, 8L), ("u1", 60L, 2L, 1L), ("u2", 5L, 1L, 0L)))
+    // row-level ids: every row carries its session's start
+    val ids = Sessionize.withSessionIds(df, "t", Seq("user"), 40L)
+      .filter(col("user") === "u1").select("t", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(ids == Seq((1L, 1L), (5L, 1L), (9L, 1L), (60L, 60L), (61L, 60L)))
+  }
+}
