@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distribution statistics over integral columns — the corpus
+  * length/quality cutoffs a training-data pipeline derives before
+  * filtering (e.g. "drop docs below the p10 token count").
+  *
+  * Scale shape: one parallel groupBy on the VALUE (the distinct-value
+  * relation is tiny for any bounded metric — token counts, scores,
+  * prices), a running-sum window over that small relation, and a
+  * broadcast of |quantiles| rank thresholds. No global sort of the data,
+  * no interpolation (discrete quantiles: value at rank ceil(q·n)) —
+  * bit-identical across engines, unlike approx_percentile/quantile_cont
+  * whose FP interpolation differs. */
+object StatsOps {
+
+  /** Exact discrete quantiles of `valueExpr`: for each permille p, the
+    * smallest value whose cumulative count reaches ceil(p·n/1000).
+    * Quantiles are PERMILLE INTEGERS (p50 = 500) so the rank arithmetic
+    * is pure integer math — a fractional q would be a DOUBLE literal in
+    * Spark but a DECIMAL in DuckDB, and ceil(0.1·n) rounds differently
+    * between those. Returns (q_permille, value). */
+  def exactQuantiles(df: DataFrame, valueExpr: Column,
+                     permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000))
+    val cnts = df.select(valueExpr.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnts.withColumn("cum", sum(col("c")).over(w))
+    // ceil(p*n/1000) = floorDiv(p*n + 999, 1000), exact integer math
+    // (pmod-subtraction floor-div; the double step divides an exact
+    // multiple of 1000)
+    val pn = col("q_permille") * col("n") + 999
+    val ranks = df.agg(count(lit(1)).as("n"))
+      .select(explode(array(permille.map(p => lit(p.toLong)): _*)).as("q_permille"),
+        col("n"))
+      .select(col("q_permille"),
+        ((pn - pmod(pn, lit(1000L))) / 1000L).cast("long").as("rank"))
+    cum.crossJoin(broadcast(ranks))
+      .groupBy(col("q_permille"))
+      .agg(min(when(col("cum") >= col("rank"), col("v"))).as("value"))
+  }
+
+  /** Matching DuckDB SQL over a one-column relation `src` (alias v). */
+  def exactQuantilesSql(srcSql: String, permille: Seq[Int]): String =
+    s"""WITH vals AS ($srcSql),
+       |cnts AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+       |cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       |        FROM cnts),
+       |ranks AS (
+       |  SELECT q_permille, (q_permille * n + 999) // 1000 AS rank
+       |  FROM (SELECT unnest([${permille.map(p => s"${p}::BIGINT").mkString(", ")}]) AS q_permille),
+       |       (SELECT count(*) AS n FROM vals)
+       |)
+       |SELECT q_permille, min(CASE WHEN cum >= rank THEN v END) AS value
+       |FROM cum, ranks GROUP BY q_permille""".stripMargin
+}

@@ -22,6 +22,7 @@ object TextQueries {
     GraftQuery("q_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     GraftQuery("q_minhash_pairs_skew", minhashPairsSkew, Some(minhashPairsSkewSql)),
     GraftQuery("q_dedup_near", dedupNear, Some(dedupNearSql)),
+    GraftQuery("q_token_quantiles", tokenQuantiles, Some(tokenQuantilesSql)),
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
   )
@@ -225,6 +226,21 @@ object TextQueries {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
   }
+
+  // ---- exact quantiles ---------------------------------------------------
+
+  private val QUANTILES = Seq(100, 500, 900, 990) // permille
+
+  /** Exact token-count quantiles over the corpus — the length-cutoff
+    * derivation step of a filtering pipeline. */
+  def tokenQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.StatsOps.exactQuantiles(
+      docs(spark, sfDir), TextOps.tokenCount(col("text")).cast("long"), QUANTILES)
+
+  def tokenQuantilesSql: String =
+    graft.pipeline.StatsOps.exactQuantilesSql(
+      s"SELECT CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS v FROM documents",
+      QUANTILES)
 
   // ---- simhash -----------------------------------------------------------
 

@@ -53,6 +53,20 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("exact quantiles match a sorted-sequence reference") {
+    val rnd = new scala.util.Random(23)
+    val vals = (0 until 500).map(_ => rnd.nextInt(100).toLong)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val qs = Seq(100, 500, 900, 990, 1000)
+    val got = StatsOps.exactQuantiles(df, col("v"), qs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val rank = (q.toLong * vals.length + 999) / 1000
+      assert(got(q.toLong) == sorted(rank.toInt - 1), s"q=$q")
+    }
+  }
+
   test("zero vectors never reach cosine near-dup bucketing") {
     val zeros = (0L until 50L).map(i => (i, Array.fill(8)(0.0f)))
     val realA = Seq((100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
