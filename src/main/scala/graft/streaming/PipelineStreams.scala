@@ -44,6 +44,19 @@ object PipelineStreams {
       .dropDuplicates("__content_hash", "__win")
       .drop("__content_hash", "__win")
 
+  /** Streaming gap-based sessionization via the native `session_window`:
+    * per-key sessions close once the watermark passes their gap; emits
+    * (session start/end, key, n_events) in append mode — the streaming
+    * analogue of `operators.Sessionize` (which serves the batch path
+    * with an identical gap rule). */
+  def sessionCounts(df: DataFrame, eventTimeCol: String, keyCol: String,
+                    gap: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(session_window(col(eventTimeCol), gap).as("sess"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col(keyCol), col("n_events"))
+
   /** Event-time windowed aggregation with watermark: per-window, per-key
     * counts and an exact decimal sum — the canonical
     * readStream→window→agg shape (append mode emits a window once the

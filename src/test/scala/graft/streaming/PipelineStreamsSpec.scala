@@ -57,6 +57,32 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(rows.contains(("click", 1L, 9.0)))
   }
 
+  test("streaming session windows close on gap once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val sdf = mem.toDF.toDF("user", "event_time")
+    val out = PipelineStreams.sessionCounts(
+      sdf, "event_time", "user", gap = "10 seconds", delay = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(("u1", ts(1)), ("u1", ts(5)), ("u1", ts(8)), ("u2", ts(2)))
+      query.processAllAvailable()
+      // far-future event moves the watermark past both open sessions
+      mem.addData(("u1", ts(100)))
+      query.processAllAvailable()
+      mem.addData(("u1", ts(200)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("sess_stream")
+      .select("user", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // u1's first session has 3 events (1,5,8 within 10s gaps); u2 has 1;
+    // u1@100 closed when 200 advanced the watermark
+    assert(rows.contains(("u1", 3L)) && rows.contains(("u2", 1L)))
+    assert(rows.contains(("u1", 1L)))
+  }
+
   test("windowed dedup re-admits content in later windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
