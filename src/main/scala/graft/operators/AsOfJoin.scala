@@ -53,11 +53,56 @@ object AsOfJoin {
                       tolerance: Option[Long] = None): DataFrame =
     joinAsOf(left, right, timeCol, keys, valueCols, tolerance, forward = true)
 
-  private def joinAsOf(left: DataFrame, right: DataFrame, timeCol: String,
-                       keys: Seq[String], valueCols: Seq[String],
-                       tolerance: Option[Long], forward: Boolean): DataFrame = {
+  /** Nearest as-of join: the right row minimizing |rightTime − leftTime|;
+    * exact ties prefer the backward (earlier-or-equal) match. Same plan
+    * as the directional forms — ONE shuffle + sort — with two window
+    * frames over the same sort: a running last (nearest backward
+    * candidate) and a strictly-after first (nearest forward candidate),
+    * then a row-local pick. `tolerance` bounds the absolute distance. */
+  def joinAsOfNearest(left: DataFrame, right: DataFrame, timeCol: String,
+                      keys: Seq[String], valueCols: Seq[String],
+                      tolerance: Option[Long] = None): DataFrame = {
+    val (unioned, leftCols) = unionTagged(left, right, timeCol, keys, valueCols)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc_nulls_first, col("__tag").asc)
+    // same-time right rows sort BEFORE the left row, so they are in the
+    // backward frame; the forward frame starts strictly after the
+    // current row and only sees strictly-later right rows
+    val carried = unioned
+      .withColumn("__back", last(col("__rpack"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__fwd", first(col("__rpack"), ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+    val t = col(timeCol).cast("long")
+    val backDist = t - col("__back.__rt")
+    val fwdDist = col("__fwd.__rt") - t
+    val chosen =
+      when(col(timeCol).isNull, lit(null))
+        .when(col("__back").isNotNull && col("__fwd").isNotNull,
+          when(backDist <= fwdDist, col("__back")).otherwise(col("__fwd")))
+        .when(col("__back").isNotNull, col("__back"))
+        .otherwise(col("__fwd"))
+    val withChoice = carried.withColumn("__asof", chosen)
+    val age = abs(col("__asof.__rt") - t)
+    val inTol = tolerance match {
+      case Some(tol) => col("__asof").isNotNull && age <= tol
+      case None => col("__asof").isNotNull
+    }
+    withChoice.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => when(inTol, col(s"__asof.$c")).otherwise(lit(null)).as(c)) :+
+        when(inTol, col("__asof.__rt")).otherwise(lit(null)).as(s"asof_$timeCol"): _*)
+  }
+
+  /** Shared union-tag construction: left rows tagged 1, right rows
+    * tagged 0 with their payload packed into ONE nullable struct
+    * (`__rpack`) so every carried value comes from the same right row. */
+  private def unionTagged(left: DataFrame, right: DataFrame, timeCol: String,
+                          keys: Seq[String], valueCols: Seq[String])
+      : (DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
-    val reserved = valueCols.toSet ++ Set(s"asof_$timeCol", "__rpack", "__tag", "__asof")
+    val reserved = valueCols.toSet ++
+      Set(s"asof_$timeCol", "__rpack", "__tag", "__asof", "__back", "__fwd")
     val clash = left.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"left already has reserved/output columns: $clash")
 
@@ -79,6 +124,13 @@ object AsOfJoin {
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     val unioned = lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
+    (unioned, leftCols)
+  }
+
+  private def joinAsOf(left: DataFrame, right: DataFrame, timeCol: String,
+                       keys: Seq[String], valueCols: Seq[String],
+                       tolerance: Option[Long], forward: Boolean): DataFrame = {
+    val (unioned, leftCols) = unionTagged(left, right, timeCol, keys, valueCols)
 
     // right rows sort before left rows at equal time (ties match).
     // Nulls sort FIRST in both directions: a left row with a null time

@@ -65,6 +65,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(px(5).isEmpty)                             // C -> no quotes
   }
 
+  test("nearest as-of picks the closer quote, ties backward") {
+    // quotes A: 10, 20, 40. B: 15. C: none
+    val out = AsOfJoin.joinAsOfNearest(trades, quotes, "t", Seq("sym"), Seq("px"))
+      .orderBy("sym", "t").collect()
+    def px(i: Int): Option[Long] = if (out(i).isNullAt(3)) None else Some(out(i).getLong(3))
+    def at(i: Int): Option[Long] = if (out(i).isNullAt(4)) None else Some(out(i).getLong(4))
+    assert(px(0) == Some(100L) && at(0) == Some(10L)) // A@5  -> 10 (only fwd)
+    assert(px(1) == Some(100L) && at(1) == Some(10L)) // A@10 -> exact
+    assert(px(2) == Some(110L) && at(2) == Some(20L)) // A@25 -> 20 (5) vs 40 (15)
+    assert(px(3) == Some(120L) && at(3) == Some(40L)) // A@99 -> 40 (only back)
+    assert(px(4) == Some(500L) && at(4) == Some(15L)) // B@16 -> 15
+    assert(px(5).isEmpty)                             // C -> none
+    // exact tie (30 is equidistant from 20 and 40) -> backward wins
+    val tie = Seq(("A", 30L, 9L)).toDF("sym", "t", "qty")
+    val r = AsOfJoin.joinAsOfNearest(tie, quotes, "t", Seq("sym"), Seq("px")).collect()(0)
+    assert(r.getLong(4) == 20L && r.getLong(3) == 110L)
+    // tolerance bounds the absolute distance
+    val tol = AsOfJoin.joinAsOfNearest(trades, quotes, "t", Seq("sym"), Seq("px"),
+        tolerance = Some(4L))
+      .orderBy("sym", "t").collect()
+    assert(tol(0).isNullAt(3))  // A@5 -> nearest 10 at distance 5 > 4
+    assert(!tol(1).isNullAt(3)) // A@10 -> exact match, distance 0
+    assert(tol(2).isNullAt(3))  // A@25 -> nearest 20 at distance 5 > 4
+  }
+
   test("a null left time matches nothing in either direction") {
     // DuckDB ASOF (and SQL comparison semantics) never match a NULL time;
     // the forward direction used to inherit the earliest quote because
