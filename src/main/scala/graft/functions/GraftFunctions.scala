@@ -20,19 +20,23 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
   */
 object GraftFunctions {
 
+  /** Name → expression builder for every SQL-surface function; shared by
+    * session-local registration (registerAll) and the
+    * spark.sql.extensions path (GraftExtensions.injectFunction). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "long_array_dot" -> { exprs =>
+      require(exprs.size == 2, "long_array_dot(a, b)")
+      LongArrayDot(exprs(0), exprs(1))
+    },
+    "bbo_from_price_updates" -> (exprs => mkBbo(0, 4, exprs)),
+    "bbo_from_price_mutations" -> (exprs => mkBbo(1, 4, exprs)),
+    "bbo_from_price_mutations_with_modify" -> (exprs => mkBbo(2, 6, exprs)))
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("long_array_dot",
-      exprs => {
-        require(exprs.size == 2, "long_array_dot(a, b)")
-        LongArrayDot(exprs(0), exprs(1))
-      }, "built-in")
-    reg.createOrReplaceTempFunction("bbo_from_price_updates",
-      exprs => mkBbo(0, 4, exprs), "built-in")
-    reg.createOrReplaceTempFunction("bbo_from_price_mutations",
-      exprs => mkBbo(1, 4, exprs), "built-in")
-    reg.createOrReplaceTempFunction("bbo_from_price_mutations_with_modify",
-      exprs => mkBbo(2, 6, exprs), "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   private def mkBbo(mode: Int, arity: Int, exprs: Seq[Expression]): Expression = {

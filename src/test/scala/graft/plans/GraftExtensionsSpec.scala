@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The one-conf-line deployment path: a session built with
+  * `.withExtensions(new GraftExtensions)` must expose the SQL functions
+  * and the replay strategy with no API-side registration calls. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val base = SparkTestSession.spark
+
+  test("extensions session exposes bbo SQL functions and the strategy") {
+    val _ = base // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import spark.implicits._
+      Seq((1L, 0L, true, 10L, 5L), (2L, 0L, false, 12L, 3L), (3L, 0L, true, 11L, 2L))
+        .toDF("seq", "product", "is_bid", "price", "qty")
+        .createOrReplaceTempView("ext_stream")
+      // SQL function injected by the extension — no registerAll call
+      val out = spark.sql(
+        """SELECT seq, bbo_from_price_updates(price, qty, is_bid, 1) OVER (
+          |  PARTITION BY product ORDER BY seq
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bbo
+          |FROM ext_stream""".stripMargin)
+        .select(col("seq"), col("bbo.bid_price_1")).orderBy("seq").collect()
+      assert(out.length == 3 && out(2).getLong(1) == 11L)
+      // strategy injected: plan a BboReplayNode DIRECTLY (bypassing the
+      // operator API, which would lazily register the strategy itself) —
+      // planning only succeeds if the extension injected it
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{BooleanType, LongType}
+      val df = spark.table("ext_stream")
+      val analyzed = df.queryExecution.analyzed
+      def attr(n: String) = analyzed.output.find(_.name == n).get
+      val node = BboReplayNode(0, 1,
+        Cast(attr("price"), LongType), Cast(attr("qty"), LongType),
+        Cast(attr("is_bid"), BooleanType), None, None,
+        Seq(attr("product")), Seq(attr("seq")),
+        BboReplayNode.mkBboAttrs(1), analyzed)
+      val replayed = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, node)
+        .orderBy("seq").collect()
+      assert(replayed.length == 3)
+      val dot = spark.sql("SELECT long_array_dot(array(1L, 2L), array(10L, 20L)) AS d")
+        .collect()(0).getLong(0)
+      assert(dot == 50L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
