@@ -27,13 +27,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class CentroidTopCells(
     child: Expression,
-    centIds: Array[Long],
-    centVecs: Array[Array[Long]],
-    centSqrtNorms: Array[Double],
+    centIds: IndexedSeq[Long],
+    centVecs: IndexedSeq[IndexedSeq[Long]],
+    centSqrtNorms: IndexedSeq[Double],
     m: Int) extends UnaryExpression {
 
   require(m >= 1, s"m must be >= 1, got $m")
   require(centIds.length == centVecs.length && centIds.length == centSqrtNorms.length)
+
+  // fields are IndexedSeq (NOT Array) so the case-class equals/hashCode
+  // are structural — Array fields would make semantically identical
+  // instances unequal and silently defeat Catalyst canonicalization,
+  // common-subexpression elimination, and exchange reuse. The kernel
+  // still runs on primitive arrays, materialized once per instance.
+  @transient private lazy val idsArr: Array[Long] = centIds.toArray
+  @transient private lazy val vecsArr: Array[Array[Long]] = centVecs.map(_.toArray).toArray
+  @transient private lazy val snsArr: Array[Double] = centSqrtNorms.toArray
 
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(LongType, _) =>
@@ -47,12 +56,12 @@ case class CentroidTopCells(
 
   override def nullSafeEval(v: Any): Any =
     CentroidTopCells.topCellsKernel(v.asInstanceOf[ArrayData],
-      centIds, centVecs, centSqrtNorms, m)
+      idsArr, vecsArr, snsArr, m)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
-    val vecs = ctx.addReferenceObj("centVecs", centVecs, "long[][]")
-    val sns = ctx.addReferenceObj("centSqrtNorms", centSqrtNorms, "double[]")
+    val ids = ctx.addReferenceObj("centIds", idsArr, "long[]")
+    val vecs = ctx.addReferenceObj("centVecs", vecsArr, "long[][]")
+    val sns = ctx.addReferenceObj("centSqrtNorms", snsArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.CentroidTopCells.topCellsKernel($c, $ids, $vecs, $sns, $m)")
   }
@@ -116,8 +125,8 @@ object CentroidTopCells {
   def topCells(sv: Column, cents: Seq[(Long, Seq[Long], Double)], m: Int): Column =
     GraftColumnBridge.column(CentroidTopCells(
       GraftColumnBridge.expression(sv),
-      cents.map(_._1).toArray,
-      cents.map(_._2.toArray).toArray,
-      cents.map(_._3).toArray,
+      cents.map(_._1).toIndexedSeq,
+      cents.map(_._2.toIndexedSeq).toIndexedSeq,
+      cents.map(_._3).toIndexedSeq,
       m))
 }

@@ -32,6 +32,8 @@ object RangeJoin {
                           binWidth: Long): DataFrame = {
     require(binWidth >= 1, "binWidth must be >= 1")
     require(keys.nonEmpty, "range join requires at least one key column")
+    val clash = (left.columns.toSet ++ right.columns.toSet).intersect(Set("__rj_bin"))
+    require(clash.isEmpty, s"inputs already have reserved columns: $clash")
     val lBin = left.withColumn("__rj_bin", binOf(col(timeCol), binWidth))
     // end is exclusive: the last candidate bin is the one containing
     // end-1 (an interval touching a bin boundary must not leak into the

@@ -20,8 +20,10 @@ object Sessionize {
 
   /** @param maxGap largest in-session gap, in `timeCol` units; a row
     *               farther than this from its predecessor starts a new
-    *               session. Null times sort first and join the first
-    *               session of their key (callers should filter them). */
+    *               session. Null-time rows sort first and get a NULL
+    *               session_start (they group into one per-key NULL
+    *               session in the rollup) — filter them out if that is
+    *               not the intended bucket. */
   def withSessionIds(df: DataFrame, timeCol: String, keys: Seq[String],
                      maxGap: Long, outCol: String = "session_start"): DataFrame = {
     require(keys.nonEmpty, "sessionize requires at least one key column")

@@ -136,7 +136,14 @@ object DedupOps {
                        shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
                        jaccardThreshold: Double = 0.5): DataFrame = {
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numHashes, bands)
-    val drops = ngramJaccard(df, cand, textCol, idCol, shingleK)
+    // restrict the exact-Jaccard stage to docs that appear in a candidate
+    // pair BEFORE exploding shingles — ngramJaccard's distinct-shingle
+    // shuffle over the full corpus would otherwise dominate the whole
+    // pipeline (candidates are a vanishing fraction of a real corpus)
+    val candIds = cand.select(col("id_a").as("__nd_id"))
+      .unionAll(cand.select(col("id_b").as("__nd_id")))
+    val candDocs = df.join(candIds, col(idCol) === col("__nd_id"), "left_semi")
+    val drops = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as("__nd_drop")).distinct()
     df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")

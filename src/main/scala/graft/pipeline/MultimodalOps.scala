@@ -66,7 +66,10 @@ object MultimodalOps {
       md5(content).as("digest"),
       when(isPng, be(17, 4)).otherwise(h % 1024 + 1).as("width"),
       when(isPng, be(21, 4)).otherwise(shiftright(h, 10) % 1024 + 1).as("height"),
-      when(isPng, pngChannels).otherwise(h % 3 + 1).as("channels"))
+      // coalesce: a PNG with an unrecognized color type must still fall
+      // back to the deterministic value, not a NULL that would violate
+      // the declared non-nullable schema
+      coalesce(when(isPng, pngChannels), h % 3 + 1).as("channels"))
   }
 
   /** STUB resize: the real implementation would decode, resample, and

@@ -26,8 +26,12 @@ object StatsOps {
   def exactQuantiles(df: DataFrame, valueExpr: Column,
                      permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000))
-    val cnts = df.select(valueExpr.as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // NULL metric values are excluded on BOTH engines: Spark's window
+    // ordering puts nulls first while DuckDB's ORDER BY puts them last,
+    // which would shift every cumulative count — and a quantile over
+    // nulls is meaningless anyway. n counts non-null values only.
+    val vals = df.select(valueExpr.as("v")).filter(col("v").isNotNull)
+    val cnts = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cnts.withColumn("cum", sum(col("c")).over(w))
@@ -35,7 +39,7 @@ object StatsOps {
     // (pmod-subtraction floor-div; the double step divides an exact
     // multiple of 1000)
     val pn = col("q_permille") * col("n") + 999
-    val ranks = df.agg(count(lit(1)).as("n"))
+    val ranks = vals.agg(count(lit(1)).as("n"))
       .select(explode(array(permille.map(p => lit(p.toLong)): _*)).as("q_permille"),
         col("n"))
       .select(col("q_permille"),
@@ -47,7 +51,7 @@ object StatsOps {
 
   /** Matching DuckDB SQL over a one-column relation `src` (alias v). */
   def exactQuantilesSql(srcSql: String, permille: Seq[Int]): String =
-    s"""WITH vals AS ($srcSql),
+    s"""WITH vals AS (SELECT v FROM ($srcSql) WHERE v IS NOT NULL),
        |cnts AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
        |cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
        |        FROM cnts),

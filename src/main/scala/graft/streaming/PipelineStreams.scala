@@ -17,32 +17,37 @@ import org.apache.spark.sql.functions._
 object PipelineStreams {
 
   /** Streaming exact dedup: keep the FIRST arrival of each distinct
-    * content (by digest), dropping later duplicates. State = one digest
-    * per distinct content seen within the watermark horizon — bounded,
-    * unlike an unconditional dropDuplicates. `eventTimeCol` must be a
-    * timestamp column; duplicates arriving later than `delay` past the
-    * watermark may be re-emitted (the standard streaming-dedup contract —
-    * at 100 TB/day the horizon is a deliberate state-size knob). */
+    * content (by digest), dropping later duplicates. Uses
+    * `dropDuplicatesWithinWatermark` so a digest's state row is EVICTED
+    * once the watermark passes it — a plain dropDuplicates on a
+    * non-event-time key keeps one state row per distinct content
+    * forever. Duplicates spaced farther apart than `delay` may be
+    * re-emitted — the standard streaming-dedup contract; at 100 TB/day
+    * the horizon is a deliberate state-size knob. */
   def dedupExactStream(df: DataFrame, contentCol: String,
                        eventTimeCol: String, delay: String): DataFrame =
     df.withColumn("__content_hash", DedupOps.digest(col(contentCol)))
       .withWatermark(eventTimeCol, delay)
-      .dropDuplicates("__content_hash")
+      .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
   /** Streaming dedup *within* the event-time window only: duplicates of
     * a doc re-appearing in a later window are kept (dedup-per-window is
     * the common freshness-vs-coverage compromise for continuous corpus
-    * ingestion). */
+    * ingestion). The dedup key is (digest, window START as a plain
+    * value) — keeping the window STRUCT would introduce a second
+    * event-time column (rejected by Spark), and
+    * dropDuplicatesWithinWatermark evicts each key's state once the
+    * watermark passes it, so state stays bounded. */
   def dedupExactStreamWindowed(df: DataFrame, contentCol: String,
                                eventTimeCol: String, delay: String,
                                window: String): DataFrame =
     df.withColumn("__content_hash", DedupOps.digest(col(contentCol)))
-      .withColumn("__win", org.apache.spark.sql.functions.window(
-        col(eventTimeCol), window))
       .withWatermark(eventTimeCol, delay)
-      .dropDuplicates("__content_hash", "__win")
-      .drop("__content_hash", "__win")
+      .withColumn("__win_start", org.apache.spark.sql.functions.window(
+        col(eventTimeCol), window).getField("start").cast("long"))
+      .dropDuplicatesWithinWatermark("__content_hash", "__win_start")
+      .drop("__content_hash", "__win_start")
 
   /** Streaming gap-based sessionization via the native `session_window`:
     * per-key sessions close once the watermark passes their gap; emits

@@ -68,8 +68,8 @@ class CentroidTopCellsSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         Seq(3L, 4L), org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType)),
-      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray,
-      cents.map(_._3).toArray, 2)
+      cents.map(_._1).toIndexedSeq, cents.map(_._2.toIndexedSeq).toIndexedSeq,
+      cents.map(_._3).toIndexedSeq, 2)
     val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(got.toLongArray().toSeq == ref(Array(3L, 4L), cents, 2))
   }
