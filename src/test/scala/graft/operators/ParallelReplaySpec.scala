@@ -38,17 +38,17 @@ class ParallelReplaySpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)
     // shallow many-product stream at the default threshold: don't split
     assert(ParallelReplay.chooseSegments(stream, "product") == 1)
-    // forced-low threshold: follows the formula (cores-bounded for 8
-    // products, depth-bounded 1000/8/10 = 12)
+    // forced-low threshold: follows the formula (one wave over the
+    // cores for 8 products, depth-bounded 1000/8/10 = 12)
     val cores = spark.sparkContext.defaultParallelism
     val forced = ParallelReplay.chooseSegments(stream, "product",
       minRowsPerSegment = 10L)
     assert(forced ==
-      math.max(1L, math.min(math.ceil(2.0 * cores / 8).toLong, 12L)).toInt)
+      math.max(1L, math.min(math.ceil(cores.toDouble / 8).toLong, 12L)).toInt)
     // single-product: depth-bounded
     val single = stream.withColumn("product", lit(0L))
     assert(ParallelReplay.chooseSegments(single, "product",
-      minRowsPerSegment = 100L) == math.min(2L * cores, 10L))
+      minRowsPerSegment = 100L) == math.min(cores.toLong, 10L))
     // auto variant == serial, bit-identical
     val serial = OrderBookOps.topNLevelsFromPriceUpdates(
       stream, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
