@@ -30,6 +30,7 @@ object BookQueries {
     GraftQuery("bbo_parallel_updates_n2", (s, d) => bboParallelUpdates(s, d, 2), Some(updatesOracle(2))),
     // the SQL surface (registered window aggregate) shares the oracle too
     GraftQuery("bbo_sql_updates_n1", bboSqlUpdates, Some(updatesOracle(1))),
+    GraftQuery("bbo_sql_updates_n2", (s, d) => bboSqlUpdatesN(s, d, 2), Some(updatesOracle(2))),
     // O3 with REAL modifies: each (product, side, slot) tracks one order
     // whose previous (price, qty) comes from lag() over its own history —
     // a valid modify stream derived obliviously from events.
@@ -102,6 +103,23 @@ object BookQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bbo
         |  FROM graft_book_stream
         |)""".stripMargin)
+  }
+
+  /** SQL surface at arbitrary n: the bbo struct's grouped fields are
+    * pulled out by name, mirroring the reference's unnest recipe. */
+  def bboSqlUpdatesN(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+      .createOrReplaceTempView("graft_book_stream_n")
+    val fields = OrderBookOps.bboFieldNames(n).map(f => s"bbo.$f").mkString(", ")
+    spark.sql(
+      s"""SELECT seq, product, $fields
+         |FROM (
+         |  SELECT seq, product, bbo_from_price_updates(price, qty, is_bid, $n) OVER (
+         |    PARTITION BY product ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bbo
+         |  FROM graft_book_stream_n
+         |)""".stripMargin)
   }
 
   def bboParallelUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

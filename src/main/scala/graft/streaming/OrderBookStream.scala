@@ -26,16 +26,28 @@ object OrderBookStream {
                          isBid: Boolean, pp: Option[Long], pq: Option[Long])
 
   /** Streaming top-N-levels from price updates. `df` must be a streaming
-    * DataFrame. Emits one row per input event (append mode). */
+    * DataFrame. Emits one row per input event (append mode).
+    *
+    * @param idleTimeout when set (e.g. "30 minutes"), a product's book
+    *        state is EVICTED after that much processing time with no
+    *        events — essential when the product universe is unbounded
+    *        (delisted instruments, dead sessions) so the state store
+    *        doesn't grow forever; a product re-appearing after eviction
+    *        starts a fresh book. None = state lives for the lifetime of
+    *        the query (bounded universes). */
   def topNLevelsFromPriceUpdates(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
-      partitionBy: String, orderBy: String): DataFrame =
-    replayStream(df, price, qty, isBid, n, partitionBy, orderBy, mutation = false)
+      partitionBy: String, orderBy: String,
+      idleTimeout: Option[String] = None): DataFrame =
+    replayStream(df, price, qty, isBid, n, partitionBy, orderBy,
+      mutation = false, idleTimeout)
 
   def topNLevelsFromPriceMutations(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
-      partitionBy: String, orderBy: String): DataFrame =
-    replayStream(df, price, qty, isBid, n, partitionBy, orderBy, mutation = true)
+      partitionBy: String, orderBy: String,
+      idleTimeout: Option[String] = None): DataFrame =
+    replayStream(df, price, qty, isBid, n, partitionBy, orderBy,
+      mutation = true, idleTimeout)
 
   /** Streaming O3: mutations with modify (nullable prev columns). */
   def topNLevelsFromPriceMutationsWithModify(
@@ -95,7 +107,8 @@ object OrderBookStream {
 
   private def replayStream(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
-      partitionBy: String, orderBy: String, mutation: Boolean): DataFrame = {
+      partitionBy: String, orderBy: String, mutation: Boolean,
+      idleTimeout: Option[String] = None): DataFrame = {
 
     val outSchema = StructType(
       StructField(partitionBy, LongType) +:
@@ -126,27 +139,38 @@ object OrderBookStream {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaBoolean)
 
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     work.as[(Long, Long, Long, Long, Boolean)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Byte], Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
          state: GroupState[Array[Byte]]) =>
-          val book =
-            if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
-          // fold in order within this micro-batch
-          val sorted = rows.toArray.sortBy(_._2)
-          val out = sorted.iterator.map { case (_, okey, p, q, b) =>
-            if (mutation) Transitions.applyMutation(book, b, p, q)
-            else Transitions.applyUpdate(book, b, p, q)
-            val vals = new Array[Any](2 + 4 * n)
-            vals(0) = key
-            vals(1) = okey
-            book.snapshotInto(vals, 2)
-            new GenericRowWithSchema(vals, outSchema): Row
-          }.toArray
-          state.update(BookCodec.serialize(book))
-          out.iterator
+          if (state.hasTimedOut) {
+            // idle product: drop the book; a later re-appearance replays
+            // from a fresh (empty) book
+            state.remove()
+            Iterator.empty
+          } else {
+            val book =
+              if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
+            // fold in order within this micro-batch
+            val sorted = rows.toArray.sortBy(_._2)
+            val out = sorted.iterator.map { case (_, okey, p, q, b) =>
+              if (mutation) Transitions.applyMutation(book, b, p, q)
+              else Transitions.applyUpdate(book, b, p, q)
+              val vals = new Array[Any](2 + 4 * n)
+              vals(0) = key
+              vals(1) = okey
+              book.snapshotInto(vals, 2)
+              new GenericRowWithSchema(vals, outSchema): Row
+            }.toArray
+            state.update(BookCodec.serialize(book))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
       }(Encoders.BINARY, rowEnc)
   }
 }

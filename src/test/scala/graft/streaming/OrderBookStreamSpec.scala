@@ -46,6 +46,43 @@ class OrderBookStreamSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("idle book state is evicted after the processing-time timeout") {
+    // A timeout-armed query re-triggers continuously (it must, to fire
+    // wall-clock timeouts), which makes processAllAvailable never settle
+    // — so this test polls the memory sink instead of waiting for
+    // engine idleness.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean)]
+    val sdf = mem.toDF.toDF("product", "seq", "price", "qty", "is_bid")
+    val out = OrderBookStream.topNLevelsFromPriceUpdates(
+      sdf, "price", "qty", "is_bid", n = 1, partitionBy = "product", orderBy = "seq",
+      idleTimeout = Some("1 second"))
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("bbo_ttl_stream").count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+        Thread.sleep(250)
+      }
+    }
+    val query = out.writeStream.format("memory").queryName("bbo_ttl_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, 0L, 10L, 5L, true))
+      awaitRows(1)
+      Thread.sleep(4000) // timeout fires in the self-triggering engine
+      // re-appear and drain the new level: a FRESH book has nothing
+      // underneath; a stale (unevicted) one would surface 10/5
+      mem.addData((7L, 2L, 20L, 3L, true), (7L, 3L, 20L, 0L, true))
+      awaitRows(3)
+    } finally query.stop()
+    val rows = spark.table("bbo_ttl_stream").orderBy("seq").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(2) == 10L && rows(0).getLong(3) == 5L)
+    assert(rows(1).getLong(2) == 20L && rows(1).getLong(3) == 3L)
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3),
+      s"book state was not evicted: ${rows(2)}")
+  }
+
   test("streaming mutations across three micro-batches == batch") {
     val events = for (p <- Seq(7L); i <- 0 until 12)
       yield (p, i.toLong,
