@@ -80,25 +80,28 @@ object ParallelReplay {
     * seed reconstruction + extra shuffle rows than the parallelism buys. */
   val DefaultMinRowsPerSegment: Long = 1L << 16
 
-  /** Segments = min(one (product × segment) wave over the cluster,
-    * average-depth / minRowsPerSegment), at least 1. Shallow
-    * many-product streams get 1 (the serial plan — already parallel
-    * across products); one deep product gets the core count. ONE wave,
-    * not more: value-ranged segments of a dense order column are
+  /** Segments = ceil(deepest product / target), where target =
+    * max(minRowsPerSegment, total/cores) — i.e. split the DEEPEST
+    * product into pieces no smaller than a fair per-core share. Keyed to
+    * the max (not average) depth so one deep product hidden among many
+    * shallow ones still parallelizes; inherently ≤ the core count
+    * (ONE wave — value-ranged segments of a dense order column are
     * equal-sized by construction, and over-segmenting pays extra seed
-    * reconstruction + prefix fan-out for no balance win (measured on a
-    * 10M-event single product × 16 cores: segments=16 → 2.8× vs serial,
-    * segments=32 → 1.7×). */
+    * reconstruction + prefix fan-out for no balance win: measured on a
+    * 10M-event single product × 16 cores, segments=16 → 2.8× vs serial
+    * but segments=32 → 1.7×). Shallow streams get 1 (the serial plan —
+    * already parallel across products). */
   def chooseSegments(df: DataFrame, partitionBy: String,
                      minRowsPerSegment: Long = DefaultMinRowsPerSegment): Int = {
-    val row = df.agg(count(lit(1)).as("n"),
-      count_distinct(col(partitionBy)).as("p")).head()
-    val n = row.getLong(0)
-    val p = math.max(1L, row.getLong(1))
+    val row = df.groupBy(col(partitionBy)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("maxd"), sum(col("c")).as("n")).head()
+    if (row.isNullAt(0)) return 1 // empty input
+    val maxd = row.getLong(0)
+    val n = row.getLong(1)
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val byCores = math.ceil(cores.toDouble / p).toLong
-    val byDepth = math.max(1L, (n / p) / math.max(1L, minRowsPerSegment))
-    math.max(1L, math.min(byCores, byDepth)).toInt
+    val target = math.max(minRowsPerSegment,
+      math.ceil(n.toDouble / cores).toLong)
+    math.max(1L, math.ceil(maxd.toDouble / target).toLong).toInt
   }
 
   def topNLevelsFromPriceMutationsParallel(

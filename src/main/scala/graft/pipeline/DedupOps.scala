@@ -135,7 +135,13 @@ object DedupOps {
   def dedupNearMinhash(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
                        jaccardThreshold: Double = 0.5): DataFrame = {
+    // persist the candidate set: it is referenced five times below
+    // (id-set union + three joins inside ngramJaccard), and exchange
+    // reuse across identical subtrees is best-effort — without this the
+    // costliest stage (signature + banding + self-join) could execute
+    // several times. Candidate pairs are tiny relative to the corpus.
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numHashes, bands)
+      .persist()
     // restrict the exact-Jaccard stage to docs that appear in a candidate
     // pair BEFORE exploding shingles — ngramJaccard's distinct-shingle
     // shuffle over the full corpus would otherwise dominate the whole

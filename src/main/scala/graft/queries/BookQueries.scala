@@ -90,20 +90,8 @@ object BookQueries {
 
   /** The same replay via the registered SQL window function — exercises
     * the spark.sql surface end-to-end. */
-  def bboSqlUpdates(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(spark)
-    EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
-      .createOrReplaceTempView("graft_book_stream")
-    spark.sql(
-      """SELECT seq, product,
-        |  bbo.bid_price_1, bbo.bid_qty_1, bbo.ask_price_1, bbo.ask_qty_1
-        |FROM (
-        |  SELECT seq, product, bbo_from_price_updates(price, qty, is_bid, 1) OVER (
-        |    PARTITION BY product ORDER BY seq
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bbo
-        |  FROM graft_book_stream
-        |)""".stripMargin)
-  }
+  def bboSqlUpdates(spark: SparkSession, sfDir: String): DataFrame =
+    bboSqlUpdatesN(spark, sfDir, 1)
 
   /** SQL surface at arbitrary n: the bbo struct's grouped fields are
     * pulled out by name, mirroring the reference's unnest recipe. */

@@ -49,11 +49,14 @@ object OrderBookStream {
     replayStream(df, price, qty, isBid, n, partitionBy, orderBy,
       mutation = true, idleTimeout)
 
-  /** Streaming O3: mutations with modify (nullable prev columns). */
+  /** Streaming O3: mutations with modify (nullable prev columns).
+    * `idleTimeout` evicts idle products' book state like the O1/O2
+    * variants. */
   def topNLevelsFromPriceMutationsWithModify(
       df: DataFrame, price: String, qty: String, isBid: String,
       prevPrice: String, prevQty: String, n: Int,
-      partitionBy: String, orderBy: String): DataFrame = {
+      partitionBy: String, orderBy: String,
+      idleTimeout: Option[String] = None): DataFrame = {
 
     val outSchema = StructType(
       StructField(partitionBy, LongType) +:
@@ -83,25 +86,34 @@ object OrderBookStream {
     val rowEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val evEnc: Encoder[ModifyEvent] = Encoders.product[ModifyEvent]
 
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     work.as[ModifyEvent]
       .groupByKey(_.pkey)(Encoders.scalaLong)
       .flatMapGroupsWithState[Array[Byte], Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: Long, rows: Iterator[ModifyEvent], state: GroupState[Array[Byte]]) =>
-          val book =
-            if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
-          val sorted = rows.toArray.sortBy(_.okey)
-          val out = sorted.iterator.map { e =>
-            Transitions.applyMutationWithModify(book, e.isBid, e.price, e.qty,
-              e.pp.isDefined, e.pp.getOrElse(0L), e.pq.isDefined, e.pq.getOrElse(0L))
-            val vals = new Array[Any](2 + 4 * n)
-            vals(0) = key
-            vals(1) = e.okey
-            book.snapshotInto(vals, 2)
-            new GenericRowWithSchema(vals, outSchema): Row
-          }.toArray
-          state.update(BookCodec.serialize(book))
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val book =
+              if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
+            val sorted = rows.toArray.sortBy(_.okey)
+            val out = sorted.iterator.map { e =>
+              Transitions.applyMutationWithModify(book, e.isBid, e.price, e.qty,
+                e.pp.isDefined, e.pp.getOrElse(0L), e.pq.isDefined, e.pq.getOrElse(0L))
+              val vals = new Array[Any](2 + 4 * n)
+              vals(0) = key
+              vals(1) = e.okey
+              book.snapshotInto(vals, 2)
+              new GenericRowWithSchema(vals, outSchema): Row
+            }.toArray
+            state.update(BookCodec.serialize(book))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
       }(Encoders.BINARY, rowEnc)
   }
 

@@ -44,8 +44,8 @@ object PipelineStreams {
                                window: String): DataFrame =
     df.withColumn("__content_hash", DedupOps.digest(col(contentCol)))
       .withWatermark(eventTimeCol, delay)
-      .withColumn("__win_start", org.apache.spark.sql.functions.window(
-        col(eventTimeCol), window).getField("start").cast("long"))
+      .withColumn("__win_start", unix_micros(org.apache.spark.sql.functions.window(
+        col(eventTimeCol), window).getField("start")))
       .dropDuplicatesWithinWatermark("__content_hash", "__win_start")
       .drop("__content_hash", "__win_start")
 

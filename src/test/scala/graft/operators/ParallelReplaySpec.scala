@@ -38,17 +38,30 @@ class ParallelReplaySpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)
     // shallow many-product stream at the default threshold: don't split
     assert(ParallelReplay.chooseSegments(stream, "product") == 1)
-    // forced-low threshold: follows the formula (one wave over the
-    // cores for 8 products, depth-bounded 1000/8/10 = 12)
+    // forced-low threshold: follows the max-depth formula on the data
     val cores = spark.sparkContext.defaultParallelism
+    val maxd = stream.groupBy("product").count()
+      .agg(max("count")).head().getLong(0)
+    def expected(minRows: Long, deepest: Long, n: Long): Int = {
+      val target = math.max(minRows, math.ceil(n.toDouble / cores).toLong)
+      math.max(1L, math.ceil(deepest.toDouble / target).toLong).toInt
+    }
     val forced = ParallelReplay.chooseSegments(stream, "product",
       minRowsPerSegment = 10L)
-    assert(forced ==
-      math.max(1L, math.min(math.ceil(cores.toDouble / 8).toLong, 12L)).toInt)
-    // single-product: depth-bounded
+    assert(forced == expected(10L, maxd, 1000L))
+    // single-product: splits into ~cores pieces
     val single = stream.withColumn("product", lit(0L))
     assert(ParallelReplay.chooseSegments(single, "product",
-      minRowsPerSegment = 100L) == math.min(cores.toLong, 10L))
+      minRowsPerSegment = 100L) == expected(100L, 1000L, 1000L))
+    // ONE deep product hidden among shallow ones must still split —
+    // the heuristic keys off the deepest product, not the average
+    val mixed = stream.withColumn("product",
+      when(col("seq") % 5 =!= 0, lit(0L)).otherwise(col("product") + 1))
+    val mixedMaxd = mixed.groupBy("product").count()
+      .agg(max("count")).head().getLong(0)
+    val mixedSegs = ParallelReplay.chooseSegments(mixed, "product",
+      minRowsPerSegment = 10L)
+    assert(mixedSegs == expected(10L, mixedMaxd, 1000L) && mixedSegs > 1)
     // auto variant == serial, bit-identical
     val serial = OrderBookOps.topNLevelsFromPriceUpdates(
       stream, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))

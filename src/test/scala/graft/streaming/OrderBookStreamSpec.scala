@@ -69,7 +69,16 @@ class OrderBookStreamSpec extends AnyFunSuite {
     try {
       mem.addData((7L, 0L, 10L, 5L, true))
       awaitRows(1)
-      Thread.sleep(4000) // timeout fires in the self-triggering engine
+      // wait until a batch REPORTS the state removal (numRowsRemoved>0)
+      // instead of sleeping blind — the timeout-armed engine re-triggers
+      // continuously, so the eviction batch shows up on its own
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def removed: Boolean = query.recentProgress.exists(p =>
+        p.stateOperators != null && p.stateOperators.exists(_.numRowsRemoved > 0))
+      while (!removed) {
+        assert(System.nanoTime() < deadline, "state was never evicted")
+        Thread.sleep(250)
+      }
       // re-appear and drain the new level: a FRESH book has nothing
       // underneath; a stale (unevicted) one would surface 10/5
       mem.addData((7L, 2L, 20L, 3L, true), (7L, 3L, 20L, 0L, true))
