@@ -92,6 +92,45 @@ class OrderBookStreamSpec extends AnyFunSuite {
       s"book state was not evicted: ${rows(2)}")
   }
 
+  test("O3 (modify) idle state is evicted after the processing-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean, Option[Long], Option[Long])]
+    val sdf = mem.toDF.toDF("product", "seq", "price", "qty", "is_bid", "pp", "pq")
+    val out = OrderBookStream.topNLevelsFromPriceMutationsWithModify(
+      sdf, "price", "qty", "is_bid", "pp", "pq", n = 1,
+      partitionBy = "product", orderBy = "seq", idleTimeout = Some("1 second"))
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("bbo_ttl_o3").count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+        Thread.sleep(250)
+      }
+    }
+    val query = out.writeStream.format("memory").queryName("bbo_ttl_o3")
+      .outputMode("append").start()
+    try {
+      mem.addData((9L, 0L, 10L, 5L, true, None, None)) // plain add
+      awaitRows(1)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def removed: Boolean = query.recentProgress.exists(p =>
+        p.stateOperators != null && p.stateOperators.exists(_.numRowsRemoved > 0))
+      while (!removed) {
+        assert(System.nanoTime() < deadline, "state was never evicted")
+        Thread.sleep(250)
+      }
+      // after eviction the book is fresh: an add then a full qty-only
+      // delete (prev_qty set, qty 0) must leave an EMPTY book — with
+      // stale state the original 10/5 level would surface
+      mem.addData((9L, 2L, 20L, 3L, true, None, None),
+        (9L, 3L, 20L, 0L, true, None, Some(3L)))
+      awaitRows(3)
+    } finally query.stop()
+    val rows = spark.table("bbo_ttl_o3").orderBy("seq").collect()
+    assert(rows.length == 3)
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3),
+      s"O3 book state was not evicted: ${rows(2)}")
+  }
+
   test("streaming mutations across three micro-batches == batch") {
     val events = for (p <- Seq(7L); i <- 0 until 12)
       yield (p, i.toLong,
