@@ -46,6 +46,21 @@ object DedupOps {
     * family. */
   val MinhashPrime: Long = 4294967311L
 
+  /** Per-permutation multiplier: (2i+1)·2654435761 mod p. The multiplier
+    * must WRAP the modulus many times to decorrelate the permutations —
+    * a bare (2i+1) (≤ 23) wraps at most ~5×, which leaves all 12
+    * "permutations" rank-correlated (the globally-minimal shingle hash
+    * wins most of them), collapsing candidate recall for non-identical
+    * near-dups. With h < 1e9+7 and a < p < 2^33 the product stays under
+    * 2^63 on both engines. */
+  def minhashA(i: Int): Long = ((2L * i + 1) * 2654435761L) % MinhashPrime
+  def minhashB(i: Int): Long = 1L * i * i * 65537 + 7
+
+  /** The same multiplier as a SQL fragment over a permutation-index
+    * column expression. */
+  def minhashASql(iExpr: String): String =
+    s"((($iExpr * 2 + 1) * 2654435761) % $MinhashPrime)"
+
   /** MinHash signature via the standard affine-permutation family: one
     * rolling shingle hash per k-window (TokenShingleHash — single pass,
     * no shingle strings), then sig_i = min over shingles of
@@ -56,7 +71,9 @@ object DedupOps {
     val hs = graft.functions.TokenShingleHash.shingleHashes(text, shingleK)
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => aggregate(hs, lit(MinhashPrime),
-        (m, v) => least(m, (v * (i * 2 + 1) + (i * i * 65537 + 7)) % MinhashPrime)))
+        (m, v) => least(m,
+          (v * (((i * 2 + 1) * lit(2654435761L)) % MinhashPrime) +
+            (i * i * 65537 + 7)) % MinhashPrime)))
   }
 
   /** LSH band keys: the signature split into `bands` rows-per-band chunks,
@@ -87,7 +104,7 @@ object DedupOps {
       explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
         .as("__mh_h"))
     val mins = (0 until numHashes).map { i =>
-      min((col("__mh_h") * (2 * i + 1) + (i * i * 65537 + 7)) % MinhashPrime)
+      min((col("__mh_h") * minhashA(i) + minhashB(i)) % MinhashPrime)
         .as(s"__mh_s$i")
     }
     val sigs = tok.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -152,6 +169,59 @@ object DedupOps {
     val drops = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as("__nd_drop")).distinct()
+    df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")
+  }
+
+  /** Connected components over an undirected pair relation via
+    * min-label propagation: every node ends up labeled with the smallest
+    * id reachable from it. Iterative relational shape — per round, one
+    * join + groupBy-min + label merge, `localCheckpoint` to keep plans
+    * flat (the k-means trick) — converges in graph-diameter rounds;
+    * near-dup graphs are shallow (dup clusters are cliques-ish), so this
+    * is a handful of tiny jobs over the candidate set only, never the
+    * corpus. Returns (id, component) for every id appearing in pairs. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nc"))
+      val next = labels.join(prop, labels("id") === prop("a"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Transitive near-dup dedup: like [[dedupNearMinhash]] but with the
+    * classic connected-component semantics — every doc reachable through
+    * a chain of VERIFIED near-dup pairs collapses into one cluster and
+    * only the min-id representative survives. (The edge-local variant
+    * keeps more docs: it only drops direct neighbors of smaller ids.) */
+  def dedupNearTransitive(df: DataFrame, textCol: String, idCol: String,
+                          shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                          jaccardThreshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numHashes, bands)
+      .persist()
+    val candIds = cand.select(col("id_a").as("__nd_id"))
+      .unionAll(cand.select(col("id_b").as("__nd_id")))
+    val candDocs = df.join(candIds, col(idCol) === col("__nd_id"), "left_semi")
+    val verified = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val drops = connectedComponents(verified)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__nd_drop"))
     df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")
   }
 

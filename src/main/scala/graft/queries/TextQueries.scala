@@ -22,6 +22,7 @@ object TextQueries {
     GraftQuery("q_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     GraftQuery("q_minhash_pairs_skew", minhashPairsSkew, Some(minhashPairsSkewSql)),
     GraftQuery("q_dedup_near", dedupNear, Some(dedupNearSql)),
+    GraftQuery("q_dedup_transitive", dedupTransitive, Some(dedupTransitiveSql)),
     GraftQuery("q_token_quantiles", tokenQuantiles, Some(tokenQuantilesSql)),
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
@@ -130,7 +131,7 @@ object TextQueries {
   private def sigExpr: String =
     s"""CASE WHEN len(hs) = 0 THEN $P
        |       ELSE list_min(list_transform(hs,
-       |         v -> (v * (h * 2 + 1) + (h * h * 65537 + 7)) % $P)) END""".stripMargin
+       |         v -> (v * ${DedupOps.minhashASql("h")} + (h * h * 65537 + 7)) % $P)) END""".stripMargin
 
   def minhashSigSql: String =
     s"""$shinglesCte
@@ -190,7 +191,9 @@ object TextQueries {
         K, NUM_HASHES, BANDS, JACCARD_TH)
       .select(col("doc_id"))
 
-  def dedupNearSql: String = {
+  /** Shared CTE chain ending at `verified` = the LSH candidate pairs
+    * whose exact n-gram Jaccard clears the threshold. */
+  private def verifiedPairsCtes: String = {
     val r = NUM_HASHES / BANDS
     s"""$shinglesCte, sig AS (
        |  SELECT doc_id, list_transform(range(0, $NUM_HASHES), h -> $sigExpr) AS sig
@@ -215,16 +218,45 @@ object TextQueries {
        |  JOIN shd sa ON sa.doc_id = c.id_a
        |  JOIN shd sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
        |  GROUP BY c.id_a, c.id_b
-       |), drops AS (
-       |  SELECT DISTINCT c.id_b FROM cand c
+       |), verified AS (
+       |  SELECT c.id_a, c.id_b FROM cand c
        |  JOIN cnt ca ON ca.doc_id = c.id_a
        |  JOIN cnt cb ON cb.doc_id = c.id_b
        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
        |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
        |      / CAST(ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) >= $JACCARD_TH
+       |)""".stripMargin
+  }
+
+  def dedupNearSql: String =
+    s"""$verifiedPairsCtes
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)""".stripMargin
+
+  /** Transitive variant: verified pairs as undirected edges, min-label
+    * connected components via a recursive CTE, keep only component
+    * representatives. */
+  def dedupTransitive(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.dedupNearTransitive(docs(spark, sfDir), "text", "doc_id",
+        K, NUM_HASHES, BANDS, JACCARD_TH)
+      .select(col("doc_id"))
+
+  def dedupTransitiveSql: String = {
+    val recursiveCtes = verifiedPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes, edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM verified
+       |  UNION ALL SELECT id_b, id_a FROM verified
+       |), nodes AS (
+       |  SELECT DISTINCT a AS id FROM edges
+       |), reach AS (
+       |  SELECT id, id AS root FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+       |), comp AS (
+       |  SELECT id, min(root) AS component FROM reach GROUP BY id
        |)
        |SELECT doc_id FROM documents
-       |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
   }
 
   // ---- exact quantiles ---------------------------------------------------

@@ -53,6 +53,42 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("connected components: min-label propagation over pair chains") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> component 1
+      (10L, 11L),                    // isolated pair -> component 10
+      (20L, 22L), (21L, 22L))        // star -> component 20
+      .toDF("id_a", "id_b")
+    val comps = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("transitive dedup collapses hubs the edge-local rule keeps") {
+    // doc2 ~ doc5 and doc3 ~ doc5 are verified near-dups, but doc2 vs
+    // doc3 is below the threshold. Edge-local drops only nodes with a
+    // SMALLER verified neighbor: 5 is dropped (neighbors 2, 3), but 3's
+    // only neighbor is the larger 5, so 3 survives. Transitive collapses
+    // the whole component {2,3,5} to its min representative 2.
+    val docA = "t01 t02 t03 t04 t05 t06 t07 t08 t09 t10 t11 t12" // id 2
+    val docB = "t01 t02 t03 t04 t05 t06 t07 t08 t09 x1 x2 x3"    // id 5, ~A, ~C
+    val docC = "y1 y2 y3 t04 t05 t06 t07 t08 t09 x1 x2 x3"       // id 3, ~B only
+    val docs = Seq((2L, docA), (5L, docB), (3L, docC),
+      (50L, "completely unrelated content with many different words here"))
+      .toDF("doc_id", "text")
+    // bands = numHashes (1 row per band) maximizes candidate recall so
+    // the test is about the VERIFY + component semantics, not LSH luck
+    val keptT = DedupOps.dedupNearTransitive(docs, "text", "doc_id",
+        shingleK = 3, numHashes = 12, bands = 12, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptT == Seq(2L, 50L), s"transitive kept $keptT")
+    val keptE = DedupOps.dedupNearMinhash(docs, "text", "doc_id",
+        shingleK = 3, numHashes = 12, bands = 12, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptE == Seq(2L, 3L, 50L), s"edge-local kept $keptE")
+  }
+
   test("exact quantiles match a sorted-sequence reference") {
     val rnd = new scala.util.Random(23)
     val vals = (0 until 500).map(_ => rnd.nextInt(100).toLong)
