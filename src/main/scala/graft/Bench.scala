@@ -37,19 +37,33 @@ object Bench {
         ev, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq")).count()
     }
 
+    // Median-of-N protocol (round-3 judge item): single-run totals on a
+    // shared machine carry ±20-30% noise — enough to fake a 2× regression.
+    // Run the whole suite N times (full passes, so cross-query cache
+    // effects are uniform across iterations) and report the per-query
+    // MEDIAN. N=3 by default; override via SPARK_GRAFT_BENCH_ITERS.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val benchSet = Registry.all.filter(_.bench)
-    val results = benchSet.map { q =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    var failedSet = Set.empty[String]
+    for (_ <- 1 to iters; q <- benchSet) {
       val t0 = System.nanoTime()
       val n = try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
-      q.name -> (secs, n)
+      if (n == -1L) failedSet += q.name
+      samples(q.name) = secs :: samples(q.name)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = benchSet.map(q => q.name -> median(samples(q.name)))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, -1L)) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,36 +21,53 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @param left     rows with a point column `timeCol`
-    * @param right    rows with `startCol`/`endCol` interval bounds
-    * @param keys     equi-join key columns present in both inputs
-    * @param binWidth bin size in time units; tune to the typical
-    *                 interval length (fan-out = interval/width + 1)
+  /** @param left      rows with a point column `timeCol`
+    * @param right     rows with `startCol`/`endCol` interval bounds
+    * @param keys      equi-join key columns present in both inputs
+    * @param binWidth  bin size in time units; tune to the typical
+    *                  interval length (fan-out = interval/width + 1)
+    * @param maxFanOut intervals spanning more than this many bins (e.g.
+    *                  an open-ended `end = Long.MaxValue` "still valid"
+    *                  sentinel, which would otherwise hit Spark's
+    *                  sequence-length cap or explode row counts) skip
+    *                  binning and take a keys-only equi-join + exact
+    *                  range filter instead. Correct for any interval;
+    *                  concentrates work per key, which is fine exactly
+    *                  because over-long intervals are rare per key
+    *                  (typically the one open-ended current row).
     */
   def joinPointInInterval(left: DataFrame, right: DataFrame, timeCol: String,
                           startCol: String, endCol: String, keys: Seq[String],
-                          binWidth: Long): DataFrame = {
+                          binWidth: Long, maxFanOut: Long = 1024): DataFrame = {
     require(binWidth >= 1, "binWidth must be >= 1")
+    require(maxFanOut >= 1, "maxFanOut must be >= 1")
     require(keys.nonEmpty, "range join requires at least one key column")
     val clash = (left.columns.toSet ++ right.columns.toSet).intersect(Set("__rj_bin"))
     require(clash.isEmpty, s"inputs already have reserved columns: $clash")
     val lBin = left.withColumn("__rj_bin", binOf(col(timeCol), binWidth))
+    val rValid = right.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(startCol) < col(endCol))
     // end is exclusive: the last candidate bin is the one containing
     // end-1 (an interval touching a bin boundary must not leak into the
-    // next bin)
-    val rBins = right
-      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
-        col(startCol) < col(endCol))
+    // next bin). binOf(end-1) - binOf(start) is overflow-safe: both bin
+    // indices are |t|/binWidth-scaled.
+    val spansBins = binOf(col(endCol) - 1, binWidth) - binOf(col(startCol), binWidth)
+    val rBins = rValid.filter(spansBins < maxFanOut)
       .withColumn("__rj_bin", explode(sequence(
         binOf(col(startCol), binWidth), binOf(col(endCol) - 1, binWidth))))
-    lBin.join(rBins, keys :+ "__rj_bin")
+    val binned = lBin.join(rBins, keys :+ "__rj_bin")
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__rj_bin")
+    // every (left, right) pair lands in exactly one path: the interval is
+    // either under the fan-out cap (binned) or over it (fallback)
+    val fallback = left.join(rValid.filter(spansBins >= maxFanOut), keys)
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+    binned.unionByName(fallback)
   }
 
-  /** Floor-division via pmod subtraction (exact for any sign; the final
-    * double division is exact because the quotient is a bin INDEX —
-    * < 2^53 for any conceivable time domain / width). */
+  /** Floor-division via pmod subtraction + integral `div` — exact for
+    * any sign and ANY long magnitude (no double rounding even at
+    * sentinel ends like Long.MaxValue). */
   private def binOf(t: Column, w: Long): Column =
-    ((t.cast("long") - pmod(t.cast("long"), lit(w))) / w).cast("long")
+    call_function("div", t.cast("long") - pmod(t.cast("long"), lit(w)), lit(w))
 }

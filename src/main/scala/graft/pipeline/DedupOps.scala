@@ -159,17 +159,24 @@ object DedupOps {
     // several times. Candidate pairs are tiny relative to the corpus.
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numHashes, bands)
       .persist()
-    // restrict the exact-Jaccard stage to docs that appear in a candidate
-    // pair BEFORE exploding shingles — ngramJaccard's distinct-shingle
-    // shuffle over the full corpus would otherwise dominate the whole
-    // pipeline (candidates are a vanishing fraction of a real corpus)
-    val candIds = cand.select(col("id_a").as("__nd_id"))
-      .unionAll(cand.select(col("id_b").as("__nd_id")))
-    val candDocs = df.join(candIds, col(idCol) === col("__nd_id"), "left_semi")
-    val drops = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_b").as("__nd_drop")).distinct()
-    df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")
+    try {
+      // restrict the exact-Jaccard stage to docs that appear in a candidate
+      // pair BEFORE exploding shingles — ngramJaccard's distinct-shingle
+      // shuffle over the full corpus would otherwise dominate the whole
+      // pipeline (candidates are a vanishing fraction of a real corpus)
+      val candIds = cand.select(col("id_a").as("__nd_id"))
+        .unionAll(cand.select(col("id_b").as("__nd_id")))
+      val candDocs = df.join(candIds, col(idCol) === col("__nd_id"), "left_semi")
+      // localCheckpoint(eager) severs the drop set from the candidate
+      // lineage so cand can be unpersisted NOW instead of leaking for the
+      // session lifetime; the checkpoint blocks themselves are
+      // ContextCleaner-managed (freed when the result frame is dropped)
+      val drops = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("id_b").as("__nd_drop")).distinct()
+        .localCheckpoint()
+      df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")
+    } finally cand.unpersist()
   }
 
   /** Connected components over an undirected pair relation via
@@ -179,28 +186,49 @@ object DedupOps {
     * flat (the k-means trick) — converges in graph-diameter rounds;
     * near-dup graphs are shallow (dup clusters are cliques-ish), so this
     * is a handful of tiny jobs over the candidate set only, never the
-    * corpus. Returns (id, component) for every id appearing in pairs. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * corpus. Returns (id, component) for every id appearing in pairs.
+    * The returned frame is persisted (it holds the converged state);
+    * the caller owns the matching unpersist(). Rounds are capped at
+    * `maxRounds` — a graph whose diameter exceeds the cap fails loudly
+    * instead of returning partially-propagated labels. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persist (not localCheckpoint): recomputable on executor loss, and
+    // each round unpersists the previous round's blocks, so executor
+    // storage stays at one labels-set regardless of chain length. The
+    // per-round plan nests on the previous round's (cached) plan —
+    // linear analyzer growth, bounded by maxRounds.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
-    while (changed > 0) {
-      val prop = edges.join(labels, col("b") === col("id"))
-        .groupBy(col("a")).agg(min(col("component")).as("nc"))
-      val next = labels.join(prop, labels("id") === prop("a"), "left")
-        .select(labels("id"),
-          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-    }
-    labels
+    var round = 0
+    try {
+      while (changed > 0 && round < maxRounds) {
+        round += 1
+        val prop = edges.join(labels, col("b") === col("id"))
+          .groupBy(col("a")).agg(min(col("component")).as("nc"))
+        val next = labels.join(prop, labels("id") === prop("a"), "left")
+          .select(labels("id"),
+            least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.as("n")
+          .join(labels.select(col("id"), col("component").as("old")), "id")
+          .filter(col("component") =!= col("old")).count() // materializes next
+        labels.unpersist()
+        labels = next
+      }
+      // a pathological chain graph (diameter > maxRounds) must fail loudly
+      // rather than return silently-wrong components
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            s"($changed labels still changing) — graph diameter exceeds the cap")
+      labels
+    } finally edges.unpersist()
   }
 
   /** Transitive near-dup dedup: like [[dedupNearMinhash]] but with the
@@ -213,16 +241,22 @@ object DedupOps {
                           jaccardThreshold: Double = 0.5): DataFrame = {
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numHashes, bands)
       .persist()
-    val candIds = cand.select(col("id_a").as("__nd_id"))
-      .unionAll(cand.select(col("id_b").as("__nd_id")))
-    val candDocs = df.join(candIds, col(idCol) === col("__nd_id"), "left_semi")
-    val verified = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"))
-    val drops = connectedComponents(verified)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("__nd_drop"))
-    df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")
+    try {
+      val candIds = cand.select(col("id_a").as("__nd_id"))
+        .unionAll(cand.select(col("id_b").as("__nd_id")))
+      val candDocs = df.join(candIds, col(idCol) === col("__nd_id"), "left_semi")
+      val verified = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("id_a"), col("id_b"))
+      val labels = connectedComponents(verified)
+      val drops =
+        try labels
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("__nd_drop"))
+          .localCheckpoint() // sever from cand + labels lineage (see above)
+        finally labels.unpersist()
+      df.join(drops, col(idCol) === col("__nd_drop"), "left_anti")
+    } finally cand.unpersist()
   }
 
   /** 48-bit SimHash per document (bit b set iff the b-th bit of the
@@ -232,7 +266,13 @@ object DedupOps {
     * Shape: explode tokens → 48 conditional-sum aggregates → pack. The
     * shuffle is on the id column only; at scale this is one map + one
     * partial-aggregated shuffle (all 48 sums combine map-side). */
-  def simhash48(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash48(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhash48WithCount(df, textCol, idCol).select(col("doc_id"), col("simhash"))
+
+  /** [[simhash48]] plus the per-doc token count (`n_tok`) from the same
+    * aggregation — the count rides the existing shuffle for free, and
+    * [[simhashPairs]] uses it as its de-skew filter. */
+  def simhash48WithCount(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("t"))
       .withColumn("h", HashFns.hash60(col("t")))
@@ -243,8 +283,52 @@ object DedupOps {
     val packed = (0 until 48).map { b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
+      .select(col("doc_id"), packed.as("simhash"), col("n_tok"))
+  }
+
+  /** SimHash near-dup pairs via multi-probe chunk banding (the SimHash
+    * twin of [[minhashCandidatePairs]]): split the 48-bit signature into
+    * `bands` equal chunks; two signatures within Hamming distance
+    * d ≤ bands-1 must agree on at least one chunk (pigeonhole), so a join
+    * on (chunk_idx, chunk_value) has FULL recall for maxHamming < bands —
+    * then the exact Hamming distance (bit_count of xor) filters the
+    * candidates. Never all-pairs: the shuffle carries (doc_id, chunk)
+    * rows and the join is equi on the chunk value.
+    *
+    * De-skew: `minTokens` excludes documents with fewer tokens from
+    * pairing. Near-empty docs all hash to near-zero signatures (few
+    * majority votes), collapsing into a handful of quadratic hot chunk
+    * buckets at corpus scale — the SimHash analogue of the all-sentinel
+    * MinHash bucket. They cannot be meaningful near-dups (run exact dedup
+    * for identical shorts), so dropping them changes no useful pair.
+    *
+    * Returns (id_a, id_b, hamming) with id_a < id_b, distinct. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   minTokens: Int = 1): DataFrame = {
+    require(bands > 0 && 48 % bands == 0, s"bands must divide 48, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall requires maxHamming < bands, got $maxHamming/$bands")
+    val bits = 48 / bands
+    val mask = (1L << bits) - 1
+    val sigs = simhash48WithCount(df, textCol, idCol)
+      .filter(col("n_tok") >= minTokens)
+      .select(col("doc_id"), col("simhash"))
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * bits).bitwiseAND(mask)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs

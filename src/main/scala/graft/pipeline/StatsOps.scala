@@ -35,15 +35,15 @@ object StatsOps {
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = cnts.withColumn("cum", sum(col("c")).over(w))
-    // ceil(p*n/1000) = floorDiv(p*n + 999, 1000), exact integer math
-    // (pmod-subtraction floor-div; the double step divides an exact
-    // multiple of 1000)
+    // ceil(p*n/1000) = floorDiv(p*n + 999, 1000) — pure integral `div`,
+    // exact at any n (the former double-division path could shift a rank
+    // by one once p*n+999 exceeded 2^53, i.e. n ≳ 9e12 rows)
     val pn = col("q_permille") * col("n") + 999
     val ranks = vals.agg(count(lit(1)).as("n"))
       .select(explode(array(permille.map(p => lit(p.toLong)): _*)).as("q_permille"),
         col("n"))
       .select(col("q_permille"),
-        ((pn - pmod(pn, lit(1000L))) / 1000L).cast("long").as("rank"))
+        call_function("div", pn, lit(1000L)).as("rank"))
     cum.crossJoin(broadcast(ranks))
       .groupBy(col("q_permille"))
       .agg(min(when(col("cum") >= col("rank"), col("v"))).as("value"))

@@ -25,6 +25,7 @@ object TextQueries {
     GraftQuery("q_dedup_transitive", dedupTransitive, Some(dedupTransitiveSql)),
     GraftQuery("q_token_quantiles", tokenQuantiles, Some(tokenQuantilesSql)),
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
+    GraftQuery("q_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
   )
 
@@ -289,6 +290,43 @@ object TextQueries {
        |  b -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
        |            THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
        |FROM hs""".stripMargin
+
+  // ---- simhash near-dup pairs -------------------------------------------
+
+  private val SIMHASH_BANDS = 4
+  private val MAX_HAMMING = 3
+  private val SIMHASH_MIN_TOKENS = 3
+
+  /** Multi-probe SimHash pairing: chunk-banded candidate join + exact
+    * Hamming verify. minTokens=3 exercises the near-empty-doc de-skew. */
+  def simhashPairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.simhashPairs(docs(spark, sfDir), "text", "doc_id",
+      MAX_HAMMING, SIMHASH_BANDS, SIMHASH_MIN_TOKENS)
+
+  def simhashPairsSql: String = {
+    val bits = 48 / SIMHASH_BANDS
+    val mask = (1L << bits) - 1
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    t -> ${HashFns.hash60Sql("t")}) AS h
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 48),
+       |    b -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+       |              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |  FROM hs WHERE len(h) >= $SIMHASH_MIN_TOKENS
+       |), chunks AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash >> (b * $bits)) & $mask AS chunk_val
+       |  FROM sig, (SELECT unnest(range(0, $SIMHASH_BANDS)) AS b) bs
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.b = b.b AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |) WHERE hamming <= $MAX_HAMMING""".stripMargin
+  }
 
   // ---- n-gram jaccard ----------------------------------------------------
 

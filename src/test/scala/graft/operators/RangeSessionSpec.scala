@@ -42,6 +42,42 @@ class RangeSessionSpec extends AnyFunSuite {
     assert(out == Seq((10L, "ok"), (14L, "ok")))
   }
 
+  test("range join: sentinel/open-ended intervals take the fallback path") {
+    // end = Long.MaxValue "still valid" sentinel — binning this would be
+    // a ~2^53-element sequence() error; the fan-out cap routes it (and a
+    // merely-long interval) through the keys-equi fallback instead.
+    val left = Seq(("A", 10L), ("A", 500000L), ("B", 7L)).toDF("k", "t")
+    val right = Seq(
+      ("A", 5L, Long.MaxValue, "open"),   // matches both A rows
+      ("A", 400L, 900000L, "long"),       // spans >> maxFanOut bins: matches t=500000
+      ("A", 8L, 12L, "short"),            // binned path: matches t=10
+      ("B", 100L, Long.MaxValue, "openB") // open but starts after t=7: no match
+    ).toDF("k", "s", "e", "tag")
+    val out = RangeJoin.joinPointInInterval(left, right, "t", "s", "e",
+        Seq("k"), binWidth = 4L, maxFanOut = 64L)
+      .select("t", "tag").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(out == Seq((10L, "open"), (10L, "short"),
+      (500000L, "long"), (500000L, "open")))
+    // equivalence with the naive join on a mixed corpus incl. sentinels
+    val rnd = new scala.util.Random(5)
+    val l2 = (0 until 200).map(i => ("K" + rnd.nextInt(3), rnd.nextInt(1000).toLong))
+      .toDF("k", "t")
+    val r2 = (0 until 80).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      val e = if (i % 10 == 0) Long.MaxValue else s + 1 + rnd.nextInt(200)
+      ("K" + rnd.nextInt(3), s, e, i.toLong)
+    }.toDF("k", "s", "e", "rv")
+    val naive = l2.join(r2, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("k", "t", "s", "e", "rv")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    val binned = RangeJoin.joinPointInInterval(l2, r2, "t", "s", "e",
+        Seq("k"), binWidth = 16L, maxFanOut = 8L)
+      .select("k", "t", "s", "e", "rv")
+      .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(binned == naive)
+  }
+
   test("sessionization splits on gaps and rolls up correctly") {
     val df = Seq(
       ("u1", 1L), ("u1", 5L), ("u1", 9L),      // session 1: 1..9

@@ -89,6 +89,75 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(keptE == Seq(2L, 3L, 50L), s"edge-local kept $keptE")
   }
 
+  test("simhash pairs: minTokens de-skews tiny docs; Hamming filter is exact") {
+    // 100 near-empty docs ("a b") all collapse to the same near-zero
+    // signature — without the minTokens filter they'd form C(100,2)
+    // pairs through one hot chunk bucket.
+    val tiny = (0L until 100L).map(i => (i, "a b"))
+    val base = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8 tok9 tok10 " +
+      "tok11 tok12 tok13 tok14 tok15 tok16 tok17 tok18 tok19 tok20"
+    val nearDup = Seq((200L, base), (201L, base + " extra"), // tiny perturbation
+      (202L, base))                                          // exact dup of 200
+    val far = (300L until 305L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"))
+    val df = (tiny ++ nearDup ++ far).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(df, "text", "doc_id",
+        maxHamming = 3, bands = 4, minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall { case (a, b, _) => a >= 200 && b >= 200 },
+      s"tiny doc leaked into simhash candidates: ${pairs.take(5).toSeq}")
+    // the exact dup pair must appear with Hamming 0
+    assert(pairs.exists { case (a, b, h) => a == 200 && b == 202 && h == 0 })
+    // every emitted pair respects the Hamming bound
+    assert(pairs.forall(_._3 <= 3))
+    // bounded overall: only pairs among the 8 real docs are possible
+    assert(pairs.length <= 28)
+  }
+
+  test("simhash pairs: pigeonhole recall for Hamming <= bands-1") {
+    // construct two signatures at known Hamming distance via texts is
+    // hard; instead verify the pairing END-TO-END against a brute-force
+    // Hamming computation over the same signatures.
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 12).map(_ => s"w${rnd.nextInt(30)}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = DedupOps.simhash48(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b)).toSet
+    val got = DedupOps.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3, bands = 4, minTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("repeated dedup calls do not accumulate persisted candidate blocks") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different text about spark engines here"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val calls = 3
+    (1 to calls).foreach { _ =>
+      DedupOps.dedupNearMinhash(docs, "text", "doc_id").count()
+      DedupOps.dedupNearTransitive(docs, "text", "doc_id").count()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // every explicit persist (candidate pairs, per-round labels, edges) is
+    // unpersisted before return; the only residue is the one tiny
+    // ContextCleaner-owned localCheckpoint of the drop set per call
+    // (freed on GC). Pre-fix this leaked 2+ cached frames per call and
+    // grew without bound.
+    assert(after - before <= 2 * calls,
+      s"cached blocks grew from $before to $after over ${2 * calls} calls")
+  }
+
   test("exact quantiles match a sorted-sequence reference") {
     val rnd = new scala.util.Random(23)
     val vals = (0 until 500).map(_ => rnd.nextInt(100).toLong)
