@@ -72,6 +72,78 @@ object MultimodalOps {
       coalesce(when(isPng, pngChannels), h % 3 + 1).as("channels"))
   }
 
+  /** Standard JFIF prelude: SOI + APP0 (version 1.1, no thumbnail) + a
+    * COM segment — two non-SOF segments the parser must WALK THROUGH, so
+    * the round-trip test exercises real marker traversal, not a
+    * fixed-offset peek. */
+  private val JpegPreludeHex =
+    "FFD8" +                                   // SOI
+      "FFE000104A46494600010100000100010000" + // APP0, len 16, "JFIF\0"
+      "FFFE00076772616674"                     // COM, len 7, "graft"
+
+  /** SOF0 header up to the dimension fields (len 17 = 8 + 3 components,
+    * precision 8). */
+  private val JpegSof0Head = "FFC0001108"
+  private val JpegSof0Tail = "03012200021101031101" // 3 comps: Y 2x2, Cb, Cr
+
+  /** Assemble a baseline-JPEG prefix (SOI → APP0 → COM → SOF0 with
+    * 2-byte big-endian height/width) around an arbitrary body. Pure hex
+    * assembly, bit-reproducible in the oracle. */
+  def jpegPayload(body: Column, width: Column, height: Column): Column =
+    unhex(concat(
+      lit(JpegPreludeHex + JpegSof0Head),
+      lpad(hex(height), 4, "0"),
+      lpad(hex(width), 4, "0"),
+      lit(JpegSof0Tail),
+      hex(body.cast("binary"))))
+
+  /** REAL JPEG dimension parse: walk the marker-segment chain from the
+    * byte after SOI — each segment is FF, marker, 2-byte big-endian
+    * length (self-inclusive) — until a SOF0/1/2 frame header, and read
+    * height/width/components from it in pure byte arithmetic. Bounded at
+    * `maxSegments` hops (real JFIF files put SOF within the first few
+    * segments; entropy-coded data is never walked because SOS stops the
+    * scan).
+    *
+    * DataFrame-level (adds `jpeg_width`/`jpeg_height`/`jpeg_channels`,
+    * null for non-JPEG or SOF-not-found) rather than a single Column:
+    * each hop's offset feeds the next hop TWICE (marker test + length
+    * read), so inlining would nest 2^maxSegments substrings — staged
+    * withColumn projections keep each offset computed once (the
+    * multi-reference keeps CollapseProject from re-inlining). */
+  def withJpegMeta(df: DataFrame, contentCol: String,
+                   maxSegments: Int = 8): DataFrame = {
+    val content = col(contentCol)
+    def be(pos: Column, n: Int): Column =
+      conv(hex(substring(content, pos.cast("int"), lit(n))), 16, 10).cast("long")
+    val isJpeg = octet_length(content) >= 4 &&
+      substring(content, 1, 2) === lit(Array(0xFF.toByte, 0xD8.toByte))
+    var out = df.withColumn("__jp_pos0", when(isJpeg, lit(3L)))
+    val sofCols = (0 until maxSegments).map { i =>
+      val pos = col(s"__jp_pos$i")
+      val m1 = be(pos, 1); val m2 = be(pos + 1, 1)
+      val sofName = s"__jp_sof$i"
+      out = out
+        .withColumn(sofName,
+          when(m1 === 255 && m2.isin(192L, 193L, 194L),
+            struct(be(pos + 5, 2).as("h"), be(pos + 7, 2).as("w"),
+              be(pos + 9, 1).as("c"))))
+        // stop at SOS (FFDA): beyond it lies entropy-coded data, not
+        // segments. A malformed/truncated segment yields null positions,
+        // which null out every later hop.
+        .withColumn(s"__jp_pos${i + 1}",
+          when(m1 === 255 && m2 =!= 218, pos + 2 + be(pos + 2, 2)))
+      col(sofName)
+    }
+    val sof = coalesce(sofCols: _*)
+    val drop = (0 to maxSegments).map(i => s"__jp_pos$i") ++
+      (0 until maxSegments).map(i => s"__jp_sof$i")
+    out.withColumn("jpeg_width", sof.getField("w"))
+      .withColumn("jpeg_height", sof.getField("h"))
+      .withColumn("jpeg_channels", sof.getField("c"))
+      .drop(drop: _*)
+  }
+
   /** STUB resize: the real implementation would decode, resample, and
     * re-encode; the stub scales the fake dimensions and passes the payload
     * through, keeping the pipeline shape (binary in → binary + meta out). */

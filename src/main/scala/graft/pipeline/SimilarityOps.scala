@@ -179,13 +179,16 @@ object SimilarityOps {
       }
       val best = v.select(col("sv"),
         element_at(topCells(col("sv"), snapshot, 1), 1).as("cent_id"))
-      // exact integer mean per dimension: floor(sum / count)
+      // exact integer mean per dimension: floor(sum / count) — pmod
+      // subtraction gives the floor multiple, integral `div` divides it
+      // exactly at any magnitude (no double rounding past 2^53)
       val dims = best
         .select(col("cent_id"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
         .agg((sum(col("x")) - pmod(sum(col("x")), count(lit(1)))).as("num"),
           count(lit(1)).as("cnt"))
-        .select(col("cent_id"), col("dim"), (col("num") / col("cnt")).cast("long").as("cx"))
+        .select(col("cent_id"), col("dim"),
+          call_function("div", col("num"), col("cnt")).as("cx"))
       val updated = dims.groupBy(col("cent_id"))
         .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"))
         .select(col("cent_id"), transform(col("ds"), s => s.getField("cx")).as("cent_v"))

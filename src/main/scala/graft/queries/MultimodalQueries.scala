@@ -12,6 +12,7 @@ object MultimodalQueries {
 
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q_media_meta", mediaMeta, Some(mediaMetaSql)),
+    GraftQuery("q_media_meta_jpeg", mediaMetaJpeg, Some(mediaMetaJpegSql)),
     GraftQuery("q_media_frames", mediaFrames, Some(mediaFramesSql)),
     GraftQuery("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
   )
@@ -63,6 +64,38 @@ object MultimodalQueries {
       |       THEN CAST(floor(CAST(height AS DOUBLE) / (CAST(greatest(width, height) AS DOUBLE) / 256.0)) AS BIGINT)
       |       ELSE height END AS resized_height
       |FROM d""".stripMargin
+
+  /** JPEG round-trip: payloads are synthetic baseline JPEGs (SOI → APP0 →
+    * COM → SOF0) whose SOF0 encodes (doc_id%1024+16, doc_id%768+16);
+    * withJpegMeta must recover exactly those by WALKING the marker chain
+    * through the two non-SOF segments. The oracle computes the expected
+    * values from the generator formulas, and the digest over the
+    * assembled hex pins the payload bytes themselves. */
+  def mediaMetaJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    val jpg = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"),
+        MultimodalOps.jpegPayload(col("text"),
+          col("doc_id") % 1024 + 16, col("doc_id") % 768 + 16).as("content"))
+    MultimodalOps.withJpegMeta(jpg, "content")
+      .select(col("media_id"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(hex(col("content")).cast("binary")).as("digest"),
+        col("jpeg_width").as("width"), col("jpeg_height").as("height"),
+        col("jpeg_channels").as("channels"))
+  }
+
+  def mediaMetaJpegSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(48 + length(text) AS BIGINT) AS n_bytes,
+      |  md5('FFD8' || 'FFE000104A46494600010100000100010000' ||
+      |      'FFFE00076772616674' || 'FFC0001108' ||
+      |      lpad(to_hex(doc_id % 768 + 16), 4, '0') ||
+      |      lpad(to_hex(doc_id % 1024 + 16), 4, '0') ||
+      |      '03012200021101031101' || hex(text)) AS digest,
+      |  CAST(doc_id % 1024 + 16 AS BIGINT) AS width,
+      |  CAST(doc_id % 768 + 16 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels
+      |FROM documents""".stripMargin
 
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
     MultimodalOps.frameSampleStub(media(spark, sfDir), "content", "media_id", 3)

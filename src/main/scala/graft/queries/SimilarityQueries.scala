@@ -13,10 +13,14 @@ object SimilarityQueries {
   private val PLANES = 6
 
   def all: Seq[GraftQuery] = Seq(
-    GraftQuery("q_embed_topk", embedTopK, Some(embedTopKSql), bench = true),
+    // brute force is the exact baseline/VERIFIER — deliberately not a
+    // bench headline: its cartesian plan is the one shape that must never
+    // be the default at scale (the IVF entry below is the scale path)
+    GraftQuery("q_embed_topk", embedTopK, Some(embedTopKSql)),
     GraftQuery("q_embed_lsh_topk", embedLshTopK, Some(embedLshTopKSql)),
     GraftQuery("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
-    GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql), bench = true),
+    GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
+    GraftQuery("q_embed_ivf_kmeans", embedIvfKmeans, Some(embedIvfKmeansSql), bench = true),
   )
 
   private val CENT_STRIDE = 37
@@ -71,6 +75,107 @@ object SimilarityQueries {
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "embeddings")
+
+  // ---- IVF with TRAINED centroids (k-means) ------------------------------
+
+  private val KM_K = 8
+  private val KM_ITERS = 2
+
+  /** IVF ANN over k-means-trained cells: deterministic integer Lloyd's
+    * (stride seed, exact-cosine argmax assignment, floor-mean update),
+    * then the same map-only assignment + probe-join as q_embed_ivf_topk.
+    * The oracle replays the training as unrolled SQL iterations. */
+  def embedIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cents = SimilarityOps.kmeansCentroids(e, "vec_id", "embedding", KM_K, KM_ITERS)
+    SimilarityOps.ivfTopKWithCentroids(q, e, "vec_id", "embedding", cents, TOPK, N_PROBES)
+  }
+
+  /** Cosine between a row vector and a centroid — must mirror the
+    * CentroidTopCells kernel bit-for-bit: exact int64 dot and norms, one
+    * double division against the two sqrt'd norms. */
+  private def centCosSql(v: String, c: String): String =
+    s"""CAST(${dotSql(s"$v.sv", s"$c.cent_v")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql(s"$v.sv")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql(s"$c.cent_v")} AS DOUBLE)))""".stripMargin
+
+  /** Unrolled k-means training: cents0 = every (n/k)-th vector by id;
+    * per iteration, argmax-cosine assignment (ties to the lower cent_id,
+    * NaN sorts greatest on both engines) then exact floor-mean update,
+    * empty clusters keeping their previous centroid. */
+  private def kmeansCtes: String = {
+    val init =
+      s"""km_n AS (
+         |  SELECT greatest(1, count(*) // $KM_K) AS stride FROM embeddings
+         |), cents0 AS (
+         |  SELECT rn // stride AS cent_id, sv AS cent_v
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, sv FROM v), km_n
+         |  WHERE rn % stride = 0 AND rn // stride < $KM_K
+         |)""".stripMargin
+    val iters = (1 to KM_ITERS).map { t =>
+      s""", assign$t AS (
+         |  SELECT c_v, cent_id FROM (
+         |    SELECT v.sv AS c_v, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
+         |    FROM v, cents${t - 1} c
+         |  ) WHERE rk = 1
+         |), upd$t AS (
+         |  SELECT cent_id, list(cx ORDER BY dim) AS cent_v FROM (
+         |    -- FLOOR division (DuckDB // truncates toward zero on
+         |    -- negatives; Spark's pmod-subtraction floors): subtract the
+         |    -- positive modulus first, then divide the exact multiple
+         |    SELECT cent_id, dim,
+         |      (sum(x) - ((sum(x) % count(*) + count(*)) % count(*))) // count(*) AS cx
+         |    FROM (
+         |      SELECT cent_id, dim, c_v[dim] AS x FROM (
+         |        SELECT cent_id, c_v, unnest(range(1, len(c_v) + 1)) AS dim
+         |        FROM assign$t
+         |      )
+         |    ) GROUP BY cent_id, dim
+         |  ) GROUP BY cent_id
+         |), cents$t AS (
+         |  SELECT p.cent_id, coalesce(u.cent_v, p.cent_v) AS cent_v
+         |  FROM cents${t - 1} p LEFT JOIN upd$t u ON u.cent_id = p.cent_id
+         |)""".stripMargin
+    }.mkString
+    init + iters
+  }
+
+  def embedIvfKmeansSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), $kmeansCtes, cents AS (
+       |  SELECT cent_id, cent_v FROM cents$KM_ITERS
+       |), cassign AS (
+       |  SELECT c_id, c_v, cent_id FROM (
+       |    SELECT v.vec_id AS c_id, v.sv AS c_v, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
+       |    FROM v, cents c
+       |  ) WHERE rk <= 1
+       |), qprobe AS (
+       |  SELECT q_id, q_v, cent_id FROM (
+       |    SELECT v.vec_id AS q_id, v.sv AS q_v, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
+       |    FROM v, cents c
+       |    WHERE v.vec_id % 50 = 0
+       |  ) WHERE rk <= $N_PROBES
+       |), scored AS (
+       |  SELECT DISTINCT q.q_id AS query_id, a.c_id AS neighbor_id,
+       |    CAST(${dotSql("q.q_v", "a.c_v")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql("q.q_v")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql("a.c_v")} AS DOUBLE))) AS cosine
+       |  FROM qprobe q JOIN cassign a ON q.cent_id = a.cent_id
+       |  WHERE q.q_id <> a.c_id
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TOPK""".stripMargin
 
   /** Queries = every 50th vector; exact brute-force top-5 by cosine. */
   def embedTopK(spark: SparkSession, sfDir: String): DataFrame = {

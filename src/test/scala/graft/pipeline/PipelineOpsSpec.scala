@@ -118,6 +118,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.getLong(2) == 195L && out.getLong(3) == 97500L)
   }
 
+  test("multimodal: jpeg SOF walk recovers dims; rejects non-jpeg/truncated") {
+    val good = Seq((1L, "body-bytes", 640L, 480L), (2L, "x", 17L, 65535L))
+      .toDF("id", "body", "w", "h")
+      .select(col("id"),
+        MultimodalOps.jpegPayload(col("body"), col("w"), col("h")).as("content"))
+    val parsed = MultimodalOps.withJpegMeta(good, "content")
+      .select("id", "jpeg_width", "jpeg_height", "jpeg_channels")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(parsed.sortBy(_._1) == Seq((1L, 640L, 480L, 3L), (2L, 17L, 65535L, 3L)))
+
+    // SOS before any SOF must STOP the walk (entropy data is not walked);
+    // truncated/alien payloads must yield nulls, not garbage
+    val sosFirst = "FFD8" + "FFDA0002" + "FFC0001108001000100301220002110103110100"
+    val bad = Seq(
+      (1L, sosFirst),                    // SOS first: SOF behind it ignored
+      (2L, "FFD8FFE000"),                // truncated mid-segment
+      (3L, "89504E470D0A1A0A00000000"),  // PNG, not JPEG
+      (4L, ""))                          // empty
+      .toDF("id", "hexs")
+      .select(col("id"), unhex(col("hexs")).as("content"))
+    val nulls = MultimodalOps.withJpegMeta(bad, "content")
+      .select("id", "jpeg_width")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq
+    assert(nulls.sortBy(_._1) == Seq((1L, true), (2L, true), (3L, true), (4L, true)))
+  }
+
   test("multimodal: frame sampling emits numFrames rows per media row") {
     val df = Seq((1L, "xyz"), (2L, "abc")).toDF("media_id", "content")
       .withColumn("content", col("content").cast("binary"))
