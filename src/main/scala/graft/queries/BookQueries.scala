@@ -35,6 +35,12 @@ object BookQueries {
     // whose previous (price, qty) comes from lag() over its own history —
     // a valid modify stream derived obliviously from events.
     GraftQuery("bbo_modify_real_n2", (s, d) => bboModifyReal(s, d, 2), Some(modifyRealOracle(2))),
+    // O3 through the parallel-prefix path: modifies decompose into
+    // row-local level deltas (ParallelReplay.modifyDeltas mirrors
+    // update.rs:132-161), so segment net states stay sum-decomposable and
+    // the parallel replay is output-identical to serial — same oracle.
+    GraftQuery("bbo_parallel_modify_n2", (s, d) => bboParallelModify(s, d, 2),
+      Some(modifyRealOracle(2))),
   )
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
@@ -108,6 +114,23 @@ object BookQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bbo
          |  FROM graft_book_stream_n
          |)""".stripMargin)
+  }
+
+  /** The bbo_modify_real stream replayed through the parallel-prefix
+    * path (8 segments per product). */
+  def bboParallelModify(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = false)
+      .withColumn("slot", (col("seq") * 31) % 4)
+    val w = Window.partitionBy(col("product"), col("is_bid"), col("slot"))
+      .orderBy(col("seq"))
+    val stream = base
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+    graft.operators.ParallelReplay.topNLevelsFromPriceMutationsWithModifyParallel(
+        stream, "price", "qty", "is_bid", "prev_price", "prev_qty", n,
+        "product", "seq", segments = 8)
+      .select(proj(n).map(col): _*)
   }
 
   def bboParallelUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

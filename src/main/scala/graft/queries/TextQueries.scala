@@ -27,6 +27,7 @@ object TextQueries {
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    GraftQuery("q_corpus_filter", corpusFilter, Some(corpusFilterSql), bench = true),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -290,6 +291,61 @@ object TextQueries {
        |  b -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
        |            THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
        |FROM hs""".stripMargin
+
+  // ---- composed corpus filter -------------------------------------------
+
+  private val CF_LANG = "en"
+  private val CF_MIN_QUALITY = 40.0
+  private val CF_TOK_PERMILLE = 100 // p10 length cutoff
+
+  /** The full filtering pass: stats + language gate + data-derived
+    * length cutoff + exact dedup, composed as ONE declarative plan. */
+  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.CorpusFilter.filterCorpus(docs(spark, sfDir), "text", "doc_id",
+      CF_LANG, CF_MIN_QUALITY, CF_TOK_PERMILLE)
+
+  def corpusFilterSql: String = {
+    val scores = TextOps.langProfiles.map { case (code, prof) =>
+      s"${TextOps.langScoreSql("text", prof)} AS s_$code"
+    }.mkString(",\n    ")
+    val branches = TextOps.langProfiles.map { case (code, _) =>
+      s"SELECT doc_id, '$code' AS lang_pred, s_$code AS lang_score FROM s"
+    }.mkString("\n  UNION ALL ")
+    val stopList = TextOps.langProfiles.flatMap(_._2).distinct.sorted
+    val stop = TextOps.langScoreSql("text", stopList)
+    val quantile = graft.pipeline.StatsOps.exactQuantilesSql(
+      "SELECT n_tokens AS v FROM kept", Seq(CF_TOK_PERMILLE))
+    s"""WITH s AS (
+       |  SELECT doc_id, $scores FROM documents
+       |), u AS (
+       |  $branches
+       |), l AS (
+       |  SELECT doc_id, lang_pred FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY lang_score DESC, lang_pred) AS rn
+       |    FROM u
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    least(100.0, greatest(0.0,
+       |      20.0 + CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+       |      - (CAST($stop AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 30.0
+       |      + (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0)) AS quality_score
+       |  FROM documents
+       |), kept AS (
+       |  SELECT q.* FROM q JOIN l USING (doc_id)
+       |  WHERE l.lang_pred = '$CF_LANG' AND q.quality_score >= $CF_MIN_QUALITY
+       |), gated AS (
+       |  SELECT * FROM kept
+       |  WHERE n_tokens >= (SELECT value FROM ($quantile))
+       |)
+       |SELECT doc_id, n_tokens, quality_score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM gated
+       |) WHERE rn = 1""".stripMargin
+  }
 
   // ---- simhash near-dup pairs -------------------------------------------
 

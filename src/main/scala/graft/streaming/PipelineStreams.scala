@@ -49,6 +49,55 @@ object PipelineStreams {
       .dropDuplicatesWithinWatermark("__content_hash", "__win_start")
       .drop("__content_hash", "__win_start")
 
+  /** Streaming MinHash-LSH near-dup CANDIDATE emission — the streaming
+    * twin of `DedupOps.minhashCandidatePairs`: per-doc signature is
+    * map-only (the direct columnar expression — no stateful aggregation),
+    * band keys explode exactly as in batch, and candidates come from a
+    * watermarked stream-stream SELF-JOIN on (band_idx, band_hash).
+    *
+    * State-bound strategy: the join's time-range predicate
+    * (|t_b − t_a| ≤ delay) lets Spark evict each band row once the
+    * watermark passes it, so join state is bounded by
+    * rate × horizon × bands — NOT by corpus size. (Verified against
+    * StateOperatorProgress: rows are removed as the watermark advances.
+    * StreamingJoinHelper logs a WARN while analyzing the id_a < id_b
+    * conjunct — a non-time predicate it skips safely; the time-range
+    * constraints still register on both sides.) The trade is the
+    * standard streaming-dedup contract: two near-dups arriving farther
+    * apart than `delay` are not paired (batch reconciliation owns the
+    * long tail). Empty-shingle docs are excluded from banding (the same
+    * all-sentinel hot bucket the batch path de-skews).
+    *
+    * Emits (id_a, id_b, band_idx, t_a) with id_a < id_b, in append mode;
+    * a pair sharing several bands is emitted once per shared band —
+    * downstream exact verification is idempotent, and cross-band dedup
+    * would chain a second stateful operator per pair for no semantic
+    * gain. */
+  def nearDupCandidatesStream(df: DataFrame, textCol: String, idCol: String,
+                              eventTimeCol: String, delay: String,
+                              shingleK: Int = 3, numHashes: Int = 12,
+                              bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = df
+      .withColumn("__mh_sig",
+        DedupOps.minhashSignature(col(textCol), shingleK, numHashes))
+      .filter(col("__mh_sig").getItem(0) =!= DedupOps.MinhashPrime)
+      .withWatermark(eventTimeCol, delay)
+      .select(col(idCol), col(eventTimeCol),
+        posexplode(DedupOps.lshBandKeys(col("__mh_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col(eventTimeCol).as("t_a"),
+      col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col(eventTimeCol).as("t_b"),
+      col("band_idx").as("__b_band_idx"), col("band_hash").as("__b_band_hash"))
+    a.join(b, expr(
+        s"""band_idx = __b_band_idx AND band_hash = __b_band_hash AND
+           |t_b >= t_a - INTERVAL $delay AND
+           |t_b <= t_a + INTERVAL $delay""".stripMargin))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("band_idx"), col("t_a"))
+  }
+
   /** Streaming gap-based sessionization via the native `session_window`:
     * per-key sessions close once the watermark passes their gap; emits
     * (session start/end, key, n_events) in append mode — the streaming

@@ -83,6 +83,41 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(rows.contains(("u1", 1L)))
   }
 
+  test("streaming near-dup candidates pair within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.nearDupCandidatesStream(
+      sdf, "text", "doc_id", "event_time", "30 seconds")
+    val query = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      // 1 and 2 are near-dups arriving 5s apart (inside the horizon);
+      // 6 is the same text a full 10 minutes later (outside); 3 is
+      // unrelated; 4 is empty (no shingles -> excluded from banding)
+      mem.addData((1L, base, ts(10)), (2L, base + " x", ts(15)),
+        (3L, "totally different content with many other words here", ts(12)),
+        (4L, "", ts(13)))
+      query.processAllAvailable()
+      mem.addData((6L, base, ts(610)))
+      query.processAllAvailable()
+      mem.addData((7L, "advance watermark only zzz qqq www eee rrr", ts(1200)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val pairs = spark.table("neardup_stream")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    assert(pairs.contains((1L, 2L)), s"in-horizon near-dup missed: $pairs")
+    // the late exact dup must NOT pair with 1 or 2 (horizon passed)
+    assert(!pairs.exists { case (a, b) => b == 6L && a <= 2L },
+      s"out-of-horizon pair leaked: $pairs")
+    // the empty doc never appears
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // unrelated docs don't pair with the near-dup cluster
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("windowed dedup re-admits content in later windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
