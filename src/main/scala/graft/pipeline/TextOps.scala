@@ -50,18 +50,21 @@ object TextOps {
   }
 
   /** Predicted language + its score; ties break to the lexicographically
-    * first language code (profiles are pre-sorted). */
+    * first language code (profiles are pre-sorted).
+    *
+    * Shape: argmax via array_max over (score, -profile_index, lang)
+    * structs — struct ordering compares score first, then -index, so
+    * ties prefer the earlier (lexicographically first) profile. The
+    * earlier when()-fold duplicated the not-yet-chosen branch at every
+    * step, inlining each profile's size(filter(split(...))) up to 2^k
+    * times once filter pushdown copied the expression into predicates;
+    * the array form keeps each profile score to ONE lexical occurrence. */
   def languageId(text: Column): Column = {
-    val scored = langProfiles.map { case (code, prof) =>
-      struct(langScore(text, prof).as("score"), lit(code).as("lang"))
+    val scored = langProfiles.zipWithIndex.map { case ((code, prof), i) =>
+      struct(langScore(text, prof).as("score"), lit(-i).as("nrank"),
+        lit(code).as("lang"))
     }
-    // argmax by (score, then reversed-lang) — greatest() picks the largest
-    // struct lexicographically; to make ties prefer the *first* code we
-    // compare on (score ASC, lang DESC) inverted via negated comparison:
-    // simpler: fold manually with when().
-    scored.reduceLeft { (best, cand) =>
-      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
-    }
+    array_max(array(scored: _*))
   }
 
   /** Quality heuristics: token count, char count, mean token length, and a

@@ -80,15 +80,21 @@ object SimilarityQueries {
 
   private val KM_K = 8
   private val KM_ITERS = 2
+  private val KM_TRAIN_STRIDE = 4
 
   /** IVF ANN over k-means-trained cells: deterministic integer Lloyd's
     * (stride seed, exact-cosine argmax assignment, floor-mean update),
     * then the same map-only assignment + probe-join as q_embed_ivf_topk.
-    * The oracle replays the training as unrolled SQL iterations. */
+    * Training runs on a deterministic 1-in-4 SAMPLE of the corpus — the
+    * standard coarse-quantizer practice (centroid quality needs a
+    * representative sample, not the full corpus; at 100 TB training on
+    * everything would dwarf the probe cost). The oracle replays the
+    * sampled training as unrolled SQL iterations. */
   def embedIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val q = e.filter(col("vec_id") % 50 === 0)
-    val cents = SimilarityOps.kmeansCentroids(e, "vec_id", "embedding", KM_K, KM_ITERS)
+    val train = e.filter(col("vec_id") % KM_TRAIN_STRIDE === 0)
+    val cents = SimilarityOps.kmeansCentroids(train, "vec_id", "embedding", KM_K, KM_ITERS)
     SimilarityOps.ivfTopKWithCentroids(q, e, "vec_id", "embedding", cents, TOPK, N_PROBES)
   }
 
@@ -106,11 +112,13 @@ object SimilarityQueries {
     * empty clusters keeping their previous centroid. */
   private def kmeansCtes: String = {
     val init =
-      s"""km_n AS (
-         |  SELECT greatest(1, count(*) // $KM_K) AS stride FROM embeddings
+      s"""vtr AS (
+         |  SELECT vec_id, sv FROM v WHERE vec_id % $KM_TRAIN_STRIDE = 0
+         |), km_n AS (
+         |  SELECT greatest(1, count(*) // $KM_K) AS stride FROM vtr
          |), cents0 AS (
          |  SELECT rn // stride AS cent_id, sv AS cent_v
-         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, sv FROM v), km_n
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, sv FROM vtr), km_n
          |  WHERE rn % stride = 0 AND rn // stride < $KM_K
          |)""".stripMargin
     val iters = (1 to KM_ITERS).map { t =>
@@ -119,7 +127,7 @@ object SimilarityQueries {
          |    SELECT v.sv AS c_v, c.cent_id,
          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |        ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
-         |    FROM v, cents${t - 1} c
+         |    FROM vtr v, cents${t - 1} c
          |  ) WHERE rk = 1
          |), upd$t AS (
          |  SELECT cent_id, list(cx ORDER BY dim) AS cent_v FROM (
