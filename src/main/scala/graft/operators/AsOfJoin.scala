@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   *  - keep the left rows.
   *
   * This is O(n log n) in the partition (the sort), with no per-row point
-  * lookups or range joins — the same plan shape as the book replay, so
-  * the same bucketing story removes the shuffle at scale. An optional
-  * `tolerance` nulls out matches farther than `tolerance` ticks away.
+  * lookups or range joins. The cost at scale is ONE exchange of
+  * left+right on the keys feeding one in-partition sort — the replay
+  * plan's shape. (Unlike the single-input replay/sessionize windows,
+  * bucketed INPUTS cannot elide this exchange: the union node reports
+  * unknown partitioning to Spark even when both sides are co-bucketed —
+  * what bucketing buys here is only the cheap scan; the window's
+  * exchange stays.) An optional `tolerance` nulls out matches farther
+  * than `tolerance` ticks away.
   *
   * SQL equi-join semantics: null keys never match; a null right time
   * never matches (the comparison would be NULL) — both are filtered from

@@ -331,6 +331,19 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end SimHash near-dup dedup: drop every doc that has a
+    * SMALLER-id neighbor within `maxHamming` bits (edge-local keep-min-id
+    * — the [[dedupNearMinhash]] decision rule over the SimHash metric).
+    * Unlike the MinHash path no separate verification stage is needed:
+    * the Hamming test inside [[simhashPairs]] IS exact. */
+  def dedupSimhash(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   minTokens: Int = 1): DataFrame = {
+    val drops = simhashPairs(df, textCol, idCol, maxHamming, bands, minTokens)
+      .select(col("id_b").as("__sd_drop")).distinct()
+    df.join(drops, col(idCol) === col("__sd_drop"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (id_a, id_b): |A ∩ B| / |A ∪ B| over distinct k-shingles. Runs as
     * explode + join on shingle — only over the candidate set. */

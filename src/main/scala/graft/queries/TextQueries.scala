@@ -26,6 +26,7 @@ object TextQueries {
     GraftQuery("q_token_quantiles", tokenQuantiles, Some(tokenQuantilesSql)),
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
+    GraftQuery("q_dedup_simhash", dedupSimhashQ, Some(dedupSimhashSql)),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     GraftQuery("q_corpus_filter", corpusFilter, Some(corpusFilterSql), bench = true),
   )
@@ -383,6 +384,21 @@ object TextQueries {
        |    ON a.b = b.b AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
        |) WHERE hamming <= $MAX_HAMMING""".stripMargin
   }
+
+  /** Edge-local SimHash dedup: drop docs with a smaller-id neighbor
+    * within MAX_HAMMING bits (the Hamming test is exact — no separate
+    * verify stage). */
+  def dedupSimhashQ(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.dedupSimhash(docs(spark, sfDir), "text", "doc_id",
+      MAX_HAMMING, SIMHASH_BANDS, SIMHASH_MIN_TOKENS)
+      .select(col("doc_id"))
+
+  def dedupSimhashSql: String =
+    s"""WITH pairs AS (
+       |${simhashPairsSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin
 
   // ---- n-gram jaccard ----------------------------------------------------
 

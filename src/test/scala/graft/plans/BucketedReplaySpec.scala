@@ -44,4 +44,16 @@ class BucketedReplaySpec extends AnyFunSuite {
     val b = viaShuffle.orderBy("product", "seq").collect()
     assert(a.length == 1000 && a.toSeq == b.toSeq)
   }
+
+  test("bucketed input also plans sessionization without any Exchange") {
+    // the sessionize windows require ClusteredDistribution(user_id);
+    // a table bucketed by user_id satisfies it directly — the whole
+    // lag → running-last → rollup chain runs shuffle-free on the scan
+    val bucketed = spark.table("graft_events_bucketed")
+    val out = graft.operators.Sessionize.sessionStats(
+      bucketed.select(col("product").as("k"), col("seq").as("t")),
+      "t", Seq("k"), maxGap = 50L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
