@@ -43,6 +43,7 @@ object Bench {
     // effects are uniform across iterations) and report the per-query
     // MEDIAN. N=3 by default; override via SPARK_GRAFT_BENCH_ITERS.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val benchSet = Registry.all.filter(_.bench)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)

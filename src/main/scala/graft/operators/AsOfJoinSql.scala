@@ -50,7 +50,6 @@ object AsOfJoinSql {
     val packType = right.select(packed.as("__rpack")).schema("__rpack").dataType.sql
     val packSql = (s"'__rt', CAST($timeCol AS BIGINT)" +:
       valueCols.map(c => s"'$c', $c")).mkString("named_struct(", ", ", ")")
-    val rightOther = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
     val rightSelect = leftCols.map { c =>
       if (keys.contains(c) || c == timeCol) c
       else s"CAST(NULL AS ${left.schema(c).dataType.sql}) AS $c"

@@ -47,27 +47,38 @@ object RangeJoin {
     val lBin = left.withColumn("__rj_bin", binOf(col(timeCol), binWidth))
     val rValid = right.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
       col(startCol) < col(endCol))
+    // Routing: binned path iff the interval LENGTH is under the cap.
+    // Length is tested in double arithmetic, which cannot overflow at any
+    // long magnitude (a sentinel start = Long.MinValue or end =
+    // Long.MaxValue lands far above any sane cap regardless of rounding,
+    // so the ±ulp imprecision near 2^63 can never misroute: only
+    // intervals ~cap·width long are near the boundary, and those are
+    // exactly representable). end-1 below is then overflow-safe for
+    // binned rows because end - start is small. ONE canonical predicate
+    // partitions every row into exactly one path.
+    val shortIv = (col(endCol).cast("double") - col(startCol).cast("double")) <=
+      lit(maxFanOut.toDouble * binWidth.toDouble)
     // end is exclusive: the last candidate bin is the one containing
     // end-1 (an interval touching a bin boundary must not leak into the
-    // next bin). binOf(end-1) - binOf(start) is overflow-safe: both bin
-    // indices are |t|/binWidth-scaled.
-    val spansBins = binOf(col(endCol) - 1, binWidth) - binOf(col(startCol), binWidth)
-    val rBins = rValid.filter(spansBins < maxFanOut)
+    // next bin)
+    val rBins = rValid.filter(shortIv)
       .withColumn("__rj_bin", explode(sequence(
         binOf(col(startCol), binWidth), binOf(col(endCol) - 1, binWidth))))
     val binned = lBin.join(rBins, keys :+ "__rj_bin")
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__rj_bin")
-    // every (left, right) pair lands in exactly one path: the interval is
-    // either under the fan-out cap (binned) or over it (fallback)
-    val fallback = left.join(rValid.filter(spansBins >= maxFanOut), keys)
+    val fallback = left.join(rValid.filter(!shortIv), keys)
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
     binned.unionByName(fallback)
   }
 
-  /** Floor-division via pmod subtraction + integral `div` — exact for
-    * any sign and ANY long magnitude (no double rounding even at
-    * sentinel ends like Long.MaxValue). */
-  private def binOf(t: Column, w: Long): Column =
-    call_function("div", t.cast("long") - pmod(t.cast("long"), lit(w)), lit(w))
+  /** Floor-division, overflow-free at ANY long (including sentinel
+    * values within binWidth of Long.MinValue, where the pmod-subtraction
+    * form would wrap): truncated integral `div`, stepped down by one
+    * when truncation rounded toward zero on a negative value. */
+  private def binOf(t: Column, w: Long): Column = {
+    val tl = t.cast("long")
+    val q = call_function("div", tl, lit(w))
+    when(tl < 0 && q * w =!= tl, q - 1).otherwise(q)
+  }
 }

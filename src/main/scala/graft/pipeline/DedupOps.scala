@@ -66,12 +66,24 @@ object DedupOps {
     * no shingle strings), then sig_i = min over shingles of
     * (h·(2i+1) + i²·65537 + 7) mod p. The permutations are pure
     * arithmetic, map-only. Empty shingle set → all-sentinel signature
-    * (= p, above any residue). */
+    * (= p, above any residue).
+    *
+    * Shape: ONE aggregate() pass over the shingle-hash array folding an
+    * accumulator of numHashes running minima (zip_with against the
+    * permutation indices). The earlier transform-of-aggregates form
+    * evaluated the shingle-hash array once PER PERMUTATION — the same
+    * numHashes-fold recompute the batch path's explode+groupBy shape
+    * exists to avoid — and no projection staging survives
+    * CollapseProject when the alias is referenced once lexically. As
+    * aggregate input the array is evaluated exactly once per row however
+    * the optimizer inlines it, which is what the streaming path (no
+    * stateful aggregation available below a stream-stream join) needs. */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
     val hs = graft.functions.TokenShingleHash.shingleHashes(text, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => aggregate(hs, lit(MinhashPrime),
-        (m, v) => least(m,
+    aggregate(hs,
+      array(Seq.fill(numHashes)(lit(MinhashPrime)): _*),
+      (acc, v) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m,
           (v * (((i * 2 + 1) * lit(2654435761L)) % MinhashPrime) +
             (i * i * 65537 + 7)) % MinhashPrime)))
   }
@@ -206,6 +218,7 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var round = 0
+    var ok = false
     try {
       while (changed > 0 && round < maxRounds) {
         round += 1
@@ -227,8 +240,15 @@ object DedupOps {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds " +
             s"($changed labels still changing) — graph diameter exceeds the cap")
+      ok = true
       labels
-    } finally edges.unpersist()
+    } finally {
+      edges.unpersist()
+      // on ANY failure path (non-convergence throw, mid-round job
+      // failure) the current labels frame must not leak its blocks;
+      // on success the caller owns the returned persisted frame
+      if (!ok) labels.unpersist()
+    }
   }
 
   /** Transitive near-dup dedup: like [[dedupNearMinhash]] but with the
@@ -303,11 +323,15 @@ object DedupOps {
     * buckets at corpus scale — the SimHash analogue of the all-sentinel
     * MinHash bucket. They cannot be meaningful near-dups (run exact dedup
     * for identical shorts), so dropping them changes no useful pair.
+    * Note n_tok is never below 1 (an empty text tokenizes to one empty
+    * token), so the guard needs minTokens >= 2 to bite — the default 3
+    * keeps the skew protection ON by default; pass 1 to disable it
+    * explicitly.
     *
     * Returns (id_a, id_b, hamming) with id_a < id_b, distinct. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
-                   minTokens: Int = 1): DataFrame = {
+                   minTokens: Int = 3): DataFrame = {
     require(bands > 0 && 48 % bands == 0, s"bands must divide 48, got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole recall requires maxHamming < bands, got $maxHamming/$bands")
@@ -338,7 +362,7 @@ object DedupOps {
     * the Hamming test inside [[simhashPairs]] IS exact. */
   def dedupSimhash(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
-                   minTokens: Int = 1): DataFrame = {
+                   minTokens: Int = 3): DataFrame = {
     val drops = simhashPairs(df, textCol, idCol, maxHamming, bands, minTokens)
       .select(col("id_b").as("__sd_drop")).distinct()
     df.join(drops, col(idCol) === col("__sd_drop"), "left_anti")

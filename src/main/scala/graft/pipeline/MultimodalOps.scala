@@ -89,13 +89,23 @@ object MultimodalOps {
   /** Assemble a baseline-JPEG prefix (SOI → APP0 → COM → SOF0 with
     * 2-byte big-endian height/width) around an arbitrary body. Pure hex
     * assembly, bit-reproducible in the oracle. */
-  def jpegPayload(body: Column, width: Column, height: Column): Column =
+  def jpegPayload(body: Column, width: Column, height: Column): Column = {
+    // SOF0 dimensions are 2-byte fields; lpad(hex(d), 4) would silently
+    // KEEP THE HIGH nibbles of an oversized value (65552 → "1001" =
+    // 4097), producing a well-formed header with a wrong dimension —
+    // fail loudly instead
+    def dim(d: Column, name: String): Column =
+      when(d.between(0, 65535), lpad(hex(d), 4, "0"))
+        .otherwise(raise_error(concat(
+          lit(s"jpegPayload: $name out of the 2-byte SOF0 range [0, 65535]: "),
+          d.cast("string"))))
     unhex(concat(
       lit(JpegPreludeHex + JpegSof0Head),
-      lpad(hex(height), 4, "0"),
-      lpad(hex(width), 4, "0"),
+      dim(height, "height"),
+      dim(width, "width"),
       lit(JpegSof0Tail),
       hex(body.cast("binary"))))
+  }
 
   /** REAL JPEG dimension parse: walk the marker-segment chain from the
     * byte after SOI — each segment is FF, marker, 2-byte big-endian
@@ -113,6 +123,11 @@ object MultimodalOps {
     * multi-reference keeps CollapseProject from re-inlining). */
   def withJpegMeta(df: DataFrame, contentCol: String,
                    maxSegments: Int = 8): DataFrame = {
+    val reserved = Set("jpeg_width", "jpeg_height", "jpeg_channels") ++
+      (0 to maxSegments).map(i => s"__jp_pos$i") ++
+      (0 until maxSegments).map(i => s"__jp_sof$i")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input already has reserved/output columns: $clash")
     val content = col(contentCol)
     def be(pos: Column, n: Int): Column =
       conv(hex(substring(content, pos.cast("int"), lit(n))), 16, 10).cast("long")

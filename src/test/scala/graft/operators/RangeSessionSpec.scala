@@ -48,15 +48,16 @@ class RangeSessionSpec extends AnyFunSuite {
     // merely-long interval) through the keys-equi fallback instead.
     val left = Seq(("A", 10L), ("A", 500000L), ("B", 7L)).toDF("k", "t")
     val right = Seq(
-      ("A", 5L, Long.MaxValue, "open"),   // matches both A rows
-      ("A", 400L, 900000L, "long"),       // spans >> maxFanOut bins: matches t=500000
-      ("A", 8L, 12L, "short"),            // binned path: matches t=10
-      ("B", 100L, Long.MaxValue, "openB") // open but starts after t=7: no match
+      ("A", 5L, Long.MaxValue, "open"),    // matches both A rows
+      ("A", 400L, 900000L, "long"),        // spans >> maxFanOut bins: matches t=500000
+      ("A", 8L, 12L, "short"),             // binned path: matches t=10
+      ("A", Long.MinValue, 12L, "sinceEver"), // sentinel START: matches t=10
+      ("B", 100L, Long.MaxValue, "openB")  // open but starts after t=7: no match
     ).toDF("k", "s", "e", "tag")
     val out = RangeJoin.joinPointInInterval(left, right, "t", "s", "e",
-        Seq("k"), binWidth = 4L, maxFanOut = 64L)
+        Seq("k"), binWidth = 3L, maxFanOut = 64L) // width 3: MinValue is NOT a bin multiple
       .select("t", "tag").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-    assert(out == Seq((10L, "open"), (10L, "short"),
+    assert(out == Seq((10L, "open"), (10L, "short"), (10L, "sinceEver"),
       (500000L, "long"), (500000L, "open")))
     // equivalence with the naive join on a mixed corpus incl. sentinels
     val rnd = new scala.util.Random(5)
