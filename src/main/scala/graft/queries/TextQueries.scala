@@ -29,6 +29,7 @@ object TextQueries {
     GraftQuery("q_dedup_simhash", dedupSimhashQ, Some(dedupSimhashSql)),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     GraftQuery("q_corpus_filter", corpusFilter, Some(corpusFilterSql), bench = true),
+    GraftQuery("q_pack_contexts", packContexts, Some(packContextsSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -347,6 +348,37 @@ object TextQueries {
        |  FROM gated
        |) WHERE rn = 1""".stripMargin
   }
+
+  // ---- sequence packing --------------------------------------------------
+
+  private val CTX_SIZE = 512L
+
+  /** Packed-pretraining layout: per-source shards, docs laid out by id,
+    * chunked into 512-token contexts. */
+  def packContexts(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir).select(col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.pipeline.PackingOps.packContexts(t, Seq("source"), "doc_id",
+      "n_tokens", CTX_SIZE)
+  }
+
+  def packContextsSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+       |  FROM t
+       |)
+       |SELECT source, doc_id, n_tokens, pack_offset,
+       |  pack_offset // $CTX_SIZE AS ctx_first,
+       |  (pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE AS ctx_last,
+       |  pack_offset % $CTX_SIZE AS ctx_offset,
+       |  ((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE)
+       |    - (pack_offset // $CTX_SIZE) + 1 AS n_ctx_spanned
+       |FROM o""".stripMargin
 
   // ---- simhash near-dup pairs -------------------------------------------
 

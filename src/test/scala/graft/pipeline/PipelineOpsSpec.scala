@@ -118,6 +118,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.getLong(2) == 195L && out.getLong(3) == 97500L)
   }
 
+  test("sequence packing: offsets, boundary spans, empty docs, per-shard") {
+    // shard A: docs of 3, 4, 6 tokens with contextSize 5:
+    //   doc1 @0 -> ctx 0 (tokens 0-2)
+    //   doc2 @3 -> tokens 3-6: spans ctx 0 and 1
+    //   doc3 @7 -> tokens 7-12: spans ctx 1 and 2
+    // shard B packs independently from offset 0; doc20 is EMPTY at @2
+    val df = Seq(
+      ("A", 1L, 3L), ("A", 2L, 4L), ("A", 3L, 6L),
+      ("B", 10L, 2L), ("B", 20L, 0L), ("B", 30L, 9L))
+      .toDF("shard", "id", "n_tok")
+    val out = PackingOps.packContexts(df, Seq("shard"), "id", "n_tok", 5L)
+      .select("shard", "id", "pack_offset", "ctx_first", "ctx_last",
+        "ctx_offset", "n_ctx_spanned")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("A", 1L, 0L, 0L, 0L, 0L, 1L),
+      ("A", 2L, 3L, 0L, 1L, 3L, 2L),
+      ("A", 3L, 7L, 1L, 2L, 2L, 2L),
+      ("B", 10L, 0L, 0L, 0L, 0L, 1L),
+      ("B", 20L, 2L, 0L, 0L, 2L, 1L),
+      ("B", 30L, 2L, 0L, 2L, 2L, 3L)))
+    // no token lost or duplicated: per shard, offsets are the exclusive
+    // prefix sums of the token counts
+    intercept[IllegalArgumentException] {
+      PackingOps.packContexts(df, Seq.empty, "id", "n_tok", 5L)
+    }
+  }
+
   test("multimodal: jpeg SOF walk recovers dims; rejects non-jpeg/truncated") {
     val good = Seq((1L, "body-bytes", 640L, 480L), (2L, "x", 17L, 65535L))
       .toDF("id", "body", "w", "h")
