@@ -30,6 +30,8 @@ object TextQueries {
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     GraftQuery("q_corpus_filter", corpusFilter, Some(corpusFilterSql), bench = true),
     GraftQuery("q_pack_contexts", packContexts, Some(packContextsSql)),
+    GraftQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    GraftQuery("q_source_cap", sourceCap, Some(sourceCapSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -348,6 +350,42 @@ object TextQueries {
        |  FROM gated
        |) WHERE rn = 1""".stripMargin
   }
+
+  // ---- corpus composition: mixture sampling + per-source caps ------------
+
+  private val MIX_RATES = Map("src0" -> 1000, "src1" -> 500, "src2" -> 100)
+  private val MIX_DEFAULT = 250
+  private val CAP_K = 10
+
+  /** Deterministic mixture: full src0, half src1, a tenth of src2, a
+    * quarter of everything else — all by id hash, no rand(). */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.SamplingOps.mixtureSample(docs(spark, sfDir), "doc_id",
+        "source", MIX_RATES, MIX_DEFAULT)
+      .select(col("doc_id"), col("source"))
+
+  def mixtureSampleSql: String = {
+    val rateCase = MIX_RATES.toSeq.sortBy(_._1).reverse
+      .foldLeft(MIX_DEFAULT.toString) { case (acc, (src, p)) =>
+        s"CASE WHEN source = '$src' THEN $p ELSE $acc END"
+      }
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${HashFns.hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000 < $rateCase""".stripMargin
+  }
+
+  /** Anti-domination: at most 10 docs per source, drawn by hash order. */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.SamplingOps.capPerGroup(docs(spark, sfDir),
+        Seq("source"), "doc_id", CAP_K)
+      .select(col("doc_id"), col("source"))
+
+  def sourceCapSql: String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ${HashFns.hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |  FROM documents
+       |) WHERE rn <= $CAP_K""".stripMargin
 
   // ---- sequence packing --------------------------------------------------
 
