@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -102,6 +102,49 @@ object TextOps {
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
+
+  /** Gopher-style repetition signals over word k-grams (Rae et al. 2021,
+    * §A1.1 — "fraction of characters in the most common n-gram" family,
+    * simplified to token counts): for each doc, the occurrence count of
+    * its MOST FREQUENT k-gram and the duplicate fraction
+    * (1 − distinct/total). High values mark boilerplate/spam loops that
+    * per-doc quality scores miss. Needs the doc's shingles grouped, so
+    * this is DataFrame-level: explode → count per (id, shingle) →
+    * per-id rollup — two shuffles, both map-side combined (the second
+    * carries only distinct (id, shingle) rows). A per-row columnar
+    * form exists (list_distinct + per-element recount) but is O(n²) in
+    * document length — wrong for the 100k-token tail; the relational
+    * shape is linear. Docs with fewer than k tokens get (0, 0.0). */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(shingles(col(textCol), k)).as("__rep_sh"))
+    val perShingle = sh.groupBy(col(idCol), col("__rep_sh"))
+      .agg(count(lit(1)).as("__rep_c"))
+    val rolled = perShingle.groupBy(col(idCol))
+      .agg(max(col("__rep_c")).as("top_ngram_count"),
+        count(lit(1)).as("__rep_distinct"),
+        sum(col("__rep_c")).as("__rep_total"))
+      .select(col(idCol), col("top_ngram_count"),
+        ((col("__rep_total") - col("__rep_distinct")).cast("double") /
+          col("__rep_total").cast("double")).as("dup_ngram_frac"))
+    df.join(rolled, Seq(idCol), "left")
+      .withColumn("top_ngram_count", coalesce(col("top_ngram_count"), lit(0L)))
+      .withColumn("dup_ngram_frac", coalesce(col("dup_ngram_frac"), lit(0.0)))
+  }
+
+  /** PII redaction: replace email-shaped and long-digit-run tokens with
+    * placeholder tags. Deliberately simple character classes — the same
+    * pattern semantics in Java regex (Spark) and RE2 (DuckDB), so the
+    * operator carries an exact oracle; a production system would swap in
+    * its own pattern pack at this seam. Map-only. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunPattern = "[0-9]{7,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      DigitRunPattern, "<NUMBER>")
 
   // ---- DuckDB oracle fragments ------------------------------------------
 

@@ -32,6 +32,8 @@ object TextQueries {
     GraftQuery("q_pack_contexts", packContexts, Some(packContextsSql)),
     GraftQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     GraftQuery("q_source_cap", sourceCap, Some(sourceCapSql)),
+    GraftQuery("q_repetition", repetition, Some(repetitionSql)),
+    GraftQuery("q_redact", redact, Some(redactSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -349,6 +351,61 @@ object TextQueries {
        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
        |  FROM gated
        |) WHERE rn = 1""".stripMargin
+  }
+
+  // ---- repetition + redaction -------------------------------------------
+
+  /** Gopher-style repetition signals over word 3-grams. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.repetitionStats(docs(spark, sfDir), "text", "doc_id", K)
+      .select(col("doc_id"), col("top_ngram_count"), col("dup_ngram_frac"))
+
+  /** Oracle uses the per-row list form (O(n²) per doc — fine at oracle
+    * scale; the engine side is the linear relational shape). */
+  def repetitionSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${TextOps.shinglesSql("text", K)} AS s FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN len(s) = 0 THEN 0
+       |       ELSE list_max(list_transform(list_distinct(s),
+       |         d -> len(list_filter(s, x -> x = d)))) END AS top_ngram_count,
+       |  CASE WHEN len(s) = 0 THEN 0.0
+       |       ELSE CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+       |            / CAST(len(s) AS DOUBLE) END AS dup_ngram_frac
+       |FROM sh""".stripMargin
+
+  /** PII redaction round-trip: plant synthetic emails/digit runs in a
+    * third of the docs, redact, and hash the result. */
+  def redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = docs(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact bob.smith+x@mail.example.org or 12345678901")))
+        .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+      md5(TextOps.redactPii(col("text")).cast("binary")).as("redacted_hash"),
+      (length(col("text")) - length(TextOps.redactPii(col("text"))))
+        .cast("long").as("chars_removed"))
+  }
+
+  def redactSql: String = {
+    val email = TextOps.EmailPattern
+    val digits = TextOps.DigitRunPattern
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN text || ' contact bob.smith+x@mail.example.org or 12345678901'
+       |         ELSE text END AS text
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |      '$digits', '<NUMBER>', 'g') AS red
+       |  FROM planted
+       |)
+       |SELECT doc_id, md5(red) AS redacted_hash,
+       |  CAST(length(text) - length(red) AS BIGINT) AS chars_removed
+       |FROM r""".stripMargin
   }
 
   // ---- corpus composition: mixture sampling + per-source caps ------------
