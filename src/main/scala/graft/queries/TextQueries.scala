@@ -84,7 +84,10 @@ object TextQueries {
       li.getField("score").cast("long").as("lang_score"))
   }
 
-  def langIdSql: String = {
+  /** Shared CTE chain `s` (per-profile scores) → `u` (score branches) →
+    * `l` (argmax winner per doc): the language-ranking core reused by
+    * the q_lang_id oracle and the corpus-filter oracle. */
+  private def langRankCtes: String = {
     val scores = TextOps.langProfiles.map { case (code, prof) =>
       s"${TextOps.langScoreSql("text", prof)} AS s_$code"
     }.mkString(",\n    ")
@@ -97,13 +100,19 @@ object TextQueries {
        |  FROM documents
        |), u AS (
        |  $branches
-       |)
-       |SELECT doc_id, lang_pred, CAST(lang_score AS BIGINT) AS lang_score FROM (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY doc_id ORDER BY lang_score DESC, lang_pred) AS rn
-       |  FROM u
-       |) WHERE rn = 1""".stripMargin
+       |), l AS (
+       |  SELECT doc_id, lang_pred, lang_score FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY lang_score DESC, lang_pred) AS rn
+       |    FROM u
+       |  ) WHERE rn = 1
+       |)""".stripMargin
   }
+
+  def langIdSql: String =
+    s"""$langRankCtes
+       |SELECT doc_id, lang_pred, CAST(lang_score AS BIGINT) AS lang_score
+       |FROM l""".stripMargin
 
   // ---- fingerprint -------------------------------------------------------
 
@@ -311,27 +320,11 @@ object TextQueries {
       CF_LANG, CF_MIN_QUALITY, CF_TOK_PERMILLE)
 
   def corpusFilterSql: String = {
-    val scores = TextOps.langProfiles.map { case (code, prof) =>
-      s"${TextOps.langScoreSql("text", prof)} AS s_$code"
-    }.mkString(",\n    ")
-    val branches = TextOps.langProfiles.map { case (code, _) =>
-      s"SELECT doc_id, '$code' AS lang_pred, s_$code AS lang_score FROM s"
-    }.mkString("\n  UNION ALL ")
     val stopList = TextOps.langProfiles.flatMap(_._2).distinct.sorted
     val stop = TextOps.langScoreSql("text", stopList)
     val quantile = graft.pipeline.StatsOps.exactQuantilesSql(
       "SELECT n_tokens AS v FROM kept", Seq(CF_TOK_PERMILLE))
-    s"""WITH s AS (
-       |  SELECT doc_id, $scores FROM documents
-       |), u AS (
-       |  $branches
-       |), l AS (
-       |  SELECT doc_id, lang_pred FROM (
-       |    SELECT *, row_number() OVER (
-       |      PARTITION BY doc_id ORDER BY lang_score DESC, lang_pred) AS rn
-       |    FROM u
-       |  ) WHERE rn = 1
-       |), q AS (
+    s"""$langRankCtes, q AS (
        |  SELECT doc_id, text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    least(100.0, greatest(0.0,
@@ -382,10 +375,13 @@ object TextQueries {
       when(col("doc_id") % 3 === 0,
         concat(col("text"), lit(" contact bob.smith+x@mail.example.org or 12345678901")))
         .otherwise(col("text")).as("text"))
-    planted.select(col("doc_id"),
-      md5(TextOps.redactPii(col("text")).cast("binary")).as("redacted_hash"),
-      (length(col("text")) - length(TextOps.redactPii(col("text"))))
-        .cast("long").as("chars_removed"))
+    // stage the redacted text once — two lexical references keep the
+    // alias staged, so the double regexp_replace runs once per row, not
+    // once per consuming expression
+    planted.withColumn("__red", TextOps.redactPii(col("text")))
+      .select(col("doc_id"),
+        md5(col("__red").cast("binary")).as("redacted_hash"),
+        (length(col("text")) - length(col("__red"))).cast("long").as("chars_removed"))
   }
 
   def redactSql: String = {

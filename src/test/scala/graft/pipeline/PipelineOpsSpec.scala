@@ -118,6 +118,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.getLong(2) == 195L && out.getLong(3) == 97500L)
   }
 
+  test("sampling: hash-deterministic, rate-monotone, cap bounds groups") {
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val k200 = SamplingOps.sampleByHash(df, "id", 200)
+      .select("id").as[Long].collect().toSet
+    val k500 = SamplingOps.sampleByHash(df, "id", 500)
+      .select("id").as[Long].collect().toSet
+    // deterministic (same draw on rerun) and monotone in the rate
+    assert(SamplingOps.sampleByHash(df, "id", 200)
+      .select("id").as[Long].collect().toSet == k200)
+    assert(k200.subsetOf(k500))
+    assert(SamplingOps.sampleByHash(df, "id", 0).count() == 0)
+    assert(SamplingOps.sampleByHash(df, "id", 1000).count() == 400)
+    // mixture: rate 1000 keeps all of src0; unknown sources obey default
+    val mixed = SamplingOps.mixtureSample(df, "id", "src",
+      Map("src0" -> 1000, "src1" -> 0), defaultPermille = 1000)
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src0", 0L) == 100L && !bySrc.contains("src1"))
+    assert(bySrc("src2") == 100L && bySrc("src3") == 100L)
+    // cap: every group at most k, deterministic selection
+    val capped = SamplingOps.capPerGroup(df, Seq("src"), "id", 7)
+    assert(capped.groupBy("src").count().collect().forall(_.getLong(1) == 7L))
+    assert(capped.select("id").as[Long].collect().toSet ==
+      SamplingOps.capPerGroup(df, Seq("src"), "id", 7)
+        .select("id").as[Long].collect().toSet)
+  }
+
   test("sequence packing: offsets, boundary spans, empty docs, per-shard") {
     // shard A: docs of 3, 4, 6 tokens with contextSize 5:
     //   doc1 @0 -> ctx 0 (tokens 0-2)
