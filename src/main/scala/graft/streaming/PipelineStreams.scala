@@ -49,6 +49,31 @@ object PipelineStreams {
       .dropDuplicatesWithinWatermark("__content_hash", "__win_start")
       .drop("__content_hash", "__win_start")
 
+  /** Streaming corpus filter — the continuous-ingestion twin of
+    * `CorpusFilter.filterCorpus`: the language and quality gates are the
+    * SAME map-only expressions as the batch plan, composed with
+    * watermarked exact dedup. One deliberate difference: the token
+    * cutoff is a STATIC parameter, not a data-derived quantile — a
+    * corpus quantile is global state that cannot be maintained exactly
+    * over an unbounded stream; the operating pattern is a periodic batch
+    * pass deriving the cutoff (StatsOps.exactQuantiles) and the stream
+    * applying it. */
+  def corpusFilterStream(df: DataFrame, textCol: String, idCol: String,
+                         eventTimeCol: String, delay: String,
+                         langCode: String = "en", minQuality: Double = 40.0,
+                         minTokens: Long = 1L): DataFrame = {
+    val quals = graft.pipeline.TextOps.qualityColumns(col(textCol)).toMap
+    val gated = df
+      .withColumn("__cf_lang",
+        graft.pipeline.TextOps.languageId(col(textCol)).getField("lang"))
+      .withColumn("n_tokens", quals("n_tokens"))
+      .withColumn("quality_score", quals("quality_score"))
+      .filter(col("__cf_lang") === langCode &&
+        col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
+      .drop("__cf_lang")
+    dedupExactStream(gated, textCol, eventTimeCol, delay)
+  }
+
   /** Streaming MinHash-LSH near-dup CANDIDATE emission — the streaming
     * twin of `DedupOps.minhashCandidatePairs`: per-doc signature is
     * map-only (the direct columnar expression — no stateful aggregation),

@@ -83,6 +83,30 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(rows.contains(("u1", 1L)))
   }
 
+  test("streaming corpus filter: gates + dedup compose on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.corpusFilterStream(
+      sdf, "text", "doc_id", "event_time", "10 seconds",
+      langCode = "en", minQuality = 25.0, minTokens = 5L)
+    val query = out.writeStream.format("memory").queryName("cf_stream")
+      .outputMode("append").start()
+    val good = "the cat is on the mat and the dog is here watching it closely"
+    val german = "der hund und die katze das ist und der und die das haus"
+    try {
+      mem.addData(
+        (1L, good, ts(10)),
+        (2L, german, ts(11)),      // language gate drops
+        (3L, "the a", ts(12)),     // minTokens gate drops
+        (4L, good, ts(13)))        // exact dup of 1 drops
+      query.processAllAvailable()
+    } finally query.stop()
+    val kept = spark.table("cf_stream")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("streaming near-dup candidates pair within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
