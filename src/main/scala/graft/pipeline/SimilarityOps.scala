@@ -120,6 +120,41 @@ object SimilarityOps {
       .drop("rank")
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one hyperplane sign flipped) —
+    * `planes`+1 probes. A vector near one hyperplane's boundary lands on
+    * either side with ~equal probability; probing the flipped bucket
+    * recovers exactly that lost recall. Fan-out multiplies the QUERY
+    * side only (queries are the small side); the corpus is still
+    * bucketed once, and the join stays equi on the bucket. */
+  def lshCosineTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("__base_bucket", lshBucketScaled(col("qv"), planes))
+      .withColumn("q_n2", norm2(col("qv")))
+      .withColumn("bucket", explode(array(
+        col("__base_bucket") +:
+          (0 until planes).map(p =>
+            col("__base_bucket").bitwiseXOR(lit(1L << p))): _*)))
+      .drop("__base_bucket")
+    val c = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucketScaled(col("cv"), planes))
+      .withColumn("c_n2", norm2(col("cv")))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromInts(dot(col("qv"), col("cv")),
+          col("q_n2"), col("c_n2")).as("cosine"))
+      .distinct() // a neighbor can surface via several probed buckets
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** Driver-side centroid snapshot: (cent_id, vector, sqrt(norm2)) sorted
     * by id. The sqrt is precomputed with `java.lang.Math.sqrt` — the same
     * IEEE operation Spark's SQRT and DuckDB's sqrt perform on the same

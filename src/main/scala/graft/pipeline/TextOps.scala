@@ -133,6 +133,40 @@ object TextOps {
       .withColumn("dup_ngram_frac", coalesce(col("dup_ngram_frac"), lit(0.0)))
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with counts —
+    * the input to tokenizer training and OOV analysis. Explode → one
+    * partial-aggregated shuffle on the token → global top-k, which
+    * Spark plans as TakeOrderedAndProject (per-partition heaps + a
+    * k-row driver merge — no global sort, no single-partition window).
+    * Ties break lexicographically for determinism. */
+  def topKVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Benchmark decontamination screening: flag (train doc, bench doc)
+    * pairs sharing at least `minOverlap` distinct word k-grams — the
+    * standard n-gram-overlap test run before training on a corpus that
+    * might contain evaluation data. Shape: distinct shingles on both
+    * sides, equi-join ON THE SHINGLE, count per pair. The bench side is
+    * tiny by nature (an eval suite), so at scale the join broadcasts it
+    * and the only shuffle is the per-pair count; never all-pairs. */
+  def contaminationScreen(train: DataFrame, bench: DataFrame,
+                          textCol: String, idCol: String, shingleK: Int,
+                          minOverlap: Long): DataFrame = {
+    val tSh = train.select(col(idCol).as("train_id"),
+      explode(shingles(col(textCol), shingleK)).as("sh")).distinct()
+    val bSh = bench.select(col(idCol).as("bench_id"),
+      explode(shingles(col(textCol), shingleK)).as("sh")).distinct()
+    tSh.join(broadcast(bSh), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** PII redaction: replace email-shaped and long-digit-run tokens with
     * placeholder tags. Deliberately simple character classes — the same
     * pattern semantics in Java regex (Spark) and RE2 (DuckDB), so the

@@ -18,6 +18,7 @@ object SimilarityQueries {
     // be the default at scale (the IVF entry below is the scale path)
     GraftQuery("q_embed_topk", embedTopK, Some(embedTopKSql)),
     GraftQuery("q_embed_lsh_topk", embedLshTopK, Some(embedLshTopKSql)),
+    GraftQuery("q_embed_lsh_multiprobe", embedLshMultiProbe, Some(embedLshMultiProbeSql)),
     GraftQuery("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
     GraftQuery("q_embed_ivf_kmeans", embedIvfKmeans, Some(embedIvfKmeansSql), bench = true),
@@ -251,6 +252,37 @@ object SimilarityQueries {
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        |  FROM scored
        |) WHERE rn <= $TOPK""".stripMargin
+
+  /** Multi-probe LSH: each query also probes the `PLANES` buckets one
+    * sign-flip away, recovering boundary-loss recall. */
+  def embedLshMultiProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    SimilarityOps.lshCosineTopKMultiProbe(q, e, "vec_id", "embedding", TOPK, PLANES)
+  }
+
+  def embedLshMultiProbeSql: String = {
+    val flips = (0 until PLANES).map(p => s"xor(bucket, ${1L << p}::BIGINT)")
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket
+       |  FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
+       |), qp AS (
+       |  SELECT vec_id, sv, unnest([bucket, $flips]) AS bucket
+       |  FROM v WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(${dotSql("q.sv", "c.sv")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql("q.sv")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql("c.sv")} AS DOUBLE))) AS cosine
+       |  FROM qp q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TOPK""".stripMargin
+  }
 
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
     * buckets with exact in-bucket verification. */

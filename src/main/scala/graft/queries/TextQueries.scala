@@ -34,6 +34,8 @@ object TextQueries {
     GraftQuery("q_source_cap", sourceCap, Some(sourceCapSql)),
     GraftQuery("q_repetition", repetition, Some(repetitionSql)),
     GraftQuery("q_redact", redact, Some(redactSql)),
+    GraftQuery("q_vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    GraftQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -403,6 +405,47 @@ object TextQueries {
        |  CAST(length(text) - length(red) AS BIGINT) AS chars_removed
        |FROM r""".stripMargin
   }
+
+  // ---- vocabulary + decontamination --------------------------------------
+
+  private val VOCAB_K = 50
+
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.topKVocab(docs(spark, sfDir), "text", VOCAB_K)
+
+  def vocabTopKSql: String =
+    s"""SELECT token, count(*) AS n FROM (
+       |  SELECT unnest(${TextOps.tokensSql("text")}) AS token FROM documents
+       |)
+       |GROUP BY token ORDER BY n DESC, token LIMIT $VOCAB_K""".stripMargin
+
+  private val DECON_MIN_OVERLAP = 5L
+
+  /** Stand-in benchmark set: every 97th doc. Screening flags every
+    * train doc sharing >= 5 distinct 3-grams with a bench doc (each
+    * bench doc trivially flags itself — the exact-copy case). */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    TextOps.contaminationScreen(d, bench, "text", "doc_id", K, DECON_MIN_OVERLAP)
+  }
+
+  def decontaminateSql: String =
+    s"""WITH tsh AS (
+       |  SELECT DISTINCT doc_id AS train_id, sh FROM (
+       |    SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh
+       |    FROM documents
+       |  )
+       |), bsh AS (
+       |  SELECT DISTINCT doc_id AS bench_id, sh FROM (
+       |    SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh
+       |    FROM documents WHERE doc_id % 97 = 0
+       |  )
+       |)
+       |SELECT t.train_id, b.bench_id, count(*) AS n_overlap
+       |FROM tsh t JOIN bsh b ON t.sh = b.sh
+       |GROUP BY t.train_id, b.bench_id
+       |HAVING count(*) >= $DECON_MIN_OVERLAP""".stripMargin
 
   // ---- corpus composition: mixture sampling + per-source caps ------------
 
