@@ -294,6 +294,64 @@ object SimilarityOps {
       .drop("rank")
   }
 
+  /** Persisted IVF index — the build/probe split a production ANN
+    * service runs (train once, index once, probe many):
+    *
+    *  - BUILD: assign every corpus vector its cell (map-only
+    *    CentroidTopCells argmax) and write the corpus PARTITIONED BY
+    *    CELL, plus the centroid table alongside. One pass, one write.
+    *  - PROBE: compute the query set's probed cells (against the stored
+    *    centroids), then read ONLY those cell directories — the cell
+    *    filter is a partition filter, so at 100 TB a 2-probe query over
+    *    4096 cells scans ~0.05% of the index instead of all of it.
+    *    Everything after the pruned scan is the standard exact rerank.
+    *
+    * The probed-cell set is collected to the driver to become a static
+    * partition filter — queries-per-batch × nProbes distinct values, a
+    * planning-time constant exactly like the centroid snapshot. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, path: String): Unit = {
+    val snapshot = collectCentroids(centroids)
+    corpus.select(col(idCol), col(vecCol),
+        element_at(topCells(scaled(col(vecCol)), snapshot, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/corpus")
+    centroids.select(col("cent_id"), col("cent_v"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: top-k by exact cosine within the
+    * probed cells. The `cell` isin-filter prunes index partitions at
+    * the source. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$path/centroids")
+    val snapshot = collectCentroids(cents)
+    val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("q_v"))
+      .withColumn("q_n2", norm2(col("q_v")))
+      .withColumn("cell", explode(topCells(col("q_v"), snapshot, nProbes)))
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+      .select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("c_v"),
+        col("cell"))
+      .withColumn("c_n2", norm2(col("c_v")))
+    val scored = idx.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromInts(dot(col("q_v"), col("c_v")),
+          col("q_n2"), col("c_n2")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * via LSH buckets (exact within-bucket verification).
     *

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Build/probe split of the persisted IVF index: probing the on-disk
+  * index must return exactly what the in-memory trained-IVF operator
+  * returns, and the probe's scan must PRUNE index partitions (the cell
+  * filter reaches the source as a partition filter). */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("probe(index) == in-memory ivf; cell filter prunes partitions") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 300L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val cents = SimilarityOps.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 6, iters = 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      SimilarityOps.writeIvfIndex(corpus, "vec_id", "embedding", cents, dir)
+      val probed = SimilarityOps.probeIvfIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbes = 2)
+      val direct = SimilarityOps.ivfTopKWithCentroids(queries, corpus,
+        "vec_id", "embedding", cents, k = 3, nProbes = 2)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).sorted.toSeq
+      assert(canon(probed) == canon(direct))
+
+      // partition pruning: the index scan must carry the cell values as
+      // PartitionFilters, not read every cell directory
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+        s"no partition filter on the index scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}
