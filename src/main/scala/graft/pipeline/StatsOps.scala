@@ -49,6 +49,34 @@ object StatsOps {
       .agg(min(when(col("cum") >= col("rank"), col("v"))).as("value"))
   }
 
+  /** Per-group exact discrete quantiles — `exactQuantiles` partitioned
+    * by group columns (e.g. "p50 and p90 token count PER SOURCE"). Same
+    * integer-exact rank arithmetic; one shuffle on the group keys, with
+    * the cumulative and total counts as two frames over the same
+    * value-grouped relation (tiny per group: one row per distinct
+    * value). Returns (groupCols..., q_permille, value). */
+  def exactQuantilesByGroup(df: DataFrame, groupCols: Seq[String],
+                            valueExpr: Column, permille: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "use exactQuantiles for the ungrouped form")
+    require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000))
+    val gs = groupCols.map(col)
+    val vals = df.select(gs :+ valueExpr.as("v"): _*).filter(col("v").isNotNull)
+    val cnts = vals.groupBy(gs :+ col("v"): _*).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(gs: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = cnts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val pn = col("q_permille") * col("n") + 999
+    cum.withColumn("q_permille",
+        explode(array(permille.map(p => lit(p.toLong)): _*)))
+      .withColumn("rank", call_function("div", pn, lit(1000L)))
+      .groupBy(gs :+ col("q_permille"): _*)
+      .agg(min(when(col("cum") >= col("rank"), col("v"))).as("value"))
+  }
+
   /** Matching DuckDB SQL over a one-column relation `src` (alias v). */
   def exactQuantilesSql(srcSql: String, permille: Seq[Int]): String =
     s"""WITH vals AS (SELECT v FROM ($srcSql) WHERE v IS NOT NULL),

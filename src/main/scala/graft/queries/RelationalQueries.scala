@@ -35,6 +35,7 @@ object RelationalQueries {
     GraftQuery("q_asof_join_nearest", asofJoinNearest, Some(asofJoinNearestSql)),
     GraftQuery("q_brand_volume_by_region", brandVolumeByRegion, Some(brandVolumeByRegionSql)),
     GraftQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
+    GraftQuery("q_pivot_orders", pivotOrders, Some(pivotOrdersSql)),
     GraftQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GraftQuery("q_sessionize", sessionize, Some(sessionizeSql)),
   )
@@ -50,6 +51,24 @@ object RelationalQueries {
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Pivot (long → wide): order counts per priority with one column per
+    * status. Values listed EXPLICITLY — pivot without a value list runs
+    * an extra distinct job to discover them and makes the output schema
+    * data-dependent (a plan-stability hazard at scale). */
+  def pivotOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+
+  def pivotOrdersSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   /** TPC-H Q6-shaped: pure filter + single aggregate (range predicates on
     * date, discount, quantity — all pushed to the scan). */

@@ -35,6 +35,7 @@ object TextQueries {
     GraftQuery("q_repetition", repetition, Some(repetitionSql)),
     GraftQuery("q_redact", redact, Some(redactSql)),
     GraftQuery("q_vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    GraftQuery("q_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     GraftQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
   )
 
@@ -418,6 +419,30 @@ object TextQueries {
        |  SELECT unnest(${TextOps.tokensSql("text")}) AS token FROM documents
        |)
        |GROUP BY token ORDER BY n DESC, token LIMIT $VOCAB_K""".stripMargin
+
+  private val GROUP_QUANTILES = Seq(500, 900)
+
+  /** Per-source token-count p50/p90 — the per-slice cutoff derivation. */
+  def groupQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.StatsOps.exactQuantilesByGroup(docs(spark, sfDir),
+      Seq("source"), TextOps.tokenCount(col("text")).cast("long"), GROUP_QUANTILES)
+
+  def groupQuantilesSql: String =
+    s"""WITH vals AS (
+       |  SELECT source, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS v
+       |  FROM documents
+       |), cnts AS (
+       |  SELECT source, v, count(*) AS c FROM vals GROUP BY source, v
+       |), cum AS (
+       |  SELECT source, v, c,
+       |    sum(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER (PARTITION BY source) AS n
+       |  FROM cnts
+       |)
+       |SELECT source, q_permille, min(CASE WHEN cum >= (q_permille * n + 999) // 1000
+       |                                    THEN v END) AS value
+       |FROM cum, (SELECT unnest([${GROUP_QUANTILES.map(p => s"${p}::BIGINT").mkString(", ")}]) AS q_permille)
+       |GROUP BY source, q_permille""".stripMargin
 
   private val DECON_MIN_OVERLAP = 5L
 

@@ -135,6 +135,25 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("connected components: round cap fails loudly and leaks no blocks") {
+    // a 6-node chain has diameter 5 — min-label propagation cannot
+    // converge in 2 rounds, and silently-wrong components are worse
+    // than an error
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ex = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, maxRounds = 2).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the failure path must unpersist edges AND the in-flight labels
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "failed connectedComponents left persisted blocks behind")
+    // and a cap that is large enough converges fine
+    val labels = DedupOps.connectedComponents(chain, maxRounds = 10)
+    assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
+    labels.unpersist()
+  }
+
   test("repeated dedup calls do not accumulate persisted candidate blocks") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

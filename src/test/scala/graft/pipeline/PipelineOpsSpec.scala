@@ -199,6 +199,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("id", "jpeg_width")
       .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq
     assert(nulls.sortBy(_._1) == Seq((1L, true), (2L, true), (3L, true), (4L, true)))
+
+    // SOF0 dimensions are 2-byte fields: an oversized value must fail
+    // loudly, not truncate to its high nibbles
+    val oversize = Seq((1L, "b", 70000L, 10L)).toDF("id", "body", "w", "h")
+      .select(MultimodalOps.jpegPayload(col("body"), col("w"), col("h")).as("c"))
+    val err = intercept[Exception] { oversize.collect() }
+    assert(err.getMessage.contains("out of the 2-byte SOF0 range") ||
+      Option(err.getCause).exists(_.getMessage.contains("out of the 2-byte SOF0 range")))
   }
 
   test("multimodal: frame sampling emits numFrames rows per media row") {
