@@ -150,20 +150,26 @@ object TextOps {
   /** Benchmark decontamination screening: flag (train doc, bench doc)
     * pairs sharing at least `minOverlap` distinct word k-grams — the
     * standard n-gram-overlap test run before training on a corpus that
-    * might contain evaluation data. Shape: distinct shingles on both
-    * sides, equi-join ON THE SHINGLE, count per pair. The bench side is
-    * tiny by nature (an eval suite), so at scale the join broadcasts it
-    * and the only shuffle is the per-pair count; never all-pairs. */
+    * might contain evaluation data. Shingles are compared BY ROLLING
+    * HASH (TokenShingleHash — one codegen'd byte pass per doc, no
+    * shingle-string construction; measured 2× the whole query at sf0.1),
+    * the standard hashed-n-gram screening: the ~1e-9 per-pair
+    * false-positive rate from a hash collision is noise against the
+    * overlap threshold. Shape: the RAW train shingle hashes join the
+    * broadcast (distinct) bench hashes FIRST — a map-side filter that
+    * discards every non-matching shingle before any shuffle — then
+    * count DISTINCT shared hashes per pair. The only shuffled rows are
+    * matching (train, bench, hash) triples; never a corpus-wide
+    * distinct, never all-pairs. */
   def contaminationScreen(train: DataFrame, bench: DataFrame,
                           textCol: String, idCol: String, shingleK: Int,
                           minOverlap: Long): DataFrame = {
-    val tSh = train.select(col(idCol).as("train_id"),
-      explode(shingles(col(textCol), shingleK)).as("sh")).distinct()
-    val bSh = bench.select(col(idCol).as("bench_id"),
-      explode(shingles(col(textCol), shingleK)).as("sh")).distinct()
-    tSh.join(broadcast(bSh), "sh")
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
+        .as("sh"))
+    sh(train, "train_id").join(broadcast(sh(bench, "bench_id").distinct()), "sh")
       .groupBy(col("train_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(countDistinct(col("sh")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
 

@@ -29,14 +29,14 @@ object TextQueries {
     GraftQuery("q_dedup_simhash", dedupSimhashQ, Some(dedupSimhashSql)),
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     GraftQuery("q_corpus_filter", corpusFilter, Some(corpusFilterSql), bench = true),
-    GraftQuery("q_pack_contexts", packContexts, Some(packContextsSql)),
+    GraftQuery("q_pack_contexts", packContexts, Some(packContextsSql), bench = true),
     GraftQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     GraftQuery("q_source_cap", sourceCap, Some(sourceCapSql)),
     GraftQuery("q_repetition", repetition, Some(repetitionSql)),
     GraftQuery("q_redact", redact, Some(redactSql)),
     GraftQuery("q_vocab_topk", vocabTopK, Some(vocabTopKSql)),
     GraftQuery("q_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
-    GraftQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    GraftQuery("q_decontaminate", decontaminate, Some(decontaminateSql), bench = true),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -455,22 +455,20 @@ object TextQueries {
     TextOps.contaminationScreen(d, bench, "text", "doc_id", K, DECON_MIN_OVERLAP)
   }
 
+  /** Mirrors the rolling-shingle-hash comparison (same TokenShingleHash
+    * arithmetic as the MinHash oracles). */
   def decontaminateSql: String =
-    s"""WITH tsh AS (
-       |  SELECT DISTINCT doc_id AS train_id, sh FROM (
-       |    SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh
-       |    FROM documents
-       |  )
+    s"""${shinglesCte}, tsh AS (
+       |  SELECT doc_id AS train_id, unnest(hs) AS sh FROM sh
        |), bsh AS (
        |  SELECT DISTINCT doc_id AS bench_id, sh FROM (
-       |    SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh
-       |    FROM documents WHERE doc_id % 97 = 0
+       |    SELECT doc_id, unnest(hs) AS sh FROM sh WHERE doc_id % 97 = 0
        |  )
        |)
-       |SELECT t.train_id, b.bench_id, count(*) AS n_overlap
+       |SELECT t.train_id, b.bench_id, count(DISTINCT t.sh) AS n_overlap
        |FROM tsh t JOIN bsh b ON t.sh = b.sh
        |GROUP BY t.train_id, b.bench_id
-       |HAVING count(*) >= $DECON_MIN_OVERLAP""".stripMargin
+       |HAVING count(DISTINCT t.sh) >= $DECON_MIN_OVERLAP""".stripMargin
 
   // ---- corpus composition: mixture sampling + per-source caps ------------
 

@@ -118,6 +118,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.getLong(2) == 195L && out.getLong(3) == 97500L)
   }
 
+  test("multi-probe lsh recall dominates single-probe vs brute-force truth") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (0L until 250L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val truth = neighborSets(SimilarityOps.bruteForceTopK(
+      queries, corpus, "vec_id", "embedding", 5))
+    val single = neighborSets(SimilarityOps.lshCosineTopK(
+      queries, corpus, "vec_id", "embedding", 5, planes = 8))
+    val multi = neighborSets(SimilarityOps.lshCosineTopKMultiProbe(
+      queries, corpus, "vec_id", "embedding", 5, planes = 8))
+    // per query: a true neighbor found by single-probe is also found by
+    // multi-probe (candidate superset; a true top-5 member beaten by at
+    // most 4 vectors globally survives any candidate-set top-5), so
+    // recall is monotone per query, not just on average
+    truth.keys.foreach { q =>
+      val s = single.getOrElse(q, Set.empty) & truth(q)
+      val m = multi.getOrElse(q, Set.empty) & truth(q)
+      assert(s.subsetOf(m), s"query $q: single found ${s -- m} that multi missed")
+    }
+    val rs = truth.keys.toSeq.map(q => (single.getOrElse(q, Set.empty) & truth(q)).size).sum
+    val rm = truth.keys.toSeq.map(q => (multi.getOrElse(q, Set.empty) & truth(q)).size).sum
+    assert(rm >= rs)
+  }
+
   test("sampling: hash-deterministic, rate-monotone, cap bounds groups") {
     val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val k200 = SamplingOps.sampleByHash(df, "id", 200)
