@@ -30,7 +30,10 @@ object RelationalSql {
                    maxFanOut: Long = 1024): String = {
     require(binWidth >= 1 && maxFanOut >= 1 && keys.nonEmpty)
     val lCols = spark.table(leftView).columns.toSeq
-    val rCols = spark.table(rightView).columns.toSeq.filterNot(keys.contains)
+    val rColsAll = spark.table(rightView).columns.toSeq
+    val clash = (lCols ++ rColsAll).toSet.intersect(Set("__rj_bin"))
+    require(clash.isEmpty, s"views already have reserved columns: $clash")
+    val rCols = rColsAll.filterNot(keys.contains)
     val out = (lCols.map(c => s"l.$c") ++ rCols.map(c => s"r.$c")).mkString(", ")
     val on = keys.map(c => s"l.$c = r.$c").mkString(" AND ")
     val range = s"l.$timeCol >= r.$startCol AND l.$timeCol < r.$endCol"
@@ -55,9 +58,13 @@ object RelationalSql {
 
   /** [[Sessionize.withSessionIds]] as SQL: lag marker + running
     * last-non-null over one sort. */
-  def sessionizeSql(view: String, timeCol: String, keys: Seq[String],
-                    maxGap: Long, outCol: String = "session_start"): String = {
+  def sessionizeSql(spark: SparkSession, view: String, timeCol: String,
+                    keys: Seq[String], maxGap: Long,
+                    outCol: String = "session_start"): String = {
     require(keys.nonEmpty)
+    val clash = spark.table(view).columns.toSet
+      .intersect(Set("__sess_marker", outCol))
+    require(clash.isEmpty, s"view already has reserved/output columns: $clash")
     val k = keys.mkString(", ")
     val lagT = s"lag($timeCol) OVER (PARTITION BY $k ORDER BY $timeCol)"
     s"""SELECT * EXCEPT (__sess_marker),
@@ -80,5 +87,5 @@ object RelationalSql {
 
   def sessionize(spark: SparkSession, view: String, timeCol: String,
                  keys: Seq[String], maxGap: Long): DataFrame =
-    spark.sql(sessionizeSql(view, timeCol, keys, maxGap))
+    spark.sql(sessionizeSql(spark, view, timeCol, keys, maxGap))
 }

@@ -26,16 +26,27 @@ object CorpusFilter {
     * @param minTokPermille  drop docs below this token-count permille of
     *                        the post-gate corpus (e.g. 100 = p10)
     * Returns (idCol, n_tokens, quality_score) for surviving docs. */
+  /** The shared map-only gate: adds n_tokens + quality_score and keeps
+    * rows passing the language and quality thresholds. Both the batch
+    * pipeline and the streaming twin (`PipelineStreams
+    * .corpusFilterStream`) call THIS, so the gates cannot drift apart. */
+  def gate(df: DataFrame, textCol: String, langCode: String,
+           minQuality: Double): DataFrame = {
+    val quals = TextOps.qualityColumns(col(textCol)).toMap
+    df.withColumn("__cf_lang",
+        TextOps.languageId(col(textCol)).getField("lang"))
+      .withColumn("n_tokens", quals("n_tokens"))
+      .withColumn("quality_score", quals("quality_score"))
+      .filter(col("__cf_lang") === langCode &&
+        col("quality_score") >= minQuality)
+      .drop("__cf_lang")
+  }
+
   def filterCorpus(df: DataFrame, textCol: String, idCol: String,
                    langCode: String = "en", minQuality: Double = 40.0,
                    minTokPermille: Int = 100): DataFrame = {
-    val quals = TextOps.qualityColumns(col(textCol)).toMap
-    val base = df.select(col(idCol), col(textCol),
-      TextOps.languageId(col(textCol)).getField("lang").as("__lang"),
-      quals("n_tokens").as("n_tokens"),
-      quals("quality_score").as("quality_score"))
-    val kept = base.filter(col("__lang") === langCode &&
-      col("quality_score") >= minQuality)
+    val kept = gate(df.select(col(idCol), col(textCol)), textCol,
+      langCode, minQuality)
     val cut = StatsOps.exactQuantiles(kept, col("n_tokens"), Seq(minTokPermille))
       .select(col("value").as("__tok_cut"))
     val gated = kept.crossJoin(broadcast(cut))

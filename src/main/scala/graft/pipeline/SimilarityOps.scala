@@ -40,6 +40,20 @@ object SimilarityOps {
   def cosineFromInts(dotI: Column, n2a: Column, n2b: Column): Column =
     dotI.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
+  /** Shared top-k epilogue of every ANN path: rank scored
+    * (query_id, neighbor_id, cosine[, ...]) rows per query by
+    * (cosine DESC, neighbor_id) and keep the best k. One definition of
+    * the tie-break, used by brute force, both LSH forms, IVF, and the
+    * persisted-index probe. */
+  private def rerankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries` and `corpus` must both have (idCol, vecCol). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -58,11 +72,7 @@ object SimilarityOps {
         dot(col("qv"), col("cv")).as("dot_scaled"),
         cosineFromInts(dot(col("qv"), col("cv")),
           col("q_n2"), col("c_n2")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    rerankTopK(scored, k)
   }
 
   /** Deterministic integer hyperplane weight for (plane p, dim j): a
@@ -113,11 +123,7 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"),
         cosineFromInts(dot(col("qv"), col("cv")),
           col("q_n2"), col("c_n2")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    rerankTopK(scored, k)
   }
 
   /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
@@ -148,11 +154,7 @@ object SimilarityOps {
         cosineFromInts(dot(col("qv"), col("cv")),
           col("q_n2"), col("c_n2")).as("cosine"))
       .distinct() // a neighbor can surface via several probed buckets
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    rerankTopK(scored, k)
   }
 
   /** Driver-side centroid snapshot: (cent_id, vector, sqrt(norm2)) sorted
@@ -287,11 +289,7 @@ object SimilarityOps {
         cosineFromInts(dot(col("q_v"), col("c_v")),
           col("q_n2"), col("c_n2")).as("cosine"))
       .distinct() // a neighbor may appear via several probed cells
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    rerankTopK(scored, k)
   }
 
   /** Persisted IVF index — the build/probe split a production ANN
@@ -326,14 +324,19 @@ object SimilarityOps {
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nProbes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = spark.read.parquet(s"$path/centroids")
     val snapshot = collectCentroids(cents)
-    val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("q_v"))
+    // the probe side is broadcast-sized by contract, so collect it ONCE
+    // and rebuild a literal frame: both the partition-filter cell list
+    // and the broadcast join side come from that single evaluation (a
+    // lazy q would re-run the whole upstream query pipeline for each)
+    val qPlan = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("q_v"))
       .withColumn("q_n2", norm2(col("q_v")))
       .withColumn("cell", explode(topCells(col("q_v"), snapshot, nProbes)))
-    val probedCells = q.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val qRows = qPlan.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
+    val probedCells = qRows.map(_.getAs[Long]("cell")).distinct.sorted
     val idx = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
       .select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("c_v"),
@@ -345,11 +348,7 @@ object SimilarityOps {
         cosineFromInts(dot(col("q_v"), col("c_v")),
           col("q_n2"), col("c_n2")).as("cosine"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    rerankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,

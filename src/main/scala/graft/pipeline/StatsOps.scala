@@ -59,6 +59,8 @@ object StatsOps {
                             valueExpr: Column, permille: Seq[Int]): DataFrame = {
     require(groupCols.nonEmpty, "use exactQuantiles for the ungrouped form")
     require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000))
+    val clash = groupCols.toSet.intersect(Set("v", "c", "cum", "n", "q_permille", "rank", "value"))
+    require(clash.isEmpty, s"group columns clash with internal/output names: $clash")
     val gs = groupCols.map(col)
     val vals = df.select(gs :+ valueExpr.as("v"): _*).filter(col("v").isNotNull)
     val cnts = vals.groupBy(gs :+ col("v"): _*).agg(count(lit(1)).as("c"))

@@ -363,10 +363,10 @@ object TextQueries {
        |  SELECT doc_id, ${TextOps.shinglesSql("text", K)} AS s FROM documents
        |)
        |SELECT doc_id,
-       |  CASE WHEN len(s) = 0 THEN 0
+       |  CASE WHEN s IS NULL OR len(s) = 0 THEN 0
        |       ELSE list_max(list_transform(list_distinct(s),
        |         d -> len(list_filter(s, x -> x = d)))) END AS top_ngram_count,
-       |  CASE WHEN len(s) = 0 THEN 0.0
+       |  CASE WHEN s IS NULL OR len(s) = 0 THEN 0.0
        |       ELSE CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
        |            / CAST(len(s) AS DOUBLE) END AS dup_ngram_frac
        |FROM sh""".stripMargin

@@ -58,19 +58,16 @@ object PipelineStreams {
     * over an unbounded stream; the operating pattern is a periodic batch
     * pass deriving the cutoff (StatsOps.exactQuantiles) and the stream
     * applying it. */
-  def corpusFilterStream(df: DataFrame, textCol: String, idCol: String,
+  def corpusFilterStream(df: DataFrame, textCol: String,
                          eventTimeCol: String, delay: String,
                          langCode: String = "en", minQuality: Double = 40.0,
                          minTokens: Long = 1L): DataFrame = {
-    val quals = graft.pipeline.TextOps.qualityColumns(col(textCol)).toMap
-    val gated = df
-      .withColumn("__cf_lang",
-        graft.pipeline.TextOps.languageId(col(textCol)).getField("lang"))
-      .withColumn("n_tokens", quals("n_tokens"))
-      .withColumn("quality_score", quals("quality_score"))
-      .filter(col("__cf_lang") === langCode &&
-        col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
-      .drop("__cf_lang")
+    // the gate IS the batch gate (CorpusFilter.gate — shared code, not a
+    // copy); dedup is by content/first-arrival, not keep-min-id: a
+    // stream has no total id order to take a minimum over
+    val gated = graft.pipeline.CorpusFilter
+      .gate(df, textCol, langCode, minQuality)
+      .filter(col("n_tokens") >= minTokens)
     dedupExactStream(gated, textCol, eventTimeCol, delay)
   }
 

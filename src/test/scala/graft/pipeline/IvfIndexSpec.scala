@@ -34,10 +34,11 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(canon(probed) == canon(direct))
 
       // partition pruning: the index scan must carry the cell values as
-      // PartitionFilters, not read every cell directory
+      // a NON-EMPTY PartitionFilters entry (the cell attribute inside
+      // the bracket — "PartitionFilters: []" must fail)
       val plan = probed.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
-        s"no partition filter on the index scan:\n$plan")
+      assert("PartitionFilters: \\[[^\\]]*cell#".r.findFirstIn(plan).isDefined,
+        s"no cell partition filter on the index scan:\n$plan")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

@@ -88,7 +88,7 @@ class PipelineStreamsSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, String, Timestamp)]
     val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
     val out = PipelineStreams.corpusFilterStream(
-      sdf, "text", "doc_id", "event_time", "10 seconds",
+      sdf, "text", "event_time", "10 seconds",
       langCode = "en", minQuality = 25.0, minTokens = 5L)
     val query = out.writeStream.format("memory").queryName("cf_stream")
       .outputMode("append").start()
