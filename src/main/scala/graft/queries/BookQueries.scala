@@ -41,6 +41,14 @@ object BookQueries {
     // the parallel replay is output-identical to serial — same oracle.
     GraftQuery("bbo_parallel_modify_n2", (s, d) => bboParallelModify(s, d, 2),
       Some(modifyRealOracle(2))),
+    // the AUTO-segmented parallel path (segments chosen from data
+    // statistics) — previously spec-only; same serial oracle
+    GraftQuery("bbo_parallel_auto_n2", (s, d) => bboParallelAuto(s, d, 2),
+      Some(updatesOracle(2))),
+    // the window-aggregate embodiment (TypedImperativeAggregate over a
+    // running frame) — previously equivalence-spec-only
+    GraftQuery("bbo_window_updates_n2", (s, d) => bboWindowUpdates(s, d, 2),
+      Some(updatesOracle(2))),
   )
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
@@ -131,6 +139,24 @@ object BookQueries {
         stream, "price", "qty", "is_bid", "prev_price", "prev_qty", n,
         "product", "seq", segments = 8)
       .select(proj(n).map(col): _*)
+  }
+
+  def bboParallelAuto(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+    graft.operators.ParallelReplay.topNLevelsFromPriceUpdatesParallelAuto(
+        stream, "price", "qty", "is_bid", n, "product", "seq",
+        minRowsPerSegment = 256L) // low floor so driver-scale data actually segments
+      .select(proj(n).map(col): _*)
+  }
+
+  def bboWindowUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+    val bbo = graft.plans.BboWindow.fromPriceUpdates(
+      col("price"), col("qty"), col("is_bid"), n,
+      Seq(col("product")), Seq(col("seq")))
+    stream.withColumn("__bbo", bbo)
+      .select(col("product") +: col("seq") +:
+        OrderBookOps.bboFieldNames(n).map(f => col(s"__bbo.$f").as(f)): _*)
   }
 
   def bboParallelUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
