@@ -142,6 +142,38 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("streaming candidates == batch LSH pairs when all docs share the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.DedupOps
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog every day",
+      2L -> "the quick brown fox jumps over the lazy dog every night",
+      3L -> "a completely different document about spark physical plans",
+      4L -> "a completely different document about spark logical plans",
+      5L -> "nothing like the others at all in any conceivable way")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.nearDupCandidatesStream(
+      sdf, "text", "doc_id", "event_time", "60 seconds")
+    val query = out.writeStream.format("memory").queryName("nd_eq_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(texts.zipWithIndex.map { case ((id, t), i) => (id, t, ts(10 + i)) }: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("nd_eq_stream")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    val batch = DedupOps.minhashCandidatePairs(
+        texts.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical signature + banding arithmetic, and every doc is within
+    // every other's horizon -> the candidate sets must be EQUAL
+    assert(streamed == batch,
+      s"stream=$streamed batch=$batch")
+    assert(batch.nonEmpty) // the test must actually exercise pairing
+  }
+
   test("windowed dedup re-admits content in later windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
