@@ -33,6 +33,7 @@ object RelationalQueries {
     GraftQuery("q_asof_join", asofJoin, Some(asofJoinSql), bench = true),
     GraftQuery("q_asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
     GraftQuery("q_asof_join_nearest", asofJoinNearest, Some(asofJoinNearestSql)),
+    GraftQuery("q_asof_join_tolerance", asofJoinTolerance, Some(asofJoinToleranceSql)),
     GraftQuery("q_brand_volume_by_region", brandVolumeByRegion, Some(brandVolumeByRegionSql)),
     GraftQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
     GraftQuery("q_pivot_orders", pivotOrders, Some(pivotOrdersSql)),
@@ -326,6 +327,43 @@ object RelationalQueries {
       |SELECT t.user_id, t.t, t.trade_val, q.quote_px, q.t AS asof_t
       |FROM trades t ASOF LEFT JOIN quotes q
       |  ON t.user_id = q.user_id AND t.t >= q.t""".stripMargin
+
+  private val ASOF_TOL = 7L
+
+  /** Backward as-of with a staleness tolerance: matches older than 7
+    * ticks are nulled out (the match columns, not the left row). */
+  def asofJoinTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.read(spark, sfDir, "events")
+    val quotes = ev.filter(col("event_id") % 2 === 0).select(
+      col("user_id"),
+      col("event_id").as("t"),
+      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
+    val trades = ev.filter(col("event_id") % 2 === 1).select(
+      col("user_id"),
+      col("event_id").as("t"),
+      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    graft.operators.AsOfJoin.joinAsOfBackward(
+      trades, quotes, timeCol = "t", keys = Seq("user_id"),
+      valueCols = Seq("quote_px"), tolerance = Some(ASOF_TOL))
+  }
+
+  /** DuckDB ASOF has no tolerance kwarg; the oracle nulls stale matches
+    * after the join — identical semantics (left rows kept 1:1). */
+  def asofJoinToleranceSql: String =
+    s"""WITH quotes AS (
+       |  SELECT user_id, event_id AS t,
+       |         50 + (event_id * 2654435761) % 45 AS quote_px
+       |  FROM events WHERE event_id % 2 = 0
+       |), trades AS (
+       |  SELECT user_id, event_id AS t,
+       |         1 + (event_id * 48271) % 100 AS trade_val
+       |  FROM events WHERE event_id % 2 = 1
+       |)
+       |SELECT t.user_id, t.t, t.trade_val,
+       |  CASE WHEN t.t - q.t <= $ASOF_TOL THEN q.quote_px END AS quote_px,
+       |  CASE WHEN t.t - q.t <= $ASOF_TOL THEN q.t END AS asof_t
+       |FROM trades t ASOF LEFT JOIN quotes q
+       |  ON t.user_id = q.user_id AND t.t >= q.t""".stripMargin
 
   /** Range (interval) join via binning: every trade matched to ALL
     * quotes whose validity interval [s, s+17) contains the trade time —
