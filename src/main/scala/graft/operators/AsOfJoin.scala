@@ -63,7 +63,11 @@ object AsOfJoin {
     * as the directional forms — ONE shuffle + sort — with two window
     * frames over the same sort: a running last (nearest backward
     * candidate) and a strictly-after first (nearest forward candidate),
-    * then a row-local pick. `tolerance` bounds the absolute distance. */
+    * then a row-local pick. `tolerance` bounds the absolute distance and
+    * is applied BEFORE the pick (merge_asof convention): the match is the
+    * nearest among in-tolerance candidates, so a left row whose nearest
+    * side is out of tolerance still takes the other side when that one is
+    * within. */
   def joinAsOfNearest(left: DataFrame, right: DataFrame, timeCol: String,
                       keys: Seq[String], valueCols: Seq[String],
                       tolerance: Option[Long] = None): DataFrame = {
@@ -81,22 +85,27 @@ object AsOfJoin {
     val t = col(timeCol).cast("long")
     val backDist = t - col("__back.__rt")
     val fwdDist = col("__fwd.__rt") - t
+    // tolerance gates each CANDIDATE, not the already-picked winner —
+    // otherwise a left row whose nearer side is out of tolerance would
+    // get null instead of the in-tolerance farther side
+    val (backOk, fwdOk) = tolerance match {
+      case Some(tol) =>
+        (col("__back").isNotNull && backDist <= tol,
+          col("__fwd").isNotNull && fwdDist <= tol)
+      case None => (col("__back").isNotNull, col("__fwd").isNotNull)
+    }
     val chosen =
       when(col(timeCol).isNull, lit(null))
-        .when(col("__back").isNotNull && col("__fwd").isNotNull,
+        .when(backOk && fwdOk,
           when(backDist <= fwdDist, col("__back")).otherwise(col("__fwd")))
-        .when(col("__back").isNotNull, col("__back"))
-        .otherwise(col("__fwd"))
+        .when(backOk, col("__back"))
+        .when(fwdOk, col("__fwd"))
+        .otherwise(lit(null))
     val withChoice = carried.withColumn("__asof", chosen)
-    val age = abs(col("__asof.__rt") - t)
-    val inTol = tolerance match {
-      case Some(tol) => col("__asof").isNotNull && age <= tol
-      case None => col("__asof").isNotNull
-    }
     withChoice.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => when(inTol, col(s"__asof.$c")).otherwise(lit(null)).as(c)) :+
-        when(inTol, col("__asof.__rt")).otherwise(lit(null)).as(s"asof_$timeCol"): _*)
+        valueCols.map(c => col(s"__asof.$c").as(c)) :+
+        col("__asof.__rt").as(s"asof_$timeCol"): _*)
   }
 
   /** Shared union-tag construction: left rows tagged 1, right rows

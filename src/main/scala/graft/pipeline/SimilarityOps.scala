@@ -186,29 +186,27 @@ object SimilarityOps {
     * arithmetic — assignments by exact scaled-cosine argmax (ties to the
     * lower cluster id), new centroids as floor(elementwise sum / count) —
     * so given the same input the trained centroids are bit-reproducible
-    * on any cluster size or partitioning. Initialization: every
-    * (n/k)-th vector by ascending id (deterministic seeding). Empty
-    * clusters keep their previous centroid.
+    * on any cluster size or partitioning. Initialization: the k training
+    * vectors with the smallest (hash32(id), id) — a deterministic
+    * pseudo-random sample. Empty clusters keep their previous centroid.
     *
     * Scale shape per iteration: assignment is a MAP-ONLY argmax over the
     * broadcast centroid literal (no |C|×k crossJoin, no per-vector sort),
     * then one partial-aggregated shuffle of (cent_id, dim) sums. The k ×
     * dim centroid state lives on the driver between iterations (tiny),
-    * which also keeps every iteration's plan flat. */
+    * which also keeps every iteration's plan flat. Seeding plans as
+    * TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    * driver) — no global sort or unpartitioned window ever touches the
+    * training set. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && iters >= 0)
     val v = df.select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
-    val n = v.count()
-    val stride = math.max(1L, n / k)
     var cents: Seq[(Long, Seq[Long])] = v
-      .withColumn("__rn", row_number().over(Window.orderBy(col("vid"))) - 1)
-      .filter(col("__rn") % stride === 0)
-      .withColumn("cent_id", (col("__rn") / stride).cast("long"))
-      .filter(col("cent_id") < k)
-      .select(col("cent_id"), col("sv").as("cent_v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+      .orderBy(HashFns.hash32(col("vid").cast("string")), col("vid"))
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
     for (_ <- 0 until iters) {
       val snapshot = cents.map { case (id, cv) =>
         var n2 = 0L; cv.foreach(x => n2 += x * x)

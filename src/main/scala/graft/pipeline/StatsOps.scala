@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * length/quality cutoffs a training-data pipeline derives before
   * filtering (e.g. "drop docs below the p10 token count").
   *
-  * Scale shape: one parallel groupBy on the VALUE (the distinct-value
-  * relation is tiny for any bounded metric — token counts, scores,
-  * prices), a running-sum window over that small relation, and a
-  * broadcast of |quantiles| rank thresholds. No global sort of the data,
-  * no interpolation (discrete quantiles: value at rank ceil(q·n)) —
-  * bit-identical across engines, unlike approx_percentile/quantile_cont
-  * whose FP interpolation differs. */
+  * Scale shape: one parallel groupBy on the VALUE, then a RANGE-
+  * PARTITIONED two-pass cumulative sum over the distinct-value relation
+  * (in-partition running sums + a broadcast per-partition prefix offset
+  * — no unpartitioned window anywhere, so a high-cardinality or
+  * continuous metric distributes instead of funneling through one
+  * task), and a broadcast of |quantiles| rank thresholds. No global
+  * sort of the data, no interpolation (discrete quantiles: value at
+  * rank ceil(q·n)) — bit-identical across engines, unlike
+  * approx_percentile/quantile_cont whose FP interpolation differs. */
 object StatsOps {
 
   /** Exact discrete quantiles of `valueExpr`: for each permille p, the
@@ -32,9 +34,28 @@ object StatsOps {
     // nulls is meaningless anyway. n counts non-null values only.
     val vals = df.select(valueExpr.as("v")).filter(col("v").isNotNull)
     val cnts = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
+    // Distributed cumulative count: range-partition the distinct-value
+    // relation on v, running-sum WITHIN each range partition (a
+    // partitioned window), then add the partition's prefix offset. The
+    // only unpartitioned window left runs over the per-partition totals
+    // (≤ shuffle-partition-count rows) — the former global
+    // Window.orderBy(v) moved EVERY distinct value through one task,
+    // fine for bounded integral metrics but a funnel on continuous ones.
+    // Partition boundaries come from the range sampler and are not
+    // deterministic, but cum is a prefix sum — associative, so the final
+    // (v, cum) pairs are identical under any boundary placement.
+    val parts = cnts.repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cnts.withColumn("cum", sum(col("c")).over(w))
+    val wPrefix = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid")).agg(sum(col("c")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(wPrefix), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val cum = parts.withColumn("cum_in", sum(col("c")).over(wIn))
+      .join(broadcast(offsets), "pid")
+      .select(col("v"), (col("cum_in") + col("offset")).as("cum"))
     // ceil(p*n/1000) = floorDiv(p*n + 999, 1000) — pure integral `div`,
     // exact at any n (the former double-division path could shift a rank
     // by one once p*n+999 exceeded 2^53, i.e. n ≳ 9e12 rows)

@@ -34,6 +34,7 @@ object RelationalQueries {
     GraftQuery("q_asof_join_forward", asofJoinForward, Some(asofJoinForwardSql)),
     GraftQuery("q_asof_join_nearest", asofJoinNearest, Some(asofJoinNearestSql)),
     GraftQuery("q_asof_join_tolerance", asofJoinTolerance, Some(asofJoinToleranceSql)),
+    GraftQuery("q_asof_join_nearest_tol", asofJoinNearestTol, Some(asofJoinNearestTolSql)),
     GraftQuery("q_brand_volume_by_region", brandVolumeByRegion, Some(brandVolumeByRegionSql)),
     GraftQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
     GraftQuery("q_pivot_orders", pivotOrders, Some(pivotOrdersSql)),
@@ -479,6 +480,46 @@ object RelationalQueries {
       |    2 * abs(q.t - t.t) + (CASE WHEN q.t <= t.t THEN 0 ELSE 1 END)) AS asof_t
       |FROM trades t LEFT JOIN quotes q ON t.user_id = q.user_id
       |GROUP BY t.user_id, t.t, t.trade_val""".stripMargin
+
+  /** Nearest-strategy as-of with a tolerance: the match is the nearest
+    * among IN-TOLERANCE candidates (merge_asof convention — candidates
+    * are gated by tolerance BEFORE the nearest pick, not nulled after). */
+  def asofJoinNearestTol(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.read(spark, sfDir, "events")
+    val quotes = ev.filter(col("event_id") % 2 === 0).select(
+      col("user_id"),
+      col("event_id").as("t"),
+      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
+    val trades = ev.filter(col("event_id") % 2 === 1).select(
+      col("user_id"),
+      col("event_id").as("t"),
+      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    graft.operators.AsOfJoin.joinAsOfNearest(
+      trades, quotes, timeCol = "t", keys = Seq("user_id"),
+      valueCols = Seq("quote_px"), tolerance = Some(ASOF_TOL))
+  }
+
+  /** Oracle: arg_min over candidates FILTERed to the tolerance window —
+    * the independent statement of "nearest among in-tolerance". */
+  def asofJoinNearestTolSql: String =
+    s"""WITH quotes AS (
+       |  SELECT user_id, event_id AS t,
+       |         50 + (event_id * 2654435761) % 45 AS quote_px
+       |  FROM events WHERE event_id % 2 = 0
+       |), trades AS (
+       |  SELECT user_id, event_id AS t,
+       |         1 + (event_id * 48271) % 100 AS trade_val
+       |  FROM events WHERE event_id % 2 = 1
+       |)
+       |SELECT t.user_id, t.t, t.trade_val,
+       |  arg_min(q.quote_px,
+       |    2 * abs(q.t - t.t) + (CASE WHEN q.t <= t.t THEN 0 ELSE 1 END))
+       |    FILTER (WHERE abs(q.t - t.t) <= $ASOF_TOL) AS quote_px,
+       |  arg_min(q.t,
+       |    2 * abs(q.t - t.t) + (CASE WHEN q.t <= t.t THEN 0 ELSE 1 END))
+       |    FILTER (WHERE abs(q.t - t.t) <= $ASOF_TOL) AS asof_t
+       |FROM trades t LEFT JOIN quotes q ON t.user_id = q.user_id
+       |GROUP BY t.user_id, t.t, t.trade_val""".stripMargin
 
   def asofJoinForwardSql: String =
     """WITH quotes AS (

@@ -107,20 +107,23 @@ object SimilarityQueries {
        |      / (sqrt(CAST(${norm2Sql(s"$v.sv")} AS DOUBLE))
        |         * sqrt(CAST(${norm2Sql(s"$c.cent_v")} AS DOUBLE)))""".stripMargin
 
-  /** Unrolled k-means training: cents0 = every (n/k)-th vector by id;
-    * per iteration, argmax-cosine assignment (ties to the lower cent_id,
-    * NaN sorts greatest on both engines) then exact floor-mean update,
-    * empty clusters keeping their previous centroid. */
+  /** Unrolled k-means training: cents0 = the k training vectors with the
+    * smallest (hash32(vec_id), vec_id) — mirrors the engine's
+    * TakeOrderedAndProject seeding; per iteration, argmax-cosine
+    * assignment (ties to the lower cent_id, NaN sorts greatest on both
+    * engines) then exact floor-mean update, empty clusters keeping their
+    * previous centroid. */
   private def kmeansCtes: String = {
+    val seedHash = graft.pipeline.HashFns.hash32Sql("CAST(vec_id AS VARCHAR)")
     val init =
       s"""vtr AS (
          |  SELECT vec_id, sv FROM v WHERE vec_id % $KM_TRAIN_STRIDE = 0
-         |), km_n AS (
-         |  SELECT greatest(1, count(*) // $KM_K) AS stride FROM vtr
          |), cents0 AS (
-         |  SELECT rn // stride AS cent_id, sv AS cent_v
-         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, sv FROM vtr), km_n
-         |  WHERE rn % stride = 0 AND rn // stride < $KM_K
+         |  SELECT cent_id, cent_v FROM (
+         |    SELECT row_number() OVER (ORDER BY $seedHash, vec_id) - 1 AS cent_id,
+         |      sv AS cent_v
+         |    FROM vtr
+         |  ) WHERE cent_id < $KM_K
          |)""".stripMargin
     val iters = (1 to KM_ITERS).map { t =>
       s""", assign$t AS (

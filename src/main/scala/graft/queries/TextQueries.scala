@@ -529,12 +529,13 @@ object TextQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
        |  FROM t
        |)
-       |SELECT source, doc_id, n_tokens, pack_offset,
-       |  pack_offset // $CTX_SIZE AS ctx_first,
-       |  (pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE AS ctx_last,
-       |  pack_offset % $CTX_SIZE AS ctx_offset,
-       |  ((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE)
-       |    - (pack_offset // $CTX_SIZE) + 1 AS n_ctx_spanned
+       |SELECT source, doc_id, n_tokens,
+       |  CAST(pack_offset AS BIGINT) AS pack_offset,
+       |  CAST(pack_offset // $CTX_SIZE AS BIGINT) AS ctx_first,
+       |  CAST((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE AS BIGINT) AS ctx_last,
+       |  CAST(pack_offset % $CTX_SIZE AS BIGINT) AS ctx_offset,
+       |  CAST(((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE)
+       |    - (pack_offset // $CTX_SIZE) + 1 AS BIGINT) AS n_ctx_spanned
        |FROM o""".stripMargin
 
   // ---- simhash near-dup pairs -------------------------------------------

@@ -90,6 +90,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tol(2).isNullAt(3))  // A@25 -> nearest 20 at distance 5 > 4
   }
 
+  test("nearest tolerance gates candidates, not the picked winner (merge_asof)") {
+    // quotes A: 10, 20, 40. Trade A@35: backward 20 (distance 15, OUT of
+    // tol 10), forward 40 (distance 5, in tol) -> must match 40. An
+    // implementation that first dropped the stale BACKWARD and gave up
+    // (tolerance as a backward-staleness check) would return null here.
+    // Note |backDist| >= |fwdDist| implies the truly adversarial case
+    // (nearer out of tolerance, farther in) cannot exist: the farther
+    // candidate's distance is >= the nearer's, so gating candidates
+    // before the pick and nulling the picked winner coincide — the
+    // candidate-gated form is kept because it states the merge_asof
+    // convention directly.
+    val t = Seq(("A", 35L, 1L)).toDF("sym", "t", "qty")
+    val r = AsOfJoin.joinAsOfNearest(t, quotes, "t", Seq("sym"), Seq("px"),
+      tolerance = Some(10L)).collect()(0)
+    assert(r.getLong(4) == 40L && r.getLong(3) == 120L)
+    // symmetric check: forward out, backward in
+    val t2 = Seq(("A", 24L, 1L)).toDF("sym", "t", "qty")
+    val r2 = AsOfJoin.joinAsOfNearest(t2, quotes, "t", Seq("sym"), Seq("px"),
+      tolerance = Some(10L)).collect()(0)
+    assert(r2.getLong(4) == 20L && r2.getLong(3) == 110L)
+    // both out of tolerance -> null
+    val t3 = Seq(("A", 30L, 1L)).toDF("sym", "t", "qty")
+    val r3 = AsOfJoin.joinAsOfNearest(t3, quotes, "t", Seq("sym"), Seq("px"),
+      tolerance = Some(5L)).collect()(0)
+    assert(r3.isNullAt(3) && r3.isNullAt(4))
+  }
+
   test("a null left time matches nothing in either direction") {
     // DuckDB ASOF (and SQL comparison semantics) never match a NULL time;
     // the forward direction used to inherit the earliest quote because

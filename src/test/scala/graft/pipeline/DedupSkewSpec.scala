@@ -191,6 +191,44 @@ class DedupSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("exact quantiles scale to a high-cardinality continuous metric") {
+    // 20k DISTINCT doubles — the shape that funneled every value through
+    // one task when the cumulative count ran as a single unpartitioned
+    // Window.orderBy(v). The two-pass form (range partition + in-partition
+    // cumsum + broadcast prefix offsets) must (a) stay correct and (b)
+    // keep the window over the distinct-value relation PARTITIONED.
+    val rnd = new scala.util.Random(41)
+    val vals = (0 until 20000).map(_ => rnd.nextDouble() * 1e6)
+    assert(vals.distinct.length == vals.length)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val qs = Seq(10, 250, 500, 750, 999)
+    val out = StatsOps.exactQuantiles(df, col("v"), qs)
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val rank = (q.toLong * vals.length + 999) / 1000
+      assert(got(q.toLong) == sorted(rank.toInt - 1), s"q=$q")
+    }
+    // the cumulative window (producer of cum_in) must carry a partition
+    // spec; the only unpartitioned window allowed is the prefix-offset
+    // one over the per-partition totals (<= shuffle-partition-count rows).
+    // AQE wraps the executed plan — descend through adaptive/stage nodes.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = (p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case w: WindowExec => Seq(w)
+      case _ => Seq.empty
+    }) ++ p.children.flatMap(windows)
+    val cumWindows = windows(out.queryExecution.executedPlan)
+      .filter(_.windowExpression.exists(_.toString.contains("cum_in")))
+    assert(cumWindows.nonEmpty, "expected the in-partition cumsum window")
+    assert(cumWindows.forall(_.partitionSpec.nonEmpty),
+      "the distinct-value cumsum window must be partitioned")
+  }
+
   test("zero vectors never reach cosine near-dup bucketing") {
     val zeros = (0L until 50L).map(i => (i, Array.fill(8)(0.0f)))
     val realA = Seq((100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
