@@ -59,12 +59,28 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val results = benchSet.map(q => q.name -> median(samples(q.name)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":"$sfDir"}""")
+    // numeric scale factor (from the .../sfX.Y dir name) so the driver's
+    // JSON parse gets a number, with the raw dir in its own field
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    println(line)
+    // Machine-readable artifact with the per-iteration samples behind the
+    // medians (stdout travels through sbt's log prefixes; the file does
+    // not). samples are in run order.
+    val perIter = benchSet.map { q =>
+      "\"" + q.name + "\":[" + samples(q.name).reverse.map(f).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val doc = s"""{"median":$line,"samples":$perIter}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -162,9 +162,10 @@ object TextQueries {
     DedupOps.minhashCandidatePairs(docs(spark, sfDir), "text", "doc_id",
       K, NUM_HASHES, BANDS)
 
-  /** Shared LSH-pairs tail; empty-shingle docs are excluded from banding
-    * (the all-sentinel hot-bucket de-skew — see minhashCandidatePairs). */
-  private def pairsTail: String = {
+  /** Shared LSH-pairs CTE chain ending in `cand` (id_a, id_b);
+    * empty-shingle docs are excluded from banding (the all-sentinel
+    * hot-bucket de-skew — see minhashCandidatePairs). */
+  private def pairsCtes: String = {
     val r = NUM_HASHES / BANDS
     s""", sig AS (
        |  SELECT doc_id, list_transform(range(0, $NUM_HASHES), h -> $sigExpr) AS sig
@@ -173,11 +174,15 @@ object TextQueries {
        |  SELECT doc_id, b, md5(array_to_string(
        |    list_transform(sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
        |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b) bs
-       |)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b
-       |  ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""".stripMargin
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |)""".stripMargin
   }
+
+  private def pairsTail: String =
+    pairsCtes + "\nSELECT id_a, id_b FROM cand"
 
   def minhashPairsSql: String = shinglesCte + pairsTail
 
@@ -592,29 +597,29 @@ object TextQueries {
 
   // ---- n-gram jaccard ----------------------------------------------------
 
+  /** Exact Jaccard stats over the LSH CANDIDATE pairs — the production
+    * pair source (banded equi-join). The former scaffolding built pairs
+    * with a sampled non-equi join (id_a % 50 = 0 AND id_a < id_b),
+    * which planned as the registry's one BroadcastNestedLoopJoin. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val pairs = d.select(col("doc_id").as("id_a"))
-      .filter(col("id_a") % 50 === 0)
-      .join(d.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    val pairs = DedupOps.minhashCandidatePairs(d, "text", "doc_id",
+      K, NUM_HASHES, BANDS)
     DedupOps.ngramJaccard(d, pairs, "text", "doc_id", K)
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
   def ngramJaccardSql: String =
-    s"""WITH shr AS (
+    shinglesCte + pairsCtes +
+      s""", shr AS (
        |  SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh FROM documents
        |), shd AS (
        |  SELECT DISTINCT doc_id, sh FROM shr
        |), cnt AS (
        |  SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id
-       |), pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM documents a JOIN documents b
-       |    ON a.doc_id % 50 = 0 AND b.doc_id > a.doc_id
        |), inter AS (
        |  SELECT p.id_a, p.id_b, count(*) AS n_inter
-       |  FROM pairs p
+       |  FROM cand p
        |  JOIN shd sa ON sa.doc_id = p.id_a
        |  JOIN shd sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
        |  GROUP BY p.id_a, p.id_b
@@ -623,7 +628,7 @@ object TextQueries {
        |  ca.n_sh AS n_a, cb.n_sh AS n_b,
        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
        |    / CAST(ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
-       |FROM pairs p
+       |FROM cand p
        |JOIN cnt ca ON ca.doc_id = p.id_a
        |JOIN cnt cb ON cb.doc_id = p.id_b
        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin

@@ -229,6 +229,23 @@ class DedupSkewSpec extends AnyFunSuite {
       "the distinct-value cumsum window must be partitioned")
   }
 
+  test("jaccard over LSH candidates plans without a nested-loop join") {
+    // the q_ngram_jaccard registry row feeds ngramJaccard from
+    // minhashCandidatePairs (banded equi-join); the whole composition
+    // must stay equi-join-only — a BroadcastNestedLoopJoin here would be
+    // the all-pairs shape LSH exists to avoid
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+          else s"unique text body number $i with trailing words here")
+    }.toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(docs, "text", "doc_id")
+    val out = DedupOps.ngramJaccard(docs, pairs, "text", "doc_id", 3)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the candidate-jaccard plan:\n$plan")
+  }
+
   test("zero vectors never reach cosine near-dup bucketing") {
     val zeros = (0L until 50L).map(i => (i, Array.fill(8)(0.0f)))
     val realA = Seq((100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
