@@ -9,16 +9,18 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample plumbing.
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — with a deterministic fake decoder over the bytes. What is
-  * real (and what matters at 100 TB) is the Spark-side shape:
+  * PNG and JPEG decode is REAL: `decodeImageFeatures`/`resizeImages`
+  * run `javax.imageio.ImageIO` (ships in the JDK — no external codec)
+  * inside the same `mapPartitions` slot, and `encodeSyntheticPng`
+  * round-trips formula-pixel images through the real encoder so decode
+  * output is oracle-checkable. Only formats with no JDK codec
+  * (video/audio) keep the deterministic byte-stat STUBS. The Spark-side
+  * shape is the part that matters at 100 TB:
   * - payloads stay opaque binary end-to-end (no driver materialization);
-  * - cheap metadata (sizes, digests, fake dimensions) is columnar,
-  *   columnar built-in expression work;
-  * - the expensive "decode" runs batch-wise via `mapPartitions` with a
-  *   declared output schema — exactly where a Pandas-UDF/JNI decoder
-  *   would slot in — so partitioning, schema, and batch shape are all
-  *   exercised for real.
+  * - cheap metadata (sizes, digests, header dimensions) is columnar
+  *   built-in expression work;
+  * - the expensive decode runs batch-wise via `mapPartitions` with a
+  *   declared output schema — partition-parallel, 1:1, no shuffle.
   */
 object MultimodalOps {
 
@@ -184,6 +186,158 @@ object MultimodalOps {
         posexplode(transform(sequence(lit(0), lit(numFrames - 1)),
           i => md5(concat(md5(col(contentCol).cast("binary")), i.cast("string"))
             .cast("binary")))).as(Seq("frame_idx", "frame_digest")))
+
+  // ---- REAL image decode (JDK ImageIO) ----------------------------------
+
+  /** Synthetic-image formulas, shared by the encoder and the
+    * q_media_decode oracle (which recomputes the pixel sums in pure SQL
+    * arithmetic — the decode output must match them exactly, so any
+    * decoder deviation breaks oracle parity). Dimensions stay small
+    * (8..16 × 8..14) so a corpus-sized image table is cheap. */
+  def synthDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + id % 7).toInt)
+  def synthRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+    val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** id → real PNG bytes through the JDK encoder: a formula-pixel RGB
+    * image per id. PNG is lossless and profile-free, so a subsequent
+    * real decode recovers the formula pixels bit-exactly. */
+  def encodeSyntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = synthDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, synthRgb(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        new GenericRowWithSchema(
+          Array[Any](id, bos.toByteArray), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL decode + featurize: `ImageIO.read` (PNG/JPEG via the JDK's
+    * built-in readers) in the mapPartitions slot, emitting per-channel
+    * pixel sums — `decode_ok = false` with null features for payloads no
+    * reader accepts (corrupt bytes, unsupported formats). 1:1,
+    * partition-parallel, schema declared up front. */
+  def decodeImageFeatures(df: DataFrame, contentCol: String,
+                          idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_px", LongType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true),
+      StructField("mean_r_x1000", LongType, nullable = true)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        val vals: Array[Any] =
+          if (img == null)
+            Array[Any](id, false, null, null, null, null, null, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val nPx = w.toLong * h
+            Array[Any](id, true, w.toLong, h.toLong, nPx, sr, sg, sb,
+              sr * 1000L / nPx)
+          }
+        new GenericRowWithSchema(vals, outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL resize: decode, nearest-neighbor downscale to fit `maxDim`
+    * (deterministic — no interpolation rounding to diverge on), re-encode
+    * PNG. Images already within `maxDim` (and undecodable payloads) pass
+    * through unchanged, the latter flagged by null dimensions. Target
+    * dims in integer arithmetic: max(1, d·maxDim / max(w,h)). */
+  def resizeImages(df: DataFrame, contentCol: String, idCol: String,
+                   maxDim: Long): DataFrame = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("resized_content", BinaryType, nullable = true),
+      StructField("resized_width", LongType, nullable = true),
+      StructField("resized_height", LongType, nullable = true)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        val vals: Array[Any] =
+          if (img == null) Array[Any](id, bytes, null, null)
+          else {
+            val w = img.getWidth.toLong; val h = img.getHeight.toLong
+            val m = math.max(w, h)
+            if (m <= maxDim) Array[Any](id, bytes, w, h)
+            else {
+              val tw = math.max(1L, w * maxDim / m).toInt
+              val th = math.max(1L, h * maxDim / m).toInt
+              val dst = new java.awt.image.BufferedImage(
+                tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < th) {
+                var x = 0
+                while (x < tw) {
+                  // nearest neighbor: source pixel at floor(x·w/tw)
+                  dst.setRGB(x, y, img.getRGB(
+                    (x.toLong * w / tw).toInt, (y.toLong * h / th).toInt))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              Array[Any](id, bos.toByteArray, tw.toLong, th.toLong)
+            }
+          }
+        new GenericRowWithSchema(vals, outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Batch "decode + featurize" via mapPartitions — the slot where a real
     * decoder (JNI/Pandas-UDF equivalent) would run. The stub features are

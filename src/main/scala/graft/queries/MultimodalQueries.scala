@@ -15,7 +15,45 @@ object MultimodalQueries {
     GraftQuery("q_media_meta_jpeg", mediaMetaJpeg, Some(mediaMetaJpegSql)),
     GraftQuery("q_media_frames", mediaFrames, Some(mediaFramesSql)),
     GraftQuery("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    GraftQuery("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
   )
+
+  /** REAL decode round-trip: every doc_id becomes a formula-pixel RGB
+    * image pushed through the JDK's real PNG ENCODER, then the real
+    * `ImageIO` DECODER extracts per-channel pixel sums. The oracle never
+    * sees the bytes — it recomputes the sums from the generator formulas
+    * in pure integer SQL, so the row only matches if encode→decode is
+    * pixel-exact (PNG is lossless and profile-free). */
+  def mediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val png = MultimodalOps.encodeSyntheticPng(ids, "doc_id")
+    MultimodalOps.decodeImageFeatures(png, "content", "media_id")
+  }
+
+  /** Mirrors MultimodalOps.synthDims/synthRgb: w = 8 + id%9,
+    * h = 8 + id%7, r = (id·31 + x·7 + y·13) % 256, g = (id·17 + x·11 +
+    * y·3) % 256, b = (id·23 + x·5 + y·19) % 256. */
+  def mediaDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
+      |), px AS (
+      |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+      |), s AS (
+      |  SELECT media_id, w, h,
+      |    CAST(sum((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+      |    CAST(sum((media_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+      |    CAST(sum((media_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+      |  FROM px GROUP BY media_id, w, h
+      |)
+      |SELECT media_id, TRUE AS decode_ok,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b,
+      |  (sum_r * 1000) // (w * h) AS mean_r_x1000
+      |FROM s""".stripMargin
 
   /** documents → opaque binary payload table. */
   private def media(spark: SparkSession, sfDir: String): DataFrame =
