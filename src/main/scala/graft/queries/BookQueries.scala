@@ -49,6 +49,10 @@ object BookQueries {
     // running frame) — previously equivalence-spec-only
     GraftQuery("bbo_window_updates_n2", (s, d) => bboWindowUpdates(s, d, 2),
       Some(updatesOracle(2))),
+    // O1 over native DecimalType prices (the SURVEY §1.2 extension):
+    // exact in-engine scale → long replay → rescale
+    GraftQuery("bbo_decimal_n2", (s, d) => bboDecimalUpdates(s, d, 2),
+      Some(decimalUpdatesOracle(2))),
   )
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
@@ -252,19 +256,20 @@ object BookQueries {
        |   AND u.price = g.price AND u.seq = g.seq
        |)""".stripMargin
 
-  private[queries] def topNSelect(n: Int): String =
+  private[queries] def topNSelect(n: Int,
+      priceOut: String => String = identity): String =
     if (n == 1)
-      """
+      s"""
         |SELECT seq, product,
-        |  max(price) FILTER (WHERE is_bid AND qty > 0) AS bid_price_1,
+        |  ${priceOut("max(price) FILTER (WHERE is_bid AND qty > 0)")} AS bid_price_1,
         |  arg_max(qty, price) FILTER (WHERE is_bid AND qty > 0) AS bid_qty_1,
-        |  min(price) FILTER (WHERE NOT is_bid AND qty > 0) AS ask_price_1,
+        |  ${priceOut("min(price) FILTER (WHERE NOT is_bid AND qty > 0)")} AS ask_price_1,
         |  arg_min(qty, price) FILTER (WHERE NOT is_bid AND qty > 0) AS ask_qty_1
         |FROM state GROUP BY seq, product""".stripMargin
     else {
-      val cols = (1 to n).map(i => s"bp[$i] AS bid_price_$i") ++
+      val cols = (1 to n).map(i => s"${priceOut(s"bp[$i]")} AS bid_price_$i") ++
         (1 to n).map(i => s"bq[$i] AS bid_qty_$i") ++
-        (1 to n).map(i => s"ap[$i] AS ask_price_$i") ++
+        (1 to n).map(i => s"${priceOut(s"ap[$i]")} AS ask_price_$i") ++
         (1 to n).map(i => s"aq[$i] AS ask_qty_$i")
       s""", lists AS (
          |  SELECT seq, product,
@@ -280,6 +285,32 @@ object BookQueries {
   def updatesOracle(n: Int): String =
     gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = true),
       "last_value(u.qty IGNORE NULLS)") + topNSelect(n)
+
+  /** O1 with native DECIMAL(12,2) prices (price/100) through
+    * DecimalPriceOps — the oracle replays on the original longs and
+    * divides the level prices at the very end; matching hashes prove the
+    * decimal scale/replay/rescale round-trip is exact. Output prices are
+    * double-cast on both engines (decimal→double and bigint-double/100
+    * are the same correctly-rounded value; cross-engine decimal128
+    * representation is not hash-stable). */
+  def bboDecimalUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+      .withColumn("price_dec",
+        (col("price").cast(DecimalType(14, 2)) * lit(BigDecimal("0.01")))
+          .cast(DecimalType(12, 2)))
+    val out = graft.operators.DecimalPriceOps.topNLevelsFromPriceUpdatesDecimal(
+      stream, "price_dec", "qty", "is_bid", n,
+      partitionBy = Seq("product"), orderBy = Seq("seq"))
+    out.columns.filter(_.matches("^(bid|ask)_price_\\d+$"))
+      .foldLeft(out)((d, c) => d.withColumn(c, col(c).cast("double")))
+      .select(proj(n).map(col): _*)
+  }
+
+  def decimalUpdatesOracle(n: Int): String =
+    gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = true),
+      "last_value(u.qty IGNORE NULLS)") +
+      topNSelect(n, p => s"CAST($p AS DOUBLE) / 100")
 
   def mutationsOracle(n: Int): String =
     gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = false),
