@@ -48,11 +48,19 @@ object StatsOps {
       .withColumn("pid", spark_partition_id())
     val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrefix = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // prefix offsets: ONE row per range partition (bounded by the
+    // shuffle-partition count), folded into a single sorted array and
+    // prefix-summed with columnar higher-order functions — no window
+    // (nothing for WindowExec to funnel), no join, one scalar-sized
+    // aggregate
+    val ps = col("ps")
     val offsets = parts.groupBy(col("pid")).agg(sum(col("c")).as("psum"))
-      .withColumn("offset", coalesce(sum(col("psum")).over(wPrefix), lit(0L)))
-      .select(col("pid"), col("offset"))
+      .agg(sort_array(collect_list(struct(col("pid"), col("psum")))).as("ps"))
+      .select(explode(transform(ps, (s, i) => struct(
+        s.getField("pid").as("pid"),
+        aggregate(slice(ps, lit(1), i), lit(0L),
+          (a, x) => a + x.getField("psum")).as("offset")))).as("o"))
+      .select(col("o.pid").as("pid"), col("o.offset").as("offset"))
     val cum = parts.withColumn("cum_in", sum(col("c")).over(wIn))
       .join(broadcast(offsets), "pid")
       .select(col("v"), (col("cum_in") + col("offset")).as("cum"))
