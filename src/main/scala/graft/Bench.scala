@@ -66,9 +66,13 @@ object Bench {
     val failed = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // numeric scale factor (from the .../sfX.Y dir name) so the driver's
-    // JSON parse gets a number, with the raw dir in its own field
+    // JSON parse gets a number, with the raw dir in its own field; the
+    // token must PARSE as a double or the emitted line would be invalid
+    // JSON (e.g. a dir named sf0.1.bak would yield "sf":0.1.bak)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+      .map(_.group(1).stripSuffix("."))
+      .filter(s => scala.util.Try(s.toDouble).isSuccess)
+      .getOrElse("0")
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     println(line)
     // Machine-readable artifact with the per-iteration samples behind the

@@ -57,10 +57,14 @@ object DecimalPriceOps {
   private def priceType(df: DataFrame, c: String): DecimalType =
     df.schema(c).dataType match {
       case d: DecimalType =>
-        require(d.precision - d.scale <= 18,
-          s"decimal price '$c' ($d): ${d.precision - d.scale} integral digits " +
-            "exceed the long-scalable range (18)")
-        require(d.scale <= 17, s"decimal price '$c' ($d): scale > 17 unsupported")
+        // the scaled long carries ALL the digits (value × 10^scale), so
+        // the bound is total precision — precision-minus-scale would
+        // admit e.g. (20,2), whose scaled values exceed Long and the
+        // non-ANSI Decimal→Long cast would WRAP silently, replaying a
+        // garbage price with no exception
+        require(d.precision <= 18,
+          s"decimal price '$c' ($d): precision > 18 cannot scale to a long " +
+            "losslessly — reduce precision or pre-scale explicitly")
         d
       case DoubleType | FloatType =>
         throw new IllegalArgumentException(

@@ -264,16 +264,16 @@ object MultimodalOps {
             Array[Any](id, false, null, null, null, null, null, null, null)
           else {
             val w = img.getWidth; val h = img.getHeight
+            // one bulk sRGB read per image — per-pixel getRGB(x,y) pays a
+            // ColorModel conversion call per pixel, which dominates on
+            // real-sized images in this hot batch slot
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
             }
             val nPx = w.toLong * h
             Array[Any](id, true, w.toLong, h.toLong, nPx, sr, sg, sb,
@@ -316,19 +316,25 @@ object MultimodalOps {
             else {
               val tw = math.max(1L, w * maxDim / m).toInt
               val th = math.max(1L, h * maxDim / m).toInt
-              val dst = new java.awt.image.BufferedImage(
-                tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val wi = w.toInt
+              // bulk read once, bulk write once — per-pixel get/setRGB
+              // would pay a ColorModel conversion call per pixel
+              val src = img.getRGB(0, 0, wi, h.toInt, null, 0, wi)
+              val out = new Array[Int](tw * th)
               var y = 0
               while (y < th) {
+                val sy = (y.toLong * h / th).toInt
                 var x = 0
                 while (x < tw) {
                   // nearest neighbor: source pixel at floor(x·w/tw)
-                  dst.setRGB(x, y, img.getRGB(
-                    (x.toLong * w / tw).toInt, (y.toLong * h / th).toInt))
+                  out(y * tw + x) = src(sy * wi + (x.toLong * w / tw).toInt)
                   x += 1
                 }
                 y += 1
               }
+              val dst = new java.awt.image.BufferedImage(
+                tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              dst.setRGB(0, 0, tw, th, out, 0, tw)
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(dst, "png", bos)
               Array[Any](id, bos.toByteArray, tw.toLong, th.toLong)

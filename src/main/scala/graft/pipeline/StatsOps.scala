@@ -34,18 +34,34 @@ object StatsOps {
     // nulls is meaningless anyway. n counts non-null values only.
     val vals = df.select(valueExpr.as("v")).filter(col("v").isNotNull)
     val cnts = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    // Distributed cumulative count: range-partition the distinct-value
-    // relation on v, running-sum WITHIN each range partition (a
-    // partitioned window), then add the partition's prefix offset. The
-    // only unpartitioned window left runs over the per-partition totals
-    // (≤ shuffle-partition-count rows) — the former global
+    // Distributed cumulative count: bucket the distinct-value relation
+    // by VALUE RANGE, running-sum WITHIN each bucket (a partitioned
+    // window), then add the bucket's prefix offset — the former global
     // Window.orderBy(v) moved EVERY distinct value through one task,
     // fine for bounded integral metrics but a funnel on continuous ones.
-    // Partition boundaries come from the range sampler and are not
-    // deterministic, but cum is a prefix sum — associative, so the final
-    // (v, cum) pairs are identical under any boundary placement.
-    val parts = cnts.repartitionByRange(col("v"))
-      .withColumn("pid", spark_partition_id())
+    // The bucket id is a DETERMINISTIC function of (v, collected
+    // min/max) — not spark_partition_id over repartitionByRange, whose
+    // sampled boundaries differ per evaluation: this plan consumes the
+    // bucketed relation twice (offsets + cumsum), and a
+    // nondeterministic pid would mismatch the two sides whenever the
+    // exchanges are not physically deduplicated. The min/max snapshot is
+    // one scalar-sized job over the value-grouped relation (the same
+    // planning-time-constant pattern as the ANN centroid collects).
+    // Uniform-width buckets balance by RANGE, not count — a pathological
+    // distribution concentrates buckets (still bounded by the old
+    // single-partition behavior, never wrong); NaN doubles land past the
+    // last bucket, matching NaN-sorts-greatest on both engines.
+    val nBuckets = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val mm = vals.agg(min(col("v").cast("double")).as("mn"),
+      max(col("v").cast("double")).as("mx")).collect()(0)
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
+    val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
+    val vd = col("v").cast("double")
+    val pid = when(vd.isNaN, lit(nBuckets.toLong)).otherwise(
+      least(lit(nBuckets.toLong - 1), greatest(lit(0L),
+        floor((vd - lit(mn)) / lit(width)).cast("long"))))
+    val parts = cnts.withColumn("pid", pid)
     val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // prefix offsets: ONE row per range partition (bounded by the

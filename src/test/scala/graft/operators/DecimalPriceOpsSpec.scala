@@ -26,14 +26,12 @@ class DecimalPriceOpsSpec extends AnyFunSuite {
     .drop("price_s")
 
   test("decimal updates replay equals the manual scale-to-long recipe") {
-    val out = DecimalPriceOps.topNLevelsFromPriceUpdatesDecimal(
-        stream, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
-      .orderBy("seq").collect()
-    // output price columns keep the INPUT decimal type
     val outDf = DecimalPriceOps.topNLevelsFromPriceUpdatesDecimal(
       stream, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    // output price columns keep the INPUT decimal type
     assert(outDf.schema("bid_price_1").dataType == DecimalType(10, 2))
     assert(outDf.schema("bid_qty_1").dataType == LongType)
+    val out = outDf.orderBy("seq").collect()
 
     def bp1(i: Int) = Option(out(i).getAs[java.math.BigDecimal]("bid_price_1"))
     def ap1(i: Int) = Option(out(i).getAs[java.math.BigDecimal]("ask_price_1"))
@@ -90,11 +88,16 @@ class DecimalPriceOpsSpec extends AnyFunSuite {
         floats, "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
     }
     assert(e.getMessage.contains("scalePrice"))
-    // out-of-range decimals are refused too
-    val wide = stream.withColumn("price", col("price").cast(DecimalType(38, 2)))
-    assertThrows[IllegalArgumentException] {
-      DecimalPriceOps.topNLevelsFromPriceUpdatesDecimal(
-        wide, "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    // out-of-range decimals are refused too — including (20,2), whose 18
+    // INTEGRAL digits would pass a precision-minus-scale check but whose
+    // scaled values overflow a long (the non-ANSI cast would wrap
+    // silently): the guard must bound TOTAL precision
+    for (dt <- Seq(DecimalType(38, 2), DecimalType(20, 2))) {
+      val wide = stream.withColumn("price", col("price").cast(dt))
+      assertThrows[IllegalArgumentException] {
+        DecimalPriceOps.topNLevelsFromPriceUpdatesDecimal(
+          wide, "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+      }
     }
   }
 }
