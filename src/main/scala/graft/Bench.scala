@@ -71,7 +71,9 @@ object Bench {
     // JSON (e.g. a dir named sf0.1.bak would yield "sf":0.1.bak)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix("."))
-      .filter(s => scala.util.Try(s.toDouble).isSuccess)
+      // a strict JSON-number shape, not toDouble: Java parses ".5", JSON
+      // rejects it
+      .filter(_.matches("[0-9]+(\\.[0-9]+)?"))
       .getOrElse("0")
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     println(line)

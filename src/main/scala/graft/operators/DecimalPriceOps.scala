@@ -65,6 +65,13 @@ object DecimalPriceOps {
         require(d.precision <= 18,
           s"decimal price '$c' ($d): precision > 18 cannot scale to a long " +
             "losslessly — reduce precision or pre-scale explicitly")
+        // the rescale multiply is typed (20,0)×(scale+1,scale) → precision
+        // 21+scale, which must stay ≤ 38 or Spark's precision-loss
+        // adjustment silently rounds the last fractional digit (e.g.
+        // (18,18) would round digit 18) — both bounds are load-bearing
+        require(d.scale <= 17,
+          s"decimal price '$c' ($d): scale > 17 would overflow the exact " +
+            "rescale's decimal precision and round silently")
         d
       case DoubleType | FloatType =>
         throw new IllegalArgumentException(

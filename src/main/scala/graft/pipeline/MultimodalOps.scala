@@ -264,16 +264,23 @@ object MultimodalOps {
             Array[Any](id, false, null, null, null, null, null, null, null)
           else {
             val w = img.getWidth; val h = img.getHeight
-            // one bulk sRGB read per image — per-pixel getRGB(x,y) pays a
-            // ColorModel conversion call per pixel, which dominates on
-            // real-sized images in this hot batch slot
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            // row-strided bulk reads: one getRGB call per ROW into a
+            // reused w-length buffer — keeps the per-pixel
+            // ColorModel-conversion savings of a bulk read with O(w)
+            // extra memory (a full-image int[] would be ~1 GB for a
+            // 16k×16k raster, per concurrent task)
+            val rowBuf = new Array[Int](w)
             var sr = 0L; var sg = 0L; var sb = 0L
-            var i = 0
-            while (i < px.length) {
-              val p = px(i)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              i += 1
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = rowBuf(x)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
             }
             val nPx = w.toLong * h
             Array[Any](id, true, w.toLong, h.toLong, nPx, sr, sg, sb,
@@ -317,24 +324,26 @@ object MultimodalOps {
               val tw = math.max(1L, w * maxDim / m).toInt
               val th = math.max(1L, h * maxDim / m).toInt
               val wi = w.toInt
-              // bulk read once, bulk write once — per-pixel get/setRGB
-              // would pay a ColorModel conversion call per pixel
-              val src = img.getRGB(0, 0, wi, h.toInt, null, 0, wi)
-              val out = new Array[Int](tw * th)
-              var y = 0
-              while (y < th) {
-                val sy = (y.toLong * h / th).toInt
-                var x = 0
-                while (x < tw) {
-                  // nearest neighbor: source pixel at floor(x·w/tw)
-                  out(y * tw + x) = src(sy * wi + (x.toLong * w / tw).toInt)
-                  x += 1
-                }
-                y += 1
-              }
+              // nearest neighbor, row-strided: the x-mapping depends only
+              // on x (precomputed once), the source is read one row at a
+              // time into a reused buffer (O(w + tw·th) memory — the
+              // output raster is bounded by maxDim², the SOURCE is not),
+              // and the destination row written bulk per row
+              val xmap = new Array[Int](tw)
+              var x = 0
+              while (x < tw) { xmap(x) = (x.toLong * w / tw).toInt; x += 1 }
+              val srcRow = new Array[Int](wi)
+              val outRow = new Array[Int](tw)
               val dst = new java.awt.image.BufferedImage(
                 tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              dst.setRGB(0, 0, tw, th, out, 0, tw)
+              var y = 0
+              while (y < th) {
+                img.getRGB(0, (y.toLong * h / th).toInt, wi, 1, srcRow, 0, wi)
+                var i = 0
+                while (i < tw) { outRow(i) = srcRow(xmap(i)); i += 1 }
+                dst.setRGB(0, y, tw, 1, outRow, 0, tw)
+                y += 1
+              }
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(dst, "png", bos)
               Array[Any](id, bos.toByteArray, tw.toLong, th.toLong)

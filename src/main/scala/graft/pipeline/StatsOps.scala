@@ -52,15 +52,28 @@ object StatsOps {
     // single-partition behavior, never wrong); NaN doubles land past the
     // last bucket, matching NaN-sorts-greatest on both engines.
     val nBuckets = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val mm = vals.agg(min(col("v").cast("double")).as("mn"),
-      max(col("v").cast("double")).as("mx")).collect()(0)
-    val (mn, mx) =
-      if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
-    val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
-    val vd = col("v").cast("double")
-    val pid = when(vd.isNaN, lit(nBuckets.toLong)).otherwise(
-      least(lit(nBuckets.toLong - 1), greatest(lit(0L),
-        floor((vd - lit(mn)) / lit(width)).cast("long"))))
+    // double-cast bucketing is only monotone in the NATURAL ordering for
+    // numeric metrics — a string metric's lexicographic order disagrees
+    // with its numeric cast ("9" > "10"), which would scramble the
+    // cross-bucket prefix. Non-numeric orderable metrics take one bucket
+    // (the pre-round-4 single-window behavior: correct, not distributed).
+    val isNumeric = vals.schema("v").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val pid = if (!isNumeric) lit(0L) else {
+      val vd = col("v").cast("double")
+      // min/max over NaN-free values: Spark's max treats NaN as greatest,
+      // so one NaN row would make mx = NaN → width fallback → every
+      // finite value in one bucket (the funnel this path exists to avoid)
+      val mm = vals.filter(!isnan(col("v").cast("double")))
+        .agg(min(col("v").cast("double")).as("mn"),
+          max(col("v").cast("double")).as("mx")).collect()(0)
+      val (mn, mx) =
+        if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
+      val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
+      when(vd.isNaN, lit(nBuckets.toLong)).otherwise(
+        least(lit(nBuckets.toLong - 1), greatest(lit(0L),
+          floor((vd - lit(mn)) / lit(width)).cast("long"))))
+    }
     val parts = cnts.withColumn("pid", pid)
     val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

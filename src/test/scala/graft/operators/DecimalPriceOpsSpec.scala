@@ -92,7 +92,9 @@ class DecimalPriceOpsSpec extends AnyFunSuite {
     // INTEGRAL digits would pass a precision-minus-scale check but whose
     // scaled values overflow a long (the non-ANSI cast would wrap
     // silently): the guard must bound TOTAL precision
-    for (dt <- Seq(DecimalType(38, 2), DecimalType(20, 2))) {
+    // ...and (18,18), whose rescale multiply would exceed decimal
+    // precision 38 and round the 18th fractional digit silently
+    for (dt <- Seq(DecimalType(38, 2), DecimalType(20, 2), DecimalType(18, 18))) {
       val wide = stream.withColumn("price", col("price").cast(dt))
       assertThrows[IllegalArgumentException] {
         DecimalPriceOps.topNLevelsFromPriceUpdatesDecimal(
