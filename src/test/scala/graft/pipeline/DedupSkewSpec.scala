@@ -229,6 +229,38 @@ class DedupSkewSpec extends AnyFunSuite {
       "the distinct-value cumsum window must be partitioned")
   }
 
+  test("exact quantiles: one NaN neither poisons bucketing nor shifts finite ranks wrongly") {
+    // Spark's max() treats NaN as greatest, so an unfiltered min/max
+    // snapshot would return mx = NaN and collapse every finite value
+    // into one bucket. NaN rows themselves sort greatest (both engines),
+    // so they only occupy the top ranks.
+    val rnd = new scala.util.Random(7)
+    val finite = (0 until 5000).map(_ => rnd.nextDouble() * 1000)
+    val vals = finite :+ Double.NaN
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val qs = Seq(100, 500, 900)
+    val got = StatsOps.exactQuantiles(df, col("v"), qs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = finite.sorted :+ Double.NaN // NaN sorts last
+    qs.foreach { q =>
+      val rank = (q.toLong * vals.length + 999) / 1000
+      assert(got(q.toLong) == sorted(rank.toInt - 1), s"q=$q")
+    }
+  }
+
+  test("exact quantiles on a non-numeric metric stay order-correct") {
+    // lexicographic order disagrees with numeric-cast order ("9" > "10"),
+    // so the distributed bucketing must not apply; the single-bucket
+    // fallback keeps the natural ordering
+    val df = Seq("10", "9", "90", "100", "apple", "Zed")
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = StatsOps.exactQuantiles(df, col("v"), Seq(500, 1000))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sorted = Seq("10", "9", "90", "100", "apple", "Zed").sorted
+    assert(got(500L) == sorted((500 * 6 + 999) / 1000 - 1))
+    assert(got(1000L) == sorted.last)
+  }
+
   test("jaccard over LSH candidates plans without a nested-loop join") {
     // the q_ngram_jaccard registry row feeds ngramJaccard from
     // minhashCandidatePairs (banded equi-join); the whole composition
