@@ -51,4 +51,38 @@ object PackingOps {
       .withColumn("ctx_offset", pmod(col("pack_offset"), lit(contextSize)))
       .withColumn("n_ctx_spanned", col("ctx_last") - col("ctx_first") + 1)
   }
+
+  /** Overlapping token-window chunking — the other standard long-document
+    * treatment (packContexts concatenates SHORT docs; this SPLITS long
+    * docs into `chunkTokens`-sized windows every `strideTokens` tokens,
+    * overlap = chunk − stride, so no token is lost at a boundary).
+    *
+    * Map-only + one generator: tokenize, compute the chunk count in
+    * closed form, explode the chunk indices, slice the token array per
+    * chunk — no shuffle, no window, no state; at 100 TB it is exactly a
+    * projection with a fan-out of ~n_tokens/stride per document.
+    *
+    * Every document yields at least one chunk (an empty text tokenizes
+    * to [""], one chunk of one empty token — matching DuckDB's
+    * string_split). Output: (doc_id, n_tokens, chunk_idx, chunk_text,
+    * n_chunk_tokens). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val toks = split(col(textCol), " ")
+    val n = size(toks).cast("long")
+    // chunks = 1 + ceil(max(n - chunk, 0) / stride), in pure integer math
+    val extra = greatest(n - chunkTokens, lit(0L))
+    val nChunks = lit(1L) + call_function("div",
+      extra + (strideTokens - 1), lit(strideTokens.toLong))
+    val start = col("chunk_idx") * strideTokens
+    df.select(col(idCol).as("doc_id"), toks.as("__ck_toks"), n.as("n_tokens"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        array_join(slice(col("__ck_toks"), (start + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n_tokens") - start).as("n_chunk_tokens"))
+  }
 }

@@ -30,6 +30,7 @@ object TextQueries {
     GraftQuery("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     GraftQuery("q_corpus_filter", corpusFilter, Some(corpusFilterSql), bench = true),
     GraftQuery("q_pack_contexts", packContexts, Some(packContextsSql), bench = true),
+    GraftQuery("q_doc_chunks", docChunks, Some(docChunksSql)),
     GraftQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     GraftQuery("q_source_cap", sourceCap, Some(sourceCapSql)),
     GraftQuery("q_repetition", repetition, Some(repetitionSql)),
@@ -542,6 +543,35 @@ object TextQueries {
        |  CAST(((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE)
        |    - (pack_offset // $CTX_SIZE) + 1 AS BIGINT) AS n_ctx_spanned
        |FROM o""".stripMargin
+
+  // ---- overlapping chunking ---------------------------------------------
+
+  private val CHUNK_TOKENS = 64
+  private val STRIDE_TOKENS = 48
+
+  /** Long-document chunking: 64-token windows every 48 tokens (16-token
+    * overlap) — map-only fan-out, the dual of packContexts. */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.PackingOps.chunkDocuments(docs(spark, sfDir), "text",
+      "doc_id", CHUNK_TOKENS, STRIDE_TOKENS)
+
+  def docChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    CAST(unnest(range(0, 1 + (greatest(n_tokens - $CHUNK_TOKENS, 0)
+       |      + ${STRIDE_TOKENS - 1}) // $STRIDE_TOKENS)) AS BIGINT) AS chunk_idx
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, chunk_idx,
+       |  array_to_string(toks[chunk_idx * $STRIDE_TOKENS + 1 :
+       |    chunk_idx * $STRIDE_TOKENS + $CHUNK_TOKENS], ' ') AS chunk_text,
+       |  CAST(least($CHUNK_TOKENS, n_tokens - chunk_idx * $STRIDE_TOKENS)
+       |    AS BIGINT) AS n_chunk_tokens
+       |FROM c""".stripMargin
 
   // ---- simhash near-dup pairs -------------------------------------------
 

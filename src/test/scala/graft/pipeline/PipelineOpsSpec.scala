@@ -205,6 +205,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapping chunking: windows, stride overlap, short and empty docs") {
+    // chunk=4, stride=3 (1-token overlap). 10 tokens -> chunks at 0,3,6
+    // (chunks = 1 + ceil(6/3) = 3; last chunk is the full window 6..9);
+    // 11 tokens -> extra partial chunk at 9 (2 tokens). Short docs yield
+    // one chunk; empty text tokenizes to [""] (one empty token).
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val eleven = (1 to 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, ten), (2L, eleven), (3L, "a b"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = PackingOps.chunkDocuments(df, "text", "doc_id", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "t1 t2 t3 t4", 4L),
+      (2L, 1L, "t4 t5 t6 t7", 4L),
+      (2L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 3L, "t10 t11", 2L),
+      (3L, 0L, "a b", 2L),
+      (4L, 0L, "", 1L)))
+    // overlap reconstructs the stream: consecutive chunks share
+    // chunk-stride tokens; no token is lost
+    intercept[IllegalArgumentException] {
+      PackingOps.chunkDocuments(df, "text", "doc_id", 4, 5)
+    }
+  }
+
   test("multimodal: jpeg SOF walk recovers dims; rejects non-jpeg/truncated") {
     val good = Seq((1L, "body-bytes", 640L, 480L), (2L, "x", 17L, 65535L))
       .toDF("id", "body", "w", "h")
