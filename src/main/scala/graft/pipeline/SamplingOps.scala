@@ -40,6 +40,31 @@ object SamplingOps {
     df.filter(pmod(HashFns.hash32(col(idCol).cast("string")), lit(1000L)) < rate)
   }
 
+  /** Per-group TOKEN budget: keep docs, drawn in deterministic hash
+    * order, while the group's running token total stays under `budget` —
+    * "sample ~1B tokens per source", the unit data mixtures are actually
+    * specified in (a doc-count cap over-weights sources with long
+    * documents). A doc is kept iff the tokens BEFORE it (exclusive
+    * prefix) are under budget, so every non-empty group keeps at least
+    * one doc and the total overshoots by at most one document — the
+    * standard greedy-prefix semantics, deterministic and
+    * partitioning-independent. One shuffle on the group keys. */
+  def capTokensPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(groupCols.nonEmpty,
+      "capTokensPerGroup requires at least one group column")
+    val clash = df.columns.toSet.intersect(Set("__cap_cum"))
+    require(clash.isEmpty, s"input already has reserved columns: $clash")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(HashFns.hash32(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cap_cum",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .filter(col("__cap_cum") < budget)
+      .drop("__cap_cum")
+  }
+
   /** Per-group cap: keep at most `k` docs per group, selected by hash
     * order (a deterministic uniform draw — NOT first-k by id, which
     * would bias toward old documents). The anti-domination gate that

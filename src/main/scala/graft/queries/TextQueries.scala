@@ -33,6 +33,7 @@ object TextQueries {
     GraftQuery("q_doc_chunks", docChunks, Some(docChunksSql)),
     GraftQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     GraftQuery("q_source_cap", sourceCap, Some(sourceCapSql)),
+    GraftQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     GraftQuery("q_repetition", repetition, Some(repetitionSql)),
     GraftQuery("q_redact", redact, Some(redactSql)),
     GraftQuery("q_vocab_topk", vocabTopK, Some(vocabTopKSql)),
@@ -511,6 +512,35 @@ object TextQueries {
        |    ORDER BY ${HashFns.hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
        |  FROM documents
        |) WHERE rn <= $CAP_K""".stripMargin
+
+  private val TOKEN_BUDGET = 2000L
+
+  /** Per-source token budget: hash-ordered greedy prefix until each
+    * source's running token total reaches 2000 — mixtures are specified
+    * in tokens, not documents. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.pipeline.SamplingOps.capTokensPerGroup(d, Seq("source"), "doc_id",
+        "n_tokens", TOKEN_BUDGET)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  def tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${HashFns.hash32Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT doc_id, source, n_tokens FROM c WHERE cum < $TOKEN_BUDGET""".stripMargin
 
   // ---- sequence packing --------------------------------------------------
 

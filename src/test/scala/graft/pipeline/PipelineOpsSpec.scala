@@ -175,6 +175,31 @@ class PipelineOpsSpec extends AnyFunSuite {
         .select("id").as[Long].collect().toSet)
   }
 
+  test("token budget: greedy hash-ordered prefix per group, exclusive semantics") {
+    // replicate hash32 (first 8 md5 hex chars as unsigned int) locally
+    // and compute the expected greedy prefix independently
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val rows = (0L until 60L).map(i => (i, s"src${i % 3}", 10L + i % 7))
+    val df = rows.toDF("id", "src", "tok")
+    val budget = 50L
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (h32(r._1.toString), r._1))
+      val cum = ordered.scanLeft(0L)(_ + _._3)
+      ordered.zip(cum).collect { case (r, before) if before < budget => r._1 }
+    }.toSet
+    val got = SamplingOps.capTokensPerGroup(df, Seq("src"), "id", "tok", budget)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    // every non-empty group keeps at least one doc, even one over budget
+    val big = Seq((1L, "a", 10000L), (2L, "a", 10000L)).toDF("id", "src", "tok")
+    assert(SamplingOps.capTokensPerGroup(big, Seq("src"), "id", "tok", 50L)
+      .count() == 1L)
+  }
+
   test("sequence packing: offsets, boundary spans, empty docs, per-shard") {
     // shard A: docs of 3, 4, 6 tokens with contextSize 5:
     //   doc1 @0 -> ctx 0 (tokens 0-2)

@@ -174,6 +174,28 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // the test must actually exercise pairing
   }
 
+  test("document chunking runs unchanged on a stream (stateless map+generator)") {
+    // chunkDocuments is shuffle- and state-free, so the BATCH operator is
+    // its own streaming twin — no watermark, no output-mode constraint
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF.toDF("doc_id", "text")
+    val out = graft.pipeline.PackingOps.chunkDocuments(sdf, "text", "doc_id", 4, 3)
+    val query = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("chunk_stream")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "t1 t2 t3 t4"), (1L, 1L, "t4 t5 t6 t7"),
+      (1L, 2L, "t7 t8 t9 t10"), (2L, 0L, "a b")))
+  }
+
   test("windowed dedup re-admits content in later windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
