@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * length/quality cutoffs a training-data pipeline derives before
   * filtering (e.g. "drop docs below the p10 token count").
   *
-  * Scale shape: one parallel groupBy on the VALUE, then a RANGE-
-  * PARTITIONED two-pass cumulative sum over the distinct-value relation
-  * (in-partition running sums + a broadcast per-partition prefix offset
-  * — no unpartitioned window anywhere, so a high-cardinality or
-  * continuous metric distributes instead of funneling through one
-  * task), and a broadcast of |quantiles| rank thresholds. No global
-  * sort of the data, no interpolation (discrete quantiles: value at
-  * rank ceil(q·n)) — bit-identical across engines, unlike
-  * approx_percentile/quantile_cont whose FP interpolation differs. */
+  * Scale shape: one parallel groupBy on the VALUE, then a VALUE-RANGE-
+  * BUCKETED two-pass cumulative sum over the distinct-value relation
+  * (in-bucket running sums via a partitioned window + per-bucket prefix
+  * offsets folded with higher-order functions — no window or join over
+  * anything unbounded, so a high-cardinality or continuous metric
+  * distributes instead of funneling through one task), and a broadcast
+  * of |quantiles| rank thresholds. No global sort of the data, no
+  * interpolation (discrete quantiles: value at rank ceil(q·n)) —
+  * bit-identical across engines, unlike approx_percentile/quantile_cont
+  * whose FP interpolation differs. */
 object StatsOps {
 
   /** Exact discrete quantiles of `valueExpr`: for each permille p, the

@@ -300,7 +300,10 @@ object RelationalQueries {
   /** As-of join: each derived trade matched to the prevailing quote
     * (latest quote at or before the trade, same user) — checked against
     * DuckDB's native ASOF LEFT JOIN. */
-  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared fixture for every as-of query: hash-derived quote prices on
+    * even event ids, trade values on odd ids. Returns (trades, quotes);
+    * `asofCtes` is the oracle-side statement of the same two relations. */
+  private def asofSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val ev = Tables.read(spark, sfDir, "events")
     val quotes = ev.filter(col("event_id") % 2 === 0).select(
       col("user_id"),
@@ -310,12 +313,10 @@ object RelationalQueries {
       col("user_id"),
       col("event_id").as("t"),
       (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
-    graft.operators.AsOfJoin.joinAsOfBackward(
-      trades, quotes, timeCol = "t", keys = Seq("user_id"),
-      valueCols = Seq("quote_px"))
+    (trades, quotes)
   }
 
-  def asofJoinSql: String =
+  private val asofCtes: String =
     """WITH quotes AS (
       |  SELECT user_id, event_id AS t,
       |         50 + (event_id * 2654435761) % 45 AS quote_px
@@ -324,7 +325,17 @@ object RelationalQueries {
       |  SELECT user_id, event_id AS t,
       |         1 + (event_id * 48271) % 100 AS trade_val
       |  FROM events WHERE event_id % 2 = 1
-      |)
+      |)""".stripMargin
+
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (trades, quotes) = asofSides(spark, sfDir)
+    graft.operators.AsOfJoin.joinAsOfBackward(
+      trades, quotes, timeCol = "t", keys = Seq("user_id"),
+      valueCols = Seq("quote_px"))
+  }
+
+  def asofJoinSql: String =
+    s"""$asofCtes
       |SELECT t.user_id, t.t, t.trade_val, q.quote_px, q.t AS asof_t
       |FROM trades t ASOF LEFT JOIN quotes q
       |  ON t.user_id = q.user_id AND t.t >= q.t""".stripMargin
@@ -334,15 +345,7 @@ object RelationalQueries {
   /** Backward as-of with a staleness tolerance: matches older than 7
     * ticks are nulled out (the match columns, not the left row). */
   def asofJoinTolerance(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.read(spark, sfDir, "events")
-    val quotes = ev.filter(col("event_id") % 2 === 0).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
-    val trades = ev.filter(col("event_id") % 2 === 1).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    val (trades, quotes) = asofSides(spark, sfDir)
     graft.operators.AsOfJoin.joinAsOfBackward(
       trades, quotes, timeCol = "t", keys = Seq("user_id"),
       valueCols = Seq("quote_px"), tolerance = Some(ASOF_TOL))
@@ -351,15 +354,7 @@ object RelationalQueries {
   /** DuckDB ASOF has no tolerance kwarg; the oracle nulls stale matches
     * after the join — identical semantics (left rows kept 1:1). */
   def asofJoinToleranceSql: String =
-    s"""WITH quotes AS (
-       |  SELECT user_id, event_id AS t,
-       |         50 + (event_id * 2654435761) % 45 AS quote_px
-       |  FROM events WHERE event_id % 2 = 0
-       |), trades AS (
-       |  SELECT user_id, event_id AS t,
-       |         1 + (event_id * 48271) % 100 AS trade_val
-       |  FROM events WHERE event_id % 2 = 1
-       |)
+    s"""$asofCtes
        |SELECT t.user_id, t.t, t.trade_val,
        |  CASE WHEN t.t - q.t <= $ASOF_TOL THEN q.quote_px END AS quote_px,
        |  CASE WHEN t.t - q.t <= $ASOF_TOL THEN q.t END AS asof_t
@@ -430,15 +425,7 @@ object RelationalQueries {
 
   /** Forward as-of: each trade matched to the NEXT quote at or after it. */
   def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.read(spark, sfDir, "events")
-    val quotes = ev.filter(col("event_id") % 2 === 0).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
-    val trades = ev.filter(col("event_id") % 2 === 1).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    val (trades, quotes) = asofSides(spark, sfDir)
     graft.operators.AsOfJoin.joinAsOfForward(
       trades, quotes, timeCol = "t", keys = Seq("user_id"),
       valueCols = Seq("quote_px"))
@@ -449,30 +436,14 @@ object RelationalQueries {
     * key: 2·distance + forward-bit) rather than mirroring the two-frame
     * window implementation. */
   def asofJoinNearest(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.read(spark, sfDir, "events")
-    val quotes = ev.filter(col("event_id") % 2 === 0).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
-    val trades = ev.filter(col("event_id") % 2 === 1).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    val (trades, quotes) = asofSides(spark, sfDir)
     graft.operators.AsOfJoin.joinAsOfNearest(
       trades, quotes, timeCol = "t", keys = Seq("user_id"),
       valueCols = Seq("quote_px"))
   }
 
   def asofJoinNearestSql: String =
-    """WITH quotes AS (
-      |  SELECT user_id, event_id AS t,
-      |         50 + (event_id * 2654435761) % 45 AS quote_px
-      |  FROM events WHERE event_id % 2 = 0
-      |), trades AS (
-      |  SELECT user_id, event_id AS t,
-      |         1 + (event_id * 48271) % 100 AS trade_val
-      |  FROM events WHERE event_id % 2 = 1
-      |)
+    s"""$asofCtes
       |SELECT t.user_id, t.t, t.trade_val,
       |  arg_min(q.quote_px,
       |    2 * abs(q.t - t.t) + (CASE WHEN q.t <= t.t THEN 0 ELSE 1 END)) AS quote_px,
@@ -485,15 +456,7 @@ object RelationalQueries {
     * among IN-TOLERANCE candidates (merge_asof convention — candidates
     * are gated by tolerance BEFORE the nearest pick, not nulled after). */
   def asofJoinNearestTol(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.read(spark, sfDir, "events")
-    val quotes = ev.filter(col("event_id") % 2 === 0).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(50) + (col("event_id") * lit(2654435761L)) % 45).as("quote_px"))
-    val trades = ev.filter(col("event_id") % 2 === 1).select(
-      col("user_id"),
-      col("event_id").as("t"),
-      (lit(1) + (col("event_id") * lit(48271L)) % 100).as("trade_val"))
+    val (trades, quotes) = asofSides(spark, sfDir)
     graft.operators.AsOfJoin.joinAsOfNearest(
       trades, quotes, timeCol = "t", keys = Seq("user_id"),
       valueCols = Seq("quote_px"), tolerance = Some(ASOF_TOL))
@@ -502,15 +465,7 @@ object RelationalQueries {
   /** Oracle: arg_min over candidates FILTERed to the tolerance window —
     * the independent statement of "nearest among in-tolerance". */
   def asofJoinNearestTolSql: String =
-    s"""WITH quotes AS (
-       |  SELECT user_id, event_id AS t,
-       |         50 + (event_id * 2654435761) % 45 AS quote_px
-       |  FROM events WHERE event_id % 2 = 0
-       |), trades AS (
-       |  SELECT user_id, event_id AS t,
-       |         1 + (event_id * 48271) % 100 AS trade_val
-       |  FROM events WHERE event_id % 2 = 1
-       |)
+    s"""$asofCtes
        |SELECT t.user_id, t.t, t.trade_val,
        |  arg_min(q.quote_px,
        |    2 * abs(q.t - t.t) + (CASE WHEN q.t <= t.t THEN 0 ELSE 1 END))
@@ -522,15 +477,7 @@ object RelationalQueries {
        |GROUP BY t.user_id, t.t, t.trade_val""".stripMargin
 
   def asofJoinForwardSql: String =
-    """WITH quotes AS (
-      |  SELECT user_id, event_id AS t,
-      |         50 + (event_id * 2654435761) % 45 AS quote_px
-      |  FROM events WHERE event_id % 2 = 0
-      |), trades AS (
-      |  SELECT user_id, event_id AS t,
-      |         1 + (event_id * 48271) % 100 AS trade_val
-      |  FROM events WHERE event_id % 2 = 1
-      |)
+    s"""$asofCtes
       |SELECT t.user_id, t.t, t.trade_val, q.quote_px, q.t AS asof_t
       |FROM trades t ASOF LEFT JOIN quotes q
       |  ON t.user_id = q.user_id AND t.t <= q.t""".stripMargin
