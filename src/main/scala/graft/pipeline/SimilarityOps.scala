@@ -370,4 +370,27 @@ object SimilarityOps {
           col("a.n2"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Transitive embedding dedup: connected components over the
+    * [[cosineNearDupPairs]] graph, keep only each component's min-id
+    * representative (plus everything unpaired) — the embedding-space twin
+    * of DedupOps.dedupNearTransitive, sharing its min-label-propagation
+    * CC and its persist/localCheckpoint hygiene. The pair relation is
+    * persisted while CC iterates over it (it feeds every round), then
+    * released once the drop set is severed from its lineage. */
+  def dedupEmbedTransitive(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, planes: Int = 6): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, planes)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    try {
+      val labels = DedupOps.connectedComponents(pairs)
+      val drops =
+        try labels.filter(col("id") =!= col("component"))
+          .select(col("id").as("__ed_drop"))
+          .localCheckpoint()
+        finally labels.unpersist()
+      df.join(drops, col(idCol) === col("__ed_drop"), "left_anti")
+    } finally pairs.unpersist()
+  }
 }

@@ -20,6 +20,8 @@ object SimilarityQueries {
     GraftQuery("q_embed_lsh_topk", embedLshTopK, Some(embedLshTopKSql)),
     GraftQuery("q_embed_lsh_multiprobe", embedLshMultiProbe, Some(embedLshMultiProbeSql)),
     GraftQuery("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+    GraftQuery("q_embed_dedup_transitive", embedDedupTransitive,
+      Some(embedDedupTransitiveSql)),
     GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
     GraftQuery("q_embed_ivf_kmeans", embedIvfKmeans, Some(embedIvfKmeansSql), bench = true),
   )
@@ -293,18 +295,48 @@ object SimilarityQueries {
     SimilarityOps.cosineNearDupPairs(emb(spark, sfDir), "vec_id", "embedding",
       threshold = 0.3, planes = PLANES)
 
-  def embedNearDupSql: String =
-    s"""WITH v AS (
+  /** Shared near-dup-pairs CTE chain (ends in `pairs`), reused by the
+    * pair query and the transitive-dedup recursive oracle. */
+  private def nearDupPairsCtes: String =
+    s"""v AS (
        |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket
        |  FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
        |  WHERE ${norm2Sql("sv")} > 0
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) AS cosine
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
+       |      / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
+       |         * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) >= 0.3
+       |)""".stripMargin
+
+  def embedNearDupSql: String =
+    s"""WITH $nearDupPairsCtes
+       |SELECT id_a, id_b, cosine FROM pairs""".stripMargin
+
+  /** Transitive embedding dedup: CC over the near-dup pairs, keep each
+    * component's min-id representative + all unpaired vectors. */
+  def embedDedupTransitive(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.dedupEmbedTransitive(emb(spark, sfDir), "vec_id", "embedding",
+        threshold = 0.3, planes = PLANES)
+      .select(col("vec_id"))
+
+  def embedDedupTransitiveSql: String =
+    s"""WITH RECURSIVE $nearDupPairsCtes, edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT a AS id FROM edges
+       |), reach AS (
+       |  SELECT id, id AS root FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+       |), comp AS (
+       |  SELECT id, min(root) AS component FROM reach GROUP BY id
        |)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
-       |    / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
-       |       * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) AS cosine
-       |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
-       |    / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
-       |       * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) >= 0.3""".stripMargin
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
 }

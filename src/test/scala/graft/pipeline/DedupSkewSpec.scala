@@ -278,6 +278,29 @@ class DedupSkewSpec extends AnyFunSuite {
       s"nested-loop join in the candidate-jaccard plan:\n$plan")
   }
 
+  test("embedding transitive dedup collapses via a middle node edge-local keeps") {
+    // star through the MIDDLE id: vectors at ids 1, 5, 3 point in nearly
+    // the same direction; with threshold 0.999 the pairs are (1,5) and
+    // (3,5) but NOT (1,3). Edge-local dedup would KEEP id 3 (its only
+    // neighbor, 5, has a larger id); transitive CC labels the whole
+    // component with root 1 and drops both 3 and 5. Vector 9 is
+    // orthogonal — unpaired, always kept.
+    val vecs = Seq(
+      (1L, Array(100.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(100.0f, 3.0f, 0.0f, 0.0f)),
+      (3L, Array(100.0f, 6.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 0.0f, 50.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.999, planes = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 5L), (3L, 5L)), s"unexpected pair graph: $pairs")
+    val kept = SimilarityOps.dedupEmbedTransitive(vecs, "vec_id", "embedding",
+        threshold = 0.999, planes = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L))
+  }
+
   test("zero vectors never reach cosine near-dup bucketing") {
     val zeros = (0L until 50L).map(i => (i, Array.fill(8)(0.0f)))
     val realA = Seq((100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
