@@ -210,23 +210,31 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // persist (not localCheckpoint): recomputable on executor loss, and
     // each round unpersists the previous round's blocks, so executor
-    // storage stays at one labels-set regardless of chain length. The
-    // per-round plan nests on the previous round's (cached) plan —
-    // linear analyzer growth, bounded by maxRounds.
+    // storage stays at one labels-set regardless of chain length.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var round = 0
     var ok = false
+    val spark = pairs.sparkSession
     try {
       while (changed > 0 && round < maxRounds) {
         round += 1
         val prop = edges.join(labels, col("b") === col("id"))
           .groupBy(col("a")).agg(min(col("component")).as("nc"))
-        val next = labels.join(prop, labels("id") === prop("a"), "left")
+        val joined = labels.join(prop, labels("id") === prop("a"), "left")
           .select(labels("id"),
             least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+        // FLATTEN the per-round plan: `labels` appears TWICE in `joined`
+        // (inside prop and as the outer join's left side), so nesting on
+        // the previous round's plan DOUBLES the tree each round —
+        // 2^rounds copies of the pairs subtree; a deep graph OOM'd the
+        // driver merely rendering the cache-name plan string. Rebuilding
+        // from the RDD gives a flat LogicalRDD plan (execution unchanged;
+        // fault tolerance moves to the RDD DAG, which shares nodes by
+        // reference instead of copying trees).
+        val next = spark.createDataFrame(joined.rdd, joined.schema)
           .persist(StorageLevel.MEMORY_AND_DISK)
         changed = next.as("n")
           .join(labels.select(col("id"), col("component").as("old")), "id")
