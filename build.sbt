@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output bypasses sbt's logger: Bench/Verify print
+// machine-read JSON lines on stdout, and the default LoggedOutput wraps
+// every line in "[info] " / "[error] " prefixes that break the driver's
+// JSON parse (BENCH_r0{3,4}.json recorded `parsed: null` for exactly
+// this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

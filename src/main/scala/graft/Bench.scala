@@ -68,13 +68,15 @@ object Bench {
     // numeric scale factor (from the .../sfX.Y dir name) so the driver's
     // JSON parse gets a number, with the raw dir in its own field; the
     // token must PARSE as a double or the emitted line would be invalid
-    // JSON (e.g. a dir named sf0.1.bak would yield "sf":0.1.bak)
+    // JSON (e.g. a dir named sf0.1.bak would yield "sf":0.1.bak).
+    // No sfN pattern → JSON null, not 0: a literal 0 would mislabel the
+    // artifact as a zero scale factor; sf_dir stays authoritative.
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix("."))
       // a strict JSON-number shape, not toDouble: Java parses ".5", JSON
       // rejects it
       .filter(_.matches("[0-9]+(\\.[0-9]+)?"))
-      .getOrElse("0")
+      .getOrElse("null")
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     println(line)
     // Machine-readable artifact with the per-iteration samples behind the

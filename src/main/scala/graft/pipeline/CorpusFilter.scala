@@ -47,10 +47,26 @@ object CorpusFilter {
                    minTokPermille: Int = 100): DataFrame = {
     val kept = gate(df.select(col(idCol), col(textCol)), textCol,
       langCode, minQuality)
-    val cut = StatsOps.exactQuantiles(kept, col("n_tokens"), Seq(minTokPermille))
-      .select(col("value").as("__tok_cut"))
-    val gated = kept.crossJoin(broadcast(cut))
-      .filter(col("n_tokens") >= col("__tok_cut"))
+    // The quantile consumes its input twice (min/max/n snapshot +
+    // bucketed cumsum) and every evaluation of `kept` re-runs the full
+    // text gate (language ID + quality stats over the text) — so persist
+    // JUST the token-count column (one long per surviving doc; trivially
+    // cacheable even at 1e10 docs) and derive the scalar cutoff from the
+    // cache. The gate then runs exactly twice per pipeline: once to
+    // populate this cache, once in the final output pass (which needs
+    // the text anyway for the dedup digest).
+    val tok = kept.select(col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cutRow =
+      try StatsOps.exactQuantiles(tok, col("n_tokens"), Seq(minTokPermille))
+        .collect()
+      finally tok.unpersist()
+    // empty post-gate corpus → no quantile row → nothing can survive
+    val gated = cutRow.headOption match {
+      case Some(r) if !r.isNullAt(1) =>
+        kept.filter(col("n_tokens") >= lit(r.get(1)))
+      case _ => kept.filter(lit(false))
+    }
     DedupOps.dedupExact(gated, textCol, idCol)
       .select(col(idCol), col("n_tokens"), col("quality_score"))
   }

@@ -217,6 +217,7 @@ object DedupOps {
     var changed = 1L
     var round = 0
     var ok = false
+    val checkpointEvery = 8 // rounds between lineage truncations
     val spark = pairs.sparkSession
     try {
       while (changed > 0 && round < maxRounds) {
@@ -234,8 +235,17 @@ object DedupOps {
         // from the RDD gives a flat LogicalRDD plan (execution unchanged;
         // fault tolerance moves to the RDD DAG, which shares nodes by
         // reference instead of copying trees).
-        val next = spark.createDataFrame(joined.rdd, joined.schema)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // The flat RDD lineage still CHAINS linearly across rounds (an
+        // executor loss in round r recomputes through every earlier
+        // round's join). Truncate it with an eager localCheckpoint every
+        // few rounds: the narrow exposure (losing a checkpointed block's
+        // executor forfeits recompute for that block) is a fair trade
+        // against an O(rounds) recompute tail on deep graphs; most real
+        // dedup graphs converge well under the interval and never hit it.
+        val flat = spark.createDataFrame(joined.rdd, joined.schema)
+        val next =
+          if (round % checkpointEvery == 0) flat.localCheckpoint(true)
+          else flat.persist(StorageLevel.MEMORY_AND_DISK)
         changed = next.as("n")
           .join(labels.select(col("id"), col("component").as("old")), "id")
           .filter(col("component") =!= col("old")).count() // materializes next

@@ -48,7 +48,15 @@ object SamplingOps {
     * prefix) are under budget, so every non-empty group keeps at least
     * one doc and the total overshoots by at most one document — the
     * standard greedy-prefix semantics, deterministic and
-    * partitioning-independent. One shuffle on the group keys. */
+    * partitioning-independent. One shuffle on the group keys.
+    *
+    * Token-count contract: counts must be non-negative — a negative
+    * count would let the running total shrink and silently break the
+    * "overshoots by at most one document" bound, so any negative value
+    * fails the job loudly (a codegen'd per-row check, not an extra
+    * pass). A NULL count contributes 0 to the running total and the doc
+    * is kept whenever its exclusive prefix is under budget (sum ignores
+    * nulls on both engines, so the oracle agrees). */
   def capTokensPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                         tokenCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
@@ -56,11 +64,16 @@ object SamplingOps {
       "capTokensPerGroup requires at least one group column")
     val clash = df.columns.toSet.intersect(Set("__cap_cum"))
     require(clash.isEmpty, s"input already has reserved columns: $clash")
+    val tok = col(tokenCol).cast("long")
+    val guarded = when(tok < 0, raise_error(concat(
+        lit(s"capTokensPerGroup: negative $tokenCol for $idCol="),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(tok)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(HashFns.hash32(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__cap_cum",
-        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+        coalesce(sum(guarded).over(w), lit(0L)))
       .filter(col("__cap_cum") < budget)
       .drop("__cap_cum")
   }

@@ -45,9 +45,7 @@ object StatsOps {
     // sampled boundaries differ per evaluation: this plan consumes the
     // bucketed relation twice (offsets + cumsum), and a
     // nondeterministic pid would mismatch the two sides whenever the
-    // exchanges are not physically deduplicated. The min/max snapshot is
-    // one scalar-sized job over the value-grouped relation (the same
-    // planning-time-constant pattern as the ANN centroid collects).
+    // exchanges are not physically deduplicated.
     // Uniform-width buckets balance by RANGE, not count — a pathological
     // distribution concentrates buckets (still bounded by the old
     // single-partition behavior, never wrong); NaN doubles land past the
@@ -60,19 +58,39 @@ object StatsOps {
     // (the pre-round-4 single-window behavior: correct, not distributed).
     val isNumeric = vals.schema("v").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // ONE snapshot job over the raw value relation, collected at
+    // plan-construction time (scalar-sized, the same pattern as the ANN
+    // centroid collects): the FINITE min/max that seed the bucket
+    // function, plus the total non-null count n that seeds the rank
+    // thresholds — folding n in here removes what used to be a separate
+    // full scan for `count(*)`. It is one map-side-partially-aggregated
+    // pass over the RAW values (cheaper than materializing the grouped
+    // relation twice); a caller whose metric is expensive to derive
+    // should persist the value column first (CorpusFilter does exactly
+    // that). min/max exclude NaN (Spark's max treats NaN as greatest —
+    // one NaN row would make mx = NaN → width fallback → every finite
+    // value in one bucket) AND ±Infinity (an infinite endpoint collapses
+    // width to Infinity and funnels every finite value into bucket 0);
+    // the excluded values are routed to the correct END buckets below,
+    // where the within-bucket ORDER BY v keeps them in rank order.
+    val vd = col("v").cast("double")
+    val finiteV = when(!isnan(vd) &&
+      vd > Double.NegativeInfinity && vd < Double.PositiveInfinity, vd)
+    val (mnOpt, mxOpt, n) = if (isNumeric) {
+      val r = vals.agg(min(finiteV).as("mn"), max(finiteV).as("mx"),
+        count(lit(1)).as("n")).collect()(0)
+      (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))
+    } else {
+      (None, None, vals.agg(count(lit(1)).as("n")).collect()(0).getLong(0))
+    }
     val pid = if (!isNumeric) lit(0L) else {
-      val vd = col("v").cast("double")
-      // min/max over NaN-free values: Spark's max treats NaN as greatest,
-      // so one NaN row would make mx = NaN → width fallback → every
-      // finite value in one bucket (the funnel this path exists to avoid)
-      val mm = vals.filter(!isnan(col("v").cast("double")))
-        .agg(min(col("v").cast("double")).as("mn"),
-          max(col("v").cast("double")).as("mx")).collect()(0)
-      val (mn, mx) =
-        if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
+      val (mn, mx) = (mnOpt.getOrElse(0.0), mxOpt.getOrElse(0.0))
       val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
-      when(vd.isNaN, lit(nBuckets.toLong)).otherwise(
-        least(lit(nBuckets.toLong - 1), greatest(lit(0L),
+      when(isnan(vd), lit(nBuckets.toLong + 1))
+        .when(vd === Double.PositiveInfinity, lit(nBuckets.toLong))
+        .when(vd === Double.NegativeInfinity, lit(-1L))
+        .otherwise(least(lit(nBuckets.toLong - 1), greatest(lit(0L),
           floor((vd - lit(mn)) / lit(width)).cast("long"))))
     }
     val parts = cnts.withColumn("pid", pid)
@@ -94,18 +112,17 @@ object StatsOps {
     val cum = parts.withColumn("cum_in", sum(col("c")).over(wIn))
       .join(broadcast(offsets), "pid")
       .select(col("v"), (col("cum_in") + col("offset")).as("cum"))
-    // ceil(p*n/1000) = floorDiv(p*n + 999, 1000) — pure integral `div`,
-    // exact at any n (the former double-division path could shift a rank
-    // by one once p*n+999 exceeded 2^53, i.e. n ≳ 9e12 rows)
-    val pn = col("q_permille") * col("n") + 999
-    val ranks = vals.agg(count(lit(1)).as("n"))
-      .select(explode(array(permille.map(p => lit(p.toLong)): _*)).as("q_permille"),
-        col("n"))
-      .select(col("q_permille"),
-        call_function("div", pn, lit(1000L)).as("rank"))
-    cum.crossJoin(broadcast(ranks))
-      .groupBy(col("q_permille"))
-      .agg(min(when(col("cum") >= col("rank"), col("v"))).as("value"))
+    // ceil(p*n/1000) = floorDiv(p*n + 999, 1000) — pure integral math,
+    // exact at any n (a double-division path could shift a rank by one
+    // once p*n+999 exceeds 2^53). n comes from the snapshot above, so
+    // the rank thresholds are LITERALS — no extra count scan, no join.
+    val ranks = permille.map(p =>
+      (p.toLong, java.lang.Math.floorDiv(p.toLong * n + 999L, 1000L)))
+    val qr = explode(array(ranks.map { case (p, r) =>
+      struct(lit(p).as("q_permille"), lit(r).as("rank")) }: _*)).as("qr")
+    cum.select(col("v"), col("cum"), qr)
+      .groupBy(col("qr").getField("q_permille").as("q_permille"))
+      .agg(min(when(col("cum") >= col("qr").getField("rank"), col("v"))).as("value"))
   }
 
   /** Per-group exact discrete quantiles — `exactQuantiles` partitioned

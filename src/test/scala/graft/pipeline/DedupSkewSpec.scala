@@ -248,6 +248,25 @@ class DedupSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("exact quantiles: infinite values keep their rank without widening buckets") {
+    // ±Infinity is excluded from the min/max snapshot (an infinite
+    // endpoint would collapse width to Infinity and funnel every finite
+    // value into bucket 0) and routed to the end buckets instead, where
+    // the within-bucket ORDER BY keeps it in rank order
+    val rnd = new scala.util.Random(13)
+    val finite = (0 until 5000).map(_ => rnd.nextDouble() * 1000)
+    val vals = Double.NegativeInfinity +: finite :+ Double.PositiveInfinity
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val qs = Seq(1, 100, 500, 900, 1000)
+    val got = StatsOps.exactQuantiles(df, col("v"), qs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted // -Inf first, +Inf last
+    qs.foreach { q =>
+      val rank = (q.toLong * vals.length + 999) / 1000
+      assert(got(q.toLong) == sorted(rank.toInt - 1), s"q=$q")
+    }
+  }
+
   test("exact quantiles on a non-numeric metric stay order-correct") {
     // lexicographic order disagrees with numeric-cast order ("9" > "10"),
     // so the distributed bucketing must not apply; the single-bucket

@@ -200,6 +200,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .count() == 1L)
   }
 
+  test("token budget: negative counts fail loudly, null counts contribute zero") {
+    // a negative count would shrink the running total and silently break
+    // the overshoot-by-at-most-one contract — the guard must surface it
+    val bad = Seq((1L, "a", 5L), (2L, "a", -1L)).toDF("id", "src", "tok")
+    val e = intercept[Exception] {
+      SamplingOps.capTokensPerGroup(bad, Seq("src"), "id", "tok", 50L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative tok")),
+      s"expected the negative-count guard message, got: ${messages(e)}")
+    // NULL counts: contribute 0 to the prefix; with every exclusive
+    // prefix under budget (60 < 100 in any hash order) all docs survive
+    val withNull = Seq((1L, "a", Option(30L)), (2L, "a", Option.empty[Long]),
+      (3L, "a", Option(30L))).toDF("id", "src", "tok")
+    assert(SamplingOps.capTokensPerGroup(withNull, Seq("src"), "id", "tok", 100L)
+      .count() == 3L)
+  }
+
   test("sequence packing: offsets, boundary spans, empty docs, per-shard") {
     // shard A: docs of 3, 4, 6 tokens with contextSize 5:
     //   doc1 @0 -> ctx 0 (tokens 0-2)
