@@ -42,6 +42,24 @@ object DedupOps {
       .drop("__dd_rn")
   }
 
+  /** Exact dedup keeping the BEST row per distinct content instead of
+    * the oldest: among duplicates, the row with the highest
+    * `qualityExpr` survives (ties broken by min id, so the choice is
+    * deterministic and partitioning-independent). The real-pipeline
+    * variant of [[dedupExact]]: crawls re-fetch the same page with
+    * different boilerplate stripping, and "keep the cleanest copy"
+    * beats "keep the first copy". Identical cost shape — one digest
+    * shuffle, WindowGroupLimit prunes rank > 1 map-side. */
+  def dedupExactKeepBest(df: DataFrame, contentCol: String, idCol: String,
+                         qualityExpr: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(digest(col(contentCol)))
+      .orderBy(qualityExpr.desc_nulls_last, col(idCol))
+    df.withColumn("__dd_rn", row_number().over(w))
+      .filter(col("__dd_rn") === 1)
+      .drop("__dd_rn")
+  }
+
   /** Prime just above 2^32, the modulus of the MinHash permutation
     * family. */
   val MinhashPrime: Long = 4294967311L
@@ -269,6 +287,93 @@ object DedupOps {
     }
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) rounds regardless of graph
+    * DIAMETER, where [[connectedComponents]]' min-label propagation
+    * needs diameter-many rounds (a 10k-link chain of near-identical
+    * crawl snapshots would blow its round cap; this one finishes in
+    * ~15 rounds).
+    *
+    * Per round: large-star hangs every node's larger neighbors off its
+    * minimum (one groupBy + one join on the node id), small-star does
+    * the same for smaller-or-equal neighbors — two key-partitioned
+    * shuffles, no driver-side graph state. At the fixpoint the edge set
+    * IS the star (node → component-min) mapping. Same output contract
+    * as [[connectedComponents]]: (id, component) for every id in
+    * `pairs`, returned persisted (caller unpersists), loud failure if
+    * the cap is hit. */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    def flat(df: DataFrame): DataFrame =
+      // same per-round plan flattening as connectedComponents: the edge
+      // frame is referenced twice per star op (groupBy min + join), so
+      // nesting would double the plan tree every round
+      spark.createDataFrame(df.rdd, df.schema)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // (v, m) for v > u: v > u >= m, so never a self-loop
+      nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient toward the larger endpoint; u's strictly-smaller
+      // neighbors plus u itself all hang off their minimum
+      val dir = e.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(mins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = flat(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var changed = 1L
+    try {
+      while (changed > 0 && round < maxRounds) {
+        round += 1
+        val next = flat(smallStar(largeStar(edges)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // fixpoint = identical edge SET (both stars emit distinct rows)
+        val nNext = next.count()
+        changed =
+          if (nNext != edges.count()) 1L
+          else next.join(edges, Seq("a", "b"), "left_anti").count()
+        edges.unpersist()
+        edges = next
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge in $maxRounds rounds " +
+            "— this cap should exceed log2(nodes); raise it or check for " +
+            "nondeterministic edge input")
+      // at the fixpoint every non-root node has exactly one star edge to
+      // its component min; roots appear only on the right side
+      val labels = nodes.join(edges, nodes("id") === edges("a"), "left")
+        .select(nodes("id"),
+          coalesce(edges("b"), nodes("id")).as("component"))
+      val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize before the source edge blocks are freed
+      out
+    } finally {
+      edges.unpersist()
+      nodes.unpersist()
+    }
+  }
+
   /** Transitive near-dup dedup: like [[dedupNearMinhash]] but with the
     * classic connected-component semantics — every doc reachable through
     * a chain of VERIFIED near-dup pairs collapses into one cluster and
@@ -276,7 +381,8 @@ object DedupOps {
     * keeps more docs: it only drops direct neighbors of smaller ids.) */
   def dedupNearTransitive(df: DataFrame, textCol: String, idCol: String,
                           shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
-                          jaccardThreshold: Double = 0.5): DataFrame = {
+                          jaccardThreshold: Double = 0.5,
+                          starCC: Boolean = false): DataFrame = {
     val cand = minhashCandidatePairs(df, textCol, idCol, shingleK, numHashes, bands)
       .persist()
     try {
@@ -286,7 +392,9 @@ object DedupOps {
       val verified = ngramJaccard(candDocs, cand, textCol, idCol, shingleK)
         .filter(col("jaccard") >= jaccardThreshold)
         .select(col("id_a"), col("id_b"))
-      val labels = connectedComponents(verified)
+      val labels =
+        if (starCC) connectedComponentsStar(verified)
+        else connectedComponents(verified)
       val drops =
         try labels
           .filter(col("id") =!= col("component"))

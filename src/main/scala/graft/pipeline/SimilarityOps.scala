@@ -349,6 +349,114 @@ object SimilarityOps {
     rerankTopK(scored, k)
   }
 
+  // ---- Product quantization (PQ) -----------------------------------------
+
+  /** Per-subspace PQ codebooks from a deterministic stride sample of the
+    * corpus: codeword c of subspace m is dims [m·subDim, (m+1)·subDim) of
+    * the c-th sampled vector (sample = every `stride`-th id, ordered by
+    * id). Returned driver-side — k·dim longs, a planning-time constant
+    * like the IVF centroid snapshot. A production deployment would train
+    * per-subspace k-means here; the operator shape downstream is
+    * identical. Shape: Seq[subspace][(code, subvector, subvector norm²)]. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  numSubspaces: Int, numCodes: Int,
+                  stride: Int): Seq[Seq[(Int, Seq[Long], Long)]] = {
+    val sample = corpus.filter(col(idCol) % stride === 0)
+      .select(col(idCol), scaled(col(vecCol)).as("sv"))
+      .orderBy(col(idCol)).limit(numCodes)
+      .collect().map(_.getSeq[Long](1))
+    require(sample.length == numCodes,
+      s"codebook sample has ${sample.length} vectors, need $numCodes — lower the stride")
+    val dim = sample.head.length
+    require(dim % numSubspaces == 0,
+      s"dimension $dim not divisible into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    (0 until numSubspaces).map { m =>
+      sample.toSeq.zipWithIndex.map { case (v, c) =>
+        val sub = v.slice(m * subDim, (m + 1) * subDim)
+        var n2 = 0L
+        sub.foreach(x => n2 += x * x)
+        (c, sub, n2)
+      }
+    }
+  }
+
+  /** PQ-encode a vector relation: (id, codes array<int>, rec_n2).
+    * `codes(m)` = the L2-nearest codeword of subspace m (exact integer
+    * distances, ties to the lower code), `rec_n2` = the norm² of the
+    * RECONSTRUCTED vector (sum of selected codeword norms) — everything
+    * downstream ADC scoring needs, and 32× smaller than the vector
+    * itself (4 codes + a long vs 64 floats): at 100 TB the encoded
+    * corpus fits where the raw embeddings never would. Map-only: the
+    * codebooks ride along as literals, argmin per subspace is one
+    * array_min over a struct array (dist, code — Spark's struct ordering
+    * IS the oracle's ORDER BY dist, code). */
+  def encodePq(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame = {
+    val numSubspaces = codebooks.length
+    val subDim = codebooks.head.head._2.length
+    // stage the scaled vector once; it is multi-referenced below, so
+    // CollapseProject keeps the projection boundary
+    val v = df.select(col(idCol).as("pq_id"), scaled(col(vecCol)).as("sv"))
+    val picks = (0 until numSubspaces).map { m =>
+      val sub = slice(col("sv"), m * subDim + 1, subDim)
+      val cands = codebooks(m).map { case (c, cw, n2) =>
+        val dist = aggregate(
+          zip_with(sub, array(cw.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d)
+        struct(dist.as("dist"), lit(c).as("code"), lit(n2).as("cn2"))
+      }
+      array_min(array(cands: _*)).as(s"__pq_m$m")
+    }
+    v.select(col("pq_id") +: picks: _*)
+      .select(col("pq_id"),
+        array((0 until numSubspaces).map(m => col(s"__pq_m$m").getField("code")): _*)
+          .as("codes"),
+        (0 until numSubspaces).map(m => col(s"__pq_m$m").getField("cn2"))
+          .reduce(_ + _).as("rec_n2"))
+  }
+
+  /** PQ ANN top-k by asymmetric-distance computation (ADC): the corpus
+    * is scanned as CODES ONLY (no vectors), each query precomputes its
+    * numSubspaces × numCodes dot-product table once, and a candidate's
+    * approximate dot is numSubspaces table lookups. Approximate cosine =
+    * adcDot / (‖q‖·‖reconstructed‖) — exact integer numerators, so the
+    * ranking is deterministic and oracle-reproducible.
+    *
+    * Scale shape: encode is map-only; scoring scans the 32×-compressed
+    * code relation against a broadcast query table — the PQ memory/IO
+    * story at 100 TB. Compose with an IVF cell filter for sub-linear
+    * candidate sets; here the full code scan IS the point (it replaces
+    * the full-vector scan of bruteForceTopK at 1/32 the bytes). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame = {
+    val numSubspaces = codebooks.length
+    val subDim = codebooks.head.head._2.length
+    val encoded = encodePq(corpus, idCol, vecCol, codebooks)
+      .withColumnRenamed("pq_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("q_n2", norm2(col("qv")))
+    // per-query ADC table: dt[m][c] = <q_sub_m, codeword_{m,c}>
+    val dt = array((0 until numSubspaces).map { m =>
+      val sub = slice(col("qv"), m * subDim + 1, subDim)
+      array(codebooks(m).map { case (_, cw, _) =>
+        aggregate(zip_with(sub, array(cw.map(lit): _*), (x, y) => x * y),
+          lit(0L), (acc, d) => acc + d)
+      }: _*)
+    }: _*)
+    val q = qv.select(col("query_id"), col("q_n2"), dt.as("dt"))
+    val adcDot = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(numSubspaces - 1)),
+        (code, m) => element_at(element_at(col("dt"), m + 1), code + 1)),
+      lit(0L), (acc, d) => acc + d)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromInts(adcDot, col("q_n2"), col("rec_n2")).as("cosine"))
+    rerankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * via LSH buckets (exact within-bucket verification).
     *

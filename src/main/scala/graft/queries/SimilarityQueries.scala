@@ -24,7 +24,74 @@ object SimilarityQueries {
       Some(embedDedupTransitiveSql)),
     GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
     GraftQuery("q_embed_ivf_kmeans", embedIvfKmeans, Some(embedIvfKmeansSql), bench = true),
+    GraftQuery("q_embed_pq_topk", embedPqTopK, Some(embedPqTopKSql)),
   )
+
+  // ---- Product quantization (ADC) ----------------------------------------
+
+  private val PQ_M = 4       // subspaces (64 dims → 16 per subspace)
+  private val PQ_K = 16      // codewords per subspace
+  private val PQ_STRIDE = 29 // codebook sample stride
+
+  /** PQ ANN: stride-sampled per-subspace codebooks, map-only encoding to
+    * 4 codes + a reconstructed norm per vector (32× smaller than the
+    * embedding), ADC scoring of the code relation against a broadcast
+    * per-query dot table. */
+  def embedPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cbs = SimilarityOps.pqCodebooks(e, "vec_id", "embedding", PQ_M, PQ_K, PQ_STRIDE)
+    SimilarityOps.pqTopK(q, e, "vec_id", "embedding", TOPK, cbs)
+  }
+
+  def embedPqTopKSql: String = {
+    val sd = 64 / PQ_M
+    // sub-vector L2 / dot against codeword subv, offset by m·subDim
+    val subL2 =
+      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> (v.sv[cb.m*$sd+i] - cb.subv[i]) * (v.sv[cb.m*$sd+i] - cb.subv[i]))) AS BIGINT)"
+    val subDot =
+      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> v.sv[cb.m*$sd+i] * cb.subv[i])) AS BIGINT)"
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv
+       |  FROM v WHERE vec_id % $PQ_STRIDE = 0
+       |), cb AS (
+       |  SELECT m, c, sv[m*$sd+1 : m*$sd+$sd] AS subv
+       |  FROM samp, (SELECT unnest(range(0, $PQ_M)) AS m)
+       |  WHERE c < $PQ_K
+       |), codes AS (
+       |  SELECT vec_id, m, c, cn2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
+       |    FROM (
+       |      SELECT v.vec_id, cb.m, cb.c, $subL2 AS d,
+       |        CAST(list_sum(list_transform(cb.subv, x -> x * x)) AS BIGINT) AS cn2
+       |      FROM v, cb
+       |    )
+       |  ) WHERE rk = 1
+       |), qdt AS (
+       |  SELECT v.vec_id AS q_id, cb.m, cb.c, $subDot AS pd
+       |  FROM v, cb WHERE v.vec_id % 50 = 0
+       |), qn AS (
+       |  SELECT vec_id AS q_id, ${norm2Sql("sv")} AS q_n2 FROM v
+       |  WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT d.q_id AS query_id, s.vec_id AS neighbor_id,
+       |    CAST(sum(d.pd) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(qn.q_n2) AS DOUBLE))
+       |         * sqrt(CAST(sum(s.cn2) AS DOUBLE))) AS cosine
+       |  FROM codes s
+       |  JOIN qdt d ON d.m = s.m AND d.c = s.c
+       |  JOIN qn ON qn.q_id = d.q_id
+       |  WHERE d.q_id <> s.vec_id
+       |  GROUP BY d.q_id, s.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TOPK""".stripMargin
+  }
 
   private val CENT_STRIDE = 37
   private val N_PROBES = 2

@@ -15,6 +15,7 @@ object TextQueries {
 
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
+    GraftQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     GraftQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
     GraftQuery("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
@@ -23,6 +24,8 @@ object TextQueries {
     GraftQuery("q_minhash_pairs_skew", minhashPairsSkew, Some(minhashPairsSkewSql)),
     GraftQuery("q_dedup_near", dedupNear, Some(dedupNearSql)),
     GraftQuery("q_dedup_transitive", dedupTransitive, Some(dedupTransitiveSql)),
+    GraftQuery("q_dedup_transitive_star", dedupTransitiveStar,
+      Some(dedupTransitiveSql)),
     GraftQuery("q_token_quantiles", tokenQuantiles, Some(tokenQuantilesSql)),
     GraftQuery("q_simhash", simhashQ, Some(simhashSql), bench = true),
     GraftQuery("q_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
@@ -53,6 +56,20 @@ object TextQueries {
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
       |  count(*) AS n_dups
       |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Keep-best exact dedup: the longest copy (n_chars) survives per
+    * distinct content, ties broken by min doc_id. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.dedupExactKeepBest(docs(spark, sfDir), "text", "doc_id",
+        col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  def dedupKeepBestSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |                       ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) WHERE rn = 1""".stripMargin
 
   // ---- token/quality stats ----------------------------------------------
 
@@ -266,6 +283,15 @@ object TextQueries {
   def dedupTransitive(spark: SparkSession, sfDir: String): DataFrame =
     DedupOps.dedupNearTransitive(docs(spark, sfDir), "text", "doc_id",
         K, NUM_HASHES, BANDS, JACCARD_TH)
+      .select(col("doc_id"))
+
+  /** Same transitive semantics, but components come from the alternating
+    * large-star/small-star algorithm (O(log n) rounds vs graph
+    * diameter) — the answer is identical, so it shares the recursive-CTE
+    * oracle with [[dedupTransitive]]. */
+  def dedupTransitiveStar(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.dedupNearTransitive(docs(spark, sfDir), "text", "doc_id",
+        K, NUM_HASHES, BANDS, JACCARD_TH, starCC = true)
       .select(col("doc_id"))
 
   def dedupTransitiveSql: String = {

@@ -177,6 +177,52 @@ class DedupSkewSpec extends AnyFunSuite {
       s"cached blocks grew from $before to $after over ${2 * calls} calls")
   }
 
+  test("star connected components: chain graphs converge in O(log n) rounds") {
+    // a 300-link chain has diameter 300 — min-label propagation needs
+    // 300 rounds (its default cap of 64 fails loudly), while the
+    // alternating large-star/small-star fixpoint lands in ~log2(300)
+    // rounds. This is the crawl-snapshot-chain shape that motivates it.
+    val n = 300
+    val chain = (0L until n.toLong - 1).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, maxRounds = 64)
+    }
+    val labels = DedupOps.connectedComponentsStar(chain, maxRounds = 32)
+    try {
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == n && got.values.forall(_ == 0L))
+    } finally labels.unpersist()
+  }
+
+  test("star connected components agree with label propagation and leak no blocks") {
+    val rnd = new scala.util.Random(97)
+    // random sparse graph: several components of mixed shape
+    val pairs = (0 until 120).map { _ =>
+      val a = rnd.nextInt(200).toLong
+      val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val star = DedupOps.connectedComponentsStar(pairs)
+    val gotStar =
+      try star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally star.unpersist()
+    // star CC never localCheckpoints, so hygiene is exact: every persist
+    // (nodes, per-round edges, result) is matched by an unpersist.
+    // (The min-label variant below may leave one ContextCleaner-owned
+    // localCheckpoint block per 8 rounds, freed on GC — measured
+    // separately for that reason.)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 0,
+      s"persisted blocks grew from $before to $after after unpersisting results")
+    val prop = DedupOps.connectedComponents(pairs)
+    val gotProp =
+      try prop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally prop.unpersist()
+    assert(gotStar == gotProp)
+  }
+
   test("exact quantiles match a sorted-sequence reference") {
     val rnd = new scala.util.Random(23)
     val vals = (0 until 500).map(_ => rnd.nextInt(100).toLong)

@@ -346,6 +346,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(2) > 0.9))
   }
 
+  test("pq: codes stay in range, identical vectors share codes, adc ranks the aligned cluster first") {
+    // 8-d vectors in two orthogonal directions; codebook from a stride
+    // sample so every direction is represented
+    val vecs = (0L until 64L).map { i =>
+      val base = (i % 2).toInt * 4
+      val v = Array.fill(8)(0.0f)
+      v(base) = 1.0f; v(base + 1) = 0.02f * ((i / 2) % 4)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cbs = SimilarityOps.pqCodebooks(vecs, "vec_id", "embedding",
+      numSubspaces = 2, numCodes = 8, stride = 7)
+    assert(cbs.length == 2 && cbs.forall(_.length == 8))
+    val enc = SimilarityOps.encodePq(vecs, "vec_id", "embedding", cbs).collect()
+    assert(enc.length == 64)
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 2 && codes.forall(c => c >= 0 && c < 8))
+      assert(r.getLong(2) >= 0L)
+    }
+    // vec 0 and vec 2 differ only in the tiny second component of the
+    // same direction — nearest codewords must coincide subspace-wise for
+    // identical sub-vectors: vectors 0 and 16 share (i/2)%4 and parity
+    val byId = enc.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(byId(0L) == byId(16L))
+    // ADC top-k: for query 0 every hit is direction-0 (even ids)
+    val q = vecs.filter(col("vec_id") === 0)
+    val got = SimilarityOps.pqTopK(q, vecs, "vec_id", "embedding", 5, cbs).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(1) % 2 == 0))
+    // deterministic: a second run returns the identical ranking
+    val again = SimilarityOps.pqTopK(q, vecs, "vec_id", "embedding", 5, cbs).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("keep-best exact dedup keeps the highest-quality copy, ties to min id") {
+    val df = Seq(
+      (1L, "dup text", 10L), (2L, "dup text", 30L), (3L, "dup text", 30L),
+      (4L, "unique", 5L))
+      .toDF("doc_id", "text", "score")
+    val got = DedupOps.dedupExactKeepBest(df, "text", "doc_id", col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L)) // 30 beats 10; id 2 beats id 3 at 30
+  }
+
   test("deterministic k-means separates clusters and trains IVF") {
     // three tight clusters in 4-d
     val vecs = (0L until 90L).map { i =>
