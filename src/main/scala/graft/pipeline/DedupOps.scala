@@ -60,6 +60,26 @@ object DedupOps {
       .drop("__dd_rn")
   }
 
+  /** Distinct content digests of a corpus — the persistable index that
+    * [[dedupAgainstIndex]] dedups a NEW batch against. Write it out
+    * partitioned/bucketed by digest prefix at scale; it is one narrow
+    * column regardless of corpus width. */
+  def digestIndex(df: DataFrame, contentCol: String): DataFrame =
+    df.select(digest(col(contentCol)).as("content_hash")).distinct()
+
+  /** Incremental exact dedup: drop rows whose content already appears in
+    * a prior corpus snapshot's [[digestIndex]], then dedup the survivors
+    * within the batch (keep min id). The daily-crawl shape: the history
+    * is consulted as a digest anti-join — one shuffle on the digest (or
+    * zero if both sides are bucketed on it); the full historical corpus
+    * is never re-read. */
+  def dedupAgainstIndex(df: DataFrame, index: DataFrame, contentCol: String,
+                        idCol: String): DataFrame = {
+    val fresh = df.join(index,
+      digest(col(contentCol)) === index("content_hash"), "left_anti")
+    dedupExact(fresh, contentCol, idCol)
+  }
+
   /** Prime just above 2^32, the modulus of the MinHash permutation
     * family. */
   val MinhashPrime: Long = 4294967311L

@@ -16,6 +16,8 @@ object TextQueries {
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
     GraftQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    GraftQuery("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    GraftQuery("q_profile", profileDocs, Some(profileDocsSql)),
     GraftQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
     GraftQuery("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
@@ -70,6 +72,47 @@ object TextQueries {
       |    row_number() OVER (PARTITION BY md5(text)
       |                       ORDER BY n_chars DESC, doc_id) AS rn
       |  FROM documents) WHERE rn = 1""".stripMargin
+
+  /** Incremental dedup: the even-id half of the corpus plays the prior
+    * snapshot (as a digest index); the odd-id half is "today's batch",
+    * dropped where content already existed, then deduped within itself. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val prior = DedupOps.digestIndex(d.filter(col("doc_id") % 2 === 0), "text")
+    DedupOps.dedupAgainstIndex(d.filter(col("doc_id") % 2 === 1), prior,
+        "text", "doc_id")
+      .select(col("doc_id"))
+  }
+
+  def dedupIncrementalSql: String =
+    """WITH prior AS (
+      |  SELECT DISTINCT md5(text) AS content_hash FROM documents
+      |  WHERE doc_id % 2 = 0
+      |), fresh AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 2 = 1
+      |    AND md5(text) NOT IN (SELECT content_hash FROM prior)
+      |)
+      |SELECT doc_id FROM (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM fresh) WHERE rn = 1""".stripMargin
+
+  /** One-job corpus profile over the documents table's narrow columns. */
+  def profileDocs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.ProfileOps.profile(docs(spark, sfDir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
+  def profileDocsSql: String = {
+    def block(c: String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_nonnull,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(block)
+      .mkString("\nUNION ALL\n")
+  }
 
   // ---- token/quality stats ----------------------------------------------
 

@@ -379,6 +379,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("incremental dedup drops history hits then dedups within the batch") {
+    val prior = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),  // in history -> dropped
+      (11L, "brand new"),
+      (12L, "brand new"),    // in-batch dup of 11 -> dropped
+      (13L, "also new"))
+      .toDF("doc_id", "text")
+    val idx = DedupOps.digestIndex(prior, "text")
+    val got = DedupOps.dedupAgainstIndex(batch, idx, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+
+  test("profile: one aggregation pass yields per-column counts and natural-order ranges") {
+    val df = Seq(
+      (1L, Some("b"), 9L), (2L, None, 10L), (3L, Some("a"), 100L))
+      .toDF("id", "s", "n")
+    val got = ProfileOps.profile(df, Seq("id", "s", "n")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("id").getLong(1) == 3 && got("id").getLong(2) == 3 &&
+      got("id").getLong(3) == 3)
+    assert(got("s").getLong(2) == 2 && got("s").getLong(3) == 2 &&
+      got("s").getString(4) == "a" && got("s").getString(5) == "b")
+    // natural numeric order: min 9, max 100 (string order would say "10" < "9")
+    assert(got("n").getString(4) == "9" && got("n").getString(5) == "100")
+    intercept[IllegalArgumentException] {
+      ProfileOps.profile(df, Seq("missing"))
+    }
+  }
+
   test("keep-best exact dedup keeps the highest-quality copy, ties to min id") {
     val df = Seq(
       (1L, "dup text", 10L), (2L, "dup text", 30L), (3L, "dup text", 30L),
