@@ -45,29 +45,36 @@ object CorpusFilter {
   def filterCorpus(df: DataFrame, textCol: String, idCol: String,
                    langCode: String = "en", minQuality: Double = 40.0,
                    minTokPermille: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Run the text gate ONCE: project the survivors down to the narrow
+    // columns every later stage needs — id, token count, quality, and
+    // the dedup digest (computed here, while the text is already in
+    // hand) — and localCheckpoint that projection (a handful of scalars
+    // per surviving doc; blocks are freed when the plan is GC'd, the
+    // same hygiene as the CC rounds in DedupOps). Everything downstream
+    // (quantile snapshot, bucketed cumsum, length filter, digest-window
+    // dedup) reads the checkpointed relation, so the expensive part —
+    // language ID + quality stats over the raw text — is paid exactly
+    // once per pipeline instead of once per consuming stage.
     val kept = gate(df.select(col(idCol), col(textCol)), textCol,
-      langCode, minQuality)
-    // The quantile consumes its input twice (min/max/n snapshot +
-    // bucketed cumsum) and every evaluation of `kept` re-runs the full
-    // text gate (language ID + quality stats over the text) — so persist
-    // JUST the token-count column (one long per surviving doc; trivially
-    // cacheable even at 1e10 docs) and derive the scalar cutoff from the
-    // cache. The gate then runs exactly twice per pipeline: once to
-    // populate this cache, once in the final output pass (which needs
-    // the text anyway for the dedup digest).
-    val tok = kept.select(col("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cutRow =
-      try StatsOps.exactQuantiles(tok, col("n_tokens"), Seq(minTokPermille))
-        .collect()
-      finally tok.unpersist()
+        langCode, minQuality)
+      .select(col(idCol), col("n_tokens"), col("quality_score"),
+        DedupOps.digest(col(textCol)).as("__cf_digest"))
+      .localCheckpoint()
+    val cutRow = StatsOps.exactQuantiles(kept, col("n_tokens"),
+      Seq(minTokPermille)).collect()
     // empty post-gate corpus → no quantile row → nothing can survive
     val gated = cutRow.headOption match {
       case Some(r) if !r.isNullAt(1) =>
         kept.filter(col("n_tokens") >= lit(r.get(1)))
       case _ => kept.filter(lit(false))
     }
-    DedupOps.dedupExact(gated, textCol, idCol)
+    // keep-min-id over the precomputed digest (same one-shuffle shape
+    // as DedupOps.dedupExact, which would otherwise recompute the
+    // digest from the text — the column this plan deliberately dropped)
+    val w = Window.partitionBy(col("__cf_digest")).orderBy(col(idCol))
+    gated.withColumn("__cf_rn", row_number().over(w))
+      .filter(col("__cf_rn") === 1)
       .select(col(idCol), col("n_tokens"), col("quality_score"))
   }
 }

@@ -78,6 +78,65 @@ object SamplingOps {
       .drop("__cap_cum")
   }
 
+  /** Deterministic train/validation/test split by id hash: bucket =
+    * hash32("split:" || id) mod 1000; the first `testPermille` buckets
+    * are test, the next `valPermille` are validation, the rest train.
+    * Map-only — no shuffle, no rand(), no global coordination: any
+    * executor can answer "which split is this doc in" from the id
+    * alone, which is what makes the split stable across corpus
+    * versions (adding or removing OTHER docs never moves a doc between
+    * splits — the property rand()-based splits lack). The "split:"
+    * prefix decorrelates the split hash from the sampling hashes
+    * above, so sampling never biases a split. Because the buckets are
+    * nested, GROWING a split keeps its previous members (test at 20
+    * permille is a superset of test at 10) — splits can be enlarged
+    * without invalidating earlier eval runs. Hash-uniformity makes the
+    * split proportional within any stratum (per-source, per-language)
+    * without a stratified pass. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  valPermille: Int, testPermille: Int): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"invalid split sizes: val=$valPermille test=$testPermille")
+    val clash = df.columns.toSet.intersect(Set("split"))
+    require(clash.isEmpty, s"input already has reserved columns: $clash")
+    val bucket = pmod(
+      HashFns.hash32(concat(lit("split:"), col(idCol).cast("string"))),
+      lit(1000L))
+    df.withColumn("split",
+      when(bucket < testPermille, lit("test"))
+        .when(bucket < testPermille + valPermille, lit("validation"))
+        .otherwise(lit("train")))
+  }
+
+  /** DuckDB fragment for the split expression over id column `idExpr`. */
+  def assignSplitSql(idExpr: String, valPermille: Int, testPermille: Int): String = {
+    val b = s"${HashFns.hash32Sql(s"'split:' || CAST($idExpr AS VARCHAR)")} % 1000"
+    s"CASE WHEN $b < $testPermille THEN 'test' " +
+      s"WHEN $b < ${testPermille + valPermille} THEN 'validation' " +
+      s"ELSE 'train' END"
+  }
+
+  /** Deterministic training-shard layout: shard = hash32("shard:"||id)
+    * mod nShards, position within the shard = dense rank of the id's
+    * hash among its shard-mates. The export layout for training data —
+    * a pseudo-random global interleave (reading shard files in position
+    * order visits the corpus in hash order, so no source/time clumping)
+    * that is fully reproducible from ids alone. Shard assignment is
+    * map-only; positions are one window shuffle keyed on the shard.
+    * Each shard's position numbering is a single-task sort at shard
+    * granularity — scale by RAISING nShards (production exports use
+    * thousands of shards, each a few GB), never by one giant shard. */
+  def shardLayout(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val clash = df.columns.toSet.intersect(Set("shard", "shard_pos"))
+    require(clash.isEmpty, s"input already has reserved columns: $clash")
+    val h = HashFns.hash32(concat(lit("shard:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(h, col(idCol))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Per-group cap: keep at most `k` docs per group, selected by hash
     * order (a deterministic uniform draw — NOT first-k by id, which
     * would bias toward old documents). The anti-domination gate that

@@ -501,4 +501,31 @@ object SimilarityOps {
       df.join(drops, col(idCol) === col("__ed_drop"), "left_anti")
     } finally pairs.unpersist()
   }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the evaluation harness every ANN deployment needs before trading
+    * recall for throughput. Inputs are two (query_id, neighbor_id)
+    * relations (extra columns ignored); output is one row per query in
+    * the EXACT relation: its ground-truth neighbor count, how many the
+    * approximate result recovered, and recall as an integer permille
+    * (floor(1000·hit/expected) — pure integer math, bit-identical
+    * across engines). Queries the approximate index missed entirely
+    * score 0 rather than vanishing. Cost: one equi-join on
+    * (query, neighbor) + one grouped count — both tiny (k rows per
+    * query), regardless of corpus size. */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__ar_hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__ar_hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        // integral div, not floor(a/b): FP division then floor can land
+        // on the wrong side of an integer boundary the exact quotient
+        // never crosses
+        call_function("div", col("n_hit") * 1000, col("n_exact"))
+          .as("recall_permille"))
+  }
 }

@@ -173,6 +173,75 @@ object TextOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Per-train-doc contamination FRACTION — the ranked companion to the
+    * boolean [[contaminationScreen]]: for every train doc with at least
+    * one shingle, how many of its distinct k-gram hashes appear in the
+    * bench set at all (any bench doc), and what fraction of the doc that
+    * covers. The screen answers "which pairs overlap ≥ t"; this ranks
+    * docs by HOW contaminated they are, which is what a removal-budget
+    * decision actually needs. Same scale shape as the screen: distinct
+    * per-doc shingle hashes, broadcast bench hash set, map-side semi
+    * filter before the only shuffle (the per-doc count). Docs with
+    * fewer than k tokens have no shingles and are excluded (a
+    * contamination fraction over zero shingles is undefined). */
+  def contaminationScore(train: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleK: Int): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
+        .as("__ct_sh")).distinct()
+    val benchSh = bench.select(
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
+        .as("__ct_sh")).distinct()
+    val perDoc = trainSh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlap = trainSh.join(broadcast(benchSh), "__ct_sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    perDoc.join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination_frac"))
+  }
+
+  /** Canonical text form for near-exact dedup: lowercase, every
+    * non-alphanumeric run collapsed to one space, trimmed. Catches the
+    * re-encoded copies exact dedup misses (case changes, punctuation
+    * swaps, whitespace reflow) while staying a pure map-only expression
+    * — no pair join, no signature. The character classes are the
+    * Java-regex/RE2 common subset, so the oracle reproduces the
+    * normalization exactly; a production pipeline would extend the
+    * pattern pack at this seam (Unicode folding, HTML entities). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Per-doc distinctive terms — integer TF-IDF: each doc's top `k`
+    * tokens ranked by (rarest corpus document-frequency first, then
+    * highest in-doc term-frequency, then token). Deliberately
+    * transcendental-free: the (df ASC, tf DESC) lexicographic rank
+    * selects the same terms as tf·log(N/df) whenever df differs, and
+    * resolves equal-df ties by tf exactly as the formula does — while
+    * staying bit-reproducible across engines (no log, no FP weights).
+    * Shape: explode → per-(doc, token) counts (one partial-aggregated
+    * shuffle) → document frequencies from the SAME relation (second
+    * partial-aggregated shuffle over distinct doc-token rows, vocab-
+    * sized output) → broadcast-join df back (vocab is small relative to
+    * the corpus; Spark's AQE demotes to shuffle join if not) → per-doc
+    * top-k window, pruned map-side by WindowGroupLimit. */
+  def distinctiveTerms(df: DataFrame, textCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("df"), col("tf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
+  }
+
   /** PII redaction: replace email-shaped and long-digit-run tokens with
     * placeholder tags. Deliberately simple character classes — the same
     * pattern semantics in Java regex (Spark) and RE2 (DuckDB), so the
@@ -198,6 +267,9 @@ object TextOps {
   def fingerprintSql(expr: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(${tokensSql(expr)}, " +
       s"t -> ${HashFns.hash32Sql("t")})), (acc, x) -> (acc * 31 + x) % 1000000007)"
+
+  def normalizeTextSql(expr: String): String =
+    s"trim(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g'))"
 
   def shinglesSql(expr: String, k: Int): String = {
     val toks = tokensSql(expr)

@@ -25,7 +25,61 @@ object SimilarityQueries {
     GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
     GraftQuery("q_embed_ivf_kmeans", embedIvfKmeans, Some(embedIvfKmeansSql), bench = true),
     GraftQuery("q_embed_pq_topk", embedPqTopK, Some(embedPqTopKSql)),
+    GraftQuery("q_ann_recall", annRecallQ, Some(annRecallSql)),
   )
+
+  /** Recall@5 of the multi-probe LSH index against the exact brute-force
+    * neighbors, per query — the eval loop that decides whether an ANN
+    * configuration is shippable. Composes the registry's own verifier
+    * (brute force) and scale path (multi-probe LSH). */
+  def annRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = SimilarityOps.bruteForceTopK(q, e, "vec_id", "embedding", TOPK)
+    val approx = SimilarityOps.lshCosineTopKMultiProbe(q, e, "vec_id",
+      "embedding", TOPK, PLANES)
+    SimilarityOps.annRecall(approx, exact)
+  }
+
+  def annRecallSql: String = {
+    val flips = (0 until PLANES).map(p => s"xor(bucket, ${1L << p}::BIGINT)")
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket
+       |  FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(${dotSql("q.sv", "c.sv")} AS DOUBLE)
+       |          / (sqrt(CAST(${norm2Sql("q.sv")} AS DOUBLE))
+       |             * sqrt(CAST(${norm2Sql("c.sv")} AS DOUBLE))) DESC,
+       |        c.vec_id) AS rn
+       |    FROM v q JOIN v c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+       |  ) WHERE rn <= $TOPK
+       |), qp AS (
+       |  SELECT vec_id, sv, unnest([bucket, $flips]) AS bucket
+       |  FROM v WHERE vec_id % 50 = 0
+       |), ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |    FROM (
+       |      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        CAST(${dotSql("q.sv", "c.sv")} AS DOUBLE)
+       |          / (sqrt(CAST(${norm2Sql("q.sv")} AS DOUBLE))
+       |             * sqrt(CAST(${norm2Sql("c.sv")} AS DOUBLE))) AS cosine
+       |      FROM qp q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |    )
+       |  ) WHERE rn <= $TOPK
+       |)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  count(a.neighbor_id) AS n_hit,
+       |  (count(a.neighbor_id) * 1000) // count(*) AS recall_permille
+       |FROM ex e LEFT JOIN ap a
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+  }
 
   // ---- Product quantization (ADC) ----------------------------------------
 

@@ -44,6 +44,11 @@ object TextQueries {
     GraftQuery("q_vocab_topk", vocabTopK, Some(vocabTopKSql)),
     GraftQuery("q_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     GraftQuery("q_decontaminate", decontaminate, Some(decontaminateSql), bench = true),
+    GraftQuery("q_contamination_frac", contaminationFrac, Some(contaminationFracSql)),
+    GraftQuery("q_train_split", trainSplit, Some(trainSplitSql)),
+    GraftQuery("q_shard_layout", shardLayout, Some(shardLayoutSql)),
+    GraftQuery("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
+    GraftQuery("q_distinct_terms", distinctTerms, Some(distinctTermsSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -545,6 +550,126 @@ object TextQueries {
        |FROM tsh t JOIN bsh b ON t.sh = b.sh
        |GROUP BY t.train_id, b.bench_id
        |HAVING count(DISTINCT t.sh) >= $DECON_MIN_OVERLAP""".stripMargin
+
+  /** Ranked contamination: what fraction of each doc's distinct 3-gram
+    * hashes appear anywhere in the stand-in bench set (every 97th doc). */
+  def contaminationFrac(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    TextOps.contaminationScore(d, bench, "text", "doc_id", K)
+  }
+
+  def contaminationFracSql: String =
+    s"""$shinglesCte, tsh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(hs) AS sh FROM sh)
+       |), bsh AS (
+       |  SELECT DISTINCT sh FROM (
+       |    SELECT doc_id, unnest(hs) AS sh FROM sh WHERE doc_id % 97 = 0
+       |  )
+       |), per AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id
+       |), ov AS (
+       |  SELECT t.doc_id, count(*) AS n_overlap
+       |  FROM tsh t JOIN bsh b USING (sh) GROUP BY t.doc_id
+       |)
+       |SELECT p.doc_id, p.n_shingles,
+       |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+       |    / CAST(p.n_shingles AS DOUBLE) AS contamination_frac
+       |FROM per p LEFT JOIN ov o ON o.doc_id = p.doc_id""".stripMargin
+
+  // ---- split / shard layout ---------------------------------------------
+
+  private val VAL_PERMILLE = 50
+  private val TEST_PERMILLE = 100
+  private val N_SHARDS = 8
+
+  /** Deterministic train/validation/test assignment (85/5/10 by id
+    * hash), stable under corpus growth. */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.SamplingOps.assignSplit(
+        docs(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id", VAL_PERMILLE, TEST_PERMILLE)
+      .select(col("doc_id"), col("source"), col("split"))
+
+  def trainSplitSql: String = {
+    val split = graft.pipeline.SamplingOps.assignSplitSql(
+      "doc_id", VAL_PERMILLE, TEST_PERMILLE)
+    s"SELECT doc_id, source, $split AS split FROM documents"
+  }
+
+  /** Export layout: 8 training shards with dense pseudo-random
+    * positions — the reproducible global interleave. */
+  def shardLayout(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.SamplingOps.shardLayout(
+        docs(spark, sfDir).select(col("doc_id")), "doc_id", N_SHARDS)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+
+  def shardLayoutSql: String = {
+    val h = HashFns.hash32Sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, $h AS h FROM documents)
+       |SELECT doc_id, h % $N_SHARDS AS shard,
+       |  row_number() OVER (PARTITION BY h % $N_SHARDS ORDER BY h, doc_id) - 1
+       |    AS shard_pos
+       |FROM t""".stripMargin
+  }
+
+  // ---- canonical-form dedup ---------------------------------------------
+
+  /** Canonical dedup over a corpus where every 5th doc also appears as a
+    * re-encoded copy (uppercased, punctuation appended, id + 1e6):
+    * normalize → keep-min-id, so every planted copy collapses into its
+    * original — the near-exact tier between exact and MinHash dedup. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+    val all = d.unionByName(planted)
+    DedupOps.dedupExact(
+        all.withColumn("canonical", TextOps.normalizeText(col("text"))),
+        "canonical", "doc_id")
+      .select(col("doc_id"))
+  }
+
+  def dedupCanonicalSql: String = {
+    val norm = TextOps.normalizeTextSql("text")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents
+       |  WHERE doc_id % 5 = 0
+       |)
+       |SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (
+       |    PARTITION BY md5($norm) ORDER BY doc_id) AS rn
+       |  FROM all_docs
+       |) WHERE rn = 1""".stripMargin
+  }
+
+  // ---- distinctive terms (integer TF-IDF) --------------------------------
+
+  private val TERMS_K = 3
+
+  /** Each doc's 3 most distinctive tokens by (rarest document frequency,
+    * then highest term frequency) — transcendental-free TF-IDF. */
+  def distinctTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.distinctiveTerms(docs(spark, sfDir), "text", "doc_id", TERMS_K)
+
+  def distinctTermsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS token FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+       |), dfq AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY token
+       |)
+       |SELECT doc_id, token, tf, df, rank FROM (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY dfq.df, tf.tf DESC, tf.token) AS rank
+       |  FROM tf JOIN dfq USING (token)
+       |) WHERE rank <= $TERMS_K""".stripMargin
 
   // ---- corpus composition: mixture sampling + per-source caps ------------
 

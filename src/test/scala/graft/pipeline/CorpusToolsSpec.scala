@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 corpus tooling: split assignment, shard layout, contamination
+  * fraction, canonical normalization, distinctive terms, ANN recall, and
+  * the single-pass corpus filter. */
+class CorpusToolsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("assignSplit: total cover, determinism, nested buckets, rough proportions") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val s1 = SamplingOps.assignSplit(ids, "id", 100, 200)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1.size == 2000)
+    assert(s1.values.toSet.subsetOf(Set("train", "validation", "test")))
+    // deterministic across evaluations
+    val s2 = SamplingOps.assignSplit(ids, "id", 100, 200)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    // nested buckets: test at 200 permille ⊇ test at 100 permille
+    val narrow = SamplingOps.assignSplit(ids, "id", 0, 100)
+      .filter(col("split") === "test").select("id").as[Long].collect().toSet
+    val wide = s1.collect { case (id, "test") => id }.toSet
+    assert(narrow.subsetOf(wide))
+    // hash-uniform: each slice within 40% of its expectation at n=2000
+    val n = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("test") - 400) < 160, s"test slice: ${n("test")}")
+    assert(math.abs(n("validation") - 200) < 80, s"val slice: ${n("validation")}")
+    // invalid sizes refused
+    intercept[IllegalArgumentException] {
+      SamplingOps.assignSplit(ids, "id", 600, 500)
+    }
+  }
+
+  test("shardLayout: dense per-shard positions in hash order, bounded shards") {
+    val ids = spark.range(0, 500).toDF("id")
+    val rows = SamplingOps.shardLayout(ids, "id", 4)
+      .select("id", "shard", "shard_pos").as[(Long, Long, Long)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are dense 0..n_s-1 within every shard
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // position order IS hash order (reading in position order interleaves)
+    val h = (id: Long) => java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"shard:$id").take(8), 16)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_._3).map(_._1).toSeq
+      val byHash = rs.sortBy(r => (h(r._1), r._1)).map(_._1).toSeq
+      assert(byPos == byHash)
+    }
+  }
+
+  test("contaminationScore: exact fractions, zero-overlap kept, short docs excluded") {
+    val train = Seq(
+      (1L, "a b c d e"),   // shingles abc bcd cde (3 distinct)
+      (2L, "x y z w"),     // xyz yzw — no overlap
+      (3L, "a b"),         // < k tokens → excluded
+      (4L, "a b c a b c a b c")) // 7 shingle positions, 3 distinct incl 'c a b'...
+      .toDF("doc_id", "text")
+    val bench = Seq((90L, "a b c d q")).toDF("doc_id", "text") // abc bcd cdq
+    val out = TextOps.contaminationScore(train, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 3 && out(1L)._2 == 2) // abc, bcd hit; cde not
+    assert(out(1L)._3 == 2.0 / 3.0)
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    // doc 4: distinct shingles {abc, bca, cab, abc...} = abc,bca,cab... only 'abc' in bench
+    assert(out(4L)._2 == 1 && out(4L)._3 == 1.0 / out(4L)._1)
+  }
+
+  test("normalizeText collapses case, punctuation and whitespace runs") {
+    val df = Seq(
+      ("Hello,   World!!", "hello world"),
+      ("  spark--scala__4 ", "spark scala 4"),
+      ("already canonical", "already canonical"),
+      ("!!!", ""))
+      .toDF("raw", "expected")
+    val bad = df.filter(TextOps.normalizeText(col("raw")) =!= col("expected"))
+    assert(bad.count() == 0)
+    // canonical dedup collapses re-encoded copies
+    val docs = Seq((1L, "the quick fox"), (2L, "The  QUICK fox!"), (3L, "other doc"))
+      .toDF("doc_id", "text")
+    val kept = DedupOps.dedupExact(
+        docs.withColumn("c", TextOps.normalizeText(col("text"))), "c", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("distinctiveTerms: rarity-first ranking with tf and lexicographic ties") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),  // df(common)=3, df(rare1)=1
+      (2L, "common rare2 rare2"),
+      (3L, "common zebra apple"))          // zebra/apple both df=1 tf=1 → lexicographic
+      .toDF("doc_id", "text")
+    val out = TextOps.distinctiveTerms(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getString(1)).toMap
+    assert(out((1L, 1L)) == "rare1")   // df 1 beats common's df 3 despite tf 3
+    assert(out((1L, 2L)) == "common")
+    assert(out((2L, 1L)) == "rare2")
+    assert(out((3L, 1L)) == "apple")   // df tie, tf tie → lexicographic
+    assert(out((3L, 2L)) == "zebra")
+    // k bound respected
+    assert(TextOps.distinctiveTerms(docs, "text", "doc_id", 1)
+      .groupBy("doc_id").count().select(max("count")).as[Long].head() == 1L)
+  }
+
+  test("annRecall: perfect, partial, and empty approximate results") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    // q1 fully recovered, q2 half, q3 missed entirely
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = SimilarityOps.annRecall(approx, exact)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(r(1L) == ((2L, 2L, 1000L)))
+    assert(r(2L) == ((2L, 1L, 500L)))
+    assert(r(3L) == ((1L, 0L, 0L)))
+  }
+
+  test("filterCorpus: gate + data-derived cutoff + dedup in one pass") {
+    // en docs of varying length, one exact dup pair, one de doc
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a fine day for all of us here"),
+      (2L, "the dog ran fast and it is a good day for the young dog today ok"),
+      (3L, "the dog ran fast and it is a good day for the young dog today ok"),
+      (4L, "the a of"), // short — below any length cutoff of the survivors
+      (5L, "der hund und die katze und das haus und der baum und das auto ist"))
+      .toDF("doc_id", "text")
+    val out = CorpusFilter.filterCorpus(docs, "text", "doc_id",
+        langCode = "en", minQuality = 0.0, minTokPermille = 500)
+      .select("doc_id").as[Long].collect().toSet
+    // 5 is de; 3 is a dup of 2; 4 falls below the p50 token cutoff
+    assert(out == Set(1L, 2L))
+    // empty post-gate corpus yields an empty result, not a crash
+    val none = CorpusFilter.filterCorpus(docs, "text", "doc_id",
+      langCode = "fr", minQuality = 0.0, minTokPermille = 500)
+    assert(none.count() == 0)
+  }
+}
