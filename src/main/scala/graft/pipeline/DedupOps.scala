@@ -80,6 +80,73 @@ object DedupOps {
     dedupExact(fresh, contentCol, idCol)
   }
 
+  /** Persistable NEAR-dup index of a corpus snapshot: (id, MinHash
+    * signature) for every doc with a real shingle set — the narrow
+    * artifact tomorrow's crawl screens against without re-reading
+    * today's text. Empty-shingle docs are excluded (all-sentinel
+    * signatures both band-collide quadratically and cannot be true
+    * near-dups). Write it out bucketed by id at scale; it is
+    * numHashes longs per doc regardless of document size. */
+  def minhashSigIndex(df: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 3, numHashes: Int = 12): DataFrame =
+    withMinhashSignature(df, textCol, idCol, "sig", shingleK, numHashes)
+      .filter(col("sig").getItem(0) =!= MinhashPrime)
+      .select(col(idCol), col("sig"))
+
+  /** Incremental NEAR-dup screen: flag batch docs whose MinHash
+    * signature agrees with some indexed doc's on at least
+    * `minAgreeFrac` of the permutations (the standard unbiased Jaccard
+    * estimator — the snapshot's raw text is never re-read, so the
+    * verify step runs on signatures, not shingle sets). Candidates come
+    * from an LSH band equi-join between the batch's band keys and band
+    * keys derived MAP-ONLY from the index signatures; only band-
+    * colliding pairs are scored. Returns flagged pairs
+    * (new_id, old_id, n_agree, agree_frac). Known hazard at scale:
+    * boilerplate-heavy corpora concentrate band buckets; the agreement
+    * verify bounds the damage to false candidates, and a hot band can
+    * be salted by raising `bands`. Drop flagged docs with
+    * [[dedupNearAgainstIndex]]. */
+  def nearDupAgainstIndex(batch: DataFrame, index: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleK: Int = 3, numHashes: Int = 12,
+                          bands: Int = 4,
+                          minAgreeFrac: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val bSig = withMinhashSignature(batch, textCol, idCol, "__nb_sig",
+        shingleK, numHashes)
+      .filter(col("__nb_sig").getItem(0) =!= MinhashPrime)
+      .select(col(idCol).as("new_id"), col("__nb_sig").as("new_sig"))
+    val bBands = bSig.select(col("new_id"), col("new_sig"),
+      posexplode(lshBandKeys(col("new_sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    val iBands = index.select(col(idCol).as("old_id"), col("sig").as("old_sig"))
+      .select(col("old_id"), col("old_sig"),
+        posexplode(lshBandKeys(col("old_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    bBands.join(iBands, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("old_id"),
+        size(filter(zip_with(col("new_sig"), col("old_sig"),
+          (x, y) => x === y), b => b)).cast("long").as("n_agree"))
+      .distinct()
+      .withColumn("agree_frac", col("n_agree").cast("double") / numHashes)
+      .filter(col("agree_frac") >= minAgreeFrac)
+  }
+
+  /** Drop every batch doc flagged by [[nearDupAgainstIndex]]; in-batch
+    * near-dups are then handled by composing [[dedupNearMinhash]] over
+    * the survivors (separate concerns: history screen vs intra-batch). */
+  def dedupNearAgainstIndex(batch: DataFrame, index: DataFrame,
+                            textCol: String, idCol: String,
+                            shingleK: Int = 3, numHashes: Int = 12,
+                            bands: Int = 4,
+                            minAgreeFrac: Double = 0.5): DataFrame = {
+    val flagged = nearDupAgainstIndex(batch, index, textCol, idCol,
+        shingleK, numHashes, bands, minAgreeFrac)
+      .select(col("new_id").as("__ni_drop")).distinct()
+    batch.join(flagged, col(idCol) === col("__ni_drop"), "left_anti")
+  }
+
   /** Prime just above 2^32, the modulus of the MinHash permutation
     * family. */
   val MinhashPrime: Long = 4294967311L

@@ -147,6 +147,27 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-group corpus vocabulary: the `k` most frequent tokens WITHIN
+    * each group (per language, per source) — the input to per-slice
+    * tokenizer/OOV analysis, where a global top-k drowns minority
+    * slices. Explode → one partial-aggregated shuffle on (group, token)
+    * → per-group top-k window, pruned map-side by WindowGroupLimit (each
+    * task forwards at most k rows per group — the grouped analogue of
+    * [[topKVocab]]'s TakeOrderedAndProject). Ties break
+    * lexicographically. */
+  def topKVocabByGroup(df: DataFrame, groupCols: Seq[String], textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "use topKVocab for the ungrouped form")
+    val gs = groupCols.map(col)
+    val counts = df.select(gs :+ explode(tokens(col(textCol))).as("token"): _*)
+      .groupBy(gs :+ col("token"): _*).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+      .orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Benchmark decontamination screening: flag (train doc, bench doc)
     * pairs sharing at least `minOverlap` distinct word k-grams — the
     * standard n-gram-overlap test run before training on a corpus that

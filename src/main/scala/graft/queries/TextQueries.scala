@@ -49,6 +49,9 @@ object TextQueries {
     GraftQuery("q_shard_layout", shardLayout, Some(shardLayoutSql)),
     GraftQuery("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     GraftQuery("q_distinct_terms", distinctTerms, Some(distinctTermsSql)),
+    GraftQuery("q_neardup_incremental", neardupIncremental,
+      Some(neardupIncrementalSql)),
+    GraftQuery("q_vocab_by_source", vocabBySource, Some(vocabBySourceSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -577,6 +580,70 @@ object TextQueries {
        |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
        |    / CAST(p.n_shingles AS DOUBLE) AS contamination_frac
        |FROM per p LEFT JOIN ov o ON o.doc_id = p.doc_id""".stripMargin
+
+  private val NI_MIN_AGREE = 0.5
+
+  /** Incremental NEAR-dup: the even-id half plays the prior snapshot as
+    * a signature index; odd-id docs band-join it and are flagged when
+    * their signatures agree on >= half the permutations. */
+  def neardupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val idx = DedupOps.minhashSigIndex(d.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", K, NUM_HASHES)
+    DedupOps.nearDupAgainstIndex(d.filter(col("doc_id") % 2 === 1), idx,
+      "text", "doc_id", K, NUM_HASHES, BANDS, NI_MIN_AGREE)
+  }
+
+  def neardupIncrementalSql: String = {
+    val r = NUM_HASHES / BANDS
+    s"""$shinglesCte, sig AS (
+       |  SELECT doc_id, list_transform(range(0, $NUM_HASHES), h -> $sigExpr) AS sig
+       |  FROM sh WHERE len(hs) > 0
+       |), idx AS (
+       |  SELECT doc_id AS old_id, sig AS old_sig FROM sig WHERE doc_id % 2 = 0
+       |), bat AS (
+       |  SELECT doc_id AS new_id, sig AS new_sig FROM sig WHERE doc_id % 2 = 1
+       |), bi AS (
+       |  SELECT old_id, old_sig, b, md5(array_to_string(
+       |    list_transform(old_sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+       |  FROM idx, (SELECT unnest(range(0, $BANDS)) AS b) bs
+       |), bb AS (
+       |  SELECT new_id, new_sig, b, md5(array_to_string(
+       |    list_transform(new_sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+       |  FROM bat, (SELECT unnest(range(0, $BANDS)) AS b) bs
+       |), scored AS (
+       |  SELECT DISTINCT bb.new_id, bi.old_id,
+       |    CAST(list_sum(list_transform(range(1, $NUM_HASHES + 1),
+       |      j -> CASE WHEN bb.new_sig[j] = bi.old_sig[j] THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS n_agree
+       |  FROM bb JOIN bi ON bb.b = bi.b AND bb.band_hash = bi.band_hash
+       |)
+       |SELECT new_id, old_id, n_agree,
+       |  CAST(n_agree AS DOUBLE) / $NUM_HASHES AS agree_frac
+       |FROM scored
+       |WHERE CAST(n_agree AS DOUBLE) / $NUM_HASHES >= $NI_MIN_AGREE""".stripMargin
+  }
+
+  private val VOCAB_GROUP_K = 10
+
+  /** Per-source top-10 vocabulary — the per-slice OOV/tokenizer view a
+    * global top-k drowns. */
+  def vocabBySource(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.topKVocabByGroup(docs(spark, sfDir), Seq("source"), "text",
+      VOCAB_GROUP_K)
+
+  def vocabBySourceSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, token, count(*) AS n FROM (
+       |    SELECT source, unnest(${TextOps.tokensSql("text")}) AS token
+       |    FROM documents
+       |  ) GROUP BY source, token
+       |)
+       |SELECT source, token, n, rank FROM (
+       |  SELECT source, token, n, row_number() OVER (
+       |    PARTITION BY source ORDER BY n DESC, token) AS rank
+       |  FROM counts
+       |) WHERE rank <= $VOCAB_GROUP_K""".stripMargin
 
   // ---- split / shard layout ---------------------------------------------
 

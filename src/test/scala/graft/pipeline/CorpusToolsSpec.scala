@@ -126,6 +126,45 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 0L, 0L)))
   }
 
+  test("nearDupAgainstIndex: flags signature-agreeing batch docs, survivors kept") {
+    val snapshot = Seq(
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (6L, "")) // empty → excluded from the index
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"), // exact copy of 2 → 12/12 agreement
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8"), // nothing like it
+      (5L, ""))                         // empty → excluded from banding
+      .toDF("doc_id", "text")
+    val idx = DedupOps.minhashSigIndex(snapshot, "text", "doc_id", 3, 12)
+    assert(idx.count() == 2) // empty doc 6 not indexed
+    val flagged = DedupOps.nearDupAgainstIndex(batch, idx, "text", "doc_id",
+        3, 12, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flagged == Set((1L, 2L, 12L)))
+    val kept = DedupOps.dedupNearAgainstIndex(batch, idx, "text", "doc_id",
+        3, 12, 4, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("topKVocabByGroup: per-group ranks, ties lexicographic, k bound") {
+    val docs = Seq(
+      ("s1", "a a a b b c"),
+      ("s1", "b"),
+      ("s2", "x y"))
+      .toDF("source", "text")
+    val out = TextOps.topKVocabByGroup(docs, Seq("source"), "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(("s1", 1L)) == (("a", 3L))) // a×3
+    assert(out(("s1", 2L)) == (("b", 3L))) // b×3, lexicographic after a
+    assert(out(("s2", 1L)) == (("x", 1L))) // x/y tie → lexicographic
+    assert(out(("s2", 2L)) == (("y", 1L)))
+    assert(out.size == 4) // k bound per group
+  }
+
   test("filterCorpus: gate + data-derived cutoff + dedup in one pass") {
     // en docs of varying length, one exact dup pair, one de doc
     val docs = Seq(
