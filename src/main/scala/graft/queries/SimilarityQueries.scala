@@ -31,7 +31,10 @@ object SimilarityQueries {
   /** Recall@5 of the multi-probe LSH index against the exact brute-force
     * neighbors, per query — the eval loop that decides whether an ANN
     * configuration is shippable. Composes the registry's own verifier
-    * (brute force) and scale path (multi-probe LSH). */
+    * (brute force) and scale path (multi-probe LSH). The exact side is
+    * deliberately the labeled nested-loop verifier: ground truth costs a
+    * scan per query, which is why recall is evaluated on a BOUNDED query
+    * sample (here 1-in-50), never the full corpus. */
   def annRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val q = e.filter(col("vec_id") % 50 === 0)

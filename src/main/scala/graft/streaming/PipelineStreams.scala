@@ -71,6 +71,60 @@ object PipelineStreams {
     dedupExactStream(gated, textCol, eventTimeCol, delay)
   }
 
+  /** Streaming canonical-form dedup — the continuous twin of the batch
+    * canonical dedup (q_dedup_canonical): normalize (lowercase +
+    * punctuation/whitespace collapse, the SAME map-only
+    * TextOps.normalizeText expression as the batch plan) then
+    * first-arrival dedup on the normalized digest, watermark-bounded.
+    * Catches re-encoded copies arriving over the stream horizon. */
+  def canonicalDedupStream(df: DataFrame, textCol: String,
+                           eventTimeCol: String, delay: String): DataFrame = {
+    val canon = df.withColumn("__canon_tmp",
+      graft.pipeline.TextOps.normalizeText(col(textCol)))
+    canon.withColumn("__content_hash", DedupOps.digest(col("__canon_tmp")))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash", "__canon_tmp")
+  }
+
+  /** Streaming near-dup screen against a STATIC prior-snapshot
+    * signature index (`DedupOps.minhashSigIndex`) — the continuous twin
+    * of `nearDupAgainstIndex`: each arriving doc's band keys equi-join
+    * the (static, broadcastable) index bands, agreement is verified on
+    * the signatures, and each flagged (new, old) pair is emitted once
+    * (pair-keyed watermarked dedup absorbs multi-band collisions).
+    * Stream-static inner joins are STATELESS on the stream side — the
+    * only state is the pair-dedup horizon — so this runs at ingest rate
+    * regardless of history size; the index is the same narrow artifact
+    * the batch path persists. */
+  def nearDupIndexFlagsStream(df: DataFrame, index: DataFrame,
+                              textCol: String, idCol: String,
+                              eventTimeCol: String, delay: String,
+                              shingleK: Int = 3, numHashes: Int = 12,
+                              bands: Int = 4,
+                              minAgreeFrac: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val sig = DedupOps.minhashSignature(col(textCol), shingleK, numHashes)
+    val bBands = df.select(col(idCol).as("new_id"), col(eventTimeCol),
+        sig.as("__ns_sig"))
+      .filter(col("__ns_sig").getItem(0) =!= DedupOps.MinhashPrime)
+      .select(col("new_id"), col(eventTimeCol), col("__ns_sig"),
+        posexplode(DedupOps.lshBandKeys(col("__ns_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val iBands = index.select(col(idCol).as("old_id"), col("sig").as("old_sig"))
+      .select(col("old_id"), col("old_sig"),
+        posexplode(DedupOps.lshBandKeys(col("old_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    bBands.join(iBands, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("old_id"), col(eventTimeCol),
+        size(filter(zip_with(col("__ns_sig"), col("old_sig"),
+          (x, y) => x === y), b => b)).cast("long").as("n_agree"))
+      .filter(col("n_agree").cast("double") / numHashes >= minAgreeFrac)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+  }
+
   /** Streaming MinHash-LSH near-dup CANDIDATE emission — the streaming
     * twin of `DedupOps.minhashCandidatePairs`: per-doc signature is
     * map-only (the direct columnar expression — no stateful aggregation),

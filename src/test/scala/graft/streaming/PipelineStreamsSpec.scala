@@ -196,6 +196,84 @@ class PipelineStreamsSpec extends AnyFunSuite {
       (1L, 2L, "t7 t8 t9 t10"), (2L, 0L, "a b")))
   }
 
+  test("canonical dedup stream collapses re-encoded copies to first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.canonicalDedupStream(sdf, "text", "event_time",
+      "10 seconds")
+    val query = out.writeStream.format("memory").queryName("canon_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "the quick fox", ts(10)),
+        (2L, "The  QUICK fox!", ts(11)),    // canonical dup of 1 → dropped
+        (3L, "another doc", ts(12)))
+      query.processAllAvailable()
+      mem.addData((4L, "THE QUICK FOX", ts(13)),  // still within horizon → dropped
+        (5L, "a new doc", ts(14)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("canon_stream")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L, 5L))
+  }
+
+  test("stream-static near-dup screen flags against the index exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val snapshot = Seq(
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+    val idx = graft.pipeline.DedupOps.minhashSigIndex(
+      snapshot, "text", "doc_id", 3, 12)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.nearDupIndexFlagsStream(sdf, idx, "text",
+      "doc_id", "event_time", "10 seconds", 3, 12, 4, 0.5)
+    val query = out.writeStream.format("memory").queryName("ndidx_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((11L, "w1 w2 w3 w4 w5 w6 w7 w8", ts(10)), // copy of 2
+        (13L, "q1 q2 q3 q4 q5 q6 q7 q8", ts(11)),            // novel
+        (15L, "", ts(12)))                                    // empty → unbanded
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("ndidx_stream")
+      .select("new_id", "old_id", "n_agree").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly ONE flag row despite the copy colliding on all 4 bands
+    assert(got == Seq((11L, 2L, 12L)))
+    // batch twin agrees on the same data
+    val batch = Seq((11L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (13L, "q1 q2 q3 q4 q5 q6 q7 q8"), (15L, "")).toDF("doc_id", "text")
+    val flaggedBatch = graft.pipeline.DedupOps.nearDupAgainstIndex(
+        batch, idx, "text", "doc_id", 3, 12, 4, 0.5)
+      .select(col("new_id"), col("old_id"), col("n_agree")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(flaggedBatch == got)
+  }
+
+  test("split assignment runs unchanged on a stream (stateless map)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "event_time")
+    val out = graft.pipeline.SamplingOps.assignSplit(sdf, "doc_id", 100, 200)
+    val query = out.writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1 to 50).map(i => (i.toLong, ts(i))): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("split_stream")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.pipeline.SamplingOps.assignSplit(
+        spark.range(1, 51).toDF("doc_id"), "doc_id", 100, 200)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("windowed dedup re-admits content in later windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
