@@ -80,6 +80,25 @@ object DedupOps {
     dedupExact(fresh, contentCol, idCol)
   }
 
+  /** Per-group duplication report: document count, distinct-content
+    * count, duplicate count and rate for each group (per source, per
+    * language) — the monitoring view that decides where dedup budget
+    * goes. One shuffle on the group keys; the distinct count rides
+    * Spark's Expand-based count-distinct rewrite (partial aggregation
+    * on (group, digest), no second scan). */
+  def dupStatsByGroup(df: DataFrame, groupCols: Seq[String],
+                      contentCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "dupStatsByGroup requires group columns")
+    val gs = groupCols.map(col)
+    df.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(digest(col(contentCol))).as("n_distinct"))
+      .select(gs ++ Seq(col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dups"),
+        ((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate")): _*)
+  }
+
   /** Persistable NEAR-dup index of a corpus snapshot: (id, MinHash
     * signature) for every doc with a real shingle set — the narrow
     * artifact tomorrow's crawl screens against without re-reading

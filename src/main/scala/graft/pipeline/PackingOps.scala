@@ -85,4 +85,46 @@ object PackingOps {
           lit(chunkTokens)), " ").as("chunk_text"),
         least(lit(chunkTokens.toLong), col("n_tokens") - start).as("n_chunk_tokens"))
   }
+
+  /** Length-bucketed micro-batching — the padding-efficiency layout:
+    * docs are banded by token length (`len_bucket = n_tokens div
+    * bucketWidth`), spread across `shards` by id hash, ordered by that
+    * hash within each (bucket, shard), and grouped into
+    * `batchSize`-document batches. Same-batch docs have token counts
+    * within one bucket width of each other, so per-batch padding waste
+    * is bounded by the width — the standard alternative to packing when
+    * documents must stay intact.
+    *
+    * Scale shape: ONE window shuffle keyed on (len_bucket, shard). The
+    * shard key is what makes this 100 TB-safe — a popular length band
+    * (most corpora concentrate near the mode) would otherwise funnel
+    * through a single task; with shards the batch id is the triple
+    * (len_bucket, shard, batch_idx), every piece deterministic from the
+    * id and count alone. Negative token counts are rejected per-row
+    * (codegen'd guard, same contract as capTokensPerGroup); NULL counts
+    * fail the cast guard too — a batch layout over unknown lengths is
+    * meaningless. */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, tokenCol: String,
+                            bucketWidth: Long, batchSize: Int,
+                            shards: Int = 1): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val clash = df.columns.toSet
+      .intersect(Set("len_bucket", "shard", "batch_idx", "batch_pos"))
+    require(clash.isEmpty, s"input already has reserved columns: $clash")
+    val tok = col(tokenCol).cast("long")
+    val guarded = when(tok.isNull || tok < 0, raise_error(concat(
+        lit(s"lengthBucketedBatches: null or negative $tokenCol for $idCol="),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(tok)
+    val h = HashFns.hash32(concat(lit("batch:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("len_bucket"), col("shard"))
+      .orderBy(h, col(idCol))
+    val pos = row_number().over(w).cast("long") - 1
+    df.withColumn("len_bucket", call_function("div", guarded, lit(bucketWidth)))
+      .withColumn("shard", pmod(h, lit(shards.toLong)))
+      .withColumn("batch_idx", call_function("div", pos, lit(batchSize.toLong)))
+      .withColumn("batch_pos", pmod(pos, lit(batchSize.toLong)))
+  }
 }

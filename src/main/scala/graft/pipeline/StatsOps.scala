@@ -125,6 +125,30 @@ object StatsOps {
       .agg(min(when(col("cum") >= col("qr").getField("rank"), col("v"))).as("value"))
   }
 
+  /** Data-derived quantile BIN assignment — the curriculum/stratification
+    * primitive: derive the metric's exact quantile cutoffs once
+    * ([[exactQuantiles]] — scalar-sized result collected at plan time,
+    * same pattern as the ANN centroid snapshots), then label every row
+    * with the count of cutoffs at or below its value. With permille
+    * 250/500/750 this yields quartile bins 0..3. The labeling pass is
+    * MAP-ONLY (a fold over |permille| broadcast literals), so the whole
+    * op costs the quantile derivation plus one projection regardless of
+    * corpus size. Rows with a NULL metric get a NULL bin. Duplicate
+    * cutoff values count once each — a degenerate distribution
+    * concentrates bins, never misorders them. */
+  def withQuantileBin(df: DataFrame, valueExpr: Column, permille: Seq[Int],
+                      binCol: String = "bin"): DataFrame = {
+    require(!df.columns.contains(binCol), s"input already has column $binCol")
+    val cuts = exactQuantiles(df, valueExpr, permille).collect()
+      .filter(r => !r.isNullAt(1))
+      .map(_.get(1))
+    if (cuts.isEmpty) return df.withColumn(binCol, lit(null).cast("long"))
+    val count = cuts.map(c => when(valueExpr >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn(binCol,
+      when(valueExpr.isNull, lit(null).cast("long")).otherwise(count))
+  }
+
   /** Per-group exact discrete quantiles — `exactQuantiles` partitioned
     * by group columns (e.g. "p50 and p90 token count PER SOURCE"). Same
     * integer-exact rank arithmetic; one shuffle on the group keys, with

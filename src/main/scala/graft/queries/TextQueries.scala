@@ -52,6 +52,9 @@ object TextQueries {
     GraftQuery("q_neardup_incremental", neardupIncremental,
       Some(neardupIncrementalSql)),
     GraftQuery("q_vocab_by_source", vocabBySource, Some(vocabBySourceSql)),
+    GraftQuery("q_quality_bins", qualityBins, Some(qualityBinsSql)),
+    GraftQuery("q_length_batches", lengthBatches, Some(lengthBatchesSql)),
+    GraftQuery("q_dup_stats", dupStats, Some(dupStatsSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -580,6 +583,81 @@ object TextQueries {
        |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
        |    / CAST(p.n_shingles AS DOUBLE) AS contamination_frac
        |FROM per p LEFT JOIN ov o ON o.doc_id = p.doc_id""".stripMargin
+
+  private val BIN_PERMILLE = Seq(250, 500, 750) // quartile cutoffs
+  private val LB_WIDTH = 16L
+  private val LB_BATCH = 8
+  private val LB_SHARDS = 2
+
+  /** Curriculum stratification: quartile bin of each doc's token count,
+    * cutoffs derived from the data (exact quantiles, broadcast back as
+    * literals — the labeling pass is map-only). */
+  def qualityBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.pipeline.StatsOps.withQuantileBin(t, col("n_tokens"), BIN_PERMILLE)
+      .select(col("doc_id"), col("n_tokens"), col("bin"))
+  }
+
+  def qualityBinsSql: String = {
+    val quantile = graft.pipeline.StatsOps.exactQuantilesSql(
+      "SELECT n_tokens AS v FROM t", BIN_PERMILLE)
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT t.doc_id, t.n_tokens,
+       |  CAST(sum(CASE WHEN t.n_tokens >= q.value THEN 1 ELSE 0 END) AS BIGINT) AS bin
+       |FROM t CROSS JOIN (SELECT value FROM ($quantile)) q
+       |GROUP BY t.doc_id, t.n_tokens""".stripMargin
+  }
+
+  /** Padding-efficient export layout: 16-token length bands × 2 shards,
+    * 8-doc batches in hash order. */
+  def lengthBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.pipeline.PackingOps.lengthBucketedBatches(t, "doc_id", "n_tokens",
+      LB_WIDTH, LB_BATCH, LB_SHARDS)
+  }
+
+  def lengthBatchesSql: String = {
+    val h = HashFns.hash32Sql("'batch:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $h AS h
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, n_tokens, n_tokens // $LB_WIDTH AS len_bucket,
+       |    h % $LB_SHARDS AS shard,
+       |    row_number() OVER (PARTITION BY n_tokens // $LB_WIDTH, h % $LB_SHARDS
+       |      ORDER BY h, doc_id) - 1 AS pos
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, len_bucket, shard,
+       |  pos // $LB_BATCH AS batch_idx, pos % $LB_BATCH AS batch_pos
+       |FROM p""".stripMargin
+  }
+
+  /** Per-source duplication report over a corpus where every 7th doc
+    * also appears as an exact copy — where the dedup budget should go. */
+  def dupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("source"), col("text"), col("doc_id"))
+    val copies = d.filter(col("doc_id") % 7 === 0)
+    DedupOps.dupStatsByGroup(d.unionByName(copies), Seq("source"), "text")
+  }
+
+  def dupStatsSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL SELECT source, text FROM documents WHERE doc_id % 7 = 0
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT md5(text)) AS n_distinct,
+       |  count(*) - count(DISTINCT md5(text)) AS n_dups,
+       |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_rate
+       |FROM all_docs GROUP BY source""".stripMargin
 
   private val NI_MIN_AGREE = 0.5
 

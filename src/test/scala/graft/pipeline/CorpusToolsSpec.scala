@@ -165,6 +165,59 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out.size == 4) // k bound per group
   }
 
+  test("withQuantileBin: quartile labels from data-derived cutoffs, null metric -> null bin") {
+    // values 1..100 → p250=25, p500=50, p750=75
+    val df = spark.range(1, 101).toDF("v")
+      .unionByName(Seq(Option.empty[Long]).toDF("v"))
+    val out = StatsOps.withQuantileBin(df, col("v"), Seq(250, 500, 750))
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out(Some(1L)) == Some(0L))
+    assert(out(Some(24L)) == Some(0L))
+    assert(out(Some(25L)) == Some(1L))   // at the cutoff → next bin
+    assert(out(Some(50L)) == Some(2L))
+    assert(out(Some(75L)) == Some(3L))
+    assert(out(Some(100L)) == Some(3L))
+    assert(out(None).isEmpty)            // null metric → null bin
+  }
+
+  test("lengthBucketedBatches: bounded batches, in-band lengths, dense positions, guards") {
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("n_tok", (col("id") * 7) % 100)
+    val out = PackingOps.lengthBucketedBatches(df, "id", "n_tok",
+        bucketWidth = 10, batchSize = 4, shards = 2)
+      .select("id", "n_tok", "len_bucket", "shard", "batch_idx", "batch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 200)
+    // every batch holds at most batchSize docs with positions 0..m-1,
+    // and all its members share the length band
+    out.groupBy(t => (t._3, t._4, t._5)).foreach { case (key, rs) =>
+      assert(rs.length <= 4, s"batch $key overfull")
+      assert(rs.map(_._6).sorted.toSeq == (0L until rs.length).toSeq)
+      assert(rs.map(_._2 / 10).distinct.length == 1)
+    }
+    // negative and null token counts fail loudly
+    val neg = Seq((1L, -5L)).toDF("id", "n_tok")
+    val e = intercept[Exception] {
+      PackingOps.lengthBucketedBatches(neg, "id", "n_tok", 10, 4).collect()
+    }
+    assert(e.getMessage.contains("lengthBucketedBatches") ||
+      e.getCause != null)
+  }
+
+  test("dupStatsByGroup: per-group doc/distinct/dup counts and rates") {
+    val df = Seq(
+      ("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "x"), ("s2", "y"))
+      .toDF("source", "text")
+    val out = DedupOps.dupStatsByGroup(df, Seq("source"), "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("s1") == ((4L, 3L, 1L, 0.25)))
+    assert(out("s2") == ((2L, 2L, 0L, 0.0)))
+  }
+
   test("filterCorpus: gate + data-derived cutoff + dedup in one pass") {
     // en docs of varying length, one exact dup pair, one de doc
     val docs = Seq(
