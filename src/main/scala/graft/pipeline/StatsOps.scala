@@ -179,6 +179,51 @@ object StatsOps {
       .agg(min(when(col("cum") >= col("rank"), col("v"))).as("value"))
   }
 
+  /** Per-group exact moments: count, sum, mean and population variance
+    * of an integral metric — corpus monitoring numbers that must agree
+    * bit-for-bit across engines. Sums are integer-exact (one
+    * partial-aggregated shuffle); mean and variance are each ONE double
+    * division of exact integers at the end —
+    * var = (n·Σv² − (Σv)²) / n², no per-row FP accumulation, so no
+    * engine-order-dependent rounding. Caveat: Σv² must fit int64 —
+    * fine for token-count-scale metrics up to ~1e16 total; switch the
+    * sums to DecimalType past that. NULL metrics are excluded. */
+  def momentsByGroup(df: DataFrame, groupCols: Seq[String],
+                     valueExpr: Column): DataFrame = {
+    require(groupCols.nonEmpty, "momentsByGroup requires group columns")
+    val gs = groupCols.map(col)
+    val v = valueExpr.cast("long")
+    df.filter(v.isNotNull)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("sum"),
+        sum(v * v).as("__m_ss"))
+      .select(gs ++ Seq(col("n"), col("sum"),
+        (col("sum").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("n") * col("__m_ss") - col("sum") * col("sum")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("variance")): _*)
+  }
+
+  /** Fixed-width histogram of a non-negative integral metric: one
+    * map-only bucket projection + one partial-aggregated shuffle on the
+    * bucket id — the monitoring view behind every length/quality
+    * dashboard. Returns (bucket, lo inclusive, hi exclusive, n).
+    * Negative values fail loudly per-row (integral div disagrees
+    * between engines below zero — floor vs truncate — so the operator
+    * refuses the ambiguity); NULLs are excluded. */
+  def histogram(df: DataFrame, valueExpr: Column, width: Long): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val v = valueExpr.cast("long")
+    val guarded = when(v < 0, raise_error(
+        concat(lit("histogram: negative metric value "), v.cast("string")))
+        .cast("long"))
+      .otherwise(v)
+    df.filter(v.isNotNull)
+      .select(call_function("div", guarded, lit(width)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .select(col("bucket"), (col("bucket") * width).as("lo"),
+        ((col("bucket") + 1) * width).as("hi"), col("n"))
+  }
+
   /** Matching DuckDB SQL over a one-column relation `src` (alias v). */
   def exactQuantilesSql(srcSql: String, permille: Seq[Int]): String =
     s"""WITH vals AS (SELECT v FROM ($srcSql) WHERE v IS NOT NULL),

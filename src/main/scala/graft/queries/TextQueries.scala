@@ -55,6 +55,8 @@ object TextQueries {
     GraftQuery("q_quality_bins", qualityBins, Some(qualityBinsSql)),
     GraftQuery("q_length_batches", lengthBatches, Some(lengthBatchesSql)),
     GraftQuery("q_dup_stats", dupStats, Some(dupStatsSql)),
+    GraftQuery("q_token_moments", tokenMoments, Some(tokenMomentsSql)),
+    GraftQuery("q_token_histogram", tokenHistogram, Some(tokenHistogramSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -658,6 +660,46 @@ object TextQueries {
        |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
        |    / CAST(count(*) AS DOUBLE) AS dup_rate
        |FROM all_docs GROUP BY source""".stripMargin
+
+  private val HIST_WIDTH = 16L
+
+  /** Per-source exact token-count moments (integer-exact sums, one
+    * double division each for mean and variance). */
+  def tokenMoments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.StatsOps.momentsByGroup(
+      docs(spark, sfDir).select(col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq("source"), col("n_tokens"))
+
+  def tokenMomentsSql: String =
+    s"""WITH t AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+       |  FROM documents
+       |), a AS (
+       |  SELECT source, count(*) AS n, CAST(sum(v) AS BIGINT) AS "sum",
+       |    CAST(sum(v * v) AS BIGINT) AS ss
+       |  FROM t GROUP BY source
+       |)
+       |SELECT source, n, "sum",
+       |  CAST("sum" AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |  CAST(n * ss - "sum" * "sum" AS DOUBLE)
+       |    / CAST(n * n AS DOUBLE) AS variance
+       |FROM a""".stripMargin
+
+  /** Token-count histogram at width 16 — the length dashboard. */
+  def tokenHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.StatsOps.histogram(docs(spark, sfDir),
+      TextOps.tokenCount(col("text")).cast("long"), HIST_WIDTH)
+
+  def tokenHistogramSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) // $HIST_WIDTH
+       |    AS bucket
+       |  FROM documents
+       |)
+       |SELECT bucket, bucket * $HIST_WIDTH AS lo,
+       |  (bucket + 1) * $HIST_WIDTH AS hi, count(*) AS n
+       |FROM t GROUP BY bucket""".stripMargin
 
   private val NI_MIN_AGREE = 0.5
 

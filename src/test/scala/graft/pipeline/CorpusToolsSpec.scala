@@ -218,6 +218,32 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out("s2") == ((2L, 2L, 0L, 0.0)))
   }
 
+  test("momentsByGroup: integer-exact mean/variance, nulls excluded") {
+    val df = Seq(("a", Some(2L)), ("a", Some(4L)), ("a", Some(6L)),
+      ("a", None), ("b", Some(5L)))
+      .toDF("g", "v")
+    val out = StatsOps.momentsByGroup(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("a") == ((3L, 12L, 4.0, 8.0 / 3.0))) // var = (3·56−144)/9 = 24/9
+    assert(out("b") == ((1L, 5L, 5.0, 0.0)))
+  }
+
+  test("histogram: fixed-width buckets, bounds, negative rejection") {
+    val df = Seq(0L, 1L, 9L, 10L, 15L, 20L, 99L).toDF("v")
+    val out = StatsOps.histogram(df, col("v"), 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) == ((0L, 10L, 3L)))
+    assert(out(1L) == ((10L, 20L, 2L)))
+    assert(out(2L) == ((20L, 30L, 1L)))
+    assert(out(9L) == ((90L, 100L, 1L)))
+    val e = intercept[Exception] {
+      StatsOps.histogram(Seq(-1L).toDF("v"), col("v"), 10).collect()
+    }
+    assert(e.getMessage.contains("histogram") || e.getCause != null)
+  }
+
   test("filterCorpus: gate + data-derived cutoff + dedup in one pass") {
     // en docs of varying length, one exact dup pair, one de doc
     val docs = Seq(
