@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.queries.Registry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-registry physical-plan audit — the scale-shape regression
+  * guard: every query the engine ships must plan without the shapes
+  * that kill a 100 TB run. Plans are built (not executed) against the
+  * smallest testdata; queries that derive broadcast constants at plan
+  * time (quantile cutoffs, k-means centroids) run their scalar-sized
+  * jobs, nothing else executes.
+  *
+  * Allowed exceptions are the documented exact-scoring verifiers, each
+  * justified where it is defined:
+  *  - q_embed_topk: THE brute-force ground truth (bounded query sample);
+  *  - q_ann_recall: composes that ground truth to score the ANN index;
+  *  - q_embed_pq_topk: ADC scores the code relation against a broadcast
+  *    per-query dot table (tiny build side by construction).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val nestedLoopAllowed =
+    Set("q_embed_topk", "q_ann_recall", "q_embed_pq_topk")
+
+  private def planOf(name: String): String =
+    Registry.byName(name).run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("no cartesian product in any registry plan") {
+    Registry.all.foreach { q =>
+      assert(!planOf(q.name).contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins only in the documented exact-scoring verifiers") {
+    Registry.all.foreach { q =>
+      val plan = planOf(q.name)
+      if (nestedLoopAllowed(q.name))
+        assert(plan.contains("BroadcastNestedLoopJoin") ||
+          !plan.contains("NestedLoop"),
+          s"${q.name}: allow-list entry no longer needed — tighten it")
+      else
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("no unpartitioned window exec in any registry plan") {
+    Registry.all.foreach { q =>
+      val bad = planOf(q.name).linesIterator.filter { l =>
+        val t = l.trim
+        (t.contains("Window ") || t.contains("WindowGroupLimit ")) &&
+          t.contains("], [], [")
+      }.toList
+      assert(bad.isEmpty,
+        s"${q.name} plans an unpartitioned window: ${bad.headOption.getOrElse("")}")
+    }
+  }
+}
