@@ -137,6 +137,21 @@ object SamplingOps {
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Materialize the [[shardLayout]] as a parquet export PARTITIONED BY
+    * shard: each shard is its own directory, rows carry their dense
+    * in-shard position, and a reader pulling one shard
+    * (`.filter(col("shard") === k)`) is partition-pruned at the source —
+    * it never touches the other shards' files. The window's exchange
+    * already clusters rows by shard, so each writer task emits files
+    * for the shards it holds (no second shuffle); the in-partition sort
+    * keeps each file in position order so a sequential read IS the
+    * training order. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+                  path: String): Unit =
+    shardLayout(df, idCol, nShards)
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Per-group cap: keep at most `k` docs per group, selected by hash
     * order (a deterministic uniform draw — NOT first-k by id, which
     * would bias toward old documents). The anti-domination gate that

@@ -57,6 +57,22 @@ class CorpusToolsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards: partition-pruned single-shard read, dense ordered positions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val ids = spark.range(0, 300).toDF("id")
+    SamplingOps.writeShards(ids, "id", 4, dir)
+    val one = spark.read.parquet(dir).filter(col("shard") === 2)
+    val scan = one.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    // the shard filter must land in PartitionFilters (pruned at source)
+    assert(scan.contains("PartitionFilters: [") && scan.contains("= 2)"), scan)
+    val pos = one.select("shard_pos").as[Long].collect().sorted.toSeq
+    assert(pos == (0L until pos.length).toSeq)
+    // nothing lost across shards
+    assert(spark.read.parquet(dir).count() == 300)
+    assert(spark.read.parquet(dir).select("id").distinct().count() == 300)
+  }
+
   test("contaminationScore: exact fractions, zero-overlap kept, short docs excluded") {
     val train = Seq(
       (1L, "a b c d e"),   // shingles abc bcd cde (3 distinct)
