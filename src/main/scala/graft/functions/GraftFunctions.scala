@@ -28,6 +28,15 @@ object GraftFunctions {
       require(exprs.size == 2, "long_array_dot(a, b)")
       LongArrayDot(exprs(0), exprs(1))
     },
+    "token_shingle_hashes" -> { exprs =>
+      require(exprs.size == 2, "token_shingle_hashes(text, k literal)")
+      val k = exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"k must be an integer literal, got $other")
+      }
+      TokenShingleHash(exprs.head, k)
+    },
     "bbo_from_price_updates" -> (exprs => mkBbo(0, 4, exprs)),
     "bbo_from_price_mutations" -> (exprs => mkBbo(1, 4, exprs)),
     "bbo_from_price_mutations_with_modify" -> (exprs => mkBbo(2, 6, exprs)))

@@ -52,6 +52,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val dot = spark.sql("SELECT long_array_dot(array(1L, 2L), array(10L, 20L)) AS d")
         .collect()(0).getLong(0)
       assert(dot == 50L)
+      // the rolling shingle-hash kernel is SQL-callable too, and agrees
+      // with the Column API form
+      val viaSql = spark.sql(
+        "SELECT token_shingle_hashes('a b c d', 3) AS hs")
+        .collect()(0).getSeq[Long](0)
+      val viaApi = spark.range(1).select(
+        graft.functions.TokenShingleHash.shingleHashes(lit("a b c d"), 3).as("hs"))
+        .collect()(0).getSeq[Long](0)
+      assert(viaSql == viaApi && viaSql.length == 2)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
