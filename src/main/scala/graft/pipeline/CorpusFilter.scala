@@ -51,7 +51,12 @@ object CorpusFilter {
     // the dedup digest (computed here, while the text is already in
     // hand) — and localCheckpoint that projection (a handful of scalars
     // per surviving doc; blocks are freed when the plan is GC'd, the
-    // same hygiene as the CC rounds in DedupOps). Everything downstream
+    // same hygiene as the CC rounds in DedupOps; the known trade is that
+    // checkpoint blocks are executor-local and unreplicated, so an
+    // executor loss mid-pipeline fails the job instead of recomputing —
+    // acceptable for a bounded pipeline run, and the alternative, a
+    // persist the caller can never safely unpersist, leaks executor
+    // storage across queries). Everything downstream
     // (quantile snapshot, bucketed cumsum, length filter, digest-window
     // dedup) reads the checkpointed relation, so the expensive part —
     // language ID + quality stats over the raw text — is paid exactly
