@@ -174,6 +174,48 @@ object PipelineStreams {
       .select(col("id_a"), col("id_b"), col("band_idx"), col("t_a"))
   }
 
+  /** Streaming per-group TOKEN budget — the continuous twin of
+    * `SamplingOps.capTokensPerGroup`: each group (source, language)
+    * carries a running token total in the state store; an arriving doc
+    * is emitted iff the tokens consumed BEFORE it are under `budget`
+    * (the same exclusive-prefix rule as the batch op, so every
+    * non-empty group admits at least one doc and overshoots by at most
+    * one). The deliberate semantic difference, same as the dedup twins:
+    * the batch op draws in deterministic HASH order, a stream admits in
+    * ARRIVAL order — a stream has no total order to re-draw from.
+    * State is one long per group; custom stateful logic via
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset path, like
+    * the streaming book replay). Null token counts consume nothing and
+    * are admitted while the budget is open; negative counts fail the
+    * query loudly (batch parity). */
+  def tokenBudgetStream(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(tokenCol).cast("long"))
+      .as[(String, Long, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (group, rows, state) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.flatMap { case (_, id, tokOpt) =>
+            val tok = tokOpt.getOrElse(0L)
+            if (tok < 0)
+              throw new IllegalArgumentException(
+                s"tokenBudgetStream: negative $tokenCol for $idCol=$id")
+            if (used < budget) { used += tok; Some((group, id, tok)) }
+            else None
+          }.toList // force before the state update below
+          state.update(used)
+          out.iterator
+      }
+      .toDF(groupCol, idCol, tokenCol)
+  }
+
   /** Streaming gap-based sessionization via the native `session_window`:
     * per-key sessions close once the watermark passes their gap; emits
     * (session start/end, key, n_events) in append mode — the streaming

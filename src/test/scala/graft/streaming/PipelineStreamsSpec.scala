@@ -274,6 +274,31 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("token budget stream: exclusive-prefix admission across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val sdf = mem.toDF.toDF("source", "doc_id", "n_tokens")
+    val out = PipelineStreams.tokenBudgetStream(sdf, "source", "doc_id",
+      "n_tokens", budget = 10L)
+    val query = out.writeStream.format("memory").queryName("budget_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: s1 admits 1 (used 4) and 2 (used 4 < 10 → overshoot to 12)
+      mem.addData(("s1", 1L, 4L), ("s1", 2L, 8L), ("s2", 10L, 3L))
+      query.processAllAvailable()
+      // batch 2: s1 is exhausted (12 >= 10) → 3 rejected; s2 still open
+      mem.addData(("s1", 3L, 1L), ("s2", 11L, 9L))
+      query.processAllAvailable()
+      // batch 3: s2 now exhausted (12 >= 10) → 12 rejected
+      mem.addData(("s2", 12L, 5L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("budget_stream")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // s2: 10 (used 3), 11 (3 < 10 → used 12), 12 rejected
+    assert(got == Seq(1L, 2L, 10L, 11L))
+  }
+
   test("windowed dedup re-admits content in later windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
