@@ -235,6 +235,33 @@ object SimilarityOps {
     cents.toDF("cent_id", "cent_v")
   }
 
+  /** Per-group mean-pooled embedding: the exact integer floor-mean of
+    * each group's (scaled) vectors plus the member count — class
+    * centroids, per-source embedding summaries, chunk→document pooling.
+    * The same distributed shape as the k-means update step it shares
+    * arithmetic with: posexplode to (group, dim, x) → one
+    * partial-aggregated shuffle → per-group dimension fold (sort_array
+    * + transform, never a driver-side collect of the vectors). Exact
+    * floor division keeps the result bit-identical across engines at
+    * any magnitude. Returns (groupCol, centroid: array<bigint>, n). */
+  def meanPoolByGroup(df: DataFrame, groupCol: String,
+                      vecCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("__mp_g"), scaled(col(vecCol)).as("sv"))
+      .filter(size(col("sv")) > 0)
+    val dims = v
+      .select(col("__mp_g"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("__mp_g"), col("dim"))
+      .agg((sum(col("x")) - pmod(sum(col("x")), count(lit(1)))).as("num"),
+        count(lit(1)).as("cnt"))
+      .select(col("__mp_g"), col("dim"),
+        call_function("div", col("num"), col("cnt")).as("cx"), col("cnt"))
+    dims.groupBy(col("__mp_g"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"),
+        max(col("cnt")).as("n"))
+      .select(col("__mp_g").as(groupCol),
+        transform(col("ds"), s => s.getField("cx")).as("centroid"), col("n"))
+  }
+
   /** IVF top-k with externally-trained centroids (e.g. kmeansCentroids).
     * `centroids` must have (cent_id, cent_v: array<bigint>). */
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, idCol: String,

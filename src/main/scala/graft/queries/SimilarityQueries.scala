@@ -26,7 +26,31 @@ object SimilarityQueries {
     GraftQuery("q_embed_ivf_kmeans", embedIvfKmeans, Some(embedIvfKmeansSql), bench = true),
     GraftQuery("q_embed_pq_topk", embedPqTopK, Some(embedPqTopKSql)),
     GraftQuery("q_ann_recall", annRecallQ, Some(annRecallSql)),
+    GraftQuery("q_embed_meanpool", embedMeanPool, Some(embedMeanPoolSql)),
   )
+
+  /** Per-label mean-pooled class centroids (exact integer floor-mean),
+    * exploded to scalar rows for the oracle compare. */
+  def embedMeanPool(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.meanPoolByGroup(emb(spark, sfDir), "label", "embedding")
+      .select(col("label"), col("n"),
+        posexplode(col("centroid")).as(Seq("dim", "value")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("value"), col("n"))
+
+  def embedMeanPoolSql: String =
+    s"""WITH v AS (
+       |  SELECT label, $svSql AS sv FROM embeddings WHERE len(embedding) > 0
+       |), d AS (
+       |  SELECT label, dim, sv[dim + 1] AS x FROM (
+       |    SELECT label, sv, unnest(range(0, len(sv))) AS dim FROM v
+       |  )
+       |)
+       |SELECT label, dim,
+       |  CAST((sum(x) - ((sum(x) % count(*) + count(*)) % count(*)))
+       |    // count(*) AS BIGINT) AS value,
+       |  count(*) AS n
+       |FROM d GROUP BY label, dim""".stripMargin
 
   /** Recall@5 of the multi-probe LSH index against the exact brute-force
     * neighbors, per query — the eval loop that decides whether an ANN

@@ -260,6 +260,18 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("histogram") || e.getCause != null)
   }
 
+  test("meanPoolByGroup: exact floor-mean centroids incl. negative rounding") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(2.0f, 3.0f)),      // mean → (1500, 2500)
+      (2, Seq(-0.0011f, 0.0f)), (2, Seq(0.0f, 0.0f)))  // dim0 sum -1, n 2 → FLOOR -1
+      .toDF("label", "embedding")
+    val out = SimilarityOps.meanPoolByGroup(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(out(1) == ((Seq(1500L, 2500L), 2L)))
+    // floor(-0.5) = -1, not truncate-to-zero — the cross-engine contract
+    assert(out(2) == ((Seq(-1L, 0L), 2L)))
+  }
+
   test("filterCorpus: gate + data-derived cutoff + dedup in one pass") {
     // en docs of varying length, one exact dup pair, one de doc
     val docs = Seq(
