@@ -484,6 +484,75 @@ object SimilarityOps {
     rerankTopK(scored, k)
   }
 
+  /** IVF-PQ ANN — the standard billion-scale index layout, composed
+    * from this file's two halves: the IVF coarse quantizer restricts
+    * each query to its `nProbes` nearest cells, and WITHIN those cells
+    * candidates are scored by PQ asymmetric-distance (codes only, no
+    * vectors). The corpus pass is ONE map-only projection producing
+    * (id, cell, codes, reconstructed norm²) — cell assignment and PQ
+    * encoding share the same staged scaled vector — then the only data
+    * motion is the cell equi-join against the broadcast query side
+    * (probed cells × ADC tables). At 100 TB: the scanned relation is
+    * the 32×-compressed codes, the probe prunes it to
+    * nProbes/numCells of the corpus, and neither the raw vectors nor
+    * an all-pairs join ever appear. Exact-integer numerators keep the
+    * ranking deterministic and oracle-reproducible. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int,
+                codebooks: Seq[Seq[(Int, Seq[Long], Long)]],
+                centroidStride: Int = 37, nProbes: Int = 2): DataFrame = {
+    val numSubspaces = codebooks.length
+    val subDim = codebooks.head.head._2.length
+    val cents = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cent_id"), scaled(col(vecCol)).as("cent_v"))
+    val snapshot = collectCentroids(cents)
+    // corpus: cell + codes + rec_n2 in one staged projection (the
+    // array_min picks are aliased once so code/cn2 extraction does not
+    // recompute them — same staging discipline as encodePq)
+    val v = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("sv"))
+    val picks = (0 until numSubspaces).map { m =>
+      val sub = slice(col("sv"), m * subDim + 1, subDim)
+      val cands = codebooks(m).map { case (c, cw, n2) =>
+        val dist = aggregate(
+          zip_with(sub, array(cw.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d)
+        struct(dist.as("dist"), lit(c).as("code"), lit(n2).as("cn2"))
+      }
+      array_min(array(cands: _*)).as(s"__pq_m$m")
+    }
+    val encoded = v
+      .select(col("neighbor_id") +:
+        element_at(topCells(col("sv"), snapshot, 1), 1).as("cell") +: picks: _*)
+      .select(col("neighbor_id"), col("cell"),
+        array((0 until numSubspaces).map(m => col(s"__pq_m$m").getField("code")): _*)
+          .as("codes"),
+        (0 until numSubspaces).map(m => col(s"__pq_m$m").getField("cn2"))
+          .reduce(_ + _).as("rec_n2"))
+    // query side: ADC dot table + probed cells, broadcast-sized
+    val qv = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("q_n2", norm2(col("qv")))
+    val dt = array((0 until numSubspaces).map { m =>
+      val sub = slice(col("qv"), m * subDim + 1, subDim)
+      array(codebooks(m).map { case (_, cw, _) =>
+        aggregate(zip_with(sub, array(cw.map(lit): _*), (x, y) => x * y),
+          lit(0L), (acc, d) => acc + d)
+      }: _*)
+    }: _*)
+    val q = qv.select(col("query_id"), col("q_n2"), dt.as("dt"),
+      explode(topCells(col("qv"), snapshot, nProbes)).as("cell"))
+    val adcDot = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(numSubspaces - 1)),
+        (code, m) => element_at(element_at(col("dt"), m + 1), code + 1)),
+      lit(0L), (acc, d) => acc + d)
+    // each corpus vector lives in exactly one cell, so the cell join
+    // pairs every (query, candidate) at most once — no distinct needed
+    val scored = encoded.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromInts(adcDot, col("q_n2"), col("rec_n2")).as("cosine"))
+    rerankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * via LSH buckets (exact within-bucket verification).
     *

@@ -27,7 +27,91 @@ object SimilarityQueries {
     GraftQuery("q_embed_pq_topk", embedPqTopK, Some(embedPqTopKSql)),
     GraftQuery("q_ann_recall", annRecallQ, Some(annRecallSql)),
     GraftQuery("q_embed_meanpool", embedMeanPool, Some(embedMeanPoolSql)),
+    GraftQuery("q_embed_ivfpq_topk", embedIvfPqTopK, Some(embedIvfPqTopKSql)),
   )
+
+  /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
+    * composed billion-scale index layout. */
+  def embedIvfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cbs = SimilarityOps.pqCodebooks(e, "vec_id", "embedding", PQ_M, PQ_K, PQ_STRIDE)
+    SimilarityOps.ivfPqTopK(q, e, "vec_id", "embedding", TOPK, cbs,
+      CENT_STRIDE, N_PROBES)
+  }
+
+  def embedIvfPqTopKSql: String = {
+    val sd = 64 / PQ_M
+    val subL2 =
+      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> (v.sv[cb.m*$sd+i] - cb.subv[i]) * (v.sv[cb.m*$sd+i] - cb.subv[i]))) AS BIGINT)"
+    val subDot =
+      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> v.sv[cb.m*$sd+i] * cb.subv[i])) AS BIGINT)"
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, sv AS cent_v FROM v WHERE vec_id % $CENT_STRIDE = 0
+       |), samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv
+       |  FROM v WHERE vec_id % $PQ_STRIDE = 0
+       |), cb AS (
+       |  SELECT m, c, sv[m*$sd+1 : m*$sd+$sd] AS subv
+       |  FROM samp, (SELECT unnest(range(0, $PQ_M)) AS m)
+       |  WHERE c < $PQ_K
+       |), codes AS (
+       |  SELECT vec_id, m, c, cn2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
+       |    FROM (
+       |      SELECT v.vec_id, cb.m, cb.c, $subL2 AS d,
+       |        CAST(list_sum(list_transform(cb.subv, x -> x * x)) AS BIGINT) AS cn2
+       |      FROM v, cb
+       |    )
+       |  ) WHERE rk = 1
+       |), cassign AS (
+       |  SELECT c_id, cent_id FROM (
+       |    SELECT v.vec_id AS c_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(${dotSql("v.sv", "c.cent_v")} AS DOUBLE)
+       |          / (sqrt(CAST(${norm2Sql("v.sv")} AS DOUBLE))
+       |             * sqrt(CAST(${norm2Sql("c.cent_v")} AS DOUBLE))) DESC,
+       |        c.cent_id) AS rk
+       |    FROM v, cents c
+       |  ) WHERE rk <= 1
+       |), qprobe AS (
+       |  SELECT q_id, cent_id FROM (
+       |    SELECT v.vec_id AS q_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(${dotSql("v.sv", "c.cent_v")} AS DOUBLE)
+       |          / (sqrt(CAST(${norm2Sql("v.sv")} AS DOUBLE))
+       |             * sqrt(CAST(${norm2Sql("c.cent_v")} AS DOUBLE))) DESC,
+       |        c.cent_id) AS rk
+       |    FROM v, cents c
+       |    WHERE v.vec_id % 50 = 0
+       |  ) WHERE rk <= $N_PROBES
+       |), qdt AS (
+       |  SELECT v.vec_id AS q_id, cb.m, cb.c, $subDot AS pd
+       |  FROM v, cb WHERE v.vec_id % 50 = 0
+       |), qn AS (
+       |  SELECT vec_id AS q_id, ${norm2Sql("sv")} AS q_n2 FROM v
+       |  WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT d.q_id AS query_id, s.vec_id AS neighbor_id,
+       |    CAST(sum(d.pd) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(qn.q_n2) AS DOUBLE))
+       |         * sqrt(CAST(sum(s.cn2) AS DOUBLE))) AS cosine
+       |  FROM codes s
+       |  JOIN cassign ca ON ca.c_id = s.vec_id
+       |  JOIN qprobe qp ON qp.cent_id = ca.cent_id
+       |  JOIN qdt d ON d.q_id = qp.q_id AND d.m = s.m AND d.c = s.c
+       |  JOIN qn ON qn.q_id = d.q_id
+       |  WHERE d.q_id <> s.vec_id
+       |  GROUP BY d.q_id, s.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= $TOPK""".stripMargin
+  }
 
   /** Per-label mean-pooled class centroids (exact integer floor-mean),
     * exploded to scalar rows for the oracle compare. */

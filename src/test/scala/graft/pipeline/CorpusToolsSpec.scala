@@ -272,6 +272,32 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out(2) == ((Seq(-1L, 0L), 2L)))
   }
 
+  test("ivfPqTopK: probed ADC ranking stays within the query's cluster") {
+    // two orthogonal clusters; PQ + IVF must rank a same-cluster vector first
+    val rows = (0 until 40).map { i =>
+      val v =
+        if (i % 2 == 0) Seq(1.0f + i * 0.001f, 0.002f, 0.0f, 0.0f)
+        else Seq(0.0f, 0.0f, 1.0f + i * 0.001f, 0.003f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cbs = SimilarityOps.pqCodebooks(df, "vec_id", "embedding",
+      numSubspaces = 2, numCodes = 8, stride = 3)
+    val out = SimilarityOps.ivfPqTopK(
+        df.filter(col("vec_id") === 2), df, "vec_id", "embedding", 3, cbs,
+        centroidStride = 7, nProbes = 2)
+      .orderBy(col("cosine").desc, col("neighbor_id")).collect()
+    assert(out.nonEmpty)
+    // the top hit is another EVEN (same-cluster) vector
+    assert(out.head.getLong(1) % 2 == 0, out.map(_.toString).mkString(","))
+    // deterministic across evaluations
+    val again = SimilarityOps.ivfPqTopK(
+        df.filter(col("vec_id") === 2), df, "vec_id", "embedding", 3, cbs,
+        centroidStride = 7, nProbes = 2)
+      .orderBy(col("cosine").desc, col("neighbor_id")).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("filterCorpus: gate + data-derived cutoff + dedup in one pass") {
     // en docs of varying length, one exact dup pair, one de doc
     val docs = Seq(
