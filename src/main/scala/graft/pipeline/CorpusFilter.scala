@@ -66,13 +66,29 @@ object CorpusFilter {
       .select(col(idCol), col("n_tokens"), col("quality_score"),
         DedupOps.digest(col(textCol)).as("__cf_digest"))
       .localCheckpoint()
-    val cutRow = StatsOps.exactQuantiles(kept, col("n_tokens"),
-      Seq(minTokPermille)).collect()
-    // empty post-gate corpus → no quantile row → nothing can survive
-    val gated = cutRow.headOption match {
-      case Some(r) if !r.isNullAt(1) =>
-        kept.filter(col("n_tokens") >= lit(r.get(1)))
-      case _ => kept.filter(lit(false))
+    // The cutoff comes from ONE value-histogram job over the checkpoint:
+    // token counts have boundedly many distinct values (≤ the longest
+    // document), so the (value, count) relation is scalar-sized by the
+    // same argument as the ANN centroid snapshots, and the exact-rank
+    // rule — smallest value whose cumulative count reaches
+    // ceil(p·n/1000), identical to StatsOps.exactQuantiles and the
+    // oracle — folds in the driver. A metric without that bound (e.g.
+    // continuous scores) must go through StatsOps.exactQuantiles'
+    // range-bucketed distributed path instead.
+    val hist = kept.filter(col("n_tokens").isNotNull)
+      .groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val rank = java.lang.Math.floorDiv(minTokPermille.toLong * n + 999L, 1000L)
+    val cut = {
+      var cum = 0L
+      hist.find { case (_, c) => cum += c; cum >= rank }.map(_._1)
+    }
+    // empty post-gate corpus → no quantile value → nothing can survive
+    val gated = cut match {
+      case Some(v) => kept.filter(col("n_tokens") >= lit(v))
+      case None => kept.filter(lit(false))
     }
     // keep-min-id over the precomputed digest (same one-shuffle shape
     // as DedupOps.dedupExact, which would otherwise recompute the

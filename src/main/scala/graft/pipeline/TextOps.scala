@@ -159,6 +159,8 @@ object TextOps {
                        k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(groupCols.nonEmpty, "use topKVocab for the ungrouped form")
+    val clash = groupCols.toSet.intersect(Set("token", "n", "rank"))
+    require(clash.isEmpty, s"group columns clash with output names: $clash")
     val gs = groupCols.map(col)
     val counts = df.select(gs :+ explode(tokens(col(textCol))).as("token"): _*)
       .groupBy(gs :+ col("token"): _*).agg(count(lit(1)).as("n"))
@@ -252,6 +254,8 @@ object TextOps {
   def distinctiveTerms(df: DataFrame, textCol: String, idCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!Set("token", "tf", "df", "rank").contains(idCol),
+      s"idCol clashes with an output name: $idCol")
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
