@@ -201,7 +201,14 @@ object SimilarityOps {
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0)
+    // materialize the scaled training sample once: seeding + every
+    // Lloyd iteration re-consume it, and without the checkpoint each
+    // consumption re-reads and re-scales the source (iters+1 scans of
+    // the sample). Same executor-local-blocks trade as the corpus
+    // filter's gate checkpoint, on a relation that is a SAMPLE by
+    // contract (the caller picks the training stride).
     val v = df.select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
+      .localCheckpoint()
     var cents: Seq[(Long, Seq[Long])] = v
       .orderBy(HashFns.hash32(col("vid").cast("string")), col("vid"))
       .limit(k)
