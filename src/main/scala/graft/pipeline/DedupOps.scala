@@ -80,6 +80,25 @@ object DedupOps {
     dedupExact(fresh, contentCol, idCol)
   }
 
+  /** Pre-hashed variant of [[dedupAgainstIndex]] for bucketed layouts:
+    * the batch already carries a `content_hash` COLUMN (not an
+    * expression), so when both the batch and the index are stored
+    * bucketed by content_hash, the history anti-join AND the in-batch
+    * keep-min-id window both have their clustering satisfied by the
+    * scan — the whole daily-dedup pass plans with ZERO exchanges
+    * (BucketedDedupSpec asserts it). This is the 100 TB operating mode:
+    * hash once at ingest, bucket everything by digest, dedup forever
+    * shuffle-free. */
+  def dedupAgainstIndexPrehashed(df: DataFrame, index: DataFrame,
+                                 idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fresh = df.join(index, Seq("content_hash"), "left_anti")
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    fresh.withColumn("__dd_rn", row_number().over(w))
+      .filter(col("__dd_rn") === 1)
+      .drop("__dd_rn")
+  }
+
   /** Per-group duplication report: document count, distinct-content
     * count, duplicate count and rate for each group (per source, per
     * language) — the monitoring view that decides where dedup budget
