@@ -27,7 +27,8 @@ object SimilarityQueries {
     GraftQuery("q_embed_pq_topk", embedPqTopK, Some(embedPqTopKSql)),
     GraftQuery("q_ann_recall", annRecallQ, Some(annRecallSql)),
     GraftQuery("q_embed_meanpool", embedMeanPool, Some(embedMeanPoolSql)),
-    GraftQuery("q_embed_ivfpq_topk", embedIvfPqTopK, Some(embedIvfPqTopKSql)),
+    GraftQuery("q_embed_ivfpq_topk", embedIvfPqTopK, Some(embedIvfPqTopKSql),
+      bench = true),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the

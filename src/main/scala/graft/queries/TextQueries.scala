@@ -50,7 +50,7 @@ object TextQueries {
     GraftQuery("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     GraftQuery("q_distinct_terms", distinctTerms, Some(distinctTermsSql)),
     GraftQuery("q_neardup_incremental", neardupIncremental,
-      Some(neardupIncrementalSql)),
+      Some(neardupIncrementalSql), bench = true),
     GraftQuery("q_vocab_by_source", vocabBySource, Some(vocabBySourceSql)),
     GraftQuery("q_quality_bins", qualityBins, Some(qualityBinsSql)),
     GraftQuery("q_length_batches", lengthBatches, Some(lengthBatchesSql)),
