@@ -121,6 +121,93 @@ class BookPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  /** Valid O3 modify streams: a driver walks a model book and emits a
+    * random mix of the modify table's legal rows — plain adds, full
+    * modifies (move/resize via prev_price+prev_qty), qty-only modifies
+    * (prev_qty set, prev_price null, qty = prev_qty − delete), and
+    * deletes-via-modify (qty = 0 with prevs). Each op is validated
+    * against the model so the error branches (spec'd separately) never
+    * fire. */
+  private case class ModifyEv(isBid: Boolean, price: Long, qty: Long,
+                              hasPrevPrice: Boolean, prevPrice: Long,
+                              hasPrevQty: Boolean, prevQty: Long)
+
+  private def genModifyStream(len: Int): Gen[List[ModifyEv]] = {
+    val opPick = Gen.chooseNum(0, 3)
+    def step(model: mutable.Map[(Boolean, Long), Long],
+             isBid: Boolean, price: Long, qty: Long, op: Int): ModifyEv = {
+      val sideLevels = model.keys.filter(_._1 == isBid).toSeq.sortBy(_._2)
+      if (op == 0 || sideLevels.isEmpty) {
+        // plain add (qty > 0, no prevs)
+        val q = math.max(1L, qty)
+        model((isBid, price)) = model.getOrElse((isBid, price), 0L) + q
+        ModifyEv(isBid, price, q, hasPrevPrice = false, 0L, hasPrevQty = false, 0L)
+      } else {
+        val (_, lp) = sideLevels((price % sideLevels.size).toInt.abs)
+        val have = model((isBid, lp))
+        op match {
+          case 1 => // full modify: move the whole level to `price` with qty q
+            val q = math.max(1L, qty)
+            model.remove((isBid, lp))
+            model((isBid, price)) = model.getOrElse((isBid, price), 0L) + q
+            ModifyEv(isBid, price, q, hasPrevPrice = true, lp, hasPrevQty = true, have)
+          case 2 => // qty-only modify DOWN at lp: qty>0, prev_qty=have, deletes have-qty
+            val q = math.max(1L, math.min(qty, have))
+            if (q == have) // no-op delete of 0 is invalid; treat as plain add instead
+              return step(model, isBid, price, qty, 0)
+            model((isBid, lp)) = q
+            ModifyEv(isBid, lp, q, hasPrevPrice = false, 0L, hasPrevQty = true, have)
+          case _ => // delete the level via modify (qty == 0, prevs set)
+            model.remove((isBid, lp))
+            ModifyEv(isBid, lp, 0L, hasPrevPrice = true, lp, hasPrevQty = true, have)
+        }
+      }
+    }
+    Gen.listOfN(len, for {
+      isBid <- Gen.oneOf(true, false)
+      price <- Gen.chooseNum(1L, 12L)
+      qty <- Gen.chooseNum(1L, 6L)
+      op <- opPick
+    } yield (isBid, price, qty, op)).map { raws =>
+      val model = mutable.Map.empty[(Boolean, Long), Long]
+      raws.map { case (isBid, p, q, op) => step(model, isBid, p, q, op) }
+    }
+  }
+
+  test("property: random valid O3 modify streams match brute force at every step") {
+    for (n <- Seq(1, 2, 4)) {
+      checkProp(s"o3-modify n=$n", Prop.forAll(genModifyStream(80)) { evs =>
+        val book = BookKernel(n)
+        val model = mutable.Map.empty[(Boolean, Long), Long]
+        evs.forall { ev =>
+          Transitions.applyMutationWithModify(book, ev.isBid, ev.price, ev.qty,
+            ev.hasPrevPrice, ev.prevPrice, ev.hasPrevQty, ev.prevQty)
+          // replay the same semantics on the model
+          if (ev.qty > 0 && ev.hasPrevQty && ev.hasPrevPrice) {
+            val moved = model((ev.isBid, ev.prevPrice)) - ev.prevQty
+            if (moved == 0) model.remove((ev.isBid, ev.prevPrice))
+            else model((ev.isBid, ev.prevPrice)) = moved
+            model((ev.isBid, ev.price)) = model.getOrElse((ev.isBid, ev.price), 0L) + ev.qty
+          } else if (ev.qty > 0 && ev.hasPrevQty) {
+            val left = model((ev.isBid, ev.price)) - (ev.prevQty - ev.qty)
+            if (left == 0) model.remove((ev.isBid, ev.price))
+            else model((ev.isBid, ev.price)) = left
+          } else if (ev.qty > 0) {
+            model((ev.isBid, ev.price)) = model.getOrElse((ev.isBid, ev.price), 0L) + ev.qty
+          } else if (ev.hasPrevQty) {
+            val at = if (ev.hasPrevPrice) ev.prevPrice else ev.price
+            val left = model((ev.isBid, at)) - ev.prevQty
+            if (left == 0) model.remove((ev.isBid, at))
+            else model((ev.isBid, at)) = left
+          }
+          val (bids, asks) = snap(book, n)
+          bids == bruteTop(model, isBid = true, n) &&
+            asks == bruteTop(model, isBid = false, n)
+        }
+      })
+    }
+  }
+
   test("property: bid/ask mirror — negated prices on the other side track the same book") {
     for (n <- Seq(2, 5)) {
       checkProp(s"mirror n=$n", Prop.forAll(Gen.listOfN(100, genUpdate)) { evs =>
