@@ -222,6 +222,20 @@ class CorpusToolsSpec extends AnyFunSuite {
       e.getCause != null)
   }
 
+  test("lengthBucketedBatches: a modal length band spreads across shards") {
+    // the real-corpus hazard: everyone writes ~same-length docs — one
+    // band holds the whole corpus and must still parallelize by shard
+    val df = spark.range(0, 1000).toDF("id").withColumn("n_tok", lit(50L))
+    val out = PackingOps.lengthBucketedBatches(df, "id", "n_tok",
+        bucketWidth = 16, batchSize = 10, shards = 4)
+      .groupBy("len_bucket", "shard").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keys.map(_._1).toSet == Set(3L)) // one band (50 div 16)
+    assert(out.size == 4)                       // ...but all 4 shards populated
+    // hash-uniform: each shard within 40% of the 250 expectation
+    out.values.foreach(c => assert(math.abs(c - 250) < 100, out.toString))
+  }
+
   test("dupStatsByGroup: per-group doc/distinct/dup counts and rates") {
     val df = Seq(
       ("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "c"),
