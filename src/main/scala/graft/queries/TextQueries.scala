@@ -56,6 +56,7 @@ object TextQueries {
     GraftQuery("q_length_batches", lengthBatches, Some(lengthBatchesSql)),
     GraftQuery("q_dup_stats", dupStats, Some(dupStatsSql)),
     GraftQuery("q_token_moments", tokenMoments, Some(tokenMomentsSql)),
+    GraftQuery("q_corpus_report", corpusReport, Some(corpusReportSql)),
     GraftQuery("q_token_histogram", tokenHistogram, Some(tokenHistogramSql)),
   )
 
@@ -660,6 +661,79 @@ object TextQueries {
        |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
        |    / CAST(count(*) AS DOUBLE) AS dup_rate
        |FROM all_docs GROUP BY source""".stripMargin
+
+  /** One-call corpus health report: language and source distributions,
+    * exact token moments, and duplication counts, as one
+    * (section, key, n, v) relation — the dashboard feed a corpus owner
+    * refreshes per snapshot. Each section is an independent
+    * partial-aggregated subplan; the union is linear in corpus size
+    * (persist the input first to share the scans). */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val nullV = lit(null).cast("double").as("v")
+    val nullN = lit(null).cast("long").as("n")
+    val langDist = d
+      .select(TextOps.languageId(col("text")).getField("lang").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .select(lit("lang_dist").as("section"), col("key"), col("n"), nullV)
+    val srcDist = d.groupBy(col("source").as("key")).agg(count(lit(1)).as("n"))
+      .select(lit("source_dist").as("section"), col("key"), col("n"), nullV)
+    val tok = TextOps.tokenCount(col("text")).cast("long")
+    val moments = d.agg(count(lit(1)).as("cnt"), sum(tok).as("s"),
+        sum(tok * tok).as("ss"))
+      .select(explode(array(
+        struct(lit("n_docs").as("key"), col("cnt").as("n"),
+          lit(null).cast("double").as("v")),
+        struct(lit("sum_tokens").as("key"), col("s").as("n"),
+          lit(null).cast("double").as("v")),
+        struct(lit("mean_tokens").as("key"), lit(null).cast("long").as("n"),
+          (col("s").cast("double") / col("cnt").cast("double")).as("v")),
+        struct(lit("var_tokens").as("key"), lit(null).cast("long").as("n"),
+          ((col("cnt") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("cnt") * col("cnt")).cast("double")).as("v")))).as("r"))
+      .select(lit("tokens").as("section"), col("r.key"), col("r.n"), col("r.v"))
+    val dup = d.agg(count(lit(1)).as("nd"),
+        countDistinct(DedupOps.digest(col("text"))).as("dd"))
+      .select(explode(array(
+        struct(lit("n_docs").as("key"), col("nd").as("n")),
+        struct(lit("n_distinct").as("key"), col("dd").as("n")))).as("r"))
+      .select(lit("dup").as("section"), col("r.key"), col("r.n"), nullV)
+    langDist.unionByName(srcDist).unionByName(moments).unionByName(dup)
+  }
+
+  def corpusReportSql: String =
+    s"""$langRankCtes
+       |SELECT 'lang_dist' AS section, lang_pred AS key,
+       |  count(*) AS n, CAST(NULL AS DOUBLE) AS v
+       |FROM l GROUP BY lang_pred
+       |UNION ALL
+       |SELECT 'source_dist', source, count(*), NULL FROM documents GROUP BY source
+       |UNION ALL
+       |SELECT 'tokens', t.key, t.n, t.v FROM (
+       |  SELECT 'n_docs' AS key, count(*) AS n, CAST(NULL AS DOUBLE) AS v
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'sum_tokens', CAST(sum(len(string_split(text, ' '))) AS BIGINT), NULL
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'mean_tokens', NULL,
+       |    CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'var_tokens', NULL,
+       |    CAST(count(*) * CAST(sum(len(string_split(text, ' ')) * len(string_split(text, ' '))) AS BIGINT)
+       |         - CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |           * CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+       |      / CAST(count(*) * count(*) AS DOUBLE)
+       |  FROM documents
+       |) t
+       |UNION ALL
+       |SELECT 'dup', d.key, d.n, NULL FROM (
+       |  SELECT 'n_docs' AS key, count(*) AS n FROM documents
+       |  UNION ALL
+       |  SELECT 'n_distinct', count(DISTINCT md5(text)) FROM documents
+       |) d""".stripMargin
 
   private val HIST_WIDTH = 16L
 
