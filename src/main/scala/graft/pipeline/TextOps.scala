@@ -250,7 +250,15 @@ object TextOps {
     * partial-aggregated shuffle over distinct doc-token rows, vocab-
     * sized output) → broadcast-join df back (vocab is small relative to
     * the corpus; Spark's AQE demotes to shuffle join if not) → per-doc
-    * top-k window, pruned map-side by WindowGroupLimit. */
+    * top-k window, pruned map-side by WindowGroupLimit.
+    *
+    * Known skew hazard when the join DOES demote to sort-merge: the
+    * tf side is keyed by token, and stopword tokens appear in nearly
+    * every document, so their join partitions carry ~n_docs rows. That
+    * is exactly the shape AQE's skew-join splitting handles
+    * (spark.sql.adaptive.skewJoin, on by default here); corpora beyond
+    * it should pre-filter the stop set — a stopword's df rank never
+    * reaches a top-k anyway. */
   def distinctiveTerms(df: DataFrame, textCol: String, idCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
