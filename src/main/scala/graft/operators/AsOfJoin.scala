@@ -137,7 +137,7 @@ object AsOfJoin {
       .foldLeft(rAligned) { (d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-    val unioned = lAligned.unionByName(rFull.select(lAligned.columns.map(col): _*))
+    val unioned = lAligned.unionByName(rFull.select(lAligned.columns.toIndexedSeq.map(col): _*))
     (unioned, leftCols)
   }
 

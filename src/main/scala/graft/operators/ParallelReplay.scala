@@ -256,6 +256,6 @@ object ParallelReplay {
           Seq(partitionBy, "__seg"), Seq("__rank", orderBy))
 
     replayed.filter(col("__rank") === 1)
-      .select((df.columns ++ OrderBookOps.bboFieldNames(n)).map(col): _*)
+      .select((df.columns.toIndexedSeq ++ OrderBookOps.bboFieldNames(n)).map(col): _*)
   }
 }

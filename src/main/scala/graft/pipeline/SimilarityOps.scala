@@ -370,7 +370,7 @@ object SimilarityOps {
       java.util.Arrays.asList(qRows: _*), qPlan.schema)
     val probedCells = qRows.map(_.getAs[Long]("cell")).distinct.sorted
     val idx = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(c => c: Any): _*))
       .select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("c_v"),
         col("cell"))
       .withColumn("c_n2", norm2(col("c_v")))
