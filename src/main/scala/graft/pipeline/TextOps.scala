@@ -275,6 +275,37 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Inter-document boilerplate score — the corpus-common-content
+    * signal ([[repetitionStats]] is the INTRA-doc twin): a k-gram is
+    * "boilerplate" when it appears in at least `minDocs` distinct
+    * documents (navigation chrome, license headers, templates); each
+    * doc is scored by the fraction of its distinct k-gram hashes that
+    * are boilerplate. Scale shape mirrors the decontamination screen:
+    * the boilerplate set is derived with one partial-aggregated shuffle
+    * over distinct (doc, hash) rows, is SMALL by construction (only
+    * hashes crossing the threshold survive), and is broadcast back —
+    * the scoring pass is a map-side semi-join + one per-doc count. Docs
+    * with fewer than k tokens have no shingles and are excluded. */
+  def boilerplateScore(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val sh = df.select(col(idCol),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
+        .as("__bp_sh")).distinct()
+    val common = sh.groupBy(col("__bp_sh"))
+      .agg(count(lit(1)).as("__bp_df"))
+      .filter(col("__bp_df") >= minDocs)
+      .select(col("__bp_sh"))
+    val perDoc = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hit = sh.join(broadcast(common), "__bp_sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
+    perDoc.join(hit, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("common_frac"))
+  }
+
   /** PII redaction: replace email-shaped and long-digit-run tokens with
     * placeholder tags. Deliberately simple character classes — the same
     * pattern semantics in Java regex (Spark) and RE2 (DuckDB), so the

@@ -57,6 +57,7 @@ object TextQueries {
     GraftQuery("q_dup_stats", dupStats, Some(dupStatsSql)),
     GraftQuery("q_token_moments", tokenMoments, Some(tokenMomentsSql)),
     GraftQuery("q_corpus_report", corpusReport, Some(corpusReportSql)),
+    GraftQuery("q_boilerplate", boilerplate, Some(boilerplateSql)),
     GraftQuery("q_token_histogram", tokenHistogram, Some(tokenHistogramSql)),
   )
 
@@ -734,6 +735,30 @@ object TextQueries {
        |  UNION ALL
        |  SELECT 'n_distinct', count(DISTINCT md5(text)) FROM documents
        |) d""".stripMargin
+
+  private val BP_MIN_DOCS = 5L
+
+  /** Corpus-common 3-gram boilerplate fraction per doc. */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.boilerplateScore(docs(spark, sfDir), "text", "doc_id", K, BP_MIN_DOCS)
+
+  def boilerplateSql: String =
+    s"""$shinglesCte, dsh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(hs) AS sh FROM sh)
+       |), common AS (
+       |  SELECT sh FROM (SELECT sh, count(*) AS d FROM dsh GROUP BY sh)
+       |  WHERE d >= $BP_MIN_DOCS
+       |), per AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY doc_id
+       |), hit AS (
+       |  SELECT d.doc_id, count(*) AS n_common
+       |  FROM dsh d JOIN common c USING (sh) GROUP BY d.doc_id
+       |)
+       |SELECT p.doc_id, p.n_shingles,
+       |  CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(coalesce(h.n_common, 0) AS DOUBLE)
+       |    / CAST(p.n_shingles AS DOUBLE) AS common_frac
+       |FROM per p LEFT JOIN hit h ON h.doc_id = p.doc_id""".stripMargin
 
   private val HIST_WIDTH = 16L
 

@@ -248,6 +248,23 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out("s2") == ((2L, 2L, 0L, 0.0)))
   }
 
+  test("boilerplateScore: corpus-common shingles flagged, unique docs score zero") {
+    // "x y z" appears in 3 docs (the boilerplate); doc 4 is all-unique
+    val docs = Seq(
+      (1L, "x y z a b"),   // shingles xyz yza zab
+      (2L, "x y z c d"),
+      (3L, "p q x y z"),
+      (4L, "m n o r s"))
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplateScore(docs, "text", "doc_id", 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0))) // only xyz is common to 3 docs
+    assert(out(2L)._2 == 1L)
+    assert(out(3L)._2 == 1L)
+    assert(out(4L) == ((3L, 0L, 0.0)))
+  }
+
   test("momentsByGroup: integer-exact mean/variance, nulls excluded") {
     val df = Seq(("a", Some(2L)), ("a", Some(4L)), ("a", Some(6L)),
       ("a", None), ("b", Some(5L)))
