@@ -110,6 +110,20 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("normalizeText: idempotent with a closed output alphabet on random strings") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ 019!@#_-\t.()"
+    val strs = (1 to 300).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = strs.toDF("raw")
+      .withColumn("n1", TextOps.normalizeText(col("raw")))
+      .withColumn("n2", TextOps.normalizeText(TextOps.normalizeText(col("raw"))))
+    assert(df.filter(col("n1") =!= col("n2")).count() == 0)
+    // canonical alphabet: lowercase alnum + single interior spaces, trimmed
+    assert(df.filter(col("n1").rlike("[^a-z0-9 ]") ||
+      col("n1").rlike("  ") || col("n1") =!= trim(col("n1"))).count() == 0)
+  }
+
   test("distinctiveTerms: rarity-first ranking with tf and lexicographic ties") {
     val docs = Seq(
       (1L, "common rare1 common common"),  // df(common)=3, df(rare1)=1

@@ -254,6 +254,36 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(flaggedBatch == got)
   }
 
+  test("mixture sampling runs unchanged on a stream (stateless map filter)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rates = Map("web" -> 500, "code" -> 1000)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "source", "event_time")
+    val out = graft.pipeline.SamplingOps.mixtureSample(sdf, "doc_id", "source",
+      rates, defaultPermille = 0)
+    val query = out.writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1 to 60).map(i =>
+        (i.toLong, Seq("web", "code", "junk")(i % 3), ts(i))): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("mix_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.functions.{col, lit}
+    val batch = graft.pipeline.SamplingOps.mixtureSample(
+        spark.range(1, 61).toDF("doc_id")
+          .withColumn("source", org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.array(lit("web"), lit("code"), lit("junk")),
+            (col("doc_id") % 3 + 1).cast("int"))),
+        "doc_id", "source", rates, defaultPermille = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // all code docs kept (rate 1000), no junk docs kept (default 0)
+    assert((1 to 60 by 3).map(_.toLong).forall(streamed.contains))
+    assert((2 to 60 by 3).map(_.toLong).forall(i => !streamed.contains(i)))
+  }
+
   test("split assignment runs unchanged on a stream (stateless map)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
