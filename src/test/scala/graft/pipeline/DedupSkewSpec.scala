@@ -140,14 +140,18 @@ class DedupSkewSpec extends AnyFunSuite {
     // converge in 2 rounds, and silently-wrong components are worse
     // than an error
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare ID SETS, not counts: the shared session's ContextCleaner
+    // may reclaim unrelated localCheckpoint blocks (corpus filter,
+    // k-means) mid-test, shrinking a global count and faking a leak
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
     val ex = intercept[IllegalStateException] {
       DedupOps.connectedComponents(chain, maxRounds = 2).count()
     }
     assert(ex.getMessage.contains("did not converge"))
     // the failure path must unpersist edges AND the in-flight labels
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "failed connectedComponents left persisted blocks behind")
+    val residual = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+    assert(residual.isEmpty,
+      s"failed connectedComponents left persisted blocks behind: $residual")
     // and a cap that is large enough converges fine
     val labels = DedupOps.connectedComponents(chain, maxRounds = 10)
     assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
