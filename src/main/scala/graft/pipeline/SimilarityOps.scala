@@ -262,11 +262,20 @@ object SimilarityOps {
         count(lit(1)).as("cnt"))
       .select(col("__mp_g"), col("dim"),
         call_function("div", col("num"), col("cnt")).as("cx"), col("cnt"))
+    // mixed vector lengths inside a group would give each dimension its
+    // own denominator — a silently wrong centroid (and a divergence from
+    // the per-(group, dim)-count oracle). Fail loudly instead, like the
+    // other ops' invalid-input paths: uniform length ⇔ every dim has
+    // the same contributor count.
     dims.groupBy(col("__mp_g"))
       .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"),
-        max(col("cnt")).as("n"))
+        max(col("cnt")).as("n"), min(col("cnt")).as("__mp_nmin"))
       .select(col("__mp_g").as(groupCol),
-        transform(col("ds"), s => s.getField("cx")).as("centroid"), col("n"))
+        transform(col("ds"), s => s.getField("cx")).as("centroid"),
+        when(col("__mp_nmin") =!= col("n"), raise_error(concat(
+            lit("meanPoolByGroup: group "), col("__mp_g").cast("string"),
+            lit(" mixes vector lengths"))).cast("long"))
+          .otherwise(col("n")).as("n"))
   }
 
   /** IVF top-k with externally-trained centroids (e.g. kmeansCentroids).
@@ -617,9 +626,13 @@ object SimilarityOps {
     * (query, neighbor) + one grouped count — both tiny (k rows per
     * query), regardless of corpus size. */
   def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.select(col("query_id"), col("neighbor_id"))
+    // distinct BOTH sides: a duplicate (query, neighbor) row in either
+    // input would fan out the left join, inflating n_exact and n_hit —
+    // recall_permille could then exceed 1000 or misreport the
+    // ground-truth count
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
       .withColumn("__ar_hit", lit(1L))
-    exact.select(col("query_id"), col("neighbor_id"))
+    exact.select(col("query_id"), col("neighbor_id")).distinct()
       .join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),

@@ -185,22 +185,30 @@ object StatsOps {
     * partial-aggregated shuffle); mean and variance are each ONE double
     * division of exact integers at the end —
     * var = (n·Σv² − (Σv)²) / n², no per-row FP accumulation, so no
-    * engine-order-dependent rounding. Caveat: Σv² must fit int64 —
-    * fine for token-count-scale metrics up to ~1e16 total; switch the
-    * sums to DecimalType past that. NULL metrics are excluded. */
+    * engine-order-dependent rounding. The squared sums and the n·Σv² /
+    * (Σv)² products are carried in DecimalType(38,0) — int64 would wrap
+    * silently once a group's Σv passes ~3e9 (trivial for per-source
+    * token totals at corpus scale) while the DuckDB oracle sums in
+    * HUGEINT, diverging exactly where the bit-for-bit contract matters.
+    * Exact while n·Σv² < 1e38 (≈ the oracle's HUGEINT ceiling of
+    * 1.7e38); past that Spark yields NULL rather than a wrong number.
+    * NULL metrics are excluded. */
   def momentsByGroup(df: DataFrame, groupCols: Seq[String],
                      valueExpr: Column): DataFrame = {
     require(groupCols.nonEmpty, "momentsByGroup requires group columns")
     val gs = groupCols.map(col)
     val v = valueExpr.cast("long")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v19 = v.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     df.filter(v.isNotNull)
       .groupBy(gs: _*)
       .agg(count(lit(1)).as("n"), sum(v).as("sum"),
-        sum(v * v).as("__m_ss"))
+        sum(v19 * v19).as("__m_ss"))
       .select(gs ++ Seq(col("n"), col("sum"),
         (col("sum").cast("double") / col("n").cast("double")).as("mean"),
-        ((col("n") * col("__m_ss") - col("sum") * col("sum")).cast("double") /
-          (col("n") * col("n")).cast("double")).as("variance")): _*)
+        ((col("n").cast(dec) * col("__m_ss") -
+            col("sum").cast(dec) * col("sum").cast(dec)).cast("double") /
+          (col("n").cast(dec) * col("n").cast(dec)).cast("double")).as("variance")): _*)
   }
 
   /** Fixed-width histogram of a non-negative integral metric: one

@@ -680,8 +680,13 @@ object TextQueries {
     val srcDist = d.groupBy(col("source").as("key")).agg(count(lit(1)).as("n"))
       .select(lit("source_dist").as("section"), col("key"), col("n"), nullV)
     val tok = TextOps.tokenCount(col("text")).cast("long")
+    // squared sums in DecimalType(38,0), same rationale as
+    // StatsOps.momentsByGroup: int64 Σv² wraps silently at corpus scale
+    // while the DuckDB oracle sums in HUGEINT
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok19 = tok.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     val moments = d.agg(count(lit(1)).as("cnt"), sum(tok).as("s"),
-        sum(tok * tok).as("ss"))
+        sum(tok19 * tok19).as("ss"))
       .select(explode(array(
         struct(lit("n_docs").as("key"), col("cnt").as("n"),
           lit(null).cast("double").as("v")),
@@ -690,8 +695,9 @@ object TextQueries {
         struct(lit("mean_tokens").as("key"), lit(null).cast("long").as("n"),
           (col("s").cast("double") / col("cnt").cast("double")).as("v")),
         struct(lit("var_tokens").as("key"), lit(null).cast("long").as("n"),
-          ((col("cnt") * col("ss") - col("s") * col("s")).cast("double") /
-            (col("cnt") * col("cnt")).cast("double")).as("v")))).as("r"))
+          ((col("cnt").cast(dec38) * col("ss") -
+              col("s").cast(dec38) * col("s").cast(dec38)).cast("double") /
+            (col("cnt").cast(dec38) * col("cnt").cast(dec38)).cast("double")).as("v")))).as("r"))
       .select(lit("tokens").as("section"), col("r.key"), col("r.n"), col("r.v"))
     val dup = d.agg(count(lit(1)).as("nd"),
         countDistinct(DedupOps.digest(col("text"))).as("dd"))
@@ -723,10 +729,10 @@ object TextQueries {
        |  FROM documents
        |  UNION ALL
        |  SELECT 'var_tokens', NULL,
-       |    CAST(count(*) * CAST(sum(len(string_split(text, ' ')) * len(string_split(text, ' '))) AS BIGINT)
-       |         - CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-       |           * CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
-       |      / CAST(count(*) * count(*) AS DOUBLE)
+       |    CAST(CAST(count(*) AS HUGEINT) * sum(CAST(len(string_split(text, ' ')) AS HUGEINT) * len(string_split(text, ' ')))
+       |         - CAST(sum(len(string_split(text, ' '))) AS HUGEINT)
+       |           * CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS DOUBLE)
+       |      / CAST(CAST(count(*) AS HUGEINT) * count(*) AS DOUBLE)
        |  FROM documents
        |) t
        |UNION ALL
@@ -776,13 +782,13 @@ object TextQueries {
        |  FROM documents
        |), a AS (
        |  SELECT source, count(*) AS n, CAST(sum(v) AS BIGINT) AS "sum",
-       |    CAST(sum(v * v) AS BIGINT) AS ss
+       |    sum(CAST(v AS HUGEINT) * v) AS ss
        |  FROM t GROUP BY source
        |)
        |SELECT source, n, "sum",
        |  CAST("sum" AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-       |  CAST(n * ss - "sum" * "sum" AS DOUBLE)
-       |    / CAST(n * n AS DOUBLE) AS variance
+       |  CAST(CAST(n AS HUGEINT) * ss - CAST("sum" AS HUGEINT) * "sum" AS DOUBLE)
+       |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS variance
        |FROM a""".stripMargin
 
   /** Token-count histogram at width 16 — the length dashboard. */

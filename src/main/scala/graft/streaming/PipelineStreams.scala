@@ -194,15 +194,23 @@ object PipelineStreams {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // id and group are encoded as Options: a bare Long/String encoder
+    // would die on a null with an opaque encoder NPE instead of the
+    // loud IllegalArgumentException the invalid-row contract promises
+    // (batch parity with the negative-token path)
     df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
         col(tokenCol).cast("long"))
-      .as[(String, Long, Option[Long])]
+      .as[(Option[String], Option[Long], Option[Long])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (String, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (group, rows, state) =>
+        (groupOpt, rows, state) =>
+          val group = groupOpt.getOrElse(throw new IllegalArgumentException(
+            s"tokenBudgetStream: null $groupCol group key"))
           var used = state.getOption.getOrElse(0L)
-          val out = rows.flatMap { case (_, id, tokOpt) =>
+          val out = rows.flatMap { case (_, idOpt, tokOpt) =>
+            val id = idOpt.getOrElse(throw new IllegalArgumentException(
+              s"tokenBudgetStream: null $idCol in group $group"))
             val tok = tokOpt.getOrElse(0L)
             if (tok < 0)
               throw new IllegalArgumentException(

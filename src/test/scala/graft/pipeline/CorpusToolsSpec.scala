@@ -156,6 +156,18 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 0L, 0L)))
   }
 
+  test("annRecall: duplicate (query, neighbor) rows do not inflate recall") {
+    val exact = Seq((1L, 10L), (1L, 10L), (1L, 11L)) // dup ground-truth row
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L)) // dup approx rows
+      .toDF("query_id", "neighbor_id")
+    val r = SimilarityOps.annRecall(approx, exact)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // without dedup the join fans out: n_exact 4, n_hit 3+ — recall wrong
+    assert(r(1L) == ((2L, 1L, 500L)))
+  }
+
   test("nearDupAgainstIndex: flags signature-agreeing batch docs, survivors kept") {
     val snapshot = Seq(
       (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
@@ -315,6 +327,18 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out(1) == ((Seq(1500L, 2500L), 2L)))
     // floor(-0.5) = -1, not truncate-to-zero — the cross-engine contract
     assert(out(2) == ((Seq(-1L, 0L), 2L)))
+  }
+
+  test("meanPoolByGroup: mixed vector lengths in a group fail loudly") {
+    val df = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(3.0f)))
+      .toDF("label", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.meanPoolByGroup(df, "label", "embedding").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("mixes vector lengths")))
   }
 
   test("ivfPqTopK: probed ADC ranking stays within the query's cluster") {

@@ -40,8 +40,10 @@ class PlanAuditSpec extends AnyFunSuite {
     Registry.all.foreach { q =>
       val plan = planOf(q.name)
       if (nestedLoopAllowed(q.name))
-        assert(plan.contains("BroadcastNestedLoopJoin") ||
-          !plan.contains("NestedLoop"),
+        // assert the BNLJ is actually present — an allow-listed query
+        // that stops planning one should lose its entry, and a
+        // disjunction with !contains("NestedLoop") is vacuously true
+        assert(plan.contains("BroadcastNestedLoopJoin"),
           s"${q.name}: allow-list entry no longer needed — tighten it")
       else
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -329,6 +329,26 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 10L, 11L))
   }
 
+  test("token budget stream: null id fails loudly, not with an encoder NPE") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Option[Long], Long)]
+    val sdf = mem.toDF.toDF("source", "doc_id", "n_tokens")
+    val out = PipelineStreams.tokenBudgetStream(sdf, "source", "doc_id",
+      "n_tokens", budget = 10L)
+    val query = out.writeStream.format("memory").queryName("budget_null_stream")
+      .outputMode("append").start()
+    val e = intercept[Exception] {
+      try {
+        mem.addData(("s1", Some(1L), 2L), ("s1", None, 3L))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("null doc_id")))
+  }
+
   test("windowed dedup re-admits content in later windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
