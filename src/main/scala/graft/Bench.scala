@@ -50,9 +50,18 @@ object Bench {
     var failedSet = Set.empty[String]
     for (_ <- 1 to iters; q <- benchSet) {
       val t0 = System.nanoTime()
-      val n = try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
+      // noop-format write, not count(): count() lets Catalyst collapse
+      // unreferenced projections into the scan, so map-only queries
+      // (text stats, redaction, split assignment) under-measure their
+      // real work. The noop sink materializes EVERY output column —
+      // the same executor-side work as the driver's parquet dump,
+      // minus the IO.
+      val ok = try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
-      if (n == -1L) failedSet += q.name
+      if (!ok) failedSet += q.name
       samples(q.name) = secs :: samples(q.name)
     }
     def median(xs: List[Double]): Double = {

@@ -90,18 +90,37 @@ object ParallelReplay {
     * reconstruction + prefix fan-out for no balance win: measured on a
     * 10M-event single product × 16 cores, segments=16 → 2.8× vs serial
     * but segments=32 → 1.7×). Shallow streams get 1 (the serial plan —
-    * already parallel across products). */
+    * already parallel across products).
+    *
+    * COST TRADE, by design: the depth probe is a FULL counting pass over
+    * the events before the replay ever starts — the point of "auto" at
+    * bench scale, but at 100 TB that extra scan can cost more than the
+    * planning it informs. At that scale either pass `segments` explicitly
+    * to the non-auto entry points, or supply `depthHint` (the overload
+    * below) from a statistic you already maintain — a partition-count
+    * table, ingest-time metadata, yesterday's probe — and the pre-scan
+    * disappears. */
   def chooseSegments(df: DataFrame, partitionBy: String,
                      minRowsPerSegment: Long = DefaultMinRowsPerSegment): Int = {
     val row = df.groupBy(col(partitionBy)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("maxd"), sum(col("c")).as("n")).head()
     if (row.isNullAt(0)) return 1 // empty input
-    val maxd = row.getLong(0)
-    val n = row.getLong(1)
-    val cores = df.sparkSession.sparkContext.defaultParallelism
+    chooseSegmentsFromDepth(row.getLong(0), row.getLong(1),
+      df.sparkSession.sparkContext.defaultParallelism, minRowsPerSegment)
+  }
+
+  /** [[chooseSegments]] without the counting pre-scan: the caller
+    * supplies the (approximate) deepest-product row count and total row
+    * count from a statistic it already has. The same segment rule, zero
+    * jobs — the 100 TB path. A stale hint only mis-sizes the split
+    * (correctness is segment-count-independent). */
+  def chooseSegmentsFromDepth(maxDepth: Long, totalRows: Long, cores: Int,
+                              minRowsPerSegment: Long = DefaultMinRowsPerSegment): Int = {
+    require(maxDepth >= 0 && totalRows >= 0 && cores >= 1)
+    if (maxDepth == 0) return 1
     val target = math.max(minRowsPerSegment,
-      math.ceil(n.toDouble / cores).toLong)
-    math.max(1L, math.ceil(maxd.toDouble / target).toLong).toInt
+      math.ceil(totalRows.toDouble / cores).toLong)
+    math.max(1L, math.ceil(maxDepth.toDouble / target).toLong).toInt
   }
 
   def topNLevelsFromPriceMutationsParallel(

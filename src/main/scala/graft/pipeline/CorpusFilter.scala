@@ -42,9 +42,17 @@ object CorpusFilter {
       .drop("__cf_lang")
   }
 
+  /** Ceiling on the cutoff histogram's distinct-value count (~16 MB of
+    * (value, count) pairs at the default). The bounded-collect argument
+    * below holds for integral token counts; the cap turns it from a
+    * comment into a check. */
+  val DefaultMaxCutoffHistogram: Int = 1 << 20
+
   def filterCorpus(df: DataFrame, textCol: String, idCol: String,
                    langCode: String = "en", minQuality: Double = 40.0,
-                   minTokPermille: Int = 100): DataFrame = {
+                   minTokPermille: Int = 100,
+                   maxCutoffHistogram: Int = DefaultMaxCutoffHistogram): DataFrame = {
+    require(maxCutoffHistogram >= 1)
     import org.apache.spark.sql.expressions.Window
     // Run the text gate ONCE: project the survivors down to the narrow
     // columns every later stage needs — id, token count, quality, and
@@ -74,11 +82,19 @@ object CorpusFilter {
     // ceil(p·n/1000), identical to StatsOps.exactQuantiles and the
     // oracle — folds in the driver. A metric without that bound (e.g.
     // continuous scores) must go through StatsOps.exactQuantiles'
-    // range-bucketed distributed path instead.
-    val hist = kept.filter(col("n_tokens").isNotNull)
+    // range-bucketed distributed path instead — and that is now a CHECK,
+    // not a comment: the collect is limit-bounded, and blowing the cap
+    // fails loudly before the driver ever holds an unbounded relation.
+    val histRows = kept.filter(col("n_tokens").isNotNull)
       .groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
+      .limit(maxCutoffHistogram + 1)
+      .collect()
+    require(histRows.length <= maxCutoffHistogram,
+      s"filterCorpus: cutoff histogram exceeds $maxCutoffHistogram distinct metric " +
+        "values — the bounded-histogram argument only holds for integral token " +
+        "counts; route a high-cardinality metric through StatsOps.exactQuantiles' " +
+        "distributed path instead")
+    val hist = histRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum
     val rank = java.lang.Math.floorDiv(minTokPermille.toLong * n + 999L, 1000L)
     val cut = {

@@ -467,18 +467,26 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
     var changed = 1L
+    // carried edge count: counting `next` materializes it anyway, and
+    // next becomes this round's `edges` — re-counting it next round
+    // would be a third job per round for a number already in hand
+    var nEdges = -1L
     try {
       while (changed > 0 && round < maxRounds) {
         round += 1
+        if (nEdges < 0) nEdges = edges.count()
         val next = flat(smallStar(largeStar(edges)))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // fixpoint = identical edge SET (both stars emit distinct rows)
+        // fixpoint = identical edge SET (both stars emit distinct rows):
+        // 2 jobs per round — count(next) (which also materializes it),
+        // plus the left_anti only when the sizes agree
         val nNext = next.count()
         changed =
-          if (nNext != edges.count()) 1L
+          if (nNext != nEdges) 1L
           else next.join(edges, Seq("a", "b"), "left_anti").count()
         edges.unpersist()
         edges = next
+        nEdges = nNext
       }
       if (changed > 0)
         throw new IllegalStateException(

@@ -424,6 +424,90 @@ object SimilarityOps {
     }
   }
 
+  /** Per-subspace k-means-TRAINED PQ codebooks — the production
+    * alternative to [[pqCodebooks]]'s stride sample: codeword c of
+    * subspace m starts as dims [m·subDim, (m+1)·subDim) of the c-th
+    * seed vector (the `numCodes` training vectors with the smallest
+    * (hash32(id), id) — the same deterministic pseudo-random seeding as
+    * kmeansCentroids), then `iters` Lloyd rounds refine each subspace
+    * independently: exact-integer L2 argmin assignment (ties to the
+    * lower code — the SAME metric encodePq assigns by, unlike the
+    * cosine coarse quantizer) and exact floor-mean update; codes that
+    * lose all members keep their previous codeword.
+    *
+    * Scale shape per iteration: ALL subspaces train in ONE pass — a
+    * map-only posexplode to (m, subv), a map-only argmin against the
+    * codebook literal, then one partial-aggregated (m, code, dim)
+    * shuffle whose result is M·K·subDim rows (scalar-sized, collected
+    * like the centroid snapshots). Training runs on the caller's
+    * deterministic sample (`trainStride`), never the full corpus. */
+  def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                         numSubspaces: Int, numCodes: Int, iters: Int,
+                         trainStride: Int): Seq[Seq[(Int, Seq[Long], Long)]] = {
+    require(numSubspaces >= 1 && numCodes >= 1 && iters >= 0 && trainStride >= 1)
+    // materialize the scaled sample once: seeding + every Lloyd round
+    // re-consume it (same checkpoint discipline as kmeansCentroids)
+    val train = corpus.filter(col(idCol) % trainStride === 0)
+      .select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
+      .localCheckpoint()
+    val seeds = train
+      .orderBy(HashFns.hash32(col("vid").cast("string")), col("vid"))
+      .limit(numCodes)
+      .collect().map(_.getSeq[Long](1))
+    require(seeds.length == numCodes,
+      s"training sample has ${seeds.length} vectors, need $numCodes — lower the stride")
+    val dim = seeds.head.length
+    require(dim % numSubspaces == 0,
+      s"dimension $dim not divisible into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    var books: Seq[Seq[Seq[Long]]] = (0 until numSubspaces).map { m =>
+      seeds.toSeq.map(v => v.slice(m * subDim, (m + 1) * subDim).toSeq)
+    }
+    // (m, subv) relation: every training vector contributes one row per
+    // subspace — map-only, no shuffle
+    val subs = train.select(posexplode(array((0 until numSubspaces).map { m =>
+      slice(col("sv"), m * subDim + 1, subDim)
+    }: _*)).as(Seq("m", "subv")))
+    for (_ <- 0 until iters) {
+      val cbLit = array(books.map(cbm =>
+        array(cbm.map(cw => array(cw.map(lit): _*)): _*)): _*)
+      // argmin as array_position(dists, min) — FIRST match, so ties go
+      // to the lower code. (A struct-with-named-fields argmin can't be
+      // used here: field aliases on lambda variables inside transform()
+      // are stripped, so getField("code") fails to resolve.) The dist
+      // array is staged in its own projection so min + position read one
+      // computed column instead of re-evaluating numCodes aggregates.
+      val dists = transform(sequence(lit(0), lit(numCodes - 1)), c =>
+        aggregate(zip_with(col("subv"),
+            element_at(element_at(cbLit, col("m") + 1), c + 1),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, d) => a + d))
+      val staged = subs.select(col("m"), col("subv"), dists.as("__pq_d"))
+      val code = (array_position(col("__pq_d"), array_min(col("__pq_d"))) - 1)
+        .cast("integer")
+      // exact integer floor-mean per (subspace, code, dim) — the same
+      // pmod-subtraction floor as kmeansCentroids/meanPoolByGroup
+      val upd = staged.select(col("m"), code.as("c"),
+          posexplode(col("subv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("c"), col("dim"))
+        .agg((sum(col("x")) - pmod(sum(col("x")), count(lit(1)))).as("num"),
+          count(lit(1)).as("cnt"))
+        .select(col("m"), col("c"), col("dim"),
+          call_function("div", col("num"), col("cnt")).as("cx"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq }
+      books = (0 until numSubspaces).map { m =>
+        (0 until numCodes).map(c => upd.getOrElse((m, c), books(m)(c)))
+      }
+    }
+    books.map(_.zipWithIndex.map { case (cw, c) =>
+      var n2 = 0L; cw.foreach(x => n2 += x * x)
+      (c, cw, n2)
+    }.toSeq)
+  }
+
   /** PQ-encode a vector relation: (id, codes array<int>, rec_n2).
     * `codes(m)` = the L2-nearest codeword of subspace m (exact integer
     * distances, ties to the lower code), `rec_n2` = the norm² of the
@@ -517,14 +601,26 @@ object SimilarityOps {
                 vecCol: String, k: Int,
                 codebooks: Seq[Seq[(Int, Seq[Long], Long)]],
                 centroidStride: Int = 37, nProbes: Int = 2): DataFrame = {
-    val numSubspaces = codebooks.length
-    val subDim = codebooks.head.head._2.length
     val cents = corpus.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("cent_id"), scaled(col(vecCol)).as("cent_v"))
     val snapshot = collectCentroids(cents)
-    // corpus: cell + codes + rec_n2 in one staged projection (the
-    // array_min picks are aliased once so code/cn2 extraction does not
-    // recompute them — same staging discipline as encodePq)
+    val encoded = ivfPqEncodeCorpus(corpus, idCol, vecCol, snapshot, codebooks)
+    val q = ivfPqQuerySide(queries, idCol, vecCol, snapshot, codebooks, nProbes)
+    ivfPqAdcScore(encoded, q, codebooks.length, k)
+  }
+
+  /** IVF-PQ corpus representation, ONE map-only staged projection:
+    * (neighbor_id, cell, codes, rec_n2) — cell assignment and PQ encode
+    * share the same staged scaled vector; the array_min picks are
+    * aliased once so code/cn2 extraction does not recompute them (same
+    * staging discipline as encodePq). Shared by the in-memory
+    * [[ivfPqTopK]] and the persisted [[writeIvfPqIndex]]. */
+  private def ivfPqEncodeCorpus(corpus: DataFrame, idCol: String,
+                                vecCol: String,
+                                snapshot: Seq[(Long, Seq[Long], Double)],
+                                codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame = {
+    val numSubspaces = codebooks.length
+    val subDim = codebooks.head.head._2.length
     val v = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("sv"))
     val picks = (0 until numSubspaces).map { m =>
       val sub = slice(col("sv"), m * subDim + 1, subDim)
@@ -536,15 +632,24 @@ object SimilarityOps {
       }
       array_min(array(cands: _*)).as(s"__pq_m$m")
     }
-    val encoded = v
-      .select(col("neighbor_id") +:
+    v.select(col("neighbor_id") +:
         element_at(topCells(col("sv"), snapshot, 1), 1).as("cell") +: picks: _*)
       .select(col("neighbor_id"), col("cell"),
         array((0 until numSubspaces).map(m => col(s"__pq_m$m").getField("code")): _*)
           .as("codes"),
         (0 until numSubspaces).map(m => col(s"__pq_m$m").getField("cn2"))
           .reduce(_ + _).as("rec_n2"))
-    // query side: ADC dot table + probed cells, broadcast-sized
+  }
+
+  /** Query side of an IVF-PQ probe: ADC dot table + probed cells,
+    * broadcast-sized — (query_id, q_n2, dt, cell) with one row per
+    * (query, probed cell). */
+  private def ivfPqQuerySide(queries: DataFrame, idCol: String, vecCol: String,
+                             snapshot: Seq[(Long, Seq[Long], Double)],
+                             codebooks: Seq[Seq[(Int, Seq[Long], Long)]],
+                             nProbes: Int): DataFrame = {
+    val numSubspaces = codebooks.length
+    val subDim = codebooks.head.head._2.length
     val qv = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
       .withColumn("q_n2", norm2(col("qv")))
     val dt = array((0 until numSubspaces).map { m =>
@@ -554,8 +659,14 @@ object SimilarityOps {
           lit(0L), (acc, d) => acc + d)
       }: _*)
     }: _*)
-    val q = qv.select(col("query_id"), col("q_n2"), dt.as("dt"),
+    qv.select(col("query_id"), col("q_n2"), dt.as("dt"),
       explode(topCells(col("qv"), snapshot, nProbes)).as("cell"))
+  }
+
+  /** ADC scoring epilogue: cell equi-join against the broadcast query
+    * side, table-lookup dot, exact rerank. */
+  private def ivfPqAdcScore(encoded: DataFrame, q: DataFrame,
+                            numSubspaces: Int, k: Int): DataFrame = {
     val adcDot = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(numSubspaces - 1)),
         (code, m) => element_at(element_at(col("dt"), m + 1), code + 1)),
@@ -567,6 +678,60 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"),
         cosineFromInts(adcDot, col("q_n2"), col("rec_n2")).as("cosine"))
     rerankTopK(scored, k)
+  }
+
+  /** Persisted IVF-PQ index — the artifact a 100 TB ANN service actually
+    * serves from: the corpus stored as 32×-compressed PQ CODES (4 ints +
+    * a long per vector, never the raw floats), PARTITIONED BY IVF CELL,
+    * with the centroid and codebook tables alongside. BUILD is one
+    * map-only pass ([[ivfPqEncodeCorpus]]) + one partitioned write;
+    * PROBE ([[probeIvfPqIndex]]) reads ONLY the probed cell directories
+    * — the cell filter is a partition filter, so a 2-probe query over
+    * 4096 cells scans ~0.05% of an already-32×-smaller relation. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame,
+                      codebooks: Seq[Seq[(Int, Seq[Long], Long)]],
+                      path: String): Unit = {
+    val spark = corpus.sparkSession
+    val snapshot = collectCentroids(centroids)
+    ivfPqEncodeCorpus(corpus, idCol, vecCol, snapshot, codebooks)
+      .withColumnRenamed("neighbor_id", "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    centroids.select(col("cent_id"), col("cent_v"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    codebooks.zipWithIndex
+      .flatMap { case (cb, m) => cb.map { case (c, subv, cn2) => (m, c, subv, cn2) } }
+      .toDF("m", "c", "subv", "cn2")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: ADC top-k within the probed
+    * cells, reading codes only. The probe side is broadcast-sized by
+    * contract, so it is evaluated ONCE and both the partition-filter
+    * cell list and the broadcast join side come from that single
+    * evaluation (same discipline as [[probeIvfIndex]]). */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbes: Int): DataFrame = {
+    val snapshot = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    val codebooks: Seq[Seq[(Int, Seq[Long], Long)]] =
+      spark.read.parquet(s"$path/codebooks")
+        .select(col("m"), col("c"), col("subv"), col("cn2")).collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1))
+            .map(r => (r.getInt(1), r.getSeq[Long](2), r.getLong(3))).toSeq
+        }
+    val qPlan = ivfPqQuerySide(queries, idCol, vecCol, snapshot, codebooks, nProbes)
+    val qRows = qPlan.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
+    val probedCells = qRows.map(_.getAs[Long]("cell")).distinct.sorted
+    val encoded = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(c => c: Any): _*))
+      .withColumnRenamed("id", "neighbor_id")
+    ivfPqAdcScore(encoded, q, codebooks.length, k)
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,

@@ -29,6 +29,9 @@ object SimilarityQueries {
     GraftQuery("q_embed_meanpool", embedMeanPool, Some(embedMeanPoolSql)),
     GraftQuery("q_embed_ivfpq_topk", embedIvfPqTopK, Some(embedIvfPqTopKSql),
       bench = true),
+    GraftQuery("q_embed_ivfpq_index", embedIvfPqIndex, Some(embedIvfPqTopKSql)),
+    GraftQuery("q_embed_pq_trained", embedPqTrained, Some(embedPqTrainedSql)),
+    GraftQuery("q_pq_recall_compare", pqRecallCompare, Some(pqRecallCompareSql)),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
@@ -112,6 +115,25 @@ object SimilarityQueries {
        |  FROM scored
        |)
        |SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= $TOPK""".stripMargin
+  }
+
+  /** Persisted IVF-PQ index round-trip: BUILD the on-disk index (codes
+    * partitioned by cell + centroid/codebook tables), then PROBE it —
+    * identical parameters to [[embedIvfPqTopK]], so it shares that
+    * query's oracle: the on-disk round-trip must change nothing. The
+    * probe's cell filter partition-prunes the code scan (asserted by
+    * IvfIndexSpec). */
+  def embedIvfPqIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cbs = SimilarityOps.pqCodebooks(e, "vec_id", "embedding", PQ_M, PQ_K, PQ_STRIDE)
+    val cents = e.filter(col("vec_id") % CENT_STRIDE === 0)
+      .select(col("vec_id").as("cent_id"),
+        SimilarityOps.scaled(col("embedding")).as("cent_v"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_${math.abs(sfDir.hashCode)}"
+    SimilarityOps.writeIvfPqIndex(e, "vec_id", "embedding", cents, cbs, dir)
+    SimilarityOps.probeIvfPqIndex(spark, dir, q, "vec_id", "embedding",
+      TOPK, N_PROBES)
   }
 
   /** Per-label mean-pooled class centroids (exact integer floor-mean),
@@ -210,53 +232,205 @@ object SimilarityQueries {
     SimilarityOps.pqTopK(q, e, "vec_id", "embedding", TOPK, cbs)
   }
 
-  def embedPqTopKSql: String = {
+  /** Stride-sample codebook CTE (named `cb`): requires `v` in scope. */
+  private def pqStrideCbCte: String = {
     val sd = 64 / PQ_M
-    // sub-vector L2 / dot against codeword subv, offset by m·subDim
-    val subL2 =
-      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> (v.sv[cb.m*$sd+i] - cb.subv[i]) * (v.sv[cb.m*$sd+i] - cb.subv[i]))) AS BIGINT)"
-    val subDot =
-      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> v.sv[cb.m*$sd+i] * cb.subv[i])) AS BIGINT)"
-    s"""WITH v AS (
-       |  SELECT vec_id, $svSql AS sv FROM embeddings
-       |), samp AS (
+    s"""samp AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv
        |  FROM v WHERE vec_id % $PQ_STRIDE = 0
        |), cb AS (
        |  SELECT m, c, sv[m*$sd+1 : m*$sd+$sd] AS subv
        |  FROM samp, (SELECT unnest(range(0, $PQ_M)) AS m)
        |  WHERE c < $PQ_K
-       |), codes AS (
+       |)""".stripMargin
+  }
+
+  /** ADC scoring CTEs, parameterized by codebook CTE name and a suffix
+    * so two PQ variants can coexist in one query. Requires `v` and the
+    * codebook CTE in scope; defines codes$sfx/qdt$sfx/qn$sfx/scored$sfx. */
+  private def pqAdcCtes(cbName: String, sfx: String): String = {
+    val sd = 64 / PQ_M
+    // sub-vector L2 / dot against codeword subv, offset by m·subDim
+    val subL2 =
+      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> (v.sv[cb.m*$sd+i] - cb.subv[i]) * (v.sv[cb.m*$sd+i] - cb.subv[i]))) AS BIGINT)"
+    val subDot =
+      s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> v.sv[cb.m*$sd+i] * cb.subv[i])) AS BIGINT)"
+    s"""codes$sfx AS (
        |  SELECT vec_id, m, c, cn2 FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
        |    FROM (
        |      SELECT v.vec_id, cb.m, cb.c, $subL2 AS d,
        |        CAST(list_sum(list_transform(cb.subv, x -> x * x)) AS BIGINT) AS cn2
-       |      FROM v, cb
+       |      FROM v, $cbName cb
        |    )
        |  ) WHERE rk = 1
-       |), qdt AS (
+       |), qdt$sfx AS (
        |  SELECT v.vec_id AS q_id, cb.m, cb.c, $subDot AS pd
-       |  FROM v, cb WHERE v.vec_id % 50 = 0
-       |), qn AS (
+       |  FROM v, $cbName cb WHERE v.vec_id % 50 = 0
+       |), qn$sfx AS (
        |  SELECT vec_id AS q_id, ${norm2Sql("sv")} AS q_n2 FROM v
        |  WHERE vec_id % 50 = 0
-       |), scored AS (
+       |), scored$sfx AS (
        |  SELECT d.q_id AS query_id, s.vec_id AS neighbor_id,
        |    CAST(sum(d.pd) AS DOUBLE)
        |      / (sqrt(CAST(any_value(qn.q_n2) AS DOUBLE))
        |         * sqrt(CAST(sum(s.cn2) AS DOUBLE))) AS cosine
-       |  FROM codes s
-       |  JOIN qdt d ON d.m = s.m AND d.c = s.c
-       |  JOIN qn ON qn.q_id = d.q_id
+       |  FROM codes$sfx s
+       |  JOIN qdt$sfx d ON d.m = s.m AND d.c = s.c
+       |  JOIN qn$sfx qn ON qn.q_id = d.q_id
        |  WHERE d.q_id <> s.vec_id
        |  GROUP BY d.q_id, s.vec_id
-       |)
+       |)""".stripMargin
+  }
+
+  def embedPqTopKSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), $pqStrideCbCte, ${pqAdcCtes("cb", "")}
        |SELECT query_id, neighbor_id, cosine FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        |  FROM scored
        |) WHERE rn <= $TOPK""".stripMargin
+
+  private val PQ_ITERS = 2        // per-subspace Lloyd rounds
+  private val PQ_TRAIN_STRIDE = 4 // training sample for codebook k-means
+
+  /** Unrolled per-subspace k-means PQ training (mirrors
+    * SimilarityOps.pqCodebooksTrained): seed from the smallest
+    * (hash32(id), id) sample vectors, then L2-argmin assignment + exact
+    * floor-mean update per (subspace, code), empty codes keeping their
+    * previous codeword. Requires `v` in scope; final codebook is
+    * pcb$PQ_ITERS (m, c, subv). */
+  private def pqTrainedCtes: String = {
+    val sd = 64 / PQ_M
+    val seedHash = graft.pipeline.HashFns.hash32Sql("CAST(vec_id AS VARCHAR)")
+    val init =
+      s"""ptr AS (
+         |  SELECT vec_id, sv FROM v WHERE vec_id % $PQ_TRAIN_STRIDE = 0
+         |), pseed AS (
+         |  SELECT c, sv FROM (
+         |    SELECT row_number() OVER (ORDER BY $seedHash, vec_id) - 1 AS c, sv
+         |    FROM ptr
+         |  ) WHERE c < $PQ_K
+         |), pcb0 AS (
+         |  SELECT m, c, sv[m*$sd+1 : m*$sd+$sd] AS subv
+         |  FROM pseed, (SELECT unnest(range(0, $PQ_M)) AS m)
+         |)""".stripMargin
+    val iters = (1 to PQ_ITERS).map { t =>
+      s""", pas$t AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT tr.vec_id, cb.m, cb.c,
+         |      row_number() OVER (PARTITION BY tr.vec_id, cb.m ORDER BY
+         |        CAST(list_sum(list_transform(range(1, $sd + 1),
+         |          i -> (tr.sv[cb.m*$sd+i] - cb.subv[i]) * (tr.sv[cb.m*$sd+i] - cb.subv[i]))) AS BIGINT),
+         |        cb.c) AS rk
+         |    FROM ptr tr, pcb${t - 1} cb
+         |  ) WHERE rk = 1
+         |), pupd$t AS (
+         |  SELECT m, c, list(cx ORDER BY dim) AS subv FROM (
+         |    -- FLOOR division via pmod subtraction (engine parity)
+         |    SELECT m, c, dim,
+         |      (sum(x) - ((sum(x) % count(*) + count(*)) % count(*))) // count(*) AS cx
+         |    FROM (
+         |      SELECT a.m, a.c, i.dim, tr.sv[a.m*$sd + i.dim] AS x
+         |      FROM pas$t a
+         |      JOIN ptr tr ON tr.vec_id = a.vec_id,
+         |           (SELECT unnest(range(1, $sd + 1)) AS dim) i
+         |    ) GROUP BY m, c, dim
+         |  ) GROUP BY m, c
+         |), pcb$t AS (
+         |  SELECT p.m, p.c, coalesce(u.subv, p.subv) AS subv
+         |  FROM pcb${t - 1} p LEFT JOIN pupd$t u ON u.m = p.m AND u.c = p.c
+         |)""".stripMargin
+    }.mkString
+    init + iters
+  }
+
+  /** PQ ANN with k-means-TRAINED codebooks — same ADC pipeline as
+    * [[embedPqTopK]], but the codebooks come from per-subspace Lloyd
+    * rounds instead of a stride sample: lower quantization error on
+    * clustered embeddings, quantified by [[pqRecallCompare]]. */
+  def embedPqTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cbs = SimilarityOps.pqCodebooksTrained(e, "vec_id", "embedding",
+      PQ_M, PQ_K, PQ_ITERS, PQ_TRAIN_STRIDE)
+    SimilarityOps.pqTopK(q, e, "vec_id", "embedding", TOPK, cbs)
+  }
+
+  def embedPqTrainedSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), $pqTrainedCtes, cbt AS (
+       |  SELECT m, c, subv FROM pcb$PQ_ITERS
+       |), ${pqAdcCtes("cbt", "")}
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TOPK""".stripMargin
+
+  /** Recall harness for the PQ quality question: micro-averaged
+    * recall@5 of STRIDE-sample vs TRAINED codebooks against the exact
+    * brute-force neighbors, on the same query set — one row per method.
+    * The exact side is the labeled nested-loop verifier (bounded query
+    * sample), which is why this row sits on the PlanAudit allow-list
+    * next to q_ann_recall. */
+  def pqRecallCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val exact = SimilarityOps.bruteForceTopK(q, e, "vec_id", "embedding", TOPK)
+    val cbsS = SimilarityOps.pqCodebooks(e, "vec_id", "embedding",
+      PQ_M, PQ_K, PQ_STRIDE)
+    val cbsT = SimilarityOps.pqCodebooksTrained(e, "vec_id", "embedding",
+      PQ_M, PQ_K, PQ_ITERS, PQ_TRAIN_STRIDE)
+    def row(method: String, cbs: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame =
+      SimilarityOps.annRecall(
+          SimilarityOps.pqTopK(q, e, "vec_id", "embedding", TOPK, cbs), exact)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("sum_exact"), sum(col("n_hit")).as("sum_hit"))
+        .select(lit(method).as("method"), col("n_queries"), col("sum_exact"),
+          col("sum_hit"),
+          call_function("div", col("sum_hit") * 1000, col("sum_exact"))
+            .as("recall_permille"))
+    row("pq_stride", cbsS).unionByName(row("pq_trained", cbsT))
+  }
+
+  def pqRecallCompareSql: String = {
+    def recallSelect(method: String, sfx: String): String =
+      s"""SELECT '$method' AS method, count(DISTINCT e.query_id) AS n_queries,
+         |  count(*) AS sum_exact, count(a.neighbor_id) AS sum_hit,
+         |  (count(a.neighbor_id) * 1000) // count(*) AS recall_permille
+         |FROM ex e LEFT JOIN ap$sfx a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""".stripMargin
+    def topkCte(sfx: String): String =
+      s"""ap$sfx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |    FROM scored$sfx
+         |  ) WHERE rn <= $TOPK
+         |)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(${dotSql("q.sv", "c.sv")} AS DOUBLE)
+       |          / (sqrt(CAST(${norm2Sql("q.sv")} AS DOUBLE))
+       |             * sqrt(CAST(${norm2Sql("c.sv")} AS DOUBLE))) DESC,
+       |        c.vec_id) AS rn
+       |    FROM v q JOIN v c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+       |  ) WHERE rn <= $TOPK
+       |), $pqStrideCbCte, ${pqAdcCtes("cb", "_s")}, ${topkCte("_s")},
+       |$pqTrainedCtes, cbt AS (
+       |  SELECT m, c, subv FROM pcb$PQ_ITERS
+       |), ${pqAdcCtes("cbt", "_t")}, ${topkCte("_t")}
+       |${recallSelect("pq_stride", "_s")}
+       |UNION ALL
+       |${recallSelect("pq_trained", "_t")}""".stripMargin
   }
 
   private val CENT_STRIDE = 37

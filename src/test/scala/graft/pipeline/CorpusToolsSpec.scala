@@ -386,4 +386,24 @@ class CorpusToolsSpec extends AnyFunSuite {
       langCode = "fr", minQuality = 0.0, minTokPermille = 500)
     assert(none.count() == 0)
   }
+
+  test("filterCorpus: cutoff histogram above the cardinality cap fails loudly") {
+    // 4 distinct token counts among the en survivors, cap of 2 → the
+    // bounded-collect contract is violated and must raise, not collect
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "the cat sat on the mat today again and"),
+      (3L, "the cat sat on the mat today again and then some more"),
+      (4L, "the cat sat on the mat today again and then some more after all of it"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusFilter.filterCorpus(docs, "text", "doc_id",
+        langCode = "en", minQuality = 0.0, minTokPermille = 500,
+        maxCutoffHistogram = 2)
+    }
+    assert(e.getMessage.contains("cutoff histogram exceeds 2"))
+    // at the default cap the same corpus flows through untouched
+    assert(CorpusFilter.filterCorpus(docs, "text", "doc_id",
+      langCode = "en", minQuality = 0.0, minTokPermille = 1).count() == 4)
+  }
 }

@@ -46,4 +46,43 @@ class IvfIndexSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("IVF-PQ index: probe(index) == in-memory ivfPqTopK; codes scan prunes") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0L until 300L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val stride = 7
+    val cbs = SimilarityOps.pqCodebooks(corpus, "vec_id", "embedding",
+      numSubspaces = 2, numCodes = 8, stride = 11)
+    val cents = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"),
+        SimilarityOps.scaled(col("embedding")).as("cent_v"))
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    try {
+      SimilarityOps.writeIvfPqIndex(corpus, "vec_id", "embedding", cents, cbs, dir)
+      val probed = SimilarityOps.probeIvfPqIndex(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbes = 2)
+      val direct = SimilarityOps.ivfPqTopK(queries, corpus,
+        "vec_id", "embedding", k = 3, codebooks = cbs,
+        centroidStride = stride, nProbes = 2)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).sorted.toSeq
+      assert(canon(probed) == canon(direct))
+
+      // the code scan must carry the probed cells as a non-empty
+      // PartitionFilters entry — "PartitionFilters: []" must fail
+      val plan = probed.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell#".r.findFirstIn(plan).isDefined,
+        s"no cell partition filter on the IVF-PQ code scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

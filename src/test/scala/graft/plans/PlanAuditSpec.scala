@@ -23,7 +23,11 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private val nestedLoopAllowed =
-    Set("q_embed_topk", "q_ann_recall", "q_embed_pq_topk")
+    Set("q_embed_topk", "q_ann_recall", "q_embed_pq_topk",
+      // PQ quality track: same labeled verifier shapes — pqTopK's
+      // broadcast code scan, plus the brute-force ground truth in the
+      // recall comparison
+      "q_embed_pq_trained", "q_pq_recall_compare")
 
   private def planOf(name: String): String =
     Registry.byName(name).run(spark, sfDir)
