@@ -139,17 +139,22 @@ object DedupOps {
     * from an LSH band equi-join between the batch's band keys and band
     * keys derived MAP-ONLY from the index signatures; only band-
     * colliding pairs are scored. Returns flagged pairs
-    * (new_id, old_id, n_agree, agree_frac). Known hazard at scale:
-    * boilerplate-heavy corpora concentrate band buckets; the agreement
-    * verify bounds the damage to false candidates, and a hot band can
-    * be salted by raising `bands`. Drop flagged docs with
-    * [[dedupNearAgainstIndex]]. */
+    * (new_id, old_id, n_agree, agree_frac). Hot-band skew is capped the
+    * same way as [[minhashCandidatePairs]], on the INDEX side (history
+    * is the big side; the join's per-bucket cost is |batch bucket| ×
+    * |index bucket|): index band keys whose bucket exceeds
+    * `maxBandFreq` are dropped from the screen — buckets that large are
+    * boilerplate, and the ORACLE mirrors the cap. A batch doc can still
+    * match the same history doc through its other bands. Drop flagged
+    * docs with [[dedupNearAgainstIndex]]. */
   def nearDupAgainstIndex(batch: DataFrame, index: DataFrame,
                           textCol: String, idCol: String,
                           shingleK: Int = 3, numHashes: Int = 12,
                           bands: Int = 4,
-                          minAgreeFrac: Double = 0.5): DataFrame = {
+                          minAgreeFrac: Double = 0.5,
+                          maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    require(maxBandFreq >= 2, s"maxBandFreq must be >= 2, got $maxBandFreq")
     val rowsPerBand = numHashes / bands
     val bSig = withMinhashSignature(batch, textCol, idCol, "__nb_sig",
         shingleK, numHashes)
@@ -158,10 +163,19 @@ object DedupOps {
     val bBands = bSig.select(col("new_id"), col("new_sig"),
       posexplode(lshBandKeys(col("new_sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
-    val iBands = index.select(col(idCol).as("old_id"), col("sig").as("old_sig"))
+    val iBandsAll = index.select(col(idCol).as("old_id"), col("sig").as("old_sig"))
       .select(col("old_id"), col("old_sig"),
         posexplode(lshBandKeys(col("old_sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
+    val iBands =
+      if (maxBandFreq == Int.MaxValue) iBandsAll
+      else {
+        val hot = iBandsAll.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("__hb_c"))
+          .filter(col("__hb_c") > maxBandFreq)
+          .select(col("band_idx"), col("band_hash"))
+        iBandsAll.join(hot, Seq("band_idx", "band_hash"), "left_anti")
+      }
     bBands.join(iBands, Seq("band_idx", "band_hash"))
       .select(col("new_id"), col("old_id"),
         size(filter(zip_with(col("new_sig"), col("old_sig"),
@@ -178,9 +192,10 @@ object DedupOps {
                             textCol: String, idCol: String,
                             shingleK: Int = 3, numHashes: Int = 12,
                             bands: Int = 4,
-                            minAgreeFrac: Double = 0.5): DataFrame = {
+                            minAgreeFrac: Double = 0.5,
+                            maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
     val flagged = nearDupAgainstIndex(batch, index, textCol, idCol,
-        shingleK, numHashes, bands, minAgreeFrac)
+        shingleK, numHashes, bands, minAgreeFrac, maxBandFreq)
       .select(col("new_id").as("__ni_drop")).distinct()
     batch.join(flagged, col(idCol) === col("__ni_drop"), "left_anti")
   }
@@ -270,6 +285,34 @@ object DedupOps {
       .withColumn(sigCol, coalesce(col(sigCol), sentinel))
   }
 
+  /** Default ceiling on a band bucket's membership. A bucket of c docs
+    * emits c·(c−1)/2 candidate pairs, so one boilerplate-concentrated
+    * bucket goes quadratic long before anything else in the pipeline
+    * hurts; 10⁴ caps a single bucket at ~5·10⁷ pairs. True near-dup
+    * CLUSTERS above the cap don't exist in practice — a 10⁴-strong
+    * "near-dup" set is boilerplate, and EXACT duplicates (which also
+    * concentrate buckets) belong to the exact-dedup pass that runs
+    * before near-dedup in any real pipeline. */
+  val DefaultMaxBandFreq: Int = 10000
+
+  /** Diagnostic: band buckets whose membership exceeds `maxBandFreq`,
+    * with their counts — the monitoring view behind the cap below. Run
+    * it when the candidate counts drop unexpectedly: a non-empty result
+    * is the loud signal that banding is truncating (raise `bands`,
+    * pre-filter the boilerplate, or accept the recall trade). */
+  def hotBandStats(df: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                   maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    withMinhashSignature(df, textCol, idCol, "__mh_sig", shingleK, numHashes)
+      .filter(col("__mh_sig").getItem(0) =!= MinhashPrime)
+      .select(posexplode(lshBandKeys(col("__mh_sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBandFreq)
+  }
+
   /** Candidate near-dup pairs via MinHash LSH: docs sharing ≥1 band.
     * Returns (id_a, id_b) with id_a < id_b, distinct.
     *
@@ -279,16 +322,40 @@ object DedupOps {
     * real corpus (which has millions of near-empty docs). They cannot be
     * near-duplicates by Jaccard anyway (empty shingle sets), so dropping
     * them changes no true candidate. sig[0] = p iff the shingle set was
-    * empty (any real shingle leaves a residue < p). */
+    * empty (any real shingle leaves a residue < p).
+    *
+    * HOT-BAND CAP, on by default: bucket frequencies are counted with
+    * one map-side-combinable aggregation inside the same plan, and
+    * buckets above `maxBandFreq` are dropped from banding entirely (an
+    * equi anti-join — no driver round-trip, no extra job). The sentinel
+    * filter killed the EMPTY-doc hot bucket; this closes the remaining
+    * skew path, a boilerplate-heavy corpus concentrating one real
+    * bucket quadratically. Docs in a dropped bucket still pair through
+    * their other bands; pairs that agree ONLY in the hot band are the
+    * deliberate recall cost, and [[hotBandStats]] is the loud
+    * monitoring view of exactly what the cap is truncating. The DuckDB
+    * oracles mirror the cap, so the semantics stay bit-identical at any
+    * scale. `maxBandFreq = Int.MaxValue` disables. */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleK: Int = 3, numHashes: Int = 12,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4,
+                            maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
+    require(maxBandFreq >= 2, s"maxBandFreq must be >= 2, got $maxBandFreq")
     val rowsPerBand = numHashes / bands
     val withSig = withMinhashSignature(df, textCol, idCol, "__mh_sig", shingleK, numHashes)
       .filter(col("__mh_sig").getItem(0) =!= MinhashPrime)
-    val withBands = withSig.select(col(idCol).as("doc_id"),
+    val banded = withSig.select(col(idCol).as("doc_id"),
       posexplode(lshBandKeys(col("__mh_sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
+    val withBands =
+      if (maxBandFreq == Int.MaxValue) banded
+      else {
+        val hot = banded.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("__hb_c"))
+          .filter(col("__hb_c") > maxBandFreq)
+          .select(col("band_idx"), col("band_hash"))
+        banded.join(hot, Seq("band_idx", "band_hash"), "left_anti")
+      }
     val a = withBands.as("a"); val b = withBands.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -346,7 +413,8 @@ object DedupOps {
     * the caller owns the matching unpersist(). Rounds are capped at
     * `maxRounds` — a graph whose diameter exceeds the cap fails loudly
     * instead of returning partially-propagated labels. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64,
+                          onConverged: Int => Unit = _ => ()): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -401,6 +469,7 @@ object DedupOps {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds " +
             s"($changed labels still changing) — graph diameter exceeds the cap")
+      onConverged(round)
       ok = true
       labels
     } finally {
@@ -428,7 +497,8 @@ object DedupOps {
     * as [[connectedComponents]]: (id, component) for every id in
     * `pairs`, returned persisted (caller unpersists), loud failure if
     * the cap is hit. */
-  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 32,
+                              onConverged: Int => Unit = _ => ()): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     def flat(df: DataFrame): DataFrame =
@@ -493,6 +563,7 @@ object DedupOps {
           s"connectedComponentsStar did not converge in $maxRounds rounds " +
             "— this cap should exceed log2(nodes); raise it or check for " +
             "nondeterministic edge input")
+      onConverged(round)
       // at the fixpoint every non-root node has exactly one star edge to
       // its component min; roots appear only on the right side
       val labels = nodes.join(edges, nodes("id") === edges("a"), "left")

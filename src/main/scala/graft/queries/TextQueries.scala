@@ -241,7 +241,8 @@ object TextQueries {
 
   /** Shared LSH-pairs CTE chain ending in `cand` (id_a, id_b);
     * empty-shingle docs are excluded from banding (the all-sentinel
-    * hot-bucket de-skew — see minhashCandidatePairs). */
+    * hot-bucket de-skew) and band buckets above the frequency cap are
+    * dropped — both mirroring minhashCandidatePairs exactly. */
   private def pairsCtes: String = {
     val r = NUM_HASHES / BANDS
     s""", sig AS (
@@ -251,9 +252,15 @@ object TextQueries {
        |  SELECT doc_id, b, md5(array_to_string(
        |    list_transform(sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
        |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b) bs
+       |), bsafe AS (
+       |  SELECT bd.doc_id, bd.b, bd.band_hash FROM bands bd
+       |  JOIN (
+       |    SELECT b, band_hash FROM bands GROUP BY b, band_hash
+       |    HAVING count(*) <= ${DedupOps.DefaultMaxBandFreq}
+       |  ) f ON f.b = bd.b AND f.band_hash = bd.band_hash
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM bsafe a JOIN bsafe b
        |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |)""".stripMargin
   }
@@ -304,9 +311,15 @@ object TextQueries {
        |  SELECT doc_id, b, md5(array_to_string(
        |    list_transform(sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
        |  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b) bs
+       |), bsafe AS (
+       |  SELECT bd.doc_id, bd.b, bd.band_hash FROM bands bd
+       |  JOIN (
+       |    SELECT b, band_hash FROM bands GROUP BY b, band_hash
+       |    HAVING count(*) <= ${DedupOps.DefaultMaxBandFreq}
+       |  ) f ON f.b = bd.b AND f.band_hash = bd.band_hash
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM bsafe a JOIN bsafe b
        |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |), shr AS (
        |  SELECT doc_id, unnest(${TextOps.shinglesSql("text", K)}) AS sh FROM documents
@@ -828,10 +841,17 @@ object TextQueries {
        |  SELECT doc_id AS old_id, sig AS old_sig FROM sig WHERE doc_id % 2 = 0
        |), bat AS (
        |  SELECT doc_id AS new_id, sig AS new_sig FROM sig WHERE doc_id % 2 = 1
-       |), bi AS (
+       |), bi0 AS (
        |  SELECT old_id, old_sig, b, md5(array_to_string(
        |    list_transform(old_sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash
        |  FROM idx, (SELECT unnest(range(0, $BANDS)) AS b) bs
+       |), bi AS (
+       |  -- index-side hot-band cap, mirroring nearDupAgainstIndex
+       |  SELECT bd.old_id, bd.old_sig, bd.b, bd.band_hash FROM bi0 bd
+       |  JOIN (
+       |    SELECT b, band_hash FROM bi0 GROUP BY b, band_hash
+       |    HAVING count(*) <= ${DedupOps.DefaultMaxBandFreq}
+       |  ) f ON f.b = bd.b AND f.band_hash = bd.band_hash
        |), bb AS (
        |  SELECT new_id, new_sig, b, md5(array_to_string(
        |    list_transform(new_sig[b*$r+1:b*$r+$r], x -> CAST(x AS VARCHAR)), ',')) AS band_hash

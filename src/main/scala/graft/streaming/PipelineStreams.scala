@@ -142,7 +142,11 @@ object PipelineStreams {
     * standard streaming-dedup contract: two near-dups arriving farther
     * apart than `delay` are not paired (batch reconciliation owns the
     * long tail). Empty-shingle docs are excluded from banding (the same
-    * all-sentinel hot bucket the batch path de-skews).
+    * all-sentinel hot bucket the batch path de-skews). The batch path's
+    * HOT-BAND FREQUENCY CAP does not apply here — a stream has no
+    * global bucket counts — but the watermark horizon bounds a hot
+    * band's pair fan-out to (rate × horizon)² per bucket, and the batch
+    * reconciliation pass reapplies the full cap.
     *
     * Emits (id_a, id_b, band_idx, t_a) with id_a < id_b, in append mode;
     * a pair sharing several bands is emitted once per shared band —

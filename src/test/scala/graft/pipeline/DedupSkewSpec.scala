@@ -34,6 +34,60 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(pairs.length <= 45)
   }
 
+  test("hot-band cap drops boilerplate buckets; other bands still pair") {
+    // 30 identical boilerplate docs concentrate every band bucket they
+    // touch; 2 identical "real" docs sit under the cap. With the cap at
+    // 10 the boilerplate's C(30,2) = 435 pairs vanish and only the real
+    // pair survives; uncapped, all 436 appear.
+    val boiler = (0L until 30L).map(i =>
+      (i, "subscribe to our newsletter for daily updates and offers"))
+    val real = Seq(
+      (100L, "a genuinely unique article body with enough words to shingle"),
+      (101L, "a genuinely unique article body with enough words to shingle"))
+    val df = (boiler ++ real).toDF("doc_id", "text")
+
+    val capped = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
+        maxBandFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"expected only the under-cap pair, got ${capped.take(5)}")
+
+    val uncapped = DedupOps.minhashCandidatePairs(df, "text", "doc_id",
+        maxBandFreq = Int.MaxValue)
+      .collect().length
+    assert(uncapped == 435 + 1)
+
+    // the diagnostic surfaces exactly the truncated buckets (every band
+    // of the 30-doc boilerplate bucket), each with its count
+    val hot = DedupOps.hotBandStats(df, "text", "doc_id", maxBandFreq = 10)
+      .collect().map(r => r.getLong(2))
+    assert(hot.nonEmpty && hot.forall(_ == 30L))
+  }
+
+  test("index-side hot-band cap bounds the incremental screen") {
+    // history holds 25 copies of a boilerplate doc: every band bucket
+    // of it exceeds a cap of 10, so a new boilerplate doc is NOT
+    // flagged against history (the cap trade); a normal near-dup of an
+    // under-cap history doc still is.
+    val history = ((0L until 25L).map(i =>
+      (i, "subscribe to our newsletter for daily updates and offers")) :+
+      (50L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "subscribe to our newsletter for daily updates and offers"),
+      (101L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val idx = DedupOps.minhashSigIndex(history, "text", "doc_id")
+    val flagged = DedupOps.nearDupAgainstIndex(batch, idx, "text", "doc_id",
+        maxBandFreq = 10)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(101L))
+    val unflagged = DedupOps.nearDupAgainstIndex(batch, idx, "text", "doc_id",
+        maxBandFreq = Int.MaxValue)
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(unflagged == Set(100L, 101L))
+  }
+
   test("end-to-end near-dup dedup keeps min-id representatives") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
