@@ -515,33 +515,18 @@ object SimilarityOps {
     * downstream ADC scoring needs, and 32× smaller than the vector
     * itself (4 codes + a long vs 64 floats): at 100 TB the encoded
     * corpus fits where the raw embeddings never would. Map-only: the
-    * codebooks ride along as literals, argmin per subspace is one
-    * array_min over a struct array (dist, code — Spark's struct ordering
-    * IS the oracle's ORDER BY dist, code). */
+    * codebooks ride into generated code as one flat `long[]` reference
+    * and the per-subspace argmin is a straight Java loop
+    * (functions.PqKernels — the interpreted array_min-over-structs form
+    * this replaces ran ~numSubspaces×numCodes lambda folds per row;
+    * ties still go to the lower code, bit-identical to the oracle's
+    * ORDER BY dist, code). */
   def encodePq(df: DataFrame, idCol: String, vecCol: String,
-               codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame = {
-    val numSubspaces = codebooks.length
-    val subDim = codebooks.head.head._2.length
-    // stage the scaled vector once; it is multi-referenced below, so
-    // CollapseProject keeps the projection boundary
-    val v = df.select(col(idCol).as("pq_id"), scaled(col(vecCol)).as("sv"))
-    val picks = (0 until numSubspaces).map { m =>
-      val sub = slice(col("sv"), m * subDim + 1, subDim)
-      val cands = codebooks(m).map { case (c, cw, n2) =>
-        val dist = aggregate(
-          zip_with(sub, array(cw.map(lit): _*), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, d) => acc + d)
-        struct(dist.as("dist"), lit(c).as("code"), lit(n2).as("cn2"))
-      }
-      array_min(array(cands: _*)).as(s"__pq_m$m")
-    }
-    v.select(col("pq_id") +: picks: _*)
-      .select(col("pq_id"),
-        array((0 until numSubspaces).map(m => col(s"__pq_m$m").getField("code")): _*)
-          .as("codes"),
-        (0 until numSubspaces).map(m => col(s"__pq_m$m").getField("cn2"))
-          .reduce(_ + _).as("rec_n2"))
-  }
+               codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame =
+    df.select(col(idCol).as("pq_id"),
+        graft.functions.PqKernels.pqEncode(scaled(col(vecCol)), codebooks).as("enc"))
+      .select(col("pq_id"), col("enc.codes").as("codes"),
+        col("enc.rec_n2").as("rec_n2"))
 
   /** PQ ANN top-k by asymmetric-distance computation (ADC): the corpus
     * is scanned as CODES ONLY (no vectors), each query precomputes its
@@ -573,10 +558,7 @@ object SimilarityOps {
       }: _*)
     }: _*)
     val q = qv.select(col("query_id"), col("q_n2"), dt.as("dt"))
-    val adcDot = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(numSubspaces - 1)),
-        (code, m) => element_at(element_at(col("dt"), m + 1), code + 1)),
-      lit(0L), (acc, d) => acc + d)
+    val adcDot = graft.functions.PqKernels.adcDotCol(col("codes"), col("dt"))
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -606,40 +588,24 @@ object SimilarityOps {
     val snapshot = collectCentroids(cents)
     val encoded = ivfPqEncodeCorpus(corpus, idCol, vecCol, snapshot, codebooks)
     val q = ivfPqQuerySide(queries, idCol, vecCol, snapshot, codebooks, nProbes)
-    ivfPqAdcScore(encoded, q, codebooks.length, k)
+    ivfPqAdcScore(encoded, q, k)
   }
 
   /** IVF-PQ corpus representation, ONE map-only staged projection:
     * (neighbor_id, cell, codes, rec_n2) — cell assignment and PQ encode
-    * share the same staged scaled vector; the array_min picks are
-    * aliased once so code/cn2 extraction does not recompute them (same
-    * staging discipline as encodePq). Shared by the in-memory
-    * [[ivfPqTopK]] and the persisted [[writeIvfPqIndex]]. */
+    * share the same staged scaled vector (both kernels are codegen'd:
+    * CentroidTopCells for the cell, PqKernels for the codes). Shared by
+    * the in-memory [[ivfPqTopK]] and the persisted [[writeIvfPqIndex]]. */
   private def ivfPqEncodeCorpus(corpus: DataFrame, idCol: String,
                                 vecCol: String,
                                 snapshot: Seq[(Long, Seq[Long], Double)],
-                                codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame = {
-    val numSubspaces = codebooks.length
-    val subDim = codebooks.head.head._2.length
-    val v = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("sv"))
-    val picks = (0 until numSubspaces).map { m =>
-      val sub = slice(col("sv"), m * subDim + 1, subDim)
-      val cands = codebooks(m).map { case (c, cw, n2) =>
-        val dist = aggregate(
-          zip_with(sub, array(cw.map(lit): _*), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, d) => acc + d)
-        struct(dist.as("dist"), lit(c).as("code"), lit(n2).as("cn2"))
-      }
-      array_min(array(cands: _*)).as(s"__pq_m$m")
-    }
-    v.select(col("neighbor_id") +:
-        element_at(topCells(col("sv"), snapshot, 1), 1).as("cell") +: picks: _*)
+                                codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("sv"))
+      .select(col("neighbor_id"),
+        element_at(topCells(col("sv"), snapshot, 1), 1).as("cell"),
+        graft.functions.PqKernels.pqEncode(col("sv"), codebooks).as("enc"))
       .select(col("neighbor_id"), col("cell"),
-        array((0 until numSubspaces).map(m => col(s"__pq_m$m").getField("code")): _*)
-          .as("codes"),
-        (0 until numSubspaces).map(m => col(s"__pq_m$m").getField("cn2"))
-          .reduce(_ + _).as("rec_n2"))
-  }
+        col("enc.codes").as("codes"), col("enc.rec_n2").as("rec_n2"))
 
   /** Query side of an IVF-PQ probe: ADC dot table + probed cells,
     * broadcast-sized — (query_id, q_n2, dt, cell) with one row per
@@ -666,11 +632,8 @@ object SimilarityOps {
   /** ADC scoring epilogue: cell equi-join against the broadcast query
     * side, table-lookup dot, exact rerank. */
   private def ivfPqAdcScore(encoded: DataFrame, q: DataFrame,
-                            numSubspaces: Int, k: Int): DataFrame = {
-    val adcDot = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(numSubspaces - 1)),
-        (code, m) => element_at(element_at(col("dt"), m + 1), code + 1)),
-      lit(0L), (acc, d) => acc + d)
+                            k: Int): DataFrame = {
+    val adcDot = graft.functions.PqKernels.adcDotCol(col("codes"), col("dt"))
     // each corpus vector lives in exactly one cell, so the cell join
     // pairs every (query, candidate) at most once — no distinct needed
     val scored = encoded.join(broadcast(q), "cell")
@@ -731,7 +694,7 @@ object SimilarityOps {
     val encoded = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(c => c: Any): _*))
       .withColumnRenamed("id", "neighbor_id")
-    ivfPqAdcScore(encoded, q, codebooks.length, k)
+    ivfPqAdcScore(encoded, q, k)
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,

@@ -196,6 +196,39 @@ object TextOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** [[contaminationScreen]] with a Bloom pre-screen on the train side —
+    * bit-identical output (bloom filters have no false negatives and the
+    * exact join re-verifies every candidate), different 100 TB memory
+    * and shuffle profile. The screen above keeps the bench hash set as a
+    * broadcast RELATION: ~64 bits + hashmap overhead per distinct
+    * shingle on every executor, and every train shingle probes it. Here
+    * the bench set is first folded into a ~10-bits/element bitmap
+    * (graft.functions.BloomFilter) that rides into generated code as one
+    * flat `long[]`; the raw train shingle stream is bloom-filtered
+    * map-side, and only bloom-positive candidates (true matches + ~2%
+    * fpp noise) reach the exact verify join. When the bench suite grows
+    * past broadcast size — the held-out-eval-union case — the verify
+    * join degrades to a shuffle, and the bloom is what keeps that
+    * shuffle proportional to the overlap instead of to the corpus. */
+  def contaminationScreenBloom(train: DataFrame, bench: DataFrame,
+                               textCol: String, idCol: String, shingleK: Int,
+                               minOverlap: Long, numBits: Int = 1 << 20,
+                               numHashes: Int = 4): DataFrame = {
+    import graft.functions.BloomFilter
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
+        .as("sh"))
+    val benchSh = sh(bench, "bench_id").distinct()
+    val bits = BloomFilter.build(
+      benchSh.select(col("sh")).distinct(), "sh", numBits, numHashes)
+    sh(train, "train_id")
+      .filter(BloomFilter.mightContainCol(col("sh"), bits, numHashes, numBits))
+      .join(broadcast(benchSh), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Per-train-doc contamination FRACTION — the ranked companion to the
     * boolean [[contaminationScreen]]: for every train doc with at least
     * one shingle, how many of its distinct k-gram hashes appear in the

@@ -40,7 +40,42 @@ object RelationalQueries {
     GraftQuery("q_pivot_orders", pivotOrders, Some(pivotOrdersSql)),
     GraftQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GraftQuery("q_sessionize", sessionize, Some(sessionizeSql)),
+    GraftQuery("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
   )
+
+  private val Z_BITS = 4 // 16x16 cell grid, zcell in [0, 256)
+
+  /** Z-order (Morton) layout cells over lineitem's two join keys —
+    * the clustered-write side of multi-dimensional pruning (see
+    * pipeline/LayoutOps.scala for the 100 TB story; LayoutSpec proves
+    * the probe side partition-prunes). Map-only after one 4-scalar
+    * min/max snapshot; exact integer bucket + bit-interleave math, so
+    * the oracle reproduces every cell id bit-for-bit. */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.LayoutOps.zorderLayout(
+      Tables.read(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", Z_BITS)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("cell_a"), col("cell_b"), col("zcell"))
+
+  def zorderLayoutSql: String = {
+    val cells = 1 << Z_BITS
+    s"""WITH mm AS (
+       |  SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+       |         min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+       |  FROM lineitem
+       |), bucketed AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ((l_partkey - amin) * $cells) // (amax - amin + 1) AS cell_a,
+       |    ((l_suppkey - bmin) * $cells) // (bmax - bmin + 1) AS cell_b
+       |  FROM lineitem, mm
+       |)
+       |SELECT l_orderkey, l_linenumber, cell_a, cell_b,
+       |  ${graft.pipeline.LayoutOps.zValueSql("cell_a", "cell_b", Z_BITS)} AS zcell
+       |FROM bucketed""".stripMargin
+  }
 
   /** Hierarchical totals via ROLLUP (the grouping-sets family). */
   def rollupOrders(spark: SparkSession, sfDir: String): DataFrame =

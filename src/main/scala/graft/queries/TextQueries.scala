@@ -44,6 +44,7 @@ object TextQueries {
     GraftQuery("q_vocab_topk", vocabTopK, Some(vocabTopKSql)),
     GraftQuery("q_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     GraftQuery("q_decontaminate", decontaminate, Some(decontaminateSql), bench = true),
+    GraftQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
     GraftQuery("q_contamination_frac", contaminationFrac, Some(contaminationFracSql)),
     GraftQuery("q_train_split", trainSplit, Some(trainSplitSql)),
     GraftQuery("q_shard_layout", shardLayout, Some(shardLayoutSql)),
@@ -557,6 +558,19 @@ object TextQueries {
     val d = docs(spark, sfDir)
     val bench = d.filter(col("doc_id") % 97 === 0)
     TextOps.contaminationScreen(d, bench, "text", "doc_id", K, DECON_MIN_OVERLAP)
+  }
+
+  /** Bloom-pre-screened decontamination — same oracle as
+    * [[decontaminate]]: the bitmap pre-filter admits false positives
+    * only, and the exact verify join removes those, so the output is
+    * bit-identical to the unscreened screen at any scale. What changes
+    * is the plan: the bench hash set is a ~128 KB `long[]` probed inside
+    * whole-stage codegen instead of a broadcast hash relation. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    TextOps.contaminationScreenBloom(d, bench, "text", "doc_id", K,
+      DECON_MIN_OVERLAP)
   }
 
   /** Mirrors the rolling-shingle-hash comparison (same TokenShingleHash

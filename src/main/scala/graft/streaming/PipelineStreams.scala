@@ -125,6 +125,35 @@ object PipelineStreams {
       .dropDuplicatesWithinWatermark("new_id", "old_id")
   }
 
+  /** Streaming decontamination pre-screen against a STATIC benchmark
+    * Bloom bitmap — the ingest-time twin of
+    * `TextOps.contaminationScreenBloom`'s map side. Emits
+    * (id, n_bloom_hits) for every arriving doc whose distinct k-gram
+    * hashes score at least `minOverlap` bloom hits. CANDIDATES only:
+    * the bitmap's false positives can over-flag a doc but never
+    * under-flag one, so the exact verify (the batch screen's equi-join
+    * over the flagged slice) confirms pairs downstream — the same
+    * candidates→verify split as [[nearDupCandidatesStream]]. The
+    * bitmap is built ONCE from the static bench set
+    * (`BloomFilter.build`) and rides into generated code as a literal
+    * `long[]`; the stream side is a stateless map-only filter — no
+    * stream-static join, no state store, no watermark — so screening
+    * runs at ingest rate regardless of how many benchmarks the bitmap
+    * absorbs. */
+  def contaminationFlagsStream(df: DataFrame, bits: Array[Long],
+                               textCol: String, idCol: String,
+                               shingleK: Int = 3, minOverlap: Long = 5L,
+                               numHashes: Int = 4,
+                               numBits: Int = 1 << 20): DataFrame = {
+    import graft.functions.{BloomFilter, TokenShingleHash}
+    df.select(col(idCol),
+        size(array_distinct(filter(
+          TokenShingleHash.shingleHashes(col(textCol), shingleK),
+          h => BloomFilter.mightContainCol(h, bits, numHashes, numBits))))
+          .cast("long").as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") >= minOverlap)
+  }
+
   /** Streaming MinHash-LSH near-dup CANDIDATE emission — the streaming
     * twin of `DedupOps.minhashCandidatePairs`: per-doc signature is
     * map-only (the direct columnar expression — no stateful aggregation),
