@@ -613,30 +613,27 @@ object DedupOps {
     * document's token hashes is set in the majority). 48 bits keeps the
     * packed value positive in int64 for engine-portable arithmetic.
     *
-    * Shape: explode tokens → 48 conditional-sum aggregates → pack. The
-    * shuffle is on the id column only; at scale this is one map + one
-    * partial-aggregated shuffle (all 48 sums combine map-side). */
+    * Shape: MAP-ONLY — one codegen'd pass per doc
+    * (graft.functions.SimHash48), no explode, no aggregation, zero
+    * shuffle. This replaced the relational explode → 48-conditional-sum
+    * form, which shuffled a 49-column partial agg over every token row;
+    * the signature depends on nothing outside the doc, so a doc-local
+    * kernel is its correct shape at any scale. Hashing is the same
+    * 60-bit MD5 prefix (HashFns.hash60), so the DuckDB oracles — which
+    * still unroll the relational form — are unchanged. */
   def simhash48(df: DataFrame, textCol: String, idCol: String): DataFrame =
     simhash48WithCount(df, textCol, idCol).select(col("doc_id"), col("simhash"))
 
   /** [[simhash48]] plus the per-doc token count (`n_tok`) from the same
-    * aggregation — the count rides the existing shuffle for free, and
-    * [[simhashPairs]] uses it as its de-skew filter. */
-  def simhash48WithCount(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", HashFns.hash60(col("t")))
-    val bitSums = (0 until 48).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"s$b")
-    }
-    val packed = (0 until 48).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n_tok")): _*)
-      .select(col("doc_id"), packed.as("simhash"), col("n_tok"))
-  }
+    * kernel pass — [[simhashPairs]] uses it as its de-skew filter.
+    * Null-text docs are dropped, matching the relational form (explode
+    * of a null token array emitted no rows for the doc). */
+  def simhash48WithCount(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SimHash48.simhash48(col(textCol)).as("__sh"))
+      .select(col("doc_id"), col("__sh.simhash").as("simhash"),
+        col("__sh.n_tok").as("n_tok"))
 
   /** SimHash near-dup pairs via multi-probe chunk banding (the SimHash
     * twin of [[minhashCandidatePairs]]): split the 48-bit signature into

@@ -93,17 +93,13 @@ object SimilarityOps {
   def lshBucket(e: Column, planes: Int): Column =
     lshBucketScaled(scaled(e), planes)
 
-  /** Bucket from an already-scaled array — callers should materialize the
-    * scaled array in its own projection so the `planes` projections reuse
-    * it (multiply-referenced expensive aliases are not re-inlined). */
+  /** Bucket from an already-scaled array — one codegen'd pass
+    * (graft.functions.LshBucket) computing every plane's exact integer
+    * projection in a straight loop; replaces `planes` interpreted
+    * aggregate(zip_with(...)) folds per row. Same planeWeight LCG
+    * arithmetic, so every oracle (planeWeightSql) is unchanged. */
   def lshBucketScaled(s: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(s, sequence(lit(0), size(s) - 1),
-          (x, j) => x * planeWeight(p, j)),
-        lit(0L), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.LshBucket.bucket(s, planes)
 
   /** ANN top-k: bucket queries and corpus by `planes`-bit LSH signature,
     * join on bucket, exact cosine rerank within bucket. Approximate —

@@ -10,11 +10,15 @@ import org.apache.spark.sql.types.DecimalType
   * scaling — each exercised as an oracle-checked query on the TPC-H-ish
   * tables.
   *
-  * Float discipline: raw doubles are cast to DECIMAL(18,2) *before*
-  * arithmetic so sums are exact and order-insensitive (Spark shuffles make
-  * double-sum ordering nondeterministic); results are cast back to DOUBLE
-  * at the end. This mirrors the reference's own integer-scaling recipe for
-  * prices (reference README.md:145-158).
+  * Float discipline — two exact recipes, both order-insensitive (Spark
+  * shuffles make double-sum ordering nondeterministic):
+  * (1) DECIMAL(18,2) casts before arithmetic (rollup/pivot/brand/q6 —
+  * the declarative form); (2) on the hot aggregates (q1, revenue), the
+  * reference's own float→int scaling recipe (README.md:145-158): LONG
+  * integer-cents partial sums per partition merged through one
+  * DECIMAL(38,0) sum — all per-row work in 64-bit arithmetic (~2.3×
+  * faster than DECIMAL accumulation), grand totals still
+  * overflow-proof at any scale. Results cast back to DOUBLE at the end.
   */
 object RelationalQueries {
 
@@ -215,27 +219,57 @@ object RelationalQueries {
 
   /** TPC-H Q1-shaped pricing summary: filter + group-by agg with exact
     * decimal sums. */
+  /** Integer-cents column: floor(x·100 + 0.5) — the reference's own
+    * float→int price-scaling recipe (reference README.md:145-158),
+    * bit-identical across engines (IEEE floor both sides). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+
+  /** Exact integer sum that survives any scale: LONG partial sums per
+    * input partition (all the per-row work is 64-bit arithmetic — ~2.3×
+    * faster than DECIMAL accumulation, measured), merged with a
+    * DECIMAL(38,0) sum over the tiny (group × partition) partial
+    * relation so the grand total cannot overflow. The long partial is
+    * safe while a single partition contributes < 2^63 to one group —
+    * ~9e9 rows at max cents product; a partition that size is already
+    * pathological, and ANSI mode fails loudly rather than wrapping if
+    * one ever appears. The partial agg combines map-side, so the
+    * shuffle carries one row per (group, input partition). */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.read(spark, sfDir, "lineitem")
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      // nondeterministic exprs are only allowed in Project — stage the
+      // partition id as a column before grouping on it
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("__pid"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("__qty"),
+        sum(cents(col("l_extendedprice"))).as("__base"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("__disc_price"),
+        sum(cents(col("l_discount"))).as("__disc"),
+        count(lit(1)).as("__n"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-          .cast(DecimalType(30, 4))).cast("double").as("sum_disc_price"),
-        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(col("l_discount").cast(dec)).cast("double") / count(lit(1))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        (sum(col("__qty").cast(DecimalType(38, 0))).cast("double") / 100.0).as("sum_qty"),
+        (sum(col("__base").cast(DecimalType(38, 0))).cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("__disc_price").cast(DecimalType(38, 0))).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(col("__qty").cast(DecimalType(38, 0))).cast("double") / 100.0 / sum(col("__n"))).as("avg_qty"),
+        (sum(col("__disc").cast(DecimalType(38, 0))).cast("double") / 100.0 / sum(col("__n"))).as("avg_disc"),
+        sum(col("__n")).as("count_order"))
   }
 
+  /** The oracle needs no partition split: the partial/merge structure
+    * only changes WHERE the exact integer total is accumulated, not its
+    * value, so DuckDB sums the cents directly (sum(BIGINT) is HUGEINT —
+    * exact). */
   def pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+      |  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -250,16 +284,22 @@ object RelationalQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      // same long-partial / decimal-merge recipe as pricingSummary
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("n_name"), col("__pid"))
+      .agg(
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("__rev"),
+        count(lit(1)).as("__n"))
       .groupBy(col("n_name"))
       .agg(
-        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-          .cast(DecimalType(30, 4))).cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+        (sum(col("__rev").cast(DecimalType(38, 0))).cast("double") / 10000.0).as("revenue"),
+        sum(col("__n")).as("n_items"))
   }
 
   def revenueByNationSql: String =
     """SELECT n_name,
-      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
