@@ -25,6 +25,38 @@ object DedupOps {
   /** Content digest for exact dedup. */
   def digest(c: Column): Column = md5(c.cast("binary"))
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct contents appear in BOTH — the dedup-analytics view
+    * that tells a corpus owner which ingestion feeds overlap (and
+    * therefore which dedup passes pay off). Shape: distinct
+    * (digest, source) is the only corpus-sized shuffle (partial-agg
+    * combined); the per-digest source set is bounded by the source
+    * count, so the i<j pair expansion is a map-only O(s²) explode —
+    * never a self-join on the digest, which a content shared by every
+    * source would otherwise turn into a hot key. */
+  def sourceOverlap(df: DataFrame, contentCol: String,
+                    sourceCol: String): DataFrame =
+    sourceOverlapByKey(df.select(digest(col(contentCol)).as("__so_key"),
+      col(sourceCol).as("__so_src")))
+
+  /** Key-level core of [[sourceOverlap]]: input is any (key, source)
+    * relation — content digests for exact-copy overlap, shingle hashes
+    * for n-gram overlap (the corpus-similarity signal that is non-empty
+    * even when no document is copied verbatim). Columns must be named
+    * (`__so_key`, `__so_src`). */
+  def sourceOverlapByKey(keyed: DataFrame): DataFrame = {
+    val sets = keyed.distinct()
+      .groupBy(col("__so_key"))
+      .agg(sort_array(collect_set(col("__so_src"))).as("__so_srcs"))
+      .filter(size(col("__so_srcs")) >= 2)
+    val pairs = flatten(transform(col("__so_srcs"), (a, i) =>
+      transform(slice(col("__so_srcs"), i + 2, size(col("__so_srcs"))),
+        b => struct(a.as("src_a"), b.as("src_b")))))
+    sets.select(explode(pairs).as("__so_p"))
+      .groupBy(col("__so_p.src_a").as("src_a"), col("__so_p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact duplicate groups: one row per distinct content, with the
     * representative (min id) and the duplicate count. */
   def exactDupGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =

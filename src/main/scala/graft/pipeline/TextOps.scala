@@ -260,6 +260,38 @@ object TextOps {
           col("n_shingles").cast("double")).as("contamination_frac"))
   }
 
+  /** Inverted index over the corpus: one row per token with its document
+    * frequency, total term frequency, and a CAPPED posting list (the
+    * `maxPostings` smallest doc ids — deterministic, and the cap is what
+    * keeps row width bounded when a stopword appears in every document;
+    * df/tf still count everything). The audit artifact behind
+    * decontamination forensics and targeted corpus search: "which docs
+    * contain this leaked string's tokens" without re-scanning text.
+    *
+    * Shape: explode → per-(token, doc) partial-aggregated count (the
+    * only corpus-sized shuffle) → per-token window rank (partitioned by
+    * token — never global) → one final token aggregation that reuses the
+    * window's partitioning, so the rank and the rollup pay ONE exchange
+    * between them. At 100 TB the output is vocabulary-sized, postings
+    * are capped, and every aggregation combines map-side. */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+                    maxPostings: Int, minDf: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val perDoc = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    perDoc.withColumn("__rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        sort_array(collect_list(when(col("__rn") <= maxPostings, col("doc_id"))))
+          .as("postings"))
+      .filter(col("df") >= minDf)
+  }
+
   /** Canonical text form for near-exact dedup: lowercase, every
     * non-alphanumeric run collapsed to one space, trimmed. Catches the
     * re-encoded copies exact dedup misses (case changes, punctuation

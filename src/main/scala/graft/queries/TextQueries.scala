@@ -60,10 +60,61 @@ object TextQueries {
     GraftQuery("q_corpus_report", corpusReport, Some(corpusReportSql)),
     GraftQuery("q_boilerplate", boilerplate, Some(boilerplateSql)),
     GraftQuery("q_token_histogram", tokenHistogram, Some(tokenHistogramSql)),
+    GraftQuery("q_inverted_index", invertedIndexQ, Some(invertedIndexSql)),
+    GraftQuery("q_source_overlap", sourceOverlapQ, Some(sourceOverlapSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
+
+  private val II_MAX_POSTINGS = 8
+  private val II_MIN_DF = 5L
+
+  /** Inverted index (df / total tf / capped postings per token) over
+    * tokens appearing in at least [[II_MIN_DF]] docs — the audit
+    * artifact behind decontamination forensics and targeted corpus
+    * search. */
+  def invertedIndexQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.invertedIndex(docs(spark, sfDir), "text", "doc_id",
+      II_MAX_POSTINGS, II_MIN_DF)
+
+  def invertedIndexSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS token FROM documents
+       |), per AS (
+       |  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id
+       |)
+       |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+       |  (list(doc_id ORDER BY doc_id))[1:$II_MAX_POSTINGS] AS postings
+       |FROM per GROUP BY token HAVING count(*) >= $II_MIN_DF""".stripMargin
+
+  /** Cross-source n-gram overlap matrix: per source pair, the number of
+    * distinct 3-gram hashes occurring in both — the corpus-similarity
+    * signal that stays informative even when no doc is copied verbatim
+    * (this synthetic corpus has zero cross-source exact duplicates, so
+    * the content-digest variant `DedupOps.sourceOverlap` would be an
+    * empty — vacuous — oracle row; the shingle-keyed form exercises the
+    * full pair-expansion path). */
+  def sourceOverlapQ(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.sourceOverlapByKey(docs(spark, sfDir).select(
+      explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), K))
+        .as("__so_key"),
+      col("source").as("__so_src")))
+
+  def sourceOverlapSql: String =
+    s"""WITH tht AS (
+       |  SELECT source, list_transform(${TextOps.tokensSql("text")},
+       |    t -> ${graft.functions.StringPolyHash.polyHashSql("t")}) AS th
+       |  FROM documents
+       |), shr AS (
+       |  SELECT source, unnest(${graft.functions.TokenShingleHash.combineSql("th", K)}) AS sh
+       |  FROM tht
+       |), ds AS (
+       |  SELECT DISTINCT sh, source FROM shr
+       |)
+       |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |FROM ds a JOIN ds b ON a.sh = b.sh AND a.source < b.source
+       |GROUP BY a.source, b.source""".stripMargin
 
   // ---- exact dedup -------------------------------------------------------
 
