@@ -217,20 +217,18 @@ object SimilarityOps {
       }
       val best = v.select(col("sv"),
         element_at(topCells(col("sv"), snapshot, 1), 1).as("cent_id"))
-      // exact integer mean per dimension: floor(sum / count) — pmod
-      // subtraction gives the floor multiple, integral `div` divides it
-      // exactly at any magnitude (no double rounding past 2^53)
-      val dims = best
-        .select(col("cent_id"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg((sum(col("x")) - pmod(sum(col("x")), count(lit(1)))).as("num"),
+      // one vector-sum aggregation per cluster (LongVectorSum — no
+      // posexplode row blow-up, no second aggregation, shuffle carries
+      // one long[dim] per (cluster, partition)); the exact integer
+      // floor-mean folds on the driver over the k×dim collect —
+      // Math.floorDiv ≡ the oracle's (sum − pmod(sum, n)) div n
+      val updated = best.groupBy(col("cent_id"))
+        .agg(graft.functions.LongVectorSum.vectorSum(col("sv")).as("vsum"),
           count(lit(1)).as("cnt"))
-        .select(col("cent_id"), col("dim"),
-          call_function("div", col("num"), col("cnt")).as("cx"))
-      val updated = dims.groupBy(col("cent_id"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"))
-        .select(col("cent_id"), transform(col("ds"), s => s.getField("cx")).as("cent_v"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+        .collect().map { r =>
+          val cnt = r.getLong(2)
+          (r.getLong(0), r.getSeq[Long](1).map(s => Math.floorDiv(s, cnt)))
+        }.toMap
       // keep previous centroid for clusters that lost all members
       cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
     }
@@ -251,27 +249,20 @@ object SimilarityOps {
                       vecCol: String): DataFrame = {
     val v = df.select(col(groupCol).as("__mp_g"), scaled(col(vecCol)).as("sv"))
       .filter(size(col("sv")) > 0)
-    val dims = v
-      .select(col("__mp_g"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy(col("__mp_g"), col("dim"))
-      .agg((sum(col("x")) - pmod(sum(col("x")), count(lit(1)))).as("num"),
-        count(lit(1)).as("cnt"))
-      .select(col("__mp_g"), col("dim"),
-        call_function("div", col("num"), col("cnt")).as("cx"), col("cnt"))
-    // mixed vector lengths inside a group would give each dimension its
-    // own denominator — a silently wrong centroid (and a divergence from
-    // the per-(group, dim)-count oracle). Fail loudly instead, like the
-    // other ops' invalid-input paths: uniform length ⇔ every dim has
-    // the same contributor count.
-    dims.groupBy(col("__mp_g"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("ds"),
-        max(col("cnt")).as("n"), min(col("cnt")).as("__mp_nmin"))
+    // one vector-sum aggregation per group (LongVectorSum): no
+    // posexplode row blow-up, no dimension rebuild; mixed vector
+    // lengths inside a group fail loudly INSIDE the aggregate (a
+    // silently dim-dependent denominator is how centroids go wrong).
+    // The floor-mean is the same exact integer arithmetic as before —
+    // (sum − pmod(sum, n)) div n per element — applied over the
+    // group-sized output, so the per-(group, dim) oracle is unchanged.
+    v.groupBy(col("__mp_g"))
+      .agg(graft.functions.LongVectorSum.vectorSum(col("sv")).as("__mp_sum"),
+        count(lit(1)).as("n"))
       .select(col("__mp_g").as(groupCol),
-        transform(col("ds"), s => s.getField("cx")).as("centroid"),
-        when(col("__mp_nmin") =!= col("n"), raise_error(concat(
-            lit("meanPoolByGroup: group "), col("__mp_g").cast("string"),
-            lit(" mixes vector lengths"))).cast("long"))
-          .otherwise(col("n")).as("n"))
+        transform(col("__mp_sum"), x =>
+          call_function("div", x - pmod(x, col("n")), col("n"))).as("centroid"),
+        col("n"))
   }
 
   /** IVF top-k with externally-trained centroids (e.g. kmeansCentroids).
@@ -481,19 +472,20 @@ object SimilarityOps {
       val staged = subs.select(col("m"), col("subv"), dists.as("__pq_d"))
       val code = (array_position(col("__pq_d"), array_min(col("__pq_d"))) - 1)
         .cast("integer")
-      // exact integer floor-mean per (subspace, code, dim) — the same
-      // pmod-subtraction floor as kmeansCentroids/meanPoolByGroup
-      val upd = staged.select(col("m"), code.as("c"),
-          posexplode(col("subv")).as(Seq("dim", "x")))
-        .groupBy(col("m"), col("c"), col("dim"))
-        .agg((sum(col("x")) - pmod(sum(col("x")), count(lit(1)))).as("num"),
+      // one vector-sum aggregation per (subspace, code) — LongVectorSum,
+      // no posexplode row blow-up; the exact integer floor-mean
+      // (Math.floorDiv ≡ the oracle's pmod-subtraction div) folds on
+      // the driver over the (numSubspaces × numCodes)-sized collect
+      val upd = staged.select(col("m"), code.as("c"), col("subv"))
+        .groupBy(col("m"), col("c"))
+        .agg(graft.functions.LongVectorSum.vectorSum(col("subv")).as("vsum"),
           count(lit(1)).as("cnt"))
-        .select(col("m"), col("c"), col("dim"),
-          call_function("div", col("num"), col("cnt")).as("cx"))
         .collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (k, rows) =>
-          k -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq }
+        .map { r =>
+          val cnt = r.getLong(3)
+          (r.getInt(0), r.getInt(1)) ->
+            r.getSeq[Long](2).map(s => Math.floorDiv(s, cnt)).toSeq
+        }.toMap
       books = (0 until numSubspaces).map { m =>
         (0 until numCodes).map(c => upd.getOrElse((m, c), books(m)(c)))
       }

@@ -338,7 +338,8 @@ class CorpusToolsSpec extends AnyFunSuite {
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
-    assert(chain(e).exists(_.contains("mixes vector lengths")))
+    assert(chain(e).exists(_.contains("in the same group")),
+      chain(e).mkString(" | ")) // LongVectorSum's loud length guard
   }
 
   test("ivfPqTopK: probed ADC ranking stays within the query's cluster") {
