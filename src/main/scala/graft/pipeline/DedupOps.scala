@@ -254,29 +254,21 @@ object DedupOps {
   /** MinHash signature via the standard affine-permutation family: one
     * rolling shingle hash per k-window (TokenShingleHash — single pass,
     * no shingle strings), then sig_i = min over shingles of
-    * (h·(2i+1) + i²·65537 + 7) mod p. The permutations are pure
-    * arithmetic, map-only. Empty shingle set → all-sentinel signature
-    * (= p, above any residue).
+    * (h·(2i+1)·2654435761 + i²·65537 + 7) mod p. Empty shingle set →
+    * all-sentinel signature (= p, above any residue).
     *
-    * Shape: ONE aggregate() pass over the shingle-hash array folding an
-    * accumulator of numHashes running minima (zip_with against the
-    * permutation indices). The earlier transform-of-aggregates form
-    * evaluated the shingle-hash array once PER PERMUTATION — the same
-    * numHashes-fold recompute the batch path's explode+groupBy shape
-    * exists to avoid — and no projection staging survives
-    * CollapseProject when the alias is referenced once lexically. As
-    * aggregate input the array is evaluated exactly once per row however
-    * the optimizer inlines it, which is what the streaming path (no
-    * stateful aggregation available below a stream-stream join) needs. */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hs = graft.functions.TokenShingleHash.shingleHashes(text, shingleK)
-    aggregate(hs,
-      array(Seq.fill(numHashes)(lit(MinhashPrime)): _*),
-      (acc, v) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, i) => least(m,
-          (v * (((i * 2 + 1) * lit(2654435761L)) % MinhashPrime) +
-            (i * i * 65537 + 7)) % MinhashPrime)))
-  }
+    * ONE codegen'd pass (graft.functions.MinhashSig): tokenize, hash,
+    * and fold all numHashes minima over the UTF-8 bytes in a straight
+    * loop. This is the kernel behind both the streaming paths and the
+    * batch [[withMinhashSignature]]; earlier composable forms either
+    * recomputed the shingle array once per permutation (CollapseProject
+    * re-inlines a once-lexically-referenced staging alias) or paid an
+    * interpreted aggregate() lambda fold per shingle — the kernel has
+    * no staging to lose and no lambda frames. */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    graft.functions.MinhashSig.sig(text, shingleK,
+      Array.tabulate(numHashes)(minhashA), Array.tabulate(numHashes)(minhashB),
+      MinhashPrime)
 
   /** LSH band keys: the signature split into `bands` rows-per-band chunks,
     * each hashed to one band key. Emits an array of `bands` strings. */
@@ -286,35 +278,23 @@ object DedupOps {
         transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast("string"))).cast("binary")))
 
-  /** DataFrame-level signature: one single-pass rolling-hash array per
-    * doc (TokenShingleHash — each input byte folded once, no shingle
-    * strings) → explode → `numHashes` partial-aggregated min() columns →
-    * join back.
-    *
-    * Why not a single columnar expression: Catalyst's CollapseProject
-    * re-inlines a staged hash-array alias (it is referenced once
-    * *lexically* even though the permutation loop evaluates it numHashes
-    * times at runtime), silently recomputing every hash numHashes-fold.
-    * The explode+groupBy shape computes each shingle hash exactly once,
-    * combines map-side (the shuffle carries only numHashes partial minima
-    * per id), and cannot be de-staged by the optimizer. `idCol` must be
-    * unique. Docs with no shingles get the all-sentinel signature. */
+  /** DataFrame-level signature — MAP-ONLY: one codegen'd pass per doc
+    * ([[minhashSignature]] / graft.functions.MinhashSig). The earlier
+    * explode → numHashes-min-columns → JOIN BACK shape existed because
+    * a columnar staging of the hash array could be silently re-inlined
+    * by CollapseProject (recomputing every shingle hash
+    * numHashes-fold); the kernel tokenizes, hashes, and folds all
+    * minima in one pass, so there is no staging to lose, no shuffle,
+    * and no join — the signature depends on nothing outside the doc.
+    * Null text yields the all-sentinel signature (the join-back form
+    * gave the same via its left join + coalesce). Docs with fewer than
+    * k tokens likewise get the sentinel. */
   def withMinhashSignature(df: DataFrame, textCol: String, idCol: String,
                            sigCol: String, shingleK: Int = 3,
                            numHashes: Int = 12): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
-        .as("__mh_h"))
-    val mins = (0 until numHashes).map { i =>
-      min((col("__mh_h") * minhashA(i) + minhashB(i)) % MinhashPrime)
-        .as(s"__mh_s$i")
-    }
-    val sigs = tok.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__mh_s$i")): _*).as(sigCol))
     val sentinel = array(Seq.fill(numHashes)(lit(MinhashPrime)): _*)
-    df.join(sigs, Seq(idCol), "left")
-      .withColumn(sigCol, coalesce(col(sigCol), sentinel))
+    df.withColumn(sigCol,
+      coalesce(minhashSignature(col(textCol), shingleK, numHashes), sentinel))
   }
 
   /** Default ceiling on a band bucket's membership. A bucket of c docs
