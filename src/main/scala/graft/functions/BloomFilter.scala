@@ -125,6 +125,11 @@ case class BloomPositions(child: Expression, numHashes: Int, numBits: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     BloomFilter.positionsArrayData(v.asInstanceOf[Long], numHashes, numBits)
 
@@ -157,6 +162,11 @@ case class BloomMightContain(child: Expression, words: Array[Long],
         s"bloom_might_contain expects bigint, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = BooleanType
+
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
     BloomFilter.mightContain(v.asInstanceOf[Long], words, numHashes, numBits)

@@ -54,6 +54,11 @@ case class CentroidTopCells(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     CentroidTopCells.topCellsKernel(v.asInstanceOf[ArrayData],
       idsArr, vecsArr, snsArr, m)

@@ -39,6 +39,11 @@ case class LongArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   // always nullable: a null input array OR a null element yields null
   // (ev.isNull must be assignable in the generated loop)
   override def nullable: Boolean = true

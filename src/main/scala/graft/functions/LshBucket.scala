@@ -37,6 +37,11 @@ case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     LshBucket.compute(v.asInstanceOf[ArrayData], planes)
 

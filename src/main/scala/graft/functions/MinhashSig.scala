@@ -47,6 +47,11 @@ case class MinhashSig(child: Expression, shingleK: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     MinhashSig.compute(v.asInstanceOf[UTF8String], shingleK, a, b, prime)
 

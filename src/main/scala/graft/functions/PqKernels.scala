@@ -135,6 +135,11 @@ case class PqEncode(child: Expression, books: Array[Long], n2: Array[Long],
     StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("rec_n2", LongType, nullable = false)))
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val sv = v.asInstanceOf[ArrayData]
     PqEncode.checkLen(sv, numSubspaces * subDim)
@@ -181,6 +186,11 @@ case class AdcDot(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = LongType
+
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     PqKernels.adcDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

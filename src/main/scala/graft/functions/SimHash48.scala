@@ -42,6 +42,11 @@ case class SimHash48(child: Expression) extends UnaryExpression {
     StructField("simhash", LongType, nullable = false),
     StructField("n_tok", LongType, nullable = false)))
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     SimHash48.compute(v.asInstanceOf[UTF8String])
 

@@ -30,6 +30,11 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // null input => null output (nullSafeEval): lets Catalyst infer the
+  // cheap isnotnull(child) instead of pushing this whole kernel into a
+  // scan filter (PlanAuditSpec kernel-in-DataFilters check)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     StringPolyHash.hash(v.asInstanceOf[UTF8String])
 

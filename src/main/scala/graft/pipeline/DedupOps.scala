@@ -159,8 +159,8 @@ object DedupOps {
     * numHashes longs per doc regardless of document size. */
   def minhashSigIndex(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, numHashes: Int = 12): DataFrame =
-    withMinhashSignature(df, textCol, idCol, "sig", shingleK, numHashes)
-      .filter(col("sig").getItem(0) =!= MinhashPrime)
+    withMinhashSignature(df.filter(hasShingles(textCol, shingleK)),
+        textCol, idCol, "sig", shingleK, numHashes)
       .select(col(idCol), col("sig"))
 
   /** Incremental NEAR-dup screen: flag batch docs whose MinHash
@@ -188,9 +188,8 @@ object DedupOps {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     require(maxBandFreq >= 2, s"maxBandFreq must be >= 2, got $maxBandFreq")
     val rowsPerBand = numHashes / bands
-    val bSig = withMinhashSignature(batch, textCol, idCol, "__nb_sig",
-        shingleK, numHashes)
-      .filter(col("__nb_sig").getItem(0) =!= MinhashPrime)
+    val bSig = withMinhashSignature(batch.filter(hasShingles(textCol, shingleK)),
+        textCol, idCol, "__nb_sig", shingleK, numHashes)
       .select(col(idCol).as("new_id"), col("__nb_sig").as("new_sig"))
     val bBands = bSig.select(col("new_id"), col("new_sig"),
       posexplode(lshBandKeys(col("new_sig"), bands, rowsPerBand))
@@ -235,6 +234,18 @@ object DedupOps {
   /** Prime just above 2^32, the modulus of the MinHash permutation
     * family. */
   val MinhashPrime: Long = 4294967311L
+
+  /** Cheap equivalent of the all-sentinel signature check: a doc has a
+    * non-empty shingle set iff it has at least k tokens. Use THIS (on
+    * the raw text) to exclude shingle-less docs, never a predicate on
+    * the computed signature — a signature-column filter gets
+    * substituted through the projection and pushed into the scan,
+    * evaluating the whole minhash kernel a second time per row
+    * (PlanAuditSpec's kernel-in-DataFilters check). `split` counts
+    * empty tokens exactly like the kernel's byte-level tokenizer, and
+    * null text yields null → filtered, matching the sentinel path. */
+  def hasShingles(textCol: String, shingleK: Int): Column =
+    size(split(col(textCol), " ")) >= shingleK
 
   /** Per-permutation multiplier: (2i+1)·2654435761 mod p. The multiplier
     * must WRAP the modulus many times to decorrelate the permutations —
@@ -316,8 +327,8 @@ object DedupOps {
                    shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
                    maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
     val rowsPerBand = numHashes / bands
-    withMinhashSignature(df, textCol, idCol, "__mh_sig", shingleK, numHashes)
-      .filter(col("__mh_sig").getItem(0) =!= MinhashPrime)
+    withMinhashSignature(df.filter(hasShingles(textCol, shingleK)),
+        textCol, idCol, "__mh_sig", shingleK, numHashes)
       .select(posexplode(lshBandKeys(col("__mh_sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
       .groupBy(col("band_idx"), col("band_hash"))
@@ -354,8 +365,8 @@ object DedupOps {
                             maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
     require(maxBandFreq >= 2, s"maxBandFreq must be >= 2, got $maxBandFreq")
     val rowsPerBand = numHashes / bands
-    val withSig = withMinhashSignature(df, textCol, idCol, "__mh_sig", shingleK, numHashes)
-      .filter(col("__mh_sig").getItem(0) =!= MinhashPrime)
+    val withSig = withMinhashSignature(df.filter(hasShingles(textCol, shingleK)),
+      textCol, idCol, "__mh_sig", shingleK, numHashes)
     val banded = withSig.select(col(idCol).as("doc_id"),
       posexplode(lshBandKeys(col("__mh_sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
@@ -644,8 +655,15 @@ object DedupOps {
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         graft.functions.SimHash48.simhash48(col(textCol)).as("__sh"))
-      .select(col("doc_id"), col("__sh.simhash").as("simhash"),
-        col("__sh.n_tok").as("n_tok"))
+      // coalesce is unreachable (text is non-null above, the kernel's
+      // struct fields are non-nullable) — it exists to make the OUTPUT
+      // nullability false, so downstream joins on these columns don't
+      // generate isnotnull(simhash48(text).simhash) constraints that
+      // get pushed into the scan and re-evaluate the kernel per row
+      // (PlanAuditSpec kernel-in-DataFilters check)
+      .select(col("doc_id"),
+        coalesce(col("__sh.simhash"), lit(0L)).as("simhash"),
+        coalesce(col("__sh.n_tok"), lit(0L)).as("n_tok"))
 
   /** SimHash near-dup pairs via multi-probe chunk banding (the SimHash
     * twin of [[minhashCandidatePairs]]): split the 48-bit signature into
@@ -676,8 +694,14 @@ object DedupOps {
       s"pigeonhole recall requires maxHamming < bands, got $maxHamming/$bands")
     val bits = 48 / bands
     val mask = (1L << bits) - 1
-    val sigs = simhash48WithCount(df, textCol, idCol)
-      .filter(col("n_tok") >= minTokens)
+    // minTokens de-skew via the cheap raw-text predicate (n_tok ==
+    // size(split(text, ' ')) by the kernel's contract) — a filter on
+    // the computed n_tok would be substituted through the projection
+    // and evaluate the simhash kernel twice per row (PlanAuditSpec's
+    // kernel-in-DataFilters check)
+    val sigs = simhash48WithCount(
+        df.filter(size(split(col(textCol), " ")) >= minTokens),
+        textCol, idCol)
       .select(col("doc_id"), col("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>

@@ -108,11 +108,18 @@ object SimilarityOps {
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucketScaled(col("qv"), planes))
+    // null vectors are excluded EXPLICITLY (an inner join on a null
+    // bucket dropped them anyway); the coalesce is unreachable and
+    // exists to make the join key non-nullable, so no
+    // isnotnull(lsh_bucket(...)) constraint is generated and pushed
+    // into the scan (kernel double-eval — PlanAuditSpec check)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("bucket", coalesce(lshBucketScaled(col("qv"), planes), lit(0L)))
       .withColumn("q_n2", norm2(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucketScaled(col("cv"), planes))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
+      .withColumn("bucket", coalesce(lshBucketScaled(col("cv"), planes), lit(0L)))
       .withColumn("c_n2", norm2(col("cv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -133,16 +140,20 @@ object SimilarityOps {
                               idCol: String, vecCol: String, k: Int,
                               planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
-      .withColumn("__base_bucket", lshBucketScaled(col("qv"), planes))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), scaled(col(vecCol)).as("qv"))
+      .withColumn("__base_bucket",
+        coalesce(lshBucketScaled(col("qv"), planes), lit(0L))) // see lshCosineTopK
       .withColumn("q_n2", norm2(col("qv")))
       .withColumn("bucket", explode(array(
         col("__base_bucket") +:
           (0 until planes).map(p =>
             col("__base_bucket").bitwiseXOR(lit(1L << p))): _*)))
       .drop("__base_bucket")
-    val c = corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucketScaled(col("cv"), planes))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("cv"))
+      .withColumn("bucket",
+        coalesce(lshBucketScaled(col("cv"), planes), lit(0L))) // see lshCosineTopK
       .withColumn("c_n2", norm2(col("cv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -339,7 +350,10 @@ object SimilarityOps {
                     centroids: DataFrame, path: String): Unit = {
     val snapshot = collectCentroids(centroids)
     corpus.select(col(idCol), col(vecCol),
-        element_at(topCells(scaled(col(vecCol)), snapshot, 1), 1).as("cell"))
+        coalesce(element_at(topCells(scaled(col(vecCol)), snapshot, 1), 1),
+          lit(-1L)).as("cell")) // -1 = null vector, matches no probe; the
+          // coalesce keeps the join key non-nullable so no
+          // isnotnull(centroid_top_cells(...)) constraint reaches the scan
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/corpus")
     centroids.select(col("cent_id"), col("cent_v"))
@@ -590,7 +604,8 @@ object SimilarityOps {
                                 codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame =
     corpus.select(col(idCol).as("neighbor_id"), scaled(col(vecCol)).as("sv"))
       .select(col("neighbor_id"),
-        element_at(topCells(col("sv"), snapshot, 1), 1).as("cell"),
+        coalesce(element_at(topCells(col("sv"), snapshot, 1), 1), lit(-1L))
+          .as("cell"), // non-nullable join key — see ivfTopKImpl note
         graft.functions.PqKernels.pqEncode(col("sv"), codebooks).as("enc"))
       .select(col("neighbor_id"), col("cell"),
         col("enc.codes").as("codes"), col("enc.rec_n2").as("rec_n2"))
@@ -694,10 +709,18 @@ object SimilarityOps {
     * cosine is undefined (0/0) anyway. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6): DataFrame = {
+    // zero-vector exclusion via the CHEAP element test — exists()
+    // short-circuits on the first non-zero element, whereas a filter on
+    // the computed n2 would substitute the full dot kernel into the
+    // scan (double eval — PlanAuditSpec check); exists(scaled ≠ 0) ⟺
+    // n2 > 0 exactly. Null vectors filter out through exists' null.
+    // The bucket coalesce is unreachable, it only makes the self-join
+    // key non-nullable so no isnotnull(lsh_bucket(...)) constraint
+    // reaches the scan (see lshCosineTopK).
     val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"))
+      .filter(exists(col("v"), x => x =!= lit(0L)))
       .withColumn("n2", norm2(col("v")))
-      .filter(col("n2") > 0)
-      .withColumn("bucket", lshBucketScaled(col("v"), planes))
+      .withColumn("bucket", coalesce(lshBucketScaled(col("v"), planes), lit(0L)))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -258,9 +258,16 @@ object TextQueries {
 
   // ---- minhash -----------------------------------------------------------
 
+  /** posexplode_OUTER, deliberately: the signature array always has
+    * NUM_HASHES elements (sentinel-filled when shingle-less), so outer
+    * ≡ inner here — but inner Generate triggers Catalyst's
+    * InferFiltersFromGenerate, whose inferred `size(arr) > 0` predicate
+    * gets substituted through the projection and pushed into the SCAN,
+    * evaluating the whole minhash kernel a second time per row
+    * (PlanAuditSpec's kernel-in-DataFilters check guards this class). */
   def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
     DedupOps.withMinhashSignature(docs(spark, sfDir), "text", "doc_id", "sig_arr", K, NUM_HASHES)
-      .select(col("doc_id"), posexplode(col("sig_arr")).as(Seq("h", "sig")))
+      .select(col("doc_id"), posexplode_outer(col("sig_arr")).as(Seq("h", "sig")))
       .select(col("doc_id"), col("h").cast("long").as("h"), col("sig"))
 
   /** Token hashes → rolling k-window combine, mirroring the single-pass

@@ -106,9 +106,12 @@ object PipelineStreams {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sig = DedupOps.minhashSignature(col(textCol), shingleK, numHashes)
-    val bBands = df.select(col(idCol).as("new_id"), col(eventTimeCol),
+    // exclude shingle-less docs via the cheap raw-text predicate — a
+    // filter on the computed signature would be substituted through the
+    // projection and evaluate the kernel twice per row
+    val bBands = df.filter(DedupOps.hasShingles(textCol, shingleK))
+      .select(col(idCol).as("new_id"), col(eventTimeCol),
         sig.as("__ns_sig"))
-      .filter(col("__ns_sig").getItem(0) =!= DedupOps.MinhashPrime)
       .select(col("new_id"), col(eventTimeCol), col("__ns_sig"),
         posexplode(DedupOps.lshBandKeys(col("__ns_sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
@@ -188,9 +191,10 @@ object PipelineStreams {
                               bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = df
+      .filter(DedupOps.hasShingles(textCol, shingleK)) // cheap raw-text
+      // predicate, not a signature filter (kernel double-eval hazard)
       .withColumn("__mh_sig",
         DedupOps.minhashSignature(col(textCol), shingleK, numHashes))
-      .filter(col("__mh_sig").getItem(0) =!= DedupOps.MinhashPrime)
       .withWatermark(eventTimeCol, delay)
       .select(col(idCol), col(eventTimeCol),
         posexplode(DedupOps.lshBandKeys(col("__mh_sig"), bands, rowsPerBand))

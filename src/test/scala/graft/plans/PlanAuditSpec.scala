@@ -55,6 +55,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // The expensive custom kernels. None may appear inside a FileScan's
+  // DataFilters: that means an optimizer rule (e.g. the size(arr) > 0
+  // predicate InferFiltersFromGenerate adds below an inner Generate)
+  // substituted the kernel through a projection and pushed it into the
+  // scan — evaluating it TWICE per row and defeating the columnar batch.
+  private val kernelNames = Seq("token_shingle_hash", "minhash_sig",
+    "simhash48", "pq_encode", "adc_dot", "lsh_bucket", "long_array_dot",
+    "bloom_positions", "bloom_might_contain", "centroid_top_cells")
+
+  test("no custom kernel is pushed into a scan's DataFilters") {
+    Registry.all.foreach { q =>
+      val scans = planOf(q.name).linesIterator.filter(_.contains("FileScan"))
+      scans.foreach { line =>
+        kernelNames.foreach { k =>
+          assert(!line.contains(k),
+            s"${q.name}: kernel $k evaluated inside a scan filter (double " +
+              s"eval — see minhashSig's posexplode_outer note):\n$line")
+        }
+      }
+    }
+  }
+
   test("no unpartitioned window exec in any registry plan") {
     Registry.all.foreach { q =>
       val bad = planOf(q.name).linesIterator.filter { l =>
