@@ -44,7 +44,7 @@ object RelationalQueries {
     GraftQuery("q_pivot_orders", pivotOrders, Some(pivotOrdersSql)),
     GraftQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GraftQuery("q_sessionize", sessionize, Some(sessionizeSql)),
-    GraftQuery("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
+    GraftQuery("q_zorder_layout", zorderLayout, Some(zorderLayoutSql), bench = true),
   )
 
   private val Z_BITS = 4 // 16x16 cell grid, zcell in [0, 256)

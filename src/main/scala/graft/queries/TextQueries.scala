@@ -44,7 +44,7 @@ object TextQueries {
     GraftQuery("q_vocab_topk", vocabTopK, Some(vocabTopKSql)),
     GraftQuery("q_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     GraftQuery("q_decontaminate", decontaminate, Some(decontaminateSql), bench = true),
-    GraftQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql)),
+    GraftQuery("q_decontaminate_bloom", decontaminateBloom, Some(decontaminateSql), bench = true),
     GraftQuery("q_contamination_frac", contaminationFrac, Some(contaminationFracSql)),
     GraftQuery("q_train_split", trainSplit, Some(trainSplitSql)),
     GraftQuery("q_shard_layout", shardLayout, Some(shardLayoutSql)),
@@ -60,8 +60,8 @@ object TextQueries {
     GraftQuery("q_corpus_report", corpusReport, Some(corpusReportSql)),
     GraftQuery("q_boilerplate", boilerplate, Some(boilerplateSql)),
     GraftQuery("q_token_histogram", tokenHistogram, Some(tokenHistogramSql)),
-    GraftQuery("q_inverted_index", invertedIndexQ, Some(invertedIndexSql)),
-    GraftQuery("q_source_overlap", sourceOverlapQ, Some(sourceOverlapSql)),
+    GraftQuery("q_inverted_index", invertedIndexQ, Some(invertedIndexSql), bench = true),
+    GraftQuery("q_source_overlap", sourceOverlapQ, Some(sourceOverlapSql), bench = true),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
