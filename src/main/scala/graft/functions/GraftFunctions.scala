@@ -37,9 +37,37 @@ object GraftFunctions {
       }
       TokenShingleHash(exprs.head, k)
     },
+    "simhash48" -> { exprs =>
+      require(exprs.size == 1, "simhash48(text) — returns struct(simhash, n_tok)")
+      SimHash48(exprs.head)
+    },
+    "minhash_signature" -> { exprs =>
+      require(exprs.size == 3,
+        "minhash_signature(text, k literal, num_hashes literal)")
+      val k = intLit(exprs(1), "k")
+      val numHashes = intLit(exprs(2), "num_hashes")
+      // the permutation family lives with its oracle SQL in DedupOps;
+      // mirror the constants here to keep functions/ free of a pipeline
+      // dependency cycle (spec-pinned: GraftExtensionsSpec asserts the
+      // SQL form ≡ DedupOps.minhashSignature)
+      val prime = 4294967311L
+      MinhashSig(exprs.head, k,
+        Array.tabulate(numHashes)(i => ((2L * i + 1) * 2654435761L) % prime),
+        Array.tabulate(numHashes)(i => 1L * i * i * 65537 + 7), prime)
+    },
+    "lsh_bucket" -> { exprs =>
+      require(exprs.size == 2, "lsh_bucket(scaled_vec, planes literal)")
+      LshBucket(exprs.head, intLit(exprs(1), "planes"))
+    },
     "bbo_from_price_updates" -> (exprs => mkBbo(0, 4, exprs)),
     "bbo_from_price_mutations" -> (exprs => mkBbo(1, 4, exprs)),
     "bbo_from_price_mutations_with_modify" -> (exprs => mkBbo(2, 6, exprs)))
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

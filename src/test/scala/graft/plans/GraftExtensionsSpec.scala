@@ -68,4 +68,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("round-6 kernels are SQL-callable and agree with the Scala APIs") {
+    val spark = base
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sql_surface_docs")
+
+    // simhash48: SQL struct == DataFrame-level operator output
+    val shSql = spark.sql(
+      "SELECT doc_id, simhash48(text).simhash AS s, simhash48(text).n_tok AS n " +
+        "FROM sql_surface_docs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val shApi = graft.pipeline.DedupOps.simhash48WithCount(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(shSql == shApi)
+
+    // minhash_signature: the SQL registration duplicates the permutation
+    // constants that live with their oracle in DedupOps — this equality
+    // is what pins the two copies together
+    val mhSql = spark.sql(
+      "SELECT doc_id, minhash_signature(text, 3, 12) AS sig FROM sql_surface_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mhApi = docs.select(col("doc_id"),
+        graft.pipeline.DedupOps.minhashSignature(col("text"), 3, 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mhSql == mhApi)
+
+    // lsh_bucket over a scaled vector
+    val vecs = Seq((1L, Seq(1.0f, -2.0f, 0.5f))).toDF("id", "v")
+    vecs.createOrReplaceTempView("sql_surface_vecs")
+    val lbApi = vecs.select(graft.pipeline.SimilarityOps
+        .lshBucket(col("v"), 6).as("b")).collect()(0).getLong(0)
+    val lbSql = spark.sql(
+      "SELECT lsh_bucket(transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)), 6) AS b " +
+        "FROM sql_surface_vecs").collect()(0).getLong(0)
+    assert(lbSql == lbApi)
+  }
 }
