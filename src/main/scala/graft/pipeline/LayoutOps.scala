@@ -103,6 +103,57 @@ object LayoutOps {
     for (a <- aLo to aHi; b <- bLo to bHi) yield zValueOf(a, b, bitsPer)
   }
 
+  /** Persist `df` Z-ordered: layout cells computed over the two
+    * dimensions' observed ranges, written PARTITIONED BY zcell, with the
+    * bucketing metadata (mins/maxes/bitsPer) alongside so probes can
+    * map value ranges to bucket ranges without re-scanning. The
+    * dimension snapshot is taken ONCE at write time — a production
+    * pipeline would pin the ranges explicitly so later appends land in
+    * stable cells (see [[rangeBucket]]'s scaladoc). */
+  def writeZordered(df: DataFrame, colA: String, colB: String,
+                    bitsPer: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    val laid = zorderLayout(df, colA, colB, bitsPer)
+    laid.write.mode("overwrite").partitionBy("zcell").parquet(s"$path/data")
+    val cells = 1 << bitsPer
+    val mm = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    import spark.implicits._
+    Seq((colA, colB, bitsPer, cells,
+        mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3)))
+      .toDF("col_a", "col_b", "bits_per", "cells",
+        "a_min", "a_max", "b_min", "b_max")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a [[writeZordered]] layout with a 2-D VALUE box: maps the
+    * value ranges to bucket ranges via the stored metadata, enumerates
+    * the covering z-cells driver-side, and reads with a `zcell IN`
+    * filter that lands in PartitionFilters — O(box area) of the data
+    * scanned, not O(corpus). Values outside the written range clamp to
+    * the edge buckets (they could only live there). */
+  def readZorderBox(spark: org.apache.spark.sql.SparkSession, path: String,
+                    aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (bitsPer, cells) = (m.getAs[Int]("bits_per"), m.getAs[Int]("cells"))
+    val (aMin, aMax) = (m.getAs[Long]("a_min"), m.getAs[Long]("a_max"))
+    val (bMin, bMax) = (m.getAs[Long]("b_min"), m.getAs[Long]("b_max"))
+    def bucketOf(v: Long, lo: Long, hi: Long): Long = {
+      val clamped = math.max(lo, math.min(hi, v))
+      (clamped - lo) * cells / (hi - lo + 1)
+    }
+    val zcells = zCellsForBox(
+      bucketOf(aLo, aMin, aMax), bucketOf(aHi, aMin, aMax),
+      bucketOf(bLo, bMin, bMax), bucketOf(bHi, bMin, bMax), bitsPer)
+    // the cell list prunes PARTITIONS; the residual value predicate
+    // finishes the box exactly (cells are coarser than values)
+    spark.read.parquet(s"$path/data")
+      .filter(col("zcell").isin(zcells: _*))
+      .filter(col(m.getAs[String]("col_a")).between(aLo, aHi) &&
+        col(m.getAs[String]("col_b")).between(bLo, bHi))
+  }
+
   /** DuckDB twin of bucket + interleave, for the oracle: integer `//`
     * division and an unrolled shift/or chain over disjoint bits. */
   def zValueSql(bucketAExpr: String, bucketBExpr: String, bitsPer: Int): String =

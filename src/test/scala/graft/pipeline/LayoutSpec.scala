@@ -69,4 +69,30 @@ class LayoutSpec extends AnyFunSuite {
     val allFiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("zcell="))
     assert(allFiles > 6, s"layout produced only $allFiles cells")
   }
+
+  test("writeZordered/readZorderBox: value-box probe is exact and pruned") {
+    val df = spark.range(3000).select(
+      col("id"),
+      (col("id") * 13 % 997).as("x"),
+      (col("id") * 57 % 641).as("y"))
+    val path = java.nio.file.Files.createTempDirectory("graft_zidx").toString
+    LayoutOps.writeZordered(df, "x", "y", bitsPer = 3, path)
+
+    val (aLo, aHi, bLo, bHi) = (100L, 260L, 300L, 410L)
+    val probe = LayoutOps.readZorderBox(spark, path, aLo, aHi, bLo, bHi)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("zcell"), s"no partition prune in:\n$plan")
+
+    val got = probe.select("id").as[Long].collect().toSet
+    val expected = df
+      .filter(col("x").between(aLo, aHi) && col("y").between(bLo, bHi))
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+
+    // a box outside the written range returns nothing (edge clamp)
+    assert(LayoutOps.readZorderBox(spark, path, 5000, 6000, 5000, 6000)
+      .count() == 0L)
+  }
 }
