@@ -260,36 +260,42 @@ object TextOps {
           col("n_shingles").cast("double")).as("contamination_frac"))
   }
 
-  /** Inverted index over the corpus: one row per token with its document
-    * frequency, total term frequency, and a CAPPED posting list (the
-    * `maxPostings` smallest doc ids — deterministic, and the cap is what
-    * keeps row width bounded when a stopword appears in every document;
-    * df/tf still count everything). The audit artifact behind
-    * decontamination forensics and targeted corpus search: "which docs
-    * contain this leaked string's tokens" without re-scanning text.
+  /** Inverted index over the corpus: one row per (token, posting) with
+    * the token's document frequency, total term frequency, and the
+    * posting's rank within the CAPPED posting list (the `maxPostings`
+    * smallest doc ids — deterministic, and the cap is what keeps output
+    * bounded when a stopword appears in every document; df/tf still
+    * count everything). The audit artifact behind decontamination
+    * forensics and targeted corpus search: "which docs contain this
+    * leaked string's tokens" without re-scanning text. Scalar rows, not
+    * an array column, so any downstream engine can hash/sort the output.
     *
     * Shape: explode → per-(token, doc) partial-aggregated count (the
-    * only corpus-sized shuffle) → per-token window rank (partitioned by
-    * token — never global) → one final token aggregation that reuses the
-    * window's partitioning, so the rank and the rollup pay ONE exchange
-    * between them. At 100 TB the output is vocabulary-sized, postings
-    * are capped, and every aggregation combines map-side. */
+    * only corpus-sized shuffle) → ONE per-token aggregation whose
+    * posting selection is a bounded min-K heap
+    * ([[graft.functions.LongMinK]]) — O(maxPostings) state per group,
+    * combined map-side, so a stopword token costs the same k-slot
+    * buffer as any other token instead of funnelling ~n_docs rows into
+    * a single window-sort task. No WindowExec anywhere in the plan. At
+    * 100 TB the output is vocabulary-sized, postings are capped, and
+    * every aggregation combines map-side. */
   def invertedIndex(df: DataFrame, textCol: String, idCol: String,
                     maxPostings: Int, minDf: Long = 1L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
     val perDoc = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
-    perDoc.withColumn("__rn", row_number().over(w))
-      .groupBy(col("token"))
+    perDoc.groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).as("tf_total"),
-        sort_array(collect_list(when(col("__rn") <= maxPostings, col("doc_id"))))
-          .as("postings"))
+        graft.functions.LongMinK.minK(col("doc_id"), maxPostings)
+          .as("__postings"))
       .filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("tf_total"),
+        posexplode(col("__postings")).as(Seq("__pos", "doc_id")))
+      .select(col("token"), col("df"), col("tf_total"),
+        (col("__pos") + 1).cast("long").as("post_rank"), col("doc_id"))
   }
 
   /** Canonical text form for near-exact dedup: lowercase, every

@@ -73,7 +73,10 @@ object TextQueries {
   /** Inverted index (df / total tf / capped postings per token) over
     * tokens appearing in at least [[II_MIN_DF]] docs — the audit
     * artifact behind decontamination forensics and targeted corpus
-    * search. */
+    * search. Scalar rows (token, df, tf_total, post_rank, doc_id): the
+    * harness hashes output cell-wise, so array columns are out of
+    * contract, and the bounded min-K aggregate keeps stopword tokens
+    * from funnelling the corpus into one window-sort task. */
   def invertedIndexQ(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.invertedIndex(docs(spark, sfDir), "text", "doc_id",
       II_MAX_POSTINGS, II_MIN_DF)
@@ -83,10 +86,18 @@ object TextQueries {
        |  SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS token FROM documents
        |), per AS (
        |  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id
+       |), agg AS (
+       |  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+       |  FROM per GROUP BY token HAVING count(*) >= $II_MIN_DF
+       |), ranked AS (
+       |  SELECT token, doc_id,
+       |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       |  FROM per
        |)
-       |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
-       |  (list(doc_id ORDER BY doc_id))[1:$II_MAX_POSTINGS] AS postings
-       |FROM per GROUP BY token HAVING count(*) >= $II_MIN_DF""".stripMargin
+       |SELECT a.token, a.df, a.tf_total, CAST(r.rn AS BIGINT) AS post_rank,
+       |  r.doc_id
+       |FROM agg a JOIN ranked r USING (token)
+       |WHERE r.rn <= $II_MAX_POSTINGS""".stripMargin
 
   /** Cross-source n-gram overlap matrix: per source pair, the number of
     * distinct 3-gram hashes occurring in both — the corpus-similarity

@@ -25,4 +25,25 @@ class EntryContractSpec extends AnyFunSuite {
     // non-SQL-expressible op ever lands)
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
+
+  test("every registry query emits only scalar top-level columns") {
+    // The driver's oracle harness hashes query output through a pandas
+    // sort that cannot handle array/map/struct cells (the q_inverted_index
+    // regression, CORRECTNESS_r06) — and the local check_oracle.py
+    // happens to tolerate Python lists, so only this spec closes the
+    // gap mechanically. Plan analysis only; nothing executes.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val sfDir = "/root/testdata/sf0.001"
+    val offending = Registry.all.flatMap { q =>
+      q.run(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offending.isEmpty,
+      s"non-scalar top-level columns break the driver harness:\n  " +
+        offending.mkString("\n  "))
+  }
 }

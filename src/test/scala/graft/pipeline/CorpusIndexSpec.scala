@@ -10,15 +10,28 @@ class CorpusIndexSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** Collect the scalar-row index back into token -> (df, tf, postings)
+    * for assertion convenience; postings ordered by post_rank. */
+  private def asMap(idx: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Long, Seq[Long])] =
+    idx.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (tok, rows) =>
+        val sorted = rows.sortBy(_._4)
+        assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq,
+          s"post_rank not dense 1..k for $tok")
+        tok -> ((sorted.head._2, sorted.head._3, sorted.map(_._5).toSeq))
+      }
+
   test("inverted index: exact df/tf, postings capped to smallest ids") {
     val docs = Seq(
       (10L, "alpha beta alpha"),
       (3L, "alpha gamma"),
       (7L, "alpha beta"),
       (1L, "delta")).toDF("doc_id", "text")
-    val idx = TextOps.invertedIndex(docs, "text", "doc_id", maxPostings = 2)
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    val idx = asMap(TextOps.invertedIndex(docs, "text", "doc_id", maxPostings = 2))
     // alpha: df=3 (docs 3,7,10), tf=4 (two in doc 10), postings capped to [3,7]
     assert(idx("alpha") == ((3L, 4L, Seq(3L, 7L))))
     assert(idx("beta") == ((2L, 2L, Seq(7L, 10L))))
@@ -31,6 +44,32 @@ class CorpusIndexSpec extends AnyFunSuite {
     val idx = TextOps.invertedIndex(docs, "text", "doc_id", 4, minDf = 2L)
       .collect().map(_.getString(0)).toSet
     assert(idx == Set("common"))
+  }
+
+  test("inverted index: stopword in every doc stays capped, no window in plan") {
+    // the skew shape: one token ("the") present in all 200 docs — under
+    // the old row_number() window this put every row in ONE task's sort;
+    // the min-K aggregate keeps k-slot state and partial-aggregates
+    val docs = (1L to 200L).map(i => (i, s"the w$i")).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, "text", "doc_id", maxPostings = 3)
+    val idx = asMap(out)
+    assert(idx("the") == ((200L, 200L, Seq(1L, 2L, 3L))))
+    assert(idx("w42") == ((1L, 1L, Seq(42L))))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"),
+      s"inverted index must not plan a WindowExec:\n$physical")
+  }
+
+  test("LongMinK: heap keeps k smallest across merges, skips nulls") {
+    val vals = Seq[java.lang.Long](9L, 1L, null, 7L, 3L, 5L, 3L, 8L, 2L)
+      .zipWithIndex.map { case (v, i) => (i % 4, v) } // 4 groups force merges
+      .toDF("g", "v")
+    val got = vals.repartition(8).groupBy(col("g"))
+      .agg(graft.functions.LongMinK.minK(col("v"), 2).as("mk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    // groups: g0 -> (9,3,2), g1 -> (1,5), g2 -> (null,3), g3 -> (7,8)
+    assert(got == Map(0 -> List(2L, 3L), 1 -> List(1L, 5L),
+      2 -> List(3L), 3 -> List(7L, 8L)))
   }
 
   test("source overlap: pair counts of shared contents, never a self-pair") {
