@@ -59,7 +59,13 @@ object Bench {
       val ok = try {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         true
-      } catch { case _: Throwable => false }
+      } catch { case e: Throwable =>
+        // the reason goes to stderr (the JSON line owns stdout) — a red
+        // `failed` entry must be diagnosable from the bench log alone
+        System.err.println(
+          s"bench: ${q.name} failed: ${e.getClass.getName}: ${e.getMessage}")
+        false
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       if (!ok) failedSet += q.name
       samples(q.name) = secs :: samples(q.name)

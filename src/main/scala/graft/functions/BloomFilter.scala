@@ -180,5 +180,18 @@ case class BloomMightContain(child: Expression, words: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 
+  // Array fields compare by reference under case-class equality, which
+  // would make structurally identical probes never canonicalize equal —
+  // defeating subexpression elimination and ReuseExchange. Compare and
+  // hash the bitmap by content.
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContain => child == o.child &&
+      numHashes == o.numHashes && numBits == o.numBits &&
+      java.util.Arrays.equals(words, o.words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child, java.util.Arrays.hashCode(words), numHashes, numBits).hashCode()
+
   override def prettyName: String = "bloom_might_contain"
 }

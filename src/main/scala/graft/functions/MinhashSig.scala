@@ -65,6 +65,20 @@ case class MinhashSig(child: Expression, shingleK: Int,
   override protected def withNewChildInternal(newChild: Expression): MinhashSig =
     copy(child = newChild)
 
+  // Array fields compare by reference under case-class equality, which
+  // would make structurally identical kernels never canonicalize equal —
+  // defeating subexpression elimination and ReuseExchange. Compare and
+  // hash the permutation tables by content.
+  override def equals(other: Any): Boolean = other match {
+    case o: MinhashSig => child == o.child && shingleK == o.shingleK &&
+      prime == o.prime && java.util.Arrays.equals(a, o.a) &&
+      java.util.Arrays.equals(b, o.b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child, shingleK, java.util.Arrays.hashCode(a),
+      java.util.Arrays.hashCode(b), prime).hashCode()
+
   override def prettyName: String = "minhash_sig"
 }
 

@@ -157,6 +157,21 @@ case class PqEncode(child: Expression, books: Array[Long], n2: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 
+  // Array fields compare by reference under case-class equality, which
+  // would make structurally identical kernels never canonicalize equal —
+  // defeating subexpression elimination and ReuseExchange. Compare and
+  // hash the codebooks by content.
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncode => child == o.child &&
+      numSubspaces == o.numSubspaces && numCodes == o.numCodes &&
+      subDim == o.subDim && java.util.Arrays.equals(books, o.books) &&
+      java.util.Arrays.equals(n2, o.n2)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child, java.util.Arrays.hashCode(books), java.util.Arrays.hashCode(n2),
+      numSubspaces, numCodes, subDim).hashCode()
+
   override def prettyName: String = "pq_encode"
 }
 

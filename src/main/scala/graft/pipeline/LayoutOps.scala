@@ -58,14 +58,38 @@ object LayoutOps {
     * bit-reproducible in DuckDB (`//`); no doubles anywhere. vMin/vMax
     * are literals snapshot from the data (or fixed by the caller for a
     * stable production layout — new data outside the snapshot range
-    * would otherwise shift every bucket). */
+    * would otherwise shift every bucket).
+    *
+    * Overflow-safe on wide spans: when (span−1)·cells could exceed
+    * int64 — an epoch-microseconds dimension (span ~1.7e18) already
+    * does at 16 cells — the arithmetic widens through DECIMAL(38,0)
+    * (same exact integer math, matching DuckDB's automatic 128-bit
+    * promotion); narrow spans keep the pure-long fast path. The choice
+    * is made per-literal at planning time, so the hot map stays
+    * codegen'd either way. */
   def rangeBucket(vExpr: String, vMin: Long, vMax: Long, cells: Int): Column = {
     require(cells >= 1 && vMax >= vMin,
       s"need cells >= 1 and vMax >= vMin, got cells=$cells [$vMin,$vMax]")
-    val span = vMax - vMin + 1
+    val span = BigInt(vMax) - BigInt(vMin) + 1
     // SQL `div` is the exact integral division (Column has no such
     // operator; `/` would detour through doubles)
-    expr(s"CAST(((($vExpr) - $vMin) * $cells) div $span AS BIGINT)")
+    if ((span - 1) * cells <= Long.MaxValue)
+      expr(s"CAST(((($vExpr) - $vMin) * $cells) div $span AS BIGINT)")
+    else
+      expr(s"CAST(((CAST(($vExpr) AS DECIMAL(38,0)) - $vMin) * $cells)" +
+        s" div CAST('$span' AS DECIMAL(38,0)) AS BIGINT)")
+  }
+
+  /** Driver-side twin of [[rangeBucket]] with the probe clamp: values
+    * outside [vMin, vMax] map to the edge buckets (they could only live
+    * there). BigInt throughout — the driver runs this once per probe,
+    * and a wide-span dimension overflows int64 exactly like the column
+    * form would. */
+  def bucketOf(v: Long, vMin: Long, vMax: Long, cells: Int): Long = {
+    require(cells >= 1 && vMax >= vMin,
+      s"need cells >= 1 and vMax >= vMin, got cells=$cells [$vMin,$vMax]")
+    val clamped = math.max(vMin, math.min(vMax, v))
+    ((BigInt(clamped) - vMin) * cells / (BigInt(vMax) - BigInt(vMin) + 1)).toLong
   }
 
   /** Append `cell_a`, `cell_b`, `zcell` for two long dimensions of `df`,
@@ -75,24 +99,57 @@ object LayoutOps {
     * `zcell` to get the prunable layout. */
   def zorderLayout(df: DataFrame, colA: String, colB: String,
                    bitsPer: Int): DataFrame = {
-    val cells = 1 << bitsPer
+    val (aMin, aMax, bMin, bMax) = snapshotRanges(df, colA, colB)
+    zorderLayoutPinned(df, colA, colB, bitsPer,
+      aMin, aMax, bMin, bMax, clamp = false)
+  }
+
+  /** The 4-scalar planning-time min/max snapshot behind the un-pinned
+    * layout paths — computed ONCE and threaded through, never
+    * re-scanned (a second scan could observe different data and
+    * silently diverge metadata from the written buckets). */
+  private def snapshotRanges(df: DataFrame, colA: String, colB: String)
+      : (Long, Long, Long, Long) = {
     val mm = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     require(!mm.anyNull, s"zorderLayout: $colA/$colB have no non-null rows")
-    val (aMin, aMax, bMin, bMax) =
-      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
-    val bucketA = rangeBucket(colA, aMin, aMax, cells)
-    val bucketB = rangeBucket(colB, bMin, bMax, cells)
-    df.withColumn("cell_a", bucketA)
-      .withColumn("cell_b", bucketB)
+    (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+  }
+
+  /** [[zorderLayout]] with caller-fixed dimension ranges — the stable
+    * production layout: appends bucket against the SAME ranges as the
+    * original write, so they land in the same cells. With
+    * `clamp = true`, values outside the pinned range go to the edge
+    * buckets (where a probe's clamped box would look for them) instead
+    * of producing out-of-domain cells; the un-pinned path skips the
+    * clamp since observed min/max make it a no-op. */
+  def zorderLayoutPinned(df: DataFrame, colA: String, colB: String,
+                         bitsPer: Int, aMin: Long, aMax: Long,
+                         bMin: Long, bMax: Long,
+                         clamp: Boolean = true): DataFrame = {
+    val cells = 1 << bitsPer
+    def clamped(c: String, lo: Long, hi: Long): String =
+      if (clamp) s"LEAST(GREATEST(($c), $lo), $hi)" else c
+    df.withColumn("cell_a",
+        rangeBucket(clamped(colA, aMin, aMax), aMin, aMax, cells))
+      .withColumn("cell_b",
+        rangeBucket(clamped(colB, bMin, bMax), bMin, bMax, cells))
       .withColumn("zcell", zValue(col("cell_a"), col("cell_b"), bitsPer))
   }
 
+  /** Hard cap on driver-side cell enumeration: beyond this the `IN`
+    * list would not plan well anyway (and at bitsPer=16 an unbounded
+    * box could enumerate 2^32 longs — a driver OOM). A probe wider
+    * than the cap should use a plain range scan instead. */
+  val MaxProbeCells: Long = 1L << 16
+
   /** The covering z-cells of a 2-D bucket box — the probe side's `IN`
-    * list. At most 2^(2·bitsPer) entries (bitsPer ≤ 16 enforced by
-    * [[zValue]]), enumerated driver-side: cell ids are planning
-    * constants exactly like partition values. */
+    * list, enumerated driver-side: cell ids are planning constants
+    * exactly like partition values. Box area is capped at
+    * [[MaxProbeCells]] — loudly, like the rest of the contract guards —
+    * because the enumeration materializes one long per cell on the
+    * driver. */
   def zCellsForBox(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
                    bitsPer: Int): Seq[Long] = {
     require(bitsPer >= 1 && bitsPer <= 16,
@@ -100,30 +157,55 @@ object LayoutOps {
     val hi = (1L << bitsPer) - 1
     require(aLo >= 0 && bLo >= 0 && aHi <= hi && bHi <= hi,
       s"box [$aLo,$aHi]x[$bLo,$bHi] outside bucket domain [0,$hi]")
+    val area = (aHi - aLo + 1) * (bHi - bLo + 1)
+    require(area <= MaxProbeCells,
+      s"box [$aLo,$aHi]x[$bLo,$bHi] covers $area cells > $MaxProbeCells; " +
+        "a probe this wide should scan by range, not enumerate cells")
     for (a <- aLo to aHi; b <- bLo to bHi) yield zValueOf(a, b, bitsPer)
   }
 
   /** Persist `df` Z-ordered: layout cells computed over the two
-    * dimensions' observed ranges, written PARTITIONED BY zcell, with the
-    * bucketing metadata (mins/maxes/bitsPer) alongside so probes can
-    * map value ranges to bucket ranges without re-scanning. The
-    * dimension snapshot is taken ONCE at write time — a production
-    * pipeline would pin the ranges explicitly so later appends land in
-    * stable cells (see [[rangeBucket]]'s scaladoc). */
+    * dimensions' ranges, written PARTITIONED BY zcell, with the
+    * bucketing metadata (mins/maxes/bitsPer, and whether the ranges
+    * were pinned) alongside so probes can map value ranges to bucket
+    * ranges without re-scanning.
+    *
+    * `ranges = None` snapshots observed min/max ONCE and threads the
+    * same 4 scalars into both the bucket computation and the metadata
+    * (two independent scans could observe different data and silently
+    * desynchronize them). `ranges = Some((aMin, aMax, bMin, bMax))`
+    * pins the bucket domain — the stable production layout: later
+    * `append = true` writes with the SAME pinned ranges land in the
+    * same cells, and out-of-range values clamp to edge buckets (where
+    * a probe's clamped box looks for them). Appending without pinned
+    * ranges is refused loudly: a fresh snapshot would re-bucket only
+    * the new batch and corrupt the layout. */
   def writeZordered(df: DataFrame, colA: String, colB: String,
-                    bitsPer: Int, path: String): Unit = {
+                    bitsPer: Int, path: String,
+                    ranges: Option[(Long, Long, Long, Long)] = None,
+                    append: Boolean = false): Unit = {
     val spark = df.sparkSession
-    val laid = zorderLayout(df, colA, colB, bitsPer)
-    laid.write.mode("overwrite").partitionBy("zcell").parquet(s"$path/data")
-    val cells = 1 << bitsPer
-    val mm = df.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val (aMin, aMax, bMin, bMax, pinned) = ranges match {
+      case Some((a1, a2, b1, b2)) =>
+        require(a2 >= a1 && b2 >= b1,
+          s"pinned ranges must be non-empty, got [$a1,$a2]x[$b1,$b2]")
+        (a1, a2, b1, b2, true)
+      case None =>
+        require(!append,
+          "append requires pinned ranges: a fresh min/max snapshot would " +
+            "bucket the new batch against a different domain than the " +
+            "existing layout")
+        val (a1, a2, b1, b2) = snapshotRanges(df, colA, colB)
+        (a1, a2, b1, b2, false)
+    }
+    val laid = zorderLayoutPinned(df, colA, colB, bitsPer,
+      aMin, aMax, bMin, bMax, clamp = pinned)
+    laid.write.mode(if (append) "append" else "overwrite")
+      .partitionBy("zcell").parquet(s"$path/data")
     import spark.implicits._
-    Seq((colA, colB, bitsPer, cells,
-        mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3)))
+    Seq((colA, colB, bitsPer, 1 << bitsPer, aMin, aMax, bMin, bMax, pinned))
       .toDF("col_a", "col_b", "bits_per", "cells",
-        "a_min", "a_max", "b_min", "b_max")
+        "a_min", "a_max", "b_min", "b_max", "pinned")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -139,13 +221,10 @@ object LayoutOps {
     val (bitsPer, cells) = (m.getAs[Int]("bits_per"), m.getAs[Int]("cells"))
     val (aMin, aMax) = (m.getAs[Long]("a_min"), m.getAs[Long]("a_max"))
     val (bMin, bMax) = (m.getAs[Long]("b_min"), m.getAs[Long]("b_max"))
-    def bucketOf(v: Long, lo: Long, hi: Long): Long = {
-      val clamped = math.max(lo, math.min(hi, v))
-      (clamped - lo) * cells / (hi - lo + 1)
-    }
     val zcells = zCellsForBox(
-      bucketOf(aLo, aMin, aMax), bucketOf(aHi, aMin, aMax),
-      bucketOf(bLo, bMin, bMax), bucketOf(bHi, bMin, bMax), bitsPer)
+      bucketOf(aLo, aMin, aMax, cells), bucketOf(aHi, aMin, aMax, cells),
+      bucketOf(bLo, bMin, bMax, cells), bucketOf(bHi, bMin, bMax, cells),
+      bitsPer)
     // the cell list prunes PARTITIONS; the residual value predicate
     // finishes the box exactly (cells are coarser than values)
     spark.read.parquet(s"$path/data")

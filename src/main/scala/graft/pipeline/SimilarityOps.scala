@@ -214,7 +214,11 @@ object SimilarityOps {
     // the sample). Same executor-local-blocks trade as the corpus
     // filter's gate checkpoint, on a relation that is a SAMPLE by
     // contract (the caller picks the training stride).
+    // null/empty vectors carry no training signal and would NPE the
+    // driver-side centroid fold (a null sv groups under cent_id=null);
+    // drop them up front like meanPoolByGroup does
     val v = df.select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
+      .filter(size(col("sv")) > 0)
       .localCheckpoint()
     var cents: Seq[(Long, Seq[Long])] = v
       .orderBy(HashFns.hash32(col("vid").cast("string")), col("vid"))

@@ -88,6 +88,37 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(unflagged == Set(100L, 101L))
   }
 
+  test("incremental screen bloom-prefilters the batch BELOW the band join") {
+    val history = (0L until 40L).map(i =>
+      (i, s"history document number $i with some shared words here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "history document number 7 with some shared words here"),
+      (101L, "completely unrelated fresh content that matches nothing old"))
+      .toDF("doc_id", "text")
+    val idx = DedupOps.minhashSigIndex(history, "text", "doc_id")
+    val screened = DedupOps.nearDupAgainstIndex(batch, idx, "text", "doc_id")
+
+    // the bloom probe must sit on the batch side BELOW the band
+    // equi-join — a map-side prefilter, not a post-join residual. The
+    // tree prints parents before children, so the probe's Filter line
+    // must come AFTER the band join's line (string traversal like
+    // PlanAuditSpec — plan.collect can't see through the AQE wrapper).
+    val lines = screened.queryExecution.executedPlan.toString.linesIterator.toVector
+    val joinAt = lines.indexWhere(l =>
+      l.contains("Join") && l.contains("band_idx") && l.contains("band_hash"))
+    val probeAt = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(joinAt >= 0, s"no band join in:\n${lines.mkString("\n")}")
+    assert(probeAt > joinAt,
+      s"bloom probe not below the band join (join@$joinAt, probe@$probeAt):\n" +
+        lines.mkString("\n"))
+
+    // exact duplicate of history doc 7 flagged; fresh content not
+    val flagged = screened.select("new_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(100L))
+  }
+
   test("end-to-end near-dup dedup keeps min-id representatives") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

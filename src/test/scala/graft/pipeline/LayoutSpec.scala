@@ -35,6 +35,36 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeBucket survives wide spans (epoch-micros) without overflow") {
+    // span ~1.6e18: (v - min) * 16 tops int64, so the narrow-span long
+    // fast path would overflow (ANSI would throw, legacy would wrap) —
+    // the DECIMAL(38,0) widening must produce the exact integer result
+    val vMax = 1_600_000_000_000_000_000L
+    val span = BigInt(vMax) + 1
+    val vals = Seq(0L, 1L, 123_456_789_012_345_678L, vMax / 3, vMax / 2,
+      vMax - 1, vMax)
+    val got = vals.toDF("v")
+      .withColumn("bucket", LayoutOps.rangeBucket("v", 0L, vMax, 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    vals.foreach { v =>
+      val expected = (BigInt(v) * 16 / span).toLong
+      assert(got(v) == expected, s"v=$v got ${got(v)} want $expected")
+      assert(got(v) >= 0 && got(v) < 16)
+      // the driver-side probe twin must agree bucket-for-bucket
+      assert(LayoutOps.bucketOf(v, 0L, vMax, 16) == expected)
+    }
+  }
+
+  test("zCellsForBox refuses boxes wider than the enumeration cap") {
+    // bitsPer=16 full grid = 2^32 cells; must fail loudly, not OOM
+    val e = intercept[IllegalArgumentException] {
+      LayoutOps.zCellsForBox(0, 65535, 0, 65535, 16)
+    }
+    assert(e.getMessage.contains("cells"))
+    // a cap-sized box still enumerates
+    assert(LayoutOps.zCellsForBox(0, 255, 0, 255, 16).size == 65536)
+  }
+
   test("2-D box probe over the z-partitioned layout partition-prunes") {
     val bitsPer = 3 // 8x8 grid -> at most 64 partitions
     val n = 4000
@@ -94,5 +124,47 @@ class LayoutSpec extends AnyFunSuite {
     // a box outside the written range returns nothing (edge clamp)
     assert(LayoutOps.readZorderBox(spark, path, 5000, 6000, 5000, 6000)
       .count() == 0L)
+  }
+
+  test("pinned-range writeZordered: appends land in stable cells") {
+    val mk = (lo: Long, n: Long) => spark.range(lo, lo + n).select(
+      col("id"),
+      (col("id") * 13 % 997).as("x"),
+      (col("id") * 57 % 641).as("y"))
+    val batch1 = mk(0L, 1500L)
+    val batch2 = mk(1500L, 1500L)
+    val path = java.nio.file.Files.createTempDirectory("graft_zpin").toString
+    val pinned = Some((0L, 996L, 0L, 640L))
+    LayoutOps.writeZordered(batch1, "x", "y", 3, path, pinned)
+    LayoutOps.writeZordered(batch2, "x", "y", 3, path, pinned, append = true)
+
+    // meta records the pin
+    assert(spark.read.parquet(s"$path/meta").head().getAs[Boolean]("pinned"))
+
+    // the probe sees both batches, exactly, through one stable layout
+    val (aLo, aHi, bLo, bHi) = (100L, 260L, 300L, 410L)
+    val got = LayoutOps.readZorderBox(spark, path, aLo, aHi, bLo, bHi)
+      .select("id").as[Long].collect().toSet
+    val expected = mk(0L, 3000L)
+      .filter(col("x").between(aLo, aHi) && col("y").between(bLo, bHi))
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+
+    // cell assignment is identical across batches: re-laying batch2
+    // against the pinned ranges matches what the append wrote
+    val relaid = LayoutOps.zorderLayoutPinned(batch2, "x", "y", 3,
+      0L, 996L, 0L, 640L)
+      .select("id", "zcell").as[(Long, Long)].collect().toMap
+    val written = spark.read.parquet(s"$path/data")
+      .filter(col("id") >= 1500L)
+      .select("id", "zcell").as[(Long, Long)].collect().toMap
+    assert(written == relaid)
+
+    // appending without pinned ranges is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      LayoutOps.writeZordered(batch2, "x", "y", 3, path, None, append = true)
+    }
+    assert(e.getMessage.contains("pinned"))
   }
 }
