@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Serving-path soak for the PERSISTED artifacts — the prune-ratio
+  * arithmetic behind the 100 TB claim, measured (not asserted) at
+  * ~100-500× bench scale on local[32] and recorded in BASELINE.md:
+  *
+  *  1. IVF-PQ index ([[graft.pipeline.SimilarityOps.writeIvfPqIndex]]):
+  *     1M dim-64 vectors stored as PQ codes partitioned by IVF cell
+  *     (k=256 trained centroids), probed with 8 queries at nProbes=2 —
+  *     the probe must READ only the probed cells' files, ≈ 2/256 of the
+  *     corpus per query.
+  *  2. Z-order layout ([[graft.pipeline.LayoutOps.writeZordered]]): 10M
+  *     rows over (narrow x, WIDE epoch-micros-scale t) — the wide span
+  *     exercises the DECIMAL(38,0) bucketing path at scale — probed
+  *     with a 1-bucket × 2-bucket value box, vs the full-scan filter
+  *     both for the same answer (correctness) and for wall-clock (the
+  *     layout's win).
+  *
+  * Scanned files/bytes come from the FileSourceScanExec's own metrics
+  * (what the scan actually selected after partition pruning), compared
+  * against a directory walk's totals. AQE is OFF in this main ONLY so
+  * the scan nodes are collectible from the executed plan — the probes
+  * are broadcast joins + partition-pruned scans whose shapes AQE would
+  * not change (PlanAuditSpec covers the AQE-on shapes).
+  *
+  * Inputs are deterministic functions of spark.range (xxhash64 mixing)
+  * — no files, no RNG. Args: [nVecs] [nRows] (defaults 1M / 10M). */
+object ServeSoakMain {
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nRows = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-52s $s%8.2f s"); (r, s)
+    }
+
+    /** (files, bytes) the executed plan's parquet scans under `pathFrag`
+      * actually selected — post-pruning, from the scan's own metrics. */
+    def scannedUnder(df: DataFrame, pathFrag: String): (Long, Long) = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(pathFrag)) => f
+      }
+      require(scans.nonEmpty, s"no parquet scan under $pathFrag in the probe plan")
+      (scans.map(_.metrics("numFiles").value).sum,
+        scans.map(_.metrics("filesSize").value).sum)
+    }
+
+    /** Directory-walk totals: (partition dirs, files, bytes). */
+    def dirTotals(path: String): (Long, Long, Long) = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      val all = Files.walk(root).iterator().asScala.toVector
+      val dirs = all.count(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+      val files = all.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      (dirs, files.size, files.map(Files.size).sum)
+    }
+
+    // ---- 1. IVF-PQ index: build once, serve many --------------------------
+    import graft.pipeline.SimilarityOps
+    val dim = 64
+    def embed(seed: Int) = expr(
+      s"transform(sequence(0, ${dim - 1}), " +
+        s"j -> CAST((pmod(xxhash64(id, j, $seed), 1999) - 999) / 500.0 AS FLOAT))")
+    val corpus = spark.range(nVecs)
+      .select(col("id").as("vec_id"), embed(1).as("embedding"))
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft_soak_ivfpq").toString
+
+    val (cents, _) = time(f"k-means k=256 over ${nVecs / 50}%,d-vector sample") {
+      SimilarityOps.kmeansCentroids(
+        corpus.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 256, iters = 2)
+    }
+    val (books, _) = time("PQ codebooks (4 subspaces x 16 codes, trained)") {
+      SimilarityOps.pqCodebooksTrained(corpus, "vec_id", "embedding",
+        numSubspaces = 4, numCodes = 16, iters = 2, trainStride = 50)
+    }
+    val (_, tBuild) = time(f"write IVF-PQ index over $nVecs%,d dim-$dim vectors") {
+      SimilarityOps.writeIvfPqIndex(corpus, "vec_id", "embedding",
+        cents, books, ivfPath)
+    }
+    val (ivfCells, ivfFiles, ivfBytes) = dirTotals(s"$ivfPath/codes")
+    println(f"  index: $ivfCells%,d cell dirs, $ivfFiles%,d files, ${ivfBytes / 1e6}%.1f MB" +
+      f" (raw floats would be ${nVecs * dim * 4 / 1e6}%.1f MB)")
+
+    val queries = spark.range(8)
+      .select((col("id") + nVecs).as("vec_id"), embed(2).as("embedding"))
+    // the action runs the probe df's OWN QueryExecution (count() would
+    // plan a separate aggregate query and leave these scan metrics empty)
+    val (probed, tProbe) = time("probe IVF-PQ index: 8 queries, nProbes=2, k=10") {
+      val r = SimilarityOps.probeIvfPqIndex(spark, ivfPath, queries,
+        "vec_id", "embedding", k = 10, nProbes = 2)
+      val n = r.queryExecution.toRdd.count(); (r, n)
+    }
+    val (pFiles, pBytes) = scannedUnder(probed._1, "codes")
+    println(f"  probe returned ${probed._2}%,d rows; scanned $pFiles%,d/$ivfFiles%,d files, " +
+      f"${pBytes / 1e6}%.2f/${ivfBytes / 1e6}%.1f MB = ${100.0 * pBytes / ivfBytes}%.2f%% " +
+      f"(per query: 2/$ivfCells%,d cells = ${200.0 / ivfCells}%.2f%%)")
+
+    // ---- 2. Z-order layout: one write, windowed probes --------------------
+    import graft.pipeline.LayoutOps
+    val xSpan = 1000000L
+    val tSpan = 1600000000000000000L // ~epoch-micros scale: DECIMAL bucketing path
+    def rows = spark.range(nRows).select(col("id"),
+      pmod(xxhash64(col("id"), lit(1)), lit(xSpan)).as("x"),
+      pmod(xxhash64(col("id"), lit(2)), lit(tSpan)).as("t"))
+    val zPath = java.nio.file.Files.createTempDirectory("graft_soak_z").toString
+    val (_, tZWrite) = time(f"write Z-ordered layout over $nRows%,d rows (16x16 cells)") {
+      LayoutOps.writeZordered(rows, "x", "t", bitsPer = 4, zPath,
+        ranges = Some((0L, xSpan - 1, 0L, tSpan - 1)))
+    }
+    val (zCells, zFiles, zBytes) = dirTotals(s"$zPath/data")
+    println(f"  layout: $zCells%,d zcell dirs, $zFiles%,d files, ${zBytes / 1e6}%.1f MB")
+
+    // one x-bucket wide, two t-buckets tall => 2 of 256 cells
+    val (aLo, aHi) = (250000L, 310000L)
+    val (bLo, bHi) = (400000000000000000L, 500000000000000000L)
+    val boxDf = LayoutOps.readZorderBox(spark, zPath, aLo, aHi, bLo, bHi)
+    val (boxN, tBox) = time("probe Z-order box (2 of 256 cells)") {
+      boxDf.queryExecution.toRdd.count()
+    }
+    val (zpFiles, zpBytes) = scannedUnder(boxDf, "data")
+    val (bruteN, tBrute) = time("same box, full-scan filter (no layout)") {
+      rows.filter(col("x").between(aLo, aHi) && col("t").between(bLo, bHi)).count()
+    }
+    require(boxN == bruteN, s"layout probe returned $boxN rows, brute force $bruteN")
+    println(f"  box: $boxN%,d rows; scanned $zpFiles%,d/$zFiles%,d files, " +
+      f"${zpBytes / 1e6}%.2f/${zBytes / 1e6}%.1f MB = ${100.0 * zpBytes / zBytes}%.2f%%; " +
+      f"probe $tBox%.2f s vs full scan $tBrute%.2f s " +
+      f"(build amortizes over ${tZWrite / math.max(tBrute - tBox, 0.01)}%.0f probes)")
+
+    println(f"SOAK OK  ivfpq build $tBuild%.1f s probe $tProbe%.2f s | " +
+      f"zorder write $tZWrite%.1f s probe $tBox%.2f s")
+    spark.stop()
+  }
+}

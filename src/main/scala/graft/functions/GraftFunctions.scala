@@ -59,6 +59,10 @@ object GraftFunctions {
       require(exprs.size == 2, "lsh_bucket(scaled_vec, planes literal)")
       LshBucket(exprs.head, intLit(exprs(1), "planes"))
     },
+    "min_k" -> { exprs =>
+      require(exprs.size == 2, "min_k(bigint_col, k literal) — aggregate")
+      LongMinK(exprs.head, intLit(exprs(1), "k"))
+    },
     "bbo_from_price_updates" -> (exprs => mkBbo(0, 4, exprs)),
     "bbo_from_price_mutations" -> (exprs => mkBbo(1, 4, exprs)),
     "bbo_from_price_mutations_with_modify" -> (exprs => mkBbo(2, 6, exprs)))

@@ -200,7 +200,14 @@ object LayoutOps {
     }
     val laid = zorderLayoutPinned(df, colA, colB, bitsPer,
       aMin, aMax, bMin, bMax, clamp = pinned)
-    laid.write.mode(if (append) "append" else "overwrite")
+    // repartition by zcell before the partitioned write: otherwise every
+    // task writes one small file per cell it holds — tasks × cells tiny
+    // files, and every probe pays the per-file open cost (the serve-soak
+    // measured 32× the file count without this). One extra linear
+    // shuffle on a write-once artifact; a 100 TB layout would add a salt
+    // column to split cells hotter than a target file size.
+    laid.repartition(col("zcell"))
+      .write.mode(if (append) "append" else "overwrite")
       .partitionBy("zcell").parquet(s"$path/data")
     import spark.implicits._
     Seq((colA, colB, bitsPer, 1 << bitsPer, aMin, aMax, bMin, bMax, pinned))

@@ -664,8 +664,17 @@ object SimilarityOps {
                       path: String): Unit = {
     val spark = corpus.sparkSession
     val snapshot = collectCentroids(centroids)
+    // repartition by cell before the partitioned write: without it every
+    // task holds rows of every cell and writes one small file per
+    // (task, cell) — tasks × cells tiny files (the soak measured 32× the
+    // file count, and every probe pays the per-file open cost). After
+    // the shuffle each cell lives in one task → ~one compacted file per
+    // cell dir. Build-side cost only (one extra linear shuffle on a
+    // build-once artifact); a 100 TB build would add a salt column here
+    // to split cells hotter than a target file size.
     ivfPqEncodeCorpus(corpus, idCol, vecCol, snapshot, codebooks)
       .withColumnRenamed("neighbor_id", "id")
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     centroids.select(col("cent_id"), col("cent_v"))
       .write.mode("overwrite").parquet(s"$path/centroids")

@@ -106,5 +106,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT lsh_bucket(transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)), 6) AS b " +
         "FROM sql_surface_vecs").collect()(0).getLong(0)
     assert(lbSql == lbApi)
+
+    // min_k: the bounded min-K aggregate groups and partial-aggregates
+    // through SQL like any builtin aggregate
+    Seq((1L, 9L), (1L, 3L), (1L, 7L), (1L, 1L), (2L, 5L))
+      .toDF("g", "v").createOrReplaceTempView("sql_surface_mink")
+    val mkSql = spark.sql(
+      "SELECT g, min_k(v, 2) AS ks FROM sql_surface_mink GROUP BY g ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(mkSql == Map(1L -> List(1L, 3L), 2L -> List(5L)))
   }
 }
