@@ -198,6 +198,19 @@ object LayoutOps {
         val (a1, a2, b1, b2) = snapshotRanges(df, colA, colB)
         (a1, a2, b1, b2, false)
     }
+    if (append) {
+      // an append bucketing against a DIFFERENT domain than the existing
+      // layout would silently corrupt it (and rewrite meta to match the
+      // new batch only) — refuse unless the stored metadata agrees
+      val m = spark.read.parquet(s"$path/meta").head()
+      val stored = (m.getAs[String]("col_a"), m.getAs[String]("col_b"),
+        m.getAs[Int]("bits_per"), m.getAs[Long]("a_min"), m.getAs[Long]("a_max"),
+        m.getAs[Long]("b_min"), m.getAs[Long]("b_max"))
+      val asked = (colA, colB, bitsPer, aMin, aMax, bMin, bMax)
+      require(stored == asked,
+        s"append layout mismatch: index at $path was written with $stored, " +
+          s"append asked for $asked — appends must reuse the stored geometry")
+    }
     val laid = zorderLayoutPinned(df, colA, colB, bitsPer,
       aMin, aMax, bMin, bMax, clamp = pinned)
     // repartition by zcell before the partitioned write: otherwise every

@@ -690,18 +690,24 @@ object SimilarityOps {
     * contract, so it is evaluated ONCE and both the partition-filter
     * cell list and the broadcast join side come from that single
     * evaluation (same discipline as [[probeIvfIndex]]). */
+  /** The codebook table of a persisted index, back in planning-time
+    * shape — K·dim longs, a scalar-sized collect like the centroid
+    * snapshot. */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[Seq[(Int, Seq[Long], Long)]] =
+    spark.read.parquet(s"$path/codebooks")
+      .select(col("m"), col("c"), col("subv"), col("cn2")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1))
+          .map(r => (r.getInt(1), r.getSeq[Long](2), r.getLong(3))).toSeq
+      }
+
   def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int, nProbes: Int): DataFrame = {
     val snapshot = collectCentroids(spark.read.parquet(s"$path/centroids"))
-    val codebooks: Seq[Seq[(Int, Seq[Long], Long)]] =
-      spark.read.parquet(s"$path/codebooks")
-        .select(col("m"), col("c"), col("subv"), col("cn2")).collect()
-        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .map { case (_, rows) =>
-          rows.sortBy(_.getInt(1))
-            .map(r => (r.getInt(1), r.getSeq[Long](2), r.getLong(3))).toSeq
-        }
+    val codebooks = readCodebooks(spark, path)
     val qPlan = ivfPqQuerySide(queries, idCol, vecCol, snapshot, codebooks, nProbes)
     val qRows = qPlan.collect()
     val q = spark.createDataFrame(
@@ -711,6 +717,27 @@ object SimilarityOps {
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(c => c: Any): _*))
       .withColumnRenamed("id", "neighbor_id")
     ivfPqAdcScore(encoded, q, k)
+  }
+
+  /** Append new vectors to a [[writeIvfPqIndex]] artifact — the
+    * daily-crawl serve path: encodes against the index's OWN stored
+    * centroids and codebooks (the pinned quantizer geometry, same
+    * discipline as pinned-range Z-order appends), so new rows land in
+    * the existing cell partitioning and every probe sees them with no
+    * rebuild and no change to the probe arithmetic. Quantizers are NOT
+    * retrained here by design — appends must not move existing
+    * vectors' cells; under real distribution drift recall degrades
+    * gracefully until a periodic full rebuild retrains (standard IVF
+    * serving practice). Map-only encode + one cell-compacted append
+    * write. */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val snapshot = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    val codebooks = readCodebooks(spark, path)
+    ivfPqEncodeCorpus(newVecs, idCol, vecCol, snapshot, codebooks)
+      .withColumnRenamed("neighbor_id", "id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,

@@ -30,6 +30,7 @@ object SimilarityQueries {
     GraftQuery("q_embed_ivfpq_topk", embedIvfPqTopK, Some(embedIvfPqTopKSql),
       bench = true),
     GraftQuery("q_embed_ivfpq_index", embedIvfPqIndex, Some(embedIvfPqTopKSql)),
+    GraftQuery("q_embed_ivfpq_append", embedIvfPqAppend, Some(embedIvfPqAppendSql)),
     GraftQuery("q_embed_pq_trained", embedPqTrained, Some(embedPqTrainedSql)),
     GraftQuery("q_pq_recall_compare", pqRecallCompare, Some(pqRecallCompareSql)),
   )
@@ -44,7 +45,15 @@ object SimilarityQueries {
       CENT_STRIDE, N_PROBES)
   }
 
-  def embedIvfPqTopKSql: String = {
+  def embedIvfPqTopKSql: String = ivfPqSqlWith("", PQ_STRIDE)
+
+  /** The IVF-PQ oracle, parameterized over the quantizer TRAINING
+    * subset: `trainPred` (SQL predicate prefix, e.g. "vec_id % 2 = 0
+    * AND ") restricts which vectors the centroid list and codebook
+    * sample come from — scoring always runs over the full corpus. The
+    * append-path oracle trains on the first batch only, exactly like
+    * the operator it mirrors. */
+  private def ivfPqSqlWith(trainPred: String, pqStride: Int): String = {
     val sd = 64 / PQ_M
     val subL2 =
       s"CAST(list_sum(list_transform(range(1, $sd + 1), i -> (v.sv[cb.m*$sd+i] - cb.subv[i]) * (v.sv[cb.m*$sd+i] - cb.subv[i]))) AS BIGINT)"
@@ -53,10 +62,10 @@ object SimilarityQueries {
     s"""WITH v AS (
        |  SELECT vec_id, $svSql AS sv FROM embeddings
        |), cents AS (
-       |  SELECT vec_id AS cent_id, sv AS cent_v FROM v WHERE vec_id % $CENT_STRIDE = 0
+       |  SELECT vec_id AS cent_id, sv AS cent_v FROM v WHERE ${trainPred}vec_id % $CENT_STRIDE = 0
        |), samp AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv
-       |  FROM v WHERE vec_id % $PQ_STRIDE = 0
+       |  FROM v WHERE ${trainPred}vec_id % $pqStride = 0
        |), cb AS (
        |  SELECT m, c, sv[m*$sd+1 : m*$sd+$sd] AS subv
        |  FROM samp, (SELECT unnest(range(0, $PQ_M)) AS m)
@@ -135,6 +144,32 @@ object SimilarityQueries {
     SimilarityOps.probeIvfPqIndex(spark, dir, q, "vec_id", "embedding",
       TOPK, N_PROBES)
   }
+
+  /** Daily-crawl index maintenance: BUILD the index on the even half
+    * (quantizers trained there), APPEND the odd half — encoded against
+    * the index's stored quantizers, never retrained — then probe over
+    * the combined corpus. The oracle trains its centroid/codebook CTEs
+    * on the even half only and scores everything, mirroring the
+    * operator exactly. */
+  def embedIvfPqAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val first = e.filter(col("vec_id") % 2 === 0)
+    val second = e.filter(col("vec_id") % 2 === 1)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cbs = SimilarityOps.pqCodebooks(first, "vec_id", "embedding",
+      PQ_M, PQ_K, APP_PQ_STRIDE)
+    val cents = first.filter(col("vec_id") % CENT_STRIDE === 0)
+      .select(col("vec_id").as("cent_id"),
+        SimilarityOps.scaled(col("embedding")).as("cent_v"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_app_${math.abs(sfDir.hashCode)}"
+    SimilarityOps.writeIvfPqIndex(first, "vec_id", "embedding", cents, cbs, dir)
+    SimilarityOps.appendIvfPqIndex(spark, dir, second, "vec_id", "embedding")
+    SimilarityOps.probeIvfPqIndex(spark, dir, q, "vec_id", "embedding",
+      TOPK, N_PROBES)
+  }
+
+  def embedIvfPqAppendSql: String =
+    ivfPqSqlWith("vec_id % 2 = 0 AND ", APP_PQ_STRIDE)
 
   /** Per-label mean-pooled class centroids (exact integer floor-mean),
     * exploded to scalar rows for the oracle compare. */
@@ -220,6 +255,10 @@ object SimilarityQueries {
   private val PQ_M = 4       // subspaces (64 dims → 16 per subspace)
   private val PQ_K = 16      // codewords per subspace
   private val PQ_STRIDE = 29 // codebook sample stride
+  // append-path training stride: quantizers train on the EVEN half, so
+  // the effective sample is vec_id % 30 = 0 — 17 vectors at the 500-row
+  // small SFs, just over the 16 codes needed (stride 29 would leave 9)
+  private val APP_PQ_STRIDE = 15
 
   /** PQ ANN: stride-sampled per-subspace codebooks, map-only encoding to
     * 4 codes + a reconstructed norm per vector (32× smaller than the

@@ -85,4 +85,52 @@ class IvfIndexSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("IVF-PQ append encodes against the index's pinned quantizers") {
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 300L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val first = all.filter(col("vec_id") < 150)
+    val second = all.filter(col("vec_id") >= 150)
+    // quantizers trained on the FIRST batch only — the append must use
+    // these, never retrain
+    val cbs = SimilarityOps.pqCodebooks(first, "vec_id", "embedding",
+      numSubspaces = 2, numCodes = 8, stride = 11)
+    val cents = first.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("cent_id"),
+        SimilarityOps.scaled(col("embedding")).as("cent_v"))
+
+    val dirA = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivfpq_one").toString
+    try {
+      SimilarityOps.writeIvfPqIndex(first, "vec_id", "embedding", cents, cbs, dirA)
+      SimilarityOps.appendIvfPqIndex(spark, dirA, second, "vec_id", "embedding")
+      // reference: one-shot build of the full corpus with the SAME
+      // first-batch quantizers — append must be content-identical
+      SimilarityOps.writeIvfPqIndex(all, "vec_id", "embedding", cents, cbs, dirB)
+      def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+        // partition-column type inference narrows small cell ids to int
+        .select(col("id"), col("cell").cast("long"), col("codes"), col("rec_n2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Int](2).mkString(","), r.getLong(3))).sorted.toSeq
+      assert(codes(dirA) == codes(dirB))
+
+      // probes over the appended index see both batches identically
+      val queries = all.filter(col("vec_id") % 40 === 0)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).sorted.toSeq
+      assert(canon(SimilarityOps.probeIvfPqIndex(spark, dirA, queries,
+          "vec_id", "embedding", k = 3, nProbes = 2)) ==
+        canon(SimilarityOps.probeIvfPqIndex(spark, dirB, queries,
+          "vec_id", "embedding", k = 3, nProbes = 2)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
+    }
+  }
 }

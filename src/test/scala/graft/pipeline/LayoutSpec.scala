@@ -166,5 +166,13 @@ class LayoutSpec extends AnyFunSuite {
       LayoutOps.writeZordered(batch2, "x", "y", 3, path, None, append = true)
     }
     assert(e.getMessage.contains("pinned"))
+
+    // appending with DIFFERENT geometry than the stored layout is
+    // refused loudly — it would silently re-bucket only the new batch
+    val e2 = intercept[IllegalArgumentException] {
+      LayoutOps.writeZordered(batch2, "x", "y", 3, path,
+        Some((0L, 1996L, 0L, 640L)), append = true)
+    }
+    assert(e2.getMessage.contains("mismatch"))
   }
 }
