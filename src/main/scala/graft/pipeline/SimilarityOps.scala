@@ -793,6 +793,75 @@ object SimilarityOps {
     } finally pairs.unpersist()
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings under a coarse quantizer,
+    * pick ONE representative per cluster (highest cosine to the
+    * centroid, ties to the lower id — the cluster's most central
+    * member), and mark every other member whose cosine to the
+    * REPRESENTATIVE reaches `tauPermille`/1000 as a semantic duplicate.
+    * Comparing members to the representative only — not all pairs —
+    * keeps per-cluster cost LINEAR in cluster size, which is the whole
+    * scale story: the paper's within-cluster pairwise sweep is O(c²)
+    * per cluster and a single hot cluster owns the job at corpus
+    * scale, while this variant is two broadcast joins and one bounded
+    * aggregation regardless of how skewed the clustering is.
+    *
+    * The dup decision is EXACT integer arithmetic: cos(m,r) ≥ τ/1000 ⟺
+    * dot > 0 ∧ dot²·10⁶ ≥ τ²·|m|²·|r|² — cross-multiplied through
+    * DecimalType(38,0) (the momentsByGroup precedent: int64 wraps at
+    * dot² ≈ 9.2e18 · 10⁶, DuckDB's HUGEINT doesn't, and the boundary
+    * case cos = τ exactly must agree bit-for-bit). Representative
+    * selection orders by the same IEEE double cosine the assignment
+    * kernel computes, so both engines pick identical reps.
+    *
+    * Plan shape: map-only (scale, norm, kernel cell assignment) →
+    * broadcast join to the centroid table (k rows) → ONE
+    * partial-aggregated shuffle whose map side reduces every partition
+    * to ≤k rep candidates → broadcast reps back → map-only verdict. No
+    * window, no self-join; zero-norm vectors are excluded up front via
+    * the cheap `exists` element test (cosine to anything is 0/0, and
+    * the filter must not push the dot kernel into the scan —
+    * PlanAuditSpec). Output: one row per surviving input vector,
+    * (vec_id, cent_id, rep_id, is_dup) — keep = ¬is_dup.
+    *
+    * `centroids` must have (cent_id, cent_v: array<bigint>) — trained
+    * ([[kmeansCentroids]]) or any deterministic quantizer. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, tauPermille: Int): DataFrame = {
+    require(tauPermille >= 0 && tauPermille <= 1000,
+      s"tauPermille must be in [0, 1000], got $tauPermille")
+    val snapshot = collectCentroids(
+      centroids.select(col("cent_id"), col("cent_v")))
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = centroids.select(col("cent_id"),
+      col("cent_v"), norm2(col("cent_v")).as("cent_n2"))
+    // members: map-only — the assignment kernel embeds the centroid
+    // snapshot, so no join here. ccos (needed only to pick the rep) is
+    // computed on the reps branch below, keeping the full-corpus branch
+    // a pure projection until the final verdict join.
+    val m = df.filter(exists(scaled(col(vecCol)), x => x =!= lit(0L)))
+      .select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
+      .withColumn("n2", norm2(col("sv")))
+      .withColumn("cent_id", element_at(topCells(col("sv"), snapshot, 1), 1))
+    val reps = m.join(broadcast(cents), "cent_id")
+      .withColumn("ccos",
+        cosineFromInts(dot(col("sv"), col("cent_v")), col("n2"), col("cent_n2")))
+      .groupBy(col("cent_id"))
+      .agg(max_by(struct(col("vec_id"), col("sv"), col("n2")),
+        struct(col("ccos"), col("vec_id") * lit(-1L))).as("__r"))
+      .select(col("cent_id"), col("__r.vec_id").as("rep_id"),
+        col("__r.sv").as("rep_sv"), col("__r.n2").as("rep_n2"))
+    val d = dot(col("sv"), col("rep_sv"))
+    m.join(broadcast(reps), "cent_id")
+      .select(col("vec_id"), col("cent_id"), col("rep_id"),
+        (col("vec_id") =!= col("rep_id") && d > 0 &&
+          d.cast(dec19) * d.cast(dec19) * lit(1000000L).cast(dec19) >=
+            lit(tauPermille.toLong * tauPermille).cast(dec19) *
+              col("n2").cast(dec19) * col("rep_n2").cast(dec19))
+          .as("is_dup"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the evaluation harness every ANN deployment needs before trading
     * recall for throughput. Inputs are two (query_id, neighbor_id)

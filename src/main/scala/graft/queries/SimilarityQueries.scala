@@ -33,6 +33,7 @@ object SimilarityQueries {
     GraftQuery("q_embed_ivfpq_append", embedIvfPqAppend, Some(embedIvfPqAppendSql)),
     GraftQuery("q_embed_pq_trained", embedPqTrained, Some(embedPqTrainedSql)),
     GraftQuery("q_pq_recall_compare", pqRecallCompare, Some(pqRecallCompareSql)),
+    GraftQuery("q_semantic_dedup", semanticDedupQ, Some(semanticDedupSql)),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
@@ -636,6 +637,52 @@ object SimilarityQueries {
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        |  FROM scored
        |) WHERE rn <= $TOPK""".stripMargin
+
+  // SemDeDup cosine threshold, in permille. Synthetic random embeddings
+  // cluster loosely (within-cell member↔rep cosines land well under the
+  // ~0.95 a real near-identical-text corpus would use), so the registry
+  // row thresholds at 0.25 to exercise both verdicts; the operator
+  // takes any τ.
+  private val SEM_TAU = 250
+
+  /** SemDeDup over k-means cells: per cell keep the most central member
+    * as representative, flag members within τ cosine of it. Same
+    * trained quantizer (and oracle CTEs) as q_embed_ivf_kmeans. */
+  def semanticDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val train = e.filter(col("vec_id") % KM_TRAIN_STRIDE === 0)
+    val cents = SimilarityOps.kmeansCentroids(train, "vec_id", "embedding", KM_K, KM_ITERS)
+    SimilarityOps.semanticDedup(e, "vec_id", "embedding", cents, SEM_TAU)
+  }
+
+  def semanticDedupSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), $kmeansCtes, cents AS (
+       |  SELECT cent_id, cent_v FROM cents$KM_ITERS
+       |), m AS (
+       |  SELECT vec_id, sv, n2, cent_id, ccos FROM (
+       |    SELECT v.vec_id, v.sv, ${norm2Sql("v.sv")} AS n2, c.cent_id,
+       |      ${centCosSql("v", "c")} AS ccos,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
+       |    FROM v, cents c
+       |    WHERE ${norm2Sql("v.sv")} > 0
+       |  ) WHERE rk = 1
+       |), reps AS (
+       |  SELECT cent_id, vec_id AS rep_id, sv AS rep_sv, n2 AS rep_n2 FROM (
+       |    SELECT m.*, row_number() OVER (PARTITION BY cent_id ORDER BY
+       |      ccos DESC, vec_id) AS rk
+       |    FROM m
+       |  ) WHERE rk = 1
+       |)
+       |SELECT m.vec_id, m.cent_id, r.rep_id,
+       |  (m.vec_id <> r.rep_id AND ${dotSql("m.sv", "r.rep_sv")} > 0
+       |   AND CAST(${dotSql("m.sv", "r.rep_sv")} AS HUGEINT)
+       |       * ${dotSql("m.sv", "r.rep_sv")} * 1000000
+       |     >= CAST(${SEM_TAU.toLong * SEM_TAU} AS HUGEINT) * m.n2 * r.rep_n2)
+       |    AS is_dup
+       |FROM m JOIN reps r ON m.cent_id = r.cent_id""".stripMargin
 
   /** Queries = every 50th vector; exact brute-force top-5 by cosine. */
   def embedTopK(spark: SparkSession, sfDir: String): DataFrame = {
