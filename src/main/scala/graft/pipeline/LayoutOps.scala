@@ -229,6 +229,43 @@ object LayoutOps {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Compact a cell-partitioned artifact dir in place: every append
+    * leaves one-file-per-cell-touched, so after d daily appends a probe
+    * opens O(d) files per cell — this rewrites each cell back to ~one
+    * compacted file (the build-time repartition-by-cell discipline,
+    * re-applied). Writes to a sibling temp dir and swaps via rename, so
+    * concurrent READERS that already planned their scan keep a
+    * consistent view of whichever tree they resolved; the swap itself
+    * is not transactional (a crash between delete and rename loses the
+    * tree — production would swap a manifest/metadata pointer instead,
+    * the seam this method isolates). Content is bit-identical: rows,
+    * partition values, and schema are unchanged, only file boundaries
+    * move. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, partCol: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(hconf)
+    require(fs.exists(target), s"compactPartitioned: no artifact at $dir")
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    fs.delete(tmp, true)
+    // materialize BEFORE the swap: the write to tmp finishes while the
+    // original tree is still intact, so a failure mid-write leaves the
+    // artifact untouched
+    spark.read.parquet(dir)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    require(fs.delete(target, true), s"compactPartitioned: cannot remove $dir")
+    require(fs.rename(tmp, target),
+      s"compactPartitioned: rename $tmp -> $dir failed")
+  }
+
+  /** [[compactPartitioned]] over a [[writeZordered]] layout's data tree
+    * (meta untouched — compaction never changes geometry). */
+  def compactZordered(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    compactPartitioned(spark, s"$path/data", "zcell")
+
   /** Probe a [[writeZordered]] layout with a 2-D VALUE box: maps the
     * value ranges to bucket ranges via the stored metadata, enumerates
     * the covering z-cells driver-side, and reads with a `zcell IN`

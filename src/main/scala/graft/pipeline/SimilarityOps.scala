@@ -740,6 +740,16 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Compact a [[writeIvfPqIndex]] codes tree after
+    * [[appendIvfPqIndex]]s: each append leaves one file per touched
+    * cell, so probe cost grows with append count until compaction folds
+    * every cell back to ~one file. Delegates to
+    * [[LayoutOps.compactPartitioned]]; centroids/codebooks are
+    * untouched (compaction never changes quantizer geometry). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    LayoutOps.compactPartitioned(spark, s"$path/codes", "cell")
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * via LSH buckets (exact within-bucket verification).
     *

@@ -126,6 +126,25 @@ class IvfIndexSpec extends AnyFunSuite {
           "vec_id", "embedding", k = 3, nProbes = 2)) ==
         canon(SimilarityOps.probeIvfPqIndex(spark, dirB, queries,
           "vec_id", "embedding", k = 3, nProbes = 2)))
+
+      // compaction folds the append's extra per-cell files away without
+      // changing a bit of content or any probe answer
+      def parquetFiles(dir: String): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$dir/codes"))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      val before = (parquetFiles(dirA), codes(dirA))
+      SimilarityOps.compactIvfPqIndex(spark, dirA)
+      assert(parquetFiles(dirA) < before._1,
+        s"expected fewer files after compaction, had ${before._1}")
+      assert(codes(dirA) == before._2)
+      assert(canon(SimilarityOps.probeIvfPqIndex(spark, dirA, queries,
+          "vec_id", "embedding", k = 3, nProbes = 2)) ==
+        canon(SimilarityOps.probeIvfPqIndex(spark, dirB, queries,
+          "vec_id", "embedding", k = 3, nProbes = 2)))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

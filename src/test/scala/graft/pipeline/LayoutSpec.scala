@@ -174,5 +174,28 @@ class LayoutSpec extends AnyFunSuite {
         Some((0L, 1996L, 0L, 640L)), append = true)
     }
     assert(e2.getMessage.contains("mismatch"))
+
+    // compaction: the two-batch tree folds to ~one file per cell; meta,
+    // every row, and the probe answer are untouched
+    def parquetFiles: Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/data")).filter(_.getName.endsWith(".parquet"))
+    }
+    val metaBefore = spark.read.parquet(s"$path/meta").collect().toSeq
+    val rowsBefore = spark.read.parquet(s"$path/data")
+      .select("id", "x", "y", "zcell").as[(Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    val filesBefore = parquetFiles.size
+    LayoutOps.compactZordered(spark, path)
+    assert(parquetFiles.size < filesBefore,
+      s"expected fewer files after compaction, had $filesBefore")
+    assert(spark.read.parquet(s"$path/data")
+      .select("id", "x", "y", "zcell").as[(Long, Long, Long, Long)]
+      .collect().sorted.toSeq == rowsBefore)
+    assert(spark.read.parquet(s"$path/meta").collect().toSeq == metaBefore)
+    assert(LayoutOps.readZorderBox(spark, path, aLo, aHi, bLo, bHi)
+      .select("id").as[Long].collect().toSet == expected)
   }
 }
