@@ -274,6 +274,37 @@ object PipelineStreams {
       .select(col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col(keyCol), col("n_events"))
 
+  /** Streaming ANN serving against a persisted
+    * [[graft.pipeline.SimilarityOps.writeIvfPqIndex]] artifact: query
+    * vectors arrive on a stream, each micro-batch is probed with the
+    * BATCH probe operator, and the per-batch top-k result goes to
+    * `sink`. Deliberately `foreachBatch`, not a stream-static join
+    * plan, for two load-bearing reasons: (1) the probe's entire economy
+    * is that the batch's cell union becomes a LITERAL partition filter
+    * on the codes scan — only per-batch planning can do that (a
+    * stream-static equi-join on `cell` re-scans every code partition
+    * each batch); (2) per-query top-k selection is a ranking step, and
+    * a streaming-native ranking aggregation would pin state per
+    * query_id — an unbounded-key leak, since query ids never recur.
+    * Per-batch planning gives exact batch semantics (each query's
+    * top-k is independent of every other query), bounded state
+    * (none), and the measured prune ratio of the batch probe
+    * (BASELINE.md round-7 soak). Returns the started query; empty
+    * batches are skipped. */
+  def annProbeStream(queries: DataFrame, indexPath: String, idCol: String,
+                     vecCol: String, k: Int, nProbes: Int)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.pipeline.SimilarityOps.probeIvfPqIndex(
+            batch.sparkSession, indexPath, batch, idCol, vecCol, k, nProbes),
+            batchId)
+        }
+      }
+      .start()
+
   /** Event-time windowed aggregation with watermark: per-window, per-key
     * counts and an exact decimal sum — the canonical
     * readStream→window→agg shape (append mode emits a window once the

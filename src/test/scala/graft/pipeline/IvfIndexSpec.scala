@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkTestSession
+import graft.streaming.PipelineStreams
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -78,6 +79,54 @@ class IvfIndexSpec extends AnyFunSuite {
       val plan = probed.queryExecution.executedPlan.toString
       assert("PartitionFilters: \\[[^\\]]*cell#".r.findFirstIn(plan).isDefined,
         s"no cell partition filter on the IVF-PQ code scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("streaming ANN probe == batch probe, micro-batch by micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 300L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val cbs = SimilarityOps.pqCodebooks(corpus, "vec_id", "embedding",
+      numSubspaces = 2, numCodes = 8, stride = 11)
+    val cents = corpus.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("cent_id"),
+        SimilarityOps.scaled(col("embedding")).as("cent_v"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    try {
+      SimilarityOps.writeIvfPqIndex(corpus, "vec_id", "embedding", cents, cbs, dir)
+      val qData = (0L until 300L by 40L).map { i =>
+        (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+      }
+      val mem = MemoryStream[(Long, Array[Float])]
+      val sdf = mem.toDF.toDF("vec_id", "embedding")
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val query = PipelineStreams.annProbeStream(sdf, dir, "vec_id",
+          "embedding", k = 3, nProbes = 2) { (out, _) =>
+        got ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      }
+      try {
+        mem.addData(qData.take(4): _*)
+        query.processAllAvailable()
+        mem.addData(qData.drop(4): _*)
+        query.processAllAvailable()
+      } finally query.stop()
+
+      val batch = SimilarityOps.probeIvfPqIndex(spark,
+          dir, qData.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 3, nProbes = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).sorted.toSeq
+      assert(got.sorted.toSeq == batch)
+      assert(batch.nonEmpty)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
