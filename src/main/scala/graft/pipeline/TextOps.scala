@@ -298,6 +298,55 @@ object TextOps {
         (col("__pos") + 1).cast("long").as("post_rank"), col("doc_id"))
   }
 
+  /** N-gram familiarity — the integer-exact stand-in for LM-perplexity
+    * quality scoring (the CCNet/Gopher filtering signal, without a
+    * language model): per doc, corpus-frequency statistics of its word
+    * `k`-grams. A doc whose k-grams are corpus-frequent reads like the
+    * corpus (a low-perplexity doc); one full of corpus-unique k-grams
+    * is novel, garbled, or machine-generated junk. Every signal is pure
+    * integer arithmetic (counts and integral-div permilles — no log, no
+    * FP accumulation), so the score is bit-reproducible at any
+    * parallelism. Emitted per doc: `n_ngrams`, `mean_freq_permille`
+    * (1000·Σ corpus-count / n_ngrams, occurrence-weighted — repeating a
+    * frequent k-gram raises it like a repeated phrase lowers
+    * perplexity) and `unique_frac_permille` (1000·|k-grams with corpus
+    * count 1| / n_ngrams — the OOV/novelty tail). Docs with fewer than
+    * `k` tokens emit (0, 0, 0).
+    *
+    * Shape: rolling-hash shingles (the TokenShingleHash kernel — one
+    * pass, no string materialization) → ONE partial-aggregated shuffle
+    * for corpus counts → equi-join back on the hash → per-doc rollup
+    * (partial-aggregated). The join is keyed by shingle hash, and a
+    * stopword k-gram's partition carries ~n_docs rows — the
+    * [[distinctiveTerms]] skew class, handled the same way: AQE
+    * skew-join splitting (a JOIN gets split; a window would not). The
+    * shingle relation is consumed twice (counts + join back), which
+    * re-runs the map-side kernel rather than materializing an
+    * n_shingles-row intermediate — recompute is a projection, the
+    * materialization would be corpus-sized. */
+  def ngramFamiliarity(df: DataFrame, textCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), k))
+        .as("__nf_sh"))
+    val counts = sh.groupBy(col("__nf_sh")).agg(count(lit(1)).as("__nf_c"))
+    val perDoc = sh.join(counts, "__nf_sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("__nf_c")).as("__nf_tot"),
+        sum(when(col("__nf_c") === 1L, 1L).otherwise(0L)).as("__nf_uni"))
+      .select(col(idCol), col("n_ngrams"),
+        call_function("div", col("__nf_tot") * 1000, col("n_ngrams"))
+          .as("mean_freq_permille"),
+        call_function("div", col("__nf_uni") * 1000, col("n_ngrams"))
+          .as("unique_frac_permille"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("mean_freq_permille"), lit(0L)).as("mean_freq_permille"),
+        coalesce(col("unique_frac_permille"), lit(0L)).as("unique_frac_permille"))
+  }
+
   /** Canonical text form for near-exact dedup: lowercase, every
     * non-alphanumeric run collapsed to one space, trimmed. Catches the
     * re-encoded copies exact dedup misses (case changes, punctuation

@@ -62,6 +62,7 @@ object TextQueries {
     GraftQuery("q_token_histogram", tokenHistogram, Some(tokenHistogramSql)),
     GraftQuery("q_inverted_index", invertedIndexQ, Some(invertedIndexSql), bench = true),
     GraftQuery("q_source_overlap", sourceOverlapQ, Some(sourceOverlapSql), bench = true),
+    GraftQuery("q_ngram_familiarity", ngramFamiliarityQ, Some(ngramFamiliaritySql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -98,6 +99,36 @@ object TextQueries {
        |  r.doc_id
        |FROM agg a JOIN ranked r USING (token)
        |WHERE r.rn <= $II_MAX_POSTINGS""".stripMargin
+
+  /** Per-doc n-gram familiarity: integer-exact perplexity stand-in
+    * (mean corpus frequency + corpus-unique fraction of each doc's
+    * 3-gram hashes). */
+  def ngramFamiliarityQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.ngramFamiliarity(docs(spark, sfDir), "text", "doc_id", K)
+
+  def ngramFamiliaritySql: String =
+    s"""WITH tht AS (
+       |  SELECT doc_id, list_transform(${TextOps.tokensSql("text")},
+       |    t -> ${graft.functions.StringPolyHash.polyHashSql("t")}) AS th
+       |  FROM documents
+       |), shr AS (
+       |  SELECT doc_id, unnest(${graft.functions.TokenShingleHash.combineSql("th", K)}) AS sh
+       |  FROM tht
+       |), cnts AS (
+       |  SELECT sh, count(*) AS c FROM shr GROUP BY sh
+       |), per_doc AS (
+       |  SELECT s.doc_id, count(*) AS n_ngrams,
+       |    (1000 * sum(c.c)) // count(*) AS mean_freq_permille,
+       |    (1000 * sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)) // count(*)
+       |      AS unique_frac_permille
+       |  FROM shr s JOIN cnts c ON s.sh = c.sh
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_ngrams, 0) AS n_ngrams,
+       |  coalesce(p.mean_freq_permille, 0) AS mean_freq_permille,
+       |  coalesce(p.unique_frac_permille, 0) AS unique_frac_permille
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
   /** Cross-source n-gram overlap matrix: per source pair, the number of
     * distinct 3-gram hashes occurring in both — the corpus-similarity

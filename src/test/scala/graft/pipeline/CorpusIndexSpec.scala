@@ -60,6 +60,34 @@ class CorpusIndexSpec extends AnyFunSuite {
       s"inverted index must not plan a WindowExec:\n$physical")
   }
 
+  test("ngram familiarity: exact counts, permilles, and short-doc zeros") {
+    // 2-grams: doc 1 "a b a b" -> [ab, ba, ab]; doc 2 "a b c" ->
+    // [ab, bc]; doc 3 "x" -> too short; doc 4 "q r" -> [qr]
+    // corpus counts: ab=3, ba=1, bc=1, qr=1
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, "q r")
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramFamiliarity(df, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      // doc 1: n=3, tot=3+1+3=7 -> 7000/3=2333; unique: ba -> 1000/3=333
+      (1L, 3L, 2333L, 333L),
+      // doc 2: n=2, tot=3+1=4 -> 2000; unique: bc -> 500
+      (2L, 2L, 2000L, 500L),
+      (3L, 0L, 0L, 0L),
+      // doc 4: n=1, tot=1 -> 1000; unique -> 1000
+      (4L, 1L, 1000L, 1000L)))
+  }
+
+  test("ngram familiarity plan: no window, partial-aggregated rollup") {
+    val df = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val plan = TextOps.ngramFamiliarity(df, "text", "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+  }
+
   test("LongMinK: heap keeps k smallest across merges, skips nulls") {
     val vals = Seq[java.lang.Long](9L, 1L, null, 7L, 3L, 5L, 3L, 8L, 2L)
       .zipWithIndex.map { case (v, i) => (i % 4, v) } // 4 groups force merges
