@@ -111,6 +111,65 @@ object ServeSoakMain {
       f"${pBytes / 1e6}%.2f/${ivfBytes / 1e6}%.1f MB = ${100.0 * pBytes / ivfBytes}%.2f%% " +
       f"(per query: 2/$ivfCells%,d cells = ${200.0 / ivfCells}%.2f%%)")
 
+    // ---- 1b. daily-crawl cycle: append -> probe -> compact -> probe -------
+    val nApp = math.max(nVecs / 10, 1L)
+    val appendVecs = spark.range(nApp)
+      .select((col("id") + 2 * nVecs).as("vec_id"), embed(3).as("embedding"))
+    val (_, tApp) = time(f"append $nApp%,d vectors (stored quantizers)") {
+      SimilarityOps.appendIvfPqIndex(spark, ivfPath, appendVecs,
+        "vec_id", "embedding")
+    }
+    val (_, aFiles, _) = dirTotals(s"$ivfPath/codes")
+    val (probedA, tProbeA) = time("probe after append (pre-compaction)") {
+      val r = SimilarityOps.probeIvfPqIndex(spark, ivfPath, queries,
+        "vec_id", "embedding", k = 10, nProbes = 2)
+      val n = r.queryExecution.toRdd.count(); (r, n)
+    }
+    val (_, tCompact) = time("compact codes tree") {
+      SimilarityOps.compactIvfPqIndex(spark, ivfPath)
+    }
+    val (_, cFiles, _) = dirTotals(s"$ivfPath/codes")
+    val (probedC, tProbeC) = time("probe after compaction") {
+      val r = SimilarityOps.probeIvfPqIndex(spark, ivfPath, queries,
+        "vec_id", "embedding", k = 10, nProbes = 2)
+      val n = r.queryExecution.toRdd.count(); (r, n)
+    }
+    require(probedC._2 == probedA._2,
+      s"compaction changed probe row count: ${probedA._2} -> ${probedC._2}")
+    println(f"  cycle: files $ivfFiles%,d -> $aFiles%,d after append -> " +
+      f"$cFiles%,d after compaction; probe $tProbeA%.2f s -> $tProbeC%.2f s")
+
+    // ---- 1c. SemDeDup under adversarial cluster skew ----------------------
+    // 90% of the corpus is ONE tight cluster (base direction + small
+    // noise) — the shape that makes a within-cluster pairwise sweep
+    // O((0.9n)²) and a per-cluster window one giant sort. The
+    // representative variant must stay linear: wall-clock within small
+    // factors of a BALANCED corpus of the same size, no window in plan.
+    def skewed = spark.range(nVecs).select(col("id").as("vec_id"),
+      expr(s"""CASE WHEN id % 10 < 9 THEN
+           |  transform(sequence(0, ${dim - 1}), j -> CAST(
+           |    0.8 + (pmod(xxhash64(id, j, 7), 101) - 50) / 5000.0 AS FLOAT))
+           |ELSE
+           |  transform(sequence(0, ${dim - 1}), j -> CAST(
+           |    (pmod(xxhash64(id, j, 8), 1999) - 999) / 500.0 AS FLOAT))
+           |END""".stripMargin).as("embedding"))
+    val sCents = SimilarityOps.kmeansCentroids(
+      skewed.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      k = 16, iters = 1)
+    val (skewDups, tSkew) = time(f"semanticDedup: $nVecs%,d vectors, 90%% one cluster") {
+      SimilarityOps.semanticDedup(skewed, "vec_id", "embedding", sCents, 950)
+        .filter(col("is_dup")).count()
+    }
+    val bCents = SimilarityOps.kmeansCentroids(
+      corpus.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      k = 16, iters = 1)
+    val (balDups, tBal) = time(f"semanticDedup: $nVecs%,d vectors, balanced") {
+      SimilarityOps.semanticDedup(corpus, "vec_id", "embedding", bCents, 950)
+        .filter(col("is_dup")).count()
+    }
+    println(f"  semdedup: skewed $skewDups%,d dups in $tSkew%.2f s vs " +
+      f"balanced $balDups%,d dups in $tBal%.2f s (ratio ${tSkew / tBal}%.2f x)")
+
     // ---- 2. Z-order layout: one write, windowed probes --------------------
     import graft.pipeline.LayoutOps
     val xSpan = 1000000L
@@ -143,7 +202,8 @@ object ServeSoakMain {
       f"probe $tBox%.2f s vs full scan $tBrute%.2f s " +
       f"(build amortizes over ${tZWrite / math.max(tBrute - tBox, 0.01)}%.0f probes)")
 
-    println(f"SOAK OK  ivfpq build $tBuild%.1f s probe $tProbe%.2f s | " +
+    println(f"SOAK OK  ivfpq build $tBuild%.1f s probe $tProbe%.2f s " +
+      f"append $tApp%.1f s compact $tCompact%.1f s | semdedup $tSkew%.1f s | " +
       f"zorder write $tZWrite%.1f s probe $tBox%.2f s")
     spark.stop()
   }

@@ -33,7 +33,8 @@ object SimilarityQueries {
     GraftQuery("q_embed_ivfpq_append", embedIvfPqAppend, Some(embedIvfPqAppendSql)),
     GraftQuery("q_embed_pq_trained", embedPqTrained, Some(embedPqTrainedSql)),
     GraftQuery("q_pq_recall_compare", pqRecallCompare, Some(pqRecallCompareSql)),
-    GraftQuery("q_semantic_dedup", semanticDedupQ, Some(semanticDedupSql)),
+    GraftQuery("q_semantic_dedup", semanticDedupQ, Some(semanticDedupSql),
+      bench = true),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
