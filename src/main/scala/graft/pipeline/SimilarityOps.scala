@@ -767,9 +767,14 @@ object SimilarityOps {
     // The bucket coalesce is unreachable, it only makes the self-join
     // key non-nullable so no isnotnull(lsh_bucket(...)) constraint
     // reaches the scan (see lshCosineTopK).
+    // n2's coalesce is unreachable (v is non-null past the exists
+    // filter); it stops the downstream cosine-threshold filter from
+    // inferring isnotnull(long_array_dot(v, v)) and re-evaluating the
+    // dot kernel in the scan filter (caught by PlanAuditSpec's
+    // expression-tree audit — the truncated string check missed it)
     val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"))
       .filter(exists(col("v"), x => x =!= lit(0L)))
-      .withColumn("n2", norm2(col("v")))
+      .withColumn("n2", coalesce(norm2(col("v")), lit(0L)))
       .withColumn("bucket", coalesce(lshBucketScaled(col("v"), planes), lit(0L)))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
@@ -850,10 +855,16 @@ object SimilarityOps {
     // snapshot, so no join here. ccos (needed only to pick the rep) is
     // computed on the reps branch below, keeping the full-corpus branch
     // a pure projection until the final verdict join.
+    // the coalesce is unreachable (a non-empty scaled vector always has
+    // a best cell); it makes BOTH joins' key non-nullable so no
+    // isnotnull(centroid_top_cells(...)) constraint is inferred and
+    // re-evaluated in the filter above the scan (kernel double-eval —
+    // the lshCosineTopK discipline)
     val m = df.filter(exists(scaled(col(vecCol)), x => x =!= lit(0L)))
       .select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
       .withColumn("n2", norm2(col("sv")))
-      .withColumn("cent_id", element_at(topCells(col("sv"), snapshot, 1), 1))
+      .withColumn("cent_id",
+        coalesce(element_at(topCells(col("sv"), snapshot, 1), 1), lit(-1L)))
     val reps = m.join(broadcast(cents), "cent_id")
       .withColumn("ccos",
         cosineFromInts(dot(col("sv"), col("cent_v")), col("n2"), col("cent_n2")))

@@ -65,14 +65,56 @@ class PlanAuditSpec extends AnyFunSuite {
     "bloom_positions", "bloom_might_contain", "centroid_top_cells")
 
   test("no custom kernel is pushed into a scan's DataFilters") {
+    // walk the actual dataFilters expression trees, NOT the plan string:
+    // toString truncates long expression lists with "...", which can
+    // hide a kernel beyond the ellipsis (it hid the inferred
+    // isnotnull(centroid_top_cells(...)) join-key constraint in
+    // q_semantic_dedup's first cut). queryExecution.sparkPlan, not
+    // executedPlan: the AdaptiveSparkPlanExec wrapper has no children,
+    // so collect() over the executed plan silently skips every
+    // AQE-wrapped query (the shapes audited here are static — AQE never
+    // introduces a scan filter).
     Registry.all.foreach { q =>
-      val scans = planOf(q.name).linesIterator.filter(_.contains("FileScan"))
-      scans.foreach { line =>
+      val plan = Registry.byName(q.name).run(spark, sfDir)
+        .queryExecution.sparkPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.foreach { s =>
+        val names = s.dataFilters
+          .flatMap(_.collect { case e => e.prettyName }).toSet
         kernelNames.foreach { k =>
-          assert(!line.contains(k),
+          assert(!names.contains(k),
             s"${q.name}: kernel $k evaluated inside a scan filter (double " +
-              s"eval — see minhashSig's posexplode_outer note):\n$line")
+              s"eval — see minhashSig's posexplode_outer note): " +
+              s"${s.dataFilters.mkString("; ")}")
         }
+      }
+    }
+  }
+
+  test("no inferred null-check evaluates a kernel in any Filter") {
+    // the constraint-inference half of the double-eval class: an
+    // inner-join key or Generate input computed by a kernel grows an
+    // isnotnull(kernel(...)) constraint that FilterExec evaluates per
+    // row ON TOP of the projection's own evaluation. Only null-checks
+    // are flagged — a kernel as the filter's PREDICATE (the bloom
+    // probes) is that kernel's single intended evaluation site.
+    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, IsNull}
+    Registry.all.foreach { q =>
+      val plan = Registry.byName(q.name).run(spark, sfDir)
+        .queryExecution.sparkPlan
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.foreach { f =>
+        val bad = f.condition.collect {
+          case n: IsNotNull if n.exists(e => kernelNames.contains(e.prettyName)) => n
+          case n: IsNull if n.exists(e => kernelNames.contains(e.prettyName)) => n
+        }
+        assert(bad.isEmpty,
+          s"${q.name}: inferred null-check re-evaluates a kernel (make " +
+            s"the key non-nullable via unreachable coalesce — the " +
+            s"lshCosineTopK discipline): ${bad.mkString("; ")}")
       }
     }
   }
