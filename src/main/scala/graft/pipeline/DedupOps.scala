@@ -212,23 +212,32 @@ object DedupOps {
       .select(col("old_id"), col("old_sig"),
         posexplode(lshBandKeys(col("old_sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
+    // ONE pass over the index derives everything small: the distinct
+    // band keys with frequencies feed BOTH the hot-band cap and the
+    // bloom build (a bloom over distinct keys is bit-identical to one
+    // over all occurrences — bit_or is idempotent). The checkpoint is
+    // narrow (two longs + a count per DISTINCT key), so the index-side
+    // signature pipeline now runs twice (key pass + join side), not
+    // three times — and at crawl scale the bloom build scans this
+    // key relation instead of re-scanning the whole index.
+    val keyCounts =
+      iBandsAll.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("__hb_c"))
+        .localCheckpoint()
     val iBands =
       if (maxBandFreq == Int.MaxValue) iBandsAll
       else {
-        val hot = iBandsAll.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("__hb_c"))
-          .filter(col("__hb_c") > maxBandFreq)
+        val hot = keyCounts.filter(col("__hb_c") > maxBandFreq)
           .select(col("band_idx"), col("band_hash"))
         iBandsAll.join(hot, Seq("band_idx", "band_hash"), "left_anti")
       }
     // fold (band_idx, band_hash-string) into one bigint bloom key; both
     // sides compute it identically, so the bloom cannot lose a true
-    // collision. Built over the PRE-cap index keys: a superset only adds
-    // fpp, and skipping the cap's anti-join keeps the build one linear
-    // scan.
+    // collision. Built over the PRE-cap distinct index keys: a superset
+    // of the capped set only adds fpp.
     def bloomKey(idx: Column, hash: Column): Column = xxhash64(idx, hash)
     val bits = BloomFilter.build(
-      iBandsAll.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
+      keyCounts.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
       "__bk", bloomBits, bloomHashes)
     val bScreened = bBands.filter(BloomFilter.mightContainCol(
       bloomKey(col("band_idx"), col("band_hash")), bits, bloomHashes, bloomBits))
