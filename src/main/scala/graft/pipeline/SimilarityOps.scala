@@ -883,6 +883,60 @@ object SimilarityOps {
           .as("is_dup"))
   }
 
+  /** Embedding outliers: flag vectors in the bottom `pPermille` of
+    * their own cluster's cosine-to-centroid distribution — the
+    * embedding-space data-quality screen (mislabeled items, encoder
+    * failures, garbled inputs sit far from every centroid; a GLOBAL
+    * cosine cutoff can't see them because dense and sparse clusters
+    * have different cohesion). Per-cluster cutoffs come from the exact
+    * integer-rank quantile machinery (StatsOps.exactQuantilesByGroup)
+    * over floor-permille cosines, so the flag is bit-reproducible.
+    *
+    * Scale shape: the member branch is the [[semanticDedup]] assignment
+    * (map-only kernel + broadcast centroid join); the cutoff branch
+    * groups (cell, permille) counts — AT MOST 2001 distinct permille
+    * values per cell, so its per-cell window is bounded tiny — and
+    * comes back as a broadcast k-row join. `is_outlier` = strictly
+    * below the cell's p-quantile value (quantile ties stay inliers).
+    *
+    * Centroids must be non-zero-norm (cosine to a zero centroid is NaN,
+    * and NaN permille arithmetic diverges across engines) — checked
+    * loudly against the collected snapshot. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, pPermille: Int): DataFrame = {
+    require(pPermille >= 1 && pPermille <= 1000,
+      s"pPermille must be in [1, 1000], got $pPermille")
+    val snapshot = collectCentroids(
+      centroids.select(col("cent_id"), col("cent_v")))
+    require(snapshot.forall(_._3 > 0),
+      "embeddingOutliers: zero-norm centroid (cosine undefined)")
+    val cents = centroids.select(col("cent_id"),
+      col("cent_v"), norm2(col("cent_v")).as("cent_n2"))
+    // both coalesces are unreachable (sv is non-empty past the exists
+    // filter); they make the join key and the norm non-nullable so the
+    // quantile machinery's isnotnull filter can't infer a null-check
+    // over the dot kernel (PlanAuditSpec caught exactly this on the
+    // first cut)
+    val m = df.filter(exists(scaled(col(vecCol)), x => x =!= lit(0L)))
+      .select(col(idCol).as("vec_id"), scaled(col(vecCol)).as("sv"))
+      .withColumn("n2", coalesce(norm2(col("sv")), lit(0L)))
+      .withColumn("cent_id",
+        coalesce(element_at(topCells(col("sv"), snapshot, 1), 1), lit(-1L)))
+      .join(broadcast(cents), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        // floor BEFORE the cast: casts round in DuckDB and truncate in
+        // Spark (the scaled() note); floor is bit-identical on both
+        floor(cosineFromInts(dot(col("sv"), col("cent_v")),
+          col("n2"), col("cent_n2")) * 1000).cast("long").as("ccos_permille"))
+    val cuts = StatsOps.exactQuantilesByGroup(m, Seq("cent_id"),
+        col("ccos_permille"), Seq(pPermille))
+      .select(col("cent_id"), col("value").as("cut_permille"))
+    m.join(broadcast(cuts), "cent_id")
+      .select(col("vec_id"), col("cent_id"), col("ccos_permille"),
+        col("cut_permille"),
+        (col("ccos_permille") < col("cut_permille")).as("is_outlier"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the evaluation harness every ANN deployment needs before trading
     * recall for throughput. Inputs are two (query_id, neighbor_id)

@@ -35,6 +35,7 @@ object SimilarityQueries {
     GraftQuery("q_pq_recall_compare", pqRecallCompare, Some(pqRecallCompareSql)),
     GraftQuery("q_semantic_dedup", semanticDedupQ, Some(semanticDedupSql),
       bench = true),
+    GraftQuery("q_embed_outliers", embedOutliersQ, Some(embedOutliersSql)),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
@@ -684,6 +685,49 @@ object SimilarityQueries {
        |     >= CAST(${SEM_TAU.toLong * SEM_TAU} AS HUGEINT) * m.n2 * r.rep_n2)
        |    AS is_dup
        |FROM m JOIN reps r ON m.cent_id = r.cent_id""".stripMargin
+
+  private val OUT_P = 100 // bottom decile of each cell's cohesion
+
+  /** Per-cluster embedding outliers: bottom-decile cosine-to-centroid
+    * within each trained k-means cell. */
+  def embedOutliersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val train = e.filter(col("vec_id") % KM_TRAIN_STRIDE === 0)
+    val cents = SimilarityOps.kmeansCentroids(train, "vec_id", "embedding", KM_K, KM_ITERS)
+    SimilarityOps.embeddingOutliers(e, "vec_id", "embedding", cents, OUT_P)
+  }
+
+  def embedOutliersSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), $kmeansCtes, cents AS (
+       |  SELECT cent_id, cent_v FROM cents$KM_ITERS
+       |), m AS (
+       |  SELECT vec_id, cent_id,
+       |    CAST(floor(ccos * 1000) AS BIGINT) AS ccos_permille
+       |  FROM (
+       |    SELECT v.vec_id, c.cent_id, ${centCosSql("v", "c")} AS ccos,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
+       |    FROM v, cents c
+       |    WHERE ${norm2Sql("v.sv")} > 0
+       |  ) WHERE rk = 1
+       |), cnts AS (
+       |  SELECT cent_id, ccos_permille AS pv, count(*) AS c
+       |  FROM m GROUP BY cent_id, ccos_permille
+       |), cum AS (
+       |  SELECT cent_id, pv, c,
+       |    sum(c) OVER (PARTITION BY cent_id ORDER BY pv ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER (PARTITION BY cent_id) AS n
+       |  FROM cnts
+       |), cuts AS (
+       |  SELECT cent_id, min(CASE WHEN cum >= ($OUT_P * n + 999) // 1000
+       |                           THEN pv END) AS cut_permille
+       |  FROM cum GROUP BY cent_id
+       |)
+       |SELECT m.vec_id, m.cent_id, m.ccos_permille, t.cut_permille,
+       |  m.ccos_permille < t.cut_permille AS is_outlier
+       |FROM m JOIN cuts t ON m.cent_id = t.cent_id""".stripMargin
 
   /** Queries = every 50th vector; exact brute-force top-5 by cosine. */
   def embedTopK(spark: SparkSession, sfDir: String): DataFrame = {

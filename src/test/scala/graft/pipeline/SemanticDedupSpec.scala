@@ -116,6 +116,30 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("embedding outliers: bottom decile per cell, quantile ties stay in") {
+    // one cell at (1,0); vectors (1, i/10) have ccos strictly decreasing
+    // in i AND distinct at permille resolution (1000, 995, 980, ...,
+    // 485, 465). n=20, p=100 -> rank ceil(100*20/1000)=2 -> cut =
+    // 2nd-smallest ccos (i=18); strictly below -> only i=19 flagged.
+    val df = (0 until 20).map(i => (i.toLong, Array(1.0f, i / 10.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1000L, 0L))).toDF("cent_id", "cent_v")
+    val out = SimilarityOps.embeddingOutliers(df, "vec_id", "embedding",
+        cents, 100)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).sortBy(_._1).toSeq
+    assert(out.size == 20)
+    assert(out.filter(_._2).map(_._1) == Seq(19L))
+  }
+
+  test("embedding outliers refuse zero-norm centroids") {
+    val df = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0L, 0L))).toDF("cent_id", "cent_v")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.embeddingOutliers(df, "vec_id", "embedding", cents, 100)
+    }
+    assert(e.getMessage.contains("zero-norm centroid"))
+  }
+
   test("plan is window-free and self-join-free (linear per cluster)") {
     val df = (0L until 50L).map(i => (i, Array.fill(4)(i.toFloat / 50)))
       .toDF("vec_id", "embedding")
