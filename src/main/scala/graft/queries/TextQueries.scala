@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{DedupOps, HashFns, TextOps}
+import graft.pipeline.{DedupOps, HashFns, SnapshotOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,8 @@ object TextQueries {
     GraftQuery("q_inverted_index", invertedIndexQ, Some(invertedIndexSql), bench = true),
     GraftQuery("q_source_overlap", sourceOverlapQ, Some(sourceOverlapSql), bench = true),
     GraftQuery("q_ngram_familiarity", ngramFamiliarityQ, Some(ngramFamiliaritySql)),
+    GraftQuery("q_snapshot_diff", snapshotDiffQ, Some(snapshotDiffSql)),
+    GraftQuery("q_snapshot_merge", snapshotMergeQ, Some(snapshotMergeSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1312,4 +1314,81 @@ object TextQueries {
        |JOIN cnt ca ON ca.doc_id = p.id_a
        |JOIN cnt cb ON cb.doc_id = p.id_b
        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin
+
+  // ---- snapshot lifecycle ------------------------------------------------
+
+  /** Two deterministic "crawls" of the documents corpus: relative to the
+    * old crawl, the new one drops ids ≡7 (mod 10), gains ids ≡3
+    * (mod 10), and revises the text of ids ≡0 (mod 5) — the three
+    * residue classes are disjoint, so every diff status is populated. */
+  private def snapOld(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).filter(col("doc_id") % 10 =!= 3)
+
+  private def snapNew(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+
+  def snapshotDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def live(df: DataFrame) =
+      df.withColumn("n_chars_live", length(col("text")).cast("long"))
+    SnapshotOps.snapshotDiff(
+      live(snapOld(spark, sfDir)), live(snapNew(spark, sfDir)),
+      "doc_id", TextOps.fingerprint(col("text")),
+      Seq("source", "n_chars_live"))
+  }
+
+  def snapshotDiffSql: String = {
+    def digCte(src: String) =
+      s"""SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars_live,
+         |    ${TextOps.fingerprintSql("text")} AS dig
+         |  FROM $src""".stripMargin
+    s"""WITH o AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 != 3
+       |), n AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 != 7
+       |), od AS (
+       |  ${digCte("o")}
+       |), nd AS (
+       |  ${digCte("n")}
+       |)
+       |SELECT coalesce(nd.doc_id, od.doc_id) AS doc_id,
+       |  CASE WHEN od.doc_id IS NULL THEN 'added'
+       |       WHEN nd.doc_id IS NULL THEN 'removed'
+       |       WHEN od.dig != nd.dig THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  coalesce(nd.source, od.source) AS source,
+       |  coalesce(nd.n_chars_live, od.n_chars_live) AS n_chars_live
+       |FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id""".stripMargin
+  }
+
+  /** Rolling the old crawl forward by the delta (upserts = added ∪
+    * changed rows of the new crawl, tombstones = the removed ids) must
+    * reproduce the new crawl EXACTLY — the oracle is the new snapshot
+    * itself, so any merge bug (lost tombstone, duplicated upsert, stale
+    * base row) is a hash mismatch, not a weaker count check. */
+  def snapshotMergeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def proj(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("fingerprint"),
+      length(col("text")).cast("long").as("n_chars_live"))
+    val base = proj(snapOld(spark, sfDir))
+    val upserts = proj(snapNew(spark, sfDir)
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 5 === 0))
+    val deletes = docs(spark, sfDir)
+      .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+    SnapshotOps.applyDelta(base, upserts, deletes, "doc_id")
+  }
+
+  def snapshotMergeSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 != 7
+       |)
+       |SELECT doc_id, source, ${TextOps.fingerprintSql("text")} AS fingerprint,
+       |  CAST(length(text) AS BIGINT) AS n_chars_live
+       |FROM n""".stripMargin
 }
