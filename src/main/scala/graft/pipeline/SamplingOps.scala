@@ -169,4 +169,37 @@ object SamplingOps {
       .filter(col("__cap_rn") <= k)
       .drop("__cap_rn")
   }
+
+  /** Temperature-rebalanced source mixing — the α-sampling of
+    * multilingual LM corpora at α = 1/2: admit each doc of source s
+    * with rate √(n_min/n_s), so per-source KEPT counts scale as √n_s.
+    * Large sources are tempered toward the small ones, and the
+    * smallest source is kept in full (its rate is exactly 1 — a
+    * deterministic invariant, not a statistical one). Rates are
+    * data-driven from the observed source counts, unlike
+    * [[mixtureSample]]'s fixed rate map.
+    *
+    * No sqrt is ever evaluated: a doc whose id hashes to ppm h is
+    * admitted iff h² · n_s < PPM² · n_min, cross-multiplied in
+    * DECIMAL(38,0) (h² ≤ 10¹², × any int64 count stays < 10³¹) —
+    * exact integers on both engines at any corpus size, and the
+    * predicate is monotone in h so squaring preserves the threshold.
+    * Cost: one per-source count aggregate (s rows, broadcast back) +
+    * a map-only filter; the n_min scalar is a planning-time snapshot
+    * like the layout min/max. */
+  def temperatureSample(df: DataFrame, idCol: String,
+                        sourceCol: String): DataFrame = {
+    val PPM = 1000000L
+    val clash = df.columns.toSet.intersect(Set("__ts_n"))
+    require(clash.isEmpty, s"input already has reserved columns: $clash")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__ts_n"))
+    val nMin = Option(counts.agg(min(col("__ts_n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val h = pmod(HashFns.hash32(col(idCol).cast("string")), lit(PPM))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    df.join(broadcast(counts), Seq(sourceCol))
+      .filter(dec(h) * dec(h) * dec(col("__ts_n")) <
+        dec(lit(PPM)) * dec(lit(PPM)) * dec(lit(nMin)))
+      .drop("__ts_n")
+  }
 }

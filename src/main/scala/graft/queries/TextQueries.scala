@@ -37,6 +37,8 @@ object TextQueries {
     GraftQuery("q_pack_contexts", packContexts, Some(packContextsSql), bench = true),
     GraftQuery("q_doc_chunks", docChunks, Some(docChunksSql)),
     GraftQuery("q_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    GraftQuery("q_temperature_sample", temperatureSampleQ,
+      Some(temperatureSampleSql)),
     GraftQuery("q_source_cap", sourceCap, Some(sourceCapSql)),
     GraftQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     GraftQuery("q_repetition", repetition, Some(repetitionSql)),
@@ -1119,6 +1121,42 @@ object TextQueries {
       }
     s"""SELECT doc_id, source FROM documents
        |WHERE ${HashFns.hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000 < $rateCase""".stripMargin
+  }
+
+  /** Data-driven rebalancing: admission rate √(n_min/n_s) per source
+    * group — exact cross-multiplied integers, no sqrt (see
+    * SamplingOps). The corpus's sources are uniformly sized, so five of
+    * them are pooled into one 5×-bulk group to give the rebalancer real
+    * skew to temper — the same non-vacuity move as the shingle-keyed
+    * q_source_overlap. */
+  private val BULK_SOURCES = Seq("src0", "src1", "src2", "src3", "src4")
+
+  def temperatureSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val grouped = docs(spark, sfDir).withColumn("src_grp",
+      when(col("source").isin(BULK_SOURCES.map(x => x: Any): _*), lit("bulk"))
+        .otherwise(col("source")))
+    graft.pipeline.SamplingOps.temperatureSample(grouped, "doc_id", "src_grp")
+      .select(col("doc_id"), col("src_grp"))
+  }
+
+  def temperatureSampleSql: String = {
+    val h = s"(${HashFns.hash32Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000)"
+    val bulk = BULK_SOURCES.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source IN ($bulk) THEN 'bulk' ELSE source END AS src_grp
+       |  FROM documents
+       |), c AS (
+       |  SELECT src_grp, count(*) AS n_s FROM d GROUP BY src_grp
+       |), m AS (
+       |  SELECT min(n_s) AS n_min FROM c
+       |)
+       |SELECT d.doc_id, d.src_grp
+       |FROM d
+       |JOIN c ON c.src_grp = d.src_grp
+       |CROSS JOIN m
+       |WHERE CAST($h AS HUGEINT) * CAST($h AS HUGEINT) * n_s
+       |    < CAST(1000000 AS HUGEINT) * 1000000 * m.n_min""".stripMargin
   }
 
   /** Anti-domination: at most 10 docs per source, drawn by hash order. */
