@@ -190,16 +190,23 @@ object SamplingOps {
   def temperatureSample(df: DataFrame, idCol: String,
                         sourceCol: String): DataFrame = {
     val PPM = 1000000L
-    val clash = df.columns.toSet.intersect(Set("__ts_n"))
+    val clash = df.columns.toSet.intersect(Set("__ts_n", "__ts_h"))
     require(clash.isEmpty, s"input already has reserved columns: $clash")
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__ts_n"))
     val nMin = Option(counts.agg(min(col("__ts_n"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val h = pmod(HashFns.hash32(col(idCol).cast("string")), lit(PPM))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    df.join(broadcast(counts), Seq(sourceCol))
-      .filter(dec(h) * dec(h) * dec(col("__ts_n")) <
+    // h is projected once before the join so the md5 underneath is
+    // single-eval even though the predicate squares it; the coalesce is
+    // unreachable (hash of a non-null cast is non-null) but marks the
+    // column non-nullable, so constraint inference cannot push an
+    // isnotnull(md5…) re-evaluation into the scan's DataFilters
+    df.withColumn("__ts_h",
+        coalesce(pmod(HashFns.hash32(col(idCol).cast("string")), lit(PPM)),
+          lit(0L)))
+      .join(broadcast(counts), Seq(sourceCol))
+      .filter(dec(col("__ts_h")) * dec(col("__ts_h")) * dec(col("__ts_n")) <
         dec(lit(PPM)) * dec(lit(PPM)) * dec(lit(nMin)))
-      .drop("__ts_n")
+      .drop("__ts_n", "__ts_h")
   }
 }
