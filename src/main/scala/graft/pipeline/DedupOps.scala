@@ -95,9 +95,17 @@ object DedupOps {
   /** Distinct content digests of a corpus — the persistable index that
     * [[dedupAgainstIndex]] dedups a NEW batch against. Write it out
     * partitioned/bucketed by digest prefix at scale; it is one narrow
-    * column regardless of corpus width. */
+    * column regardless of corpus width.
+    *
+    * The coalesce is semantically unreachable in the join (an
+    * empty-string key matches neither an md5 hex nor a null batch key)
+    * but marks the column non-nullable, so the anti-join's key
+    * null-intolerance cannot push an isnotnull(md5(text)) — a full
+    * SECOND hash of every prior document — into the index's scan
+    * (caught by PlanAuditSpec's md5 null-check audit). */
   def digestIndex(df: DataFrame, contentCol: String): DataFrame =
-    df.select(digest(col(contentCol)).as("content_hash")).distinct()
+    df.select(coalesce(digest(col(contentCol)), lit(""))
+      .as("content_hash")).distinct()
 
   /** Incremental exact dedup: drop rows whose content already appears in
     * a prior corpus snapshot's [[digestIndex]], then dedup the survivors

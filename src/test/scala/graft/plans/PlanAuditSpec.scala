@@ -100,16 +100,30 @@ class PlanAuditSpec extends AnyFunSuite {
     // row ON TOP of the projection's own evaluation. Only null-checks
     // are flagged — a kernel as the filter's PREDICATE (the bloom
     // probes) is that kernel's single intended evaluation site.
+    //
+    // md5 is audited alongside the custom kernels: every HashFns
+    // primitive hashes a non-null cast, so an isnotnull(…md5…) is
+    // ALWAYS an inference artifact and always a per-row re-evaluation
+    // (it put a second md5 into q_temperature_sample's scan on the
+    // first cut). md5 as a predicate/projection input is untouched —
+    // only null-checks over it are flagged.
     import org.apache.spark.sql.catalyst.expressions.{IsNotNull, IsNull}
+    val nullCheckAudited = kernelNames :+ "md5"
     Registry.all.foreach { q =>
       val plan = Registry.byName(q.name).run(spark, sfDir)
         .queryExecution.sparkPlan
-      plan.collect {
-        case f: org.apache.spark.sql.execution.FilterExec => f
-      }.foreach { f =>
-        val bad = f.condition.collect {
-          case n: IsNotNull if n.exists(e => kernelNames.contains(e.prettyName)) => n
-          case n: IsNull if n.exists(e => kernelNames.contains(e.prettyName)) => n
+      val conditions =
+        plan.collect {
+          case f: org.apache.spark.sql.execution.FilterExec => f.condition
+        } ++
+        plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.dataFilters
+        }.flatten
+      conditions.foreach { c =>
+        val bad = c.collect {
+          case n: IsNotNull if n.exists(e => nullCheckAudited.contains(e.prettyName)) => n
+          case n: IsNull if n.exists(e => nullCheckAudited.contains(e.prettyName)) => n
         }
         assert(bad.isEmpty,
           s"${q.name}: inferred null-check re-evaluates a kernel (make " +
