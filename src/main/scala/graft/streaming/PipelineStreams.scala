@@ -261,6 +261,54 @@ object PipelineStreams {
       .toDF(groupCol, idCol, tokenCol)
   }
 
+  /** Streaming twin of [[graft.pipeline.SnapshotOps.applyDelta]]: crawl
+    * deltas (upserts + tombstones) arrive as a stream and the operator
+    * maintains the CURRENT VIEW per document id. A strictly newer
+    * version replaces the state; a tombstone is just a version with
+    * `deleted = true`; a late arrival with an older-or-equal version is
+    * ignored — so replaying a delta batch is a no-op (idempotent
+    * ingestion), and out-of-order delivery converges to the same view.
+    * Emits one (id, ver, deleted, digest) row per id per micro-batch
+    * IFF that id's current state changed.
+    *
+    * State per id is three scalars (version, deleted, digest) — never
+    * the document payload; at 100 TB the view tracks digests for
+    * exactly this reason, and the full rows live in the snapshot store
+    * that [[graft.pipeline.SnapshotOps.applyDelta]] rolls forward in
+    * batch. */
+  def upsertViewStream(df: DataFrame, idCol: String, verCol: String,
+                       deletedCol: String, digestCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    df.select(col(idCol).cast("long"), col(verCol).cast("long"),
+        col(deletedCol).cast("boolean"), col(digestCol).cast("long"))
+      .as[(Option[Long], Option[Long], Option[Boolean], Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Boolean, Long), (Long, Long, Boolean, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (idOpt, rows, state) =>
+          val id = idOpt.getOrElse(throw new IllegalArgumentException(
+            s"upsertViewStream: null $idCol"))
+          var cur = state.getOption
+          var changed = false
+          rows.foreach { case (_, verOpt, delOpt, digOpt) =>
+            val ver = verOpt.getOrElse(throw new IllegalArgumentException(
+              s"upsertViewStream: null $verCol for $idCol=$id"))
+            if (cur.forall(_._1 < ver)) {
+              cur = Some((ver, delOpt.getOrElse(false), digOpt.getOrElse(0L)))
+              changed = true
+            }
+          }
+          if (changed) {
+            val (ver, del, dig) = cur.get
+            state.update((ver, del, dig))
+            Iterator((id, ver, del, dig))
+          } else Iterator.empty
+      }
+      .toDF(idCol, verCol, deletedCol, digestCol)
+  }
+
   /** Streaming gap-based sessionization via the native `session_window`:
     * per-key sessions close once the watermark passes their gap; emits
     * (session start/end, key, n_events) in append mode — the streaming

@@ -401,4 +401,41 @@ class PipelineStreamsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(1L, 3L))
   }
+
+  test("upsert view: latest version wins, tombstones drop, " +
+    "stale and replayed deltas are silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Boolean, Long)]
+    val sdf = mem.toDF.toDF("doc_id", "ver", "deleted", "dig")
+    val out = PipelineStreams.upsertViewStream(
+      sdf, "doc_id", "ver", "deleted", "dig")
+    val query = out.writeStream.format("memory").queryName("upsert_view")
+      .outputMode("append").start()
+    try {
+      // b1: two inserts
+      mem.addData((1L, 1L, false, 11L), (2L, 1L, false, 21L))
+      query.processAllAvailable()
+      val b1 = spark.table("upsert_view").count()
+      // b2: doc 1 jumps to v3, doc 3 appears, doc 2 tombstoned at v2
+      mem.addData((1L, 3L, false, 13L), (3L, 1L, false, 31L),
+        (2L, 2L, true, 0L))
+      query.processAllAvailable()
+      val b2 = spark.table("upsert_view").count()
+      // b3: LATE v2 for doc 1 (stale) + replay of doc 2's tombstone —
+      // both must be swallowed with no emission
+      mem.addData((1L, 2L, false, 12L), (2L, 2L, true, 0L))
+      query.processAllAvailable()
+      val b3 = spark.table("upsert_view").count()
+      assert(b1 == 2 && b2 == 5 && b3 == 5,
+        s"emission counts ($b1, $b2, $b3)")
+    } finally query.stop()
+    // the latest emission per id IS the current view
+    val view = spark.table("upsert_view")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.maxBy(_._2) }
+    assert(view(1L) == ((1L, 3L, false, 13L)))
+    assert(view(2L) == ((2L, 2L, true, 0L)))
+    assert(view(3L) == ((3L, 1L, false, 31L)))
+  }
 }
