@@ -439,6 +439,103 @@ object TextOps {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       DigitRunPattern, "<NUMBER>")
 
+  // ---- BPE tokenizer training -------------------------------------------
+
+  /** Word vocabulary with frequencies — the relation ALL tokenizer
+    * training runs on. This is the standard BPE economy: pair
+    * statistics are computed over |V| distinct words weighted by
+    * frequency, never over the raw corpus, so one corpus-sized shuffle
+    * (partial-aggregated — stopwords combine map-side) buys every
+    * subsequent merge round. Words shorter than 2 chars carry no pairs
+    * and are dropped. */
+  def wordVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Corpus-weighted adjacent-symbol pair counts at the character
+    * level — one BPE round's statistics (no end-of-word marker; the
+    * merge TRAINER documents the same choice). Pair expansion is a
+    * posexplode over the vocabulary only: ≤ len(word)−1 rows per
+    * DISTINCT word, so the second shuffle is vocabulary-sized too. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+                    minCount: Long): DataFrame =
+    wordVocab(df, textCol)
+      .select(col("freq"), col("word"),
+        posexplode(sequence(lit(1), length(col("word")) - 1)))
+      .select(col("freq"),
+        col("word").substr(col("col"), lit(1)).as("left_sym"),
+        col("word").substr(col("col") + 1, lit(1)).as("right_sym"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+
+  /** BPE merge trainer: `nMerges` rounds of (count pairs over the
+    * symbolized vocabulary → pick the top pair → greedily merge its
+    * left-to-right non-overlapping occurrences in every word). Returns
+    * the merge table (rank, left, right, n_pair) — the artifact a
+    * tokenizer ships. Character-level symbols, no end-of-word marker
+    * (documented simplification; the marker is one extra initial
+    * symbol, not a different algorithm).
+    *
+    * Ties break deterministically by (count DESC, left, right). Each
+    * round is two vocabulary-sized jobs (pair aggregate → 1-row
+    * collect, the k-means-round precedent) plus a map-only fold that
+    * rewrites symbol arrays; the corpus is touched exactly once, by
+    * [[wordVocab]]. The per-round driver state is ONE pair. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 1000,
+      s"nMerges out of range 1..1000: $nMerges")
+    var vocab = wordVocab(df, textCol)
+      .select(col("freq"),
+        split(col("word"), "(?!^)").as("syms"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      for (rank <- 1 to nMerges) {
+        val top = vocab
+          .select(col("freq"), col("syms"), posexplode(slice(col("syms"),
+            lit(1), greatest(size(col("syms")) - 1, lit(0)))))
+          .select(col("freq"), col("col").as("left_sym"),
+            element_at(col("syms"), col("pos") + 2).as("right_sym"))
+          .groupBy(col("left_sym"), col("right_sym"))
+          .agg(sum(col("freq")).as("n_pair"))
+          .orderBy(col("n_pair").desc, col("left_sym"), col("right_sym"))
+          .head(1)
+        if (top.isEmpty) return merges.toSeq
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        // greedy left-to-right non-overlapping merge: fold each word's
+        // symbol array through (out, pending); "" is the no-pending
+        // sentinel (a symbol is never empty by construction)
+        val folded = aggregate(
+          col("syms"),
+          struct(array().cast("array<string>").as("out"),
+            lit("").as("pending")),
+          (acc, s) => {
+            val out = acc.getField("out"); val p = acc.getField("pending")
+            when(p === lit(l) && s === lit(r),
+              struct(concat(out, array(lit(l + r))).as("out"),
+                lit("").as("pending")))
+              .when(p === lit(""),
+                struct(out.as("out"), s.as("pending")))
+              .otherwise(
+                struct(concat(out, array(p)).as("out"), s.as("pending")))
+          },
+          acc => when(acc.getField("pending") === lit(""),
+            acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(acc.getField("pending")))))
+        val next = vocab.select(col("freq"), folded.as("syms")).cache()
+        next.count() // materialize before unpersisting the parent
+        vocab.unpersist()
+        vocab = next
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+
   // ---- DuckDB oracle fragments ------------------------------------------
 
   def tokensSql(expr: String): String = s"string_split($expr, ' ')"

@@ -67,6 +67,7 @@ object TextQueries {
     GraftQuery("q_ngram_familiarity", ngramFamiliarityQ, Some(ngramFamiliaritySql)),
     GraftQuery("q_snapshot_diff", snapshotDiffQ, Some(snapshotDiffSql)),
     GraftQuery("q_snapshot_merge", snapshotMergeQ, Some(snapshotMergeSql)),
+    GraftQuery("q_bpe_pairs", bpePairsQ, Some(bpePairsSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1419,6 +1420,33 @@ object TextQueries {
       .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
     SnapshotOps.applyDelta(base, upserts, deletes, "doc_id")
   }
+
+  // ---- BPE tokenizer statistics -----------------------------------------
+
+  private val BPE_MIN_COUNT = 5L
+
+  /** One BPE round's pair statistics over the corpus vocabulary —
+    * tokenizer training's feedstock (TextOps.bpeTrain iterates this
+    * same relation; the trainer is spec-verified against an
+    * independent JVM implementation, the single-round statistics
+    * oracle-verified here). */
+  def bpePairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.bpePairCounts(docs(spark, sfDir), "text", BPE_MIN_COUNT)
+
+  def bpePairsSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |), v AS (
+       |  SELECT word, count(*) AS freq FROM w
+       |  WHERE length(word) >= 2 GROUP BY word
+       |), p AS (
+       |  SELECT substr(word, CAST(i AS INTEGER), 1) AS left_sym,
+       |         substr(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+       |         freq
+       |  FROM v, unnest(range(1, length(word))) AS t(i)
+       |)
+       |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS n_pair
+       |FROM p GROUP BY 1, 2 HAVING sum(freq) >= $BPE_MIN_COUNT""".stripMargin
 
   def snapshotMergeSql: String =
     s"""WITH n AS (

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the BPE tokenizer-training primitives: single-round
+  * pair statistics against hand counts, and the multi-round merge
+  * trainer against an independent plain-Scala implementation of the
+  * same greedy semantics (left-to-right non-overlapping replacement,
+  * ties by count DESC then pair lexicographic). */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- independent JVM reference ----------------------------------------
+
+  private def mergeList(syms: List[String], l: String,
+                        r: String): List[String] = syms match {
+    case a :: b :: rest if a == l && b == r =>
+      (l + r) :: mergeList(rest, l, r)
+    case a :: rest => a :: mergeList(rest, l, r)
+    case Nil => Nil
+  }
+
+  private def jvmBpe(words: Map[String, Long],
+                     nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = words.filter(_._1.length >= 2)
+      .map { case (w, f) => (w.map(_.toString).toList, f) }.toList
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for {
+        (syms, f) <- vocab
+        pair <- syms.sliding(2) if pair.length == 2
+      } counts((pair.head, pair(1))) =
+        counts.getOrElse((pair.head, pair(1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out += ((rank, l, r, n))
+        vocab = vocab.map { case (syms, f) => (mergeList(syms, l, r), f) }
+      }
+    }
+    out.toSeq
+  }
+
+  // the classic BPE teaching corpus
+  private val corpus: Map[String, Long] =
+    Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  private def corpusDf = {
+    // one single-word doc per occurrence, plus a multi-word doc to
+    // exercise tokenization (its words are counted too)
+    val words = corpus.toSeq.flatMap { case (w, f) =>
+      Seq.fill((f - 1).toInt)(w)
+    } :+ corpus.keys.toSeq.sorted.mkString(" ")
+    words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("pair counts match hand arithmetic on a two-word corpus") {
+    val df = Seq((1L, "abab cd"), (2L, "abab")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(df, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // "abab" freq 2: pairs ab, ba, ab -> ab:4, ba:2; "cd" freq 1: cd:1
+    assert(got == Map(("a", "b") -> 4L, ("b", "a") -> 2L, ("c", "d") -> 1L))
+  }
+
+  test("trainer matches the independent JVM implementation for 8 merges") {
+    val got = TextOps.bpeTrain(corpusDf, "text", nMerges = 8)
+    val expected = jvmBpe(corpus, nMerges = 8)
+    assert(got == expected)
+    // and the classic first merges appear: (e,s) from newest+widest=9,
+    // then (es,t) — the textbook result for this corpus
+    assert(got.take(2).map(m => (m._2, m._3)) == Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("greedy merge is left-to-right non-overlapping (aaaa -> aa aa)") {
+    val df = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "aaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(df, "text", nMerges = 2)
+    val expected = jvmBpe(Map("aaaa" -> 2L, "aaa" -> 1L), nMerges = 2)
+    assert(got == expected)
+    // round 1: (a,a) = 2*3 + 1*2 = 8; after merge: [aa,aa]x2, [aa,a]x1
+    assert(got.head == ((1, "a", "a", 8L)))
+    // round 2: (aa,aa) = 2, (aa,a) = 1 -> (aa,aa)
+    assert(got(1) == ((2, "aa", "aa", 2L)))
+  }
+}
