@@ -536,6 +536,47 @@ object TextOps {
     } finally vocab.unpersist()
   }
 
+  /** Greedy left-to-right non-overlapping replacement of one merge pair
+    * — the JVM twin of the trainer's HOF fold, shared by [[bpeEncode]]. */
+  private[pipeline] def mergeSymbols(syms: List[String], l: String,
+                                     r: String): List[String] = syms match {
+    case a :: b :: rest if a == l && b == r =>
+      (l + r) :: mergeSymbols(rest, l, r)
+    case a :: rest => a :: mergeSymbols(rest, l, r)
+    case Nil => Nil
+  }
+
+  /** Encode with a TRAINED tokenizer: apply a [[bpeTrain]] merge table
+    * in rank order to every word and return per-doc BPE token counts —
+    * the token counter data mixtures should actually budget with (the
+    * whitespace and regex counters over-count exactly the frequent
+    * words BPE compresses). The merge table is the tokenizer artifact
+    * (≤ thousands of rows), driver-side by construction; it ships to
+    * executors in the closure and encoding is MAP-ONLY — no join, no
+    * shuffle, no state. Words never seen in training still encode
+    * (char-per-symbol, merges simply don't fire), so the operator is
+    * total. No SQL oracle is possible — the merge table is
+    * data-dependent — so the contract is spec-pinned against the same
+    * independent JVM reference as the trainer. */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+                merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val ms = merges.sortBy(_._1).map(m => (m._2, m._3)).toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        var n = 0L
+        text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+          var syms = w.map(_.toString).toList
+          ms.foreach { case (l, r) => syms = mergeSymbols(syms, l, r) }
+          n += syms.length
+        }
+        (id, n)
+      }
+      .toDF(idCol, "n_bpe_tokens")
+  }
+
   // ---- DuckDB oracle fragments ------------------------------------------
 
   def tokensSql(expr: String): String = s"string_split($expr, ' ')"

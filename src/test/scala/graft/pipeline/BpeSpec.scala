@@ -76,6 +76,44 @@ class BpeSpec extends AnyFunSuite {
     assert(got.take(2).map(m => (m._2, m._3)) == Seq(("e", "s"), ("es", "t")))
   }
 
+  test("encode with trained merges: counts match the JVM reference; " +
+    "unseen words encode char-per-symbol") {
+    val merges = TextOps.bpeTrain(corpusDf, "text", nMerges = 8)
+    val probe = Seq(
+      (1L, "newest lowest"),   // lowest: unseen word, merges still fire where pairs match
+      (2L, "low low"),
+      (3L, "zq")               // fully unseen, no merge fires
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(probe, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // JVM reference: apply the same merge list to each word
+    val ms = merges.map(m => (m._2, m._3))
+    def enc(w: String): Long = {
+      var syms = w.map(_.toString).toList
+      ms.foreach { case (l, r) =>
+        syms = syms match { case _ => jvmMerge(syms, l, r) }
+      }
+      syms.length.toLong
+    }
+    def expected(text: String): Long =
+      text.split(" ").filter(_.nonEmpty).map(enc).sum
+    assert(got == Map(
+      1L -> expected("newest lowest"),
+      2L -> expected("low low"),
+      3L -> 2L)) // z+q: no trained merge touches it
+    // with zero merges, the count is plain character count of the words
+    val raw = TextOps.bpeEncode(probe, "text", "doc_id", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw(1L) == 12L && raw(2L) == 6L && raw(3L) == 2L)
+  }
+
+  private def jvmMerge(syms: List[String], l: String,
+                       r: String): List[String] = syms match {
+    case a :: b :: rest if a == l && b == r => (l + r) :: jvmMerge(rest, l, r)
+    case a :: rest => a :: jvmMerge(rest, l, r)
+    case Nil => Nil
+  }
+
   test("greedy merge is left-to-right non-overlapping (aaaa -> aa aa)") {
     val df = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "aaa")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(df, "text", nMerges = 2)
