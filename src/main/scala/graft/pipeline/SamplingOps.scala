@@ -171,7 +171,9 @@ object SamplingOps {
   }
 
   /** Temperature-rebalanced source mixing — the α-sampling of
-    * multilingual LM corpora at α = 1/2: admit each doc of source s
+    * multilingual LM corpora (exponentiated-weight sampling as in XLM,
+    * arXiv:1901.07291 §3.1, and mT5's α; here α = 1/2): admit each doc
+    * of source s
     * with rate √(n_min/n_s), so per-source KEPT counts scale as √n_s.
     * Large sources are tempered toward the small ones, and the
     * smallest source is kept in full (its rate is exactly 1 — a

@@ -470,11 +470,12 @@ object TextOps {
       .agg(sum(col("freq")).as("n_pair"))
       .filter(col("n_pair") >= minCount)
 
-  /** BPE merge trainer: `nMerges` rounds of (count pairs over the
-    * symbolized vocabulary → pick the top pair → greedily merge its
-    * left-to-right non-overlapping occurrences in every word). Returns
-    * the merge table (rank, left, right, n_pair) — the artifact a
-    * tokenizer ships. Character-level symbols, no end-of-word marker
+  /** BPE merge trainer (Sennrich et al. 2016, arXiv:1508.07909):
+    * `nMerges` rounds of (count pairs over the symbolized vocabulary →
+    * pick the top pair → greedily merge its left-to-right
+    * non-overlapping occurrences in every word). Returns the merge
+    * table (rank, left, right, n_pair) — the artifact a tokenizer
+    * ships. Character-level symbols, no end-of-word marker
     * (documented simplification; the marker is one extra initial
     * symbol, not a different algorithm).
     *
