@@ -33,6 +33,10 @@ object SnapshotOps {
     * within each snapshot — it is a keyed corpus, not a multiset. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    digest: Column, carryCols: Seq[String]): DataFrame = {
+    require(!carryCols.contains(idCol),
+      s"carryCols must not repeat the id column $idCol")
+    val clash = (oldDf.columns ++ newDf.columns).filter(_.startsWith("__sd_"))
+    require(clash.isEmpty, s"input already has reserved columns: ${clash.toSet}")
     def side(df: DataFrame, tag: String) =
       df.select(col(idCol).as(s"__sd_id_$tag") +:
         digest.as(s"__sd_dig_$tag") +:
