@@ -487,9 +487,14 @@ object TextOps {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1 && nMerges <= 1000,
       s"nMerges out of range 1..1000: $nMerges")
+    // split at positions that are neither start nor end: "(?!^)" alone
+    // also matches the zero-width position at END of string under
+    // Spark's limit=-1 split, appending a trailing "" symbol whose
+    // (lastChar, "") pairs can outnumber every real pair (caught by
+    // BpeSoakMain: 2M base-26 words elected '0'+'' as merge 1)
     var vocab = wordVocab(df, textCol)
       .select(col("freq"),
-        split(col("word"), "(?!^)").as("syms"))
+        split(col("word"), "(?!^)(?!$)").as("syms"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {

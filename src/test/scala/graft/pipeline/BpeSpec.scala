@@ -114,6 +114,22 @@ class BpeSpec extends AnyFunSuite {
     case Nil => Nil
   }
 
+  test("symbolization has no phantom end-of-word symbol (the split " +
+    "trailing-empty regression)") {
+    // every word ends in 'x', so a trailing "" symbol would make
+    // (x, "") the runaway top pair (count 40 vs 10 for any real pair) —
+    // exactly what a 2M-word soak elected as merge 1 before the fix
+    val words = Seq("ax", "bx", "cx", "dx")
+    val df = words.flatMap(w => Seq.fill(10)(w)).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(df, "text", nMerges = 2)
+    val expected = jvmBpe(words.map(_ -> 10L).toMap, nMerges = 2)
+    assert(got == expected)
+    assert(got.forall(m => m._2.nonEmpty && m._3.nonEmpty),
+      s"empty symbol in merge table: $got")
+    assert(got.head == ((1, "a", "x", 10L))) // tiebreak, not (x, "")
+  }
+
   test("greedy merge is left-to-right non-overlapping (aaaa -> aa aa)") {
     val df = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "aaa")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(df, "text", nMerges = 2)
