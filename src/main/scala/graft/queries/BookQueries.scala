@@ -99,8 +99,9 @@ object BookQueries {
        |  JOIN (SELECT DISTINCT product, is_bid, price FROM upd) l USING (product)
        |), state AS (
        |  SELECT g.seq, g.product, g.is_bid, g.price,
-       |         sum(u.qty) OVER (
-       |           PARTITION BY g.product, g.is_bid, g.price ORDER BY g.seq) AS qty
+       |         CAST(sum(u.qty) OVER (
+       |           PARTITION BY g.product, g.is_bid, g.price ORDER BY g.seq)
+       |           AS BIGINT) AS qty
        |  FROM grid g LEFT JOIN upd u
        |    ON u.product = g.product AND u.is_bid = g.is_bid
        |   AND u.price = g.price AND u.seq = g.seq
@@ -240,6 +241,11 @@ object BookQueries {
 
   // ---- DuckDB oracles: rebuild per-row book state relationally ----------
 
+  // The running-state qty is CAST back to BIGINT: DuckDB promotes sum()
+  // to HUGEINT, the driver's value hash is type-sensitive, and Spark
+  // emits BIGINT qty — the q_pack_contexts/q_ngram_familiarity drift
+  // class, normalized at the source so tools/check_oracle.py's type
+  // gate holds with zero exceptions.
   private def gridAndState(streamSql: String, stateExpr: String): String =
     s"""WITH upd AS (
        |$streamSql
@@ -249,8 +255,9 @@ object BookQueries {
        |  JOIN (SELECT DISTINCT product, is_bid, price FROM upd) l USING (product)
        |), state AS (
        |  SELECT g.seq, g.product, g.is_bid, g.price,
-       |         $stateExpr OVER (
-       |           PARTITION BY g.product, g.is_bid, g.price ORDER BY g.seq) AS qty
+       |         CAST($stateExpr OVER (
+       |           PARTITION BY g.product, g.is_bid, g.price ORDER BY g.seq)
+       |           AS BIGINT) AS qty
        |  FROM grid g LEFT JOIN upd u
        |    ON u.product = g.product AND u.is_bid = g.is_bid
        |   AND u.price = g.price AND u.seq = g.seq

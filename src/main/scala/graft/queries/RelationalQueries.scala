@@ -325,7 +325,9 @@ object RelationalQueries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.read(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"),
-        row_number().over(w).as("rn"),
+        // cast: Spark row_number is INT, DuckDB's is BIGINT — normalized
+        // so the local type-parity gate holds with zero exceptions
+        row_number().over(w).cast("long").as("rn"),
         sum(col("value").cast(dec)).over(w).cast("double").as("running_value"),
         lag(col("event_type"), 1).over(w).as("prev_type"))
   }

@@ -123,9 +123,9 @@ object TextQueries {
        |  SELECT sh, count(*) AS c FROM shr GROUP BY sh
        |), per_doc AS (
        |  SELECT s.doc_id, count(*) AS n_ngrams,
-       |    (1000 * sum(c.c)) // count(*) AS mean_freq_permille,
-       |    (1000 * sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)) // count(*)
-       |      AS unique_frac_permille
+       |    CAST((1000 * sum(c.c)) // count(*) AS BIGINT) AS mean_freq_permille,
+       |    CAST((1000 * sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END)) // count(*)
+       |      AS BIGINT) AS unique_frac_permille
        |  FROM shr s JOIN cnts c ON s.sh = c.sh
        |  GROUP BY s.doc_id
        |)

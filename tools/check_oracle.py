@@ -27,6 +27,16 @@ def canon(rows, cols):
     out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
     return [cols[i] for i in idx], out
 
+def col_types(con, sql):
+    """Column name -> DuckDB type for an arbitrary SELECT/WITH query.
+
+    The driver's hash is TYPE-SENSITIVE (DuckDB sum()/'//' chains promote to
+    HUGEINT while Spark parquet stays BIGINT — the q_pack_contexts r3 and
+    q_ngram_familiarity r7 escapes), and cursor.description only reports a
+    generic 'NUMBER', so DESCRIBE is the only local view of what the driver
+    hashes."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -34,13 +44,16 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     for name, sql in sorted(oracle.items()):
+        spark_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
         try:
             dd = con.execute(sql)
             dcols = [c[0] for c in dd.description]
             drows = dd.fetchall()
-            sp = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            dtypes = col_types(con, sql)
+            sp = con.execute(spark_sql)
             scols = [c[0] for c in sp.description]
             srows = sp.fetchall()
+            stypes = col_types(con, spark_sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failed.append(name)
@@ -49,6 +62,11 @@ def main(sf_dir, out_dir):
         sc, sr = canon(srows, scols)
         if dc != sc:
             print(f"FAIL {name}: columns differ duck={dc} spark={sc}")
+            failed.append(name); continue
+        drift = [(c, dtypes[c], stypes[c]) for c in dc if dtypes[c] != stypes[c]]
+        if drift:
+            print(f"FAIL {name}: TYPE drift (driver hash is type-sensitive): "
+                  + ", ".join(f"{c} duck={a} spark={b}" for c, a, b in drift))
             failed.append(name); continue
         if len(dr) != len(sr):
             print(f"FAIL {name}: rowcount duck={len(dr)} spark={len(sr)}")
