@@ -206,6 +206,46 @@ object DedupOps {
                           maxBandFreq: Int = DefaultMaxBandFreq,
                           bloomBits: Int = 1 << 20,
                           bloomHashes: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val iSigs = index.select(col(idCol).as("old_id"), col("sig").as("old_sig"))
+    // ONE pass over the index derives everything small: the distinct
+    // band keys with frequencies feed BOTH the hot-band cap and the
+    // bloom build (a bloom over distinct keys is bit-identical to one
+    // over all occurrences — bit_or is idempotent). The checkpoint is
+    // narrow (two longs + a count per DISTINCT key), so the index-side
+    // signature pipeline now runs twice (key pass + join side), not
+    // three times — and with a PERSISTED index
+    // ([[writeMinhashIndex]] / [[nearDupAgainstStoredIndex]]) this
+    // relation is read from storage and the index pipeline never
+    // re-runs at all.
+    val keyCounts =
+      iSigs.select(posexplode(lshBandKeys(col("old_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("__hb_c"))
+        .localCheckpoint()
+    screenAgainstSignatures(batch, textCol, idCol, iSigs, keyCounts,
+      shingleK, numHashes, bands, minAgreeFrac, maxBandFreq,
+      bloomBits, bloomHashes)
+  }
+
+  /** The screen shared by the in-memory and persisted index paths:
+    * batch text → signatures → band keys (map-only), bloom-prescreened
+    * against the index's distinct-band-key relation `keyCounts`
+    * (band_idx, band_hash, __hb_c), then an equi-join against the
+    * per-doc index band keys derived MAP-ONLY from the (old_id,
+    * old_sig) relation `iSigs`, scored on full-signature agreement.
+    * Both callers pass the SAME relations (one computed, one read from
+    * storage), so stored-key and recomputed-key screens are identical
+    * by construction — pinned by CorpusToolsSpec. */
+  private def screenAgainstSignatures(batch: DataFrame, textCol: String,
+                                      idCol: String, iSigs: DataFrame,
+                                      keyCounts: DataFrame,
+                                      shingleK: Int, numHashes: Int,
+                                      bands: Int, minAgreeFrac: Double,
+                                      maxBandFreq: Int, bloomBits: Int,
+                                      bloomHashes: Int): DataFrame = {
     import graft.functions.BloomFilter
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     require(maxBandFreq >= 2, s"maxBandFreq must be >= 2, got $maxBandFreq")
@@ -216,22 +256,9 @@ object DedupOps {
     val bBands = bSig.select(col("new_id"), col("new_sig"),
       posexplode(lshBandKeys(col("new_sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
-    val iBandsAll = index.select(col(idCol).as("old_id"), col("sig").as("old_sig"))
-      .select(col("old_id"), col("old_sig"),
-        posexplode(lshBandKeys(col("old_sig"), bands, rowsPerBand))
-          .as(Seq("band_idx", "band_hash")))
-    // ONE pass over the index derives everything small: the distinct
-    // band keys with frequencies feed BOTH the hot-band cap and the
-    // bloom build (a bloom over distinct keys is bit-identical to one
-    // over all occurrences — bit_or is idempotent). The checkpoint is
-    // narrow (two longs + a count per DISTINCT key), so the index-side
-    // signature pipeline now runs twice (key pass + join side), not
-    // three times — and at crawl scale the bloom build scans this
-    // key relation instead of re-scanning the whole index.
-    val keyCounts =
-      iBandsAll.groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("__hb_c"))
-        .localCheckpoint()
+    val iBandsAll = iSigs.select(col("old_id"), col("old_sig"),
+      posexplode(lshBandKeys(col("old_sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
     val iBands =
       if (maxBandFreq == Int.MaxValue) iBandsAll
       else {
@@ -256,6 +283,72 @@ object DedupOps {
       .distinct()
       .withColumn("agree_frac", col("n_agree").cast("double") / numHashes)
       .filter(col("agree_frac") >= minAgreeFrac)
+  }
+
+  /** Persist a MinHash signature index as an on-disk serving artifact:
+    *
+    *   - `path/signatures` — (id, sig): [[minhashSigIndex]]'s output,
+    *     numHashes longs per doc;
+    *   - `path/bandkeys` — (band_idx, band_hash, freq): the DISTINCT
+    *     band-key relation with bucket frequencies, derived from the
+    *     stored signatures at BUILD time;
+    *   - `path/meta` — one row pinning the geometry (shingle_k,
+    *     num_hashes, bands).
+    *
+    * [[nearDupAgainstStoredIndex]] then builds its bloom bitmap and
+    * hot-band cap from the STORED key relation and its join side
+    * map-only from the STORED signatures, so the daily-crawl screen is
+    * a pure read: index text is never re-read and the signature kernel
+    * never re-runs at probe time. Same build/probe split as the IVF-PQ
+    * index ([[SimilarityOps.writeIvfPqIndex]]). The band-key derivation
+    * reads `path/signatures` BACK rather than reusing the un-persisted
+    * plan, so the corpus text pipeline runs exactly once. */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        path: String, shingleK: Int = 3,
+                        numHashes: Int = 12, bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = df.sparkSession
+    val rowsPerBand = numHashes / bands
+    minhashSigIndex(df, textCol, idCol, shingleK, numHashes)
+      .select(col(idCol).as("id"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    spark.read.parquet(s"$path/signatures")
+      .select(posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("freq"))
+      .write.mode("overwrite").parquet(s"$path/bandkeys")
+    import spark.implicits._
+    Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental NEAR-dup screen against a [[writeMinhashIndex]]
+    * artifact — semantics identical to [[nearDupAgainstIndex]] (same
+    * core, pinned by spec), but every index-side input comes from
+    * storage: bloom bitmap + hot-band cap from `path/bandkeys`, join
+    * side map-only from `path/signatures`. Geometry (shingleK,
+    * numHashes, bands) comes from `path/meta` — the probe CANNOT
+    * mismatch the build (same pinned-quantizer discipline as the
+    * IVF-PQ probe), which is why those parameters are absent here. */
+  def nearDupAgainstStoredIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String, batch: DataFrame,
+                                textCol: String, idCol: String,
+                                minAgreeFrac: Double = 0.5,
+                                maxBandFreq: Int = DefaultMaxBandFreq,
+                                bloomBits: Int = 1 << 20,
+                                bloomHashes: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val iSigs = spark.read.parquet(s"$path/signatures")
+      .select(col("id").as("old_id"), col("sig").as("old_sig"))
+    val keyCounts = spark.read.parquet(s"$path/bandkeys")
+      .select(col("band_idx"), col("band_hash"), col("freq").as("__hb_c"))
+    screenAgainstSignatures(batch, textCol, idCol, iSigs, keyCounts,
+      shingleK, numHashes, bands, minAgreeFrac, maxBandFreq,
+      bloomBits, bloomHashes)
   }
 
   /** Drop every batch doc flagged by [[nearDupAgainstIndex]]; in-batch

@@ -940,15 +940,21 @@ object TextQueries {
 
   private val NI_MIN_AGREE = 0.5
 
-  /** Incremental NEAR-dup: the even-id half plays the prior snapshot as
-    * a signature index; odd-id docs band-join it and are flagged when
-    * their signatures agree on >= half the permutations. */
+  /** Incremental NEAR-dup: the even-id half plays the prior snapshot,
+    * PERSISTED as a [[DedupOps.writeMinhashIndex]] artifact
+    * (signatures + band-key frequencies + pinned geometry); odd-id
+    * docs screen against the stored index — bloom and hot-band cap
+    * from the stored band keys, join side from the stored signatures,
+    * so index text is scanned once at build and never at probe. Docs
+    * are flagged when their signatures agree on >= half the
+    * permutations. */
   def neardupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val idx = DedupOps.minhashSigIndex(d.filter(col("doc_id") % 2 === 0),
-      "text", "doc_id", K, NUM_HASHES)
-    DedupOps.nearDupAgainstIndex(d.filter(col("doc_id") % 2 === 1), idx,
-      "text", "doc_id", K, NUM_HASHES, BANDS, NI_MIN_AGREE)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${math.abs(sfDir.hashCode)}"
+    DedupOps.writeMinhashIndex(d.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", dir, K, NUM_HASHES, BANDS)
+    DedupOps.nearDupAgainstStoredIndex(spark, dir,
+      d.filter(col("doc_id") % 2 === 1), "text", "doc_id", NI_MIN_AGREE)
   }
 
   def neardupIncrementalSql: String = {

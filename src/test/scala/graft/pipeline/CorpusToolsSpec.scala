@@ -191,6 +191,40 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 5L))
   }
 
+  test("nearDupAgainstStoredIndex: stored-key screen == recomputed-key screen") {
+    val snapshot = Seq(
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (8L, "w1 w2 w3 w4 w5 w6 w7 different"), // near (not exact) copy of 2
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx_spec").toString
+    DedupOps.writeMinhashIndex(snapshot, "text", "doc_id", dir, 3, 12, 4)
+    // the artifact's three relations exist and the geometry is pinned
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert((meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("bands")) == ((3, 12, 4)))
+    assert(spark.read.parquet(s"$dir/signatures").count() == 3) // empty doc 6 excluded
+    val keyRows = spark.read.parquet(s"$dir/bandkeys")
+      .select("band_idx", "band_hash", "freq").collect()
+    assert(keyRows.map(_.getLong(2)).sum == 3 * 4) // 3 docs × 4 bands, freqs total
+    // stored path ≡ in-memory path, row for row (geometry from meta only)
+    val idx = DedupOps.minhashSigIndex(snapshot, "text", "doc_id", 3, 12)
+    val recomputed = DedupOps.nearDupAgainstIndex(batch, idx, "text", "doc_id",
+        3, 12, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = DedupOps.nearDupAgainstStoredIndex(spark, dir, batch,
+        "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == recomputed)
+    assert(stored.map(_._1) == Set(1L)) // and both flag exactly doc 1
+  }
+
   test("topKVocabByGroup: per-group ranks, ties lexicographic, k bound") {
     val docs = Seq(
       ("s1", "a a a b b c"),
