@@ -30,13 +30,34 @@ object SnapshotOps {
     * stored digests instead of content keeps the join rows narrow.
     * `carryCols` are passed through (new side wins where present, the
     * old side supplies them for removed docs). Ids must be unique
-    * within each snapshot — it is a keyed corpus, not a multiset. */
+    * within each snapshot — it is a keyed corpus, not a multiset — and
+    * the default-on `assertUniqueIds` guard enforces that LOUDLY (one
+    * cheap count-vs-count-distinct aggregate per side, on the narrow
+    * id column only): a duplicated id would otherwise fan out the
+    * full-outer join into silently duplicated status rows. Pass
+    * `assertUniqueIds = false` only when uniqueness is already
+    * guaranteed upstream (e.g. the output of an exact-dedup pass) and
+    * the two planning-time jobs matter. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
-                   digest: Column, carryCols: Seq[String]): DataFrame = {
+                   digest: Column, carryCols: Seq[String],
+                   assertUniqueIds: Boolean = true): DataFrame = {
     require(!carryCols.contains(idCol),
       s"carryCols must not repeat the id column $idCol")
     val clash = (oldDf.columns ++ newDf.columns).filter(_.startsWith("__sd_"))
     require(clash.isEmpty, s"input already has reserved columns: ${clash.toSet}")
+    if (assertUniqueIds) {
+      def check(df: DataFrame, tag: String): Unit = {
+        val r = df.agg(count(col(idCol)).as("n"),
+          countDistinct(col(idCol)).as("nd")).collect()(0)
+        require(r.getLong(0) == r.getLong(1),
+          s"snapshotDiff: the $tag snapshot has duplicate $idCol values " +
+            s"(${r.getLong(0)} non-null rows, ${r.getLong(1)} distinct) — " +
+            "a keyed corpus must have unique ids; a duplicated id fans " +
+            "out the full-outer join into duplicate status rows")
+      }
+      check(oldDf, "old")
+      check(newDf, "new")
+    }
     def side(df: DataFrame, tag: String) =
       df.select(col(idCol).as(s"__sd_id_$tag") +:
         digest.as(s"__sd_dig_$tag") +:

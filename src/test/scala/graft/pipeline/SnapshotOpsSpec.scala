@@ -73,4 +73,23 @@ class SnapshotOpsSpec extends AnyFunSuite {
     // changed doc carries the NEW source; removed doc falls back to old
     assert(rows.toSet == Set((1L, "changed", "NEWSRC"), (2L, "removed", "s")))
   }
+
+  test("snapshotDiff refuses duplicated ids loudly, per side") {
+    val clean = snap((1L, "a", "s"), (2L, "b", "s"))
+    val duped = snap((1L, "a", "s"), (1L, "a again", "s"), (2L, "b", "s"))
+    val eOld = intercept[IllegalArgumentException] {
+      SnapshotOps.snapshotDiff(duped, clean, "doc_id", dig, Seq("source"))
+    }
+    assert(eOld.getMessage.contains("old snapshot has duplicate doc_id"))
+    assert(eOld.getMessage.contains("3 non-null rows, 2 distinct"))
+    val eNew = intercept[IllegalArgumentException] {
+      SnapshotOps.snapshotDiff(clean, duped, "doc_id", dig, Seq("source"))
+    }
+    assert(eNew.getMessage.contains("new snapshot has duplicate doc_id"))
+    // documented opt-out: the caller owns uniqueness, the join fans out
+    val rows = SnapshotOps.snapshotDiff(duped, clean, "doc_id", dig,
+      Seq("source"), assertUniqueIds = false)
+      .filter(col("doc_id") === 1L).collect()
+    assert(rows.length == 2) // the silent fan-out the guard exists to stop
+  }
 }
