@@ -449,8 +449,12 @@ object TextOps {
     * subsequent merge round. Words shorter than 2 chars carry no pairs
     * and are dropped. */
   def wordVocab(df: DataFrame, textCol: String): DataFrame =
+    wordVocab(df, textCol, minLen = 2)
+
+  private def wordVocab(df: DataFrame, textCol: String,
+                        minLen: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) >= 2)
+      .filter(length(col("word")) >= minLen)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Corpus-weighted adjacent-symbol pair counts at the character
@@ -475,16 +479,24 @@ object TextOps {
     * pick the top pair → greedily merge its left-to-right
     * non-overlapping occurrences in every word). Returns the merge
     * table (rank, left, right, n_pair) — the artifact a tokenizer
-    * ships. Character-level symbols, no end-of-word marker
-    * (documented simplification; the marker is one extra initial
-    * symbol, not a different algorithm).
+    * ships. Character-level symbols; `endOfWord = true` appends the
+    * Sennrich [[EowMarker]] as one extra initial symbol per word (and
+    * admits 1-char words into the vocabulary, since the marker gives
+    * them a pair), which closes the gap to the paper's algorithm
+    * exactly. The default omits the marker (documented
+    * simplification; it is one extra initial symbol, not a different
+    * algorithm). The marker string can in principle collide with a
+    * merge of the literal characters `<`,`/`,`w`,`>` — the same
+    * property the paper's implementation has; corpora containing that
+    * sequence as a word should pick a different marker.
     *
     * Ties break deterministically by (count DESC, left, right). Each
     * round is two vocabulary-sized jobs (pair aggregate → 1-row
     * collect, the k-means-round precedent) plus a map-only fold that
     * rewrites symbol arrays; the corpus is touched exactly once, by
     * [[wordVocab]]. The per-round driver state is ONE pair. */
-  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               endOfWord: Boolean = false): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1 && nMerges <= 1000,
       s"nMerges out of range 1..1000: $nMerges")
     // split at positions that are neither start nor end: "(?!^)" alone
@@ -492,9 +504,10 @@ object TextOps {
     // Spark's limit=-1 split, appending a trailing "" symbol whose
     // (lastChar, "") pairs can outnumber every real pair (caught by
     // BpeSoakMain: 2M base-26 words elected '0'+'' as merge 1)
-    var vocab = wordVocab(df, textCol)
-      .select(col("freq"),
-        split(col("word"), "(?!^)(?!$)").as("syms"))
+    val chars = split(col("word"), "(?!^)(?!$)")
+    val syms = if (endOfWord) concat(chars, array(lit(EowMarker))) else chars
+    var vocab = wordVocab(df, textCol, minLen = if (endOfWord) 1 else 2)
+      .select(col("freq"), syms.as("syms"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
@@ -542,6 +555,11 @@ object TextOps {
     } finally vocab.unpersist()
   }
 
+  /** Sennrich end-of-word marker symbol (arXiv:1508.07909 §3.2),
+    * appended per word when `endOfWord = true` in [[bpeTrain]] /
+    * [[bpeEncode]]. */
+  val EowMarker: String = "</w>"
+
   /** Greedy left-to-right non-overlapping replacement of one merge pair
     * — the JVM twin of the trainer's HOF fold, shared by [[bpeEncode]]. */
   private[pipeline] def mergeSymbols(syms: List[String], l: String,
@@ -561,11 +579,32 @@ object TextOps {
     * executors in the closure and encoding is MAP-ONLY — no join, no
     * shuffle, no state. Words never seen in training still encode
     * (char-per-symbol, merges simply don't fire), so the operator is
-    * total. No SQL oracle is possible — the merge table is
-    * data-dependent — so the contract is spec-pinned against the same
-    * independent JVM reference as the trainer. */
+    * total; null text encodes to 0 tokens. `endOfWord` must match the
+    * trainer's setting — with it on, each word carries the
+    * [[EowMarker]] symbol, which counts as a symbol unless a trained
+    * merge absorbs it (the trainer's own symbol model).
+    *
+    * LOUD id contract: `idCol` must already be an integral column —
+    * the typed row requires a long, and a silent cast would quietly
+    * truncate decimals or null-out strings. Hash or cast non-integral
+    * ids explicitly upstream (e.g. `xxhash64`, the hash-based
+    * samplers' discipline).
+    *
+    * A DuckDB oracle IS possible when the merge table is pinned — the
+    * registry's `q_bpe_encode` carries one (greedy fold ≡ non-
+    * overlapping left-to-right string replace over a delimiter-framed
+    * symbol string); with a DATA-DEPENDENT trained table the contract
+    * is spec-pinned against the same independent JVM reference as the
+    * trainer. */
   def bpeEncode(df: DataFrame, textCol: String, idCol: String,
-                merges: Seq[(Int, String, String, Long)]): DataFrame = {
+                merges: Seq[(Int, String, String, Long)],
+                endOfWord: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    require(Seq[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(idType),
+      s"bpeEncode requires an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — hash or cast ids explicitly upstream")
     val ms = merges.sortBy(_._1).map(m => (m._2, m._3)).toArray
     val spark = df.sparkSession
     import spark.implicits._
@@ -573,8 +612,9 @@ object TextOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         var n = 0L
-        text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+        if (text != null) text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
           var syms = w.map(_.toString).toList
+          if (endOfWord) syms = syms :+ EowMarker
           ms.foreach { case (l, r) => syms = mergeSymbols(syms, l, r) }
           n += syms.length
         }

@@ -68,6 +68,7 @@ object TextQueries {
     GraftQuery("q_snapshot_diff", snapshotDiffQ, Some(snapshotDiffSql)),
     GraftQuery("q_snapshot_merge", snapshotMergeQ, Some(snapshotMergeSql)),
     GraftQuery("q_bpe_pairs", bpePairsQ, Some(bpePairsSql)),
+    GraftQuery("q_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1471,4 +1472,50 @@ object TextQueries {
        |SELECT doc_id, source, ${TextOps.fingerprintSql("text")} AS fingerprint,
        |  CAST(length(text) AS BIGINT) AS n_chars_live
        |FROM n""".stripMargin
+
+  /** PINNED tokenizer for the oracle-checked encode row: a fixed merge
+    * table (two chained merge ladders over the corpus's hot words
+    * "query" and "table") baked as literals, so the data-dependent
+    * trainer is out of the loop and the encode fold itself carries an
+    * exact DuckDB oracle. Counts are irrelevant to encoding (only
+    * rank order and the pair matter). */
+  private val PINNED_MERGES: Seq[(Int, String, String, Long)] = Seq(
+    (1, "q", "u", 0L), (2, "qu", "e", 0L), (3, "que", "r", 0L),
+    (4, "quer", "y", 0L), (5, "t", "a", 0L), (6, "ta", "b", 0L),
+    (7, "tab", "l", 0L), (8, "tabl", "e", 0L))
+
+  /** Per-doc BPE token counts under the [[PINNED_MERGES]] tokenizer —
+    * the budget counter a data mixture actually uses, oracle-checked
+    * end to end (the spec-pinned trained-table path shares the same
+    * fold). */
+  def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.bpeEncode(docs(spark, sfDir), "text", "doc_id", PINNED_MERGES)
+
+  /** The oracle frames each word's symbol list as a delimiter string
+    * `|s1||s2|…|sN|` and applies each pinned merge in rank order as a
+    * plain `replace('|l||r|' → '|lr|')`: non-overlapping left-to-right
+    * replacement over the framed string is EXACTLY the engine's greedy
+    * fold (both consume the matched region and continue after it, and
+    * the full `|…|` framing makes partial-symbol matches impossible).
+    * Tokens never contain '|' or spaces by construction of the
+    * whitespace tokenizer. The SQL is GENERATED from [[PINNED_MERGES]]
+    * so the two sides cannot drift. */
+  def bpeEncodeSql: String = {
+    val framed = "'|' || array_to_string(" +
+      "list_transform(range(1, len(word) + 1), i -> word[i]), '||') || '|'"
+    val folded = PINNED_MERGES.sortBy(_._1).foldLeft(framed) {
+      case (acc, (_, l, r, _)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id, len(string_split($folded, '||')) AS n_syms FROM w
+       |), per_doc AS (
+       |  SELECT doc_id, sum(n_syms) AS n FROM enc GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+  }
 }

@@ -140,4 +140,75 @@ class BpeSpec extends AnyFunSuite {
     // round 2: (aa,aa) = 2, (aa,a) = 1 -> (aa,aa)
     assert(got(1) == ((2, "aa", "aa", 2L)))
   }
+
+  // ---- end-of-word marker mode ------------------------------------------
+
+  private def jvmBpeEow(words: Map[String, Long],
+                        nMerges: Int): Seq[(Int, String, String, Long)] = {
+    // Sennrich exactly: every word (length >= 1) symbolizes to its
+    // chars plus the </w> marker
+    var vocab = words
+      .map { case (w, f) =>
+        (w.map(_.toString).toList :+ TextOps.EowMarker, f) }.toList
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for {
+        (syms, f) <- vocab
+        pair <- syms.sliding(2) if pair.length == 2
+      } counts((pair.head, pair(1))) =
+        counts.getOrElse((pair.head, pair(1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out += ((rank, l, r, n))
+        vocab = vocab.map { case (syms, f) => (jvmMerge(syms, l, r), f) }
+      }
+    }
+    out.toSeq
+  }
+
+  test("endOfWord mode matches the Sennrich-exact JVM reference, " +
+    "including 1-char words") {
+    // "a" alone would be dropped without the marker; with it, (a, </w>)
+    // is a real pair and the marker merges into word-final tokens
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "a" -> 4L)
+    val df = words.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(df, "text", nMerges = 8, endOfWord = true)
+    val expected = jvmBpeEow(words, nMerges = 8)
+    assert(got == expected)
+    // the marker participates: some merge's right side carries </w>
+    assert(got.exists(m => m._3.endsWith(TextOps.EowMarker)))
+    // and encode under the same flag matches a by-hand fold
+    val probe = Seq((1L, "low a"), (2L, "zq")).toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(probe, "text", "doc_id", got,
+        endOfWord = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def encOne(w: String): Long = {
+      var syms = w.map(_.toString).toList :+ TextOps.EowMarker
+      got.sortBy(_._1).foreach { case (_, l, r, _) =>
+        syms = jvmMerge(syms, l, r) }
+      syms.length.toLong
+    }
+    assert(enc == Map(1L -> (encOne("low") + encOne("a")),
+      2L -> encOne("zq")))
+  }
+
+  test("bpeEncode refuses non-integral id columns loudly; null text " +
+    "encodes to zero tokens") {
+    val bad = Seq(("d1", "some text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeEncode(bad, "text", "doc_id", Seq.empty)
+    }
+    assert(e.getMessage.contains("integral id column"))
+    assert(e.getMessage.contains("string"))
+    val withNull = Seq((1L, "ab cd"), (2L, null))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(withNull, "text", "doc_id", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 0L))
+  }
 }
