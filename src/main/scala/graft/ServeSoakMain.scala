@@ -128,7 +128,7 @@ object ServeSoakMain {
     val (_, tCompact) = time("compact codes tree") {
       SimilarityOps.compactIvfPqIndex(spark, ivfPath)
     }
-    val (_, cFiles, _) = dirTotals(s"$ivfPath/codes")
+    val (_, cFiles, cBytes) = dirTotals(s"$ivfPath/codes")
     val (probedC, tProbeC) = time("probe after compaction") {
       val r = SimilarityOps.probeIvfPqIndex(spark, ivfPath, queries,
         "vec_id", "embedding", k = 10, nProbes = 2)
@@ -138,6 +138,49 @@ object ServeSoakMain {
       s"compaction changed probe row count: ${probedA._2} -> ${probedC._2}")
     println(f"  cycle: files $ivfFiles%,d -> $aFiles%,d after append -> " +
       f"$cFiles%,d after compaction; probe $tProbeA%.2f s -> $tProbeC%.2f s")
+
+    // ---- 1d. streaming ANN serving: rate-limited query stream -------------
+    // the end-to-end serving claim measured through the STREAMING entry
+    // point (PipelineStreams.annProbeStream): each micro-batch's cell
+    // union becomes a literal partition filter on the codes scan, so
+    // every batch should scan ~(distinct probed cells)/cells of the
+    // index, same arithmetic as the batch probe — recorded per batch
+    // from the probe plan's own scan metrics.
+    val batchStats =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, Long, Long, Long, Double)]())
+    val qStream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 4).load()
+      .select(col("value").as("id")) // embed() mixes over an `id` column
+      .select((col("id") + 3 * nVecs).as("vec_id"),
+        embed(4).as("embedding"))
+    val (sq, _) = time("start streaming ANN probe (4 queries/s, k=10, nProbes=2)") {
+      graft.streaming.PipelineStreams.annProbeStream(qStream, ivfPath,
+        "vec_id", "embedding", k = 10, nProbes = 2) { (r, bid) =>
+        val t0 = System.nanoTime()
+        val n = r.queryExecution.toRdd.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (bf, bb) = scannedUnder(r, "codes")
+        batchStats.add((bid, n, bf, bb, secs))
+      }
+    }
+    val streamT0 = System.nanoTime()
+    while (batchStats.size < 5 && (System.nanoTime() - streamT0) / 1e9 < 120)
+      Thread.sleep(250)
+    sq.stop()
+    require(batchStats.size >= 5,
+      s"streaming soak produced only ${batchStats.size} non-empty batches in 120 s")
+    import scala.jdk.CollectionConverters._
+    val stats = batchStats.asScala.toVector.sortBy(_._1)
+    stats.foreach { case (bid, n, bf, bb, secs) =>
+      println(f"  stream batch $bid%3d: $n%4d rows in $secs%5.2f s; scanned " +
+        f"$bf%,d/$cFiles%,d files, ${bb / 1e6}%.2f/${cBytes / 1e6}%.1f MB = " +
+        f"${100.0 * bb / cBytes}%.2f%%")
+    }
+    val maxPrune = stats.map(s => 100.0 * s._4 / cBytes).max
+    val medBatch = stats.map(_._5).sorted.apply(stats.size / 2)
+    println(f"  stream: ${stats.size} batches, median probe $medBatch%.2f s, " +
+      f"worst byte-prune $maxPrune%.2f%%")
 
     // ---- 1c. SemDeDup under adversarial cluster skew ----------------------
     // 90% of the corpus is ONE tight cluster (base direction + small
@@ -156,6 +199,16 @@ object ServeSoakMain {
     val sCents = SimilarityOps.kmeansCentroids(
       skewed.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
       k = 16, iters = 1)
+    // warmup at 2% scale: the first semanticDedup run in a JVM pays
+    // ~30 s of JIT on the DECIMAL(38,0) verdict arithmetic (measured
+    // 50.8 s -> 18.8 s first-vs-second run at 1M); the timed pair
+    // below should measure the operator, not the JIT — the same
+    // steady-state discipline as Bench's warmup pass.
+    time("semanticDedup warmup (2% slice)") {
+      SimilarityOps.semanticDedup(
+        skewed.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        sCents, 950).filter(col("is_dup")).count()
+    }
     val (skewDups, tSkew) = time(f"semanticDedup: $nVecs%,d vectors, 90%% one cluster") {
       SimilarityOps.semanticDedup(skewed, "vec_id", "embedding", sCents, 950)
         .filter(col("is_dup")).count()
