@@ -426,6 +426,76 @@ object TextOps {
           col("n_shingles").cast("double")).as("common_frac"))
   }
 
+  /** Cross-document repeated-span masking — the exact substring-level
+    * dedup pass (Lee et al., arXiv:2107.06499, "Deduplicating Training
+    * Data Makes Language Models Better", word-k-gram variant): any
+    * k-token span whose occurrence count across the corpus reaches
+    * `minFreq` is a repeated span, and every token covered by at least
+    * one such span is replaced with `marker`. Returns
+    * (id, n_tokens, n_masked, masked_text); token arithmetic follows
+    * `split(text, ' ')` exactly (empty text is one empty token), so
+    * masked_text round-trips through the same tokenizer.
+    *
+    * Scale shape — everything is linear in corpus tokens, no
+    * quadratic anywhere:
+    *  1. one codegen'd pass per doc for positional span hashes
+    *     (TokenShingleHash; no span strings materialized), one
+    *     partial-aggregated shuffle for corpus span counts;
+    *  2. hot-span starts come from an equi-join of span rows against
+    *     the (usually tiny) hot-hash set — AQE broadcasts it when
+    *     small;
+    *  3. docs with NO hot span — the overwhelming majority of a real
+    *     corpus — take a map-only bypass (anti-join on the touched-id
+    *     set): their text is never exploded, shuffled, or rebuilt;
+    *  4. only touched docs pay the token-level work: hot starts expand
+    *     to ≤ k·starts covered positions (distinct), token rows
+    *     left-join them on (id, pos), and one groupBy reassembles the
+    *     masked text in position order. Both token-level shuffles are
+    *     proportional to TOUCHED docs' tokens, not the corpus. */
+  def maskRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, minFreq: Long,
+                        marker: String = "<DUP>"): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    require(minFreq >= 2, s"minFreq must be >= 2 (1 would mask everything), got $minFreq")
+    val clash = df.columns.filter(_.startsWith("__ms_"))
+    require(clash.isEmpty, s"input already has reserved columns: ${clash.toSet}")
+    val sh = df.select(col(idCol),
+      posexplode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), k))
+        .as(Seq("__ms_start", "__ms_sh")))
+    val hot = sh.groupBy(col("__ms_sh"))
+      .agg(count(lit(1)).as("__ms_n"))
+      .filter(col("__ms_n") >= minFreq)
+      .select(col("__ms_sh"))
+    val hotStarts = sh.join(hot, Seq("__ms_sh"))
+      .select(col(idCol), col("__ms_start"))
+    val touchedIds = hotStarts.select(col(idCol)).distinct()
+    val untouched = df.join(touchedIds, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        lit(0L).as("n_masked"),
+        col(textCol).as("masked_text"))
+    val covered = hotStarts.select(col(idCol),
+        explode(sequence(col("__ms_start"), col("__ms_start") + lit(k - 1)))
+          .as("__ms_pos"))
+      .distinct()
+    val tokRows = df.join(touchedIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__ms_pos", "__ms_tok")))
+    val masked = tokRows
+      .join(covered.withColumn("__ms_hit", lit(true)),
+        Seq(idCol, "__ms_pos"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__ms_hit"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ms_pos").as("p"),
+            when(col("__ms_hit"), marker).otherwise(col("__ms_tok")).as("t")))),
+          s => s.getField("t")), " ").as("masked_text"))
+    untouched.unionByName(
+      masked.select(col(idCol), col("n_tokens"), col("n_masked"),
+        col("masked_text")))
+  }
+
   /** PII redaction: replace email-shaped and long-digit-run tokens with
     * placeholder tags. Deliberately simple character classes — the same
     * pattern semantics in Java regex (Spark) and RE2 (DuckDB), so the

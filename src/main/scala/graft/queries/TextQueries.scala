@@ -69,6 +69,7 @@ object TextQueries {
     GraftQuery("q_snapshot_merge", snapshotMergeQ, Some(snapshotMergeSql)),
     GraftQuery("q_bpe_pairs", bpePairsQ, Some(bpePairsSql)),
     GraftQuery("q_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
+    GraftQuery("q_mask_spans", maskSpansQ, Some(maskSpansSql), bench = true),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1517,5 +1518,46 @@ object TextQueries {
        |)
        |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
+  private val SPAN_K = 8
+  private val SPAN_MIN_FREQ = 2L
+
+  /** Exact substring-level dedup: mask every token covered by a word
+    * 8-gram that occurs at least twice anywhere in the corpus (the
+    * testdata's repeated boilerplate phrases). */
+  def maskSpansQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.maskRepeatedSpans(docs(spark, sfDir), "text", "doc_id",
+      SPAN_K, SPAN_MIN_FREQ)
+
+  def maskSpansSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val comb = graft.functions.TokenShingleHash.combineSql("th", SPAN_K)
+    s"""WITH tht AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), t -> $ph) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $comb AS hs FROM tht
+       |), st AS (
+       |  SELECT doc_id, i - 1 AS start, hs[CAST(i AS INTEGER)] AS h
+       |  FROM sh, unnest(range(1, len(hs) + 1)) AS u(i)
+       |), hot AS (
+       |  SELECT h FROM st GROUP BY h HAVING count(*) >= $SPAN_MIN_FREQ
+       |), cov AS (
+       |  SELECT DISTINCT st.doc_id, p
+       |  FROM st JOIN hot USING (h), unnest(range(st.start, st.start + $SPAN_K)) AS c(p)
+       |), cl AS (
+       |  SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(len(cl.ps), 0) AS BIGINT) AS n_masked,
+       |  CASE WHEN cl.doc_id IS NULL THEN d.text
+       |  ELSE array_to_string(list_transform(
+       |    range(1, len(string_split(d.text, ' ')) + 1),
+       |    i -> CASE WHEN list_contains(cl.ps, i - 1) THEN '<DUP>'
+       |         ELSE string_split(d.text, ' ')[CAST(i AS INTEGER)] END), ' ')
+       |  END AS masked_text
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
   }
 }

@@ -225,6 +225,46 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(stored.map(_._1) == Set(1L)) // and both flag exactly doc 1
   }
 
+  test("maskRepeatedSpans: masks every token of each hot k-gram, " +
+    "untouched docs pass through byte-identical") {
+    val df = Seq(
+      (1L, "a b c x y"), // "a b c" also in doc 2 -> hot
+      (2L, "p q a b c"),
+      (3L, "u v w x y"), // no cross-doc 3-gram -> untouched bypass
+      (4L, ""))          // < k tokens -> no spans at all
+      .toDF("doc_id", "text")
+    val out = TextOps.maskRepeatedSpans(df, "text", "doc_id", 3, 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((5L, 3L, "<DUP> <DUP> <DUP> x y")))
+    assert(out(2L) == ((5L, 3L, "p q <DUP> <DUP> <DUP>")))
+    assert(out(3L) == ((5L, 0L, "u v w x y")))
+    assert(out(4L) == ((1L, 0L, ""))) // empty text = one empty token
+  }
+
+  test("maskRepeatedSpans: within-doc repetition counts toward minFreq, " +
+    "overlapping spans union their coverage") {
+    val df = Seq(
+      (1L, "s t u v s t u v"), // "s t u" and "t u v" each occur twice
+      (2L, "m n o"))
+      .toDF("doc_id", "text")
+    val out = TextOps.maskRepeatedSpans(df, "text", "doc_id", 3, 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // coverage: starts {0,4} + {1,5}, k=3 -> positions 0..3 ∪ 4..7 = all
+    assert(out(1L) == ((8L, 8L,
+      "<DUP> <DUP> <DUP> <DUP> <DUP> <DUP> <DUP> <DUP>")))
+    assert(out(2L) == ((3L, 0L, "m n o")))
+    // reserved-column guard, same discipline as snapshotDiff
+    val clash = df.withColumn("__ms_pos", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.maskRepeatedSpans(clash, "text", "doc_id", 3, 2L)
+    }
+    assert(e.getMessage.contains("reserved columns"))
+  }
+
   test("topKVocabByGroup: per-group ranks, ties lexicographic, k bound") {
     val docs = Seq(
       ("s1", "a a a b b c"),
