@@ -128,6 +128,66 @@ object PipelineStreams {
       .dropDuplicatesWithinWatermark("new_id", "old_id")
   }
 
+  /** Streaming near-dup screen against a PERSISTED
+    * [[graft.pipeline.DedupOps.writeMinhashIndex]] artifact — the
+    * continuous twin of `nearDupAgainstStoredIndex`, completing the
+    * daily-crawl serving story at ingest time. Everything index-sided
+    * comes from storage, fixed at stream construction: geometry from
+    * `meta` (the probe cannot mismatch the build), the Bloom bitmap
+    * built ONCE from the stored distinct band keys (it rides into
+    * generated code as a literal `long[]` — each arriving doc's band
+    * keys are prescreened MAP-ONLY, so the stream-static join touches
+    * only rows that might collide), the hot-band cap anti-join from
+    * the stored frequencies, and the join side derived map-only from
+    * the stored signatures. No false negatives (the bloom only skips
+    * keys provably absent; the join re-verifies every positive), so
+    * flags match the batch screen exactly — pinned by
+    * PipelineStreamsSpec. Stream-side state is only the pair-dedup
+    * watermark horizon, as in [[nearDupIndexFlagsStream]]. */
+  def nearDupStoredIndexFlagsStream(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, df: DataFrame,
+                                    textCol: String, idCol: String,
+                                    eventTimeCol: String, delay: String,
+                                    minAgreeFrac: Double = 0.5,
+                                    maxBandFreq: Int = DedupOps.DefaultMaxBandFreq,
+                                    bloomBits: Int = 1 << 20,
+                                    bloomHashes: Int = 4): DataFrame = {
+    import graft.functions.BloomFilter
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val rowsPerBand = numHashes / bands
+    val keyCounts = spark.read.parquet(s"$path/bandkeys")
+    def bloomKey(i: Column, h: Column): Column = xxhash64(i, h)
+    val bits = BloomFilter.build(
+      keyCounts.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
+      "__bk", bloomBits, bloomHashes)
+    val hot = keyCounts.filter(col("freq") > maxBandFreq)
+      .select(col("band_idx"), col("band_hash"))
+    val iBands = spark.read.parquet(s"$path/signatures")
+      .select(col("id").as("old_id"), col("sig").as("old_sig"))
+      .select(col("old_id"), col("old_sig"),
+        posexplode(DedupOps.lshBandKeys(col("old_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+      .join(hot, Seq("band_idx", "band_hash"), "left_anti")
+    val sig = DedupOps.minhashSignature(col(textCol), shingleK, numHashes)
+    val bBands = df.filter(DedupOps.hasShingles(textCol, shingleK))
+      .select(col(idCol).as("new_id"), col(eventTimeCol), sig.as("__ns_sig"))
+      .select(col("new_id"), col(eventTimeCol), col("__ns_sig"),
+        posexplode(DedupOps.lshBandKeys(col("__ns_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+      .filter(BloomFilter.mightContainCol(
+        bloomKey(col("band_idx"), col("band_hash")), bits, bloomHashes, bloomBits))
+    bBands.join(iBands, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("old_id"), col(eventTimeCol),
+        size(filter(zip_with(col("__ns_sig"), col("old_sig"),
+          (x, y) => x === y), b => b)).cast("long").as("n_agree"))
+      .filter(col("n_agree").cast("double") / numHashes >= minAgreeFrac)
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("new_id", "old_id")
+  }
+
   /** Streaming decontamination pre-screen against a STATIC benchmark
     * Bloom bitmap — the ingest-time twin of
     * `TextOps.contaminationScreenBloom`'s map side. Emits

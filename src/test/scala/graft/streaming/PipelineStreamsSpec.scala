@@ -255,6 +255,55 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(flaggedBatch == got)
   }
 
+  test("stored-index near-dup stream: bloom-prescreened flags match the " +
+    "batch stored-index screen") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val snapshot = Seq(
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (8L, "w1 w2 w3 w4 w5 w6 w7 different"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_stream").toString
+    graft.pipeline.DedupOps.writeMinhashIndex(snapshot, "text", "doc_id",
+      dir, 3, 12, 4)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.nearDupStoredIndexFlagsStream(spark, dir, sdf,
+      "text", "doc_id", "event_time", "10 seconds", 0.5)
+    val query = out.writeStream.format("memory").queryName("ndstored_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((11L, "w1 w2 w3 w4 w5 w6 w7 w8", ts(10)), // copy of 2
+        (13L, "q1 q2 q3 q4 q5 q6 q7 q8", ts(11)))            // novel
+      query.processAllAvailable()
+      mem.addData((15L, "z1 z2 z3 z4 z5 z6 z7 z8", ts(12)), // copy of 4
+        (17L, "", ts(13)))                                    // empty → unbanded
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("ndstored_stream")
+      .select("new_id", "old_id", "n_agree").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch stored-index screen over the same union of arrivals
+    val batch = Seq((11L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (13L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+      (15L, "z1 z2 z3 z4 z5 z6 z7 z8"), (17L, ""))
+      .toDF("doc_id", "text")
+    val flaggedBatch = graft.pipeline.DedupOps.nearDupAgainstStoredIndex(
+        spark, dir, batch, "text", "doc_id", 0.5)
+      .select(col("new_id"), col("old_id"), col("n_agree")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == flaggedBatch)
+    // exact copies flag their snapshot doc; 11 also flags 8 (the
+    // snapshot's near-copy of 2 — they share 5 of 6 shingles, enough
+    // permutation minima agree), novel 13 and empty 17 flag nothing
+    assert(streamed.map(t => (t._1, t._2)) ==
+      Set((11L, 2L), (11L, 8L), (15L, 4L)))
+    // and the exact copies agree on all 12 permutations
+    assert(streamed.filter(t => t._1 == 11L && t._2 == 2L).head._3 == 12L)
+    assert(streamed.filter(t => t._1 == 15L).head._3 == 12L)
+  }
+
   test("mixture sampling runs unchanged on a stream (stateless map filter)") {
     implicit val sqlCtx = spark.sqlContext
     val rates = Map("web" -> 500, "code" -> 1000)
