@@ -225,23 +225,31 @@ object DedupOps {
         .groupBy(col("band_idx"), col("band_hash"))
         .agg(count(lit(1)).as("__hb_c"))
         .localCheckpoint()
+    // built over the PRE-cap distinct index keys: a superset of the
+    // capped set only adds fpp
+    val bits = graft.functions.BloomFilter.build(
+      keyCounts.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
+      "__bk", bloomBits, bloomHashes)
     screenAgainstSignatures(batch, textCol, idCol, iSigs, keyCounts,
-      shingleK, numHashes, bands, minAgreeFrac, maxBandFreq,
+      bits, shingleK, numHashes, bands, minAgreeFrac, maxBandFreq,
       bloomBits, bloomHashes)
   }
 
   /** The screen shared by the in-memory and persisted index paths:
     * batch text → signatures → band keys (map-only), bloom-prescreened
-    * against the index's distinct-band-key relation `keyCounts`
-    * (band_idx, band_hash, __hb_c), then an equi-join against the
-    * per-doc index band keys derived MAP-ONLY from the (old_id,
-    * old_sig) relation `iSigs`, scored on full-signature agreement.
-    * Both callers pass the SAME relations (one computed, one read from
+    * with the caller-supplied bitmap `bits` (computed over the distinct
+    * index band keys — or LOADED from the stored artifact), then an
+    * equi-join against the per-doc index band keys derived MAP-ONLY
+    * from the (old_id, old_sig) relation `iSigs`, with the hot-band cap
+    * from the distinct-band-key relation `keyCounts` (band_idx,
+    * band_hash, __hb_c), scored on full-signature agreement. Both
+    * callers pass the SAME relations (one computed, one read from
     * storage), so stored-key and recomputed-key screens are identical
     * by construction — pinned by CorpusToolsSpec. */
   private def screenAgainstSignatures(batch: DataFrame, textCol: String,
                                       idCol: String, iSigs: DataFrame,
                                       keyCounts: DataFrame,
+                                      bits: Array[Long],
                                       shingleK: Int, numHashes: Int,
                                       bands: Int, minAgreeFrac: Double,
                                       maxBandFreq: Int, bloomBits: Int,
@@ -266,14 +274,6 @@ object DedupOps {
           .select(col("band_idx"), col("band_hash"))
         iBandsAll.join(hot, Seq("band_idx", "band_hash"), "left_anti")
       }
-    // fold (band_idx, band_hash-string) into one bigint bloom key; both
-    // sides compute it identically, so the bloom cannot lose a true
-    // collision. Built over the PRE-cap distinct index keys: a superset
-    // of the capped set only adds fpp.
-    def bloomKey(idx: Column, hash: Column): Column = xxhash64(idx, hash)
-    val bits = BloomFilter.build(
-      keyCounts.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
-      "__bk", bloomBits, bloomHashes)
     val bScreened = bBands.filter(BloomFilter.mightContainCol(
       bloomKey(col("band_idx"), col("band_hash")), bits, bloomHashes, bloomBits))
     bScreened.join(iBands, Seq("band_idx", "band_hash"))
@@ -285,6 +285,11 @@ object DedupOps {
       .filter(col("agree_frac") >= minAgreeFrac)
   }
 
+  /** The bloom key both screen sides fold a (band_idx, band_hash) pair
+    * into — one bigint, computed identically everywhere, so the bloom
+    * cannot lose a true collision. */
+  private[graft] def bloomKey(idx: Column, hash: Column): Column = xxhash64(idx, hash)
+
   /** Persist a MinHash signature index as an on-disk serving artifact:
     *
     *   - `path/signatures` — (id, sig): [[minhashSigIndex]]'s output,
@@ -292,20 +297,26 @@ object DedupOps {
     *   - `path/bandkeys` — (band_idx, band_hash, freq): the DISTINCT
     *     band-key relation with bucket frequencies, derived from the
     *     stored signatures at BUILD time;
+    *   - `path/bloom` — (word_idx, word): the PRE-BUILT bloom bitmap
+    *     over the distinct band keys (≤ bloomBits/64 longs — 128 KB at
+    *     the default 2^20 bits);
     *   - `path/meta` — one row pinning the geometry (shingle_k,
-    *     num_hashes, bands).
+    *     num_hashes, bands, bloom_bits, bloom_hashes).
     *
-    * [[nearDupAgainstStoredIndex]] then builds its bloom bitmap and
-    * hot-band cap from the STORED key relation and its join side
-    * map-only from the STORED signatures, so the daily-crawl screen is
-    * a pure read: index text is never re-read and the signature kernel
-    * never re-runs at probe time. Same build/probe split as the IVF-PQ
-    * index ([[SimilarityOps.writeIvfPqIndex]]). The band-key derivation
+    * [[nearDupAgainstStoredIndex]] then LOADS the bloom bitmap and
+    * reads the hot-band cap from the stored key relation and its join
+    * side map-only from the STORED signatures, so the daily-crawl
+    * screen is a pure read: index text is never re-read, the signature
+    * kernel never re-runs, and no bitmap-building job runs at probe
+    * time. Same build/probe split as the IVF-PQ index
+    * ([[SimilarityOps.writeIvfPqIndex]]). The band-key derivation
     * reads `path/signatures` BACK rather than reusing the un-persisted
     * plan, so the corpus text pipeline runs exactly once. */
   def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
                         path: String, shingleK: Int = 3,
-                        numHashes: Int = 12, bands: Int = 4): Unit = {
+                        numHashes: Int = 12, bands: Int = 4,
+                        bloomBits: Int = 1 << 20,
+                        bloomHashes: Int = 4): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = df.sparkSession
     val rowsPerBand = numHashes / bands
@@ -318,36 +329,59 @@ object DedupOps {
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("freq"))
       .write.mode("overwrite").parquet(s"$path/bandkeys")
+    val bits = graft.functions.BloomFilter.build(
+      spark.read.parquet(s"$path/bandkeys")
+        .select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
+      "__bk", bloomBits, bloomHashes)
     import spark.implicits._
-    Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
+    bits.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("word_idx", "word")
+      .write.mode("overwrite").parquet(s"$path/bloom")
+    Seq((shingleK, numHashes, bands, bloomBits, bloomHashes))
+      .toDF("shingle_k", "num_hashes", "bands", "bloom_bits", "bloom_hashes")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The stored bloom bitmap of a [[writeMinhashIndex]] artifact, back
+    * in probe shape — bloomBits/64 longs, a scalar-sized collect like
+    * the IVF centroid snapshot. */
+  private[graft] def readStoredBloom(spark: org.apache.spark.sql.SparkSession,
+                              path: String, bloomBits: Int): Array[Long] = {
+    val words = new Array[Long](bloomBits / 64)
+    spark.read.parquet(s"$path/bloom")
+      .select(col("word_idx"), col("word")).collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
   }
 
   /** Incremental NEAR-dup screen against a [[writeMinhashIndex]]
     * artifact — semantics identical to [[nearDupAgainstIndex]] (same
     * core, pinned by spec), but every index-side input comes from
-    * storage: bloom bitmap + hot-band cap from `path/bandkeys`, join
-    * side map-only from `path/signatures`. Geometry (shingleK,
-    * numHashes, bands) comes from `path/meta` — the probe CANNOT
-    * mismatch the build (same pinned-quantizer discipline as the
-    * IVF-PQ probe), which is why those parameters are absent here. */
+    * storage: the PRE-BUILT bloom bitmap from `path/bloom` (a 128 KB
+    * read at the default 2^20 bits — no bitmap-building job at probe
+    * time), hot-band cap from `path/bandkeys`, join side map-only from
+    * `path/signatures`. Geometry AND bloom parameters come from
+    * `path/meta` — the probe CANNOT mismatch the build (same
+    * pinned-quantizer discipline as the IVF-PQ probe), which is why
+    * those parameters are absent here. */
   def nearDupAgainstStoredIndex(spark: org.apache.spark.sql.SparkSession,
                                 path: String, batch: DataFrame,
                                 textCol: String, idCol: String,
                                 minAgreeFrac: Double = 0.5,
-                                maxBandFreq: Int = DefaultMaxBandFreq,
-                                bloomBits: Int = 1 << 20,
-                                bloomHashes: Int = 4): DataFrame = {
+                                maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val shingleK = meta.getAs[Int]("shingle_k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
+    val bloomBits = meta.getAs[Int]("bloom_bits")
+    val bloomHashes = meta.getAs[Int]("bloom_hashes")
     val iSigs = spark.read.parquet(s"$path/signatures")
       .select(col("id").as("old_id"), col("sig").as("old_sig"))
     val keyCounts = spark.read.parquet(s"$path/bandkeys")
       .select(col("band_idx"), col("band_hash"), col("freq").as("__hb_c"))
+    val bits = readStoredBloom(spark, path, bloomBits)
     screenAgainstSignatures(batch, textCol, idCol, iSigs, keyCounts,
-      shingleK, numHashes, bands, minAgreeFrac, maxBandFreq,
+      bits, shingleK, numHashes, bands, minAgreeFrac, maxBandFreq,
       bloomBits, bloomHashes)
   }
 

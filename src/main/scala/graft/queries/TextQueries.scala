@@ -958,7 +958,9 @@ object TextQueries {
     // against it), so the benched steady state measures the probe, not
     // a rebuild of an immutable artifact. The geometry is in the key,
     // and the testdata under sfDir is immutable within a round.
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_" +
+    // v2: the artifact gained the stored bloom bitmap + bloom meta —
+    // the version bump invalidates v1 caches with the old meta schema
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_v2_" +
       s"${K}_${NUM_HASHES}_${BANDS}_${math.abs(sfDir.hashCode)}"
     if (!new java.io.File(s"$dir/meta/_SUCCESS").exists())
       DedupOps.writeMinhashIndex(d.filter(col("doc_id") % 2 === 0),

@@ -132,16 +132,16 @@ object PipelineStreams {
     * [[graft.pipeline.DedupOps.writeMinhashIndex]] artifact — the
     * continuous twin of `nearDupAgainstStoredIndex`, completing the
     * daily-crawl serving story at ingest time. Everything index-sided
-    * comes from storage, fixed at stream construction: geometry from
-    * `meta` (the probe cannot mismatch the build), the Bloom bitmap
-    * built ONCE from the stored distinct band keys (it rides into
-    * generated code as a literal `long[]` — each arriving doc's band
-    * keys are prescreened MAP-ONLY, so the stream-static join touches
-    * only rows that might collide), the hot-band cap anti-join from
-    * the stored frequencies, and the join side derived map-only from
-    * the stored signatures. No false negatives (the bloom only skips
-    * keys provably absent; the join re-verifies every positive), so
-    * flags match the batch screen exactly — pinned by
+    * comes from storage, fixed at stream construction: geometry AND
+    * bloom parameters from `meta` (the probe cannot mismatch the
+    * build), the PRE-BUILT Bloom bitmap loaded from `path/bloom` (it
+    * rides into generated code as a literal `long[]` — each arriving
+    * doc's band keys are prescreened MAP-ONLY, so the stream-static
+    * join touches only rows that might collide), the hot-band cap
+    * anti-join from the stored frequencies, and the join side derived
+    * map-only from the stored signatures. No false negatives (the
+    * bloom only skips keys provably absent; the join re-verifies every
+    * positive), so flags match the batch screen exactly — pinned by
     * PipelineStreamsSpec. Stream-side state is only the pair-dedup
     * watermark horizon, as in [[nearDupIndexFlagsStream]]. */
   def nearDupStoredIndexFlagsStream(spark: org.apache.spark.sql.SparkSession,
@@ -149,20 +149,18 @@ object PipelineStreams {
                                     textCol: String, idCol: String,
                                     eventTimeCol: String, delay: String,
                                     minAgreeFrac: Double = 0.5,
-                                    maxBandFreq: Int = DedupOps.DefaultMaxBandFreq,
-                                    bloomBits: Int = 1 << 20,
-                                    bloomHashes: Int = 4): DataFrame = {
+                                    maxBandFreq: Int = DedupOps.DefaultMaxBandFreq): DataFrame = {
     import graft.functions.BloomFilter
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val shingleK = meta.getAs[Int]("shingle_k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
+    val bloomBits = meta.getAs[Int]("bloom_bits")
+    val bloomHashes = meta.getAs[Int]("bloom_hashes")
     val rowsPerBand = numHashes / bands
     val keyCounts = spark.read.parquet(s"$path/bandkeys")
-    def bloomKey(i: Column, h: Column): Column = xxhash64(i, h)
-    val bits = BloomFilter.build(
-      keyCounts.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
-      "__bk", bloomBits, bloomHashes)
+    def bloomKey(i: Column, h: Column): Column = DedupOps.bloomKey(i, h)
+    val bits = DedupOps.readStoredBloom(spark, path, bloomBits)
     val hot = keyCounts.filter(col("freq") > maxBandFreq)
       .select(col("band_idx"), col("band_hash"))
     val iBands = spark.read.parquet(s"$path/signatures")

@@ -213,6 +213,19 @@ class CorpusToolsSpec extends AnyFunSuite {
     val keyRows = spark.read.parquet(s"$dir/bandkeys")
       .select("band_idx", "band_hash", "freq").collect()
     assert(keyRows.map(_.getLong(2)).sum == 3 * 4) // 3 docs × 4 bands, freqs total
+    // the stored bloom bitmap covers the whole default word range and
+    // matches a fresh build over the stored keys bit for bit
+    assert((meta.getAs[Int]("bloom_bits"), meta.getAs[Int]("bloom_hashes"))
+      == ((1 << 20, 4)))
+    val storedBloom = spark.read.parquet(s"$dir/bloom")
+      .orderBy("word_idx").select("word").collect().map(_.getLong(0))
+    assert(storedBloom.length == (1 << 20) / 64)
+    val rebuilt = graft.functions.BloomFilter.build(
+      spark.read.parquet(s"$dir/bandkeys")
+        .select(org.apache.spark.sql.functions.xxhash64(
+          col("band_idx"), col("band_hash")).as("__bk")),
+      "__bk", 1 << 20, 4)
+    assert(java.util.Arrays.equals(storedBloom, rebuilt))
     // stored path ≡ in-memory path, row for row (geometry from meta only)
     val idx = DedupOps.minhashSigIndex(snapshot, "text", "doc_id", 3, 12)
     val recomputed = DedupOps.nearDupAgainstIndex(batch, idx, "text", "doc_id",
