@@ -426,6 +426,38 @@ object TextOps {
           col("n_shingles").cast("double")).as("common_frac"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): the min shingle hash of every `w`-window of
+    * consecutive k-shingle hashes, deduplicated per doc — the robust
+    * LOCAL fingerprint set behind MOSS-style overlap detection. The
+    * winnowing guarantee: two documents sharing any run of at least
+    * w + k − 1 tokens share at least one fingerprint, while the
+    * selected set is ~2/(w+1) of all shingles — the density/recall
+    * trade a full-doc rolling hash (TextOps.fingerprint) cannot make.
+    * Documents with fewer than w shingles contribute their single
+    * global min (the standard short-document degenerate case); empty
+    * or null text contributes nothing.
+    *
+    * MAP-ONLY: one codegen'd shingle-hash pass per doc plus HOF
+    * window minima (O(shingles·w) per doc, w small); no shuffle — the
+    * output (id, fingerprint) relation is the joinable/indexable
+    * artifact, and feeding it to [[DedupOps.sourceOverlapByKey]] or a
+    * band join stays the consumer's choice. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         shingleK: Int = 3, window: Int = 4): DataFrame = {
+    require(window >= 1, s"winnow window must be >= 1, got $window")
+    val hs = coalesce(
+      graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK),
+      array().cast("array<bigint>"))
+    val fps = when(size(hs) === 0, array().cast("array<bigint>"))
+      .when(size(hs) < window, array(array_min(hs)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(hs) - lit(window)),
+        i => array_min(slice(hs, i + 1, lit(window))))))
+    df.select(col(idCol), explode(fps).as("fingerprint"))
+  }
+
   /** Cross-document repeated-span masking — the exact substring-level
     * dedup pass (Lee et al., arXiv:2107.06499, "Deduplicating Training
     * Data Makes Language Models Better", word-k-gram variant): any

@@ -70,6 +70,7 @@ object TextQueries {
     GraftQuery("q_bpe_pairs", bpePairsQ, Some(bpePairsSql)),
     GraftQuery("q_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
     GraftQuery("q_mask_spans", maskSpansQ, Some(maskSpansSql), bench = true),
+    GraftQuery("q_winnow", winnowQ, Some(winnowSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1524,6 +1525,32 @@ object TextQueries {
 
   private val SPAN_K = 8
   private val SPAN_MIN_FREQ = 2L
+  private val WINNOW_W = 4
+
+  /** Winnowing fingerprint relation (k=3 shingles, window 4): any two
+    * docs sharing a 6-token run share a fingerprint. */
+  def winnowQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.winnowFingerprints(docs(spark, sfDir), "text", "doc_id",
+      K, WINNOW_W)
+
+  def winnowSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val comb = graft.functions.TokenShingleHash.combineSql("th", K)
+    s"""WITH tht AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), t -> $ph) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $comb AS hs FROM tht
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) < $WINNOW_W THEN [list_min(hs)]
+       |    ELSE list_distinct(list_transform(
+       |      range(1, len(hs) - $WINNOW_W + 2),
+       |      i -> list_min(hs[i:i+${WINNOW_W - 1}]))) END AS fps
+       |  FROM sh WHERE len(hs) > 0
+       |)
+       |SELECT doc_id, unnest(fps) AS fingerprint FROM fp""".stripMargin
+  }
 
   /** Exact substring-level dedup: mask every token covered by a word
     * 8-gram that occurs at least twice anywhere in the corpus (the

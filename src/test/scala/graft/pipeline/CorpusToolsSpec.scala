@@ -278,6 +278,45 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved columns"))
   }
 
+  test("winnowFingerprints: window minima dedup'd per doc, the shared-run " +
+    "guarantee holds, short docs degrade to a single min") {
+    import graft.functions.StringPolyHash
+    val df = Seq(
+      (1L, "a b c d e f g h"),       // 6 shingles (k=3), 3 windows (w=4)
+      (2L, "x y a b c d e f q r"),   // shares the 6-token run "a b c d e f"
+      (3L, "p q r"),                 // exactly 1 shingle < w -> global min
+      (4L, "s t"),                   // < k tokens -> no shingles -> no rows
+      (5L, ""))                      // empty -> no rows
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowFingerprints(df, "text", "doc_id", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // independent arithmetic: shingle hashes via the same public fold
+    def shingles(text: String): Vector[Long] = {
+      val th = text.split(" ").toVector
+        .map(t => StringPolyHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      if (th.length < 3) Vector.empty
+      else (0 to th.length - 3).toVector
+        .map(i => th.slice(i, i + 3).foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L))
+    }
+    def winnow(text: String): Set[Long] = {
+      val hs = shingles(text)
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < 4) Set(hs.min)
+      else (0 to hs.length - 4).map(i => hs.slice(i, i + 4).min).toSet
+    }
+    assert(got.getOrElse(4L, Set.empty[Long]).isEmpty)
+    assert(got.getOrElse(5L, Set.empty[Long]).isEmpty)
+    assert(got(1L) == winnow("a b c d e f g h"))
+    assert(got(2L) == winnow("x y a b c d e f q r"))
+    assert(got(3L) == winnow("p q r") && got(3L).size == 1)
+    // the winnowing guarantee: a shared w+k-1 = 6-token run -> shared fp
+    assert((got(1L) intersect got(2L)).nonEmpty)
+    // and doc 3 shares nothing with either
+    assert((got(3L) intersect (got(1L) ++ got(2L))).isEmpty)
+  }
+
   test("topKVocabByGroup: per-group ranks, ties lexicographic, k bound") {
     val docs = Seq(
       ("s1", "a a a b b c"),
