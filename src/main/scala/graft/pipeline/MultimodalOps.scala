@@ -291,6 +291,78 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL perceptual average-hash (aHash) over decoded images — the
+    * image near-dup signature: the raster is average-pooled onto an
+    * 8×8 cell grid (cell of pixel (x,y) is ((x·8)/w, (y·8)/h) —
+    * integer division, so both engines agree on boundaries), and a
+    * cell's bit is set iff its gray MEAN exceeds the image's global
+    * gray mean, compared exactly by cross-multiplication
+    * (v_cell·N > G·n_cell — no FP, no rounding; v·N ≤ 765·N² stays
+    * under 2^63 up to ~100-megapixel rasters). gray = r+g+b (a sum,
+    * not a weighted luma — division-free and engine-exact). The 64
+    * bits ship as two bigint halves (ahash_a = cells 0..31 row-major,
+    * ahash_b = 32..63) because a single 2^63 bit overflows DuckDB's
+    * signed shift — and two exact halves group/join identically.
+    * Re-encoded or slightly-retouched copies of an image keep their
+    * hash (per-cell means move negligibly), so groupBy(ahash_a,
+    * ahash_b) is the image analogue of exact text dedup, and a small
+    * Hamming radius over the halves the analogue of SimHash.
+    * Undecodable payloads → decode_ok = false, null hashes. 1:1,
+    * partition-parallel, same row-strided decode economy as
+    * [[decodeImageFeatures]]. */
+  def imageAHash(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("ahash_a", LongType, nullable = true),
+      StructField("ahash_b", LongType, nullable = true)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        val vals: Array[Any] =
+          if (img == null) Array[Any](id, false, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val v = new Array[Long](64)
+            val n = new Array[Long](64)
+            val rowBuf = new Array[Int](w)
+            var g = 0L
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              val cj = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val p = rowBuf(x)
+                val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                val idx = cj * 8 + x * 8 / w
+                v(idx) += gray; n(idx) += 1; g += gray
+                x += 1
+              }
+              y += 1
+            }
+            val npx = w.toLong * h
+            var a = 0L; var b = 0L
+            var i = 0
+            while (i < 64) {
+              val bit = if (n(i) > 0 && v(i) * npx > g * n(i)) 1L else 0L
+              if (i < 32) a |= bit << i else b |= bit << (i - 32)
+              i += 1
+            }
+            Array[Any](id, true, a, b)
+          }
+        new GenericRowWithSchema(vals, outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL resize: decode, nearest-neighbor downscale to fit `maxDim`
     * (deterministic — no interpolation rounding to diverge on), re-encode
     * PNG. Images already within `maxDim` (and undecodable payloads) pass

@@ -16,7 +16,48 @@ object MultimodalQueries {
     GraftQuery("q_media_frames", mediaFrames, Some(mediaFramesSql)),
     GraftQuery("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     GraftQuery("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
+    GraftQuery("q_media_ahash", mediaAHash, Some(mediaAHashSql)),
   )
+
+  /** REAL perceptual hashing round-trip: formula-pixel PNGs through the
+    * JDK encoder, then the real decoder + 8×8 average-hash. The oracle
+    * recomputes every cell sum and the exact cross-multiplied
+    * bit-threshold from the generator formulas in pure integer SQL —
+    * the row matches only if decode AND the pooling/threshold
+    * arithmetic are bit-exact. */
+  def mediaAHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val png = MultimodalOps.encodeSyntheticPng(ids, "doc_id")
+    MultimodalOps.imageAHash(png, "content", "media_id")
+  }
+
+  def mediaAHashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
+      |), px AS (
+      |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+      |), cells AS (
+      |  SELECT media_id, (y * 8) // h * 8 + (x * 8) // w AS idx,
+      |    CAST(sum((media_id * 31 + x * 7 + y * 13) % 256
+      |            + (media_id * 17 + x * 11 + y * 3) % 256
+      |            + (media_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS v,
+      |    count(*) AS n
+      |  FROM px GROUP BY media_id, idx
+      |), tot AS (
+      |  SELECT media_id, sum(v) AS g, sum(n) AS npx FROM cells GROUP BY media_id
+      |), bits AS (
+      |  SELECT c.media_id, c.idx,
+      |    CASE WHEN c.v * t.npx > t.g * c.n THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM cells c JOIN tot t USING (media_id)
+      |)
+      |SELECT media_id, TRUE AS decode_ok,
+      |  CAST(sum(CASE WHEN idx < 32 THEN bit << idx ELSE 0 END) AS BIGINT) AS ahash_a,
+      |  CAST(sum(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_b
+      |FROM bits GROUP BY media_id""".stripMargin
 
   /** REAL decode round-trip: every doc_id becomes a formula-pixel RGB
     * image pushed through the JDK's real PNG ENCODER, then the real

@@ -33,6 +33,61 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash: formula parity, identical payloads collide, uniform image " +
+    "hashes to zero, retouched copy stays close") {
+    def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // two identical gradient payloads, one near-copy (one pixel nudged),
+    // one uniform image, one undecodable payload
+    def grad(x: Int, y: Int): Int = ((x * 3) << 16) | ((y * 5) << 8) | 40
+    val gradBytes = pngBytes(40, 24)(grad)
+    val nearBytes = pngBytes(40, 24)((x, y) =>
+      if (x == 0 && y == 0) grad(x, y) ^ 1 else grad(x, y))
+    val flatBytes = pngBytes(16, 16)((_, _) => 0x123456)
+    val df = Seq(
+      (1L, gradBytes), (2L, gradBytes), (3L, nearBytes),
+      (4L, flatBytes), (5L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val got = MultimodalOps.imageAHash(df, "content", "media_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent arithmetic over the raw formula
+    def jvmAHash(w: Int, h: Int, rgb: (Int, Int) => Int): (Long, Long) = {
+      val v = new Array[Long](64); val n = new Array[Long](64); var g = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = rgb(x, y)
+        val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val idx = y * 8 / h * 8 + x * 8 / w
+        v(idx) += gray; n(idx) += 1; g += gray
+      }
+      val npx = w.toLong * h
+      var a = 0L; var b = 0L
+      for (i <- 0 until 64) {
+        val bit = if (n(i) > 0 && v(i) * npx > g * n(i)) 1L else 0L
+        if (i < 32) a |= bit << i else b |= bit << (i - 32)
+      }
+      (a, b)
+    }
+    val expected = jvmAHash(40, 24, grad)
+    assert((got(1L).getLong(2), got(1L).getLong(3)) == expected)
+    // identical payloads → identical hashes
+    assert((got(2L).getLong(2), got(2L).getLong(3)) ==
+      ((got(1L).getLong(2), got(1L).getLong(3))))
+    // a one-pixel retouch keeps the hash (cell means barely move)
+    assert((got(3L).getLong(2), got(3L).getLong(3)) ==
+      ((got(1L).getLong(2), got(1L).getLong(3))))
+    // uniform image: no cell strictly exceeds the global mean → all zero
+    assert((got(4L).getLong(2), got(4L).getLong(3)) == ((0L, 0L)))
+    // and the gradient is not degenerate
+    assert(got(1L).getLong(2) != 0L || got(1L).getLong(3) != 0L)
+    assert(!got(5L).getBoolean(1) && got(5L).isNullAt(2) && got(5L).isNullAt(3))
+  }
+
   test("real JPEG decode recovers dimensions (lossy - sums not asserted)") {
     // encode a small image as real JPEG via the JDK writer
     val img = new java.awt.image.BufferedImage(
