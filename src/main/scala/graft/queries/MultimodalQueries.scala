@@ -17,7 +17,71 @@ object MultimodalQueries {
     GraftQuery("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     GraftQuery("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
     GraftQuery("q_media_ahash", mediaAHash, Some(mediaAHashSql)),
+    GraftQuery("q_media_dup_groups", mediaDupGroups, Some(mediaDupGroupsSql)),
   )
+
+  /** Image dedup end to end: every doc re-encodes the image of
+    * doc_id % 50, so each distinct image recurs ~n/50 times under
+    * different doc ids; grouping the decoded corpus by perceptual hash
+    * must recover exactly those duplicate classes (count + min-id
+    * representative per class) — the image analogue of
+    * `exactDupGroups`, through the REAL encode→decode→hash pipeline. */
+  def mediaDupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 50).as("img_key"))
+    // hash each DISTINCT image once (the content is a pure function of
+    // the key), then re-attach the per-key doc counts and min-id
+    // representatives — the duplicate classes of the full corpus
+    // without decoding every copy (the batch economy a real image-dedup
+    // pass wants: exact-payload dedup first, perceptual hash per
+    // distinct payload)
+    val hashed = MultimodalOps.imageAHash(
+      MultimodalOps.encodeSyntheticPng(
+        keys.select(col("img_key")).distinct(), "img_key"),
+      "content", "media_id")
+    val perKey = keys.groupBy(col("img_key"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("keep_id"))
+    hashed.join(perKey, hashed("media_id") === perKey("img_key"))
+      .groupBy(col("ahash_a"), col("ahash_b"))
+      .agg(sum(col("n_imgs")).as("n_imgs"), min(col("keep_id")).as("keep_id"))
+  }
+
+  def mediaDupGroupsSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT doc_id % 50 AS media_id,
+      |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
+      |), px AS (
+      |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+      |), cells AS (
+      |  SELECT media_id, (y * 8) // h * 8 + (x * 8) // w AS idx,
+      |    CAST(sum((media_id * 31 + x * 7 + y * 13) % 256
+      |            + (media_id * 17 + x * 11 + y * 3) % 256
+      |            + (media_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS v,
+      |    count(*) AS n
+      |  FROM px GROUP BY media_id, idx
+      |), tot AS (
+      |  SELECT media_id, sum(v) AS g, sum(n) AS npx FROM cells GROUP BY media_id
+      |), bits AS (
+      |  SELECT c.media_id, c.idx,
+      |    CASE WHEN c.v * t.npx > t.g * c.n THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM cells c JOIN tot t USING (media_id)
+      |), hashes AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN idx < 32 THEN bit << idx ELSE 0 END) AS BIGINT) AS ahash_a,
+      |    CAST(sum(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_b
+      |  FROM bits GROUP BY media_id
+      |), per_key AS (
+      |  SELECT doc_id % 50 AS media_id, count(*) AS n_imgs,
+      |    min(doc_id) AS keep_id
+      |  FROM documents GROUP BY doc_id % 50
+      |)
+      |SELECT h.ahash_a, h.ahash_b,
+      |  CAST(sum(p.n_imgs) AS BIGINT) AS n_imgs, min(p.keep_id) AS keep_id
+      |FROM hashes h JOIN per_key p USING (media_id)
+      |GROUP BY h.ahash_a, h.ahash_b""".stripMargin
 
   /** REAL perceptual hashing round-trip: formula-pixel PNGs through the
     * JDK encoder, then the real decoder + 8×8 average-hash. The oracle
