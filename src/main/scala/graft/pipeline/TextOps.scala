@@ -426,6 +426,32 @@ object TextOps {
           col("n_shingles").cast("double")).as("common_frac"))
   }
 
+  /** Hashed bag-of-words features (the "hashing trick", Weinberger et
+    * al. 2009, arXiv:0902.2206): each token lands in bucket
+    * polyHash(token) mod dim, and a document's feature vector is its
+    * per-bucket token counts — emitted as SCALAR rows (id, dim, n)
+    * rather than an array column, ready to assemble into whatever
+    * vector shape a consumer wants. This is the model-free bridge from
+    * raw text into every embedding-space operator in the engine
+    * (k-means cells, ANN, semantic dedup, outlier flags): no trained
+    * model, no vocabulary table, deterministic on both engines.
+    * One explode + one partial-aggregated groupBy — linear, and the
+    * shuffle carries (id, bucket) pairs only. Buckets with no tokens
+    * emit no row (sparse by construction); empty/null text emits
+    * nothing. */
+  def hashedBowFeatures(df: DataFrame, textCol: String, idCol: String,
+                        dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20),
+      s"dim must be in [2, 2^20], got $dim")
+    df.select(col(idCol),
+        explode(tokens(col(textCol))).as("__hb_tok"))
+      .filter(length(col("__hb_tok")) > 0)
+      .groupBy(col(idCol),
+        pmod(graft.functions.StringPolyHash.polyHash(col("__hb_tok")),
+          lit(dim.toLong)).as("dim"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): the min shingle hash of every `w`-window of

@@ -71,6 +71,7 @@ object TextQueries {
     GraftQuery("q_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
     GraftQuery("q_mask_spans", maskSpansQ, Some(maskSpansSql), bench = true),
     GraftQuery("q_winnow", winnowQ, Some(winnowSql)),
+    GraftQuery("q_text_hash_bow", textHashBow, Some(textHashBowSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1532,6 +1533,23 @@ object TextQueries {
   def winnowQ(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.winnowFingerprints(docs(spark, sfDir), "text", "doc_id",
       K, WINNOW_W)
+
+  private val BOW_DIM = 64
+
+  /** Hashed bag-of-words features at dim 64 — the model-free text →
+    * vector bridge (scalar rows, sparse). */
+  def textHashBow(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.hashedBowFeatures(docs(spark, sfDir), "text", "doc_id", BOW_DIM)
+
+  def textHashBowSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("tok")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+       |  FROM documents
+       |)
+       |SELECT doc_id, $ph % $BOW_DIM AS dim, count(*) AS n
+       |FROM t WHERE len(tok) > 0 GROUP BY doc_id, dim""".stripMargin
+  }
 
   def winnowSql: String = {
     val ph = graft.functions.StringPolyHash.polyHashSql("t")

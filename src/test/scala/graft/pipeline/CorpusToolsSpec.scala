@@ -278,6 +278,17 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved columns"))
   }
 
+  test("hashedBowFeatures: per-bucket counts, sparse, empty/null text empty") {
+    import graft.functions.StringPolyHash
+    val df = Seq((1L, "a b a"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.hashedBowFeatures(df, "text", "doc_id", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def bucket(t: String): Long = StringPolyHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)) % 64
+    assert(got == Map((1L, bucket("a")) -> 2L, (1L, bucket("b")) -> 1L))
+  }
+
   test("winnowFingerprints: window minima dedup'd per doc, the shared-run " +
     "guarantee holds, short docs degrade to a single min") {
     import graft.functions.StringPolyHash
