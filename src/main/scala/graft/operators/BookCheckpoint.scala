@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.core.{BookCodec, OrderBook, OrderBookException, Transitions}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Checkpoint / resume for O1 book replays — the serving lifecycle of
+  * the order-book side, mirroring the corpus artifacts' build-once /
+  * consume-daily discipline: [[bookStateSnapshots]] replays a day's
+  * stream and emits ONE row per group holding the final book serialized
+  * with [[graft.core.BookCodec]] (the persistable end-of-day state);
+  * [[resumeTopNLevelsFromPriceUpdates]] continues the NEXT day's replay
+  * from that state without re-reading any history. Resuming from the
+  * day-1 checkpoint over day-2 events is output-identical to replaying
+  * day1+day2 and keeping the day-2 rows (BookCheckpointSpec pins it;
+  * the registry row's oracle IS the full-replay oracle with a seq
+  * filter).
+  *
+  * Scale model matches the replay operators: one group = one book = one
+  * task; the checkpoint relation is one narrow row per group (bounded
+  * by live levels, independent of event count), so the state side of
+  * the resume cogroup is broadcast-small in any real regime. The
+  * stored state pins n — resuming at a different n fails loudly (the
+  * pinned-geometry discipline every persisted artifact here follows).
+  */
+object BookCheckpoint {
+
+  import OrderBookOps.bboFieldNames
+
+  /** Final book state per group after replaying `df` (O1 level-snapshot
+    * transitions) in `orderBy` order: (partition cols..., book_state).
+    * Empty `partitionBy` folds one global book into a single row. */
+  def bookStateSnapshots(df: DataFrame, price: String, qty: String,
+                         isBid: String, n: Int, partitionBy: Seq[String],
+                         orderBy: Seq[String]): DataFrame = {
+    require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
+    require(orderBy.nonEmpty,
+      "orderBy must be non-empty: book replay is order-sensitive")
+    require(!df.columns.contains("book_state"),
+      "Input already has output column book_state")
+    val withEv = castedEvents(df, price, qty, isBid)
+    val numIn = df.schema.size
+    val keySchema = StructType(partitionBy.map(c =>
+      df.schema(df.schema.fieldIndex(c))).toArray)
+    val outSchema = StructType(keySchema.fields :+
+      StructField("book_state", BinaryType, nullable = false))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val sortCols = orderBy.map(col)
+    val width = keySchema.size + 1
+
+    def fold(keyVals: Seq[Any], it: Iterator[Row]): Iterator[Row] = {
+      val book = new OrderBook(n)
+      it.foreach(applyUpdateRow(book, _, numIn, price, qty, isBid))
+      val out = new Array[Any](width)
+      var i = 0
+      while (i < keyVals.length) { out(i) = keyVals(i); i += 1 }
+      out(width - 1) = BookCodec.serialize(book)
+      Iterator.single(new GenericRowWithSchema(out, outSchema): Row)
+    }
+
+    if (partitionBy.isEmpty) {
+      withEv.groupByKey(_ => 0)(Encoders.scalaInt)
+        .flatMapSortedGroups(sortCols: _*)((_, it) => fold(Nil, it))
+    } else {
+      val keyIdx = partitionBy.map(withEv.schema.fieldIndex).toArray
+      withEv.groupByKey(rowKey(keyIdx, keySchema))(Encoders.row(keySchema))
+        .flatMapSortedGroups(sortCols: _*)(
+          (k, it) => fold(k.toSeq, it))
+    }
+  }
+
+  /** Continue an O1 replay from a [[bookStateSnapshots]] relation:
+    * per-group, the book initializes from the stored state (groups
+    * absent from `states` start fresh — a product that first trades
+    * today) and each event row emits the usual top-N columns. The
+    * stored state's n must equal the requested n. `states` must carry
+    * the partition columns plus `book_state`; a group with more than
+    * one state row fails loudly (a keyed checkpoint, not a multiset —
+    * the snapshotDiff discipline). */
+  def resumeTopNLevelsFromPriceUpdates(df: DataFrame, states: DataFrame,
+                                       price: String, qty: String,
+                                       isBid: String, n: Int,
+                                       partitionBy: Seq[String],
+                                       orderBy: Seq[String],
+                                       stateCol: String = "book_state"): DataFrame = {
+    require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
+    require(orderBy.nonEmpty,
+      "orderBy must be non-empty: book replay is order-sensitive")
+    require(partitionBy.nonEmpty,
+      "resume requires partition keys; add a constant key column for a " +
+        "single global book")
+    val clash = df.columns.toSet.intersect(bboFieldNames(n).toSet)
+    require(clash.isEmpty, s"Input already has output columns: $clash")
+
+    val withEv = castedEvents(df, price, qty, isBid)
+    val numIn = df.schema.size
+    val outSchema = StructType(df.schema.fields ++
+      bboFieldNames(n).map(StructField(_, LongType, nullable = true)))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val keySchema = StructType(partitionBy.map(c =>
+      df.schema(df.schema.fieldIndex(c))).toArray)
+    val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+    val evKeyIdx = partitionBy.map(withEv.schema.fieldIndex).toArray
+    val stKeyIdx = partitionBy.map(states.schema.fieldIndex).toArray
+    val stStateIdx = states.schema.fieldIndex(stateCol)
+    val sortCols = orderBy.map(col)
+    val width = numIn + 4 * n
+
+    withEv.groupByKey(rowKey(evKeyIdx, keySchema))(keyEnc)
+      .cogroupSorted(
+        states.groupByKey(rowKey(stKeyIdx, keySchema))(keyEnc))(
+        sortCols: _*)() { (key, evIt, stIt) =>
+        val stateRows = stIt.take(2).toList
+        require(stateRows.size <= 1,
+          s"resume: multiple checkpoint rows for group ${key.toSeq.mkString(",")}")
+        val book = stateRows match {
+          case r :: Nil => BookCodec.deserialize(
+            r.getAs[Array[Byte]](stStateIdx))
+          case _ => new OrderBook(n)
+        }
+        require(book.n == n,
+          s"checkpoint was built at n=${book.n}; resume requested n=$n " +
+            "(the stored state pins n — rebuild the checkpoint to change it)")
+        evIt.map { row =>
+          applyUpdateRow(book, row, numIn, price, qty, isBid)
+          val out = new Array[Any](width)
+          var i = 0
+          while (i < numIn) { out(i) = row.get(i); i += 1 }
+          book.snapshotInto(out, numIn)
+          new GenericRowWithSchema(out, outSchema): Row
+        }
+      }
+  }
+
+  /** Shared event casting: appends __g_price/__g_qty/__g_isbid after the
+    * passthrough columns (read by the folds, never emitted). */
+  private def castedEvents(df: DataFrame, price: String, qty: String,
+                           isBid: String): DataFrame =
+    df.withColumn("__g_price", col(price).cast(LongType))
+      .withColumn("__g_qty", col(qty).cast(LongType))
+      .withColumn("__g_isbid", col(isBid).cast(BooleanType))
+
+  /** One O1 transition with the replay operators' null contract. */
+  private def applyUpdateRow(book: OrderBook, row: Row, numIn: Int,
+                             price: String, qty: String,
+                             isBid: String): Unit = {
+    val iPrice = numIn; val iQty = numIn + 1; val iBid = numIn + 2
+    if (row.isNullAt(iBid)) OrderBookException.missingValue(isBid)
+    if (row.isNullAt(iPrice)) OrderBookException.missingValue(price)
+    if (row.isNullAt(iQty)) OrderBookException.missingValue(qty)
+    Transitions.applyUpdate(book, row.getBoolean(iBid),
+      row.getLong(iPrice), row.getLong(iQty))
+  }
+
+  private def rowKey(keyIdx: Array[Int], keySchema: StructType): Row => Row =
+    r => {
+      val vs = new Array[Any](keyIdx.length)
+      var i = 0
+      while (i < keyIdx.length) { vs(i) = r.get(keyIdx(i)); i += 1 }
+      new GenericRowWithSchema(vs, keySchema): Row
+    }
+}

@@ -53,6 +53,11 @@ object BookQueries {
     // exact in-engine scale → long replay → rescale
     GraftQuery("bbo_decimal_n2", (s, d) => bboDecimalUpdates(s, d, 2),
       Some(decimalUpdatesOracle(2))),
+    // day-boundary checkpoint/resume: resuming day 2 from the persisted
+    // day-1 book state must equal the FULL replay's day-2 rows — so the
+    // oracle is the plain updates oracle with a seq filter
+    GraftQuery("bbo_resume_n2", (s, d) => bboResume(s, d, 2),
+      Some(resumeOracle(2))),
   )
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
@@ -172,6 +177,30 @@ object BookQueries {
   }
 
   private def proj(n: Int) = Seq("product", "seq") ++ OrderBookOps.bboFieldNames(n)
+
+  /** Day-boundary checkpoint/resume (graft.operators.BookCheckpoint):
+    * day 1 (seq < max(seq)/2) folds into one persisted book state per
+    * product; day 2 resumes from it. The split point is computed from
+    * the data identically on both engines (a planning-time max). */
+  def bboResume(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import graft.operators.BookCheckpoint
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)
+    val split = stream.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+    val day1 = stream.filter(col("seq") < split)
+    val day2 = stream.filter(col("seq") >= split)
+    val state = BookCheckpoint.bookStateSnapshots(day1,
+      "price", "qty", "is_bid", n, Seq("product"), Seq("seq"))
+    BookCheckpoint.resumeTopNLevelsFromPriceUpdates(day2, state,
+      "price", "qty", "is_bid", n, Seq("product"), Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  def resumeOracle(n: Int): String =
+    s"""SELECT * FROM (
+       |${updatesOracle(n)}
+       |) WHERE seq >= (SELECT max(seq) // 2 FROM (
+       |${EventStreams.bookStreamSql(qtyZeroEvery5 = true)}
+       |))""".stripMargin
 
   def bboUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = true)

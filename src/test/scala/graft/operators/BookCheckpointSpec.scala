@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint/resume contract: resuming day 2 from the persisted day-1
+  * book state is output-identical to the full replay's day-2 rows; the
+  * stored state pins n; unknown groups start fresh; duplicate
+  * checkpoint rows fail loudly. */
+class BookCheckpointSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic multi-product O1 stream: prices cycle, every 5th qty
+    * is 0 (level removal), seq is the global order. */
+  private def stream(nRows: Int): DataFrame =
+    spark.range(nRows).select(
+      col("id").as("seq"),
+      (col("id") % 3).as("product"),
+      (col("id") % 2 === 0).as("is_bid"),
+      (col("id") * 2654435761L % 23 + 10).as("price"),
+      when(col("id") % 5 === 0, 0L)
+        .otherwise(col("id") * 48271 % 50 + 1).as("qty"))
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("resume from day-1 state == full replay restricted to day 2") {
+    val full = stream(400)
+    val day1 = full.filter(col("seq") < 200)
+    val day2 = full.filter(col("seq") >= 200)
+    val state = BookCheckpoint.bookStateSnapshots(day1,
+      "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    assert(state.count() == 3) // one row per product
+    val resumed = BookCheckpoint.resumeTopNLevelsFromPriceUpdates(day2,
+      state, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val reference = OrderBookOps.topNLevelsFromPriceUpdates(full,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+      .filter(col("seq") >= 200)
+    assert(rows(resumed.orderBy("seq")) == rows(reference.orderBy("seq")))
+  }
+
+  test("a group with no checkpoint row starts from an empty book") {
+    val full = stream(120)
+    // checkpoint built WITHOUT product 2's history
+    val state = BookCheckpoint.bookStateSnapshots(
+      full.filter(col("seq") < 60 && col("product") =!= 2),
+      "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    val day2 = full.filter(col("seq") >= 60)
+    val resumed = BookCheckpoint.resumeTopNLevelsFromPriceUpdates(day2,
+      state, "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    // product 2's rows equal a FRESH replay of only its day-2 events
+    val fresh = OrderBookOps.topNLevelsFromPriceUpdates(
+        day2.filter(col("product") === 2),
+        "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    assert(rows(resumed.filter(col("product") === 2).orderBy("seq"))
+      == rows(fresh.orderBy("seq")))
+    // the checkpointed products still match the spliced reference
+    val reference = OrderBookOps.topNLevelsFromPriceUpdates(
+        full.filter(col("product") =!= 2), "price", "qty", "is_bid", 1,
+        Seq("product"), Seq("seq"))
+      .filter(col("seq") >= 60)
+    assert(rows(resumed.filter(col("product") =!= 2).orderBy("seq"))
+      == rows(reference.orderBy("seq")))
+  }
+
+  test("the stored state pins n: resuming at a different n fails loudly") {
+    val full = stream(60)
+    val state = BookCheckpoint.bookStateSnapshots(
+      full.filter(col("seq") < 30),
+      "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val e = intercept[Exception] {
+      BookCheckpoint.resumeTopNLevelsFromPriceUpdates(
+        full.filter(col("seq") >= 30), state,
+        "price", "qty", "is_bid", 3, Seq("product"), Seq("seq")).collect()
+    }
+    assert(e.getMessage.contains("checkpoint was built at n=2") ||
+      e.getCause != null && e.getCause.getMessage.contains("checkpoint was built at n=2"))
+  }
+
+  test("duplicate checkpoint rows for one group fail loudly") {
+    val full = stream(60)
+    val state = BookCheckpoint.bookStateSnapshots(
+      full.filter(col("seq") < 30),
+      "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    val doubled = state.union(state)
+    val e = intercept[Exception] {
+      BookCheckpoint.resumeTopNLevelsFromPriceUpdates(
+        full.filter(col("seq") >= 30), doubled,
+        "price", "qty", "is_bid", 1, Seq("product"), Seq("seq")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("multiple checkpoint rows")))
+  }
+}
