@@ -319,10 +319,23 @@ object DedupOps {
                         bloomHashes: Int = 4): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = df.sparkSession
-    val rowsPerBand = numHashes / bands
     minhashSigIndex(df, textCol, idCol, shingleK, numHashes)
       .select(col(idCol).as("id"), col("sig"))
       .write.mode("overwrite").parquet(s"$path/signatures")
+    writeDerivedRelations(spark, path, shingleK, numHashes, bands,
+      bloomBits, bloomHashes)
+  }
+
+  /** Rebuild `path/bandkeys`, `path/bloom`, and `path/meta` from the
+    * STORED signatures — shared by build and append. Scans the narrow
+    * (id, sig) relation only (numHashes longs per doc): corpus text is
+    * never touched. Meta is written LAST, so its `_SUCCESS` marker
+    * doubles as the artifact's completeness flag. */
+  private def writeDerivedRelations(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, shingleK: Int,
+                                    numHashes: Int, bands: Int,
+                                    bloomBits: Int, bloomHashes: Int): Unit = {
+    val rowsPerBand = numHashes / bands
     spark.read.parquet(s"$path/signatures")
       .select(posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
@@ -340,6 +353,35 @@ object DedupOps {
     Seq((shingleK, numHashes, bands, bloomBits, bloomHashes))
       .toDF("shingle_k", "num_hashes", "bands", "bloom_bits", "bloom_hashes")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append today's crawl to a [[writeMinhashIndex]] artifact — the
+    * daily maintenance move completing the build/append/probe lifecycle
+    * (the IVF-PQ precedent, [[SimilarityOps.appendIvfPqIndex]]): new
+    * docs are signed against the artifact's PINNED geometry (from
+    * meta — appends cannot drift the hash family), their signatures
+    * append to `path/signatures`, and the derived relations (band-key
+    * frequencies, bloom bitmap) rebuild from the stored signatures —
+    * a narrow linear scan, never a text re-read. Spec-pinned: append ≡
+    * one-shot build over the union, relation for relation and bloom
+    * bit for bit. At a scale where even the narrow rebuild hurts, the
+    * band-key counts are mergeable (sum) and the bloom OR-idempotent,
+    * so a delta-merge variant is a pure optimization with identical
+    * output. */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, df: DataFrame, textCol: String,
+                         idCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val bloomBits = meta.getAs[Int]("bloom_bits")
+    val bloomHashes = meta.getAs[Int]("bloom_hashes")
+    minhashSigIndex(df, textCol, idCol, shingleK, numHashes)
+      .select(col(idCol).as("id"), col("sig"))
+      .write.mode("append").parquet(s"$path/signatures")
+    writeDerivedRelations(spark, path, shingleK, numHashes, bands,
+      bloomBits, bloomHashes)
   }
 
   /** The stored bloom bitmap of a [[writeMinhashIndex]] artifact, back

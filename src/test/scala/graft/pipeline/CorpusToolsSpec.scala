@@ -238,6 +238,36 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(stored.map(_._1) == Set(1L)) // and both flag exactly doc 1
   }
 
+  test("appendMinhashIndex: append == one-shot build, relation for " +
+    "relation and bloom bit for bit; geometry comes from meta") {
+    val day1 = Seq((2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val day2 = Seq((6L, "m1 m2 m3 m4 m5 m6 m7 m8"),
+      (8L, "w1 w2 w3 w4 w5 w6 w7 different")).toDF("doc_id", "text")
+    val appended = java.nio.file.Files.createTempDirectory("graft_mh_app").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_mh_one").toString
+    DedupOps.writeMinhashIndex(day1, "text", "doc_id", appended, 3, 12, 4)
+    DedupOps.appendMinhashIndex(spark, appended, day2, "text", "doc_id")
+    DedupOps.writeMinhashIndex(day1.union(day2), "text", "doc_id",
+      oneShot, 3, 12, 4)
+    def sigs(d: String) = spark.read.parquet(s"$d/signatures")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def keys(d: String) = spark.read.parquet(s"$d/bandkeys")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def bloom(d: String) = spark.read.parquet(s"$d/bloom")
+      .orderBy("word_idx").collect().map(_.getLong(1)).toSeq
+    assert(sigs(appended) == sigs(oneShot) && sigs(appended).size == 4)
+    assert(keys(appended) == keys(oneShot))
+    assert(bloom(appended) == bloom(oneShot))
+    // and a probe over the appended artifact flags against BOTH days
+    val batch = Seq((11L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (13L, "m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text")
+    val flagged = DedupOps.nearDupAgainstStoredIndex(spark, appended,
+        batch, "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.contains((11L, 2L)) && flagged.contains((13L, 6L)))
+  }
+
   test("maskRepeatedSpans: masks every token of each hot k-gram, " +
     "untouched docs pass through byte-identical") {
     val df = Seq(
