@@ -34,7 +34,23 @@ object BookCheckpoint {
     * Empty `partitionBy` folds one global book into a single row. */
   def bookStateSnapshots(df: DataFrame, price: String, qty: String,
                          isBid: String, n: Int, partitionBy: Seq[String],
-                         orderBy: Seq[String]): DataFrame = {
+                         orderBy: Seq[String]): DataFrame =
+    snapshots(df, price, qty, isBid, n, partitionBy, orderBy,
+      mutations = false)
+
+  /** [[bookStateSnapshots]] for the O2 transition (signed quantity
+    * MUTATIONS fold into levels) — the checkpoint for mutation-stream
+    * replays. */
+  def bookStateSnapshotsFromMutations(df: DataFrame, price: String,
+                                      qty: String, isBid: String, n: Int,
+                                      partitionBy: Seq[String],
+                                      orderBy: Seq[String]): DataFrame =
+    snapshots(df, price, qty, isBid, n, partitionBy, orderBy,
+      mutations = true)
+
+  private def snapshots(df: DataFrame, price: String, qty: String,
+                        isBid: String, n: Int, partitionBy: Seq[String],
+                        orderBy: Seq[String], mutations: Boolean): DataFrame = {
     require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
     require(orderBy.nonEmpty,
       "orderBy must be non-empty: book replay is order-sensitive")
@@ -52,7 +68,7 @@ object BookCheckpoint {
 
     def fold(keyVals: Seq[Any], it: Iterator[Row]): Iterator[Row] = {
       val book = new OrderBook(n)
-      it.foreach(applyUpdateRow(book, _, numIn, price, qty, isBid))
+      it.foreach(applyRow(book, _, numIn, price, qty, isBid, mutations))
       val out = new Array[Any](width)
       var i = 0
       while (i < keyVals.length) { out(i) = keyVals(i); i += 1 }
@@ -84,7 +100,27 @@ object BookCheckpoint {
                                        isBid: String, n: Int,
                                        partitionBy: Seq[String],
                                        orderBy: Seq[String],
-                                       stateCol: String = "book_state"): DataFrame = {
+                                       stateCol: String = "book_state"): DataFrame =
+    resume(df, states, price, qty, isBid, n, partitionBy, orderBy,
+      stateCol, mutations = false)
+
+  /** [[resumeTopNLevelsFromPriceUpdates]] for the O2 transition. */
+  def resumeTopNLevelsFromPriceMutations(df: DataFrame, states: DataFrame,
+                                         price: String, qty: String,
+                                         isBid: String, n: Int,
+                                         partitionBy: Seq[String],
+                                         orderBy: Seq[String],
+                                         stateCol: String = "book_state"): DataFrame =
+    resume(df, states, price, qty, isBid, n, partitionBy, orderBy,
+      stateCol, mutations = true)
+
+  private def resume(df: DataFrame, states: DataFrame,
+                     price: String, qty: String,
+                     isBid: String, n: Int,
+                     partitionBy: Seq[String],
+                     orderBy: Seq[String],
+                     stateCol: String,
+                     mutations: Boolean): DataFrame = {
     require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
     require(orderBy.nonEmpty,
       "orderBy must be non-empty: book replay is order-sensitive")
@@ -124,7 +160,7 @@ object BookCheckpoint {
           s"checkpoint was built at n=${book.n}; resume requested n=$n " +
             "(the stored state pins n — rebuild the checkpoint to change it)")
         evIt.map { row =>
-          applyUpdateRow(book, row, numIn, price, qty, isBid)
+          applyRow(book, row, numIn, price, qty, isBid, mutations)
           val out = new Array[Any](width)
           var i = 0
           while (i < numIn) { out(i) = row.get(i); i += 1 }
@@ -142,16 +178,20 @@ object BookCheckpoint {
       .withColumn("__g_qty", col(qty).cast(LongType))
       .withColumn("__g_isbid", col(isBid).cast(BooleanType))
 
-  /** One O1 transition with the replay operators' null contract. */
-  private def applyUpdateRow(book: OrderBook, row: Row, numIn: Int,
-                             price: String, qty: String,
-                             isBid: String): Unit = {
+  /** One O1/O2 transition with the replay operators' null contract. */
+  private def applyRow(book: OrderBook, row: Row, numIn: Int,
+                       price: String, qty: String,
+                       isBid: String, mutations: Boolean): Unit = {
     val iPrice = numIn; val iQty = numIn + 1; val iBid = numIn + 2
     if (row.isNullAt(iBid)) OrderBookException.missingValue(isBid)
     if (row.isNullAt(iPrice)) OrderBookException.missingValue(price)
     if (row.isNullAt(iQty)) OrderBookException.missingValue(qty)
-    Transitions.applyUpdate(book, row.getBoolean(iBid),
-      row.getLong(iPrice), row.getLong(iQty))
+    if (mutations)
+      Transitions.applyMutation(book, row.getBoolean(iBid),
+        row.getLong(iPrice), row.getLong(iQty))
+    else
+      Transitions.applyUpdate(book, row.getBoolean(iBid),
+        row.getLong(iPrice), row.getLong(iQty))
   }
 
   private def rowKey(keyIdx: Array[Int], keySchema: StructType): Row => Row =

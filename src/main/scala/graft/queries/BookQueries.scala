@@ -58,6 +58,10 @@ object BookQueries {
     // oracle is the plain updates oracle with a seq filter
     GraftQuery("bbo_resume_n2", (s, d) => bboResume(s, d, 2),
       Some(resumeOracle(2))),
+    // the same checkpoint/resume law over the O2 (signed-mutation)
+    // transition
+    GraftQuery("bbo_resume_mutations_n2", (s, d) => bboResumeMutations(s, d, 2),
+      Some(resumeMutationsOracle(2))),
   )
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
@@ -200,6 +204,27 @@ object BookQueries {
        |${updatesOracle(n)}
        |) WHERE seq >= (SELECT max(seq) // 2 FROM (
        |${EventStreams.bookStreamSql(qtyZeroEvery5 = true)}
+       |))""".stripMargin
+
+  /** O2 day-boundary checkpoint/resume — same law, mutation fold. */
+  def bboResumeMutations(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import graft.operators.BookCheckpoint
+    val stream = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = false)
+    val split = stream.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+    val day1 = stream.filter(col("seq") < split)
+    val day2 = stream.filter(col("seq") >= split)
+    val state = BookCheckpoint.bookStateSnapshotsFromMutations(day1,
+      "price", "qty", "is_bid", n, Seq("product"), Seq("seq"))
+    BookCheckpoint.resumeTopNLevelsFromPriceMutations(day2, state,
+      "price", "qty", "is_bid", n, Seq("product"), Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  def resumeMutationsOracle(n: Int): String =
+    s"""SELECT * FROM (
+       |${mutationsOracle(n)}
+       |) WHERE seq >= (SELECT max(seq) // 2 FROM (
+       |${EventStreams.bookStreamSql(qtyZeroEvery5 = false)}
        |))""".stripMargin
 
   def bboUpdates(spark: SparkSession, sfDir: String, n: Int): DataFrame = {

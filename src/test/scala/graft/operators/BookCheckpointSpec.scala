@@ -42,6 +42,26 @@ class BookCheckpointSpec extends AnyFunSuite {
     assert(rows(resumed.orderBy("seq")) == rows(reference.orderBy("seq")))
   }
 
+  test("mutations mode: resume from day-1 state == full O2 replay's day 2") {
+    // signed mutations that never over-delete: adds only (all positive)
+    val full = spark.range(300).select(
+      col("id").as("seq"),
+      (col("id") % 3).as("product"),
+      (col("id") % 2 === 0).as("is_bid"),
+      (col("id") * 2654435761L % 23 + 10).as("price"),
+      (col("id") * 48271 % 50 + 1).as("qty"))
+    val day1 = full.filter(col("seq") < 150)
+    val day2 = full.filter(col("seq") >= 150)
+    val state = BookCheckpoint.bookStateSnapshotsFromMutations(day1,
+      "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val resumed = BookCheckpoint.resumeTopNLevelsFromPriceMutations(day2,
+      state, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val reference = OrderBookOps.topNLevelsFromPriceMutations(full,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+      .filter(col("seq") >= 150)
+    assert(rows(resumed.orderBy("seq")) == rows(reference.orderBy("seq")))
+  }
+
   test("a group with no checkpoint row starts from an empty book") {
     val full = stream(120)
     // checkpoint built WITHOUT product 2's history
