@@ -367,7 +367,15 @@ object DedupOps {
     * bit for bit. At a scale where even the narrow rebuild hurts, the
     * band-key counts are mergeable (sum) and the bloom OR-idempotent,
     * so a delta-merge variant is a pure optimization with identical
-    * output. */
+    * output.
+    *
+    * MAINTENANCE-WINDOW operation: the derived relations overwrite in
+    * place, so a probe running CONCURRENTLY with an append can read
+    * appended signatures against a pre-append bloom/cap — internally
+    * consistent with neither snapshot. Single-writer,
+    * no-concurrent-probe is the contract (the daily-crawl cadence);
+    * serving under live maintenance should copy-then-swap the
+    * directory ([[LayoutOps.compactPartitioned]]'s rename pattern). */
   def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, df: DataFrame, textCol: String,
                          idCol: String): Unit = {
