@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Checkpoint / resume for O1 book replays — the serving lifecycle of
+/** Checkpoint / resume for O1/O2/O3 book replays — the serving lifecycle of
   * the order-book side, mirroring the corpus artifacts' build-once /
   * consume-daily discipline: [[bookStateSnapshots]] replays a day's
   * stream and emits ONE row per group holding the final book serialized
@@ -29,14 +29,22 @@ object BookCheckpoint {
 
   import OrderBookOps.bboFieldNames
 
+  /** Which of the three reference entry points (update.rs:95-163) the
+    * fold replays; Modify carries the nullable prev columns. */
+  private sealed trait Mode { def prev: Option[(String, String)] = None }
+  private case object Updates extends Mode
+  private case object Mutations extends Mode
+  private final case class Modify(prevPrice: String, prevQty: String) extends Mode {
+    override def prev: Option[(String, String)] = Some((prevPrice, prevQty))
+  }
+
   /** Final book state per group after replaying `df` (O1 level-snapshot
     * transitions) in `orderBy` order: (partition cols..., book_state).
     * Empty `partitionBy` folds one global book into a single row. */
   def bookStateSnapshots(df: DataFrame, price: String, qty: String,
                          isBid: String, n: Int, partitionBy: Seq[String],
                          orderBy: Seq[String]): DataFrame =
-    snapshots(df, price, qty, isBid, n, partitionBy, orderBy,
-      mutations = false)
+    snapshots(df, price, qty, isBid, n, partitionBy, orderBy, Updates)
 
   /** [[bookStateSnapshots]] for the O2 transition (signed quantity
     * MUTATIONS fold into levels) — the checkpoint for mutation-stream
@@ -45,18 +53,27 @@ object BookCheckpoint {
                                       qty: String, isBid: String, n: Int,
                                       partitionBy: Seq[String],
                                       orderBy: Seq[String]): DataFrame =
+    snapshots(df, price, qty, isBid, n, partitionBy, orderBy, Mutations)
+
+  /** [[bookStateSnapshots]] for the O3 transition (mutation-with-modify,
+    * the reference's 9-case table at update.rs:132-161) — completes the
+    * checkpoint lifecycle for all three public entry points. */
+  def bookStateSnapshotsFromMutationsWithModify(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      prevPrice: String, prevQty: String, n: Int,
+      partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
     snapshots(df, price, qty, isBid, n, partitionBy, orderBy,
-      mutations = true)
+      Modify(prevPrice, prevQty))
 
   private def snapshots(df: DataFrame, price: String, qty: String,
                         isBid: String, n: Int, partitionBy: Seq[String],
-                        orderBy: Seq[String], mutations: Boolean): DataFrame = {
+                        orderBy: Seq[String], mode: Mode): DataFrame = {
     require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
     require(orderBy.nonEmpty,
       "orderBy must be non-empty: book replay is order-sensitive")
     require(!df.columns.contains("book_state"),
       "Input already has output column book_state")
-    val withEv = castedEvents(df, price, qty, isBid)
+    val withEv = castedEvents(df, price, qty, isBid, mode)
     val numIn = df.schema.size
     val keySchema = StructType(partitionBy.map(c =>
       df.schema(df.schema.fieldIndex(c))).toArray)
@@ -68,7 +85,7 @@ object BookCheckpoint {
 
     def fold(keyVals: Seq[Any], it: Iterator[Row]): Iterator[Row] = {
       val book = new OrderBook(n)
-      it.foreach(applyRow(book, _, numIn, price, qty, isBid, mutations))
+      it.foreach(applyRow(book, _, numIn, price, qty, isBid, mode))
       val out = new Array[Any](width)
       var i = 0
       while (i < keyVals.length) { out(i) = keyVals(i); i += 1 }
@@ -102,7 +119,7 @@ object BookCheckpoint {
                                        orderBy: Seq[String],
                                        stateCol: String = "book_state"): DataFrame =
     resume(df, states, price, qty, isBid, n, partitionBy, orderBy,
-      stateCol, mutations = false)
+      stateCol, Updates)
 
   /** [[resumeTopNLevelsFromPriceUpdates]] for the O2 transition. */
   def resumeTopNLevelsFromPriceMutations(df: DataFrame, states: DataFrame,
@@ -112,7 +129,21 @@ object BookCheckpoint {
                                          orderBy: Seq[String],
                                          stateCol: String = "book_state"): DataFrame =
     resume(df, states, price, qty, isBid, n, partitionBy, orderBy,
-      stateCol, mutations = true)
+      stateCol, Mutations)
+
+  /** [[resumeTopNLevelsFromPriceUpdates]] for the O3 transition —
+    * day-2 modify streams continue from the day-1 state. Rows whose
+    * prev refers to day-1 history fold correctly because the modify
+    * transition only reads the CURRENT book (which the checkpoint
+    * restored), never the event history. */
+  def resumeTopNLevelsFromPriceMutationsWithModify(
+      df: DataFrame, states: DataFrame,
+      price: String, qty: String, isBid: String,
+      prevPrice: String, prevQty: String, n: Int,
+      partitionBy: Seq[String], orderBy: Seq[String],
+      stateCol: String = "book_state"): DataFrame =
+    resume(df, states, price, qty, isBid, n, partitionBy, orderBy,
+      stateCol, Modify(prevPrice, prevQty))
 
   private def resume(df: DataFrame, states: DataFrame,
                      price: String, qty: String,
@@ -120,7 +151,7 @@ object BookCheckpoint {
                      partitionBy: Seq[String],
                      orderBy: Seq[String],
                      stateCol: String,
-                     mutations: Boolean): DataFrame = {
+                     mode: Mode): DataFrame = {
     require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
     require(orderBy.nonEmpty,
       "orderBy must be non-empty: book replay is order-sensitive")
@@ -130,7 +161,7 @@ object BookCheckpoint {
     val clash = df.columns.toSet.intersect(bboFieldNames(n).toSet)
     require(clash.isEmpty, s"Input already has output columns: $clash")
 
-    val withEv = castedEvents(df, price, qty, isBid)
+    val withEv = castedEvents(df, price, qty, isBid, mode)
     val numIn = df.schema.size
     val outSchema = StructType(df.schema.fields ++
       bboFieldNames(n).map(StructField(_, LongType, nullable = true)))
@@ -160,7 +191,7 @@ object BookCheckpoint {
           s"checkpoint was built at n=${book.n}; resume requested n=$n " +
             "(the stored state pins n — rebuild the checkpoint to change it)")
         evIt.map { row =>
-          applyRow(book, row, numIn, price, qty, isBid, mutations)
+          applyRow(book, row, numIn, price, qty, isBid, mode)
           val out = new Array[Any](width)
           var i = 0
           while (i < numIn) { out(i) = row.get(i); i += 1 }
@@ -170,28 +201,43 @@ object BookCheckpoint {
       }
   }
 
-  /** Shared event casting: appends __g_price/__g_qty/__g_isbid after the
-    * passthrough columns (read by the folds, never emitted). */
+  /** Shared event casting: appends __g_price/__g_qty/__g_isbid (and, for
+    * Modify, the nullable __g_pprice/__g_pqty) after the passthrough
+    * columns (read by the folds, never emitted). */
   private def castedEvents(df: DataFrame, price: String, qty: String,
-                           isBid: String): DataFrame =
-    df.withColumn("__g_price", col(price).cast(LongType))
+                           isBid: String, mode: Mode): DataFrame = {
+    val base = df.withColumn("__g_price", col(price).cast(LongType))
       .withColumn("__g_qty", col(qty).cast(LongType))
       .withColumn("__g_isbid", col(isBid).cast(BooleanType))
+    mode.prev.fold(base) { case (pp, pq) =>
+      base.withColumn("__g_pprice", col(pp).cast(LongType))
+        .withColumn("__g_pqty", col(pq).cast(LongType))
+    }
+  }
 
-  /** One O1/O2 transition with the replay operators' null contract. */
+  /** One O1/O2/O3 transition with the replay operators' null contract. */
   private def applyRow(book: OrderBook, row: Row, numIn: Int,
                        price: String, qty: String,
-                       isBid: String, mutations: Boolean): Unit = {
+                       isBid: String, mode: Mode): Unit = {
     val iPrice = numIn; val iQty = numIn + 1; val iBid = numIn + 2
     if (row.isNullAt(iBid)) OrderBookException.missingValue(isBid)
     if (row.isNullAt(iPrice)) OrderBookException.missingValue(price)
     if (row.isNullAt(iQty)) OrderBookException.missingValue(qty)
-    if (mutations)
-      Transitions.applyMutation(book, row.getBoolean(iBid),
-        row.getLong(iPrice), row.getLong(iQty))
-    else
-      Transitions.applyUpdate(book, row.getBoolean(iBid),
-        row.getLong(iPrice), row.getLong(iQty))
+    mode match {
+      case Updates =>
+        Transitions.applyUpdate(book, row.getBoolean(iBid),
+          row.getLong(iPrice), row.getLong(iQty))
+      case Mutations =>
+        Transitions.applyMutation(book, row.getBoolean(iBid),
+          row.getLong(iPrice), row.getLong(iQty))
+      case Modify(_, _) =>
+        val iPp = numIn + 3; val iPq = numIn + 4
+        val hasPp = !row.isNullAt(iPp); val hasPq = !row.isNullAt(iPq)
+        Transitions.applyMutationWithModify(book, row.getBoolean(iBid),
+          row.getLong(iPrice), row.getLong(iQty),
+          hasPp, if (hasPp) row.getLong(iPp) else 0L,
+          hasPq, if (hasPq) row.getLong(iPq) else 0L)
+    }
   }
 
   private def rowKey(keyIdx: Array[Int], keySchema: StructType): Row => Row =

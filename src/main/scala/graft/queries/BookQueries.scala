@@ -62,6 +62,12 @@ object BookQueries {
     // transition
     GraftQuery("bbo_resume_mutations_n2", (s, d) => bboResumeMutations(s, d, 2),
       Some(resumeMutationsOracle(2))),
+    // ...and over the O3 (modify) transition — all three reference entry
+    // points (update.rs:95-163) now share the serving lifecycle. Day-2
+    // modifies whose prev points at day-1 history fold correctly because
+    // the transition reads only the restored book, never the history.
+    GraftQuery("bbo_resume_modify_n2", (s, d) => bboResumeModify(s, d, 2),
+      Some(resumeModifyOracle(2))),
   )
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
@@ -219,6 +225,40 @@ object BookQueries {
       "price", "qty", "is_bid", n, Seq("product"), Seq("seq"))
       .select(proj(n).map(col): _*)
   }
+
+  /** O3 day-boundary checkpoint/resume: the bbo_modify_real stream (prev
+    * columns from lag over the FULL per-slot history, so day-2 rows may
+    * modify orders placed on day 1) split at max(seq)/2; day 1 folds into
+    * a per-product state via the modify transition, day 2 resumes from
+    * it. Oracle = the full modify replay's day-2 rows. */
+  def bboResumeModify(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    import graft.operators.BookCheckpoint
+    import org.apache.spark.sql.expressions.Window
+    val base = EventStreams.bookStream(spark, sfDir, qtyZeroEvery5 = false)
+      .withColumn("slot", (col("seq") * 31) % 4)
+    val w = Window.partitionBy(col("product"), col("is_bid"), col("slot"))
+      .orderBy(col("seq"))
+    val stream = base
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+    val split = stream.agg(max(col("seq"))).collect()(0).getLong(0) / 2
+    val day1 = stream.filter(col("seq") < split)
+    val day2 = stream.filter(col("seq") >= split)
+    val state = BookCheckpoint.bookStateSnapshotsFromMutationsWithModify(day1,
+      "price", "qty", "is_bid", "prev_price", "prev_qty", n,
+      Seq("product"), Seq("seq"))
+    BookCheckpoint.resumeTopNLevelsFromPriceMutationsWithModify(day2, state,
+      "price", "qty", "is_bid", "prev_price", "prev_qty", n,
+      Seq("product"), Seq("seq"))
+      .select(proj(n).map(col): _*)
+  }
+
+  def resumeModifyOracle(n: Int): String =
+    s"""SELECT * FROM (
+       |${modifyRealOracle(n)}
+       |) WHERE seq >= (SELECT max(seq) // 2 FROM (
+       |${EventStreams.bookStreamSql(qtyZeroEvery5 = false)}
+       |))""".stripMargin
 
   def resumeMutationsOracle(n: Int): String =
     s"""SELECT * FROM (

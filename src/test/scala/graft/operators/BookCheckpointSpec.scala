@@ -62,6 +62,37 @@ class BookCheckpointSpec extends AnyFunSuite {
     assert(rows(resumed.orderBy("seq")) == rows(reference.orderBy("seq")))
   }
 
+  test("modify mode: resume from day-1 state == full O3 replay's day 2") {
+    import org.apache.spark.sql.expressions.Window
+    // valid modify stream: slot names "the order"; lag over the slot's
+    // FULL history gives exact prevs, so day-2 rows modify day-1 orders
+    val base = spark.range(300).select(
+      col("id").as("seq"),
+      (col("id") % 3).as("product"),
+      (col("id") % 2 === 0).as("is_bid"),
+      (col("id") * 2654435761L % 23 + 10).as("price"),
+      (col("id") * 48271 % 50 + 1).as("qty"),
+      ((col("id") * 31) % 4).as("slot"))
+    val w = Window.partitionBy(col("product"), col("is_bid"), col("slot"))
+      .orderBy(col("seq"))
+    val full = base
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+    val day1 = full.filter(col("seq") < 150)
+    val day2 = full.filter(col("seq") >= 150)
+    val state = BookCheckpoint.bookStateSnapshotsFromMutationsWithModify(day1,
+      "price", "qty", "is_bid", "prev_price", "prev_qty", 2,
+      Seq("product"), Seq("seq"))
+    val resumed = BookCheckpoint.resumeTopNLevelsFromPriceMutationsWithModify(
+      day2, state, "price", "qty", "is_bid", "prev_price", "prev_qty", 2,
+      Seq("product"), Seq("seq"))
+    val reference = OrderBookOps.topNLevelsFromPriceMutationsWithModify(full,
+        "price", "qty", "is_bid", "prev_price", "prev_qty", 2,
+        Seq("product"), Seq("seq"))
+      .filter(col("seq") >= 150)
+    assert(rows(resumed.orderBy("seq")) == rows(reference.orderBy("seq")))
+  }
+
   test("a group with no checkpoint row starts from an empty book") {
     val full = stream(120)
     // checkpoint built WITHOUT product 2's history
