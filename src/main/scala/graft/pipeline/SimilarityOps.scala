@@ -902,6 +902,25 @@ object SimilarityOps {
     * Centroids must be non-zero-norm (cosine to a zero centroid is NaN,
     * and NaN permille arithmetic diverges across engines) — checked
     * loudly against the collected snapshot. */
+  /** Map-only cluster assignment against trained centroids: every
+    * vector with at least one non-zero (scaled) element gets the
+    * cent_id of its best exact-cosine cell (ties to the lower id) —
+    * the terminal step of the raw-text→clusters composition
+    * (hashedBowFeatures → dense counts → kmeansCentroids → here).
+    * The centroid snapshot is embedded in the codegen'd argmax kernel
+    * (CentroidTopCells), so the pass is a pure projection: no join, no
+    * shuffle, linear in the corpus — the shape that holds at 100 TB.
+    * Zero/empty vectors are excluded (their cosine is undefined). */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val snapshot = collectCentroids(
+      centroids.select(col("cent_id"), col("cent_v")))
+    df.filter(exists(scaled(col(vecCol)), x => x =!= lit(0L)))
+      .select(col(idCol),
+        coalesce(element_at(topCells(scaled(col(vecCol)), snapshot, 1), 1),
+          lit(-1L)).as("cent_id"))
+  }
+
   def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, pPermille: Int): DataFrame = {
     require(pPermille >= 1 && pPermille <= 1000,

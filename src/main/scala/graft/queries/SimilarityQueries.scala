@@ -36,6 +36,11 @@ object SimilarityQueries {
     GraftQuery("q_semantic_dedup", semanticDedupQ, Some(semanticDedupSql),
       bench = true),
     GraftQuery("q_embed_outliers", embedOutliersQ, Some(embedOutliersSql)),
+    // the raw-text→clusters composition: hashed BOW counts → dense
+    // integer vectors → trained k-means → map-only assignment. The
+    // model-free "cluster a crawl" path the LLM-pipeline track exists
+    // for — every stage reuses an already-verified operator.
+    GraftQuery("q_text_cluster", textCluster, Some(textClusterSql), bench = true),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
@@ -564,11 +569,11 @@ object SimilarityQueries {
     * assignment (ties to the lower cent_id, NaN sorts greatest on both
     * engines) then exact floor-mean update, empty clusters keeping their
     * previous centroid. */
-  private def kmeansCtes: String = {
+  private[queries] def kmeansCtes(stride: Int = KM_TRAIN_STRIDE): String = {
     val seedHash = graft.pipeline.HashFns.hash32Sql("CAST(vec_id AS VARCHAR)")
     val init =
       s"""vtr AS (
-         |  SELECT vec_id, sv FROM v WHERE vec_id % $KM_TRAIN_STRIDE = 0
+         |  SELECT vec_id, sv FROM v WHERE vec_id % $stride = 0
          |), cents0 AS (
          |  SELECT cent_id, cent_v FROM (
          |    SELECT row_number() OVER (ORDER BY $seedHash, vec_id) - 1 AS cent_id,
@@ -609,7 +614,7 @@ object SimilarityQueries {
   def embedIvfKmeansSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, $svSql AS sv FROM embeddings
-       |), $kmeansCtes, cents AS (
+       |), ${kmeansCtes()}, cents AS (
        |  SELECT cent_id, cent_v FROM cents$KM_ITERS
        |), cassign AS (
        |  SELECT c_id, c_v, cent_id FROM (
@@ -660,7 +665,7 @@ object SimilarityQueries {
   def semanticDedupSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, $svSql AS sv FROM embeddings
-       |), $kmeansCtes, cents AS (
+       |), ${kmeansCtes()}, cents AS (
        |  SELECT cent_id, cent_v FROM cents$KM_ITERS
        |), m AS (
        |  SELECT vec_id, sv, n2, cent_id, ccos FROM (
@@ -700,7 +705,7 @@ object SimilarityQueries {
   def embedOutliersSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, $svSql AS sv FROM embeddings
-       |), $kmeansCtes, cents AS (
+       |), ${kmeansCtes()}, cents AS (
        |  SELECT cent_id, cent_v FROM cents$KM_ITERS
        |), m AS (
        |  SELECT vec_id, cent_id,
@@ -728,6 +733,68 @@ object SimilarityQueries {
        |SELECT m.vec_id, m.cent_id, m.ccos_permille, t.cut_permille,
        |  m.ccos_permille < t.cut_permille AS is_outlier
        |FROM m JOIN cuts t ON m.cent_id = t.cent_id""".stripMargin
+
+  // ---- Raw-text clustering (no model, no embedding table) ---------------
+
+  private val TC_DIM = 64
+
+  /** Cluster raw documents without any trained model: hashed
+    * bag-of-words token counts (TextOps.hashedBowFeatures, the hashing
+    * trick) assembled into dense TC_DIM-long count vectors, a
+    * deterministic integer k-means trained on a 1-in-4 document sample,
+    * and a map-only exact-cosine assignment of every document to its
+    * cell. Output: (doc_id, cent_id). Documents with no tokens carry no
+    * signal and are excluded (they have no BOW rows).
+    *
+    * Scale shape: one explode + partial-agg groupBy for features (the
+    * training branch's doc_id stride filter pushes below the explode,
+    * so training features touch 1/4 of the corpus), Lloyd rounds over
+    * the sample only, then one map-only argmax pass over the full
+    * corpus — no join, no shuffle after the feature groupBy. */
+  def textCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val feats = graft.pipeline.TextOps.hashedBowFeatures(d, "text", "doc_id", TC_DIM)
+    val dense = feats.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("n")))).as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit((TC_DIM - 1).toLong)),
+          dd => coalesce(element_at(col("__m"), dd), lit(0L))).as("vec"))
+    val train = dense.filter(col("doc_id") % KM_TRAIN_STRIDE === 0)
+    val cents = SimilarityOps.kmeansCentroids(train, "doc_id", "vec", KM_K, KM_ITERS)
+    SimilarityOps.assignToCentroids(dense, "doc_id", "vec", cents)
+  }
+
+  /** The oracle rebuilds the dense count vectors relationally (sparse
+    * BOW rows → id×dim grid → ordered list), scales by 1000 to mirror
+    * scaled(), and reuses the unrolled k-means CTEs verbatim — the `v`
+    * CTE is the only thing that changed, which is exactly what
+    * parameterizing the quantizer away from the embeddings table buys. */
+  def textClusterSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("tok")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${graft.pipeline.TextOps.tokensSql("text")}) AS tok
+       |  FROM documents
+       |), sp AS (
+       |  SELECT doc_id, $ph % $TC_DIM AS dim, count(*) AS n
+       |  FROM t WHERE len(tok) > 0 GROUP BY doc_id, dim
+       |), ids AS (
+       |  SELECT DISTINCT doc_id FROM sp
+       |), grid AS (
+       |  SELECT i.doc_id, r.d FROM ids i, (SELECT unnest(range(0, $TC_DIM)) AS d) r
+       |), v AS (
+       |  SELECT g.doc_id AS vec_id, list(coalesce(sp.n, 0) * 1000 ORDER BY g.d) AS sv
+       |  FROM grid g LEFT JOIN sp ON sp.doc_id = g.doc_id AND sp.dim = g.d
+       |  GROUP BY g.doc_id
+       |), ${kmeansCtes()}, cents AS (
+       |  SELECT cent_id, cent_v FROM cents$KM_ITERS
+       |)
+       |SELECT vec_id AS doc_id, cent_id FROM (
+       |  SELECT v.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
+       |  FROM v, cents c
+       |) WHERE rk = 1""".stripMargin
+  }
 
   /** Queries = every 50th vector; exact brute-force top-5 by cosine. */
   def embedTopK(spark: SparkSession, sfDir: String): DataFrame = {
