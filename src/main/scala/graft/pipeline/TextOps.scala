@@ -496,9 +496,14 @@ object TextOps {
     *
     * Scale shape — everything is linear in corpus tokens, no
     * quadratic anywhere:
-    *  1. one codegen'd pass per doc for positional span hashes
-    *     (TokenShingleHash; no span strings materialized), one
-    *     partial-aggregated shuffle for corpus span counts;
+    *  1. ONE codegen'd pass per doc for positional span hashes
+    *     (TokenShingleHash; no span strings materialized), its narrow
+    *     (id, start, hash) rows localCheckpointed so both consumers —
+    *     the corpus span-count aggregate and the hot-start join — read
+    *     the checkpoint instead of re-running the kernel over the
+    *     corpus text (the CorpusFilter gate discipline; the trade is
+    *     ~16 bytes/token of executor-local blocks vs a second full
+    *     text pass, and the blocks free when the plan is GC'd);
     *  2. hot-span starts come from an equi-join of span rows against
     *     the (usually tiny) hot-hash set — AQE broadcasts it when
     *     small;
@@ -520,6 +525,7 @@ object TextOps {
     val sh = df.select(col(idCol),
       posexplode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), k))
         .as(Seq("__ms_start", "__ms_sh")))
+      .localCheckpoint()
     val hot = sh.groupBy(col("__ms_sh"))
       .agg(count(lit(1)).as("__ms_n"))
       .filter(col("__ms_n") >= minFreq)

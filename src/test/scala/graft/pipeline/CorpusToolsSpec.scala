@@ -286,6 +286,22 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, ""))) // empty text = one empty token
   }
 
+  test("maskRepeatedSpans: the shingle kernel runs exactly once — the " +
+    "checkpointed span relation feeds both consumers") {
+    val df = Seq((1L, "a b c x"), (2L, "a b c y")).toDF("doc_id", "text")
+    val out = TextOps.maskRepeatedSpans(df, "text", "doc_id", 3, 2L)
+    // the kernel ran at checkpoint time; the downstream plan must hold
+    // ZERO TokenShingleHash expressions (a second occurrence = a second
+    // full corpus text pass at 100 TB)
+    var hits = 0
+    out.queryExecution.optimizedPlan.foreach(node =>
+      node.expressions.foreach(_.foreach {
+        case _: graft.functions.TokenShingleHash => hits += 1
+        case _ => ()
+      }))
+    assert(hits == 0, s"span-hash kernel appears $hits times downstream of the checkpoint")
+  }
+
   test("maskRepeatedSpans: within-doc repetition counts toward minFreq, " +
     "overlapping spans union their coverage") {
     val df = Seq(
