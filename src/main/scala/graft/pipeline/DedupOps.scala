@@ -294,14 +294,29 @@ object DedupOps {
     *
     *   - `path/signatures` — (id, sig): [[minhashSigIndex]]'s output,
     *     numHashes longs per doc;
-    *   - `path/bandkeys` — (band_idx, band_hash, freq): the DISTINCT
-    *     band-key relation with bucket frequencies, derived from the
-    *     stored signatures at BUILD time;
-    *   - `path/bloom` — (word_idx, word): the PRE-BUILT bloom bitmap
-    *     over the distinct band keys (≤ bloomBits/64 longs — 128 KB at
-    *     the default 2^20 bits);
-    *   - `path/meta` — one row pinning the geometry (shingle_k,
-    *     num_hashes, bands, bloom_bits, bloom_hashes).
+    *   - `path/derived/e<N>/bandkeys` — (band_idx, band_hash, freq):
+    *     the DISTINCT band-key relation with bucket frequencies,
+    *     derived from the stored signatures;
+    *   - `path/derived/e<N>/bloom` — (word_idx, word): the PRE-BUILT
+    *     bloom bitmap over the distinct band keys (≤ bloomBits/64
+    *     longs — 128 KB at the default 2^20 bits);
+    *   - `path/meta` — ONE row that is both the geometry pin
+    *     (shingle_k, num_hashes, bands, bloom_bits, bloom_hashes) and
+    *     the CONSISTENCY POINTER: `epoch` names the derived-relation
+    *     directory probes must read, `sig_count` records how many
+    *     signature rows that epoch covers.
+    *
+    * The epoch pointer is what makes appends probe-safe: derived
+    * relations are IMMUTABLE once written (a new epoch directory per
+    * append, never an in-place overwrite), meta swaps via
+    * write-sideways + rename LAST ([[LayoutOps.compactPartitioned]]'s
+    * pattern, same documented non-transactional seam), and a probe
+    * resolves its epoch from meta ONCE, so it reads a consistent
+    * (bandkeys, bloom) snapshot — either the old epoch or the new one,
+    * never a half-rewritten mix. Signatures are append-only; a probe
+    * racing an append may see signature rows newer than its epoch,
+    * which can only ADD candidate pairs past the (conservative) old
+    * bloom — the probe result is always at least its epoch's snapshot.
     *
     * [[nearDupAgainstStoredIndex]] then LOADS the bloom bitmap and
     * reads the hot-band cap from the stored key relation and its join
@@ -322,37 +337,86 @@ object DedupOps {
     minhashSigIndex(df, textCol, idCol, shingleK, numHashes)
       .select(col(idCol).as("id"), col("sig"))
       .write.mode("overwrite").parquet(s"$path/signatures")
-    writeDerivedRelations(spark, path, shingleK, numHashes, bands,
-      bloomBits, bloomHashes)
+    val sigCount = spark.read.parquet(s"$path/signatures").count()
+    val meta = MinhashIndexMeta(shingleK, numHashes, bands, bloomBits,
+      bloomHashes, epoch = 0L, sigCount = sigCount)
+    rebuildDerivedRelations(spark, path, meta, meta.epoch)
+    swapMeta(spark, path, meta)
   }
 
-  /** Rebuild `path/bandkeys`, `path/bloom`, and `path/meta` from the
-    * STORED signatures — shared by build and append. Scans the narrow
-    * (id, sig) relation only (numHashes longs per doc): corpus text is
-    * never touched. Meta is written LAST, so its `_SUCCESS` marker
-    * doubles as the artifact's completeness flag. */
-  private def writeDerivedRelations(spark: org.apache.spark.sql.SparkSession,
-                                    path: String, shingleK: Int,
-                                    numHashes: Int, bands: Int,
-                                    bloomBits: Int, bloomHashes: Int): Unit = {
-    val rowsPerBand = numHashes / bands
+  /** The artifact's meta row: geometry pin + epoch consistency pointer. */
+  private[graft] final case class MinhashIndexMeta(
+      shingleK: Int, numHashes: Int, bands: Int, bloomBits: Int,
+      bloomHashes: Int, epoch: Long, sigCount: Long)
+
+  private[graft] def readMinhashIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndexMeta = {
+    val r = spark.read.parquet(s"$path/meta").collect()(0)
+    MinhashIndexMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"), r.getAs[Int]("bloom_bits"),
+      r.getAs[Int]("bloom_hashes"), r.getAs[Long]("epoch"),
+      r.getAs[Long]("sig_count"))
+  }
+
+  /** The derived-relation directory for one epoch (immutable once
+    * written). */
+  private[graft] def minhashDerivedDir(path: String, epoch: Long): String =
+    s"$path/derived/e$epoch"
+
+  /** Swap the meta pointer: write sideways, then delete + rename — the
+    * [[LayoutOps.compactPartitioned]] seam. Meta commits LAST in every
+    * lifecycle step, so an interrupted build/append leaves the old
+    * pointer (or nothing) in place and the artifact reads as its
+    * previous consistent state; `sig_count` then disagrees with the
+    * stored signatures and the next append self-heals with a full
+    * derived rebuild. */
+  private def swapMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String, meta: MinhashIndexMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.shingleK, meta.numHashes, meta.bands, meta.bloomBits,
+        meta.bloomHashes, meta.epoch, meta.sigCount))
+      .toDF("shingle_k", "num_hashes", "bands", "bloom_bits",
+        "bloom_hashes", "epoch", "sig_count")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"minhash index: meta swap $tmp -> $target failed")
+  }
+
+  /** Full rebuild of one epoch's derived relations from the STORED
+    * signatures — the build path and the append self-heal path. Scans
+    * the narrow (id, sig) relation only (numHashes longs per doc):
+    * corpus text is never touched. The bloom derivation reads the
+    * just-written bandkeys BACK so the signature scan runs once. */
+  private def rebuildDerivedRelations(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: MinhashIndexMeta, epoch: Long): Unit = {
+    val rowsPerBand = meta.numHashes / meta.bands
+    val dir = minhashDerivedDir(path, epoch)
     spark.read.parquet(s"$path/signatures")
-      .select(posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+      .select(posexplode(lshBandKeys(col("sig"), meta.bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("freq"))
-      .write.mode("overwrite").parquet(s"$path/bandkeys")
+      .write.mode("overwrite").parquet(s"$dir/bandkeys")
     val bits = graft.functions.BloomFilter.build(
-      spark.read.parquet(s"$path/bandkeys")
+      spark.read.parquet(s"$dir/bandkeys")
         .select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
-      "__bk", bloomBits, bloomHashes)
+      "__bk", meta.bloomBits, meta.bloomHashes)
+    writeBloomWords(spark, bits, dir)
+  }
+
+  private def writeBloomWords(spark: org.apache.spark.sql.SparkSession,
+                              bits: Array[Long], dir: String): Unit = {
     import spark.implicits._
     bits.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) }
       .toDF("word_idx", "word")
-      .write.mode("overwrite").parquet(s"$path/bloom")
-    Seq((shingleK, numHashes, bands, bloomBits, bloomHashes))
-      .toDF("shingle_k", "num_hashes", "bands", "bloom_bits", "bloom_hashes")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$dir/bloom")
   }
 
   /** Append today's crawl to a [[writeMinhashIndex]] artifact — the
@@ -360,45 +424,93 @@ object DedupOps {
     * (the IVF-PQ precedent, [[SimilarityOps.appendIvfPqIndex]]): new
     * docs are signed against the artifact's PINNED geometry (from
     * meta — appends cannot drift the hash family), their signatures
-    * append to `path/signatures`, and the derived relations (band-key
-    * frequencies, bloom bitmap) rebuild from the stored signatures —
-    * a narrow linear scan, never a text re-read. Spec-pinned: append ≡
-    * one-shot build over the union, relation for relation and bloom
-    * bit for bit. At a scale where even the narrow rebuild hurts, the
-    * band-key counts are mergeable (sum) and the bloom OR-idempotent,
-    * so a delta-merge variant is a pure optimization with identical
-    * output.
+    * append to `path/signatures`, and the derived relations land in a
+    * NEW epoch directory by DELTA-MERGE — band-key counts are
+    * sum-mergeable and the bloom OR-idempotent, so the new epoch is
+    * built from the delta's band keys plus the previous epoch's stored
+    * relations. Append cost is proportional to the DELTA (plus a
+    * bandkeys-sized merge, bounded by distinct band keys), never a
+    * rescan of all stored signatures. Spec-pinned: append ≡ one-shot
+    * build over the union, relation for relation and bloom bit for
+    * bit.
     *
-    * MAINTENANCE-WINDOW operation: the derived relations overwrite in
-    * place, so a probe running CONCURRENTLY with an append can read
-    * appended signatures against a pre-append bloom/cap — internally
-    * consistent with neither snapshot. Single-writer,
-    * no-concurrent-probe is the contract (the daily-crawl cadence);
-    * serving under live maintenance should copy-then-swap the
-    * directory ([[LayoutOps.compactPartitioned]]'s rename pattern). */
+    * Probe safety and crash recovery: the new epoch writes BEFORE the
+    * meta pointer swaps (meta commits LAST), the previous epoch's
+    * directory survives one more append (in-flight probes that
+    * resolved it keep a consistent snapshot; epochs older than the
+    * previous are pruned), and if `sig_count` disagrees with the
+    * stored signatures — the signature append landed but the epoch
+    * swap didn't — the append self-heals by rebuilding the new epoch
+    * from ALL stored signatures instead of delta-merging against
+    * derived relations that never saw the orphaned rows. */
   def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, df: DataFrame, textCol: String,
                          idCol: String): Unit = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    val shingleK = meta.getAs[Int]("shingle_k")
-    val numHashes = meta.getAs[Int]("num_hashes")
-    val bands = meta.getAs[Int]("bands")
-    val bloomBits = meta.getAs[Int]("bloom_bits")
-    val bloomHashes = meta.getAs[Int]("bloom_hashes")
-    minhashSigIndex(df, textCol, idCol, shingleK, numHashes)
+    val meta = readMinhashIndexMeta(spark, path)
+    val storedCount = spark.read.parquet(s"$path/signatures").count()
+    val healthy = storedCount == meta.sigCount
+    val rowsPerBand = meta.numHashes / meta.bands
+    // the delta signatures feed the parquet append AND (healthy path)
+    // the band-key delta — checkpoint so the batch text is signed once
+    val delta = minhashSigIndex(df, textCol, idCol, meta.shingleK,
+        meta.numHashes)
       .select(col(idCol).as("id"), col("sig"))
-      .write.mode("append").parquet(s"$path/signatures")
-    writeDerivedRelations(spark, path, shingleK, numHashes, bands,
-      bloomBits, bloomHashes)
+      .localCheckpoint()
+    val deltaCount = delta.count()
+    delta.write.mode("append").parquet(s"$path/signatures")
+    val next = meta.epoch + 1
+    val nextDir = minhashDerivedDir(path, next)
+    if (healthy) {
+      val deltaKeys = delta
+        .select(posexplode(lshBandKeys(col("sig"), meta.bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("freq"))
+        .localCheckpoint() // consumed twice: count merge + bloom delta
+      spark.read.parquet(s"${minhashDerivedDir(path, meta.epoch)}/bandkeys")
+        .unionByName(deltaKeys)
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("freq")).as("freq"))
+        .write.mode("overwrite").parquet(s"$nextDir/bandkeys")
+      val deltaBits = graft.functions.BloomFilter.build(
+        deltaKeys.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
+        "__bk", meta.bloomBits, meta.bloomHashes)
+      val merged = readStoredBloom(spark, path, meta)
+      var i = 0
+      while (i < merged.length) { merged(i) |= deltaBits(i); i += 1 }
+      writeBloomWords(spark, merged, nextDir)
+    } else {
+      rebuildDerivedRelations(spark, path, meta, next)
+    }
+    swapMeta(spark, path,
+      meta.copy(epoch = next, sigCount = storedCount + deltaCount))
+    pruneEpochs(spark, path, keepFrom = meta.epoch)
   }
 
-  /** The stored bloom bitmap of a [[writeMinhashIndex]] artifact, back
-    * in probe shape — bloomBits/64 longs, a scalar-sized collect like
-    * the IVF centroid snapshot. */
+  /** Remove derived-relation epochs older than `keepFrom` — the
+    * previous epoch stays for one append's grace (in-flight probes),
+    * everything older goes. */
+  private def pruneEpochs(spark: org.apache.spark.sql.SparkSession,
+                          path: String, keepFrom: Long): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$path/derived")
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("e") &&
+          name.drop(1).forall(_.isDigit) &&
+          name.drop(1).toLong < keepFrom)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The current epoch's stored bloom bitmap, back in probe shape —
+    * bloomBits/64 longs, a scalar-sized collect like the IVF centroid
+    * snapshot. */
   private[graft] def readStoredBloom(spark: org.apache.spark.sql.SparkSession,
-                              path: String, bloomBits: Int): Array[Long] = {
-    val words = new Array[Long](bloomBits / 64)
-    spark.read.parquet(s"$path/bloom")
+                              path: String, meta: MinhashIndexMeta): Array[Long] = {
+    val words = new Array[Long](meta.bloomBits / 64)
+    spark.read.parquet(s"${minhashDerivedDir(path, meta.epoch)}/bloom")
       .select(col("word_idx"), col("word")).collect()
       .foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
@@ -419,20 +531,18 @@ object DedupOps {
                                 textCol: String, idCol: String,
                                 minAgreeFrac: Double = 0.5,
                                 maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    val shingleK = meta.getAs[Int]("shingle_k")
-    val numHashes = meta.getAs[Int]("num_hashes")
-    val bands = meta.getAs[Int]("bands")
-    val bloomBits = meta.getAs[Int]("bloom_bits")
-    val bloomHashes = meta.getAs[Int]("bloom_hashes")
+    // the epoch resolves ONCE here, so bandkeys and bloom come from the
+    // same immutable snapshot even if an append lands mid-probe
+    val meta = readMinhashIndexMeta(spark, path)
     val iSigs = spark.read.parquet(s"$path/signatures")
       .select(col("id").as("old_id"), col("sig").as("old_sig"))
-    val keyCounts = spark.read.parquet(s"$path/bandkeys")
+    val keyCounts = spark.read
+      .parquet(s"${minhashDerivedDir(path, meta.epoch)}/bandkeys")
       .select(col("band_idx"), col("band_hash"), col("freq").as("__hb_c"))
-    val bits = readStoredBloom(spark, path, bloomBits)
+    val bits = readStoredBloom(spark, path, meta)
     screenAgainstSignatures(batch, textCol, idCol, iSigs, keyCounts,
-      bits, shingleK, numHashes, bands, minAgreeFrac, maxBandFreq,
-      bloomBits, bloomHashes)
+      bits, meta.shingleK, meta.numHashes, meta.bands, minAgreeFrac,
+      maxBandFreq, meta.bloomBits, meta.bloomHashes)
   }
 
   /** Drop every batch doc flagged by [[nearDupAgainstIndex]]; in-batch

@@ -134,7 +134,8 @@ object PipelineStreams {
     * daily-crawl serving story at ingest time. Everything index-sided
     * comes from storage, fixed at stream construction: geometry AND
     * bloom parameters from `meta` (the probe cannot mismatch the
-    * build), the PRE-BUILT Bloom bitmap loaded from `path/bloom` (it
+    * build), the PRE-BUILT Bloom bitmap loaded from the meta-pointed
+    * epoch's `bloom` relation (it
     * rides into generated code as a literal `long[]` — each arriving
     * doc's band keys are prescreened MAP-ONLY, so the stream-static
     * join touches only rows that might collide), the hot-band cap
@@ -151,16 +152,19 @@ object PipelineStreams {
                                     minAgreeFrac: Double = 0.5,
                                     maxBandFreq: Int = DedupOps.DefaultMaxBandFreq): DataFrame = {
     import graft.functions.BloomFilter
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    val shingleK = meta.getAs[Int]("shingle_k")
-    val numHashes = meta.getAs[Int]("num_hashes")
-    val bands = meta.getAs[Int]("bands")
-    val bloomBits = meta.getAs[Int]("bloom_bits")
-    val bloomHashes = meta.getAs[Int]("bloom_hashes")
+    // epoch resolves once at stream construction — the whole stream
+    // serves one immutable derived snapshot (restart to pick up appends)
+    val m = DedupOps.readMinhashIndexMeta(spark, path)
+    val shingleK = m.shingleK
+    val numHashes = m.numHashes
+    val bands = m.bands
+    val bloomBits = m.bloomBits
+    val bloomHashes = m.bloomHashes
     val rowsPerBand = numHashes / bands
-    val keyCounts = spark.read.parquet(s"$path/bandkeys")
+    val keyCounts = spark.read
+      .parquet(s"${DedupOps.minhashDerivedDir(path, m.epoch)}/bandkeys")
     def bloomKey(i: Column, h: Column): Column = DedupOps.bloomKey(i, h)
-    val bits = DedupOps.readStoredBloom(spark, path, bloomBits)
+    val bits = DedupOps.readStoredBloom(spark, path, m)
     val hot = keyCounts.filter(col("freq") > maxBandFreq)
       .select(col("band_idx"), col("band_hash"))
     val iBands = spark.read.parquet(s"$path/signatures")

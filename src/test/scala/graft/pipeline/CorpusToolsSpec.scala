@@ -205,23 +205,24 @@ class CorpusToolsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx_spec").toString
     DedupOps.writeMinhashIndex(snapshot, "text", "doc_id", dir, 3, 12, 4)
-    // the artifact's three relations exist and the geometry is pinned
-    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
-    assert((meta.getAs[Int]("shingle_k"), meta.getAs[Int]("num_hashes"),
-      meta.getAs[Int]("bands")) == ((3, 12, 4)))
+    // the artifact's relations exist and the geometry is pinned; the
+    // derived relations live in the meta-pointed epoch directory
+    val meta = DedupOps.readMinhashIndexMeta(spark, dir)
+    val ddir = DedupOps.minhashDerivedDir(dir, meta.epoch)
+    assert((meta.shingleK, meta.numHashes, meta.bands) == ((3, 12, 4)))
+    assert(meta.epoch == 0L && meta.sigCount == 3L)
     assert(spark.read.parquet(s"$dir/signatures").count() == 3) // empty doc 6 excluded
-    val keyRows = spark.read.parquet(s"$dir/bandkeys")
+    val keyRows = spark.read.parquet(s"$ddir/bandkeys")
       .select("band_idx", "band_hash", "freq").collect()
     assert(keyRows.map(_.getLong(2)).sum == 3 * 4) // 3 docs × 4 bands, freqs total
     // the stored bloom bitmap covers the whole default word range and
     // matches a fresh build over the stored keys bit for bit
-    assert((meta.getAs[Int]("bloom_bits"), meta.getAs[Int]("bloom_hashes"))
-      == ((1 << 20, 4)))
-    val storedBloom = spark.read.parquet(s"$dir/bloom")
+    assert((meta.bloomBits, meta.bloomHashes) == ((1 << 20, 4)))
+    val storedBloom = spark.read.parquet(s"$ddir/bloom")
       .orderBy("word_idx").select("word").collect().map(_.getLong(0))
     assert(storedBloom.length == (1 << 20) / 64)
     val rebuilt = graft.functions.BloomFilter.build(
-      spark.read.parquet(s"$dir/bandkeys")
+      spark.read.parquet(s"$ddir/bandkeys")
         .select(org.apache.spark.sql.functions.xxhash64(
           col("band_idx"), col("band_hash")).as("__bk")),
       "__bk", 1 << 20, 4)
@@ -252,10 +253,16 @@ class CorpusToolsSpec extends AnyFunSuite {
       oneShot, 3, 12, 4)
     def sigs(d: String) = spark.read.parquet(s"$d/signatures")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    def keys(d: String) = spark.read.parquet(s"$d/bandkeys")
+    def ddir(d: String) = DedupOps.minhashDerivedDir(d,
+      DedupOps.readMinhashIndexMeta(spark, d).epoch)
+    def keys(d: String) = spark.read.parquet(s"${ddir(d)}/bandkeys")
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    def bloom(d: String) = spark.read.parquet(s"$d/bloom")
+    def bloom(d: String) = spark.read.parquet(s"${ddir(d)}/bloom")
       .orderBy("word_idx").collect().map(_.getLong(1)).toSeq
+    // the append took the DELTA-MERGE path (epoch advanced, not rebuilt)
+    // and still matches the one-shot build exactly
+    assert(DedupOps.readMinhashIndexMeta(spark, appended).epoch == 1L)
+    assert(DedupOps.readMinhashIndexMeta(spark, appended).sigCount == 4L)
     assert(sigs(appended) == sigs(oneShot) && sigs(appended).size == 4)
     assert(keys(appended) == keys(oneShot))
     assert(bloom(appended) == bloom(oneShot))
@@ -266,6 +273,54 @@ class CorpusToolsSpec extends AnyFunSuite {
         batch, "text", "doc_id", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(flagged.contains((11L, 2L)) && flagged.contains((13L, 6L)))
+  }
+
+  test("minhash index epochs: immutable derived dirs, one-append grace " +
+    "for in-flight probes, older epochs pruned") {
+    def day(ids: Seq[Long], p: String) =
+      ids.map(i => (i, s"$p$i a b c d e f g h")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_epoch").toString
+    def exists(e: Long) =
+      new java.io.File(DedupOps.minhashDerivedDir(dir, e)).exists()
+    DedupOps.writeMinhashIndex(day(Seq(2L), "w"), "text", "doc_id", dir, 3, 12, 4)
+    assert(exists(0))
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(4L), "x"), "text", "doc_id")
+    // e0 survives the append that superseded it (a probe that resolved
+    // epoch 0 before the append keeps its consistent snapshot)...
+    assert(exists(0) && exists(1))
+    assert(DedupOps.readMinhashIndexMeta(spark, dir).epoch == 1L)
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(6L), "y"), "text", "doc_id")
+    // ...and is pruned by the NEXT append
+    assert(!exists(0) && exists(1) && exists(2))
+  }
+
+  test("appendMinhashIndex: an interrupted append (orphaned signatures) " +
+    "self-heals on the next append") {
+    val day1 = Seq((2L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val day2 = Seq((4L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val day3 = Seq((6L, "m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text")
+    val healed = java.nio.file.Files.createTempDirectory("graft_mh_heal").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_mh_heal1").toString
+    DedupOps.writeMinhashIndex(day1, "text", "doc_id", healed, 3, 12, 4)
+    // simulate a crash mid-append: day2's signatures landed, but the
+    // derived epoch + meta swap never ran -> sig_count disagrees
+    DedupOps.minhashSigIndex(day2, "text", "doc_id", 3, 12)
+      .select(col("doc_id").as("id"), col("sig"))
+      .write.mode("append").parquet(s"$healed/signatures")
+    assert(DedupOps.readMinhashIndexMeta(spark, healed).sigCount == 1L)
+    // next append detects the orphans and rebuilds from ALL signatures
+    DedupOps.appendMinhashIndex(spark, healed, day3, "text", "doc_id")
+    DedupOps.writeMinhashIndex(day1.union(day2).union(day3), "text",
+      "doc_id", oneShot, 3, 12, 4)
+    def ddir(d: String) = DedupOps.minhashDerivedDir(d,
+      DedupOps.readMinhashIndexMeta(spark, d).epoch)
+    def keys(d: String) = spark.read.parquet(s"${ddir(d)}/bandkeys")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def bloom(d: String) = spark.read.parquet(s"${ddir(d)}/bloom")
+      .orderBy("word_idx").collect().map(_.getLong(1)).toSeq
+    assert(DedupOps.readMinhashIndexMeta(spark, healed).sigCount == 3L)
+    assert(keys(healed) == keys(oneShot))
+    assert(bloom(healed) == bloom(oneShot))
   }
 
   test("maskRepeatedSpans: masks every token of each hot k-gram, " +
