@@ -363,6 +363,75 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** Hamming-radius near-dup pairs over [[imageAHash]] hashes — the
+    * SimHash-analogue small-radius screen for RETOUCHED images (exact
+    * hash equality only catches re-encodes; a light edit flips a bit
+    * or two). Pigeonhole banding, the [[DedupOps.simhashPairs]] trick
+    * over the two bigint halves: the logical 64 bits split into
+    * `bands` equal chunks; two hashes within `maxHamming` differing
+    * bits agree exactly on at least one chunk (maxHamming < bands), so
+    * candidates come from equi-joined (chunk_idx, chunk_val) buckets —
+    * never an all-pairs compare — and the exact popcount distance
+    * verifies each candidate. Output: (id_a, id_b, hamming) with
+    * id_a < id_b, distance ≤ maxHamming; undecodable rows (null
+    * hashes) never pair.
+    *
+    * Scale shape: one map-only chunk explode (bands rows per image),
+    * one equi-join on the chunk buckets, exact verify inline — the
+    * same linear-in-corpus, bucketed shape as every similarity screen
+    * here. Degenerate buckets (e.g. the all-dark all-zero chunk) carry
+    * the usual hot-bucket quadratic risk; cap them upstream by
+    * exact-payload dedup first ([[queries.MultimodalQueries]] hashes
+    * one row per DISTINCT payload, which is the batch economy that
+    * matters). */
+  def ahashPairs(hashed: DataFrame, idCol: String,
+                 maxHamming: Int = 1, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall requires maxHamming < bands, got $maxHamming/$bands")
+    val bits = 64 / bands // <= 32 and divides 32, so chunks never straddle halves
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val valid = hashed
+      .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
+      .select(col(idCol).as("__ah_id"), col("ahash_a"), col("ahash_b"))
+    val chunks = valid.select(col("__ah_id"), col("ahash_a"), col("ahash_b"),
+      posexplode(array((0 until bands).map { c =>
+        val half = if (c * bits < 32) col("ahash_a") else col("ahash_b")
+        shiftrightunsigned(half, (c * bits) % 32).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val x = chunks.as("x"); val y = chunks.as("y")
+    x.join(y, col("x.chunk_idx") === col("y.chunk_idx") &&
+        col("x.chunk_val") === col("y.chunk_val") &&
+        col("x.__ah_id") < col("y.__ah_id"))
+      .select(col("x.__ah_id").as("id_a"), col("y.__ah_id").as("id_b"),
+        (bit_count(col("x.ahash_a").bitwiseXOR(col("y.ahash_a"))) +
+          bit_count(col("x.ahash_b").bitwiseXOR(col("y.ahash_b"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Transitive duplicate classes over [[ahashPairs]]: connected
+    * components (min-label), every input image labeled — singletons
+    * are their own component. Output: (idCol, component). */
+  def ahashDupComponents(hashed: DataFrame, idCol: String,
+                         maxHamming: Int = 1, bands: Int = 4): DataFrame = {
+    val pairs = ahashPairs(hashed, idCol, maxHamming, bands)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    try {
+      val labels = DedupOps.connectedComponents(pairs)
+      val comp =
+        try labels.localCheckpoint()
+        finally labels.unpersist()
+      hashed.select(col(idCol))
+        .join(comp, col(idCol) === col("id"), "left")
+        .select(col(idCol),
+          coalesce(col("component"), col(idCol)).as("component"))
+    } finally pairs.unpersist()
+  }
+
   /** REAL resize: decode, nearest-neighbor downscale to fit `maxDim`
     * (deterministic — no interpolation rounding to diverge on), re-encode
     * PNG. Images already within `maxDim` (and undecodable payloads) pass

@@ -18,7 +18,94 @@ object MultimodalQueries {
     GraftQuery("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
     GraftQuery("q_media_ahash", mediaAHash, Some(mediaAHashSql)),
     GraftQuery("q_media_dup_groups", mediaDupGroups, Some(mediaDupGroupsSql)),
+    GraftQuery("q_media_dup_radius", mediaDupRadius, Some(mediaDupRadiusSql)),
   )
+
+  /** Hamming-radius image duplicate classes — the retouched-image
+    * variant of [[mediaDupGroups]] (exact-equality grouping misses a
+    * 1-bit hash drift): every distinct image gets a PLANTED retouched
+    * copy (id+1000) whose aHash differs in exactly one deterministic
+    * bit (bit id%64 — some flips land in the a half, some in b), then
+    * banded Hamming-≤1 pairs + connected components label every image.
+    * Each planted copy MUST land in its original's component — a class
+    * exact grouping cannot recover — and genuinely 0/1-bit-apart
+    * formula images merge transitively the same way on both engines. */
+  def mediaDupRadius(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select((col("doc_id") % 50).as("img_key")).distinct()
+    val hashed = MultimodalOps.imageAHash(
+      MultimodalOps.encodeSyntheticPng(keys, "img_key"), "content", "media_id")
+      .select(col("media_id"), col("ahash_a"), col("ahash_b"))
+    val variants = hashed.select(
+      (col("media_id") + 1000).as("media_id"),
+      expr("""CASE WHEN media_id % 64 < 32
+             |  THEN ahash_a ^ shiftleft(CAST(1 AS BIGINT), CAST(media_id % 64 AS INT))
+             |  ELSE ahash_a END""".stripMargin).as("ahash_a"),
+      expr("""CASE WHEN media_id % 64 >= 32
+             |  THEN ahash_b ^ shiftleft(CAST(1 AS BIGINT), CAST(media_id % 64 - 32 AS INT))
+             |  ELSE ahash_b END""".stripMargin).as("ahash_b"))
+    MultimodalOps.ahashDupComponents(hashed.unionByName(variants),
+      "media_id", maxHamming = 1, bands = 2)
+  }
+
+  /** The oracle rebuilds the hashes from the pixel formulas, plants the
+    * same bit flips, finds Hamming-≤1 pairs by brute force (the exact
+    * verifier the banded engine path must agree with), and labels
+    * components with a recursive CTE. */
+  def mediaDupRadiusSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT DISTINCT doc_id % 50 AS media_id,
+      |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
+      |), px AS (
+      |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+      |), cells AS (
+      |  SELECT media_id, (y * 8) // h * 8 + (x * 8) // w AS idx,
+      |    CAST(sum((media_id * 31 + x * 7 + y * 13) % 256
+      |            + (media_id * 17 + x * 11 + y * 3) % 256
+      |            + (media_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS v,
+      |    count(*) AS n
+      |  FROM px GROUP BY media_id, idx
+      |), tot AS (
+      |  SELECT media_id, sum(v) AS g, sum(n) AS npx FROM cells GROUP BY media_id
+      |), bits AS (
+      |  SELECT c.media_id, c.idx,
+      |    CASE WHEN c.v * t.npx > t.g * c.n THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM cells c JOIN tot t USING (media_id)
+      |), hashes AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN idx < 32 THEN bit << idx ELSE 0 END) AS BIGINT) AS ahash_a,
+      |    CAST(sum(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_b
+      |  FROM bits GROUP BY media_id
+      |), allh AS (
+      |  SELECT media_id, ahash_a, ahash_b FROM hashes
+      |  UNION ALL
+      |  SELECT media_id + 1000,
+      |    CASE WHEN media_id % 64 < 32
+      |      THEN xor(ahash_a, 1::BIGINT << CAST(media_id % 64 AS INTEGER))
+      |      ELSE ahash_a END,
+      |    CASE WHEN media_id % 64 >= 32
+      |      THEN xor(ahash_b, 1::BIGINT << CAST(media_id % 64 - 32 AS INTEGER))
+      |      ELSE ahash_b END
+      |  FROM hashes
+      |), pairs AS (
+      |  SELECT p.media_id AS a, q.media_id AS b
+      |  FROM allh p JOIN allh q ON p.media_id < q.media_id
+      |  WHERE bit_count(xor(p.ahash_a, q.ahash_a))
+      |      + bit_count(xor(p.ahash_b, q.ahash_b)) <= 1
+      |), edges AS (
+      |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+      |), reach AS (
+      |  SELECT a AS id, a AS root FROM edges
+      |  UNION
+      |  SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+      |), comp AS (
+      |  SELECT id, min(root) AS component FROM reach GROUP BY id
+      |)
+      |SELECT h.media_id, coalesce(c.component, h.media_id) AS component
+      |FROM allh h LEFT JOIN comp c ON c.id = h.media_id""".stripMargin
 
   /** Image dedup end to end: every doc re-encodes the image of
     * doc_id % 50, so each distinct image recurs ~n/50 times under
