@@ -31,13 +31,17 @@ object SnapshotOps {
     * `carryCols` are passed through (new side wins where present, the
     * old side supplies them for removed docs). Ids must be unique
     * within each snapshot — it is a keyed corpus, not a multiset — and
-    * the default-on `assertUniqueIds` guard enforces that LOUDLY (one
-    * cheap count-vs-count-distinct aggregate per side, on the narrow
-    * id column only): a duplicated id would otherwise fan out the
-    * full-outer join into silently duplicated status rows. Pass
-    * `assertUniqueIds = false` only when uniqueness is already
-    * guaranteed upstream (e.g. the output of an exact-dedup pass) and
-    * the two planning-time jobs matter. */
+    * the default-on `assertUniqueIds` guard enforces that LOUDLY and
+    * LAZILY: each side carries a per-id window count checked by
+    * `assert_true` inside the plan, so construction stays a pure plan
+    * builder (no jobs run until the caller acts) and a duplicated id
+    * fails the action instead of silently fanning out the full-outer
+    * join into duplicated status rows. The window partitions by the
+    * same id the join shuffles on, so the check rides the exchange the
+    * join needs anyway — no extra aggregate jobs, unlike an eager
+    * count-vs-count-distinct probe. Pass `assertUniqueIds = false`
+    * only when uniqueness is already guaranteed upstream (e.g. the
+    * output of an exact-dedup pass). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    digest: Column, carryCols: Seq[String],
                    assertUniqueIds: Boolean = true): DataFrame = {
@@ -45,25 +49,29 @@ object SnapshotOps {
       s"carryCols must not repeat the id column $idCol")
     val clash = (oldDf.columns ++ newDf.columns).filter(_.startsWith("__sd_"))
     require(clash.isEmpty, s"input already has reserved columns: ${clash.toSet}")
-    if (assertUniqueIds) {
-      def check(df: DataFrame, tag: String): Unit = {
-        val r = df.agg(count(col(idCol)).as("n"),
-          countDistinct(col(idCol)).as("nd")).collect()(0)
-        require(r.getLong(0) == r.getLong(1),
-          s"snapshotDiff: the $tag snapshot has duplicate $idCol values " +
-            s"(${r.getLong(0)} non-null rows, ${r.getLong(1)} distinct) — " +
-            "a keyed corpus must have unique ids; a duplicated id fans " +
-            "out the full-outer join into duplicate status rows")
-      }
-      check(oldDf, "old")
-      check(newDf, "new")
-    }
-    def side(df: DataFrame, tag: String) =
-      df.select(col(idCol).as(s"__sd_id_$tag") +:
+    def side(df: DataFrame, tag: String, sideName: String) = {
+      val proj = df.select(col(idCol).as(s"__sd_id_$tag") +:
         digest.as(s"__sd_dig_$tag") +:
         carryCols.map(c => col(c).as(s"__sd_${tag}_$c")): _*)
-    val o = side(oldDf, "o")
-    val n = side(newDf, "n")
+      if (!assertUniqueIds) proj
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(s"__sd_id_$tag"))
+        proj.withColumn("__sd_cnt", count(lit(1)).over(w))
+          // assert_true returns NULL on success; filtering on it forces
+          // evaluation and keeps every (passing) row
+          .filter(assert_true(
+            col(s"__sd_id_$tag").isNull || col("__sd_cnt") === 1,
+            lit(s"snapshotDiff: the $sideName snapshot has duplicate " +
+              s"$idCol values — a keyed corpus must have unique ids; a " +
+              "duplicated id fans out the full-outer join into duplicate " +
+              "status rows (pass assertUniqueIds = false only when " +
+              "uniqueness is guaranteed upstream)")).isNull)
+          .drop("__sd_cnt")
+      }
+    }
+    val o = side(oldDf, "o", "old")
+    val n = side(newDf, "n", "new")
     val status = when(col("__sd_id_o").isNull, "added")
       .when(col("__sd_id_n").isNull, "removed")
       .when(col("__sd_dig_o") =!= col("__sd_dig_n"), "changed")

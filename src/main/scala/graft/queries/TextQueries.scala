@@ -1503,26 +1503,31 @@ object TextQueries {
     TextOps.bpeEncode(docs(spark, sfDir), "text", "doc_id", PINNED_MERGES)
 
   /** The oracle frames each word's symbol list as a delimiter string
-    * `|s1||s2|…|sN|` and applies each pinned merge in rank order as a
-    * plain `replace('|l||r|' → '|lr|')`: non-overlapping left-to-right
+    * `⁁s1⁁⁁s2⁁…⁁sN⁁` and applies each pinned merge in rank order as a
+    * plain `replace('⁁l⁁⁁r⁁' → '⁁lr⁁')`: non-overlapping left-to-right
     * replacement over the framed string is EXACTLY the engine's greedy
     * fold (both consume the matched region and continue after it, and
-    * the full `|…|` framing makes partial-symbol matches impossible).
-    * Tokens never contain '|' or spaces by construction of the
-    * whitespace tokenizer. The SQL is GENERATED from [[PINNED_MERGES]]
-    * so the two sides cannot drift. */
+    * the full framing makes partial-symbol matches impossible). The
+    * delimiter is U+0001 — a control character no whitespace-split
+    * token of a text corpus contains (unlike the previous '|', which a
+    * token of consecutive pipes could collide with: '||' framed to
+    * '||||||' splits to 3 symbols, not 2); the engine counts
+    * characters exactly, so the frame char must be collision-free.
+    * The SQL is GENERATED from [[PINNED_MERGES]] so the two sides
+    * cannot drift. */
   def bpeEncodeSql: String = {
-    val framed = "'|' || array_to_string(" +
-      "list_transform(range(1, len(word) + 1), i -> word[i]), '||') || '|'"
+    val S = "\u0001"
+    val framed = s"'$S' || array_to_string(" +
+      s"list_transform(range(1, len(word) + 1), i -> word[i]), '$S$S') || '$S'"
     val folded = PINNED_MERGES.sortBy(_._1).foldLeft(framed) {
-      case (acc, (_, l, r, _)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
+      case (acc, (_, l, r, _)) => s"replace($acc, '$S$l$S$S$r$S', '$S$l$r$S')"
     }
     s"""WITH w AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
        |  FROM documents
        |), enc AS (
-       |  SELECT doc_id, len(string_split($folded, '||')) AS n_syms FROM w
+       |  SELECT doc_id, len(string_split($folded, '$S$S')) AS n_syms FROM w
        |), per_doc AS (
        |  SELECT doc_id, sum(n_syms) AS n FROM enc GROUP BY doc_id
        |)

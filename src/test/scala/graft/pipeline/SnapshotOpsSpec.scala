@@ -74,18 +74,21 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(rows.toSet == Set((1L, "changed", "NEWSRC"), (2L, "removed", "s")))
   }
 
-  test("snapshotDiff refuses duplicated ids loudly, per side") {
+  test("snapshotDiff refuses duplicated ids loudly, per side — and " +
+    "construction stays a lazy plan builder (no jobs until the action)") {
     val clean = snap((1L, "a", "s"), (2L, "b", "s"))
     val duped = snap((1L, "a", "s"), (1L, "a again", "s"), (2L, "b", "s"))
-    val eOld = intercept[IllegalArgumentException] {
-      SnapshotOps.snapshotDiff(duped, clean, "doc_id", dig, Seq("source"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // constructing the diff runs NOTHING (the guard is in-plan) — the
+    // duplicate surfaces at the action
+    val lazyDiff = SnapshotOps.snapshotDiff(duped, clean, "doc_id", dig, Seq("source"))
+    val eOld = intercept[Exception] { lazyDiff.collect() }
+    assert(msgs(eOld).exists(_.contains("old snapshot has duplicate doc_id")))
+    val eNew = intercept[Exception] {
+      SnapshotOps.snapshotDiff(clean, duped, "doc_id", dig, Seq("source")).collect()
     }
-    assert(eOld.getMessage.contains("old snapshot has duplicate doc_id"))
-    assert(eOld.getMessage.contains("3 non-null rows, 2 distinct"))
-    val eNew = intercept[IllegalArgumentException] {
-      SnapshotOps.snapshotDiff(clean, duped, "doc_id", dig, Seq("source"))
-    }
-    assert(eNew.getMessage.contains("new snapshot has duplicate doc_id"))
+    assert(msgs(eNew).exists(_.contains("new snapshot has duplicate doc_id")))
     // documented opt-out: the caller owns uniqueness, the join fans out
     val rows = SnapshotOps.snapshotDiff(duped, clean, "doc_id", dig,
       Seq("source"), assertUniqueIds = false)
