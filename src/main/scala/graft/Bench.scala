@@ -92,7 +92,13 @@ object Bench {
       // rejects it
       .filter(_.matches("[0-9]+(\\.[0-9]+)?"))
       .getOrElse("null")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    // the note rides in the artifact so every consumer of a BENCH json
+    // sees the comparison protocol next to the numbers (the r8 driver
+    // artifact read 2.2x the committed record purely from box state)
+    val note = "shared-box totals carry +/-20-30% noise; compare " +
+      "PER-QUERY MEDIANS against the committed BENCH.json record, " +
+      "normalized by the suite-wide median ratio (see BASELINE.md)"
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":$sfNum,"sf_dir":"$sfDir","note":"$note"}"""
     println(line)
     // Machine-readable artifact with the per-iteration samples behind the
     // medians (stdout travels through sbt's log prefixes; the file does

@@ -182,6 +182,107 @@ object ServeSoakMain {
     println(f"  stream: ${stats.size} batches, median probe $medBatch%.2f s, " +
       f"worst byte-prune $maxPrune%.2f%%")
 
+    // ---- 1e. streaming stored-MinHash-index near-dup screen ---------------
+    // the ingest-time daily-crawl screen measured end to end: build the
+    // index once over nDocs synthetic docs, DELTA-MERGE append a 10%
+    // crawl (cost must track the delta, not the corpus), then screen a
+    // rate-limited doc stream where 1 in 5 arrivals is a near-copy
+    // (one word mutated) of an index doc. The map-only bloom prescreen
+    // ratio is measured batch-style with the SAME stored bitmap and
+    // band arithmetic the stream compiles in.
+    import graft.pipeline.DedupOps
+    val nDocs = math.max(nVecs / 2, 1000L)
+    def docText(idExpr: String, seed: Int) =
+      s"array_join(transform(sequence(0, 29), " +
+        s"j -> concat('w', pmod(xxhash64($idExpr, j, $seed), 5000))), ' ')"
+    val idxDocs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), expr(docText("id", 11)).as("text"))
+    val mhPath = java.nio.file.Files.createTempDirectory("graft_soak_mh").toString
+    // size the bloom to the corpus: ~4 distinct band keys per doc, and
+    // prune power needs ~16 bits/key — the default 2^20 (sized for the
+    // bench-scale gate) saturates past ~50k docs (measured: 50.6% of
+    // keys "pass" at 100k docs = no prune). The knob is in the artifact
+    // meta, so probes and streams pick it up with zero code changes.
+    val mhBloomBits = java.lang.Long.highestOneBit(
+      math.max(16L * 4L * nDocs, 1L << 20)).toInt << 1
+    val (_, tMhBuild) = time(f"write MinHash index over $nDocs%,d docs " +
+        f"(bloom ${mhBloomBits / 8 / 1024}%,d KB)") {
+      DedupOps.writeMinhashIndex(idxDocs, "text", "doc_id", mhPath,
+        bloomBits = mhBloomBits)
+    }
+    val nMhApp = math.max(nDocs / 10, 1L)
+    val appDocs = spark.range(nMhApp)
+      .select((col("id") + nDocs).as("doc_id"), expr(docText("id", 12)).as("text"))
+    val (_, tMhApp) = time(f"delta-merge append $nMhApp%,d docs (10%% crawl)") {
+      DedupOps.appendMinhashIndex(spark, mhPath, appDocs, "text", "doc_id")
+    }
+    println(f"  append/build = ${tMhApp / tMhBuild}%.2f x at a 0.10 delta " +
+      "(delta-proportional when well under 1)")
+    // arriving-doc generator: near-copy of index doc (sid%nDocs) with one
+    // mutated word when sid%5=0, fresh text otherwise
+    val arrivalText =
+      s"""CASE WHEN sid % 5 = 0 THEN
+         |  array_join(transform(sequence(0, 29),
+         |    j -> CASE WHEN j = pmod(sid, 30) THEN 'MUTANT'
+         |         ELSE concat('w', pmod(xxhash64(pmod(sid, $nDocs), j, 11), 5000)) END), ' ')
+         |ELSE ${docText("sid", 13)} END""".stripMargin
+    // measured prescreen: same stored bitmap + band arithmetic the
+    // stream compiles in, over one batch-shaped arrival population
+    val mhMeta = DedupOps.readMinhashIndexMeta(spark, mhPath)
+    val mhBits = DedupOps.readStoredBloom(spark, mhPath, mhMeta)
+    val arrivalPop = spark.range(2000)
+      .select(col("id").as("sid")).selectExpr("sid", s"$arrivalText AS text")
+    val popKeys = arrivalPop.select(col("sid"),
+      posexplode(DedupOps.lshBandKeys(
+        DedupOps.minhashSignature(col("text"), mhMeta.shingleK, mhMeta.numHashes),
+        mhMeta.bands, mhMeta.numHashes / mhMeta.bands))
+        .as(Seq("band_idx", "band_hash")))
+      .withColumn("pass", graft.functions.BloomFilter.mightContainCol(
+        DedupOps.bloomKey(col("band_idx"), col("band_hash")),
+        mhBits, mhMeta.bloomHashes, mhMeta.bloomBits))
+    val pre = popKeys.agg(count(lit(1)), sum(when(col("pass"), 1L).otherwise(0L)),
+        countDistinct(col("sid")),
+        countDistinct(when(col("pass"), col("sid")))).collect()(0)
+    println(f"  prescreen: ${pre.getLong(1)}%,d/${pre.getLong(0)}%,d band keys pass the " +
+      f"stored bloom (${100.0 * pre.getLong(1) / pre.getLong(0)}%.1f%%); " +
+      f"${pre.getLong(3)}%,d/${pre.getLong(2)}%,d docs reach the join " +
+      f"(${100.0 * pre.getLong(3) / pre.getLong(2)}%.1f%%)")
+    val mhBatchStats =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, Long, Double)]())
+    val docStream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 50).load()
+      .select(col("value").as("sid"), col("timestamp"))
+      .selectExpr("sid AS doc_id", s"$arrivalText AS text", "timestamp")
+    val mhFlags = graft.streaming.PipelineStreams.nearDupStoredIndexFlagsStream(
+      spark, mhPath, docStream, "text", "doc_id", "timestamp", "10 seconds")
+    val (mq, _) = time("start streaming stored-index near-dup screen (50 docs/s)") {
+      mhFlags.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val t0 = System.nanoTime()
+          val n = batch.count()
+          mhBatchStats.add((batchId, n, (System.nanoTime() - t0) / 1e9))
+          () // the sink lambda must be Unit-typed for the Scala overload
+        }
+        .start()
+    }
+    val mhT0 = System.nanoTime()
+    while (mhBatchStats.asScala.count(_._2 > 0) < 5 &&
+        (System.nanoTime() - mhT0) / 1e9 < 180)
+      Thread.sleep(250)
+    mq.stop()
+    val mhStats = mhBatchStats.asScala.toVector.filter(_._2 > 0).sortBy(_._1)
+    require(mhStats.size >= 5,
+      s"minhash stream soak produced only ${mhStats.size} flagging batches in 180 s")
+    mhStats.foreach { case (bid, n, secs) =>
+      println(f"  mh-stream batch $bid%3d: $n%5d flags in $secs%5.2f s")
+    }
+    val mhMed = mhStats.map(_._3).sorted.apply(mhStats.size / 2)
+    val mhFlagRate = mhStats.map(_._2).sum /
+      math.max((System.nanoTime() - mhT0) / 1e9, 1e-9)
+    println(f"  mh-stream: ${mhStats.size} flagging batches, median batch " +
+      f"$mhMed%.2f s, ${mhFlagRate}%.0f flags/s sustained")
+
     // ---- 1c. SemDeDup under adversarial cluster skew ----------------------
     // 90% of the corpus is ONE tight cluster (base direction + small
     // noise) — the shape that makes a within-cluster pairwise sweep
