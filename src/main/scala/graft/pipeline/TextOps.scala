@@ -347,6 +347,81 @@ object TextOps {
         coalesce(col("unique_frac_permille"), lit(0L)).as("unique_frac_permille"))
   }
 
+  /** Smoothed bigram language-model quality score — the CCNet-style
+    * "how much does a reference slice's LM like this document" signal
+    * (Wenzek et al. 2019, arXiv:1911.00359, which buckets Common Crawl
+    * by a Wikipedia-trained LM's perplexity). The model is add-one
+    * bigram MLE over the `trainPred` slice:
+    *
+    *   p(w2 | w1) = (c2(w1,w2) + 1) / (c1(w1) + V)
+    *
+    * with c2 = train bigram count, c1 = count of w1 as a bigram context
+    * (= Σ_w2 c2), and V = the count of distinct train contexts. Each
+    * document is scored by the MEAN smoothed continuation probability of
+    * its bigrams in fixed-point (`scale` = parts-per-million): unlike
+    * log-perplexity this needs no transcendentals, so the DuckDB oracle
+    * matches bit-for-bit (cross-engine libm ln() is not hash-stable),
+    * while ordering documents the same way for the head/middle/tail
+    * bucketing a consumer applies downstream ([[ngramFamiliarity]] is
+    * the UNCONDITIONAL corpus-frequency cousin; this one scores
+    * cross-slice generalization of token TRANSITIONS).
+    *
+    * Shape at 100 TB: ONE codegen'd shingle pass over the corpus (the
+    * (ctx, big) pair relation is localCheckpointed, the
+    * [[maskRepeatedSpans]] discipline), one partial-aggregated groupBy
+    * for the bigram counts, c1 and V derived from that compact counts
+    * relation (never a second corpus pass), then count-table joins that
+    * AQE broadcasts when the train vocabulary is small. All int64.
+    *
+    * Unknown contexts score scale/(0+V) — the uniform-over-vocab floor;
+    * docs with < 2 tokens have no bigrams and score 0 by convention. */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String,
+                    trainPred: Column, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    import graft.functions.TokenShingleHash
+    val u = TokenShingleHash.shingleHashes(col(textCol), 1)
+    val b = TokenShingleHash.shingleHashes(col(textCol), 2)
+    val pairs = df.select(col(idCol), trainPred.as("__lm_tr"),
+        explode(zip_with(slice(u, lit(1), size(u) - 1), b,
+          (c, g) => struct(c.as("ctx"), g.as("big")))).as("__lm"))
+      .select(col(idCol), col("__lm_tr"),
+        col("__lm.ctx").as("__ctx"), col("__lm.big").as("__big"))
+      .localCheckpoint()
+    val c2 = pairs.filter(col("__lm_tr"))
+      .groupBy(col("__ctx"), col("__big")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("__ctx")).agg(sum(col("__c2")).as("__c1"))
+    // V rides a ONE-ROW broadcast (Catalyst rewrites any constant-key
+    // equi join here back to a nested loop, and for a single-row build
+    // side that IS the optimal plan — allow-listed in PlanAuditSpec
+    // with this justification)
+    val vocab = c1.agg(count(lit(1)).as("__v"))
+    val terms = pairs
+      .join(c2, Seq("__ctx", "__big"), "left")
+      .join(c1, Seq("__ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      // lazy loud guard (the snapshotDiff discipline): an empty train
+      // slice means V=0 — no model — and the add-one denominator would
+      // hit ANSI divide-by-zero; fail with intent instead
+      .filter(assert_true(col("__v") > 0,
+        lit("bigramLmScore: empty train slice (V=0) — trainPred matched " +
+          "no documents with at least one bigram; there is no model to " +
+          "score against")).isNull)
+      .select(col(idCol),
+        call_function("div",
+          (coalesce(col("__c2"), lit(0L)) + lit(1L)) * lit(scale),
+          coalesce(col("__c1"), lit(0L)) + col("__v")).as("__term"))
+    val perDoc = terms.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("score_sum"))
+      .select(col(idCol), col("n_bigrams"), col("score_sum"),
+        call_function("div", col("score_sum"), col("n_bigrams"))
+          .as("avg_score"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        coalesce(col("avg_score"), lit(0L)).as("avg_score"))
+  }
+
   /** Canonical text form for near-exact dedup: lowercase, every
     * non-alphanumeric run collapsed to one space, trimmed. Catches the
     * re-encoded copies exact dedup misses (case changes, punctuation

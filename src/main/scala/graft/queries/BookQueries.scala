@@ -68,6 +68,18 @@ object BookQueries {
     // the transition reads only the restored book, never the history.
     GraftQuery("bbo_resume_modify_n2", (s, d) => bboResumeModify(s, d, 2),
       Some(resumeModifyOracle(2))),
+    // downstream microstructure analytics composed ON the replay output —
+    // what the reference's users compute FROM top-of-book (the reference
+    // stops at the levels themselves). Fixed-point int64 throughout.
+    GraftQuery("q_bbo_microprice",
+      (s, d) => graft.operators.BookAnalytics.microprice(bboUpdates(s, d, 1)),
+      Some(micropriceOracle)),
+    GraftQuery("q_bbo_twa_spread",
+      (s, d) => graft.operators.BookAnalytics.timeWeightedSpread(bboUpdates(s, d, 1)),
+      Some(twaSpreadOracle)),
+    GraftQuery("q_bbo_ofi",
+      (s, d) => graft.operators.BookAnalytics.orderFlowImbalance(bboUpdates(s, d, 1)),
+      Some(ofiOracle)),
   )
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
@@ -416,4 +428,71 @@ object BookQueries {
   def mutationsOracle(n: Int): String =
     gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = false),
       "sum(u.qty)") + topNSelect(n)
+
+  // ---- book-analytics oracles: the n=1 replay as a CTE + arithmetic ----
+
+  /** The full n=1 updates-replay oracle wrapped as a `bbo` CTE so the
+    * analytics oracles can SELECT from it — proving the composition, not
+    * just the arithmetic. */
+  private def bboCte1: String =
+    gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = true),
+      "last_value(u.qty IGNORE NULLS)") +
+      s", bbo AS (${topNSelect(1)}\n)"
+
+  /** All divisions have positive operands, so DuckDB `//` (floor) and
+    * Spark `div` (truncate) agree; NULL book sides propagate to NULL
+    * analytics identically in both engines. */
+  def micropriceOracle: String =
+    s"""$bboCte1
+       |SELECT product, seq,
+       |  ask_price_1 - bid_price_1 AS spread,
+       |  CAST((bid_qty_1 * 1000) // (bid_qty_1 + ask_qty_1) AS BIGINT)
+       |    AS imbalance_permille,
+       |  CAST(((bid_price_1 * ask_qty_1 + ask_price_1 * bid_qty_1) * 1000000)
+       |    // (bid_qty_1 + ask_qty_1) AS BIGINT) AS microprice_e6
+       |FROM bbo""".stripMargin
+
+  def twaSpreadOracle: String =
+    s"""$bboCte1, sp AS (
+       |  SELECT product, seq,
+       |    ask_price_1 - bid_price_1 AS sp,
+       |    lead(seq) OVER (PARTITION BY product ORDER BY seq) - seq AS dt
+       |  FROM bbo
+       |)
+       |SELECT product,
+       |  count(*) AS n_events,
+       |  CAST(sum(CASE WHEN sp IS NOT NULL AND dt IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_quoted,
+       |  CAST(sum(CASE WHEN sp IS NOT NULL THEN dt END) AS BIGINT)
+       |    AS quoted_ticks,
+       |  CAST((sum(CASE WHEN sp IS NOT NULL THEN sp * dt END) * 1000)
+       |    // sum(CASE WHEN sp IS NOT NULL THEN dt END) AS BIGINT)
+       |    AS twa_spread_permille
+       |FROM sp GROUP BY product""".stripMargin
+
+  def ofiOracle: String =
+    s"""$bboCte1, lagged AS (
+       |  SELECT product, seq,
+       |    bid_price_1 AS b, bid_qty_1 AS qb,
+       |    ask_price_1 AS a, ask_qty_1 AS qa,
+       |    lag(bid_price_1) OVER w AS pb, lag(bid_qty_1) OVER w AS pqb,
+       |    lag(ask_price_1) OVER w AS pa, lag(ask_qty_1) OVER w AS pqa
+       |  FROM bbo WINDOW w AS (PARTITION BY product ORDER BY seq)
+       |), flows AS (
+       |  SELECT product, seq,
+       |    CASE WHEN b IS NOT NULL AND pb IS NOT NULL THEN
+       |      (CASE WHEN b >= pb THEN qb ELSE 0 END)
+       |        - (CASE WHEN b <= pb THEN pqb ELSE 0 END)
+       |    ELSE 0 END
+       |    + CASE WHEN a IS NOT NULL AND pa IS NOT NULL THEN
+       |      -(CASE WHEN a <= pa THEN qa ELSE 0 END)
+       |        + (CASE WHEN a >= pa THEN pqa ELSE 0 END)
+       |    ELSE 0 END AS ofi
+       |  FROM lagged
+       |)
+       |SELECT product, seq, CAST(ofi AS BIGINT) AS ofi,
+       |  CAST(sum(ofi) OVER (PARTITION BY product ORDER BY seq
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_ofi
+       |FROM flows""".stripMargin
 }

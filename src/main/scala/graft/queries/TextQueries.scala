@@ -72,6 +72,7 @@ object TextQueries {
     GraftQuery("q_mask_spans", maskSpansQ, Some(maskSpansSql), bench = true),
     GraftQuery("q_winnow", winnowQ, Some(winnowSql)),
     GraftQuery("q_text_hash_bow", textHashBow, Some(textHashBowSql)),
+    GraftQuery("q_lm_score", lmScoreQ, Some(lmScoreSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1617,5 +1618,50 @@ object TextQueries {
        |         ELSE string_split(d.text, ' ')[CAST(i AS INTEGER)] END), ' ')
        |  END AS masked_text
        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
+  }
+
+  /** CCNet-style LM quality scores: add-one bigram model trained on the
+    * even-doc_id slice, every doc scored by its mean smoothed
+    * continuation probability in parts-per-million (fixed-point — no
+    * logs, so the oracle is bit-exact; see TextOps.bigramLmScore). */
+  def lmScoreQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.bigramLmScore(docs(spark, sfDir), "text", "doc_id",
+      col("doc_id") % 2 === 0)
+
+  def lmScoreSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val big = graft.functions.TokenShingleHash.combineSql("th", 2)
+    s"""WITH tht AS (
+       |  SELECT doc_id, (doc_id % 2 = 0) AS tr,
+       |    list_transform(string_split(text, ' '), t -> $ph) AS th
+       |  FROM documents
+       |), pr AS (
+       |  SELECT doc_id, tr,
+       |    unnest(th[1:len(th) - 1]) AS ctx, unnest($big) AS big
+       |  FROM tht
+       |), c2 AS (
+       |  SELECT ctx, big, count(*) AS c2 FROM pr WHERE tr GROUP BY ctx, big
+       |), c1 AS (
+       |  SELECT ctx, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY ctx
+       |), voc AS (
+       |  SELECT count(*) AS v FROM c1
+       |), terms AS (
+       |  SELECT p.doc_id,
+       |    ((coalesce(c2.c2, 0) + 1) * 1000000)
+       |      // (coalesce(c1.c1, 0) + voc.v) AS term
+       |  FROM pr p
+       |  LEFT JOIN c2 ON p.ctx = c2.ctx AND p.big = c2.big
+       |  LEFT JOIN c1 ON p.ctx = c1.ctx
+       |  CROSS JOIN voc
+       |), per_doc AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(term) AS BIGINT) AS score_sum
+       |  FROM terms GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(p.score_sum, 0) AS score_sum,
+       |  coalesce(p.score_sum // p.n_bigrams, 0) AS avg_score
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
   }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class BookAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (product, seq, bid_px, bid_qty, ask_px, ask_qty) — NULLs via Option
+  private def bbo(rows: Seq[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]) =
+    rows.toDF("product", "seq", "bid_price_1", "bid_qty_1", "ask_price_1", "ask_qty_1")
+
+  test("microprice: hand-computed values, floor division, NULL one-sided") {
+    val out = BookAnalytics.microprice(bbo(Seq(
+      (1L, 10L, Some(100L), Some(3L), Some(104L), Some(1L)),
+      (1L, 11L, Some(100L), Some(3L), None, None),      // one-sided: NULLs
+      (1L, 12L, None, None, Some(104L), Some(1L)))))
+      .orderBy("seq").collect()
+    // seq=10: spread 4; imbalance 3000/4=750; micro (100*1+104*3)*1e6/4 = 103_000_000
+    assert(out(0).getLong(2) == 4L)
+    assert(out(0).getLong(3) == 750L)
+    assert(out(0).getLong(4) == 103000000L)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
+  test("twa spread: last event carries no weight; one-sided gaps excluded") {
+    // product 1: quotes at seq 0 (spread 2, dt 5), seq 5 (one-sided, dt 5),
+    // seq 10 (spread 4, dt 3), seq 13 (last, no dt)
+    val out = BookAnalytics.timeWeightedSpread(bbo(Seq(
+      (1L, 0L, Some(10L), Some(1L), Some(12L), Some(1L)),
+      (1L, 5L, Some(10L), Some(1L), None, None),
+      (1L, 10L, Some(10L), Some(1L), Some(14L), Some(1L)),
+      (1L, 13L, Some(10L), Some(1L), Some(11L), Some(1L)),
+      (2L, 0L, Some(5L), Some(1L), None, None)))) // never two-sided
+      .orderBy("product").collect()
+    val p1 = out(0)
+    assert(p1.getLong(1) == 4L) // n_events
+    assert(p1.getLong(2) == 2L) // n_quoted (seq 0 and 10; 13 has no dt)
+    assert(p1.getLong(3) == 8L) // quoted_ticks = 5 + 3
+    // area = 2*5 + 4*3 = 22 → 22000/8 = 2750
+    assert(p1.getLong(4) == 2750L)
+    val p2 = out(1)
+    assert(p2.getLong(1) == 1L && p2.getLong(2) == 0L)
+    assert(p2.isNullAt(3) && p2.isNullAt(4))
+  }
+
+  test("OFI: Cont-Kukanov-Stoikov sign conventions, NULL sides contribute 0") {
+    val out = BookAnalytics.orderFlowImbalance(bbo(Seq(
+      // n=0: no predecessor → 0
+      (1L, 0L, Some(100L), Some(5L), Some(104L), Some(7L)),
+      // n=1: bid improves (101>100): +qb=6; ask unchanged (104=104):
+      //   -qa=-8 +pqa=+7 → net bid 6, ask -1 → 5
+      (1L, 1L, Some(101L), Some(6L), Some(104L), Some(8L)),
+      // n=2: bid drops (99<101): -pqb=-6; ask improves down (103<104):
+      //   -qa=-2 → -8
+      (1L, 2L, Some(99L), Some(4L), Some(103L), Some(2L)),
+      // n=3: bid side empty now → bid 0; ask backs off (105>103): +pqa=+2
+      (1L, 3L, None, None, Some(105L), Some(9L)),
+      // n=4: bid reappears (prev NULL) → bid 0; ask unchanged:
+      //   -qa +pqa = -1+9 = 8... ask same price 105, qa=1: -1+9=8
+      (1L, 4L, Some(98L), Some(3L), Some(105L), Some(1L)))))
+      .orderBy("seq").collect()
+    val ofi = out.map(_.getLong(2)).toSeq
+    assert(ofi == Seq(0L, 5L, -8L, 2L, 8L))
+    val cum = out.map(_.getLong(3)).toSeq
+    assert(cum == Seq(0L, 5L, -3L, -1L, 7L))
+  }
+
+  test("analytics compose on the sf0.001 replay: row counts line up") {
+    val sfDir = "/root/testdata/sf0.001"
+    val frame = graft.queries.BookQueries.bboUpdates(spark, sfDir, 1)
+    val n = frame.count()
+    assert(BookAnalytics.microprice(frame).count() == n)
+    assert(BookAnalytics.orderFlowImbalance(frame).count() == n)
+    val twa = BookAnalytics.timeWeightedSpread(frame).collect()
+    assert(twa.length == 8) // 8 products
+    assert(twa.forall(r => r.getLong(1) > 0))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LmScoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bigram LM: hand-computed add-one probabilities, ppm fixed-point") {
+    // train slice = ids 0 and 2
+    //   doc 0 "a b a b": bigrams (a,b)x2 via... (a,b),(b,a),(a,b)
+    //   doc 2 "a b c":   (a,b),(b,c)
+    // model: c2(a,b)=3, c2(b,a)=1, c2(b,c)=1; c1(a)=3, c1(b)=2; V=2
+    val df = Seq(
+      (0L, Some("a b a b")),
+      (2L, Some("a b c")),
+      (1L, Some("a b x")),
+      (3L, Some("z")),
+      (4L, Some("x y")),
+      (5L, None: Option[String])
+    ).toDF("id", "text")
+    val out = TextOps.bigramLmScore(df, "text", "id", col("id").isin(0L, 2L))
+      .orderBy("id").collect()
+    def row(i: Int) = (out(i).getLong(0), out(i).getLong(1),
+      out(i).getLong(2), out(i).getLong(3))
+    // doc 0: (a,b)=4e6//5=800000 twice, (b,a)=2e6//4=500000
+    assert(row(0) == ((0L, 3L, 2100000L, 700000L)))
+    // doc 1: (a,b)=800000, (b,x)=(0+1)e6//(2+2)=250000
+    assert(row(1) == ((1L, 2L, 1050000L, 525000L)))
+    // doc 2: (a,b)=800000, (b,c)=2e6//4=500000
+    assert(row(2) == ((2L, 2L, 1300000L, 650000L)))
+    // doc 3: single token, no bigrams
+    assert(row(3) == ((3L, 0L, 0L, 0L)))
+    // doc 4: unknown context x -> uniform floor 1e6//(0+2)=500000
+    assert(row(4) == ((4L, 1L, 500000L, 500000L)))
+    // doc 5: null text
+    assert(row(5) == ((5L, 0L, 0L, 0L)))
+  }
+
+  test("train docs score above a shuffled-text doc (the quality signal)") {
+    // familiar prose repeated in train; the eval doc reverses token order
+    val train = (0 until 20).map(i =>
+      (i * 2L, "the quick brown fox jumps over the lazy dog"))
+    val eval = Seq((101L, "dog lazy the over jumps fox brown quick the"),
+      (103L, "the quick brown fox jumps over the lazy dog"))
+    val df = (train ++ eval).toDF("id", "text")
+    val out = TextOps.bigramLmScore(df, "text", "id", col("id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(103L) > out(101L),
+      s"in-distribution doc must outscore shuffled doc: $out")
+    // and the in-distribution eval doc scores exactly like a train doc
+    assert(out(103L) == out(0L))
+  }
+
+  test("empty train slice fails loudly (no model to score against)") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    val e = intercept[Exception] {
+      TextOps.bigramLmScore(df, "text", "id", lit(false)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("empty train slice")), e.toString)
+  }
+}

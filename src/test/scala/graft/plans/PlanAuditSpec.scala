@@ -27,7 +27,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // PQ quality track: same labeled verifier shapes — pqTopK's
       // broadcast code scan, plus the brute-force ground truth in the
       // recall comparison
-      "q_embed_pq_trained", "q_pq_recall_compare")
+      "q_embed_pq_trained", "q_pq_recall_compare",
+      // bigramLmScore attaches the vocabulary size V — a ONE-ROW
+      // aggregate — via crossJoin(broadcast): a single-row build side
+      // makes the nested loop the optimal (and only sensible) plan;
+      // Catalyst folds any constant-key equi-join disguise back to
+      // this shape anyway
+      "q_lm_score")
 
   private def planOf(name: String): String =
     Registry.byName(name).run(spark, sfDir)
