@@ -220,11 +220,23 @@ object SimilarityOps {
     val v = df.select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
       .filter(size(col("sv")) > 0)
       .localCheckpoint()
-    var cents: Seq[(Long, Seq[Long])] = v
+    val seed: Seq[(Long, Seq[Long])] = v
       .orderBy(HashFns.hash32(col("vid").cast("string")), col("vid"))
       .limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+    val cents = lloydRounds(v, seed, iters)
+    import df.sparkSession.implicits._
+    cents.toDF("cent_id", "cent_v")
+  }
+
+  /** The Lloyd iteration shared by cold-start training
+    * ([[kmeansCentroids]]) and warm-start refits from a stored model
+    * ([[refitKmeansModel]]): `v` must be a (vid, sv) relation of
+    * already-scaled non-empty vectors. */
+  private[pipeline] def lloydRounds(v: DataFrame,
+      start: Seq[(Long, Seq[Long])], iters: Int): Seq[(Long, Seq[Long])] = {
+    var cents = start
     for (_ <- 0 until iters) {
       val snapshot = cents.map { case (id, cv) =>
         var n2 = 0L; cv.foreach(x => n2 += x * x)
@@ -247,8 +259,7 @@ object SimilarityOps {
       // keep previous centroid for clusters that lost all members
       cents = cents.map { case (id, cv) => (id, updated.getOrElse(id, cv)) }
     }
-    import df.sparkSession.implicits._
-    cents.toDF("cent_id", "cent_v")
+    cents
   }
 
   /** Per-group mean-pooled embedding: the exact integer floor-mean of
@@ -919,6 +930,124 @@ object SimilarityOps {
       .select(col(idCol),
         coalesce(element_at(topCells(scaled(col(vecCol)), snapshot, 1), 1),
           lit(-1L)).as("cent_id"))
+  }
+
+  // ---- Persisted k-means model (train once, assign daily) ----------------
+  //
+  // The fourth artifact lifecycle (digest index, MinHash index, IVF-PQ
+  // index, and now the centroid model): a trained quantizer is a serving
+  // asset, not a per-run byproduct — the daily-crawl assignment pass must
+  // not re-run Lloyd. Same epoch discipline as the MinHash index: epoch
+  // directories are IMMUTABLE once written, meta (k, dim, iters, epoch)
+  // swaps sideways+rename LAST, so a reader always resolves a consistent
+  // centroid set even while a refit lands, and an interrupted refit
+  // leaves the previous epoch in place.
+
+  /** The model artifact's meta row: shape pin + epoch pointer. */
+  private[graft] final case class KmeansModelMeta(
+      k: Int, dim: Int, itersTrained: Int, epoch: Long)
+
+  private def kmeansEpochDir(path: String, epoch: Long): String =
+    s"$path/centroids/e$epoch"
+
+  private def swapKmeansMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, meta: KmeansModelMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.k, meta.dim, meta.itersTrained, meta.epoch))
+      .toDF("k", "dim", "iters_trained", "epoch")
+      .coalesce(1).write.parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"kmeans model: failed to swap meta into place at $target")
+  }
+
+  private[graft] def readKmeansModelMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): KmeansModelMeta = {
+    val rows =
+      try spark.read.parquet(s"$path/meta").collect()
+      catch { case e: Exception => throw new IllegalStateException(
+        s"kmeans model at $path has no readable meta — not a model " +
+          "artifact, or an interrupted write that never committed", e) }
+    val r = rows(0)
+    KmeansModelMeta(r.getAs[Int]("k"), r.getAs[Int]("dim"),
+      r.getAs[Int]("iters_trained"), r.getAs[Long]("epoch"))
+  }
+
+  /** Persist a trained centroid set as a model artifact. Validates the
+    * shape ONCE at write time (k rows, rectangular dim) so every later
+    * load can trust the meta pin. */
+  def writeKmeansModel(centroids: DataFrame, path: String,
+                       itersTrained: Int): Unit = {
+    val spark = centroids.sparkSession
+    val snap = collectCentroids(centroids.select(col("cent_id"), col("cent_v")))
+    require(snap.nonEmpty, "kmeans model: empty centroid set")
+    val dims = snap.map(_._2.length).distinct
+    require(dims.size == 1 && dims.head > 0,
+      s"kmeans model: centroids must share one positive dim, got $dims")
+    val meta = KmeansModelMeta(snap.size, dims.head, itersTrained, epoch = 0L)
+    centroids.select(col("cent_id"), col("cent_v"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(kmeansEpochDir(path, meta.epoch))
+    swapKmeansMeta(spark, path, meta)
+  }
+
+  /** Load the model's centroid relation, validating the stored rows
+    * against the meta pin — a truncated or foreign relation fails
+    * LOUDLY rather than silently assigning against a partial model. */
+  def readKmeansModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val meta = readKmeansModelMeta(spark, path)
+    val cents = spark.read.parquet(kmeansEpochDir(path, meta.epoch))
+    val snap = collectCentroids(cents.select(col("cent_id"), col("cent_v")))
+    require(snap.size == meta.k,
+      s"kmeans model at $path: epoch ${meta.epoch} holds ${snap.size} " +
+        s"centroids but meta pins k=${meta.k} — incomplete or corrupt")
+    require(snap.forall(_._2.length == meta.dim),
+      s"kmeans model at $path: stored centroid dim disagrees with meta " +
+        s"dim=${meta.dim}")
+    import spark.implicits._
+    snap.map { case (id, cv, _) => (id, cv) }.toDF("cent_id", "cent_v")
+  }
+
+  /** The daily serving pass: map-only assignment of a corpus against the
+    * STORED model — no Lloyd job, no training scan; the k×dim snapshot
+    * is the only thing read back. */
+  def assignFromStoredKmeans(spark: org.apache.spark.sql.SparkSession,
+                             path: String, df: DataFrame,
+                             idCol: String, vecCol: String): DataFrame =
+    assignToCentroids(df, idCol, vecCol, readKmeansModel(spark, path))
+
+  /** Warm-start refit: continue Lloyd from the STORED centroids over a
+    * new training relation (this week's crawl) and commit the result as
+    * a NEW epoch — readers racing the refit keep resolving the old
+    * epoch until the meta swap lands. Centroid ids are stable across
+    * refits (cluster identity persists), which is what makes stored
+    * assignments from different epochs comparable. */
+  def refitKmeansModel(spark: org.apache.spark.sql.SparkSession,
+                       path: String, train: DataFrame,
+                       idCol: String, vecCol: String, iters: Int): Unit = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val meta = readKmeansModelMeta(spark, path)
+    val start = collectCentroids(readKmeansModel(spark, path))
+      .map { case (id, cv, _) => (id, cv) }
+    val v = train.select(col(idCol).as("vid"), scaled(col(vecCol)).as("sv"))
+      .filter(size(col("sv")) > 0)
+      .localCheckpoint()
+    val cents = lloydRounds(v, start, iters)
+    cents.foreach { case (_, cv) => require(cv.length == meta.dim,
+      s"refit train vectors must have dim=${meta.dim}") }
+    val next = meta.copy(itersTrained = meta.itersTrained + iters,
+      epoch = meta.epoch + 1)
+    import spark.implicits._
+    cents.toDF("cent_id", "cent_v")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(kmeansEpochDir(path, next.epoch))
+    swapKmeansMeta(spark, path, next)
   }
 
   def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,

@@ -41,6 +41,10 @@ object SimilarityQueries {
     // model-free "cluster a crawl" path the LLM-pipeline track exists
     // for — every stage reuses an already-verified operator.
     GraftQuery("q_text_cluster", textCluster, Some(textClusterSql), bench = true),
+    // same clustering THROUGH the persisted-model lifecycle: train →
+    // writeKmeansModel → assignFromStoredKmeans; identical output, so it
+    // shares the oracle — proving the artifact round-trip loses nothing
+    GraftQuery("q_text_cluster_stored", textClusterStored, Some(textClusterSql)),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
@@ -762,6 +766,26 @@ object SimilarityQueries {
     val train = dense.filter(col("doc_id") % KM_TRAIN_STRIDE === 0)
     val cents = SimilarityOps.kmeansCentroids(train, "doc_id", "vec", KM_K, KM_ITERS)
     SimilarityOps.assignToCentroids(dense, "doc_id", "vec", cents)
+  }
+
+  /** [[textCluster]] routed through the persisted model: the trained
+    * centroids commit to a model artifact (fresh each run — rebuilt,
+    * never cached, so a regenerated corpus can't serve a stale model)
+    * and the assignment pass reads ONLY the artifact. Output ≡
+    * q_text_cluster, hence the shared oracle. */
+  def textClusterStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    val feats = graft.pipeline.TextOps.hashedBowFeatures(d, "text", "doc_id", TC_DIM)
+    val dense = feats.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("n")))).as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit((TC_DIM - 1).toLong)),
+          dd => coalesce(element_at(col("__m"), dd), lit(0L))).as("vec"))
+    val train = dense.filter(col("doc_id") % KM_TRAIN_STRIDE === 0)
+    val cents = SimilarityOps.kmeansCentroids(train, "doc_id", "vec", KM_K, KM_ITERS)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_model_${math.abs(sfDir.hashCode)}"
+    SimilarityOps.writeKmeansModel(cents, dir, KM_ITERS)
+    SimilarityOps.assignFromStoredKmeans(spark, dir, dense, "doc_id", "vec")
   }
 
   /** The oracle rebuilds the dense count vectors relationally (sparse
