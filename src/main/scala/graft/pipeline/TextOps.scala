@@ -422,6 +422,69 @@ object TextOps {
         coalesce(col("avg_score"), lit(0L)).as("avg_score"))
   }
 
+  /** DSIR-style data-selection importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023, arXiv:2302.03169): hashed-bigram features, add-one-smoothed
+    * TARGET vs RAW distributions, each document weighted by how much
+    * the target model prefers its features. Fixed-point surrogate: the
+    * per-feature probability ratio
+    *
+    *   r(f) = (c_t(f)+1)·(N_r+B) / ((c_r(f)+1)·(N_t+B))   [in ppm]
+    *
+    * and the document weight is the MEAN ratio over its features
+    * (DSIR sums log-ratios; the mean-ratio surrogate ranks target-like
+    * documents above raw-like ones for the same reason and needs no
+    * transcendentals, so the DuckDB oracle matches bit-for-bit — a
+    * consumer wanting the exact log weight can take logs offline).
+    * Raw = the WHOLE corpus (the crawl being filtered), target = the
+    * `targetPred` slice, exactly the paper's setup.
+    *
+    * Scale shape: one codegen'd shingle pass (checkpointed narrow
+    * (id, tgt, bucket) rows), then a groupBy whose key cardinality is
+    * ≤ `buckets` BY CONSTRUCTION — the count table is a bounded
+    * planning constant like the k-means centroid snapshot, so the
+    * ratios compute driver-side in BigInt (no int64 overflow at any
+    * corpus size) and rejoin as a broadcast literal; the scoring pass
+    * is map-only + one per-doc partial agg. */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  targetPred: Column, buckets: Int = 4096,
+                  scale: Long = 1000000L): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    import graft.functions.TokenShingleHash
+    val rows = df.select(col(idCol), targetPred.as("__ds_tgt"),
+        explode(TokenShingleHash.shingleHashes(col(textCol), 2)).as("__ds_h"))
+      .select(col(idCol), col("__ds_tgt"),
+        pmod(col("__ds_h"), lit(buckets.toLong)).as("__ds_f"))
+      .localCheckpoint()
+    val counts = rows.groupBy(col("__ds_f"))
+      .agg(count(lit(1)).as("__ds_call"),
+        sum(when(col("__ds_tgt"), 1L).otherwise(0L)).as("__ds_ct"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nR = BigInt(counts.map(_._2).sum) + buckets
+    val nT = BigInt(counts.map(_._3).sum) + buckets
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratios = counts.toSeq.map { case (f, cAll, cT) =>
+      val r = (BigInt(cT + 1) * nR * scale) / (BigInt(cAll + 1) * nT)
+      require(r.isValidLong,
+        s"dsirWeights: ratio for bucket $f overflows int64 — lower scale")
+      (f, r.toLong)
+    }.toDF("__ds_f", "__ds_r")
+    val perDoc = rows.join(broadcast(ratios), Seq("__ds_f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__ds_r")).as("__ds_sum"))
+      .select(col(idCol), col("n_feats"),
+        call_function("div", col("__ds_sum"), col("n_feats"))
+          .as("mean_ratio_ppm"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("mean_ratio_ppm"), lit(0L)).as("mean_ratio_ppm"))
+  }
+
   /** Canonical text form for near-exact dedup: lowercase, every
     * non-alphanumeric run collapsed to one space, trimmed. Catches the
     * re-encoded copies exact dedup misses (case changes, punctuation

@@ -755,14 +755,25 @@ object SimilarityQueries {
     * so training features touch 1/4 of the corpus), Lloyd rounds over
     * the sample only, then one map-only argmax pass over the full
     * corpus — no join, no shuffle after the feature groupBy. */
-  def textCluster(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared feature stage: hashed BOW rows assembled into dense
+    * TC_DIM count vectors, localCheckpointed — the TRAIN branch and the
+    * full-corpus assignment both consume it, so the corpus text is
+    * exploded and aggregated exactly ONCE (the maskRepeatedSpans
+    * one-pass discipline; the checkpointed relation is doc_id + 64
+    * longs, narrow by construction). */
+  private def denseBowVectors(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.read(spark, sfDir, "documents")
     val feats = graft.pipeline.TextOps.hashedBowFeatures(d, "text", "doc_id", TC_DIM)
-    val dense = feats.groupBy(col("doc_id"))
+    feats.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("dim"), col("n")))).as("__m"))
       .select(col("doc_id"),
         transform(sequence(lit(0L), lit((TC_DIM - 1).toLong)),
           dd => coalesce(element_at(col("__m"), dd), lit(0L))).as("vec"))
+      .localCheckpoint()
+  }
+
+  def textCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val dense = denseBowVectors(spark, sfDir)
     val train = dense.filter(col("doc_id") % KM_TRAIN_STRIDE === 0)
     val cents = SimilarityOps.kmeansCentroids(train, "doc_id", "vec", KM_K, KM_ITERS)
     SimilarityOps.assignToCentroids(dense, "doc_id", "vec", cents)
@@ -774,13 +785,7 @@ object SimilarityQueries {
     * and the assignment pass reads ONLY the artifact. Output ≡
     * q_text_cluster, hence the shared oracle. */
   def textClusterStored(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.read(spark, sfDir, "documents")
-    val feats = graft.pipeline.TextOps.hashedBowFeatures(d, "text", "doc_id", TC_DIM)
-    val dense = feats.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("n")))).as("__m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0L), lit((TC_DIM - 1).toLong)),
-          dd => coalesce(element_at(col("__m"), dd), lit(0L))).as("vec"))
+    val dense = denseBowVectors(spark, sfDir)
     val train = dense.filter(col("doc_id") % KM_TRAIN_STRIDE === 0)
     val cents = SimilarityOps.kmeansCentroids(train, "doc_id", "vec", KM_K, KM_ITERS)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_model_${math.abs(sfDir.hashCode)}"

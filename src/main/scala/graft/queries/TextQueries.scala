@@ -73,6 +73,7 @@ object TextQueries {
     GraftQuery("q_winnow", winnowQ, Some(winnowSql)),
     GraftQuery("q_text_hash_bow", textHashBow, Some(textHashBowSql)),
     GraftQuery("q_lm_score", lmScoreQ, Some(lmScoreSql)),
+    GraftQuery("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1663,5 +1664,48 @@ object TextQueries {
        |  coalesce(p.score_sum, 0) AS score_sum,
        |  coalesce(p.score_sum // p.n_bigrams, 0) AS avg_score
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
+  private val DSIR_BUCKETS = 4096
+
+  /** DSIR importance weights with src0 as the target distribution —
+    * "resample the crawl to look like src0" (TextOps.dsirWeights;
+    * fixed-point mean probability ratio, target vs whole-corpus raw). */
+  def dsirWeightsQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.dsirWeights(docs(spark, sfDir), "text", "doc_id",
+      col("source") === "src0", DSIR_BUCKETS)
+
+  def dsirWeightsSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val big = graft.functions.TokenShingleHash.combineSql("th", 2)
+    s"""WITH tht AS (
+       |  SELECT doc_id, (source = 'src0') AS tgt,
+       |    list_transform(string_split(text, ' '), t -> $ph) AS th
+       |  FROM documents
+       |), pr AS (
+       |  SELECT doc_id, tgt, unnest($big) % $DSIR_BUCKETS AS f
+       |  FROM tht
+       |), cnt AS (
+       |  SELECT f, count(*) AS c_all,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |  FROM pr GROUP BY f
+       |), tot AS (
+       |  SELECT CAST(sum(c_all) AS BIGINT) + $DSIR_BUCKETS AS n_r,
+       |         CAST(sum(c_t) AS BIGINT) + $DSIR_BUCKETS AS n_t
+       |  FROM cnt
+       |), ratio AS (
+       |  SELECT f,
+       |    CAST(((c_t + 1) * n_r * 1000000) // ((c_all + 1) * n_t) AS BIGINT) AS r
+       |  FROM cnt, tot
+       |), per_doc AS (
+       |  SELECT p.doc_id, count(*) AS n_feats,
+       |    CAST(sum(ratio.r) AS BIGINT) AS rsum
+       |  FROM pr p JOIN ratio ON p.f = ratio.f
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_feats, 0) AS n_feats,
+       |  coalesce(pd.rsum // pd.n_feats, 0) AS mean_ratio_ppm
+       |FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id""".stripMargin
   }
 }
