@@ -378,14 +378,7 @@ object TextOps {
   def bigramLmScore(df: DataFrame, textCol: String, idCol: String,
                     trainPred: Column, scale: Long = 1000000L): DataFrame = {
     require(scale >= 1000L, s"scale must be >= 1000, got $scale")
-    import graft.functions.TokenShingleHash
-    val u = TokenShingleHash.shingleHashes(col(textCol), 1)
-    val b = TokenShingleHash.shingleHashes(col(textCol), 2)
-    val pairs = df.select(col(idCol), trainPred.as("__lm_tr"),
-        explode(zip_with(slice(u, lit(1), size(u) - 1), b,
-          (c, g) => struct(c.as("ctx"), g.as("big")))).as("__lm"))
-      .select(col(idCol), col("__lm_tr"),
-        col("__lm.ctx").as("__ctx"), col("__lm.big").as("__big"))
+    val pairs = lmPairsOf(df, textCol, idCol, Seq(trainPred.as("__lm_tr")))
       .localCheckpoint()
     val c2 = pairs.filter(col("__lm_tr"))
       .groupBy(col("__ctx"), col("__big")).agg(count(lit(1)).as("__c2"))
@@ -407,9 +400,41 @@ object TextOps {
           "no documents with at least one bigram; there is no model to " +
           "score against")).isNull)
       .select(col(idCol),
-        call_function("div",
-          (coalesce(col("__c2"), lit(0L)) + lit(1L)) * lit(scale),
-          coalesce(col("__c1"), lit(0L)) + col("__v")).as("__term"))
+        lmTerm(col("__c2"), col("__c1"), col("__v"), scale).as("__term"))
+    lmAggregate(df, idCol, terms)
+  }
+
+  /** The bigram pair relation behind every LM-score surface: one
+    * codegen'd shingle pass emitting (id, extra..., ctx, big) rows —
+    * ctx = the hash of the bigram's first token, big = the combined
+    * bigram hash. */
+  private[graft] def lmPairsOf(df: DataFrame, textCol: String, idCol: String,
+                                  extra: Seq[Column] = Nil,
+                                  outer: Boolean = false): DataFrame = {
+    import graft.functions.TokenShingleHash
+    val u = TokenShingleHash.shingleHashes(col(textCol), 1)
+    val b = TokenShingleHash.shingleHashes(col(textCol), 2)
+    val z = zip_with(slice(u, lit(1), size(u) - 1), b,
+      (c, g) => struct(c.as("ctx"), g.as("big")))
+    // outer: docs with no bigrams (or null text) keep ONE null row, so a
+    // stateless streaming consumer still emits their zero-score row
+    val ex = if (outer) explode_outer(z) else explode(z)
+    df.select(col(idCol) +: extra :+ ex.as("__lm"): _*)
+      .withColumn("__ctx", col("__lm.ctx"))
+      .withColumn("__big", col("__lm.big"))
+      .drop("__lm")
+  }
+
+  /** The add-one smoothed fixed-point term p(w2|w1)·scale (unaliased). */
+  private[graft] def lmTerm(c2: Column, c1: Column, v: Column,
+                               scale: Long): Column =
+    call_function("div",
+      (coalesce(c2, lit(0L)) + lit(1L)) * lit(scale),
+      coalesce(c1, lit(0L)) + v)
+
+  /** Per-doc fold of term rows + restore of zero-bigram docs. */
+  private def lmAggregate(df: DataFrame, idCol: String,
+                          terms: DataFrame): DataFrame = {
     val perDoc = terms.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("score_sum"))
       .select(col(idCol), col("n_bigrams"), col("score_sum"),
@@ -420,6 +445,121 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score_sum"), lit(0L)).as("score_sum"),
         coalesce(col("avg_score"), lit(0L)).as("avg_score"))
+  }
+
+  // ---- Persisted bigram LM model (train weekly, score daily) -------------
+  //
+  // The LM counts are a serving asset like the MinHash index and the
+  // k-means centroid model: the weekly train pass commits (ctx, big)
+  // counts + derived context totals as IMMUTABLE epoch directories with
+  // the meta (v, epoch, counts) pointer swapped sideways+rename LAST,
+  // and the daily scoring pass — batch or streaming — reads ONLY the
+  // stored relations: the train corpus text is never re-read and the
+  // count aggregation never re-runs. Counts are sum-mergeable, so
+  // appends fold a DELTA-sized count relation into the stored one.
+
+  /** The model's meta row: vocabulary size pin + epoch pointer +
+    * completeness counts. */
+  private[graft] final case class LmModelMeta(
+      v: Long, c2Rows: Long, epoch: Long)
+
+  private def lmEpochDir(path: String, rel: String, epoch: Long): String =
+    s"$path/$rel/e$epoch"
+
+  private def swapLmMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, meta: LmModelMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.v, meta.c2Rows, meta.epoch)).toDF("v", "c2_rows", "epoch")
+      .coalesce(1).write.parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"lm model: failed to swap meta into place at $target")
+  }
+
+  private[graft] def readLmModelMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): LmModelMeta = {
+    val rows =
+      try spark.read.parquet(s"$path/meta").collect()
+      catch { case e: Exception => throw new IllegalStateException(
+        s"lm model at $path has no readable meta — not a model artifact, " +
+          "or an interrupted write that never committed", e) }
+    val r = rows(0)
+    LmModelMeta(r.getAs[Long]("v"), r.getAs[Long]("c2_rows"),
+      r.getAs[Long]("epoch"))
+  }
+
+  /** Commit bigram counts from one epoch's count relation: derives the
+    * context totals + vocabulary from the (already narrow) counts —
+    * never from text — and swaps meta last. */
+  private def commitLmEpoch(spark: org.apache.spark.sql.SparkSession,
+                            path: String, c2: DataFrame, epoch: Long): Unit = {
+    c2.write.mode("overwrite").parquet(lmEpochDir(path, "counts", epoch))
+    val stored = spark.read.parquet(lmEpochDir(path, "counts", epoch))
+    stored.groupBy(col("ctx"))
+      .agg(sum(col("n")).cast("long").as("n"))
+      .write.mode("overwrite").parquet(lmEpochDir(path, "ctx", epoch))
+    val ctxRel = spark.read.parquet(lmEpochDir(path, "ctx", epoch))
+    val v = ctxRel.count()
+    require(v > 0, "lm model: empty train slice — no bigrams to count")
+    swapLmMeta(spark, path, LmModelMeta(v, stored.count(), epoch))
+  }
+
+  /** Train-and-persist: ONE codegen'd text pass over the train slice →
+    * one partial-aggregated count shuffle → epoch 0 commit. */
+  def writeLmModel(train: DataFrame, textCol: String, idCol: String,
+                   path: String): Unit = {
+    val c2 = lmPairsOf(train, textCol, idCol)
+      .groupBy(col("__ctx").as("ctx"), col("__big").as("big"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    commitLmEpoch(train.sparkSession, path, c2, epoch = 0L)
+  }
+
+  /** Fold a new train slice into the stored model: the DELTA's counts
+    * merge with the stored relation by key (sum-mergeable, the MinHash
+    * delta-append argument) into a NEW immutable epoch; readers racing
+    * the append keep resolving the previous epoch until the meta swap.
+    * Cost: one text pass over the DELTA plus one count-relation-sized
+    * merge groupBy — never a re-read of earlier train text. */
+  def appendLmModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                    train: DataFrame, textCol: String, idCol: String): Unit = {
+    val meta = readLmModelMeta(spark, path)
+    val delta = lmPairsOf(train, textCol, idCol)
+      .groupBy(col("__ctx").as("ctx"), col("__big").as("big"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val merged = spark.read.parquet(lmEpochDir(path, "counts", meta.epoch))
+      .unionByName(delta)
+      .groupBy(col("ctx"), col("big"))
+      .agg(sum(col("n")).cast("long").as("n"))
+    commitLmEpoch(spark, path, merged, meta.epoch + 1)
+  }
+
+  /** The daily scoring pass against the STORED model: pairs of the
+    * scored corpus join the stored count relations (AQE broadcasts
+    * them when the train vocabulary is small), V comes from meta as a
+    * plan literal — no training scan, no count job, no one-row
+    * broadcast. Output ≡ [[bigramLmScore]] given the same train slice
+    * (pinned by LmScoreSpec). */
+  def scoreAgainstStoredLm(spark: org.apache.spark.sql.SparkSession,
+                           path: String, df: DataFrame, textCol: String,
+                           idCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    val meta = readLmModelMeta(spark, path)
+    val c2 = spark.read.parquet(lmEpochDir(path, "counts", meta.epoch))
+      .select(col("ctx").as("__ctx"), col("big").as("__big"),
+        col("n").as("__c2"))
+    val c1 = spark.read.parquet(lmEpochDir(path, "ctx", meta.epoch))
+      .select(col("ctx").as("__ctx"), col("n").as("__c1"))
+    val terms = lmPairsOf(df, textCol, idCol)
+      .join(c2, Seq("__ctx", "__big"), "left")
+      .join(c1, Seq("__ctx"), "left")
+      .select(col(idCol),
+        lmTerm(col("__c2"), col("__c1"), lit(meta.v), scale).as("__term"))
+    lmAggregate(df, idCol, terms)
   }
 
   /** DSIR-style data-selection importance weights (Xie et al., "Data

@@ -74,6 +74,10 @@ object TextQueries {
     GraftQuery("q_text_hash_bow", textHashBow, Some(textHashBowSql)),
     GraftQuery("q_lm_score", lmScoreQ, Some(lmScoreSql)),
     GraftQuery("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
+    // the LM score routed through the persisted model: train slice →
+    // writeLmModel artifact → scoreAgainstStoredLm; output ≡ q_lm_score,
+    // so it shares the oracle — the artifact round-trip loses nothing
+    GraftQuery("q_lm_score_stored", lmScoreStoredQ, Some(lmScoreSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1664,6 +1668,17 @@ object TextQueries {
        |  coalesce(p.score_sum, 0) AS score_sum,
        |  coalesce(p.score_sum // p.n_bigrams, 0) AS avg_score
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
+  /** [[lmScoreQ]] through the persisted-model lifecycle: the even-id
+    * train slice commits as an LM artifact (rebuilt fresh each run —
+    * never cached, so a regenerated corpus can't serve stale counts)
+    * and scoring reads ONLY the stored relations. */
+  def lmScoreStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lm_model_${math.abs(sfDir.hashCode)}"
+    TextOps.writeLmModel(d.filter(col("doc_id") % 2 === 0), "text", "doc_id", dir)
+    TextOps.scoreAgainstStoredLm(spark, dir, d, "text", "doc_id")
   }
 
   private val DSIR_BUCKETS = 4096

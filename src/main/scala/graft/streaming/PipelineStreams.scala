@@ -431,4 +431,45 @@ object PipelineStreams {
           .cast("double").as("total"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col(keyCol), col("n"), col("total"))
+
+  /** Streaming LM quality scores against the STORED bigram model
+    * ([[graft.pipeline.TextOps.writeLmModel]]) — the ingest-time twin of
+    * `TextOps.scoreAgainstStoredLm`: each arriving document's bigram
+    * pairs join the STATIC stored count relations (meta + epoch resolve
+    * ONCE at stream construction; restart to pick up appended epochs),
+    * V rides in as a plan literal, and the per-document fold is a
+    * windowed aggregation that emits when the watermark closes the
+    * window. Documents with no bigrams (or null text) still emit their
+    * zero row via the outer pair explode. Output per doc:
+    * (id, n_bigrams, score_sum, avg_score) — identical values to the
+    * batch scorer (pinned by PipelineStreamsSpec). */
+  def lmScoreStream(spark: org.apache.spark.sql.SparkSession, path: String,
+                    df: DataFrame, textCol: String, idCol: String,
+                    eventTimeCol: String, delay: String,
+                    scale: Long = 1000000L): DataFrame = {
+    import graft.pipeline.TextOps
+    val meta = TextOps.readLmModelMeta(spark, path)
+    val c2 = spark.read.parquet(s"$path/counts/e${meta.epoch}")
+      .select(col("ctx").as("__ctx"), col("big").as("__big"),
+        col("n").as("__c2"))
+    val c1 = spark.read.parquet(s"$path/ctx/e${meta.epoch}")
+      .select(col("ctx").as("__ctx"), col("n").as("__c1"))
+    val terms = TextOps.lmPairsOf(df, textCol, idCol,
+        extra = Seq(col(eventTimeCol)), outer = true)
+      .join(c2, Seq("__ctx", "__big"), "left")
+      .join(c1, Seq("__ctx"), "left")
+      .select(col(idCol), col(eventTimeCol),
+        when(col("__ctx").isNotNull,
+          TextOps.lmTerm(col("__c2"), col("__c1"), lit(meta.v), scale))
+          .as("__term"),
+        col("__ctx"))
+    terms.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), "1 second"), col(idCol))
+      .agg(count(col("__ctx")).as("n_bigrams"),
+        coalesce(sum(col("__term")), lit(0L)).as("score_sum"))
+      .select(col(idCol), col("n_bigrams"), col("score_sum"),
+        when(col("n_bigrams") > 0,
+          call_function("div", col("score_sum"), col("n_bigrams")))
+          .otherwise(lit(0L)).as("avg_score"))
+  }
 }

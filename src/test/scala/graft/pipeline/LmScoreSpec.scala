@@ -54,6 +54,49 @@ class LmScoreSpec extends AnyFunSuite {
     assert(out(103L) == out(0L))
   }
 
+  test("stored model: score-from-artifact == in-memory; append == one-shot") {
+    val df = (0 until 30).map { i =>
+      (i.toLong, s"tok${i % 5} tok${(i * 3) % 7} tok${i % 5} tok${(i * 2) % 4}")
+    }.toDF("id", "text")
+    val isTrain = col("id") % 2 === 0
+    val mem = TextOps.bigramLmScore(df, "text", "id", isTrain)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_model").toString
+    TextOps.writeLmModel(df.filter(isTrain), "text", "id", dir)
+    val stored = TextOps.scoreAgainstStoredLm(spark, dir, df, "text", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stored == mem)
+
+    // append: build from the first half of the train slice, fold in the
+    // second half -> must equal the one-shot artifact at a new epoch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lm_app").toString
+    TextOps.writeLmModel(df.filter(isTrain && col("id") < 14), "text", "id", dir2)
+    TextOps.appendLmModel(spark, dir2, df.filter(isTrain && col("id") >= 14),
+      "text", "id")
+    val m2 = TextOps.readLmModelMeta(spark, dir2)
+    assert(m2.epoch == 1L)
+    val appended = TextOps.scoreAgainstStoredLm(spark, dir2, df, "text", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(appended == mem)
+  }
+
+  test("stored model loud failures: missing artifact, empty train write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_bad").toString
+    val e1 = intercept[IllegalStateException] {
+      TextOps.scoreAgainstStoredLm(spark,
+        s"$dir/nothing_here", Seq((1L, "a b")).toDF("id", "text"), "text", "id")
+    }
+    assert(e1.getMessage.contains("no readable meta"))
+    val e2 = intercept[Exception] {
+      TextOps.writeLmModel(
+        Seq((1L, "solo")).toDF("id", "text"), "text", "id", s"$dir/empty")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e2).exists(_.contains("empty train slice")), e2.toString)
+  }
+
   test("empty train slice fails loudly (no model to score against)") {
     val df = Seq((1L, "a b")).toDF("id", "text")
     val e = intercept[Exception] {

@@ -487,4 +487,45 @@ class PipelineStreamsSpec extends AnyFunSuite {
     assert(view(2L) == ((2L, 2L, true, 0L)))
     assert(view(3L) == ((3L, 1L, false, 31L)))
   }
+
+  test("streaming LM scores against the stored model match the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val train = Seq((0L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_stream").toString
+    graft.pipeline.TextOps.writeLmModel(train, "text", "doc_id", dir)
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sdf = mem.toDF.toDF("doc_id", "text", "event_time")
+    val out = PipelineStreams.lmScoreStream(spark, dir, sdf,
+      "text", "doc_id", "event_time", "5 seconds")
+    val query = out.writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "a b c", ts(10)), (11L, "d e", ts(10)),
+        (12L, "solo", ts(11)))
+      query.processAllAvailable()
+      // push the watermark past the first windows so they emit
+      mem.addData((13L, "a b a b", ts(30)))
+      query.processAllAvailable()
+      mem.addData((14L, "b c", ts(60)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("lm_stream")
+      .select("doc_id", "n_bigrams", "score_sum", "avg_score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the three first-window docs plus 13 must have emitted (14's window
+    // may still be open); values match the batch stored-model scorer
+    val arrived = Seq((10L, "a b c"), (11L, "d e"), (12L, "solo"),
+      (13L, "a b a b")).toDF("doc_id", "text")
+    val batch = graft.pipeline.TextOps.scoreAgainstStoredLm(spark, dir,
+        arrived, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(Set(10L, 11L, 12L, 13L).subsetOf(streamed.keySet))
+    Seq(10L, 11L, 12L, 13L).foreach { id =>
+      assert(streamed(id) == batch(id), s"doc $id: ${streamed.get(id)} vs ${batch.get(id)}")
+    }
+    // no-bigram doc emitted a zero row (outer explode), not silence
+    assert(streamed(12L) == ((0L, 0L, 0L)))
+  }
 }
