@@ -283,6 +283,67 @@ object ServeSoakMain {
     println(f"  mh-stream: ${mhStats.size} flagging batches, median batch " +
       f"$mhMed%.2f s, ${mhFlagRate}%.0f flags/s sustained")
 
+    // ---- 1f. stored-LM scoring (train weekly, score daily) ----------------
+    // the fifth artifact lifecycle measured end to end: train the bigram
+    // LM over the SAME synthetic corpus the MinHash index indexed,
+    // delta-merge append the 10% crawl (cost must track the delta), then
+    // score a day's worth of arrivals batch-side (docs/s) and through
+    // the streaming twin at a rate limit.
+    import graft.pipeline.TextOps
+    val lmPath = java.nio.file.Files.createTempDirectory("graft_soak_lm").toString
+    val (_, tLmBuild) = time(f"write LM model over $nDocs%,d docs") {
+      TextOps.writeLmModel(idxDocs, "text", "doc_id", lmPath)
+    }
+    val (_, tLmApp) = time(f"delta-merge append $nMhApp%,d docs (10%% crawl)") {
+      TextOps.appendLmModel(spark, lmPath, appDocs, "text", "doc_id")
+    }
+    println(f"  append/build = ${tLmApp / tLmBuild}%.2f x at a 0.10 delta " +
+      "(delta-proportional when well under 1)")
+    val lmMeta = TextOps.readLmModelMeta(spark, lmPath)
+    println(f"  model: V=${lmMeta.v}%,d contexts, ${lmMeta.c2Rows}%,d bigram rows, " +
+      f"epoch ${lmMeta.epoch}")
+    val nScore = math.max(nDocs / 5, 1000L)
+    val scorePop = spark.range(nScore)
+      .select(col("id").as("doc_id"), expr(docText("id", 14)).as("text"))
+    val (scoredN, tLmScore) = time(f"batch-score $nScore%,d docs from storage") {
+      TextOps.scoreAgainstStoredLm(spark, lmPath, scorePop, "text", "doc_id")
+        .filter(col("n_bigrams") > 0).count()
+    }
+    println(f"  scored $scoredN%,d docs at ${scoredN / tLmScore}%.0f docs/s " +
+      "(model read from storage, no training scan)")
+    val lmBatchStats =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, Long, Double)]())
+    val lmDocStream = spark.readStream.format("rate")
+      .option("rowsPerSecond", 200).load()
+      .select(col("value").as("sid"), col("timestamp"))
+      .selectExpr("sid AS doc_id", s"${docText("sid", 15)} AS text", "timestamp")
+    val lmScores = graft.streaming.PipelineStreams.lmScoreStream(
+      spark, lmPath, lmDocStream, "text", "doc_id", "timestamp", "5 seconds")
+    val (lq, _) = time("start streaming stored-LM scorer (200 docs/s)") {
+      lmScores.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val t0 = System.nanoTime()
+          val n = batch.count()
+          lmBatchStats.add((batchId, n, (System.nanoTime() - t0) / 1e9))
+          ()
+        }
+        .start()
+    }
+    val lmT0 = System.nanoTime()
+    while (lmBatchStats.asScala.count(_._2 > 0) < 5 &&
+        (System.nanoTime() - lmT0) / 1e9 < 180)
+      Thread.sleep(250)
+    lq.stop()
+    val lmStats = lmBatchStats.asScala.toVector.filter(_._2 > 0).sortBy(_._1)
+    require(lmStats.size >= 5,
+      s"lm stream soak produced only ${lmStats.size} scoring batches in 180 s")
+    val lmMed = lmStats.map(_._3).sorted.apply(lmStats.size / 2)
+    val lmRate = lmStats.map(_._2).sum /
+      math.max((System.nanoTime() - lmT0) / 1e9, 1e-9)
+    println(f"  lm-stream: ${lmStats.size} scoring batches, median batch " +
+      f"$lmMed%.2f s, ${lmRate}%.0f scored docs/s sustained")
+
     // ---- 1c. SemDeDup under adversarial cluster skew ----------------------
     // 90% of the corpus is ONE tight cluster (base direction + small
     // noise) — the shape that makes a within-cluster pairwise sweep

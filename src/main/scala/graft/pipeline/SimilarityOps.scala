@@ -796,6 +796,70 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Contrastive training triplets mined from the corpus itself — the
+    * (anchor, positive, hard-negative) rows an embedding-model trainer
+    * consumes (the in-batch/hard-negative mining setup of SimCLR/DPR-
+    * style pipelines, run OFFLINE over the corpus):
+    *
+    *  - POSITIVE: each anchor's highest-cosine verified near-duplicate
+    *    at `posThreshold` or above, from the LSH-bucketed pair
+    *    generator ([[cosineNearDupPairs]] — equi-join candidates, exact
+    *    cosine verify, never all-pairs);
+    *  - HARD NEGATIVE: the highest-cosine same-cell vector BELOW
+    *    `negThreshold` (the coarse-quantizer cell is the "looks
+    *    related but isn't" candidate pool — exactly what makes a
+    *    negative hard); `negThreshold <= posThreshold` is required, so
+    *    a positive can never re-qualify as a negative.
+    *
+    * Anchors lacking either side are dropped (a triplet needs all
+    * three). Deterministic: exact integer dots, double division only at
+    * the final cosine, ties break to the smaller id.
+    *
+    * Scale shape: candidate generation is TWO equi-joins (LSH bucket
+    * for positives, centroid cell for negatives — both bounded blocking
+    * keys, no all-pairs anywhere), and both top-1 picks are windows
+    * partitioned by the anchor. The negative pool is per-cell, so a
+    * pathologically hot cell bounds the join fan-out the same way the
+    * SemDeDup representative argument does — linear per cell, never
+    * corpus-quadratic. */
+  def mineTriplets(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, posThreshold: Double,
+                   negThreshold: Double, planes: Int = 6): DataFrame = {
+    require(negThreshold <= posThreshold,
+      s"negThreshold ($negThreshold) must be <= posThreshold ($posThreshold)")
+    import org.apache.spark.sql.expressions.Window
+    val pos = cosineNearDupPairs(df, idCol, vecCol, posThreshold, planes)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id_a"))
+          .orderBy(col("cosine").desc, col("id_b"))))
+      .filter(col("__rk") === 1)
+      .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val withCell = df
+      .filter(exists(scaled(col(vecCol)), x => x =!= lit(0L)))
+      .select(col(idCol).as("__mt_id"), scaled(col(vecCol)).as("__mt_v"))
+      .withColumn("__mt_n2", coalesce(norm2(col("__mt_v")), lit(0L)))
+      .join(assignToCentroids(df, idCol, vecCol, centroids)
+        .select(col(idCol).as("__mt_id"), col("cent_id")), Seq("__mt_id"))
+    val a = withCell.as("a"); val m = withCell.as("m")
+    val neg = pos.select(col("anchor_id"))
+      .join(a, col("anchor_id") === col("a.__mt_id"))
+      .join(m, col("a.cent_id") === col("m.cent_id") &&
+        col("anchor_id") =!= col("m.__mt_id"))
+      .select(col("anchor_id"), col("m.__mt_id").as("neg_id"),
+        cosineFromInts(dot(col("a.__mt_v"), col("m.__mt_v")),
+          col("a.__mt_n2"), col("m.__mt_n2")).as("neg_cos"))
+      .filter(col("neg_cos") < negThreshold)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("neg_cos").desc, col("neg_id"))))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"))
+  }
+
   /** Transitive embedding dedup: connected components over the
     * [[cosineNearDupPairs]] graph, keep only each component's min-id
     * representative (plus everything unpaired) — the embedding-space twin

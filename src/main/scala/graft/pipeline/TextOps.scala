@@ -538,6 +538,21 @@ object TextOps {
     commitLmEpoch(spark, path, merged, meta.epoch + 1)
   }
 
+  /** Compact the stored count relations: repeated appends leave the
+    * current epoch's counts spread across many small files; compaction
+    * rewrites them into a fresh epoch at `targetFiles` (the IVF-PQ
+    * index's compact step, same sibling-epoch + meta-swap discipline).
+    * Scores are unchanged by construction — the relation content is
+    * identical, only the file layout moves. */
+  def compactLmModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val meta = readLmModelMeta(spark, path)
+    val c2 = spark.read.parquet(lmEpochDir(path, "counts", meta.epoch))
+      .coalesce(targetFiles)
+    commitLmEpoch(spark, path, c2, meta.epoch + 1)
+  }
+
   /** The daily scoring pass against the STORED model: pairs of the
     * scored corpus join the stored count relations (AQE broadcasts
     * them when the train vocabulary is small), V comes from meta as a

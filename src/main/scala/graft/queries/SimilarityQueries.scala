@@ -45,6 +45,10 @@ object SimilarityQueries {
     // writeKmeansModel → assignFromStoredKmeans; identical output, so it
     // shares the oracle — proving the artifact round-trip loses nothing
     GraftQuery("q_text_cluster_stored", textClusterStored, Some(textClusterSql)),
+    // mined contrastive triplets: verified near-dup positives + hardest
+    // same-cell negatives — the offline training-row generator for an
+    // embedding model, composed from three already-verified pieces
+    GraftQuery("q_mine_triplets", mineTripletsQ, Some(mineTripletsSql)),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
@@ -950,6 +954,74 @@ object SimilarityQueries {
   def embedNearDupSql: String =
     s"""WITH $nearDupPairsCtes
        |SELECT id_a, id_b, cosine FROM pairs""".stripMargin
+
+  private val MT_POS = 0.3
+  private val MT_NEG = 0.2
+
+  /** Contrastive triplets: LSH-verified positives (≥ $MT_POS) + hardest
+    * same-k-means-cell negative (< $MT_NEG) per anchor — the mined
+    * training rows for an embedding model (SimilarityOps.mineTriplets). */
+  def mineTripletsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val train = e.filter(col("vec_id") % KM_TRAIN_STRIDE === 0)
+    val cents = SimilarityOps.kmeansCentroids(train, "vec_id", "embedding",
+      KM_K, KM_ITERS)
+    SimilarityOps.mineTriplets(e, "vec_id", "embedding", cents,
+      MT_POS, MT_NEG, PLANES)
+  }
+
+  /** The oracle assembles the SAME three verified pieces: the bucketed
+    * pair relation (over the nonzero-norm `vb` — the pair generator's
+    * own domain), the unrolled k-means training over the UNFILTERED `v`
+    * (the engine trains on the raw stride sample), and the argmax cell
+    * assignment over `vb` (assignToCentroids' nonzero domain). */
+  def mineTripletsSql: String = {
+    val cos = (x: String, y: String) =>
+      s"""CAST(${dotSql(s"$x.sv", s"$y.sv")} AS DOUBLE)
+         |      / (sqrt(CAST(${norm2Sql(s"$x.sv")} AS DOUBLE))
+         |         * sqrt(CAST(${norm2Sql(s"$y.sv")} AS DOUBLE)))""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, $svSql AS sv FROM embeddings
+       |), vb AS (
+       |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket FROM v
+       |  WHERE ${norm2Sql("sv")} > 0
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cos("a", "b")} AS cosine
+       |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a", "b")} >= $MT_POS
+       |), pos AS (
+       |  SELECT id_a AS anchor_id, id_b AS pos_id, cosine AS pos_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id_a
+       |      ORDER BY cosine DESC, id_b) AS rk
+       |    FROM pairs
+       |  ) WHERE rk = 1
+       |), ${kmeansCtes()}, cents AS (
+       |  SELECT cent_id, cent_v FROM cents$KM_ITERS
+       |), asg AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id, row_number() OVER (
+       |      PARTITION BY v.vec_id ORDER BY
+       |      ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
+       |    FROM vb v, cents c
+       |  ) WHERE rk = 1
+       |), negc AS (
+       |  SELECT p.anchor_id, mv.vec_id AS neg_id, ${cos("av", "mv")} AS neg_cos
+       |  FROM pos p
+       |  JOIN asg aa ON aa.vec_id = p.anchor_id
+       |  JOIN asg mm ON mm.cent_id = aa.cent_id AND mm.vec_id <> p.anchor_id
+       |  JOIN vb av ON av.vec_id = p.anchor_id
+       |  JOIN vb mv ON mv.vec_id = mm.vec_id
+       |  WHERE ${cos("av", "mv")} < $MT_NEG
+       |), neg AS (
+       |  SELECT anchor_id, neg_id, neg_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY neg_cos DESC, neg_id) AS rk
+       |    FROM negc
+       |  ) WHERE rk = 1
+       |)
+       |SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+       |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id""".stripMargin
+  }
 
   /** Transitive embedding dedup: CC over the near-dup pairs, keep each
     * component's min-id representative + all unpaired vectors. */

@@ -72,8 +72,8 @@ object TextQueries {
     GraftQuery("q_mask_spans", maskSpansQ, Some(maskSpansSql), bench = true),
     GraftQuery("q_winnow", winnowQ, Some(winnowSql)),
     GraftQuery("q_text_hash_bow", textHashBow, Some(textHashBowSql)),
-    GraftQuery("q_lm_score", lmScoreQ, Some(lmScoreSql)),
-    GraftQuery("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
+    GraftQuery("q_lm_score", lmScoreQ, Some(lmScoreSql), bench = true),
+    GraftQuery("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql), bench = true),
     // the LM score routed through the persisted model: train slice →
     // writeLmModel artifact → scoreAgainstStoredLm; output ≡ q_lm_score,
     // so it shares the oracle — the artifact round-trip loses nothing

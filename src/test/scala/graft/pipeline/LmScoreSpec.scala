@@ -79,6 +79,17 @@ class LmScoreSpec extends AnyFunSuite {
     val appended = TextOps.scoreAgainstStoredLm(spark, dir2, df, "text", "id")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(appended == mem)
+
+    // compaction: fewer count files at a NEW epoch, identical scores
+    TextOps.compactLmModel(spark, dir2, targetFiles = 1)
+    val m3 = TextOps.readLmModelMeta(spark, dir2)
+    assert(m3.epoch == 2L && m3.v == m2.v && m3.c2Rows == m2.c2Rows)
+    val countFiles = new java.io.File(s"$dir2/counts/e2")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(countFiles == 1, s"expected 1 compacted file, got $countFiles")
+    val compacted = TextOps.scoreAgainstStoredLm(spark, dir2, df, "text", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(compacted == mem)
   }
 
   test("stored model loud failures: missing artifact, empty train write") {
