@@ -78,6 +78,10 @@ object TextQueries {
     // writeLmModel artifact → scoreAgainstStoredLm; output ≡ q_lm_score,
     // so it shares the oracle — the artifact round-trip loses nothing
     GraftQuery("q_lm_score_stored", lmScoreStoredQ, Some(lmScoreSql)),
+    // the whole preprocessing pipeline as ONE declarative plan: filter →
+    // cross-doc span masking over the survivors → packed-pretraining
+    // layout; the oracle chains the three stage oracles as CTEs
+    GraftQuery("q_e2e_pipeline", e2ePipelineQ, Some(e2ePipelineSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1594,12 +1598,17 @@ object TextQueries {
     TextOps.maskRepeatedSpans(docs(spark, sfDir), "text", "doc_id",
       SPAN_K, SPAN_MIN_FREQ)
 
-  def maskSpansSql: String = {
+  def maskSpansSql: String = maskSpansSqlFrom("documents")
+
+  /** The masking oracle parameterized over its input relation, so the
+    * end-to-end pipeline oracle can run it over the FILTERED survivors
+    * instead of the raw table. */
+  private def maskSpansSqlFrom(from: String): String = {
     val ph = graft.functions.StringPolyHash.polyHashSql("t")
     val comb = graft.functions.TokenShingleHash.combineSql("th", SPAN_K)
     s"""WITH tht AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '), t -> $ph) AS th
-       |  FROM documents
+       |  FROM $from
        |), sh AS (
        |  SELECT doc_id, $comb AS hs FROM tht
        |), st AS (
@@ -1622,7 +1631,7 @@ object TextQueries {
        |    i -> CASE WHEN list_contains(cl.ps, i - 1) THEN '<DUP>'
        |         ELSE string_split(d.text, ' ')[CAST(i AS INTEGER)] END), ' ')
        |  END AS masked_text
-       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
+       |FROM $from d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
   }
 
   /** CCNet-style LM quality scores: add-one bigram model trained on the
@@ -1680,6 +1689,55 @@ object TextQueries {
     TextOps.writeLmModel(d.filter(col("doc_id") % 2 === 0), "text", "doc_id", dir)
     TextOps.scoreAgainstStoredLm(spark, dir, d, "text", "doc_id")
   }
+
+  /** Raw crawl → training batches in ONE declarative plan: the composed
+    * corpus filter (quality + language + data-derived length cutoff +
+    * exact dedup) gates the corpus, cross-document repeated-span masking
+    * runs over the SURVIVORS (corpus span statistics computed on the
+    * filtered population — the order a real pipeline uses, so junk
+    * can't vote on what counts as boilerplate), and the masked docs
+    * land in the packed-pretraining layout (per-source shards,
+    * 512-token contexts). One output relation carries every stage's
+    * evidence: n_tokens, n_masked, and the packing coordinates.
+    * Catalyst plans the whole chain together — no materialization
+    * boundaries beyond the two deliberate checkpoints inside the filter
+    * gate and the span relation. */
+  def e2ePipelineQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val surv = corpusFilter(spark, sfDir).select(col("doc_id"))
+    val kd = d.join(surv, Seq("doc_id"), "left_semi")
+    val masked = TextOps.maskRepeatedSpans(
+      kd.select(col("doc_id"), col("text")), "text", "doc_id",
+      SPAN_K, SPAN_MIN_FREQ)
+    val t = masked.join(kd.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("n_masked"))
+    graft.pipeline.PackingOps.packContexts(t, Seq("source"), "doc_id",
+      "n_tokens", CTX_SIZE)
+  }
+
+  def e2ePipelineSql: String =
+    s"""WITH surv AS (
+       |${corpusFilterSql}
+       |), kd AS (
+       |  SELECT d.* FROM documents d JOIN surv USING (doc_id)
+       |), masked AS (
+       |${maskSpansSqlFrom("kd")}
+       |), t AS (
+       |  SELECT kd.source, m.doc_id, m.n_tokens, m.n_masked
+       |  FROM masked m JOIN kd USING (doc_id)
+       |), o AS (
+       |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+       |  FROM t
+       |)
+       |SELECT source, doc_id, n_tokens, n_masked,
+       |  CAST(pack_offset AS BIGINT) AS pack_offset,
+       |  CAST(pack_offset // $CTX_SIZE AS BIGINT) AS ctx_first,
+       |  CAST((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE AS BIGINT) AS ctx_last,
+       |  CAST(pack_offset % $CTX_SIZE AS BIGINT) AS ctx_offset,
+       |  CAST(((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE)
+       |    - (pack_offset // $CTX_SIZE) + 1 AS BIGINT) AS n_ctx_spanned
+       |FROM o""".stripMargin
 
   private val DSIR_BUCKETS = 4096
 
