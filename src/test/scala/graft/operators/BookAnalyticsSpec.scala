@@ -68,6 +68,85 @@ class BookAnalyticsSpec extends AnyFunSuite {
     assert(cum == Seq(0L, 5L, -3L, -1L, 7L))
   }
 
+  test("randomized frames: all three analytics match a plain-Scala reimplementation") {
+    val rnd = new scala.util.Random(43)
+    val rows: Seq[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
+      (0 until 400).map { i =>
+        def side() = if (rnd.nextInt(5) == 0) (None, None)
+          else (Some(90L + rnd.nextInt(20)), Some(1L + rnd.nextInt(50)))
+        val (bp, bq) = side(); val (ap, aq) = side()
+        (rnd.nextInt(3).toLong, i.toLong, bp, bq, ap, aq)
+      }
+    val df = bbo(rows)
+
+    // microprice
+    val micro = BookAnalytics.microprice(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3), r.getLong(4))))).toMap
+    rows.foreach { case (p, s, bp, bq, ap, aq) =>
+      val expect = for (b <- bp; qb <- bq; a <- ap; qa <- aq)
+        yield (a - b, qb * 1000 / (qb + qa), (b * qa + a * qb) * 1000000L / (qb + qa))
+      assert(micro((p, s)) == expect, s"micro p=$p s=$s")
+    }
+
+    // OFI vs per-product fold
+    val ofi = BookAnalytics.orderFlowImbalance(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (p, evs) =>
+      var cum = 0L
+      var prev: Option[(Option[Long], Option[Long], Option[Long], Option[Long])] = None
+      evs.sortBy(_._2).foreach { case (_, s, bp, bq, ap, aq) =>
+        val e = prev match {
+          case None => 0L
+          case Some((pbp, pbq, pap, paq)) =>
+            val bid = (for (b <- bp; pb <- pbp) yield
+              (if (b >= pb) bq.get else 0L) - (if (b <= pb) pbq.get else 0L)).getOrElse(0L)
+            val ask = (for (a <- ap; pa <- pap) yield
+              -(if (a <= pa) aq.get else 0L) + (if (a >= pa) paq.get else 0L)).getOrElse(0L)
+            bid + ask
+        }
+        cum += e
+        assert(ofi((p, s)) == ((e, cum)), s"ofi p=$p s=$s")
+        prev = Some((bp, bq, ap, aq))
+      }
+    }
+
+    // TWA spread vs per-product fold
+    val twa = BookAnalytics.timeWeightedSpread(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    rows.groupBy(_._1).foreach { case (p, evs) =>
+      val sorted = evs.sortBy(_._2)
+      val withDt = sorted.zip(sorted.drop(1).map(e => Some(e._2)) :+ None)
+        .map { case ((_, s, bp, _, ap, _), nxt) =>
+          (for (b <- bp; a <- ap) yield a - b, nxt.map(_ - s)) }
+      val quoted = withDt.collect { case (Some(sp), Some(dt)) => (sp, dt) }
+      val ticks = quoted.map(_._2).sum
+      val area = quoted.map { case (sp, dt) => sp * dt }.sum
+      val expect = (sorted.size.toLong, quoted.size.toLong,
+        if (quoted.isEmpty) None else Some(ticks),
+        if (quoted.isEmpty) None else Some(area * 1000 / ticks))
+      assert(twa(p) == expect, s"twa p=$p")
+    }
+  }
+
+  test("microprice is stateless map-only: runs unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Long, Long)]
+    val sdf = mem.toDF.toDF("product", "seq",
+      "bid_price_1", "bid_qty_1", "ask_price_1", "ask_qty_1")
+    val out = BookAnalytics.microprice(sdf)
+    val q = out.writeStream.format("memory").queryName("micro_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, 100L, 3L, 104L, 1L)); q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table("micro_stream").collect()(0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 750L && r.getLong(4) == 103000000L)
+  }
+
   test("analytics compose on the sf0.001 replay: row counts line up") {
     val sfDir = "/root/testdata/sf0.001"
     val frame = graft.queries.BookQueries.bboUpdates(spark, sfDir, 1)
