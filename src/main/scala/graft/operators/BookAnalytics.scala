@@ -80,6 +80,23 @@ object BookAnalytics {
           .as("twa_spread_permille"))
   }
 
+  /** Depth imbalance over the top n levels: total resting qty per side
+    * and 1000·bid_depth ÷ (bid_depth+ask_depth), floor — the multi-level
+    * generalization of [[microprice]]'s best-level imbalance (absent
+    * levels count 0; an entirely empty book yields NULL imbalance via
+    * the explicit guard, not a divide-by-zero). Map-only. */
+  def depthImbalance(bbo: DataFrame, n: Int,
+                     keyCols: Seq[String] = Seq("product", "seq")): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val bid = (1 to n).map(i => coalesce(col(s"bid_qty_$i"), lit(0L))).reduce(_ + _)
+    val ask = (1 to n).map(i => coalesce(col(s"ask_qty_$i"), lit(0L))).reduce(_ + _)
+    bbo.select(keyCols.map(col) ++ Seq(
+      bid.as("bid_depth"), ask.as("ask_depth"),
+      when(bid + ask > 0,
+        call_function("div", bid * 1000L, bid + ask))
+        .as("depth_imbalance_permille")): _*)
+  }
+
   /** Best-level order-flow imbalance (Cont, Kukanov & Stoikov 2014,
     * "The price impact of order book events", J. Financial Econometrics
     * 12(1) — the e_n of eq. (10)):

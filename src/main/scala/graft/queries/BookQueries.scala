@@ -80,7 +80,19 @@ object BookQueries {
     GraftQuery("q_bbo_ofi",
       (s, d) => graft.operators.BookAnalytics.orderFlowImbalance(bboUpdates(s, d, 1)),
       Some(ofiOracle)),
+    // multi-level depth imbalance (top-5 resting qty per side) and
+    // per-product exact spread quantiles — further replay compositions
+    GraftQuery("q_bbo_depth_n5",
+      (s, d) => graft.operators.BookAnalytics.depthImbalance(bboUpdates(s, d, 5), 5),
+      Some(depthOracle(5))),
+    GraftQuery("q_bbo_spread_quantiles",
+      (s, d) => graft.pipeline.StatsOps.exactQuantilesByGroup(
+        bboUpdates(s, d, 1), Seq("product"),
+        col("ask_price_1") - col("bid_price_1"), SPREAD_QUANTILES),
+      Some(spreadQuantilesOracle)),
   )
+
+  private val SPREAD_QUANTILES = Seq(100, 500, 900)
 
   /** Valid modify stream: slot = (event_id*31)%4 names "the order" being
     * modified within (product, side); lag over the slot's history gives
@@ -431,13 +443,20 @@ object BookQueries {
 
   // ---- book-analytics oracles: the n=1 replay as a CTE + arithmetic ----
 
-  /** The full n=1 updates-replay oracle wrapped as a `bbo` CTE so the
-    * analytics oracles can SELECT from it — proving the composition, not
-    * just the arithmetic. */
-  private def bboCte1: String =
+  /** The full updates-replay oracle at any n wrapped as a `bbo` CTE so
+    * the analytics oracles can SELECT from it — proving the composition,
+    * not just the arithmetic. (topNSelect's n>1 form carries its own
+    * `lists` CTE ahead of the final select; the split keeps it.) */
+  private def bboCte(n: Int): String = {
+    val body = topNSelect(n)
+    val cut = body.lastIndexOf("SELECT seq, product")
+    val (pre, fin) = body.splitAt(cut)
     gridAndState(EventStreams.bookStreamSql(qtyZeroEvery5 = true),
       "last_value(u.qty IGNORE NULLS)") +
-      s", bbo AS (${topNSelect(1)}\n)"
+      pre + s", bbo AS (\n$fin\n)"
+  }
+
+  private def bboCte1: String = bboCte(1)
 
   /** All divisions have positive operands, so DuckDB `//` (floor) and
     * Spark `div` (truncate) agree; NULL book sides propagate to NULL
@@ -469,6 +488,36 @@ object BookQueries {
        |    // sum(CASE WHEN sp IS NOT NULL THEN dt END) AS BIGINT)
        |    AS twa_spread_permille
        |FROM sp GROUP BY product""".stripMargin
+
+  def depthOracle(n: Int): String = {
+    val bid = (1 to n).map(i => s"coalesce(bid_qty_$i, 0)").mkString(" + ")
+    val ask = (1 to n).map(i => s"coalesce(ask_qty_$i, 0)").mkString(" + ")
+    s"""${bboCte(n)}
+       |SELECT product, seq,
+       |  CAST($bid AS BIGINT) AS bid_depth,
+       |  CAST($ask AS BIGINT) AS ask_depth,
+       |  CASE WHEN ($bid) + ($ask) > 0
+       |       THEN CAST((($bid) * 1000) // (($bid) + ($ask)) AS BIGINT)
+       |  END AS depth_imbalance_permille
+       |FROM bbo""".stripMargin
+  }
+
+  def spreadQuantilesOracle: String =
+    s"""$bboCte1, vals AS (
+       |  SELECT product, ask_price_1 - bid_price_1 AS v FROM bbo
+       |  WHERE ask_price_1 IS NOT NULL AND bid_price_1 IS NOT NULL
+       |), cnts AS (
+       |  SELECT product, v, count(*) AS c FROM vals GROUP BY product, v
+       |), cum AS (
+       |  SELECT product, v, c,
+       |    sum(c) OVER (PARTITION BY product ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER (PARTITION BY product) AS n
+       |  FROM cnts
+       |)
+       |SELECT product, q_permille,
+       |  min(CASE WHEN cum >= (q_permille * n + 999) // 1000 THEN v END) AS value
+       |FROM cum, (SELECT unnest([${SPREAD_QUANTILES.map(p => s"${p}::BIGINT").mkString(", ")}]) AS q_permille)
+       |GROUP BY product, q_permille""".stripMargin
 
   def ofiOracle: String =
     s"""$bboCte1, lagged AS (

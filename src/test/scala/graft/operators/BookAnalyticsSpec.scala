@@ -68,6 +68,19 @@ class BookAnalyticsSpec extends AnyFunSuite {
     assert(cum == Seq(0L, 5L, -3L, -1L, 7L))
   }
 
+  test("depth imbalance: absent levels count 0; empty book yields NULL, not div0") {
+    val df = Seq(
+      (1L, 1L, Some(5L), Some(2L), Some(7L), Some(3L)),   // 7 vs 10
+      (1L, 2L, Some(5L), Some(2L), None, None),           // 2 vs 0 -> 1000
+      (1L, 3L, None, None, None, None))                   // empty -> NULL
+      .toDF("product", "seq", "bid_qty_1", "bid_qty_2", "ask_qty_1", "ask_qty_2")
+    val out = BookAnalytics.depthImbalance(df, 2).orderBy("seq").collect()
+    assert(out(0).getLong(2) == 7L && out(0).getLong(3) == 10L)
+    assert(out(0).getLong(4) == 7000L / 17L)
+    assert(out(1).getLong(4) == 1000L)
+    assert(out(2).getLong(2) == 0L && out(2).isNullAt(4))
+  }
+
   test("randomized frames: all three analytics match a plain-Scala reimplementation") {
     val rnd = new scala.util.Random(43)
     val rows: Seq[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
