@@ -291,6 +291,131 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  // ---- REAL audio decode (JDK javax.sound, PCM WAV) ----------------------
+
+  /** Synthetic-audio formulas, shared by the encoder, the oracle, and
+    * the spec: mono PCM16 at 8 kHz, n = 200 + id%57 samples,
+    * sample(i) = (id·31 + i·17) % 2000 − 1000 ∈ [−1000, 999]. Small and
+    * integer-exact so per-id sums are oracle arithmetic, never floats. */
+  val WavSampleRate = 8000
+  def synthAudioSamples(id: Long): Int = (200 + id % 57).toInt
+  def synthSample(id: Long, i: Int): Int = ((id * 31 + i * 17) % 2000 - 1000).toInt
+
+  /** id → REAL RIFF/WAVE bytes (canonical 44-byte header + LE PCM16) —
+    * the WAV twin of [[encodeSyntheticPng]]: honest on-disk audio a real
+    * consumer (and [[decodeAudioFeatures]]' JDK decoder) accepts. */
+  def encodeSyntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = synthAudioSamples(id)
+        val dataSize = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort)                 // PCM
+          .putShort(1.toShort)                 // mono
+          .putInt(WavSampleRate)
+          .putInt(WavSampleRate * 2)           // byte rate
+          .putShort(2.toShort)                 // block align
+          .putShort(16.toShort)                // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var i = 0
+        while (i < n) { bb.putShort(synthSample(id, i).toShort); i += 1 }
+        new GenericRowWithSchema(Array[Any](id, bb.array()), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Columnar RIFF/WAVE header parse — the audio twin of the PNG IHDR
+    * walk in [[extractMeta]]: pure byte arithmetic (binary slice → hex →
+    * conv, little-endian recomposed per byte), no codec library. Emits
+    * `format_ok = false` with null fields for anything that is not a
+    * canonical-layout PCM WAV (the fmt chunk at offset 12, data at 36 —
+    * the layout every standard writer including the JDK's produces). */
+  def wavMeta(content: Column): Column = {
+    def u8(pos: Int): Column =
+      conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
+    def le(pos: Int, len: Int): Column =
+      (0 until len).map(i => u8(pos + i) * lit(1L << (8 * i))).reduce(_ + _)
+    val isWav = octet_length(content) >= 44 &&
+      substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+      substring(content, 9, 8) === lit("WAVEfmt ".getBytes("US-ASCII")) &&
+      le(21, 2) === 1L && // PCM
+      substring(content, 37, 4) === lit("data".getBytes("US-ASCII"))
+    val bits = le(35, 2)
+    val channels = le(23, 2)
+    val frames = when(channels > 0 && bits >= 8,
+      call_function("div", le(41, 4), channels * call_function("div", bits, lit(8L))))
+    struct(
+      octet_length(content).cast("long").as("n_bytes"),
+      isWav.as("format_ok"),
+      when(isWav, channels).as("n_channels"),
+      when(isWav, le(25, 4)).as("sample_rate"),
+      when(isWav, bits).as("bits_per_sample"),
+      when(isWav, frames).as("n_samples"))
+  }
+
+  /** REAL audio decode + featurize: `AudioSystem.getAudioInputStream`
+    * (the JDK's built-in PCM WAV reader — no external codec) in the
+    * mapPartitions slot, emitting exact integer amplitude statistics:
+    * sample count, signed sum, absolute sum, peak, and the fixed-point
+    * mean absolute amplitude. `decode_ok = false` with null features
+    * for payloads the reader rejects. 1:1, partition-parallel. Multi-
+    * channel input folds all channels into the stats (frames × channels
+    * samples) — the stats are per-SAMPLE, documented. */
+  def decodeAudioFeatures(df: DataFrame, contentCol: String,
+                          idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_amp", LongType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("peak_abs", LongType, nullable = true),
+      StructField("mean_abs_x1000", LongType, nullable = true)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val vals: Array[Any] =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              require(fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16)
+              val data = ais.readAllBytes()
+              val bb = java.nio.ByteBuffer.wrap(data).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              var nS = 0L; var sum = 0L; var sAbs = 0L; var peak = 0L
+              while (bb.remaining() >= 2) {
+                val v = bb.getShort.toLong
+                nS += 1; sum += v
+                val a = math.abs(v); sAbs += a; if (a > peak) peak = a
+              }
+              if (nS == 0) Array[Any](id, false, null, null, null, null, null)
+              else Array[Any](id, true, nS, sum, sAbs, peak, sAbs * 1000L / nS)
+            } finally ais.close()
+          } catch { case _: Exception =>
+            Array[Any](id, false, null, null, null, null, null)
+          }
+        new GenericRowWithSchema(vals, outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL perceptual average-hash (aHash) over decoded images — the
     * image near-dup signature: the raster is average-pooled onto an
     * 8×8 cell grid (cell of pixel (x,y) is ((x·8)/w, (y·8)/h) —

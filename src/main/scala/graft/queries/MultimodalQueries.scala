@@ -4,10 +4,12 @@ import graft.pipeline.MultimodalOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column queries: the `documents` text payloads stand in as
-  * opaque binary media blobs (this container has no codecs — decode is a
-  * deterministic stub; the Spark-side plumbing is real and oracle-checked
-  * where the stub arithmetic is SQL-expressible). */
+/** Multimodal-column queries over opaque binary media columns. Image
+  * decode (JDK ImageIO: PNG/JPEG) and audio decode (JDK javax.sound:
+  * PCM WAV) are REAL; the remaining stubs cover only formats whose
+  * codecs this container genuinely lacks (video frames), with the
+  * Spark-side plumbing real and oracle-checked where the arithmetic is
+  * SQL-expressible. */
 object MultimodalQueries {
 
   def all: Seq[GraftQuery] = Seq(
@@ -19,7 +21,64 @@ object MultimodalQueries {
     GraftQuery("q_media_ahash", mediaAHash, Some(mediaAHashSql)),
     GraftQuery("q_media_dup_groups", mediaDupGroups, Some(mediaDupGroupsSql)),
     GraftQuery("q_media_dup_radius", mediaDupRadius, Some(mediaDupRadiusSql)),
+    // REAL audio: RIFF/WAVE round-trip — columnar header parse and JDK
+    // PCM decode, oracle recomputing from the generator formulas
+    GraftQuery("q_audio_meta", audioMeta, Some(audioMetaSql)),
+    GraftQuery("q_audio_decode", audioDecode, Some(audioDecodeSql)),
   )
+
+  /** Columnar RIFF header parse over REAL WAV bytes (the audio twin of
+    * the PNG IHDR walk): every doc_id becomes a formula PCM16 clip via
+    * the real encoder; the oracle never sees the bytes — it recomputes
+    * every header field from the generator formulas, so the row only
+    * matches if the 44-byte canonical header and the byte-arithmetic
+    * parse agree exactly. */
+  def audioMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    MultimodalOps.encodeSyntheticWav(ids, "doc_id")
+      .select(col("media_id"), MultimodalOps.wavMeta(col("content")).as("m"))
+      .select(col("media_id"), col("m.*"))
+  }
+
+  def audioMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(44 + 2 * (200 + doc_id % 57) AS BIGINT) AS n_bytes,
+      |  TRUE AS format_ok,
+      |  CAST(1 AS BIGINT) AS n_channels,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(200 + doc_id % 57 AS BIGINT) AS n_samples
+      |FROM documents""".stripMargin
+
+  /** REAL decode round-trip for audio: formula clips through the real
+    * WAV encoder, then `AudioSystem`'s real PCM reader extracts exact
+    * amplitude statistics; the oracle recomputes them from the sample
+    * formula in pure integer SQL. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val wav = MultimodalOps.encodeSyntheticWav(ids, "doc_id")
+    MultimodalOps.decodeAudioFeatures(wav, "content", "media_id")
+  }
+
+  def audioDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id, 200 + doc_id % 57 AS n FROM documents
+      |), sm AS (
+      |  SELECT media_id, n, unnest(range(0, n)) AS i FROM d
+      |), v AS (
+      |  SELECT media_id, n, (media_id * 31 + i * 17) % 2000 - 1000 AS s
+      |  FROM sm
+      |), agg AS (
+      |  SELECT media_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+      |    CAST(sum(s) AS BIGINT) AS sum_amp,
+      |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |    CAST(max(abs(s)) AS BIGINT) AS peak_abs
+      |  FROM v GROUP BY media_id
+      |)
+      |SELECT media_id, TRUE AS decode_ok, n_samples, sum_amp, sum_abs,
+      |  peak_abs,
+      |  CAST((sum_abs * 1000) // n_samples AS BIGINT) AS mean_abs_x1000
+      |FROM agg""".stripMargin
 
   /** Hamming-radius image duplicate classes — the retouched-image
     * variant of [[mediaDupGroups]] (exact-equality grouping misses a
