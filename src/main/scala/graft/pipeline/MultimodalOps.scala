@@ -416,6 +416,58 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** Frame-level energy rows from REAL audio decode: the clip splits
+    * into `frameSize`-sample windows (partial tail kept) and each frame
+    * emits its exact integer absolute-amplitude sum — the time-local
+    * signature stream audio fingerprinting consumes ([[wavMeta]]'s
+    * decoder economy: one pass, partition-parallel; undecodable
+    * payloads emit no rows — the generator-style soft failure). */
+  def audioFrameEnergies(df: DataFrame, contentCol: String, idCol: String,
+                         frameSize: Int): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16)
+            val data = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(data).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val frames = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var fIdx = 0L; var inFrame = 0; var acc = 0L
+            while (bb.remaining() >= 2) {
+              acc += math.abs(bb.getShort.toLong)
+              inFrame += 1
+              if (inFrame == frameSize) {
+                frames += new GenericRowWithSchema(
+                  Array[Any](id, fIdx, acc), outSchema)
+                fIdx += 1; inFrame = 0; acc = 0L
+              }
+            }
+            if (inFrame > 0)
+              frames += new GenericRowWithSchema(
+                Array[Any](id, fIdx, acc), outSchema)
+            frames
+          } finally ais.close()
+        } catch { case _: Exception => Nil }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL perceptual average-hash (aHash) over decoded images — the
     * image near-dup signature: the raster is average-pooled onto an
     * 8×8 cell grid (cell of pixel (x,y) is ((x·8)/w, (y·8)/h) —

@@ -25,7 +25,64 @@ object MultimodalQueries {
     // PCM decode, oracle recomputing from the generator formulas
     GraftQuery("q_audio_meta", audioMeta, Some(audioMetaSql)),
     GraftQuery("q_audio_decode", audioDecode, Some(audioDecodeSql)),
+    GraftQuery("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
   )
+
+  private val AF_FRAME = 20   // samples per energy frame
+  private val AF_QUANT = 500L // energy quantization step
+
+  /** Audio near-dup fingerprints: REAL decode → frame energies →
+    * quantized level sequence → the VERIFIED winnowing operator over it
+    * (levels as tokens). Two clips sharing any w+k−1 = 6-frame run of
+    * quantized energies share a fingerprint — the local-overlap
+    * guarantee, now on audio; robust to amplitude noise below the
+    * quantization step by construction. */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val wav = MultimodalOps.encodeSyntheticWav(ids, "doc_id")
+    val en = MultimodalOps.audioFrameEnergies(wav, "content", "media_id", AF_FRAME)
+    val seqs = en
+      .select(col("media_id"), col("frame_idx").as("f"),
+        call_function("div", col("energy"), lit(AF_QUANT)).cast("string").as("t"))
+      .groupBy(col("media_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("f"), col("t")))),
+        s => s.getField("t")), " ").as("lvl_text"))
+    graft.pipeline.TextOps.winnowFingerprints(seqs, "lvl_text", "media_id",
+      shingleK = 3, window = 4)
+  }
+
+  /** The oracle rebuilds the frame energies from the sample formula,
+    * quantizes, hashes the level tokens, and reruns the winnow min-window
+    * arithmetic — engine bytes never consulted. */
+  def audioFingerprintSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val comb = graft.functions.TokenShingleHash.combineSql("th", 3)
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, 200 + doc_id % 57 AS n FROM documents
+       |), sm AS (
+       |  SELECT media_id, n, unnest(range(0, n)) AS i FROM d
+       |), fr AS (
+       |  SELECT media_id, i // $AF_FRAME AS f,
+       |    CAST(sum(abs((media_id * 31 + i * 17) % 2000 - 1000)) AS BIGINT) AS e
+       |  FROM sm GROUP BY media_id, f
+       |), tht AS (
+       |  SELECT media_id,
+       |    list_transform(list(CAST(e // $AF_QUANT AS VARCHAR) ORDER BY f),
+       |      t -> $ph) AS th
+       |  FROM fr GROUP BY media_id
+       |), sh AS (
+       |  SELECT media_id, $comb AS hs FROM tht
+       |), fp AS (
+       |  SELECT media_id,
+       |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+       |    ELSE list_distinct(list_transform(
+       |      range(1, len(hs) - 4 + 2),
+       |      i -> list_min(hs[i:i+3]))) END AS fps
+       |  FROM sh WHERE len(hs) > 0
+       |)
+       |SELECT media_id, unnest(fps) AS fingerprint FROM fp""".stripMargin
+  }
 
   /** Columnar RIFF header parse over REAL WAV bytes (the audio twin of
     * the PNG IHDR walk): every doc_id becomes a formula PCM16 clip via

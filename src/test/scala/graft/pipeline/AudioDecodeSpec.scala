@@ -43,6 +43,37 @@ class AudioDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprints: shared frame runs share a fingerprint; " +
+      "identical clips share all of them") {
+    val base = MultimodalOps.encodeSyntheticWav(ids(2), "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // clip 10 = exact copy of clip 1; clip 11 = clip 1 with ONLY its
+    // first frame's samples (20 x 2 bytes at offset 44) overwritten
+    val mutated = base(1L).clone()
+    (44 until 84).foreach(i => mutated(i) = 0x11.toByte)
+    val clips = Seq((1L, base(1L)), (10L, base(1L)), (11L, mutated))
+      .toDF("media_id", "content")
+    val en = MultimodalOps.audioFrameEnergies(clips, "content", "media_id", 20)
+    val seqs = en
+      .select(col("media_id"), col("frame_idx").as("f"),
+        call_function("div", col("energy"), lit(500L)).cast("string").as("t"))
+      .groupBy(col("media_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("f"), col("t")))),
+        s => s.getField("t")), " ").as("lvl_text"))
+    val fps = TextOps.winnowFingerprints(seqs, "lvl_text", "media_id", 3, 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(fps(10L) == fps(1L), "identical clips must share ALL fingerprints")
+    assert((fps(11L) & fps(1L)).nonEmpty,
+      "clips sharing a >= 6-frame run must share a fingerprint")
+    // sanity: the mutation actually changed the level sequence (whether a
+    // FINGERPRINT changes depends on which window minima were selected —
+    // winnowing's robustness to local edits is the point, not a bug)
+    val lvls = seqs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lvls(11L) != lvls(1L))
+  }
+
   test("corrupt and non-WAV payloads fail soft on both readers") {
     val junk = Seq(
       (1L, "not audio at all".getBytes("UTF-8")),
