@@ -468,6 +468,131 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  // ---- REAL frame container (length-prefixed PNG frames) -----------------
+
+  /** Synthetic-video formula: clip id holds 3 + id%4 frames, frame j is
+    * the formula image of fid = id·8 + j (dims/pixels via [[synthDims]]/
+    * [[synthRgb]] — shared with the oracle). */
+  def synthFrameCount(id: Long): Int = (3 + id % 4).toInt
+  def synthFrameImageId(id: Long, j: Int): Long = id * 8 + j
+
+  private val FramePackMagic = "GFRM".getBytes("US-ASCII")
+
+  /** id → a REAL frame-container byte stream: magic + LE frame count +
+    * length-prefixed real PNG frames (each through the JDK encoder).
+    * The I-frame-only container case — an MP4/MKV demuxer plugs in at
+    * exactly this seam; everything downstream (walk, sample, decode,
+    * feature) is already real. */
+  def encodeSyntheticFramePack(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val k = synthFrameCount(id)
+        val frames = (0 until k).map { j =>
+          val fid = synthFrameImageId(id, j)
+          val (w, h) = synthDims(fid)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, synthRgb(fid, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val total = 8 + frames.map(4 + _.length).sum
+        val bb = java.nio.ByteBuffer.allocate(total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(FramePackMagic).putInt(k)
+        frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+        new GenericRowWithSchema(Array[Any](id, bb.array()), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL frame sampling + decode over the container: walk the
+    * length-prefixed entries (pure byte arithmetic), keep frames with
+    * index ≡ 0 (mod `stride`), and push each kept frame through the
+    * REAL ImageIO decode into per-channel pixel sums — the
+    * keyframe-extraction shape (decode cost ∝ SAMPLED frames, never the
+    * whole clip). Malformed containers or frames emit no rows (soft). */
+  def sampleFrames(df: DataFrame, contentCol: String, idCol: String,
+                   stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(java.util.Arrays.equals(magic, FramePackMagic))
+          val k = bb.getInt
+          require(k >= 0 && k < 1000000)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var j = 0
+          var intact = true
+          // a truncated tail stops the walk but KEEPS the complete
+          // frames already decoded — honest degradation, not all-or-nothing
+          while (intact && j < k && bb.remaining() >= 4) {
+            val len = bb.getInt
+            if (len < 0 || len > bb.remaining()) {
+              intact = false
+            } else {
+              val frame = new Array[Byte](len); bb.get(frame)
+              if (j % stride == 0) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(frame))
+                if (img != null) {
+                  val w = img.getWidth; val h = img.getHeight
+                  val rowBuf = new Array[Int](w)
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                    var x = 0
+                    while (x < w) {
+                      val px = rowBuf(x)
+                      sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff
+                      sb += px & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  out += new GenericRowWithSchema(
+                    Array[Any](id, j.toLong, w.toLong, h.toLong, sr, sg, sb),
+                    outSchema)
+                }
+              }
+              j += 1
+            }
+          }
+          out
+        } catch { case _: Exception => Nil }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL perceptual average-hash (aHash) over decoded images — the
     * image near-dup signature: the raster is average-pooled onto an
     * 8×8 cell grid (cell of pixel (x,y) is ((x·8)/w, (y·8)/h) —

@@ -26,7 +26,49 @@ object MultimodalQueries {
     GraftQuery("q_audio_meta", audioMeta, Some(audioMetaSql)),
     GraftQuery("q_audio_decode", audioDecode, Some(audioDecodeSql)),
     GraftQuery("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
+    GraftQuery("q_video_frames", videoFrames, Some(videoFramesSql)),
   )
+
+  private val VF_STRIDE = 2
+
+  /** REAL keyframe extraction: every doc_id becomes a frame-container
+    * clip (length-prefixed real PNG frames — the I-frame-only container;
+    * a standard demuxer plugs in at that seam), the container walk keeps
+    * every 2nd frame, and each kept frame REALLY decodes to per-channel
+    * pixel sums. The oracle recomputes everything from the frame
+    * formulas — a green row proves container walk + sampling + decode
+    * end to end. */
+  def videoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val packs = MultimodalOps.encodeSyntheticFramePack(ids, "doc_id")
+    MultimodalOps.sampleFrames(packs, "content", "media_id", VF_STRIDE)
+  }
+
+  /** Mirrors synthFrameCount / synthFrameImageId / synthDims / synthRgb:
+    * k = 3 + id%4 frames, sampled j ∈ {0, 2, 4}, fid = id·8 + j. */
+  def videoFramesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, 3 + doc_id % 4 AS k FROM documents
+       |), fj AS (
+       |  SELECT media_id, unnest(range(0, k)) AS j FROM d
+       |), sampled AS (
+       |  SELECT media_id, j, media_id * 8 + j AS fid FROM fj
+       |  WHERE j % $VF_STRIDE = 0
+       |), dims AS (
+       |  SELECT media_id, j, fid, 8 + fid % 9 AS w, 8 + fid % 7 AS h
+       |  FROM sampled
+       |), xs AS (
+       |  SELECT media_id, j, fid, w, h, unnest(range(0, w)) AS x FROM dims
+       |), px AS (
+       |  SELECT media_id, j, fid, w, h, x, unnest(range(0, h)) AS y FROM xs
+       |)
+       |SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+       |  CAST(any_value(w) AS BIGINT) AS width,
+       |  CAST(any_value(h) AS BIGINT) AS height,
+       |  CAST(sum((fid * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+       |  CAST(sum((fid * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+       |  CAST(sum((fid * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+       |FROM px GROUP BY media_id, j""".stripMargin
 
   private val AF_FRAME = 20   // samples per energy frame
   private val AF_QUANT = 500L // energy quantization step
