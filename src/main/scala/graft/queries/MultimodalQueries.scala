@@ -27,7 +27,97 @@ object MultimodalQueries {
     GraftQuery("q_audio_decode", audioDecode, Some(audioDecodeSql)),
     GraftQuery("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
     GraftQuery("q_video_frames", videoFrames, Some(videoFramesSql)),
+    GraftQuery("q_audio_dup_groups", audioDupGroups, Some(audioDupGroupsSql)),
   )
+
+  /** Audio dedup classes end to end: 40 distinct clips plus a PLANTED
+    * byte-identical copy of each (media_id + 100), fingerprinted
+    * through the real decode → energy → winnow pipeline; clips sharing
+    * any fingerprint pair up and connected components label the
+    * classes. Every planted copy MUST land in its original's class
+    * (identical bytes → identical fingerprint sets), and any genuine
+    * cross-clip fingerprint collision merges transitively the same way
+    * on both engines. */
+  def audioDupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select((col("doc_id") % 40).as("clip_key")).distinct()
+    val clips = MultimodalOps.encodeSyntheticWav(keys, "clip_key")
+    val all = clips.unionByName(clips.select(
+      (col("media_id") + 100).as("media_id"), col("content")))
+    val en = MultimodalOps.audioFrameEnergies(all, "content", "media_id", 20)
+    val seqs = en
+      .select(col("media_id"), col("frame_idx").as("f"),
+        call_function("div", col("energy"), lit(100L)).cast("string").as("t"))
+      .groupBy(col("media_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("f"), col("t")))),
+        s => s.getField("t")), " ").as("lvl_text"))
+    // a finer step than the fingerprint query's 500: dedup wants
+    // DISCRIMINATION between distinct clips, overlap detection wants
+    // noise tolerance — the knob is per use-case
+    val fps = graft.pipeline.TextOps.winnowFingerprints(
+      seqs, "lvl_text", "media_id", shingleK = 3, window = 4)
+    val a = fps.as("a"); val b = fps.as("b")
+    val pairs = a.join(b, col("a.fingerprint") === col("b.fingerprint") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("src"), col("b.media_id").as("dst"))
+      .distinct()
+    val comp = graft.pipeline.DedupOps.connectedComponents(
+      pairs.select(col("src").as("id_a"), col("dst").as("id_b")))
+    all.select(col("media_id"))
+      .join(comp.select(col("id").as("media_id"), col("component")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("component"), col("media_id")).as("dup_class"))
+  }
+
+  def audioDupGroupsSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val comb = graft.functions.TokenShingleHash.combineSql("th", 3)
+    s"""WITH RECURSIVE k AS (
+       |  SELECT DISTINCT doc_id % 40 AS media_id, 200 + (doc_id % 40) % 57 AS n
+       |  FROM documents
+       |), sm AS (
+       |  SELECT media_id, n, unnest(range(0, n)) AS i FROM k
+       |), fr AS (
+       |  SELECT media_id, i // 20 AS f,
+       |    CAST(sum(abs((media_id * 31 + i * 17) % 2000 - 1000)) AS BIGINT) AS e
+       |  FROM sm GROUP BY media_id, f
+       |), tht AS (
+       |  SELECT media_id,
+       |    list_transform(list(CAST(e // 100 AS VARCHAR) ORDER BY f),
+       |      t -> $ph) AS th
+       |  FROM fr GROUP BY media_id
+       |), sh AS (
+       |  SELECT media_id, $comb AS hs FROM tht
+       |), fp0 AS (
+       |  SELECT media_id,
+       |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+       |    ELSE list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+       |      i -> list_min(hs[i:i+3]))) END AS fps
+       |  FROM sh WHERE len(hs) > 0
+       |), fps AS (
+       |  SELECT media_id, unnest(fps) AS fingerprint FROM fp0
+       |  UNION ALL
+       |  SELECT media_id + 100, unnest(fps) AS fingerprint FROM fp0
+       |), ids AS (
+       |  SELECT media_id FROM k UNION ALL SELECT media_id + 100 FROM k
+       |), pairs AS (
+       |  SELECT DISTINCT a.media_id AS a, b.media_id AS b
+       |  FROM fps a JOIN fps b
+       |    ON a.fingerprint = b.fingerprint AND a.media_id < b.media_id
+       |), edges AS (
+       |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), reach AS (
+       |  SELECT a AS id, a AS root FROM edges
+       |  UNION
+       |  SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+       |), comp AS (
+       |  SELECT id, min(root) AS component FROM reach GROUP BY id
+       |)
+       |SELECT i.media_id, coalesce(c.component, i.media_id) AS dup_class
+       |FROM ids i LEFT JOIN comp c ON c.id = i.media_id""".stripMargin
+  }
 
   private val VF_STRIDE = 2
 
