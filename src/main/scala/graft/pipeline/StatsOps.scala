@@ -232,6 +232,122 @@ object StatsOps {
         ((col("bucket") + 1) * width).as("hi"), col("n"))
   }
 
+  /** Per-group HyperLogLog distinct-count estimate with an INTEGER-EXACT
+    * estimator (Flajolet et al. 2007), measured against the exact count
+    * in the same pass — the mergeable cardinality monitor a 100 TB
+    * corpus needs (exact count-distinct shuffles every distinct value;
+    * the sketch's register relation is ≤ groups × m rows regardless of
+    * data size, and register maxes merge associatively — the same
+    * partial-agg economy as every other sketch here).
+    *
+    * No floating point anywhere, so the DuckDB oracle matches
+    * bit-for-bit: the register index is the hash mod m, the remaining
+    * 32 hash bits give rho = 33 − bit_length(w) (computed via the
+    * length-of-binary-string trick both engines share; w = 0 → 33),
+    * and the harmonic mean runs in integers scaled by 2^33 —
+    * 2^(−M_j) becomes the exact integer 2^(33−M_j), empty registers
+    * contribute 2^33, and
+    *
+    *   est = (ALPHA_PPM · m² · 2^33) // (S₂ · 1000)
+    *
+    * with α_m pinned as a permille literal (709‰ — the m ≥ 64
+    * constant). The RAW estimator, no small-range linear-counting
+    * correction (that needs ln): honest for cardinalities well above
+    * 2.5·m, which is the regime a vocabulary monitor runs in;
+    * `err_permille` in the output keeps the accuracy claim measured,
+    * not assumed. */
+  def hllDistinctByGroup(df: DataFrame, groupCols: Seq[String],
+                         value: Column, m: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "hllDistinctByGroup needs group columns")
+    require(m >= 64 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [64, 4096], got $m")
+    val AlphaPermille = 709L
+    // the poly hash carries ~30 bits (Mod = 1e9+7); after the bucket
+    // index eats log2(m), W_BITS = 23 bits remain for the rho stream at
+    // m = 64 (for larger m the quotient still covers 2^23 at least
+    // once, so the register distribution stays estimator-grade) — the
+    // scale constant 2^(W_BITS+1) makes every 2^(−M_j) term an exact
+    // integer, which is what keeps the oracle bit-exact
+    val WBits = 23
+    val scale = 1L << (WBits + 1)
+    val gs = groupCols.map(col)
+    // non-linear post-mix — two rounds of modular squaring: the raw
+    // poly hash of SHORT sequential strings is near-arithmetic (it may
+    // never even wrap the modulus), and any LINEAR mix maps arithmetic
+    // progressions to arithmetic progressions, leaving the per-register
+    // rho distribution structured; squaring (Weyl-style equidistribution)
+    // breaks the linearity. h < 2^30 keeps h² < 2^60: exact in both
+    // engines, no overflow, no floats.
+    val p0 = graft.functions.StringPolyHash.Mod
+    def sqMix(c: Column): Column = {
+      val r1 = pmod(c * c + lit(2654435761L), lit(p0))
+      pmod(r1 * r1 + lit(40503L), lit(p0))
+    }
+    val rows = df.select(gs :+ value.as("__hll_v"): _*)
+      .filter(col("__hll_v").isNotNull)
+      .select(gs :+
+        sqMix(graft.functions.StringPolyHash.polyHash(col("__hll_v").cast("string")))
+          .as("__hll_h") :+ col("__hll_v"): _*)
+    val w = pmod(call_function("div", col("__hll_h"), lit(m.toLong)),
+      lit(1L << WBits))
+    val rhoCap = (WBits + 1).toLong
+    val withReg = rows
+      .withColumn("__hll_b", pmod(col("__hll_h"), lit(m.toLong)))
+      .withColumn("__hll_rho",
+        when(w === 0L, lit(rhoCap)).otherwise(lit(rhoCap) - length(bin(w))))
+    val regs = withReg.groupBy(gs :+ col("__hll_b"): _*)
+      .agg(max(col("__hll_rho")).as("__hll_m"))
+    val sketch = regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("__hll_present"),
+        sum(call_function("shiftleft", lit(1L), lit(rhoCap) - col("__hll_m")))
+          .as("__hll_s2p"))
+      .select(gs :+ (col("__hll_s2p") +
+        (lit(m.toLong) - col("__hll_present")) * lit(scale))
+        .as("__hll_s2"): _*)
+      .select(gs :+ call_function("div",
+        lit(AlphaPermille * m * m * scale),
+        col("__hll_s2") * lit(1000L)).as("n_est"): _*)
+    val exact = rows.groupBy(gs: _*)
+      .agg(countDistinct(col("__hll_v")).as("n_exact"))
+    exact.join(sketch, groupCols)
+      .select(gs ++ Seq(col("n_exact"), col("n_est"),
+        call_function("div", abs(col("n_est") - col("n_exact")) * 1000L,
+          col("n_exact")).as("err_permille")): _*)
+  }
+
+  /** The estimator's DuckDB form over a (group, v) relation `src`. */
+  def hllDistinctByGroupSql(srcSql: String, groupCol: String,
+                            m: Int = 64): String = {
+    val ph0 = graft.functions.StringPolyHash.polyHashSql("CAST(v AS VARCHAR)")
+    val p0 = graft.functions.StringPolyHash.Mod
+    val ph = s"(((($ph0) * ($ph0) + 2654435761) % $p0)" +
+      s" * ((($ph0) * ($ph0) + 2654435761) % $p0) + 40503) % $p0"
+    val wMod = 1L << 23
+    val rhoCap = 24
+    val scale = 1L << 24
+    s"""WITH rows0 AS (
+       |  SELECT $groupCol, v, $ph AS h FROM ($srcSql) WHERE v IS NOT NULL
+       |), regs AS (
+       |  SELECT $groupCol, h % $m AS b,
+       |    max(CASE WHEN (h // $m) % $wMod = 0 THEN $rhoCap
+       |        ELSE $rhoCap - length(bin((h // $m) % $wMod)) END) AS mj
+       |  FROM rows0 GROUP BY $groupCol, b
+       |), sk AS (
+       |  SELECT $groupCol,
+       |    CAST(sum(1::BIGINT << ($rhoCap - mj)) AS BIGINT)
+       |      + ($m - count(*)) * $scale AS s2
+       |  FROM regs GROUP BY $groupCol
+       |), ex AS (
+       |  SELECT $groupCol, count(DISTINCT v) AS n_exact FROM rows0
+       |  GROUP BY $groupCol
+       |)
+       |SELECT ex.$groupCol, ex.n_exact,
+       |  CAST(${709L * m * m}::BIGINT * ${scale}::BIGINT // (sk.s2 * 1000) AS BIGINT) AS n_est,
+       |  CAST(abs(CAST(${709L * m * m}::BIGINT * ${scale}::BIGINT // (sk.s2 * 1000) AS BIGINT)
+       |    - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) AS err_permille
+       |FROM ex JOIN sk USING ($groupCol)""".stripMargin
+  }
+
   /** Matching DuckDB SQL over a one-column relation `src` (alias v). */
   def exactQuantilesSql(srcSql: String, permille: Seq[Int]): String =
     s"""WITH vals AS (SELECT v FROM ($srcSql) WHERE v IS NOT NULL),

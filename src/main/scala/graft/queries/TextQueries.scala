@@ -82,6 +82,9 @@ object TextQueries {
     // cross-doc span masking over the survivors → packed-pretraining
     // layout; the oracle chains the three stage oracles as CTEs
     GraftQuery("q_e2e_pipeline", e2ePipelineQ, Some(e2ePipelineSql)),
+    // mergeable HLL cardinality sketch with an integer-exact estimator,
+    // scored against the exact count in the same pass
+    GraftQuery("q_hll_vocab", hllVocabQ, Some(hllVocabSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1738,6 +1741,32 @@ object TextQueries {
        |  CAST(((pack_offset + greatest(n_tokens - 1, 0)) // $CTX_SIZE)
        |    - (pack_offset // $CTX_SIZE) + 1 AS BIGINT) AS n_ctx_spanned
        |FROM o""".stripMargin
+
+  /** Per-source distinct 3-gram cardinality: the HLL sketch estimate
+    * (integer-exact estimator, m=64 registers) next to the exact count
+    * and the measured error — the n-gram-coverage monitor that stays
+    * register-sized at any corpus scale. The monitored value is the
+    * shingle HASH stream (~1.4k distinct per source = ~21 values per
+    * register at m=64 — comfortably above the raw estimator's
+    * small-range bias regime, which is the documented contract: the
+    * ~30-token per-source vocabulary would sit inside it, and so would
+    * m=256 at this cardinality). */
+  def hllVocabQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docs(spark, sfDir).select(col("source"),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), K))
+        .as("shingle"))
+    graft.pipeline.StatsOps.hllDistinctByGroup(sh, Seq("source"), col("shingle"))
+  }
+
+  def hllVocabSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val comb = graft.functions.TokenShingleHash.combineSql("th", K)
+    graft.pipeline.StatsOps.hllDistinctByGroupSql(
+      s"""SELECT source, unnest($comb) AS v FROM (
+         |  SELECT source, list_transform(string_split(text, ' '), t -> $ph) AS th
+         |  FROM documents)""".stripMargin,
+      "source")
+  }
 
   private val DSIR_BUCKETS = 4096
 
