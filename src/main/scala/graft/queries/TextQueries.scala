@@ -81,7 +81,7 @@ object TextQueries {
     // the whole preprocessing pipeline as ONE declarative plan: filter →
     // cross-doc span masking over the survivors → packed-pretraining
     // layout; the oracle chains the three stage oracles as CTEs
-    GraftQuery("q_e2e_pipeline", e2ePipelineQ, Some(e2ePipelineSql)),
+    GraftQuery("q_e2e_pipeline", e2ePipelineQ, Some(e2ePipelineSql), bench = true),
     // mergeable HLL cardinality sketch with an integer-exact estimator,
     // scored against the exact count in the same pass
     GraftQuery("q_hll_vocab", hllVocabQ, Some(hllVocabSql)),
