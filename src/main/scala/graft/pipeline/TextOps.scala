@@ -229,6 +229,118 @@ object TextOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  // ---- Persisted decontamination index (build once, screen daily) --------
+  //
+  // The sixth artifact lifecycle: a benchmark set changes rarely, so the
+  // bench shingle relation and its PRE-BUILT bloom bitmap commit as
+  // immutable epoch directories behind the sideways+rename meta swap —
+  // the daily screen reads ONLY stored relations (bench text never
+  // re-read, shingle kernel never re-run over the bench, no bitmap
+  // build job at screen time). Same discipline as the MinHash index's
+  // stored bloom.
+
+  private[graft] final case class DecontamIndexMeta(
+      shingleK: Int, numBits: Int, numHashes: Int, shRows: Long, epoch: Long)
+
+  private def decontamEpochDir(path: String, rel: String, epoch: Long): String =
+    s"$path/$rel/e$epoch"
+
+  private def swapDecontamMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, meta: DecontamIndexMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.shingleK, meta.numBits, meta.numHashes, meta.shRows, meta.epoch))
+      .toDF("shingle_k", "num_bits", "num_hashes", "sh_rows", "epoch")
+      .coalesce(1).write.parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"decontam index: failed to swap meta into place at $target")
+  }
+
+  private[graft] def readDecontamIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): DecontamIndexMeta = {
+    val rows =
+      try spark.read.parquet(s"$path/meta").collect()
+      catch { case e: Exception => throw new IllegalStateException(
+        s"decontam index at $path has no readable meta — not an index " +
+          "artifact, or an interrupted write that never committed", e) }
+    val r = rows(0)
+    DecontamIndexMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_bits"),
+      r.getAs[Int]("num_hashes"), r.getAs[Long]("sh_rows"),
+      r.getAs[Long]("epoch"))
+  }
+
+  /** Build: ONE text pass over the bench set → distinct (bench_id, sh)
+    * rows stored → bloom built from the STORED relation (the text
+    * pipeline never runs twice) → meta swap last. */
+  def writeDecontamIndex(bench: DataFrame, textCol: String, idCol: String,
+                         path: String, shingleK: Int,
+                         numBits: Int = 1 << 20, numHashes: Int = 4): Unit = {
+    import graft.functions.BloomFilter
+    val spark = bench.sparkSession
+    bench.select(col(idCol).as("bench_id"),
+        explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), shingleK))
+          .as("sh"))
+      .distinct()
+      .write.mode("overwrite").parquet(decontamEpochDir(path, "shingles", 0L))
+    val stored = spark.read.parquet(decontamEpochDir(path, "shingles", 0L))
+    val bits = BloomFilter.build(
+      stored.select(col("sh")).distinct(), "sh", numBits, numHashes)
+    import spark.implicits._
+    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("word_idx", "word")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(decontamEpochDir(path, "bloom", 0L))
+    swapDecontamMeta(spark, path,
+      DecontamIndexMeta(shingleK, numBits, numHashes, stored.count(), 0L))
+  }
+
+  /** The daily screen against the STORED index: geometry from meta, the
+    * bloom bitmap read back as a codegen literal (≤ numBits/8 bytes),
+    * the verify join against the stored shingle relation — output ≡
+    * [[contaminationScreenBloom]] over the same bench set (pinned by
+    * spec and by the shared registry oracle). */
+  def screenAgainstStoredDecontam(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, train: DataFrame,
+                                  textCol: String, idCol: String,
+                                  minOverlap: Long): DataFrame = {
+    import graft.functions.BloomFilter
+    val meta = readDecontamIndexMeta(spark, path)
+    val words = new Array[Long](meta.numBits / 64)
+    spark.read.parquet(decontamEpochDir(path, "bloom", meta.epoch))
+      .select(col("word_idx"), col("word")).collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    // the bench relation is BROADCAST-SIZED by the decontamination
+    // contract (a benchmark suite, not a corpus) — collect it once and
+    // rebuild a literal frame (the probeIvfIndex pattern): a parquet
+    // scan here would receive the bloom predicate through join-key
+    // constraint inference and evaluate the kernel inside the scan's
+    // DataFilters (the double-eval class PlanAuditSpec flags)
+    val benchPlan = spark.read
+      .parquet(decontamEpochDir(path, "shingles", meta.epoch))
+    val benchRows = benchPlan.collect()
+    require(benchRows.length == meta.shRows,
+      s"decontam index at $path: epoch ${meta.epoch} holds " +
+        s"${benchRows.length} shingle rows but meta pins ${meta.shRows} — " +
+        "incomplete or corrupt")
+    val benchSh = spark.createDataFrame(
+      java.util.Arrays.asList(benchRows: _*), benchPlan.schema)
+    val trainSh = train.select(col(idCol).as("train_id"),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), meta.shingleK))
+        .as("sh"))
+    trainSh
+      .filter(BloomFilter.mightContainCol(col("sh"), words,
+        meta.numHashes, meta.numBits))
+      .join(broadcast(benchSh), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(countDistinct(col("sh")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Per-train-doc contamination FRACTION — the ranked companion to the
     * boolean [[contaminationScreen]]: for every train doc with at least
     * one shingle, how many of its distinct k-gram hashes appear in the

@@ -85,6 +85,10 @@ object TextQueries {
     // mergeable HLL cardinality sketch with an integer-exact estimator,
     // scored against the exact count in the same pass
     GraftQuery("q_hll_vocab", hllVocabQ, Some(hllVocabSql)),
+    // the bloom screen routed through the persisted decontamination
+    // index; output ≡ the in-memory screens, so all three share the oracle
+    GraftQuery("q_decontaminate_stored", decontaminateStored,
+      Some(decontaminateSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -692,6 +696,19 @@ object TextQueries {
     val d = docs(spark, sfDir)
     val bench = d.filter(col("doc_id") % 97 === 0)
     TextOps.contaminationScreenBloom(d, bench, "text", "doc_id", K,
+      DECON_MIN_OVERLAP)
+  }
+
+  /** [[decontaminateBloom]] through the persisted index: the bench set
+    * commits as a decontamination artifact (rebuilt fresh each run —
+    * never cached, so a regenerated corpus can't serve stale shingles)
+    * and the screen reads ONLY the stored bloom + shingle relations. */
+  def decontaminateStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_decontam_idx_${math.abs(sfDir.hashCode)}"
+    TextOps.writeDecontamIndex(bench, "text", "doc_id", dir, K)
+    TextOps.screenAgainstStoredDecontam(spark, dir, d, "text", "doc_id",
       DECON_MIN_OVERLAP)
   }
 
