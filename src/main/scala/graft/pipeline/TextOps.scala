@@ -299,6 +299,36 @@ object TextOps {
       DecontamIndexMeta(shingleK, numBits, numHashes, stored.count(), 0L))
   }
 
+  /** Fold a NEW benchmark suite into the stored index: the delta's
+    * distinct shingles union-distinct with the stored relation into a
+    * new immutable epoch, the bloom rebuilds from the (bounded,
+    * broadcast-sized) merged relation, meta swaps last — readers racing
+    * an append resolve a consistent epoch. One text pass over the DELTA
+    * only; the stored relation is consulted as shingle rows, never as
+    * text. */
+  def appendDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, bench: DataFrame,
+                          textCol: String, idCol: String): Unit = {
+    import graft.functions.BloomFilter
+    val meta = readDecontamIndexMeta(spark, path)
+    val next = meta.epoch + 1
+    val delta = bench.select(col(idCol).as("bench_id"),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), meta.shingleK))
+        .as("sh"))
+    spark.read.parquet(decontamEpochDir(path, "shingles", meta.epoch))
+      .unionByName(delta).distinct()
+      .write.mode("overwrite").parquet(decontamEpochDir(path, "shingles", next))
+    val merged = spark.read.parquet(decontamEpochDir(path, "shingles", next))
+    val bits = BloomFilter.build(
+      merged.select(col("sh")).distinct(), "sh", meta.numBits, meta.numHashes)
+    import spark.implicits._
+    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("word_idx", "word")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(decontamEpochDir(path, "bloom", next))
+    swapDecontamMeta(spark, path, meta.copy(shRows = merged.count(), epoch = next))
+  }
+
   /** The daily screen against the STORED index: geometry from meta, the
     * bloom bitmap read back as a codegen literal (≤ numBits/8 bytes),
     * the verify join against the stored shingle relation — output ≡

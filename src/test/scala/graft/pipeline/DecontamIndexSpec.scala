@@ -27,6 +27,28 @@ class DecontamIndexSpec extends AnyFunSuite {
     assert(stored.nonEmpty, "fixture must produce at least the self-matches")
   }
 
+  test("append == one-shot build over the union; epoch advances") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"w${i % 7} w${(i * 3) % 11} w${i % 7} w${(i * 5) % 13} w${i % 9} extra$i")
+    }.toDF("id", "text")
+    val b1 = docs.filter(col("id") % 10 === 0)
+    val b2 = docs.filter(col("id") % 10 === 5)
+    val oneDir = java.nio.file.Files.createTempDirectory("graft_dc_one").toString
+    TextOps.writeDecontamIndex(b1.unionByName(b2), "text", "id", oneDir, 3)
+    val appDir = java.nio.file.Files.createTempDirectory("graft_dc_app").toString
+    TextOps.writeDecontamIndex(b1, "text", "id", appDir, 3)
+    TextOps.appendDecontamIndex(spark, appDir, b2, "text", "id")
+    val m = TextOps.readDecontamIndexMeta(spark, appDir)
+    assert(m.epoch == 1L)
+    assert(m.shRows == TextOps.readDecontamIndexMeta(spark, oneDir).shRows)
+    def screen(dir: String) =
+      TextOps.screenAgainstStoredDecontam(spark, dir, docs, "text", "id", 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(screen(appDir) == screen(oneDir))
+    // the previous epoch stayed on disk (in-flight reader grace)
+    assert(new java.io.File(s"$appDir/shingles/e0").exists())
+  }
+
   test("missing artifact fails loudly") {
     val e = intercept[IllegalStateException] {
       TextOps.screenAgainstStoredDecontam(spark, "/tmp/graft_no_such_idx",
