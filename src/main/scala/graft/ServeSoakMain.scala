@@ -344,6 +344,53 @@ object ServeSoakMain {
     println(f"  lm-stream: ${lmStats.size} scoring batches, median batch " +
       f"$lmMed%.2f s, ${lmRate}%.0f scored docs/s sustained")
 
+    // ---- 1g. stored decontamination index (build once, screen daily) ------
+    // the sixth artifact at soak scale: a 20k-doc benchmark union commits
+    // as the stored index (shingles + pre-built bloom), then a crawl of
+    // nDocs synthetic docs — 1 in 50 an exact copy of a bench doc —
+    // screens against STORAGE only. The bloom prescreen ratio is read
+    // from the same counters the screen's plan uses.
+    val dcBench = spark.range(20000L)
+      .select(col("id").as("doc_id"), expr(docText("id", 21)).as("text"))
+    val dcPath = java.nio.file.Files.createTempDirectory("graft_soak_dc").toString
+    val dcBits = java.lang.Long.highestOneBit(
+      math.max(16L * 28L * 20000L, 1L << 20)).toInt << 1
+    val (_, tDcBuild) = time(f"write decontam index over 20,000 bench docs " +
+        f"(bloom ${dcBits / 8 / 1024}%,d KB)") {
+      graft.pipeline.TextOps.writeDecontamIndex(dcBench, "text", "doc_id",
+        dcPath, shingleK = 3, numBits = dcBits)
+    }
+    val crawlText =
+      s"CASE WHEN sid % 50 = 0 THEN ${docText(s"pmod(sid, 20000)", 21)} " +
+        s"ELSE ${docText("sid", 22)} END"
+    val dcCrawl = spark.range(nDocs)
+      .select(col("id").as("sid")).selectExpr("sid AS doc_id", s"$crawlText AS text")
+    val dcMeta = graft.pipeline.TextOps.readDecontamIndexMeta(spark, dcPath)
+    println(f"  index: ${dcMeta.shRows}%,d stored shingle rows, epoch ${dcMeta.epoch}")
+    // measured prescreen: the stored bitmap over the crawl's shingles
+    val dcWords = {
+      val w = new Array[Long](dcMeta.numBits / 64)
+      spark.read.parquet(s"$dcPath/bloom/e${dcMeta.epoch}")
+        .collect().foreach(r => w(r.getInt(0)) = r.getLong(1))
+      w
+    }
+    val dcSh = dcCrawl.select(col("doc_id"),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), 3)).as("sh"))
+    val dcPre = dcSh.agg(count(lit(1)),
+        sum(when(graft.functions.BloomFilter.mightContainCol(
+          col("sh"), dcWords, dcMeta.numHashes, dcMeta.numBits), 1L).otherwise(0L)))
+      .collect()(0)
+    println(f"  prescreen: ${dcPre.getLong(1)}%,d/${dcPre.getLong(0)}%,d crawl shingles pass " +
+      f"the stored bloom (${100.0 * dcPre.getLong(1) / dcPre.getLong(0)}%.1f%%, " +
+      "2.0% of docs are true copies)")
+    val (dcFlags, tDcScreen) = time(f"screen $nDocs%,d crawl docs from storage") {
+      graft.pipeline.TextOps.screenAgainstStoredDecontam(
+        spark, dcPath, dcCrawl, "text", "doc_id", minOverlap = 5L).count()
+    }
+    println(f"  flagged $dcFlags%,d contaminated docs at " +
+      f"${nDocs / tDcScreen}%.0f docs/s (index text never re-read; " +
+      f"build was $tDcBuild%.2f s, amortized across every future crawl)")
+
     // ---- 1c. SemDeDup under adversarial cluster skew ----------------------
     // 90% of the corpus is ONE tight cluster (base direction + small
     // noise) — the shape that makes a within-cluster pairwise sweep
