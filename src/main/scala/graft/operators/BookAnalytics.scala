@@ -97,6 +97,31 @@ object BookAnalytics {
         .as("depth_imbalance_permille")): _*)
   }
 
+  /** Per-product realized variance of the MID price — the standard
+    * volatility estimate Σ(Δmid)² over consecutive two-sided quotes,
+    * kept int64-exact by working in DOUBLED mids (2·mid = bid + ask is
+    * an integer; the output is 4·Σ(Δmid)², named accordingly — the
+    * consumer divides by 4 once, instead of every row losing half-tick
+    * precision). One-sided quotes break the return chain: a Δ is
+    * counted only between CONSECUTIVE two-sided events (lag over the
+    * two-sided sub-stream). One product-partitioned window + one
+    * partial-aggregated groupBy. */
+  def realizedVariance(bbo: DataFrame,
+                       productCol: String = "product",
+                       seqCol: String = "seq"): DataFrame = {
+    val w = Window.partitionBy(col(productCol)).orderBy(col(seqCol))
+    val mid2 = col("bid_price_1") + col("ask_price_1")
+    val quoted = bbo.filter(col("bid_price_1").isNotNull &&
+        col("ask_price_1").isNotNull)
+      .select(col(productCol), col(seqCol), mid2.as("__m2"))
+      .withColumn("__d", col("__m2") - lag(col("__m2"), 1).over(w))
+    quoted.groupBy(col(productCol))
+      .agg(count(lit(1)).as("n_quotes"),
+        sum(when(col("__d").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_moves"),
+        coalesce(sum(col("__d") * col("__d")), lit(0L)).as("rv_x4"))
+  }
+
   /** Best-level order-flow imbalance (Cont, Kukanov & Stoikov 2014,
     * "The price impact of order book events", J. Financial Econometrics
     * 12(1) — the e_n of eq. (10)):

@@ -85,6 +85,9 @@ object BookQueries {
     GraftQuery("q_bbo_depth_n5",
       (s, d) => graft.operators.BookAnalytics.depthImbalance(bboUpdates(s, d, 5), 5),
       Some(depthOracle(5))),
+    GraftQuery("q_bbo_realized_var",
+      (s, d) => graft.operators.BookAnalytics.realizedVariance(bboUpdates(s, d, 1)),
+      Some(realizedVarOracle)),
     GraftQuery("q_bbo_spread_quantiles",
       (s, d) => graft.pipeline.StatsOps.exactQuantilesByGroup(
         bboUpdates(s, d, 1), Seq("product"),
@@ -501,6 +504,21 @@ object BookQueries {
        |  END AS depth_imbalance_permille
        |FROM bbo""".stripMargin
   }
+
+  def realizedVarOracle: String =
+    s"""$bboCte1, q AS (
+       |  SELECT product, seq, bid_price_1 + ask_price_1 AS m2 FROM bbo
+       |  WHERE bid_price_1 IS NOT NULL AND ask_price_1 IS NOT NULL
+       |), dd AS (
+       |  SELECT product,
+       |    m2 - lag(m2) OVER (PARTITION BY product ORDER BY seq) AS d
+       |  FROM q
+       |)
+       |SELECT product, count(*) AS n_quotes,
+       |  CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moves,
+       |  CAST(coalesce(sum(d * d), 0) AS BIGINT) AS rv_x4
+       |FROM dd GROUP BY product""".stripMargin
 
   def spreadQuantilesOracle: String =
     s"""$bboCte1, vals AS (

@@ -81,6 +81,20 @@ class BookAnalyticsSpec extends AnyFunSuite {
     assert(out(2).getLong(2) == 0L && out(2).isNullAt(4))
   }
 
+  test("realized variance: exact doubled-mid squares, one-sided gaps break the chain") {
+    val df = bbo(Seq(
+      (1L, 1L, Some(100L), Some(1L), Some(104L), Some(1L)), // 2mid 204
+      (1L, 2L, Some(101L), Some(1L), Some(105L), Some(1L)), // 206: d=2
+      (1L, 3L, Some(99L), Some(1L), None, None),            // one-sided, skipped
+      (1L, 4L, Some(98L), Some(1L), Some(104L), Some(1L)),  // 202: d=-4 vs 206
+      (2L, 9L, Some(50L), Some(1L), Some(52L), Some(1L))))  // single quote
+    val out = BookAnalytics.realizedVariance(df).orderBy("product").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(out(0).getLong(3) == 4L + 16L)
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 0L &&
+      out(1).getLong(3) == 0L)
+  }
+
   test("randomized frames: all three analytics match a plain-Scala reimplementation") {
     val rnd = new scala.util.Random(43)
     val rows: Seq[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
