@@ -232,52 +232,51 @@ object StatsOps {
         ((col("bucket") + 1) * width).as("hi"), col("n"))
   }
 
-  /** Per-group HyperLogLog distinct-count estimate with an INTEGER-EXACT
-    * estimator (Flajolet et al. 2007), measured against the exact count
-    * in the same pass — the mergeable cardinality monitor a 100 TB
-    * corpus needs (exact count-distinct shuffles every distinct value;
-    * the sketch's register relation is ≤ groups × m rows regardless of
-    * data size, and register maxes merge associatively — the same
-    * partial-agg economy as every other sketch here).
-    *
-    * No floating point anywhere, so the DuckDB oracle matches
-    * bit-for-bit: the register index is the hash mod m, the remaining
-    * 32 hash bits give rho = 33 − bit_length(w) (computed via the
-    * length-of-binary-string trick both engines share; w = 0 → 33),
-    * and the harmonic mean runs in integers scaled by 2^33 —
-    * 2^(−M_j) becomes the exact integer 2^(33−M_j), empty registers
-    * contribute 2^33, and
-    *
-    *   est = (ALPHA_PPM · m² · 2^33) // (S₂ · 1000)
-    *
-    * with α_m pinned as a permille literal (709‰ — the m ≥ 64
-    * constant). The RAW estimator, no small-range linear-counting
-    * correction (that needs ln): honest for cardinalities well above
-    * 2.5·m, which is the regime a vocabulary monitor runs in;
-    * `err_permille` in the output keeps the accuracy claim measured,
-    * not assumed. */
-  def hllDistinctByGroup(df: DataFrame, groupCols: Seq[String],
-                         value: Column, m: Int = 64): DataFrame = {
-    require(groupCols.nonEmpty, "hllDistinctByGroup needs group columns")
+  private val HllAlphaPermille = 709L
+
+  private def requireHllM(m: Int): Unit =
     require(m >= 64 && (m & (m - 1)) == 0 && m <= 4096,
       s"m must be a power of two in [64, 4096], got $m")
-    val AlphaPermille = 709L
-    // the poly hash carries ~30 bits (Mod = 1e9+7); after the bucket
-    // index eats log2(m), W_BITS = 23 bits remain for the rho stream at
-    // m = 64 (for larger m the quotient still covers 2^23 at least
-    // once, so the register distribution stays estimator-grade) — the
-    // scale constant 2^(W_BITS+1) makes every 2^(−M_j) term an exact
-    // integer, which is what keeps the oracle bit-exact
-    val WBits = 23
-    val scale = 1L << (WBits + 1)
+
+  /** Width of the rho bit-stream for m registers. The poly hash carries
+    * floor(log2(Mod)) ≈ 29.9 bits (Mod = 1e9+7); the bucket index
+    * consumes log2(m) of them, so the quotient h // m ranges over
+    * [0, Mod/m) and only floor(log2(Mod/m)) of its low bits are fully
+    * covered. A FIXED width (the pre-round-10 WBits = 23) is only sound
+    * for m = 64 (Mod/64 ≈ 15.6M ≥ 2^23): at m = 128 the quotient tops
+    * out below 2^23, so w's high bits were permanently zero — every
+    * register max inflated and the estimate overshot ~2× at m = 256 up
+    * to ~32× at m = 4096. Deriving the width from m (23 at m=64 … 17 at
+    * m=4096) keeps the register distribution estimator-grade across the
+    * whole supported range; the Spark and DuckDB forms share this one
+    * derivation so the oracle stays bit-exact. */
+  private def hllWBits(m: Int): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(
+      graft.functions.StringPolyHash.Mod / m)
+
+  /** Per-group HLL register relation (group…, __hll_b, __hll_m):
+    * ≤ groups × m rows regardless of data size, and register maxes
+    * merge associatively — this is the persistable, mergeable sketch
+    * state every HLL entry point builds on.
+    *
+    * No floating point anywhere: the register index is the hash mod m,
+    * the next WBits hash bits (WBits = floor(log2(Mod/m)), see
+    * [[hllWBits]]) form w, and rho = (WBits+1) − bit_length(w) via the
+    * length-of-binary-string trick both engines share (w = 0 →
+    * WBits+1). The non-linear post-mix — two rounds of modular
+    * squaring — exists because the raw poly hash of SHORT sequential
+    * strings is near-arithmetic (it may never even wrap the modulus),
+    * and any LINEAR mix maps arithmetic progressions to arithmetic
+    * progressions, leaving the per-register rho distribution
+    * structured; squaring (Weyl-style equidistribution) breaks the
+    * linearity. h < 2^30 keeps h² < 2^60: exact in both engines, no
+    * overflow, no floats. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   value: Column, m: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "hllRegisters needs group columns")
+    requireHllM(m)
+    val WBits = hllWBits(m)
     val gs = groupCols.map(col)
-    // non-linear post-mix — two rounds of modular squaring: the raw
-    // poly hash of SHORT sequential strings is near-arithmetic (it may
-    // never even wrap the modulus), and any LINEAR mix maps arithmetic
-    // progressions to arithmetic progressions, leaving the per-register
-    // rho distribution structured; squaring (Weyl-style equidistribution)
-    // breaks the linearity. h < 2^30 keeps h² < 2^60: exact in both
-    // engines, no overflow, no floats.
     val p0 = graft.functions.StringPolyHash.Mod
     def sqMix(c: Column): Column = {
       val r1 = pmod(c * c + lit(2654435761L), lit(p0))
@@ -287,17 +286,42 @@ object StatsOps {
       .filter(col("__hll_v").isNotNull)
       .select(gs :+
         sqMix(graft.functions.StringPolyHash.polyHash(col("__hll_v").cast("string")))
-          .as("__hll_h") :+ col("__hll_v"): _*)
+          .as("__hll_h"): _*)
     val w = pmod(call_function("div", col("__hll_h"), lit(m.toLong)),
       lit(1L << WBits))
     val rhoCap = (WBits + 1).toLong
-    val withReg = rows
+    rows
       .withColumn("__hll_b", pmod(col("__hll_h"), lit(m.toLong)))
       .withColumn("__hll_rho",
         when(w === 0L, lit(rhoCap)).otherwise(lit(rhoCap) - length(bin(w))))
-    val regs = withReg.groupBy(gs :+ col("__hll_b"): _*)
+      .groupBy(gs :+ col("__hll_b"): _*)
       .agg(max(col("__hll_rho")).as("__hll_m"))
-    val sketch = regs.groupBy(gs: _*)
+  }
+
+  /** Integer-exact raw-HLL estimate from a register relation (as
+    * produced by [[hllRegisters]], or a UNION of several such — the
+    * leading max-merge re-folds duplicate (group, bucket) rows, which
+    * is what makes persisted register epochs appendable by plain
+    * union). The harmonic mean runs in integers scaled by
+    * 2^(WBits+1): 2^(−M_j) becomes the exact integer 2^(WBits+1−M_j),
+    * empty registers contribute 2^(WBits+1), and
+    *
+    *   n_est = (ALPHA_PERMILLE · m² · 2^(WBits+1)) // (S₂ · 1000)
+    *
+    * with α_m pinned as a permille literal (709‰ — the m ≥ 64
+    * constant). The RAW estimator, no small-range linear-counting
+    * correction (that needs ln): honest for cardinalities well above
+    * 2.5·m, the regime a vocabulary monitor runs in. */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                               m: Int = 64): DataFrame = {
+    requireHllM(m)
+    val WBits = hllWBits(m)
+    val scale = 1L << (WBits + 1)
+    val rhoCap = (WBits + 1).toLong
+    val gs = groupCols.map(col)
+    val merged = regs.groupBy(gs :+ col("__hll_b"): _*)
+      .agg(max(col("__hll_m")).as("__hll_m"))
+    merged.groupBy(gs: _*)
       .agg(count(lit(1)).as("__hll_present"),
         sum(call_function("shiftleft", lit(1L), lit(rhoCap) - col("__hll_m")))
           .as("__hll_s2p"))
@@ -305,27 +329,59 @@ object StatsOps {
         (lit(m.toLong) - col("__hll_present")) * lit(scale))
         .as("__hll_s2"): _*)
       .select(gs :+ call_function("div",
-        lit(AlphaPermille * m * m * scale),
+        lit(HllAlphaPermille * m * m * scale),
         col("__hll_s2") * lit(1000L)).as("n_est"): _*)
-    val exact = rows.groupBy(gs: _*)
+  }
+
+  /** SKETCH-ONLY per-group distinct-count estimate — the entry point a
+    * 100 TB corpus actually uses: the plan's only corpus-sized shuffle
+    * is the partial-aggregated register groupBy, and everything after
+    * it is ≤ groups × m rows. No exact countDistinct anywhere (that
+    * shuffles every distinct value — exactly the cost this sketch
+    * exists to avoid); use [[hllDistinctByGroup]] when you want the
+    * measured-error evaluation harness instead. Returns (group…,
+    * n_est). */
+  def hllEstimateByGroup(df: DataFrame, groupCols: Seq[String],
+                         value: Column, m: Int = 64): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCols, value, m),
+      groupCols, m)
+
+  /** EVALUATION wrapper: the sketch estimate next to the exact count
+    * and the measured error, in one pass over the data — the
+    * accuracy-monitor form (err_permille keeps the accuracy claim
+    * measured, not assumed). This form deliberately pays the exact
+    * count-distinct shuffle; for the scale path use
+    * [[hllEstimateByGroup]]. Returns (group…, n_exact, n_est,
+    * err_permille). */
+  def hllDistinctByGroup(df: DataFrame, groupCols: Seq[String],
+                         value: Column, m: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "hllDistinctByGroup needs group columns")
+    requireHllM(m)
+    val gs = groupCols.map(col)
+    val est = hllEstimateByGroup(df, groupCols, value, m)
+    val exact = df.select(gs :+ value.as("__hll_v"): _*)
+      .filter(col("__hll_v").isNotNull)
+      .groupBy(gs: _*)
       .agg(countDistinct(col("__hll_v")).as("n_exact"))
-    exact.join(sketch, groupCols)
+    exact.join(est, groupCols)
       .select(gs ++ Seq(col("n_exact"), col("n_est"),
         call_function("div", abs(col("n_est") - col("n_exact")) * 1000L,
           col("n_exact")).as("err_permille")): _*)
   }
 
-  /** The estimator's DuckDB form over a (group, v) relation `src`. */
-  def hllDistinctByGroupSql(srcSql: String, groupCol: String,
-                            m: Int = 64): String = {
+  /** Shared DuckDB CTE chain (rows0 → regs → sk) over a (group, v)
+    * relation `src`; the constants mirror [[hllWBits]] exactly. */
+  private def hllSketchCtesSql(srcSql: String, groupCol: String,
+                               m: Int): String = {
     val ph0 = graft.functions.StringPolyHash.polyHashSql("CAST(v AS VARCHAR)")
     val p0 = graft.functions.StringPolyHash.Mod
     val ph = s"(((($ph0) * ($ph0) + 2654435761) % $p0)" +
       s" * ((($ph0) * ($ph0) + 2654435761) % $p0) + 40503) % $p0"
-    val wMod = 1L << 23
-    val rhoCap = 24
-    val scale = 1L << 24
-    s"""WITH rows0 AS (
+    val WBits = hllWBits(m)
+    val wMod = 1L << WBits
+    val rhoCap = WBits + 1
+    val scale = 1L << rhoCap
+    s"""rows0 AS (
        |  SELECT $groupCol, v, $ph AS h FROM ($srcSql) WHERE v IS NOT NULL
        |), regs AS (
        |  SELECT $groupCol, h % $m AS b,
@@ -337,16 +393,33 @@ object StatsOps {
        |    CAST(sum(1::BIGINT << ($rhoCap - mj)) AS BIGINT)
        |      + ($m - count(*)) * $scale AS s2
        |  FROM regs GROUP BY $groupCol
-       |), ex AS (
+       |)""".stripMargin
+  }
+
+  private def hllEstSqlExpr(m: Int): String = {
+    val scale = 1L << (hllWBits(m) + 1)
+    s"CAST(${HllAlphaPermille * m * m}::BIGINT * ${scale}::BIGINT" +
+      s" // (sk.s2 * 1000) AS BIGINT)"
+  }
+
+  /** [[hllEstimateByGroup]]'s DuckDB form over a (group, v) relation. */
+  def hllEstimateByGroupSql(srcSql: String, groupCol: String,
+                            m: Int = 64): String =
+    s"""WITH ${hllSketchCtesSql(srcSql, groupCol, m)}
+       |SELECT sk.$groupCol, ${hllEstSqlExpr(m)} AS n_est FROM sk""".stripMargin
+
+  /** [[hllDistinctByGroup]]'s DuckDB form over a (group, v) relation. */
+  def hllDistinctByGroupSql(srcSql: String, groupCol: String,
+                            m: Int = 64): String =
+    s"""WITH ${hllSketchCtesSql(srcSql, groupCol, m)}, ex AS (
        |  SELECT $groupCol, count(DISTINCT v) AS n_exact FROM rows0
        |  GROUP BY $groupCol
        |)
        |SELECT ex.$groupCol, ex.n_exact,
-       |  CAST(${709L * m * m}::BIGINT * ${scale}::BIGINT // (sk.s2 * 1000) AS BIGINT) AS n_est,
-       |  CAST(abs(CAST(${709L * m * m}::BIGINT * ${scale}::BIGINT // (sk.s2 * 1000) AS BIGINT)
+       |  ${hllEstSqlExpr(m)} AS n_est,
+       |  CAST(abs(${hllEstSqlExpr(m)}
        |    - ex.n_exact) * 1000 // ex.n_exact AS BIGINT) AS err_permille
        |FROM ex JOIN sk USING ($groupCol)""".stripMargin
-  }
 
   /** Matching DuckDB SQL over a one-column relation `src` (alias v). */
   def exactQuantilesSql(srcSql: String, permille: Seq[Int]): String =

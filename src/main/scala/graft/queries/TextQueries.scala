@@ -85,6 +85,13 @@ object TextQueries {
     // mergeable HLL cardinality sketch with an integer-exact estimator,
     // scored against the exact count in the same pass
     GraftQuery("q_hll_vocab", hllVocabQ, Some(hllVocabSql)),
+    // the SKETCH-ONLY estimator — the scale path (no exact
+    // countDistinct side anywhere in the plan: the only corpus-sized
+    // shuffle is the partial-aggregated register groupBy), run at
+    // m=128 so it also pins the m-derived register width (WBits=22
+    // here; the old fixed 23-bit stream over-estimated ~2× for any
+    // m > 64)
+    GraftQuery("q_hll_estimate", hllEstimateQ, Some(hllEstimateSql)),
     // the bloom screen routed through the persisted decontamination
     // index; output ≡ the in-memory screens, so all three share the oracle
     GraftQuery("q_decontaminate_stored", decontaminateStored,
@@ -1783,6 +1790,33 @@ object TextQueries {
          |  SELECT source, list_transform(string_split(text, ' '), t -> $ph) AS th
          |  FROM documents)""".stripMargin,
       "source")
+  }
+
+  private val HLL_EST_M = 128
+
+  /** Sketch-only per-source 3-gram cardinality estimate
+    * (StatsOps.hllEstimateByGroup): same monitored value stream as
+    * q_hll_vocab but WITHOUT the exact-distinct shuffle — the entry
+    * point a 100 TB corpus uses, ≤ sources × m rows past the register
+    * fold. m = 128 (~11 values per register at the ~1.4k per-source
+    * cardinality — above the raw estimator's 2.5·m bias cutoff of 320)
+    * also exercises the m-derived rho width. */
+  def hllEstimateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docs(spark, sfDir).select(col("source"),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), K))
+        .as("shingle"))
+    graft.pipeline.StatsOps.hllEstimateByGroup(
+      sh, Seq("source"), col("shingle"), HLL_EST_M)
+  }
+
+  def hllEstimateSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val comb = graft.functions.TokenShingleHash.combineSql("th", K)
+    graft.pipeline.StatsOps.hllEstimateByGroupSql(
+      s"""SELECT source, unnest($comb) AS v FROM (
+         |  SELECT source, list_transform(string_split(text, ' '), t -> $ph) AS th
+         |  FROM documents)""".stripMargin,
+      "source", HLL_EST_M)
   }
 
   private val DSIR_BUCKETS = 4096

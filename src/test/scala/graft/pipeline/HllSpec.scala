@@ -32,6 +32,47 @@ class HllSpec extends AnyFunSuite {
     assert(out("a")._1 == 1000L)
   }
 
+  test("larger m stays estimator-grade (m-derived rho width)") {
+    // regression for the fixed-23-bit-stream bug: with WBits pinned at
+    // 23, any m > 64 left the top bits of w permanently zero and the
+    // estimate overshot ~2x (m=256) to ~32x (m=4096). With the
+    // m-derived width the error must stay in the sketch's normal band
+    // (~1.04/sqrt(m) relative; 3 sigma at m=256 ~ 20%).
+    val rows = (0 until 4000).map(i => ("g", s"val$i"))
+    for (m <- Seq(128, 256, 1024, 4096)) {
+      val est = StatsOps.hllEstimateByGroup(
+        rows.toDF("g", "v"), Seq("g"), col("v"), m)
+        .collect()(0).getLong(1)
+      val errPermille = math.abs(est - 4000L) * 1000 / 4000
+      assert(errPermille < 400,
+        s"m=$m est=$est err_permille=$errPermille — register width regression")
+    }
+  }
+
+  test("estimate-only output matches the eval wrapper's n_est column") {
+    val rows = (0 until 3000).map(i => ("a", s"q$i")) ++
+      (0 until 700).map(i => ("b", s"r$i"))
+    val df = rows.toDF("g", "v")
+    val full = StatsOps.hllDistinctByGroup(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val only = StatsOps.hllEstimateByGroup(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == only)
+  }
+
+  test("register relations union-merge: append == one-shot") {
+    val a = (0 until 1000).map(i => ("g", s"u$i")).toDF("g", "v")
+    val b = (500 until 1500).map(i => ("g", s"u$i")).toDF("g", "v")
+    val whole = (0 until 1500).map(i => ("g", s"u$i")).toDF("g", "v")
+    val merged = StatsOps.hllEstimateFromRegisters(
+      StatsOps.hllRegisters(a, Seq("g"), col("v"))
+        .union(StatsOps.hllRegisters(b, Seq("g"), col("v"))), Seq("g"))
+      .collect()(0).getLong(1)
+    val oneShot = StatsOps.hllEstimateByGroup(whole, Seq("g"), col("v"))
+      .collect()(0).getLong(1)
+    assert(merged == oneShot)
+  }
+
   test("contract: m must be a power of two in range") {
     val df = Seq(("a", "x")).toDF("g", "v")
     intercept[IllegalArgumentException] {
