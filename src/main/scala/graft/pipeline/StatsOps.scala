@@ -369,6 +369,126 @@ object StatsOps {
           col("n_exact")).as("err_permille")): _*)
   }
 
+  // ---- persisted HLL register index (the 7th stored artifact) ----------
+  // Same epoch-dir + meta-swap discipline as the MinHash / LM /
+  // decontamination artifacts: register relations live in immutable
+  // `regs/e<N>/` dirs, the meta pointer (geometry pin + epoch +
+  // completeness count) swaps LAST, and readers racing an append
+  // resolve the previous epoch. Registers are MAX-mergeable, so an
+  // append is one partial-aggregated max groupBy over (stored ∪ delta)
+  // — cost ∝ delta plus the ≤ groups × m stored relation, never a
+  // rescan of earlier data. This is what makes the sketch the 100 TB
+  // cardinality monitor: each day folds its registers in, and the
+  // estimate reads a bounded relation.
+
+  /** Meta row: register count pin (m), group column names, epoch
+    * pointer, and the committed register-row count (interrupted-write
+    * detection: a commit that died before the meta swap leaves the old
+    * meta in place; one that died mid-epoch-write is caught by the
+    * epoch dir's own _SUCCESS marker since estimates only read the
+    * meta-pointed epoch). */
+  private[graft] final case class HllIndexMeta(
+      m: Int, groupCols: Seq[String], regRows: Long, epoch: Long)
+
+  private def hllEpochDir(path: String, epoch: Long): String =
+    s"$path/regs/e$epoch"
+
+  private def swapHllMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String, meta: HllIndexMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.m.toLong, meta.groupCols.mkString(","), meta.regRows,
+        meta.epoch))
+      .toDF("m", "group_cols", "reg_rows", "epoch")
+      .coalesce(1).write.parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"hll index: failed to swap meta into place at $target")
+  }
+
+  /** Meta read with ONE retry: the delete+rename swap has a window
+    * where no meta dir exists; a reader landing inside it would
+    * otherwise throw a misleading "not an index" error for a perfectly
+    * healthy index mid-append. One bounded retry after a short pause
+    * covers the window (the swap is two fast metadata ops); a second
+    * miss means the artifact genuinely isn't there. */
+  private[graft] def readHllIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): HllIndexMeta = {
+    def attempt(): Array[org.apache.spark.sql.Row] =
+      spark.read.parquet(s"$path/meta").collect()
+    val rows =
+      try attempt()
+      catch {
+        case _: Exception =>
+          Thread.sleep(200L)
+          try attempt()
+          catch { case e: Exception => throw new IllegalStateException(
+            s"hll index at $path has no readable meta — not an index " +
+              "artifact, or an interrupted write that never committed", e) }
+      }
+    val r = rows(0)
+    HllIndexMeta(r.getAs[Long]("m").toInt,
+      r.getAs[String]("group_cols").split(",").toSeq,
+      r.getAs[Long]("reg_rows"), r.getAs[Long]("epoch"))
+  }
+
+  private def commitHllEpoch(spark: org.apache.spark.sql.SparkSession,
+                             path: String, regs: DataFrame,
+                             groupCols: Seq[String], m: Int,
+                             epoch: Long): Unit = {
+    regs.write.mode("overwrite").parquet(hllEpochDir(path, epoch))
+    val stored = spark.read.parquet(hllEpochDir(path, epoch))
+    swapHllMeta(spark, path,
+      HllIndexMeta(m, groupCols, stored.count(), epoch))
+  }
+
+  /** Build-and-persist: one partial-aggregated register fold over the
+    * data (the plan's only corpus-sized shuffle) → epoch 0 commit. */
+  def writeHllIndex(df: DataFrame, groupCols: Seq[String], value: Column,
+                    path: String, m: Int = 64): Unit = {
+    requireHllM(m)
+    commitHllEpoch(df.sparkSession, path,
+      hllRegisters(df, groupCols, value, m), groupCols, m, epoch = 0L)
+  }
+
+  /** Fold a new data slice into the stored registers: the DELTA's
+    * register relation max-merges with the stored one by (group,
+    * bucket) into a NEW immutable epoch — one register fold over the
+    * delta plus a ≤ 2 × groups × m merge groupBy; earlier data is
+    * never rescanned. Geometry (m) and group columns are pinned by
+    * meta, so an append can't silently change the sketch's shape. */
+  def appendHllIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, df: DataFrame, value: Column): Unit = {
+    val meta = readHllIndexMeta(spark, path)
+    val delta = hllRegisters(df, meta.groupCols, value, meta.m)
+    val merged = spark.read.parquet(hllEpochDir(path, meta.epoch))
+      .unionByName(delta)
+      .groupBy(meta.groupCols.map(col) :+ col("__hll_b"): _*)
+      .agg(max(col("__hll_m")).as("__hll_m"))
+    commitHllEpoch(spark, path, merged, meta.groupCols, meta.m,
+      meta.epoch + 1)
+  }
+
+  /** Distinct-count estimate off the STORED registers: no data scan at
+    * all — the input is the ≤ groups × m register relation of the
+    * meta-pointed epoch (resolved once, so a probe racing an append
+    * sees one consistent snapshot). Returns (group…, n_est), identical
+    * to [[hllEstimateByGroup]] over the union of every slice ever
+    * folded in (register max is associative — pinned by HllSpec /
+    * the q_hll_stored oracle). */
+  def estimateFromStoredHll(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val meta = readHllIndexMeta(spark, path)
+    hllEstimateFromRegisters(
+      spark.read.parquet(hllEpochDir(path, meta.epoch)),
+      meta.groupCols, meta.m)
+  }
+
   /** Shared DuckDB CTE chain (rows0 → regs → sk) over a (group, v)
     * relation `src`; the constants mirror [[hllWBits]] exactly. */
   private def hllSketchCtesSql(srcSql: String, groupCol: String,

@@ -92,6 +92,13 @@ object TextQueries {
     // here; the old fixed 23-bit stream over-estimated ~2× for any
     // m > 64)
     GraftQuery("q_hll_estimate", hllEstimateQ, Some(hllEstimateSql)),
+    // the estimator routed through the PERSISTED register index:
+    // even-id docs build the artifact, odd-id docs fold in via append
+    // (a register max-merge, cost ∝ delta), and the estimate reads
+    // ONLY the stored epoch — register max is associative, so the
+    // output ≡ the one-shot estimate over the whole corpus and the
+    // query shares q_hll_estimate's oracle
+    GraftQuery("q_hll_stored", hllStoredQ, Some(hllEstimateSql)),
     // the bloom screen routed through the persisted decontamination
     // index; output ≡ the in-memory screens, so all three share the oracle
     GraftQuery("q_decontaminate_stored", decontaminateStored,
@@ -1817,6 +1824,29 @@ object TextQueries {
          |  SELECT source, list_transform(string_split(text, ' '), t -> $ph) AS th
          |  FROM documents)""".stripMargin,
       "source", HLL_EST_M)
+  }
+
+  /** [[hllEstimateQ]] through the persisted-register lifecycle: the
+    * even-id half builds the index (rebuilt fresh each run — never
+    * cached, so a regenerated corpus can't serve stale registers), the
+    * odd-id half folds in via [[graft.pipeline.StatsOps.appendHllIndex]]
+    * (one register fold over the delta + a ≤ groups × m max-merge),
+    * and the estimate reads only the stored epoch. Register max is
+    * associative, so this ≡ the one-shot estimate over all docs —
+    * which is why it shares q_hll_estimate's oracle. */
+  def hllStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    def sh(pred: org.apache.spark.sql.Column) = d.filter(pred)
+      .select(col("source"),
+        explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), K))
+          .as("shingle"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hll_idx_${math.abs(sfDir.hashCode)}"
+    graft.pipeline.StatsOps.writeHllIndex(
+      sh(col("doc_id") % 2 === 0), Seq("source"), col("shingle"), dir,
+      HLL_EST_M)
+    graft.pipeline.StatsOps.appendHllIndex(spark, dir,
+      sh(col("doc_id") % 2 === 1), col("shingle"))
+    graft.pipeline.StatsOps.estimateFromStoredHll(spark, dir)
   }
 
   private val DSIR_BUCKETS = 4096
