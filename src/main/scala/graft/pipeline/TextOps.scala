@@ -530,7 +530,21 @@ object TextOps {
     // side that IS the optimal plan — allow-listed in PlanAuditSpec
     // with this justification)
     val vocab = c1.agg(count(lit(1)).as("__v"))
-    val terms = pairs
+    // DE-SKEW: the scoring join's probe side is pre-aggregated to one
+    // row per (doc, bigram) with its in-doc multiplicity — shrinking
+    // the join input from token count to distinct-bigrams-per-doc, so
+    // a document repeating one stopword bigram thousands of times
+    // contributes ONE join row, not thousands. The pre-aggregation
+    // shuffle is keyed by (id, ctx, big) — id makes it uniform, so it
+    // cannot itself skew. The residual cross-DOC skew (a stopword
+    // bigram appearing once in every doc still has one row per doc on
+    // that key) is bounded by corpus doc count per key and handled by
+    // AQE's skew-join split when the count relation outgrows broadcast
+    // — the same documented reliance as ngramFamiliarity; LmSkewSpec
+    // pins the within-doc half structurally.
+    val perDoc = pairs.groupBy(col(idCol), col("__ctx"), col("__big"))
+      .agg(count(lit(1)).as("__mult"))
+    val terms = perDoc
       .join(c2, Seq("__ctx", "__big"), "left")
       .join(c1, Seq("__ctx"), "left")
       .crossJoin(broadcast(vocab))
@@ -542,7 +556,8 @@ object TextOps {
           "no documents with at least one bigram; there is no model to " +
           "score against")).isNull)
       .select(col(idCol),
-        lmTerm(col("__c2"), col("__c1"), col("__v"), scale).as("__term"))
+        lmTerm(col("__c2"), col("__c1"), col("__v"), scale).as("__term"),
+        col("__mult"))
     lmAggregate(df, idCol, terms)
   }
 
@@ -574,11 +589,17 @@ object TextOps {
       (coalesce(c2, lit(0L)) + lit(1L)) * lit(scale),
       coalesce(c1, lit(0L)) + v)
 
-  /** Per-doc fold of term rows + restore of zero-bigram docs. */
+  /** Per-doc fold of (term, multiplicity) rows + restore of
+    * zero-bigram docs: terms arrive pre-aggregated to one row per
+    * (doc, bigram) with `__mult` occurrences (the de-skew contract),
+    * so the fold weights by multiplicity — bit-identical to summing
+    * one row per occurrence since the term depends only on the
+    * bigram. */
   private def lmAggregate(df: DataFrame, idCol: String,
                           terms: DataFrame): DataFrame = {
     val perDoc = terms.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("score_sum"))
+      .agg(sum(col("__mult")).as("n_bigrams"),
+        sum(col("__term") * col("__mult")).as("score_sum"))
       .select(col(idCol), col("n_bigrams"), col("score_sum"),
         call_function("div", col("score_sum"), col("n_bigrams"))
           .as("avg_score"))
@@ -711,11 +732,17 @@ object TextOps {
         col("n").as("__c2"))
     val c1 = spark.read.parquet(lmEpochDir(path, "ctx", meta.epoch))
       .select(col("ctx").as("__ctx"), col("n").as("__c1"))
-    val terms = lmPairsOf(df, textCol, idCol)
+    // same de-skew pre-aggregation as [[bigramLmScore]]: one join row
+    // per (doc, bigram), weighted by in-doc multiplicity
+    val perDocPairs = lmPairsOf(df, textCol, idCol)
+      .groupBy(col(idCol), col("__ctx"), col("__big"))
+      .agg(count(lit(1)).as("__mult"))
+    val terms = perDocPairs
       .join(c2, Seq("__ctx", "__big"), "left")
       .join(c1, Seq("__ctx"), "left")
       .select(col(idCol),
-        lmTerm(col("__c2"), col("__c1"), lit(meta.v), scale).as("__term"))
+        lmTerm(col("__c2"), col("__c1"), lit(meta.v), scale).as("__term"),
+        col("__mult"))
     lmAggregate(df, idCol, terms)
   }
 
