@@ -351,7 +351,7 @@ object DedupOps {
 
   private[graft] def readMinhashIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndexMeta = {
-    val r = spark.read.parquet(s"$path/meta").collect()(0)
+    val r = MetaIO.readMetaRow(spark, path, "minhash index", "index")
     MinhashIndexMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("bands"), r.getAs[Int]("bloom_bits"),
       r.getAs[Int]("bloom_hashes"), r.getAs[Long]("epoch"),

@@ -1032,12 +1032,7 @@ object SimilarityOps {
 
   private[graft] def readKmeansModelMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): KmeansModelMeta = {
-    val rows =
-      try spark.read.parquet(s"$path/meta").collect()
-      catch { case e: Exception => throw new IllegalStateException(
-        s"kmeans model at $path has no readable meta — not a model " +
-          "artifact, or an interrupted write that never committed", e) }
-    val r = rows(0)
+    val r = MetaIO.readMetaRow(spark, path, "kmeans model", "model")
     KmeansModelMeta(r.getAs[Int]("k"), r.getAs[Int]("dim"),
       r.getAs[Int]("iters_trained"), r.getAs[Long]("epoch"))
   }

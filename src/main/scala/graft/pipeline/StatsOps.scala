@@ -410,28 +410,10 @@ object StatsOps {
       s"hll index: failed to swap meta into place at $target")
   }
 
-  /** Meta read with ONE retry: the delete+rename swap has a window
-    * where no meta dir exists; a reader landing inside it would
-    * otherwise throw a misleading "not an index" error for a perfectly
-    * healthy index mid-append. One bounded retry after a short pause
-    * covers the window (the swap is two fast metadata ops); a second
-    * miss means the artifact genuinely isn't there. */
   private[graft] def readHllIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
       path: String): HllIndexMeta = {
-    def attempt(): Array[org.apache.spark.sql.Row] =
-      spark.read.parquet(s"$path/meta").collect()
-    val rows =
-      try attempt()
-      catch {
-        case _: Exception =>
-          Thread.sleep(200L)
-          try attempt()
-          catch { case e: Exception => throw new IllegalStateException(
-            s"hll index at $path has no readable meta — not an index " +
-              "artifact, or an interrupted write that never committed", e) }
-      }
-    val r = rows(0)
+    val r = MetaIO.readMetaRow(spark, path, "hll index", "index")
     HllIndexMeta(r.getAs[Long]("m").toInt,
       r.getAs[String]("group_cols").split(",").toSeq,
       r.getAs[Long]("reg_rows"), r.getAs[Long]("epoch"))

@@ -263,12 +263,10 @@ object TextOps {
 
   private[graft] def readDecontamIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): DecontamIndexMeta = {
-    val rows =
-      try spark.read.parquet(s"$path/meta").collect()
-      catch { case e: Exception => throw new IllegalStateException(
-        s"decontam index at $path has no readable meta — not an index " +
-          "artifact, or an interrupted write that never committed", e) }
-    val r = rows(0)
+    // MetaIO retries once across the delete+rename swap window, so a
+    // reader racing an append resolves the previous consistent epoch
+    // instead of a transient "no meta" failure
+    val r = MetaIO.readMetaRow(spark, path, "decontam index", "index")
     DecontamIndexMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_bits"),
       r.getAs[Int]("num_hashes"), r.getAs[Long]("sh_rows"),
       r.getAs[Long]("epoch"))
@@ -295,8 +293,29 @@ object TextOps {
       .toDF("word_idx", "word")
       .coalesce(1).write.mode("overwrite")
       .parquet(decontamEpochDir(path, "bloom", 0L))
+    val shRows = stored.count()
+    warnIfBloomSaturated(path, shRows, numBits)
     swapDecontamMeta(spark, path,
-      DecontamIndexMeta(shingleK, numBits, numHashes, stored.count(), 0L))
+      DecontamIndexMeta(shingleK, numBits, numHashes, shRows, 0L))
+  }
+
+  /** Loud saturation guard: the bloom's geometry is pinned at build
+    * time, but appends keep folding suites in — past ~numBits/10
+    * distinct shingles (< 10 bits per element) the false-positive rate
+    * climbs toward 1 and the prescreen silently degrades to the
+    * unfiltered verify join (correctness holds, the COST advantage is
+    * gone). The remedy is a rebuild with a larger numBits; warn on the
+    * way in rather than letting the screen regress without a trace. */
+  private def warnIfBloomSaturated(path: String, shRows: Long,
+                                   numBits: Int): Unit = {
+    val capacity = numBits / 10L
+    if (shRows > capacity)
+      System.err.println(
+        s"[graft] decontam index at $path: $shRows distinct shingles " +
+          s"exceed the $numBits-bit bloom's design capacity (~$capacity " +
+          "at 10 bits/element) — the prescreen's false-positive rate is " +
+          "degrading toward pass-everything; rebuild with writeDecontamIndex " +
+          "and a larger numBits")
   }
 
   /** Fold a NEW benchmark suite into the stored index: the delta's
@@ -326,7 +345,9 @@ object TextOps {
       .toDF("word_idx", "word")
       .coalesce(1).write.mode("overwrite")
       .parquet(decontamEpochDir(path, "bloom", next))
-    swapDecontamMeta(spark, path, meta.copy(shRows = merged.count(), epoch = next))
+    val shRows = merged.count()
+    warnIfBloomSaturated(path, shRows, meta.numBits)
+    swapDecontamMeta(spark, path, meta.copy(shRows = shRows, epoch = next))
   }
 
   /** The daily screen against the STORED index: geometry from meta, the
@@ -646,12 +667,7 @@ object TextOps {
 
   private[graft] def readLmModelMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): LmModelMeta = {
-    val rows =
-      try spark.read.parquet(s"$path/meta").collect()
-      catch { case e: Exception => throw new IllegalStateException(
-        s"lm model at $path has no readable meta — not a model artifact, " +
-          "or an interrupted write that never committed", e) }
-    val r = rows(0)
+    val r = MetaIO.readMetaRow(spark, path, "lm model", "model")
     LmModelMeta(r.getAs[Long]("v"), r.getAs[Long]("c2_rows"),
       r.getAs[Long]("epoch"))
   }
