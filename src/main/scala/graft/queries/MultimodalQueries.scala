@@ -27,6 +27,11 @@ object MultimodalQueries {
     GraftQuery("q_audio_decode", audioDecode, Some(audioDecodeSql)),
     GraftQuery("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
     GraftQuery("q_video_frames", videoFrames, Some(videoFramesSql)),
+    // the SAME clip through the STANDARD RIFF/AVI container (Motion-PNG
+    // stream): only the byte walk differs from q_video_frames — the
+    // demuxer-seam claim proven on a second, real-world grammar — so it
+    // shares the frame-formula oracle, which never sees the bytes
+    GraftQuery("q_video_frames_avi", videoFramesAvi, Some(videoFramesSql)),
     GraftQuery("q_audio_dup_groups", audioDupGroups, Some(audioDupGroupsSql)),
   )
 
@@ -132,6 +137,20 @@ object MultimodalQueries {
     val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
     val packs = MultimodalOps.encodeSyntheticFramePack(ids, "doc_id")
     MultimodalOps.sampleFrames(packs, "content", "media_id", VF_STRIDE)
+  }
+
+  /** [[videoFrames]] with the clip encoded as a REAL RIFF/AVI file
+    * (avih/strl headers + movi LIST of '00dc' Motion-PNG chunks, RIFF
+    * even-padding included): the byte-arithmetic RIFF walk demuxes the
+    * movi stream, stride-samples, and really decodes each kept frame.
+    * Same frame formulas as the frame pack, so the output — and the
+    * oracle — are identical to q_video_frames: a green row proves the
+    * second container grammar end to end without the oracle ever
+    * consulting the bytes. */
+  def videoFramesAvi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val avis = MultimodalOps.encodeSyntheticAvi(ids, "doc_id")
+    MultimodalOps.sampleAviFrames(avis, "content", "media_id", VF_STRIDE)
   }
 
   /** Mirrors synthFrameCount / synthFrameImageId / synthDims / synthRgb:

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RIFF/AVI container: the standard grammar (header LISTs, movi
+  * '00dc' chunks, even-byte padding) walked in pure byte arithmetic,
+  * with the same honest-degradation semantics as the frame pack. */
+class AviContainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def leInt(b: Array[Byte], pos: Int): Int =
+    java.nio.ByteBuffer.wrap(b, pos, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+
+  test("AVI demux == frame-pack walk on the same clips (two encodings, one video)") {
+    val ids = Seq(3L, 5L, 6L, 11L).toDF("id")
+    val viaAvi = MultimodalOps.sampleAviFrames(
+        MultimodalOps.encodeSyntheticAvi(ids, "id"), "content", "media_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val viaPack = MultimodalOps.sampleFrames(
+        MultimodalOps.encodeSyntheticFramePack(ids, "id"), "content",
+        "media_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(viaAvi.nonEmpty && viaAvi == viaPack)
+  }
+
+  test("header is structurally a standard AVI (RIFF/AVI , hdrl, movi, padding)") {
+    val bytes = MultimodalOps.encodeSyntheticAvi(Seq(5L).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+    assert(leInt(bytes, 4) == bytes.length - 8,
+      "RIFF size must cover the whole remaining file")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    assert(new String(bytes, 12, 4, "US-ASCII") == "LIST")
+    assert(new String(bytes, 20, 4, "US-ASCII") == "hdrl")
+    assert(new String(bytes, 24, 4, "US-ASCII") == "avih")
+    // dwTotalFrames sits 16 bytes into the avih payload (offset 32+16)
+    assert(leInt(bytes, 48) == MultimodalOps.synthFrameCount(5L))
+    // every movi chunk starts on an even offset (the RIFF padding rule)
+    val moviPos = {
+      var p = 12
+      while (!(new String(bytes, p, 4, "US-ASCII") == "LIST" &&
+        new String(bytes, p + 8, 4, "US-ASCII") == "movi")) {
+        p += 8 + leInt(bytes, p + 4) + (leInt(bytes, p + 4) & 1)
+      }
+      p
+    }
+    var q = moviPos + 12
+    val moviEnd = moviPos + 8 + leInt(bytes, moviPos + 4)
+    var sawOdd = false
+    while (q + 8 <= moviEnd) {
+      assert(q % 2 == 0, s"chunk at odd offset $q")
+      val len = leInt(bytes, q + 4)
+      if ((len & 1) == 1) sawOdd = true
+      q += 8 + len + (len & 1)
+    }
+    assert(q == moviEnd, "movi walk must land exactly on the LIST end")
+    // PNG payload lengths vary, so at least one odd-length chunk keeps
+    // the padding path live in this fixture set; if this ever flakes,
+    // widen the id set rather than weakening the assert
+    assert(sawOdd, "expected at least one odd-length frame chunk")
+  }
+
+  test("non-AVI bytes emit no rows; truncation keeps complete frames") {
+    val good = MultimodalOps.encodeSyntheticAvi(Seq(6L).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1)
+    val wav = MultimodalOps.encodeSyntheticWav(Seq(6L).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1) // RIFF but WAVE, not AVI
+    // locate the movi LIST and cut inside the third frame chunk
+    var p = 12
+    while (!(new String(good, p, 4, "US-ASCII") == "LIST" &&
+      new String(good, p + 8, 4, "US-ASCII") == "movi")) {
+      p += 8 + leInt(good, p + 4) + (leInt(good, p + 4) & 1)
+    }
+    var q = p + 12
+    for (_ <- 0 until 2) { // skip two complete frame chunks
+      val len = leInt(good, q + 4); q += 8 + len + (len & 1)
+    }
+    val cut = good.take(q + 10) // inside frame 2's chunk
+    val df = Seq((1L, wav), (2L, cut), (3L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = MultimodalOps.sampleAviFrames(df, "content", "media_id", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._1 == 2L))
+    assert(out.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("non-video chunks inside movi are skipped, frame indexing unaffected") {
+    // splice a fake odd-length '01wb' audio chunk before the frames
+    val good = MultimodalOps.encodeSyntheticAvi(Seq(5L).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1)
+    var p = 12
+    while (!(new String(good, p, 4, "US-ASCII") == "LIST" &&
+      new String(good, p + 8, 4, "US-ASCII") == "movi")) {
+      p += 8 + leInt(good, p + 4) + (leInt(good, p + 4) & 1)
+    }
+    val audio = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    audio.put("01wb".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5)).put(0.toByte) // odd len -> pad
+    val insertAt = p + 12
+    val spliced = good.take(insertAt) ++ audio.array() ++ good.drop(insertAt)
+    // patch movi LIST size and RIFF size for the 14 inserted bytes
+    def patchLe(b: Array[Byte], pos: Int, v: Int): Unit =
+      java.nio.ByteBuffer.wrap(b, pos, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v)
+    patchLe(spliced, p + 4, leInt(good, p + 4) + 14)
+    patchLe(spliced, 4, leInt(good, 4) + 14)
+    val out = MultimodalOps.sampleAviFrames(
+        Seq((9L, spliced)).toDF("media_id", "content"),
+        "content", "media_id", 1)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    val expect = MultimodalOps.sampleAviFrames(
+        Seq((9L, good)).toDF("media_id", "content"),
+        "content", "media_id", 1)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    assert(out == expect && out.keySet ==
+      (0 until MultimodalOps.synthFrameCount(5L)).map(_.toLong).toSet)
+  }
+}
