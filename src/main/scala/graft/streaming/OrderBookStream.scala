@@ -117,6 +117,124 @@ object OrderBookStream {
       }(Encoders.BINARY, rowEnc)
   }
 
+  /** Typed state for the analytics replay: the book blob plus the
+    * previous event's top-of-book (None ≡ "no previous two-sided
+    * value", which covers both the first event and a one-sided
+    * predecessor — exactly the cases the batch lag() yields NULL for)
+    * and the running OFI sum. */
+  case class OfiState(book: Array[Byte], pb: Option[Long], pqb: Option[Long],
+                      pa: Option[Long], pqa: Option[Long], cum: Long)
+
+  /** Streaming twin of the book ANALYTICS chain: the O1 replay fold and
+    * the best-level order-flow imbalance
+    * ([[graft.operators.BookAnalytics.orderFlowImbalance]] — Cont,
+    * Kukanov & Stoikov 2014 e_n) in ONE stateful pass. The batch form
+    * needs a product-partitioned lag + running-sum window over the
+    * replay output; on a stream that is one previous-quote scalar and
+    * one running sum carried in the SAME state entry as the book blob —
+    * no second state store, no second shuffle: the analytics ride the
+    * replay's own groupByKey exchange.
+    *
+    * Emits one row per event: (product, seq, BBO n=1 columns, ofi,
+    * cum_ofi) — append mode, ordering contract identical to the replay
+    * ([[topNLevelsFromPriceUpdates]]). Microprice/spread/imbalance are
+    * STATELESS over this output: `BookAnalytics.microprice` applies to
+    * the returned stream unchanged (pinned by the stream spec), so the
+    * full per-event analytics frame is this operator + one map. */
+  def ofiFromPriceUpdates(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      partitionBy: String, orderBy: String,
+      idleTimeout: Option[String] = None): DataFrame = {
+
+    val outSchema = StructType(
+      StructField(partitionBy, LongType) +:
+        StructField(orderBy, LongType) +:
+        (OrderBookOps.bboFieldNames(1).map(StructField(_, LongType, nullable = true)) ++
+          Seq(StructField("ofi", LongType, nullable = false),
+            StructField("cum_ofi", LongType, nullable = false))))
+
+    def requireIntegral(c: String): Unit = {
+      val t = df.schema(c).dataType
+      require(t == LongType || t == IntegerType ||
+        t == org.apache.spark.sql.types.ShortType ||
+        t == org.apache.spark.sql.types.ByteType,
+        s"column '$c' must be an integral type for the streaming replay " +
+          s"(got ${t.catalogString})")
+    }
+    requireIntegral(partitionBy)
+    requireIntegral(orderBy)
+    val work = df.select(
+      col(partitionBy).cast("long").as("pkey"),
+      col(orderBy).cast("long").as("okey"),
+      col(price).cast("long").as("price"),
+      col(qty).cast("long").as("qty"),
+      col(isBid).cast("boolean").as("is_bid"))
+
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]
+    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaBoolean)
+
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    work.as[(Long, Long, Long, Long, Boolean)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OfiState, Row](
+        OutputMode.Append(), timeoutConf) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
+         state: GroupState[OfiState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = if (state.exists) state.get
+              else OfiState(null, None, None, None, None, 0L)
+            val book = if (st0.book != null) BookCodec.deserialize(st0.book)
+              else new OrderBook(1)
+            var pb = st0.pb; var pqb = st0.pqb
+            var pa = st0.pa; var pqa = st0.pqa
+            var cum = st0.cum
+            val sorted = rows.toArray.sortBy(_._2)
+            val snap = new Array[Any](4)
+            val out = sorted.iterator.map { case (_, okey, p, q, bSide) =>
+              Transitions.applyUpdate(book, bSide, p, q)
+              book.snapshotInto(snap, 0)
+              val b = snap(0).asInstanceOf[java.lang.Long]
+              val qb = snap(1).asInstanceOf[java.lang.Long]
+              val a = snap(2).asInstanceOf[java.lang.Long]
+              val qa = snap(3).asInstanceOf[java.lang.Long]
+              // e_n exactly as the batch window form: a side contributes
+              // 0 unless BOTH its current and previous best are present
+              val bidFlow =
+                if (b != null && pb.isDefined)
+                  (if (b >= pb.get) qb.longValue else 0L) -
+                    (if (b <= pb.get) pqb.get else 0L)
+                else 0L
+              val askFlow =
+                if (a != null && pa.isDefined)
+                  -(if (a <= pa.get) qa.longValue else 0L) +
+                    (if (a >= pa.get) pqa.get else 0L)
+                else 0L
+              val ofi = bidFlow + askFlow
+              cum += ofi
+              pb = Option(b).map(_.longValue)
+              pqb = Option(qb).map(_.longValue)
+              pa = Option(a).map(_.longValue)
+              pqa = Option(qa).map(_.longValue)
+              new GenericRowWithSchema(
+                Array[Any](key, okey, b, qb, a, qa, ofi, cum),
+                outSchema): Row
+            }.toArray
+            state.update(
+              OfiState(BookCodec.serialize(book), pb, pqb, pa, pqa, cum))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }(stEnc, rowEnc)
+  }
+
   private def replayStream(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String, mutation: Boolean,
