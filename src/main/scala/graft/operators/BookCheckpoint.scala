@@ -104,6 +104,101 @@ object BookCheckpoint {
     }
   }
 
+  /** Roll a checkpoint FORWARD one day: per-group, the book initializes
+    * from the stored state (absent groups start fresh), folds the new
+    * events, and emits the NEW end-of-day state — the daily leg of a
+    * multi-day checkpoint chain (state_d = fold(state_{d−1}, day_d)),
+    * so day N's state costs one day of events, never a replay of the
+    * whole history. Groups with a stored state but NO events today
+    * CARRY FORWARD unchanged (a product that doesn't trade still has a
+    * book tomorrow). Same loud contracts as resume: one state row per
+    * group, stored n must match. CheckpointChainSoakMain measures a
+    * 7-day chain at scale; BookCheckpointSpec pins chain ≡ one-shot. */
+  def bookStateSnapshotsResumed(df: DataFrame, states: DataFrame,
+                                price: String, qty: String, isBid: String,
+                                n: Int, partitionBy: Seq[String],
+                                orderBy: Seq[String],
+                                stateCol: String = "book_state"): DataFrame =
+    resumedSnapshots(df, states, price, qty, isBid, n, partitionBy,
+      orderBy, stateCol, Updates)
+
+  /** [[bookStateSnapshotsResumed]] for the O2 mutation transition. */
+  def bookStateSnapshotsResumedFromMutations(
+      df: DataFrame, states: DataFrame, price: String, qty: String,
+      isBid: String, n: Int, partitionBy: Seq[String],
+      orderBy: Seq[String], stateCol: String = "book_state"): DataFrame =
+    resumedSnapshots(df, states, price, qty, isBid, n, partitionBy,
+      orderBy, stateCol, Mutations)
+
+  /** [[bookStateSnapshotsResumed]] for the O3 modify transition. */
+  def bookStateSnapshotsResumedFromMutationsWithModify(
+      df: DataFrame, states: DataFrame, price: String, qty: String,
+      isBid: String, prevPrice: String, prevQty: String, n: Int,
+      partitionBy: Seq[String], orderBy: Seq[String],
+      stateCol: String = "book_state"): DataFrame =
+    resumedSnapshots(df, states, price, qty, isBid, n, partitionBy,
+      orderBy, stateCol, Modify(prevPrice, prevQty))
+
+  private def resumedSnapshots(df: DataFrame, states: DataFrame,
+                               price: String, qty: String, isBid: String,
+                               n: Int, partitionBy: Seq[String],
+                               orderBy: Seq[String], stateCol: String,
+                               mode: Mode): DataFrame = {
+    require(n >= 1 && n <= 20, s"Unsupported number of levels: $n")
+    require(orderBy.nonEmpty,
+      "orderBy must be non-empty: book replay is order-sensitive")
+    require(partitionBy.nonEmpty,
+      "resumed snapshots require partition keys; add a constant key " +
+        "column for a single global book")
+    val withEv = castedEvents(df, price, qty, isBid, mode)
+    val numIn = df.schema.size
+    val keySchema = StructType(partitionBy.map(c =>
+      df.schema(df.schema.fieldIndex(c))).toArray)
+    val outSchema = StructType(keySchema.fields :+
+      StructField("book_state", BinaryType, nullable = false))
+    implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
+    val keyEnc: Encoder[Row] = Encoders.row(keySchema)
+    val evKeyIdx = partitionBy.map(withEv.schema.fieldIndex).toArray
+    val stKeyIdx = partitionBy.map(states.schema.fieldIndex).toArray
+    val stStateIdx = states.schema.fieldIndex(stateCol)
+    val sortCols = orderBy.map(col)
+    val width = keySchema.size + 1
+
+    withEv.groupByKey(rowKey(evKeyIdx, keySchema))(keyEnc)
+      .cogroupSorted(
+        states.groupByKey(rowKey(stKeyIdx, keySchema))(keyEnc))(
+        sortCols: _*)() { (key, evIt, stIt) =>
+        val stateRows = stIt.take(2).toList
+        require(stateRows.size <= 1,
+          s"resumed snapshots: multiple checkpoint rows for group " +
+            s"${key.toSeq.mkString(",")}")
+        val book = stateRows match {
+          case r :: Nil => BookCodec.deserialize(
+            r.getAs[Array[Byte]](stStateIdx))
+          case _ => new OrderBook(n)
+        }
+        require(book.n == n,
+          s"checkpoint was built at n=${book.n}; resumed snapshots " +
+            s"requested n=$n (the stored state pins n)")
+        var sawEvent = false
+        evIt.foreach { row =>
+          sawEvent = true
+          applyRow(book, row, numIn, price, qty, isBid, mode)
+        }
+        // carry-forward: a stored group with no events today keeps its
+        // state; a fresh group with no events (impossible via cogroup,
+        // but defensive) emits nothing
+        if (!sawEvent && stateRows.isEmpty) Iterator.empty
+        else {
+          val out = new Array[Any](width)
+          var i = 0
+          while (i < key.length) { out(i) = key.get(i); i += 1 }
+          out(width - 1) = BookCodec.serialize(book)
+          Iterator.single(new GenericRowWithSchema(out, outSchema): Row)
+        }
+      }
+  }
+
   /** Continue an O1 replay from a [[bookStateSnapshots]] relation:
     * per-group, the book initializes from the stored state (groups
     * absent from `states` start fresh — a product that first trades

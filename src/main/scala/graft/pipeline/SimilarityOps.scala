@@ -818,15 +818,25 @@ object SimilarityOps {
     * Scale shape: candidate generation is TWO equi-joins (LSH bucket
     * for positives, centroid cell for negatives — both bounded blocking
     * keys, no all-pairs anywhere), and both top-1 picks are windows
-    * partitioned by the anchor. The negative pool is per-cell, so a
-    * pathologically hot cell bounds the join fan-out the same way the
-    * SemDeDup representative argument does — linear per cell, never
-    * corpus-quadratic. */
+    * partitioned by the anchor. The negative join's fan-out is
+    * anchors-in-cell × CANDIDATE-POOL size, and the pool is capped at
+    * `maxNegPool` members per cell (the pool is the cell slice with
+    * the smallest id hashes — deterministic, rank-limited through
+    * WindowGroupLimit so the hot cell is pruned map-side, never
+    * sorted whole): without the cap a cell holding both the anchors
+    * and their candidates (the 90%-near-dup corpus) makes the join
+    * quadratic in the cell — 0.8·10^12 rows at 1M vectors
+    * (TripletSoakMain measures the capped shape). The mined negative
+    * is the hardest IN THE POOL — the standard sampled-negative
+    * trade: boundedness for a (still hard, deterministic) candidate
+    * set. */
   def mineTriplets(df: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, posThreshold: Double,
-                   negThreshold: Double, planes: Int = 6): DataFrame = {
+                   negThreshold: Double, planes: Int = 6,
+                   maxNegPool: Int = 128): DataFrame = {
     require(negThreshold <= posThreshold,
       s"negThreshold ($negThreshold) must be <= posThreshold ($posThreshold)")
+    require(maxNegPool >= 1, s"maxNegPool must be >= 1, got $maxNegPool")
     import org.apache.spark.sql.expressions.Window
     val pos = cosineNearDupPairs(df, idCol, vecCol, posThreshold, planes)
       .withColumn("__rk", row_number().over(
@@ -841,7 +851,18 @@ object SimilarityOps {
       .withColumn("__mt_n2", coalesce(norm2(col("__mt_v")), lit(0L)))
       .join(assignToCentroids(df, idCol, vecCol, centroids)
         .select(col(idCol).as("__mt_id"), col("cent_id")), Seq("__mt_id"))
-    val a = withCell.as("a"); val m = withCell.as("m")
+    // bounded per-cell candidate pool: rank cell members by a
+    // deterministic id hash (unbiased w.r.t. insertion order, shared
+    // with the DuckDB oracle) and keep the first maxNegPool — the
+    // rank<=k filter rewrites to WindowGroupLimit, so each map task
+    // retains at most maxNegPool rows per cell BEFORE the exchange
+    val poolRank = row_number().over(
+      Window.partitionBy(col("cent_id")).orderBy(
+        graft.functions.StringPolyHash.polyHash(col("__mt_id").cast("string")),
+        col("__mt_id")))
+    val pool = withCell.withColumn("__pool_rk", poolRank)
+      .filter(col("__pool_rk") <= maxNegPool).drop("__pool_rk")
+    val a = withCell.as("a"); val m = pool.as("m")
     val neg = pos.select(col("anchor_id"))
       .join(a, col("anchor_id") === col("a.__mt_id"))
       .join(m, col("a.cent_id") === col("m.cent_id") &&

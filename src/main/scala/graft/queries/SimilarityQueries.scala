@@ -48,7 +48,11 @@ object SimilarityQueries {
     // mined contrastive triplets: verified near-dup positives + hardest
     // same-cell negatives — the offline training-row generator for an
     // embedding model, composed from three already-verified pieces
-    GraftQuery("q_mine_triplets", mineTripletsQ, Some(mineTripletsSql)),
+    // benched (round-10 judge item): the triplet miner composes the pair
+    // generator + k-means assignment + capped negative join — measured
+    // per round now instead of arguing cost ≈ constituents
+    GraftQuery("q_mine_triplets", mineTripletsQ, Some(mineTripletsSql),
+      bench = true),
   )
 
   /** IVF-PQ: coarse cells prune candidates, ADC scores codes — the
@@ -957,17 +961,21 @@ object SimilarityQueries {
 
   private val MT_POS = 0.3
   private val MT_NEG = 0.2
+  private val MT_NEG_POOL = 32
 
   /** Contrastive triplets: LSH-verified positives (≥ $MT_POS) + hardest
-    * same-k-means-cell negative (< $MT_NEG) per anchor — the mined
-    * training rows for an embedding model (SimilarityOps.mineTriplets). */
+    * same-k-means-cell negative (< $MT_NEG) per anchor, with the
+    * negative candidates drawn from the bounded per-cell pool
+    * (SimilarityOps.mineTriplets; MT_NEG_POOL is deliberately smaller
+    * than the sf cells so the CAP itself is oracle-checked, not just
+    * the uncapped plan). */
   def mineTripletsQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val train = e.filter(col("vec_id") % KM_TRAIN_STRIDE === 0)
     val cents = SimilarityOps.kmeansCentroids(train, "vec_id", "embedding",
       KM_K, KM_ITERS)
     SimilarityOps.mineTriplets(e, "vec_id", "embedding", cents,
-      MT_POS, MT_NEG, PLANES)
+      MT_POS, MT_NEG, PLANES, maxNegPool = MT_NEG_POOL)
   }
 
   /** The oracle assembles the SAME three verified pieces: the bucketed
@@ -1004,11 +1012,17 @@ object SimilarityQueries {
        |      ${centCosSql("v", "c")} DESC, c.cent_id) AS rk
        |    FROM vb v, cents c
        |  ) WHERE rk = 1
+       |), pool AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY ${graft.functions.StringPolyHash.polyHashSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
+       |    FROM asg
+       |  ) WHERE rk <= $MT_NEG_POOL
        |), negc AS (
        |  SELECT p.anchor_id, mv.vec_id AS neg_id, ${cos("av", "mv")} AS neg_cos
        |  FROM pos p
        |  JOIN asg aa ON aa.vec_id = p.anchor_id
-       |  JOIN asg mm ON mm.cent_id = aa.cent_id AND mm.vec_id <> p.anchor_id
+       |  JOIN pool mm ON mm.cent_id = aa.cent_id AND mm.vec_id <> p.anchor_id
        |  JOIN vb av ON av.vec_id = p.anchor_id
        |  JOIN vb mv ON mv.vec_id = mm.vec_id
        |  WHERE ${cos("av", "mv")} < $MT_NEG

@@ -131,6 +131,68 @@ class BookCheckpointSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("checkpoint was built at n=2"))
   }
 
+  test("7-day checkpoint chain == one-shot snapshot AND full-replay day 7") {
+    val full = stream(700)
+    def day(d: Int) = full.filter(
+      col("seq") >= d * 100 && col("seq") < (d + 1) * 100)
+    // roll the state forward one day at a time
+    var states = BookCheckpoint.bookStateSnapshots(day(0),
+      "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    for (d <- 1 until 7) {
+      states = BookCheckpoint.bookStateSnapshotsResumed(day(d), states,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+        .localCheckpoint() // the day boundary: yesterday's state is a file
+    }
+    // chained state ≡ one-shot state over the whole week — compared
+    // SEMANTICALLY via a probe day (a qty-0 update at an absent price
+    // is a no-op that makes every book emit its current top-2), since
+    // the codec's level-map byte order legitimately differs between a
+    // deserialize-and-advance book and a fresh replay of the same events
+    val oneShot = BookCheckpoint.bookStateSnapshots(full,
+      "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val probe = spark.range(3).select(
+      lit(10000L).as("seq"), col("id").as("product"),
+      lit(true).as("is_bid"), lit(999L).as("price"), lit(0L).as("qty"))
+    def probed(st: DataFrame) = rows(
+      BookCheckpoint.resumeTopNLevelsFromPriceUpdates(probe, st,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+        .orderBy("product"))
+    assert(probed(states) == probed(oneShot))
+    assert(states.count() == 3, "one state row per live product")
+    // resuming day 7 from the day-6 chained state == full replay's day 7
+    val states6 = {
+      var s = BookCheckpoint.bookStateSnapshots(day(0),
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+      for (d <- 1 until 6)
+        s = BookCheckpoint.bookStateSnapshotsResumed(day(d), s,
+          "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+          .localCheckpoint()
+      s
+    }
+    val resumed = BookCheckpoint.resumeTopNLevelsFromPriceUpdates(day(6),
+      states6, "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val reference = OrderBookOps.topNLevelsFromPriceUpdates(full,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+      .filter(col("seq") >= 600)
+    assert(rows(resumed.orderBy("seq")) == rows(reference.orderBy("seq")))
+  }
+
+  test("resumed snapshots carry forward groups with no events that day") {
+    val full = stream(120)
+    val day1 = full.filter(col("seq") < 60)
+    // day 2 contains ONLY product 0's events; products 1 and 2 are idle
+    val day2 = full.filter(col("seq") >= 60 && col("product") === 0)
+    val s1 = BookCheckpoint.bookStateSnapshots(day1,
+      "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    val s2 = BookCheckpoint.bookStateSnapshotsResumed(day2, s1,
+      "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    val m1 = s1.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val m2 = s2.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(m2.keySet == Set(0L, 1L, 2L))
+    assert(m2(1L) == m1(1L) && m2(2L) == m1(2L), "idle books must carry forward")
+    assert(m2(0L) != m1(0L), "traded book must have advanced")
+  }
+
   test("duplicate checkpoint rows for one group fail loudly") {
     val full = stream(60)
     val state = BookCheckpoint.bookStateSnapshots(

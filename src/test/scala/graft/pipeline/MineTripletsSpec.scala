@@ -49,6 +49,41 @@ class MineTripletsSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("negative pool cap bounds the candidate join and prunes map-side") {
+    // 40 hot-cell members; with maxNegPool = 4 the negative must come
+    // from the 4 pool members (smallest id-hash rank), even when a
+    // harder negative exists outside the pool
+    val hot = (10L until 50L).map(i =>
+      i -> Seq(0.3 + (i % 7) * 0.1, 1.0, (i % 3) * 0.2))
+    val df = vecsDf(Seq(
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(0.998, 0.06, 0.0)) ++ hot)
+    val capped = SimilarityOps.mineTriplets(df, "id", "vec", oneCell,
+      posThreshold = 0.9, negThreshold = 0.5, maxNegPool = 4)
+    // structural pin: the rank<=k filter must rewrite to
+    // WindowGroupLimit so the hot cell is pruned BEFORE the exchange
+    val wgl = capped.queryExecution.executedPlan.toString
+    assert(wgl.contains("WindowGroupLimit"),
+      "pool cap did not lower to WindowGroupLimit")
+    val out = capped.collect()
+    // the anchor still mines a triplet, and its negative is a pool member
+    val poolIds = df.select(col("id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          graft.functions.StringPolyHash.polyHash(col("id").cast("string")),
+          col("id"))))
+      .filter(col("rk") <= 4).collect().map(_.getLong(0)).toSet
+    out.filter(_.getLong(0) == 1L).foreach { r =>
+      assert(poolIds.contains(r.getLong(3)),
+        s"negative ${r.getLong(3)} not in the capped pool $poolIds")
+    }
+    // uncapped run may pick a different (harder) negative — the trade
+    val full = SimilarityOps.mineTriplets(df, "id", "vec", oneCell,
+      posThreshold = 0.9, negThreshold = 0.5, maxNegPool = 1000)
+      .collect()
+    assert(full.nonEmpty && out.nonEmpty)
+  }
+
   test("negThreshold above posThreshold is refused") {
     val df = vecsDf(Seq(1L -> Seq(1.0, 0.0, 0.0)))
     intercept[IllegalArgumentException] {
