@@ -121,8 +121,31 @@ object TripletSoakMain {
     println(f"  cap removes ${tUncapped / tCapped}%.1f x at $nSmall%,d vectors " +
       "(the uncapped term grows ~quadratically with the hot cell; " +
       f"at $nVecs%,d it would be ~${(nVecs / nSmall) * (nVecs / nSmall)}x this)")
+
+    // ---- 3. the POSITIVE stage under the cone: single bucket vs bands ----
+    // the capped full-scale run above showed the residual skew cost
+    // lives in the PAIR stage (cone members share correlated hyperplane
+    // signs -> hot 16-plane buckets); the banded generator's hot-band
+    // cap is the bound. Same planes budget per comparison honesty:
+    // 16-plane single bucket vs 4 bands x 12 planes with cap 2048.
+    val (nSingle, tSingle) = time(f"pair stage: $nVecs%,d cone, single 16-plane bucket") {
+      SimilarityOps.cosineNearDupPairs(sk, "vec_id", "embedding",
+        threshold = 0.95, planes = 16).count()
+    }
+    // cap 128: candidate volume is bounded by n·cap/2 per band
+    // (~230M narrow id pairs here) — LINEAR in n, where the single
+    // bucket's hot patterns grow quadratically with the cone
+    val (nBanded, tBanded) = time(f"pair stage: $nVecs%,d cone, 4x12 bands, cap 128") {
+      SimilarityOps.cosineNearDupPairsBanded(sk, "vec_id", "embedding",
+        threshold = 0.95, bands = 4, planesPerBand = 12,
+        maxBandFreq = 128).count()
+    }
+    println(f"  pairs: single $nSingle%,d in $tSingle%.2f s vs banded-capped " +
+      f"$nBanded%,d in $tBanded%.2f s (${tSingle / tBanded}%.2f x faster; " +
+      "pairs lost to over-cap bands are the documented boilerplate trade)")
     println(f"SOAK OK  skew $tSkew%.1f s bal $tBal%.1f s | " +
-      f"small capped $tCapped%.1f s uncapped $tUncapped%.1f s")
+      f"small capped $tCapped%.1f s uncapped $tUncapped%.1f s | " +
+      f"pairs single $tSingle%.1f s banded $tBanded%.1f s")
     spark.stop()
   }
 }

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * null-safe); a null ELEMENT cannot occur (scaled() arrays are
   * containsNull = false by construction), and planes ≤ 48 keeps the
   * bucket positive in int64. */
-case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
+case class LshBucket(child: Expression, planes: Int,
+                     planeOffset: Int = 0) extends UnaryExpression {
 
   require(planes >= 1 && planes <= 48, s"planes must be in [1,48], got $planes")
+  require(planeOffset >= 0 && planeOffset <= 65536,
+    s"planeOffset must be in [0, 65536], got $planeOffset")
 
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(LongType, _) =>
@@ -43,10 +46,11 @@ case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    LshBucket.compute(v.asInstanceOf[ArrayData], planes)
+    LshBucket.compute(v.asInstanceOf[ArrayData], planes, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LshBucket.compute($c, $planes)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshBucket.compute($c, $planes, $planeOffset)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
@@ -56,12 +60,17 @@ case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
 
 object LshBucket {
 
-  /** The kernel — also called from generated code. */
-  def compute(sv: ArrayData, planes: Int): Long = {
+  /** The kernel — also called from generated code. `planeOffset`
+    * selects a disjoint slice of the same deterministic hyperplane
+    * family (plane index = planeOffset + p), which is what gives
+    * banded sign-LSH its independent bands without a second weight
+    * scheme — band b of width r uses planes [b*r, (b+1)*r). */
+  def compute(sv: ArrayData, planes: Int, planeOffset: Int = 0): Long = {
     val n = sv.numElements()
     var bucket = 0L
-    var p = 0
-    while (p < planes) {
+    var p0 = 0
+    while (p0 < planes) {
+      val p = planeOffset + p0
       val a = 48271L * (p + 1)
       val b = p * 65537L + 11
       var proj = 0L
@@ -70,8 +79,8 @@ object LshBucket {
         proj += sv.getLong(j) * ((j * a + b) % 2001 - 1000)
         j += 1
       }
-      if (proj > 0) bucket |= 1L << p
-      p += 1
+      if (proj > 0) bucket |= 1L << p0
+      p0 += 1
     }
     bucket
   }
@@ -79,4 +88,9 @@ object LshBucket {
   /** Column API: `planes`-bit LSH bucket of a scaled vector column. */
   def bucket(sv: Column, planes: Int): Column =
     GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(sv), planes))
+
+  /** Column API with a plane offset — band b of a banded scheme. */
+  def bucket(sv: Column, planes: Int, planeOffset: Int): Column =
+    GraftColumnBridge.column(
+      LshBucket(GraftColumnBridge.expression(sv), planes, planeOffset))
 }

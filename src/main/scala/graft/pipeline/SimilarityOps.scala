@@ -796,6 +796,84 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
   }
 
+  /** BANDED embedding near-duplicate pairs — the sign-LSH analogue of
+    * the MinHash band scheme, and the scale form of
+    * [[cosineNearDupPairs]]: each vector gets `bands` independent
+    * buckets (band b hashes the disjoint hyperplane slice
+    * [b·r, (b+1)·r) of the same deterministic family), candidates are
+    * pairs sharing ANY band bucket, and each candidate is verified by
+    * exact cosine once (cross-band duplicates dropped on the id pair
+    * before the dot products run).
+    *
+    * Why this beats the single-bucket form at 100 TB:
+    *  - RECALL: a true near-dup pair only needs r sign agreements in
+    *    one band, not bands·r everywhere — provably a SUPERSET of the
+    *    single bucket over the same bands·r planes (all-plane
+    *    agreement implies every band agrees; BandedNearDupSpec pins
+    *    it), with the standard (1−(1−s^r)^B) S-curve instead of s^(B·r).
+    *  - HOT BUCKETS: `maxBandFreq` drops band buckets holding more
+    *    members than the cap BEFORE the self-join — the MinHash
+    *    maxBandFreq discipline. Correlated corpora (boilerplate
+    *    directions, tight cones) concentrate sign patterns, and the
+    *    capped band bounds the join at cap² per bucket instead of
+    *    cell²; a pair lost to one hot band is still found via any
+    *    band under the cap. TripletSoakMain measures the cone case.
+    *
+    * Same domain contract as the single-bucket form (zero vectors
+    * excluded); `bands·planesPerBand ≤ 48` keeps the plane family in
+    * the verified range. */
+  def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, bands: Int,
+                               planesPerBand: Int,
+                               maxBandFreq: Int = Int.MaxValue): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 48,
+      s"need 1 <= bands*planesPerBand <= 48, got $bands x $planesPerBand")
+    require(maxBandFreq >= 2, s"maxBandFreq must be >= 2, got $maxBandFreq")
+    val v = df.select(col(idCol).as("doc_id"), scaled(col(vecCol)).as("v"))
+      .filter(exists(col("v"), x => x =!= lit(0L)))
+      .withColumn("n2", coalesce(norm2(col("v")), lit(0L)))
+    // NARROW banding relation — ids and band keys only. The candidate
+    // self-join and the cross-band pair dedup run over 16-byte id
+    // pairs, and the vectors join back AFTERWARDS by id: carrying the
+    // vectors through the pair explosion multiplies the shuffle by the
+    // vector width exactly where row count peaks (measured: OOM at 1M
+    // dim-32 under a 90% cone; narrow survives the same corpus), and
+    // the per-pair verify still runs exactly once.
+    val banded = v.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        coalesce(graft.functions.LshBucket.bucket(
+          col("v"), planesPerBand, b * planesPerBand), lit(0L))): _*))
+        .as(Seq("band", "bucket")))
+    // hot-band cap: one partial-aggregated count per (band, bucket),
+    // then a join against the under-cap relation — pairs never form
+    // inside an over-cap bucket (the boilerplate-direction guard)
+    val kept =
+      if (maxBandFreq == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bf"))
+          .filter(col("__bf") <= maxBandFreq)
+          .select(col("band"), col("bucket")),
+        Seq("band", "bucket"))
+    val a = kept.as("a"); val b = kept.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // one verify per PAIR: cross-band duplicates collapse on the id
+      // pair before any dot product runs
+      .dropDuplicates("id_a", "id_b")
+    val va = v.select(col("doc_id").as("id_a"), col("v").as("__va"),
+      col("n2").as("__na"))
+    val vb = v.select(col("doc_id").as("id_b"), col("v").as("__vb"),
+      col("n2").as("__nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineFromInts(dot(col("__va"), col("__vb")),
+          col("__na"), col("__nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Contrastive training triplets mined from the corpus itself — the
     * (anchor, positive, hard-negative) rows an embedding-model trainer
     * consumes (the in-batch/hard-negative mining setup of SimCLR/DPR-
@@ -836,9 +914,25 @@ object SimilarityOps {
                    maxNegPool: Int = 128): DataFrame = {
     require(negThreshold <= posThreshold,
       s"negThreshold ($negThreshold) must be <= posThreshold ($posThreshold)")
+    mineTripletsFromPairs(df, idCol, vecCol, centroids,
+      cosineNearDupPairs(df, idCol, vecCol, posThreshold, planes),
+      negThreshold, maxNegPool)
+  }
+
+  /** [[mineTriplets]] over a CALLER-SUPPLIED positive pair relation
+    * (columns id_a, id_b, cosine — every pair at or above the caller's
+    * positive threshold): the seam that lets a correlated corpus mine
+    * its positives through [[cosineNearDupPairsBanded]] (hot-band cap,
+    * banded recall) while reusing the capped negative machinery
+    * unchanged. The caller owns the pos-vs-neg threshold ordering when
+    * supplying pairs directly. */
+  def mineTripletsFromPairs(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, pairRelation: DataFrame,
+                            negThreshold: Double,
+                            maxNegPool: Int = 128): DataFrame = {
     require(maxNegPool >= 1, s"maxNegPool must be >= 1, got $maxNegPool")
     import org.apache.spark.sql.expressions.Window
-    val pos = cosineNearDupPairs(df, idCol, vecCol, posThreshold, planes)
+    val pos = pairRelation
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("id_a"))
           .orderBy(col("cosine").desc, col("id_b"))))
@@ -889,8 +983,18 @@ object SimilarityOps {
     * persisted while CC iterates over it (it feeds every round), then
     * released once the drop set is severed from its lineage. */
   def dedupEmbedTransitive(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, planes: Int = 6): DataFrame = {
-    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, planes)
+                           threshold: Double, planes: Int = 6): DataFrame =
+    dedupEmbedTransitiveFromPairs(df, idCol,
+      cosineNearDupPairs(df, idCol, vecCol, threshold, planes))
+
+  /** [[dedupEmbedTransitive]] over a CALLER-SUPPLIED pair relation
+    * (columns id_a, id_b, …) — the seam that lets a correlated corpus
+    * route through [[cosineNearDupPairsBanded]]'s hot-band-capped
+    * generator (or any future one) without a second CC implementation.
+    * EmbedPairSeamSpec pins generator-equivalence. */
+  def dedupEmbedTransitiveFromPairs(df: DataFrame, idCol: String,
+                                    pairRelation: DataFrame): DataFrame = {
+    val pairs = pairRelation
       .select(col("id_a"), col("id_b"))
       .persist()
     try {

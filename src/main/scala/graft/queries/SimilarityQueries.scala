@@ -20,6 +20,12 @@ object SimilarityQueries {
     GraftQuery("q_embed_lsh_topk", embedLshTopK, Some(embedLshTopKSql)),
     GraftQuery("q_embed_lsh_multiprobe", embedLshMultiProbe, Some(embedLshMultiProbeSql)),
     GraftQuery("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+    // the BANDED pair generator (round-10): MinHash-style bands over
+    // disjoint hyperplane slices + hot-band cap + one-verify-per-pair;
+    // the oracle rebuilds every band bucket, the cap, the cross-band
+    // pair dedup, and the exact cosine from the shared LCG plane family
+    GraftQuery("q_embed_neardup_banded", embedNearDupBanded,
+      Some(embedNearDupBandedSql)),
     GraftQuery("q_embed_dedup_transitive", embedDedupTransitive,
       Some(embedDedupTransitiveSql)),
     GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),
@@ -936,6 +942,60 @@ object SimilarityQueries {
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.cosineNearDupPairs(emb(spark, sfDir), "vec_id", "embedding",
       threshold = 0.3, planes = PLANES)
+
+  private val ND_BANDS = 3
+  private val ND_R = 4
+  private val ND_BAND_CAP = 256
+
+  /** One band's bucket: the [offset, offset+r) slice of the shared
+    * deterministic hyperplane family, bits packed from the slice's
+    * local index (mirrors LshBucket's planeOffset form exactly). */
+  private def bandBucketSql(sv: String, offset: Int, r: Int): String = {
+    val terms = (0 until r).map { i =>
+      val w = graft.pipeline.SimilarityOps.planeWeightSql(offset + i, "j")
+      s"CASE WHEN CAST(list_sum(list_transform(range(0, len($sv)), j -> $sv[j+1] * $w)) AS BIGINT) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Banded near-dup pairs: 3 bands × 4 planes with the 256 hot-band
+    * cap — higher recall than the 6-plane single bucket (one band
+    * agreeing suffices) with the hot-bucket guard the single form
+    * lacks (SimilarityOps.cosineNearDupPairsBanded). */
+  def embedNearDupBanded(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.cosineNearDupPairsBanded(emb(spark, sfDir), "vec_id",
+      "embedding", threshold = 0.3, bands = ND_BANDS, planesPerBand = ND_R,
+      maxBandFreq = ND_BAND_CAP)
+
+  def embedNearDupBandedSql: String = {
+    val cos =
+      s"""CAST(${dotSql("va.sv", "vb.sv")} AS DOUBLE)
+         |    / (sqrt(CAST(${norm2Sql("va.sv")} AS DOUBLE))
+         |       * sqrt(CAST(${norm2Sql("vb.sv")} AS DOUBLE)))""".stripMargin
+    val bb = (0 until ND_BANDS).map(b =>
+      s"SELECT vec_id, $b AS band, ${bandBucketSql("sv", b * ND_R, ND_R)} AS bucket FROM v")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, sv FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
+       |  WHERE ${norm2Sql("sv")} > 0
+       |), bb AS (
+       |  $bb
+       |), ok AS (
+       |  SELECT band, bucket FROM bb GROUP BY band, bucket
+       |  HAVING count(*) <= $ND_BAND_CAP
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bb a
+       |  JOIN ok o ON o.band = a.band AND o.bucket = a.bucket
+       |  JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |   AND a.vec_id < b.vec_id
+       |)
+       |SELECT c.id_a, c.id_b, $cos AS cosine
+       |FROM cand c
+       |JOIN v va ON va.vec_id = c.id_a
+       |JOIN v vb ON vb.vec_id = c.id_b
+       |WHERE $cos >= 0.3""".stripMargin
+  }
 
   /** Shared near-dup-pairs CTE chain (ends in `pairs`), reused by the
     * pair query and the transitive-dedup recursive oracle. */

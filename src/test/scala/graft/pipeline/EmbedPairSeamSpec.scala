@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pair-generator seam: triplet mining and transitive dedup accept
+  * a caller-supplied pair relation, and feeding them the default
+  * generator's output reproduces the built-in entry points exactly —
+  * so swapping in the banded generator changes ONLY candidate recall,
+  * never the downstream machinery. */
+class EmbedPairSeamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs(rows: Seq[(Long, Seq[Double])]) =
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", transform(col("embedding"), x => x.cast("float")))
+
+  private val corpus = vecs((0L until 40L).map { i =>
+    val base = (0 until 6).map(j => (((i / 2) * 29 + j * 13) % 17).toDouble - 8.0)
+    (i, if (i % 2 == 1) base.updated(1, base(1) + 0.4) else base)
+  })
+
+  private val oneCell = Seq((0L, Seq.fill(6)(100L))).toDF("cent_id", "cent_v")
+
+  test("mineTripletsFromPairs(default pairs) == mineTriplets") {
+    val direct = SimilarityOps.mineTriplets(corpus, "vec_id", "embedding",
+        oneCell, posThreshold = 0.9, negThreshold = 0.5, maxNegPool = 8)
+      .collect().map(_.toSeq).toSet
+    val seamed = SimilarityOps.mineTripletsFromPairs(corpus, "vec_id",
+        "embedding", oneCell,
+        SimilarityOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9),
+        negThreshold = 0.5, maxNegPool = 8)
+      .collect().map(_.toSeq).toSet
+    assert(direct == seamed && direct.nonEmpty)
+  }
+
+  test("banded positives through the seam can only widen the anchor set") {
+    val single = SimilarityOps.mineTriplets(corpus, "vec_id", "embedding",
+        oneCell, posThreshold = 0.9, negThreshold = 0.5, planes = 12,
+        maxNegPool = 8)
+      .select("anchor_id").collect().map(_.getLong(0)).toSet
+    val banded = SimilarityOps.mineTripletsFromPairs(corpus, "vec_id",
+        "embedding", oneCell,
+        SimilarityOps.cosineNearDupPairsBanded(corpus, "vec_id", "embedding",
+          0.9, bands = 3, planesPerBand = 4),
+        negThreshold = 0.5, maxNegPool = 8)
+      .select("anchor_id").collect().map(_.getLong(0)).toSet
+    // banded pairs ⊇ single-bucket pairs over the same planes, so every
+    // single-bucket anchor keeps a positive (its top-1 may improve)
+    assert(single.subsetOf(banded))
+  }
+
+  test("dedupEmbedTransitiveFromPairs(default pairs) == dedupEmbedTransitive") {
+    val direct = SimilarityOps.dedupEmbedTransitive(corpus, "vec_id",
+        "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val seamed = SimilarityOps.dedupEmbedTransitiveFromPairs(corpus, "vec_id",
+        SimilarityOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(direct == seamed)
+  }
+}
