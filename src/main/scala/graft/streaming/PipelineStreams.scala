@@ -432,6 +432,23 @@ object PipelineStreams {
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col(keyCol), col("n"), col("total"))
 
+  /** Streaming HLL register fold — the ingest-time twin of
+    * [[graft.pipeline.StatsOps.hllRegisters]]: arriving (group, value)
+    * rows fold into the per-(group, bucket) register max as a plain
+    * streaming aggregation (update/complete mode). Register max is
+    * associative AND idempotent, so late or replayed rows can only
+    * re-assert the max — at-least-once delivery needs no dedup, the
+    * property that makes the sketch the natural streaming cardinality
+    * monitor. State stays ≤ groups × m rows regardless of stream
+    * length; estimate any time with
+    * [[graft.pipeline.StatsOps.hllEstimateFromRegisters]], or fold a
+    * micro-batch epoch into the stored index
+    * ([[graft.pipeline.StatsOps.appendHllIndex]]) from foreachBatch.
+    * HllStreamSpec pins stream ≡ batch and replay-idempotence. */
+  def hllRegisterStream(df: DataFrame, groupCols: Seq[String],
+                        value: Column, m: Int = 64): DataFrame =
+    graft.pipeline.StatsOps.hllRegisters(df, groupCols, value, m)
+
   /** Streaming LM quality scores against the STORED bigram model
     * ([[graft.pipeline.TextOps.writeLmModel]]) — the ingest-time twin of
     * `TextOps.scoreAgainstStoredLm`: each arriving document's bigram
