@@ -126,8 +126,9 @@ object TripletSoakMain {
     // the capped full-scale run above showed the residual skew cost
     // lives in the PAIR stage (cone members share correlated hyperplane
     // signs -> hot 16-plane buckets); the banded generator's hot-band
-    // cap is the bound. Same planes budget per comparison honesty:
-    // 16-plane single bucket vs 4 bands x 12 planes with cap 2048.
+    // cap is the bound. Note the banded side spends MORE hashing (48
+    // planes vs 16) and still wins: the cost that matters is the
+    // candidate join, which the cap bounds at n*cap/2 per band.
     val (nSingle, tSingle) = time(f"pair stage: $nVecs%,d cone, single 16-plane bucket") {
       SimilarityOps.cosineNearDupPairs(sk, "vec_id", "embedding",
         threshold = 0.95, planes = 16).count()

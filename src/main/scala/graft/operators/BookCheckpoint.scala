@@ -150,6 +150,8 @@ object BookCheckpoint {
     require(partitionBy.nonEmpty,
       "resumed snapshots require partition keys; add a constant key " +
         "column for a single global book")
+    require(!df.columns.contains("book_state"),
+      "Input already has output column book_state")
     val withEv = castedEvents(df, price, qty, isBid, mode)
     val numIn = df.schema.size
     val keySchema = StructType(partitionBy.map(c =>

@@ -794,7 +794,14 @@ object MultimodalOps {
                   }
                 j += 1
               } else {
-                bb.position(bb.position() + len + (len & 1))
+                // skip a non-video chunk, guarding the RIFF pad byte
+                // against a truncated buffer: an odd-length '01wb'
+                // whose data fits exactly must END the walk (keeping
+                // the frames already decoded), not throw into the
+                // blanket catch and lose them
+                val next = bb.position() + len + (len & 1)
+                if (next > bb.limit()) intact = false
+                else bb.position(next)
               }
             }
             out

@@ -85,7 +85,11 @@ object SimilarityOps {
     // overflows for dims ≳5560 at p=7 (ANSI error or silent divergence).
     (j.cast("long") * lit(48271L * (p + 1)) + lit(p * 65537L + 11)) % 2001 - 1000
   def planeWeightSql(p: Int, j: String): String =
-    s"(($j * ${48271 * (p + 1)} + ${p * 65537 + 11}) % 2001 - 1000)"
+    // Long arithmetic: the constants overflow Int from p = 32768
+    // (p·65537) and p = 44487 (48271·(p+1)) — LshBucket computes them
+    // in Long, and an Int here would silently hand the oracle a
+    // different hyperplane family for high band offsets
+    s"(($j * ${48271L * (p + 1)} + ${p.toLong * 65537 + 11}) % 2001 - 1000)"
 
   /** Sign-of-projection LSH bucket: `planes` bits packed to a long.
     * The projection is an exact integer dot product of the scaled vector
@@ -767,7 +771,15 @@ object SimilarityOps {
     * Zero-norm vectors are EXCLUDED before bucketing: every zero vector
     * projects to 0 on all hyperplanes, so they would all coalesce into
     * bucket 0 — one quadratic hot bucket at corpus scale — and their
-    * cosine is undefined (0/0) anyway. */
+    * cosine is undefined (0/0) anyway.
+    *
+    * CORRELATED corpora (boilerplate directions, tight embedding
+    * cones) concentrate sign patterns, and this single-bucket form's
+    * within-bucket all-pairs then grows with the square of the hot
+    * pattern (measured: 64.9 s at 1M under a 90% cone,
+    * TripletSoakMain). For that regime use
+    * [[cosineNearDupPairsBanded]], whose hot-band cap bounds the
+    * candidate volume linearly in n. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6): DataFrame = {
     // zero-vector exclusion via the CHEAP element test — exists()

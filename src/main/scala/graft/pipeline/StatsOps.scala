@@ -319,7 +319,19 @@ object StatsOps {
     val scale = 1L << (WBits + 1)
     val rhoCap = (WBits + 1).toLong
     val gs = groupCols.map(col)
-    val merged = regs.groupBy(gs :+ col("__hll_b"): _*)
+    // lazy loud geometry guard (the snapshotDiff discipline): m must
+    // equal the m the registers were built at — a register bucket id
+    // ≥ m proves a build at larger m and would otherwise drive
+    // (m − present) negative and the estimate silently nonsensical.
+    // (A build at SMALLER m is not detectable from bucket ids alone;
+    // the persisted-index path pins m in meta for exactly that reason
+    // — prefer it when the build site is remote.)
+    val guarded = regs.filter(assert_true(col("__hll_b") < m,
+      concat(lit("hllEstimateFromRegisters: register bucket "),
+        col("__hll_b").cast("string"),
+        lit(s" >= m = $m — these registers were built at a larger m; " +
+          "pass the build-time m"))).isNull)
+    val merged = guarded.groupBy(gs :+ col("__hll_b"): _*)
       .agg(max(col("__hll_m")).as("__hll_m"))
     merged.groupBy(gs: _*)
       .agg(count(lit(1)).as("__hll_present"),

@@ -25,7 +25,7 @@ object SimilarityQueries {
     // the oracle rebuilds every band bucket, the cap, the cross-band
     // pair dedup, and the exact cosine from the shared LCG plane family
     GraftQuery("q_embed_neardup_banded", embedNearDupBanded,
-      Some(embedNearDupBandedSql)),
+      Some(embedNearDupBandedSql), bench = true),
     GraftQuery("q_embed_dedup_transitive", embedDedupTransitive,
       Some(embedDedupTransitiveSql)),
     GraftQuery("q_embed_ivf_topk", embedIvfTopK, Some(embedIvfTopKSql)),

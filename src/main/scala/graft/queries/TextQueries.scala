@@ -94,7 +94,8 @@ object TextQueries {
     // m=128 so it also pins the m-derived register width (WBits=22
     // here; the old fixed 23-bit stream over-estimated ~2× for any
     // m > 64)
-    GraftQuery("q_hll_estimate", hllEstimateQ, Some(hllEstimateSql)),
+    GraftQuery("q_hll_estimate", hllEstimateQ, Some(hllEstimateSql),
+      bench = true),
     // the estimator routed through the PERSISTED register index:
     // even-id docs build the artifact, odd-id docs fold in via append
     // (a register max-merge, cost ∝ delta), and the estimate reads

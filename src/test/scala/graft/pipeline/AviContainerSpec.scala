@@ -92,6 +92,34 @@ class AviContainerSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("truncation at an odd non-video chunk's missing pad keeps decoded frames") {
+    // splice an odd-length '01wb' audio chunk AFTER the first frame,
+    // then cut so the audio DATA fits exactly but its RIFF pad byte is
+    // gone: the walk must end there and KEEP frame 0 — the unguarded
+    // pad skip used to throw past the buffer and the blanket catch
+    // discarded every decoded frame
+    val good = MultimodalOps.encodeSyntheticAvi(Seq(5L).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1)
+    var p = 12
+    while (!(new String(good, p, 4, "US-ASCII") == "LIST" &&
+      new String(good, p + 8, 4, "US-ASCII") == "movi")) {
+      p += 8 + leInt(good, p + 4) + (leInt(good, p + 4) & 1)
+    }
+    val q0 = p + 12
+    val len0 = leInt(good, q0 + 4)
+    val insertAt = q0 + 8 + len0 + (len0 & 1) // just after frame 0
+    val audio = java.nio.ByteBuffer.allocate(8 + 5)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    audio.put("01wb".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](9, 8, 7, 6, 5)) // odd length, pad byte CUT off
+    val spliced = good.take(insertAt) ++ audio.array()
+    val out = MultimodalOps.sampleAviFrames(
+        Seq((4L, spliced)).toDF("media_id", "content"),
+        "content", "media_id", 1)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(out == Seq(0L), s"expected exactly frame 0, got $out")
+  }
+
   test("non-video chunks inside movi are skipped, frame indexing unaffected") {
     // splice a fake odd-length '01wb' audio chunk before the frames
     val good = MultimodalOps.encodeSyntheticAvi(Seq(5L).toDF("id"), "id")

@@ -73,6 +73,19 @@ class HllSpec extends AnyFunSuite {
     assert(merged == oneShot)
   }
 
+  test("estimating registers built at a larger m fails loudly") {
+    val regs = StatsOps.hllRegisters(
+      (0 until 2000).map(i => ("g", s"mm$i")).toDF("g", "v"),
+      Seq("g"), col("v"), m = 128)
+    val e = intercept[Exception] {
+      StatsOps.hllEstimateFromRegisters(regs, Seq("g")).collect() // m=64
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains(">= m = 64")),
+      s"expected the geometry guard, got: ${msgs(e).take(3)}")
+  }
+
   test("contract: m must be a power of two in range") {
     val df = Seq(("a", "x")).toDF("g", "v")
     intercept[IllegalArgumentException] {
