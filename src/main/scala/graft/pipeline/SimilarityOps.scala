@@ -859,7 +859,7 @@ object SimilarityOps {
     // hot-band cap: one partial-aggregated count per (band, bucket),
     // then a join against the under-cap relation — pairs never form
     // inside an over-cap bucket (the boilerplate-direction guard)
-    val kept =
+    val kept0 =
       if (maxBandFreq == Int.MaxValue) banded
       else banded.join(
         banded.groupBy(col("band"), col("bucket"))
@@ -867,6 +867,12 @@ object SimilarityOps {
           .filter(col("__bf") <= maxBandFreq)
           .select(col("band"), col("bucket")),
         Seq("band", "bucket"))
+    // materialize the (narrow) capped banding relation once: the self-
+    // join otherwise plants the WHOLE banding+cap subtree on both
+    // sides — 4 corpus scans and 2 count jobs in the executed plan
+    // (observed at sf0.01) — and exchange reuse does not collapse them
+    // because the two sides project differently
+    val kept = kept0.localCheckpoint()
     val a = kept.as("a"); val b = kept.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&

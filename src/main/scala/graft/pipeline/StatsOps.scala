@@ -319,24 +319,30 @@ object StatsOps {
     val scale = 1L << (WBits + 1)
     val rhoCap = (WBits + 1).toLong
     val gs = groupCols.map(col)
+    val merged = regs.groupBy(gs :+ col("__hll_b"): _*)
+      .agg(max(col("__hll_m")).as("__hll_m"))
     // lazy loud geometry guard (the snapshotDiff discipline): m must
     // equal the m the registers were built at — a register bucket id
     // ≥ m proves a build at larger m and would otherwise drive
     // (m − present) negative and the estimate silently nonsensical.
-    // (A build at SMALLER m is not detectable from bucket ids alone;
-    // the persisted-index path pins m in meta for exactly that reason
-    // — prefer it when the build site is remote.)
-    val guarded = regs.filter(assert_true(col("__hll_b") < m,
-      concat(lit("hllEstimateFromRegisters: register bucket "),
-        col("__hll_b").cast("string"),
-        lit(s" >= m = $m — these registers were built at a larger m; " +
-          "pass the build-time m"))).isNull)
-    val merged = guarded.groupBy(gs :+ col("__hll_b"): _*)
-      .agg(max(col("__hll_m")).as("__hll_m"))
+    // The guarded value is the per-group AGGREGATED max bucket id, not
+    // a row predicate on __hll_b: a plain filter on the grouping key
+    // pushes below the register fold and re-evaluates the whole hash
+    // kernel per INPUT row (caught in the executed plan during
+    // development); the aggregate form rides the groups-sized relation
+    // for free. (A build at SMALLER m is not detectable from bucket
+    // ids alone; the persisted-index path pins m in meta for exactly
+    // that reason — prefer it when the build site is remote.)
     merged.groupBy(gs: _*)
       .agg(count(lit(1)).as("__hll_present"),
         sum(call_function("shiftleft", lit(1L), lit(rhoCap) - col("__hll_m")))
-          .as("__hll_s2p"))
+          .as("__hll_s2p"),
+        max(col("__hll_b")).as("__hll_bmax"))
+      .filter(assert_true(col("__hll_bmax") < m,
+        concat(lit("hllEstimateFromRegisters: register bucket "),
+          col("__hll_bmax").cast("string"),
+          lit(s" >= m = $m — these registers were built at a larger m; " +
+            "pass the build-time m"))).isNull)
       .select(gs :+ (col("__hll_s2p") +
         (lit(m.toLong) - col("__hll_present")) * lit(scale))
         .as("__hll_s2"): _*)
