@@ -235,6 +235,136 @@ object OrderBookStream {
       }(stEnc, rowEnc)
   }
 
+  /** State for the running analytics summary: book blob + the lag
+    * scalars behind TWA spread (previous event's spread and seq) and
+    * realized variance (previous two-sided doubled mid), plus the
+    * running sums and an emit counter that orders the per-batch
+    * summary rows. */
+  case class SummaryState(book: Array[Byte], lastSpread: Option[Long],
+                          lastSeq: Option[Long], lastMid2: Option[Long],
+                          nEvents: Long, nQuoted: Long, quotedTicks: Long,
+                          area: Long, nQuotes: Long, nMoves: Long,
+                          rvX4: Long, emit: Long)
+
+  /** Streaming twin of the per-product book SUMMARY analytics —
+    * [[graft.operators.BookAnalytics.timeWeightedSpread]] and
+    * [[graft.operators.BookAnalytics.realizedVariance]] in one stateful
+    * pass over the raw O1 event stream. Both batch forms are windows +
+    * groupBys over the replay output; on a stream each reduces to lag
+    * scalars + running sums carried in the book's own state entry:
+    *
+    *  - TWA spread: the batch form weights each quote by the gap to
+    *    its SUCCESSOR (lead) — reformulated as accumulating
+    *    lastSpread · (seq − lastSeq) on each arrival, which needs no
+    *    lookahead and sums to the identical area;
+    *  - realized variance: Δ of the doubled mid over consecutive
+    *    two-sided quotes, rv_x4 += Δ², exactly the batch lag chain.
+    *
+    * Emits ONE summary row per product per micro-batch (append mode
+    * can't retract, so rows supersede; `emit` orders them — take the
+    * max-emit row per product for the current values, pinned ≡ batch
+    * by BookAnalyticsStreamSpec). Output: (product, emit, n_events,
+    * n_quoted, quoted_ticks, twa_spread_permille, n_quotes, n_moves,
+    * rv_x4). */
+  def analyticsSummaryStream(
+      df: DataFrame, price: String, qty: String, isBid: String,
+      partitionBy: String, orderBy: String,
+      idleTimeout: Option[String] = None): DataFrame = {
+
+    val outSchema = StructType(Seq(
+      StructField(partitionBy, LongType, nullable = false),
+      StructField("emit", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("n_quoted", LongType, nullable = false),
+      StructField("quoted_ticks", LongType, nullable = true),
+      StructField("twa_spread_permille", LongType, nullable = true),
+      StructField("n_quotes", LongType, nullable = false),
+      StructField("n_moves", LongType, nullable = false),
+      StructField("rv_x4", LongType, nullable = false)))
+
+    val work = df.select(
+      col(partitionBy).cast("long").as("pkey"),
+      col(orderBy).cast("long").as("okey"),
+      col(price).cast("long").as("price"),
+      col(qty).cast("long").as("qty"),
+      col(isBid).cast("boolean").as("is_bid"))
+
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stEnc: Encoder[SummaryState] = Encoders.product[SummaryState]
+    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaBoolean)
+
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    work.as[(Long, Long, Long, Long, Boolean)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SummaryState, Row](
+        OutputMode.Append(), timeoutConf) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
+         state: GroupState[SummaryState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = if (state.exists) state.get
+              else SummaryState(null, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)
+            val book = if (st.book != null) BookCodec.deserialize(st.book)
+              else new OrderBook(1)
+            val snap = new Array[Any](4)
+            rows.toArray.sortBy(_._2).foreach { case (_, okey, p, q, bSide) =>
+              Transitions.applyUpdate(book, bSide, p, q)
+              book.snapshotInto(snap, 0)
+              val b = snap(0).asInstanceOf[java.lang.Long]
+              val a = snap(2).asInstanceOf[java.lang.Long]
+              // TWA: close the PREVIOUS event's interval
+              val (nq, qt, ar) = st.lastSpread match {
+                case Some(sp) =>
+                  val dt = okey - st.lastSeq.get
+                  (st.nQuoted + 1, st.quotedTicks + dt, st.area + sp * dt)
+                case None => (st.nQuoted, st.quotedTicks, st.area)
+              }
+              val spread =
+                if (b != null && a != null) Some(a.longValue - b.longValue)
+                else None
+              // RV: over the two-sided sub-stream only
+              val (nQuotes2, nMoves2, rv2, lastMid2) =
+                if (b != null && a != null) {
+                  val mid2 = b.longValue + a.longValue
+                  st.lastMid2 match {
+                    case Some(prev) =>
+                      val d = mid2 - prev
+                      (st.nQuotes + 1, st.nMoves + 1, st.rvX4 + d * d,
+                        Some(mid2))
+                    case None =>
+                      (st.nQuotes + 1, st.nMoves, st.rvX4, Some(mid2))
+                  }
+                } else (st.nQuotes, st.nMoves, st.rvX4, st.lastMid2)
+              st = SummaryState(null, spread, Some(okey), lastMid2,
+                st.nEvents + 1, nq, qt, ar, nQuotes2, nMoves2, rv2, st.emit)
+            }
+            val out =
+              if (st.nEvents == 0) Iterator.empty
+              else {
+                // Spark's `div` truncates toward zero (IntegralDivide),
+                // so plain Java division — NOT floorDiv — matches the
+                // batch column when a crossed book makes the area negative
+                val twa = if (st.quotedTicks > 0)
+                  java.lang.Long.valueOf(st.area * 1000L / st.quotedTicks)
+                else null
+                val ticks = if (st.nQuoted > 0)
+                  java.lang.Long.valueOf(st.quotedTicks) else null
+                Iterator.single(new GenericRowWithSchema(Array[Any](
+                  key, st.emit, st.nEvents, st.nQuoted, ticks, twa,
+                  st.nQuotes, st.nMoves, st.rvX4), outSchema): Row)
+              }
+            state.update(st.copy(book = BookCodec.serialize(book),
+              emit = st.emit + 1))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out
+          }
+      }(stEnc, rowEnc)
+  }
+
   private def replayStream(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String, mutation: Boolean,

@@ -86,6 +86,64 @@ class BookAnalyticsStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("running summary stream: max-emit rows == batch TWA spread + realized variance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean)]
+    val sdf = mem.toDF.toDF("product", "seq", "price", "qty", "is_bid")
+    val out = OrderBookStream.analyticsSummaryStream(
+      sdf, "price", "qty", "is_bid", partitionBy = "product", orderBy = "seq")
+    val query = out.writeStream.format("memory").queryName("summary_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = events.splitAt(7)
+      val (b2, b3) = rest.splitAt(9)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+      mem.addData(b3); query.processAllAvailable()
+    } finally query.stop()
+
+    // current values = the max-emit row per product (append-mode rows
+    // supersede, they cannot be retracted)
+    val latest = spark.table("summary_stream")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("product"))
+          .orderBy(col("emit").desc)))
+      .filter(col("__rk") === 1).drop("__rk", "emit")
+      .orderBy("product").collect().map(_.toSeq).toSeq
+
+    val bbo = OrderBookOps.topNLevelsFromPriceUpdates(
+      events.toDF("product", "seq", "price", "qty", "is_bid"),
+      "price", "qty", "is_bid", 1, Seq("product"), Seq("seq"))
+    val batch = BookAnalytics.timeWeightedSpread(bbo)
+      .join(BookAnalytics.realizedVariance(bbo), "product")
+      .select("product", "n_events", "n_quoted", "quoted_ticks",
+        "twa_spread_permille", "n_quotes", "n_moves", "rv_x4")
+      .orderBy("product").collect().map(_.toSeq).toSeq
+    assert(latest == batch)
+  }
+
+  test("depth imbalance is stateless and applies to the replay stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Boolean)]
+    val sdf = mem.toDF.toDF("product", "seq", "price", "qty", "is_bid")
+    val stream = OrderBookStream.topNLevelsFromPriceUpdates(
+      sdf, "price", "qty", "is_bid", n = 2, partitionBy = "product",
+      orderBy = "seq")
+    val di = BookAnalytics.depthImbalance(stream, n = 2)
+    val query = di.writeStream.format("memory").queryName("depth_stream")
+      .outputMode("append").start()
+    try { mem.addData(events); query.processAllAvailable() }
+    finally query.stop()
+    val streamed = spark.table("depth_stream")
+      .orderBy("product", "seq").collect().map(_.toSeq).toSeq
+    val batch = BookAnalytics.depthImbalance(
+        OrderBookOps.topNLevelsFromPriceUpdates(
+          events.toDF("product", "seq", "price", "qty", "is_bid"),
+          "price", "qty", "is_bid", 2, Seq("product"), Seq("seq")), n = 2)
+      .orderBy("product", "seq").collect().map(_.toSeq).toSeq
+    assert(streamed.length == 24 && streamed == batch)
+  }
+
   test("cum_ofi survives a product going one-sided and back") {
     // single product: build both sides, delete the ask (one-sided),
     // re-quote — flows across the gap must be 0 on the broken side only
