@@ -49,4 +49,40 @@ class HllStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == batchEst)
   }
+
+  test("foreachBatch ingestion into the stored index == one-shot build") {
+    // the serving loop the docstring promises: each micro-batch folds
+    // into the persisted register index as a new epoch (first batch
+    // builds, later ones append), and the storage-side estimate ends
+    // up identical to a one-shot build over everything that arrived
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("hll_stream_idx")
+      d.toFile.deleteOnExit(); s"$d/idx"
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val query = mem.toDF.toDF("g", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!new java.io.File(s"$dir/meta").exists())
+          StatsOps.writeHllIndex(batch, Seq("g"), col("v"), dir, m = 128)
+        else
+          StatsOps.appendHllIndex(batch.sparkSession, dir, batch, col("v"))
+      }
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(700)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+
+    val meta = StatsOps.readHllIndexMeta(spark, dir)
+    assert(meta.epoch >= 1L, "append path must have produced a new epoch")
+    val stored = StatsOps.estimateFromStoredHll(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = StatsOps.hllEstimateByGroup(rows.toDF("g", "v"),
+        Seq("g"), col("v"), m = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored == oneShot)
+  }
 }
