@@ -108,7 +108,11 @@ object SimilarityOps {
   /** ANN top-k: bucket queries and corpus by `planes`-bit LSH signature,
     * join on bucket, exact cosine rerank within bucket. Approximate —
     * recall depends on `planes` (fewer planes → bigger buckets → higher
-    * recall and cost). */
+    * recall and cost). A correlated corpus concentrates buckets here
+    * the same way it does in [[cosineNearDupPairs]]; the serving-scale
+    * path for that regime is the IVF-PQ index ([[writeIvfPqIndex]] /
+    * probe), whose cells are data-adaptive rather than sign-pattern
+    * buckets. */
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
