@@ -144,9 +144,23 @@ object TripletSoakMain {
     println(f"  pairs: single $nSingle%,d in $tSingle%.2f s vs banded-capped " +
       f"$nBanded%,d in $tBanded%.2f s (${tSingle / tBanded}%.2f x faster; " +
       "pairs lost to over-cap bands are the documented boilerplate trade)")
+
+    // ---- 4. the whole miner through the pair seam -----------------------
+    // mineTripletsFromPairs(banded positives): both caps active — the
+    // end-to-end mitigation for the cone corpus, to compare with the
+    // default-generator skewed run in leg 1
+    val (nSeam, tSeam) = time(f"mineTriplets via banded pairs: $nVecs%,d cone") {
+      SimilarityOps.mineTripletsFromPairs(sk, "vec_id", "embedding", skCents,
+        SimilarityOps.cosineNearDupPairsBanded(sk, "vec_id", "embedding",
+          threshold = 0.95, bands = 4, planesPerBand = 12, maxBandFreq = 128),
+        negThreshold = 0.9, maxNegPool = 128).count()
+    }
+    println(f"  seam: $nSeam%,d triplets in $tSeam%.2f s vs " +
+      f"$nSkew%,d in $tSkew%.2f s via the default generator " +
+      "(fewer triplets — hot-band-capped positives — at a fraction of the cost)")
     println(f"SOAK OK  skew $tSkew%.1f s bal $tBal%.1f s | " +
       f"small capped $tCapped%.1f s uncapped $tUncapped%.1f s | " +
-      f"pairs single $tSingle%.1f s banded $tBanded%.1f s")
+      f"pairs single $tSingle%.1f s banded $tBanded%.1f s | seam $tSeam%.1f s")
     spark.stop()
   }
 }
