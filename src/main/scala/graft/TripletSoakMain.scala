@@ -67,10 +67,15 @@ object TripletSoakMain {
       df.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
       k = 16, iters = 1)
 
+    // NOTE: positive-stage bucket cap explicitly DISABLED here — these
+    // legs measure the NEGATIVE-pool cap under a hot cell, so the
+    // anchors must survive the positive stage; the default generator is
+    // finite-capped since round 11 (DefaultMaxBucketFreq) and would
+    // drop the cone's hot buckets before the stage under test.
     def mine(df: DataFrame, c: DataFrame, pool: Int): Long =
       SimilarityOps.mineTriplets(df, "vec_id", "embedding", c,
         posThreshold = 0.95, negThreshold = 0.9, planes = planes,
-        maxNegPool = pool).count()
+        maxNegPool = pool, maxBucketFreq = Int.MaxValue).count()
 
     // ---- 1. capped skew vs capped balanced at full scale ----------------
     // ADVERSARIAL centroids, not trained ones: k-means trained on the
@@ -129,10 +134,22 @@ object TripletSoakMain {
     // cap is the bound. Note the banded side spends MORE hashing (48
     // planes vs 16) and still wins: the cost that matters is the
     // candidate join, which the cap bounds at n*cap/2 per band.
-    val (nSingle, tSingle) = time(f"pair stage: $nVecs%,d cone, single 16-plane bucket") {
+    val (nSingle, tSingle) = time(f"pair stage: $nVecs%,d cone, single 16-plane bucket, uncapped") {
+      SimilarityOps.cosineNearDupPairs(sk, "vec_id", "embedding",
+        threshold = 0.95, planes = 16,
+        maxBucketFreq = Int.MaxValue).count()
+    }
+    // the DEFAULT path since round 11: same single bucket but with the
+    // finite DefaultMaxBucketFreq — what a user calling the obvious
+    // entry point on this cone actually gets (hot buckets dropped
+    // before the join, bounded candidate volume)
+    val (nDefCap, tDefCap) = time(f"pair stage: $nVecs%,d cone, single bucket, DEFAULT cap " +
+        s"${SimilarityOps.DefaultMaxBucketFreq}") {
       SimilarityOps.cosineNearDupPairs(sk, "vec_id", "embedding",
         threshold = 0.95, planes = 16).count()
     }
+    println(f"  default-capped single bucket: $nDefCap%,d pairs in $tDefCap%.2f s " +
+      f"vs uncapped $nSingle%,d in $tSingle%.2f s (${tSingle / tDefCap}%.1f x)")
     // cap 128: candidate volume is bounded by n·cap/2 per band
     // (~230M narrow id pairs here) — LINEAR in n, where the single
     // bucket's hot patterns grow quadratically with the cone

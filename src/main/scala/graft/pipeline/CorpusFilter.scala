@@ -57,23 +57,23 @@ object CorpusFilter {
     // Run the text gate ONCE: project the survivors down to the narrow
     // columns every later stage needs — id, token count, quality, and
     // the dedup digest (computed here, while the text is already in
-    // hand) — and localCheckpoint that projection (a handful of scalars
+    // hand) — and sever that projection's lineage (a handful of scalars
     // per surviving doc; blocks are freed when the plan is GC'd, the
-    // same hygiene as the CC rounds in DedupOps; the known trade is that
-    // checkpoint blocks are executor-local and unreplicated, so an
+    // same hygiene as the CC rounds in DedupOps; in the default local
+    // mode checkpoint blocks are executor-local and unreplicated, so an
     // executor loss mid-pipeline fails the job instead of recomputing —
-    // acceptable for a bounded pipeline run, and the alternative, a
-    // persist the caller can never safely unpersist, leaks executor
-    // storage across queries). Everything downstream
+    // set Checkpoints.ConfKey to "reliable" on preemptible fleets; the
+    // alternative, a persist the caller can never safely unpersist,
+    // leaks executor storage across queries). Everything downstream
     // (quantile snapshot, bucketed cumsum, length filter, digest-window
     // dedup) reads the checkpointed relation, so the expensive part —
     // language ID + quality stats over the raw text — is paid exactly
     // once per pipeline instead of once per consuming stage.
-    val kept = gate(df.select(col(idCol), col(textCol)), textCol,
-        langCode, minQuality)
-      .select(col(idCol), col("n_tokens"), col("quality_score"),
-        DedupOps.digest(col(textCol)).as("__cf_digest"))
-      .localCheckpoint()
+    val kept = Checkpoints.sever(
+      gate(df.select(col(idCol), col(textCol)), textCol,
+          langCode, minQuality)
+        .select(col(idCol), col("n_tokens"), col("quality_score"),
+          DedupOps.digest(col(textCol)).as("__cf_digest")))
     // The cutoff comes from ONE value-histogram job over the checkpoint:
     // token counts have boundedly many distinct values (≤ the longest
     // document), so the (value, count) relation is scalar-sized by the

@@ -1000,10 +1000,9 @@ object TextOps {
     require(minFreq >= 2, s"minFreq must be >= 2 (1 would mask everything), got $minFreq")
     val clash = df.columns.filter(_.startsWith("__ms_"))
     require(clash.isEmpty, s"input already has reserved columns: ${clash.toSet}")
-    val sh = df.select(col(idCol),
+    val sh = Checkpoints.sever(df.select(col(idCol),
       posexplode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), k))
-        .as(Seq("__ms_start", "__ms_sh")))
-      .localCheckpoint()
+        .as(Seq("__ms_start", "__ms_sh"))))
     val hot = sh.groupBy(col("__ms_sh"))
       .agg(count(lit(1)).as("__ms_n"))
       .filter(col("__ms_n") >= minFreq)

@@ -938,10 +938,18 @@ object SimilarityQueries {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
-    * buckets with exact in-bucket verification. */
+    * buckets with exact in-bucket verification. The hot-bucket cap is
+    * set BELOW the sf corpus's hottest bucket (23 members at sf0.01) so
+    * the capped path itself — not just the uncapped plan — is what the
+    * oracle checks (the MT_NEG_POOL discipline). */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.cosineNearDupPairs(emb(spark, sfDir), "vec_id", "embedding",
-      threshold = 0.3, planes = PLANES)
+      threshold = 0.3, planes = PLANES, maxBucketFreq = ND_BUCKET_CAP)
+
+  /** Single-bucket hot-bucket cap for the registry queries: trips on the
+    * sf corpora's hottest 6-plane bucket so the cap semantics are
+    * oracle-verified, while keeping most buckets (and pairs) alive. */
+  private val ND_BUCKET_CAP = 16
 
   private val ND_BANDS = 3
   private val ND_R = 4
@@ -998,18 +1006,25 @@ object SimilarityQueries {
   }
 
   /** Shared near-dup-pairs CTE chain (ends in `pairs`), reused by the
-    * pair query and the transitive-dedup recursive oracle. */
+    * pair query and the transitive-dedup recursive oracle. Mirrors the
+    * engine's capped path: buckets over ND_BUCKET_CAP members form no
+    * pairs at all. */
   private def nearDupPairsCtes: String =
     s"""v AS (
        |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket
        |  FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
        |  WHERE ${norm2Sql("sv")} > 0
+       |), okb AS (
+       |  SELECT bucket FROM v GROUP BY bucket
+       |  HAVING count(*) <= $ND_BUCKET_CAP
        |), pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
        |      / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
        |         * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) AS cosine
-       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  FROM v a
+       |  JOIN okb o ON o.bucket = a.bucket
+       |  JOIN v b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
        |  WHERE CAST(${dotSql("a.sv", "b.sv")} AS DOUBLE)
        |      / (sqrt(CAST(${norm2Sql("a.sv")} AS DOUBLE))
        |         * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) >= 0.3
@@ -1035,7 +1050,8 @@ object SimilarityQueries {
     val cents = SimilarityOps.kmeansCentroids(train, "vec_id", "embedding",
       KM_K, KM_ITERS)
     SimilarityOps.mineTriplets(e, "vec_id", "embedding", cents,
-      MT_POS, MT_NEG, PLANES, maxNegPool = MT_NEG_POOL)
+      MT_POS, MT_NEG, PLANES, maxNegPool = MT_NEG_POOL,
+      maxBucketFreq = ND_BUCKET_CAP)
   }
 
   /** The oracle assembles the SAME three verified pieces: the bucketed
@@ -1053,9 +1069,14 @@ object SimilarityQueries {
        |), vb AS (
        |  SELECT vec_id, sv, ${bucketSql("sv")} AS bucket FROM v
        |  WHERE ${norm2Sql("sv")} > 0
+       |), okb AS (
+       |  SELECT bucket FROM vb GROUP BY bucket
+       |  HAVING count(*) <= $ND_BUCKET_CAP
        |), pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cos("a", "b")} AS cosine
-       |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  FROM vb a
+       |  JOIN okb o ON o.bucket = a.bucket
+       |  JOIN vb b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
        |  WHERE ${cos("a", "b")} >= $MT_POS
        |), pos AS (
        |  SELECT id_a AS anchor_id, id_b AS pos_id, cosine AS pos_cos FROM (
@@ -1101,7 +1122,7 @@ object SimilarityQueries {
     * component's min-id representative + all unpaired vectors. */
   def embedDedupTransitive(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.dedupEmbedTransitive(emb(spark, sfDir), "vec_id", "embedding",
-        threshold = 0.3, planes = PLANES)
+        threshold = 0.3, planes = PLANES, maxBucketFreq = ND_BUCKET_CAP)
       .select(col("vec_id"))
 
   def embedDedupTransitiveSql: String =
