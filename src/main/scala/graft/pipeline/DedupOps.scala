@@ -489,20 +489,12 @@ object DedupOps {
 
   /** Remove derived-relation epochs older than `keepFrom` — the
     * previous epoch stays for one append's grace (in-flight probes),
-    * everything older goes. */
+    * everything older goes. Shared GC in [[MetaIO.pruneEpochs]] (ported
+    * to the LM / k-means / decontamination / HLL lifecycles in round
+    * 11; this was the original). */
   private def pruneEpochs(spark: org.apache.spark.sql.SparkSession,
-                          path: String, keepFrom: Long): Unit = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(s"$path/derived")
-    val fs = root.getFileSystem(hconf)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("e") &&
-          name.drop(1).forall(_.isDigit) &&
-          name.drop(1).toLong < keepFrom)
-        fs.delete(st.getPath, true)
-    }
-  }
+                          path: String, keepFrom: Long): Unit =
+    MetaIO.pruneEpochs(spark, Seq(s"$path/derived"), keepFrom)
 
   /** The current epoch's stored bloom bitmap, back in probe shape —
     * bloomBits/64 longs, a scalar-sized collect like the IVF centroid

@@ -1305,6 +1305,11 @@ object SimilarityOps {
       .coalesce(1).write.mode("overwrite")
       .parquet(kmeansEpochDir(path, next.epoch))
     swapKmeansMeta(spark, path, next)
+    // epoch GC after the swap (the MinHash-index discipline): keep the
+    // superseded epoch for in-flight-assignment grace, delete older —
+    // weekly refits otherwise accumulate one k×dim relation per refit
+    MetaIO.pruneEpochs(spark, Seq(s"$path/centroids"),
+      keepFrom = meta.epoch)
   }
 
   def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,

@@ -445,6 +445,10 @@ object StatsOps {
     val stored = spark.read.parquet(hllEpochDir(path, epoch))
     swapHllMeta(spark, path,
       HllIndexMeta(m, groupCols, stored.count(), epoch))
+    // epoch GC after the swap (the MinHash-index discipline): the
+    // superseded epoch stays for in-flight-estimate grace, older ones
+    // go — otherwise each append leaks a full register relation
+    MetaIO.pruneEpochs(spark, Seq(s"$path/regs"), keepFrom = epoch - 1)
   }
 
   /** Build-and-persist: one partial-aggregated register fold over the

@@ -348,6 +348,11 @@ object TextOps {
     val shRows = merged.count()
     warnIfBloomSaturated(path, shRows, meta.numBits)
     swapDecontamMeta(spark, path, meta.copy(shRows = shRows, epoch = next))
+    // epoch GC (the MinHash-index discipline): the superseded epoch
+    // stays for in-flight-probe grace, everything older goes — without
+    // this, daily appends leak one full shingle+bloom copy per day
+    MetaIO.pruneEpochs(spark,
+      Seq(s"$path/shingles", s"$path/bloom"), keepFrom = meta.epoch)
   }
 
   /** The daily screen against the STORED index: geometry from meta, the
@@ -686,6 +691,12 @@ object TextOps {
     val v = ctxRel.count()
     require(v > 0, "lm model: empty train slice — no bigrams to count")
     swapLmMeta(spark, path, LmModelMeta(v, stored.count(), epoch))
+    // epoch GC after the swap: keep the superseded epoch (epoch - 1)
+    // for in-flight-scorer grace, delete older — append- or compact-
+    // heavy deployments otherwise hold every count relation ever
+    // written (~11.8M rows per epoch at the 500k-doc soak scale)
+    MetaIO.pruneEpochs(spark,
+      Seq(s"$path/counts", s"$path/ctx"), keepFrom = epoch - 1)
   }
 
   /** Train-and-persist: ONE codegen'd text pass over the train slice →
