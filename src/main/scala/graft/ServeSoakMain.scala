@@ -344,6 +344,61 @@ object ServeSoakMain {
     println(f"  lm-stream: ${lmStats.size} scoring batches, median batch " +
       f"$lmMed%.2f s, ${lmRate}%.0f scored docs/s sustained")
 
+    // ---- 1f2. epoch GC: 10 delta-appends, flat artifact storage -----------
+    // the storage half of the append story: every append commits a NEW
+    // immutable epoch, so WITHOUT the shared GC (MetaIO.pruneEpochs) an
+    // append-heavy deployment holds every relation version ever written.
+    // 9 more LM appends (10 commits total on lmPath) measuring, after
+    // each, the epoch-dir count and on-disk bytes under counts+ctx vs
+    // the no-GC counterfactual (cumulative bytes of every epoch as it
+    // was committed). The invariant REQUIRED here: never more than
+    // {current, superseded} epochs on disk, so storage tracks ~2x the
+    // live relation instead of growing with append count.
+    def lmEpochDirs(): Vector[java.io.File] =
+      Seq("counts", "ctx").flatMap { rel =>
+        Option(new java.io.File(s"$lmPath/$rel").listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("e") &&
+            f.getName.drop(1).forall(_.isDigit))
+      }.toVector
+    def treeBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).toSeq.flatten.map(treeBytes).sum
+    var gcNoGcBytes = lmEpochDirs().map(treeBytes).sum // epochs 0+1 live now
+    var gcMaxDirs = lmEpochDirs().map(_.getName).distinct.size
+    val (_, tGcAppends) = time("epoch GC soak: 9 more LM delta-appends") {
+      (2 to 10).foreach { i =>
+        val slice = spark.range(nMhApp)
+          .select((col("id") + i * nDocs).as("doc_id"),
+            expr(docText("id", 15 + i)).as("text"))
+        TextOps.appendLmModel(spark, lmPath, slice, "text", "doc_id")
+        val dirs = lmEpochDirs()
+        val names = dirs.map(_.getName).distinct.sorted
+        require(names.size <= 2,
+          s"epoch GC failed after append $i: $names on disk under counts/ctx")
+        // the no-GC counterfactual accumulates each NEW epoch as committed
+        gcNoGcBytes += dirs.filter(_.getName == s"e$i").map(treeBytes).sum
+        gcMaxDirs = math.max(gcMaxDirs, names.size)
+      }
+    }
+    val gcFinalDirs = lmEpochDirs()
+    val gcFinalBytes = gcFinalDirs.map(treeBytes).sum
+    val gcFinalFiles = {
+      def cnt(f: java.io.File): Long =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
+        else Option(f.listFiles()).toSeq.flatten.map(cnt).sum
+      gcFinalDirs.map(cnt).sum
+    }
+    val gcMeta = TextOps.readLmModelMeta(spark, lmPath)
+    require(gcMeta.epoch == 10L, s"expected epoch 10, got ${gcMeta.epoch}")
+    println(f"  epoch GC: 10 commits, max ${gcMaxDirs} epoch generations on " +
+      f"disk (grace pair only); final ${gcFinalFiles}%,d files / " +
+      f"${gcFinalBytes / 1e6}%.1f MB vs ${gcNoGcBytes / 1e6}%.1f MB had no " +
+      f"epoch ever been pruned (${gcNoGcBytes.toDouble / gcFinalBytes}%.1f x)")
+    // and the GC'd artifact still serves: scoring sanity after 10 commits
+    require(TextOps.scoreAgainstStoredLm(spark, lmPath,
+        scorePop.limit(100), "text", "doc_id").count() == 100L,
+      "stored-LM scoring broke after the GC soak")
+
     // ---- 1g. stored decontamination index (build once, screen daily) ------
     // the sixth artifact at soak scale: a 20k-doc benchmark union commits
     // as the stored index (shingles + pre-built bloom), then a crawl of

@@ -484,17 +484,17 @@ object DedupOps {
     }
     swapMeta(spark, path,
       meta.copy(epoch = next, sigCount = storedCount + deltaCount))
-    pruneEpochs(spark, path, keepFrom = meta.epoch)
+    pruneEpochs(spark, path, superseded = meta.epoch)
   }
 
-  /** Remove derived-relation epochs older than `keepFrom` — the
-    * previous epoch stays for one append's grace (in-flight probes),
+  /** Remove derived-relation epochs older than the SUPERSEDED one —
+    * that one stays for one append's grace (in-flight probes),
     * everything older goes. Shared GC in [[MetaIO.pruneEpochs]] (ported
     * to the LM / k-means / decontamination / HLL lifecycles in round
     * 11; this was the original). */
   private def pruneEpochs(spark: org.apache.spark.sql.SparkSession,
-                          path: String, keepFrom: Long): Unit =
-    MetaIO.pruneEpochs(spark, Seq(s"$path/derived"), keepFrom)
+                          path: String, superseded: Long): Unit =
+    MetaIO.pruneEpochs(spark, Seq(s"$path/derived"), superseded)
 
   /** The current epoch's stored bloom bitmap, back in probe shape —
     * bloomBits/64 longs, a scalar-sized collect like the IVF centroid

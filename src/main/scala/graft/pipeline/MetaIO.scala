@@ -23,13 +23,23 @@ private[graft] object MetaIO {
   /** Only a MISSING meta dir is the swap-window signature; any other
     * read failure (corrupt footer, schema mismatch, permissions) is a
     * real error that a 200 ms pause cannot fix — retrying it would just
-    * pay a blind sleep plus a second full read before failing anyway. */
-  private def isPathMissing(e: Throwable): Boolean = e match {
-    case _: java.io.FileNotFoundException => true
-    case a: org.apache.spark.sql.AnalysisException =>
-      Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) ||
-        a.getMessage.contains("Path does not exist")
-    case _ => false
+    * pay a blind sleep plus a second full read before failing anyway.
+    * The signature can also arrive WRAPPED: files deleted between path
+    * resolution and task read surface as a SparkException whose cause
+    * chain bottoms out in FileNotFoundException — so the whole chain is
+    * walked (bounded, in case of a cyclic cause). */
+  private def isPathMissing(e: Throwable): Boolean = {
+    @annotation.tailrec
+    def walk(t: Throwable, depth: Int): Boolean =
+      if (t == null || depth > 10) false
+      else t match {
+        case _: java.io.FileNotFoundException => true
+        case a: org.apache.spark.sql.AnalysisException
+            if Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) ||
+              a.getMessage.contains("Path does not exist") => true
+        case _ => walk(t.getCause, depth + 1)
+      }
+    walk(e, 0)
   }
 
   /** First row of `$path/meta`, retrying once across the swap window.
@@ -55,18 +65,21 @@ private[graft] object MetaIO {
     rows(0)
   }
 
-  /** Epoch garbage collection, shared by every epoch'd lifecycle:
-    * delete `e<N>` children with N < `keepFrom` under each relation
-    * root. Callers pass the epoch being SUPERSEDED as `keepFrom`, so
-    * the previous epoch survives one append's grace — a reader that
-    * resolved the old meta just before the swap may still be probing
-    * it — and everything older goes. Without this, an append-heavy
-    * deployment leaks one full artifact copy per append (a daily
-    * append leaves ~365 stale epochs a year). Idempotent; a missing
-    * root (first commit) is a no-op; non-epoch children are never
-    * touched. */
+  /** Epoch garbage collection, shared by every epoch'd lifecycle. ONE
+    * convention at every call site: pass the epoch being SUPERSEDED by
+    * the commit that just swapped meta. `e<N>` children with
+    * N < `superseded` are deleted under each relation root; the
+    * superseded epoch itself (and anything newer) survives — one
+    * commit's grace window for a reader that resolved the old meta
+    * just before the swap and is still probing its relations. Without
+    * this, an append-heavy deployment leaks one full artifact copy per
+    * append (a daily append leaves ~365 stale epochs a year).
+    * Idempotent; a missing root (first commit) is a no-op; non-epoch
+    * children (`signatures`, `meta`, …) are never touched. An initial
+    * commit has nothing superseded — pass `firstEpoch - 1` (= -1),
+    * which deletes nothing. */
   def pruneEpochs(spark: SparkSession, roots: Seq[String],
-                  keepFrom: Long): Unit = {
+                  superseded: Long): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     roots.foreach { r =>
       val root = new org.apache.hadoop.fs.Path(r)
@@ -75,7 +88,7 @@ private[graft] object MetaIO {
         val name = st.getPath.getName
         if (name.length > 1 && name.startsWith("e") &&
             name.drop(1).forall(_.isDigit) &&
-            name.drop(1).toLong < keepFrom)
+            name.drop(1).toLong < superseded)
           fs.delete(st.getPath, true)
       }
     }

@@ -775,11 +775,51 @@ object SimilarityOps {
     * within-bucket all-pairs join whose cost grows with the square of a
     * correlated corpus's hot sign pattern (the round-10 judge's one
     * weak-at-100× item). 10⁴ bounds any one bucket's pair term at
-    * ~5·10⁷ — finite work per bucket regardless of corpus skew — while
-    * leaving every honest (uncorrelated) bucket untouched. Pass
-    * `Int.MaxValue` to disable EXPLICITLY (the soak baselines do, to
-    * measure what the cap removes). */
+    * ~5·10⁷ — finite work per bucket regardless of corpus skew.
+    *
+    * The cap COMPOSES WITH THE KEY SPACE: `planes` sign bits give only
+    * 2^planes buckets, so by pigeonhole any corpus larger than
+    * cap·2^planes non-zero vectors (640k at the defaults planes=6,
+    * cap=10⁴) has over-cap buckets even when perfectly uncorrelated,
+    * and well past that size EVERY bucket is over cap — the capped
+    * generators would then return (near-)empty results. That regime is
+    * NOT silent: the capped branches measure the fraction of rows
+    * landing in dropped buckets at plan time and print a loud
+    * [[warnIfCapDropsMost]] warning past 50%. The remedies, in
+    * preference order: the banded form (a pair dropped from one hot
+    * band survives via any other band), more planes (key space grows
+    * 2× per plane; recall falls as agreement must extend to the new
+    * plane), or a larger cap (pair work grows quadratically in it).
+    * Pass `Int.MaxValue` to disable EXPLICITLY (the soak baselines do,
+    * to measure what the cap removes). */
   val DefaultMaxBucketFreq: Int = 10000
+
+  /** Loud cap-vs-keyspace guard for the capped pair generators: from
+    * the (tiny, already-severed) per-bucket frequency relation, the
+    * fraction of bucketed rows that fall in OVER-CAP (dropped) buckets
+    * is exact and nearly free to read — when most rows are about to be
+    * dropped, the caller is in the pigeonhole regime the
+    * [[DefaultMaxBucketFreq]] scaladoc describes (corpus ≫ cap·2^planes)
+    * and the result will be silently near-empty without this trace.
+    * Correlated corpora dropping ONE hot cone on purpose stay below
+    * the 50% line or see the warning and recognize their own design
+    * choice; the uniform-corpus failure mode is what this catches. */
+  private def warnIfCapDropsMost(freqs: DataFrame, cap: Int,
+                                 planesUsed: Int, label: String): Unit = {
+    val r = freqs.agg(
+      coalesce(sum(col("__bf")), lit(0L)).as("total"),
+      coalesce(sum(when(col("__bf") <= cap, col("__bf"))
+        .otherwise(lit(0L))), lit(0L)).as("kept")).collect()(0)
+    val total = r.getLong(0); val kept = r.getLong(1)
+    if (total > 0 && kept * 2 < total)
+      System.err.println(
+        f"[graft] $label: cap $cap%,d drops ${total - kept}%,d of $total%,d " +
+          f"bucketed rows (${100.0 * (total - kept) / total}%.1f%%) — the " +
+          s"corpus has outgrown the 2^$planesUsed-bucket key space at this " +
+          "cap (pigeonhole: buckets fill past the cap even uncorrelated). " +
+          "Use the banded generator, raise planes, or raise the cap; " +
+          "results from this call will be missing most candidate pairs.")
+  }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * via LSH buckets (exact within-bucket verification).
@@ -799,7 +839,18 @@ object SimilarityOps {
     * genuinely lost in this single-bucket form (one bucket = one
     * chance); for recall-sensitive correlated corpora use
     * [[cosineNearDupPairsBanded]], where a pair dropped from a hot band
-    * is still found via any OTHER band under the cap. */
+    * is still found via any OTHER band under the cap. The cap also
+    * composes with the 2^planes key space — past cap·2^planes vectors
+    * even an uncorrelated corpus overflows every bucket; see the
+    * [[DefaultMaxBucketFreq]] scaladoc and the loud plan-time warning.
+    *
+    * EAGER on the capped (default) path: the bucket-frequency relation
+    * and the capped candidate relation are materialized at CALL time
+    * via [[Checkpoints.sever]] (a Spark job runs before this returns),
+    * because the downstream self-join would otherwise plant the whole
+    * count subtree on both sides. Pass `maxBucketFreq = Int.MaxValue`
+    * for a fully lazy plan; the severing mode (executor-local vs
+    * storage-backed) is the session's `spark.graft.checkpoint` choice. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6,
                          maxBucketFreq: Int = DefaultMaxBucketFreq): DataFrame = {
@@ -828,19 +879,24 @@ object SimilarityOps {
     // over (id, bucket) rows, never carrying the vectors through the
     // pair explosion.
     val narrow = v.select(col("doc_id"), col("bucket"))
-    val kept0 =
+    val kept =
       if (maxBucketFreq == Int.MaxValue) narrow
-      else narrow.join(
-        narrow.groupBy(col("bucket")).agg(count(lit(1)).as("__bf"))
-          .filter(col("__bf") <= maxBucketFreq)
-          .select(col("bucket")),
-        Seq("bucket"))
-    // capped path: materialize the narrow relation once, or the self-
-    // join plants the bucket-count subtree on both sides (the banded
-    // generator's measured 4-scan double-plant); severing mode — local
-    // vs storage-backed — per Checkpoints.sever
-    val kept = if (maxBucketFreq == Int.MaxValue) kept0
-               else Checkpoints.sever(kept0)
+      else {
+        // the per-bucket frequency relation is TINY (≤ 2^planes rows),
+        // so it is severed once and reused three ways: the under-cap
+        // join side, the dropped-row audit below, and (via the severed
+        // join output) the self-join — without severing, the self-join
+        // plants the whole count subtree on both sides (the banded
+        // generator's measured 4-scan double-plant). Severing mode —
+        // local vs storage-backed — per Checkpoints.sever.
+        val freqs = Checkpoints.sever(
+          narrow.groupBy(col("bucket")).agg(count(lit(1)).as("__bf")))
+        warnIfCapDropsMost(freqs, maxBucketFreq, planes,
+          s"cosineNearDupPairs(planes=$planes)")
+        Checkpoints.sever(narrow.join(
+          freqs.filter(col("__bf") <= maxBucketFreq).select(col("bucket")),
+          Seq("bucket")))
+      }
     val a = kept.as("a"); val b = kept.as("b")
     val cand = a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -906,24 +962,30 @@ object SimilarityOps {
         .as(Seq("band", "bucket")))
     // hot-band cap: one partial-aggregated count per (band, bucket),
     // then a join against the under-cap relation — pairs never form
-    // inside an over-cap bucket (the boilerplate-direction guard)
-    val kept0 =
-      if (maxBandFreq == Int.MaxValue) banded
-      else banded.join(
-        banded.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__bf"))
-          .filter(col("__bf") <= maxBandFreq)
-          .select(col("band"), col("bucket")),
-        Seq("band", "bucket"))
-    // materialize the (narrow) capped banding relation once: the self-
-    // join otherwise plants the WHOLE banding+cap subtree on both
+    // inside an over-cap bucket (the boilerplate-direction guard).
+    // The frequency relation is TINY (≤ bands·2^planesPerBand rows):
+    // severed once, it feeds the under-cap join side AND the dropped-
+    // row audit. The capped banding relation is then severed too: the
+    // self-join otherwise plants the WHOLE banding+cap subtree on both
     // sides — 4 corpus scans and 2 count jobs in the executed plan
     // (observed at sf0.01) — and exchange reuse does not collapse them
     // because the two sides project differently. Materialization is
     // EAGER (a Spark job runs here, at call time) and the severing mode
     // — executor-local vs storage-backed, i.e. the executor-loss trade
     // — is the session's Checkpoints.ConfKey choice.
-    val kept = Checkpoints.sever(kept0)
+    val kept =
+      if (maxBandFreq == Int.MaxValue) Checkpoints.sever(banded)
+      else {
+        val freqs = Checkpoints.sever(
+          banded.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__bf")))
+        warnIfCapDropsMost(freqs, maxBandFreq, planesPerBand,
+          s"cosineNearDupPairsBanded(bands=$bands, planesPerBand=$planesPerBand)")
+        Checkpoints.sever(banded.join(
+          freqs.filter(col("__bf") <= maxBandFreq)
+            .select(col("band"), col("bucket")),
+          Seq("band", "bucket")))
+      }
     val a = kept.as("a"); val b = kept.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -1309,7 +1371,7 @@ object SimilarityOps {
     // superseded epoch for in-flight-assignment grace, delete older —
     // weekly refits otherwise accumulate one k×dim relation per refit
     MetaIO.pruneEpochs(spark, Seq(s"$path/centroids"),
-      keepFrom = meta.epoch)
+      superseded = meta.epoch)
   }
 
   def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,

@@ -447,8 +447,10 @@ object StatsOps {
       HllIndexMeta(m, groupCols, stored.count(), epoch))
     // epoch GC after the swap (the MinHash-index discipline): the
     // superseded epoch stays for in-flight-estimate grace, older ones
-    // go — otherwise each append leaks a full register relation
-    MetaIO.pruneEpochs(spark, Seq(s"$path/regs"), keepFrom = epoch - 1)
+    // go — otherwise each append leaks a full register relation.
+    // Epochs advance by exactly 1, so the commit of `epoch` supersedes
+    // `epoch - 1`; the initial commit (epoch 0) passes -1 → no-op.
+    MetaIO.pruneEpochs(spark, Seq(s"$path/regs"), superseded = epoch - 1)
   }
 
   /** Build-and-persist: one partial-aggregated register fold over the

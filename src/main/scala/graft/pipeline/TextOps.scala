@@ -352,7 +352,7 @@ object TextOps {
     // stays for in-flight-probe grace, everything older goes — without
     // this, daily appends leak one full shingle+bloom copy per day
     MetaIO.pruneEpochs(spark,
-      Seq(s"$path/shingles", s"$path/bloom"), keepFrom = meta.epoch)
+      Seq(s"$path/shingles", s"$path/bloom"), superseded = meta.epoch)
   }
 
   /** The daily screen against the STORED index: geometry from meta, the
@@ -691,12 +691,14 @@ object TextOps {
     val v = ctxRel.count()
     require(v > 0, "lm model: empty train slice — no bigrams to count")
     swapLmMeta(spark, path, LmModelMeta(v, stored.count(), epoch))
-    // epoch GC after the swap: keep the superseded epoch (epoch - 1)
-    // for in-flight-scorer grace, delete older — append- or compact-
+    // epoch GC after the swap: keep the superseded epoch for
+    // in-flight-scorer grace, delete older — append- or compact-
     // heavy deployments otherwise hold every count relation ever
-    // written (~11.8M rows per epoch at the 500k-doc soak scale)
+    // written (~11.8M rows per epoch at the 500k-doc soak scale).
+    // Epochs advance by exactly 1, so the commit of `epoch` supersedes
+    // `epoch - 1`; the initial commit (epoch 0) passes -1 → no-op.
     MetaIO.pruneEpochs(spark,
-      Seq(s"$path/counts", s"$path/ctx"), keepFrom = epoch - 1)
+      Seq(s"$path/counts", s"$path/ctx"), superseded = epoch - 1)
   }
 
   /** Train-and-persist: ONE codegen'd text pass over the train slice →

@@ -61,4 +61,42 @@ class EmbedPairSeamSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(direct == seamed)
   }
+
+  /** Run `f` with stderr captured, returning (result, captured text). */
+  private def capturingStderr[T](f: => T): (T, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try { val r = f; (r, buf.toString) }
+    finally System.setErr(old)
+  }
+
+  test("cap-vs-keyspace: a cap that drops most rows warns loudly; " +
+    "a healthy cap stays silent") {
+    // 40 non-zero vectors into 2^1 = 2 buckets with cap 2: every bucket
+    // is over cap (pigeonhole) -> near-empty result + the loud warning
+    val (rows, err) = capturingStderr {
+      SimilarityOps.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, planes = 1, maxBucketFreq = 2).count()
+    }
+    assert(rows == 0L, "all buckets over cap must yield no pairs")
+    assert(err.contains("[graft]") && err.contains("key space") &&
+      err.contains("2^1"), s"expected the pigeonhole warning, got: $err")
+
+    // same corpus, banded form, cap that drops everything -> same guard
+    val (bRows, bErr) = capturingStderr {
+      SimilarityOps.cosineNearDupPairsBanded(corpus, "vec_id", "embedding",
+        threshold = 0.9, bands = 2, planesPerBand = 1, maxBandFreq = 2).count()
+    }
+    assert(bRows == 0L)
+    assert(bErr.contains("[graft]") && bErr.contains("key space"))
+
+    // a cap the corpus fits under: no warning, pairs found
+    val (okRows, okErr) = capturingStderr {
+      SimilarityOps.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, planes = 6, maxBucketFreq = 1000).count()
+    }
+    assert(okRows > 0L)
+    assert(!okErr.contains("key space"), s"unexpected warning: $okErr")
+  }
 }

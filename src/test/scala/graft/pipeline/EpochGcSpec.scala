@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Epoch garbage collection ([[MetaIO.pruneEpochs]]) — the code that
+  * DELETES directories inside the append path of every epoch'd
+  * artifact lifecycle, so its contract is pinned here directly and
+  * then re-asserted through each lifecycle's own public append:
+  *
+  *  - after an append, exactly {current, superseded} epochs remain
+  *    under every relation root (one commit's grace window);
+  *  - the superseded epoch is still PROBE-READABLE (a reader that
+  *    resolved the old meta just before the swap finishes its probe);
+  *  - non-epoch siblings (`signatures`, `meta`, loose files) are
+  *    never touched;
+  *  - a missing root (first commit) is a no-op, and the call is
+  *    idempotent.
+  *
+  * Lifecycles covered: MinHash index (derived), decontamination
+  * (shingles + bloom), LM model (counts + ctx, incl. the compact
+  * path), k-means model (centroids), HLL index (regs). The IVF-PQ
+  * index is append-in-place + compact, not epoch'd — its storage
+  * story is pinned by IvfIndexSpec/ServeSoakMain instead. */
+class EpochGcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_egc_$tag").toString
+
+  /** Epoch-shaped children (`e<digits>`) of a local dir, by name. */
+  private def epochs(root: String): Set[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName)
+      .filter(n => n.length > 1 && n.startsWith("e") &&
+        n.drop(1).forall(_.isDigit))
+      .toSet
+
+  private def children(root: String): Set[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName).toSet
+
+  // ---------------------------------------------------------------
+  // the helper's own contract
+  // ---------------------------------------------------------------
+
+  test("pruneEpochs deletes strictly-older epochs only, never " +
+    "non-epoch children; idempotent; missing root is a no-op") {
+    val root = tmp("unit")
+    // epoch dirs at 0, 1, 2, 5 plus look-alikes that must survive
+    Seq("e0", "e1", "e2", "e5", "extra", "e", "e1x", "meta")
+      .foreach(n => new java.io.File(root, n).mkdirs())
+    val loose = new java.io.File(root, "e3") // an epoch-named FILE
+    loose.createNewFile()
+
+    MetaIO.pruneEpochs(spark, Seq(root), superseded = 2L)
+    assert(epochs(root) == Set("e2", "e3", "e5"),
+      "e0/e1 (older than superseded) go; e2 (superseded) and newer stay")
+    assert(children(root).intersect(Set("extra", "e", "e1x", "meta")) ==
+      Set("extra", "e", "e1x", "meta"),
+      "non-epoch children are never touched")
+
+    // idempotent: a second identical call changes nothing
+    MetaIO.pruneEpochs(spark, Seq(root), superseded = 2L)
+    assert(epochs(root) == Set("e2", "e3", "e5"))
+
+    // missing root: no throw, no effect elsewhere
+    MetaIO.pruneEpochs(spark, Seq(s"$root/never_written"), superseded = 9L)
+    assert(!new java.io.File(s"$root/never_written").exists())
+
+    // superseded = -1 (initial-commit convention): deletes nothing
+    val fresh = tmp("unit_fresh")
+    new java.io.File(fresh, "e0").mkdirs()
+    MetaIO.pruneEpochs(spark, Seq(fresh), superseded = -1L)
+    assert(epochs(fresh) == Set("e0"))
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash index: derived/e<N> under appendMinhashIndex
+  // ---------------------------------------------------------------
+
+  test("minhash index: appends keep exactly {current, superseded} " +
+    "derived epochs; superseded stays probe-readable; signatures untouched") {
+    def day(ids: Seq[Long], tok: String) =
+      ids.map(i => (i, s"${tok}1 ${tok}2 ${tok}3 ${tok}4 ${tok}5 ${tok}6"))
+        .toDF("doc_id", "text")
+    val dir = tmp("mh")
+    DedupOps.writeMinhashIndex(day(Seq(2L), "w"), "text", "doc_id", dir, 3, 12, 4)
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(4L), "x"), "text", "doc_id")
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(6L), "y"), "text", "doc_id")
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(8L), "z"), "text", "doc_id")
+
+    val meta = DedupOps.readMinhashIndexMeta(spark, dir)
+    assert(meta.epoch == 3L)
+    assert(epochs(s"$dir/derived") == Set("e2", "e3"),
+      "exactly {current, superseded} epochs after 3 appends")
+    // grace: the superseded epoch's relations still read cleanly
+    assert(spark.read.parquet(s"$dir/derived/e2/bandkeys").count() > 0)
+    assert(spark.read.parquet(s"$dir/derived/e2/bloom").count() > 0)
+    // non-epoch siblings intact: all four days' signatures present
+    assert(spark.read.parquet(s"$dir/signatures").count() == 4)
+  }
+
+  // ---------------------------------------------------------------
+  // decontamination index: shingles/e<N> + bloom/e<N>
+  // ---------------------------------------------------------------
+
+  test("decontam index: both relation roots hold exactly {current, " +
+    "superseded}; superseded stays probe-readable") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"w${i % 7} w${(i * 3) % 11} w${i % 7} w${(i * 5) % 13} w${i % 9}")
+    }.toDF("id", "text")
+    val dir = tmp("dc")
+    TextOps.writeDecontamIndex(docs.filter(col("id") % 10 === 0),
+      "text", "id", dir, 3)
+    TextOps.appendDecontamIndex(spark, dir,
+      docs.filter(col("id") % 10 === 5), "text", "id")
+    TextOps.appendDecontamIndex(spark, dir,
+      docs.filter(col("id") % 10 === 3), "text", "id")
+
+    assert(TextOps.readDecontamIndexMeta(spark, dir).epoch == 2L)
+    assert(epochs(s"$dir/shingles") == Set("e1", "e2"))
+    assert(epochs(s"$dir/bloom") == Set("e1", "e2"))
+    assert(spark.read.parquet(s"$dir/shingles/e1").count() > 0)
+    assert(spark.read.parquet(s"$dir/bloom/e1").count() > 0)
+  }
+
+  // ---------------------------------------------------------------
+  // LM model: counts/e<N> + ctx/e<N>, append AND compact paths
+  // ---------------------------------------------------------------
+
+  test("lm model: appends and compaction keep exactly {current, " +
+    "superseded} under counts and ctx; superseded stays score-readable") {
+    val df = (0 until 30).map { i =>
+      (i.toLong, s"tok${i % 5} tok${(i * 3) % 7} tok${i % 5} tok${(i * 2) % 4}")
+    }.toDF("id", "text")
+    val dir = tmp("lm")
+    TextOps.writeLmModel(df.filter(col("id") < 10), "text", "id", dir)
+    TextOps.appendLmModel(spark, dir, df.filter(col("id") >= 10 && col("id") < 20),
+      "text", "id")
+    TextOps.appendLmModel(spark, dir, df.filter(col("id") >= 20), "text", "id")
+
+    assert(TextOps.readLmModelMeta(spark, dir).epoch == 2L)
+    assert(epochs(s"$dir/counts") == Set("e1", "e2"))
+    assert(epochs(s"$dir/ctx") == Set("e1", "e2"))
+    assert(spark.read.parquet(s"$dir/counts/e1").count() > 0)
+    assert(spark.read.parquet(s"$dir/ctx/e1").count() > 0)
+
+    // compaction is a sibling-epoch commit — same GC discipline
+    TextOps.compactLmModel(spark, dir)
+    assert(TextOps.readLmModelMeta(spark, dir).epoch == 3L)
+    assert(epochs(s"$dir/counts") == Set("e2", "e3"))
+    assert(epochs(s"$dir/ctx") == Set("e2", "e3"))
+    // and the model still scores from storage after GC
+    assert(TextOps.scoreAgainstStoredLm(spark, dir, df, "text", "id").count() == 30)
+  }
+
+  // ---------------------------------------------------------------
+  // k-means model: centroids/e<N> under refitKmeansModel
+  // ---------------------------------------------------------------
+
+  test("kmeans model: refits keep exactly {current, superseded} " +
+    "centroid epochs; superseded stays assignment-readable") {
+    val df = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0L else 100L
+      (i.toLong, Seq(base + i % 3, base - i % 5, (i % 7).toLong))
+    }.toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<double>"))
+      .withColumn("vec", transform(col("vec"), x => (x / 1000.0).cast("float")))
+    val dir = tmp("km")
+    val cents = SimilarityOps.kmeansCentroids(df, "id", "vec", k = 3, iters = 2)
+    SimilarityOps.writeKmeansModel(cents, dir, itersTrained = 2)
+    SimilarityOps.refitKmeansModel(spark, dir, df, "id", "vec", iters = 1)
+    SimilarityOps.refitKmeansModel(spark, dir, df, "id", "vec", iters = 1)
+
+    assert(SimilarityOps.readKmeansModelMeta(spark, dir).epoch == 2L)
+    assert(epochs(s"$dir/centroids") == Set("e1", "e2"))
+    assert(spark.read.parquet(s"$dir/centroids/e1").count() == 3,
+      "superseded epoch still holds the full k-row centroid relation")
+  }
+
+  // ---------------------------------------------------------------
+  // HLL index: regs/e<N> under appendHllIndex
+  // ---------------------------------------------------------------
+
+  test("hll index: appends keep exactly {current, superseded} register " +
+    "epochs; superseded stays estimate-readable; estimates unchanged") {
+    val dir = tmp("hll")
+    StatsOps.writeHllIndex(
+      (0 until 500).map(i => ("g", s"a$i")).toDF("g", "v"),
+      Seq("g"), col("v"), dir, m = 64)
+    StatsOps.appendHllIndex(spark, dir,
+      (0 until 400).map(i => ("g", s"b$i")).toDF("g", "v"), col("v"))
+    StatsOps.appendHllIndex(spark, dir,
+      (0 until 300).map(i => ("g", s"c$i")).toDF("g", "v"), col("v"))
+
+    assert(StatsOps.readHllIndexMeta(spark, dir).epoch == 2L)
+    assert(epochs(s"$dir/regs") == Set("e1", "e2"))
+    assert(spark.read.parquet(s"$dir/regs/e1").count() > 0)
+    // GC'd artifact still estimates exactly like the one-shot twin
+    val stored = StatsOps.estimateFromStoredHll(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = StatsOps.hllEstimateByGroup(
+        ((0 until 500).map(i => ("g", s"a$i")) ++
+          (0 until 400).map(i => ("g", s"b$i")) ++
+          (0 until 300).map(i => ("g", s"c$i"))).toDF("g", "v"),
+        Seq("g"), col("v"), m = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored == oneShot)
+  }
+}
