@@ -811,6 +811,360 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  // ---- ISO-BMFF (MP4) ----------------------------------------------------
+  // The 90%-of-real-corpora video container: big-endian (size, fourcc)
+  // boxes, nested moov/trak/mdia/minf/stbl metadata, samples addressed
+  // indirectly through five parallel tables (stts timing, stsz sizes,
+  // stsc sample→chunk runs, stco/co64 chunk offsets, stss sync marks).
+  // The walker below emits the RESOLVED per-sample table — the rows a
+  // frame extractor seeks by — from pure byte arithmetic, no codec.
+
+  /** Deterministic MP4 formulas, mirrored verbatim by the oracle SQL. */
+  def synthMp4Samples(id: Long): Int = (4 + id % 5).toInt
+  def synthMp4SampleSize(id: Long, i: Int): Int =
+    (50 + (id * 7 + i * 13) % 90).toInt
+  def synthMp4Timescale(id: Long): Int =
+    ((id % 3): @unchecked) match { case 0 => 600; case 1 => 1000; case 2 => 90000 }
+  def synthMp4Delta(id: Long): Int = (100 + id % 50).toInt
+  /** Unreferenced pad bytes between the two chunks — makes the chunk
+    * arithmetic observable (offsets are NOT one contiguous prefix sum). */
+  def synthMp4Gap(id: Long): Int = (id % 7).toInt + 1
+
+  /** id → REAL ISO-BMFF bytes: ftyp + mdat + moov (camera layout), or
+    * moov before mdat with `faststart` (the progressive-download
+    * layout — also what makes honest mdat truncation testable, since
+    * the tail-moov layout loses the sample table with the tail). One
+    * video trak; two chunks (ceil(k/2) + floor(k/2) samples) with a
+    * deliberate unreferenced gap between them; stss marks every 3rd
+    * sample; odd ids use co64 (64-bit chunk offsets) and ids ≡ 3 (mod
+    * 4) a version-1 mdhd, so the walker's width/version branches are
+    * exercised corpus-wide, invisibly to the formula oracle. */
+  def encodeSyntheticMp4(df: DataFrame, idCol: String,
+                         faststart: Boolean = false): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val k = synthMp4Samples(id)
+        val sizes = (0 until k).map(i => synthMp4SampleSize(id, i))
+        val ts = synthMp4Timescale(id)
+        val delta = synthMp4Delta(id)
+        val gap = synthMp4Gap(id)
+        val c1 = (k + 1) / 2; val c2 = k - c1
+        val syncs = (0 until k).filter(_ % 3 == 0) // 0-based; stored 1-based
+        val duration = k.toLong * delta
+        val useCo64 = id % 2 == 1
+        val mdhdV1 = id % 4 == 3
+        val payload = sizes.sum + gap
+        // box sizes, innermost first (all fixed-layout, see each writer)
+        val stsdSz = 102; val sttsSz = 24
+        val stssSz = 16 + 4 * syncs.size
+        val stszSz = 20 + 4 * k; val stscSz = 40
+        val stcoSz = if (useCo64) 32 else 24
+        val stblSz = 8 + stsdSz + sttsSz + stssSz + stszSz + stscSz + stcoSz
+        val minfSz = 8 + 20 + 36 + stblSz        // vmhd + dinf + stbl
+        val mdhdSz = if (mdhdV1) 44 else 32
+        val mdiaSz = 8 + mdhdSz + 33 + minfSz    // mdhd + hdlr + minf
+        val trakSz = 8 + 92 + mdiaSz             // tkhd + mdia
+        val moovSz = 8 + 108 + trakSz            // mvhd + trak
+        val ftypSz = 24
+        val mdatSz = 8 + payload
+        val mdatPayloadOff =
+          (if (faststart) ftypSz + moovSz else ftypSz) + 8L
+        val chunkOffs = Array(mdatPayloadOff,
+          mdatPayloadOff + sizes.take(c1).sum + gap)
+        val bb = java.nio.ByteBuffer.allocate(ftypSz + mdatSz + moovSz)
+        // ISO-BMFF is big-endian — ByteBuffer's default order
+        def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+        def box(sz: Int, tp: String): Unit = { bb.putInt(sz); fcc(tp) }
+        def writeFtyp(): Unit = {
+          box(ftypSz, "ftyp"); fcc("isom"); bb.putInt(0x200)
+          fcc("isom"); fcc("mp41")
+        }
+        def writeMdat(): Unit = {
+          box(mdatSz, "mdat")
+          var i = 0
+          while (i < k) {
+            if (i == c1) (0 until gap).foreach(_ => bb.put(0xEE.toByte))
+            var j = 0
+            while (j < sizes(i)) {
+              bb.put(((id + i * 7 + j) % 251).toByte); j += 1
+            }
+            i += 1
+          }
+          if (c1 == k) (0 until gap).foreach(_ => bb.put(0xEE.toByte))
+        }
+        def writeMoov(): Unit = {
+          box(moovSz, "moov")
+          box(108, "mvhd"); bb.putInt(0)         // version 0 + flags
+          bb.putInt(0).putInt(0)                  // creation, modification
+            .putInt(ts).putInt(duration.toInt)
+            .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+            .putShort(0).putLong(0L)              // reserved
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            .foreach(bb.putInt)                   // unity matrix
+          (0 until 6).foreach(_ => bb.putInt(0))  // pre_defined
+          bb.putInt(2)                            // next_track_ID
+          box(trakSz, "trak")
+          box(92, "tkhd"); bb.putInt(7)           // v0, flags: enabled+in-movie+in-preview
+          bb.putInt(0).putInt(0).putInt(1).putInt(0) // times, track_ID, reserved
+            .putInt(duration.toInt).putLong(0L)
+            .putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, rsvd
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            .foreach(bb.putInt)
+          bb.putInt(16 << 16).putInt(16 << 16)    // width, height (16.16)
+          box(mdiaSz, "mdia")
+          if (mdhdV1) {
+            box(44, "mdhd"); bb.putInt(0x01000000) // version 1
+            bb.putLong(0L).putLong(0L).putInt(ts).putLong(duration)
+              .putShort(0x55C4.toShort).putShort(0)  // language 'und', pre_defined
+          } else {
+            box(32, "mdhd"); bb.putInt(0)
+            bb.putInt(0).putInt(0).putInt(ts).putInt(duration.toInt)
+              .putShort(0x55C4.toShort).putShort(0)
+          }
+          box(33, "hdlr"); bb.putInt(0); bb.putInt(0); fcc("vide")
+          (0 until 3).foreach(_ => bb.putInt(0)); bb.put(0.toByte) // name ""
+          box(minfSz, "minf")
+          box(20, "vmhd"); bb.putInt(1)           // v0, flags=1
+          bb.putShort(0); (0 until 3).foreach(_ => bb.putShort(0)) // graphicsmode, opcolor
+          box(36, "dinf"); box(28, "dref"); bb.putInt(0).putInt(1)
+          box(12, "url "); bb.putInt(1)           // flags: self-contained
+          box(stblSz, "stbl")
+          box(stsdSz, "stsd"); bb.putInt(0).putInt(1)
+          box(86, "mp4v")                         // visual sample entry
+          (0 until 6).foreach(_ => bb.put(0.toByte)); bb.putShort(1) // reserved, data_ref_idx
+          bb.putShort(0).putShort(0); (0 until 3).foreach(_ => bb.putInt(0)) // pre_defined
+          bb.putShort(16).putShort(16)            // width, height
+            .putInt(0x00480000).putInt(0x00480000) // 72 dpi
+            .putInt(0).putShort(1)                // reserved, frame_count
+          (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
+          bb.putShort(24).putShort(-1)            // depth, pre_defined
+          box(sttsSz, "stts"); bb.putInt(0).putInt(1)
+          bb.putInt(k).putInt(delta)
+          box(stssSz, "stss"); bb.putInt(0).putInt(syncs.size)
+          syncs.foreach(s => bb.putInt(s + 1))    // 1-based sample numbers
+          box(stszSz, "stsz"); bb.putInt(0).putInt(0).putInt(k)
+          sizes.foreach(bb.putInt)
+          box(stscSz, "stsc"); bb.putInt(0).putInt(2)
+          bb.putInt(1).putInt(c1).putInt(1)
+          bb.putInt(2).putInt(c2).putInt(1)
+          if (useCo64) {
+            box(32, "co64"); bb.putInt(0).putInt(2)
+            chunkOffs.foreach(bb.putLong)
+          } else {
+            box(24, "stco"); bb.putInt(0).putInt(2)
+            chunkOffs.foreach(o => bb.putInt(o.toInt))
+          }
+        }
+        writeFtyp()
+        if (faststart) { writeMoov(); writeMdat() }
+        else { writeMdat(); writeMoov() }
+        require(bb.remaining() == 0,
+          s"mp4 encoder layout bug: ${bb.remaining()} bytes unwritten")
+        new GenericRowWithSchema(Array[Any](id, bb.array()), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** ISO-BMFF sample-table walk: resolves the five stbl tables of the
+    * file's first video trak into one row per sample — media_id,
+    * sample_idx, absolute byte offset, size, decode timestamp (stts
+    * cumulative), sync flag (stss; a trak WITHOUT an stss box is
+    * all-sync, per the spec), and the mdhd timescale the timestamps
+    * are denominated in. Pure byte arithmetic in the mapPartitions
+    * slot (big-endian reads, size-1 largesize and size-0 to-EOF
+    * accepted at top level, stco and co64 both resolved, mdhd v0/v1
+    * both read), no codec anywhere; 1:1 per clip, partition-parallel,
+    * no shuffle — the metadata pass a 100 TB video corpus runs before
+    * deciding which samples are worth fetching.
+    *
+    * Honest truncation, the AVI walk's discipline: a file whose moov
+    * is damaged or incomplete yields NO rows (a partial sample table
+    * cannot be trusted); an intact moov over a truncated mdat (the
+    * interrupted progressive download — moov-first layouts) yields
+    * exactly the leading samples whose payload bytes are fully
+    * present, dropping the rest. Non-MP4 payloads yield no rows. */
+  def mp4SampleTable(df: DataFrame, contentCol: String,
+                     idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_idx", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("dts", LongType, nullable = false),
+      StructField("is_sync", BooleanType, nullable = false),
+      StructField("timescale", LongType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try mp4WalkOne(id, bytes, outSchema)
+        catch { case _: Exception => Nil }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** One clip's resolved sample rows (or Nil) — see [[mp4SampleTable]]. */
+  private def mp4WalkOne(id: Long, bytes: Array[Byte],
+                         outSchema: StructType): Seq[Row] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    def u32(pos: Long): Long = bb.getInt(pos.toInt).toLong & 0xFFFFFFFFL
+    def u64(pos: Long): Long = bb.getLong(pos.toInt)
+    def fourcc(pos: Long): String = {
+      val a = new Array[Byte](4)
+      var i = 0
+      while (i < 4) { a(i) = bb.get(pos.toInt + i); i += 1 }
+      new String(a, "US-ASCII")
+    }
+    /** Children of [start, end) as (type, payloadStart, payloadEnd);
+      * null on any malformed child (overrun, undersized header). */
+    def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var p = start
+      while (p < end) {
+        if (p + 8 > end) return null
+        val sz0 = u32(p); val tp = fourcc(p + 4)
+        val (payStart, boxEnd) =
+          if (sz0 == 1L) {
+            if (p + 16 > end) return null
+            (p + 16, p + u64(p + 8))
+          } else if (sz0 == 0L) (p + 8, end) // to end-of-enclosing
+          else (p + 8, p + sz0)
+        if (boxEnd < payStart || boxEnd > end) return null
+        out += ((tp, payStart, boxEnd))
+        p = boxEnd
+      }
+      out.toSeq
+    }
+    def child(cs: Seq[(String, Long, Long)],
+              tp: String): Option[(Long, Long)] =
+      Option(cs).flatMap(_.collectFirst { case (`tp`, s, e) => (s, e) })
+    if (bytes.length < 8) return Nil
+    val top = children(0L, bytes.length.toLong)
+    // a truncated or malformed top level may still hold a complete moov
+    // box before the damage — scan what parsed; moov itself must be
+    // intact (children() of its range returning null rejects it)
+    val topBoxes =
+      if (top != null) top
+      else {
+        // re-walk leniently: keep leading well-formed boxes only
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var p = 0L; var ok = true
+        while (ok && p + 8 <= bytes.length) {
+          val sz0 = u32(p); val tp = fourcc(p + 4)
+          val (payStart, boxEnd) =
+            if (sz0 == 1L) {
+              if (p + 16 > bytes.length) (0L, -1L) else (p + 16, p + u64(p + 8))
+            } else if (sz0 == 0L) (p + 8, bytes.length.toLong)
+            else (p + 8, p + sz0)
+          if (boxEnd < payStart || boxEnd > bytes.length) ok = false
+          else { out += ((tp, payStart, boxEnd)); p = boxEnd }
+        }
+        out.toSeq
+      }
+    val moov = topBoxes.collectFirst { case ("moov", s, e) => (s, e) }
+      .getOrElse(return Nil)
+    val moovKids = children(moov._1, moov._2)
+    if (moovKids == null) return Nil
+    // first trak whose handler is video
+    val trak = moovKids.collect { case ("trak", s, e) => (s, e) }
+      .find { case (s, e) =>
+        val t = for {
+          md <- child(children(s, e), "mdia")
+          h <- child(children(md._1, md._2), "hdlr")
+        } yield fourcc(h._1 + 8) // after version/flags + pre_defined
+        t.contains("vide")
+      }.getOrElse(return Nil)
+    val mdia = child(children(trak._1, trak._2), "mdia").getOrElse(return Nil)
+    val mdiaKids = children(mdia._1, mdia._2)
+    if (mdiaKids == null) return Nil
+    val mdhd = child(mdiaKids, "mdhd").getOrElse(return Nil)
+    val mdhdVersion = bb.get(mdhd._1.toInt) & 0xFF
+    val timescale =
+      if (mdhdVersion == 1) u32(mdhd._1 + 20) else u32(mdhd._1 + 12)
+    val minf = child(mdiaKids, "minf").getOrElse(return Nil)
+    val stbl = child(children(minf._1, minf._2), "stbl").getOrElse(return Nil)
+    val stblKids = children(stbl._1, stbl._2)
+    if (stblKids == null) return Nil
+    // stsz: per-sample sizes (or the uniform sample_size shortcut)
+    val stsz = child(stblKids, "stsz").getOrElse(return Nil)
+    val uniform = u32(stsz._1 + 4)
+    val nSamples = u32(stsz._1 + 8).toInt
+    if (nSamples < 0 || (uniform == 0 && stsz._1 + 12 + 4L * nSamples > stsz._2))
+      return Nil
+    val sizes = Array.tabulate(nSamples)(i =>
+      if (uniform != 0) uniform else u32(stsz._1 + 12 + 4L * i))
+    // stts: run-length (count, delta) -> cumulative dts
+    val stts = child(stblKids, "stts").getOrElse(return Nil)
+    val nRuns = u32(stts._1 + 4).toInt
+    if (stts._1 + 8 + 8L * nRuns > stts._2) return Nil
+    val dts = new Array[Long](nSamples)
+    var si = 0; var t = 0L; var run = 0
+    while (run < nRuns && si < nSamples) {
+      val cnt = u32(stts._1 + 8 + 8L * run)
+      val d = u32(stts._1 + 8 + 8L * run + 4)
+      var c = 0L
+      while (c < cnt && si < nSamples) { dts(si) = t; t += d; si += 1; c += 1 }
+      run += 1
+    }
+    if (si < nSamples) return Nil // timing table shorter than the sample count
+    // stss: 1-based sync samples; ABSENT means all-sync (spec default)
+    val sync: Int => Boolean = child(stblKids, "stss") match {
+      case None => _ => true
+      case Some((s, e)) =>
+        val n = u32(s + 4).toInt
+        if (s + 8 + 4L * n > e) return Nil
+        val set = (0 until n).map(i => u32(s + 8 + 4L * i)).toSet
+        i => set.contains(i + 1L)
+    }
+    // chunk offsets: stco (32-bit) or co64 (64-bit)
+    val chunkOffs: Array[Long] = child(stblKids, "stco") match {
+      case Some((s, e)) =>
+        val n = u32(s + 4).toInt
+        if (s + 8 + 4L * n > e) return Nil
+        Array.tabulate(n)(i => u32(s + 8 + 4L * i))
+      case None => child(stblKids, "co64") match {
+        case Some((s, e)) =>
+          val n = u32(s + 4).toInt
+          if (s + 8 + 8L * n > e) return Nil
+          Array.tabulate(n)(i => u64(s + 8 + 8L * i))
+        case None => return Nil
+      }
+    }
+    // stsc: (first_chunk, samples_per_chunk) runs -> per-chunk counts
+    val stsc = child(stblKids, "stsc").getOrElse(return Nil)
+    val nScRuns = u32(stsc._1 + 4).toInt
+    if (stsc._1 + 8 + 12L * nScRuns > stsc._2) return Nil
+    val scRuns = Array.tabulate(nScRuns)(i =>
+      (u32(stsc._1 + 8 + 12L * i), u32(stsc._1 + 8 + 12L * i + 4)))
+    // resolve: walk chunks in order, spending samples per the active
+    // stsc run; emit while the payload is fully inside the buffer
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var sample = 0; var chunk = 0; var scIdx = 0
+    while (sample < nSamples && chunk < chunkOffs.length) {
+      while (scIdx + 1 < nScRuns && scRuns(scIdx + 1)._1 <= chunk + 1) scIdx += 1
+      val spc = scRuns(scIdx)._2
+      var within = 0L; var off = chunkOffs(chunk)
+      while (within < spc && sample < nSamples) {
+        val sz = sizes(sample)
+        if (off + sz > bytes.length)
+          return out.toSeq // truncated payload: keep complete leading samples
+        out += new GenericRowWithSchema(Array[Any](
+          id, sample.toLong, off, sz, dts(sample), sync(sample),
+          timescale), outSchema)
+        off += sz; sample += 1; within += 1
+      }
+      chunk += 1
+    }
+    out.toSeq
+  }
+
   /** REAL perceptual average-hash (aHash) over decoded images — the
     * image near-dup signature: the raster is average-pooled onto an
     * 8×8 cell grid (cell of pixel (x,y) is ((x·8)/w, (y·8)/h) —

@@ -32,6 +32,11 @@ object MultimodalQueries {
     // demuxer-seam claim proven on a second, real-world grammar — so it
     // shares the frame-formula oracle, which never sees the bytes
     GraftQuery("q_video_frames_avi", videoFramesAvi, Some(videoFramesSql)),
+    // ISO-BMFF: the real-world-first MP4 container at the same demuxer
+    // seam — the sample TABLE (offsets/sizes/timing/sync/timescale)
+    // resolved from the moov/trak/stbl byte walk, oracle recomputing
+    // every cell from the encoder formulas without seeing the bytes
+    GraftQuery("q_video_mp4_meta", videoMp4Meta, Some(videoMp4MetaSql)),
     GraftQuery("q_audio_dup_groups", audioDupGroups, Some(audioDupGroupsSql)),
   )
 
@@ -178,6 +183,47 @@ object MultimodalQueries {
        |  CAST(sum((fid * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
        |  CAST(sum((fid * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
        |FROM px GROUP BY media_id, j""".stripMargin
+
+  /** The resolved ISO-BMFF sample table of every doc's synthetic MP4:
+    * real big-endian box walk (moov/trak/mdia/minf/stbl;
+    * stts/stss/stsz/stsc/stco-or-co64), one row per sample. Corpus-wide
+    * coverage of the walker's branches is built into the encoder — odd
+    * ids store 64-bit co64 offsets, ids ≡ 3 (mod 4) a version-1 mdhd —
+    * while the ORACLE only ever sees the generator formulas. */
+  def videoMp4Meta(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val mp4s = MultimodalOps.encodeSyntheticMp4(ids, "doc_id")
+    MultimodalOps.mp4SampleTable(mp4s, "content", "media_id")
+  }
+
+  /** Mirrors synthMp4Samples/SampleSize/Timescale/Delta/Gap and the
+    * encoder's fixed layout: mdat payload starts at byte 32 (24-byte
+    * ftyp + 8-byte mdat header), chunk 2 = samples ≥ ceil(k/2), shifted
+    * past the unreferenced inter-chunk gap; every 3rd sample is sync. */
+  def videoMp4MetaSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS k,
+       |    100 + doc_id % 50 AS delta,
+       |    CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+       |         ELSE 90000 END AS BIGINT) AS timescale,
+       |    (doc_id % 7) + 1 AS gap
+       |  FROM documents
+       |), s AS (
+       |  SELECT media_id, k, delta, timescale, gap,
+       |    unnest(range(0, k)) AS i
+       |  FROM d
+       |), sz AS (
+       |  SELECT *, 50 + (media_id * 7 + i * 13) % 90 AS size FROM s
+       |), o AS (
+       |  SELECT *, 32 + CAST(COALESCE(sum(size) OVER (
+       |      PARTITION BY media_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    + CASE WHEN i >= (k + 1) // 2 THEN gap ELSE 0 END AS "offset"
+       |  FROM sz
+       |)
+       |SELECT media_id, i AS sample_idx, "offset", size,
+       |  i * delta AS dts, i % 3 = 0 AS is_sync, timescale
+       |FROM o""".stripMargin
 
   private val AF_FRAME = 20   // samples per energy frame
   private val AF_QUANT = 500L // energy quantization step
