@@ -309,9 +309,17 @@ object StatsOps {
     *   n_est = (ALPHA_PERMILLE · m² · 2^(WBits+1)) // (S₂ · 1000)
     *
     * with α_m pinned as a permille literal (709‰ — the m ≥ 64
-    * constant). The RAW estimator, no small-range linear-counting
-    * correction (that needs ln): honest for cardinalities well above
-    * 2.5·m, the regime a vocabulary monitor runs in. */
+    * constant).
+    *
+    * SMALL-RANGE branch: below 2.5·m the raw estimator is biased
+    * (Flajolet et al.'s published cutoff), so when the raw estimate is
+    * ≤ 5m/2 AND empty registers remain, the standard linear-counting
+    * correction n = m·ln(m/V) (V = empty registers) is used instead —
+    * with ln as a PINNED integer-micros literal table over 1..m
+    * ([[lnMicros]]), so both engines compute the identical integer and
+    * the branch needs no runtime transcendental. Estimates at or above
+    * the cutoff (the vocabulary-monitor regime) are byte-for-byte what
+    * the raw estimator always produced. */
   def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
                                m: Int = 64): DataFrame = {
     requireHllM(m)
@@ -343,13 +351,31 @@ object StatsOps {
           col("__hll_bmax").cast("string"),
           lit(s" >= m = $m — these registers were built at a larger m; " +
             "pass the build-time m"))).isNull)
-      .select(gs :+ (col("__hll_s2p") +
-        (lit(m.toLong) - col("__hll_present")) * lit(scale))
-        .as("__hll_s2"): _*)
-      .select(gs :+ call_function("div",
-        lit(HllAlphaPermille * m * m * scale),
-        col("__hll_s2") * lit(1000L)).as("n_est"): _*)
+      .select(gs ++ Seq(col("__hll_present"),
+        (col("__hll_s2p") +
+          (lit(m.toLong) - col("__hll_present")) * lit(scale))
+          .as("__hll_s2")): _*)
+      .select(gs :+ {
+        val raw = call_function("div",
+          lit(HllAlphaPermille * m * m * scale),
+          col("__hll_s2") * lit(1000L))
+        val v = lit(m.toLong) - col("__hll_present")
+        // ln table as literals: element_at is 1-based, v ∈ [1, m-1]
+        val lnArr = array((1 to m).map(x => lit(lnMicros(x))): _*)
+        val nLc = call_function("div",
+          lit(m.toLong) * (lit(lnMicros(m)) - element_at(lnArr, v.cast("int"))),
+          lit(1000000L))
+        when(v > 0L && raw <= lit(5L * m / 2), nLc).otherwise(raw)
+          .as("n_est")
+      }: _*)
   }
+
+  /** round(ln(x)·10⁶) — the pinned integer ln table behind the
+    * linear-counting branch. Evaluated at PLAN-construction time in
+    * Scala and embedded as literals in both the Spark expression and
+    * the generated oracle SQL, so the two engines agree exactly. */
+  private[graft] def lnMicros(x: Int): Long =
+    math.round(math.log(x.toDouble) * 1e6)
 
   /** SKETCH-ONLY per-group distinct-count estimate — the entry point a
     * 100 TB corpus actually uses: the plan's only corpus-sized shuffle
@@ -517,15 +543,23 @@ object StatsOps {
        |), sk AS (
        |  SELECT $groupCol,
        |    CAST(sum(1::BIGINT << ($rhoCap - mj)) AS BIGINT)
-       |      + ($m - count(*)) * $scale AS s2
+       |      + ($m - count(*)) * $scale AS s2,
+       |    CAST(count(*) AS BIGINT) AS present
        |  FROM regs GROUP BY $groupCol
        |)""".stripMargin
   }
 
   private def hllEstSqlExpr(m: Int): String = {
     val scale = 1L << (hllWBits(m) + 1)
-    s"CAST(${HllAlphaPermille * m * m}::BIGINT * ${scale}::BIGINT" +
+    val raw = s"CAST(${HllAlphaPermille * m * m}::BIGINT * ${scale}::BIGINT" +
       s" // (sk.s2 * 1000) AS BIGINT)"
+    // linear-counting branch below the published 2.5·m cutoff, with the
+    // same pinned integer-micros ln table the Spark expression embeds
+    val lnList = (1 to m).map(lnMicros).mkString("[", ", ", "]")
+    s"""(CASE WHEN ($m - sk.present) > 0 AND $raw <= ${5L * m / 2}
+       | THEN CAST(${m}::BIGINT * (${lnMicros(m)} -
+       |   ($lnList)[CAST($m - sk.present AS INT)]) // 1000000 AS BIGINT)
+       | ELSE $raw END)""".stripMargin.replace("\n", " ")
   }
 
   /** [[hllEstimateByGroup]]'s DuckDB form over a (group, v) relation. */

@@ -103,6 +103,12 @@ object TextQueries {
     // output ≡ the one-shot estimate over the whole corpus and the
     // query shares q_hll_estimate's oracle
     GraftQuery("q_hll_stored", hllStoredQ, Some(hllEstimateSql)),
+    // the SMALL-RANGE regime: per-source distinct TOKENS (~tens) at
+    // m=64 sit far below the raw estimator's 2.5·m validity floor, so
+    // this row exercises the linear-counting branch (pinned integer ln
+    // table, same literals in both engines) with the measured error
+    // alongside — the raw-branch rows above stay byte-identical
+    GraftQuery("q_hll_small_range", hllSmallRangeQ, Some(hllSmallRangeSql)),
     // the bloom screen routed through the persisted decontamination
     // index; output ≡ the in-memory screens, so all three share the oracle
     GraftQuery("q_decontaminate_stored", decontaminateStored,
@@ -1852,6 +1858,23 @@ object TextQueries {
       sh(col("doc_id") % 2 === 1), col("shingle"))
     graft.pipeline.StatsOps.estimateFromStoredHll(spark, dir)
   }
+
+  /** Linear-counting regime: per-source distinct raw tokens — a
+    * cardinality of ~tens against m = 64 registers, far below the
+    * 2.5·m raw-estimator floor, where the corrected estimator's error
+    * should be a few percent instead of the raw branch's systematic
+    * under-bias. Evaluation form (exact count + err_permille in the
+    * row) so the accuracy claim stays measured. */
+  def hllSmallRangeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir).select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    graft.pipeline.StatsOps.hllDistinctByGroup(toks, Seq("source"), col("tok"))
+  }
+
+  def hllSmallRangeSql: String =
+    graft.pipeline.StatsOps.hllDistinctByGroupSql(
+      "SELECT source, unnest(string_split(text, ' ')) AS v FROM documents",
+      "source")
 
   private val DSIR_BUCKETS = 4096
 
