@@ -362,6 +362,100 @@ object MultimodalOps {
       when(isWav, frames).as("n_samples"))
   }
 
+  // ---- FLAC (compressed-audio metadata) ----------------------------------
+  // The compressed-audio analogue of [[wavMeta]]: real corpora carry
+  // FLAC/MP3, not PCM WAV, and the metadata a pipeline filters on
+  // (rate/channels/bits/length/MD5) lives in FLAC's STREAMINFO block at
+  // FIXED offsets — fLaC magic, then the mandatory-first STREAMINFO
+  // (34 bytes) whose tail packs rate(20b)|channels-1(3b)|bits-1(5b)|
+  // total-samples(36b) into one big-endian 64-bit word plus the
+  // 16-byte decoded-audio MD5. Pure columnar byte arithmetic — the
+  // audio FRAMES stay opaque (no FLAC codec in this container, and the
+  // metadata pass never needs one).
+
+  /** Deterministic FLAC formulas, mirrored verbatim by the oracle. */
+  def synthFlacSampleRate(id: Long): Int =
+    ((id % 3): @unchecked) match { case 0 => 8000; case 1 => 22050; case 2 => 44100 }
+  def synthFlacChannels(id: Long): Int = (1 + id % 2).toInt
+  def synthFlacBits(id: Long): Int = (8 + (id % 3) * 8).toInt
+  /** Every 5th clip crosses 2^33 — the 36-bit field's raison d'être. */
+  def synthFlacTotalSamples(id: Long): Long =
+    1000L + id * 37 + (if (id % 5 == 0) 1L << 33 else 0L)
+  def synthFlacPad(id: Long): Int = (id % 17).toInt
+  def synthFlacTail(id: Long): Int = (10 + id % 23).toInt
+  def synthFlacMd5Byte(id: Long, j: Int): Int = ((id * 11 + j * 29) % 256).toInt
+
+  /** id → honest FLAC file head: fLaC magic, STREAMINFO first (as the
+    * spec mandates), a last-flagged PADDING block, then opaque
+    * frame-section bytes. Audio frames are NOT real FLAC frames (no
+    * codec here — the seam is documented); every byte the metadata
+    * walk reads is laid out exactly per the spec. */
+  def encodeSyntheticFlac(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val pad = synthFlacPad(id); val tail = synthFlacTail(id)
+        val bb = java.nio.ByteBuffer.allocate(46 + pad + tail) // big-endian
+        bb.put("fLaC".getBytes("US-ASCII"))
+        bb.put(0.toByte)                       // STREAMINFO, not last
+        bb.put(0.toByte).put(0.toByte).put(34.toByte) // 24-bit length
+        bb.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+        (0 until 6).foreach(_ => bb.put(0.toByte)) // min/max framesize: unknown
+        val packed = (synthFlacSampleRate(id).toLong << 44) |
+          ((synthFlacChannels(id) - 1).toLong << 41) |
+          ((synthFlacBits(id) - 1).toLong << 36) |
+          synthFlacTotalSamples(id)
+        bb.putLong(packed)
+        (0 until 16).foreach(j => bb.put(synthFlacMd5Byte(id, j).toByte))
+        bb.put(0x81.toByte)                    // PADDING, last block
+        bb.put(0.toByte).put(0.toByte).put(pad.toByte)
+        (0 until pad).foreach(_ => bb.put(0.toByte))
+        (0 until tail).foreach(j => bb.put(((id + j * 13) % 251).toByte))
+        require(bb.remaining() == 0, "flac encoder layout bug")
+        new GenericRowWithSchema(Array[Any](id, bb.array()), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Columnar FLAC STREAMINFO parse — fixed-offset byte arithmetic
+    * (binary slice → hex → conv, BIG-endian recomposition, bit fields
+    * unpacked with integer div/mod), no codec. `format_ok = false`
+    * with null fields unless the payload starts with fLaC + a
+    * 34-byte STREAMINFO first block (the only layout the spec allows).
+    * Emits the same field set as [[wavMeta]] plus the 16-byte
+    * decoded-audio MD5 as uppercase hex — the per-file content
+    * fingerprint FLAC carries natively. */
+  def flacMeta(content: Column): Column = {
+    def u8(pos: Int): Column =
+      conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
+    def be(pos: Int, len: Int): Column =
+      (0 until len).map(i =>
+        u8(pos + i) * lit(1L << (8 * (len - 1 - i)))).reduce(_ + _)
+    val isFlac = octet_length(content) >= 42 &&
+      substring(content, 1, 4) === lit("fLaC".getBytes("US-ASCII")) &&
+      pmod(u8(5), lit(128L)) === 0L && // first block must be STREAMINFO
+      be(6, 3) === 34L
+    // bytes 19..26 pack rate(20) | channels-1(3) | bits-1(5) | total(36)
+    val rate = be(19, 2) * 16L + call_function("div", u8(21), lit(16L))
+    val channels =
+      pmod(call_function("div", u8(21), lit(2L)), lit(8L)) + 1L
+    val bits = pmod(u8(21), lit(2L)) * 16L +
+      call_function("div", u8(22), lit(16L)) + 1L
+    val total = pmod(u8(22), lit(16L)) * lit(1L << 32) + be(23, 4)
+    struct(
+      octet_length(content).cast("long").as("n_bytes"),
+      isFlac.as("format_ok"),
+      when(isFlac, channels).as("n_channels"),
+      when(isFlac, rate).as("sample_rate"),
+      when(isFlac, bits).as("bits_per_sample"),
+      when(isFlac, total).as("n_samples"),
+      when(isFlac, hex(substring(content, 27, 16))).as("md5_hex"))
+  }
+
   /** REAL audio decode + featurize: `AudioSystem.getAudioInputStream`
     * (the JDK's built-in PCM WAV reader — no external codec) in the
     * mapPartitions slot, emitting exact integer amplitude statistics:

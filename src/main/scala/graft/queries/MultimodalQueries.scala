@@ -24,6 +24,10 @@ object MultimodalQueries {
     // REAL audio: RIFF/WAVE round-trip — columnar header parse and JDK
     // PCM decode, oracle recomputing from the generator formulas
     GraftQuery("q_audio_meta", audioMeta, Some(audioMetaSql)),
+    // COMPRESSED audio: FLAC STREAMINFO at fixed offsets (packed
+    // 64-bit rate/channels/bits/total word + native MD5), columnar
+    // byte arithmetic, oracle from the generator formulas only
+    GraftQuery("q_audio_meta_flac", audioMetaFlac, Some(audioMetaFlacSql)),
     GraftQuery("q_audio_decode", audioDecode, Some(audioDecodeSql)),
     GraftQuery("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
     GraftQuery("q_video_frames", videoFrames, Some(videoFramesSql)),
@@ -302,6 +306,35 @@ object MultimodalQueries {
       |  CAST(8000 AS BIGINT) AS sample_rate,
       |  CAST(16 AS BIGINT) AS bits_per_sample,
       |  CAST(200 + doc_id % 57 AS BIGINT) AS n_samples
+      |FROM documents""".stripMargin
+
+  /** FLAC STREAMINFO round-trip: every doc becomes a spec-layout FLAC
+    * head (fLaC + STREAMINFO-first + PADDING + opaque frame bytes) and
+    * the columnar fixed-offset parse recovers rate, channels, bits,
+    * the 36-bit total-sample count (every 5th clip crosses 2^33), and
+    * the 16-byte MD5; the oracle recomputes all of it from the
+    * generator formulas without seeing a byte. */
+  def audioMetaFlac(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    MultimodalOps.encodeSyntheticFlac(ids, "doc_id")
+      .select(col("media_id"), MultimodalOps.flacMeta(col("content")).as("m"))
+      .select(col("media_id"), col("m.*"))
+  }
+
+  def audioMetaFlacSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(46 + (doc_id % 17) + (10 + doc_id % 23) AS BIGINT) AS n_bytes,
+      |  TRUE AS format_ok,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+      |       ELSE 44100 END AS BIGINT) AS sample_rate,
+      |  CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS bits_per_sample,
+      |  CAST(1000 + doc_id * 37
+      |    + CASE WHEN doc_id % 5 = 0 THEN 8589934592 ELSE 0 END
+      |    AS BIGINT) AS n_samples,
+      |  list_aggregate(list_transform(range(0, 16),
+      |    j -> lpad(upper(to_hex((doc_id * 11 + j * 29) % 256)), 2, '0')),
+      |    'string_agg', '') AS md5_hex
       |FROM documents""".stripMargin
 
   /** REAL decode round-trip for audio: formula clips through the real
