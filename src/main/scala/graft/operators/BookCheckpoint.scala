@@ -150,14 +150,17 @@ object BookCheckpoint {
     require(partitionBy.nonEmpty,
       "resumed snapshots require partition keys; add a constant key " +
         "column for a single global book")
-    require(!df.columns.contains("book_state"),
-      "Input already has output column book_state")
+    // the OUTPUT state column is `stateCol` too — day N's snapshots
+    // must feed day N+1 with the same argument, or a non-default
+    // stateCol chain breaks on its second day
+    require(!df.columns.contains(stateCol),
+      s"Input already has output column $stateCol")
     val withEv = castedEvents(df, price, qty, isBid, mode)
     val numIn = df.schema.size
     val keySchema = StructType(partitionBy.map(c =>
       df.schema(df.schema.fieldIndex(c))).toArray)
     val outSchema = StructType(keySchema.fields :+
-      StructField("book_state", BinaryType, nullable = false))
+      StructField(stateCol, BinaryType, nullable = false))
     implicit val outEnc: Encoder[Row] = Encoders.row(outSchema)
     val keyEnc: Encoder[Row] = Encoders.row(keySchema)
     val evKeyIdx = partitionBy.map(withEv.schema.fieldIndex).toArray

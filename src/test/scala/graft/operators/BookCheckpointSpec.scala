@@ -208,4 +208,43 @@ class BookCheckpointSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("multiple checkpoint rows")))
   }
+
+  test("a non-default stateCol chains day over day (output column is " +
+    "stateCol, clash checked against it)") {
+    val full = stream(300)
+    val day = (d: Int) =>
+      full.filter(col("seq") >= d * 100 && col("seq") < (d + 1) * 100)
+    // day 1 state under the custom name, via a rename of the producer
+    var states = BookCheckpoint.bookStateSnapshots(day(0),
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+      .withColumnRenamed("book_state", "snap")
+    // two more days fed back with the SAME stateCol argument — the
+    // round-11 defect made day 2 throw (output was book_state, so day
+    // 3's fieldIndex("snap") failed)
+    for (d <- 1 to 2)
+      states = BookCheckpoint.bookStateSnapshotsResumed(day(d), states,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"),
+        stateCol = "snap")
+    assert(states.columns.toSeq == Seq("product", "snap"))
+    // and the chained result equals the default-named chain
+    var ref = BookCheckpoint.bookStateSnapshots(day(0),
+      "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    for (d <- 1 to 2)
+      ref = BookCheckpoint.bookStateSnapshotsResumed(day(d), ref,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"))
+    val got = states.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val exp = ref.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got == exp)
+    // the clash check follows the custom name: an input already carrying
+    // `snap` is refused, one carrying `book_state` is fine
+    val clash = day(1).withColumn("snap", lit(Array[Byte]()))
+    val e = intercept[IllegalArgumentException] {
+      BookCheckpoint.bookStateSnapshotsResumed(clash, states,
+        "price", "qty", "is_bid", 2, Seq("product"), Seq("seq"),
+        stateCol = "snap")
+    }
+    assert(e.getMessage.contains("snap"))
+  }
 }
