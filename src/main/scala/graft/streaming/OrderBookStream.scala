@@ -33,8 +33,14 @@ object OrderBookStream {
     *        events — essential when the product universe is unbounded
     *        (delisted instruments, dead sessions) so the state store
     *        doesn't grow forever; a product re-appearing after eviction
-    *        starts a fresh book. None = state lives for the lifetime of
-    *        the query (bounded universes). */
+    *        starts a fresh book. THE TRADE, stated plainly: eviction
+    *        is silent (append mode cannot retract), and from the
+    *        re-appearance on, this stream DIVERGES from the batch
+    *        replay of the same events — the batch fold still carries
+    *        the pre-gap book. Size the timeout above any legitimate
+    *        quiet period (overnight, weekend) or reconcile against a
+    *        batch checkpoint chain after gaps. None = state lives for
+    *        the lifetime of the query (bounded universes). */
   def topNLevelsFromPriceUpdates(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String,
@@ -140,7 +146,17 @@ object OrderBookStream {
     * ([[topNLevelsFromPriceUpdates]]). Microprice/spread/imbalance are
     * STATELESS over this output: `BookAnalytics.microprice` applies to
     * the returned stream unchanged (pinned by the stream spec), so the
-    * full per-event analytics frame is this operator + one map. */
+    * full per-event analytics frame is this operator + one map.
+    *
+    * `idleTimeout` eviction DISCARDS the running cum_ofi with the book
+    * (append mode cannot retract, and an OFI row needs an event to
+    * hang on — there is nothing meaningful to emit at eviction time):
+    * a product re-appearing after eviction restarts cum_ofi from 0 and
+    * the stream diverges from the batch window form, silently. Size
+    * the timeout above any legitimate quiet period, or use
+    * [[analyticsSummaryStream]] — whose eviction path emits a final
+    * superseding row — when the accumulated value must survive
+    * eviction. */
   def ofiFromPriceUpdates(
       df: DataFrame, price: String, qty: String, isBid: String,
       partitionBy: String, orderBy: String,
@@ -265,7 +281,17 @@ object OrderBookStream {
     * max-emit row per product for the current values, pinned ≡ batch
     * by BookAnalyticsStreamSpec). Output: (product, emit, n_events,
     * n_quoted, quoted_ticks, twa_spread_permille, n_quotes, n_moves,
-    * rv_x4). */
+    * rv_x4).
+    *
+    * `idleTimeout` eviction emits a FINAL summary row (its emit is one
+    * past the last batch's, so it supersedes under the max-emit rule)
+    * and then drops the state — the accumulated analytics survive the
+    * eviction. A product re-appearing afterwards starts FRESH counters
+    * AND a fresh emit sequence from 0: its new rows sit below the
+    * tombstone under max-emit until the new incarnation out-emits it,
+    * so treat per-product summaries as per-incarnation ("since this
+    * product's state began"), not forever-totals, whenever a timeout
+    * is configured. */
   def analyticsSummaryStream(
       df: DataFrame, price: String, qty: String, isBid: String,
       partitionBy: String, orderBy: String,
@@ -304,7 +330,33 @@ object OrderBookStream {
         OutputMode.Append(), timeoutConf) {
         (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
          state: GroupState[SummaryState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          def summaryRow(st: SummaryState): Row = {
+            // Spark's `div` truncates toward zero (IntegralDivide),
+            // so plain Java division — NOT floorDiv — matches the
+            // batch column when a crossed book makes the area negative
+            val twa = if (st.quotedTicks > 0)
+              java.lang.Long.valueOf(st.area * 1000L / st.quotedTicks)
+            else null
+            val ticks = if (st.nQuoted > 0)
+              java.lang.Long.valueOf(st.quotedTicks) else null
+            new GenericRowWithSchema(Array[Any](
+              key, st.emit, st.nEvents, st.nQuoted, ticks, twa,
+              st.nQuotes, st.nMoves, st.rvX4), outSchema): Row
+          }
+          if (state.hasTimedOut) {
+            // eviction emits a FINAL summary row before the counters
+            // are lost: the stored emit is already one past the last
+            // emitted row's, so the tombstone supersedes every earlier
+            // row of this state incarnation under the max-emit rule —
+            // the accumulated analytics survive the eviction instead of
+            // vanishing with the state
+            val fin =
+              if (state.exists && state.get.nEvents > 0)
+                Iterator.single(summaryRow(state.get))
+              else Iterator.empty
+            state.remove()
+            fin
+          }
           else {
             var st = if (state.exists) state.get
               else SummaryState(null, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)
@@ -344,19 +396,7 @@ object OrderBookStream {
             }
             val out =
               if (st.nEvents == 0) Iterator.empty
-              else {
-                // Spark's `div` truncates toward zero (IntegralDivide),
-                // so plain Java division — NOT floorDiv — matches the
-                // batch column when a crossed book makes the area negative
-                val twa = if (st.quotedTicks > 0)
-                  java.lang.Long.valueOf(st.area * 1000L / st.quotedTicks)
-                else null
-                val ticks = if (st.nQuoted > 0)
-                  java.lang.Long.valueOf(st.quotedTicks) else null
-                Iterator.single(new GenericRowWithSchema(Array[Any](
-                  key, st.emit, st.nEvents, st.nQuoted, ticks, twa,
-                  st.nQuotes, st.nMoves, st.rvX4), outSchema): Row)
-              }
+              else Iterator.single(summaryRow(st))
             state.update(st.copy(book = BookCodec.serialize(book),
               emit = st.emit + 1))
             idleTimeout.foreach(state.setTimeoutDuration)
