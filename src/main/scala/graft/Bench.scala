@@ -44,11 +44,18 @@ object Bench {
     // MEDIAN. N=3 by default; override via SPARK_GRAFT_BENCH_ITERS.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
+    // Noise-scale rows (round-11 judge item): a 0.1-0.3 s row moves 2×
+    // between rounds on box drift alone, polluting every regression
+    // read. Rows whose 3-pass median lands under `fastCut` get topped
+    // up to `fastIters` samples — a 7-sample median bounds the spread
+    // a single outlier can cause to the middle of the pack.
+    val fastIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_ITERS", "7").toInt
+    val fastCut = 0.5
     val benchSet = Registry.all.filter(_.bench)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     var failedSet = Set.empty[String]
-    for (_ <- 1 to iters; q <- benchSet) {
+    def runOnce(q: graft.queries.GraftQuery): Unit = {
       val t0 = System.nanoTime()
       // noop-format write, not count(): count() lets Catalyst collapse
       // unreferenced projections into the scan, so map-only queries
@@ -70,10 +77,19 @@ object Bench {
       if (!ok) failedSet += q.name
       samples(q.name) = secs :: samples(q.name)
     }
+    // full-suite passes first, so cross-query cache effects stay
+    // uniform across the base iterations
+    for (_ <- 1 to iters; q <- benchSet) runOnce(q)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // top-up pass for the noise-scale rows (sub-fastCut medians): these
+    // finish in fractions of a second, so the extra samples cost far
+    // less than one full suite pass buys in stability
+    for (q <- benchSet
+         if !failedSet(q.name) && median(samples(q.name)) < fastCut)
+      while (samples(q.name).size < fastIters) runOnce(q)
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val results = benchSet.map(q => q.name -> median(samples(q.name)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -98,7 +114,7 @@ object Bench {
     val note = "shared-box totals carry +/-20-30% noise; compare " +
       "PER-QUERY MEDIANS against the committed BENCH.json record, " +
       "normalized by the suite-wide median ratio (see BASELINE.md)"
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"sf":$sfNum,"sf_dir":"$sfDir","note":"$note"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"iters":$iters,"fast_iters":$fastIters,"sf":$sfNum,"sf_dir":"$sfDir","note":"$note"}"""
     println(line)
     // Machine-readable artifact with the per-iteration samples behind the
     // medians (stdout travels through sbt's log prefixes; the file does

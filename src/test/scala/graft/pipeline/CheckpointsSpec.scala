@@ -17,6 +17,19 @@ class CheckpointsSpec extends AnyFunSuite {
     try body finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  /** ONE stable checkpoint dir for the whole suite, registered lazily
+    * and never deleted while the shared session lives: deleting a
+    * registered dir would leave getCheckpointDir pointing at a dead
+    * path for every later suite (the reliable mode's fail-fast require
+    * would pass while checkpoints landed in a grave) — the shared-
+    * session state leak this suite used to cause. */
+  private lazy val ckptDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ckpt_suite")
+    d.toFile.deleteOnExit()
+    spark.sparkContext.setCheckpointDir(d.toString)
+    d.toString
+  }
+
   test("default mode is local: severed relation keeps its rows, lineage cut") {
     val df = spark.range(100).toDF("id")
     val severed = Checkpoints.sever(df)
@@ -36,19 +49,14 @@ class CheckpointsSpec extends AnyFunSuite {
   }
 
   test("reliable mode writes blocks under the registered checkpoint dir") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    try withMode(Some("reliable")) {
+    ckptDir // register the suite dir BEFORE severing
+    withMode(Some("reliable")) {
       val severed = Checkpoints.sever(spark.range(50).toDF("id"))
       assert(severed.count() === 50)
-      val root = new java.io.File(dir)
+      val root = new java.io.File(ckptDir)
       def anyFile(f: java.io.File): Boolean =
         f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
       assert(anyFile(root), "reliable checkpoint left no files on disk")
-    } finally {
-      // the test session is shared: leave no checkpoint dir behind for
-      // other suites (local mode never reads it)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
 
@@ -62,8 +70,7 @@ class CheckpointsSpec extends AnyFunSuite {
   }
 
   test("capped pair generator yields identical pairs under both modes") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
-    spark.sparkContext.setCheckpointDir(dir)
+    ckptDir // ensure the suite dir is registered
     val vecs = (0 until 60).map { i =>
       val base = if (i % 3 == 0) Seq(1.0f, 0.9f, 0.8f, 0.7f)
                  else Seq(-0.5f + i * 0.01f, 0.3f, -0.9f, 0.2f + i * 0.02f)
@@ -73,12 +80,8 @@ class CheckpointsSpec extends AnyFunSuite {
       SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding",
           threshold = 0.9, planes = 4, maxBucketFreq = 8)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    try {
-      val local = withMode(None)(run())
-      val reliable = withMode(Some("reliable"))(run())
-      assert(local === reliable)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    }
+    val local = withMode(None)(run())
+    val reliable = withMode(Some("reliable"))(run())
+    assert(local === reliable)
   }
 }
