@@ -943,10 +943,26 @@ object MultimodalOps {
       it.map { r =>
         val id = r.getLong(0)
         val k = synthMp4Samples(id)
-        val sizes = (0 until k).map(i => synthMp4SampleSize(id, i))
-        val ts = synthMp4Timescale(id)
-        val delta = synthMp4Delta(id)
-        val gap = synthMp4Gap(id)
+        val samples = IndexedSeq.tabulate(k) { i =>
+          val sz = synthMp4SampleSize(id, i)
+          Array.tabulate[Byte](sz)(j => ((id + i * 7 + j) % 251).toByte)
+        }
+        new GenericRowWithSchema(Array[Any](id,
+          buildMp4(id, samples, synthMp4Timescale(id), synthMp4Delta(id),
+            synthMp4Gap(id), faststart)), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** One ISO-BMFF file from explicit sample payloads — the writer
+    * behind [[encodeSyntheticMp4]] (formula-sized opaque samples) and
+    * [[encodeSyntheticMp4Video]] (real PNG frames as samples). */
+  private def buildMp4(id: Long, samples: IndexedSeq[Array[Byte]],
+                       ts: Int, delta: Int, gap: Int,
+                       faststart: Boolean): Array[Byte] = {
+    locally {
+        val k = samples.size
+        val sizes = samples.map(_.length)
         val c1 = (k + 1) / 2; val c2 = k - c1
         val syncs = (0 until k).filter(_ % 3 == 0) // 0-based; stored 1-based
         val duration = k.toLong * delta
@@ -983,10 +999,7 @@ object MultimodalOps {
           var i = 0
           while (i < k) {
             if (i == c1) (0 until gap).foreach(_ => bb.put(0xEE.toByte))
-            var j = 0
-            while (j < sizes(i)) {
-              bb.put(((id + i * 7 + j) % 251).toByte); j += 1
-            }
+            bb.put(samples(i))
             i += 1
           }
           if (c1 == k) (0 until gap).foreach(_ => bb.put(0xEE.toByte))
@@ -1059,7 +1072,95 @@ object MultimodalOps {
         else { writeMdat(); writeMoov() }
         require(bb.remaining() == 0,
           s"mp4 encoder layout bug: ${bb.remaining()} bytes unwritten")
-        new GenericRowWithSchema(Array[Any](id, bb.array()), outSchema): Row
+        bb.array()
+    }
+  }
+
+  /** id → a REAL playable-shape MP4 of REAL PNG frames: the frame-pack
+    * / AVI clip re-encoded through [[buildMp4]] with each sample a
+    * JDK-encoded PNG of the SAME frame formulas (synthFrameCount /
+    * synthFrameImageId / synthDims / synthRgb) — the third container
+    * grammar over one video, so the frame-formula oracle carries over
+    * unchanged. */
+  def encodeSyntheticMp4Video(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val k = synthFrameCount(id)
+        val frames = IndexedSeq.tabulate(k) { j =>
+          val fid = synthFrameImageId(id, j)
+          val (w, h) = synthDims(fid)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, synthRgb(fid, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        new GenericRowWithSchema(Array[Any](id,
+          buildMp4(id, frames, ts = 25, delta = 1, gap = synthMp4Gap(id),
+            faststart = false)), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL MP4 demux + frame sampling + decode: [[mp4SampleTable]]'s
+    * resolved per-sample rows drive the payload fetch — samples with
+    * index ≡ 0 (mod `stride`) are sliced straight out of mdat by their
+    * resolved (offset, size) and pushed through the same real ImageIO
+    * decode as the frame-pack and AVI walks. Output schema and
+    * semantics identical to [[sampleFrames]]: decode cost ∝ SAMPLED
+    * frames, honest truncation inherited from the sample-table walk
+    * (a sample the table resolves is by construction fully present). */
+  def sampleMp4Frames(df: DataFrame, contentCol: String, idCol: String,
+                      stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val tableSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_idx", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("dts", LongType, nullable = false),
+      StructField("is_sync", BooleanType, nullable = false),
+      StructField("timescale", LongType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          mp4WalkOne(id, bytes, tableSchema).iterator
+            .filter(_.getLong(1) % stride == 0)
+            .flatMap { s =>
+              val off = s.getLong(2).toInt; val sz = s.getLong(3).toInt
+              frameChannelSums(
+                java.util.Arrays.copyOfRange(bytes, off, off + sz))
+                .map { case (w, h, sr, sg, sb) =>
+                  new GenericRowWithSchema(Array[Any](
+                    id, s.getLong(1), w, h, sr, sg, sb), outSchema): Row
+                }
+            }
+        } catch { case _: Exception => Nil }
       }
     }(Encoders.row(outSchema))
   }

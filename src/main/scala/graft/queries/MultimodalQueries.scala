@@ -41,6 +41,10 @@ object MultimodalQueries {
     // resolved from the moov/trak/stbl byte walk, oracle recomputing
     // every cell from the encoder formulas without seeing the bytes
     GraftQuery("q_video_mp4_meta", videoMp4Meta, Some(videoMp4MetaSql)),
+    // the SAME clip as a real MP4 of real PNG samples: the resolved
+    // sample table drives the payload fetch + decode — the THIRD
+    // container grammar sharing the one frame-formula oracle
+    GraftQuery("q_video_frames_mp4", videoFramesMp4, Some(videoFramesSql)),
     GraftQuery("q_audio_dup_groups", audioDupGroups, Some(audioDupGroupsSql)),
   )
 
@@ -198,6 +202,16 @@ object MultimodalQueries {
     val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
     val mp4s = MultimodalOps.encodeSyntheticMp4(ids, "doc_id")
     MultimodalOps.mp4SampleTable(mp4s, "content", "media_id")
+  }
+
+  /** [[videoFrames]] through the ISO-BMFF container: real PNG frames
+    * ride as MP4 samples, the stbl walk resolves their offsets/sizes,
+    * and the sampled payloads really decode — identical output to the
+    * frame-pack and AVI forms, so all three share one oracle. */
+  def videoFramesMp4(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val mp4s = MultimodalOps.encodeSyntheticMp4Video(ids, "doc_id")
+    MultimodalOps.sampleMp4Frames(mp4s, "content", "media_id", VF_STRIDE)
   }
 
   /** Mirrors synthMp4Samples/SampleSize/Timescale/Delta/Gap and the

@@ -126,6 +126,22 @@ class Mp4ContainerSpec extends AnyFunSuite {
     assert(got.size <= flipped.size)
   }
 
+  test("MP4 frame demux == frame-pack walk on the same clips " +
+    "(third container grammar, one video)") {
+    val ids = Seq(3L, 5L, 6L, 11L).toDF("id")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+    val viaMp4 = keyed(MultimodalOps.sampleMp4Frames(
+      MultimodalOps.encodeSyntheticMp4Video(ids, "id"), "content",
+      "media_id", 2))
+    val viaPack = keyed(MultimodalOps.sampleFrames(
+      MultimodalOps.encodeSyntheticFramePack(ids, "id"), "content",
+      "media_id", 2))
+    assert(viaMp4.nonEmpty && viaMp4 == viaPack)
+  }
+
   test("non-MP4 payloads yield no rows") {
     val junk = Seq(
       1L -> Array.empty[Byte],
