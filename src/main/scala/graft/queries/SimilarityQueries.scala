@@ -44,6 +44,11 @@ object SimilarityQueries {
     // same planes — the number every default user of the capped
     // generators is implicitly paying
     GraftQuery("q_cap_recall_compare", capRecallCompare, Some(capRecallCompareSql)),
+    // the same ladder for the BANDED generator's maxBandFreq — its
+    // recall story differs (a pair dropped from one hot band survives
+    // via any other band under the cap), so it gets its own measured row
+    GraftQuery("q_band_recall_compare", bandRecallCompare,
+      Some(bandRecallCompareSql)),
     GraftQuery("q_semantic_dedup", semanticDedupQ, Some(semanticDedupSql),
       bench = true),
     GraftQuery("q_embed_outliers", embedOutliersQ, Some(embedOutliersSql)),
@@ -1094,6 +1099,78 @@ object SimilarityQueries {
        |         * sqrt(CAST(${norm2Sql("b.sv")} AS DOUBLE))) >= 0.3
        |), tot AS (
        |  SELECT count(*) AS n_uncapped FROM pb
+       |)
+       |$capRows""".stripMargin
+  }
+
+  /** maxBandFreq ladder for [[bandRecallCompare]]: 2^4 = 16 buckets per
+    * band at the registry geometry (~n/16 members each), so 8 bites
+    * hard, 64 partially, and the shipped default not at all at sf
+    * scale — the same shape as the single-bucket ladder, measured on
+    * the banded recall story (any OTHER under-cap band recovers a
+    * pair its hot band dropped). */
+  private val BAND_CAP_STEPS = Seq(8, 64, SimilarityOps.DefaultMaxBucketFreq)
+
+  /** [[capRecallCompare]] for the banded generator: pairs kept by
+    * `cosineNearDupPairsBanded` at each maxBandFreq rung vs its own
+    * uncapped family (a capped banded pair set is a subset of the
+    * uncapped one by construction — a pair survives iff SOME shared
+    * band bucket is under the cap). */
+  def bandRecallCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    def pairs(cap: Int) = SimilarityOps.cosineNearDupPairsBanded(e, "vec_id",
+      "embedding", threshold = 0.3, bands = ND_BANDS, planesPerBand = ND_R,
+      maxBandFreq = cap)
+    def nPairs(label: String, cap: Int) =
+      pairs(cap).agg(count(lit(1)).as("n_pairs"))
+        .select(lit(label).as("cap"), col("n_pairs"))
+    val rows = (BAND_CAP_STEPS.map(c => nPairs(s"band_cap_$c", c)) :+
+      nPairs("band_uncapped", Int.MaxValue)).reduce(_ unionByName _)
+    val denom = pairs(Int.MaxValue).agg(count(lit(1)).as("n_uncapped"))
+    rows.crossJoin(denom)
+      .select(col("cap"), col("n_pairs"), col("n_uncapped"),
+        call_function("div", col("n_pairs") * 1000, col("n_uncapped"))
+          .as("recall_permille"))
+  }
+
+  def bandRecallCompareSql: String = {
+    val cos =
+      s"""CAST(${dotSql("va.sv", "vb.sv")} AS DOUBLE)
+         |    / (sqrt(CAST(${norm2Sql("va.sv")} AS DOUBLE))
+         |       * sqrt(CAST(${norm2Sql("vb.sv")} AS DOUBLE)))""".stripMargin
+    val bb = (0 until ND_BANDS).map(b =>
+      s"SELECT vec_id, $b AS band, ${bandBucketSql("sv", b * ND_R, ND_R)} AS bucket FROM v")
+      .mkString("\n  UNION ALL ")
+    val capRows = (BAND_CAP_STEPS.map(c => s"band_cap_$c" -> s"WHERE minc <= $c") :+
+      ("band_uncapped" -> ""))
+      .map { case (label, pred) =>
+        s"""SELECT '$label' AS cap, (SELECT count(*) FROM q $pred) AS n_pairs,
+           |  tot.n_uncapped,
+           |  ((SELECT count(*) FROM q $pred) * 1000) // tot.n_uncapped
+           |    AS recall_permille
+           |FROM tot""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, sv FROM (SELECT vec_id, $svSql AS sv FROM embeddings)
+       |  WHERE ${norm2Sql("sv")} > 0
+       |), bb AS (
+       |  $bb
+       |), bf AS (
+       |  SELECT band, bucket, count(*) AS c FROM bb GROUP BY band, bucket
+       |), pc AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, min(f.c) AS minc
+       |  FROM bb a
+       |  JOIN bb b ON b.band = a.band AND b.bucket = a.bucket
+       |    AND a.vec_id < b.vec_id
+       |  JOIN bf f ON f.band = a.band AND f.bucket = a.bucket
+       |  GROUP BY a.vec_id, b.vec_id
+       |), q AS (
+       |  SELECT p.minc FROM pc p
+       |  JOIN v va ON va.vec_id = p.id_a
+       |  JOIN v vb ON vb.vec_id = p.id_b
+       |  WHERE $cos >= 0.3
+       |), tot AS (
+       |  SELECT count(*) AS n_uncapped FROM q
        |)
        |$capRows""".stripMargin
   }

@@ -36,7 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_lm_score",
       // same one-row-denominator shape: the four per-cap count rows
       // cross-join the single uncapped-count row for recall_permille
-      "q_cap_recall_compare")
+      "q_cap_recall_compare", "q_band_recall_compare")
 
   private def planOf(name: String): String =
     Registry.byName(name).run(spark, sfDir)
