@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multimodal-track soak — the measured numbers behind the container
+  * walks at ~1000× the oracle-gate scale, all inputs deterministic
+  * functions of spark.range (no files, no RNG) and every leg's row
+  * count `require`d against a CLOSED-FORM truth from the generator
+  * formulas:
+  *
+  *  1. MP4 sample-table metadata pass over N clips — the pass a video
+  *     corpus runs before deciding which samples to fetch. Truth:
+  *     Σ (4 + id%5) resolved sample rows.
+  *  2. MP4 frame demux + REAL PNG decode (sample-table-driven fetch,
+  *     stride 2) over a smaller N — decode-bound by design. Truth:
+  *     Σ ceil((3 + id%4)/2) decoded frames.
+  *  3. FLAC STREAMINFO columnar parse over N heads. Truth: Σ of the
+  *     packed 36-bit total-samples formula, summed exactly.
+  *  4. Truncation robustness at scale: every id ≡ 0 (mod 3) clip loses
+  *     its tail (camera layout → the sample table goes with it); the
+  *     walk must yield EXACTLY the untruncated clips' rows, no
+  *     exceptions anywhere.
+  *
+  * Args: [nMeta] [nDecode] [nFlac] (defaults 200k / 20k / 500k). */
+object MediaSoakMain {
+  def main(args: Array[String]): Unit = {
+    val nMeta = args.headOption.map(_.toLong).getOrElse(200000L)
+    val nDecode = args.drop(1).headOption.map(_.toLong).getOrElse(20000L)
+    val nFlac = args.drop(2).headOption.map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.pipeline.MultimodalOps
+
+    def time[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-56s $s%8.2f s"); (r, s)
+    }
+
+    // ---- 1. MP4 sample-table metadata pass --------------------------------
+    val ids = spark.range(nMeta).select(col("id"))
+    val expMeta = (0L until 5L).map(r => (4L + r) * ((nMeta - r + 4) / 5)).sum
+    val (gotMeta, tMeta) = time(f"MP4 sample table over $nMeta%,d clips") {
+      MultimodalOps.mp4SampleTable(
+        MultimodalOps.encodeSyntheticMp4(ids, "id"), "content", "media_id").count()
+    }
+    require(gotMeta == expMeta,
+      s"mp4 meta rows: got $gotMeta, closed form $expMeta")
+    println(f"  $gotMeta%,d sample rows = ${nMeta / tMeta}%,.0f clips/s " +
+      f"(${gotMeta / tMeta}%,.0f samples/s), co64 + v1-mdhd variants included")
+
+    // ---- 2. MP4 frame demux + REAL PNG decode -----------------------------
+    val dIds = spark.range(nDecode).select(col("id"))
+    // k = 3 + id%4 frames, stride 2 keeps ceil(k/2): k=3→2, 4→2, 5→3, 6→3
+    val expFrames = (0L until 4L).map { r =>
+      val kept = (3L + r + 1) / 2
+      kept * ((nDecode - r + 3) / 4)
+    }.sum
+    val (gotFrames, tDec) = time(
+      f"MP4 demux + real PNG decode, $nDecode%,d clips, stride 2") {
+      MultimodalOps.sampleMp4Frames(
+        MultimodalOps.encodeSyntheticMp4Video(dIds, "id"), "content", "media_id",
+        stride = 2).count()
+    }
+    require(gotFrames == expFrames,
+      s"mp4 decoded frames: got $gotFrames, closed form $expFrames")
+    println(f"  $gotFrames%,d frames decoded = ${gotFrames / tDec}%,.0f frames/s " +
+      f"(${nDecode / tDec}%,.0f clips/s end to end)")
+
+    // ---- 3. FLAC STREAMINFO columnar parse --------------------------------
+    val fIds = spark.range(nFlac).select(col("id"))
+    val expSamples = 1000L * nFlac + 37L * (nFlac * (nFlac - 1) / 2) +
+      (1L << 33) * ((nFlac + 4) / 5)
+    val (flacRow, tFlac) = time(f"FLAC STREAMINFO parse over $nFlac%,d heads") {
+      MultimodalOps.encodeSyntheticFlac(fIds, "id")
+        .select(MultimodalOps.flacMeta(col("content")).as("m"))
+        .select(col("m.format_ok").as("ok"), col("m.n_samples").as("n"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)), sum(col("n")))
+        .collect()(0)
+    }
+    require(flacRow.getLong(0) == nFlac,
+      s"flac format_ok: ${flacRow.getLong(0)} of $nFlac")
+    require(flacRow.getLong(1) == expSamples,
+      s"flac sample sum: got ${flacRow.getLong(1)}, closed form $expSamples")
+    println(f"  $nFlac%,d heads at ${nFlac / tFlac}%,.0f clips/s, 36-bit " +
+      "counts (every 5th past 2^33) summed exactly")
+
+    // ---- 4. truncation robustness at scale --------------------------------
+    // camera layout: a lost tail loses the moov, so truncated clips must
+    // yield exactly zero rows and intact clips all of theirs
+    val expTrunc = expMeta - (0L until 5L).map { r =>
+      // ids with id%5==r AND id%3==0, counted per 15-cycle residue
+      (4L + r) * ((0L until 15L).filter(i => i % 5 == r && i % 3 == 0)
+        .map(i => (nMeta - i + 14) / 15).sum)
+    }.sum
+    val (gotTrunc, tTrunc) = time(
+      f"MP4 walk with every 3rd clip tail-truncated ($nMeta%,d clips)") {
+      val cut = MultimodalOps.encodeSyntheticMp4(ids, "id")
+        .withColumn("content",
+          when(col("media_id") % 3 === 0,
+            expr("substring(content, 1, octet_length(content) - 10)"))
+            .otherwise(col("content")))
+      MultimodalOps.mp4SampleTable(cut, "content", "media_id").count()
+    }
+    require(gotTrunc == expTrunc,
+      s"truncated-walk rows: got $gotTrunc, closed form $expTrunc")
+    println(f"  $gotTrunc%,d rows (truncated clips contribute exactly 0), " +
+      "no exception escaped the walk")
+
+    println(f"SOAK OK  mp4 meta ${nMeta / tMeta}%,.0f clips/s | decode " +
+      f"${gotFrames / tDec}%,.0f frames/s | flac ${nFlac / tFlac}%,.0f clips/s" +
+      f" | truncation sweep $tTrunc%.1f s")
+    spark.stop()
+  }
+}

@@ -794,6 +794,27 @@ object SimilarityOps {
     * to measure what the cap removes). */
   val DefaultMaxBucketFreq: Int = 10000
 
+  /** The smallest `planes` whose 2^planes-bucket key space keeps an
+    * UNCORRELATED corpus of `n` non-zero vectors under `maxBucketFreq`
+    * with `margin`× headroom (2^planes ≥ margin·n/cap) — the sizing
+    * arithmetic behind the [[DefaultMaxBucketFreq]] pigeonhole note,
+    * as a callable. Clamped to [1, 48] (the verified plane-family
+    * range); a result AT 48 with the inequality still unmet means the
+    * corpus has outgrown sign-LSH at this cap — use the banded form or
+    * raise the cap. The RECALL trade stays the caller's: each added
+    * plane halves expected occupancy but demands one more sign
+    * agreement (single-bucket recall ~ s^planes), so prefer the
+    * banded generator once this returns more than ~8-12. */
+  def planesFor(n: Long, maxBucketFreq: Int = DefaultMaxBucketFreq,
+                margin: Int = 4): Int = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxBucketFreq >= 2, s"maxBucketFreq must be >= 2, got $maxBucketFreq")
+    require(margin >= 1, s"margin must be >= 1, got $margin")
+    val needed = (margin.toLong * n + maxBucketFreq - 1) / maxBucketFreq
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(math.max(needed - 1, 0))
+    math.min(math.max(p, 1), 48)
+  }
+
   /** Loud cap-vs-keyspace guard for the capped pair generators: from
     * the (tiny, already-severed) per-bucket frequency relation, the
     * fraction of bucketed rows that fall in OVER-CAP (dropped) buckets

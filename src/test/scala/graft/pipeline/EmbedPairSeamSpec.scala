@@ -99,4 +99,19 @@ class EmbedPairSeamSpec extends AnyFunSuite {
     assert(okRows > 0L)
     assert(!okErr.contains("key space"), s"unexpected warning: $okErr")
   }
+
+  test("planesFor sizes the key space to the corpus and cap") {
+    // the scaladoc'd default ceiling: 640k vectors at the shipped cap
+    // with 4x headroom needs 2^8 buckets, not the 2^6 default
+    assert(SimilarityOps.planesFor(640000L) == 8)
+    // tiny corpora clamp at 1; the inequality holds at the returned p
+    assert(SimilarityOps.planesFor(1L) == 1)
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L); cap <- Seq(16, 10000)) {
+      val p = SimilarityOps.planesFor(n, cap)
+      if (p < 48)
+        assert((1L << p) >= 4L * n / cap, s"n=$n cap=$cap p=$p")
+    }
+    // a 100-TB-ish corpus at a small cap exhausts sign-LSH: clamped 48
+    assert(SimilarityOps.planesFor(Long.MaxValue / 8, 16) == 48)
+  }
 }
