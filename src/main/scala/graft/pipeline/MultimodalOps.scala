@@ -456,6 +456,160 @@ object MultimodalOps {
       when(isFlac, hex(substring(content, 27, 16))).as("md5_hex"))
   }
 
+  // ---- MP3 (MPEG-1 Layer III frame stream) -------------------------------
+  // The third real-world audio grammar, and a different CLASS from the
+  // box/chunk containers: no table and no length-prefixed envelope —
+  // a self-synchronizing stream of frames whose lengths derive from
+  // each frame's OWN 4-byte header (sync + bitrate/samplerate indexes
+  // + padding bit), optionally preceded by an ID3v2 tag with a
+  // syncsafe length. The walker below accumulates per-clip stream
+  // facts (frame count, exact sample count, rate, channels, CBR/VBR)
+  // without any codec — audio payloads stay opaque.
+
+  /** MPEG-1 Layer III bitrate table, kbps, index 1..14. */
+  private val Mp3BitrateKbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** Deterministic MP3 formulas, mirrored verbatim by the oracle. */
+  def synthMp3Frames(id: Long): Int = (20 + id % 30).toInt
+  def synthMp3RateIdx(id: Long): Int = (id % 3).toInt
+  def synthMp3Channels(id: Long): Int = (1 + id % 2).toInt
+  def synthMp3IsVbr(id: Long): Boolean = id % 4 == 0
+  def synthMp3BitrateIdx(id: Long, i: Int): Int =
+    if (synthMp3IsVbr(id)) (1 + (id + i * 7) % 14).toInt
+    else (1 + id % 14).toInt
+  def synthMp3Padding(id: Long, i: Int): Int = ((id + i) % 2).toInt
+  /** Every 5th clip leads with an ID3v2 tag of this payload size. */
+  def synthMp3Id3Size(id: Long): Int =
+    if (id % 5 == 0) (id % 40).toInt else -1
+
+  /** id → an honest MPEG-1 Layer III byte stream: optional ID3v2 tag
+    * (syncsafe size), then `synthMp3Frames` frames whose 4-byte
+    * headers encode the formula bitrate/samplerate/padding/channel
+    * fields and whose lengths follow the Layer III formula
+    * 144000·kbps/rate + padding. Frame PAYLOADS are opaque formula
+    * bytes (no MP3 codec here — the metadata walk never needs one). */
+  def encodeSyntheticMp3(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val k = synthMp3Frames(id)
+        val srIdx = synthMp3RateIdx(id)
+        val rate = Mp3SampleRates(srIdx)
+        val mono = synthMp3Channels(id) == 1
+        val id3 = synthMp3Id3Size(id)
+        val frameLens = (0 until k).map { i =>
+          144000L * Mp3BitrateKbps(synthMp3BitrateIdx(id, i)) / rate +
+            synthMp3Padding(id, i)
+        }
+        val total = (if (id3 >= 0) 10 + id3 else 0) + frameLens.sum.toInt
+        val bb = java.nio.ByteBuffer.allocate(total)
+        if (id3 >= 0) {
+          bb.put("ID3".getBytes("US-ASCII"))
+          bb.put(4.toByte).put(0.toByte).put(0.toByte) // version 2.4, flags
+          // syncsafe 28-bit size, 7 bits per byte
+          bb.put(((id3 >> 21) & 0x7F).toByte).put(((id3 >> 14) & 0x7F).toByte)
+          bb.put(((id3 >> 7) & 0x7F).toByte).put((id3 & 0x7F).toByte)
+          (0 until id3).foreach(j => bb.put(((id + j) % 251).toByte))
+        }
+        (0 until k).foreach { i =>
+          val bIdx = synthMp3BitrateIdx(id, i)
+          val pad = synthMp3Padding(id, i)
+          bb.put(0xFF.toByte)
+          bb.put(0xFB.toByte) // sync tail + MPEG-1 + Layer III + no CRC
+          bb.put(((bIdx << 4) | (srIdx << 2) | (pad << 1)).toByte)
+          bb.put((if (mono) 0xC0 else 0x00).toByte)
+          val body = frameLens(i).toInt - 4
+          (0 until body).foreach(j => bb.put(((id + i * 31 + j) % 251).toByte))
+        }
+        require(bb.remaining() == 0, "mp3 encoder layout bug")
+        new GenericRowWithSchema(Array[Any](id, bb.array()), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** MP3 stream facts from the frame-header walk: one row per clip —
+    * frame count, EXACT decoded sample count (1152 samples per MPEG-1
+    * Layer III frame, no codec needed for it), sample rate, channels,
+    * min/max frame bitrate, and the CBR/VBR verdict (more than one
+    * distinct frame bitrate). Pure byte arithmetic in mapPartitions:
+    * an ID3v2 tag is skipped by its syncsafe length, each frame's
+    * length comes from its own header (144000·kbps/rate + padding),
+    * and the walk is SELF-CHECKING — a header that fails the sync /
+    * version / layer / index validity checks ends the walk at the
+    * last good frame (honest truncation: a cut tail or corrupt region
+    * keeps the complete leading frames). Clips with no valid leading
+    * frame yield no row. */
+  def mp3Meta(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_channels", LongType, nullable = false),
+      StructField("bitrate_min_kbps", LongType, nullable = false),
+      StructField("bitrate_max_kbps", LongType, nullable = false),
+      StructField("is_vbr", BooleanType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        try {
+          var p = 0
+          def u8(i: Int): Int = b(i) & 0xFF
+          // ID3v2: "ID3" + 2 version + 1 flags + 4-byte syncsafe size
+          if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+            val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+            p = 10 + sz
+          }
+          var nFrames = 0L
+          var rate = -1; var mono = false
+          var kbMin = Long.MaxValue; var kbMax = Long.MinValue
+          var distinct = Set.empty[Long]
+          var ok = true
+          while (ok && p + 4 <= b.length) {
+            val h1 = u8(p); val h2 = u8(p + 1); val h3 = u8(p + 2)
+            val bIdx = h3 >> 4; val srIdx = (h3 >> 2) & 3
+            if (h1 != 0xFF || (h2 & 0xE0) != 0xE0 ||
+                ((h2 >> 3) & 3) != 3 ||          // MPEG-1 only
+                ((h2 >> 1) & 3) != 1 ||          // Layer III only
+                bIdx == 0 || bIdx == 15 || srIdx == 3) {
+              ok = false
+            } else {
+              val kbps = Mp3BitrateKbps(bIdx).toLong
+              val sr = Mp3SampleRates(srIdx)
+              val len = (144000L * kbps / sr + ((h3 >> 1) & 1)).toInt
+              if (p + len > b.length) ok = false // truncated tail
+              else {
+                if (nFrames == 0) {
+                  rate = sr
+                  mono = (u8(p + 3) >> 6) == 3
+                }
+                nFrames += 1
+                if (kbps < kbMin) kbMin = kbps
+                if (kbps > kbMax) kbMax = kbps
+                distinct += kbps
+                p += len
+              }
+            }
+          }
+          if (nFrames == 0) Nil
+          else Iterator.single(new GenericRowWithSchema(Array[Any](
+            id, nFrames, nFrames * 1152L, rate.toLong,
+            (if (mono) 1L else 2L), kbMin, kbMax, distinct.size > 1),
+            outSchema): Row)
+        } catch { case _: Exception => Nil }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL audio decode + featurize: `AudioSystem.getAudioInputStream`
     * (the JDK's built-in PCM WAV reader — no external codec) in the
     * mapPartitions slot, emitting exact integer amplitude statistics:

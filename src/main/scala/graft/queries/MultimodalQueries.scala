@@ -28,6 +28,10 @@ object MultimodalQueries {
     // 64-bit rate/channels/bits/total word + native MD5), columnar
     // byte arithmetic, oracle from the generator formulas only
     GraftQuery("q_audio_meta_flac", audioMetaFlac, Some(audioMetaFlacSql)),
+    // MP3: the self-synchronizing frame STREAM (no table, no envelope
+    // — each frame's length from its own 4-byte header), walked into
+    // per-clip stream facts incl. the CBR/VBR verdict
+    GraftQuery("q_audio_meta_mp3", audioMetaMp3, Some(audioMetaMp3Sql)),
     GraftQuery("q_audio_decode", audioDecode, Some(audioDecodeSql)),
     GraftQuery("q_audio_fingerprint", audioFingerprint, Some(audioFingerprintSql)),
     GraftQuery("q_video_frames", videoFrames, Some(videoFramesSql)),
@@ -350,6 +354,41 @@ object MultimodalQueries {
       |    j -> lpad(upper(to_hex((doc_id * 11 + j * 29) % 256)), 2, '0')),
       |    'string_agg', '') AS md5_hex
       |FROM documents""".stripMargin
+
+  /** MP3 stream-facts round-trip: every doc becomes an MPEG-1 Layer
+    * III stream (optional ID3v2 with syncsafe length on every 5th
+    * clip, per-frame header-derived lengths, CBR and VBR clips) and
+    * the frame-header walk recovers count / exact samples / rate /
+    * channels / bitrate envelope / VBR verdict; the oracle recomputes
+    * everything from the formulas. */
+  def audioMetaMp3(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    MultimodalOps.mp3Meta(
+      MultimodalOps.encodeSyntheticMp3(ids, "doc_id"), "content", "media_id")
+  }
+
+  def audioMetaMp3Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id, 20 + doc_id % 30 AS k,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |         ELSE 32000 END AS BIGINT) AS rate,
+      |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |    doc_id % 4 = 0 AS vbr
+      |  FROM documents
+      |), fr AS (
+      |  SELECT media_id, k, rate, ch, vbr, unnest(range(0, k)) AS i FROM d
+      |), kb AS (
+      |  SELECT *, CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+      |    CAST(CASE WHEN vbr THEN 1 + (media_id + i * 7) % 14
+      |         ELSE 1 + media_id % 14 END AS INT)] AS BIGINT) AS kbps
+      |  FROM fr
+      |)
+      |SELECT media_id, CAST(any_value(k) AS BIGINT) AS n_frames,
+      |  CAST(any_value(k) * 1152 AS BIGINT) AS n_samples,
+      |  any_value(rate) AS sample_rate, any_value(ch) AS n_channels,
+      |  min(kbps) AS bitrate_min_kbps, max(kbps) AS bitrate_max_kbps,
+      |  count(DISTINCT kbps) > 1 AS is_vbr
+      |FROM kb GROUP BY media_id""".stripMargin
 
   /** REAL decode round-trip for audio: formula clips through the real
     * WAV encoder, then `AudioSystem`'s real PCM reader extracts exact
