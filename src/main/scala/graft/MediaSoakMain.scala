@@ -88,6 +88,30 @@ object MediaSoakMain {
     println(f"  $nFlac%,d heads at ${nFlac / tFlac}%,.0f clips/s, 36-bit " +
       "counts (every 5th past 2^33) summed exactly")
 
+    // ---- 3b. MP3 frame-stream walk ----------------------------------------
+    // the self-synchronizing grammar at scale: ~25 variable-length
+    // frames per clip, lengths from each frame's own header; truth is
+    // the closed-form frame count (stream facts per clip = 1 row)
+    val nMp3 = nDecode * 5
+    val mIds = spark.range(nMp3).select(col("id"))
+    val expMp3Frames = (0L until 30L).map(r =>
+      (20L + r) * ((nMp3 - r + 29) / 30)).sum
+    val (mp3Row, tMp3) = time(f"MP3 frame-stream walk over $nMp3%,d clips") {
+      MultimodalOps.mp3Meta(
+          MultimodalOps.encodeSyntheticMp3(mIds, "id"), "content", "media_id")
+        .agg(count(lit(1)), sum(col("n_frames")),
+          sum(when(col("is_vbr"), 1L).otherwise(0L)))
+        .collect()(0)
+    }
+    require(mp3Row.getLong(0) == nMp3,
+      s"mp3 clips: ${mp3Row.getLong(0)} of $nMp3")
+    require(mp3Row.getLong(1) == expMp3Frames,
+      s"mp3 frames: got ${mp3Row.getLong(1)}, closed form $expMp3Frames")
+    require(mp3Row.getLong(2) == (nMp3 + 3) / 4,
+      s"mp3 vbr clips: got ${mp3Row.getLong(2)}, expected ${(nMp3 + 3) / 4}")
+    println(f"  ${mp3Row.getLong(1)}%,d frames walked = ${nMp3 / tMp3}%,.0f clips/s " +
+      f"(${mp3Row.getLong(1) / tMp3}%,.0f frames/s), CBR/VBR verdicts exact")
+
     // ---- 4. truncation robustness at scale --------------------------------
     // camera layout: a lost tail loses the moov, so truncated clips must
     // yield exactly zero rows and intact clips all of theirs
@@ -112,7 +136,7 @@ object MediaSoakMain {
 
     println(f"SOAK OK  mp4 meta ${nMeta / tMeta}%,.0f clips/s | decode " +
       f"${gotFrames / tDec}%,.0f frames/s | flac ${nFlac / tFlac}%,.0f clips/s" +
-      f" | truncation sweep $tTrunc%.1f s")
+      f" | mp3 ${nMp3 / tMp3}%,.0f clips/s | truncation sweep $tTrunc%.1f s")
     spark.stop()
   }
 }
