@@ -831,16 +831,19 @@ object SimilarityOps {
       coalesce(sum(col("__bf")), lit(0L)).as("total"),
       coalesce(sum(when(col("__bf") <= cap, col("__bf"))
         .otherwise(lit(0L))), lit(0L)).as("kept")).collect()(0)
-    val total = r.getLong(0); val kept = r.getLong(1)
-    if (total > 0 && kept * 2 < total)
+    warnOnLocalCapStats(r.getLong(0), r.getLong(1), cap, planesUsed, label)
+  }
+
+  private def warnOnLocalCapStats(total: Long, keptRows: Long, cap: Int,
+                                  planesUsed: Int, label: String): Unit =
+    if (total > 0 && keptRows * 2 < total)
       System.err.println(
-        f"[graft] $label: cap $cap%,d drops ${total - kept}%,d of $total%,d " +
-          f"bucketed rows (${100.0 * (total - kept) / total}%.1f%%) — the " +
+        f"[graft] $label: cap $cap%,d drops ${total - keptRows}%,d of $total%,d " +
+          f"bucketed rows (${100.0 * (total - keptRows) / total}%.1f%%) — the " +
           s"corpus has outgrown the 2^$planesUsed-bucket key space at this " +
           "cap (pigeonhole: buckets fill past the cap even uncorrelated). " +
           "Use the banded generator, raise planes, or raise the cap; " +
           "results from this call will be missing most candidate pairs.")
-  }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold,
     * via LSH buckets (exact within-bucket verification).
@@ -902,14 +905,35 @@ object SimilarityOps {
     val narrow = v.select(col("doc_id"), col("bucket"))
     val kept =
       if (maxBucketFreq == Int.MaxValue) narrow
-      else {
-        // the per-bucket frequency relation is TINY (≤ 2^planes rows),
-        // so it is severed once and reused three ways: the under-cap
-        // join side, the dropped-row audit below, and (via the severed
-        // join output) the self-join — without severing, the self-join
-        // plants the whole count subtree on both sides (the banded
-        // generator's measured 4-scan double-plant). Severing mode —
-        // local vs storage-backed — per Checkpoints.sever.
+      else if (planes <= 10) {
+        // SMALL key space (≤ 2^10 buckets — including the default 6):
+        // the per-bucket frequency relation is bounded by 2^planes rows
+        // REGARDLESS of corpus size, so it collects to the driver in
+        // one aggregate and the cap becomes a LITERAL isin filter — no
+        // shuffle join, and the dropped-row audit is free local
+        // arithmetic on the same rows. The filtered relation is still
+        // severed: the self-join would otherwise plant the bucket
+        // kernel on both sides (2× the dot-product scans).
+        val freqRows = narrow.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__bf"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        warnOnLocalCapStats(
+          total = freqRows.map(_._2).sum,
+          keptRows = freqRows.filter(_._2 <= maxBucketFreq).map(_._2).sum,
+          maxBucketFreq, planes, s"cosineNearDupPairs(planes=$planes)")
+        val keepBuckets = freqRows.filter(_._2 <= maxBucketFreq).map(_._1)
+        if (keepBuckets.isEmpty) narrow.limit(0)
+        else Checkpoints.sever(narrow.filter(
+          col("bucket").isin(keepBuckets.toIndexedSeq.map(b => b: Any): _*)))
+      } else {
+        // larger key spaces: the frequency relation can reach corpus
+        // scale, so it stays distributed — severed once and reused
+        // three ways: the under-cap join side, the dropped-row audit,
+        // and (via the severed join output) the self-join — without
+        // severing, the self-join plants the whole count subtree on
+        // both sides (the banded generator's measured 4-scan
+        // double-plant). Severing mode — local vs storage-backed — per
+        // Checkpoints.sever.
         val freqs = Checkpoints.sever(
           narrow.groupBy(col("bucket")).agg(count(lit(1)).as("__bf")))
         warnIfCapDropsMost(freqs, maxBucketFreq, planes,
