@@ -179,6 +179,131 @@ object StatsOps {
       .agg(min(when(col("cum") >= col("rank"), col("v"))).as("value"))
   }
 
+  // ---- mergeable quantile sketch -----------------------------------------
+  // The quantile sibling of the HLL sketch: exact quantiles need the
+  // full distinct-value relation (a sort-shaped shuffle a 100 TB
+  // monitor can't pay daily), so this sketch buckets values into a
+  // BOUNDED relation — log2 regions with 2^subBits linear sub-buckets
+  // (values below 2^subBits stay EXACT) — whose counts are
+  // sum-mergeable like HLL registers. The bucket function is pure
+  // integer arithmetic (bit length + shifts), identical in both
+  // engines, so sketch quantiles are deterministic and bit-exact
+  // cross-engine; the reported value is the bucket's LOWER bound,
+  // under-reporting the true quantile by a RELATIVE error < 2^-subBits
+  // by construction (spec-measured against the exact operator).
+
+  /** Per-group bucket-count sketch over a NON-NEGATIVE integral metric:
+    * (group…, __qs_b, __qs_n), ≤ groups × (64−s)·2^s rows regardless of
+    * data size. Bucket id: v itself below 2^s; otherwise
+    * (msb−s+1)·2^s + (top s bits after the leading one) — monotone in
+    * v, so cumulative ranks work on bucket ids directly. */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String],
+                     valueExpr: Column, subBits: Int = 5): DataFrame = {
+    require(groupCols.nonEmpty, "quantileSketch requires group columns")
+    requireQsBits(subBits)
+    val gs = groupCols.map(col)
+    val small = 1L << subBits
+    val v = col("__qs_v")
+    val msb = (length(bin(v)) - 1).cast("long")
+    val shift = msb - subBits
+    val b = when(v < small, v).otherwise(
+      (msb - subBits + 1) * small +
+        pmod(call_function("div", v,
+          call_function("shiftleft", lit(1L), shift.cast("int"))), lit(small)))
+    df.select(gs :+ valueExpr.as("__qs_v"): _*)
+      .filter(col("__qs_v").isNotNull && col("__qs_v") >= 0L)
+      .select(gs :+ b.as("__qs_b"): _*)
+      .groupBy(gs :+ col("__qs_b"): _*)
+      .agg(count(lit(1)).as("__qs_n"))
+  }
+
+  /** Permille quantiles from a [[quantileSketch]] relation (or a UNION
+    * of several — the leading re-aggregation makes day-over-day merges
+    * a plain union, the HLL-register argument). Same integer rank
+    * arithmetic as [[exactQuantilesByGroup]]; the emitted `value_lb` is
+    * the winning bucket's lower bound. Returns (group…, q_permille,
+    * value_lb). */
+  def quantilesFromSketch(sketch: DataFrame, groupCols: Seq[String],
+                          permille: Seq[Int], subBits: Int = 5): DataFrame = {
+    require(groupCols.nonEmpty, "quantilesFromSketch requires group columns")
+    require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000))
+    requireQsBits(subBits)
+    val gs = groupCols.map(col)
+    val small = 1L << subBits
+    val merged = sketch.groupBy(gs :+ col("__qs_b"): _*)
+      .agg(sum(col("__qs_n")).as("__qs_n"))
+    val wCum = Window.partitionBy(gs: _*).orderBy(col("__qs_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val b = col("__qs_b")
+    val m = call_function("div", b, lit(small)) + (subBits - 1)
+    val lower = when(b < small, b).otherwise(
+      call_function("shiftleft", lit(1L), m.cast("int")) +
+        pmod(b, lit(small)) *
+          call_function("shiftleft", lit(1L), (m - subBits).cast("int")))
+    merged
+      .withColumn("__qs_cum", sum(col("__qs_n")).over(wCum))
+      .withColumn("__qs_tot", sum(col("__qs_n")).over(wAll))
+      .withColumn("q_permille",
+        explode(array(permille.map(p => lit(p.toLong)): _*)))
+      .withColumn("__qs_rank", call_function("div",
+        col("q_permille") * col("__qs_tot") + 999, lit(1000L)))
+      .groupBy(gs :+ col("q_permille"): _*)
+      .agg(min(when(col("__qs_cum") >= col("__qs_rank"), lower))
+        .as("value_lb"))
+  }
+
+  /** One-shot sketch quantiles: build + read in one plan — the form a
+    * daily monitor uses when it doesn't persist the sketch. */
+  def sketchQuantilesByGroup(df: DataFrame, groupCols: Seq[String],
+                             valueExpr: Column, permille: Seq[Int],
+                             subBits: Int = 5): DataFrame =
+    quantilesFromSketch(quantileSketch(df, groupCols, valueExpr, subBits),
+      groupCols, permille, subBits)
+
+  private def requireQsBits(subBits: Int): Unit =
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+
+  /** [[sketchQuantilesByGroup]]'s DuckDB form over a (group, v)
+    * relation `src` — the same bucket/lower/rank integer arithmetic,
+    * mirrored token for token. */
+  def sketchQuantilesByGroupSql(srcSql: String, groupCol: String,
+                                permille: Seq[Int],
+                                subBits: Int = 5): String = {
+    val small = 1L << subBits
+    val qb = s"""CASE WHEN v < $small THEN v
+                | ELSE (length(bin(v)) - ${subBits + 1} + 1) * $small
+                |   + (v // (1::BIGINT << (length(bin(v)) - ${subBits + 1})))
+                |     % $small END""".stripMargin.replace("\n", " ")
+    val lower = s"""CASE WHEN qb < $small THEN qb
+                   | ELSE (1::BIGINT << CAST(qb // $small + ${subBits - 1} AS INT))
+                   |   + (qb % $small) * (1::BIGINT <<
+                   |       CAST(qb // $small - 1 AS INT)) END"""
+      .stripMargin.replace("\n", " ")
+    s"""WITH vals AS (
+       |  SELECT $groupCol, v FROM ($srcSql)
+       |  WHERE v IS NOT NULL AND v >= 0
+       |), sk AS (
+       |  SELECT $groupCol, $qb AS qb, count(*) AS c
+       |  FROM vals GROUP BY $groupCol, qb
+       |), cum AS (
+       |  SELECT $groupCol, qb,
+       |    CAST(sum(c) OVER (PARTITION BY $groupCol ORDER BY qb
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY $groupCol) AS BIGINT) AS n
+       |  FROM sk
+       |), q AS (
+       |  SELECT cum.*, q_permille,
+       |    (q_permille * n + 999) // 1000 AS rank
+       |  FROM cum, (SELECT unnest([${permille.map(p => s"${p}::BIGINT").mkString(", ")}]) AS q_permille)
+       |)
+       |SELECT $groupCol, q_permille,
+       |  CAST(min(CASE WHEN cum >= rank THEN $lower END) AS BIGINT) AS value_lb
+       |FROM q GROUP BY $groupCol, q_permille""".stripMargin
+  }
+
   /** Per-group exact moments: count, sum, mean and population variance
     * of an integral metric — corpus monitoring numbers that must agree
     * bit-for-bit across engines. Sums are integer-exact (one

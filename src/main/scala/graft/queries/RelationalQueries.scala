@@ -45,9 +45,34 @@ object RelationalQueries {
     GraftQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GraftQuery("q_sessionize", sessionize, Some(sessionizeSql)),
     GraftQuery("q_zorder_layout", zorderLayout, Some(zorderLayoutSql), bench = true),
+    // mergeable quantile sketch (the quantile sibling of HLL): bounded
+    // log2+linear bucket relation, counts sum-mergeable, bit-exact
+    // across engines; value_lb under-reports by < 2^-5 relative
+    GraftQuery("q_quantile_sketch", quantileSketchQ, Some(quantileSketchSql)),
   )
 
   private val Z_BITS = 4 // 16x16 cell grid, zcell in [0, 256)
+
+  private val QS_PERMILLE = Seq(500, 900, 990)
+  private val QS_BITS = 5
+
+  /** Mergeable-sketch price quantiles per return flag: integer-cents
+    * prices (spanning the exact region AND several log2 regions)
+    * through [[graft.pipeline.StatsOps.sketchQuantilesByGroup]] — the
+    * bounded-relation path a 100 TB monitor takes instead of the
+    * full-sort exact operator; deterministic bucket arithmetic, so the
+    * oracle matches bit-for-bit (QuantileSketchSpec measures the
+    * < 2^-5 relative error against the exact quantiles). */
+  def quantileSketchQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.StatsOps.sketchQuantilesByGroup(
+      Tables.read(spark, sfDir, "lineitem"),
+      Seq("l_returnflag"), cents(col("l_extendedprice")),
+      QS_PERMILLE, QS_BITS)
+
+  def quantileSketchSql: String =
+    graft.pipeline.StatsOps.sketchQuantilesByGroupSql(
+      "SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem",
+      "l_returnflag", QS_PERMILLE, QS_BITS)
 
   /** Z-order (Morton) layout cells over lineitem's two join keys —
     * the clustered-write side of multi-dimensional pruning (see

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mergeable quantile sketch: bounded bucket relation, guaranteed
+  * relative error, exact small-value region, and the HLL-style
+  * union-merge property. */
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val S = 5
+  private val perms = Seq(100, 500, 900, 990)
+
+  test("value_lb under-reports the exact quantile by < 2^-subBits " +
+    "relative, never over") {
+    val rows = (0 until 20000).map(i =>
+      ("g", (i.toLong * i * 37 + 1000) % 50000000L))
+    val df = rows.toDF("g", "v")
+    val exact = StatsOps.exactQuantilesByGroup(df, Seq("g"), col("v"), perms)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val sk = StatsOps.sketchQuantilesByGroup(df, Seq("g"), col("v"), perms, S)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    perms.foreach { p =>
+      val e = exact(p.toLong); val s = sk(p.toLong)
+      assert(s <= e, s"p=$p sketch $s must not exceed exact $e")
+      assert(e - s < math.max(e >> S, 1L) + (1L << S),
+        s"p=$p sketch $s vs exact $e — outside the 2^-$S band")
+    }
+  }
+
+  test("values below 2^subBits are EXACT — sketch == exact quantiles") {
+    val rows = (0 until 5000).map(i => ("g", (i * 13 % 32).toLong))
+    val df = rows.toDF("g", "v")
+    val exact = StatsOps.exactQuantilesByGroup(df, Seq("g"), col("v"), perms)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val sk = StatsOps.sketchQuantilesByGroup(df, Seq("g"), col("v"), perms, S)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sk == exact)
+  }
+
+  test("sketches union-merge: day1 ∪ day2 == one-shot over both") {
+    val day1 = (0 until 4000).map(i => ("g", (i.toLong * 97 + 5) % 1000000L))
+    val day2 = (0 until 6000).map(i => ("g", (i.toLong * 31 + 7) % 800000L))
+    val merged = StatsOps.quantilesFromSketch(
+        StatsOps.quantileSketch(day1.toDF("g", "v"), Seq("g"), col("v"), S)
+          .union(StatsOps.quantileSketch(day2.toDF("g", "v"), Seq("g"),
+            col("v"), S)),
+        Seq("g"), perms, S)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val oneShot = StatsOps.sketchQuantilesByGroup(
+        (day1 ++ day2).toDF("g", "v"), Seq("g"), col("v"), perms, S)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(merged == oneShot)
+  }
+
+  test("sketch relation stays bounded; negatives and nulls drop") {
+    val rows = (0 until 100000).map(i =>
+      ("g", (i.toLong * 2654435761L) % (1L << 40)))
+    val sk = StatsOps.quantileSketch(rows.toDF("g", "v"), Seq("g"), col("v"), S)
+    val n = sk.count()
+    assert(n <= (64 - S).toLong * (1L << S) + (1L << S),
+      s"bucket relation has $n rows — unbounded?")
+    val withBad = rows.toDF("g", "v")
+      .union(Seq(("g", -5L)).toDF("g", "v"))
+      .union(Seq(("g", null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
+    val skBad = StatsOps.quantileSketch(withBad, Seq("g"), col("v"), S)
+    assert(skBad.agg(sum(col("__qs_n"))).collect()(0).getLong(0) == 100000L)
+  }
+
+  test("contract: subBits bounds") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      StatsOps.quantileSketch(df, Seq("g"), col("v"), subBits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      StatsOps.quantileSketch(df, Seq("g"), col("v"), subBits = 17)
+    }
+  }
+}
