@@ -304,6 +304,107 @@ object StatsOps {
        |FROM q GROUP BY $groupCol, q_permille""".stripMargin
   }
 
+  // ---- persisted quantile-sketch index (the 8th stored artifact) ---------
+  // Same epoch-dir + meta-swap + shared-GC discipline as the HLL
+  // register index: bucket relations live in immutable `buckets/e<N>`
+  // dirs, the meta pointer (geometry pin + epoch + completeness count)
+  // swaps LAST, counts are SUM-mergeable so appends fold a delta-sized
+  // bucket relation — each day folds its sketch in, and the quantile
+  // read touches a bounded relation, never the data.
+
+  /** Meta row: sub-bits pin + group columns + epoch pointer +
+    * committed bucket-row count (interrupted-write detection). */
+  private[graft] final case class QuantileIndexMeta(
+      subBits: Int, groupCols: Seq[String], bucketRows: Long, epoch: Long)
+
+  private def qsEpochDir(path: String, epoch: Long): String =
+    s"$path/buckets/e$epoch"
+
+  private def swapQsMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, meta: QuantileIndexMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.subBits.toLong, meta.groupCols.mkString(","),
+        meta.bucketRows, meta.epoch))
+      .toDF("sub_bits", "group_cols", "bucket_rows", "epoch")
+      .coalesce(1).write.parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"quantile index: failed to swap meta into place at $target")
+  }
+
+  private[graft] def readQuantileIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): QuantileIndexMeta = {
+    val r = MetaIO.readMetaRow(spark, path, "quantile index", "index")
+    QuantileIndexMeta(r.getAs[Long]("sub_bits").toInt,
+      r.getAs[String]("group_cols").split(",").toSeq,
+      r.getAs[Long]("bucket_rows"), r.getAs[Long]("epoch"))
+  }
+
+  private def commitQsEpoch(spark: org.apache.spark.sql.SparkSession,
+                            path: String, sketch: DataFrame,
+                            groupCols: Seq[String], subBits: Int,
+                            epoch: Long): Unit = {
+    sketch.write.mode("overwrite").parquet(qsEpochDir(path, epoch))
+    val stored = spark.read.parquet(qsEpochDir(path, epoch))
+    swapQsMeta(spark, path,
+      QuantileIndexMeta(subBits, groupCols, stored.count(), epoch))
+    // shared epoch GC: the commit of `epoch` supersedes `epoch - 1`
+    // (epochs advance by exactly 1; the initial commit passes -1 → no-op)
+    MetaIO.pruneEpochs(spark, Seq(s"$path/buckets"), superseded = epoch - 1)
+  }
+
+  /** Build-and-persist: one partial-aggregated bucket fold over the
+    * data (the plan's only corpus-sized shuffle) → epoch 0 commit. */
+  def writeQuantileIndex(df: DataFrame, groupCols: Seq[String],
+                         value: Column, path: String,
+                         subBits: Int = 5): Unit = {
+    requireQsBits(subBits)
+    commitQsEpoch(df.sparkSession, path,
+      quantileSketch(df, groupCols, value, subBits), groupCols, subBits,
+      epoch = 0L)
+  }
+
+  /** Fold a new data slice in: the DELTA's bucket relation SUM-merges
+    * with the stored one by (group, bucket) into a NEW immutable
+    * epoch — one bucket fold over the delta plus a bounded merge
+    * groupBy; earlier data is never rescanned. Geometry (subBits) and
+    * group columns are pinned by meta. */
+  def appendQuantileIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, df: DataFrame,
+                          value: Column): Unit = {
+    val meta = readQuantileIndexMeta(spark, path)
+    val delta = quantileSketch(df, meta.groupCols, value, meta.subBits)
+    val merged = spark.read.parquet(qsEpochDir(path, meta.epoch))
+      .unionByName(delta)
+      .groupBy(meta.groupCols.map(col) :+ col("__qs_b"): _*)
+      .agg(sum(col("__qs_n")).as("__qs_n"))
+    commitQsEpoch(spark, path, merged, meta.groupCols, meta.subBits,
+      meta.epoch + 1)
+  }
+
+  /** Quantiles off the STORED sketch: no data scan — the input is the
+    * bounded bucket relation of the meta-pointed epoch (resolved once,
+    * so a probe racing an append sees one consistent snapshot).
+    * Identical to [[sketchQuantilesByGroup]] over the union of every
+    * slice ever folded in (bucket counts are associative sums). */
+  def quantilesFromStoredSketch(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                permille: Seq[Int]): DataFrame = {
+    val meta = readQuantileIndexMeta(spark, path)
+    val stored = spark.read.parquet(qsEpochDir(path, meta.epoch))
+    require(stored.count() == meta.bucketRows,
+      s"quantile index at $path: epoch ${meta.epoch} holds " +
+        s"${stored.count()} bucket rows, meta pins ${meta.bucketRows} — " +
+        "incomplete or foreign epoch")
+    quantilesFromSketch(stored, meta.groupCols, permille, meta.subBits)
+  }
+
   /** Per-group exact moments: count, sum, mean and population variance
     * of an integral metric — corpus monitoring numbers that must agree
     * bit-for-bit across engines. Sums are integer-exact (one

@@ -49,6 +49,11 @@ object RelationalQueries {
     // log2+linear bucket relation, counts sum-mergeable, bit-exact
     // across engines; value_lb under-reports by < 2^-5 relative
     GraftQuery("q_quantile_sketch", quantileSketchQ, Some(quantileSketchSql)),
+    // the sketch through the PERSISTED lifecycle (8th artifact): even
+    // orderkeys build, odd fold in via sum-merge append, quantiles read
+    // ONLY the stored epoch — counts are associative, so output ≡ the
+    // one-shot sketch and the query shares its oracle
+    GraftQuery("q_quantile_stored", quantileStoredQ, Some(quantileSketchSql)),
   )
 
   private val Z_BITS = 4 // 16x16 cell grid, zcell in [0, 256)
@@ -73,6 +78,24 @@ object RelationalQueries {
     graft.pipeline.StatsOps.sketchQuantilesByGroupSql(
       "SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem",
       "l_returnflag", QS_PERMILLE, QS_BITS)
+
+  /** [[quantileSketchQ]] through the persisted-index lifecycle: the
+    * even-orderkey half builds the artifact (rebuilt fresh each run —
+    * never cached across corpus regenerations), the odd half folds in
+    * via [[graft.pipeline.StatsOps.appendQuantileIndex]] (a bounded
+    * sum-merge), and the quantiles read only the stored epoch. Bucket
+    * counts sum associatively, so this ≡ the one-shot sketch — which
+    * is why it shares q_quantile_sketch's oracle. */
+  def quantileStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.read(spark, sfDir, "lineitem")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_qs_idx_${math.abs(sfDir.hashCode)}"
+    graft.pipeline.StatsOps.writeQuantileIndex(
+      li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
+      cents(col("l_extendedprice")), dir, QS_BITS)
+    graft.pipeline.StatsOps.appendQuantileIndex(spark, dir,
+      li.filter(col("l_orderkey") % 2 === 1), cents(col("l_extendedprice")))
+    graft.pipeline.StatsOps.quantilesFromStoredSketch(spark, dir, QS_PERMILLE)
+  }
 
   /** Z-order (Morton) layout cells over lineitem's two join keys —
     * the clustered-write side of multi-dimensional pruning (see

@@ -70,6 +70,37 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(skBad.agg(sum(col("__qs_n"))).collect()(0).getLong(0) == 100000L)
   }
 
+  test("persisted index: write -> append -> quantiles == one-shot; " +
+    "epoch GC keeps the grace pair; missing artifact fails loudly") {
+    val day1 = (0 until 3000).map(i => ("g", (i.toLong * 97 + 5) % 700000L))
+    val day2 = (0 until 2000).map(i => ("g", (i.toLong * 31 + 7) % 900000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs_idx").toString
+    StatsOps.writeQuantileIndex(day1.toDF("g", "v"), Seq("g"), col("v"),
+      s"$dir/idx", subBits = S)
+    StatsOps.appendQuantileIndex(spark, s"$dir/idx",
+      day2.toDF("g", "v"), col("v"))
+    StatsOps.appendQuantileIndex(spark, s"$dir/idx",
+      day1.take(500).toDF("g", "v"), col("v"))
+    val stored = StatsOps.quantilesFromStoredSketch(spark, s"$dir/idx", perms)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val oneShot = StatsOps.sketchQuantilesByGroup(
+        (day1 ++ day2 ++ day1.take(500)).toDF("g", "v"), Seq("g"),
+        col("v"), perms, S)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(stored == oneShot)
+    val meta = StatsOps.readQuantileIndexMeta(spark, s"$dir/idx")
+    assert(meta.epoch == 2L && meta.subBits == S && meta.groupCols == Seq("g"))
+    // shared epoch GC: exactly {superseded, current} on disk
+    val epochs = Option(new java.io.File(s"$dir/idx/buckets").listFiles())
+      .toSeq.flatten.map(_.getName)
+      .filter(n => n.startsWith("e") && n.drop(1).forall(_.isDigit)).toSet
+    assert(epochs == Set("e1", "e2"))
+    val e = intercept[IllegalStateException] {
+      StatsOps.quantilesFromStoredSketch(spark, s"$dir/nope", perms)
+    }
+    assert(e.getMessage.contains("no readable meta"))
+  }
+
   test("contract: subBits bounds") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
