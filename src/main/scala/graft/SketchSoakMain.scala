@@ -88,8 +88,64 @@ object SketchSoakMain {
       require(errPermille < (3 * 1040 / math.sqrt(m.toDouble)).toLong + 10,
         s"$g estimate outside the 3-sigma band")
     }
-    println(f"SOAK OK  build $tBuild%.1f s append $tAppend%.1f s " +
-      f"estimate $tEst%.2f s | ${meta1.regRows}%,d registers")
+    // ---- quantile-sketch index (8th artifact) at the same scale ----------
+    // uniform value stream with CLOSED-FORM quantiles: v = (id % D)·37,
+    // each value appearing nRows/D times — the true p‰ quantile is
+    // ((rank−1) // (nRows/D))·37 exactly. The append leg folds in a
+    // SECOND copy of the same distribution: counts double, quantiles
+    // must NOT move (scale invariance) — a strong truth that needs no
+    // union-side recount.
+    val S = 5
+    val qD = math.max(nRows / 50, 1000L)
+    val qC = nRows / qD
+    def qday = spark.range(qC * qD).select(lit("q0").as("g"),
+      (pmod(col("id"), lit(qD)) * 37L).as("v"))
+    val qPerms = Seq(500, 900, 990)
+    def qTrue(p: Int): Long = {
+      val n = qC * qD
+      val rank = (p * n + 999) / 1000
+      (rank - 1) / qC * 37L
+    }
+    val qDir = java.nio.file.Files.createTempDirectory("graft_qs_soak")
+      .toString + "/idx"
+    val (_, tQBuild) = time(
+      f"build quantile index over ${qC * qD}%,d rows (subBits=$S)") {
+      StatsOps.writeQuantileIndex(qday, Seq("g"), col("v"), qDir, S)
+    }
+    val qMeta1 = StatsOps.readQuantileIndexMeta(spark, qDir)
+    val qBound = (64 - S + 1).toLong * (1L << S)
+    println(f"  stored buckets: ${qMeta1.bucketRows}%,d rows " +
+      f"(bound $qBound%,d) for ${qC * qD}%,d input rows")
+    require(qMeta1.bucketRows <= qBound)
+    val qFirst = StatsOps.quantilesFromStoredSketch(spark, qDir, qPerms)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val (_, tQAppend) = time(
+      f"append a second full copy (epoch ${qMeta1.epoch + 1})") {
+      StatsOps.appendQuantileIndex(spark, qDir, qday, col("v"))
+    }
+    val (qStored, tQRead) = time("quantiles from storage (no data scan)") {
+      StatsOps.quantilesFromStoredSketch(spark, qDir, qPerms)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    }
+    require(qStored == qFirst,
+      s"doubling every count moved a quantile: $qFirst -> $qStored")
+    qPerms.foreach { p =>
+      val truth = qTrue(p); val got = qStored(p.toLong)
+      val errPermille =
+        if (truth == 0) 0L else math.abs(truth - got) * 1000 / truth
+      println(f"  p$p: sketch $got%,d vs true $truth%,d " +
+        f"(err ${errPermille}%d permille; guarantee < ${1000 >> S}%d + grid)")
+      require(got <= truth, s"p$p: sketch $got must not exceed true $truth")
+      require(truth - got <= math.max(truth >> S, 1L) + (1L << S),
+        s"p$p outside the 2^-$S band: $got vs $truth")
+    }
+    println(f"  append/build = ${tQAppend / tQBuild}%.2f x at a 1.00 x " +
+      "delta (bounded merge rides the delta fold)")
+
+    println(f"SOAK OK  hll build $tBuild%.1f s append $tAppend%.1f s " +
+      f"estimate $tEst%.2f s | ${meta1.regRows}%,d registers | qsketch " +
+      f"build $tQBuild%.1f s append $tQAppend%.1f s read $tQRead%.2f s | " +
+      f"${qMeta1.bucketRows}%,d buckets")
     spark.stop()
   }
 }
