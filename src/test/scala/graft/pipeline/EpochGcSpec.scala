@@ -18,11 +18,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - a missing root (first commit) is a no-op, and the call is
   *    idempotent.
   *
-  * Lifecycles covered: MinHash index (derived), decontamination
+  * Lifecycles covered here: MinHash index (derived), decontamination
   * (shingles + bloom), LM model (counts + ctx, incl. the compact
-  * path), k-means model (centroids), HLL index (regs). The IVF-PQ
-  * index is append-in-place + compact, not epoch'd — its storage
-  * story is pinned by IvfIndexSpec/ServeSoakMain instead. */
+  * path), k-means model (centroids), HLL index (regs); the sixth
+  * epoch'd artifact — the quantile-sketch index (buckets) — pins the
+  * same grace-pair invariant in QuantileSketchSpec. The IVF-PQ index
+  * is append-in-place + compact, not epoch'd — its storage story is
+  * pinned by IvfIndexSpec/ServeSoakMain instead. */
 class EpochGcSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
