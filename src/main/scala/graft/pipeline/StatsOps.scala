@@ -313,9 +313,17 @@ object StatsOps {
   // read touches a bounded relation, never the data.
 
   /** Meta row: sub-bits pin + group columns + epoch pointer +
-    * committed bucket-row count (interrupted-write detection). */
+    * committed bucket-row count (interrupted-write detection) + the
+    * last streaming batch id folded in. `lastBatchId` exists because
+    * bucket COUNTS — unlike HLL register maxes — are not idempotent: a
+    * replayed micro-batch would double-count, so the streaming ingest
+    * ([[ingestQuantileBatch]]) records each applied batch id behind
+    * the same last-swapped meta as the epoch pointer and skips
+    * replays. Batch-API appends leave it untouched (-1 = never
+    * stream-fed). */
   private[graft] final case class QuantileIndexMeta(
-      subBits: Int, groupCols: Seq[String], bucketRows: Long, epoch: Long)
+      subBits: Int, groupCols: Seq[String], bucketRows: Long, epoch: Long,
+      lastBatchId: Long = -1L)
 
   private def qsEpochDir(path: String, epoch: Long): String =
     s"$path/buckets/e$epoch"
@@ -329,8 +337,9 @@ object StatsOps {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
     fs.delete(tmp, true)
     Seq((meta.subBits.toLong, meta.groupCols.mkString(","),
-        meta.bucketRows, meta.epoch))
-      .toDF("sub_bits", "group_cols", "bucket_rows", "epoch")
+        meta.bucketRows, meta.epoch, meta.lastBatchId))
+      .toDF("sub_bits", "group_cols", "bucket_rows", "epoch",
+        "last_batch_id")
       .coalesce(1).write.parquet(tmp.toString)
     fs.delete(target, true)
     require(fs.rename(tmp, target),
@@ -343,17 +352,19 @@ object StatsOps {
     val r = MetaIO.readMetaRow(spark, path, "quantile index", "index")
     QuantileIndexMeta(r.getAs[Long]("sub_bits").toInt,
       r.getAs[String]("group_cols").split(",").toSeq,
-      r.getAs[Long]("bucket_rows"), r.getAs[Long]("epoch"))
+      r.getAs[Long]("bucket_rows"), r.getAs[Long]("epoch"),
+      r.getAs[Long]("last_batch_id"))
   }
 
   private def commitQsEpoch(spark: org.apache.spark.sql.SparkSession,
                             path: String, sketch: DataFrame,
                             groupCols: Seq[String], subBits: Int,
-                            epoch: Long): Unit = {
+                            epoch: Long, lastBatchId: Long): Unit = {
     sketch.write.mode("overwrite").parquet(qsEpochDir(path, epoch))
     val stored = spark.read.parquet(qsEpochDir(path, epoch))
     swapQsMeta(spark, path,
-      QuantileIndexMeta(subBits, groupCols, stored.count(), epoch))
+      QuantileIndexMeta(subBits, groupCols, stored.count(), epoch,
+        lastBatchId))
     // shared epoch GC: the commit of `epoch` supersedes `epoch - 1`
     // (epochs advance by exactly 1; the initial commit passes -1 → no-op)
     MetaIO.pruneEpochs(spark, Seq(s"$path/buckets"), superseded = epoch - 1)
@@ -367,7 +378,7 @@ object StatsOps {
     requireQsBits(subBits)
     commitQsEpoch(df.sparkSession, path,
       quantileSketch(df, groupCols, value, subBits), groupCols, subBits,
-      epoch = 0L)
+      epoch = 0L, lastBatchId = -1L)
   }
 
   /** Fold a new data slice in: the DELTA's bucket relation SUM-merges
@@ -385,7 +396,46 @@ object StatsOps {
       .groupBy(meta.groupCols.map(col) :+ col("__qs_b"): _*)
       .agg(sum(col("__qs_n")).as("__qs_n"))
     commitQsEpoch(spark, path, merged, meta.groupCols, meta.subBits,
-      meta.epoch + 1)
+      meta.epoch + 1, meta.lastBatchId)
+  }
+
+  /** EXACTLY-ONCE streaming ingest for the quantile index — the
+    * foreachBatch body of a micro-batched sketch feed. Bucket counts
+    * are NOT idempotent (HLL's max is; a replayed batch here would
+    * double-count), so each applied batch id commits WITH the epoch
+    * behind the same last-swapped meta: on a foreachBatch retry the
+    * recorded `lastBatchId` makes the replay a no-op, and a commit
+    * that died before the meta swap left the old pointer — the retry
+    * re-applies cleanly. First call on an empty path builds the
+    * artifact. Returns whether the batch was applied. Batch ids must
+    * arrive non-decreasing (Structured Streaming's contract). */
+  def ingestQuantileBatch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame,
+                          groupCols: Seq[String], value: Column,
+                          batchId: Long, subBits: Int = 5): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    if (!metaPath.getFileSystem(hconf).exists(metaPath)) {
+      requireQsBits(subBits)
+      commitQsEpoch(spark, path,
+        quantileSketch(batch, groupCols, value, subBits), groupCols,
+        subBits, epoch = 0L, lastBatchId = batchId)
+      true
+    } else {
+      val meta = readQuantileIndexMeta(spark, path)
+      if (batchId <= meta.lastBatchId) false // replayed batch: no-op
+      else {
+        val delta = quantileSketch(batch, meta.groupCols, value,
+          meta.subBits)
+        val merged = spark.read.parquet(qsEpochDir(path, meta.epoch))
+          .unionByName(delta)
+          .groupBy(meta.groupCols.map(col) :+ col("__qs_b"): _*)
+          .agg(sum(col("__qs_n")).as("__qs_n"))
+        commitQsEpoch(spark, path, merged, meta.groupCols, meta.subBits,
+          meta.epoch + 1, batchId)
+        true
+      }
+    }
   }
 
   /** Quantiles off the STORED sketch: no data scan — the input is the

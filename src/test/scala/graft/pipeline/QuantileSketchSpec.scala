@@ -101,6 +101,27 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no readable meta"))
   }
 
+  test("bucket arithmetic matches a JVM reference across the full " +
+    "non-negative long range (boundaries, huge values)") {
+    def refBucket(v: Long, s: Int): Long =
+      if (v < (1L << s)) v
+      else {
+        val msb = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        val shift = msb - s
+        (msb - s + 1).toLong * (1L << s) + ((v >>> shift) & ((1L << s) - 1))
+      }
+    val values = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 1023L, 1024L,
+      (1L << 20) - 1, 1L << 20, (1L << 40) + 12345L, (1L << 62) - 1,
+      1L << 62, Long.MaxValue) ++
+      (0 until 50).map(i => math.abs(i * 2654435761L * 97 + 13))
+    val df = values.map(v => ("g", v)).toDF("g", "v")
+    val got = StatsOps.quantileSketch(df, Seq("g"), col("v"), S)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val exp = values.groupBy(refBucket(_, S)).view.mapValues(_.size.toLong).toMap
+    assert(got == exp, s"bucket mismatch: ${got.toSeq.sorted.take(5)} vs " +
+      s"${exp.toSeq.sorted.take(5)}")
+  }
+
   test("contract: subBits bounds") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
