@@ -84,12 +84,18 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // top-up pass for the noise-scale rows (sub-fastCut medians): these
-    // finish in fractions of a second, so the extra samples cost far
-    // less than one full suite pass buys in stability
-    for (q <- benchSet
-         if !failedSet(q.name) && median(samples(q.name)) < fastCut)
-      while (samples(q.name).size < fastIters) runOnce(q)
+    // top-up passes for the noise-scale rows (sub-fastCut medians):
+    // these finish in fractions of a second, so the extra samples cost
+    // far less than one full suite pass buys in stability. INTERLEAVED
+    // across the fast subset (round-robin, not per-query back-to-back)
+    // so the extra samples keep cross-query cache diversity — back-to-
+    // back repeats of one query measure a warmer regime than the base
+    // passes. Residual warmth vs a FULL suite pass remains; the record
+    // carries fast_iters so readers compare like with like.
+    val fastSet = benchSet.filter(q =>
+      !failedSet(q.name) && median(samples(q.name)) < fastCut)
+    for (_ <- iters + 1 to fastIters; q <- fastSet)
+      runOnce(q)
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val results = benchSet.map(q => q.name -> median(samples(q.name)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }

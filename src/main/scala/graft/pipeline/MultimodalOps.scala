@@ -1287,14 +1287,6 @@ object MultimodalOps {
       StructField("sum_r", LongType, nullable = false),
       StructField("sum_g", LongType, nullable = false),
       StructField("sum_b", LongType, nullable = false)))
-    val tableSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("sample_idx", LongType, nullable = false),
-      StructField("offset", LongType, nullable = false),
-      StructField("size", LongType, nullable = false),
-      StructField("dts", LongType, nullable = false),
-      StructField("is_sync", BooleanType, nullable = false),
-      StructField("timescale", LongType, nullable = false)))
     val in = df.select(col(idCol).cast("long").as("media_id"),
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
@@ -1303,7 +1295,7 @@ object MultimodalOps {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         try {
-          mp4WalkOne(id, bytes, tableSchema).iterator
+          mp4WalkOne(id, bytes, Mp4SampleTableSchema).iterator
             .filter(_.getLong(1) % stride == 0)
             .flatMap { s =>
               val off = s.getLong(2).toInt; val sz = s.getLong(3).toInt
@@ -1337,16 +1329,21 @@ object MultimodalOps {
     * interrupted progressive download — moov-first layouts) yields
     * exactly the leading samples whose payload bytes are fully
     * present, dropping the rest. Non-MP4 payloads yield no rows. */
+  /** The resolved sample table's row shape — ONE definition, shared by
+    * the metadata walk and the frame-fetch walk (their positional
+    * field reads must agree with it). */
+  private val Mp4SampleTableSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_idx", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("dts", LongType, nullable = false),
+    StructField("is_sync", BooleanType, nullable = false),
+    StructField("timescale", LongType, nullable = false)))
+
   def mp4SampleTable(df: DataFrame, contentCol: String,
                      idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("sample_idx", LongType, nullable = false),
-      StructField("offset", LongType, nullable = false),
-      StructField("size", LongType, nullable = false),
-      StructField("dts", LongType, nullable = false),
-      StructField("is_sync", BooleanType, nullable = false),
-      StructField("timescale", LongType, nullable = false)))
+    val outSchema = Mp4SampleTableSchema
     val in = df.select(col(idCol).cast("long").as("media_id"),
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>

@@ -810,9 +810,16 @@ object SimilarityOps {
     require(n >= 1, s"n must be >= 1, got $n")
     require(maxBucketFreq >= 2, s"maxBucketFreq must be >= 2, got $maxBucketFreq")
     require(margin >= 1, s"margin must be >= 1, got $margin")
-    val needed = (margin.toLong * n + maxBucketFreq - 1) / maxBucketFreq
-    val p = 64 - java.lang.Long.numberOfLeadingZeros(math.max(needed - 1, 0))
-    math.min(math.max(p, 1), 48)
+    // BigInt: margin·n overflows Long near the corpus sizes this helper
+    // exists to warn about, and a wrapped negative would return 1 (the
+    // SMALLEST key space) exactly where the clamp-at-48 signal is due
+    val needed = (BigInt(margin) * BigInt(n) + maxBucketFreq - 1) / maxBucketFreq
+    if (needed > (BigInt(1) << 48)) 48
+    else {
+      val p = 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(needed.toLong - 1, 0))
+      math.min(math.max(p, 1), 48)
+    }
   }
 
   /** Loud cap-vs-keyspace guard for the capped pair generators: from

@@ -201,6 +201,7 @@ object StatsOps {
                      valueExpr: Column, subBits: Int = 5): DataFrame = {
     require(groupCols.nonEmpty, "quantileSketch requires group columns")
     requireQsBits(subBits)
+    requireNoQsClash(groupCols)
     val gs = groupCols.map(col)
     val small = 1L << subBits
     val v = col("__qs_v")
@@ -228,6 +229,7 @@ object StatsOps {
     require(groupCols.nonEmpty, "quantilesFromSketch requires group columns")
     require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000))
     requireQsBits(subBits)
+    requireNoQsClash(groupCols)
     val gs = groupCols.map(col)
     val small = 1L << subBits
     val merged = sketch.groupBy(gs :+ col("__qs_b"): _*)
@@ -265,6 +267,17 @@ object StatsOps {
   private def requireQsBits(subBits: Int): Unit =
     require(subBits >= 1 && subBits <= 16,
       s"subBits must be in [1, 16], got $subBits")
+
+  /** The exactQuantilesByGroup discipline: a group column named like an
+    * internal or output column would be silently clobbered by the
+    * withColumn chain (a group column literally called `q_permille`
+    * would lose the group identity before the final groupBy). */
+  private def requireNoQsClash(groupCols: Seq[String]): Unit = {
+    val clash = groupCols.toSet.intersect(Set("__qs_v", "__qs_b", "__qs_n",
+      "__qs_cum", "__qs_tot", "__qs_rank", "q_permille", "value_lb"))
+    require(clash.isEmpty,
+      s"group columns clash with internal/output names: $clash")
+  }
 
   /** [[sketchQuantilesByGroup]]'s DuckDB form over a (group, v)
     * relation `src` — the same bucket/lower/rank integer arithmetic,

@@ -1061,16 +1061,22 @@ object SimilarityQueries {
     val e = emb(spark, sfDir)
     def pairs(cap: Int) = SimilarityOps.cosineNearDupPairs(e, "vec_id",
       "embedding", threshold = 0.3, planes = PLANES, maxBucketFreq = cap)
+    // the uncapped family — the single most expensive plan here (the
+    // unbounded hot-bucket join is exactly what the cap removes) — is
+    // evaluated ONCE: its count feeds both its own row and every
+    // rung's denominator as a literal
+    val nUncapped = pairs(Int.MaxValue).count()
     def nPairs(label: String, cap: Int) =
       pairs(cap).agg(count(lit(1)).as("n_pairs"))
         .select(lit(label).as("cap"), col("n_pairs"))
+    import spark.implicits._
     val rows = (CAP_STEPS.map(c => nPairs(s"cap_$c", c)) :+
-      nPairs("uncapped", Int.MaxValue)).reduce(_ unionByName _)
-    val denom = pairs(Int.MaxValue).agg(count(lit(1)).as("n_uncapped"))
-    rows.crossJoin(denom)
-      .select(col("cap"), col("n_pairs"), col("n_uncapped"),
-        call_function("div", col("n_pairs") * 1000, col("n_uncapped"))
-          .as("recall_permille"))
+      Seq(("uncapped", nUncapped)).toDF("cap", "n_pairs"))
+      .reduce(_ unionByName _)
+    rows.select(col("cap"), col("n_pairs"),
+      lit(nUncapped).as("n_uncapped"),
+      call_function("div", col("n_pairs") * 1000, lit(nUncapped))
+        .as("recall_permille"))
   }
 
   def capRecallCompareSql: String = {
@@ -1121,16 +1127,19 @@ object SimilarityQueries {
     def pairs(cap: Int) = SimilarityOps.cosineNearDupPairsBanded(e, "vec_id",
       "embedding", threshold = 0.3, bands = ND_BANDS, planesPerBand = ND_R,
       maxBandFreq = cap)
+    // one evaluation of the uncapped family (see capRecallCompare)
+    val nUncapped = pairs(Int.MaxValue).count()
     def nPairs(label: String, cap: Int) =
       pairs(cap).agg(count(lit(1)).as("n_pairs"))
         .select(lit(label).as("cap"), col("n_pairs"))
+    import spark.implicits._
     val rows = (BAND_CAP_STEPS.map(c => nPairs(s"band_cap_$c", c)) :+
-      nPairs("band_uncapped", Int.MaxValue)).reduce(_ unionByName _)
-    val denom = pairs(Int.MaxValue).agg(count(lit(1)).as("n_uncapped"))
-    rows.crossJoin(denom)
-      .select(col("cap"), col("n_pairs"), col("n_uncapped"),
-        call_function("div", col("n_pairs") * 1000, col("n_uncapped"))
-          .as("recall_permille"))
+      Seq(("band_uncapped", nUncapped)).toDF("cap", "n_pairs"))
+      .reduce(_ unionByName _)
+    rows.select(col("cap"), col("n_pairs"),
+      lit(nUncapped).as("n_uncapped"),
+      call_function("div", col("n_pairs") * 1000, lit(nUncapped))
+        .as("recall_permille"))
   }
 
   def bandRecallCompareSql: String = {

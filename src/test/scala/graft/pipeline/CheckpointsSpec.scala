@@ -25,7 +25,11 @@ class CheckpointsSpec extends AnyFunSuite {
     * session state leak this suite used to cause. */
   private lazy val ckptDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_ckpt_suite")
-    d.toFile.deleteOnExit()
+    // deleteOnExit is a no-op on non-empty dirs (checkpoint blocks land
+    // inside) — a recursive shutdown hook actually cleans up while
+    // keeping the dir registered and LIVE for the session's lifetime
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
     spark.sparkContext.setCheckpointDir(d.toString)
     d.toString
   }

@@ -113,5 +113,8 @@ class EmbedPairSeamSpec extends AnyFunSuite {
     }
     // a 100-TB-ish corpus at a small cap exhausts sign-LSH: clamped 48
     assert(SimilarityOps.planesFor(Long.MaxValue / 8, 16) == 48)
+    // margin·n past Long range must still signal exhaustion, not wrap
+    // to a tiny key space
+    assert(SimilarityOps.planesFor(Long.MaxValue, 16, margin = 8) == 48)
   }
 }

@@ -122,13 +122,20 @@ class QuantileSketchSpec extends AnyFunSuite {
       s"${exp.toSeq.sorted.take(5)}")
   }
 
-  test("contract: subBits bounds") {
+  test("contract: subBits bounds; clashing group columns are refused") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
       StatsOps.quantileSketch(df, Seq("g"), col("v"), subBits = 0)
     }
     intercept[IllegalArgumentException] {
       StatsOps.quantileSketch(df, Seq("g"), col("v"), subBits = 17)
+    }
+    // a group column named like an output/internal column would be
+    // silently clobbered by the withColumn chain — refused loudly
+    val clash = Seq(("g", 1L)).toDF("q_permille", "v")
+    intercept[IllegalArgumentException] {
+      StatsOps.sketchQuantilesByGroup(clash, Seq("q_permille"), col("v"),
+        perms, S)
     }
   }
 }

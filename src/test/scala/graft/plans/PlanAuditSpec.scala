@@ -33,10 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // makes the nested loop the optimal (and only sensible) plan;
       // Catalyst folds any constant-key equi-join disguise back to
       // this shape anyway
-      "q_lm_score",
-      // same one-row-denominator shape: the four per-cap count rows
-      // cross-join the single uncapped-count row for recall_permille
-      "q_cap_recall_compare", "q_band_recall_compare")
+      "q_lm_score")
+      // (q_cap_recall_compare / q_band_recall_compare once sat here for
+      // their one-row denominator cross-join; the denominator is now a
+      // collected literal, so their plans are BNLJ-free again)
 
   private def planOf(name: String): String =
     Registry.byName(name).run(spark, sfDir)
