@@ -36,6 +36,26 @@ class FlacMetaSpec extends AnyFunSuite {
     assert(got(5L).getLong(6) > (1L << 33), "planted 36-bit count")
   }
 
+  test("truncation sweep: every cut below the 42-byte STREAMINFO head " +
+    "is loud-false; every cut at or past it parses the full fields") {
+    val id = 7L
+    val bytes = MultimodalOps.encodeSyntheticFlac(Seq(id).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1)
+    val cuts = (0 to bytes.length).map(c => c.toLong -> bytes.take(c))
+    val got = meta(cuts)
+    cuts.foreach { case (cut, _) =>
+      val r = got(cut)
+      if (cut < 42) {
+        assert(!r.getBoolean(2), s"cut=$cut must not parse")
+        assert(r.isNullAt(6), s"cut=$cut fields must be null")
+      } else {
+        assert(r.getBoolean(2), s"cut=$cut must parse (fixed offsets)")
+        assert(r.getLong(1) == cut, s"cut=$cut n_bytes")
+        assert(r.getLong(6) == MultimodalOps.synthFlacTotalSamples(id))
+      }
+    }
+  }
+
   test("non-FLAC payloads are format_ok = false with null fields") {
     val wav = MultimodalOps.encodeSyntheticWav(Seq(4L).toDF("id"), "id")
       .collect()(0).getAs[Array[Byte]](1)

@@ -75,6 +75,30 @@ class Mp3StreamSpec extends AnyFunSuite {
     assert(got.getLong(1) == 3L, s"expected 3 frames, got ${got.getLong(1)}")
   }
 
+  test("truncation sweep: EVERY cut yields exactly the frames fully " +
+    "before it, and never throws") {
+    val id = 11L // CBR, no ID3 — per-frame lengths from the formulas
+    val bytes = encode(Seq(id))(id)
+    val k = MultimodalOps.synthMp3Frames(id)
+    val rate = Seq(44100, 48000, 32000)(MultimodalOps.synthMp3RateIdx(id))
+    val ends = (0 until k).scanLeft(0) { (p, i) =>
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320)(MultimodalOps.synthMp3BitrateIdx(id, i))
+      p + (144000L * kbps / rate).toInt + MultimodalOps.synthMp3Padding(id, i)
+    }.drop(1)
+    assert(ends.last == bytes.length)
+    val cuts = (0 to bytes.length).map(c => c.toLong -> bytes.take(c))
+    val got = walk(cuts) // one job; absent key = no row for that cut
+    cuts.foreach { case (cut, _) =>
+      val expFrames = ends.count(_ <= cut)
+      got.get(cut) match {
+        case None => assert(expFrames == 0, s"cut=$cut lost $expFrames frames")
+        case Some(r) => assert(r.getLong(1) == expFrames.toLong,
+          s"cut=$cut: got ${r.getLong(1)}, expected $expFrames")
+      }
+    }
+  }
+
   test("byte-flip fuzz never escapes as an exception") {
     val id = 5L // has the ID3 tag — flips hit the syncsafe length too
     val bytes = encode(Seq(id))(id)
