@@ -676,7 +676,15 @@ object SimilarityOps {
     * map-only pass ([[ivfPqEncodeCorpus]]) + one partitioned write;
     * PROBE ([[probeIvfPqIndex]]) reads ONLY the probed cell directories
     * — the cell filter is a partition filter, so a 2-probe query over
-    * 4096 cells scans ~0.05% of an already-32×-smaller relation. */
+    * 4096 cells scans ~0.05% of an already-32×-smaller relation.
+    *
+    * A FULL REBUILD (retraining quantizers) overwrites in place and is
+    * NOT probe-safe — unlike the epoch'd artifacts, the cell tree has
+    * no meta pointer to swap (the partition directories ARE the
+    * addressing). Rebuild into a fresh path and repoint the serving
+    * location; in-place use is build-once + [[appendIvfPqIndex]] +
+    * [[compactIvfPqIndex]] (whose swap discipline is documented at
+    * [[LayoutOps.compactPartitioned]]). */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame,
                       codebooks: Seq[Seq[(Int, Seq[Long], Long)]],
