@@ -362,6 +362,131 @@ object MultimodalOps {
       when(isWav, frames).as("n_samples"))
   }
 
+  // ---- WEBP (modern web image metadata) ----------------------------------
+  // The image format real crawls actually carry: a RIFF container (the
+  // AVI grammar, image-sized) whose FIRST chunk names the coding —
+  // 'VP8 ' (lossy: sync code + 14-bit LE dims), 'VP8L' (lossless: one
+  // packed 32-bit word holding w-1 | h-1<<14 | alpha<<28), 'VP8X'
+  // (extended: flags byte + two 24-bit LE canvas dims). All three
+  // variants parse columnar at fixed offsets — the bit-packed fields
+  // unpack with integer div/mod, no codec.
+
+  /** Deterministic WEBP formulas, mirrored verbatim by the oracle. */
+  def synthWebpVariant(id: Long): Int = (id % 3).toInt // 0 lossy, 1 lossless, 2 extended
+  def synthWebpWidth(id: Long): Int = (16 + id % 200).toInt
+  def synthWebpHeight(id: Long): Int = (16 + (id * 7) % 150).toInt
+  /** Alpha exists only in the lossless and extended variants. */
+  def synthWebpAlpha(id: Long): Boolean = id % 3 != 0 && id % 2 == 1
+  def synthWebpTail(id: Long): Int = (10 + id % 20).toInt
+
+  /** id → honest WEBP bytes: RIFF/WEBP envelope, one coding chunk per
+    * the variant formula with spec-layout headers, then opaque coded
+    * bytes (no VP8 codec here — the metadata pass never needs one). */
+  def encodeSyntheticWebp(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = synthWebpWidth(id); val h = synthWebpHeight(id)
+        val alpha = synthWebpAlpha(id)
+        val tail = synthWebpTail(id)
+        val variant = synthWebpVariant(id)
+        val (fourcc, header) = variant match {
+          case 0 => // VP8 lossy: 3-byte frame tag, sync, 2x u16le dims
+            val hdr = new Array[Byte](10)
+            hdr(3) = 0x9D.toByte; hdr(4) = 0x01; hdr(5) = 0x2A
+            hdr(6) = (w & 0xFF).toByte; hdr(7) = ((w >> 8) & 0x3F).toByte
+            hdr(8) = (h & 0xFF).toByte; hdr(9) = ((h >> 8) & 0x3F).toByte
+            ("VP8 ", hdr)
+          case 1 => // VP8L: signature + packed (w-1) | (h-1)<<14 | a<<28
+            val packed = (w - 1).toLong | ((h - 1).toLong << 14) |
+              (if (alpha) 1L << 28 else 0L)
+            val hdr = new Array[Byte](5)
+            hdr(0) = 0x2F
+            (0 until 4).foreach(i =>
+              hdr(1 + i) = ((packed >> (8 * i)) & 0xFF).toByte)
+            ("VP8L", hdr)
+          case _ => // VP8X: flags + 3 reserved + 24-bit LE (dims - 1)
+            val hdr = new Array[Byte](10)
+            hdr(0) = (if (alpha) 0x10 else 0x00).toByte
+            (0 until 3).foreach(i =>
+              hdr(4 + i) = (((w - 1) >> (8 * i)) & 0xFF).toByte)
+            (0 until 3).foreach(i =>
+              hdr(7 + i) = (((h - 1) >> (8 * i)) & 0xFF).toByte)
+            ("VP8X", hdr)
+        }
+        val payload = header.length + tail
+        val pad = payload & 1
+        val bb = java.nio.ByteBuffer.allocate(12 + 8 + payload + pad)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + payload + pad)
+        bb.put("WEBP".getBytes("US-ASCII"))
+        bb.put(fourcc.getBytes("US-ASCII")).putInt(payload)
+        bb.put(header)
+        (0 until tail).foreach(j => bb.put(((id + j * 17) % 251).toByte))
+        if (pad == 1) bb.put(0.toByte)
+        require(bb.remaining() == 0, "webp encoder layout bug")
+        new GenericRowWithSchema(Array[Any](id, bb.array()), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Columnar WEBP metadata parse: RIFF/WEBP envelope check, then the
+    * first chunk's fourcc routes to the variant's fixed-offset field
+    * layout — lossy 14-bit LE dims behind the sync code, lossless's
+    * single packed word, extended's 24-bit canvas fields. Pure
+    * substring/hex/conv arithmetic; `format_ok = false` with null
+    * fields for anything else. Emits (n_bytes, format_ok, variant,
+    * width, height, has_alpha). */
+  def webpMeta(content: Column): Column = {
+    def u8(pos: Int): Column =
+      conv(hex(substring(content, pos, 1)), 16, 10).cast("long")
+    def le(pos: Int, len: Int): Column =
+      (0 until len).map(i => u8(pos + i) * lit(1L << (8 * i))).reduce(_ + _)
+    val isRiff = octet_length(content) >= 21 &&
+      substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+      substring(content, 9, 4) === lit("WEBP".getBytes("US-ASCII"))
+    val cc = substring(content, 13, 4)
+    val isLossy = cc === lit("VP8 ".getBytes("US-ASCII")) &&
+      octet_length(content) >= 30 &&
+      substring(content, 24, 3) === lit(Array[Byte](0x9D.toByte, 0x01, 0x2A))
+    val isLossless = cc === lit("VP8L".getBytes("US-ASCII")) &&
+      octet_length(content) >= 25 && u8(21) === 0x2FL
+    val isExt = cc === lit("VP8X".getBytes("US-ASCII")) &&
+      octet_length(content) >= 30
+    val ok = isRiff && (isLossy || isLossless || isExt)
+    // lossy: u16le with the top 2 bits a scale factor — dims are the
+    // low 14 bits
+    val lossyW = pmod(le(27, 2), lit(1L << 14))
+    val lossyH = pmod(le(29, 2), lit(1L << 14))
+    // lossless: packed (w-1) | (h-1)<<14 | alpha<<28
+    val packed = le(22, 4)
+    val llW = pmod(packed, lit(1L << 14)) + 1L
+    val llH = pmod(call_function("div", packed, lit(1L << 14)),
+      lit(1L << 14)) + 1L
+    val llA = pmod(call_function("div", packed, lit(1L << 28)), lit(2L)) === 1L
+    // extended: flags bit 0x10 + two 24-bit LE (dim - 1) canvas fields
+    val extA = pmod(call_function("div", u8(21), lit(16L)), lit(2L)) === 1L
+    val extW = le(25, 3) + 1L
+    val extH = le(28, 3) + 1L
+    val variant = when(isLossy, lit("lossy"))
+      .when(isLossless, lit("lossless"))
+      .when(isExt, lit("extended"))
+    struct(
+      octet_length(content).cast("long").as("n_bytes"),
+      ok.as("format_ok"),
+      when(ok, variant).as("variant"),
+      when(ok, when(isLossy, lossyW).when(isLossless, llW).otherwise(extW))
+        .as("width"),
+      when(ok, when(isLossy, lossyH).when(isLossless, llH).otherwise(extH))
+        .as("height"),
+      when(ok, when(isLossy, lit(false)).when(isLossless, llA)
+        .otherwise(extA)).as("has_alpha"))
+  }
+
   // ---- FLAC (compressed-audio metadata) ----------------------------------
   // The compressed-audio analogue of [[wavMeta]]: real corpora carry
   // FLAC/MP3, not PCM WAV, and the metadata a pipeline filters on

@@ -15,6 +15,10 @@ object MultimodalQueries {
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     GraftQuery("q_media_meta_jpeg", mediaMetaJpeg, Some(mediaMetaJpegSql)),
+    // WEBP: the crawl-native image format — RIFF envelope + three
+    // variant headers (lossy sync+14-bit dims, lossless packed word,
+    // extended 24-bit canvas), columnar, oracle from formulas
+    GraftQuery("q_media_meta_webp", mediaMetaWebp, Some(mediaMetaWebpSql)),
     GraftQuery("q_media_frames", mediaFrames, Some(mediaFramesSql)),
     GraftQuery("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     GraftQuery("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
@@ -325,6 +329,35 @@ object MultimodalQueries {
       |  CAST(16 AS BIGINT) AS bits_per_sample,
       |  CAST(200 + doc_id % 57 AS BIGINT) AS n_samples
       |FROM documents""".stripMargin
+
+  /** WEBP metadata round-trip: every doc becomes a spec-layout WEBP of
+    * its formula variant (a third of the corpus each for lossy /
+    * lossless / extended, so all three header layouts are exercised),
+    * and the columnar parse recovers variant, dimensions, and the
+    * alpha flag; the oracle recomputes everything from the formulas. */
+  def mediaMetaWebp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    MultimodalOps.encodeSyntheticWebp(ids, "doc_id")
+      .select(col("media_id"), MultimodalOps.webpMeta(col("content")).as("m"))
+      .select(col("media_id"), col("m.*"))
+  }
+
+  def mediaMetaWebpSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 5 ELSE 10 END
+      |      + 10 + doc_id % 20 AS p
+      |  FROM documents
+      |)
+      |SELECT media_id,
+      |  CAST(20 + p + (p % 2) AS BIGINT) AS n_bytes,
+      |  TRUE AS format_ok,
+      |  CASE media_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+      |       ELSE 'extended' END AS variant,
+      |  CAST(16 + media_id % 200 AS BIGINT) AS width,
+      |  CAST(16 + (media_id * 7) % 150 AS BIGINT) AS height,
+      |  media_id % 3 <> 0 AND media_id % 2 = 1 AS has_alpha
+      |FROM d""".stripMargin
 
   /** FLAC STREAMINFO round-trip: every doc becomes a spec-layout FLAC
     * head (fLaC + STREAMINFO-first + PADDING + opaque frame bytes) and
