@@ -88,6 +88,26 @@ object MediaSoakMain {
     println(f"  $nFlac%,d heads at ${nFlac / tFlac}%,.0f clips/s, 36-bit " +
       "counts (every 5th past 2^33) summed exactly")
 
+    // ---- 3a2. WEBP columnar metadata --------------------------------------
+    // the image-side columnar walk at the FLAC leg's scale: all three
+    // variant headers exercised (a third of ids each); truth is the
+    // closed-form width sum over the dimension formula
+    val expWidthSum = 16L * nFlac +
+      (0L until 200L).map(r => r * ((nFlac - r + 199) / 200)).sum
+    val (webpRow, tWebp) = time(f"WEBP metadata parse over $nFlac%,d heads") {
+      MultimodalOps.encodeSyntheticWebp(fIds, "id")
+        .select(MultimodalOps.webpMeta(col("content")).as("m"))
+        .agg(sum(when(col("m.format_ok"), 1L).otherwise(0L)),
+          sum(col("m.width")))
+        .collect()(0)
+    }
+    require(webpRow.getLong(0) == nFlac,
+      s"webp format_ok: ${webpRow.getLong(0)} of $nFlac")
+    require(webpRow.getLong(1) == expWidthSum,
+      s"webp width sum: got ${webpRow.getLong(1)}, closed form $expWidthSum")
+    println(f"  $nFlac%,d heads at ${nFlac / tWebp}%,.0f clips/s, all three " +
+      "variant layouts summed exactly")
+
     // ---- 3b. MP3 frame-stream walk ----------------------------------------
     // the self-synchronizing grammar at scale: ~25 variable-length
     // frames per clip, lengths from each frame's own header; truth is
