@@ -96,4 +96,27 @@ object TableSources {
   def readBack(spark: SparkSession, path: String, format: String,
                schema: StructType): DataFrame =
     spark.read.schema(schema).format(format).load(path)
+
+  /** Opaque-media ingestion: a directory tree of real files as
+    * (media_path, media_mtime, media_len, content) rows via Spark's
+    * built-in `binaryFile` source — the seam that feeds ON-DISK crawls
+    * into the metadata walks and decoders (every `MultimodalOps`
+    * operator takes an id/content pair, so
+    * `mp4SampleTable(readBinaryDir(...), "content", idCol)` works on a
+    * real corpus exactly as on the synthetic encoders). `glob` filters
+    * by filename (e.g. `*.mp4`); filtering happens at the FILE LISTING
+    * (pathGlobFilter), so non-matching files are never opened, and the
+    * scan parallelizes per file. Files stay opaque binary end to end —
+    * no driver materialization. */
+  def readBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path").as("media_path"),
+        col("modificationTime").as("media_mtime"),
+        col("length").as("media_len"),
+        col("content"))
+  }
 }

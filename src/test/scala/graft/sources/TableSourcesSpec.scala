@@ -36,6 +36,45 @@ class TableSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile ingestion: ON-DISK media files feed the metadata " +
+    "walks exactly like the synthetic encoders") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ops = graft.pipeline.MultimodalOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_dir")
+    // write real MP4 and FLAC files to disk, plus a decoy the glob skips
+    val mp4Ids = Seq(2L, 3L)
+    ops.encodeSyntheticMp4(mp4Ids.toDF("id"), "id").collect().foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"clip_${r.getLong(0)}.mp4"),
+        r.getAs[Array[Byte]](1))
+    }
+    ops.encodeSyntheticFlac(Seq(5L).toDF("id"), "id").collect().foreach { r =>
+      java.nio.file.Files.write(dir.resolve("track_5.flac"),
+        r.getAs[Array[Byte]](1))
+    }
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "not media".getBytes("US-ASCII"))
+
+    // glob prunes at the listing: only the .mp4 files are ever opened
+    val mp4s = TableSources.readBinaryDir(spark, dir.toString, "*.mp4")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mp4", 1)
+          .cast("long"))
+    assert(mp4s.count() == 2)
+    val samples = ops.mp4SampleTable(mp4s, "content", "media_id")
+      .groupBy("media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(samples == mp4Ids.map(id =>
+      id -> ops.synthMp4Samples(id).toLong).toMap,
+      "on-disk MP4s must resolve the same sample tables as in-flight ones")
+
+    val flacs = TableSources.readBinaryDir(spark, dir.toString, "*.flac")
+      .select(ops.flacMeta(col("content")).as("m")).select(col("m.*"))
+      .collect()
+    assert(flacs.length == 1 && flacs(0).getBoolean(1))
+    assert(flacs(0).getLong(3) == ops.synthFlacSampleRate(5L))
+  }
+
   test("partitioned write produces one directory per key") {
     val stream = graft.queries.EventStreams
       .bookStream(spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)
