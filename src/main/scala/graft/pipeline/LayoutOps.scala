@@ -266,6 +266,28 @@ object LayoutOps {
                       path: String): Unit =
     compactPartitioned(spark, s"$path/data", "zcell")
 
+  /** Co-located join layout: persist a relation BUCKETED (and
+    * bucket-sorted) by its join key as a catalog table. Two relations
+    * written this way with the SAME bucket count join with NO shuffle
+    * on either side — the bucket spec is a persisted hash
+    * partitioning Catalyst recognizes, so the sort-merge join's
+    * exchanges (the per-query cost that dominates a repeated big-big
+    * join) disappear; at 100 TB this turns every daily
+    * fact-to-dimension-history join into a map-side zip of
+    * co-numbered buckets. The trade, stated plainly: the bucket count
+    * is FROZEN at write time (re-bucketing is a rewrite), small
+    * bucket counts cap join parallelism, and the layout only elides
+    * exchanges for equi-joins on a prefix of the bucket keys —
+    * LayoutSpec asserts the exchange-free plan rather than trusting
+    * this comment. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    key: String, buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Probe a [[writeZordered]] layout with a 2-D VALUE box: maps the
     * value ranges to bucket ranges via the stored metadata, enumerates
     * the covering z-cells driver-side, and reads with a `zcell IN`

@@ -198,4 +198,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(LayoutOps.readZorderBox(spark, path, aLo, aHi, bLo, bHi)
       .select("id").as[Long].collect().toSet == expected)
   }
+
+  test("co-bucketed tables join with NO shuffle on either side, and the " +
+    "result equals the unbucketed join") {
+    import org.apache.spark.sql.functions._
+    val facts = spark.range(20000).select(
+      (col("id") % 500).as("k"), (col("id") * 7 % 1000).as("v"))
+    val dims = spark.range(500).select(
+      col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    LayoutOps.writeBucketed(facts, "bk_facts", "k", 8)
+    LayoutOps.writeBucketed(dims, "bk_dims", "k", 8)
+    try {
+      val joined = spark.table("bk_facts")
+        .join(spark.table("bk_dims"), "k")
+      // disable broadcast for the assertion: a 500-row dim would
+      // otherwise broadcast and trivially show no exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"co-bucketed equi-join must not shuffle either side:\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("MergeJoin"),
+          s"expected a merge join over co-numbered buckets:\n$plan")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val bucketed = joined.groupBy(col("k"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val plain = facts.join(dims, "k").groupBy(col("k"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(bucketed == plain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
 }
