@@ -54,6 +54,10 @@ object RelationalQueries {
     // ONLY the stored epoch — counts are associative, so output ≡ the
     // one-shot sketch and the query shares its oracle
     GraftQuery("q_quantile_stored", quantileStoredQ, Some(quantileSketchSql)),
+    // salted equi-join: the hot side spread over 8 synthetic sub-keys,
+    // the dim replicated per salt — result provably identical to the
+    // plain join (the oracle doesn't even mention the salt)
+    GraftQuery("q_salted_join", saltedJoinQ, Some(saltedJoinSql)),
   )
 
   private val Z_BITS = 4 // 16x16 cell grid, zcell in [0, 256)
@@ -96,6 +100,30 @@ object RelationalQueries {
       li.filter(col("l_orderkey") % 2 === 1), cents(col("l_extendedprice")))
     graft.pipeline.StatsOps.quantilesFromStoredSketch(spark, dir, QS_PERMILLE)
   }
+
+  /** Skew-spread join: lineitem's 3-value return flag is the classic
+    * hot key (a third of the table per key — a plain shuffle join runs
+    * three giant tasks); [[graft.operators.SaltedJoin]] spreads each
+    * flag over 8 sub-keys and replicates the 3-row dim per salt. The
+    * aggregate output — and the oracle — are salt-free: salting is
+    * correctness-neutral by construction, which is exactly what the
+    * green row proves (SaltedJoinSpec measures the balance half). */
+  def saltedJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+    val dim = li.select(col("l_returnflag")).distinct()
+      .select(col("l_returnflag"),
+        concat(lit("flag_"), col("l_returnflag")).as("label"))
+    graft.operators.SaltedJoin.saltedJoin(li, dim, "l_returnflag", salts = 8)
+      .groupBy(col("l_returnflag"), col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+  }
+
+  def saltedJoinSql: String =
+    """SELECT l_returnflag, 'flag_' || l_returnflag AS label,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
 
   /** Z-order (Morton) layout cells over lineitem's two join keys —
     * the clustered-write side of multi-dimensional pruning (see

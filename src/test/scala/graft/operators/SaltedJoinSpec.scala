@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted equi-join: result identical to the plain join (inner and
+  * left, matched and unmatched keys), and the hot key's rows measured
+  * ACTUALLY SPREAD across partitions where the plain join funnels them
+  * into one task. */
+class SaltedJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 90% of the fact side is one key; key 99 has no dim match
+  private def facts = spark.range(20000).select(
+    when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 10 + 90)
+      .as("k"),
+    (col("id") * 13 % 1000).as("v"))
+  private def dim = Seq((7L, "hot"), (90L, "a"), (91L, "b"), (92L, "c"),
+    (93L, "d"), (94L, "e"), (95L, "f"), (96L, "g"), (97L, "h"),
+    (98L, "i")).toDF("k", "name")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("inner and left results == the plain join, row for row") {
+    val plainInner = facts.join(dim, Seq("k"), "inner")
+    val saltedInner = SaltedJoin.saltedJoin(facts, dim, "k", salts = 8)
+    assert(canon(saltedInner) == canon(plainInner))
+    // left: key 99 has no match — its rows must survive with null name
+    val plainLeft = facts.join(dim, Seq("k"), "left_outer")
+    val saltedLeft = SaltedJoin.saltedJoin(facts, dim, "k", salts = 8,
+      joinType = "left_outer")
+    assert(canon(saltedLeft) == canon(plainLeft))
+    assert(saltedLeft.filter(col("k") === 99L && col("name").isNull)
+      .count() > 0, "unmatched hot-side keys must survive a left join")
+  }
+
+  test("the hot key's rows spread across tasks (plain join funnels them)") {
+    // AQE off so partition boundaries are the raw shuffle's; broadcast
+    // off so the join actually shuffles
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def maxPartFrac(df: org.apache.spark.sql.DataFrame): Double = {
+        val sizes = df.withColumn("__pid", spark_partition_id())
+          .groupBy("__pid").count().collect().map(_.getLong(1))
+        sizes.max.toDouble / sizes.sum
+      }
+      val plain = maxPartFrac(facts.join(dim, Seq("k"), "inner"))
+      val salted = maxPartFrac(
+        SaltedJoin.saltedJoin(facts, dim, "k", salts = 8))
+      assert(plain > 0.8,
+        f"fixture must funnel the plain join (got $plain%.2f)")
+      assert(salted < 0.4,
+        f"salting must spread the hot key (got $salted%.2f vs $plain%.2f)")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("contracts: bad join type, missing key, salt clash are refused") {
+    intercept[IllegalArgumentException] {
+      SaltedJoin.saltedJoin(facts, dim, "k", 8, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.saltedJoin(facts, dim, "nope", 8)
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.saltedJoin(facts.withColumn("__salt", lit(1)), dim, "k", 8)
+    }
+  }
+}
