@@ -31,16 +31,20 @@ object SaltedJoin {
   def saltedJoin(hot: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    require(joinType == "inner" || joinType == "left_outer" ||
-      joinType == "left",
+    // normalize Spark's accepted spellings ("left", "leftouter",
+    // "LEFT_OUTER", …) before the whitelist check
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
+    require(jt == "inner" || jt == "leftouter" || jt == "left",
       s"saltedJoin supports inner/left_outer, got $joinType " +
         "(salt the other side for right/full)")
     require(hot.columns.contains(key) && small.columns.contains(key),
       s"both sides need the join column '$key'")
     val clash = (hot.columns ++ small.columns).contains("__salt")
     require(!clash, "join sides must not already carry a __salt column")
+    // hot(name), not col(name): a column literally named "user.id"
+    // must resolve as itself, not as a struct-field path
     val saltedHot = hot.withColumn("__salt",
-      pmod(xxhash64(struct(hot.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(hot.columns.map(hot(_)): _*)), lit(salts.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedHot.join(replicated, Seq(key, "__salt"), joinType)

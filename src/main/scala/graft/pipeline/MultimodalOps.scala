@@ -605,6 +605,12 @@ object MultimodalOps {
     if (synthMp3IsVbr(id)) (1 + (id + i * 7) % 14).toInt
     else (1 + id % 14).toInt
   def synthMp3Padding(id: Long, i: Int): Int = ((id + i) % 2).toInt
+  /** One frame's full on-wire length — the Layer III formula over the
+    * frame's own formula fields (kept HERE so specs never hand-copy
+    * the private bitrate/rate tables). */
+  def synthMp3FrameLen(id: Long, i: Int): Int =
+    (144000L * Mp3BitrateKbps(synthMp3BitrateIdx(id, i)) /
+      Mp3SampleRates(synthMp3RateIdx(id))).toInt + synthMp3Padding(id, i)
   /** Every 5th clip leads with an ID3v2 tag of this payload size. */
   def synthMp3Id3Size(id: Long): Int =
     if (id % 5 == 0) (id % 40).toInt else -1

@@ -107,7 +107,13 @@ object TableSources {
     * by filename (e.g. `*.mp4`); filtering happens at the FILE LISTING
     * (pathGlobFilter), so non-matching files are never opened, and the
     * scan parallelizes per file. Files stay opaque binary end to end —
-    * no driver materialization. */
+    * nothing reaches the driver, but each file IS one row, so the
+    * materialization unit is one whole file per executor task: the
+    * source hard-fails above `spark.sql.sources.binaryFile.maxLength`
+    * (Int.MaxValue ≈ 2.1 GB), and multi-GB files below it become
+    * multi-GB single rows — size executor memory for the largest file,
+    * and keep genuinely huge media on a chunked path (e.g. pre-split
+    * segments), not this one. */
   def readBinaryDir(spark: SparkSession, dir: String,
                     glob: String = "*"): DataFrame = {
     import org.apache.spark.sql.functions._

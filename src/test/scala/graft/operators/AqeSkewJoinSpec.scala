@@ -36,8 +36,11 @@ class AqeSkewJoinSpec extends AnyFunSuite {
         when(col("id") % 20 < 19, lit(7L)).otherwise(col("id") % 1000)
           .as("k"),
         concat(lit("left_payload_"), col("id")).as("lv"))
-      val right = spark.range(50000).select(
-        (col("id") % 1000).as("k"),
+      // one right row per key: skew detection keys off the map-side
+      // partition SIZE of the left's hot key, so a unique-key right
+      // side triggers the identical split at ~50x less join output
+      val right = spark.range(1000).select(
+        col("id").as("k"),
         concat(lit("right_payload_"), col("id")).as("rv"))
       val joined = left.join(right, "k")
       // run the join's OWN QueryExecution (count() would plan a

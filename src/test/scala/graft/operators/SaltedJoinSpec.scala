@@ -12,28 +12,34 @@ class SaltedJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // 90% of the fact side is one key; key 99 has no dim match
+  // 90% of the fact side is one key; the tail spreads over keys 90-98,
+  // of which 94 has NO dim match (the unmatched-left case)
   private def facts = spark.range(20000).select(
-    when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 10 + 90)
+    when(col("id") % 20 < 18, lit(7L)).otherwise(col("id") % 9 + 90)
       .as("k"),
     (col("id") * 13 % 1000).as("v"))
   private def dim = Seq((7L, "hot"), (90L, "a"), (91L, "b"), (92L, "c"),
-    (93L, "d"), (94L, "e"), (95L, "f"), (96L, "g"), (97L, "h"),
+    (93L, "d"), (95L, "f"), (96L, "g"), (97L, "h"),
     (98L, "i")).toDF("k", "name")
 
   private def canon(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
 
   test("inner and left results == the plain join, row for row") {
+    // fixture sanity: the seam must see MANY matched non-hot keys,
+    // not just the hot one (a salt bug on cold keys must not hide)
+    assert(facts.select("k").distinct().count() >= 9)
     val plainInner = facts.join(dim, Seq("k"), "inner")
     val saltedInner = SaltedJoin.saltedJoin(facts, dim, "k", salts = 8)
     assert(canon(saltedInner) == canon(plainInner))
-    // left: key 99 has no match — its rows must survive with null name
+    assert(saltedInner.select("k").distinct().count() >= 8,
+      "matched cold keys must flow through the salt seam")
+    // left: key 94 has no match — its rows must survive with null name
     val plainLeft = facts.join(dim, Seq("k"), "left_outer")
     val saltedLeft = SaltedJoin.saltedJoin(facts, dim, "k", salts = 8,
-      joinType = "left_outer")
+      joinType = "leftouter") // Spark's canonical spelling, normalized
     assert(canon(saltedLeft) == canon(plainLeft))
-    assert(saltedLeft.filter(col("k") === 99L && col("name").isNull)
+    assert(saltedLeft.filter(col("k") === 94L && col("name").isNull)
       .count() > 0, "unmatched hot-side keys must survive a left join")
   }
 

@@ -64,12 +64,7 @@ class Mp3StreamSpec extends AnyFunSuite {
     val bytes = encode(Seq(id))(id).clone()
     // find the 3rd frame's offset by walking lengths like the encoder
     var p = 0
-    (0 until 3).foreach { i =>
-      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
-        192, 224, 256, 320)(MultimodalOps.synthMp3BitrateIdx(id, i))
-      val rate = Seq(44100, 48000, 32000)(MultimodalOps.synthMp3RateIdx(id))
-      p += (144000L * kbps / rate).toInt + MultimodalOps.synthMp3Padding(id, i)
-    }
+    (0 until 3).foreach(i => p += MultimodalOps.synthMp3FrameLen(id, i))
     bytes(p) = 0x00.toByte // destroy frame 3's sync byte
     val got = walk(Seq(id -> bytes))(id)
     assert(got.getLong(1) == 3L, s"expected 3 frames, got ${got.getLong(1)}")
@@ -80,12 +75,8 @@ class Mp3StreamSpec extends AnyFunSuite {
     val id = 11L // CBR, no ID3 — per-frame lengths from the formulas
     val bytes = encode(Seq(id))(id)
     val k = MultimodalOps.synthMp3Frames(id)
-    val rate = Seq(44100, 48000, 32000)(MultimodalOps.synthMp3RateIdx(id))
-    val ends = (0 until k).scanLeft(0) { (p, i) =>
-      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
-        192, 224, 256, 320)(MultimodalOps.synthMp3BitrateIdx(id, i))
-      p + (144000L * kbps / rate).toInt + MultimodalOps.synthMp3Padding(id, i)
-    }.drop(1)
+    val ends = (0 until k).scanLeft(0)(
+      (p, i) => p + MultimodalOps.synthMp3FrameLen(id, i)).drop(1)
     assert(ends.last == bytes.length)
     val cuts = (0 to bytes.length).map(c => c.toLong -> bytes.take(c))
     val got = walk(cuts) // one job; absent key = no row for that cut
