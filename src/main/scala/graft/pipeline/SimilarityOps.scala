@@ -681,10 +681,11 @@ object SimilarityOps {
     * A FULL REBUILD (retraining quantizers) overwrites in place and is
     * NOT probe-safe — unlike the epoch'd artifacts, the cell tree has
     * no meta pointer to swap (the partition directories ARE the
-    * addressing). Rebuild into a fresh path and repoint the serving
-    * location; in-place use is build-once + [[appendIvfPqIndex]] +
-    * [[compactIvfPqIndex]] (whose swap discipline is documented at
-    * [[LayoutOps.compactPartitioned]]). */
+    * addressing). For probe-safe retrains use the pointer-swapped
+    * serving wrapper ([[writeIvfPqServing]] / [[rebuildIvfPqServing]] /
+    * [[probeIvfPqServing]]); in-place use of THIS path is build-once +
+    * [[appendIvfPqIndex]] + [[compactIvfPqIndex]] (whose swap
+    * discipline is documented at [[LayoutOps.compactPartitioned]]). */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame,
                       codebooks: Seq[Seq[(Int, Seq[Long], Long)]],
@@ -776,6 +777,81 @@ object SimilarityOps {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit =
     LayoutOps.compactPartitioned(spark, s"$path/codes", "cell")
+
+  // ---- pointer-swapped IVF-PQ serving (probe-safe retrains) --------------
+  // The cell tree itself cannot carry an epoch pointer (its partition
+  // directories ARE the addressing — see the writeIvfPqIndex scaladoc),
+  // so the serving wrapper adds one LEVEL UP: whole index GENERATIONS
+  // live in immutable `gens/e<N>/` dirs and a last-swapped meta names
+  // the current one. Probes resolve the pointer once and read a
+  // consistent generation; a RETRAIN builds the next generation beside
+  // the live one and swaps — the same meta + shared-GC discipline as
+  // every epoch'd artifact, closing the one lifecycle that previously
+  // required "rebuild into a fresh path and repoint by hand".
+
+  private def ivfGenDir(path: String, gen: Long): String =
+    s"$path/gens/e$gen"
+
+  private def swapIvfServingMeta(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, gen: Long): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq(gen).toDF("gen").coalesce(1).write.parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"ivfpq serving: failed to swap meta into place at $target")
+  }
+
+  private[graft] def readIvfServingGen(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    MetaIO.readMetaRow(spark, path, "ivfpq serving index", "index")
+      .getAs[Long]("gen")
+
+  /** Build generation 0 of a pointer-swapped serving index. */
+  def writeIvfPqServing(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame,
+                        codebooks: Seq[Seq[(Int, Seq[Long], Long)]],
+                        path: String): Unit = {
+    writeIvfPqIndex(corpus, idCol, vecCol, centroids, codebooks,
+      ivfGenDir(path, 0L))
+    swapIvfServingMeta(corpus.sparkSession, path, 0L)
+  }
+
+  /** Probe-safe RETRAIN: the next generation (fresh quantizers, fresh
+    * codes) builds beside the live one, the pointer swaps last, and
+    * the shared GC keeps {current, superseded} — a probe that resolved
+    * the old pointer finishes against an intact tree. */
+  def rebuildIvfPqServing(spark: org.apache.spark.sql.SparkSession,
+                          path: String, corpus: DataFrame, idCol: String,
+                          vecCol: String, centroids: DataFrame,
+                          codebooks: Seq[Seq[(Int, Seq[Long], Long)]]): Unit = {
+    val gen = readIvfServingGen(spark, path)
+    val next = gen + 1
+    writeIvfPqIndex(corpus, idCol, vecCol, centroids, codebooks,
+      ivfGenDir(path, next))
+    swapIvfServingMeta(spark, path, next)
+    MetaIO.pruneEpochs(spark, Seq(s"$path/gens"), superseded = gen)
+  }
+
+  /** Probe the CURRENT generation (pointer resolved once per call, so
+    * one probe sees one consistent generation). */
+  def probeIvfPqServing(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nProbes: Int): DataFrame =
+    probeIvfPqIndex(spark, ivfGenDir(path, readIvfServingGen(spark, path)),
+      queries, idCol, vecCol, k, nProbes)
+
+  /** Daily append into the CURRENT generation (the in-place delta path
+    * — generation-internal, same semantics as [[appendIvfPqIndex]]). */
+  def appendIvfPqServing(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newVecs: DataFrame, idCol: String,
+                         vecCol: String): Unit =
+    appendIvfPqIndex(spark, ivfGenDir(path, readIvfServingGen(spark, path)),
+      newVecs, idCol, vecCol)
 
   /** Default hot-bucket cap for the embedding pair generators — FINITE
     * and on by default, mirroring the MinHash band discipline

@@ -201,4 +201,71 @@ class IvfIndexSpec extends AnyFunSuite {
       rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
     }
   }
+
+  test("pointer-swapped serving: probes == direct generation probes; " +
+    "a RETRAIN swaps the pointer, keeps the grace pair, and changes " +
+    "what probes see") {
+    def corpusOf(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed)
+      (0L until n.toLong).map { i =>
+        (i, Array.fill(8)(r.nextFloat() * 2 - 1))
+      }.toDF("vec_id", "embedding")
+    }
+    val day1 = corpusOf(1, 240)
+    val day2 = corpusOf(2, 240) // a genuinely different corpus
+    val queries = day1.filter(col("vec_id") % 60 === 0)
+    def quantizers(c: org.apache.spark.sql.DataFrame) = {
+      val cbs = SimilarityOps.pqCodebooks(c, "vec_id", "embedding",
+        numSubspaces = 2, numCodes = 8, stride = 11)
+      val cents = c.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("cent_id"),
+          SimilarityOps.scaled(col("embedding")).as("cent_v"))
+      (cents, cbs)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
+    try {
+      val (c1, b1) = quantizers(day1)
+      SimilarityOps.writeIvfPqServing(day1, "vec_id", "embedding",
+        c1, b1, dir)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).sorted.toSeq
+      val viaPointer = canon(SimilarityOps.probeIvfPqServing(spark, dir,
+        queries, "vec_id", "embedding", k = 3, nProbes = 2))
+      val direct = canon(SimilarityOps.probeIvfPqIndex(spark,
+        s"$dir/gens/e0", queries, "vec_id", "embedding", k = 3, nProbes = 2))
+      assert(viaPointer == direct && viaPointer.nonEmpty)
+
+      // retrain on the new corpus: pointer advances, probes now answer
+      // from generation 1, and generation 0 survives as the grace pair
+      val (c2, b2) = quantizers(day2)
+      SimilarityOps.rebuildIvfPqServing(spark, dir, day2,
+        "vec_id", "embedding", c2, b2)
+      assert(SimilarityOps.readIvfServingGen(spark, dir) == 1L)
+      val after = canon(SimilarityOps.probeIvfPqServing(spark, dir,
+        queries, "vec_id", "embedding", k = 3, nProbes = 2))
+      assert(after == canon(SimilarityOps.probeIvfPqIndex(spark,
+        s"$dir/gens/e1", queries, "vec_id", "embedding", k = 3, nProbes = 2)))
+      assert(after != viaPointer, "a retrained corpus must answer differently")
+      assert(new java.io.File(s"$dir/gens/e0").exists(),
+        "the superseded generation must survive one retrain (grace)")
+
+      // second retrain: shared GC keeps exactly {e1, e2}
+      SimilarityOps.rebuildIvfPqServing(spark, dir, day1,
+        "vec_id", "embedding", c1, b1)
+      val gens = Option(new java.io.File(s"$dir/gens").listFiles())
+        .toSeq.flatten.map(_.getName)
+        .filter(n => n.startsWith("e") && n.drop(1).forall(_.isDigit)).toSet
+      assert(gens == Set("e1", "e2"))
+
+      // appends land inside the CURRENT generation
+      SimilarityOps.appendIvfPqServing(spark, dir,
+        corpusOf(3, 20).select((col("vec_id") + 1000).as("vec_id"),
+          col("embedding")), "vec_id", "embedding")
+      assert(SimilarityOps.probeIvfPqServing(spark, dir, queries,
+        "vec_id", "embedding", k = 3, nProbes = 2).count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
