@@ -1575,12 +1575,21 @@ object MultimodalOps {
     val nSamples = u32(stsz._1 + 8).toInt
     if (nSamples < 0 || (uniform == 0 && stsz._1 + 12 + 4L * nSamples > stsz._2))
       return Nil
+    // Plausibility bound BEFORE allocating nSamples-sized arrays: with a
+    // uniform sample size the declared samples must fit the buffer (a
+    // corrupt header claiming ~2^31 samples would otherwise drive a
+    // multi-GB allocation whose OutOfMemoryError — an Error, not an
+    // Exception — escapes the callers' parse-failure handling and kills
+    // the executor). uniform == 0 is already bounded by the stsz box
+    // extent above, itself inside the buffer.
+    if (uniform != 0 && nSamples.toLong * math.max(uniform, 1L) > bytes.length)
+      return Nil
     val sizes = Array.tabulate(nSamples)(i =>
       if (uniform != 0) uniform else u32(stsz._1 + 12 + 4L * i))
     // stts: run-length (count, delta) -> cumulative dts
     val stts = child(stblKids, "stts").getOrElse(return Nil)
     val nRuns = u32(stts._1 + 4).toInt
-    if (stts._1 + 8 + 8L * nRuns > stts._2) return Nil
+    if (nRuns < 0 || stts._1 + 8 + 8L * nRuns > stts._2) return Nil
     val dts = new Array[Long](nSamples)
     var si = 0; var t = 0L; var run = 0
     while (run < nRuns && si < nSamples) {
@@ -1595,8 +1604,11 @@ object MultimodalOps {
     val sync: Int => Boolean = child(stblKids, "stss") match {
       case None => _ => true
       case Some((s, e)) =>
+        // n < 0 (wrapped u32 count) must REJECT the table, not silently
+        // report every sample non-sync via an empty (0 until n) range —
+        // same convention as the nSamples guard above.
         val n = u32(s + 4).toInt
-        if (s + 8 + 4L * n > e) return Nil
+        if (n < 0 || s + 8 + 4L * n > e) return Nil
         val set = (0 until n).map(i => u32(s + 8 + 4L * i)).toSet
         i => set.contains(i + 1L)
     }
@@ -1604,12 +1616,12 @@ object MultimodalOps {
     val chunkOffs: Array[Long] = child(stblKids, "stco") match {
       case Some((s, e)) =>
         val n = u32(s + 4).toInt
-        if (s + 8 + 4L * n > e) return Nil
+        if (n < 0 || s + 8 + 4L * n > e) return Nil
         Array.tabulate(n)(i => u32(s + 8 + 4L * i))
       case None => child(stblKids, "co64") match {
         case Some((s, e)) =>
           val n = u32(s + 4).toInt
-          if (s + 8 + 8L * n > e) return Nil
+          if (n < 0 || s + 8 + 8L * n > e) return Nil
           Array.tabulate(n)(i => u64(s + 8 + 8L * i))
         case None => return Nil
       }
@@ -1617,7 +1629,7 @@ object MultimodalOps {
     // stsc: (first_chunk, samples_per_chunk) runs -> per-chunk counts
     val stsc = child(stblKids, "stsc").getOrElse(return Nil)
     val nScRuns = u32(stsc._1 + 4).toInt
-    if (stsc._1 + 8 + 12L * nScRuns > stsc._2) return Nil
+    if (nScRuns < 0 || stsc._1 + 8 + 12L * nScRuns > stsc._2) return Nil
     val scRuns = Array.tabulate(nScRuns)(i =>
       (u32(stsc._1 + 8 + 12L * i), u32(stsc._1 + 8 + 12L * i + 4)))
     // resolve: walk chunks in order, spending samples per the active
@@ -1630,7 +1642,11 @@ object MultimodalOps {
       var within = 0L; var off = chunkOffs(chunk)
       while (within < spc && sample < nSamples) {
         val sz = sizes(sample)
-        if (off + sz > bytes.length)
+        // overflow-safe payload-in-buffer check: co64 offsets are read as
+        // signed u64, so a near-Long.MaxValue (or negative) chunk offset
+        // would make off + sz wrap negative and slip past a naive
+        // `off + sz > bytes.length` comparison
+        if (off < 0 || sz < 0 || off > bytes.length - sz)
           return out.toSeq // truncated payload: keep complete leading samples
         out += new GenericRowWithSchema(Array[Any](
           id, sample.toLong, off, sz, dts(sample), sync(sample),

@@ -461,9 +461,10 @@ object StatsOps {
                                 permille: Seq[Int]): DataFrame = {
     val meta = readQuantileIndexMeta(spark, path)
     val stored = spark.read.parquet(qsEpochDir(path, meta.epoch))
-    require(stored.count() == meta.bucketRows,
+    val storedRows = stored.count() // one job; reused in the message
+    require(storedRows == meta.bucketRows,
       s"quantile index at $path: epoch ${meta.epoch} holds " +
-        s"${stored.count()} bucket rows, meta pins ${meta.bucketRows} — " +
+        s"$storedRows bucket rows, meta pins ${meta.bucketRows} — " +
         "incomplete or foreign epoch")
     quantilesFromSketch(stored, meta.groupCols, permille, meta.subBits)
   }

@@ -92,7 +92,11 @@ object RelationalQueries {
     * is why it shares q_quantile_sketch's oracle. */
   def quantileStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.read(spark, sfDir, "lineitem")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_qs_idx_${math.abs(sfDir.hashCode)}"
+    // fresh per-invocation directory: a deterministic path keyed on sfDir
+    // would let two concurrent runs (or a hashCode collision) race each
+    // other's write/swap and read a mixed-generation index
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qs_idx_").toString
     graft.pipeline.StatsOps.writeQuantileIndex(
       li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
       cents(col("l_extendedprice")), dir, QS_BITS)
