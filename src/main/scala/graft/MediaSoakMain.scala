@@ -154,9 +154,109 @@ object MediaSoakMain {
     println(f"  $gotTrunc%,d rows (truncated clips contribute exactly 0), " +
       "no exception escaped the walk")
 
+    // ---- 5. ranged reads beyond the binaryFile ceiling --------------------
+    // one 5 GB clip (sparse on disk; co64 offsets past 2^32, mdat via
+    // largesize): whole-file ingestion hard-fails at the source's
+    // ~2.1 GB ceiling, while listing + the ranged walk resolve the moov
+    // and decode the sampled frames from a few KB of positioned reads
+    import graft.pipeline.MultimodalOps.{synthDims, synthFrameImageId, synthRgb}
+    import graft.sources.TableSources
+    val giantDir = java.nio.file.Files.createTempDirectory("graft-giant-mp4")
+    val giantId = 4L
+    val kG = 9
+    val frames = (0 until kG).map { j =>
+      val fid = synthFrameImageId(giantId, j)
+      val (w, h) = synthDims(fid)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, synthRgb(fid, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val spacing = 512L << 20
+    val chunkOffs = Array.tabulate(kG)(j => (1L << 30) + j * spacing)
+    val moov = graft.pipeline.MultimodalOps.mp4MoovBytes(
+      frames.map(_.length), ts = 25, delta = 1, chunkOffs,
+      stscRuns = Seq((1, 1)), useCo64 = true, mdhdV1 = false)
+    val mdatEnd = chunkOffs.last + frames.last.length
+    val giantLen = mdatEnd + moov.length
+    val giantPath = giantDir.resolve(s"clip_$giantId.mp4")
+    val raf = new java.io.RandomAccessFile(giantPath.toFile, "rw")
+    try {
+      raf.setLength(giantLen) // holes stay sparse on ext4
+      val hb = java.nio.ByteBuffer.allocate(40)
+      hb.putInt(24)
+      hb.put("ftypisom".getBytes("US-ASCII")).putInt(0x200)
+      hb.put("isommp41".getBytes("US-ASCII"))
+      hb.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(mdatEnd - 24)
+      raf.seek(0); raf.write(hb.array())
+      frames.zipWithIndex.foreach { case (f, j) =>
+        raf.seek(chunkOffs(j)); raf.write(f)
+      }
+      raf.seek(mdatEnd); raf.write(moov)
+    } finally raf.close()
+    val giantFiles = TableSources
+      .listBinaryDir(spark, giantDir.toString, "*.mp4")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mp4$", 1).cast("long"))
+    require(giantFiles.select(max(col("media_len"))).collect()(0).getLong(0)
+      == giantLen && giantLen > Int.MaxValue.toLong,
+      s"giant clip should list at $giantLen bytes past the 2^31-1 ceiling")
+    require(scala.util.Try(
+      TableSources.readBinaryDir(spark, giantDir.toString, "*.mp4")
+        .select(sum(length(col("content")))).collect()).isFailure,
+      "whole-file ingestion should hard-fail above the binaryFile ceiling")
+    val ((tblRows, frameSums), tGiant) = time(
+      f"ranged walk + decode of one $giantLen%,d-byte sparse clip") {
+      val tbl = MultimodalOps.mp4SampleTableRanged(
+        giantFiles, "media_path", "media_id").collect()
+      val fr = MultimodalOps.sampleMp4FramesRanged(
+        giantFiles, "media_path", "media_id", stride = 2).collect()
+      (tbl, fr)
+    }
+    require(tblRows.length == kG && tblRows.forall(_.getLong(0) == giantId),
+      s"giant clip sample table: ${tblRows.length} rows, expected $kG")
+    require(tblRows.map(_.getLong(2)).sorted.sameElements(chunkOffs),
+      "giant clip offsets must round-trip the co64 table past 2^32")
+    require(frameSums.length == (kG + 1) / 2,
+      s"giant clip decoded frames: ${frameSums.length}, expected ${(kG + 1) / 2}")
+    frameSums.foreach { r =>
+      val j = r.getLong(1).toInt
+      val fid = synthFrameImageId(giantId, j)
+      val (w, h) = synthDims(fid)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = synthRgb(fid, x, y)
+          sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      require(r.getLong(2) == w && r.getLong(3) == h && r.getLong(4) == sr &&
+        r.getLong(5) == sg && r.getLong(6) == sb,
+        s"giant clip frame $j decode mismatch")
+    }
+    val fetched = moov.length + 40 +
+      tblRows.filter(_.getLong(1) % 2 == 0).map(_.getLong(3)).sum
+    println(f"  $kG sample rows + ${frameSums.length} real decodes from " +
+      f"~$fetched%,d fetched bytes of a $giantLen%,d-byte file " +
+      f"(${giantLen / math.max(fetched, 1L)}%,d× less I/O than whole-file)")
+    java.nio.file.Files.walk(giantDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+
     println(f"SOAK OK  mp4 meta ${nMeta / tMeta}%,.0f clips/s | decode " +
       f"${gotFrames / tDec}%,.0f frames/s | flac ${nFlac / tFlac}%,.0f clips/s" +
-      f" | mp3 ${nMp3 / tMp3}%,.0f clips/s | truncation sweep $tTrunc%.1f s")
+      f" | mp3 ${nMp3 / tMp3}%,.0f clips/s | truncation sweep $tTrunc%.1f s" +
+      f" | giant ranged clip $tGiant%.1f s")
     spark.stop()
   }
 }

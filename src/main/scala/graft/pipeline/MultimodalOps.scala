@@ -1249,28 +1249,21 @@ object MultimodalOps {
         val k = samples.size
         val sizes = samples.map(_.length)
         val c1 = (k + 1) / 2; val c2 = k - c1
-        val syncs = (0 until k).filter(_ % 3 == 0) // 0-based; stored 1-based
-        val duration = k.toLong * delta
         val useCo64 = id % 2 == 1
         val mdhdV1 = id % 4 == 3
         val payload = sizes.sum + gap
-        // box sizes, innermost first (all fixed-layout, see each writer)
-        val stsdSz = 102; val sttsSz = 24
-        val stssSz = 16 + 4 * syncs.size
-        val stszSz = 20 + 4 * k; val stscSz = 40
-        val stcoSz = if (useCo64) 32 else 24
-        val stblSz = 8 + stsdSz + sttsSz + stssSz + stszSz + stscSz + stcoSz
-        val minfSz = 8 + 20 + 36 + stblSz        // vmhd + dinf + stbl
-        val mdhdSz = if (mdhdV1) 44 else 32
-        val mdiaSz = 8 + mdhdSz + 33 + minfSz    // mdhd + hdlr + minf
-        val trakSz = 8 + 92 + mdiaSz             // tkhd + mdia
-        val moovSz = 8 + 108 + trakSz            // mvhd + trak
         val ftypSz = 24
         val mdatSz = 8 + payload
+        val moovSz = mp4MoovSize(k, (0 until k).count(_ % 3 == 0), 2, 2,
+          useCo64, mdhdV1)
         val mdatPayloadOff =
           (if (faststart) ftypSz + moovSz else ftypSz) + 8L
         val chunkOffs = Array(mdatPayloadOff,
           mdatPayloadOff + sizes.take(c1).sum + gap)
+        val moov = mp4MoovBytes(sizes, ts, delta, chunkOffs,
+          Seq((1, c1), (2, c2)), useCo64, mdhdV1)
+        require(moov.length == moovSz,
+          s"mp4 encoder layout bug: moov ${moov.length} != sized $moovSz")
         val bb = java.nio.ByteBuffer.allocate(ftypSz + mdatSz + moovSz)
         // ISO-BMFF is big-endian — ByteBuffer's default order
         def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
@@ -1289,76 +1282,126 @@ object MultimodalOps {
           }
           if (c1 == k) (0 until gap).foreach(_ => bb.put(0xEE.toByte))
         }
-        def writeMoov(): Unit = {
-          box(moovSz, "moov")
-          box(108, "mvhd"); bb.putInt(0)         // version 0 + flags
-          bb.putInt(0).putInt(0)                  // creation, modification
-            .putInt(ts).putInt(duration.toInt)
-            .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
-            .putShort(0).putLong(0L)              // reserved
-          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-            .foreach(bb.putInt)                   // unity matrix
-          (0 until 6).foreach(_ => bb.putInt(0))  // pre_defined
-          bb.putInt(2)                            // next_track_ID
-          box(trakSz, "trak")
-          box(92, "tkhd"); bb.putInt(7)           // v0, flags: enabled+in-movie+in-preview
-          bb.putInt(0).putInt(0).putInt(1).putInt(0) // times, track_ID, reserved
-            .putInt(duration.toInt).putLong(0L)
-            .putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, rsvd
-          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-            .foreach(bb.putInt)
-          bb.putInt(16 << 16).putInt(16 << 16)    // width, height (16.16)
-          box(mdiaSz, "mdia")
-          if (mdhdV1) {
-            box(44, "mdhd"); bb.putInt(0x01000000) // version 1
-            bb.putLong(0L).putLong(0L).putInt(ts).putLong(duration)
-              .putShort(0x55C4.toShort).putShort(0)  // language 'und', pre_defined
-          } else {
-            box(32, "mdhd"); bb.putInt(0)
-            bb.putInt(0).putInt(0).putInt(ts).putInt(duration.toInt)
-              .putShort(0x55C4.toShort).putShort(0)
-          }
-          box(33, "hdlr"); bb.putInt(0); bb.putInt(0); fcc("vide")
-          (0 until 3).foreach(_ => bb.putInt(0)); bb.put(0.toByte) // name ""
-          box(minfSz, "minf")
-          box(20, "vmhd"); bb.putInt(1)           // v0, flags=1
-          bb.putShort(0); (0 until 3).foreach(_ => bb.putShort(0)) // graphicsmode, opcolor
-          box(36, "dinf"); box(28, "dref"); bb.putInt(0).putInt(1)
-          box(12, "url "); bb.putInt(1)           // flags: self-contained
-          box(stblSz, "stbl")
-          box(stsdSz, "stsd"); bb.putInt(0).putInt(1)
-          box(86, "mp4v")                         // visual sample entry
-          (0 until 6).foreach(_ => bb.put(0.toByte)); bb.putShort(1) // reserved, data_ref_idx
-          bb.putShort(0).putShort(0); (0 until 3).foreach(_ => bb.putInt(0)) // pre_defined
-          bb.putShort(16).putShort(16)            // width, height
-            .putInt(0x00480000).putInt(0x00480000) // 72 dpi
-            .putInt(0).putShort(1)                // reserved, frame_count
-          (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
-          bb.putShort(24).putShort(-1)            // depth, pre_defined
-          box(sttsSz, "stts"); bb.putInt(0).putInt(1)
-          bb.putInt(k).putInt(delta)
-          box(stssSz, "stss"); bb.putInt(0).putInt(syncs.size)
-          syncs.foreach(s => bb.putInt(s + 1))    // 1-based sample numbers
-          box(stszSz, "stsz"); bb.putInt(0).putInt(0).putInt(k)
-          sizes.foreach(bb.putInt)
-          box(stscSz, "stsc"); bb.putInt(0).putInt(2)
-          bb.putInt(1).putInt(c1).putInt(1)
-          bb.putInt(2).putInt(c2).putInt(1)
-          if (useCo64) {
-            box(32, "co64"); bb.putInt(0).putInt(2)
-            chunkOffs.foreach(bb.putLong)
-          } else {
-            box(24, "stco"); bb.putInt(0).putInt(2)
-            chunkOffs.foreach(o => bb.putInt(o.toInt))
-          }
-        }
         writeFtyp()
-        if (faststart) { writeMoov(); writeMdat() }
-        else { writeMdat(); writeMoov() }
+        if (faststart) { bb.put(moov); writeMdat() }
+        else { writeMdat(); bb.put(moov) }
         require(bb.remaining() == 0,
           s"mp4 encoder layout bug: ${bb.remaining()} bytes unwritten")
         bb.array()
     }
+  }
+
+  /** Exact byte size of the moov box [[mp4MoovBytes]] will emit — needed
+    * up front when moov precedes mdat (faststart) because the chunk
+    * offsets inside moov depend on moov's own length. */
+  private[graft] def mp4MoovSize(k: Int, nSyncs: Int, nChunks: Int,
+                                 nStscRuns: Int, useCo64: Boolean,
+                                 mdhdV1: Boolean): Int = {
+    val stsdSz = 102; val sttsSz = 24
+    val stssSz = 16 + 4 * nSyncs
+    val stszSz = 20 + 4 * k; val stscSz = 16 + 12 * nStscRuns
+    val stcoSz = 16 + (if (useCo64) 8 else 4) * nChunks
+    val stblSz = 8 + stsdSz + sttsSz + stssSz + stszSz + stscSz + stcoSz
+    val minfSz = 8 + 20 + 36 + stblSz        // vmhd + dinf + stbl
+    val mdhdSz = if (mdhdV1) 44 else 32
+    val mdiaSz = 8 + mdhdSz + 33 + minfSz    // mdhd + hdlr + minf
+    val trakSz = 8 + 92 + mdiaSz             // tkhd + mdia
+    8 + 108 + trakSz                         // mvhd + trak
+  }
+
+  /** A complete standalone moov box for one video trak: constant-rate
+    * stts, every-3rd-sample stss, explicit per-sample stsz, caller's
+    * stsc runs ((first_chunk, samples_per_chunk), 1-based) and chunk
+    * offsets (file-absolute; stco or co64). Factored out of the
+    * in-memory encoder so harnesses can compose files whose mdat is
+    * written by OTHER means — e.g. the giant sparse clips the ranged
+    * soak uses to prove there is no file-size ceiling. */
+  private[graft] def mp4MoovBytes(sizes: IndexedSeq[Int], ts: Int, delta: Int,
+                                  chunkOffs: Array[Long],
+                                  stscRuns: Seq[(Int, Int)],
+                                  useCo64: Boolean,
+                                  mdhdV1: Boolean): Array[Byte] = {
+    val k = sizes.size
+    val syncs = (0 until k).filter(_ % 3 == 0) // 0-based; stored 1-based
+    val duration = k.toLong * delta
+    val stsdSz = 102; val sttsSz = 24
+    val stssSz = 16 + 4 * syncs.size
+    val stszSz = 20 + 4 * k; val stscSz = 16 + 12 * stscRuns.size
+    val stcoSz = 16 + (if (useCo64) 8 else 4) * chunkOffs.length
+    val stblSz = 8 + stsdSz + sttsSz + stssSz + stszSz + stscSz + stcoSz
+    val minfSz = 8 + 20 + 36 + stblSz
+    val mdhdSz = if (mdhdV1) 44 else 32
+    val mdiaSz = 8 + mdhdSz + 33 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val bb = java.nio.ByteBuffer.allocate(moovSz)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    def box(sz: Int, tp: String): Unit = { bb.putInt(sz); fcc(tp) }
+    box(moovSz, "moov")
+    box(108, "mvhd"); bb.putInt(0)         // version 0 + flags
+    bb.putInt(0).putInt(0)                  // creation, modification
+      .putInt(ts).putInt(duration.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+      .putShort(0).putLong(0L)              // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)                   // unity matrix
+    (0 until 6).foreach(_ => bb.putInt(0))  // pre_defined
+    bb.putInt(2)                            // next_track_ID
+    box(trakSz, "trak")
+    box(92, "tkhd"); bb.putInt(7)           // v0, flags: enabled+in-movie+in-preview
+    bb.putInt(0).putInt(0).putInt(1).putInt(0) // times, track_ID, reserved
+      .putInt(duration.toInt).putLong(0L)
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, rsvd
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)
+    bb.putInt(16 << 16).putInt(16 << 16)    // width, height (16.16)
+    box(mdiaSz, "mdia")
+    if (mdhdV1) {
+      box(44, "mdhd"); bb.putInt(0x01000000) // version 1
+      bb.putLong(0L).putLong(0L).putInt(ts).putLong(duration)
+        .putShort(0x55C4.toShort).putShort(0)  // language 'und', pre_defined
+    } else {
+      box(32, "mdhd"); bb.putInt(0)
+      bb.putInt(0).putInt(0).putInt(ts).putInt(duration.toInt)
+        .putShort(0x55C4.toShort).putShort(0)
+    }
+    box(33, "hdlr"); bb.putInt(0); bb.putInt(0); fcc("vide")
+    (0 until 3).foreach(_ => bb.putInt(0)); bb.put(0.toByte) // name ""
+    box(minfSz, "minf")
+    box(20, "vmhd"); bb.putInt(1)           // v0, flags=1
+    bb.putShort(0); (0 until 3).foreach(_ => bb.putShort(0)) // graphicsmode, opcolor
+    box(36, "dinf"); box(28, "dref"); bb.putInt(0).putInt(1)
+    box(12, "url "); bb.putInt(1)           // flags: self-contained
+    box(stblSz, "stbl")
+    box(stsdSz, "stsd"); bb.putInt(0).putInt(1)
+    box(86, "mp4v")                         // visual sample entry
+    (0 until 6).foreach(_ => bb.put(0.toByte)); bb.putShort(1) // reserved, data_ref_idx
+    bb.putShort(0).putShort(0); (0 until 3).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putShort(16).putShort(16)            // width, height
+      .putInt(0x00480000).putInt(0x00480000) // 72 dpi
+      .putInt(0).putShort(1)                // reserved, frame_count
+    (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
+    bb.putShort(24).putShort(-1)            // depth, pre_defined
+    box(sttsSz, "stts"); bb.putInt(0).putInt(1)
+    bb.putInt(k).putInt(delta)
+    box(stssSz, "stss"); bb.putInt(0).putInt(syncs.size)
+    syncs.foreach(s => bb.putInt(s + 1))    // 1-based sample numbers
+    box(stszSz, "stsz"); bb.putInt(0).putInt(0).putInt(k)
+    sizes.foreach(bb.putInt)
+    box(stscSz, "stsc"); bb.putInt(0).putInt(stscRuns.size)
+    stscRuns.foreach { case (first, spc) =>
+      bb.putInt(first).putInt(spc).putInt(1)
+    }
+    if (useCo64) {
+      box(stcoSz, "co64"); bb.putInt(0).putInt(chunkOffs.length)
+      chunkOffs.foreach(bb.putLong)
+    } else {
+      box(stcoSz, "stco"); bb.putInt(0).putInt(chunkOffs.length)
+      chunkOffs.foreach(o => bb.putInt(o.toInt))
+    }
+    require(bb.remaining() == 0,
+      s"mp4 moov layout bug: ${bb.remaining()} bytes unwritten")
+    bb.array()
   }
 
   /** id → a REAL playable-shape MP4 of REAL PNG frames: the frame-pack
@@ -1408,7 +1451,10 @@ object MultimodalOps {
     * frames, honest truncation inherited from the sample-table walk
     * (a sample the table resolves is by construction fully present). */
   def sampleMp4Frames(df: DataFrame, contentCol: String, idCol: String,
-                      stride: Int): DataFrame = {
+                      stride: Int,
+                      unresolvedCounter: Option[
+                        org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -1422,23 +1468,27 @@ object MultimodalOps {
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val tally = new Mp4UnresolvedTally(unresolvedCounter, "sampleMp4Frames")
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        try {
-          mp4WalkOne(id, bytes, Mp4SampleTableSchema).iterator
-            .filter(_.getLong(1) % stride == 0)
-            .flatMap { s =>
-              val off = s.getLong(2).toInt; val sz = s.getLong(3).toInt
-              frameChannelSums(
-                java.util.Arrays.copyOfRange(bytes, off, off + sz))
-                .map { case (w, h, sr, sg, sb) =>
-                  new GenericRowWithSchema(Array[Any](
-                    id, s.getLong(1), w, h, sr, sg, sb), outSchema): Row
-                }
-            }
-        } catch { case _: Exception => Nil }
-      }
+        tally.walked(
+          try mp4WalkOne(id, bytes, Mp4SampleTableSchema)
+          catch { case _: IndexOutOfBoundsException => Nil }).iterator
+          .filter(_.getLong(1) % stride == 0)
+          .flatMap { s =>
+            val off = s.getLong(2).toInt; val sz = s.getLong(3).toInt
+            // a resolved sample can still be undecodable BYTES (the
+            // codec's verdict, not the walker's) — data, so count+skip
+            (try frameChannelSums(
+              java.util.Arrays.copyOfRange(bytes, off, off + sz))
+            catch { case _: java.io.IOException => tally.undecodable(); None })
+              .map { case (w, h, sr, sg, sb) =>
+                new GenericRowWithSchema(Array[Any](
+                  id, s.getLong(1), w, h, sr, sg, sb), outSchema): Row
+              }
+          }
+      } ++ tally.closeIter()
     }(Encoders.row(outSchema))
   }
 
@@ -1472,27 +1522,36 @@ object MultimodalOps {
     StructField("is_sync", BooleanType, nullable = false),
     StructField("timescale", LongType, nullable = false)))
 
-  def mp4SampleTable(df: DataFrame, contentCol: String,
-                     idCol: String): DataFrame = {
+  def mp4SampleTable(df: DataFrame, contentCol: String, idCol: String,
+                     unresolvedCounter: Option[
+                       org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val outSchema = Mp4SampleTableSchema
     val in = df.select(col(idCol).cast("long").as("media_id"),
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
+      val tally = new Mp4UnresolvedTally(unresolvedCounter, "mp4SampleTable")
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        try mp4WalkOne(id, bytes, outSchema)
-        catch { case _: Exception => Nil }
-      }
+        tally.walked(
+          try mp4WalkOne(id, bytes, outSchema)
+          catch { case _: IndexOutOfBoundsException => Nil })
+      } ++ tally.closeIter()
     }(Encoders.row(outSchema))
   }
 
-  /** One clip's resolved sample rows (or Nil) — see [[mp4SampleTable]]. */
-  private def mp4WalkOne(id: Long, bytes: Array[Byte],
-                         outSchema: StructType): Seq[Row] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+  /** Big-endian box-walk helpers over ONE in-memory buffer — shared by
+    * the whole-file walk ([[mp4WalkOne]]: buffer = the file) and the
+    * ranged walk ([[mp4SampleTableRanged]]: buffer = just the moov
+    * payload fetched by a positioned read). Positions are
+    * buffer-relative; only the chunk offsets READ FROM the tables are
+    * file-absolute, and those are bounded by the caller's
+    * `payloadBound`, never by this buffer. */
+  private final class Mp4Buf(val bb: java.nio.ByteBuffer) {
     def u32(pos: Long): Long = bb.getInt(pos.toInt).toLong & 0xFFFFFFFFL
     def u64(pos: Long): Long = bb.getLong(pos.toInt)
+    def u8(pos: Long): Int = bb.get(pos.toInt) & 0xFF
     def fourcc(pos: Long): String = {
       val a = new Array[Byte](4)
       var i = 0
@@ -1522,6 +1581,53 @@ object MultimodalOps {
     def child(cs: Seq[(String, Long, Long)],
               tp: String): Option[(Long, Long)] =
       Option(cs).flatMap(_.collectFirst { case (`tp`, s, e) => (s, e) })
+  }
+
+  /** Malformed-media accounting for the MP4 walks, one instance per
+    * partition: inputs that resolve to NO samples (non-MP4 bytes,
+    * truncated or damaged tables, byte-access overruns, vanished
+    * files) are DATA — counted here, into the caller's accumulator
+    * when given, and surfaced as one stderr line per non-clean
+    * partition — while any other exception is a WALKER BUG and now
+    * propagates to fail the query instead of vanishing into an empty
+    * result (the catch blocks are narrowed to exactly the
+    * byte-access/IO failure modes malformed data can cause). */
+  private final class Mp4UnresolvedTally(
+      acc: Option[org.apache.spark.util.LongAccumulator],
+      label: String) extends Serializable {
+    private var unresolved = 0L
+    private var badFrames = 0L
+    def walked(rows: Seq[Row]): Seq[Row] = {
+      if (rows.isEmpty) { unresolved += 1L; acc.foreach(_.add(1L)) }
+      rows
+    }
+    def undecodable(): Unit = { badFrames += 1L; acc.foreach(_.add(1L)) }
+    /** Append to the partition's row iterator: runs after exhaustion. */
+    def closeIter(): Iterator[Row] = {
+      if (unresolved > 0 || badFrames > 0)
+        System.err.println(
+          f"[graft] $label: $unresolved%,d payload(s) resolved to no " +
+            f"samples and $badFrames%,d sampled frame(s) failed to decode " +
+            "in this partition (non-MP4, truncated, or damaged bytes — " +
+            "counted and skipped; a walker fault would fail the query)")
+      Iterator.empty
+    }
+  }
+
+  /** TEST-ONLY fault seam: invoked with the clip id at the top of every
+    * [[mp4WalkOne]] call so specs can plant a walker fault and pin that
+    * it FAILS the query (the narrowed catches must not swallow it).
+    * No-op in production; only same-JVM (local-mode) tests can set it. */
+  private[graft] object Mp4WalkFault {
+    @volatile var inject: Long => Unit = _ => ()
+  }
+
+  /** One clip's resolved sample rows (or Nil) — see [[mp4SampleTable]]. */
+  private def mp4WalkOne(id: Long, bytes: Array[Byte],
+                         outSchema: StructType): Seq[Row] = {
+    Mp4WalkFault.inject(id)
+    val m = new Mp4Buf(java.nio.ByteBuffer.wrap(bytes)) // big-endian by default
+    import m.{children, u32, u64, fourcc}
     if (bytes.length < 8) return Nil
     val top = children(0L, bytes.length.toLong)
     // a truncated or malformed top level may still hold a complete moov
@@ -1547,7 +1653,20 @@ object MultimodalOps {
       }
     val moov = topBoxes.collectFirst { case ("moov", s, e) => (s, e) }
       .getOrElse(return Nil)
-    val moovKids = children(moov._1, moov._2)
+    mp4ResolveStbl(id, m, moov._1, moov._2, bytes.length.toLong, outSchema)
+  }
+
+  /** Resolve the first video trak's sample table from a moov payload at
+    * [moovS, moovE) inside `m`'s buffer. `payloadBound` is the length
+    * of the FILE the chunk offsets address — the buffer itself for the
+    * in-memory walk, the on-disk file length for the ranged walk (where
+    * the buffer holds only moov) — and bounds both the honest-truncation
+    * emit check and the uniform-stsz allocation plausibility guard. */
+  private def mp4ResolveStbl(id: Long, m: Mp4Buf, moovS: Long, moovE: Long,
+                             payloadBound: Long,
+                             outSchema: StructType): Seq[Row] = {
+    import m.{children, child, u32, u64, fourcc}
+    val moovKids = children(moovS, moovE)
     if (moovKids == null) return Nil
     // first trak whose handler is video
     val trak = moovKids.collect { case ("trak", s, e) => (s, e) }
@@ -1562,7 +1681,7 @@ object MultimodalOps {
     val mdiaKids = children(mdia._1, mdia._2)
     if (mdiaKids == null) return Nil
     val mdhd = child(mdiaKids, "mdhd").getOrElse(return Nil)
-    val mdhdVersion = bb.get(mdhd._1.toInt) & 0xFF
+    val mdhdVersion = m.u8(mdhd._1)
     val timescale =
       if (mdhdVersion == 1) u32(mdhd._1 + 20) else u32(mdhd._1 + 12)
     val minf = child(mdiaKids, "minf").getOrElse(return Nil)
@@ -1582,7 +1701,7 @@ object MultimodalOps {
     // Exception — escapes the callers' parse-failure handling and kills
     // the executor). uniform == 0 is already bounded by the stsz box
     // extent above, itself inside the buffer.
-    if (uniform != 0 && nSamples.toLong * math.max(uniform, 1L) > bytes.length)
+    if (uniform != 0 && nSamples.toLong * math.max(uniform, 1L) > payloadBound)
       return Nil
     val sizes = Array.tabulate(nSamples)(i =>
       if (uniform != 0) uniform else u32(stsz._1 + 12 + 4L * i))
@@ -1645,8 +1764,8 @@ object MultimodalOps {
         // overflow-safe payload-in-buffer check: co64 offsets are read as
         // signed u64, so a near-Long.MaxValue (or negative) chunk offset
         // would make off + sz wrap negative and slip past a naive
-        // `off + sz > bytes.length` comparison
-        if (off < 0 || sz < 0 || off > bytes.length - sz)
+        // `off + sz > payloadBound` comparison
+        if (off < 0 || sz < 0 || off > payloadBound - sz)
           return out.toSeq // truncated payload: keep complete leading samples
         out += new GenericRowWithSchema(Array[Any](
           id, sample.toLong, off, sz, dts(sample), sync(sample),
@@ -1656,6 +1775,171 @@ object MultimodalOps {
       chunk += 1
     }
     out.toSeq
+  }
+
+  // ---- Ranged media reads (no whole-file materialization) ----------------
+  //
+  // `readBinaryDir` is one-file-one-row: it hard-fails above the
+  // binaryFile source's ~2.1 GB ceiling and turns multi-GB clips into
+  // multi-GB single rows. The walks above already resolve exact
+  // per-sample (offset, size); this path exploits that: list files
+  // WITHOUT reading content, then per file (a) walk top-level box
+  // headers via positioned 16-byte reads, (b) fetch ONLY the moov
+  // payload, (c) resolve the sample table against the FILE length, and
+  // (d) for frame sampling, fetch only the sampled byte ranges. Bytes
+  // read per file = moov + sampled payloads, independent of file size —
+  // on HDFS/S3A positioned reads become ranged GETs, so a 100 TB video
+  // crawl pays for metadata + the frames it keeps, nothing else.
+
+  /** Resolve one file's sample table from ranged reads only: top-level
+    * headers by positioned read, then the moov payload (rejected above
+    * `maxMoovBytes` — the allocation guard the whole-file path gets
+    * from the source's own ceiling). Same leniency as [[mp4WalkOne]]:
+    * leading well-formed top-level boxes only. */
+  private def mp4ResolveRanged(in: org.apache.hadoop.fs.FSDataInputStream,
+                               fileLen: Long, id: Long, maxMoovBytes: Long,
+                               outSchema: StructType): Seq[Row] = {
+    Mp4WalkFault.inject(id)
+    val hdr = new Array[Byte](16)
+    def be32(o: Int): Long =
+      ((hdr(o) & 0xFFL) << 24) | ((hdr(o + 1) & 0xFFL) << 16) |
+        ((hdr(o + 2) & 0xFFL) << 8) | (hdr(o + 3) & 0xFFL)
+    def be64(o: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (hdr(o + i) & 0xFFL); i += 1 }
+      v
+    }
+    var p = 0L
+    var moovPay = -1L; var moovEnd = -1L
+    while (moovPay < 0 && p + 8 <= fileLen) {
+      val want = math.min(16L, fileLen - p).toInt
+      in.readFully(p, hdr, 0, want)
+      val sz0 = be32(0)
+      val tp = new String(hdr, 4, 4, "US-ASCII")
+      val (payStart, boxEnd) =
+        if (sz0 == 1L) {
+          if (want < 16) return Nil
+          (p + 16, p + be64(8))
+        } else if (sz0 == 0L) (p + 8, fileLen)
+        else (p + 8, p + sz0)
+      if (boxEnd < payStart || boxEnd > fileLen) return Nil // keep leading well-formed only
+      if (tp == "moov") { moovPay = payStart; moovEnd = boxEnd }
+      p = boxEnd
+    }
+    if (moovPay < 0) return Nil
+    val mSz = moovEnd - moovPay
+    if (mSz < 8 || mSz > maxMoovBytes || mSz > Int.MaxValue - 16) return Nil
+    val buf = new Array[Byte](mSz.toInt)
+    in.readFully(moovPay, buf, 0, mSz.toInt)
+    mp4ResolveStbl(id, new Mp4Buf(java.nio.ByteBuffer.wrap(buf)),
+      0L, mSz, fileLen, outSchema)
+  }
+
+  /** [[mp4SampleTable]] over ON-DISK files via ranged reads: input is
+    * (id, path) rows — e.g. `TableSources.listBinaryDir` plus an id
+    * parsed from the filename — and per file only the top-level box
+    * headers and the moov payload are ever fetched, so there is NO file
+    * size ceiling and no whole-file row. Output schema and semantics
+    * identical to [[mp4SampleTable]] (offsets are file-absolute in both;
+    * honest truncation bounds against the on-disk length). Files that
+    * vanish or error mid-read resolve to no rows, like non-MP4 bytes. */
+  def mp4SampleTableRanged(files: DataFrame, pathCol: String, idCol: String,
+                           maxMoovBytes: Long = 256L << 20,
+                           unresolvedCounter: Option[
+                             org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val outSchema = Mp4SampleTableSchema
+    val bconf = files.sparkSession.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        files.sparkSession.sparkContext.hadoopConfiguration))
+    val in = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    in.mapPartitions { it =>
+      val conf = bconf.value.value
+      val tally = new Mp4UnresolvedTally(unresolvedCounter,
+        "mp4SampleTableRanged")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        tally.walked(
+          try {
+            val path = new org.apache.hadoop.fs.Path(r.getString(1))
+            val fs = path.getFileSystem(conf)
+            val len = fs.getFileStatus(path).getLen
+            val s = fs.open(path)
+            try mp4ResolveRanged(s, len, id, maxMoovBytes, outSchema)
+            finally s.close()
+          } catch {
+            // bad/vanished paths and byte overruns are data, not bugs
+            case _: java.io.IOException => Nil
+            case _: IndexOutOfBoundsException => Nil
+            case _: IllegalArgumentException => Nil
+          })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[sampleMp4Frames]] over ON-DISK files via ranged reads: the moov
+    * fetch resolves the table, stride keeps every `stride`-th sample,
+    * and ONLY those samples' byte ranges are fetched and decoded —
+    * bytes read ∝ moov + kept frames, independent of clip size. Output
+    * schema and semantics identical to [[sampleMp4Frames]]. */
+  def sampleMp4FramesRanged(files: DataFrame, pathCol: String, idCol: String,
+                            stride: Int,
+                            maxMoovBytes: Long = 256L << 20,
+                            unresolvedCounter: Option[
+                              org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val bconf = files.sparkSession.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        files.sparkSession.sparkContext.hadoopConfiguration))
+    val in = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val conf = bconf.value.value
+      val tally = new Mp4UnresolvedTally(unresolvedCounter,
+        "sampleMp4FramesRanged")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        try {
+          val path = new org.apache.hadoop.fs.Path(r.getString(1))
+          val fs = path.getFileSystem(conf)
+          val len = fs.getFileStatus(path).getLen
+          val s = fs.open(path)
+          try {
+            tally.walked(
+              mp4ResolveRanged(s, len, id, maxMoovBytes, Mp4SampleTableSchema))
+              .filter(_.getLong(1) % stride == 0)
+              .flatMap { sm =>
+                val off = sm.getLong(2); val sz = sm.getLong(3).toInt
+                (try {
+                  val frame = new Array[Byte](sz)
+                  s.readFully(off, frame, 0, sz)
+                  frameChannelSums(frame)
+                } catch {
+                  case _: java.io.IOException => tally.undecodable(); None
+                }).map { case (w, h, sr, sg, sb) =>
+                  new GenericRowWithSchema(Array[Any](
+                    id, sm.getLong(1), w, h, sr, sg, sb), outSchema): Row
+                }
+              }
+          } finally s.close()
+        } catch {
+          case _: java.io.IOException => tally.walked(Nil)
+          case _: IndexOutOfBoundsException => tally.walked(Nil)
+          case _: IllegalArgumentException => tally.walked(Nil)
+        }
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
   }
 
   /** REAL perceptual average-hash (aHash) over decoded images — the

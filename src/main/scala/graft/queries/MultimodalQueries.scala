@@ -53,6 +53,15 @@ object MultimodalQueries {
     // sample table drives the payload fetch + decode — the THIRD
     // container grammar sharing the one frame-formula oracle
     GraftQuery("q_video_frames_mp4", videoFramesMp4, Some(videoFramesSql)),
+    // the SAME corpus written to real ON-DISK files and read back via
+    // RANGED reads only — file listing without content, moov fetched by
+    // positioned read, sample payloads fetched by byte range. No file
+    // size ceiling, no whole-file rows; both ranged forms share the
+    // in-memory forms' oracles verbatim because output is identical
+    GraftQuery("q_video_mp4_meta_ranged", videoMp4MetaRanged,
+      Some(videoMp4MetaSql)),
+    GraftQuery("q_video_frames_mp4_ranged", videoFramesMp4Ranged,
+      Some(videoFramesSql)),
     GraftQuery("q_audio_dup_groups", audioDupGroups, Some(audioDupGroupsSql)),
   )
 
@@ -220,6 +229,45 @@ object MultimodalQueries {
     val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
     val mp4s = MultimodalOps.encodeSyntheticMp4Video(ids, "doc_id")
     MultimodalOps.sampleMp4Frames(mp4s, "content", "media_id", VF_STRIDE)
+  }
+
+  /** [[videoMp4Meta]]'s corpus written to real files in a fresh temp
+    * dir, then resolved through the RANGED path: content-free listing +
+    * id parsed from the filename + per-file positioned reads of the box
+    * headers and moov payload only. Identical output to the in-memory
+    * walk — the oracle carries over untouched — so a green row proves
+    * the no-ceiling path end to end on real on-disk files. */
+  def videoMp4MetaRanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val mp4s = MultimodalOps.encodeSyntheticMp4(ids, "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mp4-ranged")
+      .toString
+    graft.sources.TableSources.writeBinaryDir(
+      mp4s, dir, "media_id", "content", ".mp4")
+    val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mp4")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mp4$", 1)
+          .cast("long"))
+    MultimodalOps.mp4SampleTableRanged(files, "media_path", "media_id")
+  }
+
+  /** [[videoFramesMp4]] through the ranged path: same on-disk corpus
+    * discipline as [[videoMp4MetaRanged]], but the resolved table drives
+    * BYTE-RANGE payload fetches of only the stride-kept samples, each
+    * really decoded. Shares the one frame-formula oracle. */
+  def videoFramesMp4Ranged(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val mp4s = MultimodalOps.encodeSyntheticMp4Video(ids, "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mp4v-ranged")
+      .toString
+    graft.sources.TableSources.writeBinaryDir(
+      mp4s, dir, "media_id", "content", ".mp4")
+    val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mp4")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mp4$", 1)
+          .cast("long"))
+    MultimodalOps.sampleMp4FramesRanged(
+      files, "media_path", "media_id", VF_STRIDE)
   }
 
   /** Mirrors synthMp4Samples/SampleSize/Timescale/Delta/Gap and the

@@ -125,4 +125,73 @@ object TableSources {
         col("length").as("media_len"),
         col("content"))
   }
+
+  /** File LISTING without content: the same `binaryFile` source with the
+    * content column never selected — the source's per-column read
+    * function only opens the bytes (and only enforces its ~2.1 GB
+    * `maxLength` ceiling) for the CONTENT field, so this lists files of
+    * ANY size for free. This is the phase-1 input of the ranged-read
+    * media path (`MultimodalOps.mp4SampleTableRanged` /
+    * `sampleMp4FramesRanged`): list here, parse an id from
+    * `media_path`, and let the ranged walk fetch only the byte ranges
+    * it needs. */
+  def listBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path").as("media_path"),
+        col("modificationTime").as("media_mtime"),
+        col("length").as("media_len"))
+  }
+
+  /** Distributed media-corpus writer: one FILE per row via the Hadoop
+    * filesystem API (works on file://, hdfs://, s3a:// alike), named
+    * `<prefix><id><ext>` under `dir`. Executors write their partitions
+    * in parallel; nothing reaches the driver. The inverse seam of
+    * [[readBinaryDir]]/[[listBinaryDir]] — materializes an in-engine
+    * binary column as the on-disk corpus the ranged readers consume. */
+  def writeBinaryDir(df: DataFrame, dir: String, idCol: String,
+                     contentCol: String, ext: String,
+                     prefix: String = "clip_"): Unit = {
+    import org.apache.spark.sql.functions._
+    val bconf = df.sparkSession.sparkContext.broadcast(
+      new SerializableHadoopConf(
+        df.sparkSession.sparkContext.hadoopConfiguration))
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(bconf.value.value)
+          it.foreach { r =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, s"$prefix${r.getLong(0)}$ext"),
+              true)
+            try out.write(r.getAs[Array[Byte]](1))
+            finally out.close()
+          }
+        }
+      }
+  }
+}
+
+/** Serializable envelope for a Hadoop `Configuration` (the Hadoop class
+  * itself is a `Writable`, not java-serializable): ships the session's
+  * conf — filesystem implementations, credentials, overrides — to
+  * executors for direct `FileSystem` access in the ranged media paths
+  * and the binary-corpus writer. Broadcast it once per operator, not
+  * per row. */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }
