@@ -965,10 +965,19 @@ object SimilarityOps {
     * because the downstream self-join would otherwise plant the whole
     * count subtree on both sides. Pass `maxBucketFreq = Int.MaxValue`
     * for a fully lazy plan; the severing mode (executor-local vs
-    * storage-backed) is the session's `spark.graft.checkpoint` choice. */
+    * storage-backed) is the session's `spark.graft.checkpoint` choice.
+    *
+    * `expectedDegenerate` mutes ONLY the pigeonhole warning, never the
+    * cap itself: it exists for recall/eval harnesses that pin the
+    * over-cap regime ON PURPOSE to measure the cap's price (the
+    * q_*_recall_compare queries), where the warning is repeated noise
+    * that trains operators to ignore the real one. User-facing paths
+    * must leave it false — the warning is load-bearing there, and
+    * CapWarnMuteSpec pins both sides. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6,
-                         maxBucketFreq: Int = DefaultMaxBucketFreq): DataFrame = {
+                         maxBucketFreq: Int = DefaultMaxBucketFreq,
+                         expectedDegenerate: Boolean = false): DataFrame = {
     require(maxBucketFreq >= 2,
       s"maxBucketFreq must be >= 2, got $maxBucketFreq")
     // zero-vector exclusion via the CHEAP element test — exists()
@@ -1008,7 +1017,7 @@ object SimilarityOps {
         val freqRows = narrow.groupBy(col("bucket"))
           .agg(count(lit(1)).as("__bf"))
           .collect().map(r => r.getLong(0) -> r.getLong(1))
-        warnOnLocalCapStats(
+        if (!expectedDegenerate) warnOnLocalCapStats(
           total = freqRows.map(_._2).sum,
           keptRows = freqRows.filter(_._2 <= maxBucketFreq).map(_._2).sum,
           maxBucketFreq, planes, s"cosineNearDupPairs(planes=$planes)")
@@ -1027,8 +1036,9 @@ object SimilarityOps {
         // Checkpoints.sever.
         val freqs = Checkpoints.sever(
           narrow.groupBy(col("bucket")).agg(count(lit(1)).as("__bf")))
-        warnIfCapDropsMost(freqs, maxBucketFreq, planes,
-          s"cosineNearDupPairs(planes=$planes)")
+        if (!expectedDegenerate)
+          warnIfCapDropsMost(freqs, maxBucketFreq, planes,
+            s"cosineNearDupPairs(planes=$planes)")
         Checkpoints.sever(narrow.join(
           freqs.filter(col("__bf") <= maxBucketFreq).select(col("bucket")),
           Seq("bucket")))
@@ -1077,7 +1087,8 @@ object SimilarityOps {
   def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, bands: Int,
                                planesPerBand: Int,
-                               maxBandFreq: Int = DefaultMaxBucketFreq): DataFrame = {
+                               maxBandFreq: Int = DefaultMaxBucketFreq,
+                               expectedDegenerate: Boolean = false): DataFrame = {
     require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 48,
       s"need 1 <= bands*planesPerBand <= 48, got $bands x $planesPerBand")
     require(maxBandFreq >= 2, s"maxBandFreq must be >= 2, got $maxBandFreq")
@@ -1115,8 +1126,9 @@ object SimilarityOps {
         val freqs = Checkpoints.sever(
           banded.groupBy(col("band"), col("bucket"))
             .agg(count(lit(1)).as("__bf")))
-        warnIfCapDropsMost(freqs, maxBandFreq, planesPerBand,
-          s"cosineNearDupPairsBanded(bands=$bands, planesPerBand=$planesPerBand)")
+        if (!expectedDegenerate)
+          warnIfCapDropsMost(freqs, maxBandFreq, planesPerBand,
+            s"cosineNearDupPairsBanded(bands=$bands, planesPerBand=$planesPerBand)")
         Checkpoints.sever(banded.join(
           freqs.filter(col("__bf") <= maxBandFreq)
             .select(col("band"), col("bucket")),

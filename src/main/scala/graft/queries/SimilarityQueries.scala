@@ -1060,7 +1060,11 @@ object SimilarityQueries {
   def capRecallCompare(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     def pairs(cap: Int) = SimilarityOps.cosineNearDupPairs(e, "vec_id",
-      "embedding", threshold = 0.3, planes = PLANES, maxBucketFreq = cap)
+      "embedding", threshold = 0.3, planes = PLANES, maxBucketFreq = cap,
+      // this harness pins caps BELOW the corpus's bucket occupancy on
+      // purpose (that is the measurement); the pigeonhole WARN would be
+      // expected noise here, and stays live on user paths
+      expectedDegenerate = true)
     // the uncapped family — the single most expensive plan here (the
     // unbounded hot-bucket join is exactly what the cap removes) — is
     // evaluated ONCE: its count feeds both its own row and every
@@ -1126,7 +1130,9 @@ object SimilarityQueries {
     val e = emb(spark, sfDir)
     def pairs(cap: Int) = SimilarityOps.cosineNearDupPairsBanded(e, "vec_id",
       "embedding", threshold = 0.3, bands = ND_BANDS, planesPerBand = ND_R,
-      maxBandFreq = cap)
+      maxBandFreq = cap,
+      // the ladder's low rungs are the degenerate regime BY DESIGN
+      expectedDegenerate = true)
     // one evaluation of the uncapped family (see capRecallCompare)
     val nUncapped = pairs(Int.MaxValue).count()
     def nPairs(label: String, cap: Int) =
