@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
   * rows share a salt; that only matters if the corpus is itself one
   * giant duplicate, which is a dedup problem, not a join problem.
   *
-  * Supported join types: inner and left_outer (the hot side is
-  * preserved; a right/full join would need the salt on the other side
-  * — replicate-and-salt the other way around instead). */
+  * Supported join types: inner and left_outer run as ONE salted pass
+  * (the preserved side is the salted one, so outer semantics are free).
+  * right_outer and full_outer preserve rows on the REPLICATED side(s),
+  * where a replica-per-salt would surface each unmatched row `salts`
+  * times — so they run as the salted INNER pass plus anti-join
+  * null-extension legs: unmatched `small` rows via a left_anti against
+  * the hot side's distinct keys (a narrow partial-aggregated shuffle),
+  * and for full_outer unmatched `hot` rows via a left_anti against the
+  * small side's keys (broadcastable by the same smallness that made
+  * replication affordable). The hot side is scanned twice on those
+  * paths — the honest price of preserving the replicated side. */
 object SaltedJoin {
 
   def saltedJoin(hot: DataFrame, small: DataFrame, key: String,
@@ -34,9 +42,9 @@ object SaltedJoin {
     // normalize Spark's accepted spellings ("left", "leftouter",
     // "LEFT_OUTER", …) before the whitelist check
     val jt = joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")
-    require(jt == "inner" || jt == "leftouter" || jt == "left",
-      s"saltedJoin supports inner/left_outer, got $joinType " +
-        "(salt the other side for right/full)")
+    require(Set("inner", "leftouter", "left", "rightouter", "right",
+        "fullouter", "full", "outer").contains(jt),
+      s"saltedJoin supports inner/left_outer/right_outer/full_outer, got $joinType")
     require(hot.columns.contains(key) && small.columns.contains(key),
       s"both sides need the join column '$key'")
     val clash = (hot.columns ++ small.columns).contains("__salt")
@@ -47,7 +55,63 @@ object SaltedJoin {
       pmod(xxhash64(struct(hot.columns.map(hot(_)): _*)), lit(salts.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    saltedHot.join(replicated, Seq(key, "__salt"), joinType)
-      .drop("__salt")
+    def salted(tpe: String) =
+      saltedHot.join(replicated, Seq(key, "__salt"), tpe).drop("__salt")
+    /** `df` null-extended to the inner join's (key, hot-rest,
+      * small-rest) column order, with `fromHot` saying which side's
+      * columns `df` carries. */
+    def nullExtended(df: DataFrame, fromHot: Boolean): DataFrame = {
+      def side(cols: Array[String], schema: org.apache.spark.sql.types.StructType,
+               present: Boolean) =
+        cols.filter(_ != key).map { c =>
+          if (present) df(c)
+          else lit(null).cast(schema(c).dataType).as(c)
+        }
+      df.select(df(key) +:
+        (side(hot.columns, hot.schema, fromHot) ++
+          side(small.columns, small.schema, !fromHot)): _*)
+    }
+    jt match {
+      case "inner" | "leftouter" | "left" => salted(jt)
+      case "rightouter" | "right" =>
+        salted("inner").unionByName(nullExtended(
+          small.join(hot.select(hot(key)).distinct(), Seq(key), "left_anti"),
+          fromHot = false))
+      case _ => // fullouter / full / outer
+        salted("inner")
+          .unionByName(nullExtended(
+            small.join(hot.select(hot(key)).distinct(), Seq(key), "left_anti"),
+            fromHot = false))
+          .unionByName(nullExtended(
+            hot.join(broadcast(small.select(small(key)).distinct()),
+              Seq(key), "left_anti"),
+            fromHot = true))
+    }
+  }
+
+  /** Pick `salts` from a BOUNDED hot-key probe: candidate hot keys come
+    * from the `freqItems` sketch (internal state ~`maxSalts` entries
+    * regardless of corpus size — no full groupBy materializes), their
+    * frequencies are then counted exactly (a map-only isin filter plus
+    * a candidate-bounded aggregate), and salts = ceil(maxFreq /
+    * targetPerSalt) clamped to [1, maxSalts]. Keys below corpus/
+    * maxSalts can never need more than maxSalts — exactly the sketch's
+    * support threshold, so a missed candidate is one that did not need
+    * salting. Returns 1 (plain join) when no key is hot enough. */
+  def autoSalts(hot: DataFrame, key: String,
+                targetPerSalt: Long = 1L << 20,
+                maxSalts: Int = 64): Int = {
+    require(targetPerSalt >= 1, s"targetPerSalt must be >= 1, got $targetPerSalt")
+    require(maxSalts >= 1, s"maxSalts must be >= 1, got $maxSalts")
+    val cands = hot.stat.freqItems(Array(key), 1.0 / math.max(maxSalts, 2))
+      .head().getSeq[Any](0).filter(_ != null)
+    if (cands.isEmpty) 1
+    else {
+      val maxFreq = hot.filter(col(key).isin(cands: _*))
+        .groupBy(col(key)).count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
+      val want = (maxFreq + targetPerSalt - 1) / targetPerSalt
+      math.min(math.max(want, 1L), maxSalts.toLong).toInt
+    }
   }
 }

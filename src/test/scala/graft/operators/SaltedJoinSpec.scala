@@ -69,7 +69,7 @@ class SaltedJoinSpec extends AnyFunSuite {
 
   test("contracts: bad join type, missing key, salt clash are refused") {
     intercept[IllegalArgumentException] {
-      SaltedJoin.saltedJoin(facts, dim, "k", 8, joinType = "right_outer")
+      SaltedJoin.saltedJoin(facts, dim, "k", 8, joinType = "left_semi")
     }
     intercept[IllegalArgumentException] {
       SaltedJoin.saltedJoin(facts, dim, "nope", 8)
@@ -77,5 +77,37 @@ class SaltedJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SaltedJoin.saltedJoin(facts.withColumn("__salt", lit(1)), dim, "k", 8)
     }
+  }
+
+  test("right and full results == the plain join, row for row") {
+    // key 999 exists only on the replicated side (the unmatched-right
+    // case a per-salt replica would surface 8 times); key 94 exists
+    // only on the hot side (the unmatched-left case full must keep)
+    val dimPlus = dim.unionByName(Seq((999L, "z")).toDF("k", "name"))
+    val plainRight = facts.join(dimPlus, Seq("k"), "right_outer")
+    val saltedRight = SaltedJoin.saltedJoin(facts, dimPlus, "k", salts = 8,
+      joinType = "right_outer")
+    assert(canon(saltedRight) == canon(plainRight))
+    assert(saltedRight.filter(col("k") === 999L).count() == 1L,
+      "an unmatched replicated-side row must appear exactly once")
+    val plainFull = facts.join(dimPlus, Seq("k"), "full_outer")
+    val saltedFull = SaltedJoin.saltedJoin(facts, dimPlus, "k", salts = 8,
+      joinType = "full")
+    assert(canon(saltedFull) == canon(plainFull))
+    assert(saltedFull.filter(col("k") === 94L && col("name").isNull)
+      .count() > 0, "full must keep unmatched hot-side rows too")
+  }
+
+  test("autoSalts sizes from the bounded hot-key probe") {
+    // hot key 7 holds 18,000 of 20,000 rows -> ceil(18000/1000) = 18
+    assert(SaltedJoin.autoSalts(facts, "k", targetPerSalt = 1000,
+      maxSalts = 64) == 18)
+    // clamped at maxSalts when the target is tiny
+    assert(SaltedJoin.autoSalts(facts, "k", targetPerSalt = 1,
+      maxSalts = 16) == 16)
+    // a uniform side needs no salting at a sane target
+    val uniform = spark.range(20000).select((col("id") % 1000).as("k"))
+    assert(SaltedJoin.autoSalts(uniform, "k", targetPerSalt = 1000,
+      maxSalts = 64) == 1)
   }
 }
