@@ -1012,7 +1012,16 @@ object MultimodalOps {
     * 'MPNG'. Every chunk is even-padded per the RIFF rule (PNG
     * payloads routinely have odd lengths, so the padding path is live
     * in real data, and AviContainerSpec pins it). */
-  def encodeSyntheticAvi(df: DataFrame, idCol: String): DataFrame = {
+  def encodeSyntheticAvi(df: DataFrame, idCol: String,
+                         codec: String = "MPNG"): DataFrame = {
+    require(codec == "MPNG" || codec == "MJPG",
+      s"codec must be MPNG (Motion-PNG) or MJPG (Motion-JPEG), got $codec")
+    // MJPG is the real-world compressed-video leg: the SAME container
+    // walk and the SAME ImageIO decode (it sniffs the payload), only
+    // the per-frame coding changes — and because JPEG is LOSSY, decoded
+    // pixel sums are JVM-codec facts, not formula facts; only the dims
+    // (and count/order) stay formula-checkable (see MjpegAviSpec)
+    val imageioFormat = if (codec == "MJPG") "jpg" else "png"
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
@@ -1034,7 +1043,7 @@ object MultimodalOps {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          javax.imageio.ImageIO.write(img, imageioFormat, bos)
           bos.toByteArray
         }
         val (w0, h0) = synthDims(synthFrameImageId(id, 0))
@@ -1060,7 +1069,7 @@ object MultimodalOps {
           .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
         fcc("LIST"); bb.putInt(strlInner); fcc("strl")
         fcc("strh"); bb.putInt(56)
-        fcc("vids"); fcc("MPNG")
+        fcc("vids"); fcc(codec)
         bb.putInt(0)                     // dwFlags
           .putShort(0).putShort(0)       // wPriority, wLanguage
           .putInt(0)                     // dwInitialFrames
@@ -1076,7 +1085,7 @@ object MultimodalOps {
         bb.putInt(40)                    // biSize
           .putInt(w0).putInt(h0)
           .putShort(1).putShort(24)      // biPlanes, biBitCount
-        fcc("MPNG")                      // biCompression
+        fcc(codec)                       // biCompression
         bb.putInt(0)                     // biSizeImage
           .putInt(0).putInt(0)           // biXPelsPerMeter, biYPelsPerMeter
           .putInt(0).putInt(0)           // biClrUsed, biClrImportant

@@ -62,6 +62,14 @@ object MultimodalQueries {
       Some(videoMp4MetaSql)),
     GraftQuery("q_video_frames_mp4_ranged", videoFramesMp4Ranged,
       Some(videoFramesSql)),
+    // the SAME clip as REAL Motion-JPEG in the same RIFF/AVI container —
+    // the first LOSSY codec through the demuxer seam: walk and real
+    // ImageIO decode unchanged, but decoded pixel sums are codec facts
+    // (JPEG quantization), not formula facts, so the oracle checks what
+    // lossy coding preserves (dims/count/order) and MjpegAviSpec pins
+    // exact-sum parity against an independent decode of the same bytes
+    GraftQuery("q_video_frames_mjpeg", videoFramesMjpeg,
+      Some(videoFramesDimsSql)),
     GraftQuery("q_audio_dup_groups", audioDupGroups, Some(audioDupGroupsSql)),
   )
 
@@ -208,6 +216,37 @@ object MultimodalQueries {
        |  CAST(sum((fid * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
        |  CAST(sum((fid * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
        |FROM px GROUP BY media_id, j""".stripMargin
+
+  /** [[videoFramesAvi]] with the frames REALLY coded as JPEG (Motion-
+    * JPEG, the classic capture-card/webcam AVI codec): the identical
+    * RIFF walk demuxes '00dc' chunks, the identical ImageIO decode
+    * sniffs and decodes JPEG — zero new decode plumbing for a second,
+    * LOSSY codec. Output keeps the decode-derived facts that survive
+    * lossy coding exactly (dims, frame count, order); the pixel sums a
+    * lossless codec would oracle-check are pinned JVM-side instead
+    * (MjpegAviSpec: demuxed sums == an independent decode of the same
+    * JPEG bytes). */
+  def videoFramesMjpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val avis = MultimodalOps.encodeSyntheticAvi(ids, "doc_id", codec = "MJPG")
+    MultimodalOps.sampleAviFrames(avis, "content", "media_id", VF_STRIDE)
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"))
+  }
+
+  /** [[videoFramesSql]] restricted to the lossy-safe columns. */
+  def videoFramesDimsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, 3 + doc_id % 4 AS k FROM documents
+       |), fj AS (
+       |  SELECT media_id, unnest(range(0, k)) AS j FROM d
+       |), sampled AS (
+       |  SELECT media_id, j, media_id * 8 + j AS fid FROM fj
+       |  WHERE j % $VF_STRIDE = 0
+       |)
+       |SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+       |  CAST(8 + fid % 9 AS BIGINT) AS width,
+       |  CAST(8 + fid % 7 AS BIGINT) AS height
+       |FROM sampled""".stripMargin
 
   /** The resolved ISO-BMFF sample table of every doc's synthetic MP4:
     * real big-endian box walk (moov/trak/mdia/minf/stbl;
