@@ -21,9 +21,61 @@ import org.apache.spark.sql.types._
   */
 object OrderBookStream {
 
-  /** Typed micro-batch event for the modify variant. */
+  /** Typed micro-batch event for the modify variant. `et` is the
+    * event-time when event-time eviction is configured, null otherwise. */
   case class ModifyEvent(pkey: Long, okey: Long, price: Long, qty: Long,
-                         isBid: Boolean, pp: Option[Long], pq: Option[Long])
+                         isBid: Boolean, pp: Option[Long], pq: Option[Long],
+                         et: java.sql.Timestamp = null)
+
+  /** Timeout mode: EVENT-time when a watermarked column is named
+    * (eviction keyed to stream time — a faster-than-realtime historical
+    * replay evicts after `idleTimeout` of EVENT time, not wall clock,
+    * and a paused consumer evicts nothing), processing-time otherwise.
+    * Event mode requires the input stream to carry
+    * `withWatermark(eventTimeCol, …)` — Spark rejects the query at
+    * analysis without it — and fires evictions as the WATERMARK passes
+    * last-seen-event-time + idleTimeout (late data within the watermark
+    * delay cannot resurrect an evicted book: eviction already waited
+    * for it). */
+  private def timeoutConf(idleTimeout: Option[String],
+                          eventTimeCol: Option[String]) =
+    if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout()
+    else if (eventTimeCol.isDefined) GroupStateTimeout.EventTimeTimeout()
+    else GroupStateTimeout.ProcessingTimeTimeout()
+
+  /** Arm the per-group idle timeout after folding a batch:
+    * processing-time as a duration from now; event-time as the group's
+    * last seen event time + duration, floored at the current watermark
+    * (Spark refuses a timeout at or below the watermark, and a group
+    * whose events run behind the global max event time would otherwise
+    * throw mid-query). */
+  private def armIdleTimeout(state: GroupState[_], idleTimeout: Option[String],
+                             eventMode: Boolean, maxEventMs: Long): Unit =
+    idleTimeout.foreach { d =>
+      if (eventMode)
+        state.setTimeoutTimestamp(
+          math.max(maxEventMs, state.getCurrentWatermarkMs()), d)
+      else state.setTimeoutDuration(d)
+    }
+
+  /** The event-time column, PASSED THROUGH under a plain alias (null
+    * when event-time eviction is off): Spark's event-time-timeout check
+    * requires the watermark METADATA to survive into the grouping
+    * input, and any cast or function over the column strips it — the
+    * alias alone propagates it. */
+  private def etimeExpr(eventTimeCol: Option[String]) =
+    eventTimeCol match {
+      case Some(c) => col(c).as("et")
+      case None => lit(null).cast(TimestampType).as("et")
+    }
+
+  /** Max event time of a batch in epoch millis (Long.MinValue when no
+    * event times ride the batch). */
+  private def maxEventMs(ets: Iterator[java.sql.Timestamp]): Long = {
+    var m = Long.MinValue
+    ets.foreach(t => if (t != null && t.getTime > m) m = t.getTime)
+    m
+  }
 
   /** Streaming top-N-levels from price updates. `df` must be a streaming
     * DataFrame. Emits one row per input event (append mode).
@@ -40,20 +92,34 @@ object OrderBookStream {
     *        the pre-gap book. Size the timeout above any legitimate
     *        quiet period (overnight, weekend) or reconcile against a
     *        batch checkpoint chain after gaps. None = state lives for
-    *        the lifetime of the query (bounded universes). */
+    *        the lifetime of the query (bounded universes).
+    * @param eventTimeCol when ALSO set, eviction is keyed to EVENT time
+    *        instead of wall clock: the state evicts when the stream's
+    *        watermark passes last-seen-event-time + idleTimeout. This
+    *        is the correct mode for faster-than-realtime historical
+    *        replays (a day of events replayed in a minute evicts
+    *        overnight-quiet products exactly where the day's timeline
+    *        says, not after wall-clock minutes) and for paused
+    *        consumers (no events → watermark stalls → nothing evicts).
+    *        The input stream must carry `withWatermark(eventTimeCol,…)`
+    *        — the query is rejected at analysis otherwise. All other
+    *        eviction semantics are identical between the modes
+    *        (EventTimeIdleSpec pins the parity). */
   def topNLevelsFromPriceUpdates(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String,
-      idleTimeout: Option[String] = None): DataFrame =
+      idleTimeout: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame =
     replayStream(df, price, qty, isBid, n, partitionBy, orderBy,
-      mutation = false, idleTimeout)
+      mutation = false, idleTimeout, eventTimeCol)
 
   def topNLevelsFromPriceMutations(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String,
-      idleTimeout: Option[String] = None): DataFrame =
+      idleTimeout: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame =
     replayStream(df, price, qty, isBid, n, partitionBy, orderBy,
-      mutation = true, idleTimeout)
+      mutation = true, idleTimeout, eventTimeCol)
 
   /** Streaming O3: mutations with modify (nullable prev columns).
     * `idleTimeout` evicts idle products' book state like the O1/O2
@@ -62,7 +128,8 @@ object OrderBookStream {
       df: DataFrame, price: String, qty: String, isBid: String,
       prevPrice: String, prevQty: String, n: Int,
       partitionBy: String, orderBy: String,
-      idleTimeout: Option[String] = None): DataFrame = {
+      idleTimeout: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame = {
 
     val outSchema = StructType(
       StructField(partitionBy, LongType) +:
@@ -87,18 +154,17 @@ object OrderBookStream {
       col(qty).cast("long").as("qty"),
       col(isBid).cast("boolean").as("isBid"),
       col(prevPrice).cast("long").as("pp"),
-      col(prevQty).cast("long").as("pq"))
+      col(prevQty).cast("long").as("pq"),
+      etimeExpr(eventTimeCol))
 
     val rowEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val evEnc: Encoder[ModifyEvent] = Encoders.product[ModifyEvent]
 
-    val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    val eventMode = eventTimeCol.isDefined
     work.as[ModifyEvent]
       .groupByKey(_.pkey)(Encoders.scalaLong)
       .flatMapGroupsWithState[Array[Byte], Row](
-        OutputMode.Append(), timeoutConf) {
+        OutputMode.Append(), timeoutConf(idleTimeout, eventTimeCol)) {
         (key: Long, rows: Iterator[ModifyEvent], state: GroupState[Array[Byte]]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -117,7 +183,8 @@ object OrderBookStream {
               new GenericRowWithSchema(vals, outSchema): Row
             }.toArray
             state.update(BookCodec.serialize(book))
-            idleTimeout.foreach(state.setTimeoutDuration)
+            armIdleTimeout(state, idleTimeout, eventMode,
+              maxEventMs(sorted.iterator.map(_.et)))
             out.iterator
           }
       }(Encoders.BINARY, rowEnc)
@@ -160,7 +227,8 @@ object OrderBookStream {
   def ofiFromPriceUpdates(
       df: DataFrame, price: String, qty: String, isBid: String,
       partitionBy: String, orderBy: String,
-      idleTimeout: Option[String] = None): DataFrame = {
+      idleTimeout: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame = {
 
     val outSchema = StructType(
       StructField(partitionBy, LongType) +:
@@ -184,22 +252,20 @@ object OrderBookStream {
       col(orderBy).cast("long").as("okey"),
       col(price).cast("long").as("price"),
       col(qty).cast("long").as("qty"),
-      col(isBid).cast("boolean").as("is_bid"))
+      col(isBid).cast("boolean").as("is_bid"),
+      etimeExpr(eventTimeCol))
 
     implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]
-    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.scalaLong, Encoders.scalaBoolean)
+    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)] =
+      Encoders.product[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)]
 
-    val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    work.as[(Long, Long, Long, Long, Boolean)]
+    val eventMode = eventTimeCol.isDefined
+    work.as[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)]
       .groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[OfiState, Row](
-        OutputMode.Append(), timeoutConf) {
-        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
+        OutputMode.Append(), timeoutConf(idleTimeout, eventTimeCol)) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)],
          state: GroupState[OfiState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -214,7 +280,7 @@ object OrderBookStream {
             var cum = st0.cum
             val sorted = rows.toArray.sortBy(_._2)
             val snap = new Array[Any](4)
-            val out = sorted.iterator.map { case (_, okey, p, q, bSide) =>
+            val out = sorted.iterator.map { case (_, okey, p, q, bSide, _) =>
               Transitions.applyUpdate(book, bSide, p, q)
               book.snapshotInto(snap, 0)
               val b = snap(0).asInstanceOf[java.lang.Long]
@@ -245,7 +311,8 @@ object OrderBookStream {
             }.toArray
             state.update(
               OfiState(BookCodec.serialize(book), pb, pqb, pa, pqa, cum))
-            idleTimeout.foreach(state.setTimeoutDuration)
+            armIdleTimeout(state, idleTimeout, eventMode,
+              maxEventMs(sorted.iterator.map(_._6)))
             out.iterator
           }
       }(stEnc, rowEnc)
@@ -295,7 +362,8 @@ object OrderBookStream {
   def analyticsSummaryStream(
       df: DataFrame, price: String, qty: String, isBid: String,
       partitionBy: String, orderBy: String,
-      idleTimeout: Option[String] = None): DataFrame = {
+      idleTimeout: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame = {
 
     val outSchema = StructType(Seq(
       StructField(partitionBy, LongType, nullable = false),
@@ -313,22 +381,20 @@ object OrderBookStream {
       col(orderBy).cast("long").as("okey"),
       col(price).cast("long").as("price"),
       col(qty).cast("long").as("qty"),
-      col(isBid).cast("boolean").as("is_bid"))
+      col(isBid).cast("boolean").as("is_bid"),
+      etimeExpr(eventTimeCol))
 
     implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val stEnc: Encoder[SummaryState] = Encoders.product[SummaryState]
-    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.scalaLong, Encoders.scalaBoolean)
+    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)] =
+      Encoders.product[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)]
 
-    val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    work.as[(Long, Long, Long, Long, Boolean)]
+    val eventMode = eventTimeCol.isDefined
+    work.as[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)]
       .groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[SummaryState, Row](
-        OutputMode.Append(), timeoutConf) {
-        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
+        OutputMode.Append(), timeoutConf(idleTimeout, eventTimeCol)) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)],
          state: GroupState[SummaryState]) =>
           def summaryRow(st: SummaryState): Row = {
             // Spark's `div` truncates toward zero (IntegralDivide),
@@ -363,7 +429,8 @@ object OrderBookStream {
             val book = if (st.book != null) BookCodec.deserialize(st.book)
               else new OrderBook(1)
             val snap = new Array[Any](4)
-            rows.toArray.sortBy(_._2).foreach { case (_, okey, p, q, bSide) =>
+            val sorted = rows.toArray.sortBy(_._2)
+            sorted.foreach { case (_, okey, p, q, bSide, _) =>
               Transitions.applyUpdate(book, bSide, p, q)
               book.snapshotInto(snap, 0)
               val b = snap(0).asInstanceOf[java.lang.Long]
@@ -399,7 +466,8 @@ object OrderBookStream {
               else Iterator.single(summaryRow(st))
             state.update(st.copy(book = BookCodec.serialize(book),
               emit = st.emit + 1))
-            idleTimeout.foreach(state.setTimeoutDuration)
+            armIdleTimeout(state, idleTimeout, eventMode,
+              maxEventMs(sorted.iterator.map(_._6)))
             out
           }
       }(stEnc, rowEnc)
@@ -408,7 +476,8 @@ object OrderBookStream {
   private def replayStream(
       df: DataFrame, price: String, qty: String, isBid: String, n: Int,
       partitionBy: String, orderBy: String, mutation: Boolean,
-      idleTimeout: Option[String] = None): DataFrame = {
+      idleTimeout: Option[String] = None,
+      eventTimeCol: Option[String] = None): DataFrame = {
 
     val outSchema = StructType(
       StructField(partitionBy, LongType) +:
@@ -431,22 +500,20 @@ object OrderBookStream {
       col(orderBy).cast("long").as("okey"),
       col(price).cast("long").as("price"),
       col(qty).cast("long").as("qty"),
-      col(isBid).cast("boolean").as("is_bid"))
+      col(isBid).cast("boolean").as("is_bid"),
+      etimeExpr(eventTimeCol))
 
     implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
-    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.scalaLong, Encoders.scalaBoolean)
+    implicit val tupEnc: Encoder[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)] =
+      Encoders.product[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)]
 
-    val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    work.as[(Long, Long, Long, Long, Boolean)]
+    val eventMode = eventTimeCol.isDefined
+    work.as[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Byte], Row](
-        OutputMode.Append(), timeoutConf) {
-        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean)],
+        OutputMode.Append(), timeoutConf(idleTimeout, eventTimeCol)) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)],
          state: GroupState[Array[Byte]]) =>
           if (state.hasTimedOut) {
             // idle product: drop the book; a later re-appearance replays
@@ -458,7 +525,7 @@ object OrderBookStream {
               if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
             // fold in order within this micro-batch
             val sorted = rows.toArray.sortBy(_._2)
-            val out = sorted.iterator.map { case (_, okey, p, q, b) =>
+            val out = sorted.iterator.map { case (_, okey, p, q, b, _) =>
               if (mutation) Transitions.applyMutation(book, b, p, q)
               else Transitions.applyUpdate(book, b, p, q)
               val vals = new Array[Any](2 + 4 * n)
@@ -468,7 +535,8 @@ object OrderBookStream {
               new GenericRowWithSchema(vals, outSchema): Row
             }.toArray
             state.update(BookCodec.serialize(book))
-            idleTimeout.foreach(state.setTimeoutDuration)
+            armIdleTimeout(state, idleTimeout, eventMode,
+              maxEventMs(sorted.iterator.map(_._6)))
             out.iterator
           }
       }(Encoders.BINARY, rowEnc)
