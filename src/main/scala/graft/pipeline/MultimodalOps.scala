@@ -689,10 +689,11 @@ object MultimodalOps {
     val in = df.select(col(idCol).cast("long").as("media_id"),
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
+      val tally = new MediaUnresolvedTally(None, "mp3Meta")
       it.flatMap { r =>
         val id = r.getLong(0)
         val b = r.getAs[Array[Byte]](1)
-        try {
+        tally.walked(try {
           var p = 0
           def u8(i: Int): Int = b(i) & 0xFF
           // ID3v2: "ID3" + 2 version + 1 flags + 4-byte syncsafe size
@@ -732,12 +733,17 @@ object MultimodalOps {
             }
           }
           if (nFrames == 0) Nil
-          else Iterator.single(new GenericRowWithSchema(Array[Any](
+          else Seq(new GenericRowWithSchema(Array[Any](
             id, nFrames, nFrames * 1152L, rate.toLong,
             (if (mono) 1L else 2L), kbMin, kbMax, distinct.size > 1),
             outSchema): Row)
-        } catch { case _: Exception => Nil }
-      }
+        } catch {
+          // truncated/garbage byte streams are DATA (counted); walker
+          // bugs propagate — the MP4 walk's discipline
+          case _: IndexOutOfBoundsException => Nil
+          case _: IllegalArgumentException => Nil
+        })
+      } ++ tally.closeIter()
     }(Encoders.row(outSchema))
   }
 
@@ -811,10 +817,11 @@ object MultimodalOps {
     val in = df.select(col(idCol).cast("long").as("media_id"),
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
+      val tally = new MediaUnresolvedTally(None, "audioFrameEnergies")
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        try {
+        tally.walked(try {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {
@@ -840,10 +847,17 @@ object MultimodalOps {
             if (inFrame > 0)
               frames += new GenericRowWithSchema(
                 Array[Any](id, fIdx, acc), outSchema)
-            frames
+            frames.toSeq
           } finally ais.close()
-        } catch { case _: Exception => Nil }
-      }
+        } catch {
+          // non-audio / non-PCM16 / truncated payloads are DATA
+          // (counted); anything else is a decoder-walk bug and fails
+          // the query
+          case _: javax.sound.sampled.UnsupportedAudioFileException => Nil
+          case _: java.io.IOException => Nil
+          case _: IllegalArgumentException => Nil
+        })
+      } ++ tally.closeIter()
     }(Encoders.row(outSchema))
   }
 
@@ -904,7 +918,10 @@ object MultimodalOps {
     * keyframe-extraction shape (decode cost ∝ SAMPLED frames, never the
     * whole clip). Malformed containers or frames emit no rows (soft). */
   def sampleFrames(df: DataFrame, contentCol: String, idCol: String,
-                   stride: Int): DataFrame = {
+                   stride: Int,
+                   unresolvedCounter: Option[
+                     org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -918,10 +935,11 @@ object MultimodalOps {
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val tally = new MediaUnresolvedTally(unresolvedCounter, "sampleFrames")
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        try {
+        tally.walked(try {
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val magic = new Array[Byte](4); bb.get(magic)
@@ -948,9 +966,17 @@ object MultimodalOps {
               j += 1
             }
           }
-          out
-        } catch { case _: Exception => Nil }
-      }
+          out.toSeq
+        } catch {
+          // not-a-frame-pack (require), truncated reads, undecodable
+          // frames are DATA — counted by the tally; a walker bug
+          // propagates and fails the query (the MP4 walk's discipline)
+          case _: IllegalArgumentException => Nil
+          case _: java.nio.BufferUnderflowException => Nil
+          case _: IndexOutOfBoundsException => Nil
+          case _: java.io.IOException => Nil
+        })
+      } ++ tally.closeIter()
     }(Encoders.row(outSchema))
   }
 
@@ -1111,7 +1137,10 @@ object MultimodalOps {
     * indexes…) are skipped by the padding-aware grammar rather than
     * tripping it. */
   def sampleAviFrames(df: DataFrame, contentCol: String, idCol: String,
-                      stride: Int): DataFrame = {
+                      stride: Int,
+                      unresolvedCounter: Option[
+                        org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -1125,10 +1154,12 @@ object MultimodalOps {
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      val tally = new MediaUnresolvedTally(unresolvedCounter,
+        "sampleAviFrames")
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        try {
+        tally.walked(try {
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           def fourcc(): Array[Byte] = {
@@ -1192,10 +1223,17 @@ object MultimodalOps {
                 else bb.position(next)
               }
             }
-            out
+            out.toSeq
           }
-        } catch { case _: Exception => Nil }
-      }
+        } catch {
+          // non-AVI payloads (require), truncated reads, undecodable
+          // frames are DATA — counted; walker bugs propagate
+          case _: IllegalArgumentException => Nil
+          case _: java.nio.BufferUnderflowException => Nil
+          case _: IndexOutOfBoundsException => Nil
+          case _: java.io.IOException => Nil
+        })
+      } ++ tally.closeIter()
     }(Encoders.row(outSchema))
   }
 
@@ -1477,7 +1515,7 @@ object MultimodalOps {
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      val tally = new Mp4UnresolvedTally(unresolvedCounter, "sampleMp4Frames")
+      val tally = new MediaUnresolvedTally(unresolvedCounter, "sampleMp4Frames")
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -1539,7 +1577,7 @@ object MultimodalOps {
     val in = df.select(col(idCol).cast("long").as("media_id"),
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
-      val tally = new Mp4UnresolvedTally(unresolvedCounter, "mp4SampleTable")
+      val tally = new MediaUnresolvedTally(unresolvedCounter, "mp4SampleTable")
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -1592,7 +1630,7 @@ object MultimodalOps {
       Option(cs).flatMap(_.collectFirst { case (`tp`, s, e) => (s, e) })
   }
 
-  /** Malformed-media accounting for the MP4 walks, one instance per
+  /** Malformed-media accounting for the container walks, one instance per
     * partition: inputs that resolve to NO samples (non-MP4 bytes,
     * truncated or damaged tables, byte-access overruns, vanished
     * files) are DATA — counted here, into the caller's accumulator
@@ -1601,7 +1639,7 @@ object MultimodalOps {
     * propagates to fail the query instead of vanishing into an empty
     * result (the catch blocks are narrowed to exactly the
     * byte-access/IO failure modes malformed data can cause). */
-  private final class Mp4UnresolvedTally(
+  private final class MediaUnresolvedTally(
       acc: Option[org.apache.spark.util.LongAccumulator],
       label: String) extends Serializable {
     private var unresolved = 0L
@@ -1865,7 +1903,7 @@ object MultimodalOps {
       col(pathCol).cast("string").as("p"))
     in.mapPartitions { it =>
       val conf = bconf.value.value
-      val tally = new Mp4UnresolvedTally(unresolvedCounter,
+      val tally = new MediaUnresolvedTally(unresolvedCounter,
         "mp4SampleTableRanged")
       it.flatMap { r =>
         val id = r.getLong(0)
@@ -1915,7 +1953,7 @@ object MultimodalOps {
     in.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val conf = bconf.value.value
-      val tally = new Mp4UnresolvedTally(unresolvedCounter,
+      val tally = new MediaUnresolvedTally(unresolvedCounter,
         "sampleMp4FramesRanged")
       it.flatMap { r =>
         val id = r.getLong(0)

@@ -67,6 +67,26 @@ class Mp4CorruptAccountingSpec extends AnyFunSuite {
     } finally MultimodalOps.Mp4WalkFault.inject = _ => ()
   }
 
+  test("the sibling walks share the discipline: AVI and frame-pack garbage " +
+    "is counted, valid clips flow through") {
+    val aviAcc = spark.sparkContext.longAccumulator("avi-acct-test")
+    val avis = MultimodalOps.encodeSyntheticAvi(goodIds.toDF("id"), "id")
+      .unionByName(Seq((301L, Array.fill[Byte](64)(0x33)))
+        .toDF("media_id", "content"))
+    val aviRows = MultimodalOps.sampleAviFrames(
+      avis, "content", "media_id", 2, Some(aviAcc)).collect()
+    assert(aviAcc.value == 1L)
+    assert(aviRows.map(_.getLong(0)).toSet == goodIds.toSet)
+    val fpAcc = spark.sparkContext.longAccumulator("framepack-acct-test")
+    val packs = MultimodalOps.encodeSyntheticFramePack(goodIds.toDF("id"), "id")
+      .unionByName(Seq((302L, Array.fill[Byte](64)(0x44)))
+        .toDF("media_id", "content"))
+    val fpRows = MultimodalOps.sampleFrames(
+      packs, "content", "media_id", 2, Some(fpAcc)).collect()
+    assert(fpAcc.value == 1L)
+    assert(fpRows.map(_.getLong(0)).toSet == goodIds.toSet)
+  }
+
   test("ranged walk: garbage files counted, seeded fault fails the query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mp4-acct").toString
     TableSources.writeBinaryDir(
