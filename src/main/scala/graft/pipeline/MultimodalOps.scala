@@ -1925,6 +1925,127 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** [[sampleAviFrames]] over ON-DISK files via ranged reads — the
+    * RIFF twin of [[sampleMp4FramesRanged]], with the honest
+    * container contrast stated: AVI has no sample table, so the walk
+    * must still HOP every chunk header (one 8-byte positioned read per
+    * chunk — O(chunks) round-trips where MP4 pays one moov fetch), but
+    * payload bytes are fetched ONLY for the stride-kept '00dc' frames,
+    * so the dominant cost of a frame-heavy clip still scales with
+    * frames KEPT, and there is no file-size ceiling and no whole-file
+    * row. Semantics mirror the in-memory walk exactly (same skip/pad
+    * grammar, same honest truncation, same whole-clip abort on an
+    * undecodable frame), so the two forms share oracles verbatim. */
+  def sampleAviFramesRanged(files: DataFrame, pathCol: String, idCol: String,
+                            stride: Int,
+                            unresolvedCounter: Option[
+                              org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val bconf = files.sparkSession.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        files.sparkSession.sparkContext.hadoopConfiguration))
+    val in = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val conf = bconf.value.value
+      val tally = new MediaUnresolvedTally(unresolvedCounter,
+        "sampleAviFramesRanged")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        tally.walked(try {
+          val path = new org.apache.hadoop.fs.Path(r.getString(1))
+          val fs = path.getFileSystem(conf)
+          val fileLen = fs.getFileStatus(path).getLen
+          val s = fs.open(path)
+          try aviRangedWalk(s, fileLen, id, stride, outSchema)
+          finally s.close()
+        } catch {
+          case _: java.io.IOException => Nil
+          case _: IllegalArgumentException => Nil
+          case _: IndexOutOfBoundsException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
+  /** One file's ranged RIFF/AVI walk — see [[sampleAviFramesRanged]];
+    * every bound mirrors the in-memory walk with `fileLen` standing in
+    * for the buffer length. */
+  private def aviRangedWalk(s: org.apache.hadoop.fs.FSDataInputStream,
+                            fileLen: Long, id: Long, stride: Int,
+                            outSchema: StructType): Seq[Row] = {
+    val hdr = new Array[Byte](12)
+    def le32(o: Int): Int =
+      (hdr(o) & 0xFF) | ((hdr(o + 1) & 0xFF) << 8) |
+        ((hdr(o + 2) & 0xFF) << 16) | ((hdr(o + 3) & 0xFF) << 24)
+    def cc(o: Int, want: String): Boolean = {
+      var i = 0
+      while (i < 4) { if (hdr(o + i) != want.charAt(i).toByte) return false; i += 1 }
+      true
+    }
+    require(fileLen >= 12)
+    s.readFully(0L, hdr, 0, 12)
+    require(cc(0, "RIFF")) // riff size at 4 intentionally untrusted
+    require(cc(8, "AVI "))
+    var p = 12L
+    var moviStart = -1L; var moviEnd = -1L
+    var corrupt = false
+    while (moviEnd < 0 && !corrupt && p + 8 <= fileLen) {
+      s.readFully(p, hdr, 0, 8)
+      val size = le32(4)
+      if (size < 0) corrupt = true
+      else if (cc(0, "LIST") && size >= 4 && p + 12 <= fileLen) {
+        s.readFully(p + 8, hdr, 8, 4)
+        if (cc(8, "movi")) {
+          moviStart = p + 12
+          moviEnd = math.min(p + 12 + (size - 4), fileLen)
+        } else if (p + 8 + size + (size & 1) > fileLen) corrupt = true
+        else p = p + 8 + size + (size & 1)
+      } else if (p + 8 + size + (size & 1) > fileLen) corrupt = true
+      else p = p + 8 + size + (size & 1)
+    }
+    if (moviEnd < 0 || corrupt) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var q = moviStart
+    var j = 0L
+    var intact = true
+    while (intact && q + 8 <= moviEnd) {
+      s.readFully(q, hdr, 0, 8)
+      val len = le32(4)
+      val body = q + 8
+      if (len < 0 || body + len > moviEnd || len > fileLen - body) {
+        intact = false // truncated tail: keep what's decoded
+      } else if (cc(0, "00dc")) {
+        if (j % stride == 0) {
+          val frame = new Array[Byte](len)
+          s.readFully(body, frame, 0, len)
+          frameChannelSums(frame).foreach { case (w, h, sr, sg, sb) =>
+            out += new GenericRowWithSchema(
+              Array[Any](id, j, w, h, sr, sg, sb), outSchema)
+          }
+        }
+        q = body + len
+        if ((len & 1) != 0 && q < fileLen) q += 1
+        j += 1
+      } else {
+        val next = body + len + (len & 1)
+        if (next > fileLen) intact = false
+        else q = next
+      }
+    }
+    out.toSeq
+  }
+
   /** [[sampleMp4Frames]] over ON-DISK files via ranged reads: the moov
     * fetch resolves the table, stride keeps every `stride`-th sample,
     * and ONLY those samples' byte ranges are fetched and decoded —

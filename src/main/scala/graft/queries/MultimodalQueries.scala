@@ -62,6 +62,11 @@ object MultimodalQueries {
       Some(videoMp4MetaSql)),
     GraftQuery("q_video_frames_mp4_ranged", videoFramesMp4Ranged,
       Some(videoFramesSql)),
+    // the AVI corpus through the ranged path: chunk headers hopped by
+    // positioned read, payload bytes fetched only for kept frames —
+    // the RIFF grammar's no-ceiling form, sharing the sums oracle
+    GraftQuery("q_video_frames_avi_ranged", videoFramesAviRanged,
+      Some(videoFramesSql)),
     // the SAME clip as REAL Motion-JPEG in the same RIFF/AVI container —
     // the first LOSSY codec through the demuxer seam: walk and real
     // ImageIO decode unchanged, but decoded pixel sums are codec facts
@@ -216,6 +221,26 @@ object MultimodalQueries {
        |  CAST(sum((fid * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
        |  CAST(sum((fid * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
        |FROM px GROUP BY media_id, j""".stripMargin
+
+  /** [[videoFramesAvi]] through the ranged path: the Motion-PNG corpus
+    * written to real files, chunk headers hopped by positioned 8-byte
+    * reads, and ONLY the stride-kept '00dc' payloads fetched and
+    * decoded — identical output to the in-memory walk, so the sums
+    * oracle carries over verbatim. */
+  def videoFramesAviRanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val avis = MultimodalOps.encodeSyntheticAvi(ids, "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi-ranged")
+      .toString
+    graft.sources.TableSources.writeBinaryDir(
+      avis, dir, "media_id", "content", ".avi")
+    val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.avi")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.avi$", 1)
+          .cast("long"))
+    MultimodalOps.sampleAviFramesRanged(
+      files, "media_path", "media_id", VF_STRIDE)
+  }
 
   /** [[videoFramesAvi]] with the frames REALLY coded as JPEG (Motion-
     * JPEG, the classic capture-card/webcam AVI codec): the identical

@@ -109,6 +109,41 @@ class Mp4RangedSpec extends AnyFunSuite {
       ghost, "media_path", "media_id").count() == 0L)
   }
 
+  test("AVI ranged walk matches the in-memory walk (MPNG and MJPG)") {
+    for (codec <- Seq("MPNG", "MJPG")) {
+      val dir = freshDir(s"avi-ranged-$codec")
+      val avis = MultimodalOps.encodeSyntheticAvi(ids.toDF("id"), "id", codec)
+      TableSources.writeBinaryDir(avis, dir, "media_id", "content", ".avi")
+      val files = TableSources.listBinaryDir(spark, dir, "*.avi")
+        .withColumn("media_id",
+          regexp_extract(col("media_path"), "clip_(\\d+)\\.avi$", 1)
+            .cast("long"))
+      val inMem = MultimodalOps.sampleAviFrames(avis, "content", "media_id", 2)
+      val ranged = MultimodalOps.sampleAviFramesRanged(
+        files, "media_path", "media_id", 2)
+      assert(tableRows(ranged) == tableRows(inMem))
+      assert(tableRows(ranged).nonEmpty)
+    }
+    // garbage and ghost files resolve to no rows, counted
+    val dir = freshDir("avi-ranged-bad")
+    TableSources.writeBinaryDir(
+      MultimodalOps.encodeSyntheticAvi(ids.toDF("id"), "id"),
+      dir, "media_id", "content", ".avi")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "clip_99.avi"), Array.fill[Byte](64)(0x5B))
+    val acc = spark.sparkContext.longAccumulator("avi-ranged-acct")
+    val rows = MultimodalOps.sampleAviFramesRanged(
+      listedAvi(dir), "media_path", "media_id", 2, Some(acc)).collect()
+    assert(acc.value == 1L)
+    assert(!rows.map(_.getLong(0)).contains(99L))
+  }
+
+  private def listedAvi(dir: String) =
+    TableSources.listBinaryDir(spark, dir, "*.avi")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.avi$", 1)
+          .cast("long"))
+
   test("writeBinaryDir round-trips content through readBinaryDir") {
     val dir = freshDir("mp4-roundtrip")
     writeCorpus(dir, faststart = false)
