@@ -58,6 +58,11 @@ object RelationalQueries {
     // the dim replicated per salt — result provably identical to the
     // plain join (the oracle doesn't even mention the salt)
     GraftQuery("q_salted_join", saltedJoinQ, Some(saltedJoinSql)),
+    // same aggregate through the FULL-outer salted variant with
+    // autoSalts sizing the spread from the bounded hot-key probe —
+    // the round-13 completions driven through the oracle gate (a
+    // planted dim-only key proves the preserved-right leg)
+    GraftQuery("q_salted_join_auto", saltedJoinAutoQ, Some(saltedJoinAutoSql)),
   )
 
   private val Z_BITS = 4 // 16x16 cell grid, zcell in [0, 256)
@@ -128,6 +133,40 @@ object RelationalQueries {
       |  count(*) AS n,
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** [[saltedJoinQ]] through the FULL-outer variant with auto-sized
+    * salts: the dim side carries a planted key with no fact rows, which
+    * must survive the join exactly once (the per-salt-replica failure
+    * mode the anti-join null-extension leg exists to prevent), and the
+    * salt count comes from [[graft.operators.SaltedJoin.autoSalts]]'s
+    * bounded probe instead of a hand pick. */
+  def saltedJoinAutoQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.read(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+    val dim = li.select(col("l_returnflag")).distinct()
+      .select(col("l_returnflag"),
+        concat(lit("flag_"), col("l_returnflag")).as("label"))
+      .unionByName(Seq(("Z", "flag_Z")).toDF("l_returnflag", "label"))
+    val salts = graft.operators.SaltedJoin.autoSalts(
+      li, "l_returnflag", targetPerSalt = 1000L, maxSalts = 16)
+    graft.operators.SaltedJoin.saltedJoin(li, dim, "l_returnflag", salts,
+        joinType = "full_outer")
+      .groupBy(col("l_returnflag"), col("label"))
+      .agg(count(col("qty")).as("n"), sum(col("qty")).as("sum_qty"))
+  }
+
+  def saltedJoinAutoSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT l_returnflag, 'flag_' || l_returnflag AS label
+      |  FROM lineitem
+      |  UNION ALL SELECT 'Z', 'flag_Z'
+      |)
+      |SELECT d.l_returnflag, d.label,
+      |  count(l.l_quantity) AS n,
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM dim d LEFT JOIN lineitem l ON l.l_returnflag = d.l_returnflag
+      |GROUP BY 1, 2""".stripMargin
 
   /** Z-order (Morton) layout cells over lineitem's two join keys —
     * the clustered-write side of multi-dimensional pruning (see
