@@ -90,20 +90,39 @@ object SaltedJoin {
   }
 
   /** Pick `salts` from a BOUNDED hot-key probe: candidate hot keys come
-    * from the `freqItems` sketch (internal state ~`maxSalts` entries
-    * regardless of corpus size — no full groupBy materializes), their
-    * frequencies are then counted exactly (a map-only isin filter plus
-    * a candidate-bounded aggregate), and salts = ceil(maxFreq /
-    * targetPerSalt) clamped to [1, maxSalts]. Keys below corpus/
-    * maxSalts can never need more than maxSalts — exactly the sketch's
-    * support threshold, so a missed candidate is one that did not need
-    * salting. Returns 1 (plain join) when no key is hot enough. */
+    * from the `freqItems` sketch at support `targetPerSalt / n` (any
+    * key hot enough to need >1 salt exceeds that fraction, so it
+    * surfaces; sketch state is ~1/support ≤ min(n/targetPerSalt, 10^4)
+    * entries — no full groupBy materializes), their frequencies are
+    * then counted exactly (a map-only isin filter plus a
+    * candidate-bounded aggregate), and salts = ceil(maxFreq /
+    * targetPerSalt) clamped to [1, maxSalts]. Returns 1 (plain join)
+    * when no key is hot enough.
+    *
+    * HONEST BOUND: Spark's sketch floors support at 1e-4, so past
+    * n > 10^4 · targetPerSalt rows a key between targetPerSalt and
+    * n/10^4 occurrences can escape the probe — the helper WARNS loudly
+    * when that regime is entered (raise targetPerSalt proportionally,
+    * or size salts explicitly). Below that corpus size the sketch's
+    * guarantee is exact: a missed key is one that did not need
+    * salting. */
   def autoSalts(hot: DataFrame, key: String,
                 targetPerSalt: Long = 1L << 20,
                 maxSalts: Int = 64): Int = {
     require(targetPerSalt >= 1, s"targetPerSalt must be >= 1, got $targetPerSalt")
     require(maxSalts >= 1, s"maxSalts must be >= 1, got $maxSalts")
-    val cands = hot.stat.freqItems(Array(key), 1.0 / math.max(maxSalts, 2))
+    val n = hot.count()
+    if (n == 0 || targetPerSalt >= n) return 1
+    val want = targetPerSalt.toDouble / n
+    val floor = 1e-4
+    if (want < floor)
+      System.err.println(
+        f"[graft] autoSalts: $n%,d rows put the needed sketch support " +
+          f"$want%.2e below the freqItems floor $floor%.0e — keys between " +
+          f"$targetPerSalt%,d and ${(floor * n).toLong}%,d occurrences can " +
+          "escape this probe; raise targetPerSalt proportionally or size " +
+          "salts explicitly at this scale")
+    val cands = hot.stat.freqItems(Array(key), math.max(want, floor))
       .head().getSeq[Any](0).filter(_ != null)
     if (cands.isEmpty) 1
     else {

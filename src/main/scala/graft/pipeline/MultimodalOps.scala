@@ -1526,10 +1526,17 @@ object MultimodalOps {
           .flatMap { s =>
             val off = s.getLong(2).toInt; val sz = s.getLong(3).toInt
             // a resolved sample can still be undecodable BYTES (the
-            // codec's verdict, not the walker's) — data, so count+skip
+            // codec's verdict, not the walker's) — data, so count+skip;
+            // NonFatal because the JDK decoders throw RuntimeExceptions
+            // on some fuzzed payloads, and this catch is scoped to
+            // exactly the decode call (walker bugs live outside it)
             (try frameChannelSums(
               java.util.Arrays.copyOfRange(bytes, off, off + sz))
-            catch { case _: java.io.IOException => tally.undecodable(); None })
+            catch {
+              case _: java.io.IOException => tally.undecodable(); None
+              case scala.util.control.NonFatal(_) =>
+                tally.undecodable(); None
+            })
               .map { case (w, h, sr, sg, sb) =>
                 new GenericRowWithSchema(Array[Any](
                   id, s.getLong(1), w, h, sr, sg, sb), outSchema): Row
@@ -1741,13 +1748,20 @@ object MultimodalOps {
     val nSamples = u32(stsz._1 + 8).toInt
     if (nSamples < 0 || (uniform == 0 && stsz._1 + 12 + 4L * nSamples > stsz._2))
       return Nil
-    // Plausibility bound BEFORE allocating nSamples-sized arrays: with a
-    // uniform sample size the declared samples must fit the buffer (a
-    // corrupt header claiming ~2^31 samples would otherwise drive a
-    // multi-GB allocation whose OutOfMemoryError — an Error, not an
-    // Exception — escapes the callers' parse-failure handling and kills
-    // the executor). uniform == 0 is already bounded by the stsz box
-    // extent above, itself inside the buffer.
+    // Plausibility bounds BEFORE allocating nSamples-sized arrays: with a
+    // uniform sample size the declared samples must fit the addressed
+    // payload (a corrupt header claiming ~2^31 samples would otherwise
+    // drive a multi-GB allocation whose OutOfMemoryError — an Error, not
+    // an Exception — escapes the callers' parse-failure handling and
+    // kills the executor). uniform == 0 is already bounded by the stsz
+    // box extent above, itself inside the buffer. The payload bound
+    // alone is NOT enough on the ranged path, where payloadBound is a
+    // file length that can dwarf any sane sample count (a >2 GB file
+    // claiming 2^31 uniform-size-1 samples passes it and still
+    // allocates ~34 GB of per-sample arrays) — so a flat cap rejects
+    // counts no real video reaches (2^26 ≈ 67M samples ≈ 12 days at
+    // 60 fps) as corrupt.
+    if (nSamples > (1 << 26)) return Nil
     if (uniform != 0 && nSamples.toLong * math.max(uniform, 1L) > payloadBound)
       return Nil
     val sizes = Array.tabulate(nSamples)(i =>
@@ -1914,7 +1928,7 @@ object MultimodalOps {
             val len = fs.getFileStatus(path).getLen
             val s = fs.open(path)
             try mp4ResolveRanged(s, len, id, maxMoovBytes, outSchema)
-            finally s.close()
+            finally (try s.close() catch { case _: java.io.IOException => () })
           } catch {
             // bad/vanished paths and byte overruns are data, not bugs
             case _: java.io.IOException => Nil
@@ -1968,7 +1982,7 @@ object MultimodalOps {
           val fileLen = fs.getFileStatus(path).getLen
           val s = fs.open(path)
           try aviRangedWalk(s, fileLen, id, stride, outSchema)
-          finally s.close()
+          finally (try s.close() catch { case _: java.io.IOException => () })
         } catch {
           case _: java.io.IOException => Nil
           case _: IllegalArgumentException => Nil
@@ -2088,19 +2102,30 @@ object MultimodalOps {
               mp4ResolveRanged(s, len, id, maxMoovBytes, Mp4SampleTableSchema))
               .filter(_.getLong(1) % stride == 0)
               .flatMap { sm =>
-                val off = sm.getLong(2); val sz = sm.getLong(3).toInt
-                (try {
+                val off = sm.getLong(2); val szL = sm.getLong(3)
+                // the resolved size is only bounded by the FILE length
+                // on this path — a corrupt >2 GB entry would wrap
+                // .toInt negative and throw past the catches below
+                (if (szL < 0 || szL > Int.MaxValue - 16) {
+                  tally.undecodable(); None
+                } else try {
+                  val sz = szL.toInt
                   val frame = new Array[Byte](sz)
                   s.readFully(off, frame, 0, sz)
                   frameChannelSums(frame)
                 } catch {
                   case _: java.io.IOException => tally.undecodable(); None
+                  // the JDK decoders throw RuntimeExceptions on some
+                  // fuzzed payloads — scoped to the decode call, that
+                  // is the codec's data verdict, not a walker bug
+                  case scala.util.control.NonFatal(_) =>
+                    tally.undecodable(); None
                 }).map { case (w, h, sr, sg, sb) =>
                   new GenericRowWithSchema(Array[Any](
                     id, sm.getLong(1), w, h, sr, sg, sb), outSchema): Row
                 }
               }
-          } finally s.close()
+          } finally (try s.close() catch { case _: java.io.IOException => () })
         } catch {
           case _: java.io.IOException => tally.walked(Nil)
           case _: IndexOutOfBoundsException => tally.walked(Nil)

@@ -230,8 +230,7 @@ object MultimodalQueries {
   def videoFramesAviRanged(spark: SparkSession, sfDir: String): DataFrame = {
     val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
     val avis = MultimodalOps.encodeSyntheticAvi(ids, "doc_id")
-    val dir = java.nio.file.Files.createTempDirectory("graft-avi-ranged")
-      .toString
+    val dir = graft.sources.TableSources.scratchDir("graft-avi-ranged")
     graft.sources.TableSources.writeBinaryDir(
       avis, dir, "media_id", "content", ".avi")
     val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.avi")
@@ -304,8 +303,7 @@ object MultimodalQueries {
   def videoMp4MetaRanged(spark: SparkSession, sfDir: String): DataFrame = {
     val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
     val mp4s = MultimodalOps.encodeSyntheticMp4(ids, "doc_id")
-    val dir = java.nio.file.Files.createTempDirectory("graft-mp4-ranged")
-      .toString
+    val dir = graft.sources.TableSources.scratchDir("graft-mp4-ranged")
     graft.sources.TableSources.writeBinaryDir(
       mp4s, dir, "media_id", "content", ".mp4")
     val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mp4")
@@ -322,8 +320,7 @@ object MultimodalQueries {
   def videoFramesMp4Ranged(spark: SparkSession, sfDir: String): DataFrame = {
     val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
     val mp4s = MultimodalOps.encodeSyntheticMp4Video(ids, "doc_id")
-    val dir = java.nio.file.Files.createTempDirectory("graft-mp4v-ranged")
-      .toString
+    val dir = graft.sources.TableSources.scratchDir("graft-mp4v-ranged")
     graft.sources.TableSources.writeBinaryDir(
       mp4s, dir, "media_id", "content", ".mp4")
     val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mp4")

@@ -100,8 +100,7 @@ object RelationalQueries {
     // fresh per-invocation directory: a deterministic path keyed on sfDir
     // would let two concurrent runs (or a hashCode collision) race each
     // other's write/swap and read a mixed-generation index
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_qs_idx_").toString
+    val dir = graft.sources.TableSources.scratchDir("graft_qs_idx_")
     graft.pipeline.StatsOps.writeQuantileIndex(
       li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
       cents(col("l_extendedprice")), dir, QS_BITS)

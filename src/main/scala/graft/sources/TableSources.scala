@@ -146,6 +146,26 @@ object TableSources {
         col("length").as("media_len"))
   }
 
+  /** Fresh per-invocation scratch dir whose tree is deleted at JVM
+    * exit: the staging dirs of corpus/index-writing queries must
+    * OUTLIVE the returned DataFrame's evaluation (which rules out
+    * eager deletion inside the query), but leaving them behind
+    * accumulates a full corpus copy per harness invocation. The
+    * verify/bench harnesses run in short-lived forked JVMs, so
+    * exit-time cleanup is prompt; long-lived sessions writing
+    * artifacts they intend to KEEP should choose their own path
+    * instead of this. */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      catch { case _: Exception => () }))
+    dir.toString
+  }
+
   /** Distributed media-corpus writer: one FILE per row via the Hadoop
     * filesystem API (works on file://, hdfs://, s3a:// alike), named
     * `<prefix><id><ext>` under `dir`. Executors write their partitions

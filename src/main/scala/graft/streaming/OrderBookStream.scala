@@ -45,18 +45,37 @@ object OrderBookStream {
 
   /** Arm the per-group idle timeout after folding a batch:
     * processing-time as a duration from now; event-time as the group's
-    * last seen event time + duration, floored at the current watermark
-    * (Spark refuses a timeout at or below the watermark, and a group
-    * whose events run behind the global max event time would otherwise
-    * throw mid-query). */
+    * max event time SEEN ACROSS ITS WHOLE LIFETIME + duration
+    * (`maxSeenEvMs` — carried in the state, because re-arming from
+    * just the current batch's max would let a late in-watermark event
+    * PULL an already-armed timeout earlier and evict a live book),
+    * floored at the current watermark (Spark refuses a timeout at or
+    * below the watermark, and a group whose events run behind the
+    * global max event time would otherwise throw mid-query). */
   private def armIdleTimeout(state: GroupState[_], idleTimeout: Option[String],
-                             eventMode: Boolean, maxEventMs: Long): Unit =
+                             eventMode: Boolean, maxSeenEvMs: Long): Unit =
     idleTimeout.foreach { d =>
       if (eventMode)
         state.setTimeoutTimestamp(
-          math.max(maxEventMs, state.getCurrentWatermarkMs()), d)
+          math.max(maxSeenEvMs, state.getCurrentWatermarkMs()), d)
       else state.setTimeoutDuration(d)
     }
+
+  /** Replay-stream state envelope: the BookCodec blob plus the
+    * incarnation's max seen event time (8 big-endian tail bytes) — see
+    * [[armIdleTimeout]] for why the max must survive batches. */
+  private def packBookState(blob: Array[Byte], maxEv: Long): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(blob, blob.length + 8)
+    var v = maxEv; var i = out.length - 1
+    while (i >= blob.length) { out(i) = (v & 0xFF).toByte; v >>>= 8; i -= 1 }
+    out
+  }
+  private def unpackBookState(packed: Array[Byte]): (Array[Byte], Long) = {
+    val blob = java.util.Arrays.copyOf(packed, packed.length - 8)
+    var v = 0L; var i = packed.length - 8
+    while (i < packed.length) { v = (v << 8) | (packed(i) & 0xFFL); i += 1 }
+    (blob, v)
+  }
 
   /** The event-time column, PASSED THROUGH under a plain alias (null
     * when event-time eviction is off): Spark's event-time-timeout check
@@ -170,8 +189,11 @@ object OrderBookStream {
             state.remove()
             Iterator.empty
           } else {
+            val (blob0, prevMaxEv) =
+              if (state.exists) unpackBookState(state.get)
+              else (null, Long.MinValue)
             val book =
-              if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
+              if (blob0 != null) BookCodec.deserialize(blob0) else new OrderBook(n)
             val sorted = rows.toArray.sortBy(_.okey)
             val out = sorted.iterator.map { e =>
               Transitions.applyMutationWithModify(book, e.isBid, e.price, e.qty,
@@ -182,9 +204,10 @@ object OrderBookStream {
               book.snapshotInto(vals, 2)
               new GenericRowWithSchema(vals, outSchema): Row
             }.toArray
-            state.update(BookCodec.serialize(book))
-            armIdleTimeout(state, idleTimeout, eventMode,
+            val maxEv = math.max(prevMaxEv,
               maxEventMs(sorted.iterator.map(_.et)))
+            state.update(packBookState(BookCodec.serialize(book), maxEv))
+            armIdleTimeout(state, idleTimeout, eventMode, maxEv)
             out.iterator
           }
       }(Encoders.BINARY, rowEnc)
@@ -196,7 +219,8 @@ object OrderBookStream {
     * predecessor — exactly the cases the batch lag() yields NULL for)
     * and the running OFI sum. */
   case class OfiState(book: Array[Byte], pb: Option[Long], pqb: Option[Long],
-                      pa: Option[Long], pqa: Option[Long], cum: Long)
+                      pa: Option[Long], pqa: Option[Long], cum: Long,
+                      maxEv: Long = Long.MinValue)
 
   /** Streaming twin of the book ANALYTICS chain: the O1 replay fold and
     * the best-level order-flow imbalance
@@ -309,10 +333,11 @@ object OrderBookStream {
                 Array[Any](key, okey, b, qb, a, qa, ofi, cum),
                 outSchema): Row
             }.toArray
-            state.update(
-              OfiState(BookCodec.serialize(book), pb, pqb, pa, pqa, cum))
-            armIdleTimeout(state, idleTimeout, eventMode,
+            val maxEv = math.max(st0.maxEv,
               maxEventMs(sorted.iterator.map(_._6)))
+            state.update(OfiState(
+              BookCodec.serialize(book), pb, pqb, pa, pqa, cum, maxEv))
+            armIdleTimeout(state, idleTimeout, eventMode, maxEv)
             out.iterator
           }
       }(stEnc, rowEnc)
@@ -327,7 +352,8 @@ object OrderBookStream {
                           lastSeq: Option[Long], lastMid2: Option[Long],
                           nEvents: Long, nQuoted: Long, quotedTicks: Long,
                           area: Long, nQuotes: Long, nMoves: Long,
-                          rvX4: Long, emit: Long)
+                          rvX4: Long, emit: Long,
+                          maxEv: Long = Long.MinValue)
 
   /** Streaming twin of the per-product book SUMMARY analytics —
     * [[graft.operators.BookAnalytics.timeWeightedSpread]] and
@@ -459,15 +485,17 @@ object OrderBookStream {
                   }
                 } else (st.nQuotes, st.nMoves, st.rvX4, st.lastMid2)
               st = SummaryState(null, spread, Some(okey), lastMid2,
-                st.nEvents + 1, nq, qt, ar, nQuotes2, nMoves2, rv2, st.emit)
+                st.nEvents + 1, nq, qt, ar, nQuotes2, nMoves2, rv2, st.emit,
+                st.maxEv)
             }
             val out =
               if (st.nEvents == 0) Iterator.empty
               else Iterator.single(summaryRow(st))
-            state.update(st.copy(book = BookCodec.serialize(book),
-              emit = st.emit + 1))
-            armIdleTimeout(state, idleTimeout, eventMode,
+            val maxEv = math.max(st.maxEv,
               maxEventMs(sorted.iterator.map(_._6)))
+            state.update(st.copy(book = BookCodec.serialize(book),
+              emit = st.emit + 1, maxEv = maxEv))
+            armIdleTimeout(state, idleTimeout, eventMode, maxEv)
             out
           }
       }(stEnc, rowEnc)
@@ -521,8 +549,11 @@ object OrderBookStream {
             state.remove()
             Iterator.empty
           } else {
+            val (blob0, prevMaxEv) =
+              if (state.exists) unpackBookState(state.get)
+              else (null, Long.MinValue)
             val book =
-              if (state.exists) BookCodec.deserialize(state.get) else new OrderBook(n)
+              if (blob0 != null) BookCodec.deserialize(blob0) else new OrderBook(n)
             // fold in order within this micro-batch
             val sorted = rows.toArray.sortBy(_._2)
             val out = sorted.iterator.map { case (_, okey, p, q, b, _) =>
@@ -534,9 +565,10 @@ object OrderBookStream {
               book.snapshotInto(vals, 2)
               new GenericRowWithSchema(vals, outSchema): Row
             }.toArray
-            state.update(BookCodec.serialize(book))
-            armIdleTimeout(state, idleTimeout, eventMode,
+            val maxEv = math.max(prevMaxEv,
               maxEventMs(sorted.iterator.map(_._6)))
+            state.update(packBookState(BookCodec.serialize(book), maxEv))
+            armIdleTimeout(state, idleTimeout, eventMode, maxEv)
             out.iterator
           }
       }(Encoders.BINARY, rowEnc)
