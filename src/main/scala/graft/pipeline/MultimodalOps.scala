@@ -1451,6 +1451,199 @@ object MultimodalOps {
     bb.array()
   }
 
+  // ---- Fragmented MP4 (fMP4: moof/traf/trun — the DASH/HLS layout) ------
+
+  /** Deterministic fMP4 formulas, mirrored verbatim by the oracle SQL. */
+  def synthFmp4Fragments(id: Long): Int = (2 + id % 3).toInt
+  def synthFmp4FragSamples(id: Long, f: Int): Int = (2 + (id + f) % 3).toInt
+  def synthFmp4SampleSize(id: Long, i: Int): Int =
+    (40 + (id * 11 + i * 7) % 60).toInt
+
+  /** id → REAL fragmented ISO-BMFF bytes: ftyp + an empty-stbl moov
+    * (mvhd/trak with zero-length sample tables + mvex/trex — the
+    * streaming-init-segment shape) followed by one moof+mdat pair per
+    * fragment, each moof carrying mfhd/traf(tfhd, trun). Branch
+    * coverage rides the corpus: EVEN ids carry per-sample durations in
+    * trun entries (8-byte entries, flags 0x301), ODD ids hoist the
+    * duration into tfhd's default-sample-duration (4-byte entries,
+    * flags 0x201, tfhd flags 0x020008) — both under
+    * default-base-is-moof addressing with an explicit trun
+    * data_offset. */
+  def encodeSyntheticFmp4(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        var i = 0
+        val frags = (0 until synthFmp4Fragments(id)).map { f =>
+          IndexedSeq.fill(synthFmp4FragSamples(id, f)) {
+            val sz = synthFmp4SampleSize(id, i)
+            val a = Array.tabulate[Byte](sz)(j => ((id + i * 7 + j) % 251).toByte)
+            i += 1
+            a
+          }
+        }
+        new GenericRowWithSchema(Array[Any](id,
+          buildFmp4(id, frags, synthMp4Timescale(id), synthMp4Delta(id))),
+          outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The fMP4 twin of [[encodeSyntheticMp4Video]]: the SAME logical
+    * clip (frame formulas synthFrameCount/synthFrameImageId, real JDK
+    * PNG frames) split across two fragments (ceil(k/2) + rest), so
+    * [[sampleMp4Frames]] over it shares the one frame-formula oracle
+    * with the pack, AVI, and progressive-MP4 forms. */
+  def encodeSyntheticFmp4Video(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val k = synthFrameCount(id)
+        val frames = IndexedSeq.tabulate(k) { j =>
+          val fid = synthFrameImageId(id, j)
+          val (w, h) = synthDims(fid)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, synthRgb(fid, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val c1 = (k + 1) / 2
+        new GenericRowWithSchema(Array[Any](id,
+          buildFmp4(id, Seq(frames.take(c1), frames.drop(c1)), ts = 25,
+            delta = 1)), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** One fragmented file from explicit per-fragment payloads — the
+    * writer behind both fMP4 encoders. */
+  private def buildFmp4(id: Long, frags: Seq[IndexedSeq[Array[Byte]]],
+                        ts: Int, delta: Int): Array[Byte] = {
+    val even = id % 2 == 0
+    val moov = fmp4MoovBytes(ts)
+    val fragBytes = frags.zipWithIndex.map { case (payloads, f) =>
+      val m = payloads.size
+      val tfhdSz = if (even) 16 else 20
+      val trunSz = 20 + (if (even) 8 else 4) * m
+      val trafSz = 8 + tfhdSz + trunSz
+      val moofSz = 8 + 16 + trafSz
+      val mdatSz = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(moofSz + mdatSz)
+      def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      def box(sz: Int, tp: String): Unit = { bb.putInt(sz); fcc(tp) }
+      box(moofSz, "moof")
+      box(16, "mfhd"); bb.putInt(0).putInt(f + 1) // sequence_number
+      box(trafSz, "traf")
+      if (even) { box(16, "tfhd"); bb.putInt(0x020000); bb.putInt(1) }
+      else {
+        box(20, "tfhd"); bb.putInt(0x020008); bb.putInt(1)
+        bb.putInt(delta) // default_sample_duration
+      }
+      box(trunSz, "trun")
+      bb.putInt(if (even) 0x000301 else 0x000201)
+      bb.putInt(m).putInt(moofSz + 8) // data_offset → first mdat payload byte
+      payloads.foreach { pl =>
+        if (even) bb.putInt(delta)
+        bb.putInt(pl.length)
+      }
+      box(mdatSz, "mdat")
+      payloads.foreach(bb.put)
+      require(bb.remaining() == 0,
+        s"fmp4 fragment layout bug: ${bb.remaining()} bytes unwritten")
+      bb.array()
+    }
+    val total = 24 + moov.length + fragBytes.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(24); bb.put("ftypisom".getBytes("US-ASCII")).putInt(0x200)
+    bb.put("isommp41".getBytes("US-ASCII"))
+    bb.put(moov)
+    fragBytes.foreach(bb.put)
+    require(bb.remaining() == 0,
+      s"fmp4 layout bug: ${bb.remaining()} bytes unwritten")
+    bb.array()
+  }
+
+  /** The fragmented layout's init moov: mvhd + one video trak whose
+    * stbl tables are legally EMPTY (the samples live in the fragments)
+    * + mvex/trex declaring the track's fragment defaults. Fixed 571
+    * bytes. */
+  private def fmp4MoovBytes(ts: Int): Array[Byte] = {
+    val stsdSz = 102
+    val stblSz = 8 + stsdSz + 16 + 20 + 16 + 16 // + empty stts/stsz/stsc/stco
+    val minfSz = 8 + 20 + 36 + stblSz
+    val mdiaSz = 8 + 32 + 33 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val mvexSz = 8 + 32
+    val moovSz = 8 + 108 + trakSz + mvexSz
+    val bb = java.nio.ByteBuffer.allocate(moovSz)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    def box(sz: Int, tp: String): Unit = { bb.putInt(sz); fcc(tp) }
+    box(moovSz, "moov")
+    box(108, "mvhd"); bb.putInt(0)
+    bb.putInt(0).putInt(0).putInt(ts).putInt(0) // duration 0: lives in fragments
+      .putInt(0x00010000).putShort(0x0100.toShort)
+      .putShort(0).putLong(0L)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2)
+    box(trakSz, "trak")
+    box(92, "tkhd"); bb.putInt(7)
+    bb.putInt(0).putInt(0).putInt(1).putInt(0).putInt(0).putLong(0L)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    bb.putInt(16 << 16).putInt(16 << 16)
+    box(mdiaSz, "mdia")
+    box(32, "mdhd"); bb.putInt(0)
+    bb.putInt(0).putInt(0).putInt(ts).putInt(0)
+      .putShort(0x55C4.toShort).putShort(0)
+    box(33, "hdlr"); bb.putInt(0); bb.putInt(0); fcc("vide")
+    (0 until 3).foreach(_ => bb.putInt(0)); bb.put(0.toByte)
+    box(minfSz, "minf")
+    box(20, "vmhd"); bb.putInt(1)
+    bb.putShort(0); (0 until 3).foreach(_ => bb.putShort(0))
+    box(36, "dinf"); box(28, "dref"); bb.putInt(0).putInt(1)
+    box(12, "url "); bb.putInt(1)
+    box(stblSz, "stbl")
+    box(stsdSz, "stsd"); bb.putInt(0).putInt(1)
+    box(86, "mp4v")
+    (0 until 6).foreach(_ => bb.put(0.toByte)); bb.putShort(1)
+    bb.putShort(0).putShort(0); (0 until 3).foreach(_ => bb.putInt(0))
+    bb.putShort(16).putShort(16)
+      .putInt(0x00480000).putInt(0x00480000)
+      .putInt(0).putShort(1)
+    (0 until 32).foreach(_ => bb.put(0.toByte))
+    bb.putShort(24).putShort(-1)
+    box(16, "stts"); bb.putInt(0).putInt(0)
+    box(20, "stsz"); bb.putInt(0).putInt(0).putInt(0)
+    box(16, "stsc"); bb.putInt(0).putInt(0)
+    box(16, "stco"); bb.putInt(0).putInt(0)
+    box(40, "mvex"); box(32, "trex"); bb.putInt(0)
+    bb.putInt(1)      // track_ID
+      .putInt(1)      // default_sample_description_index
+      .putInt(0)      // default_sample_duration (fragments carry their own)
+      .putInt(0)      // default_sample_size
+      .putInt(0)      // default_sample_flags
+    require(bb.remaining() == 0,
+      s"fmp4 moov layout bug: ${bb.remaining()} bytes unwritten")
+    bb.array()
+  }
+
   /** id → a REAL playable-shape MP4 of REAL PNG frames: the frame-pack
     * / AVI clip re-encoded through [[buildMp4]] with each sample a
     * JDK-encoded PNG of the SAME frame formulas (synthFrameCount /
@@ -1707,7 +1900,112 @@ object MultimodalOps {
       }
     val moov = topBoxes.collectFirst { case ("moov", s, e) => (s, e) }
       .getOrElse(return Nil)
-    mp4ResolveStbl(id, m, moov._1, moov._2, bytes.length.toLong, outSchema)
+    mp4ResolveStbl(id, m, moov._1, moov._2, bytes.length.toLong, outSchema) match {
+      case None => Nil
+      case Some((rows, ts)) =>
+        if (rows.nonEmpty) rows
+        else {
+          // a legally empty stbl is the FRAGMENTED layout's signature:
+          // the samples live in moof/traf/trun fragments after moov
+          val moofs = topBoxes.collect { case ("moof", ps, pe) =>
+            (m, ps, pe, ps - 8) // compact headers: box starts 8 before payload
+          }
+          if (moofs.isEmpty) rows
+          else mp4ResolveMoofs(id, moofs, ts, bytes.length.toLong, outSchema)
+        }
+    }
+  }
+
+  /** Resolve sample rows from a run of movie fragments (fMP4 — the
+    * DASH/HLS streaming layout: an empty-stbl moov up front, then
+    * moof/traf/trun boxes carrying per-fragment sample tables with the
+    * payload in each fragment's mdat). Subset implemented, stated
+    * plainly: one traf + one trun per moof; base offset from
+    * base-data-offset when present, else the moof's own start (the
+    * default-base-is-moof convention — compact box headers assumed);
+    * per-sample duration/size from trun entries or tfhd defaults
+    * (trex-level defaults are OUT of the subset — a fragment relying
+    * on them resolves to nothing rather than guessing); sync = each
+    * fragment's leading sample (keyframe-aligned fragmentation, the
+    * reason fragment boundaries exist). dts and sample_idx accumulate
+    * ACROSS fragments. Honest truncation at fragment granularity: a
+    * damaged fragment stops the walk keeping all prior fragments'
+    * samples, and a truncated mdat keeps exactly the leading samples
+    * whose payload is fully present.
+    *
+    * Each entry of `moofs`: (buffer, payloadStart, payloadEnd,
+    * absolute moof box offset) — the in-memory walk passes the
+    * whole-file buffer with payload spans inside it; the ranged walk
+    * passes one fetched buffer per moof. */
+  private def mp4ResolveMoofs(id: Long,
+                              moofs: Seq[(Mp4Buf, Long, Long, Long)],
+                              timescale: Long, payloadBound: Long,
+                              outSchema: StructType): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var sampleIdx = 0L
+    var dts = 0L
+    moofs.foreach { case (m, payS, payE, moofStart) =>
+      import m.{children, child, u32}
+      val kids = children(payS, payE)
+      if (kids == null) return out.toSeq
+      val traf = child(kids, "traf").getOrElse(return out.toSeq)
+      val tkids = children(traf._1, traf._2)
+      if (tkids == null) return out.toSeq
+      val tfhd = child(tkids, "tfhd").getOrElse(return out.toSeq)
+      if (tfhd._2 - tfhd._1 < 8) return out.toSeq
+      val tfFlags = u32(tfhd._1) & 0xFFFFFFL
+      var p = tfhd._1 + 8 // version/flags + track_ID
+      var base = moofStart // default-base-is-moof and the spec default alike
+      if ((tfFlags & 0x1) != 0) {
+        if (p + 8 > tfhd._2) return out.toSeq
+        base = m.u64(p); p += 8
+      }
+      if ((tfFlags & 0x2) != 0) p += 4 // sample_description_index
+      val defDur =
+        if ((tfFlags & 0x8) != 0) {
+          if (p + 4 > tfhd._2) return out.toSeq
+          val v = u32(p); p += 4; v
+        } else -1L
+      val defSize =
+        if ((tfFlags & 0x10) != 0) {
+          if (p + 4 > tfhd._2) return out.toSeq
+          val v = u32(p); p += 4; v
+        } else -1L
+      val trun = child(tkids, "trun").getOrElse(return out.toSeq)
+      if (trun._2 - trun._1 < 8) return out.toSeq
+      val trFlags = u32(trun._1) & 0xFFFFFFL
+      val n = u32(trun._1 + 4).toInt
+      if (n < 0 || n > (1 << 26)) return out.toSeq
+      var q = trun._1 + 8
+      var off = base
+      if ((trFlags & 0x1) != 0) {
+        if (q + 4 > trun._2) return out.toSeq
+        off = base + u32(q).toInt; q += 4 // data_offset is SIGNED 32-bit
+      }
+      if ((trFlags & 0x4) != 0) q += 4 // first_sample_flags (sync stays fragment-leading)
+      val entry = (if ((trFlags & 0x100) != 0) 4 else 0) +
+        (if ((trFlags & 0x200) != 0) 4 else 0) +
+        (if ((trFlags & 0x400) != 0) 4 else 0) +
+        (if ((trFlags & 0x800) != 0) 4 else 0)
+      if (q + entry.toLong * n > trun._2) return out.toSeq
+      var j = 0
+      while (j < n) {
+        var r = q + entry.toLong * j
+        val dur =
+          if ((trFlags & 0x100) != 0) { val v = u32(r); r += 4; v } else defDur
+        val sz =
+          if ((trFlags & 0x200) != 0) { val v = u32(r); r += 4; v } else defSize
+        // no per-sample value and no tfhd default: trex defaults are out
+        // of the subset — refuse the fragment rather than guess
+        if (dur < 0 || sz < 0) return out.toSeq
+        if (off < 0 || off > payloadBound - sz) return out.toSeq
+        out += new GenericRowWithSchema(Array[Any](
+          id, sampleIdx, off, sz, dts, j == 0, timescale), outSchema)
+        off += sz; dts += dur; sampleIdx += 1
+        j += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Resolve the first video trak's sample table from a moov payload at
@@ -1715,13 +2013,18 @@ object MultimodalOps {
     * of the FILE the chunk offsets address — the buffer itself for the
     * in-memory walk, the on-disk file length for the ranged walk (where
     * the buffer holds only moov) — and bounds both the honest-truncation
-    * emit check and the uniform-stsz allocation plausibility guard. */
+    * emit check and the uniform-stsz allocation plausibility guard.
+    * Returns None when the moov is damaged or has no video trak;
+    * Some((rows, timescale)) otherwise — rows EMPTY for a fragmented
+    * (fMP4) moov whose stbl tables are legally zero-length, which is
+    * the callers' cue to walk the moof boxes instead. */
   private def mp4ResolveStbl(id: Long, m: Mp4Buf, moovS: Long, moovE: Long,
                              payloadBound: Long,
-                             outSchema: StructType): Seq[Row] = {
+                             outSchema: StructType)
+      : Option[(Seq[Row], Long)] = {
     import m.{children, child, u32, u64, fourcc}
     val moovKids = children(moovS, moovE)
-    if (moovKids == null) return Nil
+    if (moovKids == null) return None
     // first trak whose handler is video
     val trak = moovKids.collect { case ("trak", s, e) => (s, e) }
       .find { case (s, e) =>
@@ -1730,24 +2033,24 @@ object MultimodalOps {
           h <- child(children(md._1, md._2), "hdlr")
         } yield fourcc(h._1 + 8) // after version/flags + pre_defined
         t.contains("vide")
-      }.getOrElse(return Nil)
-    val mdia = child(children(trak._1, trak._2), "mdia").getOrElse(return Nil)
+      }.getOrElse(return None)
+    val mdia = child(children(trak._1, trak._2), "mdia").getOrElse(return None)
     val mdiaKids = children(mdia._1, mdia._2)
-    if (mdiaKids == null) return Nil
-    val mdhd = child(mdiaKids, "mdhd").getOrElse(return Nil)
+    if (mdiaKids == null) return None
+    val mdhd = child(mdiaKids, "mdhd").getOrElse(return None)
     val mdhdVersion = m.u8(mdhd._1)
     val timescale =
       if (mdhdVersion == 1) u32(mdhd._1 + 20) else u32(mdhd._1 + 12)
-    val minf = child(mdiaKids, "minf").getOrElse(return Nil)
-    val stbl = child(children(minf._1, minf._2), "stbl").getOrElse(return Nil)
+    val minf = child(mdiaKids, "minf").getOrElse(return None)
+    val stbl = child(children(minf._1, minf._2), "stbl").getOrElse(return None)
     val stblKids = children(stbl._1, stbl._2)
-    if (stblKids == null) return Nil
+    if (stblKids == null) return None
     // stsz: per-sample sizes (or the uniform sample_size shortcut)
-    val stsz = child(stblKids, "stsz").getOrElse(return Nil)
+    val stsz = child(stblKids, "stsz").getOrElse(return None)
     val uniform = u32(stsz._1 + 4)
     val nSamples = u32(stsz._1 + 8).toInt
     if (nSamples < 0 || (uniform == 0 && stsz._1 + 12 + 4L * nSamples > stsz._2))
-      return Nil
+      return None
     // Plausibility bounds BEFORE allocating nSamples-sized arrays: with a
     // uniform sample size the declared samples must fit the addressed
     // payload (a corrupt header claiming ~2^31 samples would otherwise
@@ -1761,15 +2064,15 @@ object MultimodalOps {
     // allocates ~34 GB of per-sample arrays) — so a flat cap rejects
     // counts no real video reaches (2^26 ≈ 67M samples ≈ 12 days at
     // 60 fps) as corrupt.
-    if (nSamples > (1 << 26)) return Nil
+    if (nSamples > (1 << 26)) return None
     if (uniform != 0 && nSamples.toLong * math.max(uniform, 1L) > payloadBound)
-      return Nil
+      return None
     val sizes = Array.tabulate(nSamples)(i =>
       if (uniform != 0) uniform else u32(stsz._1 + 12 + 4L * i))
     // stts: run-length (count, delta) -> cumulative dts
-    val stts = child(stblKids, "stts").getOrElse(return Nil)
+    val stts = child(stblKids, "stts").getOrElse(return None)
     val nRuns = u32(stts._1 + 4).toInt
-    if (nRuns < 0 || stts._1 + 8 + 8L * nRuns > stts._2) return Nil
+    if (nRuns < 0 || stts._1 + 8 + 8L * nRuns > stts._2) return None
     val dts = new Array[Long](nSamples)
     var si = 0; var t = 0L; var run = 0
     while (run < nRuns && si < nSamples) {
@@ -1779,7 +2082,7 @@ object MultimodalOps {
       while (c < cnt && si < nSamples) { dts(si) = t; t += d; si += 1; c += 1 }
       run += 1
     }
-    if (si < nSamples) return Nil // timing table shorter than the sample count
+    if (si < nSamples) return None // timing table shorter than the sample count
     // stss: 1-based sync samples; ABSENT means all-sync (spec default)
     val sync: Int => Boolean = child(stblKids, "stss") match {
       case None => _ => true
@@ -1788,7 +2091,7 @@ object MultimodalOps {
         // report every sample non-sync via an empty (0 until n) range —
         // same convention as the nSamples guard above.
         val n = u32(s + 4).toInt
-        if (n < 0 || s + 8 + 4L * n > e) return Nil
+        if (n < 0 || s + 8 + 4L * n > e) return None
         val set = (0 until n).map(i => u32(s + 8 + 4L * i)).toSet
         i => set.contains(i + 1L)
     }
@@ -1796,20 +2099,20 @@ object MultimodalOps {
     val chunkOffs: Array[Long] = child(stblKids, "stco") match {
       case Some((s, e)) =>
         val n = u32(s + 4).toInt
-        if (n < 0 || s + 8 + 4L * n > e) return Nil
+        if (n < 0 || s + 8 + 4L * n > e) return None
         Array.tabulate(n)(i => u32(s + 8 + 4L * i))
       case None => child(stblKids, "co64") match {
         case Some((s, e)) =>
           val n = u32(s + 4).toInt
-          if (n < 0 || s + 8 + 8L * n > e) return Nil
+          if (n < 0 || s + 8 + 8L * n > e) return None
           Array.tabulate(n)(i => u64(s + 8 + 8L * i))
-        case None => return Nil
+        case None => return None
       }
     }
     // stsc: (first_chunk, samples_per_chunk) runs -> per-chunk counts
-    val stsc = child(stblKids, "stsc").getOrElse(return Nil)
+    val stsc = child(stblKids, "stsc").getOrElse(return None)
     val nScRuns = u32(stsc._1 + 4).toInt
-    if (nScRuns < 0 || stsc._1 + 8 + 12L * nScRuns > stsc._2) return Nil
+    if (nScRuns < 0 || stsc._1 + 8 + 12L * nScRuns > stsc._2) return None
     val scRuns = Array.tabulate(nScRuns)(i =>
       (u32(stsc._1 + 8 + 12L * i), u32(stsc._1 + 8 + 12L * i + 4)))
     // resolve: walk chunks in order, spending samples per the active
@@ -1827,7 +2130,7 @@ object MultimodalOps {
         // would make off + sz wrap negative and slip past a naive
         // `off + sz > payloadBound` comparison
         if (off < 0 || sz < 0 || off > payloadBound - sz)
-          return out.toSeq // truncated payload: keep complete leading samples
+          return Some((out.toSeq, timescale)) // truncated payload: keep complete leading samples
         out += new GenericRowWithSchema(Array[Any](
           id, sample.toLong, off, sz, dts(sample), sync(sample),
           timescale), outSchema)
@@ -1835,7 +2138,7 @@ object MultimodalOps {
       }
       chunk += 1
     }
-    out.toSeq
+    Some((out.toSeq, timescale))
   }
 
   // ---- Ranged media reads (no whole-file materialization) ----------------
@@ -1870,30 +2173,55 @@ object MultimodalOps {
       while (i < 8) { v = (v << 8) | (hdr(o + i) & 0xFFL); i += 1 }
       v
     }
+    // full top-level header walk by positioned reads: (type, payS, payE)
+    // of every leading well-formed box — moov for the sample tables,
+    // moof runs for the fragmented layout
+    val boxes = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     var p = 0L
-    var moovPay = -1L; var moovEnd = -1L
-    while (moovPay < 0 && p + 8 <= fileLen) {
+    var walking = true
+    while (walking && p + 8 <= fileLen) {
       val want = math.min(16L, fileLen - p).toInt
       in.readFully(p, hdr, 0, want)
       val sz0 = be32(0)
       val tp = new String(hdr, 4, 4, "US-ASCII")
       val (payStart, boxEnd) =
         if (sz0 == 1L) {
-          if (want < 16) return Nil
-          (p + 16, p + be64(8))
+          if (want < 16) { walking = false; (0L, -1L) }
+          else (p + 16, p + be64(8))
         } else if (sz0 == 0L) (p + 8, fileLen)
         else (p + 8, p + sz0)
-      if (boxEnd < payStart || boxEnd > fileLen) return Nil // keep leading well-formed only
-      if (tp == "moov") { moovPay = payStart; moovEnd = boxEnd }
-      p = boxEnd
+      if (!walking || boxEnd < payStart || boxEnd > fileLen)
+        walking = false // keep leading well-formed boxes only
+      else { boxes += ((tp, payStart, boxEnd)); p = boxEnd }
     }
-    if (moovPay < 0) return Nil
+    val (moovPay, moovEnd) = boxes
+      .collectFirst { case ("moov", ps, pe) => (ps, pe) }
+      .getOrElse(return Nil)
     val mSz = moovEnd - moovPay
     if (mSz < 8 || mSz > maxMoovBytes || mSz > Int.MaxValue - 16) return Nil
     val buf = new Array[Byte](mSz.toInt)
     in.readFully(moovPay, buf, 0, mSz.toInt)
     mp4ResolveStbl(id, new Mp4Buf(java.nio.ByteBuffer.wrap(buf)),
-      0L, mSz, fileLen, outSchema)
+      0L, mSz, fileLen, outSchema) match {
+      case None => Nil
+      case Some((rows, ts)) =>
+        if (rows.nonEmpty) rows
+        else {
+          // fragmented layout: fetch ONLY each moof's payload (tiny —
+          // the per-fragment tables), never the mdat between them; the
+          // moov cap doubles as the per-moof allocation guard
+          val moofs = boxes.collect {
+            case ("moof", ps, pe)
+                if pe - ps >= 8 && pe - ps <= maxMoovBytes &&
+                  pe - ps <= Int.MaxValue - 16 =>
+              val fb = new Array[Byte]((pe - ps).toInt)
+              in.readFully(ps, fb, 0, fb.length)
+              (new Mp4Buf(java.nio.ByteBuffer.wrap(fb)), 0L, pe - ps, ps - 8)
+          }.toSeq
+          if (moofs.isEmpty) rows
+          else mp4ResolveMoofs(id, moofs, ts, fileLen, outSchema)
+        }
+    }
   }
 
   /** [[mp4SampleTable]] over ON-DISK files via ranged reads: input is

@@ -67,6 +67,20 @@ object MultimodalQueries {
     // the RIFF grammar's no-ceiling form, sharing the sums oracle
     GraftQuery("q_video_frames_avi_ranged", videoFramesAviRanged,
       Some(videoFramesSql)),
+    // FRAGMENTED MP4 (moof/traf/trun — the DASH/HLS layout): empty-stbl
+    // init moov + per-fragment sample tables, dts/sample_idx
+    // accumulating across fragments, sync on fragment-leading samples;
+    // even ids carry per-sample durations, odd ids tfhd defaults. The
+    // oracle rebuilds every offset from the fragment-layout arithmetic
+    GraftQuery("q_video_fmp4_meta", videoFmp4Meta, Some(videoFmp4MetaSql)),
+    // the same fragmented corpus off real files via moof-only ranged
+    // fetches (mdat between fragments never read for metadata)
+    GraftQuery("q_video_fmp4_meta_ranged", videoFmp4MetaRanged,
+      Some(videoFmp4MetaSql)),
+    // the SAME logical clip as the pack/AVI/progressive-MP4 forms,
+    // fragmented: the frame pipeline is container-blind, so the one
+    // frame-formula oracle carries over a FIFTH time
+    GraftQuery("q_video_frames_fmp4", videoFramesFmp4, Some(videoFramesSql)),
     // the SAME clip as REAL Motion-JPEG in the same RIFF/AVI container —
     // the first LOSSY codec through the demuxer seam: walk and real
     // ImageIO decode unchanged, but decoded pixel sums are codec facts
@@ -240,6 +254,100 @@ object MultimodalQueries {
     MultimodalOps.sampleAviFramesRanged(
       files, "media_path", "media_id", VF_STRIDE)
   }
+
+  /** The fragmented (DASH/HLS) layout's resolved sample table: the
+    * walker detects the legally-empty stbl and resolves moof/traf/trun
+    * fragments instead — dts and sample_idx accumulate across
+    * fragments, sync marks each fragment's leading sample, and both
+    * trun shapes (per-sample vs tfhd-default durations) ride the
+    * corpus by id parity. */
+  def videoFmp4Meta(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    MultimodalOps.mp4SampleTable(
+      MultimodalOps.encodeSyntheticFmp4(ids, "doc_id"), "content", "media_id")
+  }
+
+  /** [[videoFmp4Meta]] off real on-disk files via the ranged path: the
+    * header walk finds every moof, fetches ONLY the per-fragment
+    * tables, and never reads the mdat payload between them — the
+    * metadata pass a segmented video corpus runs per segment. */
+  def videoFmp4MetaRanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val mp4s = MultimodalOps.encodeSyntheticFmp4(ids, "doc_id")
+    val dir = graft.sources.TableSources.scratchDir("graft-fmp4-ranged")
+    graft.sources.TableSources.writeBinaryDir(
+      mp4s, dir, "media_id", "content", ".mp4")
+    val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mp4")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mp4$", 1)
+          .cast("long"))
+    MultimodalOps.mp4SampleTableRanged(files, "media_path", "media_id")
+  }
+
+  /** [[videoFramesMp4]] fragmented: real PNG frames split across two
+    * moof+mdat pairs; the fragment walk resolves them and the shared
+    * decode keeps/decodes every 2nd — identical output to the pack,
+    * AVI, and progressive forms, so the one oracle serves a FIFTH
+    * container variant. */
+  def videoFramesFmp4(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    MultimodalOps.sampleMp4Frames(
+      MultimodalOps.encodeSyntheticFmp4Video(ids, "doc_id"),
+      "content", "media_id", VF_STRIDE)
+  }
+
+  /** Mirrors synthFmp4Fragments/FragSamples/SampleSize and the fragment
+    * writer's fixed layout: file prefix 595 (24 ftyp + 571 moov), moof
+    * size 68+8m (even ids, per-sample durations) or 72+4m (odd ids,
+    * tfhd default), payload at fragment start + moof + 8, fragments
+    * advancing by moof + 8 + Σsizes. */
+  def videoFmp4MetaSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, 2 + doc_id % 3 AS nf,
+       |    100 + doc_id % 50 AS delta,
+       |    CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+       |         ELSE 90000 END AS BIGINT) AS timescale,
+       |    doc_id % 2 = 0 AS even
+       |  FROM documents
+       |), fr AS (
+       |  SELECT media_id, delta, timescale, even, unnest(range(0, nf)) AS f
+       |  FROM d
+       |), fm AS (
+       |  SELECT *, 2 + (media_id + f) % 3 AS m FROM fr
+       |), fb AS (
+       |  SELECT *, CAST(COALESCE(SUM(m) OVER (PARTITION BY media_id ORDER BY f
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b,
+       |    CASE WHEN even THEN 68 + 8 * m ELSE 72 + 4 * m END AS moof_sz
+       |  FROM fm
+       |), smp AS (
+       |  SELECT media_id, f, b, delta, timescale, moof_sz,
+       |    unnest(range(0, m)) AS j
+       |  FROM fb
+       |), sz AS (
+       |  SELECT *, b + j AS i,
+       |    40 + (media_id * 11 + (b + j) * 7) % 60 AS size
+       |  FROM smp
+       |), fs AS (
+       |  SELECT media_id, f, CAST(SUM(size) AS BIGINT) AS s_f
+       |  FROM sz GROUP BY 1, 2
+       |), fo AS (
+       |  SELECT fb.media_id, fb.f, fb.moof_sz,
+       |    595 + CAST(COALESCE(SUM(fb.moof_sz + 8 + fs.s_f) OVER (
+       |      PARTITION BY fb.media_id ORDER BY fb.f
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS frag_start
+       |  FROM fb JOIN fs ON fs.media_id = fb.media_id AND fs.f = fb.f
+       |)
+       |SELECT z.media_id, CAST(z.i AS BIGINT) AS sample_idx,
+       |  fo.frag_start + fo.moof_sz + 8
+       |    + CAST(COALESCE(SUM(z.size) OVER (
+       |        PARTITION BY z.media_id, z.f ORDER BY z.j
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS "offset",
+       |  CAST(z.size AS BIGINT) AS size,
+       |  CAST(z.i * z.delta AS BIGINT) AS dts,
+       |  z.j = 0 AS is_sync, z.timescale
+       |FROM sz z JOIN fo ON fo.media_id = z.media_id AND fo.f = z.f""".stripMargin
 
   /** [[videoFramesAvi]] with the frames REALLY coded as JPEG (Motion-
     * JPEG, the classic capture-card/webcam AVI codec): the identical
