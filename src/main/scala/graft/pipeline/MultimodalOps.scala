@@ -1839,7 +1839,7 @@ object MultimodalOps {
     * propagates to fail the query instead of vanishing into an empty
     * result (the catch blocks are narrowed to exactly the
     * byte-access/IO failure modes malformed data can cause). */
-  private final class MediaUnresolvedTally(
+  private[pipeline] final class MediaUnresolvedTally(
       acc: Option[org.apache.spark.util.LongAccumulator],
       label: String) extends Serializable {
     private var unresolved = 0L

@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) ingestion — the container format web
+  * crawls actually arrive in (Common Crawl et al.): a WARC file is a
+  * concatenation of records, each a version line + named headers + a
+  * Content-Length-delimited payload + a blank-line separator; response
+  * records carry an HTTP message whose body is the document a text
+  * pipeline wants.
+  *
+  * Scale shape: the parse is a single forward byte walk per file in
+  * the `mapPartitions` slot — 1:1, partition-parallel, no shuffle —
+  * and the output is a narrow per-record relation the documents
+  * pipeline joins/filters before any body text is widened. Honest
+  * truncation (the container-walk discipline): a cut mid-record keeps
+  * every fully-delimited preceding record; unresolvable payloads are
+  * counted by the shared tally, never silently dropped, and walker
+  * bugs FAIL the query. Headers are parsed byte-preserving
+  * (ISO-8859-1, 1 char = 1 byte) so Content-Length arithmetic is
+  * exact; WARC's gzip-per-record storage compression is the file
+  * layer's concern, not this parser's — feed it decompressed bytes. */
+object WarcOps {
+
+  /** Deterministic synthetic-WARC formulas, mirrored verbatim by the
+    * oracle SQL (which rebuilds the same strings with concat and never
+    * sees the parser). */
+  def synthWarcResponses(id: Long): Int = (3 + id % 4).toInt
+  def synthWarcWords(id: Long, r: Int): Int = (5 + (id + r) % 7).toInt
+  def synthWarcStatus(id: Long, r: Int): Int =
+    if ((id + r) % 5 == 0) 404 else 200
+
+  /** The response body HTML for (id, r) — tags around formula words. */
+  def synthWarcHtml(id: Long, r: Int): String = {
+    val words = (0 until synthWarcWords(id, r))
+      .map(k => s"w${id}_${r}_$k").mkString(" ")
+    s"<html><head><title>t${id}_$r</title></head>" +
+      s"<body><p>$words &amp; tail</p></body></html>"
+  }
+
+  /** id → one REAL multi-record WARC file: a warcinfo record followed
+    * by `synthWarcResponses(id)` response records, each carrying a full
+    * HTTP message (status line + headers + HTML body), CRLF discipline
+    * and Content-Length byte counts exact. */
+  def encodeSyntheticWarc(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sb = new StringBuilder
+        def record(tpe: String, uri: Option[String], payload: String): Unit = {
+          sb.append("WARC/1.0\r\n")
+          sb.append(s"WARC-Type: $tpe\r\n")
+          sb.append(s"WARC-Record-ID: <urn:graft:$id:${sb.length}>\r\n")
+          uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+          sb.append(s"Content-Length: ${payload.length}\r\n")
+          sb.append("\r\n")
+          sb.append(payload)
+          sb.append("\r\n\r\n")
+        }
+        record("warcinfo", None, s"software: graft-$id\r\n")
+        (0 until synthWarcResponses(id)).foreach { ri =>
+          val body = synthWarcHtml(id, ri)
+          val http = s"HTTP/1.1 ${synthWarcStatus(id, ri)} X\r\n" +
+            "Content-Type: text/html\r\n\r\n" + body
+          record("response", Some(s"http://example.test/$id/$ri"), http)
+        }
+        new GenericRowWithSchema(Array[Any](
+          id, sb.toString.getBytes("ISO-8859-1")), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private val WarcRecordSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("record_idx", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", LongType, nullable = true),
+    StructField("body", StringType, nullable = true)))
+
+  /** Parse WARC bytes into one row per record: (media_id, record_idx,
+    * warc_type, target_uri, content_length, http_status, body) — the
+    * HTTP status and body only for records whose payload is an HTTP
+    * message (others carry the raw payload as `body` with null
+    * status). One forward walk per file; a malformed or cut-short
+    * record ends the walk keeping the fully-delimited records before
+    * it. */
+  def warcRecords(df: DataFrame, contentCol: String, idCol: String,
+                  unresolvedCounter: Option[
+                    org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val outSchema = WarcRecordSchema
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter, "warcRecords")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        tally.walked(try parseOne(id, bytes, outSchema)
+        catch {
+          // malformed header arithmetic is data; walker bugs propagate
+          case _: IndexOutOfBoundsException => Nil
+          case _: NumberFormatException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
+  private def parseOne(id: Long, bytes: Array[Byte],
+                       outSchema: StructType): Seq[Row] = {
+    val s = new String(bytes, "ISO-8859-1") // byte-preserving: 1 char = 1 byte
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var p = 0
+    var idx = 0L
+    while (p < s.length) {
+      if (!s.startsWith("WARC/", p)) return out.toSeq
+      val hdrEnd = s.indexOf("\r\n\r\n", p)
+      if (hdrEnd < 0) return out.toSeq
+      val headers = s.substring(p, hdrEnd).split("\r\n").drop(1)
+        .flatMap { line =>
+          val c = line.indexOf(':')
+          if (c < 0) None else Some(line.substring(0, c).trim.toLowerCase ->
+            line.substring(c + 1).trim)
+        }.toMap
+      val len = headers.get("content-length") match {
+        case Some(v) => v.toLong // NumberFormatException → counted as data
+        case None => return out.toSeq
+      }
+      val payStart = hdrEnd + 4
+      if (len < 0 || len > s.length - payStart) return out.toSeq // truncated
+      val payload = s.substring(payStart, payStart + len.toInt)
+      val (status, body) =
+        if (payload.startsWith("HTTP/")) {
+          val sl = payload.indexOf("\r\n")
+          val st = if (sl > 0) {
+            val parts = payload.substring(0, sl).split(" ")
+            if (parts.length >= 2 && parts(1).forall(_.isDigit))
+              java.lang.Long.valueOf(parts(1).toLong)
+            else null
+          } else null
+          val be = payload.indexOf("\r\n\r\n")
+          (st, if (be >= 0) payload.substring(be + 4) else "")
+        } else (null, payload)
+      out += new GenericRowWithSchema(Array[Any](
+        id, idx, headers.getOrElse("warc-type", ""),
+        headers.getOrElse("warc-target-uri", null),
+        len, status, body), outSchema)
+      idx += 1
+      // the two CRLFs separating records; a file ending exactly at the
+      // payload keeps the record (trailing separator optional)
+      p = payStart + len.toInt
+      if (s.startsWith("\r\n\r\n", p)) p += 4
+      else if (p < s.length) return out.toSeq // garbage between records
+    }
+    out.toSeq
+  }
+
+  /** HTML → text, columnar and engine-exact: strip tags, decode the
+    * five basic entities, collapse runs of ASCII whitespace, trim.
+    * Deliberately simple patterns with identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB) — the seam a production system
+    * swaps its own extractor into, like the PII pattern pack. */
+  def htmlText(html: Column): Column = {
+    val stripped = regexp_replace(html, "<[^>]*>", " ")
+    // &amp; decodes LAST: "&amp;lt;" must yield the literal "&lt;",
+    // not "<" (the double-decode bug); both engines run this exact
+    // sequence, so the oracle matches by construction
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(stripped,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+}

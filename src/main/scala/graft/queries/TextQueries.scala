@@ -113,10 +113,105 @@ object TextQueries {
     // index; output ≡ the in-memory screens, so all three share the oracle
     GraftQuery("q_decontaminate_stored", decontaminateStored,
       Some(decontaminateSql)),
+    // WARC ingestion — the crawl container itself: one forward byte
+    // walk per file into a narrow per-record relation (warcinfo +
+    // HTTP responses), Content-Length arithmetic exact; the oracle
+    // REBUILDS every record (lengths included) from the generator
+    // formulas with concat, never seeing the parser
+    GraftQuery("q_warc_records", warcRecords, Some(warcRecordsSql)),
+    // crawl → training text end to end: response bodies through the
+    // columnar HTML strip (tags, the five basic entities with &amp;
+    // last, whitespace collapse) — the oracle constructs the expected
+    // TEXT directly from the formulas, proving parser + extractor
+    // jointly
+    GraftQuery("q_warc_text", warcText, Some(warcTextSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
+
+  /** Every doc id becomes one multi-record WARC file; the parser must
+    * recover each record's type/uri/length/status/body exactly as the
+    * formulas predict. 40 files per sf keeps the row cheap while both
+    * status branches and all response counts appear. */
+  def warcRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = docs(spark, sfDir)
+      .select((col("doc_id") % 40).as("warc_key")).distinct()
+    graft.pipeline.WarcOps.warcRecords(
+      graft.pipeline.WarcOps.encodeSyntheticWarc(keys, "warc_key"),
+      "content", "media_id")
+  }
+
+  def warcRecordsSql: String =
+    s"""WITH k AS (
+       |  SELECT DISTINCT doc_id % 40 AS media_id FROM documents
+       |), crlf AS (SELECT chr(13) || chr(10) AS c
+       |), info AS (
+       |  SELECT media_id, CAST(0 AS BIGINT) AS record_idx,
+       |    'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+       |    CAST(length('software: graft-' || media_id) + 2 AS BIGINT)
+       |      AS content_length,
+       |    CAST(NULL AS BIGINT) AS http_status,
+       |    'software: graft-' || media_id || (SELECT c FROM crlf) AS body
+       |  FROM k
+       |), rsp0 AS (
+       |  SELECT media_id, unnest(range(0, 3 + media_id % 4)) AS r FROM k
+       |), wk AS (
+       |  SELECT media_id, r, unnest(range(0, 5 + (media_id + r) % 7)) AS k
+       |  FROM rsp0
+       |), words AS (
+       |  SELECT media_id, r,
+       |    string_agg('w' || media_id || '_' || r || '_' || k, ' '
+       |      ORDER BY k) AS ws
+       |  FROM wk GROUP BY media_id, r
+       |), rsp AS (
+       |  SELECT w.media_id, w.r,
+       |    CASE WHEN (w.media_id + w.r) % 5 = 0 THEN 404 ELSE 200 END AS st,
+       |    '<html><head><title>t' || w.media_id || '_' || w.r ||
+       |      '</title></head><body><p>' || w.ws ||
+       |      ' &amp; tail</p></body></html>' AS html
+       |  FROM words w
+       |), rrows AS (
+       |  SELECT media_id, CAST(r + 1 AS BIGINT) AS record_idx,
+       |    'response' AS warc_type,
+       |    'http://example.test/' || media_id || '/' || r AS target_uri,
+       |    CAST(length('HTTP/1.1 ' || st || ' X' || (SELECT c FROM crlf) ||
+       |      'Content-Type: text/html' || (SELECT c FROM crlf) ||
+       |      (SELECT c FROM crlf) || html) AS BIGINT) AS content_length,
+       |    CAST(st AS BIGINT) AS http_status, html AS body
+       |  FROM rsp
+       |)
+       |SELECT * FROM info UNION ALL SELECT * FROM rrows""".stripMargin
+
+  /** [[warcRecords]] to TRAINING TEXT: 200-status response bodies
+    * through the columnar HTML extractor, with token counts. */
+  def warcText(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = warcRecords(spark, sfDir)
+    recs.filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("media_id"), col("record_idx"),
+        graft.pipeline.WarcOps.htmlText(col("body")).as("text"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+  }
+
+  def warcTextSql: String =
+    s"""WITH k AS (
+       |  SELECT DISTINCT doc_id % 40 AS media_id FROM documents
+       |), rsp0 AS (
+       |  SELECT media_id, unnest(range(0, 3 + media_id % 4)) AS r FROM k
+       |), wk AS (
+       |  SELECT media_id, r, unnest(range(0, 5 + (media_id + r) % 7)) AS k
+       |  FROM rsp0
+       |), words AS (
+       |  SELECT media_id, r, CAST(count(*) AS BIGINT) AS nw,
+       |    string_agg('w' || media_id || '_' || r || '_' || k, ' '
+       |      ORDER BY k) AS ws
+       |  FROM wk GROUP BY media_id, r
+       |)
+       |SELECT media_id, CAST(r + 1 AS BIGINT) AS record_idx,
+       |  't' || media_id || '_' || r || ' ' || ws || ' & tail' AS text,
+       |  CAST(nw + 3 AS BIGINT) AS n_tokens
+       |FROM words
+       |WHERE (media_id + r) % 5 <> 0""".stripMargin
 
   private val II_MAX_POSTINGS = 8
   private val II_MIN_DF = 5L

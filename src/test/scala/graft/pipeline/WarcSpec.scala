@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC ingestion + HTML text extraction: record recovery against the
+  * generator formulas, honest truncation (every cut keeps a PREFIX of
+  * fully-delimited records), malformed-payload accounting, and the
+  * entity-decode ordering trap. */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val ids = Seq(0L, 1L, 2L, 3L, 5L, 12L)
+
+  private def parse(df: org.apache.spark.sql.DataFrame) =
+    WarcOps.warcRecords(df, "content", "media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.toString), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.toString)))
+      .sortBy(t => (t._1, t._2))
+
+  test("records round-trip the generator formulas exactly") {
+    val got = parse(WarcOps.encodeSyntheticWarc(ids.toDF("id"), "id"))
+    val expected = ids.sorted.flatMap { id =>
+      val info = (id, 0L, "warcinfo", None, s"software: graft-$id".length + 2L,
+        None, Some(s"software: graft-$id\r\n"))
+      val rsp = (0 until WarcOps.synthWarcResponses(id)).map { r =>
+        val html = WarcOps.synthWarcHtml(id, r)
+        val st = WarcOps.synthWarcStatus(id, r).toLong
+        val payLen = s"HTTP/1.1 $st X\r\nContent-Type: text/html\r\n\r\n".length +
+          html.length
+        (id, r + 1L, "response", Some(s"http://example.test/$id/$r"),
+          payLen.toLong, Some(st), Some(html))
+      }
+      info +: rsp
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("truncation at every cut keeps a prefix of fully-delimited records") {
+    for (id <- Seq(2L, 3L)) {
+      val full = WarcOps.encodeSyntheticWarc(Seq(id).toDF("id"), "id")
+        .collect()(0).getAs[Array[Byte]](1)
+      val whole = parse(Seq((id, full)).toDF("media_id", "content")).toSeq
+      var prevCount = 0
+      for (cut <- (0 to full.length by 7) :+ full.length) { // strided + final
+        val part = java.util.Arrays.copyOf(full, cut)
+        val got = parse(Seq((id, part)).toDF("media_id", "content")).toSeq
+        assert(got == whole.take(got.length), s"id $id cut $cut not a prefix")
+        assert(got.length >= prevCount, s"id $id cut $cut lost records")
+        prevCount = got.length
+      }
+      assert(prevCount == whole.length)
+    }
+  }
+
+  test("non-WARC payloads are counted, valid files flow through") {
+    val acc = spark.sparkContext.longAccumulator("warc-acct-test")
+    val mixed = WarcOps.encodeSyntheticWarc(ids.toDF("id"), "id")
+      .unionByName(Seq(
+        (900L, "not a warc at all".getBytes("ISO-8859-1")),
+        (901L, "WARC/1.0\r\nContent-Length: zz\r\n\r\n".getBytes("ISO-8859-1")))
+        .toDF("media_id", "content"))
+    val rows = WarcOps.warcRecords(mixed, "content", "media_id", Some(acc))
+      .collect()
+    assert(acc.value == 2L)
+    assert(rows.map(_.getLong(0)).toSet == ids.toSet)
+  }
+
+  test("htmlText strips, decodes in the right order, and collapses") {
+    val got = Seq(
+      "<p>a  b</p>",
+      "x &amp;lt; y",          // must yield the LITERAL "&lt;", not "<"
+      "<b>q&quot;s</b>\r\n<i>t&#39;u</i>",
+      "a &lt;tag&gt; b")
+      .toDF("h").select(WarcOps.htmlText(col("h")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a b", "x &lt; y", "q\"s t'u", "a <tag> b"))
+  }
+}
