@@ -154,6 +154,51 @@ object MediaSoakMain {
     println(f"  $gotTrunc%,d rows (truncated clips contribute exactly 0), " +
       "no exception escaped the walk")
 
+    // ---- 4b. fragmented MP4 metadata pass ---------------------------------
+    // the DASH/HLS layout at the progressive pass's scale: truth is the
+    // per-residue closed form of Σ_f (2 + (id+f) % 3) over f < 2 + id%3
+    // (id%3 = 0/1/2 → 5/9/13 samples per clip)
+    val expFmp4 = Seq(5L, 9L, 13L).zipWithIndex.map { case (sPer, r) =>
+      sPer * ((nMeta - r + 2) / 3)
+    }.sum
+    val (gotFmp4, tFmp4) = time(
+      f"fMP4 fragment walk over $nMeta%,d clips") {
+      MultimodalOps.mp4SampleTable(
+        MultimodalOps.encodeSyntheticFmp4(ids, "id"),
+        "content", "media_id").count()
+    }
+    require(gotFmp4 == expFmp4,
+      s"fmp4 sample rows: got $gotFmp4, closed form $expFmp4")
+    println(f"  $gotFmp4%,d fragment-resolved rows = ${nMeta / tFmp4}%,.0f " +
+      f"clips/s (${gotFmp4 / tFmp4}%,.0f samples/s), both trun shapes")
+
+    // ---- 4c. WARC record walk ---------------------------------------------
+    // crawl-container ingestion at scale: truth enumerated exactly over
+    // the (id mod 20) cycle that drives records (1 + 3 + id%4) and the
+    // 200-status text rows ((id+r) % 5 != 0)
+    val nWarc = nDecode * 2
+    val wIds = spark.range(nWarc).select(col("id"))
+    def perCycle(f: Long => Long): Long =
+      (0L until 20L).map(c => f(c) * ((nWarc - c + 19) / 20)).sum
+    val expRecords = perCycle(c => 1L + 3L + c % 4)
+    val expTexts = perCycle(c =>
+      (0L until (3L + c % 4)).count(r => (c + r) % 5 != 0).toLong)
+    val (warcCounts, tWarc) = time(
+      f"WARC record walk + HTML extraction over $nWarc%,d files") {
+      val recs = graft.pipeline.WarcOps.warcRecords(
+        graft.pipeline.WarcOps.encodeSyntheticWarc(wIds, "id"),
+        "content", "media_id")
+      recs.agg(count(lit(1)),
+        sum(when(col("warc_type") === "response" &&
+          col("http_status") === 200, 1L).otherwise(0L))).collect()(0)
+    }
+    require(warcCounts.getLong(0) == expRecords,
+      s"warc records: got ${warcCounts.getLong(0)}, closed form $expRecords")
+    require(warcCounts.getLong(1) == expTexts,
+      s"warc 200-responses: got ${warcCounts.getLong(1)}, closed form $expTexts")
+    println(f"  ${warcCounts.getLong(0)}%,d records (${warcCounts.getLong(1)}%,d " +
+      f"extractable) = ${nWarc / tWarc}%,.0f files/s")
+
     // ---- 5. ranged reads beyond the binaryFile ceiling --------------------
     // one 5 GB clip (sparse on disk; co64 offsets past 2^32, mdat via
     // largesize): whole-file ingestion hard-fails at the source's
