@@ -77,6 +77,85 @@ object WarcOps {
     }(Encoders.row(outSchema))
   }
 
+  /** id → the SAME logical WARC as [[encodeSyntheticWarc]] but stored
+    * the way Common Crawl actually ships it: ONE GZIP MEMBER PER
+    * RECORD, members concatenated — the layout that lets a consumer
+    * seek to a record boundary and decompress just that member. */
+  def encodeSyntheticWarcGz(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    // per-record gzip over the uncompressed builder's records: re-split
+    // the plain file on its record grammar would re-implement the
+    // parser, so the encoder builds records individually here
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bos = new java.io.ByteArrayOutputStream()
+        var runningLen = 0
+        def record(tpe: String, uri: Option[String], payload: String): Unit = {
+          val sb = new StringBuilder
+          sb.append("WARC/1.0\r\n")
+          sb.append(s"WARC-Type: $tpe\r\n")
+          sb.append(s"WARC-Record-ID: <urn:graft:$id:$runningLen>\r\n")
+          uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+          sb.append(s"Content-Length: ${payload.length}\r\n")
+          sb.append("\r\n").append(payload).append("\r\n\r\n")
+          val member = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(member)
+          try { gz.write(sb.toString.getBytes("ISO-8859-1")); gz.finish() }
+          finally gz.close() // releases the native Deflater per member
+          member.writeTo(bos)
+          runningLen += sb.length // uncompressed running length, id salt only
+        }
+        record("warcinfo", None, s"software: graft-$id\r\n")
+        (0 until synthWarcResponses(id)).foreach { ri =>
+          val body = synthWarcHtml(id, ri)
+          val http = s"HTTP/1.1 ${synthWarcStatus(id, ri)} X\r\n" +
+            "Content-Type: text/html\r\n\r\n" + body
+          record("response", Some(s"http://example.test/$id/$ri"), http)
+        }
+        new GenericRowWithSchema(Array[Any](id, bos.toByteArray),
+          outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[warcRecords]] over gzip-compressed WARC bytes (single-stream OR
+    * the member-per-record concatenation — `GZIPInputStream` walks
+    * concatenated members natively), decompressing inside the same
+    * mapPartitions slot before the one-pass record walk. Corrupt gzip
+    * framing is DATA (counted); output is identical to the
+    * uncompressed form on the same logical records, so the query
+    * shares its oracle. */
+  def warcRecordsGz(df: DataFrame, contentCol: String, idCol: String,
+                    unresolvedCounter: Option[
+                      org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val outSchema = WarcRecordSchema
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "warcRecordsGz")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        tally.walked(try {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val plain = try gz.readAllBytes() finally gz.close()
+          parseOne(id, plain, outSchema)
+        } catch {
+          case _: java.io.IOException => Nil // corrupt gzip framing: data
+          case _: IndexOutOfBoundsException => Nil
+          case _: NumberFormatException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
   private val WarcRecordSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("record_idx", LongType, nullable = false),

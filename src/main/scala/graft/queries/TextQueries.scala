@@ -125,6 +125,11 @@ object TextQueries {
     // TEXT directly from the formulas, proving parser + extractor
     // jointly
     GraftQuery("q_warc_text", warcText, Some(warcTextSql)),
+    // the same logical crawl stored as Common Crawl actually ships it:
+    // one gzip member per record, members concatenated — decompressed
+    // in the walk slot, so output ≡ the plain form and the oracle is
+    // shared verbatim
+    GraftQuery("q_warc_records_gz", warcRecordsGz, Some(warcRecordsSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -182,6 +187,17 @@ object TextQueries {
        |  FROM rsp
        |)
        |SELECT * FROM info UNION ALL SELECT * FROM rrows""".stripMargin
+
+  /** [[warcRecords]] with the corpus stored member-per-record gzip —
+    * the .warc.gz reality — through [[graft.pipeline.WarcOps
+    * .warcRecordsGz]]; identical records, shared oracle. */
+  def warcRecordsGz(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = docs(spark, sfDir)
+      .select((col("doc_id") % 40).as("warc_key")).distinct()
+    graft.pipeline.WarcOps.warcRecordsGz(
+      graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
+      "content", "media_id")
+  }
 
   /** [[warcRecords]] to TRAINING TEXT: 200-status response bodies
     * through the columnar HTML extractor, with token counts. */

@@ -70,6 +70,34 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == ids.toSet)
   }
 
+  test("member-per-record gzip storage parses to the identical records") {
+    val plain = parse(WarcOps.encodeSyntheticWarc(ids.toDF("id"), "id")).toSeq
+    val gz = WarcOps.warcRecordsGz(
+      WarcOps.encodeSyntheticWarcGz(ids.toDF("id"), "id"),
+      "content", "media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.toString), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.toString)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(gz == plain && gz.nonEmpty)
+    // the storage really is multi-member gzip: more than one member
+    // magic in one file
+    val bytes = WarcOps.encodeSyntheticWarcGz(Seq(2L).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1)
+    val members = bytes.sliding(2).count(a =>
+      (a(0) & 0xFF) == 0x1F && (a(1) & 0xFF) == 0x8B)
+    assert(members >= 1 + WarcOps.synthWarcResponses(2L))
+    // corrupt gzip framing is DATA: counted, not query-failing
+    val acc = spark.sparkContext.longAccumulator("warc-gz-acct")
+    val rows = WarcOps.warcRecordsGz(
+      WarcOps.encodeSyntheticWarcGz(ids.toDF("id"), "id").unionByName(
+        Seq((902L, Array.fill[Byte](40)(0x55))).toDF("media_id", "content")),
+      "content", "media_id", Some(acc)).collect()
+    assert(acc.value == 1L)
+    assert(!rows.map(_.getLong(0)).contains(902L))
+  }
+
   test("htmlText strips, decodes in the right order, and collapses") {
     val got = Seq(
       "<p>a  b</p>",
