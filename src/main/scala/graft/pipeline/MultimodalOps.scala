@@ -1906,9 +1906,16 @@ object MultimodalOps {
         if (rows.nonEmpty) rows
         else {
           // a legally empty stbl is the FRAGMENTED layout's signature:
-          // the samples live in moof/traf/trun fragments after moov
-          val moofs = topBoxes.collect { case ("moof", ps, pe) =>
-            (m, ps, pe, ps - 8) // compact headers: box starts 8 before payload
+          // the samples live in moof/traf/trun fragments after moov.
+          // Box STARTS are re-derived exactly from the walk order (a
+          // box starts where its predecessor ends) — `payStart - 8`
+          // would be wrong by 8 for a largesize moof header and shift
+          // every default-base-is-moof offset silently
+          var prevEnd = 0L
+          val moofs = topBoxes.flatMap { case (tp, ps, pe) =>
+            val boxStart = prevEnd
+            prevEnd = pe
+            if (tp == "moof") Some((m, ps, pe, boxStart)) else None
           }
           if (moofs.isEmpty) rows
           else mp4ResolveMoofs(id, moofs, ts, bytes.length.toLong, outSchema)
@@ -2176,7 +2183,8 @@ object MultimodalOps {
     // full top-level header walk by positioned reads: (type, payS, payE)
     // of every leading well-formed box — moov for the sample tables,
     // moof runs for the fragmented layout
-    val boxes = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val boxes =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
     var p = 0L
     var walking = true
     while (walking && p + 8 <= fileLen) {
@@ -2192,10 +2200,10 @@ object MultimodalOps {
         else (p + 8, p + sz0)
       if (!walking || boxEnd < payStart || boxEnd > fileLen)
         walking = false // keep leading well-formed boxes only
-      else { boxes += ((tp, payStart, boxEnd)); p = boxEnd }
+      else { boxes += ((tp, payStart, boxEnd, p)); p = boxEnd }
     }
     val (moovPay, moovEnd) = boxes
-      .collectFirst { case ("moov", ps, pe) => (ps, pe) }
+      .collectFirst { case ("moov", ps, pe, _) => (ps, pe) }
       .getOrElse(return Nil)
     val mSz = moovEnd - moovPay
     if (mSz < 8 || mSz > maxMoovBytes || mSz > Int.MaxValue - 16) return Nil
@@ -2209,17 +2217,28 @@ object MultimodalOps {
         else {
           // fragmented layout: fetch ONLY each moof's payload (tiny —
           // the per-fragment tables), never the mdat between them; the
-          // moov cap doubles as the per-moof allocation guard
-          val moofs = boxes.collect {
-            case ("moof", ps, pe)
-                if pe - ps >= 8 && pe - ps <= maxMoovBytes &&
-                  pe - ps <= Int.MaxValue - 16 =>
-              val fb = new Array[Byte]((pe - ps).toInt)
-              in.readFully(ps, fb, 0, fb.length)
-              (new Mp4Buf(java.nio.ByteBuffer.wrap(fb)), 0L, pe - ps, ps - 8)
-          }.toSeq
+          // moov cap doubles as the per-moof allocation guard, and an
+          // out-of-bounds moof STOPS the collection (prefix truncation
+          // — skipping it and continuing would emit later fragments
+          // with shifted sample_idx/dts, silently diverging from the
+          // in-memory walk)
+          val moofs =
+            scala.collection.mutable.ArrayBuffer.empty[(Mp4Buf, Long, Long, Long)]
+          var stop = false
+          boxes.foreach {
+            case ("moof", ps, pe, boxStart) if !stop =>
+              if (pe - ps < 8 || pe - ps > maxMoovBytes ||
+                pe - ps > Int.MaxValue - 16) stop = true
+              else {
+                val fb = new Array[Byte]((pe - ps).toInt)
+                in.readFully(ps, fb, 0, fb.length)
+                moofs += ((new Mp4Buf(java.nio.ByteBuffer.wrap(fb)),
+                  0L, pe - ps, boxStart))
+              }
+            case _ => ()
+          }
           if (moofs.isEmpty) rows
-          else mp4ResolveMoofs(id, moofs, ts, fileLen, outSchema)
+          else mp4ResolveMoofs(id, moofs.toSeq, ts, fileLen, outSchema)
         }
     }
   }

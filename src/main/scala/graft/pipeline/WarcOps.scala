@@ -41,6 +41,33 @@ object WarcOps {
       s"<body><p>$words &amp; tail</p></body></html>"
   }
 
+  /** One id's record strings, in file order — the ONE builder behind
+    * both storage encoders (plain concatenation and gzip-per-member),
+    * so the two corpora are byte-identical record for record. The
+    * Record-ID salt is the running uncompressed length of the records
+    * before this one. */
+  private def warcRecordStrings(id: Long): Seq[String] = {
+    var runningLen = 0
+    def record(tpe: String, uri: Option[String], payload: String): String = {
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: $tpe\r\n")
+      sb.append(s"WARC-Record-ID: <urn:graft:$id:$runningLen>\r\n")
+      uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+      sb.append(s"Content-Length: ${payload.length}\r\n")
+      sb.append("\r\n").append(payload).append("\r\n\r\n")
+      runningLen += sb.length
+      sb.toString
+    }
+    record("warcinfo", None, s"software: graft-$id\r\n") +:
+      (0 until synthWarcResponses(id)).map { ri =>
+        val body = synthWarcHtml(id, ri)
+        val http = s"HTTP/1.1 ${synthWarcStatus(id, ri)} X\r\n" +
+          "Content-Type: text/html\r\n\r\n" + body
+        record("response", Some(s"http://example.test/$id/$ri"), http)
+      }
+  }
+
   /** id → one REAL multi-record WARC file: a warcinfo record followed
     * by `synthWarcResponses(id)` response records, each carrying a full
     * HTTP message (status line + headers + HTML body), CRLF discipline
@@ -53,26 +80,9 @@ object WarcOps {
     in.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val sb = new StringBuilder
-        def record(tpe: String, uri: Option[String], payload: String): Unit = {
-          sb.append("WARC/1.0\r\n")
-          sb.append(s"WARC-Type: $tpe\r\n")
-          sb.append(s"WARC-Record-ID: <urn:graft:$id:${sb.length}>\r\n")
-          uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
-          sb.append(s"Content-Length: ${payload.length}\r\n")
-          sb.append("\r\n")
-          sb.append(payload)
-          sb.append("\r\n\r\n")
-        }
-        record("warcinfo", None, s"software: graft-$id\r\n")
-        (0 until synthWarcResponses(id)).foreach { ri =>
-          val body = synthWarcHtml(id, ri)
-          val http = s"HTTP/1.1 ${synthWarcStatus(id, ri)} X\r\n" +
-            "Content-Type: text/html\r\n\r\n" + body
-          record("response", Some(s"http://example.test/$id/$ri"), http)
-        }
-        new GenericRowWithSchema(Array[Any](
-          id, sb.toString.getBytes("ISO-8859-1")), outSchema): Row
+        new GenericRowWithSchema(Array[Any](id,
+          warcRecordStrings(id).mkString.getBytes("ISO-8859-1")),
+          outSchema): Row
       }
     }(Encoders.row(outSchema))
   }
@@ -85,36 +95,17 @@ object WarcOps {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
-    // per-record gzip over the uncompressed builder's records: re-split
-    // the plain file on its record grammar would re-implement the
-    // parser, so the encoder builds records individually here
     val in = df.select(col(idCol).cast("long").as("media_id"))
     in.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val bos = new java.io.ByteArrayOutputStream()
-        var runningLen = 0
-        def record(tpe: String, uri: Option[String], payload: String): Unit = {
-          val sb = new StringBuilder
-          sb.append("WARC/1.0\r\n")
-          sb.append(s"WARC-Type: $tpe\r\n")
-          sb.append(s"WARC-Record-ID: <urn:graft:$id:$runningLen>\r\n")
-          uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
-          sb.append(s"Content-Length: ${payload.length}\r\n")
-          sb.append("\r\n").append(payload).append("\r\n\r\n")
+        warcRecordStrings(id).foreach { rec =>
           val member = new java.io.ByteArrayOutputStream()
           val gz = new java.util.zip.GZIPOutputStream(member)
-          try { gz.write(sb.toString.getBytes("ISO-8859-1")); gz.finish() }
+          try { gz.write(rec.getBytes("ISO-8859-1")); gz.finish() }
           finally gz.close() // releases the native Deflater per member
           member.writeTo(bos)
-          runningLen += sb.length // uncompressed running length, id salt only
-        }
-        record("warcinfo", None, s"software: graft-$id\r\n")
-        (0 until synthWarcResponses(id)).foreach { ri =>
-          val body = synthWarcHtml(id, ri)
-          val http = s"HTTP/1.1 ${synthWarcStatus(id, ri)} X\r\n" +
-            "Content-Type: text/html\r\n\r\n" + body
-          record("response", Some(s"http://example.test/$id/$ri"), http)
         }
         new GenericRowWithSchema(Array[Any](id, bos.toByteArray),
           outSchema): Row
@@ -131,7 +122,8 @@ object WarcOps {
     * shares its oracle. */
   def warcRecordsGz(df: DataFrame, contentCol: String, idCol: String,
                     unresolvedCounter: Option[
-                      org.apache.spark.util.LongAccumulator] = None)
+                      org.apache.spark.util.LongAccumulator] = None,
+                    maxPlainBytes: Long = 1L << 30)
       : DataFrame = {
     val outSchema = WarcRecordSchema
     val in = df.select(col(idCol).cast("long").as("media_id"),
@@ -143,12 +135,33 @@ object WarcOps {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         tally.walked(try {
+          // incremental decompression, two disciplines at once: a
+          // TRUNCATED stream keeps every byte decoded before the
+          // failure (so the record walk keeps the fully-delivered
+          // leading records — the plain form's honest truncation), and
+          // a decompression BOMB is cut at maxPlainBytes instead of
+          // allocating toward an uncatchable OutOfMemoryError
           val gz = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val plain = try gz.readAllBytes() finally gz.close()
-          parseOne(id, plain, outSchema)
+          val acc = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 << 10)
+          try {
+            var going = true
+            while (going) {
+              val n = try gz.read(buf) catch {
+                case _: java.io.IOException => -1 // keep the decoded prefix
+              }
+              if (n <= 0) going = false
+              else {
+                val room = maxPlainBytes - acc.size()
+                acc.write(buf, 0, math.min(n.toLong, room).toInt)
+                if (acc.size() >= maxPlainBytes) going = false
+              }
+            }
+          } finally gz.close()
+          parseOne(id, acc.toByteArray, outSchema)
         } catch {
-          case _: java.io.IOException => Nil // corrupt gzip framing: data
+          case _: java.io.IOException => Nil // corrupt leading gzip header: data
           case _: IndexOutOfBoundsException => Nil
           case _: NumberFormatException => Nil
         })
@@ -222,7 +235,13 @@ object WarcOps {
           val sl = payload.indexOf("\r\n")
           val st = if (sl > 0) {
             val parts = payload.substring(0, sl).split(" ")
-            if (parts.length >= 2 && parts(1).forall(_.isDigit))
+            // bounded ASCII-digit check: an odd status token (empty from
+            // doubled spaces, Unicode digits, overlong runs) must yield
+            // a null status for THIS record, never a NumberFormat throw
+            // that drops the whole file
+            if (parts.length >= 2 && parts(1).nonEmpty &&
+                parts(1).length <= 9 &&
+                parts(1).forall(c => c >= '0' && c <= '9'))
               java.lang.Long.valueOf(parts(1).toLong)
             else null
           } else null
