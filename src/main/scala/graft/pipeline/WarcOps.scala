@@ -262,6 +262,30 @@ object WarcOps {
     out.toSeq
   }
 
+  /** URL canonicalization, columnar and engine-exact — the step before
+    * any URL-keyed dedup/join on a crawl (the same page arrives as
+    * `HTTP://Example.COM:80/x#frag` and `http://example.com/x`):
+    * lowercase the scheme and host, drop the scheme's default port
+    * (:80 for http, :443 for https), drop the fragment; path and query
+    * pass through byte-exact (case is significant there). Strings
+    * without a scheme://host shape pass through unchanged. Anchored
+    * simple patterns with identical Java-regex/RE2 semantics. */
+  def urlCanonical(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val host = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
   /** HTML → text, columnar and engine-exact: strip tags, decode the
     * five basic entities, collapse runs of ASCII whitespace, trim.
     * Deliberately simple patterns with identical semantics in Java

@@ -130,6 +130,11 @@ object TextQueries {
     // in the walk slot, so output ≡ the plain form and the oracle is
     // shared verbatim
     GraftQuery("q_warc_records_gz", warcRecordsGz, Some(warcRecordsSql)),
+    // URL-keyed crawl dedup: four messy spellings of every logical URL
+    // (case, default port, fragment) must collapse to ONE canonical
+    // form — the oracle derives the canonical string directly from the
+    // formulas, never running the canonicalizer
+    GraftQuery("q_url_dedup", urlDedup, Some(urlDedupSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -198,6 +203,36 @@ object TextQueries {
       graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
       "content", "media_id")
   }
+
+  /** Four deliberately-messy spellings per logical URL — mixed-case
+    * scheme/host, the scheme's default port, fragments — through
+    * [[graft.pipeline.WarcOps.urlCanonical]]; every group must
+    * collapse to exactly one canonical form with all four members. */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, "http").otherwise("https").as("sch"),
+      when(col("doc_id") % 2 === 0, ":80").otherwise(":443").as("dport"),
+      concat(lit("/p"), col("doc_id"), lit("?q="), pmod(col("doc_id"), lit(7)))
+        .as("pq"))
+    val variants = base.select(col("doc_id"), explode(array(
+      concat(col("sch"), lit("://example.test"), col("pq")),
+      concat(upper(col("sch")), lit("://EXAMPLE.test"), col("dport"),
+        col("pq"), lit("#s"), col("doc_id")),
+      concat(col("sch"), lit("://Example.Test"), col("pq"), lit("#x")),
+      concat(col("sch"), lit("://example.TEST"), col("dport"), col("pq"))))
+      .as("url"))
+    variants
+      .select(graft.pipeline.WarcOps.urlCanonical(col("url")).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"))
+  }
+
+  def urlDedupSql: String =
+    s"""SELECT (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+       |    || '://example.test/p' || doc_id || '?q=' || (doc_id % 7)
+       |    AS canonical,
+       |  CAST(4 AS BIGINT) AS n_variants
+       |FROM documents""".stripMargin
 
   /** [[warcRecords]] to TRAINING TEXT: 200-status response bodies
     * through the columnar HTML extractor, with token counts. */

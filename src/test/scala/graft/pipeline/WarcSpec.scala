@@ -98,6 +98,25 @@ class WarcSpec extends AnyFunSuite {
     assert(!rows.map(_.getLong(0)).contains(902L))
   }
 
+  test("urlCanonical: case, default ports, fragments — and nothing else") {
+    val got = Seq(
+      "HTTP://Example.COM:80/Path/X?Q=Mixed#frag",
+      "https://A.B:443/",
+      "https://a.b:8443/x",          // NON-default port survives
+      "http://h/p?q=1",              // already canonical
+      "ftp://H:80/x",                // foreign scheme: port untouched
+      "not a url at all")
+      .toDF("u").select(WarcOps.urlCanonical(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "http://example.com/Path/X?Q=Mixed", // path/query case preserved
+      "https://a.b/",
+      "https://a.b:8443/x",
+      "http://h/p?q=1",
+      "ftp://h:80/x",
+      "not a url at all"))
+  }
+
   test("htmlText strips, decodes in the right order, and collapses") {
     val got = Seq(
       "<p>a  b</p>",

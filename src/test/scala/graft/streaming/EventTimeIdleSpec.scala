@@ -30,8 +30,17 @@ class EventTimeIdleSpec extends AnyFunSuite {
     (1L, 0L, 10L, 5L, true, ts(0)), (1L, 1L, 20L, 7L, false, ts(0)),
     (1L, 2L, 11L, 4L, true, ts(1)))
   private val p2Batch2: Seq[Ev] = Seq((2L, 10L, 30L, 2L, true, ts(60)))
+  // the eviction TRIGGER batch: by the time this processes, the
+  // watermark (updated after batch 2) is already past product 1's
+  // timeout, so the timed-out state fires DURING this batch — no
+  // reliance on the engine scheduling a no-data micro-batch between
+  // our addData calls (a real race under suite load for the streams
+  // whose eviction emits nothing to await)
+  private val p2Batch2b: Seq[Ev] = Seq((2L, 11L, 31L, 2L, true, ts(62)))
+  // re-appearance strictly AFTER the trigger batch's watermark (62):
+  // anything at or before it would be dropped as late data
   private val p1Batch3: Seq[Ev] = Seq(
-    (1L, 20L, 12L, 6L, true, ts(61)), (1L, 21L, 22L, 3L, false, ts(62)))
+    (1L, 20L, 12L, 6L, true, ts(70)), (1L, 21L, 22L, 3L, false, ts(71)))
 
   private def awaitSink(label: String)(pred: => Boolean): Unit = {
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
@@ -45,7 +54,7 @@ class EventTimeIdleSpec extends AnyFunSuite {
 
   private def drive(out: org.apache.spark.sql.DataFrame, name: String,
                     afterB1: String, b1Done: => Boolean,
-                    afterB2: String, b2Done: => Boolean,
+                    afterB2: String, b2Done: => Boolean, b2bDone: => Boolean,
                     afterB3: String, b3Done: => Boolean)(
       mem: MemoryStream[Ev]): Unit = {
     val query = out.writeStream.format("memory").queryName(name)
@@ -55,6 +64,8 @@ class EventTimeIdleSpec extends AnyFunSuite {
       awaitSink(afterB1)(b1Done)
       mem.addData(p2Batch2) // advances the watermark past p1's timeout
       awaitSink(afterB2)(b2Done)
+      mem.addData(p2Batch2b) // fires p1's eviction deterministically
+      awaitSink(s"$afterB2 (trigger)")(b2bDone)
       mem.addData(p1Batch3)
       awaitSink(afterB3)(b3Done)
     } finally query.stop()
@@ -74,7 +85,7 @@ class EventTimeIdleSpec extends AnyFunSuite {
         idleTimeout = Some("10 minutes"), eventTimeCol = Some("ts")),
       "replay_et_timeout",
       "batch-1 rows", sink.count(_._1 == 1L) == 3,
-      "batch-2 row", sink.exists(_._2 == 10L),
+      "batch-2 row", sink.exists(_._2 == 10L), sink.exists(_._2 == 11L),
       "batch-3 rows", sink.exists(_._2 == 21L))(mem)
     val wallSecs = (System.nanoTime() - t0) / 1e9
     assert(wallSecs < 120.0,
@@ -98,7 +109,9 @@ class EventTimeIdleSpec extends AnyFunSuite {
         idleTimeout = Some("10 minutes"), eventTimeCol = Some("ts")),
       "summary_et_timeout",
       "batch-1 summary row", sink.exists(r => r._1 == 1L && r._3 == 3L),
-      "eviction tombstone", sink.exists(r => r._1 == 1L && r._2 == 1L),
+      "batch-2 summary row", sink.exists(r => r._1 == 2L && r._3 == 1L),
+      // the trigger batch must ALSO surface p1's eviction tombstone
+      sink.exists(r => r._1 == 1L && r._2 == 1L),
       "re-appearance row", sink.exists(r => r._1 == 1L && r._3 == 2L))(mem)
     val p1 = sink.filter(_._1 == 1L).sortBy(_._2)
     // exactly the processing-time contract: batch-1 row (emit 0,
@@ -123,7 +136,7 @@ class EventTimeIdleSpec extends AnyFunSuite {
         idleTimeout = Some("10 minutes"), eventTimeCol = Some("ts")),
       "ofi_et_timeout",
       "batch-1 rows", sink.count(_._1 == 1L) == 3,
-      "batch-2 row", sink.exists(_._2 == 10L),
+      "batch-2 row", sink.exists(_._2 == 10L), sink.exists(_._2 == 11L),
       "batch-3 rows", sink.exists(_._2 == 21L))(mem)
     val rows = sink
     val before = rows.filter(r => r._1 == 1L && r._2 <= 2L).maxBy(_._2)._3
