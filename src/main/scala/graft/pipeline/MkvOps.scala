@@ -1,0 +1,354 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Matroska/WebM (EBML) container walk — the sixth container grammar
+  * CLASS in the media layer, and a genuinely different one: where
+  * ISO-BMFF uses fixed 32/64-bit box sizes, RIFF fixed LE chunk sizes,
+  * MP3 self-describing frame headers, and WARC text headers, EBML
+  * length-prefixes EVERYTHING with leading-zero-coded VARINTS (the
+  * first byte's leading zeros give the field width, 1..8 bytes). The
+  * walk resolves the video track's SimpleBlocks into one row per
+  * block: (media_id, block_idx, offset, size, ts_ms, is_key,
+  * track_num) — offset/size address the raw frame payload, ts_ms is
+  * cluster timestamp + the block's signed relative timestamp, is_key
+  * is the SimpleBlock keyframe flag.
+  *
+  * Subset stated plainly: one Segment, the FIRST video TrackEntry
+  * (TrackType 1), Clusters walked in file order, SimpleBlocks only
+  * (BlockGroup lacing is out — a block the subset cannot address is
+  * skipped by its declared size, never guessed at). Honest truncation:
+  * a malformed or cut-short element ends the walk keeping all prior
+  * blocks; unresolvable files ride the shared tally; walker bugs fail
+  * the query. Same 1:1 partition-parallel mapPartitions shape as every
+  * other walk. */
+object MkvOps {
+
+  /** Deterministic synthetic-MKV formulas, mirrored by the oracle. */
+  def synthMkvClusters(id: Long): Int = (2 + id % 2).toInt
+  def synthMkvClusterBlocks(id: Long, c: Int): Int = (2 + (id + c) % 2).toInt
+  def synthMkvBlockSize(id: Long, i: Int): Int =
+    (30 + (id * 7 + i * 5) % 40).toInt
+
+  private val MkvBlockSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("block_idx", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("is_key", BooleanType, nullable = false),
+    StructField("track_num", LongType, nullable = false)))
+
+  /** id → REAL EBML bytes: EBML header (DocType), Segment holding
+    * Info(TimestampScale), Tracks(one video TrackEntry), and
+    * `synthMkvClusters(id)` Clusters of SimpleBlocks. The ENCODER uses
+    * fixed 2-byte size varints so the oracle can rebuild every offset
+    * arithmetically; the PARSER reads general varints — the encoder's
+    * choice is a layout convenience, not a grammar restriction. */
+  def encodeSyntheticMkv(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        var i = 0
+        val clusters = (0 until synthMkvClusters(id)).map { c =>
+          IndexedSeq.fill(synthMkvClusterBlocks(id, c)) {
+            val sz = synthMkvBlockSize(id, i)
+            val a = Array.tabulate[Byte](sz)(j =>
+              ((id + i * 7 + j) % 251).toByte)
+            i += 1
+            a
+          }
+        }
+        new GenericRowWithSchema(Array[Any](id, buildMkv(clusters)),
+          outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The MKV twin of the other containers' video encoders: the SAME
+    * logical clip (synthFrameCount/synthFrameImageId formulas, real
+    * JDK PNG frames) split across two clusters, so the block walk +
+    * shared decode reproduce the one frame-formula oracle — the SIXTH
+    * container variant over one clip. */
+  def encodeSyntheticMkvVideo(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val k = MultimodalOps.synthFrameCount(id)
+        val frames = IndexedSeq.tabulate(k) { j =>
+          val fid = MultimodalOps.synthFrameImageId(id, j)
+          val (w, h) = MultimodalOps.synthDims(fid)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, MultimodalOps.synthRgb(fid, x, y)); x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val c1 = (k + 1) / 2
+        new GenericRowWithSchema(Array[Any](id,
+          buildMkv(Seq(frames.take(c1), frames.drop(c1)))), outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** One file from explicit per-cluster frame payloads. All size
+    * varints are 2-byte (0x4000 | n) — a layout convenience for the
+    * oracle arithmetic; the parser reads general varints. */
+  private def buildMkv(clusters: Seq[IndexedSeq[Array[Byte]]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def raw(bs: Int*): Unit = bs.foreach(b => bos.write(b & 0xFF))
+    def size2(n: Int): Unit = { require(n <= 0x3FFF); raw(0x40 | (n >> 8), n & 0xFF) }
+    // EBML header: ID + size + DocType("matroska")
+    raw(0x1A, 0x45, 0xDF, 0xA3); size2(12)
+    raw(0x42, 0x82); size2(8); bos.write("matroska".getBytes("US-ASCII"))
+    // body elements assembled first so Segment's size is exact
+    val body = new java.io.ByteArrayOutputStream()
+    def braw(bs: Int*): Unit = bs.foreach(b => body.write(b & 0xFF))
+    def bsize2(n: Int): Unit = { require(n <= 0x3FFF); braw(0x40 | (n >> 8), n & 0xFF) }
+    // Info: TimestampScale = 1_000_000 ns (ms ticks)
+    braw(0x15, 0x49, 0xA9, 0x66); bsize2(8)
+    braw(0x2A, 0xD7, 0xB1); bsize2(3); braw(0x0F, 0x42, 0x40)
+    // Tracks: one video TrackEntry (number 1, type 1, CodecID V_GRAFT)
+    braw(0x16, 0x54, 0xAE, 0x6B); bsize2(21)
+    braw(0xAE); bsize2(18)
+    braw(0xD7); bsize2(1); braw(1)            // TrackNumber
+    braw(0x83); bsize2(1); braw(1)            // TrackType: video
+    braw(0x86); bsize2(7); body.write("V_GRAFT".getBytes("US-ASCII"))
+    // Clusters
+    clusters.zipWithIndex.foreach { case (frames, c) =>
+      val blocks = frames.zipWithIndex.map { case (fr, j) =>
+        // SimpleBlock payload: track varint (0x81) + s16 rel ts + flags
+        val pb = new java.io.ByteArrayOutputStream()
+        pb.write(0x81)
+        val rel = j * 40
+        pb.write((rel >> 8) & 0xFF); pb.write(rel & 0xFF)
+        pb.write(if (j == 0) 0x80 else 0x00) // keyframe flag
+        pb.write(fr)
+        pb.toByteArray
+      }
+      val ts = c * 1000
+      val payloadLen = 5 + blocks.map(b => 3 + b.length).sum
+      braw(0x1F, 0x43, 0xB6, 0x75); bsize2(payloadLen)
+      braw(0xE7); bsize2(2); braw((ts >> 8) & 0xFF, ts & 0xFF)
+      blocks.foreach { b => braw(0xA3); bsize2(b.length); body.write(b) }
+    }
+    raw(0x18, 0x53, 0x80, 0x67); size2(body.size())
+    body.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Resolve the video track's SimpleBlocks — see the object scaladoc. */
+  def mkvBlockTable(df: DataFrame, contentCol: String, idCol: String,
+                    unresolvedCounter: Option[
+                      org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val outSchema = MkvBlockSchema
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "mkvBlockTable")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        tally.walked(try walkOne(id, bytes, outSchema)
+        catch { case _: IndexOutOfBoundsException => Nil })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
+  /** General EBML varint at `p`: (value, width) with the marker bit
+    * STRIPPED, or null on malformed/oversized input. Width 1..8. */
+  private def varint(b: Array[Byte], p: Int): (Long, Int) = {
+    if (p >= b.length) return null
+    val first = b(p) & 0xFF
+    if (first == 0) return null // width > 8: out of EBML
+    val width = Integer.numberOfLeadingZeros(first) - 23 // 32-bit NLZ − 24 + 1
+    if (p + width > b.length) return null
+    var v = (first & (0xFF >>> width)).toLong
+    var k = 1
+    while (k < width) { v = (v << 8) | (b(p + k) & 0xFFL); k += 1 }
+    (v, width)
+  }
+
+  /** Raw element ID at `p` (marker bit KEPT, the Matroska convention):
+    * (id, width) or null. */
+  private def elementId(b: Array[Byte], p: Int): (Long, Int) = {
+    if (p >= b.length) return null
+    val first = b(p) & 0xFF
+    if (first == 0) return null
+    val width = Integer.numberOfLeadingZeros(first) - 23
+    if (width > 4 || p + width > b.length) return null // EBML IDs are 1..4 bytes
+    var v = 0L
+    var k = 0
+    while (k < width) { v = (v << 8) | (b(p + k) & 0xFFL); k += 1 }
+    (v, width)
+  }
+
+  private def walkOne(id: Long, b: Array[Byte],
+                      outSchema: StructType): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    /** children of [from, to): (elementId, payStart, payEnd), stopping
+      * at the first malformed element (prefix discipline). */
+    def children(from: Long, to: Long): Seq[(Long, Long, Long)] = {
+      val kids = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var p = from
+      var ok = true
+      while (ok && p < to) {
+        val idv = elementId(b, p.toInt)
+        if (idv == null) ok = false
+        else {
+          val sz = varint(b, p.toInt + idv._2)
+          if (sz == null) ok = false
+          else {
+            val payS = p + idv._2 + sz._2
+            val payE = payS + sz._1
+            if (payE < payS || payE > to) ok = false
+            else { kids += ((idv._1, payS, payE)); p = payE }
+          }
+        }
+      }
+      kids.toSeq
+    }
+    val top = children(0L, b.length.toLong)
+    val seg = top.collectFirst { case (0x18538067L, s, e) => (s, e) }
+      .orElse {
+        // truncated file: the Segment's declared extent overruns the
+        // buffer (live-streaming MKVs even declare UNKNOWN size) —
+        // clamp it to what is present, so the walk keeps every fully
+        // contained cluster. Leading siblings must still be
+        // well-formed to reach it.
+        var p = 0L
+        var found: Option[(Long, Long)] = None
+        var ok = true
+        while (ok && found.isEmpty && p < b.length) {
+          val idv = elementId(b, p.toInt)
+          if (idv == null) ok = false
+          else {
+            val szv = varint(b, p.toInt + idv._2)
+            if (szv == null) ok = false
+            else {
+              val payS = p + idv._2 + szv._2
+              if (idv._1 == 0x18538067L)
+                found = Some((payS,
+                  math.min(payS + szv._1, b.length.toLong)))
+              else if (payS + szv._1 > b.length) ok = false
+              else p = payS + szv._1
+            }
+          }
+        }
+        found
+      }.getOrElse(return Nil)
+    val segKids = children(seg._1, seg._2)
+    // first VIDEO TrackEntry's number
+    val trackNum = (for {
+      (0x1654AE6BL, ts, te) <- segKids
+      (0xAEL, es, ee) <- children(ts, te)
+      entry = children(es, ee)
+      tpe <- entry.collectFirst { case (0x83L, s, e) if e - s >= 1 =>
+        b(s.toInt) & 0xFF }
+      if tpe == 1
+      num <- entry.collectFirst { case (0xD7L, s, e) if e - s >= 1 =>
+        (b(s.toInt) & 0xFF).toLong }
+    } yield num).headOption.getOrElse(return Nil)
+    var blockIdx = 0L
+    segKids.foreach {
+      case (0x1F43B675L, cs, ce) =>
+        val kids = children(cs, ce)
+        val clusterTs = kids.collectFirst { case (0xE7L, s, e) =>
+          var v = 0L
+          var p = s
+          while (p < e) { v = (v << 8) | (b(p.toInt) & 0xFFL); p += 1 }
+          v
+        }.getOrElse(return out.toSeq)
+        kids.foreach {
+          case (0xA3L, bs, be) =>
+            val tn = varint(b, bs.toInt)
+            if (tn == null) return out.toSeq
+            val hdr = bs + tn._2
+            if (hdr + 3 > be) return out.toSeq
+            if (tn._1 == trackNum) {
+              val rel = ((b(hdr.toInt) & 0xFF) << 8 |
+                (b(hdr.toInt + 1) & 0xFF)).toShort.toLong
+              val flags = b(hdr.toInt + 2) & 0xFF
+              val dataS = hdr + 3
+              out += new GenericRowWithSchema(Array[Any](
+                id, blockIdx, dataS, be - dataS, clusterTs + rel,
+                (flags & 0x80) != 0, trackNum), outSchema)
+              blockIdx += 1
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** Block-table-driven frame sampling + REAL decode — the MKV twin of
+    * `sampleMp4Frames`: blocks with index ≡ 0 (mod stride) slice their
+    * payload by the RESOLVED (offset, size) and decode through the
+    * same shared ImageIO path. */
+  def sampleMkvFrames(df: DataFrame, contentCol: String, idCol: String,
+                      stride: Int,
+                      unresolvedCounter: Option[
+                        org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "sampleMkvFrames")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        tally.walked(
+          try walkOne(id, bytes, MkvBlockSchema)
+          catch { case _: IndexOutOfBoundsException => Nil }).iterator
+          .filter(_.getLong(1) % stride == 0)
+          .flatMap { s =>
+            val off = s.getLong(2).toInt; val sz = s.getLong(3).toInt
+            (try MultimodalOps.frameChannelSums(
+              java.util.Arrays.copyOfRange(bytes, off, off + sz))
+            catch {
+              case _: java.io.IOException => tally.undecodable(); None
+              case scala.util.control.NonFatal(_) =>
+                tally.undecodable(); None
+            }).map { case (w, h, sr, sg, sb) =>
+              new GenericRowWithSchema(Array[Any](
+                id, s.getLong(1), w, h, sr, sg, sb), outSchema): Row
+            }
+          }
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+}

@@ -984,7 +984,7 @@ object MultimodalOps {
     * (w, h, sum_r, sum_g, sum_b) channel sums; None when the decoder
     * rejects the payload. Shared by every container walker, so a new
     * container format only has to supply the byte walk. */
-  private def frameChannelSums(
+  private[pipeline] def frameChannelSums(
       frame: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(frame))

@@ -81,6 +81,13 @@ object MultimodalQueries {
     // fragmented: the frame pipeline is container-blind, so the one
     // frame-formula oracle carries over a FIFTH time
     GraftQuery("q_video_frames_fmp4", videoFramesFmp4, Some(videoFramesSql)),
+    // Matroska/EBML — the sixth container grammar CLASS (leading-zero
+    // varint lengths, unlike boxes/chunks/frames/records): the video
+    // track's SimpleBlocks resolved to per-block rows, every offset
+    // rebuilt by the oracle from the fixed-width layout arithmetic
+    GraftQuery("q_video_mkv_meta", videoMkvMeta, Some(videoMkvMetaSql)),
+    // the one logical clip through its SIXTH container
+    GraftQuery("q_video_frames_mkv", videoFramesMkv, Some(videoFramesSql)),
     // the SAME clip as REAL Motion-JPEG in the same RIFF/AVI container —
     // the first LOSSY codec through the demuxer seam: walk and real
     // ImageIO decode unchanged, but decoded pixel sums are codec facts
@@ -348,6 +355,71 @@ object MultimodalQueries {
        |  CAST(z.i * z.delta AS BIGINT) AS dts,
        |  z.j = 0 AS is_sync, z.timescale
        |FROM sz z JOIN fo ON fo.media_id = z.media_id AND fo.f = z.f""".stripMargin
+
+  /** The EBML walk's resolved SimpleBlock table over every doc's
+    * synthetic MKV: general-varint parsing on the wire, cluster
+    * timestamps + signed relative block timestamps, keyframe flags —
+    * while the oracle only ever sees the encoder's fixed-width layout
+    * arithmetic. */
+  def videoMkvMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    graft.pipeline.MkvOps.mkvBlockTable(
+      graft.pipeline.MkvOps.encodeSyntheticMkv(ids, "doc_id"),
+      "content", "media_id")
+  }
+
+  /** Layout mirror: EBML(18) + Segment hdr(6) + Info(14) + Tracks(27)
+    * puts cluster 0 at 65; a cluster is 6 + 5 + Σ(7 + size); a block's
+    * frame data sits 18 + Σ_{j'<j}(7 + size') past its cluster start. */
+  def videoMkvMetaSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, 2 + doc_id % 2 AS nc FROM documents
+       |), fr AS (
+       |  SELECT media_id, unnest(range(0, nc)) AS c FROM d
+       |), fm AS (
+       |  SELECT *, 2 + (media_id + c) % 2 AS m FROM fr
+       |), fb AS (
+       |  SELECT *, CAST(COALESCE(SUM(m) OVER (PARTITION BY media_id ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+       |  FROM fm
+       |), smp AS (
+       |  SELECT media_id, c, b, unnest(range(0, m)) AS j FROM fb
+       |), sz AS (
+       |  SELECT *, b + j AS i,
+       |    30 + (media_id * 7 + (b + j) * 5) % 40 AS size
+       |  FROM smp
+       |), fs AS (
+       |  SELECT media_id, c, CAST(SUM(7 + size) AS BIGINT) AS s_c
+       |  FROM sz GROUP BY 1, 2
+       |), fo AS (
+       |  SELECT fb.media_id, fb.c,
+       |    65 + CAST(COALESCE(SUM(11 + fs.s_c) OVER (
+       |      PARTITION BY fb.media_id ORDER BY fb.c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cluster_start
+       |  FROM fb JOIN fs ON fs.media_id = fb.media_id AND fs.c = fb.c
+       |)
+       |SELECT z.media_id, CAST(z.i AS BIGINT) AS block_idx,
+       |  fo.cluster_start + 18
+       |    + CAST(COALESCE(SUM(7 + z.size) OVER (
+       |        PARTITION BY z.media_id, z.c ORDER BY z.j
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS "offset",
+       |  CAST(z.size AS BIGINT) AS size,
+       |  CAST(z.c * 1000 + z.j * 40 AS BIGINT) AS ts_ms,
+       |  z.j = 0 AS is_key, CAST(1 AS BIGINT) AS track_num
+       |FROM sz z JOIN fo ON fo.media_id = z.media_id AND fo.c = z.c""".stripMargin
+
+  /** [[videoFramesMp4]] through EBML: real PNG frames as SimpleBlock
+    * payloads across two clusters, the block table driving the shared
+    * stride-sample + decode — identical output to the other five
+    * container forms, one oracle. */
+  def videoFramesMkv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    graft.pipeline.MkvOps.sampleMkvFrames(
+      graft.pipeline.MkvOps.encodeSyntheticMkvVideo(ids, "doc_id"),
+      "content", "media_id", VF_STRIDE)
+  }
 
   /** [[videoFramesAvi]] with the frames REALLY coded as JPEG (Motion-
     * JPEG, the classic capture-card/webcam AVI codec): the identical

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Matroska/EBML: the general-varint walk against the fixed-layout
+  * formulas, honest CLUSTER-granularity truncation (a cut keeps every
+  * fully contained cluster's blocks — the Segment's declared extent is
+  * clamped, since live-streaming MKVs even declare unknown size),
+  * garbage accounting, and the shared frame pipeline over a sixth
+  * container. */
+class MkvContainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val ids = Seq(0L, 1L, 2L, 3L, 5L, 8L)
+
+  /** Formula twin: (block_idx, offset, size, ts_ms, is_key, track). */
+  private def expected(id: Long): Seq[(Long, Long, Long, Long, Boolean, Long)] = {
+    var clusterStart = 65L
+    var i = 0L
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Boolean, Long)]
+    for (c <- 0 until MkvOps.synthMkvClusters(id)) {
+      val m = MkvOps.synthMkvClusterBlocks(id, c)
+      var off = clusterStart + 18
+      var sC = 0L
+      for (j <- 0 until m) {
+        val sz = MkvOps.synthMkvBlockSize(id, i.toInt).toLong
+        out += ((i, off, sz, c * 1000L + j * 40L, j == 0, 1L))
+        off += 7 + sz; sC += 7 + sz; i += 1
+      }
+      clusterStart += 11 + sC
+    }
+    out.toSeq
+  }
+
+  private def walk(df: org.apache.spark.sql.DataFrame) =
+    MkvOps.mkvBlockTable(df, "content", "media_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+
+  test("the walker resolves SimpleBlocks exactly as the formulas predict") {
+    val got = walk(MkvOps.encodeSyntheticMkv(ids.toDF("id"), "id"))
+    ids.foreach { id => assert(got.getOrElse(id, Nil) == expected(id), s"id $id") }
+  }
+
+  test("truncation at every cut keeps exactly the fully-contained clusters") {
+    for (id <- Seq(2L, 3L)) {
+      val full = MkvOps.encodeSyntheticMkv(Seq(id).toDF("id"), "id")
+        .collect()(0).getAs[Array[Byte]](1)
+      val exp = expected(id)
+      // cluster extents from the same layout arithmetic
+      var clusterStart = 65L
+      var i = 0
+      val clusterEnd = scala.collection.mutable.Map.empty[Long, Long] // block -> cluster end
+      for (c <- 0 until MkvOps.synthMkvClusters(id)) {
+        val m = MkvOps.synthMkvClusterBlocks(id, c)
+        var sC = 0L
+        val blocks = (0 until m).map { _ =>
+          val sz = MkvOps.synthMkvBlockSize(id, i).toLong
+          sC += 7 + sz; i += 1; i - 1
+        }
+        val end = clusterStart + 11 + sC
+        blocks.foreach(bi => clusterEnd(bi.toLong) = end)
+        clusterStart = end
+      }
+      for (cut <- (0 to full.length by 3) :+ full.length) {
+        val part = java.util.Arrays.copyOf(full, cut)
+        val got = walk(Seq((id, part)).toDF("media_id", "content"))
+          .getOrElse(id, Nil)
+        // leading metadata (EBML+Segment hdr+Info+Tracks = 65 bytes)
+        // must be intact for ANY block to resolve
+        val want =
+          if (cut < 65) Nil
+          else exp.takeWhile { case (bi, _, _, _, _, _) => clusterEnd(bi) <= cut }
+        assert(got == want, s"id $id cut $cut")
+      }
+    }
+  }
+
+  test("garbage is counted; valid files flow; general varints really parse") {
+    val acc = spark.sparkContext.longAccumulator("mkv-acct-test")
+    val mixed = MkvOps.encodeSyntheticMkv(ids.toDF("id"), "id")
+      .unionByName(Seq((700L, Array.fill[Byte](48)(0x6C)))
+        .toDF("media_id", "content"))
+    val rows = MkvOps.mkvBlockTable(mixed, "content", "media_id", Some(acc))
+      .collect()
+    assert(acc.value == 1L)
+    assert(rows.map(_.getLong(0)).toSet == ids.toSet)
+  }
+
+  test("the frame pipeline runs container-blind over EBML") {
+    val got = MkvOps.sampleMkvFrames(
+      MkvOps.encodeSyntheticMkvVideo(ids.toDF("id"), "id"),
+      "content", "media_id", 2).collect().map(_.toSeq).toSet
+    val viaMp4 = MultimodalOps.sampleMp4Frames(
+      MultimodalOps.encodeSyntheticMp4Video(ids.toDF("id"), "id"),
+      "content", "media_id", 2).collect().map(_.toSeq).toSet
+    assert(got == viaMp4 && got.nonEmpty)
+  }
+}
