@@ -205,31 +205,47 @@ object MkvOps {
     (v, width)
   }
 
+  /** children of [from, to): (elementId, payStart, payEnd), stopping
+    * at the first malformed element (prefix discipline). */
+  private def ebmlChildren(b: Array[Byte], from: Long,
+                           to: Long): Seq[(Long, Long, Long)] = {
+    val kids = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var p = from
+    var ok = true
+    while (ok && p < to) {
+      val idv = elementId(b, p.toInt)
+      if (idv == null) ok = false
+      else {
+        val sz = varint(b, p.toInt + idv._2)
+        if (sz == null) ok = false
+        else {
+          val payS = p + idv._2 + sz._2
+          val payE = payS + sz._1
+          if (payE < payS || payE > to) ok = false
+          else { kids += ((idv._1, payS, payE)); p = payE }
+        }
+      }
+    }
+    kids.toSeq
+  }
+
+  /** The FIRST video TrackEntry's number inside a Tracks payload. */
+  private def videoTrackNum(b: Array[Byte], ts: Long, te: Long): Option[Long] =
+    (for {
+      (0xAEL, es, ee) <- ebmlChildren(b, ts, te)
+      entry = ebmlChildren(b, es, ee)
+      tpe <- entry.collectFirst { case (0x83L, s, e) if e - s >= 1 =>
+        b(s.toInt) & 0xFF }
+      if tpe == 1
+      num <- entry.collectFirst { case (0xD7L, s, e) if e - s >= 1 =>
+        (b(s.toInt) & 0xFF).toLong }
+    } yield num).headOption
+
   private def walkOne(id: Long, b: Array[Byte],
                       outSchema: StructType): Seq[Row] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    /** children of [from, to): (elementId, payStart, payEnd), stopping
-      * at the first malformed element (prefix discipline). */
-    def children(from: Long, to: Long): Seq[(Long, Long, Long)] = {
-      val kids = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      var p = from
-      var ok = true
-      while (ok && p < to) {
-        val idv = elementId(b, p.toInt)
-        if (idv == null) ok = false
-        else {
-          val sz = varint(b, p.toInt + idv._2)
-          if (sz == null) ok = false
-          else {
-            val payS = p + idv._2 + sz._2
-            val payE = payS + sz._1
-            if (payE < payS || payE > to) ok = false
-            else { kids += ((idv._1, payS, payE)); p = payE }
-          }
-        }
-      }
-      kids.toSeq
-    }
+    def children(from: Long, to: Long): Seq[(Long, Long, Long)] =
+      ebmlChildren(b, from, to)
     val top = children(0L, b.length.toLong)
     val seg = top.collectFirst { case (0x18538067L, s, e) => (s, e) }
       .orElse {
@@ -261,16 +277,9 @@ object MkvOps {
       }.getOrElse(return Nil)
     val segKids = children(seg._1, seg._2)
     // first VIDEO TrackEntry's number
-    val trackNum = (for {
-      (0x1654AE6BL, ts, te) <- segKids
-      (0xAEL, es, ee) <- children(ts, te)
-      entry = children(es, ee)
-      tpe <- entry.collectFirst { case (0x83L, s, e) if e - s >= 1 =>
-        b(s.toInt) & 0xFF }
-      if tpe == 1
-      num <- entry.collectFirst { case (0xD7L, s, e) if e - s >= 1 =>
-        (b(s.toInt) & 0xFF).toLong }
-    } yield num).headOption.getOrElse(return Nil)
+    val trackNum = segKids.collectFirst { case (0x1654AE6BL, ts, te) => (ts, te) }
+      .flatMap { case (ts, te) => videoTrackNum(b, ts, te) }
+      .getOrElse(return Nil)
     var blockIdx = 0L
     segKids.foreach {
       case (0x1F43B675L, cs, ce) =>
@@ -300,6 +309,142 @@ object MkvOps {
           case _ => ()
         }
       case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** [[mkvBlockTable]] over ON-DISK files via ranged reads — every
+    * container's no-ceiling form, EBML edition: element headers are
+    * hopped by positioned reads of at most 12 bytes (4-byte max ID +
+    * 8-byte max size varint), the tiny Tracks payload is fetched whole
+    * to find the video track, and inside each Cluster only the
+    * per-block HEADERS (track varint + relative timestamp + flags, ≤ a
+    * dozen bytes) are fetched — frame payloads are never read. Like
+    * RIFF, EBML interleaves metadata with payload, so the hop count is
+    * O(elements); the fetched bytes stay O(blocks · 16). Tracks must
+    * precede Clusters (the universal layout; clusters before Tracks
+    * are skipped). Segment extent clamps to the file length like the
+    * in-memory walk. */
+  def mkvBlockTableRanged(files: DataFrame, pathCol: String, idCol: String,
+                          unresolvedCounter: Option[
+                            org.apache.spark.util.LongAccumulator] = None,
+                          maxTracksBytes: Long = 1L << 20): DataFrame = {
+    val outSchema = MkvBlockSchema
+    val bconf = files.sparkSession.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        files.sparkSession.sparkContext.hadoopConfiguration))
+    val in = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    in.mapPartitions { it =>
+      val conf = bconf.value.value
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "mkvBlockTableRanged")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        tally.walked(try {
+          val path = new org.apache.hadoop.fs.Path(r.getString(1))
+          val fs = path.getFileSystem(conf)
+          val len = fs.getFileStatus(path).getLen
+          val s = fs.open(path)
+          try mkvRangedWalk(s, len, id, maxTracksBytes, outSchema)
+          finally (try s.close() catch { case _: java.io.IOException => () })
+        } catch {
+          case _: java.io.IOException => Nil
+          case _: IndexOutOfBoundsException => Nil
+          case _: IllegalArgumentException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
+  private def mkvRangedWalk(s: org.apache.hadoop.fs.FSDataInputStream,
+                            fileLen: Long, id: Long, maxTracksBytes: Long,
+                            outSchema: StructType): Seq[Row] = {
+    val hdr = new Array[Byte](12)
+    /** Element header at `p` by positioned read:
+      * (elementId, payStart, declaredPayEnd) or null. */
+    def header(p: Long): (Long, Long, Long) = {
+      if (p + 2 > fileLen) return null
+      val want = math.min(12L, fileLen - p).toInt
+      s.readFully(p, hdr, 0, want)
+      val idv = elementId(hdr, 0)
+      if (idv == null || idv._2 >= want) return null
+      val szv = varint(hdr, idv._2)
+      if (szv == null || idv._2 + szv._2 > want) return null
+      val payS = p + idv._2 + szv._2
+      val payE = payS + szv._1
+      if (payE < payS) return null
+      (idv._1, payS, payE)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // top level: hop to the Segment, clamped like the in-memory walk
+    var p = 0L
+    var seg: (Long, Long) = null
+    while (seg == null && p < fileLen) {
+      val h = header(p)
+      if (h == null) return Nil
+      if (h._1 == 0x18538067L) seg = (h._2, math.min(h._3, fileLen))
+      else if (h._3 > fileLen) return Nil
+      else p = h._3
+    }
+    if (seg == null) return Nil
+    var q = seg._1
+    var trackNum = -1L
+    var blockIdx = 0L
+    while (q < seg._2) {
+      val h = header(q)
+      if (h == null) return out.toSeq
+      if (h._3 > seg._2) return out.toSeq // cut-short element: keep prior
+      h._1 match {
+        case 0x1654AE6BL => // Tracks: tiny — fetch whole, reuse the parser
+          val tSz = h._3 - h._2
+          if (tSz > maxTracksBytes || tSz > Int.MaxValue - 16) return out.toSeq
+          val tb = new Array[Byte](tSz.toInt)
+          s.readFully(h._2, tb, 0, tb.length)
+          trackNum = videoTrackNum(tb, 0L, tSz).getOrElse(return out.toSeq)
+        case 0x1F43B675L if trackNum > 0 => // Cluster: hop block headers
+          var clusterTs = -1L
+          var b = h._2
+          while (b < h._3) {
+            val bh = header(b)
+            if (bh == null || bh._3 > h._3) return out.toSeq
+            bh._1 match {
+              case 0xE7L => // cluster Timestamp: <= 8 bytes
+                val n = (bh._3 - bh._2).toInt
+                if (n < 0 || n > 8) return out.toSeq
+                s.readFully(bh._2, hdr, 0, n)
+                var v = 0L
+                var k = 0
+                while (k < n) { v = (v << 8) | (hdr(k) & 0xFFL); k += 1 }
+                clusterTs = v
+              case 0xA3L if clusterTs >= 0 => // SimpleBlock header only
+                val want = math.min(12L, bh._3 - bh._2).toInt
+                if (want < 4) return out.toSeq
+                s.readFully(bh._2, hdr, 0, want)
+                val tn = varint(hdr, 0)
+                if (tn == null || tn._2 + 3 > want) return out.toSeq
+                if (tn._1 == trackNum) {
+                  val rel = (((hdr(tn._2) & 0xFF) << 8) |
+                    (hdr(tn._2 + 1) & 0xFF)).toShort.toLong
+                  val flags = hdr(tn._2 + 2) & 0xFF
+                  val dataS = bh._2 + tn._2 + 3
+                  out += new GenericRowWithSchema(Array[Any](
+                    id, blockIdx, dataS, bh._3 - dataS, clusterTs + rel,
+                    (flags & 0x80) != 0, trackNum), outSchema)
+                  blockIdx += 1
+                }
+              case 0xA3L => // block before the cluster Timestamp: out of
+                // the subset (the universal layout puts Timestamp
+                // first) — stop rather than emit rows the in-memory
+                // walk would index differently
+                return out.toSeq
+              case _ => ()
+            }
+            b = bh._3
+          }
+        case _ => ()
+      }
+      q = h._3
     }
     out.toSeq
   }

@@ -88,6 +88,10 @@ object MultimodalQueries {
     GraftQuery("q_video_mkv_meta", videoMkvMeta, Some(videoMkvMetaSql)),
     // the one logical clip through its SIXTH container
     GraftQuery("q_video_frames_mkv", videoFramesMkv, Some(videoFramesSql)),
+    // the MKV corpus off real files via element-header hops — fetched
+    // bytes O(blocks·16), frame payloads never read; shared oracle
+    GraftQuery("q_video_mkv_meta_ranged", videoMkvMetaRanged,
+      Some(videoMkvMetaSql)),
     // the SAME clip as REAL Motion-JPEG in the same RIFF/AVI container —
     // the first LOSSY codec through the demuxer seam: walk and real
     // ImageIO decode unchanged, but decoded pixel sums are codec facts
@@ -409,6 +413,21 @@ object MultimodalQueries {
        |  CAST(z.c * 1000 + z.j * 40 AS BIGINT) AS ts_ms,
        |  z.j = 0 AS is_key, CAST(1 AS BIGINT) AS track_num
        |FROM sz z JOIN fo ON fo.media_id = z.media_id AND fo.c = z.c""".stripMargin
+
+  /** [[videoMkvMeta]] off on-disk files via the ranged element-header
+    * hops; identical output, shared oracle. */
+  def videoMkvMetaRanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val mkvs = graft.pipeline.MkvOps.encodeSyntheticMkv(ids, "doc_id")
+    val dir = graft.sources.TableSources.scratchDir("graft-mkv-ranged")
+    graft.sources.TableSources.writeBinaryDir(
+      mkvs, dir, "media_id", "content", ".mkv")
+    val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mkv")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mkv$", 1)
+          .cast("long"))
+    graft.pipeline.MkvOps.mkvBlockTableRanged(files, "media_path", "media_id")
+  }
 
   /** [[videoFramesMp4]] through EBML: real PNG frames as SimpleBlock
     * payloads across two clusters, the block table driving the shared

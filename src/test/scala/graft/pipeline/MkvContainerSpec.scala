@@ -92,6 +92,28 @@ class MkvContainerSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == ids.toSet)
   }
 
+  test("the ranged walk resolves blocks identically from header hops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mkv").toString
+    graft.sources.TableSources.writeBinaryDir(
+      MkvOps.encodeSyntheticMkv(ids.toDF("id"), "id"),
+      dir, "media_id", "content", ".mkv")
+    val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mkv")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mkv$", 1).cast("long"))
+    val ranged = MkvOps.mkvBlockTableRanged(files, "media_path", "media_id")
+      .collect().map(_.toSeq).toSet
+    val inMem = MkvOps.mkvBlockTable(
+        MkvOps.encodeSyntheticMkv(ids.toDF("id"), "id"), "content", "media_id")
+      .collect().map(_.toSeq).toSet
+    assert(ranged == inMem && ranged.nonEmpty)
+    // a ghost file resolves to no rows, counted
+    val acc = spark.sparkContext.longAccumulator("mkv-ranged-acct")
+    assert(MkvOps.mkvBlockTableRanged(
+      Seq((7L, s"$dir/missing.mkv")).toDF("media_id", "media_path"),
+      "media_path", "media_id", Some(acc)).count() == 0L)
+    assert(acc.value == 1L)
+  }
+
   test("the frame pipeline runs container-blind over EBML") {
     val got = MkvOps.sampleMkvFrames(
       MkvOps.encodeSyntheticMkvVideo(ids.toDF("id"), "id"),
