@@ -172,6 +172,21 @@ object MediaSoakMain {
     println(f"  $gotFmp4%,d fragment-resolved rows = ${nMeta / tFmp4}%,.0f " +
       f"clips/s (${gotFmp4 / tFmp4}%,.0f samples/s), both trun shapes")
 
+    // ---- 4b2. EBML (MKV) block walk ---------------------------------------
+    // the varint grammar at the same scale: truth from the per-parity
+    // closed form (id even → 5 blocks across 2 clusters, odd → 8
+    // across 3)
+    val expMkv = 5L * ((nMeta + 1) / 2) + 8L * (nMeta / 2)
+    val (gotMkv, tMkv) = time(f"MKV block walk over $nMeta%,d clips") {
+      graft.pipeline.MkvOps.mkvBlockTable(
+        graft.pipeline.MkvOps.encodeSyntheticMkv(ids, "id"),
+        "content", "media_id").count()
+    }
+    require(gotMkv == expMkv,
+      s"mkv block rows: got $gotMkv, closed form $expMkv")
+    println(f"  $gotMkv%,d block rows = ${nMeta / tMkv}%,.0f clips/s " +
+      f"(${gotMkv / tMkv}%,.0f blocks/s), general varints on the wire")
+
     // ---- 4c. WARC record walk ---------------------------------------------
     // crawl-container ingestion at scale: truth enumerated exactly over
     // the (id mod 20) cycle that drives records (1 + 3 + id%4) and the
