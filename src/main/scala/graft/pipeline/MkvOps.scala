@@ -33,7 +33,7 @@ object MkvOps {
   def synthMkvBlockSize(id: Long, i: Int): Int =
     (30 + (id * 7 + i * 5) % 40).toInt
 
-  private val MkvBlockSchema = StructType(Seq(
+  private[pipeline] val MkvBlockSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("block_idx", LongType, nullable = false),
     StructField("offset", LongType, nullable = false),
@@ -178,7 +178,10 @@ object MkvOps {
   }
 
   /** General EBML varint at `p`: (value, width) with the marker bit
-    * STRIPPED, or null on malformed/oversized input. Width 1..8. */
+    * STRIPPED, or null on malformed/oversized input. Width 1..8. An
+    * all-ones data field is RFC 8794's UNKNOWN size at ANY width —
+    * returned as value −1 so callers must handle it explicitly (the
+    * Segment clamps to the file, everything else refuses). */
   private def varint(b: Array[Byte], p: Int): (Long, Int) = {
     if (p >= b.length) return null
     val first = b(p) & 0xFF
@@ -188,7 +191,17 @@ object MkvOps {
     var v = (first & (0xFF >>> width)).toLong
     var k = 1
     while (k < width) { v = (v << 8) | (b(p + k) & 0xFFL); k += 1 }
-    (v, width)
+    if (v == (1L << (7 * width)) - 1) (-1L, width) else (v, width)
+  }
+
+  /** An EBML unsigned integer payload (1..8 bytes big-endian). */
+  private def ebmlUint(b: Array[Byte], s: Long, e: Long): Option[Long] = {
+    val n = e - s
+    if (n < 1 || n > 8) return None
+    var v = 0L
+    var p = s
+    while (p < e) { v = (v << 8) | (b(p.toInt) & 0xFFL); p += 1 }
+    Some(v)
   }
 
   /** Raw element ID at `p` (marker bit KEPT, the Matroska convention):
@@ -217,7 +230,7 @@ object MkvOps {
       if (idv == null) ok = false
       else {
         val sz = varint(b, p.toInt + idv._2)
-        if (sz == null) ok = false
+        if (sz == null || sz._1 < 0) ok = false // unknown size: not nestable
         else {
           val payS = p + idv._2 + sz._2
           val payE = payS + sz._1
@@ -229,52 +242,51 @@ object MkvOps {
     kids.toSeq
   }
 
-  /** The FIRST video TrackEntry's number inside a Tracks payload. */
+  /** The Segment's clamped payload extent: ONE loop serving both the
+    * intact case and the two degraded cases — a declared extent
+    * overrunning the buffer (truncated download) and RFC 8794's
+    * UNKNOWN size (all data bits set; how live-streamed MKVs ship) —
+    * both clamp to the buffer end, so the walk keeps every fully
+    * contained cluster. Leading siblings must still be well-formed. */
+  private def findSegment(b: Array[Byte]): Option[(Long, Long)] = {
+    var p = 0L
+    while (p < b.length) {
+      val idv = elementId(b, p.toInt)
+      if (idv == null) return None
+      val szv = varint(b, p.toInt + idv._2)
+      if (szv == null) return None
+      val payS = p + idv._2 + szv._2
+      if (idv._1 == 0x18538067L)
+        return Some((payS,
+          if (szv._1 < 0) b.length.toLong
+          else math.min(payS + szv._1, b.length.toLong)))
+      if (szv._1 < 0 || payS + szv._1 > b.length) return None
+      p = payS + szv._1
+    }
+    None
+  }
+
+  /** The FIRST video TrackEntry's number inside a Tracks payload —
+    * TrackNumber and TrackType read as FULL EBML uints (a legal
+    * TrackNumber like 300 is two bytes; reading just the first byte
+    * would disagree with the block-side varint parser). */
   private def videoTrackNum(b: Array[Byte], ts: Long, te: Long): Option[Long] =
     (for {
       (0xAEL, es, ee) <- ebmlChildren(b, ts, te)
       entry = ebmlChildren(b, es, ee)
-      tpe <- entry.collectFirst { case (0x83L, s, e) if e - s >= 1 =>
-        b(s.toInt) & 0xFF }
-      if tpe == 1
-      num <- entry.collectFirst { case (0xD7L, s, e) if e - s >= 1 =>
-        (b(s.toInt) & 0xFF).toLong }
+      tpe <- entry.collectFirst { case (0x83L, s0, e0) => ebmlUint(b, s0, e0) }
+        .flatten
+      if tpe == 1L
+      num <- entry.collectFirst { case (0xD7L, s0, e0) => ebmlUint(b, s0, e0) }
+        .flatten
     } yield num).headOption
 
-  private def walkOne(id: Long, b: Array[Byte],
+  private[pipeline] def walkOne(id: Long, b: Array[Byte],
                       outSchema: StructType): Seq[Row] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     def children(from: Long, to: Long): Seq[(Long, Long, Long)] =
       ebmlChildren(b, from, to)
-    val top = children(0L, b.length.toLong)
-    val seg = top.collectFirst { case (0x18538067L, s, e) => (s, e) }
-      .orElse {
-        // truncated file: the Segment's declared extent overruns the
-        // buffer (live-streaming MKVs even declare UNKNOWN size) —
-        // clamp it to what is present, so the walk keeps every fully
-        // contained cluster. Leading siblings must still be
-        // well-formed to reach it.
-        var p = 0L
-        var found: Option[(Long, Long)] = None
-        var ok = true
-        while (ok && found.isEmpty && p < b.length) {
-          val idv = elementId(b, p.toInt)
-          if (idv == null) ok = false
-          else {
-            val szv = varint(b, p.toInt + idv._2)
-            if (szv == null) ok = false
-            else {
-              val payS = p + idv._2 + szv._2
-              if (idv._1 == 0x18538067L)
-                found = Some((payS,
-                  math.min(payS + szv._1, b.length.toLong)))
-              else if (payS + szv._1 > b.length) ok = false
-              else p = payS + szv._1
-            }
-          }
-        }
-        found
-      }.getOrElse(return Nil)
+    val seg = findSegment(b).getOrElse(return Nil)
     val segKids = children(seg._1, seg._2)
     // first VIDEO TrackEntry's number
     val trackNum = segKids.collectFirst { case (0x1654AE6BL, ts, te) => (ts, te) }
@@ -284,12 +296,16 @@ object MkvOps {
     segKids.foreach {
       case (0x1F43B675L, cs, ce) =>
         val kids = children(cs, ce)
-        val clusterTs = kids.collectFirst { case (0xE7L, s, e) =>
-          var v = 0L
-          var p = s
-          while (p < e) { v = (v << 8) | (b(p.toInt) & 0xFFL); p += 1 }
-          v
-        }.getOrElse(return out.toSeq)
+        // the Timestamp must exist, PRECEDE the first block (the
+        // universal layout — the ranged walk streams and cannot look
+        // ahead, so the in-memory walk must not be more lenient), and
+        // fit an EBML uint (an oversized payload is malformed, not
+        // silently-overflowing)
+        val tsPos = kids.indexWhere(_._1 == 0xE7L)
+        val blkPos = kids.indexWhere(_._1 == 0xA3L)
+        if (tsPos < 0 || (blkPos >= 0 && blkPos < tsPos)) return out.toSeq
+        val clusterTs = ebmlUint(b, kids(tsPos)._2, kids(tsPos)._3)
+          .getOrElse(return out.toSeq)
         kids.foreach {
           case (0xA3L, bs, be) =>
             val tn = varint(b, bs.toInt)
@@ -357,12 +373,14 @@ object MkvOps {
     }(Encoders.row(outSchema))
   }
 
-  private def mkvRangedWalk(s: org.apache.hadoop.fs.FSDataInputStream,
+  private[pipeline] def mkvRangedWalk(s: org.apache.hadoop.fs.FSDataInputStream,
                             fileLen: Long, id: Long, maxTracksBytes: Long,
                             outSchema: StructType): Seq[Row] = {
     val hdr = new Array[Byte](12)
     /** Element header at `p` by positioned read:
-      * (elementId, payStart, declaredPayEnd) or null. */
+      * (elementId, payStart, sizeValue) — sizeValue −1 is RFC 8794's
+      * UNKNOWN size (only the Segment may carry it; see below) — or
+      * null on malformed input. */
     def header(p: Long): (Long, Long, Long) = {
       if (p + 2 > fileLen) return null
       val want = math.min(12L, fileLen - p).toInt
@@ -371,21 +389,24 @@ object MkvOps {
       if (idv == null || idv._2 >= want) return null
       val szv = varint(hdr, idv._2)
       if (szv == null || idv._2 + szv._2 > want) return null
-      val payS = p + idv._2 + szv._2
-      val payE = payS + szv._1
-      if (payE < payS) return null
-      (idv._1, payS, payE)
+      (idv._1, p + idv._2 + szv._2, szv._1)
     }
+    /** Declared payload end, or −1 for unknown size. */
+    def endOf(h: (Long, Long, Long)): Long =
+      if (h._3 < 0) -1L else h._2 + h._3
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    // top level: hop to the Segment, clamped like the in-memory walk
+    // top level: hop to the Segment; overruns AND unknown size clamp to
+    // the file (same semantics as the in-memory findSegment)
     var p = 0L
     var seg: (Long, Long) = null
     while (seg == null && p < fileLen) {
       val h = header(p)
       if (h == null) return Nil
-      if (h._1 == 0x18538067L) seg = (h._2, math.min(h._3, fileLen))
-      else if (h._3 > fileLen) return Nil
-      else p = h._3
+      if (h._1 == 0x18538067L)
+        seg = (h._2,
+          if (h._3 < 0) fileLen else math.min(endOf(h), fileLen))
+      else if (h._3 < 0 || endOf(h) > fileLen) return Nil
+      else p = endOf(h)
     }
     if (seg == null) return Nil
     var q = seg._1
@@ -394,10 +415,11 @@ object MkvOps {
     while (q < seg._2) {
       val h = header(q)
       if (h == null) return out.toSeq
-      if (h._3 > seg._2) return out.toSeq // cut-short element: keep prior
+      val hEnd = endOf(h)
+      if (hEnd < 0 || hEnd > seg._2) return out.toSeq // cut-short/unknown: keep prior
       h._1 match {
         case 0x1654AE6BL => // Tracks: tiny — fetch whole, reuse the parser
-          val tSz = h._3 - h._2
+          val tSz = hEnd - h._2
           if (tSz > maxTracksBytes || tSz > Int.MaxValue - 16) return out.toSeq
           val tb = new Array[Byte](tSz.toInt)
           s.readFully(h._2, tb, 0, tb.length)
@@ -405,12 +427,14 @@ object MkvOps {
         case 0x1F43B675L if trackNum > 0 => // Cluster: hop block headers
           var clusterTs = -1L
           var b = h._2
-          while (b < h._3) {
+          while (b < hEnd) {
             val bh = header(b)
-            if (bh == null || bh._3 > h._3) return out.toSeq
+            if (bh == null) return out.toSeq
+            val bhEnd = endOf(bh)
+            if (bhEnd < 0 || bhEnd > hEnd) return out.toSeq
             bh._1 match {
               case 0xE7L => // cluster Timestamp: <= 8 bytes
-                val n = (bh._3 - bh._2).toInt
+                val n = (bhEnd - bh._2).toInt
                 if (n < 0 || n > 8) return out.toSeq
                 s.readFully(bh._2, hdr, 0, n)
                 var v = 0L
@@ -418,7 +442,7 @@ object MkvOps {
                 while (k < n) { v = (v << 8) | (hdr(k) & 0xFFL); k += 1 }
                 clusterTs = v
               case 0xA3L if clusterTs >= 0 => // SimpleBlock header only
-                val want = math.min(12L, bh._3 - bh._2).toInt
+                val want = math.min(12L, bhEnd - bh._2).toInt
                 if (want < 4) return out.toSeq
                 s.readFully(bh._2, hdr, 0, want)
                 val tn = varint(hdr, 0)
@@ -429,7 +453,7 @@ object MkvOps {
                   val flags = hdr(tn._2 + 2) & 0xFF
                   val dataS = bh._2 + tn._2 + 3
                   out += new GenericRowWithSchema(Array[Any](
-                    id, blockIdx, dataS, bh._3 - dataS, clusterTs + rel,
+                    id, blockIdx, dataS, bhEnd - dataS, clusterTs + rel,
                     (flags & 0x80) != 0, trackNum), outSchema)
                   blockIdx += 1
                 }
@@ -440,11 +464,14 @@ object MkvOps {
                 return out.toSeq
               case _ => ()
             }
-            b = bh._3
+            b = bhEnd
           }
+          // a cluster that ended without a Timestamp is malformed in
+          // BOTH walks (the in-memory form aborts on it too — parity)
+          if (clusterTs < 0) return out.toSeq
         case _ => ()
       }
-      q = h._3
+      q = hEnd
     }
     out.toSeq
   }

@@ -274,8 +274,12 @@ object WarcOps {
     val noFrag = regexp_replace(u, "#.*", "")
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(noFrag,
-      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authority = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo is CASE-SENSITIVE (RFC 3986) — only the host lowers;
+    // split on the LAST '@' of the authority
+    val userinfo = regexp_extract(authority, "^(.*@)", 1)
+    val hostport = lower(regexp_extract(authority, "([^@]*)$", 1))
     val rest = regexp_replace(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val host = when(scheme === "http",
@@ -283,7 +287,7 @@ object WarcOps {
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     when(scheme === "", u)
-      .otherwise(concat(scheme, lit("://"), host, rest))
+      .otherwise(concat(scheme, lit("://"), userinfo, host, rest))
   }
 
   /** HTML → text, columnar and engine-exact: strip tags, decode the

@@ -114,6 +114,58 @@ class MkvContainerSpec extends AnyFunSuite {
     assert(acc.value == 1L)
   }
 
+  /** Call both walkers directly on the same bytes — the ranged one via
+    * a real local-FS file — and demand identical rows. */
+  private def bothWalks(id: Long, bytes: Array[Byte]): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    val inMem = MkvOps.walkOne(id, bytes, MkvOps.MkvBlockSchema).map(_.toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("mkv-diff")
+    val p = dir.resolve("x.mkv")
+    java.nio.file.Files.write(p, bytes)
+    val hp = new org.apache.hadoop.fs.Path(p.toString)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(hp)
+    val ranged =
+      try MkvOps.mkvRangedWalk(in, bytes.length.toLong, id, 1L << 20,
+        MkvOps.MkvBlockSchema).map(_.toSeq)
+      finally in.close()
+    java.nio.file.Files.deleteIfExists(p); java.nio.file.Files.deleteIfExists(dir)
+    (inMem, ranged)
+  }
+
+  test("DIFFERENTIAL sweep: in-memory and ranged agree at every cut and " +
+    "on crafted malformed shapes") {
+    for (id <- Seq(2L, 3L)) {
+      val full = MkvOps.encodeSyntheticMkv(Seq(id).toDF("id"), "id")
+        .collect()(0).getAs[Array[Byte]](1)
+      for (cut <- (0 to full.length by 5) :+ full.length) {
+        val part = java.util.Arrays.copyOf(full, cut)
+        val (a, b) = bothWalks(id, part)
+        assert(a == b, s"id $id cut $cut: in-memory $a vs ranged $b")
+      }
+      // crafted: unknown-size Segment (0xFF size varint) — both clamp
+      val unknown = full.clone()
+      // segment header is 4-byte ID + 2-byte size at a fixed position:
+      // find it (0x18 0x53 0x80 0x67) and overwrite its size with 0xFF + pad
+      val segAt = (0 until full.length - 4).find(i =>
+        (full(i) & 0xFF) == 0x18 && (full(i + 1) & 0xFF) == 0x53 &&
+          (full(i + 2) & 0xFF) == 0x80 && (full(i + 3) & 0xFF) == 0x67).get
+      // replace the 2-byte size with a 1-byte unknown (0xFF) and shift
+      val shifted = unknown.take(segAt + 4) ++ Array(0xFF.toByte) ++
+        unknown.drop(segAt + 6)
+      val (ua, ub) = bothWalks(id, shifted)
+      assert(ua == ub, s"unknown-size segment: $ua vs $ub")
+      assert(ua.nonEmpty, "unknown-size segment must clamp, not reject")
+      // crafted: cluster whose Timestamp payload is 9 bytes (oversized)
+      val tsAt = (segAt until full.length - 2).find(i =>
+        (full(i) & 0xFF) == 0xE7 && (full(i + 1) & 0xFF) == 0x40 &&
+          (full(i + 2) & 0xFF) == 0x02).get
+      val bad = full.clone()
+      bad(tsAt + 2) = 0x09 // declare 9 payload bytes
+      val (ta, tb) = bothWalks(id, bad)
+      assert(ta == tb, s"oversized timestamp: $ta vs $tb")
+    }
+  }
+
   test("the frame pipeline runs container-blind over EBML") {
     val got = MkvOps.sampleMkvFrames(
       MkvOps.encodeSyntheticMkvVideo(ids.toDF("id"), "id"),
