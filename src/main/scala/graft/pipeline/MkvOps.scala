@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * is the SimpleBlock keyframe flag.
   *
   * Subset stated plainly: one Segment, the FIRST video TrackEntry
-  * (TrackType 1), Clusters walked in file order, SimpleBlocks only
-  * (BlockGroup lacing is out — a block the subset cannot address is
-  * skipped by its declared size, never guessed at). Honest truncation:
+  * (TrackType 1) of the FIRST Tracks element, Clusters walked in file
+  * order — clusters preceding Tracks are SKIPPED (both walks; the
+  * ranged one streams and cannot look ahead, and the in-memory one
+  * deliberately matches rather than being more lenient), SimpleBlocks
+  * only (BlockGroup lacing is out — a block the subset cannot address
+  * is skipped by its declared size, never guessed at). Honest truncation:
   * a malformed or cut-short element ends the walk keeping all prior
   * blocks; unresolvable files ride the shared tally; walker bugs fail
   * the query. Same 1:1 partition-parallel mapPartitions shape as every
@@ -113,8 +116,13 @@ object MkvOps {
 
   /** One file from explicit per-cluster frame payloads. All size
     * varints are 2-byte (0x4000 | n) — a layout convenience for the
-    * oracle arithmetic; the parser reads general varints. */
-  private def buildMkv(clusters: Seq[IndexedSeq[Array[Byte]]]): Array[Byte] = {
+    * oracle arithmetic; the parser reads general varints. `trackNum`
+    * (1..127, encoded as the 1-byte varint 0x80|n) exists so specs can
+    * craft the 0xFF-track-127 shape — the one value where a naive
+    * size-context varint read would misparse a legal block. */
+  private[pipeline] def buildMkv(clusters: Seq[IndexedSeq[Array[Byte]]],
+                                 trackNum: Int = 1): Array[Byte] = {
+    require(trackNum >= 1 && trackNum <= 127, s"trackNum 1..127: $trackNum")
     val bos = new java.io.ByteArrayOutputStream()
     def raw(bs: Int*): Unit = bs.foreach(b => bos.write(b & 0xFF))
     def size2(n: Int): Unit = { require(n <= 0x3FFF); raw(0x40 | (n >> 8), n & 0xFF) }
@@ -131,7 +139,7 @@ object MkvOps {
     // Tracks: one video TrackEntry (number 1, type 1, CodecID V_GRAFT)
     braw(0x16, 0x54, 0xAE, 0x6B); bsize2(21)
     braw(0xAE); bsize2(18)
-    braw(0xD7); bsize2(1); braw(1)            // TrackNumber
+    braw(0xD7); bsize2(1); braw(trackNum)     // TrackNumber
     braw(0x83); bsize2(1); braw(1)            // TrackType: video
     braw(0x86); bsize2(7); body.write("V_GRAFT".getBytes("US-ASCII"))
     // Clusters
@@ -139,7 +147,7 @@ object MkvOps {
       val blocks = frames.zipWithIndex.map { case (fr, j) =>
         // SimpleBlock payload: track varint (0x81) + s16 rel ts + flags
         val pb = new java.io.ByteArrayOutputStream()
-        pb.write(0x81)
+        pb.write(0x80 | trackNum)
         val rel = j * 40
         pb.write((rel >> 8) & 0xFF); pb.write(rel & 0xFF)
         pb.write(if (j == 0) 0x80 else 0x00) // keyframe flag
@@ -178,11 +186,17 @@ object MkvOps {
   }
 
   /** General EBML varint at `p`: (value, width) with the marker bit
-    * STRIPPED, or null on malformed/oversized input. Width 1..8. An
-    * all-ones data field is RFC 8794's UNKNOWN size at ANY width —
-    * returned as value −1 so callers must handle it explicitly (the
-    * Segment clamps to the file, everything else refuses). */
-  private def varint(b: Array[Byte], p: Int): (Long, Int) = {
+    * STRIPPED, or null on malformed/oversized input. Width 1..8.
+    *
+    * The all-ones data pattern is CONTEXT-DEPENDENT in RFC 8794: in an
+    * element-SIZE field it means UNKNOWN size — returned as value −1 so
+    * callers must handle it explicitly (the Segment clamps to the file,
+    * everything else refuses) — but in a SimpleBlock's track-number
+    * field it is just the minimal encoding of track 127 (0xFF), a legal
+    * value. `sizeContext = false` returns the literal value, so block
+    * parsing never mistakes track 127 for a size sentinel. */
+  private def varint(b: Array[Byte], p: Int,
+                     sizeContext: Boolean = true): (Long, Int) = {
     if (p >= b.length) return null
     val first = b(p) & 0xFF
     if (first == 0) return null // width > 8: out of EBML
@@ -191,7 +205,8 @@ object MkvOps {
     var v = (first & (0xFF >>> width)).toLong
     var k = 1
     while (k < width) { v = (v << 8) | (b(p + k) & 0xFFL); k += 1 }
-    if (v == (1L << (7 * width)) - 1) (-1L, width) else (v, width)
+    if (sizeContext && v == (1L << (7 * width)) - 1) (-1L, width)
+    else (v, width)
   }
 
   /** An EBML unsigned integer payload (1..8 bytes big-endian). */
@@ -288,13 +303,18 @@ object MkvOps {
       ebmlChildren(b, from, to)
     val seg = findSegment(b).getOrElse(return Nil)
     val segKids = children(seg._1, seg._2)
-    // first VIDEO TrackEntry's number
-    val trackNum = segKids.collectFirst { case (0x1654AE6BL, ts, te) => (ts, te) }
-      .flatMap { case (ts, te) => videoTrackNum(b, ts, te) }
-      .getOrElse(return Nil)
+    // Segment children IN FILE ORDER, exactly like the ranged walk (it
+    // streams and cannot look ahead): the FIRST Tracks element resolves
+    // the video track number, clusters BEFORE it are skipped, clusters
+    // after it are walked — any lookahead here would make the in-memory
+    // walk more lenient than its ranged twin on non-canonical files
+    var trackNum = -1L
     var blockIdx = 0L
     segKids.foreach {
-      case (0x1F43B675L, cs, ce) =>
+      case (0x1654AE6BL, ts, te) if trackNum < 0 =>
+        trackNum = videoTrackNum(b, ts, te).getOrElse(return out.toSeq)
+        if (trackNum <= 0) return out.toSeq // track 0 is not addressable
+      case (0x1F43B675L, cs, ce) if trackNum > 0 =>
         val kids = children(cs, ce)
         // the Timestamp must exist, PRECEDE the first block (the
         // universal layout — the ranged walk streams and cannot look
@@ -308,7 +328,7 @@ object MkvOps {
           .getOrElse(return out.toSeq)
         kids.foreach {
           case (0xA3L, bs, be) =>
-            val tn = varint(b, bs.toInt)
+            val tn = varint(b, bs.toInt, sizeContext = false)
             if (tn == null) return out.toSeq
             val hdr = bs + tn._2
             if (hdr + 3 > be) return out.toSeq
@@ -418,12 +438,14 @@ object MkvOps {
       val hEnd = endOf(h)
       if (hEnd < 0 || hEnd > seg._2) return out.toSeq // cut-short/unknown: keep prior
       h._1 match {
-        case 0x1654AE6BL => // Tracks: tiny — fetch whole, reuse the parser
+        case 0x1654AE6BL if trackNum < 0 => // FIRST Tracks only (parity
+          // with the in-memory walk): tiny — fetch whole, reuse the parser
           val tSz = hEnd - h._2
           if (tSz > maxTracksBytes || tSz > Int.MaxValue - 16) return out.toSeq
           val tb = new Array[Byte](tSz.toInt)
           s.readFully(h._2, tb, 0, tb.length)
           trackNum = videoTrackNum(tb, 0L, tSz).getOrElse(return out.toSeq)
+          if (trackNum <= 0) return out.toSeq // track 0 is not addressable
         case 0x1F43B675L if trackNum > 0 => // Cluster: hop block headers
           var clusterTs = -1L
           var b = h._2
@@ -433,9 +455,11 @@ object MkvOps {
             val bhEnd = endOf(bh)
             if (bhEnd < 0 || bhEnd > hEnd) return out.toSeq
             bh._1 match {
-              case 0xE7L => // cluster Timestamp: <= 8 bytes
+              case 0xE7L => // cluster Timestamp: an EBML uint, 1..8 bytes
+                // (zero-length is malformed — the in-memory ebmlUint
+                // rejects it too; parity, not leniency)
                 val n = (bhEnd - bh._2).toInt
-                if (n < 0 || n > 8) return out.toSeq
+                if (n < 1 || n > 8) return out.toSeq
                 s.readFully(bh._2, hdr, 0, n)
                 var v = 0L
                 var k = 0
@@ -445,7 +469,7 @@ object MkvOps {
                 val want = math.min(12L, bhEnd - bh._2).toInt
                 if (want < 4) return out.toSeq
                 s.readFully(bh._2, hdr, 0, want)
-                val tn = varint(hdr, 0)
+                val tn = varint(hdr, 0, sizeContext = false)
                 if (tn == null || tn._2 + 3 > want) return out.toSeq
                 if (tn._1 == trackNum) {
                   val rel = (((hdr(tn._2) & 0xFF) << 8) |

@@ -61,17 +61,35 @@ object OrderBookStream {
       else state.setTimeoutDuration(d)
     }
 
-  /** Replay-stream state envelope: the BookCodec blob plus the
-    * incarnation's max seen event time (8 big-endian tail bytes) — see
-    * [[armIdleTimeout]] for why the max must survive batches. */
-  private def packBookState(blob: Array[Byte], maxEv: Long): Array[Byte] = {
-    val out = java.util.Arrays.copyOf(blob, blob.length + 8)
+  /** Replay-stream state envelope: a one-byte version tag, the BookCodec
+    * blob, then the incarnation's max seen event time (8 big-endian tail
+    * bytes) — see [[armIdleTimeout]] for why the max must survive batches.
+    *
+    * The tag exists because the envelope has CHANGED shape across builds
+    * (plain blob → blob+maxEv tail): without it, a checkpoint written by
+    * an older build would silently lose its last 8 BookCodec bytes to the
+    * maxEv read and resume from a corrupted book. A raw BookCodec blob
+    * always begins 0x00 (it opens with `writeInt(n)`, n ≤ 20), so the
+    * non-zero magic is unambiguous: any state whose first byte is not the
+    * current tag is REJECTED loudly instead of misread. Restarting across
+    * an envelope change therefore requires a fresh checkpoint directory —
+    * the error says so. */
+  private[streaming] val StateVersion: Byte = 0xB1.toByte
+  private[streaming] def packBookState(blob: Array[Byte], maxEv: Long): Array[Byte] = {
+    val out = new Array[Byte](blob.length + 9)
+    out(0) = StateVersion
+    System.arraycopy(blob, 0, out, 1, blob.length)
     var v = maxEv; var i = out.length - 1
-    while (i >= blob.length) { out(i) = (v & 0xFF).toByte; v >>>= 8; i -= 1 }
+    while (i > blob.length) { out(i) = (v & 0xFF).toByte; v >>>= 8; i -= 1 }
     out
   }
-  private def unpackBookState(packed: Array[Byte]): (Array[Byte], Long) = {
-    val blob = java.util.Arrays.copyOf(packed, packed.length - 8)
+  private[streaming] def unpackBookState(packed: Array[Byte]): (Array[Byte], Long) = {
+    require(packed.length >= 9 && packed(0) == StateVersion,
+      "streaming book state has no (or a stale) version tag: this " +
+        "checkpoint was written by an incompatible build of the replay " +
+        "stream. Restart the query from a fresh checkpoint directory " +
+        "(the packed-state envelope is not migrated across versions).")
+    val blob = java.util.Arrays.copyOfRange(packed, 1, packed.length - 8)
     var v = 0L; var i = packed.length - 8
     while (i < packed.length) { v = (v << 8) | (packed(i) & 0xFFL); i += 1 }
     (blob, v)
@@ -217,7 +235,10 @@ object OrderBookStream {
     * previous event's top-of-book (None ≡ "no previous two-sided
     * value", which covers both the first event and a one-sided
     * predecessor — exactly the cases the batch lag() yields NULL for)
-    * and the running OFI sum. */
+    * and the running OFI sum. Field additions here change the state-store
+    * row schema; Spark's state schema compatibility check rejects an old
+    * checkpoint at restart (loudly — no migration), so a new field means
+    * a fresh checkpoint directory, same as the packed-blob envelope. */
   case class OfiState(book: Array[Byte], pb: Option[Long], pqb: Option[Long],
                       pa: Option[Long], pqa: Option[Long], cum: Long,
                       maxEv: Long = Long.MinValue)

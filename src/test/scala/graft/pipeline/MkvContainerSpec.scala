@@ -163,7 +163,50 @@ class MkvContainerSpec extends AnyFunSuite {
       bad(tsAt + 2) = 0x09 // declare 9 payload bytes
       val (ta, tb) = bothWalks(id, bad)
       assert(ta == tb, s"oversized timestamp: $ta vs $tb")
+
+      // layout facts the next two shapes lean on: EBML hdr [0,18),
+      // Segment hdr [18,24), Info [24,38), Tracks [38,65), clusters
+      // from 65; cluster = 6 hdr + 5 ts element + blocks of 7+size
+      val c1Blocks = MkvOps.synthMkvClusterBlocks(id, 0)
+      val c1Size = 11L + (0 until c1Blocks)
+        .map(j => 7L + MkvOps.synthMkvBlockSize(id, j)).sum
+      val c2Start = (65L + c1Size).toInt
+
+      // crafted: a Cluster BEFORE Tracks (non-canonical order) — BOTH
+      // walks must skip it and resolve the clusters after Tracks (the
+      // round-13 in-memory walk resolved it via lookahead; divergence)
+      val reordered = full.take(38) ++
+        full.slice(65, c2Start) ++ full.slice(38, 65) ++ full.drop(c2Start)
+      assert(reordered.length == full.length)
+      val (ra, rb) = bothWalks(id, reordered)
+      assert(ra == rb, s"cluster-before-tracks: $ra vs $rb")
+      assert(ra.size == expected(id).size - c1Blocks,
+        s"clusters after Tracks must still resolve: got ${ra.size}")
+
+      // crafted: ZERO-length cluster Timestamp on the second cluster —
+      // malformed in both walks (the round-13 ranged walk read it as
+      // ts=0); prefix discipline keeps exactly cluster 1's blocks
+      assert((full(c2Start + 6) & 0xFF) == 0xE7 &&
+        (full(c2Start + 7) & 0xFF) == 0x40 && (full(c2Start + 8) & 0xFF) == 0x02)
+      val zeroTs = full.clone()
+      zeroTs(c2Start + 8) = 0x00
+      val (za, zb) = bothWalks(id, zeroTs)
+      assert(za == zb, s"zero-length timestamp: $za vs $zb")
+      assert(za.size == c1Blocks,
+        s"prefix must keep exactly cluster 1, got ${za.size}")
     }
+
+    // crafted: track number 127 — its minimal varint encoding is 0xFF,
+    // the same bit pattern as RFC 8794's unknown-size sentinel; in the
+    // block's TRACK field it is a legal value and both walks must match
+    // the blocks rather than dropping them as a non-matching track
+    val frames = IndexedSeq(Array.tabulate[Byte](24)(_.toByte),
+      Array.tabulate[Byte](30)(j => (j * 3).toByte))
+    val t127 = MkvOps.buildMkv(Seq(frames, frames.take(1)), trackNum = 127)
+    val (fa, fb) = bothWalks(42L, t127)
+    assert(fa == fb, s"track-127: $fa vs $fb")
+    assert(fa.size == 3, s"all three track-127 blocks must resolve: $fa")
+    assert(fa.forall(_.last == 127L), s"track_num must be 127: $fa")
   }
 
   test("the frame pipeline runs container-blind over EBML") {

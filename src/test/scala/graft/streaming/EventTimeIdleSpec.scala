@@ -146,6 +146,28 @@ class EventTimeIdleSpec extends AnyFunSuite {
       s"cum_ofi must restart from 0 after event-time eviction, got $after")
   }
 
+  test("packed book state is version-tagged; unversioned checkpoint blobs " +
+    "are rejected loudly instead of misread") {
+    val blob = graft.core.BookCodec.serialize(new graft.core.OrderBook(2))
+    for (ev <- Seq(Long.MinValue, -1L, 0L, 1767265200000L, Long.MaxValue)) {
+      val packed = OrderBookStream.packBookState(blob, ev)
+      assert(packed(0) == OrderBookStream.StateVersion)
+      val (b2, ev2) = OrderBookStream.unpackBookState(packed)
+      assert(java.util.Arrays.equals(b2, blob) && ev2 == ev, s"maxEv=$ev")
+    }
+    // the round-13 envelope (blob + 8-byte tail, NO tag): its first byte
+    // is 0x00 (BookCodec opens with writeInt(n), n ≤ 20) — must reject,
+    // not silently strip 8 BookCodec bytes into a bogus maxEv
+    val untagged = java.util.Arrays.copyOf(blob, blob.length + 8)
+    val e = intercept[IllegalArgumentException](
+      OrderBookStream.unpackBookState(untagged))
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // the pre-tail era (plain BookCodec blob) rejects identically
+    val e2 = intercept[IllegalArgumentException](
+      OrderBookStream.unpackBookState(blob))
+    assert(e2.getMessage.contains("fresh checkpoint"))
+  }
+
   test("no watermark + event-time eviction is rejected at analysis") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
