@@ -163,7 +163,6 @@ object WarcOps {
         } catch {
           case _: java.io.IOException => Nil // corrupt leading gzip header: data
           case _: IndexOutOfBoundsException => Nil
-          case _: NumberFormatException => Nil
         })
       } ++ tally.closeIter()
     }(Encoders.row(outSchema))
@@ -199,9 +198,10 @@ object WarcOps {
         val bytes = r.getAs[Array[Byte]](1)
         tally.walked(try parseOne(id, bytes, outSchema)
         catch {
-          // malformed header arithmetic is data; walker bugs propagate
+          // malformed offset arithmetic is data; walker bugs propagate
+          // (parseOne itself never throws NumberFormatException — all
+          // numeric fields parse via toLongOption / digit guards)
           case _: IndexOutOfBoundsException => Nil
-          case _: NumberFormatException => Nil
         })
       } ++ tally.closeIter()
     }(Encoders.row(outSchema))
@@ -223,8 +223,12 @@ object WarcOps {
           if (c < 0) None else Some(line.substring(0, c).trim.toLowerCase ->
             line.substring(c + 1).trim)
         }.toMap
-      val len = headers.get("content-length") match {
-        case Some(v) => v.toLong // NumberFormatException → counted as data
+      // missing AND non-numeric Content-Length both end the walk KEEPING
+      // the fully-delimited records before this one (the same prefix
+      // discipline as a cut-short payload) — a throw here would discard
+      // the whole file's already-parsed prefix for one bad record
+      val len = headers.get("content-length").flatMap(_.toLongOption) match {
+        case Some(v) => v
         case None => return out.toSeq
       }
       val payStart = hdrEnd + 4

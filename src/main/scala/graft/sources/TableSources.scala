@@ -146,24 +146,50 @@ object TableSources {
         col("length").as("media_len"))
   }
 
+  /** Registry of scratch dirs, cleaned by ONE shared JVM shutdown hook
+    * (a hook per invocation would accumulate threads in a long-lived
+    * session along with the data). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private def deleteTree(dir: java.nio.file.Path): Unit =
+    try
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    catch { case _: Exception => () }
+  private lazy val scratchHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = scratchDirs.poll()
+      while (d != null) { deleteTree(d); d = scratchDirs.poll() }
+    }))
+    true
+  }
+
   /** Fresh per-invocation scratch dir whose tree is deleted at JVM
     * exit: the staging dirs of corpus/index-writing queries must
     * OUTLIVE the returned DataFrame's evaluation (which rules out
     * eager deletion inside the query), but leaving them behind
     * accumulates a full corpus copy per harness invocation. The
     * verify/bench harnesses run in short-lived forked JVMs, so
-    * exit-time cleanup is prompt; long-lived sessions writing
-    * artifacts they intend to KEEP should choose their own path
-    * instead of this. */
+    * exit-time cleanup is prompt. Long-lived sessions that re-run
+    * scratch-backed queries should call [[purgeScratch]] between runs
+    * (once no scratch-backed DataFrame is still live) — exit-time
+    * cleanup alone would accumulate a corpus copy per run — and
+    * sessions writing artifacts they intend to KEEP should choose
+    * their own path instead of this. */
   def scratchDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      catch { case _: Exception => () }))
+    require(scratchHookInstalled)
+    scratchDirs.add(dir)
     dir.toString
+  }
+
+  /** Eagerly delete every scratch dir handed out so far and empty the
+    * registry. Only call when no DataFrame built over a scratch dir is
+    * still unevaluated/cached — the dirs ARE their storage. */
+  def purgeScratch(): Unit = {
+    var d = scratchDirs.poll()
+    while (d != null) { deleteTree(d); d = scratchDirs.poll() }
   }
 
   /** Distributed media-corpus writer: one FILE per row via the Hadoop
@@ -171,7 +197,15 @@ object TableSources {
     * `<prefix><id><ext>` under `dir`. Executors write their partitions
     * in parallel; nothing reaches the driver. The inverse seam of
     * [[readBinaryDir]]/[[listBinaryDir]] — materializes an in-engine
-    * binary column as the on-disk corpus the ranged readers consume. */
+    * binary column as the on-disk corpus the ranged readers consume.
+    *
+    * Safe under SPECULATIVE EXECUTION and retries: each attempt writes
+    * to a dot-prefixed temp name carrying its task-attempt id (dot
+    * files are invisible to Spark's file listing, so a concurrent
+    * reader never sees a half-written file) and RENAMES into place —
+    * two attempts of the same task write identical bytes, so whichever
+    * rename lands last simply re-places the same content, and a loser
+    * whose rename fails deletes its own temp. */
   def writeBinaryDir(df: DataFrame, dir: String, idCol: String,
                      contentCol: String, ext: String,
                      prefix: String = "clip_"): Unit = {
@@ -184,12 +218,25 @@ object TableSources {
         if (it.hasNext) {
           val base = new org.apache.hadoop.fs.Path(dir)
           val fs = base.getFileSystem(bconf.value.value)
+          val attempt = org.apache.spark.TaskContext.get() match {
+            case null => s"local-${Thread.currentThread().getId}"
+            case tc => tc.taskAttemptId().toString
+          }
           it.foreach { r =>
-            val out = fs.create(
-              new org.apache.hadoop.fs.Path(base, s"$prefix${r.getLong(0)}$ext"),
-              true)
+            val name = s"$prefix${r.getLong(0)}$ext"
+            val tmp = new org.apache.hadoop.fs.Path(base, s".$name.$attempt.tmp")
+            val fin = new org.apache.hadoop.fs.Path(base, name)
+            val out = fs.create(tmp, true)
             try out.write(r.getAs[Array[Byte]](1))
             finally out.close()
+            if (!fs.rename(tmp, fin)) {
+              // destination exists (a prior run, or a competing attempt
+              // that produced the same bytes): replace, and if another
+              // attempt wins the re-race, drop our temp — content is
+              // identical either way
+              fs.delete(fin, false)
+              if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+            }
           }
         }
       }

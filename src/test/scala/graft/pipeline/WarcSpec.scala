@@ -14,8 +14,9 @@ class WarcSpec extends AnyFunSuite {
 
   private val ids = Seq(0L, 1L, 2L, 3L, 5L, 12L)
 
-  private def parse(df: org.apache.spark.sql.DataFrame) =
-    WarcOps.warcRecords(df, "content", "media_id").collect()
+  private def parse(df: org.apache.spark.sql.DataFrame,
+                    acc: Option[org.apache.spark.util.LongAccumulator] = None) =
+    WarcOps.warcRecords(df, "content", "media_id", acc).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         Option(r.get(3)).map(_.toString), r.getLong(4),
         Option(r.get(5)).map(_.asInstanceOf[Long]),
@@ -68,6 +69,35 @@ class WarcSpec extends AnyFunSuite {
       .collect()
     assert(acc.value == 2L)
     assert(rows.map(_.getLong(0)).toSet == ids.toSet)
+  }
+
+  test("a non-numeric Content-Length mid-file keeps the parsed prefix " +
+    "(same discipline as a cut-short payload, not a whole-file drop)") {
+    val id = 2L
+    val full = WarcOps.encodeSyntheticWarc(Seq(id).toDF("id"), "id")
+      .collect()(0).getAs[Array[Byte]](1)
+    val whole = parse(Seq((id, full)).toDF("media_id", "content")).toSeq
+    assert(whole.length >= 3)
+    // graft a malformed record between the first two good ones and the rest
+    val s = new String(full, "ISO-8859-1")
+    // start of record 3 = after the 2nd record's trailing \r\n\r\n
+    var p = 0
+    for (_ <- 0 until 2) p = s.indexOf("WARC/1.0", p + 1)
+    val badRec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 12x34\r\n\r\npayload\r\n\r\n"
+    val spliced = (s.substring(0, p) + badRec + s.substring(p))
+      .getBytes("ISO-8859-1")
+    val acc = spark.sparkContext.longAccumulator("warc-cl-acct")
+    val got = parse(Seq((id, spliced)).toDF("media_id", "content"),
+      Some(acc)).toSeq
+    assert(got == whole.take(2),
+      s"records before the malformed one must survive: got ${got.length}")
+    assert(acc.value == 0L, "a file that yielded records is not tallied")
+    // the same malformation on the FIRST record yields nothing — counted
+    val acc2 = spark.sparkContext.longAccumulator("warc-cl-acct-2")
+    val noneGot = parse(Seq((id, (badRec + s).getBytes("ISO-8859-1")))
+      .toDF("media_id", "content"), Some(acc2))
+    assert(noneGot.isEmpty && acc2.value == 1L)
   }
 
   test("member-per-record gzip storage parses to the identical records") {

@@ -75,6 +75,43 @@ class TableSourcesSpec extends AnyFunSuite {
     assert(flacs(0).getLong(3) == ops.synthFlacSampleRate(5L))
   }
 
+  test("writeBinaryDir: temp-name + rename leaves no temp files, " +
+    "overwrites a prior corpus, and stays invisible to the listing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wbd").toString
+    val ids = Seq(1L, 2L, 3L)
+    TableSources.writeBinaryDir(
+      ids.map(i => (i, Array.fill[Byte](8)(i.toByte))).toDF("id", "content"),
+      dir, "id", "content", ".bin")
+    // a re-run with different bytes REPLACES the corpus (rename-over)
+    TableSources.writeBinaryDir(
+      ids.map(i => (i, Array.fill[Byte](16)((i + 1).toByte))).toDF("id", "content"),
+      dir, "id", "content", ".bin")
+    // Hadoop's local ChecksumFileSystem shadows each file with a .crc —
+    // those are not ours; everything else must be the three final names
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(files.toSeq == Seq("clip_1.bin", "clip_2.bin", "clip_3.bin"),
+      s"no temp leftovers expected: ${files.toSeq}")
+    assert(java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "clip_2.bin")) == 16L)
+    // listing sees exactly the final names even if a stale temp lingers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".clip_9.bin.77.tmp"), Array[Byte](1))
+    assert(TableSources.listBinaryDir(spark, dir, "*.bin").count() == 3L)
+  }
+
+  test("scratchDir registers with the shared hook; purgeScratch cleans " +
+    "eagerly") {
+    val d1 = TableSources.scratchDir("graft_scr1_")
+    val d2 = TableSources.scratchDir("graft_scr2_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d1, "x"), Array[Byte](1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d2, "y"), Array[Byte](2))
+    TableSources.purgeScratch()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d1)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d2)))
+  }
+
   test("partitioned write produces one directory per key") {
     val stream = graft.queries.EventStreams
       .bookStream(spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)
