@@ -214,6 +214,66 @@ object MediaSoakMain {
     println(f"  ${warcCounts.getLong(0)}%,d records (${warcCounts.getLong(1)}%,d " +
       f"extractable) = ${nWarc / tWarc}%,.0f files/s")
 
+    // ---- 4d. WARC index + ranged survivor fetch (the CDX analogue) --------
+    // the second-pass story at scale: a .warc.gz corpus on real files,
+    // the per-record byte-range index built ONCE, then a sparse
+    // survivor set (1% of files) fetched by range — bytes moved must be
+    // proportional to SURVIVORS, not corpus. Truth: multiples of 100
+    // sit at cycle position 0 (100 ≡ 0 mod 20), whose 3 responses hold
+    // exactly 2 status-200 texts.
+    val nWIdx = nDecode
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-warc-soak")
+    val (_, tWWrite) = time(f"write $nWIdx%,d .warc.gz files") {
+      graft.sources.TableSources.writeBinaryDir(
+        graft.pipeline.WarcOps.encodeSyntheticWarcGz(
+          spark.range(nWIdx).select(col("id")), "id"),
+        warcDir.toString, "media_id", "content", ".warc.gz")
+    }
+    val storedW = graft.sources.TableSources
+      .readBinaryDir(spark, warcDir.toString, "*.warc.gz")
+      .withColumn("media_id", regexp_extract(col("media_path"),
+        "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
+    val idxPath = warcDir.resolve("_index").toString
+    val expIdxRows = (0L until 20L).map(c =>
+      (4L + c % 4) * ((nWIdx - c + 19) / 20)).sum
+    val (gotIdxRows, tWIdx) = time(
+      f"build + persist the record index over $nWIdx%,d files") {
+      graft.pipeline.WarcOps.warcMemberIndex(storedW, "content", "media_id")
+        .write.mode("overwrite").parquet(idxPath)
+      spark.read.parquet(idxPath).count()
+    }
+    require(gotIdxRows == expIdxRows,
+      s"warc index rows: got $gotIdxRows, closed form $expIdxRows")
+    val index = spark.read.parquet(idxPath)
+    val survivors = index.filter(col("media_id") % 100 === 0 &&
+      col("warc_type") === "response" && col("http_status") === 200)
+    val filesW = graft.sources.TableSources
+      .listBinaryDir(spark, warcDir.toString, "*.warc.gz")
+      .withColumn("media_id", regexp_extract(col("media_path"),
+        "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
+    val expFetch = 2L * ((nWIdx + 99) / 100)
+    val (fetchAgg, tWFetch) = time(
+      f"ranged fetch of $expFetch%,d surviving records (1%% of files)") {
+      graft.pipeline.WarcOps.warcFetchRanged(
+          filesW, "media_path", "media_id", survivors)
+        .agg(count(lit(1)), sum(length(col("body")))).collect()(0)
+    }
+    require(fetchAgg.getLong(0) == expFetch,
+      s"fetched records: got ${fetchAgg.getLong(0)}, closed form $expFetch")
+    require(fetchAgg.getLong(1) > 0L, "fetched bodies must be non-empty")
+    val survivorBytes = survivors.agg(sum(col("member_length")))
+      .collect()(0).getLong(0)
+    val corpusBytes = filesW.agg(sum(col("media_len"))).collect()(0).getLong(0)
+    require(survivorBytes * 20 < corpusBytes,
+      s"survivor ranges $survivorBytes should be a small fraction of " +
+        s"the $corpusBytes-byte corpus")
+    println(f"  index ${nWIdx / tWIdx}%,.0f files/s; fetch " +
+      f"${expFetch / tWFetch}%,.0f records/s moving $survivorBytes%,d of " +
+      f"$corpusBytes%,d corpus bytes (${corpusBytes / survivorBytes}%,d× " +
+      "less I/O than a re-walk)")
+    java.nio.file.Files.walk(warcDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+
     // ---- 5. ranged reads beyond the binaryFile ceiling --------------------
     // one 5 GB clip (sparse on disk; co64 offsets past 2^32, mdat via
     // largesize): whole-file ingestion hard-fails at the source's

@@ -970,9 +970,11 @@ object SimilarityOps {
     * `expectedDegenerate` mutes ONLY the pigeonhole warning, never the
     * cap itself: it exists for recall/eval harnesses that pin the
     * over-cap regime ON PURPOSE to measure the cap's price (the
-    * q_*_recall_compare queries), where the warning is repeated noise
-    * that trains operators to ignore the real one. User-facing paths
-    * must leave it false — the warning is load-bearing there, and
+    * q_*_recall_compare queries, and q_mine_triplets, whose registry
+    * cap is pinned below the sf occupancy so the capped path is what
+    * the oracle checks), where the warning is repeated noise that
+    * trains operators to ignore the real one. User-facing paths must
+    * leave it false — the warning is load-bearing there, and
     * CapWarnMuteSpec pins both sides. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 6,
@@ -1191,12 +1193,13 @@ object SimilarityOps {
                    centroids: DataFrame, posThreshold: Double,
                    negThreshold: Double, planes: Int = 6,
                    maxNegPool: Int = 128,
-                   maxBucketFreq: Int = DefaultMaxBucketFreq): DataFrame = {
+                   maxBucketFreq: Int = DefaultMaxBucketFreq,
+                   expectedDegenerate: Boolean = false): DataFrame = {
     require(negThreshold <= posThreshold,
       s"negThreshold ($negThreshold) must be <= posThreshold ($posThreshold)")
     mineTripletsFromPairs(df, idCol, vecCol, centroids,
       cosineNearDupPairs(df, idCol, vecCol, posThreshold, planes,
-        maxBucketFreq),
+        maxBucketFreq, expectedDegenerate),
       negThreshold, maxNegPool)
   }
 

@@ -168,6 +168,230 @@ object WarcOps {
     }(Encoders.row(outSchema))
   }
 
+  /** End of the gzip member HEADER starting at `p` (= start of the
+    * deflate data), or −1 if the bytes at `p` are not a well-formed
+    * gzip header. Handles the optional FEXTRA/FNAME/FCOMMENT/FHCRC
+    * fields real crawls carry (Common Crawl members ship FNAME). */
+  private def gzipHeaderEnd(b: Array[Byte], p: Int): Int = {
+    if (p + 10 > b.length) return -1
+    if ((b(p) & 0xFF) != 0x1F || (b(p + 1) & 0xFF) != 0x8B ||
+        (b(p + 2) & 0xFF) != 8) return -1 // magic + deflate CM only
+    val flg = b(p + 3) & 0xFF
+    var q = p + 10
+    if ((flg & 0x04) != 0) { // FEXTRA: LE u16 length + bytes
+      if (q + 2 > b.length) return -1
+      q += 2 + ((b(q) & 0xFF) | ((b(q + 1) & 0xFF) << 8))
+    }
+    if ((flg & 0x08) != 0) { // FNAME: NUL-terminated
+      while (q < b.length && b(q) != 0) q += 1
+      q += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: NUL-terminated
+      while (q < b.length && b(q) != 0) q += 1
+      q += 1
+    }
+    if ((flg & 0x02) != 0) q += 2 // FHCRC
+    if (q > b.length) -1 else q
+  }
+
+  /** The members of a CONCATENATED gzip, each with its exact byte
+    * extent: (member_offset, member_length, plain_bytes) — the
+    * boundary knowledge `GZIPInputStream` hides (it walks members
+    * transparently) and the whole point of the .warc.gz layout: a
+    * member's (offset, length) makes its record independently
+    * fetchable later. Boundaries come from the Inflater's own
+    * bytes-consumed accounting plus the fixed 8-byte CRC/ISIZE
+    * trailer. Honest truncation: a malformed, cut-short, or
+    * over-`maxPlainBytes` (bomb) member ends the walk keeping every
+    * complete member before it. */
+  private[pipeline] def gzipMembers(b: Array[Byte], maxPlainBytes: Long)
+      : Seq[(Long, Long, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Array[Byte])]
+    var p = 0
+    while (p < b.length) {
+      val ds = gzipHeaderEnd(b, p)
+      if (ds < 0) return out.toSeq
+      val inf = new java.util.zip.Inflater(true) // raw deflate
+      try {
+        inf.setInput(b, ds, b.length - ds)
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 << 10)
+        while (!inf.finished()) {
+          val n = try inf.inflate(buf) catch {
+            case _: java.util.zip.DataFormatException => return out.toSeq
+          }
+          if (n > 0) {
+            if (acc.size() + n > maxPlainBytes) return out.toSeq // bomb: cut
+            acc.write(buf, 0, n)
+          } else if (!inf.finished()) return out.toSeq // truncated deflate
+        }
+        val end = ds + ((b.length - ds) - inf.getRemaining) + 8 // +CRC32+ISIZE
+        if (end > b.length) return out.toSeq // trailer cut short
+        out += ((p.toLong, (end - p).toLong, acc.toByteArray))
+        p = end
+      } finally inf.end()
+    }
+    out.toSeq
+  }
+
+  /** The persisted-index row shape — the CDX analogue: everything a
+    * second pass needs to fetch one record without touching the rest
+    * of the corpus. */
+  private[pipeline] val WarcIndexSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("record_idx", LongType, nullable = false),
+    StructField("member_offset", LongType, nullable = false),
+    StructField("member_length", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", LongType, nullable = true)))
+
+  /** Per-record byte-range INDEX over a .warc.gz corpus — the CDX
+    * analogue, built during the first (and only) full pass: one row per
+    * record carrying its gzip member's exact (offset, length) in the
+    * stored file plus the filterable header fields (type, uri,
+    * content-length, status). Persist this narrow relation as the
+    * index artifact; every later pass filters IT and fetches only the
+    * surviving records' ranges ([[warcFetchRanged]]) instead of
+    * re-decompressing the corpus.
+    *
+    * Subset stated plainly: one record per member, the layout
+    * .warc.gz exists to provide (and Common Crawl ships) — a member
+    * holding zero or several records is not independently fetchable
+    * and ends the walk keeping the members before it (prefix
+    * discipline, like every container walk). Unresolvable files ride
+    * the shared tally. */
+  def warcMemberIndex(df: DataFrame, contentCol: String, idCol: String,
+                      unresolvedCounter: Option[
+                        org.apache.spark.util.LongAccumulator] = None,
+                      maxPlainBytes: Long = 1L << 30): DataFrame = {
+    val outSchema = WarcIndexSchema
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "warcMemberIndex")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        tally.walked(try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val members = gzipMembers(bytes, maxPlainBytes)
+          var idx = 0L
+          var ok = true
+          members.foreach { case (off, len, plain) =>
+            if (ok) {
+              val recs = parseOne(id, plain, WarcRecordSchema)
+              if (recs.size != 1) ok = false // not 1:1 — out of the subset
+              else {
+                val rec = recs.head
+                out += new GenericRowWithSchema(Array[Any](
+                  id, idx, off, len, rec.get(2), rec.get(3), rec.get(4),
+                  rec.get(5)), outSchema)
+                idx += 1
+              }
+            }
+          }
+          out.toSeq
+        } catch {
+          case _: IndexOutOfBoundsException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
+  /** Fetch ONLY the surviving records of an indexed .warc.gz corpus by
+    * byte range — the second-pass primitive: `index` is (a filtered
+    * view of) [[warcMemberIndex]]'s output, `files` maps media_id to
+    * the stored file's path, and each surviving record costs exactly
+    * ONE positioned read of `member_length` bytes (a ranged GET on
+    * S3A/HDFS) + one member's decompression — bytes moved are
+    * proportional to SURVIVORS, not corpus.
+    *
+    * Scale shape: the narrow index joins to paths and repartitions BY
+    * FILE, ranges sorted within each partition, so one input stream
+    * serves a file's fetches in offset order (sequential-friendly on
+    * object stores). Output rows are full [[warcRecords]] rows with
+    * the INDEX's record_idx. Error discipline is per-RECORD here
+    * (fetches are independent — there is no prefix): a missing file,
+    * short read, or malformed member counts that record in the tally
+    * and skips it; walker bugs still fail the query. */
+  def warcFetchRanged(files: DataFrame, pathCol: String, idCol: String,
+                      index: DataFrame,
+                      unresolvedCounter: Option[
+                        org.apache.spark.util.LongAccumulator] = None,
+                      maxPlainBytes: Long = 1L << 30): DataFrame = {
+    val outSchema = WarcRecordSchema
+    val spark = files.sparkSession
+    val bconf = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val idx = index.select(col("media_id").cast("long").as("media_id"),
+      col("record_idx").cast("long").as("record_idx"),
+      col("member_offset").cast("long").as("member_offset"),
+      col("member_length").cast("long").as("member_length"))
+    val work = files.select(col(idCol).cast("long").as("media_id"),
+        col(pathCol).cast("string").as("p"))
+      .join(idx, "media_id")
+      .repartition(col("p"))
+      .sortWithinPartitions(col("p"), col("member_offset"))
+    work.mapPartitions { it =>
+      val conf = bconf.value.value
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "warcFetchRanged")
+      var curPath: String = null
+      var curStream: org.apache.hadoop.fs.FSDataInputStream = null
+      def closeCur(): Unit = {
+        if (curStream != null)
+          (try curStream.close()
+          catch { case _: java.io.IOException => () })
+        curStream = null; curPath = null
+      }
+      // close the reused stream however the task ends (exhaustion,
+      // failure, or cancellation)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeCur()))
+      def streamFor(p: String): org.apache.hadoop.fs.FSDataInputStream = {
+        if (p != curPath) {
+          closeCur()
+          curPath = p
+          val hp = new org.apache.hadoop.fs.Path(p)
+          curStream = hp.getFileSystem(conf).open(hp)
+        }
+        curStream
+      }
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val path = r.getString(1)
+        val recordIdx = r.getLong(2)
+        val off = r.getLong(3)
+        val len = r.getLong(4)
+        tally.walked(try {
+          if (len < 0 || len > Int.MaxValue - 16)
+            throw new java.io.IOException(s"member length out of range: $len")
+          val member = new Array[Byte](len.toInt)
+          streamFor(path).readFully(off, member, 0, member.length)
+          gzipMembers(member, maxPlainBytes) match {
+            case Seq((0L, l, plain)) if l == len =>
+              parseOne(id, plain, outSchema) match {
+                case Seq(rec) => // re-stamp the corpus-level record_idx
+                  val vals = Array.tabulate[Any](outSchema.size)(rec.get)
+                  vals(1) = recordIdx
+                  Seq(new GenericRowWithSchema(vals, outSchema): Row)
+                case _ => Nil // ≠ 1 record in the member: data, counted
+              }
+            case _ => Nil // member didn't decompress to its exact extent
+          }
+        } catch {
+          case _: java.io.IOException => Nil // missing file / short read
+          case _: IndexOutOfBoundsException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
   private val WarcRecordSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("record_idx", LongType, nullable = false),

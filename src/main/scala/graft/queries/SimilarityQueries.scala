@@ -1199,7 +1199,12 @@ object SimilarityQueries {
     * negative candidates drawn from the bounded per-cell pool
     * (SimilarityOps.mineTriplets; MT_NEG_POOL is deliberately smaller
     * than the sf cells so the CAP itself is oracle-checked, not just
-    * the uncapped plan). */
+    * the uncapped plan). `expectedDegenerate`: like the recall-compare
+    * rows, this registry query PINS the over-cap regime on purpose
+    * (ND_BUCKET_CAP sits below the sf bucket occupancy so the capped
+    * path is what the oracle checks — see the cap CTE in the SQL), so
+    * the pigeonhole warning is muted here; the library default still
+    * warns, pinned by CapWarnMuteSpec. */
   def mineTripletsQ(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val train = e.filter(col("vec_id") % KM_TRAIN_STRIDE === 0)
@@ -1207,7 +1212,7 @@ object SimilarityQueries {
       KM_K, KM_ITERS)
     SimilarityOps.mineTriplets(e, "vec_id", "embedding", cents,
       MT_POS, MT_NEG, PLANES, maxNegPool = MT_NEG_POOL,
-      maxBucketFreq = ND_BUCKET_CAP)
+      maxBucketFreq = ND_BUCKET_CAP, expectedDegenerate = true)
   }
 
   /** The oracle assembles the SAME three verified pieces: the bucketed

@@ -135,6 +135,19 @@ object TextQueries {
     // form — the oracle derives the canonical string directly from the
     // formulas, never running the canonicalizer
     GraftQuery("q_url_dedup", urlDedup, Some(urlDedupSql)),
+    // the CDX analogue, half 1: per-record byte-range index over the
+    // stored .warc.gz corpus (gzip member boundaries recovered from the
+    // Inflater's own accounting); the oracle checks every filterable
+    // field — the offsets themselves are validated by the fetch row
+    // below, which can only reproduce the records if they are exact
+    GraftQuery("q_warc_index", warcIndexQ, Some(warcIndexSql)),
+    // the CDX analogue, half 2: filter the INDEX (status-200 responses
+    // = the survivors), then fetch ONLY those records' byte ranges from
+    // the on-disk corpus — one positioned read + one member's
+    // decompression per survivor; output ≡ the full walk restricted to
+    // survivors, so the oracle is q_warc_records' oracle filtered
+    GraftQuery("q_warc_fetch_ranged", warcFetchRangedQ,
+      Some(warcFetchRangedSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -233,6 +246,71 @@ object TextQueries {
        |    AS canonical,
        |  CAST(4 AS BIGINT) AS n_variants
        |FROM documents""".stripMargin
+
+  /** The .warc.gz corpus on real files + the per-record byte-range
+    * INDEX built from it — the first-pass half of the CDX-analogue
+    * lifecycle. Projects the oracle-checkable header fields; the
+    * offsets are exercised end-to-end by [[warcFetchRangedQ]]. */
+  def warcIndexQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = docs(spark, sfDir)
+      .select((col("doc_id") % 40).as("warc_key")).distinct()
+    val dir = graft.sources.TableSources.scratchDir("graft-warc-idx")
+    graft.sources.TableSources.writeBinaryDir(
+      graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
+      dir, "media_id", "content", ".warc.gz")
+    val stored = graft.sources.TableSources
+      .readBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
+          .cast("long"))
+    graft.pipeline.WarcOps.warcMemberIndex(stored, "content", "media_id")
+      .select("media_id", "record_idx", "warc_type", "target_uri",
+        "content_length", "http_status")
+  }
+
+  def warcIndexSql: String =
+    s"""SELECT media_id, record_idx, warc_type, target_uri,
+       |  content_length, http_status
+       |FROM (${warcRecordsSql})""".stripMargin
+
+  /** The second-pass half of the CDX-analogue lifecycle: corpus stored
+    * as .warc.gz files, index built once and PERSISTED as the parquet
+    * artifact, survivors selected on the index alone (status-200
+    * responses), and only the survivors' byte ranges fetched — the
+    * `mp4SampleTableRanged` pattern applied to the crawl container.
+    * Output rows must equal the full walk restricted to the same
+    * survivors. */
+  def warcFetchRangedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = docs(spark, sfDir)
+      .select((col("doc_id") % 40).as("warc_key")).distinct()
+    val dir = graft.sources.TableSources.scratchDir("graft-warc-fetch")
+    graft.sources.TableSources.writeBinaryDir(
+      graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
+      dir, "media_id", "content", ".warc.gz")
+    val stored = graft.sources.TableSources
+      .readBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
+          .cast("long"))
+    // the index is a PERSISTED artifact: written once, read by every
+    // later pass (the narrow relation IS the second pass's scan)
+    val idxDir = s"$dir/_index"
+    graft.pipeline.WarcOps.warcMemberIndex(stored, "content", "media_id")
+      .write.mode("overwrite").parquet(idxDir)
+    val survivors = spark.read.parquet(idxDir)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+    val files = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
+          .cast("long"))
+    graft.pipeline.WarcOps.warcFetchRanged(
+      files, "media_path", "media_id", survivors)
+  }
+
+  def warcFetchRangedSql: String =
+    s"""SELECT * FROM (${warcRecordsSql})
+       |WHERE warc_type = 'response' AND http_status = 200""".stripMargin
 
   /** [[warcRecords]] to TRAINING TEXT: 200-status response bodies
     * through the columnar HTML extractor, with token counts. */

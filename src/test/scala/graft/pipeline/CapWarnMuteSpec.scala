@@ -78,4 +78,13 @@ class CapWarnMuteSpec extends AnyFunSuite {
     }
     assert(!err.contains("pigeonhole"))
   }
+
+  test("q_mine_triplets (a pinned-degenerate harness row) runs " +
+    "pigeonhole-WARN-free, so the bench tail carries no expected noise") {
+    val (_, err) = capturingErr {
+      graft.queries.SimilarityQueries
+        .mineTripletsQ(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert(!err.contains("pigeonhole"))
+  }
 }
