@@ -37,7 +37,7 @@ object OrderBookStream {
     * last-seen-event-time + idleTimeout (late data within the watermark
     * delay cannot resurrect an evicted book: eviction already waited
     * for it). */
-  private def timeoutConf(idleTimeout: Option[String],
+  private[streaming] def timeoutConf(idleTimeout: Option[String],
                           eventTimeCol: Option[String]) =
     if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout()
     else if (eventTimeCol.isDefined) GroupStateTimeout.EventTimeTimeout()
@@ -52,7 +52,7 @@ object OrderBookStream {
     * floored at the current watermark (Spark refuses a timeout at or
     * below the watermark, and a group whose events run behind the
     * global max event time would otherwise throw mid-query). */
-  private def armIdleTimeout(state: GroupState[_], idleTimeout: Option[String],
+  private[streaming] def armIdleTimeout(state: GroupState[_], idleTimeout: Option[String],
                              eventMode: Boolean, maxSeenEvMs: Long): Unit =
     idleTimeout.foreach { d =>
       if (eventMode)
@@ -100,7 +100,7 @@ object OrderBookStream {
     * requires the watermark METADATA to survive into the grouping
     * input, and any cast or function over the column strips it — the
     * alias alone propagates it. */
-  private def etimeExpr(eventTimeCol: Option[String]) =
+  private[streaming] def etimeExpr(eventTimeCol: Option[String]) =
     eventTimeCol match {
       case Some(c) => col(c).as("et")
       case None => lit(null).cast(TimestampType).as("et")
@@ -108,7 +108,7 @@ object OrderBookStream {
 
   /** Max event time of a batch in epoch millis (Long.MinValue when no
     * event times ride the batch). */
-  private def maxEventMs(ets: Iterator[java.sql.Timestamp]): Long = {
+  private[streaming] def maxEventMs(ets: Iterator[java.sql.Timestamp]): Long = {
     var m = Long.MinValue
     ets.foreach(t => if (t != null && t.getTime > m) m = t.getTime)
     m

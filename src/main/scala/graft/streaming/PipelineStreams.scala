@@ -288,37 +288,66 @@ object PipelineStreams {
     * are admitted while the budget is open; negative counts fail the
     * query loudly (batch parity). */
   def tokenBudgetStream(df: DataFrame, groupCol: String, idCol: String,
-                        tokenCol: String, budget: Long): DataFrame = {
+                        tokenCol: String, budget: Long,
+                        idleTimeout: Option[String] = None,
+                        eventTimeCol: Option[String] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.OutputMode
     // id and group are encoded as Options: a bare Long/String encoder
     // would die on a null with an opaque encoder NPE instead of the
     // loud IllegalArgumentException the invalid-row contract promises
-    // (batch parity with the negative-token path)
+    // (batch parity with the negative-token path).
+    //
+    // `idleTimeout` (+ optional `eventTimeCol`, the same two-mode
+    // discipline as the book streams — see
+    // [[OrderBookStream.topNLevelsFromPriceUpdates]]): a group with no
+    // arrivals for the timeout DROPS its running total, bounding state
+    // when the group universe is unbounded (per-crawl sources, dead
+    // tenants). THE TRADE, stated plainly: budgets become
+    // per-INCARNATION — a group re-appearing after eviction starts a
+    // fresh budget, so totals are "since this group's state began",
+    // not forever-caps; size the timeout above any legitimate quiet
+    // period. Event-time mode requires `withWatermark` on the input
+    // and evicts where the DATA's timeline says (state carries the
+    // all-time max event time, so a late in-watermark arrival can
+    // never pull an armed timeout earlier). State gained a field for
+    // this: restarting across the change needs a fresh checkpoint
+    // directory (Spark's state-schema check rejects the old one
+    // loudly).
+    val eventMode = eventTimeCol.isDefined
     df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
-        col(tokenCol).cast("long"))
-      .as[(Option[String], Option[Long], Option[Long])]
+        col(tokenCol).cast("long"),
+        OrderBookStream.etimeExpr(eventTimeCol))
+      .as[(Option[String], Option[Long], Option[Long], Option[java.sql.Timestamp])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (String, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Append(),
+        OrderBookStream.timeoutConf(idleTimeout, eventTimeCol)) {
         (groupOpt, rows, state) =>
-          val group = groupOpt.getOrElse(throw new IllegalArgumentException(
-            s"tokenBudgetStream: null $groupCol group key"))
-          var used = state.getOption.getOrElse(0L)
-          val out = rows.flatMap { case (_, idOpt, tokOpt) =>
-            val id = idOpt.getOrElse(throw new IllegalArgumentException(
-              s"tokenBudgetStream: null $idCol in group $group"))
-            val tok = tokOpt.getOrElse(0L)
-            if (tok < 0)
-              throw new IllegalArgumentException(
-                s"tokenBudgetStream: negative $tokenCol for $idCol=$id")
-            if (used < budget) { used += tok; Some((group, id, tok)) }
-            else None
-          }.toList // force before the state update below
-          state.update(used)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val group = groupOpt.getOrElse(throw new IllegalArgumentException(
+              s"tokenBudgetStream: null $groupCol group key"))
+            var (used, maxEv) = state.getOption.getOrElse((0L, Long.MinValue))
+            val out = rows.flatMap { case (_, idOpt, tokOpt, etOpt) =>
+              etOpt.foreach(t => if (t.getTime > maxEv) maxEv = t.getTime)
+              val id = idOpt.getOrElse(throw new IllegalArgumentException(
+                s"tokenBudgetStream: null $idCol in group $group"))
+              val tok = tokOpt.getOrElse(0L)
+              if (tok < 0)
+                throw new IllegalArgumentException(
+                  s"tokenBudgetStream: negative $tokenCol for $idCol=$id")
+              if (used < budget) { used += tok; Some((group, id, tok)) }
+              else None
+            }.toList // force before the state update below
+            state.update((used, maxEv))
+            OrderBookStream.armIdleTimeout(state, idleTimeout, eventMode, maxEv)
+            out.iterator
+          }
       }
       .toDF(groupCol, idCol, tokenCol)
   }
@@ -339,34 +368,74 @@ object PipelineStreams {
     * that [[graft.pipeline.SnapshotOps.applyDelta]] rolls forward in
     * batch. */
   def upsertViewStream(df: DataFrame, idCol: String, verCol: String,
-                       deletedCol: String, digestCol: String): DataFrame = {
+                       deletedCol: String, digestCol: String,
+                       idleTimeout: Option[String] = None,
+                       eventTimeCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.OutputMode
+    // `idleTimeout` (+ optional `eventTimeCol` — the book streams' two
+    // eviction modes, see [[OrderBookStream.topNLevelsFromPriceUpdates]]):
+    // an id with no deltas for the timeout drops its (version, deleted,
+    // digest) scalars, bounding state when the id universe is unbounded
+    // (a crawl's url space). THE TRADE, stated plainly: after eviction,
+    // idempotent replay and out-of-order convergence hold only WITHIN a
+    // state incarnation — a replayed OLD delta arriving after eviction
+    // re-emits as current (there is no version to compare against). The
+    // batch snapshot roll-forward ([[graft.pipeline.SnapshotOps
+    // .applyDelta]]) owns exactness across gaps; size the timeout
+    // above any legitimate quiet period (a doc's recrawl cadence).
+    // Event-time mode evicts on the data's timeline via the
+    // state-carried all-time max event time; the state tuple gained a
+    // field for this — restarting across the change needs a fresh
+    // checkpoint directory (Spark's state-schema check rejects loudly).
+    val eventMode = eventTimeCol.isDefined
     df.select(col(idCol).cast("long"), col(verCol).cast("long"),
-        col(deletedCol).cast("boolean"), col(digestCol).cast("long"))
-      .as[(Option[Long], Option[Long], Option[Boolean], Option[Long])]
+        col(deletedCol).cast("boolean"), col(digestCol).cast("long"),
+        OrderBookStream.etimeExpr(eventTimeCol))
+      .as[(Option[Long], Option[Long], Option[Boolean], Option[Long],
+        Option[java.sql.Timestamp])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Boolean, Long), (Long, Long, Boolean, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[(Long, Boolean, Long, Long),
+        (Long, Long, Boolean, Long)](
+        OutputMode.Append(),
+        OrderBookStream.timeoutConf(idleTimeout, eventTimeCol)) {
         (idOpt, rows, state) =>
-          val id = idOpt.getOrElse(throw new IllegalArgumentException(
-            s"upsertViewStream: null $idCol"))
-          var cur = state.getOption
-          var changed = false
-          rows.foreach { case (_, verOpt, delOpt, digOpt) =>
-            val ver = verOpt.getOrElse(throw new IllegalArgumentException(
-              s"upsertViewStream: null $verCol for $idCol=$id"))
-            if (cur.forall(_._1 < ver)) {
-              cur = Some((ver, delOpt.getOrElse(false), digOpt.getOrElse(0L)))
-              changed = true
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val id = idOpt.getOrElse(throw new IllegalArgumentException(
+              s"upsertViewStream: null $idCol"))
+            var cur = state.getOption.map(s => (s._1, s._2, s._3))
+            var maxEv = state.getOption.map(_._4).getOrElse(Long.MinValue)
+            var changed = false
+            rows.foreach { case (_, verOpt, delOpt, digOpt, etOpt) =>
+              etOpt.foreach(t => if (t.getTime > maxEv) maxEv = t.getTime)
+              val ver = verOpt.getOrElse(throw new IllegalArgumentException(
+                s"upsertViewStream: null $verCol for $idCol=$id"))
+              if (cur.forall(_._1 < ver)) {
+                cur = Some((ver, delOpt.getOrElse(false), digOpt.getOrElse(0L)))
+                changed = true
+              }
             }
+            val out = if (changed) {
+              val (ver, del, dig) = cur.get
+              state.update((ver, del, dig, maxEv))
+              Iterator((id, ver, del, dig))
+            } else {
+              // no version advance, but the state (if any) must still
+              // carry the new max event time and re-arm its timeout
+              cur.foreach { case (ver, del, dig) =>
+                state.update((ver, del, dig, maxEv))
+              }
+              Iterator.empty
+            }
+            if (state.exists)
+              OrderBookStream.armIdleTimeout(state, idleTimeout, eventMode,
+                maxEv)
+            out
           }
-          if (changed) {
-            val (ver, del, dig) = cur.get
-            state.update((ver, del, dig))
-            Iterator((id, ver, del, dig))
-          } else Iterator.empty
       }
       .toDF(idCol, verCol, deletedCol, digestCol)
   }
