@@ -222,7 +222,8 @@ object MediaSoakMain {
     // sit at cycle position 0 (100 ≡ 0 mod 20), whose 3 responses hold
     // exactly 2 status-200 texts.
     val nWIdx = nDecode
-    val warcDir = java.nio.file.Files.createTempDirectory("graft-warc-soak")
+    val warcDir = java.nio.file.Paths.get(
+      graft.sources.TableSources.scratchDir("graft-warc-soak"))
     val (_, tWWrite) = time(f"write $nWIdx%,d .warc.gz files") {
       graft.sources.TableSources.writeBinaryDir(
         graft.pipeline.WarcOps.encodeSyntheticWarcGz(
@@ -271,8 +272,6 @@ object MediaSoakMain {
       f"${expFetch / tWFetch}%,.0f records/s moving $survivorBytes%,d of " +
       f"$corpusBytes%,d corpus bytes (${corpusBytes / survivorBytes}%,d× " +
       "less I/O than a re-walk)")
-    java.nio.file.Files.walk(warcDir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
 
     // ---- 5. ranged reads beyond the binaryFile ceiling --------------------
     // one 5 GB clip (sparse on disk; co64 offsets past 2^32, mdat via
@@ -281,7 +280,8 @@ object MediaSoakMain {
     // and decode the sampled frames from a few KB of positioned reads
     import graft.pipeline.MultimodalOps.{synthDims, synthFrameImageId, synthRgb}
     import graft.sources.TableSources
-    val giantDir = java.nio.file.Files.createTempDirectory("graft-giant-mp4")
+    val giantDir = java.nio.file.Paths.get(
+      graft.sources.TableSources.scratchDir("graft-giant-mp4"))
     val giantId = 4L
     val kG = 9
     val frames = (0 until kG).map { j =>
@@ -370,8 +370,10 @@ object MediaSoakMain {
     println(f"  $kG sample rows + ${frameSums.length} real decodes from " +
       f"~$fetched%,d fetched bytes of a $giantLen%,d-byte file " +
       f"(${giantLen / math.max(fetched, 1L)}%,d× less I/O than whole-file)")
-    java.nio.file.Files.walk(giantDir).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    // both soak corpora are scratch-registered: purge eagerly now that
+    // every require above has passed (a failed require leaves them to
+    // the JVM-exit hook)
+    graft.sources.TableSources.purgeScratch()
 
     println(f"SOAK OK  mp4 meta ${nMeta / tMeta}%,.0f clips/s | decode " +
       f"${gotFrames / tDec}%,.0f frames/s | flac ${nFlac / tFlac}%,.0f clips/s" +

@@ -455,9 +455,13 @@ object MkvOps {
             val bhEnd = endOf(bh)
             if (bhEnd < 0 || bhEnd > hEnd) return out.toSeq
             bh._1 match {
-              case 0xE7L => // cluster Timestamp: an EBML uint, 1..8 bytes
-                // (zero-length is malformed — the in-memory ebmlUint
-                // rejects it too; parity, not leniency)
+              case 0xE7L if clusterTs < 0 => // cluster Timestamp: an EBML
+                // uint, 1..8 bytes (zero-length is malformed — the
+                // in-memory ebmlUint rejects it too). FIRST Timestamp
+                // wins: the in-memory walk reads only the first 0xE7
+                // child, so a non-canonical second Timestamp is IGNORED
+                // here too (parity, not leniency — re-basing on it would
+                // shift every later block's ts_ms vs the in-memory rows)
                 val n = (bhEnd - bh._2).toInt
                 if (n < 1 || n > 8) return out.toSeq
                 s.readFully(bh._2, hdr, 0, n)

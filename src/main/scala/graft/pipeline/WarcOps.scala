@@ -356,9 +356,14 @@ object WarcOps {
       def streamFor(p: String): org.apache.hadoop.fs.FSDataInputStream = {
         if (p != curPath) {
           closeCur()
-          curPath = p
           val hp = new org.apache.hadoop.fs.Path(p)
+          // cache the path only AFTER open() succeeds: caching first
+          // would hand the file's NEXT record a null stream (an NPE
+          // the per-record IOException discipline can't catch) — each
+          // record of an unopenable file must retry, throw, and be
+          // COUNTED individually
           curStream = hp.getFileSystem(conf).open(hp)
+          curPath = p
         }
         curStream
       }

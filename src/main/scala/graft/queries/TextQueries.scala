@@ -124,12 +124,13 @@ object TextQueries {
     // last, whitespace collapse) — the oracle constructs the expected
     // TEXT directly from the formulas, proving parser + extractor
     // jointly
-    GraftQuery("q_warc_text", warcText, Some(warcTextSql)),
+    GraftQuery("q_warc_text", warcText, Some(warcTextSql), bench = true),
     // the same logical crawl stored as Common Crawl actually ships it:
     // one gzip member per record, members concatenated — decompressed
     // in the walk slot, so output ≡ the plain form and the oracle is
     // shared verbatim
-    GraftQuery("q_warc_records_gz", warcRecordsGz, Some(warcRecordsSql)),
+    GraftQuery("q_warc_records_gz", warcRecordsGz, Some(warcRecordsSql),
+      bench = true),
     // URL-keyed crawl dedup: four messy spellings of every logical URL
     // (case, default port, fragment) must collapse to ONE canonical
     // form — the oracle derives the canonical string directly from the
@@ -147,7 +148,7 @@ object TextQueries {
     // decompression per survivor; output ≡ the full walk restricted to
     // survivors, so the oracle is q_warc_records' oracle filtered
     GraftQuery("q_warc_fetch_ranged", warcFetchRangedQ,
-      Some(warcFetchRangedSql)),
+      Some(warcFetchRangedSql), bench = true),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -247,22 +248,39 @@ object TextQueries {
        |  CAST(4 AS BIGINT) AS n_variants
        |FROM documents""".stripMargin
 
+  /** The staged .warc.gz corpus for the CDX-analogue rows, memoized
+    * per sfDir within the JVM (the same staging discipline — and
+    * rationale — as MultimodalQueries.stagedFiles: the corpus is the
+    * INPUT; deterministic encoders make a re-stage byte-identical, so
+    * bench medians should measure the index/fetch, not the encoder).
+    * One staging site serves both halves of the lifecycle, so the key
+    * formula, file naming, and glob can never drift apart between the
+    * index and fetch rows. Returns the corpus dir. */
+  private val stagedWarcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedWarcGzDir(spark: SparkSession, sfDir: String): String =
+    stagedWarcDirs.getOrElseUpdate(sfDir, {
+      val keys = docs(spark, sfDir)
+        .select((col("doc_id") % 40).as("warc_key")).distinct()
+      val d = graft.sources.TableSources.scratchDir("graft-warc-gz")
+      graft.sources.TableSources.writeBinaryDir(
+        graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
+        d, "media_id", "content", ".warc.gz")
+      d
+    })
+  private def warcGzMediaId =
+    regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
+      .cast("long")
+
   /** The .warc.gz corpus on real files + the per-record byte-range
     * INDEX built from it — the first-pass half of the CDX-analogue
     * lifecycle. Projects the oracle-checkable header fields; the
     * offsets are exercised end-to-end by [[warcFetchRangedQ]]. */
   def warcIndexQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val keys = docs(spark, sfDir)
-      .select((col("doc_id") % 40).as("warc_key")).distinct()
-    val dir = graft.sources.TableSources.scratchDir("graft-warc-idx")
-    graft.sources.TableSources.writeBinaryDir(
-      graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
-      dir, "media_id", "content", ".warc.gz")
+    val dir = stagedWarcGzDir(spark, sfDir)
     val stored = graft.sources.TableSources
       .readBinaryDir(spark, dir, "*.warc.gz")
-      .withColumn("media_id",
-        regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
-          .cast("long"))
+      .withColumn("media_id", warcGzMediaId)
     graft.pipeline.WarcOps.warcMemberIndex(stored, "content", "media_id")
       .select("media_id", "record_idx", "warc_type", "target_uri",
         "content_length", "http_status")
@@ -281,19 +299,14 @@ object TextQueries {
     * Output rows must equal the full walk restricted to the same
     * survivors. */
   def warcFetchRangedQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val keys = docs(spark, sfDir)
-      .select((col("doc_id") % 40).as("warc_key")).distinct()
-    val dir = graft.sources.TableSources.scratchDir("graft-warc-fetch")
-    graft.sources.TableSources.writeBinaryDir(
-      graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
-      dir, "media_id", "content", ".warc.gz")
+    val dir = stagedWarcGzDir(spark, sfDir)
     val stored = graft.sources.TableSources
       .readBinaryDir(spark, dir, "*.warc.gz")
-      .withColumn("media_id",
-        regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
-          .cast("long"))
+      .withColumn("media_id", warcGzMediaId)
     // the index is a PERSISTED artifact: written once, read by every
-    // later pass (the narrow relation IS the second pass's scan)
+    // later pass (the narrow relation IS the second pass's scan; the
+    // underscore-prefixed dir is invisible to the corpus listing —
+    // Spark's file index skips _/. paths)
     val idxDir = s"$dir/_index"
     graft.pipeline.WarcOps.warcMemberIndex(stored, "content", "media_id")
       .write.mode("overwrite").parquet(idxDir)
@@ -301,9 +314,7 @@ object TextQueries {
       .filter(col("warc_type") === "response" && col("http_status") === 200)
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
-      .withColumn("media_id",
-        regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
-          .cast("long"))
+      .withColumn("media_id", warcGzMediaId)
     graft.pipeline.WarcOps.warcFetchRanged(
       files, "media_path", "media_id", survivors)
   }

@@ -424,11 +424,15 @@ object PipelineStreams {
               state.update((ver, del, dig, maxEv))
               Iterator((id, ver, del, dig))
             } else {
-              // no version advance, but the state (if any) must still
-              // carry the new max event time and re-arm its timeout
-              cur.foreach { case (ver, del, dig) =>
-                state.update((ver, del, dig, maxEv))
-              }
+              // no version advance: only a configured timeout needs the
+              // state rewritten (to carry the new max event time before
+              // re-arming) — without one, rewriting an identical tuple
+              // would cost a state-store put per replay-heavy batch for
+              // nothing
+              if (idleTimeout.isDefined)
+                cur.foreach { case (ver, del, dig) =>
+                  state.update((ver, del, dig, maxEv))
+                }
               Iterator.empty
             }
             if (state.exists)

@@ -194,6 +194,45 @@ class MkvContainerSpec extends AnyFunSuite {
       assert(za == zb, s"zero-length timestamp: $za vs $zb")
       assert(za.size == c1Blocks,
         s"prefix must keep exactly cluster 1, got ${za.size}")
+
+      // crafted: a SECOND Timestamp inside cluster 2 (after its first
+      // block) — non-canonical; the FIRST Timestamp must win in BOTH
+      // walks (round-13's ranged walk re-based every later block on it)
+      def withInsertedE7(payload: Array[Byte]): Array[Byte] = {
+        val blockLen = 7 + MkvOps.synthMkvBlockSize(id, c1Blocks)
+        val at = c2Start + 11 + blockLen
+        val out = full.take(at) ++ payload ++ full.drop(at)
+        // cluster 2's 2-byte size (after its 4-byte ID) and the
+        // Segment's (at file offset 22) both grow by the insert
+        def bump(pos: Int): Unit = {
+          val old = ((out(pos) & 0x3F) << 8) | (out(pos + 1) & 0xFF)
+          val v = old + payload.length
+          out(pos) = (0x40 | (v >> 8)).toByte; out(pos + 1) = (v & 0xFF).toByte
+        }
+        bump(c2Start + 4); bump(22)
+        out
+      }
+      // poison base 3000: legitimate bases are c·1000 with ≤ 3 clusters
+      // and rel < 1000, so no real row can reach 3000
+      val twoTs = withInsertedE7(
+        Array(0xE7, 0x40, 0x02, 0x0B, 0xB8).map(_.toByte)) // ts = 3000
+      val (da, db) = bothWalks(id, twoTs)
+      assert(da == db, s"double timestamp: $da vs $db")
+      assert(da.size == expected(id).size, "all blocks must still resolve")
+      // cluster 2's blocks keep the FIRST timestamp's base (1000):
+      // ts_ms column (index 4) of its first block stays 1000
+      assert(da.map(_(4)).contains(1000L),
+        s"first-timestamp base must win: ${da.map(_(4))}")
+      assert(!da.map(_(4)).exists(_.asInstanceOf[Long] >= 3000L),
+        s"the second timestamp must be ignored: ${da.map(_(4))}")
+      // crafted: a second, ZERO-LENGTH Timestamp — ignored in both
+      // walks (it is not the cluster's first; round-13's ranged walk
+      // aborted the whole remainder on it)
+      val (ea, eb) = bothWalks(id,
+        withInsertedE7(Array(0xE7, 0x40, 0x00).map(_.toByte)))
+      assert(ea == eb, s"zero-length second timestamp: $ea vs $eb")
+      assert(ea.size == expected(id).size,
+        "a non-first malformed timestamp must not cut the walk")
     }
 
     // crafted: track number 127 — its minimal varint encoding is 0xFF,
