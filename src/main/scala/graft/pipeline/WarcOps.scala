@@ -302,6 +302,100 @@ object WarcOps {
     }(Encoders.row(outSchema))
   }
 
+  /** [[warcMemberIndex]] over ON-DISK files via bounded WINDOWED reads —
+    * the no-ceiling form of the index build, completing the crawl
+    * container's scale story the way `mp4SampleTableRanged` did for
+    * video: `readBinaryDir` makes one multi-GB ROW per file (and
+    * hard-fails past ~2.1 GB); this walks each file through a sliding
+    * window of `windowBytes`, runs the SAME verified member parser on
+    * the window, indexes every member fully contained in it, and
+    * advances to the last complete member's end — memory is O(window),
+    * never O(file). A member that doesn't fit the window grows it
+    * (doubling, capped at `maxWindowBytes`); a member past the cap —
+    * or garbage — ends the file's walk keeping the indexed prefix
+    * (gzipMembers cannot distinguish a cut member from garbage inside
+    * a window, but EOF can: mid-file no-progress at the cap is
+    * malformed-or-oversized either way, and both are out of the
+    * subset). Offsets/record indexing identical to the in-memory
+    * build — the two share oracles. */
+  def warcMemberIndexRanged(files: DataFrame, pathCol: String, idCol: String,
+                            unresolvedCounter: Option[
+                              org.apache.spark.util.LongAccumulator] = None,
+                            maxPlainBytes: Long = 1L << 30,
+                            windowBytes: Int = 4 << 20,
+                            maxWindowBytes: Int = 64 << 20): DataFrame = {
+    require(windowBytes >= 1024, s"windowBytes too small: $windowBytes")
+    require(maxWindowBytes >= windowBytes,
+      s"maxWindowBytes ($maxWindowBytes) < windowBytes ($windowBytes)")
+    val outSchema = WarcIndexSchema
+    val spark = files.sparkSession
+    val bconf = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val in = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    in.mapPartitions { it =>
+      val conf = bconf.value.value
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "warcMemberIndexRanged")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        tally.walked(try {
+          val path = new org.apache.hadoop.fs.Path(r.getString(1))
+          val fs = path.getFileSystem(conf)
+          val len = fs.getFileStatus(path).getLen
+          val s = fs.open(path)
+          try {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var p = 0L
+            var idx = 0L
+            var win = windowBytes
+            var going = p < len
+            while (going) {
+              val want = math.min(win.toLong, len - p).toInt
+              val buf = new Array[Byte](want)
+              s.readFully(p, buf, 0, want)
+              val members = gzipMembers(buf, maxPlainBytes)
+              var advanced = 0L
+              var ok = true
+              members.foreach { case (off, mLen, plain) =>
+                if (ok) {
+                  val recs = parseOne(id, plain, WarcRecordSchema)
+                  if (recs.size != 1) ok = false // not 1:1: out of subset
+                  else {
+                    val rec = recs.head
+                    out += new GenericRowWithSchema(Array[Any](
+                      id, idx, p + off, mLen, rec.get(2), rec.get(3),
+                      rec.get(4), rec.get(5)), outSchema)
+                    idx += 1
+                    advanced = off + mLen
+                  }
+                }
+              }
+              if (!ok) going = false // malformed record: keep the prefix
+              else if (advanced > 0) {
+                p += advanced
+                going = p < len
+                win = windowBytes // a fresh window after progress
+              } else if (p + want >= len) {
+                going = false // trailing garbage / cut member at EOF
+              } else if (win < maxWindowBytes) {
+                win = math.min(win.toLong * 2, maxWindowBytes.toLong).toInt
+              } else {
+                going = false // member past the window cap: prefix stops
+              }
+            }
+            out.toSeq
+          } finally (try s.close()
+          catch { case _: java.io.IOException => () })
+        } catch {
+          case _: java.io.IOException => Nil
+          case _: IndexOutOfBoundsException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
   /** Fetch ONLY the surviving records of an indexed .warc.gz corpus by
     * byte range — the second-pass primitive: `index` is (a filtered
     * view of) [[warcMemberIndex]]'s output, `files` maps media_id to
@@ -313,16 +407,28 @@ object WarcOps {
     * Scale shape: the narrow index joins to paths and repartitions BY
     * FILE, ranges sorted within each partition, so one input stream
     * serves a file's fetches in offset order (sequential-friendly on
-    * object stores). Output rows are full [[warcRecords]] rows with
-    * the INDEX's record_idx. Error discipline is per-RECORD here
-    * (fetches are independent — there is no prefix): a missing file,
-    * short read, or malformed member counts that record in the tally
-    * and skips it; walker bugs still fail the query. */
+    * object stores) — and CONSECUTIVE ranges COALESCE into one
+    * positioned read: touching/overlapping members always share a
+    * read, and `coalesceGap` > 0 additionally merges ranges separated
+    * by at most that many unwanted bytes (on object stores a GET has
+    * fixed latency ~ tens of ms, so paying a small gap of discarded
+    * bytes to halve the request count is the standard trade — set it
+    * to ~1 MB on S3A; merged reads are capped at `maxBatchBytes`).
+    * Output rows are full [[warcRecords]] rows with the INDEX's
+    * record_idx. Error discipline is per-RECORD (fetches are
+    * independent — there is no prefix): a missing file, short read,
+    * or malformed member counts that record in the tally and skips
+    * it — a failed COALESCED read counts each of its records; walker
+    * bugs still fail the query. */
   def warcFetchRanged(files: DataFrame, pathCol: String, idCol: String,
                       index: DataFrame,
                       unresolvedCounter: Option[
                         org.apache.spark.util.LongAccumulator] = None,
-                      maxPlainBytes: Long = 1L << 30): DataFrame = {
+                      maxPlainBytes: Long = 1L << 30,
+                      coalesceGap: Long = 0L,
+                      maxBatchBytes: Long = 64L << 20): DataFrame = {
+    require(coalesceGap >= 0, s"coalesceGap must be >= 0: $coalesceGap")
+    require(maxBatchBytes >= 1, s"maxBatchBytes must be >= 1: $maxBatchBytes")
     val outSchema = WarcRecordSchema
     val spark = files.sparkSession
     val bconf = spark.sparkContext.broadcast(
@@ -367,32 +473,83 @@ object WarcOps {
         }
         curStream
       }
-      it.flatMap { r =>
-        val id = r.getLong(0)
-        val path = r.getString(1)
-        val recordIdx = r.getLong(2)
-        val off = r.getLong(3)
-        val len = r.getLong(4)
-        tally.walked(try {
-          if (len < 0 || len > Int.MaxValue - 16)
-            throw new java.io.IOException(s"member length out of range: $len")
-          val member = new Array[Byte](len.toInt)
-          streamFor(path).readFully(off, member, 0, member.length)
-          gzipMembers(member, maxPlainBytes) match {
-            case Seq((0L, l, plain)) if l == len =>
-              parseOne(id, plain, outSchema) match {
-                case Seq(rec) => // re-stamp the corpus-level record_idx
-                  val vals = Array.tabulate[Any](outSchema.size)(rec.get)
-                  vals(1) = recordIdx
-                  Seq(new GenericRowWithSchema(vals, outSchema): Row)
-                case _ => Nil // ≠ 1 record in the member: data, counted
-              }
-            case _ => Nil // member didn't decompress to its exact extent
+      def validLen(l: Long): Boolean = l >= 0 && l <= Int.MaxValue - 16
+      // assemble maximal coalesced batches from the (path, offset)-sorted
+      // rows: same file, next range starting within coalesceGap of the
+      // batch's current end, merged span under maxBatchBytes; a row with
+      // an invalid length never merges (it forms its own batch and is
+      // counted alone)
+      val rows = it.buffered
+      val batches = new scala.collection.AbstractIterator[Seq[Row]] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): Seq[Row] = {
+          val first = rows.next()
+          val path = first.getString(1)
+          val fl = first.getLong(4)
+          if (!validLen(fl) || first.getLong(3) < 0) return Seq(first)
+          val start = first.getLong(3)
+          var end = start + fl
+          val acc = scala.collection.mutable.ArrayBuffer(first)
+          var more = true
+          while (more && rows.hasNext) {
+            val n = rows.head
+            val no = n.getLong(3); val nl = n.getLong(4)
+            if (n.getString(1) == path && validLen(nl) && no >= start &&
+                no <= end + coalesceGap &&
+                math.max(end, no + nl) - start <= maxBatchBytes) {
+              acc += rows.next()
+              end = math.max(end, no + nl)
+            } else more = false
           }
+          acc.toSeq
+        }
+      }
+      batches.flatMap { batch =>
+        val path = batch.head.getString(1)
+        val start = batch.head.getLong(3)
+        // ONE positioned read serves the whole batch; a failure counts
+        // every record in it (each record yields Nil below)
+        val bufOpt = try {
+          if (batch.exists(r => !validLen(r.getLong(4)) || r.getLong(3) < 0))
+            throw new java.io.IOException("member range out of bounds")
+          val end = batch.iterator
+            .map(r => r.getLong(3) + r.getLong(4)).max
+          if (end - start > Int.MaxValue - 16)
+            throw new java.io.IOException(s"batch span out of range")
+          val b = new Array[Byte]((end - start).toInt)
+          streamFor(path).readFully(start, b, 0, b.length)
+          Some(b)
         } catch {
-          case _: java.io.IOException => Nil // missing file / short read
-          case _: IndexOutOfBoundsException => Nil
-        })
+          case _: java.io.IOException => None // missing file / short read
+        }
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val recordIdx = r.getLong(2)
+          val off = r.getLong(3)
+          val len = r.getLong(4)
+          tally.walked(bufOpt match {
+            case None => Nil
+            case Some(b) =>
+              try {
+                val member = java.util.Arrays.copyOfRange(
+                  b, (off - start).toInt, (off - start + len).toInt)
+                gzipMembers(member, maxPlainBytes) match {
+                  case Seq((0L, l, plain)) if l == len =>
+                    parseOne(id, plain, outSchema) match {
+                      case Seq(rec) => // re-stamp the corpus record_idx
+                        val vals =
+                          Array.tabulate[Any](outSchema.size)(rec.get)
+                        vals(1) = recordIdx
+                        Seq(new GenericRowWithSchema(vals, outSchema): Row)
+                      case _ => Nil // ≠ 1 record in the member: counted
+                    }
+                  case _ => Nil // member ≠ its exact indexed extent
+                }
+              } catch {
+                case _: IndexOutOfBoundsException => Nil
+              }
+          })
+        }
       } ++ tally.closeIter()
     }(Encoders.row(outSchema))
   }

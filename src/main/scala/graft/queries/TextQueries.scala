@@ -144,11 +144,20 @@ object TextQueries {
     GraftQuery("q_warc_index", warcIndexQ, Some(warcIndexSql)),
     // the CDX analogue, half 2: filter the INDEX (status-200 responses
     // = the survivors), then fetch ONLY those records' byte ranges from
-    // the on-disk corpus — one positioned read + one member's
+    // the on-disk corpus — coalesced positioned reads + one member
     // decompression per survivor; output ≡ the full walk restricted to
-    // survivors, so the oracle is q_warc_records' oracle filtered
+    // survivors, so the oracle is q_warc_records' oracle filtered. The
+    // index here is built by the WINDOWED (no-ceiling) builder and the
+    // fetch runs with a nonzero coalesceGap, so both scale paths are
+    // what the oracle checks, not just the simple forms
     GraftQuery("q_warc_fetch_ranged", warcFetchRangedQ,
       Some(warcFetchRangedSql), bench = true),
+    // the windowed index builder over content-free file listings — the
+    // no-ceiling twin of q_warc_index (readBinaryDir makes one
+    // whole-file row per file and hard-fails past ~2.1 GB; the
+    // windowed walk is O(window) memory at ANY file size); identical
+    // output, shared oracle
+    GraftQuery("q_warc_index_ranged", warcIndexRangedQ, Some(warcIndexSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -300,23 +309,37 @@ object TextQueries {
     * survivors. */
   def warcFetchRangedQ(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedWarcGzDir(spark, sfDir)
-    val stored = graft.sources.TableSources
-      .readBinaryDir(spark, dir, "*.warc.gz")
-      .withColumn("media_id", warcGzMediaId)
-    // the index is a PERSISTED artifact: written once, read by every
-    // later pass (the narrow relation IS the second pass's scan; the
-    // underscore-prefixed dir is invisible to the corpus listing —
-    // Spark's file index skips _/. paths)
-    val idxDir = s"$dir/_index"
-    graft.pipeline.WarcOps.warcMemberIndex(stored, "content", "media_id")
-      .write.mode("overwrite").parquet(idxDir)
-    val survivors = spark.read.parquet(idxDir)
-      .filter(col("warc_type") === "response" && col("http_status") === 200)
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+    // the index is a PERSISTED artifact: built by the WINDOWED
+    // (no-ceiling) builder from the content-free listing, written
+    // once, read by every later pass (the narrow relation IS the
+    // second pass's scan; the underscore-prefixed dir is invisible to
+    // the corpus listing — Spark's file index skips _/. paths)
+    val idxDir = s"$dir/_index"
+    graft.pipeline.WarcOps
+      .warcMemberIndexRanged(files, "media_path", "media_id")
+      .write.mode("overwrite").parquet(idxDir)
+    val survivors = spark.read.parquet(idxDir)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+    // nonzero coalesceGap: adjacent survivors in a file share one
+    // positioned read — the capped/merged path is what the oracle checks
     graft.pipeline.WarcOps.warcFetchRanged(
-      files, "media_path", "media_id", survivors)
+      files, "media_path", "media_id", survivors, coalesceGap = 1024L)
+  }
+
+  /** [[warcIndexQ]] through the windowed builder over a content-free
+    * listing — identical rows, shared oracle. */
+  def warcIndexRangedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcGzDir(spark, sfDir)
+    val files = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", warcGzMediaId)
+    graft.pipeline.WarcOps
+      .warcMemberIndexRanged(files, "media_path", "media_id")
+      .select("media_id", "record_idx", "warc_type", "target_uri",
+        "content_length", "http_status")
   }
 
   def warcFetchRangedSql: String =
