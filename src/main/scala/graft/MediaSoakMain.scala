@@ -230,16 +230,18 @@ object MediaSoakMain {
           spark.range(nWIdx).select(col("id")), "id"),
         warcDir.toString, "media_id", "content", ".warc.gz")
     }
-    val storedW = graft.sources.TableSources
-      .readBinaryDir(spark, warcDir.toString, "*.warc.gz")
+    val filesIdx = graft.sources.TableSources
+      .listBinaryDir(spark, warcDir.toString, "*.warc.gz")
       .withColumn("media_id", regexp_extract(col("media_path"),
         "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
     val idxPath = warcDir.resolve("_index").toString
     val expIdxRows = (0L until 20L).map(c =>
       (4L + c % 4) * ((nWIdx - c + 19) / 20)).sum
     val (gotIdxRows, tWIdx) = time(
-      f"build + persist the record index over $nWIdx%,d files") {
-      graft.pipeline.WarcOps.warcMemberIndex(storedW, "content", "media_id")
+      f"build + persist the record index over $nWIdx%,d files (windowed)") {
+      // the NO-CEILING builder: content-free listing + sliding windows
+      graft.pipeline.WarcOps
+        .warcMemberIndexRanged(filesIdx, "media_path", "media_id")
         .write.mode("overwrite").parquet(idxPath)
       spark.read.parquet(idxPath).count()
     }
@@ -248,10 +250,7 @@ object MediaSoakMain {
     val index = spark.read.parquet(idxPath)
     val survivors = index.filter(col("media_id") % 100 === 0 &&
       col("warc_type") === "response" && col("http_status") === 200)
-    val filesW = graft.sources.TableSources
-      .listBinaryDir(spark, warcDir.toString, "*.warc.gz")
-      .withColumn("media_id", regexp_extract(col("media_path"),
-        "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
+    val filesW = filesIdx
     val expFetch = 2L * ((nWIdx + 99) / 100)
     val (fetchAgg, tWFetch) = time(
       f"ranged fetch of $expFetch%,d surviving records (1%% of files)") {
