@@ -201,7 +201,13 @@ object WarcOps {
     * member's (offset, length) makes its record independently
     * fetchable later. Boundaries come from the Inflater's own
     * bytes-consumed accounting plus the fixed 8-byte CRC/ISIZE
-    * trailer. Honest truncation: a malformed, cut-short, or
+    * trailer, and each member's trailer is VERIFIED (CRC32 + length
+    * mod 2^32 over the decompressed bytes) — nearly free, catches
+    * silent corruption, and makes a decode-from-here attempt a
+    * cryptographic-strength boundary test for the sharded builder's
+    * mid-file resync (a false 1f8b08 inside compressed payload decodes
+    * to a mismatched trailer with probability ~2^-32). Honest
+    * truncation: a malformed, cut-short, CRC-mismatched, or
     * over-`maxPlainBytes` (bomb) member ends the walk keeping every
     * complete member before it. */
   private[pipeline] def gzipMembers(b: Array[Byte], maxPlainBytes: Long)
@@ -216,6 +222,7 @@ object WarcOps {
       try {
         inf.setInput(b, ds, b.length - ds)
         val acc = new java.io.ByteArrayOutputStream()
+        val crc = new java.util.zip.CRC32()
         val buf = new Array[Byte](64 << 10)
         while (!inf.finished()) {
           val n = try inf.inflate(buf) catch {
@@ -224,10 +231,18 @@ object WarcOps {
           if (n > 0) {
             if (acc.size() + n > maxPlainBytes) return out.toSeq // bomb: cut
             acc.write(buf, 0, n)
+            crc.update(buf, 0, n)
           } else if (!inf.finished()) return out.toSeq // truncated deflate
         }
-        val end = ds + ((b.length - ds) - inf.getRemaining) + 8 // +CRC32+ISIZE
+        val trailer = ds + ((b.length - ds) - inf.getRemaining)
+        val end = trailer + 8 // CRC32 + ISIZE, both LE
         if (end > b.length) return out.toSeq // trailer cut short
+        def le32(q: Long): Long =
+          (b(q.toInt) & 0xFFL) | ((b(q.toInt + 1) & 0xFFL) << 8) |
+            ((b(q.toInt + 2) & 0xFFL) << 16) | ((b(q.toInt + 3) & 0xFFL) << 24)
+        if (le32(trailer) != crc.getValue ||
+            le32(trailer + 4) != (acc.size().toLong & 0xFFFFFFFFL))
+          return out.toSeq // corrupt member (or a false boundary)
         out += ((p.toLong, (end - p).toLong, acc.toByteArray))
         p = end
       } finally inf.end()
@@ -394,6 +409,188 @@ object WarcOps {
         })
       } ++ tally.closeIter()
     }(Encoders.row(outSchema))
+  }
+
+  /** [[warcMemberIndexRanged]] with INTRA-FILE parallelism — the
+    * straggler fix: every 1:1 walk in this layer makes one task per
+    * FILE, so one 500 GB .warc.gz serializes its whole index build on
+    * a single core while 999 executors idle. This form explodes each
+    * file into `shardBytes` spans (computed content-free from the
+    * listing's length column), and each shard task independently
+    * SYNCS to the first verified member boundary at or after its
+    * start, then indexes every member STARTING inside its span (a
+    * member may end beyond it — it belongs to the shard that contains
+    * its start, so no member is emitted twice). Boundary verification
+    * is decode-from-candidate: a 1f8b08 magic inside compressed
+    * payload survives only by also inflating cleanly to a
+    * CRC32+ISIZE-matched trailer AND yielding plain bytes that open
+    * with "WARC/" — jointly ~2^-32 per candidate. record_idx is
+    * assigned afterwards by a window over the NARROW index (per file,
+    * by offset) — the one shuffle, tens of bytes per record.
+    *
+    * Semantic difference from the sequential builders, stated
+    * plainly: damage inside a file does not end that file's index —
+    * the walk RESYNCS at the next verified boundary (and later shards
+    * sync independently), so the sharded builder indexes every
+    * recoverable region, counting each damaged region it skips. For a
+    * 100 TB crawl with one corrupt chunk that is what a training-data
+    * pass wants; the sequential forms keep the strict prefix
+    * discipline. On intact files all three builders agree exactly. */
+  def warcMemberIndexSharded(files: DataFrame, pathCol: String, idCol: String,
+                             lenCol: String = "media_len",
+                             unresolvedCounter: Option[
+                               org.apache.spark.util.LongAccumulator] = None,
+                             maxPlainBytes: Long = 1L << 30,
+                             shardBytes: Long = 256L << 20,
+                             windowBytes: Int = 4 << 20,
+                             maxWindowBytes: Int = 64 << 20): DataFrame = {
+    require(shardBytes >= windowBytes,
+      s"shardBytes ($shardBytes) must be >= windowBytes ($windowBytes)")
+    require(maxWindowBytes >= windowBytes,
+      s"maxWindowBytes ($maxWindowBytes) < windowBytes ($windowBytes)")
+    val outSchema = WarcIndexSchema
+    val spark = files.sparkSession
+    val bconf = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val in = files.select(col(idCol).cast("long").as("media_id"),
+        col(pathCol).cast("string").as("p"),
+        col(lenCol).cast("long").as("len"))
+      .withColumn("shard", explode(sequence(lit(0L),
+        greatest(ceil(col("len").cast("double") / shardBytes).cast("long"),
+          lit(1L)) - 1L)))
+      // spread one file's shards across tasks — the whole point
+      .repartition(col("p"), col("shard"))
+    val raw = in.mapPartitions { it =>
+      val conf = bconf.value.value
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "warcMemberIndexSharded")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val len = r.getLong(2)
+        val shardStart = r.getLong(3) * shardBytes
+        val shardEnd = math.min(shardStart + shardBytes, len)
+        try {
+          val path = new org.apache.hadoop.fs.Path(r.getString(1))
+          val s = path.getFileSystem(conf).open(path)
+          try {
+            def read(pos: Long, want: Int): Array[Byte] = {
+              val b = new Array[Byte](want)
+              s.readFully(pos, b, 0, want)
+              b
+            }
+            /** Complete verified member at `c` opening a WARC record?
+              * Window doubles until the member fits or the cap/EOF says
+              * no. */
+            def verifiedBoundary(c: Long): Boolean = {
+              var win = windowBytes
+              while (true) {
+                val want = math.min(win.toLong, len - c).toInt
+                if (want < 20) return false
+                val ms = gzipMembers(read(c, want), maxPlainBytes)
+                if (ms.nonEmpty) {
+                  val plain = ms.head._3
+                  return plain.length >= 5 && plain(0) == 'W' &&
+                    plain(1) == 'A' && plain(2) == 'R' && plain(3) == 'C' &&
+                    plain(4) == '/'
+                }
+                if (c + want >= len || win >= maxWindowBytes) return false
+                win = math.min(win.toLong * 2, maxWindowBytes.toLong).toInt
+              }
+              false
+            }
+            /** First verified boundary in [q0, shardEnd), or −1. Scans
+              * with a 2-byte window overlap so straddling magics are
+              * seen. */
+            def probeFrom(q0: Long): Long = {
+              var q = q0
+              while (q < shardEnd) {
+                val want = math.min(windowBytes.toLong, len - q).toInt
+                if (want < 3) return -1L
+                val buf = read(q, want)
+                var i = 0
+                val lim = math.min(want.toLong, shardEnd - q).toInt
+                while (i + 3 <= want && i < lim) {
+                  if (buf(i) == 0x1F.toByte && (buf(i + 1) & 0xFF) == 0x8B &&
+                      buf(i + 2) == 8 && verifiedBoundary(q + i))
+                    return q + i
+                  i += 1
+                }
+                q += math.max(want - 2, 1)
+              }
+              -1L
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var q = shardStart
+            while (q < shardEnd) {
+              val sync = probeFrom(q) // offset 0 verifies like any other
+              if (sync < 0 || sync >= shardEnd) q = shardEnd
+              else {
+                // walk verified members from the boundary; stop at the
+                // shard's start-limit, damage, or the window cap
+                var p = sync
+                var win = windowBytes
+                var walking = true
+                while (walking) {
+                  val want = math.min(win.toLong, len - p).toInt
+                  if (want <= 0 || p >= shardEnd) { walking = false; q = shardEnd }
+                  else {
+                    val members = gzipMembers(read(p, want), maxPlainBytes)
+                    var advanced = 0L
+                    var bad = false
+                    members.foreach { case (off, mLen, plain) =>
+                      if (!bad && p + off < shardEnd) {
+                        val recs = parseOne(id, plain, WarcRecordSchema)
+                        if (recs.size != 1) bad = true // ≠ 1:1: damaged
+                        else {
+                          val rec = recs.head
+                          out += new GenericRowWithSchema(Array[Any](
+                            id, -1L, p + off, mLen, rec.get(2), rec.get(3),
+                            rec.get(4), rec.get(5)), outSchema)
+                          advanced = off + mLen
+                        }
+                      }
+                    }
+                    if (bad) {
+                      // skip the damaged record: count it, resync past it
+                      tally.undecodable()
+                      walking = false; q = p + advanced + 1
+                    } else if (advanced > 0) {
+                      p += advanced
+                      win = windowBytes
+                      if (p >= shardEnd) { walking = false; q = shardEnd }
+                    } else if (p + want < len && win < maxWindowBytes) {
+                      // no complete member yet — maybe it just overflows
+                      // the window: grow and retry
+                      win = math.min(win.toLong * 2, maxWindowBytes.toLong).toInt
+                    } else {
+                      // no member HERE (damaged / cut / over-cap bytes at
+                      // p): count the region once and RESYNC — the prober
+                      // scans forward for the next verified boundary, so
+                      // members after the damage are still recovered
+                      // (unlike the sequential builders' prefix stop)
+                      tally.undecodable()
+                      walking = false; q = p + 1
+                    }
+                  }
+                }
+              }
+            }
+            out.toSeq
+          } finally (try s.close()
+          catch { case _: java.io.IOException => () })
+        } catch {
+          case _: java.io.IOException => tally.walked(Nil) // unreadable file
+          case _: IndexOutOfBoundsException => tally.walked(Nil)
+        }
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+    // corpus-level record ordinals: one narrow shuffle per file
+    raw.withColumn("record_idx",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("member_offset")))
+        .cast("long") - 1L))
+      .select(outSchema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Fetch ONLY the surviving records of an indexed .warc.gz corpus by

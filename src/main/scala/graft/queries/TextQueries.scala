@@ -158,6 +158,14 @@ object TextQueries {
     // windowed walk is O(window) memory at ANY file size); identical
     // output, shared oracle
     GraftQuery("q_warc_index_ranged", warcIndexRangedQ, Some(warcIndexSql)),
+    // the SHARDED builder — intra-file parallelism for giant files (one
+    // 500 GB file no longer serializes on one core): shard tasks sync
+    // to verified member boundaries and index the members starting in
+    // their span; record_idx assigned by a narrow per-file window.
+    // shardBytes here is pinned near the file sizes so shard boundaries
+    // really straddle members in the oracle run; identical output,
+    // shared oracle
+    GraftQuery("q_warc_index_sharded", warcIndexShardedQ, Some(warcIndexSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -338,6 +346,23 @@ object TextQueries {
       .withColumn("media_id", warcGzMediaId)
     graft.pipeline.WarcOps
       .warcMemberIndexRanged(files, "media_path", "media_id")
+      .select("media_id", "record_idx", "warc_type", "target_uri",
+        "content_length", "http_status")
+  }
+
+  /** [[warcIndexQ]] through the SHARDED builder — shardBytes pinned at
+    * the window floor so the sf corpus's multi-KB files really split
+    * into several shards each (boundary sync + straddling members are
+    * what the oracle checks, not a degenerate one-shard-per-file run);
+    * identical rows, shared oracle. */
+  def warcIndexShardedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcGzDir(spark, sfDir)
+    val files = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", warcGzMediaId)
+    graft.pipeline.WarcOps
+      .warcMemberIndexSharded(files, "media_path", "media_id",
+        shardBytes = 1024L, windowBytes = 1024)
       .select("media_id", "record_idx", "warc_type", "target_uri",
         "content_length", "http_status")
   }
