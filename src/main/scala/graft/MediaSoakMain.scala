@@ -345,6 +345,12 @@ object MediaSoakMain {
       "giant clip offsets must round-trip the co64 table past 2^32")
     require(frameSums.length == (kG + 1) / 2,
       s"giant clip decoded frames: ${frameSums.length}, expected ${(kG + 1) / 2}")
+    // the intra-file-parallel decode spreads THIS one clip's frames
+    // across range partitions and must produce the identical rows
+    val parSums = MultimodalOps.sampleMp4FramesRangedParallel(
+      giantFiles, "media_path", "media_id", stride = 2).collect()
+    require(parSums.map(_.toSeq).toSet == frameSums.map(_.toSeq).toSet,
+      "parallel decode must match the per-file ranged decode on the giant clip")
     frameSums.foreach { r =>
       val j = r.getLong(1).toInt
       val fid = synthFrameImageId(giantId, j)

@@ -2412,6 +2412,90 @@ object MultimodalOps {
     * and ONLY those samples' byte ranges are fetched and decoded —
     * bytes read ∝ moov + kept frames, independent of clip size. Output
     * schema and semantics identical to [[sampleMp4Frames]]. */
+  /** [[sampleMp4FramesRanged]] with INTRA-FILE parallelism — the
+    * decode-straggler fix: the one-phase form resolves AND decodes a
+    * whole file inside one task, so a single ten-hour clip serializes
+    * its decode while the cluster idles. This form splits the phases:
+    * the (cheap, metadata-only) ranged sample-table resolve stays
+    * per-file, then the KEPT sample rows — a narrow relation of
+    * (id, frame_idx, offset, size) — are RANGE-partitioned on
+    * (path, offset), so a clip dominating the kept set spreads its
+    * frame fetches/decodes across tasks while every partition remains
+    * a contiguous offset slice of one or a few files (stream reuse,
+    * offset-ordered positioned reads). Output and error discipline are
+    * identical to the one-phase form (per-frame accounting); the cost
+    * is one narrow shuffle of the kept sample rows. */
+  def sampleMp4FramesRangedParallel(files: DataFrame, pathCol: String,
+                                    idCol: String, stride: Int,
+                                    maxMoovBytes: Long = 256L << 20,
+                                    unresolvedCounter: Option[
+                                      org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val bconf = files.sparkSession.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        files.sparkSession.sparkContext.hadoopConfiguration))
+    val kept = mp4SampleTableRanged(files, pathCol, idCol, maxMoovBytes,
+        unresolvedCounter)
+      .filter(col("sample_idx") % stride === 0)
+      .select(col("media_id"), col("sample_idx"), col("offset"), col("size"))
+      .join(files.select(col(idCol).cast("long").as("media_id"),
+        col(pathCol).cast("string").as("p")), "media_id")
+      .repartitionByRange(col("p"), col("offset"))
+      .sortWithinPartitions(col("p"), col("offset"))
+    kept.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val conf = bconf.value.value
+      val tally = new MediaUnresolvedTally(unresolvedCounter,
+        "sampleMp4FramesRangedParallel")
+      var curPath: String = null
+      var curStream: org.apache.hadoop.fs.FSDataInputStream = null
+      def closeCur(): Unit = {
+        if (curStream != null)
+          (try curStream.close() catch { case _: java.io.IOException => () })
+        curStream = null; curPath = null
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeCur()))
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val frameIdx = r.getLong(1)
+        val off = r.getLong(2)
+        val szL = r.getLong(3)
+        val p = r.getString(4)
+        (if (szL < 0 || szL > Int.MaxValue - 16) {
+          tally.undecodable(); None
+        } else try {
+          if (p != curPath) {
+            closeCur()
+            val hp = new org.apache.hadoop.fs.Path(p)
+            // latch the path only after open() succeeds (the fetch-path
+            // lesson: a latched-null stream NPEs on the file's next row)
+            curStream = hp.getFileSystem(conf).open(hp)
+            curPath = p
+          }
+          val frame = new Array[Byte](szL.toInt)
+          curStream.readFully(off, frame, 0, frame.length)
+          frameChannelSums(frame)
+        } catch {
+          case _: java.io.IOException => tally.undecodable(); None
+          case scala.util.control.NonFatal(_) => tally.undecodable(); None
+        }).map { case (w, h, sr, sg, sb) =>
+          new GenericRowWithSchema(Array[Any](
+            id, frameIdx, w, h, sr, sg, sb), outSchema): Row
+        }
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
   def sampleMp4FramesRanged(files: DataFrame, pathCol: String, idCol: String,
                             stride: Int,
                             maxMoovBytes: Long = 256L << 20,

@@ -635,10 +635,16 @@ object WarcOps {
       col("record_idx").cast("long").as("record_idx"),
       col("member_offset").cast("long").as("member_offset"),
       col("member_length").cast("long").as("member_length"))
+    // RANGE partitioning, not hash-by-file: a hash would pin all of one
+    // file's survivors on one task (the giant-file straggler), while
+    // range partitioning on (file, offset) still keeps each partition a
+    // CONTIGUOUS offset slice — so stream reuse and range coalescing
+    // work unchanged, and a file dominating the survivor set spreads
+    // across tasks
     val work = files.select(col(idCol).cast("long").as("media_id"),
         col(pathCol).cast("string").as("p"))
       .join(idx, "media_id")
-      .repartition(col("p"))
+      .repartitionByRange(col("p"), col("member_offset"))
       .sortWithinPartitions(col("p"), col("member_offset"))
     work.mapPartitions { it =>
       val conf = bconf.value.value

@@ -63,6 +63,12 @@ object MultimodalQueries {
       Some(videoMp4MetaSql)),
     GraftQuery("q_video_frames_mp4_ranged", videoFramesMp4Ranged,
       Some(videoFramesSql), bench = true),
+    // the decode-straggler fix: the metadata resolve stays per-file but
+    // the kept samples RANGE-partition on (path, offset) before the
+    // fetch+decode, so one giant clip's frames spread across tasks;
+    // identical output, shared oracle
+    GraftQuery("q_video_frames_mp4_ranged_par", videoFramesMp4RangedParallel,
+      Some(videoFramesSql)),
     // the AVI corpus through the ranged path: chunk headers hopped by
     // positioned read, payload bytes fetched only for kept frames —
     // the RIFF grammar's no-ceiling form, sharing the sums oracle
@@ -532,6 +538,19 @@ object MultimodalQueries {
         Tables.read(spark, sfDir, "documents").select(col("doc_id")),
         "doc_id"))
     MultimodalOps.sampleMp4FramesRanged(
+      files, "media_path", "media_id", VF_STRIDE)
+  }
+
+  /** [[videoFramesMp4Ranged]] through the two-phase, intra-file-parallel
+    * decode (kept samples range-partitioned on (path, offset)); identical
+    * output, shared oracle. */
+  def videoFramesMp4RangedParallel(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val files = stagedFiles(spark, sfDir, "mp4v-ranged", ".mp4")(
+      MultimodalOps.encodeSyntheticMp4Video(
+        Tables.read(spark, sfDir, "documents").select(col("doc_id")),
+        "doc_id"))
+    MultimodalOps.sampleMp4FramesRangedParallel(
       files, "media_path", "media_id", VF_STRIDE)
   }
 

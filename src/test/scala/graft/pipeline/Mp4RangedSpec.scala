@@ -57,6 +57,21 @@ class Mp4RangedSpec extends AnyFunSuite {
       listed(dir), "media_path", "media_id", 2)
     assert(tableRows(ranged) == tableRows(inMem))
     assert(tableRows(ranged).nonEmpty)
+    // the two-phase intra-file-parallel form: identical rows through
+    // the range-partitioned per-sample fetch+decode, and a ghost file
+    // still resolves to nothing with the file counted (not a crash in
+    // the per-sample phase — there are no samples to fetch without a
+    // resolved table)
+    val par = MultimodalOps.sampleMp4FramesRangedParallel(
+      listed(dir), "media_path", "media_id", 2)
+    assert(tableRows(par) == tableRows(inMem))
+    val acc = spark.sparkContext.longAccumulator("mp4-par-acct")
+    import spark.implicits._
+    assert(MultimodalOps.sampleMp4FramesRangedParallel(
+      Seq((7L, s"$dir/missing.mp4")).toDF("media_id", "media_path"),
+      "media_path", "media_id", 2, unresolvedCounter = Some(acc))
+      .count() == 0L)
+    assert(acc.value == 1L)
   }
 
   test("ranged path has no file-size ceiling where whole-file ingestion fails") {
