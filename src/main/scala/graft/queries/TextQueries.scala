@@ -166,6 +166,14 @@ object TextQueries {
     // really straddle members in the oracle run; identical output,
     // shared oracle
     GraftQuery("q_warc_index_sharded", warcIndexShardedQ, Some(warcIndexSql)),
+    // the crawl front door END TO END in one declarative plan: stored
+    // .warc.gz files → record walk → status-200 responses → columnar
+    // HTML extraction → token-count quality gate → packed-pretraining
+    // layout (per-file shards, 32-token contexts). The oracle rebuilds
+    // every stage from the generator formulas — record lengths, the
+    // extracted text's token counts, the gate, and the packing
+    // coordinates — without running any of the operators
+    GraftQuery("q_e2e_crawl", e2eCrawlQ, Some(e2eCrawlSql)),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -366,6 +374,67 @@ object TextQueries {
       .select("media_id", "record_idx", "warc_type", "target_uri",
         "content_length", "http_status")
   }
+
+  private val E2E_CRAWL_MIN_TOKENS = 10L
+  private val E2E_CRAWL_CTX = 32L
+
+  /** Raw stored crawl → training batches in ONE plan: .warc.gz files
+    * through the record walk (per-member decompression), the HTTP-200
+    * response filter, the columnar HTML extractor, a token-count
+    * quality gate, and the packed-pretraining layout with per-FILE
+    * shards (32-token contexts so multi-context spans really occur at
+    * sf). The crawl twin of [[e2ePipelineQ]] — the input is real
+    * on-disk container files, not a parquet table, and every stage's
+    * evidence rides the one output relation. */
+  def e2eCrawlQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcGzDir(spark, sfDir)
+    val stored = graft.sources.TableSources
+      .readBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", warcGzMediaId)
+    val recs = graft.pipeline.WarcOps
+      .warcRecordsGz(stored, "content", "media_id")
+    val gated = recs
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("media_id"), col("record_idx"),
+        graft.pipeline.WarcOps.htmlText(col("body")).as("text"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= E2E_CRAWL_MIN_TOKENS)
+      .select(col("media_id"), col("record_idx"), col("n_tokens"))
+    graft.pipeline.PackingOps.packContexts(gated, Seq("media_id"),
+      "record_idx", "n_tokens", E2E_CRAWL_CTX)
+  }
+
+  def e2eCrawlSql: String =
+    s"""WITH k AS (
+       |  SELECT DISTINCT doc_id % 40 AS media_id FROM documents
+       |), rsp0 AS (
+       |  SELECT media_id, unnest(range(0, 3 + media_id % 4)) AS r FROM k
+       |), wk AS (
+       |  SELECT media_id, r, unnest(range(0, 5 + (media_id + r) % 7)) AS j
+       |  FROM rsp0
+       |), words AS (
+       |  SELECT media_id, r, CAST(count(*) AS BIGINT) AS nw
+       |  FROM wk GROUP BY media_id, r
+       |), gated AS (
+       |  SELECT media_id, CAST(r + 1 AS BIGINT) AS record_idx,
+       |    CAST(nw + 3 AS BIGINT) AS n_tokens
+       |  FROM words
+       |  WHERE (media_id + r) % 5 <> 0 AND nw + 3 >= $E2E_CRAWL_MIN_TOKENS
+       |), o AS (
+       |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY media_id
+       |    ORDER BY record_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+       |  FROM gated
+       |)
+       |SELECT media_id, record_idx, n_tokens,
+       |  CAST(pack_offset AS BIGINT) AS pack_offset,
+       |  CAST(pack_offset // $E2E_CRAWL_CTX AS BIGINT) AS ctx_first,
+       |  CAST((pack_offset + greatest(n_tokens - 1, 0)) // $E2E_CRAWL_CTX
+       |    AS BIGINT) AS ctx_last,
+       |  CAST(pack_offset % $E2E_CRAWL_CTX AS BIGINT) AS ctx_offset,
+       |  CAST(((pack_offset + greatest(n_tokens - 1, 0)) // $E2E_CRAWL_CTX)
+       |    - (pack_offset // $E2E_CRAWL_CTX) + 1 AS BIGINT) AS n_ctx_spanned
+       |FROM o""".stripMargin
 
   def warcFetchRangedSql: String =
     s"""SELECT * FROM (${warcRecordsSql})
