@@ -2443,52 +2443,64 @@ object MultimodalOps {
     val bconf = files.sparkSession.sparkContext.broadcast(
       new graft.sources.SerializableHadoopConf(
         files.sparkSession.sparkContext.hadoopConfiguration))
-    val kept = mp4SampleTableRanged(files, pathCol, idCol, maxMoovBytes,
-        unresolvedCounter)
-      .filter(col("sample_idx") % stride === 0)
-      .select(col("media_id"), col("sample_idx"), col("offset"), col("size"))
-      .join(files.select(col(idCol).cast("long").as("media_id"),
-        col(pathCol).cast("string").as("p")), "media_id")
+    val paths = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    // phase 2 keys the fetch by media_id, so a duplicated id would
+    // multiply sample rows against BOTH paths and read byte ranges from
+    // the wrong file — refuse loudly (the listing is metadata-sized, so
+    // the check is one cheap aggregate)
+    val dupIds = paths.groupBy(col("media_id")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupIds == 0L,
+      s"sampleMp4FramesRangedParallel: duplicate $idCol values in the " +
+        "file listing — phase-2 fetches are keyed by id, so duplicates " +
+        "are ambiguous; deduplicate the listing or use sampleMp4FramesRanged")
+    // sever the NARROW kept-sample relation before range partitioning:
+    // RangePartitioner's bounds-sampling job would otherwise re-execute
+    // the whole phase-1 moov resolve (double positioned reads, and the
+    // unresolved tally firing twice per file)
+    val kept = Checkpoints.sever(
+      mp4SampleTableRanged(files, pathCol, idCol, maxMoovBytes,
+          unresolvedCounter)
+        .filter(col("sample_idx") % stride === 0)
+        .select(col("media_id"), col("sample_idx"), col("offset"),
+          col("size"))
+        .join(paths, "media_id"))
       .repartitionByRange(col("p"), col("offset"))
       .sortWithinPartitions(col("p"), col("offset"))
     kept.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      val conf = bconf.value.value
+      val streams = new graft.sources.ReusedFsStream(bconf.value.value)
       val tally = new MediaUnresolvedTally(unresolvedCounter,
         "sampleMp4FramesRangedParallel")
-      var curPath: String = null
-      var curStream: org.apache.hadoop.fs.FSDataInputStream = null
-      def closeCur(): Unit = {
-        if (curStream != null)
-          (try curStream.close() catch { case _: java.io.IOException => () })
-        curStream = null; curPath = null
-      }
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeCur()))
       it.flatMap { r =>
         val id = r.getLong(0)
         val frameIdx = r.getLong(1)
         val off = r.getLong(2)
         val szL = r.getLong(3)
         val p = r.getString(4)
-        (if (szL < 0 || szL > Int.MaxValue - 16) {
-          tally.undecodable(); None
-        } else try {
-          if (p != curPath) {
-            closeCur()
-            val hp = new org.apache.hadoop.fs.Path(p)
-            // latch the path only after open() succeeds (the fetch-path
-            // lesson: a latched-null stream NPEs on the file's next row)
-            curStream = hp.getFileSystem(conf).open(hp)
-            curPath = p
+        val frame =
+          if (szL < 0 || szL > Int.MaxValue - 16) { tally.undecodable(); None }
+          else try {
+            val f = new Array[Byte](szL.toInt)
+            streams.forPath(p).readFully(off, f, 0, f.length)
+            Some(f)
+          } catch {
+            // open/read failures only — a RuntimeException here is a
+            // walker/infra bug and must FAIL the query (one-phase parity)
+            case _: java.io.IOException => tally.undecodable(); None
           }
-          val frame = new Array[Byte](szL.toInt)
-          curStream.readFully(off, frame, 0, frame.length)
-          frameChannelSums(frame)
-        } catch {
-          case _: java.io.IOException => tally.undecodable(); None
-          case scala.util.control.NonFatal(_) => tally.undecodable(); None
-        }).map { case (w, h, sr, sg, sb) =>
+        frame.flatMap { bytes =>
+          try frameChannelSums(bytes)
+          catch {
+            case _: java.io.IOException => tally.undecodable(); None
+            // JDK decoders throw RuntimeExceptions on fuzzed payloads —
+            // scoped to the DECODE call only, that is the codec's data
+            // verdict, not a walker bug
+            case scala.util.control.NonFatal(_) =>
+              tally.undecodable(); None
+          }
+        }.map { case (w, h, sr, sg, sb) =>
           new GenericRowWithSchema(Array[Any](
             id, frameIdx, w, h, sr, sg, sb), outSchema): Row
         }

@@ -432,10 +432,17 @@ object WarcOps {
     * plainly: damage inside a file does not end that file's index —
     * the walk RESYNCS at the next verified boundary (and later shards
     * sync independently), so the sharded builder indexes every
-    * recoverable region, counting each damaged region it skips. For a
-    * 100 TB crawl with one corrupt chunk that is what a training-data
-    * pass wants; the sequential forms keep the strict prefix
-    * discipline. On intact files all three builders agree exactly. */
+    * recoverable region. Tally scope, also stated plainly: damaged
+    * records/regions found AFTER a sync count individually; an
+    * unreadable file and shard-0 leading damage (garbage before the
+    * first boundary — decidable only at offset 0, where a valid file
+    * must carry one) count once per file; a MID-file shard's skipped
+    * head is locally indistinguishable from a member straddling in
+    * from the previous shard and is deliberately not counted. For a
+    * 100 TB crawl with one corrupt chunk resync is what a
+    * training-data pass wants; the sequential forms keep the strict
+    * prefix discipline. On intact files all three builders agree
+    * exactly. */
   def warcMemberIndexSharded(files: DataFrame, pathCol: String, idCol: String,
                              lenCol: String = "media_len",
                              unresolvedCounter: Option[
@@ -524,6 +531,16 @@ object WarcOps {
             var q = shardStart
             while (q < shardEnd) {
               val sync = probeFrom(q) // offset 0 verifies like any other
+              // accounting at the shard's FIRST probe is only decidable
+              // for shard 0: a valid file MUST have a boundary at byte 0,
+              // so a shard-0 sync elsewhere (or nowhere) is leading
+              // damage and counts once — mirroring the sequential
+              // builders' whole-file tally on garbage. A mid-file
+              // shard's skipped head is indistinguishable locally from
+              // a member straddling in from the previous shard, so it
+              // is deliberately NOT counted.
+              if (shardStart == 0L && q == 0L && sync != 0L)
+                tally.undecodable()
               if (sync < 0 || sync >= shardEnd) q = shardEnd
               else {
                 // walk verified members from the boundary; stop at the
@@ -580,8 +597,13 @@ object WarcOps {
           } finally (try s.close()
           catch { case _: java.io.IOException => () })
         } catch {
-          case _: java.io.IOException => tally.walked(Nil) // unreadable file
-          case _: IndexOutOfBoundsException => tally.walked(Nil)
+          // every shard of an unreadable file fails identically — count
+          // the FILE once (via its 0-shard) so the tally keeps meaning
+          // files, as in the sequential builders
+          case _: java.io.IOException =>
+            if (shardStart == 0L) tally.walked(Nil) else Nil
+          case _: IndexOutOfBoundsException =>
+            if (shardStart == 0L) tally.walked(Nil) else Nil
         }
       } ++ tally.closeIter()
     }(Encoders.row(outSchema))
@@ -640,42 +662,20 @@ object WarcOps {
     // range partitioning on (file, offset) still keeps each partition a
     // CONTIGUOUS offset slice — so stream reuse and range coalescing
     // work unchanged, and a file dominating the survivor set spreads
-    // across tasks
-    val work = files.select(col(idCol).cast("long").as("media_id"),
-        col(pathCol).cast("string").as("p"))
-      .join(idx, "media_id")
+    // across tasks. The narrow joined relation is SEVERED first:
+    // RangePartitioner's bounds-sampling job would otherwise re-execute
+    // the index-producing plan upstream (a live warcMemberIndex build
+    // would run — and fire its tally — twice)
+    val work = Checkpoints.sever(
+        files.select(col(idCol).cast("long").as("media_id"),
+            col(pathCol).cast("string").as("p"))
+          .join(idx, "media_id"))
       .repartitionByRange(col("p"), col("member_offset"))
       .sortWithinPartitions(col("p"), col("member_offset"))
     work.mapPartitions { it =>
-      val conf = bconf.value.value
       val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
         "warcFetchRanged")
-      var curPath: String = null
-      var curStream: org.apache.hadoop.fs.FSDataInputStream = null
-      def closeCur(): Unit = {
-        if (curStream != null)
-          (try curStream.close()
-          catch { case _: java.io.IOException => () })
-        curStream = null; curPath = null
-      }
-      // close the reused stream however the task ends (exhaustion,
-      // failure, or cancellation)
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeCur()))
-      def streamFor(p: String): org.apache.hadoop.fs.FSDataInputStream = {
-        if (p != curPath) {
-          closeCur()
-          val hp = new org.apache.hadoop.fs.Path(p)
-          // cache the path only AFTER open() succeeds: caching first
-          // would hand the file's NEXT record a null stream (an NPE
-          // the per-record IOException discipline can't catch) — each
-          // record of an unopenable file must retry, throw, and be
-          // COUNTED individually
-          curStream = hp.getFileSystem(conf).open(hp)
-          curPath = p
-        }
-        curStream
-      }
+      val streams = new graft.sources.ReusedFsStream(bconf.value.value)
       def validLen(l: Long): Boolean = l >= 0 && l <= Int.MaxValue - 16
       // assemble maximal coalesced batches from the (path, offset)-sorted
       // rows: same file, next range starting within coalesceGap of the
@@ -720,7 +720,7 @@ object WarcOps {
           if (end - start > Int.MaxValue - 16)
             throw new java.io.IOException(s"batch span out of range")
           val b = new Array[Byte]((end - start).toInt)
-          streamFor(path).readFully(start, b, 0, b.length)
+          streams.forPath(path).readFully(start, b, 0, b.length)
           Some(b)
         } catch {
           case _: java.io.IOException => None // missing file / short read

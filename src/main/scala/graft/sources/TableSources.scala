@@ -243,6 +243,41 @@ object TableSources {
   }
 }
 
+/** Per-partition reusable `FSDataInputStream` cache for ranged-fetch
+  * operators whose rows arrive grouped/sorted by file: one open stream
+  * serves consecutive same-path rows; switching paths closes the old
+  * stream, and a task-completion listener closes whatever is open
+  * however the task ends (exhaustion, failure, cancellation).
+  *
+  * The path is latched only AFTER `open()` succeeds: latching first
+  * would hand the file's next row a null stream — an NPE past the
+  * caller's per-row IOException discipline — so every row of an
+  * unopenable file retries, throws, and is counted individually. */
+private[graft] final class ReusedFsStream(
+    conf: org.apache.hadoop.conf.Configuration) {
+  private var curPath: String = null
+  private var curStream: org.apache.hadoop.fs.FSDataInputStream = null
+  Option(org.apache.spark.TaskContext.get())
+    .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+  def close(): Unit = {
+    if (curStream != null)
+      (try curStream.close()
+      catch { case _: java.io.IOException => () })
+    curStream = null; curPath = null
+  }
+  /** The open stream for `p` (reused if current). Throws IOException
+    * when the file cannot be opened — per-row, retried per row. */
+  def forPath(p: String): org.apache.hadoop.fs.FSDataInputStream = {
+    if (p != curPath) {
+      close()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      curStream = hp.getFileSystem(conf).open(hp)
+      curPath = p
+    }
+    curStream
+  }
+}
+
 /** Serializable envelope for a Hadoop `Configuration` (the Hadoop class
   * itself is a `Writable`, not java-serializable): ships the session's
   * conf — filesystem implementations, credentials, overrides — to

@@ -72,6 +72,15 @@ class Mp4RangedSpec extends AnyFunSuite {
       "media_path", "media_id", 2, unresolvedCounter = Some(acc))
       .count() == 0L)
     assert(acc.value == 1L)
+    // duplicate media_ids are ambiguous for the id-keyed phase-2
+    // fetch: refused loudly, not silently multiplied
+    val dupPath = listed(dir).limit(1).collect()(0).getString(0)
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.sampleMp4FramesRangedParallel(
+        Seq((3L, dupPath), (3L, dupPath)).toDF("media_id", "media_path"),
+        "media_path", "media_id", 2).count()
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("ranged path has no file-size ceiling where whole-file ingestion fails") {
