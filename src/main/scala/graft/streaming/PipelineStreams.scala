@@ -488,6 +488,56 @@ object PipelineStreams {
       }
       .start()
 
+  /** Continuous crawl ingestion — the streaming twin of the WARC front
+    * door: a directory watched by Spark's file stream source (the
+    * `binaryFile` format streams like any file source: each new
+    * .warc.gz that LANDS in `dir` becomes rows of exactly one
+    * micro-batch, files tracked by the source's checkpoint log), walked
+    * by the SAME per-member decompression + record parse as the batch
+    * path — a stateless 1:1 mapPartitions, so the stream needs no
+    * state store, no watermark, and emits rows at ingest rate. Late
+    * files are simply new files (the source keys on path); re-dropped
+    * paths are NOT re-processed (file-source semantics — crawlers
+    * write each segment once). `idCol` is parsed from the filename
+    * with `idPattern`'s first capture group. Output rows ≡
+    * [[graft.pipeline.WarcOps.warcRecordsGz]] over the same files,
+    * pinned by WarcIngestStreamSpec. */
+  def warcIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       glob: String = "*.warc.gz",
+                       idPattern: String = "clip_(\\d+)\\.warc\\.gz$",
+                       maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val bin = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .withColumn("media_id",
+        regexp_extract(col("path"), idPattern, 1).cast("long"))
+    graft.pipeline.WarcOps.warcRecordsGz(bin, "content", "media_id")
+  }
+
+  /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
+    * filter + the columnar HTML extractor + token counts — the batch
+    * `q_warc_text` chain applied to the live crawl tap; still fully
+    * stateless (map-only over each micro-batch). */
+  def warcTextStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     glob: String = "*.warc.gz",
+                     idPattern: String = "clip_(\\d+)\\.warc\\.gz$",
+                     maxFilesPerTrigger: Int = 1000): DataFrame =
+    warcIngestStream(spark, dir, glob, idPattern, maxFilesPerTrigger)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("media_id"), col("record_idx"),
+        graft.pipeline.WarcOps.htmlText(col("body")).as("text"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+
   /** Event-time windowed aggregation with watermark: per-window, per-key
     * counts and an exact decimal sum — the canonical
     * readStream→window→agg shape (append mode emits a window once the

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Continuous crawl ingestion: .warc.gz files dropped into a watched
+  * directory stream through the SAME record walk as the batch path —
+  * two file drops become two micro-batches whose union is exactly the
+  * batch walk over the same files, and the text tap applies the
+  * q_warc_text chain live. Stateless end to end: no state store, no
+  * watermark, files tracked by the source's checkpoint log. */
+class WarcIngestStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def awaitSink(label: String)(pred: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!pred && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(pred, s"timed out waiting for: $label")
+  }
+
+  private def drop(dir: String, ids: Seq[Long]): Unit =
+    graft.sources.TableSources.writeBinaryDir(
+      graft.pipeline.WarcOps.encodeSyntheticWarcGz(ids.toDF("id"), "id"),
+      dir, "media_id", "content", ".warc.gz")
+
+  test("files landing in the watched dir stream through the record walk; " +
+    "batches union to the batch walk over the same files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-live").toString
+    drop(dir, Seq(0L, 1L))
+    val out = PipelineStreams.warcIngestStream(spark, dir)
+    val query = out.writeStream.format("memory").queryName("warc_live")
+      .outputMode("append").start()
+    def sink = spark.table("warc_live").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      def expect(ids: Seq[Long]) = ids.flatMap(id =>
+        (0L to graft.pipeline.WarcOps.synthWarcResponses(id).toLong)
+          .map(id -> _)).toSet
+      awaitSink("first drop")(sink == expect(Seq(0L, 1L)))
+      drop(dir, Seq(2L, 3L)) // the second crawl segment lands later
+      awaitSink("second drop")(sink == expect(Seq(0L, 1L, 2L, 3L)))
+    } finally query.stop()
+    // every column equals the batch walk over the same four files
+    val streamed = spark.table("warc_live").collect().map(_.toSeq).toSet
+    val batch = graft.pipeline.WarcOps.warcRecordsGz(
+      graft.sources.TableSources.readBinaryDir(spark, dir, "*.warc.gz")
+        .withColumn("media_id", regexp_extract(col("media_path"),
+          "clip_(\\d+)\\.warc\\.gz$", 1).cast("long")),
+      "content", "media_id").collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("the text tap applies the q_warc_text chain to the live stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-livet").toString
+    drop(dir, Seq(2L, 5L))
+    val out = PipelineStreams.warcTextStream(spark, dir)
+    val query = out.writeStream.format("memory").queryName("warc_live_text")
+      .outputMode("append").start()
+    def sink = spark.table("warc_live_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    try {
+      val expected = Seq(2L, 5L).flatMap { id =>
+        (0 until graft.pipeline.WarcOps.synthWarcResponses(id))
+          .filter(r => (id + r) % 5 != 0)
+          .map { r =>
+            val words = (0 until graft.pipeline.WarcOps.synthWarcWords(id, r))
+              .map(k => s"w${id}_${r}_$k").mkString(" ")
+            val text = s"t${id}_$r $words & tail"
+            (id, r + 1L, text,
+              graft.pipeline.WarcOps.synthWarcWords(id, r) + 3L)
+          }
+      }.toSet
+      awaitSink("text rows")(sink == expected)
+    } finally query.stop()
+  }
+}
