@@ -615,6 +615,45 @@ object WarcOps {
       .select(outSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Per-record byte-range index over PLAIN (uncompressed) .warc files
+    * — the CDX analogue without the compression layer: record extents
+    * come straight from the parser (start to payload end, the minimal
+    * slice that re-parses as exactly that record), so the index falls
+    * out of the SAME forward walk that extracts the records. Row shape
+    * is identical to [[warcMemberIndex]] (member_offset/member_length
+    * name the record's extent here), so the same survivor filters feed
+    * [[warcFetchRangedPlain]]. Prefix discipline and tallying as in
+    * [[warcRecords]]. */
+  def warcRecordIndexPlain(df: DataFrame, contentCol: String, idCol: String,
+                           unresolvedCounter: Option[
+                             org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val outSchema = WarcIndexSchema
+    val in = df.select(col(idCol).cast("long").as("media_id"),
+      col(contentCol).cast("binary").as("content"))
+    in.mapPartitions { it =>
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "warcRecordIndexPlain")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        tally.walked(try {
+          val extents =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val recs = parseOne(id, bytes, WarcRecordSchema, extents)
+          recs.iterator.zip(extents.iterator).zipWithIndex.map {
+            case ((rec, (off, len)), i) =>
+              new GenericRowWithSchema(Array[Any](
+                id, i.toLong, off, len, rec.get(2), rec.get(3), rec.get(4),
+                rec.get(5)), outSchema): Row
+          }.toSeq
+        } catch {
+          case _: IndexOutOfBoundsException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
   /** Fetch ONLY the surviving records of an indexed .warc.gz corpus by
     * byte range — the second-pass primitive: `index` is (a filtered
     * view of) [[warcMemberIndex]]'s output, `files` maps media_id to
@@ -645,7 +684,46 @@ object WarcOps {
                         org.apache.spark.util.LongAccumulator] = None,
                       maxPlainBytes: Long = 1L << 30,
                       coalesceGap: Long = 0L,
-                      maxBatchBytes: Long = 64L << 20): DataFrame = {
+                      maxBatchBytes: Long = 64L << 20): DataFrame =
+    fetchRangedCore(files, pathCol, idCol, index, unresolvedCounter,
+      coalesceGap, maxBatchBytes, "warcFetchRanged") { (id, len, member) =>
+      // the slice must be exactly one CRC-verified gzip member whose
+      // plain bytes hold exactly one record
+      gzipMembers(member, maxPlainBytes) match {
+        case Seq((0L, l, plain)) if l == len =>
+          parseOne(id, plain, WarcRecordSchema)
+        case _ => Nil // member ≠ its exact indexed extent
+      }
+    }
+
+  /** [[warcFetchRanged]] for PLAIN (uncompressed) .warc corpora: the
+    * index comes from [[warcRecordIndexPlain]] (record extents straight
+    * from the parser — no compression layer), and each fetched slice
+    * re-parses directly. Same coalescing, range partitioning, and
+    * per-record error discipline. */
+  def warcFetchRangedPlain(files: DataFrame, pathCol: String, idCol: String,
+                           index: DataFrame,
+                           unresolvedCounter: Option[
+                             org.apache.spark.util.LongAccumulator] = None,
+                           coalesceGap: Long = 0L,
+                           maxBatchBytes: Long = 64L << 20): DataFrame =
+    fetchRangedCore(files, pathCol, idCol, index, unresolvedCounter,
+      coalesceGap, maxBatchBytes, "warcFetchRangedPlain") { (id, _, slice) =>
+      parseOne(id, slice, WarcRecordSchema)
+    }
+
+  /** The shared fetch engine behind both storage layouts: batching,
+    * coalescing, range partitioning, stream reuse, and per-record
+    * accounting live HERE once; `decodeMember(id, indexedLen, slice)`
+    * turns one fetched byte slice into its record rows (anything but
+    * exactly one row is counted as data). */
+  private def fetchRangedCore(files: DataFrame, pathCol: String,
+                              idCol: String, index: DataFrame,
+                              unresolvedCounter: Option[
+                                org.apache.spark.util.LongAccumulator],
+                              coalesceGap: Long, maxBatchBytes: Long,
+                              label: String)(
+      decodeMember: (Long, Long, Array[Byte]) => Seq[Row]): DataFrame = {
     require(coalesceGap >= 0, s"coalesceGap must be >= 0: $coalesceGap")
     require(maxBatchBytes >= 1, s"maxBatchBytes must be >= 1: $maxBatchBytes")
     val outSchema = WarcRecordSchema
@@ -674,7 +752,7 @@ object WarcOps {
       .sortWithinPartitions(col("p"), col("member_offset"))
     work.mapPartitions { it =>
       val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
-        "warcFetchRanged")
+        label)
       val streams = new graft.sources.ReusedFsStream(bconf.value.value)
       def validLen(l: Long): Boolean = l >= 0 && l <= Int.MaxValue - 16
       // assemble maximal coalesced batches from the (path, offset)-sorted
@@ -736,17 +814,13 @@ object WarcOps {
               try {
                 val member = java.util.Arrays.copyOfRange(
                   b, (off - start).toInt, (off - start + len).toInt)
-                gzipMembers(member, maxPlainBytes) match {
-                  case Seq((0L, l, plain)) if l == len =>
-                    parseOne(id, plain, outSchema) match {
-                      case Seq(rec) => // re-stamp the corpus record_idx
-                        val vals =
-                          Array.tabulate[Any](outSchema.size)(rec.get)
-                        vals(1) = recordIdx
-                        Seq(new GenericRowWithSchema(vals, outSchema): Row)
-                      case _ => Nil // ≠ 1 record in the member: counted
-                    }
-                  case _ => Nil // member ≠ its exact indexed extent
+                decodeMember(id, len, member) match {
+                  case Seq(rec) => // re-stamp the corpus record_idx
+                    val vals =
+                      Array.tabulate[Any](outSchema.size)(rec.get)
+                    vals(1) = recordIdx
+                    Seq(new GenericRowWithSchema(vals, outSchema): Row)
+                  case _ => Nil // ≠ 1 record in the slice: data, counted
                 }
               } catch {
                 case _: IndexOutOfBoundsException => Nil
@@ -796,8 +870,15 @@ object WarcOps {
     }(Encoders.row(outSchema))
   }
 
+  /** One forward record walk; `extents` (when supplied) collects each
+    * record's byte extent [start, payload end) — the minimal slice that
+    * re-parses as exactly that one record (the trailing separator is
+    * optional to the parser, so it is excluded): the PLAIN-warc
+    * analogue of a gzip member's (offset, length). */
   private def parseOne(id: Long, bytes: Array[Byte],
-                       outSchema: StructType): Seq[Row] = {
+                       outSchema: StructType,
+                       extents: scala.collection.mutable.ArrayBuffer[
+                         (Long, Long)] = null): Seq[Row] = {
     val s = new String(bytes, "ISO-8859-1") // byte-preserving: 1 char = 1 byte
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     var p = 0
@@ -845,6 +926,8 @@ object WarcOps {
         id, idx, headers.getOrElse("warc-type", ""),
         headers.getOrElse("warc-target-uri", null),
         len, status, body), outSchema)
+      if (extents != null)
+        extents += ((p.toLong, (payStart + len.toInt - p).toLong))
       idx += 1
       // the two CRLFs separating records; a file ending exactly at the
       // payload keeps the record (trailing separator optional)

@@ -166,6 +166,13 @@ object TextQueries {
     // really straddle members in the oracle run; identical output,
     // shared oracle
     GraftQuery("q_warc_index_sharded", warcIndexShardedQ, Some(warcIndexSql)),
+    // the CDX analogue for PLAIN (uncompressed) .warc corpora: record
+    // extents fall out of the record walk itself (no compression
+    // layer), and the fetch re-parses the exact slices — same shapes,
+    // shared oracles with the gz twins
+    GraftQuery("q_warc_index_plain", warcIndexPlainQ, Some(warcIndexSql)),
+    GraftQuery("q_warc_fetch_ranged_plain", warcFetchRangedPlainQ,
+      Some(warcFetchRangedSql)),
     // the crawl front door END TO END in one declarative plan: stored
     // .warc.gz files → record walk → status-200 responses → columnar
     // HTML extraction → token-count quality gate → packed-pretraining
@@ -373,6 +380,56 @@ object TextQueries {
         shardBytes = 1024L, windowBytes = 1024)
       .select("media_id", "record_idx", "warc_type", "target_uri",
         "content_length", "http_status")
+  }
+
+  /** The PLAIN .warc twin of [[stagedWarcGzDir]] (same memo rationale);
+    * files carry a .warc extension so globs cannot cross-match. */
+  private val stagedWarcPlainDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedWarcPlainDir(spark: SparkSession, sfDir: String): String =
+    stagedWarcPlainDirs.getOrElseUpdate(sfDir, {
+      val keys = docs(spark, sfDir)
+        .select((col("doc_id") % 40).as("warc_key")).distinct()
+      val d = graft.sources.TableSources.scratchDir("graft-warc-plain")
+      graft.sources.TableSources.writeBinaryDir(
+        graft.pipeline.WarcOps.encodeSyntheticWarc(keys, "warc_key"),
+        d, "media_id", "content", ".warc")
+      d
+    })
+  private def warcPlainMediaId =
+    regexp_extract(col("media_path"), "clip_(\\d+)\\.warc$", 1).cast("long")
+
+  /** [[warcIndexQ]] over the PLAIN corpus: record extents from the
+    * parser itself; identical header fields, shared oracle. */
+  def warcIndexPlainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcPlainDir(spark, sfDir)
+    val stored = graft.sources.TableSources
+      .readBinaryDir(spark, dir, "*.warc")
+      .withColumn("media_id", warcPlainMediaId)
+    graft.pipeline.WarcOps.warcRecordIndexPlain(stored, "content", "media_id")
+      .select("media_id", "record_idx", "warc_type", "target_uri",
+        "content_length", "http_status")
+  }
+
+  /** [[warcFetchRangedQ]]'s plain twin: index persisted, status-200
+    * survivors fetched by raw byte range (coalesced), output ≡ the full
+    * walk restricted — shared oracle. */
+  def warcFetchRangedPlainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcPlainDir(spark, sfDir)
+    val stored = graft.sources.TableSources
+      .readBinaryDir(spark, dir, "*.warc")
+      .withColumn("media_id", warcPlainMediaId)
+    val idxDir = s"$dir/_index"
+    graft.pipeline.WarcOps
+      .warcRecordIndexPlain(stored, "content", "media_id")
+      .write.mode("overwrite").parquet(idxDir)
+    val survivors = spark.read.parquet(idxDir)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+    val files = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc")
+      .withColumn("media_id", warcPlainMediaId)
+    graft.pipeline.WarcOps.warcFetchRangedPlain(
+      files, "media_path", "media_id", survivors, coalesceGap = 1024L)
   }
 
   private val E2E_CRAWL_MIN_TOKENS = 10L
