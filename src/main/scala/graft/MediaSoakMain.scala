@@ -247,6 +247,19 @@ object MediaSoakMain {
     }
     require(gotIdxRows == expIdxRows,
       s"warc index rows: got $gotIdxRows, closed form $expIdxRows")
+    // the SHARDED builder over the same corpus: shard spans far below
+    // the file sizes (boundary sync + straddling members at scale), row
+    // count required against the same closed form
+    val (gotShard, tShard) = time(
+      f"sharded index build over $nWIdx%,d files (1 KB shards)") {
+      graft.pipeline.WarcOps.warcMemberIndexSharded(
+        filesIdx, "media_path", "media_id",
+        shardBytes = 1024L, windowBytes = 1024).count()
+    }
+    require(gotShard == expIdxRows,
+      s"sharded index rows: got $gotShard, closed form $expIdxRows")
+    println(f"  sharded: ${nWIdx / tShard}%,.0f files/s at ~2 shards/file " +
+      "(sync + straddle per shard), rows == sequential closed form")
     val index = spark.read.parquet(idxPath)
     val survivors = index.filter(col("media_id") % 100 === 0 &&
       col("warc_type") === "response" && col("http_status") === 200)
@@ -261,6 +274,15 @@ object MediaSoakMain {
     require(fetchAgg.getLong(0) == expFetch,
       s"fetched records: got ${fetchAgg.getLong(0)}, closed form $expFetch")
     require(fetchAgg.getLong(1) > 0L, "fetched bodies must be non-empty")
+    // the COALESCED path at scale: a 1 MB gap merges each file's two
+    // adjacent survivors into one read — identical records required
+    val coalesced = graft.pipeline.WarcOps.warcFetchRanged(
+        filesW, "media_path", "media_id", survivors,
+        coalesceGap = 1L << 20)
+      .agg(count(lit(1)), sum(length(col("body")))).collect()(0)
+    require(coalesced.getLong(0) == expFetch &&
+      coalesced.getLong(1) == fetchAgg.getLong(1),
+      "coalesced fetch must return the identical records")
     val survivorBytes = survivors.agg(sum(col("member_length")))
       .collect()(0).getLong(0)
     val corpusBytes = filesW.agg(sum(col("media_len"))).collect()(0).getLong(0)

@@ -504,6 +504,87 @@ object MkvOps {
     out.toSeq
   }
 
+  /** [[sampleMkvFrames]] over ON-DISK files — the ranged, intra-file-
+    * parallel form (the `sampleMp4FramesRangedParallel` shape on the
+    * EBML grammar): phase 1 resolves block tables per file via the
+    * ranged header hops ([[mkvBlockTableRanged]] — headers only, frame
+    * payloads untouched), phase 2 RANGE-partitions the stride-kept
+    * blocks on (path, offset) and fetches + decodes each payload by
+    * positioned read — a giant clip's decodes spread across tasks,
+    * every partition a contiguous offset slice (one reused stream).
+    * The narrow kept relation is severed before range partitioning
+    * (RangePartitioner's sampling job would re-run the header walk),
+    * and duplicate ids are refused like the MP4 form (the id-keyed
+    * phase-2 join would fetch from the wrong file). Per-frame error
+    * accounting; decode failures are the codec's data verdict. */
+  def sampleMkvFramesRanged(files: DataFrame, pathCol: String, idCol: String,
+                            stride: Int,
+                            unresolvedCounter: Option[
+                              org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val bconf = files.sparkSession.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        files.sparkSession.sparkContext.hadoopConfiguration))
+    val paths = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    val dupIds = paths.groupBy(col("media_id")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupIds == 0L,
+      s"sampleMkvFramesRanged: duplicate $idCol values in the file " +
+        "listing — phase-2 fetches are keyed by id, so duplicates are " +
+        "ambiguous; deduplicate the listing")
+    val kept = graft.pipeline.Checkpoints.sever(
+      mkvBlockTableRanged(files, pathCol, idCol, unresolvedCounter)
+        .filter(col("block_idx") % stride === 0)
+        .select(col("media_id"), col("block_idx"), col("offset"),
+          col("size"))
+        .join(paths, "media_id"))
+      .repartitionByRange(col("p"), col("offset"))
+      .sortWithinPartitions(col("p"), col("offset"))
+    kept.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val streams = new graft.sources.ReusedFsStream(bconf.value.value)
+      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
+        "sampleMkvFramesRanged")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val frameIdx = r.getLong(1)
+        val off = r.getLong(2)
+        val szL = r.getLong(3)
+        val p = r.getString(4)
+        val frame =
+          if (szL < 0 || szL > Int.MaxValue - 16) { tally.undecodable(); None }
+          else try {
+            val f = new Array[Byte](szL.toInt)
+            streams.forPath(p).readFully(off, f, 0, f.length)
+            Some(f)
+          } catch {
+            case _: java.io.IOException => tally.undecodable(); None
+          }
+        frame.flatMap { bytes =>
+          try MultimodalOps.frameChannelSums(bytes)
+          catch {
+            case _: java.io.IOException => tally.undecodable(); None
+            case scala.util.control.NonFatal(_) =>
+              tally.undecodable(); None
+          }
+        }.map { case (w, h, sr, sg, sb) =>
+          new GenericRowWithSchema(Array[Any](
+            id, frameIdx, w, h, sr, sg, sb), outSchema): Row
+        }
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
   /** Block-table-driven frame sampling + REAL decode — the MKV twin of
     * `sampleMp4Frames`: blocks with index ≡ 0 (mod stride) slice their
     * payload by the RESOLVED (offset, size) and decode through the

@@ -96,6 +96,11 @@ object MultimodalQueries {
       bench = true),
     // the one logical clip through its SIXTH container
     GraftQuery("q_video_frames_mkv", videoFramesMkv, Some(videoFramesSql)),
+    // the EBML grammar's ranged + intra-file-parallel frame decode:
+    // header-hop block tables per file, then range-partitioned payload
+    // fetch+decode — identical output, shared one-clip frame oracle
+    GraftQuery("q_video_frames_mkv_ranged", videoFramesMkvRanged,
+      Some(videoFramesSql)),
     // the MKV corpus off real files via element-header hops — fetched
     // bytes O(blocks·16), frame payloads never read; shared oracle
     GraftQuery("q_video_mkv_meta_ranged", videoMkvMetaRanged,
@@ -459,6 +464,18 @@ object MultimodalQueries {
     graft.pipeline.MkvOps.sampleMkvFrames(
       graft.pipeline.MkvOps.encodeSyntheticMkvVideo(ids, "doc_id"),
       "content", "media_id", VF_STRIDE)
+  }
+
+  /** [[videoFramesMkv]] off on-disk files: ranged header-hop block
+    * tables + range-partitioned payload fetch/decode; identical output,
+    * shared oracle. */
+  def videoFramesMkvRanged(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = stagedFiles(spark, sfDir, "mkvv-ranged", ".mkv")(
+      graft.pipeline.MkvOps.encodeSyntheticMkvVideo(
+        Tables.read(spark, sfDir, "documents").select(col("doc_id")),
+        "doc_id"))
+    graft.pipeline.MkvOps.sampleMkvFramesRanged(
+      files, "media_path", "media_id", VF_STRIDE)
   }
 
   /** [[videoFramesAvi]] with the frames REALLY coded as JPEG (Motion-

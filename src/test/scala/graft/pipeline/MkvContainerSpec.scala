@@ -257,4 +257,34 @@ class MkvContainerSpec extends AnyFunSuite {
       "content", "media_id", 2).collect().map(_.toSeq).toSet
     assert(got == viaMp4 && got.nonEmpty)
   }
+
+  test("the ranged + intra-file-parallel MKV frame decode matches the " +
+    "in-memory form; ghost files count, duplicate ids refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mkvv").toString
+    graft.sources.TableSources.writeBinaryDir(
+      MkvOps.encodeSyntheticMkvVideo(ids.toDF("id"), "id"),
+      dir, "media_id", "content", ".mkv")
+    val files = graft.sources.TableSources.listBinaryDir(spark, dir, "*.mkv")
+      .withColumn("media_id",
+        regexp_extract(col("media_path"), "clip_(\\d+)\\.mkv$", 1)
+          .cast("long"))
+    val inMem = MkvOps.sampleMkvFrames(
+      MkvOps.encodeSyntheticMkvVideo(ids.toDF("id"), "id"),
+      "content", "media_id", 2).collect().map(_.toSeq).toSet
+    val ranged = MkvOps.sampleMkvFramesRanged(
+      files, "media_path", "media_id", 2).collect().map(_.toSeq).toSet
+    assert(ranged == inMem && ranged.nonEmpty)
+    val acc = spark.sparkContext.longAccumulator("mkvv-ranged-acct")
+    assert(MkvOps.sampleMkvFramesRanged(
+      Seq((7L, s"$dir/missing.mkv")).toDF("media_id", "media_path"),
+      "media_path", "media_id", 2, Some(acc)).count() == 0L)
+    assert(acc.value == 1L)
+    val somePath = files.limit(1).collect()(0).getString(0)
+    val e = intercept[IllegalArgumentException] {
+      MkvOps.sampleMkvFramesRanged(
+        Seq((3L, somePath), (3L, somePath)).toDF("media_id", "media_path"),
+        "media_path", "media_id", 2).count()
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }
