@@ -523,66 +523,13 @@ object MkvOps {
                               org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_idx", LongType, nullable = false),
-      StructField("width", LongType, nullable = false),
-      StructField("height", LongType, nullable = false),
-      StructField("sum_r", LongType, nullable = false),
-      StructField("sum_g", LongType, nullable = false),
-      StructField("sum_b", LongType, nullable = false)))
-    val bconf = files.sparkSession.sparkContext.broadcast(
-      new graft.sources.SerializableHadoopConf(
-        files.sparkSession.sparkContext.hadoopConfiguration))
-    val paths = files.select(col(idCol).cast("long").as("media_id"),
-      col(pathCol).cast("string").as("p"))
-    val dupIds = paths.groupBy(col("media_id")).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dupIds == 0L,
-      s"sampleMkvFramesRanged: duplicate $idCol values in the file " +
-        "listing — phase-2 fetches are keyed by id, so duplicates are " +
-        "ambiguous; deduplicate the listing")
-    val kept = graft.pipeline.Checkpoints.sever(
+    MultimodalOps.rangedFrameDecodeCore(files, pathCol, idCol,
+      "sampleMkvFramesRanged", unresolvedCounter) {
       mkvBlockTableRanged(files, pathCol, idCol, unresolvedCounter)
         .filter(col("block_idx") % stride === 0)
-        .select(col("media_id"), col("block_idx"), col("offset"),
-          col("size"))
-        .join(paths, "media_id"))
-      .repartitionByRange(col("p"), col("offset"))
-      .sortWithinPartitions(col("p"), col("offset"))
-    kept.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val streams = new graft.sources.ReusedFsStream(bconf.value.value)
-      val tally = new MultimodalOps.MediaUnresolvedTally(unresolvedCounter,
-        "sampleMkvFramesRanged")
-      it.flatMap { r =>
-        val id = r.getLong(0)
-        val frameIdx = r.getLong(1)
-        val off = r.getLong(2)
-        val szL = r.getLong(3)
-        val p = r.getString(4)
-        val frame =
-          if (szL < 0 || szL > Int.MaxValue - 16) { tally.undecodable(); None }
-          else try {
-            val f = new Array[Byte](szL.toInt)
-            streams.forPath(p).readFully(off, f, 0, f.length)
-            Some(f)
-          } catch {
-            case _: java.io.IOException => tally.undecodable(); None
-          }
-        frame.flatMap { bytes =>
-          try MultimodalOps.frameChannelSums(bytes)
-          catch {
-            case _: java.io.IOException => tally.undecodable(); None
-            case scala.util.control.NonFatal(_) =>
-              tally.undecodable(); None
-          }
-        }.map { case (w, h, sr, sg, sb) =>
-          new GenericRowWithSchema(Array[Any](
-            id, frameIdx, w, h, sr, sg, sb), outSchema): Row
-        }
-      } ++ tally.closeIter()
-    }(Encoders.row(outSchema))
+        .select(col("media_id"), col("block_idx").as("frame_idx"),
+          col("offset"), col("size"))
+    }
   }
 
   /** Block-table-driven frame sampling + REAL decode — the MKV twin of

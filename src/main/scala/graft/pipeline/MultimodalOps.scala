@@ -2432,6 +2432,33 @@ object MultimodalOps {
                                       org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    rangedFrameDecodeCore(files, pathCol, idCol,
+      "sampleMp4FramesRangedParallel", unresolvedCounter) {
+      mp4SampleTableRanged(files, pathCol, idCol, maxMoovBytes,
+          unresolvedCounter)
+        .filter(col("sample_idx") % stride === 0)
+        .select(col("media_id"), col("sample_idx").as("frame_idx"),
+          col("offset"), col("size"))
+    }
+  }
+
+  /** The shared phase-2 engine behind the intra-file-parallel frame
+    * decodes (MP4 and MKV): `keptBlocks` is the phase-1 resolver's
+    * stride-kept NARROW relation of (media_id, frame_idx, offset,
+    * size); this core joins it to paths (refusing duplicate ids —
+    * the id-keyed join would fetch ranges from the wrong file), SEVERS
+    * it (RangePartitioner's bounds-sampling job would otherwise
+    * re-execute the whole phase-1 resolve, doubling positioned reads
+    * and tallies), range-partitions on (path, offset) so one giant
+    * clip's decodes spread across tasks while each partition stays a
+    * contiguous offset slice (one reused stream), and fetches + REALLY
+    * decodes each payload. Error discipline: open/read failures and
+    * decode rejections count per frame; a RuntimeException OUTSIDE the
+    * codec call is a walker/infra bug and fails the query. */
+  private[pipeline] def rangedFrameDecodeCore(
+      files: DataFrame, pathCol: String, idCol: String, label: String,
+      unresolvedCounter: Option[org.apache.spark.util.LongAccumulator])(
+      keptBlocks: => DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", LongType, nullable = false),
@@ -2445,34 +2472,20 @@ object MultimodalOps {
         files.sparkSession.sparkContext.hadoopConfiguration))
     val paths = files.select(col(idCol).cast("long").as("media_id"),
       col(pathCol).cast("string").as("p"))
-    // phase 2 keys the fetch by media_id, so a duplicated id would
-    // multiply sample rows against BOTH paths and read byte ranges from
-    // the wrong file — refuse loudly (the listing is metadata-sized, so
-    // the check is one cheap aggregate)
     val dupIds = paths.groupBy(col("media_id")).count()
       .filter(col("count") > 1).limit(1).count()
     require(dupIds == 0L,
-      s"sampleMp4FramesRangedParallel: duplicate $idCol values in the " +
-        "file listing — phase-2 fetches are keyed by id, so duplicates " +
-        "are ambiguous; deduplicate the listing or use sampleMp4FramesRanged")
-    // sever the NARROW kept-sample relation before range partitioning:
-    // RangePartitioner's bounds-sampling job would otherwise re-execute
-    // the whole phase-1 moov resolve (double positioned reads, and the
-    // unresolved tally firing twice per file)
-    val kept = Checkpoints.sever(
-      mp4SampleTableRanged(files, pathCol, idCol, maxMoovBytes,
-          unresolvedCounter)
-        .filter(col("sample_idx") % stride === 0)
-        .select(col("media_id"), col("sample_idx"), col("offset"),
-          col("size"))
-        .join(paths, "media_id"))
+      s"$label: duplicate $idCol values in the file listing — phase-2 " +
+        "fetches are keyed by id, so duplicates are ambiguous; " +
+        "deduplicate the listing or use the one-phase form")
+    val kept = graft.pipeline.Checkpoints.sever(
+        keptBlocks.join(paths, "media_id"))
       .repartitionByRange(col("p"), col("offset"))
       .sortWithinPartitions(col("p"), col("offset"))
     kept.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       val streams = new graft.sources.ReusedFsStream(bconf.value.value)
-      val tally = new MediaUnresolvedTally(unresolvedCounter,
-        "sampleMp4FramesRangedParallel")
+      val tally = new MediaUnresolvedTally(unresolvedCounter, label)
       it.flatMap { r =>
         val id = r.getLong(0)
         val frameIdx = r.getLong(1)

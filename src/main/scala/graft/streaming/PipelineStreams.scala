@@ -498,17 +498,29 @@ object PipelineStreams {
     * state store, no watermark, and emits rows at ingest rate. Late
     * files are simply new files (the source keys on path); re-dropped
     * paths are NOT re-processed (file-source semantics — crawlers
-    * write each segment once). `idCol` is parsed from the filename
-    * with `idPattern`'s first capture group. Output rows ≡
-    * [[graft.pipeline.WarcOps.warcRecordsGz]] over the same files,
-    * pinned by WarcIngestStreamSpec. */
+    * write each segment once); and files whose modification time lags
+    * the newest seen file by more than `maxFileAge` are DROPPED by the
+    * source's seen-files purge (Spark's bound on tracking state). The
+    * 7-day default suits a live tap; pointed at an ARCHIVE spanning
+    * longer, old segments silently miss — raise `maxFileAge` (the cost
+    * is seen-files state) or run the batch walk for backfills. The id
+    * is parsed from the filename with `idPattern`'s first capture
+    * group; a file matching the glob but NOT the pattern is SKIPPED
+    * rather than walked with a null id (the NPE would WEDGE the query:
+    * the checkpointed batch replays the same file on every restart) —
+    * skips are published via the `warc_ingest` observed metric
+    * (`ingested_files`/`unidentified_files` on each progress event).
+    * Output rows ≡ [[graft.pipeline.WarcOps.warcRecordsGz]] over the
+    * same identified files, pinned by WarcIngestStreamSpec. */
   def warcIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
                        glob: String = "*.warc.gz",
                        idPattern: String = "clip_(\\d+)\\.warc\\.gz$",
-                       maxFilesPerTrigger: Int = 1000): DataFrame = {
+                       maxFilesPerTrigger: Int = 1000,
+                       maxFileAge: String = "7d"): DataFrame = {
     val bin = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFileAge", maxFileAge)
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType),
@@ -519,8 +531,16 @@ object PipelineStreams {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
       .load(dir)
+      // a non-matching filename extracts "" — under ANSI mode a bare
+      // cast would THROW (and wedge the query); the guard yields null
       .withColumn("media_id",
-        regexp_extract(col("path"), idPattern, 1).cast("long"))
+        when(regexp_extract(col("path"), idPattern, 1) === "", lit(null))
+          .otherwise(regexp_extract(col("path"), idPattern, 1))
+          .cast("long"))
+      .observe("warc_ingest",
+        count(lit(1)).as("ingested_files"),
+        count(when(col("media_id").isNull, 1)).as("unidentified_files"))
+      .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps.warcRecordsGz(bin, "content", "media_id")
   }
 

@@ -14,9 +14,15 @@ class WarcIngestStreamSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def awaitSink(label: String)(pred: => Boolean): Unit = {
+  private def awaitSink(query: org.apache.spark.sql.streaming.StreamingQuery,
+                        label: String)(pred: => Boolean): Unit = {
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!pred && System.nanoTime() < deadline) Thread.sleep(100)
+    while (!pred && System.nanoTime() < deadline) {
+      // fail FAST with the real stack when the query died — polling the
+      // sink through the full deadline would bury it in a timeout
+      query.exception.foreach(e => throw e)
+      Thread.sleep(100)
+    }
     assert(pred, s"timed out waiting for: $label")
   }
 
@@ -38,14 +44,31 @@ class WarcIngestStreamSpec extends AnyFunSuite {
       def expect(ids: Seq[Long]) = ids.flatMap(id =>
         (0L to graft.pipeline.WarcOps.synthWarcResponses(id).toLong)
           .map(id -> _)).toSet
-      awaitSink("first drop")(sink == expect(Seq(0L, 1L)))
+      awaitSink(query, "first drop")(sink == expect(Seq(0L, 1L)))
+      // a stray filename matching the glob but not the id pattern must
+      // be SKIPPED (not wedge the query with a null-id NPE that would
+      // replay forever from the checkpoint)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "segment-0001.warc.gz"),
+        Array.fill[Byte](16)(0x1F))
       drop(dir, Seq(2L, 3L)) // the second crawl segment lands later
-      awaitSink("second drop")(sink == expect(Seq(0L, 1L, 2L, 3L)))
+      awaitSink(query, "second drop")(sink == expect(Seq(0L, 1L, 2L, 3L)))
+      assert(query.exception.isEmpty,
+        "the stray file must not kill the query")
+      // the skip is observable: some progress event carries the
+      // unidentified_files metric > 0
+      val unidentified = query.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("warc_ingest"))
+          .map(_.getAs[Long]("unidentified_files"))).sum
+      assert(unidentified >= 1L,
+        s"the skipped file must be counted in the observed metric")
     } finally query.stop()
     // every column equals the batch walk over the same four files
     val streamed = spark.table("warc_live").collect().map(_.toSeq).toSet
     val batch = graft.pipeline.WarcOps.warcRecordsGz(
-      graft.sources.TableSources.readBinaryDir(spark, dir, "*.warc.gz")
+      // glob scoped past the stray file — the BATCH path's id cast is
+      // ANSI-strict by design (its callers own their filenames)
+      graft.sources.TableSources.readBinaryDir(spark, dir, "clip_*.warc.gz")
         .withColumn("media_id", regexp_extract(col("media_path"),
           "clip_(\\d+)\\.warc\\.gz$", 1).cast("long")),
       "content", "media_id").collect().map(_.toSeq).toSet
@@ -73,7 +96,7 @@ class WarcIngestStreamSpec extends AnyFunSuite {
               graft.pipeline.WarcOps.synthWarcWords(id, r) + 3L)
           }
       }.toSet
-      awaitSink("text rows")(sink == expected)
+      awaitSink(query, "text rows")(sink == expected)
     } finally query.stop()
   }
 }
