@@ -2297,6 +2297,70 @@ object MultimodalOps {
     * row. Semantics mirror the in-memory walk exactly (same skip/pad
     * grammar, same honest truncation, same whole-clip abort on an
     * undecodable frame), so the two forms share oracles verbatim. */
+  /** RIFF '00dc' frame TABLE off on-disk files by header hops alone —
+    * (media_id, frame_idx, offset, size) with payload bytes untouched:
+    * the table-then-fetch split the other containers already have,
+    * giving AVI a phase-1 for [[sampleAviFramesRangedParallel]]. RIFF
+    * interleaves chunk headers with payload (no central sample table),
+    * so resolving the table is O(chunks) 8-byte hops — the honest RIFF
+    * property — but the hops never read frame bytes. Same truncation
+    * discipline as the one-phase walk (a cut chunk ends the file's
+    * table keeping prior frames). */
+  def aviFrameTableRanged(files: DataFrame, pathCol: String, idCol: String,
+                          unresolvedCounter: Option[
+                            org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false)))
+    val bconf = files.sparkSession.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        files.sparkSession.sparkContext.hadoopConfiguration))
+    val in = files.select(col(idCol).cast("long").as("media_id"),
+      col(pathCol).cast("string").as("p"))
+    in.mapPartitions { it =>
+      val conf = bconf.value.value
+      val tally = new MediaUnresolvedTally(unresolvedCounter,
+        "aviFrameTableRanged")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        tally.walked(try {
+          val path = new org.apache.hadoop.fs.Path(r.getString(1))
+          val fs = path.getFileSystem(conf)
+          val fileLen = fs.getFileStatus(path).getLen
+          val s = fs.open(path)
+          try aviTableWalk(s, fileLen, id, outSchema)
+          finally (try s.close() catch { case _: java.io.IOException => () })
+        } catch {
+          case _: java.io.IOException => Nil
+          case _: IllegalArgumentException => Nil
+          case _: IndexOutOfBoundsException => Nil
+        })
+      } ++ tally.closeIter()
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[sampleAviFramesRanged]] with INTRA-FILE parallelism — the RIFF
+    * edition of the two-phase decode: [[aviFrameTableRanged]] resolves
+    * the frame table per file (headers only), then the kept frames go
+    * through the shared range-partitioned fetch+decode core. */
+  def sampleAviFramesRangedParallel(files: DataFrame, pathCol: String,
+                                    idCol: String, stride: Int,
+                                    unresolvedCounter: Option[
+                                      org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    rangedFrameDecodeCore(files, pathCol, idCol,
+      "sampleAviFramesRangedParallel", unresolvedCounter) {
+      aviFrameTableRanged(files, pathCol, idCol, unresolvedCounter)
+        .filter(col("frame_idx") % stride === 0)
+        .select(col("media_id"), col("frame_idx"), col("offset"),
+          col("size"))
+    }
+  }
+
   def sampleAviFramesRanged(files: DataFrame, pathCol: String, idCol: String,
                             stride: Int,
                             unresolvedCounter: Option[
@@ -2342,6 +2406,70 @@ object MultimodalOps {
   /** One file's ranged RIFF/AVI walk — see [[sampleAviFramesRanged]];
     * every bound mirrors the in-memory walk with `fileLen` standing in
     * for the buffer length. */
+  /** The header-hop loop of [[aviRangedWalk]] emitting the '00dc'
+    * frame TABLE instead of decoding — payload bytes never read. Kept
+    * separate from the decoding walk (not parameterized) because the
+    * two differ in exactly the hot line and a merged form would hide
+    * which one reads payloads. */
+  private def aviTableWalk(s: org.apache.hadoop.fs.FSDataInputStream,
+                           fileLen: Long, id: Long,
+                           outSchema: StructType): Seq[Row] = {
+    val hdr = new Array[Byte](12)
+    def le32(o: Int): Int =
+      (hdr(o) & 0xFF) | ((hdr(o + 1) & 0xFF) << 8) |
+        ((hdr(o + 2) & 0xFF) << 16) | ((hdr(o + 3) & 0xFF) << 24)
+    def cc(o: Int, want: String): Boolean = {
+      var i = 0
+      while (i < 4) { if (hdr(o + i) != want.charAt(i).toByte) return false; i += 1 }
+      true
+    }
+    require(fileLen >= 12)
+    s.readFully(0L, hdr, 0, 12)
+    require(cc(0, "RIFF")) // riff size at 4 intentionally untrusted
+    require(cc(8, "AVI "))
+    var p = 12L
+    var moviStart = -1L; var moviEnd = -1L
+    var corrupt = false
+    while (moviEnd < 0 && !corrupt && p + 8 <= fileLen) {
+      s.readFully(p, hdr, 0, 8)
+      val size = le32(4)
+      if (size < 0) corrupt = true
+      else if (cc(0, "LIST") && size >= 4 && p + 12 <= fileLen) {
+        s.readFully(p + 8, hdr, 8, 4)
+        if (cc(8, "movi")) {
+          moviStart = p + 12
+          moviEnd = math.min(p + 12 + (size - 4), fileLen)
+        } else if (p + 8 + size + (size & 1) > fileLen) corrupt = true
+        else p = p + 8 + size + (size & 1)
+      } else if (p + 8 + size + (size & 1) > fileLen) corrupt = true
+      else p = p + 8 + size + (size & 1)
+    }
+    if (moviEnd < 0 || corrupt) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var q = moviStart
+    var j = 0L
+    var intact = true
+    while (intact && q + 8 <= moviEnd) {
+      s.readFully(q, hdr, 0, 8)
+      val len = le32(4)
+      val body = q + 8
+      if (len < 0 || body + len > moviEnd || len > fileLen - body) {
+        intact = false // truncated tail: keep the table so far
+      } else if (cc(0, "00dc")) {
+        out += new GenericRowWithSchema(
+          Array[Any](id, j, body, len.toLong), outSchema)
+        q = body + len
+        if ((len & 1) != 0 && q < fileLen) q += 1
+        j += 1
+      } else {
+        val next = body + len + (len & 1)
+        if (next > fileLen) intact = false
+        else q = next
+      }
+    }
+    out.toSeq
+  }
+
   private def aviRangedWalk(s: org.apache.hadoop.fs.FSDataInputStream,
                             fileLen: Long, id: Long, stride: Int,
                             outSchema: StructType): Seq[Row] = {

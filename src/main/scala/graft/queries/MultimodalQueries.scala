@@ -74,6 +74,11 @@ object MultimodalQueries {
     // the RIFF grammar's no-ceiling form, sharing the sums oracle
     GraftQuery("q_video_frames_avi_ranged", videoFramesAviRanged,
       Some(videoFramesSql)),
+    // RIFF's table-then-fetch split + intra-file-parallel decode: the
+    // header-hop frame table (payloads untouched) feeds the shared
+    // range-partitioned decode core; identical output, shared oracle
+    GraftQuery("q_video_frames_avi_ranged_par", videoFramesAviRangedParallel,
+      Some(videoFramesSql)),
     // FRAGMENTED MP4 (moof/traf/trun — the DASH/HLS layout): empty-stbl
     // init moov + per-fragment sample tables, dts/sample_idx
     // accumulating across fragments, sync on fragment-leading samples;
@@ -299,6 +304,18 @@ object MultimodalQueries {
         Tables.read(spark, sfDir, "documents").select(col("doc_id")),
         "doc_id"))
     MultimodalOps.sampleAviFramesRanged(
+      files, "media_path", "media_id", VF_STRIDE)
+  }
+
+  /** [[videoFramesAviRanged]] through the table-then-fetch split +
+    * shared parallel decode core; identical output, shared oracle. */
+  def videoFramesAviRangedParallel(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    val files = stagedFiles(spark, sfDir, "avi-ranged", ".avi")(
+      MultimodalOps.encodeSyntheticAvi(
+        Tables.read(spark, sfDir, "documents").select(col("doc_id")),
+        "doc_id"))
+    MultimodalOps.sampleAviFramesRangedParallel(
       files, "media_path", "media_id", VF_STRIDE)
   }
 

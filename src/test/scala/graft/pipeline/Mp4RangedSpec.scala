@@ -147,6 +147,11 @@ class Mp4RangedSpec extends AnyFunSuite {
         files, "media_path", "media_id", 2)
       assert(tableRows(ranged) == tableRows(inMem))
       assert(tableRows(ranged).nonEmpty)
+      // the table-then-fetch split + shared parallel decode core must
+      // match both forms exactly, per codec
+      val par = MultimodalOps.sampleAviFramesRangedParallel(
+        files, "media_path", "media_id", 2)
+      assert(tableRows(par) == tableRows(inMem), s"codec $codec")
     }
     // garbage and ghost files resolve to no rows, counted
     val dir = freshDir("avi-ranged-bad")
