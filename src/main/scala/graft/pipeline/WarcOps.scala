@@ -615,6 +615,109 @@ object WarcOps {
       .select(outSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  // ---- the PERSISTED CDX artifact (build / append / read) ----------------
+
+  /** The stored index's meta row: epoch consistency pointer + counts. */
+  private[graft] final case class WarcIndexMeta(
+      epoch: Long, fileCount: Long, recordCount: Long)
+
+  private[graft] def warcIndexEntriesDir(path: String, epoch: Long): String =
+    s"$path/entries/e$epoch"
+
+  private def readWarcIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String): WarcIndexMeta = {
+    val r = MetaIO.readMetaRow(spark, path, "warc index", "index")
+    WarcIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("file_count"),
+      r.getAs[Long]("record_count"))
+  }
+
+  /** Meta swap: write sideways, delete + rename LAST (the shared
+    * artifact seam) — an interrupted build/append leaves the previous
+    * consistent pointer, and the orphaned entries epoch is unreachable
+    * until a successful retry re-points. */
+  private def swapWarcIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String, meta: WarcIndexMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.epoch, meta.fileCount, meta.recordCount))
+      .toDF("epoch", "file_count", "record_count")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"warc index: meta swap $tmp -> $target failed")
+  }
+
+  /** Build the PERSISTED CDX artifact over a .warc.gz corpus — the
+    * tenth artifact lifecycle: epoch-immutable entry relations plus a
+    * meta consistency pointer, so daily crawl segments APPEND at
+    * delta cost ([[appendWarcIndex]]) and every reader resolves one
+    * consistent snapshot ([[readWarcIndex]]). Layout:
+    *
+    *   - `path/entries/e<N>` — the per-record byte-range rows indexed
+    *     by epoch N's build/append (IMMUTABLE once written; built by
+    *     the windowed no-ceiling walker from a content-free listing);
+    *   - `path/meta` — ONE row: `epoch` (readers union entries
+    *     e0..epoch), `file_count`, `record_count`.
+    *
+    * A reader resolves meta ONCE and unions only the pointed epochs —
+    * a racing append's new epoch directory is invisible until its meta
+    * swap lands, so reads are always a consistent snapshot. */
+  def writeWarcIndex(files: DataFrame, pathCol: String, idCol: String,
+                     path: String,
+                     maxPlainBytes: Long = 1L << 30): Unit = {
+    val spark = files.sparkSession
+    warcMemberIndexRanged(files, pathCol, idCol,
+        maxPlainBytes = maxPlainBytes)
+      .write.mode("overwrite").parquet(warcIndexEntriesDir(path, 0L))
+    val entries = spark.read.parquet(warcIndexEntriesDir(path, 0L))
+    import org.apache.spark.sql.functions.countDistinct
+    val agg = entries.agg(count(lit(1)), countDistinct(col("media_id")))
+      .collect()(0)
+    swapWarcIndexMeta(spark, path,
+      WarcIndexMeta(0L, agg.getLong(1), agg.getLong(0)))
+  }
+
+  /** Append a new crawl segment's files to the stored index at DELTA
+    * cost: only files whose media_id is not already indexed are walked
+    * (a re-dropped segment is an idempotent no-op — the anti-join runs
+    * on the NARROW id column of the stored entries, never the corpus),
+    * the new rows land in a fresh immutable epoch directory, and meta
+    * swaps last. */
+  def appendWarcIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      files: DataFrame, pathCol: String, idCol: String,
+                      maxPlainBytes: Long = 1L << 30): Unit = {
+    val meta = readWarcIndexMeta(spark, path)
+    val existing = readWarcIndex(spark, path)
+      .select(col("media_id")).distinct()
+    val fresh = files
+      .withColumn("media_id", col(idCol).cast("long"))
+      .join(existing, Seq("media_id"), "left_anti")
+    val next = meta.epoch + 1
+    warcMemberIndexRanged(fresh, pathCol, "media_id",
+        maxPlainBytes = maxPlainBytes)
+      .write.mode("overwrite").parquet(warcIndexEntriesDir(path, next))
+    import org.apache.spark.sql.functions.countDistinct
+    val added = spark.read.parquet(warcIndexEntriesDir(path, next))
+      .agg(count(lit(1)), countDistinct(col("media_id"))).collect()(0)
+    swapWarcIndexMeta(spark, path, WarcIndexMeta(next,
+      meta.fileCount + added.getLong(1),
+      meta.recordCount + added.getLong(0)))
+  }
+
+  /** One consistent snapshot of the stored index: meta resolves once,
+    * the pointed epochs union — feed (a filtered view of) this to
+    * [[warcFetchRanged]] exactly like a freshly built index. */
+  def readWarcIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val meta = readWarcIndexMeta(spark, path)
+    spark.read.parquet(
+      (0L to meta.epoch).map(warcIndexEntriesDir(path, _)): _*)
+  }
+
   /** Per-record byte-range index over PLAIN (uncompressed) .warc files
     * — the CDX analogue without the compression layer: record extents
     * come straight from the parser (start to payload end, the minimal

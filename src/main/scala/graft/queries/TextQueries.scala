@@ -166,6 +166,14 @@ object TextQueries {
     // really straddle members in the oracle run; identical output,
     // shared oracle
     GraftQuery("q_warc_index_sharded", warcIndexShardedQ, Some(warcIndexSql)),
+    // the PERSISTED CDX artifact (tenth lifecycle): epoch 0 built from
+    // the even-id files, the odd-id segment APPENDED (delta cost,
+    // narrow anti-join), the same segment re-appended as an idempotent
+    // no-op, and the read-back snapshot ≡ the one-shot index — shared
+    // oracle; the fetch row below probes the STORED artifact
+    GraftQuery("q_warc_index_stored", warcIndexStoredQ, Some(warcIndexSql)),
+    GraftQuery("q_warc_fetch_stored", warcFetchStoredQ,
+      Some(warcFetchRangedSql)),
     // the CDX analogue for PLAIN (uncompressed) .warc corpora: record
     // extents fall out of the record walk itself (no compression
     // layer), and the fetch re-parses the exact slices — same shapes,
@@ -429,6 +437,51 @@ object TextQueries {
       .listBinaryDir(spark, dir, "*.warc")
       .withColumn("media_id", warcPlainMediaId)
     graft.pipeline.WarcOps.warcFetchRangedPlain(
+      files, "media_path", "media_id", survivors, coalesceGap = 1024L)
+  }
+
+  /** The stored-CDX lifecycle end to end: build from the even-id
+    * files, append the odd-id segment, re-append it (idempotent
+    * no-op), read the snapshot back. The artifact is rebuilt per
+    * evaluation in its own scratch dir (the LIFECYCLE is the operator
+    * under test, unlike the corpus staging); output ≡ the one-shot
+    * index, shared oracle. */
+  def warcIndexStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcGzDir(spark, sfDir)
+    val files = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", warcGzMediaId)
+    val idxPath = graft.sources.TableSources.scratchDir("graft-warc-cdx")
+    graft.pipeline.WarcOps.writeWarcIndex(
+      files.filter(col("media_id") % 2 === 0), "media_path", "media_id",
+      idxPath)
+    graft.pipeline.WarcOps.appendWarcIndex(spark, idxPath,
+      files.filter(col("media_id") % 2 === 1), "media_path", "media_id")
+    // idempotent: the same segment again adds nothing
+    graft.pipeline.WarcOps.appendWarcIndex(spark, idxPath,
+      files.filter(col("media_id") % 2 === 1), "media_path", "media_id")
+    graft.pipeline.WarcOps.readWarcIndex(spark, idxPath)
+      .select("media_id", "record_idx", "warc_type", "target_uri",
+        "content_length", "http_status")
+  }
+
+  /** Probe the STORED artifact: survivors filtered on the read-back
+    * snapshot, fetched by coalesced byte range — ≡ the full walk
+    * restricted, shared oracle. */
+  def warcFetchStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcGzDir(spark, sfDir)
+    val files = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", warcGzMediaId)
+    val idxPath = graft.sources.TableSources.scratchDir("graft-warc-cdx-f")
+    graft.pipeline.WarcOps.writeWarcIndex(
+      files.filter(col("media_id") % 2 === 0), "media_path", "media_id",
+      idxPath)
+    graft.pipeline.WarcOps.appendWarcIndex(spark, idxPath,
+      files.filter(col("media_id") % 2 === 1), "media_path", "media_id")
+    val survivors = graft.pipeline.WarcOps.readWarcIndex(spark, idxPath)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+    graft.pipeline.WarcOps.warcFetchRanged(
       files, "media_path", "media_id", survivors, coalesceGap = 1024L)
   }
 
