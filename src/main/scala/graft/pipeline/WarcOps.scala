@@ -617,9 +617,10 @@ object WarcOps {
 
   // ---- the PERSISTED CDX artifact (build / append / read) ----------------
 
-  /** The stored index's meta row: epoch consistency pointer + counts. */
+  /** The stored index's meta row: epoch consistency pointers + counts.
+    * Readers union entries [baseEpoch, epoch]; compaction re-bases. */
   private[graft] final case class WarcIndexMeta(
-      epoch: Long, fileCount: Long, recordCount: Long)
+      epoch: Long, baseEpoch: Long, fileCount: Long, recordCount: Long)
 
   private[graft] def warcIndexEntriesDir(path: String, epoch: Long): String =
     s"$path/entries/e$epoch"
@@ -627,8 +628,8 @@ object WarcOps {
   private def readWarcIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                 path: String): WarcIndexMeta = {
     val r = MetaIO.readMetaRow(spark, path, "warc index", "index")
-    WarcIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("file_count"),
-      r.getAs[Long]("record_count"))
+    WarcIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("base_epoch"),
+      r.getAs[Long]("file_count"), r.getAs[Long]("record_count"))
   }
 
   /** Meta swap: write sideways, delete + rename LAST (the shared
@@ -643,8 +644,8 @@ object WarcOps {
     val fs = target.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
     fs.delete(tmp, true)
-    Seq((meta.epoch, meta.fileCount, meta.recordCount))
-      .toDF("epoch", "file_count", "record_count")
+    Seq((meta.epoch, meta.baseEpoch, meta.fileCount, meta.recordCount))
+      .toDF("epoch", "base_epoch", "file_count", "record_count")
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(target, true)
     require(fs.rename(tmp, target),
@@ -678,7 +679,7 @@ object WarcOps {
     val agg = entries.agg(count(lit(1)), countDistinct(col("media_id")))
       .collect()(0)
     swapWarcIndexMeta(spark, path,
-      WarcIndexMeta(0L, agg.getLong(1), agg.getLong(0)))
+      WarcIndexMeta(0L, 0L, agg.getLong(1), agg.getLong(0)))
   }
 
   /** Append a new crawl segment's files to the stored index at DELTA
@@ -703,7 +704,7 @@ object WarcOps {
     import org.apache.spark.sql.functions.countDistinct
     val added = spark.read.parquet(warcIndexEntriesDir(path, next))
       .agg(count(lit(1)), countDistinct(col("media_id"))).collect()(0)
-    swapWarcIndexMeta(spark, path, WarcIndexMeta(next,
+    swapWarcIndexMeta(spark, path, WarcIndexMeta(next, meta.baseEpoch,
       meta.fileCount + added.getLong(1),
       meta.recordCount + added.getLong(0)))
   }
@@ -715,7 +716,27 @@ object WarcOps {
                     path: String): DataFrame = {
     val meta = readWarcIndexMeta(spark, path)
     spark.read.parquet(
-      (0L to meta.epoch).map(warcIndexEntriesDir(path, _)): _*)
+      (meta.baseEpoch to meta.epoch).map(warcIndexEntriesDir(path, _)): _*)
+  }
+
+  /** Compact the stored index: rewrite the current snapshot's union as
+    * ONE fresh epoch and re-base the meta pointers onto it — the
+    * lifecycle step that keeps a daily-append index from accumulating
+    * hundreds of small epoch directories (listing overhead + tiny
+    * files at every read). Epochs below the new base become
+    * UNREACHABLE, never deleted here (a racing reader may still hold
+    * the old pointers — the {current, superseded} GC discipline; a
+    * janitor may remove epochs below base once no reader can hold a
+    * pre-compaction meta). Counts are unchanged; the snapshot is
+    * byte-identical to the pre-compaction read. */
+  def compactWarcIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val meta = readWarcIndexMeta(spark, path)
+    val next = meta.epoch + 1
+    readWarcIndex(spark, path)
+      .write.mode("overwrite").parquet(warcIndexEntriesDir(path, next))
+    swapWarcIndexMeta(spark, path,
+      WarcIndexMeta(next, next, meta.fileCount, meta.recordCount))
   }
 
   /** Per-record byte-range index over PLAIN (uncompressed) .warc files
