@@ -463,9 +463,13 @@ object WarcOps {
     val in = files.select(col(idCol).cast("long").as("media_id"),
         col(pathCol).cast("string").as("p"),
         col(lenCol).cast("long").as("len"))
+      // exact LONG arithmetic for the shard count: ceil over a double
+      // quotient loses integer precision past ~2^53 and would silently
+      // drop a huge file's tail shard. (len-1) div shardBytes is
+      // ceil(len/shardBytes)-1 for len>=1 without the +shardBytes-1
+      // overflow risk; len<=0 yields the single 0-shard via greatest.
       .withColumn("shard", explode(sequence(lit(0L),
-        greatest(ceil(col("len").cast("double") / shardBytes).cast("long"),
-          lit(1L)) - 1L)))
+        greatest(expr(s"(len - 1) div ${shardBytes}L"), lit(0L)))))
       // spread one file's shards across tasks — the whole point
       .repartition(col("p"), col("shard"))
     val raw = in.mapPartitions { it =>
@@ -477,7 +481,14 @@ object WarcOps {
         val len = r.getLong(2)
         val shardStart = r.getLong(3) * shardBytes
         val shardEnd = math.min(shardStart + shardBytes, len)
-        try {
+        // an EMPTY file never enters the span loop (shardEnd == 0), so
+        // tally it here — once, via its single 0-shard — exactly as the
+        // sequential builders count it (tally.walked(Nil)); without
+        // this the scaladoc's "count once per file" claim would hold
+        // for every damage shape except the zero-length one
+        if (len <= 0L) {
+          if (shardStart == 0L) tally.walked(Nil) else Nil
+        } else try {
           val path = new org.apache.hadoop.fs.Path(r.getString(1))
           val s = path.getFileSystem(conf).open(path)
           try {
@@ -617,20 +628,43 @@ object WarcOps {
 
   // ---- the PERSISTED CDX artifact (build / append / read) ----------------
 
-  /** The stored index's meta row: epoch consistency pointers + counts.
-    * Readers union entries [baseEpoch, epoch]; compaction re-bases. */
+  /** The stored index's meta row: epoch consistency pointers + counts +
+    * the last applied streaming batch id. Readers union entries
+    * [baseEpoch, epoch]; compaction re-bases. `lastBatchId` backs the
+    * exactly-once streaming maintenance ([[ingestWarcIndexBatch]]);
+    * -1 = never stream-fed, and batch-API appends leave it untouched. */
   private[graft] final case class WarcIndexMeta(
-      epoch: Long, baseEpoch: Long, fileCount: Long, recordCount: Long)
+      epoch: Long, baseEpoch: Long, fileCount: Long, recordCount: Long,
+      lastBatchId: Long = -1L)
 
   private[graft] def warcIndexEntriesDir(path: String, epoch: Long): String =
     s"$path/entries/e$epoch"
+
+  /** The epoch's WALKED relation (one `media_id` per file handed to the
+    * walk) — deliberately wider than the entries' id set: a file that
+    * indexed ZERO records (empty, corrupt, unreadable) appears here but
+    * not in entries, and the append delta-filter anti-joins THIS
+    * relation, so such a file is walked once and never again. Keying
+    * the filter on record-yielding ids instead would re-walk every
+    * empty file on every daily append forever. */
+  private[graft] def warcIndexWalkedDir(path: String, epoch: Long): String =
+    s"$path/walked/e$epoch"
 
   private def readWarcIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                 path: String): WarcIndexMeta = {
     val r = MetaIO.readMetaRow(spark, path, "warc index", "index")
     WarcIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("base_epoch"),
-      r.getAs[Long]("file_count"), r.getAs[Long]("record_count"))
+      r.getAs[Long]("file_count"), r.getAs[Long]("record_count"),
+      r.getAs[Long]("last_batch_id"))
   }
+
+  /** The stored snapshot's walked-file ids: meta's [base, epoch] union
+    * over the walked relation — the append delta-filter's right side. */
+  private def readWarcIndexWalked(spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  meta: WarcIndexMeta): DataFrame =
+    spark.read.parquet(
+      (meta.baseEpoch to meta.epoch).map(warcIndexWalkedDir(path, _)): _*)
 
   /** Meta swap: write sideways, delete + rename LAST (the shared
     * artifact seam) — an interrupted build/append leaves the previous
@@ -644,8 +678,10 @@ object WarcOps {
     val fs = target.getFileSystem(hconf)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
     fs.delete(tmp, true)
-    Seq((meta.epoch, meta.baseEpoch, meta.fileCount, meta.recordCount))
-      .toDF("epoch", "base_epoch", "file_count", "record_count")
+    Seq((meta.epoch, meta.baseEpoch, meta.fileCount, meta.recordCount,
+        meta.lastBatchId))
+      .toDF("epoch", "base_epoch", "file_count", "record_count",
+        "last_batch_id")
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(target, true)
     require(fs.rename(tmp, target),
@@ -661,52 +697,112 @@ object WarcOps {
     *   - `path/entries/e<N>` — the per-record byte-range rows indexed
     *     by epoch N's build/append (IMMUTABLE once written; built by
     *     the windowed no-ceiling walker from a content-free listing);
-    *   - `path/meta` — ONE row: `epoch` (readers union entries
-    *     e0..epoch), `file_count`, `record_count`.
+    *   - `path/walked/e<N>` — the media_ids WALKED by epoch N
+    *     (record-yielding or not; see [[warcIndexWalkedDir]]) — the
+    *     append delta-filter's key set;
+    *   - `path/meta` — ONE row: `epoch`/`base_epoch` (readers union
+    *     entries e<base>..e<epoch>), `file_count`, `record_count`,
+    *     `last_batch_id` (streaming maintenance pointer).
     *
     * A reader resolves meta ONCE and unions only the pointed epochs —
     * a racing append's new epoch directory is invisible until its meta
     * swap lands, so reads are always a consistent snapshot. */
   def writeWarcIndex(files: DataFrame, pathCol: String, idCol: String,
                      path: String,
-                     maxPlainBytes: Long = 1L << 30): Unit = {
-    val spark = files.sparkSession
-    warcMemberIndexRanged(files, pathCol, idCol,
+                     maxPlainBytes: Long = 1L << 30): Unit =
+    commitWarcIndexEpoch(files.sparkSession, path, files, pathCol, idCol,
+      next = 0L, baseEpoch = 0L, prevFiles = 0L, prevRecords = 0L,
+      lastBatchId = -1L, maxPlainBytes = maxPlainBytes)
+
+  /** Walk `fresh` (the caller has already delta-filtered) into epoch
+    * `next`'s immutable entries + walked relations, then swap meta —
+    * the shared tail of build, append, and streaming ingest. An
+    * interrupted commit leaves the previous consistent pointer; the
+    * orphaned epoch dirs are unreachable until a retry re-points. */
+  private def commitWarcIndexEpoch(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, fresh: DataFrame,
+                                   pathCol: String, idCol: String,
+                                   next: Long, baseEpoch: Long,
+                                   prevFiles: Long, prevRecords: Long,
+                                   lastBatchId: Long,
+                                   maxPlainBytes: Long): Unit = {
+    warcMemberIndexRanged(fresh, pathCol, idCol,
         maxPlainBytes = maxPlainBytes)
-      .write.mode("overwrite").parquet(warcIndexEntriesDir(path, 0L))
-    val entries = spark.read.parquet(warcIndexEntriesDir(path, 0L))
+      .write.mode("overwrite").parquet(warcIndexEntriesDir(path, next))
+    fresh.select(col(idCol).cast("long").as("media_id")).distinct()
+      .write.mode("overwrite").parquet(warcIndexWalkedDir(path, next))
     import org.apache.spark.sql.functions.countDistinct
-    val agg = entries.agg(count(lit(1)), countDistinct(col("media_id")))
-      .collect()(0)
-    swapWarcIndexMeta(spark, path,
-      WarcIndexMeta(0L, 0L, agg.getLong(1), agg.getLong(0)))
+    val added = spark.read.parquet(warcIndexEntriesDir(path, next))
+      .agg(count(lit(1)), countDistinct(col("media_id"))).collect()(0)
+    swapWarcIndexMeta(spark, path, WarcIndexMeta(next, baseEpoch,
+      prevFiles + added.getLong(1), prevRecords + added.getLong(0),
+      lastBatchId))
   }
 
   /** Append a new crawl segment's files to the stored index at DELTA
-    * cost: only files whose media_id is not already indexed are walked
+    * cost: only files whose media_id has never been WALKED are walked
     * (a re-dropped segment is an idempotent no-op — the anti-join runs
-    * on the NARROW id column of the stored entries, never the corpus),
-    * the new rows land in a fresh immutable epoch directory, and meta
-    * swaps last. */
+    * on the NARROW walked relation, never the corpus, and covers
+    * zero-record files too), the new rows land in a fresh immutable
+    * epoch directory, and meta swaps last. */
   def appendWarcIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       files: DataFrame, pathCol: String, idCol: String,
                       maxPlainBytes: Long = 1L << 30): Unit = {
     val meta = readWarcIndexMeta(spark, path)
-    val existing = readWarcIndex(spark, path)
-      .select(col("media_id")).distinct()
+    appendWarcIndexCore(spark, path, meta, files, pathCol, idCol,
+      meta.lastBatchId, maxPlainBytes)
+  }
+
+  private def appendWarcIndexCore(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, meta: WarcIndexMeta,
+                                  files: DataFrame, pathCol: String,
+                                  idCol: String, lastBatchId: Long,
+                                  maxPlainBytes: Long): Unit = {
     val fresh = files
       .withColumn("media_id", col(idCol).cast("long"))
-      .join(existing, Seq("media_id"), "left_anti")
-    val next = meta.epoch + 1
-    warcMemberIndexRanged(fresh, pathCol, "media_id",
-        maxPlainBytes = maxPlainBytes)
-      .write.mode("overwrite").parquet(warcIndexEntriesDir(path, next))
-    import org.apache.spark.sql.functions.countDistinct
-    val added = spark.read.parquet(warcIndexEntriesDir(path, next))
-      .agg(count(lit(1)), countDistinct(col("media_id"))).collect()(0)
-    swapWarcIndexMeta(spark, path, WarcIndexMeta(next, meta.baseEpoch,
-      meta.fileCount + added.getLong(1),
-      meta.recordCount + added.getLong(0)))
+      .join(readWarcIndexWalked(spark, path, meta),
+        Seq("media_id"), "left_anti")
+    commitWarcIndexEpoch(spark, path, fresh, pathCol, "media_id",
+      meta.epoch + 1, meta.baseEpoch, meta.fileCount, meta.recordCount,
+      lastBatchId, maxPlainBytes)
+  }
+
+  /** The stored index's STREAMING maintenance leg — call from a
+    * `foreachBatch` over [[warcIngestStream]]'s file relation so the
+    * landing-dir watcher continuously keeps the CDX artifact current.
+    * Exactly-once across micro-batch replays: each applied batch id is
+    * recorded behind the same last-swapped meta as the epoch pointer
+    * (the quantile-ingest discipline, [[StatsOps.ingestQuantileBatch]]),
+    * so a batch replayed after a crash is recognized and skipped
+    * without listing or walking anything. The walked anti-join already
+    * makes a replay a DATA no-op (every file was recorded walked when
+    * the epoch committed) — the batch pointer additionally spares the
+    * replay its empty epoch commit, so each batch advances the epoch
+    * at most once. A commit that died before the meta swap left the old
+    * pointer and an unreachable orphan epoch — the replayed batch
+    * re-applies cleanly over it. First batch on an empty path builds
+    * the artifact. Returns whether the batch was applied. Batch ids
+    * arrive non-decreasing (Structured Streaming's contract). */
+  def ingestWarcIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                           path: String, files: DataFrame, pathCol: String,
+                           idCol: String, batchId: Long,
+                           maxPlainBytes: Long = 1L << 30): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    if (!metaPath.getFileSystem(hconf).exists(metaPath)) {
+      commitWarcIndexEpoch(spark, path, files, pathCol, idCol,
+        next = 0L, baseEpoch = 0L, prevFiles = 0L, prevRecords = 0L,
+        lastBatchId = batchId, maxPlainBytes = maxPlainBytes)
+      true
+    } else {
+      val meta = readWarcIndexMeta(spark, path)
+      if (batchId <= meta.lastBatchId) false // replayed batch: no-op
+      else {
+        appendWarcIndexCore(spark, path, meta, files, pathCol, idCol,
+          batchId, maxPlainBytes)
+        true
+      }
+    }
   }
 
   /** One consistent snapshot of the stored index: meta resolves once,
@@ -719,24 +815,38 @@ object WarcOps {
       (meta.baseEpoch to meta.epoch).map(warcIndexEntriesDir(path, _)): _*)
   }
 
-  /** Compact the stored index: rewrite the current snapshot's union as
-    * ONE fresh epoch and re-base the meta pointers onto it — the
-    * lifecycle step that keeps a daily-append index from accumulating
-    * hundreds of small epoch directories (listing overhead + tiny
-    * files at every read). Epochs below the new base become
-    * UNREACHABLE, never deleted here (a racing reader may still hold
-    * the old pointers — the {current, superseded} GC discipline; a
-    * janitor may remove epochs below base once no reader can hold a
-    * pre-compaction meta). Counts are unchanged; the snapshot is
-    * byte-identical to the pre-compaction read. */
+  /** Compact the stored index: rewrite the current snapshot's union
+    * (entries AND walked) as ONE fresh epoch and re-base the meta
+    * pointers onto it — the lifecycle step that keeps a daily-append
+    * index from accumulating hundreds of small epoch directories
+    * (listing overhead + tiny files at every read).
+    *
+    * JANITOR discipline — the {current, superseded} GC the other nine
+    * lifecycles get from `MetaIO.pruneEpochs`, adapted to this
+    * artifact's RANGE pointer: after the swap the live window is
+    * {next} and the generation this compaction superseded is
+    * [old base, old epoch] — a racing reader that resolved meta just
+    * before the swap still probes exactly those dirs, so they get one
+    * commit's grace. Everything BELOW the old base was superseded by
+    * an EARLIER compaction (two swaps ago at least — no reader can
+    * hold a pointer into it) and is deleted here, under both relation
+    * roots. Appends never prune: their window [base, epoch] only
+    * grows, so they strand nothing. Without this, every compaction
+    * leaked one full corpus-index copy forever. Counts are unchanged;
+    * the snapshot is byte-identical to the pre-compaction read. */
   def compactWarcIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val meta = readWarcIndexMeta(spark, path)
     val next = meta.epoch + 1
     readWarcIndex(spark, path)
       .write.mode("overwrite").parquet(warcIndexEntriesDir(path, next))
+    readWarcIndexWalked(spark, path, meta).distinct()
+      .write.mode("overwrite").parquet(warcIndexWalkedDir(path, next))
     swapWarcIndexMeta(spark, path,
-      WarcIndexMeta(next, next, meta.fileCount, meta.recordCount))
+      WarcIndexMeta(next, next, meta.fileCount, meta.recordCount,
+        meta.lastBatchId))
+    MetaIO.pruneEpochs(spark, Seq(s"$path/entries", s"$path/walked"),
+      superseded = meta.baseEpoch)
   }
 
   /** Per-record byte-range index over PLAIN (uncompressed) .warc files

@@ -272,20 +272,22 @@ object MultimodalQueries {
     * measure the synthetic encoder instead of the ranged read, and the
     * encoders are deterministic, so a re-stage would produce the
     * byte-identical corpus anyway. Dirs are scratch-registered (cleaned
-    * at JVM exit; long sessions can purgeScratch — the memo is dropped
-    * with the JVM, never stale). Returns the listed files with
-    * media_id parsed from the filename. */
+    * at JVM exit); lookups go through `memoScratchDir`, so a session
+    * that purgeScratch-ed between runs re-stages instead of listing
+    * the deleted dir. Returns the listed files with media_id parsed
+    * from the filename. */
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private[queries] def stagedFiles(spark: SparkSession, sfDir: String,
                                    kind: String, ext: String)(
       build: => DataFrame): DataFrame = {
-    val dir = stagedDirs.getOrElseUpdate((kind, sfDir), {
+    val dir = graft.sources.TableSources.memoScratchDir(
+      stagedDirs, (kind, sfDir)) {
       val d = graft.sources.TableSources.scratchDir(s"graft-$kind")
       graft.sources.TableSources.writeBinaryDir(
         build, d, "media_id", "content", ext)
       d
-    })
+    }
     graft.sources.TableSources.listBinaryDir(spark, dir, s"*$ext")
       .withColumn("media_id",
         regexp_extract(col("media_path"),

@@ -299,7 +299,7 @@ object TextQueries {
   private val stagedWarcDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedWarcGzDir(spark: SparkSession, sfDir: String): String =
-    stagedWarcDirs.getOrElseUpdate(sfDir, {
+    graft.sources.TableSources.memoScratchDir(stagedWarcDirs, sfDir) {
       val keys = docs(spark, sfDir)
         .select((col("doc_id") % 40).as("warc_key")).distinct()
       val d = graft.sources.TableSources.scratchDir("graft-warc-gz")
@@ -307,7 +307,7 @@ object TextQueries {
         graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
         d, "media_id", "content", ".warc.gz")
       d
-    })
+    }
   private def warcGzMediaId =
     regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
       .cast("long")
@@ -395,7 +395,7 @@ object TextQueries {
   private val stagedWarcPlainDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedWarcPlainDir(spark: SparkSession, sfDir: String): String =
-    stagedWarcPlainDirs.getOrElseUpdate(sfDir, {
+    graft.sources.TableSources.memoScratchDir(stagedWarcPlainDirs, sfDir) {
       val keys = docs(spark, sfDir)
         .select((col("doc_id") % 40).as("warc_key")).distinct()
       val d = graft.sources.TableSources.scratchDir("graft-warc-plain")
@@ -403,7 +403,7 @@ object TextQueries {
         graft.pipeline.WarcOps.encodeSyntheticWarc(keys, "warc_key"),
         d, "media_id", "content", ".warc")
       d
-    })
+    }
   private def warcPlainMediaId =
     regexp_extract(col("media_path"), "clip_(\\d+)\\.warc$", 1).cast("long")
 

@@ -186,10 +186,31 @@ object TableSources {
 
   /** Eagerly delete every scratch dir handed out so far and empty the
     * registry. Only call when no DataFrame built over a scratch dir is
-    * still unevaluated/cached — the dirs ARE their storage. */
+    * still unevaluated/cached — the dirs ARE their storage. Callers
+    * that MEMOIZE a scratch dir must look it up through
+    * [[memoScratchDir]], which re-stages after a purge. */
   def purgeScratch(): Unit = {
     var d = scratchDirs.poll()
     while (d != null) { deleteTree(d); d = scratchDirs.poll() }
+  }
+
+  /** Memoized scratch-dir lookup that survives [[purgeScratch]]: the
+    * memo maps a key to a staged dir, and a hit whose directory no
+    * longer EXISTS (purged — or deleted by anything else) is dropped
+    * and re-staged instead of handing out a dangling path (listing a
+    * deleted dir fails or silently returns empty). `stage` must create
+    * the dir via [[scratchDir]] so the re-staged copy re-registers for
+    * cleanup. Two threads racing a stale entry may both stage; one
+    * result wins the memo and the loser's dir is reaped at
+    * purge/exit — staging is deterministic, so either is correct. */
+  def memoScratchDir[K](memo: scala.collection.concurrent.TrieMap[K, String],
+                        key: K)(stage: => String): String = {
+    val hit = memo.getOrElseUpdate(key, stage)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(hit))) hit
+    else {
+      memo.remove(key, hit)
+      memo.getOrElseUpdate(key, stage)
+    }
   }
 
   /** Distributed media-corpus writer: one FILE per row via the Hadoop
@@ -202,10 +223,16 @@ object TableSources {
     * Safe under SPECULATIVE EXECUTION and retries: each attempt writes
     * to a dot-prefixed temp name carrying its task-attempt id (dot
     * files are invisible to Spark's file listing, so a concurrent
-    * reader never sees a half-written file) and RENAMES into place —
+    * reader never sees a HALF-WRITTEN file) and RENAMES into place —
     * two attempts of the same task write identical bytes, so whichever
     * rename lands last simply re-places the same content, and a loser
-    * whose rename fails deletes its own temp. */
+    * whose rename fails deletes its own temp. One caveat, stated
+    * plainly: when the destination already exists (an OVERWRITE of a
+    * prior corpus — the bytes may differ, so the file must be
+    * replaced, not kept), the replace is delete-then-rename, and a
+    * lister racing exactly that overwrite can transiently see the
+    * file ABSENT. Never-half-written holds always; never-absent holds
+    * except during an overwrite of an existing corpus. */
   def writeBinaryDir(df: DataFrame, dir: String, idCol: String,
                      contentCol: String, ext: String,
                      prefix: String = "clip_"): Unit = {
@@ -230,10 +257,15 @@ object TableSources {
             try out.write(r.getAs[Array[Byte]](1))
             finally out.close()
             if (!fs.rename(tmp, fin)) {
-              // destination exists (a prior run, or a competing attempt
-              // that produced the same bytes): replace, and if another
-              // attempt wins the re-race, drop our temp — content is
-              // identical either way
+              // destination exists: a PRIOR RUN's file (possibly
+              // different bytes — overwrite is this writer's contract)
+              // or a competing attempt's identical bytes. Either way,
+              // replace; a loser of the re-race drops its own temp.
+              // Plainly: the delete→rename pair opens a brief window
+              // where fin is ABSENT to a concurrent lister — harmless
+              // for staging (no one lists mid-overwrite), and the
+              // half-written-file guarantee above is unaffected, but a
+              // lister racing an overwrite can see {old, missing, new}.
               fs.delete(fin, false)
               if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
             }

@@ -516,8 +516,23 @@ object PipelineStreams {
                        glob: String = "*.warc.gz",
                        idPattern: String = "clip_(\\d+)\\.warc\\.gz$",
                        maxFilesPerTrigger: Int = 1000,
-                       maxFileAge: String = "7d"): DataFrame = {
-    val bin = spark.readStream.format("binaryFile")
+                       maxFileAge: String = "7d"): DataFrame =
+    graft.pipeline.WarcOps.warcRecordsGz(
+      warcLandingStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
+        maxFileAge),
+      "content", "media_id")
+
+  /** The shared landing-dir file stream behind [[warcIngestStream]] and
+    * [[warcIndexMaintainStream]]: binaryFile rows with the id parsed
+    * from the filename, null-id files skipped + counted via the
+    * `warc_ingest` observed metric. Downstream projection decides the
+    * I/O: binaryFile PRUNES the `content` column, so a consumer that
+    * never selects it streams the LISTING only. */
+  private def warcLandingStream(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, glob: String, idPattern: String,
+                                maxFilesPerTrigger: Int,
+                                maxFileAge: String): DataFrame =
+    spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("maxFileAge", maxFileAge)
@@ -541,8 +556,43 @@ object PipelineStreams {
         count(lit(1)).as("ingested_files"),
         count(when(col("media_id").isNull, 1)).as("unidentified_files"))
       .filter(col("media_id").isNotNull)
-    graft.pipeline.WarcOps.warcRecordsGz(bin, "content", "media_id")
-  }
+
+  /** Continuous CDX maintenance — the ingest→index loop CLOSED: watch a
+    * crawler's landing dir and keep the STORED WARC index artifact at
+    * `indexPath` current, so batch consumers (`readWarcIndex` →
+    * survivor filter → `warcFetchRanged`) always see a fresh consistent
+    * snapshot without anyone hand-running appends. The stream carries
+    * only LISTING columns (path, media_id — binaryFile prunes the
+    * unprojected content), and the walk inside the append is the
+    * ranged builder's positioned reads, so each landed file's bytes
+    * move exactly once, executor-side. Every micro-batch commits via
+    * [[graft.pipeline.WarcOps.ingestWarcIndexBatch]]: exactly-once
+    * across crash/replay through the applied-batch pointer behind the
+    * meta swap (and a data no-op regardless, via the walked anti-join).
+    * File-source semantics as in [[warcIngestStream]] (re-dropped paths
+    * not re-processed, `maxFileAge` purge, null-id files skipped +
+    * counted). Returns the started query; awaitTermination is the
+    * caller's. */
+  def warcIndexMaintainStream(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, indexPath: String,
+                              checkpoint: String,
+                              glob: String = "*.warc.gz",
+                              idPattern: String = "clip_(\\d+)\\.warc\\.gz$",
+                              maxFilesPerTrigger: Int = 1000,
+                              maxFileAge: String = "7d")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    warcLandingStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
+        maxFileAge)
+      .select(col("path").as("media_path"), col("media_id"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.WarcOps.ingestWarcIndexBatch(
+          batch.sparkSession, indexPath, batch.toDF(),
+          "media_path", "media_id", batchId)
+        ()
+      }
+      .start()
 
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch

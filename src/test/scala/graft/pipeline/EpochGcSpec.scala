@@ -187,6 +187,61 @@ class EpochGcSpec extends AnyFunSuite {
   // HLL index: regs/e<N> under appendHllIndex
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // WARC index: entries/e<N> + walked/e<N> — a RANGE pointer, so the
+  // grace unit is a GENERATION [base, epoch], not a single epoch
+  // ---------------------------------------------------------------
+
+  test("warc index: compaction prunes epochs below the OLD base under " +
+    "both roots — {current} + the superseded generation remain, " +
+    "appends never prune, the read is identical throughout") {
+    val ids1 = Seq(0L, 2L); val ids2 = Seq(1L, 3L); val ids3 = Seq(5L, 12L)
+    val all = ids1 ++ ids2 ++ ids3
+    val dir = tmp("warc_corpus")
+    graft.sources.TableSources.writeBinaryDir(
+      WarcOps.encodeSyntheticWarcGz(all.toDF("id"), "id"),
+      dir, "media_id", "content", ".warc.gz")
+    def files(ids: Seq[Long]) = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", regexp_extract(col("media_path"),
+        "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
+      .filter(col("media_id").isin(ids: _*))
+    val idx = tmp("warc_idx")
+    val oneShot = WarcOps.warcMemberIndexRanged(files(all), "media_path",
+      "media_id")
+    def readSet = WarcOps.readWarcIndex(spark, idx)
+      .collect().map(_.toSeq).toSet
+    def expectSet(ids: Seq[Long]) = WarcOps.warcMemberIndexRanged(
+      files(ids), "media_path", "media_id").collect().map(_.toSeq).toSet
+
+    WarcOps.writeWarcIndex(files(ids1), "media_path", "media_id", idx) // e0
+    WarcOps.appendWarcIndex(spark, idx, files(ids2), "media_path",
+      "media_id") // e1
+    assert(epochs(s"$idx/entries") == Set("e0", "e1") &&
+      epochs(s"$idx/walked") == Set("e0", "e1"),
+      "appends never prune: the live window [base, epoch] only grows")
+    assert(readSet == expectSet(ids1 ++ ids2))
+
+    WarcOps.compactWarcIndex(spark, idx) // e2; old base 0 → prunes e<0: none
+    assert(epochs(s"$idx/entries") == Set("e0", "e1", "e2") &&
+      epochs(s"$idx/walked") == Set("e0", "e1", "e2"),
+      "first compaction supersedes generation [0,1] — it stays for grace")
+    assert(readSet == expectSet(ids1 ++ ids2))
+
+    WarcOps.appendWarcIndex(spark, idx, files(ids3), "media_path",
+      "media_id") // e3
+    WarcOps.compactWarcIndex(spark, idx) // e4; old base 2 → prunes e0, e1
+    assert(epochs(s"$idx/entries") == Set("e2", "e3", "e4") &&
+      epochs(s"$idx/walked") == Set("e2", "e3", "e4"),
+      "second compaction deletes the generation no reader can still hold " +
+        "(below the old base) and keeps {current} + superseded generation")
+    // grace: the superseded generation is still probe-readable
+    assert(spark.read.parquet(s"$idx/entries/e2").count() > 0)
+    assert(spark.read.parquet(s"$idx/walked/e2").count() > 0)
+    assert(readSet == oneShot.collect().map(_.toSeq).toSet,
+      "the compacted+pruned snapshot equals the one-shot index exactly")
+  }
+
   test("hll index: appends keep exactly {current, superseded} register " +
     "epochs; superseded stays estimate-readable; estimates unchanged") {
     val dir = tmp("hll")

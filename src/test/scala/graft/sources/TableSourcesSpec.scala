@@ -112,6 +112,29 @@ class TableSourcesSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d2)))
   }
 
+  test("memoScratchDir survives purgeScratch: a memo hit whose dir was " +
+    "purged re-stages instead of handing out the dangling path") {
+    val memo = scala.collection.concurrent.TrieMap.empty[String, String]
+    var stagings = 0
+    def lookup() = TableSources.memoScratchDir(memo, "k") {
+      stagings += 1
+      val d = TableSources.scratchDir("graft_memo_")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "corpus.bin"), Array[Byte](7))
+      d
+    }
+    val first = lookup()
+    assert(lookup() == first && stagings == 1, "a live dir memoizes")
+    TableSources.purgeScratch()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(first)))
+    val second = lookup()
+    assert(second != first && stagings == 2,
+      "the stale entry must be dropped and re-staged")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(second, "corpus.bin")))
+    assert(lookup() == second && stagings == 2, "the re-stage memoizes")
+  }
+
   test("partitioned write produces one directory per key") {
     val stream = graft.queries.EventStreams
       .bookStream(spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)

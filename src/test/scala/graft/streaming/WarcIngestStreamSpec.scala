@@ -115,6 +115,65 @@ class WarcIngestStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("index maintenance stream: each landed segment appends to the " +
+    "stored CDX artifact; restart walks only new files; the final " +
+    "artifact equals the one-shot index") {
+    import graft.pipeline.WarcOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdx-live").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdx-live-c").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-cdx-live-i")
+      .toString + "/cdx"
+    def files(ids: Seq[Long]) = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", regexp_extract(col("media_path"),
+        "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
+      .filter(col("media_id").isin(ids: _*))
+    def expect(ids: Seq[Long]) = WarcOps.warcMemberIndexRanged(
+      files(ids), "media_path", "media_id").collect().map(_.toSeq).toSet
+    def readIdx =
+      try WarcOps.readWarcIndex(spark, idx).collect().map(_.toSeq).toSet
+      catch { case _: IllegalStateException => Set.empty[Seq[Any]] }
+    def start() = PipelineStreams.warcIndexMaintainStream(
+      spark, dir, idx, ckpt)
+
+    drop(dir, Seq(0L, 1L))
+    val q1 = start()
+    try {
+      awaitSink(q1, "first segment indexed")(readIdx == expect(Seq(0L, 1L)))
+      drop(dir, Seq(2L)) // the next crawl segment lands mid-flight
+      awaitSink(q1, "second segment appended")(
+        readIdx == expect(Seq(0L, 1L, 2L)))
+    } finally q1.stop()
+    drop(dir, Seq(3L)) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitSink(q2, "down-time segment picked up on restart")(
+      readIdx == expect(Seq(0L, 1L, 2L, 3L)))
+    finally q2.stop()
+    // the continuously maintained artifact is EXACTLY the one-shot
+    // index over the same corpus — same rows, same offsets — and no
+    // file was ever walked twice (the walked union holds each id once)
+    assert(readIdx == expect(Seq(0L, 1L, 2L, 3L)) && readIdx.nonEmpty)
+    val meta = spark.read.parquet(s"$idx/meta").collect()(0)
+    val walkedAll = spark.read.parquet(
+      (meta.getAs[Long]("base_epoch") to meta.getAs[Long]("epoch"))
+        .map(WarcOps.warcIndexWalkedDir(idx, _)): _*).collect()
+      .map(_.getLong(0))
+    assert(walkedAll.sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      s"each file walked exactly once, got ${walkedAll.toSeq}")
+    // and the maintained index serves the ranged fetch like a
+    // hand-built one: survivors' records come back exactly
+    val survivors = WarcOps.readWarcIndex(spark, idx)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+    val fetched = WarcOps.warcFetchRanged(files(Seq(0L, 1L, 2L, 3L)),
+      "media_path", "media_id", survivors).select("media_id", "record_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantFetch = Seq(0L, 1L, 2L, 3L).flatMap(id =>
+      (0 until graft.pipeline.WarcOps.synthWarcResponses(id))
+        .filter(r => (id + r) % 5 != 0) // the generator's non-200 stripe
+        .map(r => (id, r + 1L))).toSet
+    assert(fetched == wantFetch)
+  }
+
   test("the text tap applies the q_warc_text chain to the live stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-livet").toString
     drop(dir, Seq(2L, 5L))
