@@ -161,31 +161,19 @@ object MultimodalOps {
       .drop(drop: _*)
   }
 
-  /** STUB resize: the real implementation would decode, resample, and
-    * re-encode; the stub scales the fake dimensions and passes the payload
-    * through, keeping the pipeline shape (binary in → binary + meta out). */
-  def resizeStub(df: DataFrame, contentCol: String, maxDim: Long): DataFrame = {
-    val meta = extractMeta(col(contentCol))
-    val scale = greatest(meta.getField("width"), meta.getField("height"))
-      .cast("double") / lit(maxDim.toDouble)
-    df.withColumn("resized_width",
-        when(scale > 1, floor(meta.getField("width").cast("double") / scale).cast("long"))
-          .otherwise(meta.getField("width")))
-      .withColumn("resized_height",
-        when(scale > 1, floor(meta.getField("height").cast("double") / scale).cast("long"))
-          .otherwise(meta.getField("height")))
+  /** Resize TARGET dimension as a pure column formula — the same
+    * integer rule as [[resizeImages]]' kernel (passthrough when the
+    * image already fits, else max(1, d·maxDim / max(w,h))), for
+    * metadata-only plans that know dimensions without decoding pixels
+    * (a header parse planning a downstream resample). Exact LONG
+    * arithmetic — (a − a%m)/m, never a double quotient whose rounding
+    * could disagree with the kernel or the oracle at a boundary. */
+  def resizedDim(d: Column, w: Column, h: Column, maxDim: Long): Column = {
+    val m = greatest(w.cast("long"), h.cast("long"))
+    val a = d.cast("long") * lit(maxDim)
+    when(m <= maxDim, d.cast("long"))
+      .otherwise(greatest(((a - pmod(a, m)) / m).cast("long"), lit(1L)))
   }
-
-  /** STUB frame sampling for video payloads: emits `numFrames` (frame_idx,
-    * frame_digest) rows per media row — the real implementation would
-    * demux and decode; the plumbing (generator shape, one-to-many) is
-    * real. */
-  def frameSampleStub(df: DataFrame, contentCol: String, idCol: String,
-                      numFrames: Int): DataFrame =
-    df.select(col(idCol).as("media_id"),
-        posexplode(transform(sequence(lit(0), lit(numFrames - 1)),
-          i => md5(concat(md5(col(contentCol).cast("binary")), i.cast("string"))
-            .cast("binary")))).as(Seq("frame_idx", "frame_digest")))
 
   // ---- REAL image decode (JDK ImageIO) ----------------------------------
 
@@ -921,13 +909,47 @@ object MultimodalOps {
                    stride: Int,
                    unresolvedCounter: Option[
                      org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    framePackSample(df, contentCol, idCol, stride, unresolvedCounter,
+      "sampleFrames", widthName = "width", heightName = "height")(
+      frameChannelSums)
+
+  /** [[sampleFrames]] with a THUMBNAIL featurizer: each kept frame is
+    * decoded, nearest-downscaled to fit `maxDim` ([[nearestResize]] —
+    * exact integer arithmetic, so the SQL oracle recomputes every
+    * thumbnail pixel), and summed per channel — the keyframe-thumbnail
+    * shape of a VLM training pipeline (decode + resample cost ∝
+    * sampled frames; thumbnails bounded by maxDim² regardless of
+    * source dimensions). */
+  def sampleFrameThumbs(df: DataFrame, contentCol: String, idCol: String,
+                        stride: Int, maxDim: Long,
+                        unresolvedCounter: Option[
+                          org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    framePackSample(df, contentCol, idCol, stride, unresolvedCounter,
+      "sampleFrameThumbs", widthName = "thumb_width",
+      heightName = "thumb_height")(frameThumbSums(_, maxDim))
+  }
+
+  /** The shared frame-pack walk behind [[sampleFrames]] and
+    * [[sampleFrameThumbs]]: length-prefixed entries by pure byte
+    * arithmetic, stride-kept frames through `featurize` — which owns
+    * what "width/height/sums" mean (full frame vs thumbnail). */
+  private def framePackSample(df: DataFrame, contentCol: String,
+                              idCol: String, stride: Int,
+                              unresolvedCounter: Option[
+                                org.apache.spark.util.LongAccumulator],
+                              label: String, widthName: String,
+                              heightName: String)(
+      featurize: Array[Byte] => Option[(Long, Long, Long, Long, Long)])
       : DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", LongType, nullable = false),
-      StructField("width", LongType, nullable = false),
-      StructField("height", LongType, nullable = false),
+      StructField(widthName, LongType, nullable = false),
+      StructField(heightName, LongType, nullable = false),
       StructField("sum_r", LongType, nullable = false),
       StructField("sum_g", LongType, nullable = false),
       StructField("sum_b", LongType, nullable = false)))
@@ -935,7 +957,7 @@ object MultimodalOps {
       col(contentCol).cast("binary").as("content"))
     in.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      val tally = new MediaUnresolvedTally(unresolvedCounter, "sampleFrames")
+      val tally = new MediaUnresolvedTally(unresolvedCounter, label)
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -958,9 +980,9 @@ object MultimodalOps {
             } else {
               val frame = new Array[Byte](len); bb.get(frame)
               if (j % stride == 0)
-                frameChannelSums(frame).foreach { case (w, h, sr, sg, sb) =>
+                featurize(frame).foreach { case (w, h, sr, sg, sb) =>
                   out += new GenericRowWithSchema(
-                    Array[Any](id, j.toLong, w.toLong, h.toLong, sr, sg, sb),
+                    Array[Any](id, j.toLong, w, h, sr, sg, sb),
                     outSchema)
                 }
               j += 1
@@ -988,25 +1010,76 @@ object MultimodalOps {
       frame: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(frame))
-    if (img == null) None
+    if (img == null) None else Some(imgChannelSums(img))
+  }
+
+  /** Per-channel pixel sums of a decoded image, row-strided (one bulk
+    * getRGB per row into a reused buffer — O(w) extra memory). */
+  private def imgChannelSums(img: java.awt.image.BufferedImage)
+      : (Long, Long, Long, Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowBuf = new Array[Int](w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val px = rowBuf(x)
+        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff
+        sb += px & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w.toLong, h.toLong, sr, sg, sb)
+  }
+
+  /** Nearest-neighbor downscale to fit `maxDim` (aspect preserved,
+    * target dims max(1, d·maxDim / max(w,h)) in LONG arithmetic — the
+    * exact rule the SQL oracles mirror with `//`). Returns the input
+    * image itself when it already fits. Row-strided: the x-mapping is
+    * precomputed once, the source read one row at a time (O(w + tw·th)
+    * memory — the output raster is bounded by maxDim², the source is
+    * not). Shared by [[resizeImages]] (which re-encodes the result)
+    * and the thumbnail featurizers (which sum its channels directly). */
+  private def nearestResize(img: java.awt.image.BufferedImage,
+                            maxDim: Long): java.awt.image.BufferedImage = {
+    val w = img.getWidth.toLong; val h = img.getHeight.toLong
+    val m = math.max(w, h)
+    if (m <= maxDim) img
     else {
-      val w = img.getWidth; val h = img.getHeight
-      val rowBuf = new Array[Int](w)
-      var sr = 0L; var sg = 0L; var sb = 0L
+      val tw = math.max(1L, w * maxDim / m).toInt
+      val th = math.max(1L, h * maxDim / m).toInt
+      val wi = w.toInt
+      val xmap = new Array[Int](tw)
+      var x = 0
+      while (x < tw) { xmap(x) = (x.toLong * w / tw).toInt; x += 1 }
+      val srcRow = new Array[Int](wi)
+      val outRow = new Array[Int](tw)
+      val dst = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
-      while (y < h) {
-        img.getRGB(0, y, w, 1, rowBuf, 0, w)
-        var x = 0
-        while (x < w) {
-          val px = rowBuf(x)
-          sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff
-          sb += px & 0xff
-          x += 1
-        }
+      while (y < th) {
+        img.getRGB(0, (y.toLong * h / th).toInt, wi, 1, srcRow, 0, wi)
+        var i = 0
+        while (i < tw) { outRow(i) = srcRow(xmap(i)); i += 1 }
+        dst.setRGB(0, y, tw, 1, outRow, 0, tw)
         y += 1
       }
-      Some((w.toLong, h.toLong, sr, sg, sb))
+      dst
     }
+  }
+
+  /** Decode one coded frame, nearest-downscale it to fit `maxDim`, and
+    * sum the THUMBNAIL's channels — (thumb_w, thumb_h, sum_r, sum_g,
+    * sum_b); None when the decoder rejects the payload. */
+  private[pipeline] def frameThumbSums(frame: Array[Byte], maxDim: Long)
+      : Option[(Long, Long, Long, Long, Long)] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frame))
+    if (img == null) None
+    else Some(imgChannelSums(nearestResize(img, maxDim)))
   }
 
   // ---- REAL RIFF/AVI container (Motion-PNG video stream) -----------------
@@ -2886,36 +2959,14 @@ object MultimodalOps {
         val vals: Array[Any] =
           if (img == null) Array[Any](id, bytes, null, null)
           else {
-            val w = img.getWidth.toLong; val h = img.getHeight.toLong
-            val m = math.max(w, h)
-            if (m <= maxDim) Array[Any](id, bytes, w, h)
+            val dst = nearestResize(img, maxDim)
+            if (dst eq img) // already fits: pass the original bytes through
+              Array[Any](id, bytes, img.getWidth.toLong, img.getHeight.toLong)
             else {
-              val tw = math.max(1L, w * maxDim / m).toInt
-              val th = math.max(1L, h * maxDim / m).toInt
-              val wi = w.toInt
-              // nearest neighbor, row-strided: the x-mapping depends only
-              // on x (precomputed once), the source is read one row at a
-              // time into a reused buffer (O(w + tw·th) memory — the
-              // output raster is bounded by maxDim², the SOURCE is not),
-              // and the destination row written bulk per row
-              val xmap = new Array[Int](tw)
-              var x = 0
-              while (x < tw) { xmap(x) = (x.toLong * w / tw).toInt; x += 1 }
-              val srcRow = new Array[Int](wi)
-              val outRow = new Array[Int](tw)
-              val dst = new java.awt.image.BufferedImage(
-                tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < th) {
-                img.getRGB(0, (y.toLong * h / th).toInt, wi, 1, srcRow, 0, wi)
-                var i = 0
-                while (i < tw) { outRow(i) = srcRow(xmap(i)); i += 1 }
-                dst.setRGB(0, y, tw, 1, outRow, 0, tw)
-                y += 1
-              }
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(dst, "png", bos)
-              Array[Any](id, bos.toByteArray, tw.toLong, th.toLong)
+              Array[Any](id, bos.toByteArray,
+                dst.getWidth.toLong, dst.getHeight.toLong)
             }
           }
         new GenericRowWithSchema(vals, outSchema): Row
@@ -2923,11 +2974,13 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
-  /** Batch "decode + featurize" via mapPartitions — the slot where a real
-    * decoder (JNI/Pandas-UDF equivalent) would run. The stub features are
-    * deterministic byte statistics so the plumbing is testable: schema
-    * declared up front, payload consumed per-batch, output 1:1. */
-  def decodeFeaturesStub(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+  /** Byte statistics of an opaque payload — 1:1 mapPartitions, schema
+    * declared up front. NOT a decoder (for that, [[decodeImageFeatures]]
+    * / [[resizeImages]] / the container walks): this is the cheap
+    * format-agnostic pass a pipeline runs BEFORE deciding a payload is
+    * worth decoding — size/entropy-proxy triage over blobs whose format
+    * is unknown or unsupported. */
+  def byteStats(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
@@ -2940,7 +2993,6 @@ object MultimodalOps {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        // ??? real decoder goes here — deterministic byte stats stand in
         var s = 0L
         var i = 0
         while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }

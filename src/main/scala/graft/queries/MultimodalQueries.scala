@@ -4,12 +4,13 @@ import graft.pipeline.MultimodalOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column queries over opaque binary media columns. Image
-  * decode (JDK ImageIO: PNG/JPEG) and audio decode (JDK javax.sound:
-  * PCM WAV) are REAL; the remaining stubs cover only formats whose
-  * codecs this container genuinely lacks (video frames), with the
-  * Spark-side plumbing real and oracle-checked where the arithmetic is
-  * SQL-expressible. */
+/** Multimodal-column queries over opaque binary media columns. Every
+  * row runs REAL kernels: image decode + nearest-neighbor resize (JDK
+  * ImageIO), audio decode (JDK javax.sound PCM), and the container
+  * walks (frame-pack/AVI/MJPEG/MP4/fMP4/MKV) demux real PNG frame
+  * payloads — no stub row remains; the one non-decoding row
+  * (q_media_byte_stats) says so in its name. Oracles recompute
+  * everything from the generator formulas in integer arithmetic. */
 object MultimodalQueries {
 
   def all: Seq[GraftQuery] = Seq(
@@ -19,8 +20,16 @@ object MultimodalQueries {
     // variant headers (lossy sync+14-bit dims, lossless packed word,
     // extended 24-bit canvas), columnar, oracle from formulas
     GraftQuery("q_media_meta_webp", mediaMetaWebp, Some(mediaMetaWebpSql)),
+    // REAL keyframe thumbnails: frame-pack demux → stride-sample →
+    // decode → nearest-neighbor downscale → thumbnail channel sums;
+    // the oracle recomputes every thumbnail pixel
     GraftQuery("q_media_frames", mediaFrames, Some(mediaFramesSql)),
+    // REAL resize + decode chained (resizeImages → decodeImageFeatures
+    // over the re-encoded thumbnail), oracle from the pixel formulas
     GraftQuery("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    // format-agnostic byte triage over opaque blobs (NOT a decoder —
+    // the real decode rows are q_media_decode/q_media_features)
+    GraftQuery("q_media_byte_stats", mediaByteStats, Some(mediaByteStatsSql)),
     GraftQuery("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
     GraftQuery("q_media_ahash", mediaAHash, Some(mediaAHashSql)),
     GraftQuery("q_media_dup_groups", mediaDupGroups, Some(mediaDupGroupsSql)),
@@ -1063,15 +1072,18 @@ object MultimodalQueries {
       .select(col("doc_id").as("media_id"),
         MultimodalOps.pngPayload(col("text"),
           col("doc_id") % 640 + 1, col("doc_id") % 480 + 1).as("content"))
-    val m = MultimodalOps.resizeStub(
-      png.withColumn("meta", MultimodalOps.extractMeta(col("content"))),
-      "content", maxDim = 256L)
+    val m = png.withColumn("meta", MultimodalOps.extractMeta(col("content")))
+    val (w, h) = (col("meta.width"), col("meta.height"))
     m.select(col("media_id"),
       col("meta.n_bytes").as("n_bytes"),
       md5(hex(col("content")).cast("binary")).as("digest"),
-      col("meta.width").as("width"), col("meta.height").as("height"),
+      w.as("width"), h.as("height"),
       col("meta.channels").as("channels"),
-      col("resized_width"), col("resized_height"))
+      // resample PLANNING from the header alone — the same integer rule
+      // as the real resize kernel, no pixel work (these payloads carry
+      // no raster; the pixel path is q_media_features / q_media_frames)
+      MultimodalOps.resizedDim(w, w, h, 256L).as("resized_width"),
+      MultimodalOps.resizedDim(h, w, h, 256L).as("resized_height"))
   }
 
   def mediaMetaSql: String =
@@ -1087,12 +1099,12 @@ object MultimodalQueries {
       |  FROM documents
       |)
       |SELECT media_id, n_bytes, digest, width, height, channels,
-      |  CASE WHEN CAST(greatest(width, height) AS DOUBLE) / 256.0 > 1
-      |       THEN CAST(floor(CAST(width AS DOUBLE) / (CAST(greatest(width, height) AS DOUBLE) / 256.0)) AS BIGINT)
-      |       ELSE width END AS resized_width,
-      |  CASE WHEN CAST(greatest(width, height) AS DOUBLE) / 256.0 > 1
-      |       THEN CAST(floor(CAST(height AS DOUBLE) / (CAST(greatest(width, height) AS DOUBLE) / 256.0)) AS BIGINT)
-      |       ELSE height END AS resized_height
+      |  CASE WHEN greatest(width, height) <= 256 THEN width
+      |       ELSE greatest((width * 256) // greatest(width, height), 1)
+      |       END AS resized_width,
+      |  CASE WHEN greatest(width, height) <= 256 THEN height
+      |       ELSE greatest((height * 256) // greatest(width, height), 1)
+      |       END AS resized_height
       |FROM d""".stripMargin
 
   /** JPEG round-trip: payloads are synthetic baseline JPEGs (SOI → APP0 →
@@ -1127,22 +1139,119 @@ object MultimodalQueries {
       |  CAST(3 AS BIGINT) AS channels
       |FROM documents""".stripMargin
 
-  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
-    MultimodalOps.frameSampleStub(media(spark, sfDir), "content", "media_id", 3)
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("frame_digest"))
+  /** Thumbnail cap for the resize-bearing rows — below the synthetic
+    * dims (8..16 × 8..14), so nearly every image/frame really resamples. */
+  private val THUMB_DIM = 8L
+
+  /** REAL keyframe THUMBNAILS: the frame-pack clip demuxed, every
+    * [[VF_STRIDE]]-th frame decoded and nearest-downscaled to fit
+    * [[THUMB_DIM]], per-channel sums over the THUMBNAIL — the
+    * frame-extraction shape a VLM pipeline feeds its vision encoder.
+    * Nearest-neighbor is exact integer arithmetic, so the oracle
+    * recomputes every thumbnail pixel from the frame formulas: source
+    * pixel of thumb (x, y) is ((x·w)//dw, (y·h)//dh). */
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val packs = MultimodalOps.encodeSyntheticFramePack(ids, "doc_id")
+    MultimodalOps.sampleFrameThumbs(packs, "content", "media_id",
+      VF_STRIDE, THUMB_DIM)
+  }
 
   def mediaFramesSql: String =
-    """SELECT doc_id AS media_id, i AS frame_idx,
-      |  md5(md5(text) || CAST(i AS VARCHAR)) AS frame_digest
-      |FROM documents, (SELECT unnest(range(0, 3)) AS i) f""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, 3 + doc_id % 4 AS k FROM documents
+       |), fj AS (
+       |  SELECT media_id, unnest(range(0, k)) AS j FROM d
+       |), sampled AS (
+       |  SELECT media_id, j, media_id * 8 + j AS fid FROM fj
+       |  WHERE j % $VF_STRIDE = 0
+       |), dims AS (
+       |  SELECT media_id, j, fid, 8 + fid % 9 AS w, 8 + fid % 7 AS h
+       |  FROM sampled
+       |), r AS (
+       |  SELECT media_id, j, fid, w, h,
+       |    CASE WHEN greatest(w, h) <= $THUMB_DIM THEN w
+       |         ELSE greatest((w * $THUMB_DIM) // greatest(w, h), 1)
+       |    END AS dw,
+       |    CASE WHEN greatest(w, h) <= $THUMB_DIM THEN h
+       |         ELSE greatest((h * $THUMB_DIM) // greatest(w, h), 1)
+       |    END AS dh
+       |  FROM dims
+       |), xs AS (
+       |  SELECT media_id, j, fid, w, h, dw, dh,
+       |    unnest(range(0, dw)) AS x FROM r
+       |), px AS (
+       |  SELECT media_id, j, fid, w, h, dw, dh, x,
+       |    unnest(range(0, dh)) AS y FROM xs
+       |), sp AS (
+       |  SELECT media_id, j, fid, dw, dh,
+       |    (x * w) // dw AS sx, (y * h) // dh AS sy FROM px
+       |)
+       |SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+       |  CAST(any_value(dw) AS BIGINT) AS thumb_width,
+       |  CAST(any_value(dh) AS BIGINT) AS thumb_height,
+       |  CAST(sum((fid * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+       |  CAST(sum((fid * 17 + sx * 11 + sy * 3) % 256) AS BIGINT) AS sum_g,
+       |  CAST(sum((fid * 23 + sx * 5 + sy * 19) % 256) AS BIGINT) AS sum_b
+       |FROM sp GROUP BY media_id, j""".stripMargin
 
-  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    MultimodalOps.decodeFeaturesStub(media(spark, sfDir), "content", "media_id")
+  /** REAL thumbnail features: the synthetic-PNG corpus decoded,
+    * nearest-downscaled to fit [[THUMB_DIM]], re-encoded
+    * ([[MultimodalOps.resizeImages]]) and the THUMBNAIL decoded again
+    * into per-channel sums ([[MultimodalOps.decodeImageFeatures]]) —
+    * two real kernels chained through lossless PNG, so the oracle
+    * recomputes every thumbnail pixel from the generator formulas with
+    * pure integer arithmetic. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.read(spark, sfDir, "documents").select(col("doc_id"))
+    val png = MultimodalOps.encodeSyntheticPng(ids, "doc_id")
+    val resized = MultimodalOps.resizeImages(
+      png, "content", "media_id", THUMB_DIM)
+    MultimodalOps.decodeImageFeatures(resized, "resized_content", "media_id")
+  }
 
-  /** The stub features are byte statistics; documents are pure ASCII so
-    * ascii() per char reproduces the byte values exactly. */
   def mediaFeaturesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id,
+       |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+       |  FROM documents
+       |), r AS (
+       |  SELECT media_id, w, h,
+       |    CASE WHEN greatest(w, h) <= $THUMB_DIM THEN w
+       |         ELSE greatest((w * $THUMB_DIM) // greatest(w, h), 1)
+       |    END AS dw,
+       |    CASE WHEN greatest(w, h) <= $THUMB_DIM THEN h
+       |         ELSE greatest((h * $THUMB_DIM) // greatest(w, h), 1)
+       |    END AS dh
+       |  FROM d
+       |), xs AS (
+       |  SELECT media_id, w, h, dw, dh, unnest(range(0, dw)) AS x FROM r
+       |), px AS (
+       |  SELECT media_id, w, h, dw, dh, x, unnest(range(0, dh)) AS y FROM xs
+       |), sp AS (
+       |  SELECT media_id, dw, dh, (x * w) // dw AS sx, (y * h) // dh AS sy
+       |  FROM px
+       |), s AS (
+       |  SELECT media_id, dw, dh,
+       |    CAST(sum((media_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+       |    CAST(sum((media_id * 17 + sx * 11 + sy * 3) % 256) AS BIGINT) AS sum_g,
+       |    CAST(sum((media_id * 23 + sx * 5 + sy * 19) % 256) AS BIGINT) AS sum_b
+       |  FROM sp GROUP BY media_id, dw, dh
+       |)
+       |SELECT media_id, TRUE AS decode_ok,
+       |  CAST(dw AS BIGINT) AS width, CAST(dh AS BIGINT) AS height,
+       |  CAST(dw * dh AS BIGINT) AS n_px, sum_r, sum_g, sum_b,
+       |  (sum_r * 1000) // (dw * dh) AS mean_r_x1000
+       |FROM s""".stripMargin
+
+  /** Format-agnostic byte triage ([[MultimodalOps.byteStats]]) — the
+    * pass a pipeline runs over opaque blobs BEFORE deciding what to
+    * decode. Documents are pure ASCII, so DuckDB's ascii() per char
+    * reproduces the byte values exactly. */
+  def mediaByteStats(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.byteStats(media(spark, sfDir), "content", "media_id")
+
+  def mediaByteStatsSql: String =
     """WITH b AS (
       |  SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
       |    CAST(list_sum(list_transform(range(1, length(text) + 1),

@@ -109,9 +109,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(topk.forall(_._2 > 0.999))
   }
 
-  test("multimodal: byte stats stub matches known ascii content") {
+  test("multimodal: byte stats match known ascii content") {
     val df = Seq((7L, "ab")).toDF("media_id", "content") // 'a'=97 'b'=98
-    val out = MultimodalOps.decodeFeaturesStub(
+    val out = MultimodalOps.byteStats(
       df.withColumn("content", col("content").cast("binary")), "content", "media_id")
       .collect().head
     assert(out.getLong(0) == 7L && out.getLong(1) == 2L)
@@ -312,14 +312,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("out of the 2-byte SOF0 range")))
   }
 
-  test("multimodal: frame sampling emits numFrames rows per media row") {
-    val df = Seq((1L, "xyz"), (2L, "abc")).toDF("media_id", "content")
-      .withColumn("content", col("content").cast("binary"))
-    val frames = MultimodalOps.frameSampleStub(df, "content", "media_id", 3)
-    assert(frames.count() == 6)
-    assert(frames.select("frame_digest").distinct().count() == 6)
-    val idx = frames.select("frame_idx").as[Int].collect().sorted.toSeq
-    assert(idx == Seq(0, 0, 1, 1, 2, 2))
+  test("multimodal: frame thumbnails equal nearest-neighbor sums over " +
+    "the formula pixels, and pass through when the frame already fits") {
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val packs = MultimodalOps.encodeSyntheticFramePack(ids, "doc_id")
+    val maxDim = 8L
+    val got = MultimodalOps
+      .sampleFrameThumbs(packs, "content", "media_id", 2, maxDim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // independent recomputation straight from the generator formulas
+    val want = (for {
+      id <- Seq(1L, 2L)
+      j <- 0 until MultimodalOps.synthFrameCount(id) if j % 2 == 0
+    } yield {
+      val fid = MultimodalOps.synthFrameImageId(id, j)
+      val (w, h) = MultimodalOps.synthDims(fid)
+      val m = math.max(w, h).toLong
+      val (dw, dh) =
+        if (m <= maxDim) (w, h)
+        else (math.max(1L, w * maxDim / m).toInt,
+          math.max(1L, h * maxDim / m).toInt)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val sx = (x.toLong * w / dw).toInt; val sy = (y.toLong * h / dh).toInt
+        val px = MultimodalOps.synthRgb(fid, sx, sy)
+        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+      }
+      (id, j.toLong) -> (dw.toLong, dh.toLong, sr, sg, sb)
+    }).toMap
+    assert(got == want)
+    // every sampled fid here has max(w,h) > 8, so every thumb really
+    // resampled (no silent pass-through) and fits the cap
+    assert(want.nonEmpty && want.values.forall { case (dw, dh, _, _, _) =>
+      dw <= maxDim && dh <= maxDim && (dw < 8 || dh < 8 || dw == 8)
+    })
+    assert(want.values.exists { case (dw, dh, _, _, _) => dw < 8 || dh < 8 })
   }
 
   test("fingerprint is order-sensitive and stable") {
