@@ -158,6 +158,11 @@ object TextQueries {
     // windowed walk is O(window) memory at ANY file size); identical
     // output, shared oracle
     GraftQuery("q_warc_index_ranged", warcIndexRangedQ, Some(warcIndexSql)),
+    // the windowed build planned from an inventory MANIFEST instead of
+    // a live dir listing (the 100-TB front door: the listing itself is
+    // the bottleneck at millions of objects) — identical rows
+    GraftQuery("q_warc_index_manifest", warcIndexManifestQ,
+      Some(warcIndexSql)),
     // the SHARDED builder — intra-file parallelism for giant files (one
     // 500 GB file no longer serializes on one core): shard tasks sync
     // to verified member boundaries and index the members starting in
@@ -366,6 +371,27 @@ object TextQueries {
     val dir = stagedWarcGzDir(spark, sfDir)
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", warcGzMediaId)
+    graft.pipeline.WarcOps
+      .warcMemberIndexRanged(files, "media_path", "media_id")
+      .select("media_id", "record_idx", "warc_type", "target_uri",
+        "content_length", "http_status")
+  }
+
+  /** [[warcIndexRangedQ]] planned from an inventory MANIFEST instead of
+    * the live directory listing — identical rows, shared oracle. The
+    * manifest is snapshotted once per corpus staging (underscore-
+    * prefixed, so corpus listings never see it) and the walk reads its
+    * parquet relation through the schema-validated seam: at 100 TB the
+    * enumeration of millions of objects is itself the bottleneck (and
+    * an object-store listing is an eventually-consistent snapshot), so
+    * the production front door is an inventory, not a listing. */
+  def warcIndexManifestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedWarcGzDir(spark, sfDir)
+    val man = s"$dir/_manifest"
+    graft.sources.TableSources.writeBinaryManifest(
+      spark, dir, man, "*.warc.gz")
+    val files = graft.sources.TableSources.readBinaryManifest(spark, man)
       .withColumn("media_id", warcGzMediaId)
     graft.pipeline.WarcOps
       .warcMemberIndexRanged(files, "media_path", "media_id")

@@ -146,6 +146,41 @@ object TableSources {
         col("length").as("media_len"))
   }
 
+  /** Inventory MANIFEST seam for the content-free walks: at corpus
+    * scale the directory LISTING is itself the bottleneck (millions of
+    * objects to enumerate before any work starts, and object-store
+    * listings are eventually-consistent snapshots), so production
+    * pipelines plan from an inventory relation — an S3-Inventory-style
+    * dump, or the crawler's own output manifest — instead of listing.
+    * The manifest is a parquet relation carrying the SAME columns
+    * [[listBinaryDir]] produces (`media_path`, `media_len`, optionally
+    * `media_mtime`), so every walk that plans content-free — the
+    * windowed/sharded index builds, the ranged fetches, the two-phase
+    * decodes — accepts it unchanged: only the listing seam moves.
+    * Validation is loud: a relation missing the required columns is
+    * rejected with the found-vs-needed schema, never half-read. */
+  def readBinaryManifest(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+    val missing = Seq("media_path", "media_len")
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"manifest at $path is missing required column(s) " +
+        s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")})")
+    df.select(col("media_path").cast("string").as("media_path"),
+      (if (df.columns.contains("media_mtime")) col("media_mtime")
+       else lit(null)).cast("timestamp").as("media_mtime"),
+      col("media_len").cast("long").as("media_len"))
+  }
+
+  /** Snapshot a live listing into a manifest — the bootstrap for
+    * corpora that don't ship an inventory. One listing pass, then every
+    * later walk plans from the parquet relation instead of re-listing. */
+  def writeBinaryManifest(spark: SparkSession, dir: String,
+                          manifestPath: String, glob: String = "*"): Unit =
+    listBinaryDir(spark, dir, glob)
+      .write.mode("overwrite").parquet(manifestPath)
+
   /** Registry of scratch dirs, cleaned by ONE shared JVM shutdown hook
     * (a hook per invocation would accumulate threads in a long-lived
     * session along with the data). */

@@ -135,6 +135,32 @@ class TableSourcesSpec extends AnyFunSuite {
     assert(lookup() == second && stagings == 2, "the re-stage memoizes")
   }
 
+  test("binary manifest: snapshot equals the live listing, feeds the " +
+    "content-free walks, and rejects a wrong-schema relation loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_man").toString
+    TableSources.writeBinaryDir(
+      Seq((3L, "aaa"), (7L, "bbbb")).toDF("id", "body")
+        .select(col("id"), col("body").cast("binary").as("content")),
+      dir, "id", "content", ".bin")
+    val man = s"$dir/_manifest"
+    TableSources.writeBinaryManifest(spark, dir, man, "*.bin")
+    // the underscore-prefixed manifest dir is invisible to the listing
+    val listed = TableSources.listBinaryDir(spark, dir, "*.bin")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val fromMan = TableSources.readBinaryManifest(spark, man)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(fromMan == listed && fromMan.size == 2)
+    // a manifest missing media_len must be rejected with the schema,
+    // not half-read into a walk that then plans zero shards
+    val bad = s"$dir/_manifest_bad"
+    Seq("x").toDF("media_path").write.parquet(bad)
+    val err = intercept[IllegalArgumentException] {
+      TableSources.readBinaryManifest(spark, bad)
+    }
+    assert(err.getMessage.contains("media_len"))
+  }
+
   test("partitioned write produces one directory per key") {
     val stream = graft.queries.EventStreams
       .bookStream(spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)
