@@ -232,8 +232,8 @@ object MediaSoakMain {
     }
     val filesIdx = graft.sources.TableSources
       .listBinaryDir(spark, warcDir.toString, "*.warc.gz")
-      .withColumn("media_id", regexp_extract(col("media_path"),
-        "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
+      .withColumn("media_id", graft.sources.TableSources.pathId(
+        col("media_path"), "clip_(\\d+)\\.warc\\.gz$"))
     val idxPath = warcDir.resolve("_index").toString
     val expIdxRows = (0L until 20L).map(c =>
       (4L + c % 4) * ((nWIdx - c + 19) / 20)).sum
@@ -344,8 +344,8 @@ object MediaSoakMain {
     } finally raf.close()
     val giantFiles = TableSources
       .listBinaryDir(spark, giantDir.toString, "*.mp4")
-      .withColumn("media_id",
-        regexp_extract(col("media_path"), "clip_(\\d+)\\.mp4$", 1).cast("long"))
+      .withColumn("media_id", graft.sources.TableSources.pathId(
+        col("media_path"), "clip_(\\d+)\\.mp4$"))
     require(giantFiles.select(max(col("media_len"))).collect()(0).getLong(0)
       == giantLen && giantLen > Int.MaxValue.toLong,
       s"giant clip should list at $giantLen bytes past the 2^31-1 ceiling")

@@ -299,9 +299,9 @@ object MultimodalQueries {
     }
     graft.sources.TableSources.listBinaryDir(spark, dir, s"*$ext")
       .withColumn("media_id",
-        regexp_extract(col("media_path"),
-          "clip_(\\d+)" + java.util.regex.Pattern.quote(ext) + "$", 1)
-          .cast("long"))
+        graft.sources.TableSources.pathId(col("media_path"),
+          "clip_(\\d+)" + java.util.regex.Pattern.quote(ext) + "$"))
+      .filter(col("media_id").isNotNull) // ANSI-safe: strays skip, not throw
   }
 
   /** [[videoFramesAvi]] through the ranged path: the Motion-PNG corpus

@@ -313,9 +313,12 @@ object TextQueries {
         d, "media_id", "content", ".warc.gz")
       d
     }
+  /** Filename → id through the ANSI-safe parse (a stray file in the
+    * corpus dir yields NULL, filtered at every use site — never a cast
+    * throw that would kill the walk under ANSI mode). */
   private def warcGzMediaId =
-    regexp_extract(col("media_path"), "clip_(\\d+)\\.warc\\.gz$", 1)
-      .cast("long")
+    graft.sources.TableSources.pathId(col("media_path"),
+      "clip_(\\d+)\\.warc\\.gz$")
 
   /** The .warc.gz corpus on real files + the per-record byte-range
     * INDEX built from it — the first-pass half of the CDX-analogue
@@ -326,6 +329,7 @@ object TextQueries {
     val stored = graft.sources.TableSources
       .readBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps.warcMemberIndex(stored, "content", "media_id")
       .select("media_id", "record_idx", "warc_type", "target_uri",
         "content_length", "http_status")
@@ -348,6 +352,7 @@ object TextQueries {
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     // the index is a PERSISTED artifact: built by the WINDOWED
     // (no-ceiling) builder from the content-free listing, written
     // once, read by every later pass (the narrow relation IS the
@@ -372,6 +377,7 @@ object TextQueries {
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps
       .warcMemberIndexRanged(files, "media_path", "media_id")
       .select("media_id", "record_idx", "warc_type", "target_uri",
@@ -393,6 +399,7 @@ object TextQueries {
       spark, dir, man, "*.warc.gz")
     val files = graft.sources.TableSources.readBinaryManifest(spark, man)
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps
       .warcMemberIndexRanged(files, "media_path", "media_id")
       .select("media_id", "record_idx", "warc_type", "target_uri",
@@ -409,6 +416,7 @@ object TextQueries {
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps
       .warcMemberIndexSharded(files, "media_path", "media_id",
         shardBytes = 1024L, windowBytes = 1024)
@@ -431,7 +439,8 @@ object TextQueries {
       d
     }
   private def warcPlainMediaId =
-    regexp_extract(col("media_path"), "clip_(\\d+)\\.warc$", 1).cast("long")
+    graft.sources.TableSources.pathId(col("media_path"),
+      "clip_(\\d+)\\.warc$")
 
   /** [[warcIndexQ]] over the PLAIN corpus: record extents from the
     * parser itself; identical header fields, shared oracle. */
@@ -440,6 +449,7 @@ object TextQueries {
     val stored = graft.sources.TableSources
       .readBinaryDir(spark, dir, "*.warc")
       .withColumn("media_id", warcPlainMediaId)
+      .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps.warcRecordIndexPlain(stored, "content", "media_id")
       .select("media_id", "record_idx", "warc_type", "target_uri",
         "content_length", "http_status")
@@ -453,6 +463,7 @@ object TextQueries {
     val stored = graft.sources.TableSources
       .readBinaryDir(spark, dir, "*.warc")
       .withColumn("media_id", warcPlainMediaId)
+      .filter(col("media_id").isNotNull)
     val idxDir = s"$dir/_index"
     graft.pipeline.WarcOps
       .warcRecordIndexPlain(stored, "content", "media_id")
@@ -462,6 +473,7 @@ object TextQueries {
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc")
       .withColumn("media_id", warcPlainMediaId)
+      .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps.warcFetchRangedPlain(
       files, "media_path", "media_id", survivors, coalesceGap = 1024L)
   }
@@ -477,6 +489,7 @@ object TextQueries {
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     val idxPath = graft.sources.TableSources.scratchDir("graft-warc-cdx")
     graft.pipeline.WarcOps.writeWarcIndex(
       files.filter(col("media_id") % 2 === 0), "media_path", "media_id",
@@ -499,6 +512,7 @@ object TextQueries {
     val files = graft.sources.TableSources
       .listBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     val idxPath = graft.sources.TableSources.scratchDir("graft-warc-cdx-f")
     graft.pipeline.WarcOps.writeWarcIndex(
       files.filter(col("media_id") % 2 === 0), "media_path", "media_id",
@@ -527,6 +541,7 @@ object TextQueries {
     val stored = graft.sources.TableSources
       .readBinaryDir(spark, dir, "*.warc.gz")
       .withColumn("media_id", warcGzMediaId)
+      .filter(col("media_id").isNotNull)
     val recs = graft.pipeline.WarcOps
       .warcRecordsGz(stored, "content", "media_id")
     val gated = recs

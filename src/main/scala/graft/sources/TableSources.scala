@@ -146,6 +146,24 @@ object TableSources {
         col("length").as("media_len"))
   }
 
+  /** ANSI-SAFE id-from-filename parse: `pattern`'s first capture group
+    * cast to long, NULL when the name doesn't match. Under ANSI mode
+    * (Spark 4's default) a bare `regexp_extract(...).cast` THROWS on
+    * the empty no-match string, so one stray file in a user-supplied
+    * directory kills the whole batch walk — and wedges a streaming
+    * query forever, since the checkpointed batch replays the same file
+    * on every restart. Callers filter the nulls and own the stray
+    * discipline: streams count them via an observed metric, batch
+    * walks skip them (a skipped file changes row counts, which the
+    * oracles and tallies surface — never a silent wrong answer). */
+  def pathId(path: org.apache.spark.sql.Column,
+             pattern: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(regexp_extract(path, pattern, 1) === "", lit(null))
+      .otherwise(regexp_extract(path, pattern, 1))
+      .cast("long")
+  }
+
   /** Inventory MANIFEST seam for the content-free walks: at corpus
     * scale the directory LISTING is itself the bottleneck (millions of
     * objects to enumerate before any work starts, and object-store

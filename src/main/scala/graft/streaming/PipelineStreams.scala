@@ -546,12 +546,11 @@ object PipelineStreams {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
       .load(dir)
-      // a non-matching filename extracts "" — under ANSI mode a bare
-      // cast would THROW (and wedge the query); the guard yields null
+      // the shared ANSI-safe parse: a non-matching filename yields null
+      // (a bare cast would THROW under ANSI and wedge the query on
+      // checkpoint replay), counted below, filtered after
       .withColumn("media_id",
-        when(regexp_extract(col("path"), idPattern, 1) === "", lit(null))
-          .otherwise(regexp_extract(col("path"), idPattern, 1))
-          .cast("long"))
+        graft.sources.TableSources.pathId(col("path"), idPattern))
       .observe("warc_ingest",
         count(lit(1)).as("ingested_files"),
         count(when(col("media_id").isNull, 1)).as("unidentified_files"))

@@ -161,6 +161,44 @@ class TableSourcesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("media_len"))
   }
 
+  test("ANSI mode: pathId skips a stray filename (null, filtered) where " +
+    "the bare cast pattern throws — the walk survives a user-supplied dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ansi").toString
+    TableSources.writeBinaryDir(
+      graft.pipeline.WarcOps.encodeSyntheticWarcGz(Seq(1L).toDF("id"), "id"),
+      dir, "media_id", "content", ".warc.gz")
+    // glob-matching, pattern-missing: the production stray
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "segment-0001.warc.gz"),
+      Array.fill[Byte](16)(0x1f))
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val pat = "clip_(\\d+)\\.warc\\.gz$"
+      val listed = TableSources.listBinaryDir(spark, dir, "*.warc.gz")
+      // the bare cast is the bug class being swept: ANSI throws on the
+      // no-match empty string and one stray kills the whole walk
+      val bare = listed.withColumn("media_id",
+        regexp_extract(col("media_path"), pat, 1).cast("long"))
+      val thrown = intercept[Exception] { bare.collect() }
+      def chain(e: Throwable): Seq[Throwable] =
+        if (e == null) Nil else e +: chain(e.getCause)
+      assert(chain(thrown).exists(t =>
+        t.getMessage != null && (t.getMessage.contains("CAST_INVALID_INPUT")
+          || t.getMessage.contains("cannot be cast"))),
+        s"expected an ANSI cast failure, got: $thrown")
+      // the guarded parse walks on: the stray skips, the real file indexes
+      val files = listed
+        .withColumn("media_id", TableSources.pathId(col("media_path"), pat))
+        .filter(col("media_id").isNotNull)
+      val idx = graft.pipeline.WarcOps
+        .warcMemberIndexRanged(files, "media_path", "media_id")
+        .select("media_id").distinct().as[Long].collect().toSet
+      assert(idx == Set(1L))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("partitioned write produces one directory per key") {
     val stream = graft.queries.EventStreams
       .bookStream(spark, "/root/testdata/sf0.001", qtyZeroEvery5 = true)

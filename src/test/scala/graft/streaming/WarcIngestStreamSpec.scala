@@ -66,8 +66,9 @@ class WarcIngestStreamSpec extends AnyFunSuite {
     // every column equals the batch walk over the same four files
     val streamed = spark.table("warc_live").collect().map(_.toSeq).toSet
     val batch = graft.pipeline.WarcOps.warcRecordsGz(
-      // glob scoped past the stray file — the BATCH path's id cast is
-      // ANSI-strict by design (its callers own their filenames)
+      // glob scoped past the stray file; the inline cast here always
+      // matches by construction (production batch walks parse ids via
+      // the ANSI-safe TableSources.pathId, pinned in TableSourcesSpec)
       graft.sources.TableSources.readBinaryDir(spark, dir, "clip_*.warc.gz")
         .withColumn("media_id", regexp_extract(col("media_path"),
           "clip_(\\d+)\\.warc\\.gz$", 1).cast("long")),
