@@ -170,7 +170,8 @@ object TextQueries {
     // shardBytes here is pinned near the file sizes so shard boundaries
     // really straddle members in the oracle run; identical output,
     // shared oracle
-    GraftQuery("q_warc_index_sharded", warcIndexShardedQ, Some(warcIndexSql)),
+    GraftQuery("q_warc_index_sharded", warcIndexShardedQ, Some(warcIndexSql),
+      bench = true),
     // the PERSISTED CDX artifact (tenth lifecycle): epoch 0 built from
     // the even-id files, the odd-id segment APPENDED (delta cost,
     // narrow anti-join), the same segment re-appended as an idempotent
@@ -178,7 +179,7 @@ object TextQueries {
     // oracle; the fetch row below probes the STORED artifact
     GraftQuery("q_warc_index_stored", warcIndexStoredQ, Some(warcIndexSql)),
     GraftQuery("q_warc_fetch_stored", warcFetchStoredQ,
-      Some(warcFetchRangedSql)),
+      Some(warcFetchRangedSql), bench = true),
     // the CDX analogue for PLAIN (uncompressed) .warc corpora: record
     // extents fall out of the record walk itself (no compression
     // layer), and the fetch re-parses the exact slices — same shapes,
@@ -193,7 +194,7 @@ object TextQueries {
     // every stage from the generator formulas — record lengths, the
     // extracted text's token counts, the gate, and the packing
     // coordinates — without running any of the operators
-    GraftQuery("q_e2e_crawl", e2eCrawlQ, Some(e2eCrawlSql)),
+    GraftQuery("q_e2e_crawl", e2eCrawlQ, Some(e2eCrawlSql), bench = true),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
