@@ -294,6 +294,53 @@ object MediaSoakMain {
       f"$corpusBytes%,d corpus bytes (${corpusBytes / survivorBytes}%,d× " +
       "less I/O than a re-walk)")
 
+    // ---- 4e. streaming CDX maintenance at scale ----------------------------
+    // the ingest→index loop's batch primitive driven exactly the way
+    // warcIndexMaintainStream drives it: the corpus lands as 20
+    // segments, each committed by ingestWarcIndexBatch under its batch
+    // id, the policy compacting at an 8-epoch window. Truths: the
+    // continuously maintained artifact ≡ the one-shot index row for
+    // row; every file walked exactly once across all epochs; a
+    // replayed batch id commits nothing; and the epoch-directory count
+    // stays bounded by the policy (window + one superseded generation)
+    // no matter how many segments ever land.
+    val maintPath = warcDir.resolve("_index_maint").toString
+    val nSeg = 20
+    val segSize = (nWIdx + nSeg - 1) / nSeg
+    val (_, tMaint) = time(
+      f"maintain the stored index over $nSeg segment batches " +
+        f"($segSize%,d files each, compactEvery=8)") {
+      for (b <- 0 until nSeg) {
+        val seg = filesIdx.filter(
+          col("media_id") >= b.toLong * segSize &&
+            col("media_id") < (b + 1).toLong * segSize)
+        require(graft.pipeline.WarcOps.ingestWarcIndexBatch(
+          spark, maintPath, seg, "media_path", "media_id", b.toLong),
+          s"batch $b must apply")
+        graft.pipeline.WarcOps.maybeCompactWarcIndex(
+          spark, maintPath, maxEpochs = 8)
+      }
+    }
+    val maintained = spark.read.parquet(idxPath) // the one-shot artifact
+    val viaStream = graft.pipeline.WarcOps.readWarcIndex(spark, maintPath)
+    require(viaStream.count() == expIdxRows,
+      s"maintained index rows: got ${viaStream.count()}, " +
+        s"closed form $expIdxRows")
+    require(viaStream.exceptAll(maintained).count() == 0L &&
+      maintained.exceptAll(viaStream).count() == 0L,
+      "the maintained artifact must equal the one-shot index row for row")
+    require(!graft.pipeline.WarcOps.ingestWarcIndexBatch(
+      spark, maintPath, filesIdx, "media_path", "media_id",
+      (nSeg - 1).toLong), "a replayed batch id must commit nothing")
+    val epochDirs = Option(new java.io.File(s"$maintPath/entries")
+      .listFiles()).toSeq.flatten.count(_.getName.startsWith("e"))
+    require(epochDirs <= 16,
+      s"epoch dirs must stay bounded by the compaction policy " +
+        s"(window 8 + superseded generation), got $epochDirs")
+    println(f"  maintained: ${nWIdx / tMaint}%,.0f files/s across $nSeg " +
+      f"batches, $epochDirs epoch dirs on disk (policy-bounded), " +
+      "snapshot ≡ one-shot")
+
     // ---- 5. ranged reads beyond the binaryFile ceiling --------------------
     // one 5 GB clip (sparse on disk; co64 offsets past 2^32, mdat via
     // largesize): whole-file ingestion hard-fails at the source's

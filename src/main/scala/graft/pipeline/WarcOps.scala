@@ -805,6 +805,27 @@ object WarcOps {
     }
   }
 
+  /** Compact when the live epoch window has grown to `maxEpochs` dirs
+    * or more — the POLICY wrapper a continuous maintainer calls after
+    * each append so a daily-append index self-bounds its directory
+    * count (read cost is one parquet union per live epoch; unbounded
+    * windows re-create the tiny-files problem compaction exists to
+    * solve). Returns whether a compaction ran. Crash-safe by the same
+    * argument as everything else here: compaction is itself an
+    * epoch commit + meta swap, and a maintainer that dies between an
+    * append and its compaction check simply re-checks after the next
+    * batch. */
+  def maybeCompactWarcIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, maxEpochs: Int): Boolean = {
+    require(maxEpochs >= 2, s"maxEpochs must be >= 2, got $maxEpochs " +
+      "(1 would compact after every append — pure rewrite churn)")
+    val meta = readWarcIndexMeta(spark, path)
+    if (meta.epoch - meta.baseEpoch + 1 >= maxEpochs) {
+      compactWarcIndex(spark, path)
+      true
+    } else false
+  }
+
   /** One consistent snapshot of the stored index: meta resolves once,
     * the pointed epochs union — feed (a filtered view of) this to
     * [[warcFetchRanged]] exactly like a freshly built index. */

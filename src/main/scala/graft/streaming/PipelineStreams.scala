@@ -570,15 +570,21 @@ object PipelineStreams {
     * meta swap (and a data no-op regardless, via the walked anti-join).
     * File-source semantics as in [[warcIngestStream]] (re-dropped paths
     * not re-processed, `maxFileAge` purge, null-id files skipped +
-    * counted). Returns the started query; awaitTermination is the
-    * caller's. */
+    * counted). `compactEvery` > 0 bounds the artifact's epoch-window
+    * size: after an applied batch, when the live window has grown to
+    * that many epoch dirs the maintainer compacts (and the compaction's
+    * base-aware janitor deletes generations no reader can hold) — a
+    * long-running maintainer stays at O(compactEvery) directories
+    * forever instead of one per batch. Returns the started query;
+    * awaitTermination is the caller's. */
   def warcIndexMaintainStream(spark: org.apache.spark.sql.SparkSession,
                               dir: String, indexPath: String,
                               checkpoint: String,
                               glob: String = "*.warc.gz",
                               idPattern: String = "clip_(\\d+)\\.warc\\.gz$",
                               maxFilesPerTrigger: Int = 1000,
-                              maxFileAge: String = "7d")
+                              maxFileAge: String = "7d",
+                              compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     warcLandingStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
         maxFileAge)
@@ -586,9 +592,12 @@ object PipelineStreams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.pipeline.WarcOps.ingestWarcIndexBatch(
+        val applied = graft.pipeline.WarcOps.ingestWarcIndexBatch(
           batch.sparkSession, indexPath, batch.toDF(),
           "media_path", "media_id", batchId)
+        if (applied && compactEvery > 0)
+          graft.pipeline.WarcOps.maybeCompactWarcIndex(
+            batch.sparkSession, indexPath, compactEvery)
         ()
       }
       .start()

@@ -238,8 +238,22 @@ class EpochGcSpec extends AnyFunSuite {
     // grace: the superseded generation is still probe-readable
     assert(spark.read.parquet(s"$idx/entries/e2").count() > 0)
     assert(spark.read.parquet(s"$idx/walked/e2").count() > 0)
-    assert(readSet == oneShot.collect().map(_.toSeq).toSet,
+    val oneShotSet = oneShot.collect().map(_.toSeq).toSet
+    assert(readSet == oneShotSet,
       "the compacted+pruned snapshot equals the one-shot index exactly")
+
+    // the POLICY wrapper a continuous maintainer uses: below the bound
+    // it's a no-op, at the bound it compacts (janitor included)
+    assert(!WarcOps.maybeCompactWarcIndex(spark, idx, maxEpochs = 2),
+      "a 1-epoch window must not compact") // window is {e4}
+    WarcOps.appendWarcIndex(spark, idx, files(all), "media_path",
+      "media_id") // e5 (empty delta: everything already walked)
+    assert(WarcOps.maybeCompactWarcIndex(spark, idx, maxEpochs = 2),
+      "a window at the bound must compact") // [4,5] → e6, base 6
+    assert(epochs(s"$idx/entries") == Set("e4", "e5", "e6") &&
+      epochs(s"$idx/walked") == Set("e4", "e5", "e6"),
+      "policy compaction prunes below the old base like any compaction")
+    assert(readSet == oneShotSet)
   }
 
   test("hll index: appends keep exactly {current, superseded} register " +
