@@ -166,13 +166,20 @@ object MultimodalOps {
     * image already fits, else max(1, d·maxDim / max(w,h))), for
     * metadata-only plans that know dimensions without decoding pixels
     * (a header parse planning a downstream resample). Exact LONG
-    * arithmetic — (a − a%m)/m, never a double quotient whose rounding
-    * could disagree with the kernel or the oracle at a boundary. */
+    * arithmetic — Catalyst's IntegralDivide (the SQL `div` operator),
+    * never a double quotient whose rounding could disagree with the
+    * kernel or the oracle at a boundary (Column./ on longs is DOUBLE
+    * division — imprecise past 2^53, the same class this repo's
+    * sharded shard count was bitten by). */
   def resizedDim(d: Column, w: Column, h: Column, maxDim: Long): Column = {
     val m = greatest(w.cast("long"), h.cast("long"))
     val a = d.cast("long") * lit(maxDim)
+    val q = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(m)))
     when(m <= maxDim, d.cast("long"))
-      .otherwise(greatest(((a - pmod(a, m)) / m).cast("long"), lit(1L)))
+      .otherwise(greatest(q.cast("long"), lit(1L)))
   }
 
   // ---- REAL image decode (JDK ImageIO) ----------------------------------

@@ -653,18 +653,39 @@ object WarcOps {
   private def readWarcIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                 path: String): WarcIndexMeta = {
     val r = MetaIO.readMetaRow(spark, path, "warc index", "index")
+    // meta written before the streaming-maintenance format carries no
+    // last_batch_id — read it as "never stream-fed" instead of
+    // breaking every pre-existing artifact on its first post-upgrade read
+    val lastBatchId =
+      if (r.schema.fieldNames.contains("last_batch_id"))
+        r.getAs[Long]("last_batch_id")
+      else -1L
     WarcIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("base_epoch"),
       r.getAs[Long]("file_count"), r.getAs[Long]("record_count"),
-      r.getAs[Long]("last_batch_id"))
+      lastBatchId)
   }
 
   /** The stored snapshot's walked-file ids: meta's [base, epoch] union
-    * over the walked relation — the append delta-filter's right side. */
+    * over the walked relation — the append delta-filter's right side.
+    * An epoch written before the walked-relation format has no walked
+    * dir; its closest available walked set is the entries' distinct
+    * ids (exactly the old anti-join key — correct for every file
+    * except zero-record ones, which the old format could not remember
+    * either), so pre-upgrade artifacts keep appending without a
+    * rebuild, and every POST-upgrade epoch records walked ids exactly. */
   private def readWarcIndexWalked(spark: org.apache.spark.sql.SparkSession,
                                   path: String,
-                                  meta: WarcIndexMeta): DataFrame =
-    spark.read.parquet(
-      (meta.baseEpoch to meta.epoch).map(warcIndexWalkedDir(path, _)): _*)
+                                  meta: WarcIndexMeta): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    (meta.baseEpoch to meta.epoch).map { e =>
+      val wd = new org.apache.hadoop.fs.Path(warcIndexWalkedDir(path, e))
+      if (wd.getFileSystem(hconf).exists(wd))
+        spark.read.parquet(wd.toString)
+      else
+        spark.read.parquet(warcIndexEntriesDir(path, e))
+          .select(col("media_id")).distinct()
+    }.reduce(_.unionByName(_))
+  }
 
   /** Meta swap: write sideways, delete + rename LAST (the shared
     * artifact seam) — an interrupted build/append leaves the previous

@@ -312,6 +312,11 @@ object TextQueries {
       graft.sources.TableSources.writeBinaryDir(
         graft.pipeline.WarcOps.encodeSyntheticWarcGz(keys, "warc_key"),
         d, "media_id", "content", ".warc.gz")
+      // the inventory manifest snapshots ONCE, here, with the staging
+      // (one listing pass per staged corpus — the documented
+      // bootstrap); the manifest-fed rows read it, never re-list
+      graft.sources.TableSources.writeBinaryManifest(
+        spark, d, s"$d/_manifest", "*.warc.gz")
       d
     }
   /** Filename → id through the ANSI-safe parse (a stray file in the
@@ -395,10 +400,8 @@ object TextQueries {
     * the production front door is an inventory, not a listing. */
   def warcIndexManifestQ(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedWarcGzDir(spark, sfDir)
-    val man = s"$dir/_manifest"
-    graft.sources.TableSources.writeBinaryManifest(
-      spark, dir, man, "*.warc.gz")
-    val files = graft.sources.TableSources.readBinaryManifest(spark, man)
+    val files = graft.sources.TableSources
+      .readBinaryManifest(spark, s"$dir/_manifest")
       .withColumn("media_id", warcGzMediaId)
       .filter(col("media_id").isNotNull)
     graft.pipeline.WarcOps

@@ -155,13 +155,16 @@ object TableSources {
     * on every restart. Callers filter the nulls and own the stray
     * discipline: streams count them via an observed metric, batch
     * walks skip them (a skipped file changes row counts, which the
-    * oracles and tallies surface — never a silent wrong answer). */
+    * oracles and tallies surface — never a silent wrong answer).
+    * The guard covers BOTH ANSI failure modes: the empty no-match
+    * string AND a matching capture whose digits overflow long (a
+    * 20-digit filename matches `\d+` but `cast` throws CAST_OVERFLOW —
+    * same wedge, different door), so only 1..18-digit captures cast. */
   def pathId(path: org.apache.spark.sql.Column,
              pattern: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    when(regexp_extract(path, pattern, 1) === "", lit(null))
-      .otherwise(regexp_extract(path, pattern, 1))
-      .cast("long")
+    val cap = regexp_extract(path, pattern, 1)
+    when(cap.rlike("^\\d{1,18}$"), cap).otherwise(lit(null)).cast("long")
   }
 
   /** Inventory MANIFEST seam for the content-free walks: at corpus

@@ -585,7 +585,13 @@ object PipelineStreams {
                               maxFilesPerTrigger: Int = 1000,
                               maxFileAge: String = "7d",
                               compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate BEFORE start(): maybeCompactWarcIndex refuses < 2, and a
+    // refusal surfacing inside foreachBatch would fire only AFTER the
+    // batch committed — a crash-loop making one batch per restart
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
+        "(1 would compact after every append — pure rewrite churn)")
     warcLandingStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
         maxFileAge)
       .select(col("path").as("media_path"), col("media_id"))
@@ -601,6 +607,7 @@ object PipelineStreams {
         ()
       }
       .start()
+  }
 
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch

@@ -172,6 +172,11 @@ class TableSourcesSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "segment-0001.warc.gz"),
       Array.fill[Byte](16)(0x1f))
+    // pattern-MATCHING but long-overflowing: the other ANSI door (a
+    // 20-digit capture passes the no-match guard and dies in the cast)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "clip_99999999999999999999.warc.gz"),
+      Array.fill[Byte](16)(0x1f))
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
@@ -184,9 +189,11 @@ class TableSourcesSpec extends AnyFunSuite {
       val thrown = intercept[Exception] { bare.collect() }
       def chain(e: Throwable): Seq[Throwable] =
         if (e == null) Nil else e +: chain(e.getCause)
-      assert(chain(thrown).exists(t =>
-        t.getMessage != null && (t.getMessage.contains("CAST_INVALID_INPUT")
-          || t.getMessage.contains("cannot be cast"))),
+      assert(chain(thrown).exists(t => t.getMessage != null &&
+        (t.getMessage.contains("CAST_INVALID_INPUT") ||
+          t.getMessage.contains("CAST_OVERFLOW") ||
+          t.getMessage.toLowerCase.contains("overflow") ||
+          t.getMessage.contains("cannot be cast"))),
         s"expected an ANSI cast failure, got: $thrown")
       // the guarded parse walks on: the stray skips, the real file indexes
       val files = listed

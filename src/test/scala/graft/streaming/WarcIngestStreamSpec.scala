@@ -133,10 +133,23 @@ class WarcIngestStreamSpec extends AnyFunSuite {
       files(ids), "media_path", "media_id").collect().map(_.toSeq).toSet
     def readIdx =
       try WarcOps.readWarcIndex(spark, idx).collect().map(_.toSeq).toSet
-      catch { case _: IllegalStateException => Set.empty[Seq[Any]] }
+      catch {
+        // no meta yet (first batch hasn't committed)…
+        case _: IllegalStateException => Set.empty[Seq[Any]]
+        // …or the POLL raced the maintainer's meta swap / epoch commit
+        // (delete+rename window): transient by construction — the next
+        // poll resolves a consistent snapshot
+        case _: org.apache.spark.SparkException => Set.empty[Seq[Any]]
+      }
     def start() = PipelineStreams.warcIndexMaintainStream(
       spark, dir, idx, ckpt)
 
+    // a compactEvery the policy would refuse must be rejected BEFORE
+    // start() — inside foreachBatch it would crash-loop after commits
+    intercept[IllegalArgumentException] {
+      PipelineStreams.warcIndexMaintainStream(spark, dir, idx, ckpt,
+        compactEvery = 1)
+    }
     drop(dir, Seq(0L, 1L))
     val q1 = start()
     try {
