@@ -102,6 +102,11 @@ object MultimodalQueries {
     // fragmented: the frame pipeline is container-blind, so the one
     // frame-formula oracle carries over a FIFTH time
     GraftQuery("q_video_frames_fmp4", videoFramesFmp4, Some(videoFramesSql)),
+    // the fragmented layout's RANGED frame fetch: moof tables by
+    // positioned read, kept samples by byte range, two-phase parallel
+    // on the shared core — every container's ranged story is complete
+    GraftQuery("q_video_frames_fmp4_ranged_par", videoFramesFmp4RangedParallel,
+      Some(videoFramesSql)),
     // Matroska/EBML — the sixth container grammar CLASS (leading-zero
     // varint lengths, unlike boxes/chunks/frames/records): the video
     // track's SimpleBlocks resolved to per-block rows, every offset
@@ -364,6 +369,24 @@ object MultimodalQueries {
     MultimodalOps.sampleMp4Frames(
       MultimodalOps.encodeSyntheticFmp4Video(ids, "doc_id"),
       "content", "media_id", VF_STRIDE)
+  }
+
+  /** [[videoFramesFmp4]] off real ON-DISK files via ranged reads + the
+    * two-phase parallel decode: the header walk fetches only the moof
+    * tables (never the mdat payload runs between them — the fragment
+    * resolver in `mp4SampleTableRanged` handles both layouts), then
+    * the kept samples fetch by byte range through the shared
+    * range-partitioned core. The DASH/HLS-shaped corpus's scale path:
+    * a segment archive never materializes whole files, and one huge
+    * segment splits across cores. Identical output, shared oracle. */
+  def videoFramesFmp4RangedParallel(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val files = stagedFiles(spark, sfDir, "fmp4-video-ranged", ".mp4")(
+      MultimodalOps.encodeSyntheticFmp4Video(
+        Tables.read(spark, sfDir, "documents").select(col("doc_id")),
+        "doc_id"))
+    MultimodalOps.sampleMp4FramesRangedParallel(
+      files, "media_path", "media_id", VF_STRIDE)
   }
 
   /** Mirrors synthFmp4Fragments/FragSamples/SampleSize and the fragment
