@@ -2892,22 +2892,32 @@ object MultimodalOps {
     * exact-payload dedup first ([[queries.MultimodalQueries]] hashes
     * one row per DISTINCT payload, which is the batch economy that
     * matters). */
+  /** The `bands` bit-chunks of a 64-bit aHash pair as an array column —
+    * pigeonhole banding's key material, shared by the in-memory pair
+    * join ([[ahashPairs]]) and the persisted fingerprint index. Chunks
+    * are contiguous bit runs (bits = 64/bands ≤ 32 divides 32, so a
+    * chunk never straddles the two halves). */
+  private def ahashChunkArr(a: Column, b: Column, bands: Int): Column = {
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    array((0 until bands).map { c =>
+      val half = if (c * bits < 32) a else b
+      shiftrightunsigned(half, (c * bits) % 32).bitwiseAND(lit(mask))
+    }: _*)
+  }
+
   def ahashPairs(hashed: DataFrame, idCol: String,
                  maxHamming: Int = 1, bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must be >= 2 and divide 64, got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole recall requires maxHamming < bands, got $maxHamming/$bands")
-    val bits = 64 / bands // <= 32 and divides 32, so chunks never straddle halves
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val valid = hashed
       .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
       .select(col(idCol).as("__ah_id"), col("ahash_a"), col("ahash_b"))
     val chunks = valid.select(col("__ah_id"), col("ahash_a"), col("ahash_b"),
-      posexplode(array((0 until bands).map { c =>
-        val half = if (c * bits < 32) col("ahash_a") else col("ahash_b")
-        shiftrightunsigned(half, (c * bits) % 32).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      posexplode(ahashChunkArr(col("ahash_a"), col("ahash_b"), bands))
+        .as(Seq("chunk_idx", "chunk_val")))
     val x = chunks.as("x"); val y = chunks.as("y")
     x.join(y, col("x.chunk_idx") === col("y.chunk_idx") &&
         col("x.chunk_val") === col("y.chunk_val") &&
@@ -2939,6 +2949,214 @@ object MultimodalOps {
           coalesce(col("component"), col(idCol)).as("component"))
     } finally pairs.unpersist()
   }
+
+  // ---- the PERSISTED media-fingerprint index (eleventh artifact) ---------
+
+  /** Meta row: chunk-band geometry pin + bloom geometry + epoch
+    * consistency pointer + covered-hash count (interrupted-append
+    * detection, the minhash `sig_count` discipline). */
+  private[graft] final case class MediaHashIndexMeta(
+      bands: Int, bloomBits: Int, bloomHashes: Int, epoch: Long,
+      hashCount: Long)
+
+  private[graft] def mediaHashDerivedDir(path: String, epoch: Long): String =
+    s"$path/derived/e$epoch"
+
+  private def readMediaHashIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): MediaHashIndexMeta = {
+    val r = MetaIO.readMetaRow(spark, path, "media-hash index", "index")
+    MediaHashIndexMeta(r.getAs[Int]("bands"), r.getAs[Int]("bloom_bits"),
+      r.getAs[Int]("bloom_hashes"), r.getAs[Long]("epoch"),
+      r.getAs[Long]("hash_count"))
+  }
+
+  private def swapMediaHashMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                meta: MediaHashIndexMeta): Unit = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    Seq((meta.bands, meta.bloomBits, meta.bloomHashes, meta.epoch,
+        meta.hashCount))
+      .toDF("bands", "bloom_bits", "bloom_hashes", "epoch", "hash_count")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"media-hash index: meta swap $tmp -> $target failed")
+  }
+
+  /** One bloom key per (chunk_idx, chunk_val) of each stored hash. */
+  private def mediaHashChunkKeys(hashes: DataFrame, bands: Int): DataFrame =
+    hashes.select(
+        posexplode(ahashChunkArr(col("ahash_a"), col("ahash_b"), bands))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .select(xxhash64(col("chunk_idx"), col("chunk_val")).as("__ck"))
+
+  private def writeMediaHashBloom(spark: org.apache.spark.sql.SparkSession,
+                                  bits: Array[Long], dir: String): Unit = {
+    import spark.implicits._
+    bits.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("word_idx", "word")
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
+  private def readMediaHashBloom(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 meta: MediaHashIndexMeta): Array[Long] = {
+    val words = new Array[Long](meta.bloomBits / 64)
+    spark.read.parquet(s"${mediaHashDerivedDir(path, meta.epoch)}/bloom")
+      .select(col("word_idx"), col("word")).collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Build the PERSISTED media-fingerprint index — perceptual image
+    * dedup's stored form, completing the family the text side already
+    * has (exact-digest, MinHash, decontamination indexes): a crawl's
+    * images are aHashed ONCE, the fingerprints persist, and every
+    * later segment dedups against all of history at probe cost.
+    * Layout (the shared artifact discipline):
+    *
+    *   - `path/hashes` — (id, ahash_a, ahash_b), append-only: three
+    *     longs per image — 10^10 images ≈ 240 GB, scanned only by the
+    *     candidate-verify join;
+    *   - `path/derived/e<N>/bloom` — the bitmap over the chunk-band
+    *     keys of every stored hash (OR-idempotent, so appends
+    *     delta-merge it); probes prescreen map-side against it, so a
+    *     mostly-novel segment never shuffles;
+    *   - `path/meta` — geometry pin (bands, bloom) + epoch pointer +
+    *     hash_count (torn-append self-heal signature).
+    *
+    * UNDECODABLE payloads carry no fingerprint and are excluded (the
+    * imageAHash `decode_ok = false` rows) — they can't near-dup by
+    * pixels; route them through exact-digest dedup instead.
+    *
+    * Geometry at scale: pick `bands` = maxHamming + 1, the MINIMUM
+    * that preserves pigeonhole recall — each extra band halves the
+    * chunk width and squares the accidental-collision rate (16-bit
+    * chunks birthday-collide brutally at web scale: 10^10 images over
+    * 2^16 values is ~150k ids per chunk value, all candidates). The
+    * default serves the default probe radius of 1: two 32-bit chunks.
+    * A hot chunk value only costs verify time (the Hamming join is
+    * exact), never correctness. */
+  def writeMediaHashIndex(df: DataFrame, contentCol: String, idCol: String,
+                          path: String, bands: Int = 2,
+                          bloomBits: Int = 1 << 20,
+                          bloomHashes: Int = 4): Unit = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    val spark = df.sparkSession
+    imageAHash(df, contentCol, idCol)
+      .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
+      .select(col("media_id").as("id"), col("ahash_a"), col("ahash_b"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    val stored = spark.read.parquet(s"$path/hashes")
+    val bits = graft.functions.BloomFilter.build(
+      mediaHashChunkKeys(stored, bands), "__ck", bloomBits, bloomHashes)
+    writeMediaHashBloom(spark, bits, mediaHashDerivedDir(path, 0L))
+    swapMediaHashMeta(spark, path,
+      MediaHashIndexMeta(bands, bloomBits, bloomHashes, 0L, stored.count()))
+  }
+
+  /** Append a new segment's images at DELTA cost: ids already indexed
+    * are skipped (narrow anti-join on the stored id column — a
+    * re-dropped segment is an idempotent no-op), the fresh fingerprints
+    * append, and the bloom delta-merges (OR over the delta's chunk
+    * keys) into a NEW epoch directory behind the meta swap. A torn
+    * append (hashes landed, meta didn't) self-heals exactly like the
+    * minhash index: hash_count disagreeing with storage rebuilds the
+    * bloom from ALL stored hashes instead of delta-merging over a
+    * bitmap that never saw the orphaned rows. */
+  def appendMediaHashIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, df: DataFrame, contentCol: String,
+                           idCol: String): Unit = {
+    val meta = readMediaHashIndexMeta(spark, path)
+    val healthy =
+      spark.read.parquet(s"$path/hashes").count() == meta.hashCount
+    val delta = imageAHash(df, contentCol, idCol)
+      .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
+      .select(col("media_id").as("id"), col("ahash_a"), col("ahash_b"))
+      .join(spark.read.parquet(s"$path/hashes").select(col("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint() // consumed twice: parquet append + bloom delta
+    delta.write.mode("append").parquet(s"$path/hashes")
+    val next = meta.epoch + 1
+    val nextDir = mediaHashDerivedDir(path, next)
+    if (healthy) {
+      val deltaBits = graft.functions.BloomFilter.build(
+        mediaHashChunkKeys(delta, meta.bands), "__ck",
+        meta.bloomBits, meta.bloomHashes)
+      val merged = readMediaHashBloom(spark, path, meta)
+        .zip(deltaBits).map { case (a, b) => a | b }
+      writeMediaHashBloom(spark, merged, nextDir)
+    } else {
+      val bits = graft.functions.BloomFilter.build(
+        mediaHashChunkKeys(spark.read.parquet(s"$path/hashes"), meta.bands),
+        "__ck", meta.bloomBits, meta.bloomHashes)
+      writeMediaHashBloom(spark, bits, nextDir)
+    }
+    val total = spark.read.parquet(s"$path/hashes").count()
+    swapMediaHashMeta(spark, path, meta.copy(epoch = next, hashCount = total))
+    MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
+      superseded = meta.epoch)
+  }
+
+  /** Probe a stored fingerprint index: each probe image's chunk keys
+    * prescreen against the bloom (codegen'd, map-side — a novel image
+    * dies before any exchange), survivors join the stored hashes'
+    * chunk keys, and candidates verify by exact Hamming over the
+    * 128-bit pair. Output: (probe_id, match_id, hamming), one row per
+    * (probe, stored) pair within `maxHamming`. Pigeonhole recall as in
+    * [[ahashPairs]]: exact for maxHamming < bands. */
+  def probeMediaHashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, probes: DataFrame,
+                          contentCol: String, idCol: String,
+                          maxHamming: Int = 1): DataFrame = {
+    val meta = readMediaHashIndexMeta(spark, path)
+    require(maxHamming >= 0 && maxHamming < meta.bands,
+      s"pigeonhole recall requires maxHamming < bands, " +
+        s"got $maxHamming/${meta.bands}")
+    val words = readMediaHashBloom(spark, path, meta)
+    val probeChunks = imageAHash(probes, contentCol, idCol)
+      .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
+      .select(col("media_id").as("probe_id"),
+        col("ahash_a").as("p_a"), col("ahash_b").as("p_b"),
+        posexplode(ahashChunkArr(col("ahash_a"), col("ahash_b"), meta.bands))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .filter(graft.functions.BloomFilter.mightContainCol(
+        xxhash64(col("chunk_idx"), col("chunk_val")), words,
+        meta.bloomHashes, meta.bloomBits))
+    val storedChunks = spark.read.parquet(s"$path/hashes")
+      .select(col("id").as("match_id"),
+        col("ahash_a").as("s_a"), col("ahash_b").as("s_b"),
+        posexplode(ahashChunkArr(col("ahash_a"), col("ahash_b"), meta.bands))
+          .as(Seq("chunk_idx", "chunk_val")))
+    probeChunks.join(storedChunks, Seq("chunk_idx", "chunk_val"))
+      .select(col("probe_id"), col("match_id"),
+        (bit_count(col("p_a").bitwiseXOR(col("s_a"))) +
+          bit_count(col("p_b").bitwiseXOR(col("s_b"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The admission filter a crawl pipeline runs on every new segment:
+    * keep only probe images with NO stored near-duplicate. Undecodable
+    * probes carry no fingerprint, match nothing, and are ADMITTED —
+    * stated plainly; run exact-digest dedup beside this for them. */
+  def dedupMediaAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, probes: DataFrame,
+                             contentCol: String, idCol: String,
+                             maxHamming: Int = 1): DataFrame =
+    probes.join(
+      probeMediaHashIndex(spark, path, probes, contentCol, idCol,
+          maxHamming)
+        .select(col("probe_id")).distinct(),
+      probes(idCol) === col("probe_id"), "left_anti")
 
   /** REAL resize: decode, nearest-neighbor downscale to fit `maxDim`
     * (deterministic — no interpolation rounding to diverge on), re-encode

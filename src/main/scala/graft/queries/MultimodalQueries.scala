@@ -34,6 +34,14 @@ object MultimodalQueries {
     GraftQuery("q_media_ahash", mediaAHash, Some(mediaAHashSql)),
     GraftQuery("q_media_dup_groups", mediaDupGroups, Some(mediaDupGroupsSql)),
     GraftQuery("q_media_dup_radius", mediaDupRadius, Some(mediaDupRadiusSql)),
+    // the PERSISTED media-fingerprint index (eleventh artifact):
+    // build/append/re-append(idempotent no-op)/probe — new images dedup
+    // against all of history at probe cost, bloom-prescreened
+    GraftQuery("q_media_dup_index", mediaDupIndexQ, Some(mediaDupIndexSql)),
+    // the admission filter over the same artifact: probes with no
+    // stored near-duplicate survive
+    GraftQuery("q_media_admit_index", mediaAdmitIndexQ,
+      Some(mediaAdmitIndexSql)),
     // REAL audio: RIFF/WAVE round-trip — columnar header parse and JDK
     // PCM decode, oracle recomputing from the generator formulas
     GraftQuery("q_audio_meta", audioMeta, Some(audioMetaSql)),
@@ -938,6 +946,98 @@ object MultimodalQueries {
       |)
       |SELECT h.media_id, coalesce(c.component, h.media_id) AS component
       |FROM allh h LEFT JOIN comp c ON c.id = h.media_id""".stripMargin
+
+  /** The stored-fingerprint lifecycle end to end: 50 distinct images
+    * (keys 0..49) land as two segments — evens BUILD the artifact,
+    * odds APPEND, the whole corpus re-appends as an idempotent no-op
+    * (the anti-join walks nothing) — then 60 probe images (keys 0..59)
+    * probe it at Hamming ≤ 1. Keys 0..49 must rediscover their stored
+    * originals (hamming 0, plus whatever true ≤1 neighbours exist —
+    * the oracle recomputes ALL of them from the pixel formulas, so
+    * accidental near-pairs are covered, not flaky); keys 50..59 match
+    * only if a genuine ≤1 neighbour exists among the stored hashes. */
+  def mediaDupIndexQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select((col("doc_id") % 60).as("img_key")).distinct()
+    val corpusImgs = MultimodalOps.encodeSyntheticPng(
+      keys.filter(col("img_key") < 50), "img_key")
+    val probes = MultimodalOps.encodeSyntheticPng(keys, "img_key")
+    val idxPath = graft.sources.TableSources.scratchDir("graft-mediahash")
+    MultimodalOps.writeMediaHashIndex(
+      corpusImgs.filter(col("media_id") % 2 === 0), "content", "media_id",
+      idxPath, bands = 2)
+    MultimodalOps.appendMediaHashIndex(spark, idxPath,
+      corpusImgs.filter(col("media_id") % 2 === 1), "content", "media_id")
+    MultimodalOps.appendMediaHashIndex(spark, idxPath,
+      corpusImgs, "content", "media_id") // idempotent re-drop
+    MultimodalOps.probeMediaHashIndex(spark, idxPath, probes,
+      "content", "media_id", maxHamming = 1)
+  }
+
+  /** The shared hash CTEs: formula pixels → 8×8 cell means → the two
+    * bigint halves, for keys 0..59 (probes; stored = keys < 50). */
+  private def mediaHashOracleCtes: String =
+    """WITH d AS (
+      |  SELECT DISTINCT doc_id % 60 AS media_id,
+      |    8 + (doc_id % 60) % 9 AS w, 8 + (doc_id % 60) % 7 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
+      |), px AS (
+      |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+      |), cells AS (
+      |  SELECT media_id, (y * 8) // h * 8 + (x * 8) // w AS idx,
+      |    CAST(sum((media_id * 31 + x * 7 + y * 13) % 256
+      |            + (media_id * 17 + x * 11 + y * 3) % 256
+      |            + (media_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS v,
+      |    count(*) AS n
+      |  FROM px GROUP BY media_id, idx
+      |), tot AS (
+      |  SELECT media_id, sum(v) AS g, sum(n) AS npx FROM cells GROUP BY media_id
+      |), bits AS (
+      |  SELECT c.media_id, c.idx,
+      |    CASE WHEN c.v * t.npx > t.g * c.n THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM cells c JOIN tot t USING (media_id)
+      |), hashes AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN idx < 32 THEN bit << idx ELSE 0 END) AS BIGINT) AS ahash_a,
+      |    CAST(sum(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_b
+      |  FROM bits GROUP BY media_id
+      |)""".stripMargin
+
+  def mediaDupIndexSql: String =
+    s"""$mediaHashOracleCtes
+       |SELECT p.media_id AS probe_id, s.media_id AS match_id,
+       |  CAST(bit_count(xor(p.ahash_a, s.ahash_a))
+       |     + bit_count(xor(p.ahash_b, s.ahash_b)) AS BIGINT) AS hamming
+       |FROM hashes p JOIN hashes s ON s.media_id < 50
+       |WHERE bit_count(xor(p.ahash_a, s.ahash_a))
+       |    + bit_count(xor(p.ahash_b, s.ahash_b)) <= 1""".stripMargin
+
+  /** [[mediaDupIndexQ]]'s admission filter: probes with NO stored
+    * near-duplicate survive — the per-segment gate a crawl pipeline
+    * runs before admitting new images to the training corpus. */
+  def mediaAdmitIndexQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select((col("doc_id") % 60).as("img_key")).distinct()
+    val corpusImgs = MultimodalOps.encodeSyntheticPng(
+      keys.filter(col("img_key") < 50), "img_key")
+    val probes = MultimodalOps.encodeSyntheticPng(keys, "img_key")
+    val idxPath = graft.sources.TableSources.scratchDir("graft-mediahash-a")
+    MultimodalOps.writeMediaHashIndex(
+      corpusImgs, "content", "media_id", idxPath, bands = 2)
+    MultimodalOps.dedupMediaAgainstIndex(spark, idxPath, probes,
+        "content", "media_id", maxHamming = 1)
+      .select(col("media_id"))
+  }
+
+  def mediaAdmitIndexSql: String =
+    s"""$mediaHashOracleCtes
+       |SELECT p.media_id FROM hashes p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM hashes s WHERE s.media_id < 50
+       |    AND bit_count(xor(p.ahash_a, s.ahash_a))
+       |      + bit_count(xor(p.ahash_b, s.ahash_b)) <= 1)""".stripMargin
 
   /** Image dedup end to end: every doc re-encodes the image of
     * doc_id % 50, so each distinct image recurs ~n/50 times under
