@@ -210,21 +210,28 @@ object MultimodalOps {
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       it.map { r =>
         val id = r.getLong(0)
-        val (w, h) = synthDims(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, synthRgb(id, x, y)); x += 1 }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
         new GenericRowWithSchema(
-          Array[Any](id, bos.toByteArray), outSchema): Row
+          Array[Any](id, synthPngBytes(id)), outSchema): Row
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** One formula image's real PNG bytes — the single-image form of
+    * [[encodeSyntheticPng]], shared with the media-WARC encoder (whose
+    * image responses embed exactly these bytes as HTTP payloads). */
+  private[pipeline] def synthPngBytes(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, synthRgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** REAL decode + featurize: `ImageIO.read` (PNG/JPEG via the JDK's

@@ -45,8 +45,12 @@ object WarcOps {
     * both storage encoders (plain concatenation and gzip-per-member),
     * so the two corpora are byte-identical record for record. The
     * Record-ID salt is the running uncompressed length of the records
-    * before this one. */
-  private def warcRecordStrings(id: Long): Seq[String] = {
+    * before this one. `response` supplies each response's
+    * (content type, HTTP body); bodies are ISO-8859-1 strings, which
+    * carry BINARY payloads byte-for-byte (1 char = 1 byte) — the media
+    * encoder threads real PNG bytes through exactly this seam. */
+  private def warcRecordsWith(id: Long,
+      response: Int => (String, String)): Seq[String] = {
     var runningLen = 0
     def record(tpe: String, uri: Option[String], payload: String): String = {
       val sb = new StringBuilder
@@ -61,12 +65,31 @@ object WarcOps {
     }
     record("warcinfo", None, s"software: graft-$id\r\n") +:
       (0 until synthWarcResponses(id)).map { ri =>
-        val body = synthWarcHtml(id, ri)
+        val (ctype, body) = response(ri)
         val http = s"HTTP/1.1 ${synthWarcStatus(id, ri)} X\r\n" +
-          "Content-Type: text/html\r\n\r\n" + body
+          s"Content-Type: $ctype\r\n\r\n" + body
         record("response", Some(s"http://example.test/$id/$ri"), http)
       }
   }
+
+  private def warcRecordStrings(id: Long): Seq[String] =
+    warcRecordsWith(id, ri => ("text/html", synthWarcHtml(id, ri)))
+
+  /** The MIXED-MODALITY crawl formulas: response r of file id is an
+    * IMAGE iff (id + r) % 3 == 0, carrying the real PNG of formula
+    * image (id·8 + r) % 40 — keys recur across files, so the corpus is
+    * deliberately duplicate-rich (the dedup story's input). Text
+    * responses are the html formulas unchanged. */
+  def synthWarcIsImage(id: Long, r: Int): Boolean = (id + r) % 3 == 0
+  def synthWarcImgKey(id: Long, r: Int): Long = (id * 8 + r) % 40
+
+  private def warcRecordStringsMedia(id: Long): Seq[String] =
+    warcRecordsWith(id, ri =>
+      if (synthWarcIsImage(id, ri))
+        ("image/png", new String(
+          MultimodalOps.synthPngBytes(synthWarcImgKey(id, ri)),
+          "ISO-8859-1"))
+      else ("text/html", synthWarcHtml(id, ri)))
 
   /** id → one REAL multi-record WARC file: a warcinfo record followed
     * by `synthWarcResponses(id)` response records, each carrying a full
@@ -91,7 +114,18 @@ object WarcOps {
     * the way Common Crawl actually ships it: ONE GZIP MEMBER PER
     * RECORD, members concatenated — the layout that lets a consumer
     * seek to a record boundary and decompress just that member. */
-  def encodeSyntheticWarcGz(df: DataFrame, idCol: String): DataFrame = {
+  def encodeSyntheticWarcGz(df: DataFrame, idCol: String): DataFrame =
+    encodeWarcGzWith(df, idCol)(warcRecordStrings)
+
+  /** [[encodeSyntheticWarcGz]] with the MIXED-MODALITY records: image
+    * responses ([[synthWarcIsImage]]) carry real PNG bytes as their
+    * HTTP payload, Content-Type image/png, everything else identical —
+    * the crawl corpus a multimodal training pipeline actually faces. */
+  def encodeSyntheticWarcGzMedia(df: DataFrame, idCol: String): DataFrame =
+    encodeWarcGzWith(df, idCol)(warcRecordStringsMedia)
+
+  private def encodeWarcGzWith(df: DataFrame, idCol: String)(
+      strings: Long => Seq[String]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = false)))
@@ -100,7 +134,7 @@ object WarcOps {
       it.map { r =>
         val id = r.getLong(0)
         val bos = new java.io.ByteArrayOutputStream()
-        warcRecordStrings(id).foreach { rec =>
+        strings(id).foreach { rec =>
           val member = new java.io.ByteArrayOutputStream()
           val gz = new java.util.zip.GZIPOutputStream(member)
           try { gz.write(rec.getBytes("ISO-8859-1")); gz.finish() }

@@ -42,6 +42,11 @@ object MultimodalQueries {
     // stored near-duplicate survive
     GraftQuery("q_media_admit_index", mediaAdmitIndexQ,
       Some(mediaAdmitIndexSql)),
+    // the MULTIMODAL crawl end to end: mixed text/PNG .warc.gz corpus →
+    // byte-range index → ranged fetch of 200-survivors → payload sniff →
+    // real decode + fingerprint, one plan, pixel-formula oracle
+    GraftQuery("q_e2e_crawl_media", e2eCrawlMediaQ, Some(e2eCrawlMediaSql),
+      bench = true),
     // REAL audio: RIFF/WAVE round-trip — columnar header parse and JDK
     // PCM decode, oracle recomputing from the generator formulas
     GraftQuery("q_audio_meta", audioMeta, Some(audioMetaSql)),
@@ -974,14 +979,11 @@ object MultimodalQueries {
       "content", "media_id", maxHamming = 1)
   }
 
-  /** The shared hash CTEs: formula pixels → 8×8 cell means → the two
-    * bigint halves, for keys 0..59 (probes; stored = keys < 50). */
-  private def mediaHashOracleCtes: String =
-    """WITH d AS (
-      |  SELECT DISTINCT doc_id % 60 AS media_id,
-      |    8 + (doc_id % 60) % 9 AS w, 8 + (doc_id % 60) % 7 AS h
-      |  FROM documents
-      |), xs AS (
+  /** The pixel-formula aHash CTE chain (xs→…→hashes) over a
+    * caller-supplied CTE `d` carrying (media_id, w, h) — shared by
+    * every oracle that must recompute fingerprints. */
+  private def ahashCtesFromD: String =
+    """xs AS (
       |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
       |), px AS (
       |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
@@ -1004,6 +1006,15 @@ object MultimodalQueries {
       |    CAST(sum(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_b
       |  FROM bits GROUP BY media_id
       |)""".stripMargin
+
+  /** The shared hash CTEs: formula pixels → 8×8 cell means → the two
+    * bigint halves, for keys 0..59 (probes; stored = keys < 50). */
+  private def mediaHashOracleCtes: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT doc_id % 60 AS media_id,
+       |    8 + (doc_id % 60) % 9 AS w, 8 + (doc_id % 60) % 7 AS h
+       |  FROM documents
+       |), $ahashCtesFromD""".stripMargin
 
   def mediaDupIndexSql: String =
     s"""$mediaHashOracleCtes
@@ -1038,6 +1049,58 @@ object MultimodalQueries {
        |  SELECT 1 FROM hashes s WHERE s.media_id < 50
        |    AND bit_count(xor(p.ahash_a, s.ahash_a))
        |      + bit_count(xor(p.ahash_b, s.ahash_b)) <= 1)""".stripMargin
+
+  /** The MULTIMODAL crawl front door end to end, one declarative plan:
+    * stored mixed-modality .warc.gz files (image responses carry real
+    * PNG bytes as their HTTP payload) → the windowed byte-range index →
+    * status-200 survivors fetched by coalesced positioned reads →
+    * payload SNIFF (PNG magic — headers lie; the body's first four
+    * bytes don't) → REAL decode + perceptual fingerprint of every
+    * fetched image. Output: (media_id, record_idx, ahash_a, ahash_b)
+    * per 200-image-record — the relation the stored fingerprint index
+    * ingests. The oracle rebuilds everything from formulas: which
+    * (file, response) pairs are 200-images, which formula image each
+    * carries, and that image's fingerprint from its pixels. */
+  def e2eCrawlMediaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select((col("doc_id") % 40).as("warc_key")).distinct()
+    val files = stagedFiles(spark, sfDir, "warc-media", ".warc.gz")(
+      graft.pipeline.WarcOps.encodeSyntheticWarcGzMedia(keys, "warc_key"))
+    val index = graft.pipeline.WarcOps.warcMemberIndexRanged(
+      files, "media_path", "media_id")
+    val survivors = index.filter(col("warc_type") === "response" &&
+      col("http_status") === 200)
+    val fetched = graft.pipeline.WarcOps.warcFetchRanged(
+      files, "media_path", "media_id", survivors, coalesceGap = 1024L)
+    val images = fetched
+      .filter(substring(col("body"), 1, 4) === "\u0089PNG")
+      // body is the byte-preserving ISO-8859-1 string; encode() with
+      // the same charset is its exact inverse (a bare binary cast
+      // would re-encode as UTF-8 and corrupt every byte >= 0x80)
+      .select((col("media_id") * 100 + col("record_idx")).as("pk"),
+        encode(col("body"), "ISO-8859-1").as("content"))
+    MultimodalOps.imageAHash(images, "content", "pk")
+      .filter(col("decode_ok"))
+      .select(expr("CAST(media_id div 100 AS BIGINT)").as("media_id"),
+        (col("media_id") % 100).as("record_idx"),
+        col("ahash_a"), col("ahash_b"))
+  }
+
+  def e2eCrawlMediaSql: String =
+    s"""WITH ids AS (
+       |  SELECT DISTINCT doc_id % 40 AS wid FROM documents
+       |), resp AS (
+       |  SELECT wid, unnest(range(0, 3 + wid % 4)) AS r FROM ids
+       |), imgs AS (
+       |  SELECT wid, r, (wid * 8 + r) % 40 AS img_key FROM resp
+       |  WHERE (wid + r) % 3 = 0 AND (wid + r) % 5 != 0
+       |), d AS (
+       |  SELECT DISTINCT img_key AS media_id,
+       |    8 + img_key % 9 AS w, 8 + img_key % 7 AS h FROM imgs
+       |), $ahashCtesFromD
+       |SELECT i.wid AS media_id, CAST(i.r + 1 AS BIGINT) AS record_idx,
+       |  h.ahash_a, h.ahash_b
+       |FROM imgs i JOIN hashes h ON h.media_id = i.img_key""".stripMargin
 
   /** Image dedup end to end: every doc re-encodes the image of
     * doc_id % 50, so each distinct image recurs ~n/50 times under
