@@ -373,19 +373,11 @@ object DedupOps {
   private def swapMeta(spark: org.apache.spark.sql.SparkSession,
                        path: String, meta: MinhashIndexMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.shingleK, meta.numHashes, meta.bands, meta.bloomBits,
-        meta.bloomHashes, meta.epoch, meta.sigCount))
-      .toDF("shingle_k", "num_hashes", "bands", "bloom_bits",
-        "bloom_hashes", "epoch", "sig_count")
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"minhash index: meta swap $tmp -> $target failed")
+    MetaIO.swapMetaRow(spark, path, "minhash index",
+      Seq((meta.shingleK, meta.numHashes, meta.bands, meta.bloomBits,
+          meta.bloomHashes, meta.epoch, meta.sigCount))
+        .toDF("shingle_k", "num_hashes", "bands", "bloom_bits",
+          "bloom_hashes", "epoch", "sig_count"))
   }
 
   /** Full rebuild of one epoch's derived relations from the STORED
@@ -412,12 +404,8 @@ object DedupOps {
   }
 
   private def writeBloomWords(spark: org.apache.spark.sql.SparkSession,
-                              bits: Array[Long], dir: String): Unit = {
-    import spark.implicits._
-    bits.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) }
-      .toDF("word_idx", "word")
-      .write.mode("overwrite").parquet(s"$dir/bloom")
-  }
+                              bits: Array[Long], dir: String): Unit =
+    MetaIO.writeBloomWords(spark, bits, s"$dir/bloom")
 
   /** Append today's crawl to a [[writeMinhashIndex]] artifact — the
     * daily maintenance move completing the build/append/probe lifecycle
@@ -456,35 +444,41 @@ object DedupOps {
         meta.numHashes)
       .select(col(idCol).as("id"), col("sig"))
       .localCheckpoint()
-    val deltaCount = delta.count()
-    delta.write.mode("append").parquet(s"$path/signatures")
-    val next = meta.epoch + 1
-    val nextDir = minhashDerivedDir(path, next)
-    if (healthy) {
-      val deltaKeys = delta
-        .select(posexplode(lshBandKeys(col("sig"), meta.bands, rowsPerBand))
-          .as(Seq("band_idx", "band_hash")))
-        .groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("freq"))
-        .localCheckpoint() // consumed twice: count merge + bloom delta
-      spark.read.parquet(s"${minhashDerivedDir(path, meta.epoch)}/bandkeys")
-        .unionByName(deltaKeys)
-        .groupBy(col("band_idx"), col("band_hash"))
-        .agg(sum(col("freq")).as("freq"))
-        .write.mode("overwrite").parquet(s"$nextDir/bandkeys")
-      val deltaBits = graft.functions.BloomFilter.build(
-        deltaKeys.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
-        "__bk", meta.bloomBits, meta.bloomHashes)
-      val merged = readStoredBloom(spark, path, meta)
-      var i = 0
-      while (i < merged.length) { merged(i) |= deltaBits(i); i += 1 }
-      writeBloomWords(spark, merged, nextDir)
-    } else {
-      rebuildDerivedRelations(spark, path, meta, next)
-    }
-    swapMeta(spark, path,
-      meta.copy(epoch = next, sigCount = storedCount + deltaCount))
-    pruneEpochs(spark, path, superseded = meta.epoch)
+    try {
+      val deltaCount = delta.count()
+      delta.write.mode("append").parquet(s"$path/signatures")
+      val next = meta.epoch + 1
+      val nextDir = minhashDerivedDir(path, next)
+      if (healthy) {
+        val deltaKeys = delta
+          .select(posexplode(lshBandKeys(col("sig"), meta.bands, rowsPerBand))
+            .as(Seq("band_idx", "band_hash")))
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("freq"))
+          .localCheckpoint() // consumed twice: count merge + bloom delta
+        try {
+          spark.read.parquet(s"${minhashDerivedDir(path, meta.epoch)}/bandkeys")
+            .unionByName(deltaKeys)
+            .groupBy(col("band_idx"), col("band_hash"))
+            .agg(sum(col("freq")).as("freq"))
+            .write.mode("overwrite").parquet(s"$nextDir/bandkeys")
+          val deltaBits = graft.functions.BloomFilter.build(
+            deltaKeys.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
+            "__bk", meta.bloomBits, meta.bloomHashes)
+          val merged = readStoredBloom(spark, path, meta)
+          var i = 0
+          while (i < merged.length) { merged(i) |= deltaBits(i); i += 1 }
+          writeBloomWords(spark, merged, nextDir)
+        } finally deltaKeys.unpersist()
+      } else {
+        rebuildDerivedRelations(spark, path, meta, next)
+      }
+      swapMeta(spark, path,
+        meta.copy(epoch = next, sigCount = storedCount + deltaCount))
+      pruneEpochs(spark, path, superseded = meta.epoch)
+      // the per-day maintenance path must not accumulate one
+      // checkpointed RDD per append for the session's lifetime
+    } finally delta.unpersist()
   }
 
   /** Remove derived-relation epochs older than the SUPERSEDED one —
@@ -500,13 +494,9 @@ object DedupOps {
     * bloomBits/64 longs, a scalar-sized collect like the IVF centroid
     * snapshot. */
   private[graft] def readStoredBloom(spark: org.apache.spark.sql.SparkSession,
-                              path: String, meta: MinhashIndexMeta): Array[Long] = {
-    val words = new Array[Long](meta.bloomBits / 64)
-    spark.read.parquet(s"${minhashDerivedDir(path, meta.epoch)}/bloom")
-      .select(col("word_idx"), col("word")).collect()
-      .foreach(r => words(r.getInt(0)) = r.getLong(1))
-    words
-  }
+                              path: String, meta: MinhashIndexMeta): Array[Long] =
+    MetaIO.readBloomWords(spark,
+      s"${minhashDerivedDir(path, meta.epoch)}/bloom", meta.bloomBits)
 
   /** Incremental NEAR-dup screen against a [[writeMinhashIndex]]
     * artifact — semantics identical to [[nearDupAgainstIndex]] (same

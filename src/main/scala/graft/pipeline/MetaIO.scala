@@ -65,6 +65,48 @@ private[graft] object MetaIO {
     rows(0)
   }
 
+  /** The meta-pointer SWAP, shared by every artifact lifecycle: write
+    * the one-row relation SIDEWAYS (`meta__next`), then delete the live
+    * pointer and rename — meta commits LAST in every lifecycle step,
+    * and the non-atomic delete→rename window is exactly what
+    * [[readMetaRow]]'s bounded retry covers. One implementation so a
+    * fix to the crash window lands everywhere at once. */
+  def swapMetaRow(spark: SparkSession, path: String, label: String,
+                  metaDf: org.apache.spark.sql.DataFrame): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+    fs.delete(tmp, true)
+    metaDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"$label: meta swap $tmp -> $target failed")
+  }
+
+  /** The stored bloom bitmap as a (word_idx, word) relation AT `dir` —
+    * the relation shape every bloom-carrying artifact shares (callers
+    * own the directory naming: `…/e<N>/bloom`, `…/bloom/e<N>`, …). */
+  def writeBloomWords(spark: SparkSession, bits: Array[Long],
+                      dir: String): Unit = {
+    import spark.implicits._
+    bits.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("word_idx", "word")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** …and its probe-shape read: numBits/64 longs, a scalar-sized
+    * collect (≤16 MB at the build cap), reassembled by word index. */
+  def readBloomWords(spark: SparkSession, dir: String,
+                     numBits: Int): Array[Long] = {
+    import org.apache.spark.sql.functions.col
+    val words = new Array[Long](numBits / 64)
+    spark.read.parquet(dir)
+      .select(col("word_idx"), col("word")).collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
   /** Epoch garbage collection, shared by every epoch'd lifecycle. ONE
     * convention at every call site: pass the epoch being SUPERSEDED by
     * the commit that just swapped meta. `e<N>` children with

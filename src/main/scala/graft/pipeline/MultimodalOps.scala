@@ -220,6 +220,12 @@ object MultimodalOps {
     * [[encodeSyntheticPng]], shared with the media-WARC encoder (whose
     * image responses embed exactly these bytes as HTTP payloads). */
   private[pipeline] def synthPngBytes(id: Long): Array[Byte] = {
+    // re-establish the no-temp-file invariant HERE, not only in
+    // encodeSyntheticPng's partition init: this runs inside other
+    // encoders' partitions too (the media-WARC records), and a fresh
+    // executor JVM otherwise writes a FileCacheImageOutputStream temp
+    // per image — churn at best, task failure on a full/read-only tmpdir
+    javax.imageio.ImageIO.setUseCache(false)
     val (w, h) = synthDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -2878,6 +2884,20 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** The `bands` bit-chunks of a 64-bit aHash pair as an array column —
+    * pigeonhole banding's key material, shared by the in-memory pair
+    * join ([[ahashPairs]]) and the persisted fingerprint index. Chunks
+    * are contiguous bit runs (bits = 64/bands ≤ 32 divides 32, so a
+    * chunk never straddles the two halves). */
+  private def ahashChunkArr(a: Column, b: Column, bands: Int): Column = {
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    array((0 until bands).map { c =>
+      val half = if (c * bits < 32) a else b
+      shiftrightunsigned(half, (c * bits) % 32).bitwiseAND(lit(mask))
+    }: _*)
+  }
+
   /** Hamming-radius near-dup pairs over [[imageAHash]] hashes — the
     * SimHash-analogue small-radius screen for RETOUCHED images (exact
     * hash equality only catches re-encodes; a light edit flips a bit
@@ -2899,20 +2919,6 @@ object MultimodalOps {
     * exact-payload dedup first ([[queries.MultimodalQueries]] hashes
     * one row per DISTINCT payload, which is the batch economy that
     * matters). */
-  /** The `bands` bit-chunks of a 64-bit aHash pair as an array column —
-    * pigeonhole banding's key material, shared by the in-memory pair
-    * join ([[ahashPairs]]) and the persisted fingerprint index. Chunks
-    * are contiguous bit runs (bits = 64/bands ≤ 32 divides 32, so a
-    * chunk never straddles the two halves). */
-  private def ahashChunkArr(a: Column, b: Column, bands: Int): Column = {
-    val bits = 64 / bands
-    val mask = (1L << bits) - 1
-    array((0 until bands).map { c =>
-      val half = if (c * bits < 32) a else b
-      shiftrightunsigned(half, (c * bits) % 32).bitwiseAND(lit(mask))
-    }: _*)
-  }
-
   def ahashPairs(hashed: DataFrame, idCol: String,
                  maxHamming: Int = 1, bands: Int = 4): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
@@ -2982,18 +2988,10 @@ object MultimodalOps {
                                 path: String,
                                 meta: MediaHashIndexMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.bands, meta.bloomBits, meta.bloomHashes, meta.epoch,
-        meta.hashCount))
-      .toDF("bands", "bloom_bits", "bloom_hashes", "epoch", "hash_count")
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"media-hash index: meta swap $tmp -> $target failed")
+    MetaIO.swapMetaRow(spark, path, "media-hash index",
+      Seq((meta.bands, meta.bloomBits, meta.bloomHashes, meta.epoch,
+          meta.hashCount))
+        .toDF("bands", "bloom_bits", "bloom_hashes", "epoch", "hash_count"))
   }
 
   /** One bloom key per (chunk_idx, chunk_val) of each stored hash. */
@@ -3004,22 +3002,14 @@ object MultimodalOps {
       .select(xxhash64(col("chunk_idx"), col("chunk_val")).as("__ck"))
 
   private def writeMediaHashBloom(spark: org.apache.spark.sql.SparkSession,
-                                  bits: Array[Long], dir: String): Unit = {
-    import spark.implicits._
-    bits.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) }
-      .toDF("word_idx", "word")
-      .write.mode("overwrite").parquet(s"$dir/bloom")
-  }
+                                  bits: Array[Long], dir: String): Unit =
+    MetaIO.writeBloomWords(spark, bits, s"$dir/bloom")
 
   private def readMediaHashBloom(spark: org.apache.spark.sql.SparkSession,
                                  path: String,
-                                 meta: MediaHashIndexMeta): Array[Long] = {
-    val words = new Array[Long](meta.bloomBits / 64)
-    spark.read.parquet(s"${mediaHashDerivedDir(path, meta.epoch)}/bloom")
-      .select(col("word_idx"), col("word")).collect()
-      .foreach(r => words(r.getInt(0)) = r.getLong(1))
-    words
-  }
+                                 meta: MediaHashIndexMeta): Array[Long] =
+    MetaIO.readBloomWords(spark,
+      s"${mediaHashDerivedDir(path, meta.epoch)}/bloom", meta.bloomBits)
 
   /** Build the PERSISTED media-fingerprint index — perceptual image
     * dedup's stored form, completing the family the text side already
@@ -3049,7 +3039,18 @@ object MultimodalOps {
     * 2^16 values is ~150k ids per chunk value, all candidates). The
     * default serves the default probe radius of 1: two 32-bit chunks.
     * A hot chunk value only costs verify time (the Hamming join is
-    * exact), never correctness. */
+    * exact), never correctness.
+    *
+    * Bloom sizing, stated plainly: the prescreen carries its weight
+    * only while bloomBits ≳ 10 × (stored hashes × bands) — the default
+    * 2^20 bits serves ~10^5 images and the build-side hard cap (2^27
+    * bits = 16 MB broadcast) ~10^7. Beyond that the bitmap SATURATES:
+    * every probe chunk passes, correctness holds (the Hamming join is
+    * exact), but every segment pays the full shuffle the doc above
+    * promises to skip. Past the cap, distinct-chunk cardinality is the
+    * real prescreen — size bands so chunk values stay selective, or
+    * accept the shuffle; this is the same ceiling the decontamination
+    * and MinHash blooms document. */
   def writeMediaHashIndex(df: DataFrame, contentCol: String, idCol: String,
                           path: String, bands: Int = 2,
                           bloomBits: Int = 1 << 20,
@@ -3090,26 +3091,30 @@ object MultimodalOps {
       .join(spark.read.parquet(s"$path/hashes").select(col("id")),
         Seq("id"), "left_anti")
       .localCheckpoint() // consumed twice: parquet append + bloom delta
-    delta.write.mode("append").parquet(s"$path/hashes")
-    val next = meta.epoch + 1
-    val nextDir = mediaHashDerivedDir(path, next)
-    if (healthy) {
-      val deltaBits = graft.functions.BloomFilter.build(
-        mediaHashChunkKeys(delta, meta.bands), "__ck",
-        meta.bloomBits, meta.bloomHashes)
-      val merged = readMediaHashBloom(spark, path, meta)
-        .zip(deltaBits).map { case (a, b) => a | b }
-      writeMediaHashBloom(spark, merged, nextDir)
-    } else {
-      val bits = graft.functions.BloomFilter.build(
-        mediaHashChunkKeys(spark.read.parquet(s"$path/hashes"), meta.bands),
-        "__ck", meta.bloomBits, meta.bloomHashes)
-      writeMediaHashBloom(spark, bits, nextDir)
-    }
-    val total = spark.read.parquet(s"$path/hashes").count()
-    swapMediaHashMeta(spark, path, meta.copy(epoch = next, hashCount = total))
-    MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
-      superseded = meta.epoch)
+    try {
+      delta.write.mode("append").parquet(s"$path/hashes")
+      val next = meta.epoch + 1
+      val nextDir = mediaHashDerivedDir(path, next)
+      if (healthy) {
+        val deltaBits = graft.functions.BloomFilter.build(
+          mediaHashChunkKeys(delta, meta.bands), "__ck",
+          meta.bloomBits, meta.bloomHashes)
+        val merged = readMediaHashBloom(spark, path, meta)
+          .zip(deltaBits).map { case (a, b) => a | b }
+        writeMediaHashBloom(spark, merged, nextDir)
+      } else {
+        val bits = graft.functions.BloomFilter.build(
+          mediaHashChunkKeys(spark.read.parquet(s"$path/hashes"),
+            meta.bands), "__ck", meta.bloomBits, meta.bloomHashes)
+        writeMediaHashBloom(spark, bits, nextDir)
+      }
+      val total = spark.read.parquet(s"$path/hashes").count()
+      swapMediaHashMeta(spark, path,
+        meta.copy(epoch = next, hashCount = total))
+      MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
+        superseded = meta.epoch)
+    } finally delta.unpersist() // a per-segment maintenance path must
+    // not accumulate one checkpointed RDD per append for the session
   }
 
   /** Probe a stored fingerprint index: each probe image's chunk keys

@@ -795,15 +795,7 @@ object SimilarityOps {
   private def swapIvfServingMeta(spark: org.apache.spark.sql.SparkSession,
                                  path: String, gen: Long): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq(gen).toDF("gen").coalesce(1).write.parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"ivfpq serving: failed to swap meta into place at $target")
+    MetaIO.swapMetaRow(spark, path, "ivfpq serving", Seq(gen).toDF("gen"))
   }
 
   private[graft] def readIvfServingGen(
@@ -1428,17 +1420,9 @@ object SimilarityOps {
   private def swapKmeansMeta(spark: org.apache.spark.sql.SparkSession,
                              path: String, meta: KmeansModelMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.k, meta.dim, meta.itersTrained, meta.epoch))
-      .toDF("k", "dim", "iters_trained", "epoch")
-      .coalesce(1).write.parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"kmeans model: failed to swap meta into place at $target")
+    MetaIO.swapMetaRow(spark, path, "kmeans model",
+      Seq((meta.k, meta.dim, meta.itersTrained, meta.epoch))
+        .toDF("k", "dim", "iters_trained", "epoch"))
   }
 
   private[graft] def readKmeansModelMeta(

@@ -344,19 +344,11 @@ object StatsOps {
   private def swapQsMeta(spark: org.apache.spark.sql.SparkSession,
                          path: String, meta: QuantileIndexMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.subBits.toLong, meta.groupCols.mkString(","),
-        meta.bucketRows, meta.epoch, meta.lastBatchId))
-      .toDF("sub_bits", "group_cols", "bucket_rows", "epoch",
-        "last_batch_id")
-      .coalesce(1).write.parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"quantile index: failed to swap meta into place at $target")
+    MetaIO.swapMetaRow(spark, path, "quantile index",
+      Seq((meta.subBits.toLong, meta.groupCols.mkString(","),
+          meta.bucketRows, meta.epoch, meta.lastBatchId))
+        .toDF("sub_bits", "group_cols", "bucket_rows", "epoch",
+          "last_batch_id"))
   }
 
   private[graft] def readQuantileIndexMeta(
@@ -730,18 +722,10 @@ object StatsOps {
   private def swapHllMeta(spark: org.apache.spark.sql.SparkSession,
                           path: String, meta: HllIndexMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.m.toLong, meta.groupCols.mkString(","), meta.regRows,
-        meta.epoch))
-      .toDF("m", "group_cols", "reg_rows", "epoch")
-      .coalesce(1).write.parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"hll index: failed to swap meta into place at $target")
+    MetaIO.swapMetaRow(spark, path, "hll index",
+      Seq((meta.m.toLong, meta.groupCols.mkString(","), meta.regRows,
+          meta.epoch))
+        .toDF("m", "group_cols", "reg_rows", "epoch"))
   }
 
   private[graft] def readHllIndexMeta(

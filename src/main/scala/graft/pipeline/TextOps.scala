@@ -248,17 +248,10 @@ object TextOps {
   private def swapDecontamMeta(spark: org.apache.spark.sql.SparkSession,
                                path: String, meta: DecontamIndexMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.shingleK, meta.numBits, meta.numHashes, meta.shRows, meta.epoch))
-      .toDF("shingle_k", "num_bits", "num_hashes", "sh_rows", "epoch")
-      .coalesce(1).write.parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"decontam index: failed to swap meta into place at $target")
+    MetaIO.swapMetaRow(spark, path, "decontam index",
+      Seq((meta.shingleK, meta.numBits, meta.numHashes, meta.shRows,
+          meta.epoch))
+        .toDF("shingle_k", "num_bits", "num_hashes", "sh_rows", "epoch"))
   }
 
   private[graft] def readDecontamIndexMeta(
@@ -288,11 +281,7 @@ object TextOps {
     val stored = spark.read.parquet(decontamEpochDir(path, "shingles", 0L))
     val bits = BloomFilter.build(
       stored.select(col("sh")).distinct(), "sh", numBits, numHashes)
-    import spark.implicits._
-    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
-      .toDF("word_idx", "word")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(decontamEpochDir(path, "bloom", 0L))
+    MetaIO.writeBloomWords(spark, bits, decontamEpochDir(path, "bloom", 0L))
     val shRows = stored.count()
     warnIfBloomSaturated(path, shRows, numBits)
     swapDecontamMeta(spark, path,
@@ -340,11 +329,7 @@ object TextOps {
     val merged = spark.read.parquet(decontamEpochDir(path, "shingles", next))
     val bits = BloomFilter.build(
       merged.select(col("sh")).distinct(), "sh", meta.numBits, meta.numHashes)
-    import spark.implicits._
-    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
-      .toDF("word_idx", "word")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(decontamEpochDir(path, "bloom", next))
+    MetaIO.writeBloomWords(spark, bits, decontamEpochDir(path, "bloom", next))
     val shRows = merged.count()
     warnIfBloomSaturated(path, shRows, meta.numBits)
     swapDecontamMeta(spark, path, meta.copy(shRows = shRows, epoch = next))
@@ -366,10 +351,8 @@ object TextOps {
                                   minOverlap: Long): DataFrame = {
     import graft.functions.BloomFilter
     val meta = readDecontamIndexMeta(spark, path)
-    val words = new Array[Long](meta.numBits / 64)
-    spark.read.parquet(decontamEpochDir(path, "bloom", meta.epoch))
-      .select(col("word_idx"), col("word")).collect()
-      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val words = MetaIO.readBloomWords(spark,
+      decontamEpochDir(path, "bloom", meta.epoch), meta.numBits)
     // the bench relation is BROADCAST-SIZED by the decontamination
     // contract (a benchmark suite, not a corpus) — collect it once and
     // rebuild a literal frame (the probeIvfIndex pattern): a parquet
@@ -658,16 +641,8 @@ object TextOps {
   private def swapLmMeta(spark: org.apache.spark.sql.SparkSession,
                          path: String, meta: LmModelMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.v, meta.c2Rows, meta.epoch)).toDF("v", "c2_rows", "epoch")
-      .coalesce(1).write.parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"lm model: failed to swap meta into place at $target")
+    MetaIO.swapMetaRow(spark, path, "lm model",
+      Seq((meta.v, meta.c2Rows, meta.epoch)).toDF("v", "c2_rows", "epoch"))
   }
 
   private[graft] def readLmModelMeta(

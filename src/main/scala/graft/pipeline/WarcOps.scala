@@ -728,19 +728,11 @@ object WarcOps {
   private def swapWarcIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                 path: String, meta: WarcIndexMeta): Unit = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = target.getFileSystem(hconf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-    fs.delete(tmp, true)
-    Seq((meta.epoch, meta.baseEpoch, meta.fileCount, meta.recordCount,
-        meta.lastBatchId))
-      .toDF("epoch", "base_epoch", "file_count", "record_count",
-        "last_batch_id")
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"warc index: meta swap $tmp -> $target failed")
+    MetaIO.swapMetaRow(spark, path, "warc index",
+      Seq((meta.epoch, meta.baseEpoch, meta.fileCount, meta.recordCount,
+          meta.lastBatchId))
+        .toDF("epoch", "base_epoch", "file_count", "record_count",
+          "last_batch_id"))
   }
 
   /** Build the PERSISTED CDX artifact over a .warc.gz corpus — the
