@@ -2967,10 +2967,12 @@ object MultimodalOps {
 
   /** Meta row: chunk-band geometry pin + bloom geometry + epoch
     * consistency pointer + covered-hash count (interrupted-append
-    * detection, the minhash `sig_count` discipline). */
+    * detection, the minhash `sig_count` discipline) + the last applied
+    * streaming batch id ([[ingestMediaHashBatch]]; -1 = never
+    * stream-fed, batch-API appends leave it untouched). */
   private[graft] final case class MediaHashIndexMeta(
       bands: Int, bloomBits: Int, bloomHashes: Int, epoch: Long,
-      hashCount: Long)
+      hashCount: Long, lastBatchId: Long = -1L)
 
   private[graft] def mediaHashDerivedDir(path: String, epoch: Long): String =
     s"$path/derived/e$epoch"
@@ -2981,7 +2983,11 @@ object MultimodalOps {
     val r = MetaIO.readMetaRow(spark, path, "media-hash index", "index")
     MediaHashIndexMeta(r.getAs[Int]("bands"), r.getAs[Int]("bloom_bits"),
       r.getAs[Int]("bloom_hashes"), r.getAs[Long]("epoch"),
-      r.getAs[Long]("hash_count"))
+      r.getAs[Long]("hash_count"),
+      // pre-streaming-format meta has no batch pointer: never-stream-fed
+      if (r.schema.fieldNames.contains("last_batch_id"))
+        r.getAs[Long]("last_batch_id")
+      else -1L)
   }
 
   private def swapMediaHashMeta(spark: org.apache.spark.sql.SparkSession,
@@ -2990,8 +2996,9 @@ object MultimodalOps {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "media-hash index",
       Seq((meta.bands, meta.bloomBits, meta.bloomHashes, meta.epoch,
-          meta.hashCount))
-        .toDF("bands", "bloom_bits", "bloom_hashes", "epoch", "hash_count"))
+          meta.hashCount, meta.lastBatchId))
+        .toDF("bands", "bloom_bits", "bloom_hashes", "epoch", "hash_count",
+          "last_batch_id"))
   }
 
   /** One bloom key per (chunk_idx, chunk_val) of each stored hash. */
@@ -3054,7 +3061,14 @@ object MultimodalOps {
   def writeMediaHashIndex(df: DataFrame, contentCol: String, idCol: String,
                           path: String, bands: Int = 2,
                           bloomBits: Int = 1 << 20,
-                          bloomHashes: Int = 4): Unit = {
+                          bloomHashes: Int = 4): Unit =
+    buildMediaHashIndex(df, contentCol, idCol, path, bands, bloomBits,
+      bloomHashes, lastBatchId = -1L)
+
+  private def buildMediaHashIndex(df: DataFrame, contentCol: String,
+                                  idCol: String, path: String, bands: Int,
+                                  bloomBits: Int, bloomHashes: Int,
+                                  lastBatchId: Long): Unit = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must be >= 2 and divide 64, got $bands")
     val spark = df.sparkSession
@@ -3067,7 +3081,8 @@ object MultimodalOps {
       mediaHashChunkKeys(stored, bands), "__ck", bloomBits, bloomHashes)
     writeMediaHashBloom(spark, bits, mediaHashDerivedDir(path, 0L))
     swapMediaHashMeta(spark, path,
-      MediaHashIndexMeta(bands, bloomBits, bloomHashes, 0L, stored.count()))
+      MediaHashIndexMeta(bands, bloomBits, bloomHashes, 0L, stored.count(),
+        lastBatchId))
   }
 
   /** Append a new segment's images at DELTA cost: ids already indexed
@@ -3083,6 +3098,44 @@ object MultimodalOps {
                            path: String, df: DataFrame, contentCol: String,
                            idCol: String): Unit = {
     val meta = readMediaHashIndexMeta(spark, path)
+    appendMediaHashCore(spark, path, meta, df, contentCol, idCol,
+      meta.lastBatchId)
+  }
+
+  /** The streaming maintenance leg — each micro-batch of landed images
+    * commits through here with its batch id recorded behind the meta
+    * swap (the [[graft.pipeline.WarcOps.ingestWarcIndexBatch]]
+    * discipline): a crash-replayed batch is recognized and skipped
+    * without hashing anything, and the id anti-join already makes a
+    * replay a data no-op regardless. First batch on an empty path
+    * builds the artifact. Returns whether the batch was applied. */
+  def ingestMediaHashBatch(spark: org.apache.spark.sql.SparkSession,
+                           path: String, batch: DataFrame,
+                           contentCol: String, idCol: String,
+                           batchId: Long, bands: Int = 2,
+                           bloomBits: Int = 1 << 20,
+                           bloomHashes: Int = 4): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    if (!metaPath.getFileSystem(hconf).exists(metaPath)) {
+      buildMediaHashIndex(batch, contentCol, idCol, path, bands, bloomBits,
+        bloomHashes, lastBatchId = batchId)
+      true
+    } else {
+      val meta = readMediaHashIndexMeta(spark, path)
+      if (batchId <= meta.lastBatchId) false // replayed batch: no-op
+      else {
+        appendMediaHashCore(spark, path, meta, batch, contentCol, idCol,
+          batchId)
+        true
+      }
+    }
+  }
+
+  private def appendMediaHashCore(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, meta: MediaHashIndexMeta,
+                                  df: DataFrame, contentCol: String,
+                                  idCol: String, lastBatchId: Long): Unit = {
     val healthy =
       spark.read.parquet(s"$path/hashes").count() == meta.hashCount
     val delta = imageAHash(df, contentCol, idCol)
@@ -3110,7 +3163,8 @@ object MultimodalOps {
       }
       val total = spark.read.parquet(s"$path/hashes").count()
       swapMediaHashMeta(spark, path,
-        meta.copy(epoch = next, hashCount = total))
+        meta.copy(epoch = next, hashCount = total,
+          lastBatchId = lastBatchId))
       MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
         superseded = meta.epoch)
     } finally delta.unpersist() // a per-segment maintenance path must

@@ -518,20 +518,22 @@ object PipelineStreams {
                        maxFilesPerTrigger: Int = 1000,
                        maxFileAge: String = "7d"): DataFrame =
     graft.pipeline.WarcOps.warcRecordsGz(
-      warcLandingStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
-        maxFileAge),
+      landingFileStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
+        maxFileAge, "warc_ingest"),
       "content", "media_id")
 
-  /** The shared landing-dir file stream behind [[warcIngestStream]] and
-    * [[warcIndexMaintainStream]]: binaryFile rows with the id parsed
-    * from the filename, null-id files skipped + counted via the
-    * `warc_ingest` observed metric. Downstream projection decides the
-    * I/O: binaryFile PRUNES the `content` column, so a consumer that
-    * never selects it streams the LISTING only. */
-  private def warcLandingStream(spark: org.apache.spark.sql.SparkSession,
+  /** The shared landing-dir file stream behind [[warcIngestStream]],
+    * [[warcIndexMaintainStream]] and [[mediaHashMaintainStream]]:
+    * binaryFile rows with the id parsed from the filename, null-id
+    * files skipped + counted via the `metricName` observed metric.
+    * Downstream projection decides the I/O: binaryFile PRUNES the
+    * `content` column, so a consumer that never selects it streams the
+    * LISTING only. */
+  private def landingFileStream(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, glob: String, idPattern: String,
                                 maxFilesPerTrigger: Int,
-                                maxFileAge: String): DataFrame =
+                                maxFileAge: String,
+                                metricName: String): DataFrame =
     spark.readStream.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -551,7 +553,7 @@ object PipelineStreams {
       // checkpoint replay), counted below, filtered after
       .withColumn("media_id",
         graft.sources.TableSources.pathId(col("path"), idPattern))
-      .observe("warc_ingest",
+      .observe(metricName,
         count(lit(1)).as("ingested_files"),
         count(when(col("media_id").isNull, 1)).as("unidentified_files"))
       .filter(col("media_id").isNotNull)
@@ -592,8 +594,8 @@ object PipelineStreams {
     require(compactEvery == 0 || compactEvery >= 2,
       s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
         "(1 would compact after every append — pure rewrite churn)")
-    warcLandingStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
-        maxFileAge)
+    landingFileStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
+        maxFileAge, "warc_ingest")
       .select(col("path").as("media_path"), col("media_id"))
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -608,6 +610,42 @@ object PipelineStreams {
       }
       .start()
   }
+
+  /** Continuous image-fingerprint maintenance — the media twin of
+    * [[warcIndexMaintainStream]]: watch a landing dir of image files
+    * and keep the stored media-fingerprint index
+    * ([[graft.pipeline.MultimodalOps.writeMediaHashIndex]]) current, so
+    * every later segment's dedup probe sees all of history. Each
+    * micro-batch hashes its new images and commits exactly-once via
+    * [[graft.pipeline.MultimodalOps.ingestMediaHashBatch]] (applied
+    * batch id behind the meta swap; the id anti-join makes replays a
+    * data no-op regardless). Unlike the CDX leg this stream DOES carry
+    * content — hashing needs the bytes; binaryFile reads each landed
+    * file once, and what persists is three longs per image. The
+    * single-pointer epochs GC themselves on every append ({current,
+    * superseded}), so there is no compaction knob. Strays skip +
+    * count via the `media_ingest` observed metric. */
+  def mediaHashMaintainStream(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, indexPath: String,
+                              checkpoint: String,
+                              glob: String = "*.png",
+                              idPattern: String = "clip_(\\d+)\\.png$",
+                              maxFilesPerTrigger: Int = 1000,
+                              maxFileAge: String = "7d",
+                              bands: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    landingFileStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
+        maxFileAge, "media_ingest")
+      .select(col("content"), col("media_id"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.MultimodalOps.ingestMediaHashBatch(
+          batch.sparkSession, indexPath, batch.toDF(),
+          "content", "media_id", batchId, bands)
+        ()
+      }
+      .start()
 
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch

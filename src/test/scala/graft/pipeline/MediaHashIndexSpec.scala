@@ -90,6 +90,73 @@ class MediaHashIndexSpec extends AnyFunSuite {
       s"orphaned and fresh rows must both be probe-visible, got $got")
   }
 
+  test("streaming batch discipline: first batch builds, later batches " +
+    "append, a replayed batch id commits nothing byte for byte") {
+    val dir = tmp("batch")
+    assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
+      imgs(Seq(0L, 1L)), "content", "media_id", batchId = 0L),
+      "the first batch must build the artifact")
+    assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
+      imgs(Seq(2L)), "content", "media_id", batchId = 1L))
+    val metaAfter = spark.read.parquet(s"$dir/meta").collect()(0).toSeq
+    val hashesAfter = spark.read.parquet(s"$dir/hashes").count()
+    assert(!MultimodalOps.ingestMediaHashBatch(spark, dir,
+      imgs(Seq(2L)), "content", "media_id", batchId = 1L),
+      "a replayed batch id must be skipped")
+    assert(spark.read.parquet(s"$dir/meta").collect()(0).toSeq == metaAfter
+      && spark.read.parquet(s"$dir/hashes").count() == hashesAfter,
+      "the replay must leave the artifact byte-identical")
+    // and the maintained artifact probes like a one-shot build
+    val got = MultimodalOps.probeMediaHashIndex(spark, dir,
+        imgs(Seq(0L, 1L, 2L)), "content", "media_id", maxHamming = 0)
+      .filter(col("probe_id") === col("match_id")).count()
+    assert(got == 3L)
+  }
+
+  test("maintenance stream: landed PNG segments keep the stored " +
+    "fingerprint index current, including across a restart") {
+    val dir = tmp("live")
+    val ckpt = tmp("live_c")
+    val idx = tmp("live_i") + "/mh"
+    def dropImgs(ids: Seq[Long]): Unit =
+      graft.sources.TableSources.writeBinaryDir(
+        imgs(ids), dir, "media_id", "content", ".png")
+    def start() = graft.streaming.PipelineStreams
+      .mediaHashMaintainStream(spark, dir, idx, ckpt)
+    def selfMatches(ids: Seq[Long]): Set[Long] =
+      try MultimodalOps.probeMediaHashIndex(spark, idx, imgs(ids),
+          "content", "media_id", maxHamming = 0)
+        .filter(col("probe_id") === col("match_id"))
+        .collect().map(_.getLong(0)).toSet
+      catch {
+        case _: IllegalStateException => Set.empty[Long] // no meta yet
+        case _: org.apache.spark.SparkException => Set.empty[Long] // swap race
+      }
+    def awaitIdx(q: org.apache.spark.sql.streaming.StreamingQuery,
+                 label: String)(pred: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!pred && System.nanoTime() < deadline) {
+        q.exception.foreach(e => throw e)
+        Thread.sleep(100)
+      }
+      assert(pred, s"timed out waiting for: $label")
+    }
+    dropImgs(Seq(0L, 1L))
+    val q1 = start()
+    try {
+      awaitIdx(q1, "first segment fingerprinted")(
+        selfMatches(Seq(0L, 1L)) == Set(0L, 1L))
+      dropImgs(Seq(2L)) // lands mid-flight
+      awaitIdx(q1, "second segment appended")(
+        selfMatches(Seq(0L, 1L, 2L)) == Set(0L, 1L, 2L))
+    } finally q1.stop()
+    dropImgs(Seq(3L)) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitIdx(q2, "down-time segment picked up on restart")(
+      selfMatches(Seq(0L, 1L, 2L, 3L)) == Set(0L, 1L, 2L, 3L))
+    finally q2.stop()
+  }
+
   test("undecodable payloads are excluded from the index and admitted " +
     "by the dedup filter — stated-plainly semantics") {
     val dir = tmp("undec")
