@@ -444,6 +444,54 @@ object MediaSoakMain {
     println(f"  $kG sample rows + ${frameSums.length} real decodes from " +
       f"~$fetched%,d fetched bytes of a $giantLen%,d-byte file " +
       f"(${giantLen / math.max(fetched, 1L)}%,d× less I/O than whole-file)")
+    // ---- 6. stored media-fingerprint index at scale ------------------------
+    // the eleventh artifact under load: nDecode distinct images land as
+    // two segments (build + append), then a probe batch of half
+    // stored-duplicates / half novel images dedups against the
+    // artifact. Closed-form truths: every stored-id probe self-matches
+    // at Hamming 0 (its fingerprint is in the index by construction),
+    // no stored-id probe is admitted by the dedup filter, and the
+    // derived-epoch dirs hold exactly {current, superseded}.
+    val nImg = nDecode
+    def mhImgs(ids: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.encodeSyntheticPng(ids, "id")
+    val mhPath = java.nio.file.Files
+      .createTempDirectory("graft-soak-mh").toString
+    val (_, tMhBuild) = time(
+      f"media-hash index: build+append over $nImg%,d images") {
+      MultimodalOps.writeMediaHashIndex(
+        mhImgs(spark.range(nImg).filter(col("id") % 2 === 0)
+          .select(col("id"))), "content", "media_id", mhPath)
+      MultimodalOps.appendMediaHashIndex(spark, mhPath,
+        mhImgs(spark.range(nImg).filter(col("id") % 2 === 1)
+          .select(col("id"))), "content", "media_id")
+    }
+    val nProbe = math.max(nImg / 10, 100L)
+    val probeIds = spark.range(nProbe / 2).select(col("id"))
+      .unionByName(spark.range(1000000L, 1000000L + nProbe / 2)
+        .select(col("id")))
+    val (selfMatches, tMhProbe) = time(
+      f"media-hash probe: $nProbe%,d probes (half stored dups)") {
+      MultimodalOps.probeMediaHashIndex(spark, mhPath, mhImgs(probeIds),
+          "content", "media_id", maxHamming = 0)
+        .filter(col("probe_id") === col("match_id")).count()
+    }
+    require(selfMatches == nProbe / 2,
+      s"every stored-id probe must self-match: got $selfMatches of ${nProbe / 2}")
+    val admitted = MultimodalOps.dedupMediaAgainstIndex(spark, mhPath,
+        mhImgs(probeIds), "content", "media_id", maxHamming = 0)
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    require(admitted.forall(_ >= 1000000L),
+      "no stored-id probe may be admitted past the dedup filter")
+    val mhEpochs = Option(new java.io.File(s"$mhPath/derived").listFiles())
+      .toSeq.flatten.count(_.getName.startsWith("e"))
+    require(mhEpochs == 2,
+      s"derived epochs must hold {current, superseded}, got $mhEpochs")
+    println(f"  fingerprints ${nImg / tMhBuild}%,.0f images/s " +
+      f"(build+append); probes ${nProbe / tMhProbe}%,.0f images/s; " +
+      f"${admitted.size}%,d of ${nProbe / 2}%,d novel probes admitted " +
+      "(the rest collide with a stored fingerprint at radius 0)")
+
     // both soak corpora are scratch-registered: purge eagerly now that
     // every require above has passed (a failed require leaves them to
     // the JVM-exit hook)
