@@ -455,8 +455,9 @@ object MediaSoakMain {
     val nImg = nDecode
     def mhImgs(ids: org.apache.spark.sql.DataFrame) =
       MultimodalOps.encodeSyntheticPng(ids, "id")
-    val mhPath = java.nio.file.Files
-      .createTempDirectory("graft-soak-mh").toString
+    // scratch-registered like every other soak corpus (purged below /
+    // at JVM exit) — a raw temp dir would leak the index per run
+    val mhPath = graft.sources.TableSources.scratchDir("graft-soak-mh")
     val (_, tMhBuild) = time(
       f"media-hash index: build+append over $nImg%,d images") {
       MultimodalOps.writeMediaHashIndex(
@@ -466,22 +467,27 @@ object MediaSoakMain {
         mhImgs(spark.range(nImg).filter(col("id") % 2 === 1)
           .select(col("id"))), "content", "media_id")
     }
-    val nProbe = math.max(nImg / 10, 100L)
-    val probeIds = spark.range(nProbe / 2).select(col("id"))
-      .unionByName(spark.range(1000000L, 1000000L + nProbe / 2)
-        .select(col("id")))
+    // probe halves clamped to the arg-driven corpus: stored-dup probes
+    // must actually be stored (ids < nImg) and novel probes actually
+    // novel (ids >= nImg) — hardcoded bases would fake require failures
+    // at non-default soak sizes
+    val nStoredProbes = math.min(math.max(nImg / 10, 100L) / 2, nImg)
+    val nNovelProbes = nStoredProbes
+    val nProbe = nStoredProbes + nNovelProbes
+    val probeIds = spark.range(nStoredProbes).select(col("id"))
+      .unionByName(spark.range(nImg, nImg + nNovelProbes).select(col("id")))
     val (selfMatches, tMhProbe) = time(
       f"media-hash probe: $nProbe%,d probes (half stored dups)") {
       MultimodalOps.probeMediaHashIndex(spark, mhPath, mhImgs(probeIds),
           "content", "media_id", maxHamming = 0)
         .filter(col("probe_id") === col("match_id")).count()
     }
-    require(selfMatches == nProbe / 2,
-      s"every stored-id probe must self-match: got $selfMatches of ${nProbe / 2}")
+    require(selfMatches == nStoredProbes,
+      s"every stored-id probe must self-match: got $selfMatches of $nStoredProbes")
     val admitted = MultimodalOps.dedupMediaAgainstIndex(spark, mhPath,
         mhImgs(probeIds), "content", "media_id", maxHamming = 0)
       .select(col("media_id")).collect().map(_.getLong(0)).toSet
-    require(admitted.forall(_ >= 1000000L),
+    require(admitted.forall(_ >= nImg),
       "no stored-id probe may be admitted past the dedup filter")
     val mhEpochs = Option(new java.io.File(s"$mhPath/derived").listFiles())
       .toSeq.flatten.count(_.getName.startsWith("e"))
@@ -489,12 +495,14 @@ object MediaSoakMain {
       s"derived epochs must hold {current, superseded}, got $mhEpochs")
     println(f"  fingerprints ${nImg / tMhBuild}%,.0f images/s " +
       f"(build+append); probes ${nProbe / tMhProbe}%,.0f images/s; " +
-      f"${admitted.size}%,d of ${nProbe / 2}%,d novel probes admitted " +
-      "(the rest collide with a stored fingerprint at radius 0)")
+      f"${admitted.size}%,d of $nNovelProbes%,d novel-ID probes admitted " +
+      "(formula images repeat with period lcm(9,7,256)=16128, so past " +
+      "that corpus size a 'novel' id IS a stored image — the dedup " +
+      "filter catching those is the operator working, not a miss)")
 
-    // both soak corpora are scratch-registered: purge eagerly now that
-    // every require above has passed (a failed require leaves them to
-    // the JVM-exit hook)
+    // every soak corpus/artifact dir is scratch-registered: purge
+    // eagerly now that every require above has passed (a failed
+    // require leaves them to the JVM-exit hook)
     graft.sources.TableSources.purgeScratch()
 
     println(f"SOAK OK  mp4 meta ${nMeta / tMeta}%,.0f clips/s | decode " +

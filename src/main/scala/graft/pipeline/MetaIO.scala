@@ -65,6 +65,29 @@ private[graft] object MetaIO {
     rows(0)
   }
 
+  /** Does `$path/meta` exist — RECOVERING an interrupted swap first?
+    * [[swapMetaRow]] commits tmp-write → delete(meta) → rename; a crash
+    * between the delete and the rename leaves no meta but a FULLY
+    * WRITTEN `meta__next` (the tmp is complete before the delete ever
+    * runs). Completing that rename here restores the artifact exactly
+    * as the dead commit intended. This matters most to the
+    * auto-build-on-first-batch ingest paths: without recovery they
+    * would read the torn window as "empty path" and OVERWRITE the
+    * artifact's data relations with one batch's worth — silent total
+    * loss. (A crash mid-tmp-write leaves the old meta in place, so the
+    * first branch already answers true and the partial tmp is
+    * overwritten by the next commit.) */
+  def metaExistsOrRecover(spark: SparkSession, path: String): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = target.getFileSystem(hconf)
+    if (fs.exists(target)) true
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
+      fs.exists(tmp) && fs.rename(tmp, target)
+    }
+  }
+
   /** The meta-pointer SWAP, shared by every artifact lifecycle: write
     * the one-row relation SIDEWAYS (`meta__next`), then delete the live
     * pointer and rename — meta commits LAST in every lifecycle step,

@@ -3106,18 +3106,34 @@ object MultimodalOps {
     * commits through here with its batch id recorded behind the meta
     * swap (the [[graft.pipeline.WarcOps.ingestWarcIndexBatch]]
     * discipline): a crash-replayed batch is recognized and skipped
-    * without hashing anything, and the id anti-join already makes a
-    * replay a data no-op regardless. First batch on an empty path
-    * builds the artifact. Returns whether the batch was applied. */
+    * without hashing anything. First batch on an empty path builds the
+    * artifact; a path whose meta is missing because a swap died
+    * mid-commit is RECOVERED (the complete `meta__next` renames into
+    * place), and a path carrying fingerprints with no recoverable meta
+    * is refused loudly — never rebuilt over. Returns whether the batch
+    * was applied.
+    *
+    * SINGLE-WRITER, NON-DECREASING batch ids — stated plainly: the
+    * skip fires BEFORE the id anti-join, so a batch id at or below the
+    * stored pointer is dropped without hashing even if it carries new
+    * images. Resetting the stream's checkpoint (ids restart at 0) or
+    * pointing two maintainers at one index violates the contract and
+    * silently loses those batches' images; after a checkpoint reset,
+    * backfill once through [[appendMediaHashIndex]], which has no
+    * pointer and always anti-joins. */
   def ingestMediaHashBatch(spark: org.apache.spark.sql.SparkSession,
                            path: String, batch: DataFrame,
                            contentCol: String, idCol: String,
                            batchId: Long, bands: Int = 2,
                            bloomBits: Int = 1 << 20,
                            bloomHashes: Int = 4): Boolean = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    if (!metaPath.getFileSystem(hconf).exists(metaPath)) {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val hashes = new org.apache.hadoop.fs.Path(s"$path/hashes")
+      require(!hashes.getFileSystem(hconf).exists(hashes),
+        s"media-hash index at $path holds fingerprints but no " +
+          "recoverable meta — refusing to build over them (the append-" +
+          "only relation would be OVERWRITTEN); repair or use a fresh path")
       buildMediaHashIndex(batch, contentCol, idCol, path, bands, bloomBits,
         bloomHashes, lastBatchId = batchId)
       true

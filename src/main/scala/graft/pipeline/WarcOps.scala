@@ -828,15 +828,26 @@ object WarcOps {
     * at most once. A commit that died before the meta swap left the old
     * pointer and an unreachable orphan epoch — the replayed batch
     * re-applies cleanly over it. First batch on an empty path builds
-    * the artifact. Returns whether the batch was applied. Batch ids
-    * arrive non-decreasing (Structured Streaming's contract). */
+    * the artifact; a path whose meta is missing because a swap died
+    * mid-commit is RECOVERED (`MetaIO.metaExistsOrRecover` completes
+    * the interrupted rename), and a path carrying epoch dirs with no
+    * recoverable meta is refused loudly — a naive rebuild would write
+    * epoch 0 OVER the existing e0 and strand every later epoch.
+    * Returns whether the batch was applied. Batch ids arrive
+    * non-decreasing from ONE writer (Structured Streaming's contract):
+    * the replay skip fires before the anti-join, so a checkpoint reset
+    * (ids restarting at 0) silently drops batches — backfill once via
+    * [[appendWarcIndex]] after a reset. */
   def ingestWarcIndexBatch(spark: org.apache.spark.sql.SparkSession,
                            path: String, files: DataFrame, pathCol: String,
                            idCol: String, batchId: Long,
                            maxPlainBytes: Long = 1L << 30): Boolean = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    if (!metaPath.getFileSystem(hconf).exists(metaPath)) {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val entries = new org.apache.hadoop.fs.Path(s"$path/entries")
+      require(!entries.getFileSystem(hconf).exists(entries),
+        s"warc index at $path holds entry epochs but no recoverable " +
+          "meta — refusing to build over them; repair or use a fresh path")
       commitWarcIndexEpoch(spark, path, files, pathCol, idCol,
         next = 0L, baseEpoch = 0L, prevFiles = 0L, prevRecords = 0L,
         lastBatchId = batchId, maxPlainBytes = maxPlainBytes)

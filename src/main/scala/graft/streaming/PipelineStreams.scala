@@ -624,7 +624,13 @@ object PipelineStreams {
     * file once, and what persists is three longs per image. The
     * single-pointer epochs GC themselves on every append ({current,
     * superseded}), so there is no compaction knob. Strays skip +
-    * count via the `media_ingest` observed metric. */
+    * count via the `media_ingest` observed metric. Geometry
+    * (`bands`/`bloomBits`/`bloomHashes`) applies only when THIS stream
+    * builds the artifact (first batch on an empty path) — an existing
+    * index's meta pins its own geometry and these are ignored; size
+    * bloomBits for the corpus the maintainer will GROW INTO (the
+    * default saturates past ~10^5 images — writeMediaHashIndex's
+    * sizing paragraph). */
   def mediaHashMaintainStream(spark: org.apache.spark.sql.SparkSession,
                               dir: String, indexPath: String,
                               checkpoint: String,
@@ -632,8 +638,16 @@ object PipelineStreams {
                               idPattern: String = "clip_(\\d+)\\.png$",
                               maxFilesPerTrigger: Int = 1000,
                               maxFileAge: String = "7d",
-                              bands: Int = 2)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                              bands: Int = 2,
+                              bloomBits: Int = 1 << 20,
+                              bloomHashes: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // validate BEFORE start() — failing inside foreachBatch would
+    // crash-loop the query (the warcIndexMaintainStream discipline)
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    require(bloomBits > 0 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
     landingFileStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
         maxFileAge, "media_ingest")
       .select(col("content"), col("media_id"))
@@ -642,10 +656,11 @@ object PipelineStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.pipeline.MultimodalOps.ingestMediaHashBatch(
           batch.sparkSession, indexPath, batch.toDF(),
-          "content", "media_id", batchId, bands)
+          "content", "media_id", batchId, bands, bloomBits, bloomHashes)
         ()
       }
       .start()
+  }
 
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch

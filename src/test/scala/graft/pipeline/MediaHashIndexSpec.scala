@@ -157,6 +157,39 @@ class MediaHashIndexSpec extends AnyFunSuite {
     finally q2.stop()
   }
 
+  test("a swap that died between delete and rename is RECOVERED by the " +
+    "next ingest batch; fingerprints without any meta are refused, " +
+    "never overwritten") {
+    val dir = tmp("swapwin")
+    assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
+      imgs(Seq(0L, 1L)), "content", "media_id", batchId = 0L))
+    // reproduce the exact crash window: meta deleted, the fully
+    // written meta__next never renamed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/meta"),
+      new org.apache.hadoop.fs.Path(s"$dir/meta__next")))
+    // the next batch must COMPLETE the swap and append — a naive
+    // missing-meta check would rebuild with overwrite and wipe the
+    // append-only fingerprint relation
+    assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
+      imgs(Seq(2L)), "content", "media_id", batchId = 1L))
+    val got = MultimodalOps.probeMediaHashIndex(spark, dir,
+        imgs(Seq(0L, 1L, 2L)), "content", "media_id", maxHamming = 0)
+      .filter(col("probe_id") === col("match_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 2L),
+      s"recovery must keep the pre-crash fingerprints, got $got")
+    // beyond the swap window (no meta, no meta__next, data present):
+    // refuse loudly instead of rebuilding over the relation
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
+    val err = intercept[IllegalArgumentException] {
+      MultimodalOps.ingestMediaHashBatch(spark, dir,
+        imgs(Seq(3L)), "content", "media_id", batchId = 2L)
+    }
+    assert(err.getMessage.contains("refusing"))
+  }
+
   test("undecodable payloads are excluded from the index and admitted " +
     "by the dedup filter — stated-plainly semantics") {
     val dir = tmp("undec")
