@@ -438,9 +438,19 @@ object DedupOps {
     val storedCount = spark.read.parquet(s"$path/signatures").count()
     val healthy = storedCount == meta.sigCount
     val rowsPerBand = meta.numHashes / meta.bands
-    // the delta signatures feed the parquet append AND (healthy path)
-    // the band-key delta — checkpoint so the batch text is signed once
-    val delta = minhashSigIndex(df, textCol, idCol, meta.shingleK,
+    // ids already signed are SKIPPED — the anti-join runs on the
+    // narrow stored id column BEFORE any text is shingled, so a
+    // re-dropped segment (a retried orchestration step, a twice-landed
+    // crawl day) is an idempotent no-op instead of duplicating its
+    // signature rows (which would inflate sig_count, double band-key
+    // frequencies, and double-emit its near-dup candidates). The
+    // delta signatures then feed the parquet append AND (healthy path)
+    // the band-key delta — checkpointed so the batch text signs once.
+    val fresh = df.join(
+      spark.read.parquet(s"$path/signatures")
+        .select(col("id").as("__mh_seen")),
+      df(idCol) === col("__mh_seen"), "left_anti")
+    val delta = minhashSigIndex(fresh, textCol, idCol, meta.shingleK,
         meta.numHashes)
       .select(col(idCol).as("id"), col("sig"))
       .localCheckpoint()

@@ -266,6 +266,16 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(sigs(appended) == sigs(oneShot) && sigs(appended).size == 4)
     assert(keys(appended) == keys(oneShot))
     assert(bloom(appended) == bloom(oneShot))
+    // a RE-DROPPED segment is an idempotent no-op: the id anti-join
+    // skips already-signed docs before any text is shingled — without
+    // it, the duplicate rows would inflate sig_count, double the
+    // band-key frequencies, and double-emit the segment's candidates
+    DedupOps.appendMinhashIndex(spark, appended, day2, "text", "doc_id")
+    assert(DedupOps.readMinhashIndexMeta(spark, appended).sigCount == 4L,
+      "re-appending an indexed segment must add zero signatures")
+    assert(sigs(appended) == sigs(oneShot))
+    assert(keys(appended) == keys(oneShot))
+    assert(bloom(appended) == bloom(oneShot))
     // and a probe over the appended artifact flags against BOTH days
     val batch = Seq((11L, "w1 w2 w3 w4 w5 w6 w7 w8"),
       (13L, "m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text")
