@@ -757,12 +757,19 @@ object SimilarityOps {
     * vectors' cells; under real distribution drift recall degrades
     * gracefully until a periodic full rebuild retrains (standard IVF
     * serving practice). Map-only encode + one cell-compacted append
-    * write. */
+    * write. Ids already coded are SKIPPED (narrow anti-join on the
+    * stored id column before any encoding), so a re-dropped segment is
+    * an idempotent no-op — duplicated codes would surface as the same
+    * neighbor occupying multiple top-k slots in every later probe. */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
     val snapshot = collectCentroids(spark.read.parquet(s"$path/centroids"))
     val codebooks = readCodebooks(spark, path)
-    ivfPqEncodeCorpus(newVecs, idCol, vecCol, snapshot, codebooks)
+    val fresh = newVecs.join(
+      spark.read.parquet(s"$path/codes")
+        .select(col("id").as("__ivf_seen")),
+      newVecs(idCol) === col("__ivf_seen"), "left_anti")
+    ivfPqEncodeCorpus(fresh, idCol, vecCol, snapshot, codebooks)
       .withColumnRenamed("neighbor_id", "id")
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")

@@ -165,6 +165,12 @@ class IvfIndexSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1),
           r.getSeq[Int](2).mkString(","), r.getLong(3))).sorted.toSeq
       assert(codes(dirA) == codes(dirB))
+      // a RE-DROPPED segment is an idempotent no-op — duplicated codes
+      // would put the same neighbor in multiple top-k slots
+      SimilarityOps.appendIvfPqIndex(spark, dirA, second, "vec_id",
+        "embedding")
+      assert(codes(dirA) == codes(dirB),
+        "re-appending an indexed segment must add zero code rows")
 
       // probes over the appended index see both batches identically
       val queries = all.filter(col("vec_id") % 40 === 0)
