@@ -654,10 +654,17 @@ object TextOps {
 
   /** Commit bigram counts from one epoch's count relation: derives the
     * context totals + vocabulary from the (already narrow) counts —
-    * never from text — and swaps meta last. */
+    * never from text — writes the epoch's COVERED-DOC relation (the
+    * re-drop anti-join's key set: one id per doc ever folded, the
+    * walked-relation pattern — counts are value folds with no row
+    * identity of their own, so without this a twice-landed segment
+    * double-weights its bigrams), and swaps meta last. */
   private def commitLmEpoch(spark: org.apache.spark.sql.SparkSession,
-                            path: String, c2: DataFrame, epoch: Long): Unit = {
+                            path: String, c2: DataFrame, docs: DataFrame,
+                            epoch: Long): Unit = {
     c2.write.mode("overwrite").parquet(lmEpochDir(path, "counts", epoch))
+    docs.select(col("id").cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(lmEpochDir(path, "docs", epoch))
     val stored = spark.read.parquet(lmEpochDir(path, "counts", epoch))
     stored.groupBy(col("ctx"))
       .agg(sum(col("n")).cast("long").as("n"))
@@ -673,7 +680,20 @@ object TextOps {
     // Epochs advance by exactly 1, so the commit of `epoch` supersedes
     // `epoch - 1`; the initial commit (epoch 0) passes -1 → no-op.
     MetaIO.pruneEpochs(spark,
-      Seq(s"$path/counts", s"$path/ctx"), superseded = epoch - 1)
+      Seq(s"$path/counts", s"$path/ctx", s"$path/docs"),
+      superseded = epoch - 1)
+  }
+
+  /** The epoch's covered-doc ids; a PRE-UPGRADE epoch has no docs
+    * relation — read it as empty, so legacy artifacts keep appending
+    * exactly as before (re-drop protection covers docs folded after
+    * the upgrade; the old format could not remember earlier ones). */
+  private def readLmDocs(spark: org.apache.spark.sql.SparkSession,
+                         path: String, epoch: Long): DataFrame = {
+    val d = new org.apache.hadoop.fs.Path(lmEpochDir(path, "docs", epoch))
+    if (d.getFileSystem(spark.sessionState.newHadoopConf()).exists(d))
+      spark.read.parquet(d.toString)
+    else spark.range(0).select(col("id"))
   }
 
   /** Train-and-persist: ONE codegen'd text pass over the train slice →
@@ -683,7 +703,8 @@ object TextOps {
     val c2 = lmPairsOf(train, textCol, idCol)
       .groupBy(col("__ctx").as("ctx"), col("__big").as("big"))
       .agg(count(lit(1)).cast("long").as("n"))
-    commitLmEpoch(train.sparkSession, path, c2, epoch = 0L)
+    commitLmEpoch(train.sparkSession, path, c2,
+      train.select(col(idCol).as("id")), epoch = 0L)
   }
 
   /** Fold a new train slice into the stored model: the DELTA's counts
@@ -695,14 +716,22 @@ object TextOps {
   def appendLmModel(spark: org.apache.spark.sql.SparkSession, path: String,
                     train: DataFrame, textCol: String, idCol: String): Unit = {
     val meta = readLmModelMeta(spark, path)
-    val delta = lmPairsOf(train, textCol, idCol)
+    // docs already folded are SKIPPED before any text is tokenized —
+    // counts are value folds with no row identity, so a re-dropped
+    // segment would otherwise double-weight its bigrams silently
+    val covered = readLmDocs(spark, path, meta.epoch)
+    val fresh = train.join(covered.select(col("id").as("__lm_seen")),
+      train(idCol) === col("__lm_seen"), "left_anti")
+    val delta = lmPairsOf(fresh, textCol, idCol)
       .groupBy(col("__ctx").as("ctx"), col("__big").as("big"))
       .agg(count(lit(1)).cast("long").as("n"))
     val merged = spark.read.parquet(lmEpochDir(path, "counts", meta.epoch))
       .unionByName(delta)
       .groupBy(col("ctx"), col("big"))
       .agg(sum(col("n")).cast("long").as("n"))
-    commitLmEpoch(spark, path, merged, meta.epoch + 1)
+    commitLmEpoch(spark, path, merged,
+      covered.unionByName(fresh.select(col(idCol).as("id"))),
+      meta.epoch + 1)
   }
 
   /** Compact the stored count relations: repeated appends leave the
@@ -717,7 +746,8 @@ object TextOps {
     val meta = readLmModelMeta(spark, path)
     val c2 = spark.read.parquet(lmEpochDir(path, "counts", meta.epoch))
       .coalesce(targetFiles)
-    commitLmEpoch(spark, path, c2, meta.epoch + 1)
+    commitLmEpoch(spark, path, c2,
+      readLmDocs(spark, path, meta.epoch), meta.epoch + 1)
   }
 
   /** The daily scoring pass against the STORED model: pairs of the

@@ -80,11 +80,24 @@ class LmScoreSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(appended == mem)
 
+    // a RE-DROPPED slice is an idempotent no-op: counts are value
+    // folds with no row identity, so without the covered-docs
+    // anti-join the re-drop would double-weight its bigrams (and every
+    // score would silently shift)
+    TextOps.appendLmModel(spark, dir2, df.filter(isTrain && col("id") >= 14),
+      "text", "id")
+    assert(TextOps.readLmModelMeta(spark, dir2).c2Rows == m2.c2Rows)
+    val redropped = TextOps.scoreAgainstStoredLm(spark, dir2, df, "text", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(redropped == mem,
+      "re-appending a folded slice must not move any score")
+
     // compaction: fewer count files at a NEW epoch, identical scores
+    // (the re-drop no-op above committed epoch 2, so compaction is 3)
     TextOps.compactLmModel(spark, dir2, targetFiles = 1)
     val m3 = TextOps.readLmModelMeta(spark, dir2)
-    assert(m3.epoch == 2L && m3.v == m2.v && m3.c2Rows == m2.c2Rows)
-    val countFiles = new java.io.File(s"$dir2/counts/e2")
+    assert(m3.epoch == 3L && m3.v == m2.v && m3.c2Rows == m2.c2Rows)
+    val countFiles = new java.io.File(s"$dir2/counts/e3")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(countFiles == 1, s"expected 1 compacted file, got $countFiles")
     val compacted = TextOps.scoreAgainstStoredLm(spark, dir2, df, "text", "id")
