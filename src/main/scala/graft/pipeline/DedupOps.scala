@@ -292,8 +292,10 @@ object DedupOps {
 
   /** Persist a MinHash signature index as an on-disk serving artifact:
     *
-    *   - `path/signatures` — (id, sig): [[minhashSigIndex]]'s output,
-    *     numHashes longs per doc;
+    *   - `path/signatures/e<N>` — (id, sig): [[minhashSigIndex]]'s
+    *     output, numHashes longs per doc, in epoch dirs under a RANGE
+    *     pointer ([sig_base, epoch] in meta): one immutable delta dir
+    *     per append, re-based by [[compactMinhashIndex]];
     *   - `path/derived/e<N>/bandkeys` — (band_idx, band_hash, freq):
     *     the DISTINCT band-key relation with bucket frequencies,
     *     derived from the stored signatures;
@@ -313,10 +315,13 @@ object DedupOps {
     * pattern, same documented non-transactional seam), and a probe
     * resolves its epoch from meta ONCE, so it reads a consistent
     * (bandkeys, bloom) snapshot — either the old epoch or the new one,
-    * never a half-rewritten mix. Signatures are append-only; a probe
-    * racing an append may see signature rows newer than its epoch,
-    * which can only ADD candidate pairs past the (conservative) old
-    * bloom — the probe result is always at least its epoch's snapshot.
+    * never a half-rewritten mix. Signatures live under the same
+    * discipline: a probe's window [sig_base, epoch] resolves from the
+    * SAME meta read as its derived epoch, so signatures, bandkeys, and
+    * bloom are always one consistent snapshot — an append or
+    * compaction landing mid-probe changes nothing the probe can see
+    * (superseded generations get one commit's grace before the
+    * janitor).
     *
     * [[nearDupAgainstStoredIndex]] then LOADS the bloom bitmap and
     * reads the hot-band cap from the stored key relation and its join
@@ -336,18 +341,21 @@ object DedupOps {
     val spark = df.sparkSession
     minhashSigIndex(df, textCol, idCol, shingleK, numHashes)
       .select(col(idCol).as("id"), col("sig"))
-      .write.mode("overwrite").parquet(s"$path/signatures")
-    val sigCount = spark.read.parquet(s"$path/signatures").count()
+      .write.mode("overwrite").parquet(minhashSigDir(path, 0L))
+    val stored = spark.read.parquet(minhashSigDir(path, 0L))
+    val sigCount = stored.count()
     val meta = MinhashIndexMeta(shingleK, numHashes, bands, bloomBits,
       bloomHashes, epoch = 0L, sigCount = sigCount)
-    rebuildDerivedRelations(spark, path, meta, meta.epoch)
+    rebuildDerivedRelations(spark, path, meta, meta.epoch, stored)
     swapMeta(spark, path, meta)
   }
 
-  /** The artifact's meta row: geometry pin + epoch consistency pointer. */
+  /** The artifact's meta row: geometry pin + epoch consistency pointer
+    * + the signature window's base ([sig_base, epoch] — the range
+    * pointer [[compactMinhashIndex]] re-bases). */
   private[graft] final case class MinhashIndexMeta(
       shingleK: Int, numHashes: Int, bands: Int, bloomBits: Int,
-      bloomHashes: Int, epoch: Long, sigCount: Long)
+      bloomHashes: Int, epoch: Long, sigCount: Long, sigBase: Long = 0L)
 
   private[graft] def readMinhashIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndexMeta = {
@@ -355,13 +363,36 @@ object DedupOps {
     MinhashIndexMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("bands"), r.getAs[Int]("bloom_bits"),
       r.getAs[Int]("bloom_hashes"), r.getAs[Long]("epoch"),
-      r.getAs[Long]("sig_count"))
+      r.getAs[Long]("sig_count"),
+      // pre-compaction-format meta has no base: the window starts at 0
+      if (r.schema.fieldNames.contains("sig_base"))
+        r.getAs[Long]("sig_base")
+      else 0L)
   }
 
   /** The derived-relation directory for one epoch (immutable once
     * written). */
   private[graft] def minhashDerivedDir(path: String, epoch: Long): String =
     s"$path/derived/e$epoch"
+
+  /** One signature epoch's directory — the stored signatures live in
+    * epoch'd subdirectories under a RANGE pointer ([sig_base, epoch]
+    * in meta, the WARC index's layout): each append lands its delta as
+    * ONE fresh immutable dir instead of `mode("append")` file-sets
+    * into a flat relation, so a torn append's orphan rows are
+    * INVISIBLE (the window never covers an unswapped epoch) and
+    * compaction is an ordinary epoch commit with no delete-and-rename
+    * of a live relation under racing probes. */
+  private[graft] def minhashSigDir(path: String, epoch: Long): String =
+    s"$path/signatures/e$epoch"
+
+  /** The index's visible signature snapshot: the union of the meta
+    * window's epoch dirs, resolved from ONE meta read. */
+  private[graft] def readStoredSignatures(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: MinhashIndexMeta): DataFrame =
+    spark.read.parquet(
+      (meta.sigBase to meta.epoch).map(minhashSigDir(path, _)): _*)
 
   /** Swap the meta pointer: write sideways, then delete + rename — the
     * [[LayoutOps.compactPartitioned]] seam. Meta commits LAST in every
@@ -375,29 +406,50 @@ object DedupOps {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "minhash index",
       Seq((meta.shingleK, meta.numHashes, meta.bands, meta.bloomBits,
-          meta.bloomHashes, meta.epoch, meta.sigCount))
+          meta.bloomHashes, meta.epoch, meta.sigCount, meta.sigBase))
         .toDF("shingle_k", "num_hashes", "bands", "bloom_bits",
-          "bloom_hashes", "epoch", "sig_count"))
+          "bloom_hashes", "epoch", "sig_count", "sig_base"))
   }
 
-  /** Full rebuild of one epoch's derived relations from the STORED
-    * signatures — the build path and the append self-heal path. Scans
-    * the narrow (id, sig) relation only (numHashes longs per doc):
-    * corpus text is never touched. The bloom derivation reads the
-    * just-written bandkeys BACK so the signature scan runs once. */
+  /** Loud saturation guard — the decontamination index's capacity WARN
+    * ported to this bloom: past ~numBits/10 distinct band keys the
+    * prescreen's false-positive rate climbs toward pass-everything;
+    * correctness holds (the agreement join re-verifies) but every
+    * probe quietly pays the shuffle the bloom exists to skip. The
+    * remedy is a rebuild with a larger bloomBits. */
+  private def warnIfMinhashBloomSaturated(path: String, keyRows: Long,
+                                          numBits: Int): Unit = {
+    val capacity = numBits / 10L
+    if (keyRows > capacity)
+      System.err.println(
+        s"[graft] minhash index at $path: $keyRows distinct band keys " +
+          s"exceed the $numBits-bit bloom's design capacity (~$capacity " +
+          "at 10 bits/element) — the prescreen's false-positive rate is " +
+          "degrading toward pass-everything; rebuild with " +
+          "writeMinhashIndex and a larger bloomBits")
+  }
+
+  /** Full rebuild of one epoch's derived relations from the given
+    * signature snapshot — the build path and the append self-heal
+    * path. Scans the narrow (id, sig) relation only (numHashes longs
+    * per doc): corpus text is never touched. The bloom derivation
+    * reads the just-written bandkeys BACK so the signature scan runs
+    * once. */
   private def rebuildDerivedRelations(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      meta: MinhashIndexMeta, epoch: Long): Unit = {
+      meta: MinhashIndexMeta, epoch: Long, sigs: DataFrame): Unit = {
     val rowsPerBand = meta.numHashes / meta.bands
     val dir = minhashDerivedDir(path, epoch)
-    spark.read.parquet(s"$path/signatures")
+    sigs
       .select(posexplode(lshBandKeys(col("sig"), meta.bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("freq"))
       .write.mode("overwrite").parquet(s"$dir/bandkeys")
+    val written = spark.read.parquet(s"$dir/bandkeys")
+    warnIfMinhashBloomSaturated(path, written.count(), meta.bloomBits)
     val bits = graft.functions.BloomFilter.build(
-      spark.read.parquet(s"$dir/bandkeys")
+      written
         .select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
       "__bk", meta.bloomBits, meta.bloomHashes)
     writeBloomWords(spark, bits, dir)
@@ -423,19 +475,25 @@ object DedupOps {
     * bit.
     *
     * Probe safety and crash recovery: the new epoch writes BEFORE the
-    * meta pointer swaps (meta commits LAST), the previous epoch's
-    * directory survives one more append (in-flight probes that
+    * meta pointer swaps (meta commits LAST), the previous derived
+    * epoch's directory survives one more append (in-flight probes that
     * resolved it keep a consistent snapshot; epochs older than the
-    * previous are pruned), and if `sig_count` disagrees with the
-    * stored signatures — the signature append landed but the epoch
-    * swap didn't — the append self-heals by rebuilding the new epoch
-    * from ALL stored signatures instead of delta-merging against
-    * derived relations that never saw the orphaned rows. */
+    * previous are pruned). A torn append — the delta's signature epoch
+    * landed, meta didn't — is simply INVISIBLE (the window never
+    * covers an unswapped epoch) and the retry overwrites the orphan
+    * dir wholesale, so nothing is double-counted or silently
+    * surfaced. */
   def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, df: DataFrame, textCol: String,
                          idCol: String): Unit = {
     val meta = readMinhashIndexMeta(spark, path)
-    val storedCount = spark.read.parquet(s"$path/signatures").count()
+    val stored = readStoredSignatures(spark, path, meta)
+    // the meta window covering exactly sig_count rows is the layout
+    // invariant (a torn append's orphan epoch sits OUTSIDE the window);
+    // on a mismatch — manual surgery on the dirs — the derived
+    // relations rebuild from the full visible snapshot instead of
+    // delta-merging. Defense in depth, never the hot path.
+    val storedCount = stored.count()
     val healthy = storedCount == meta.sigCount
     val rowsPerBand = meta.numHashes / meta.bands
     // ids already signed are SKIPPED — the anti-join runs on the
@@ -444,11 +502,10 @@ object DedupOps {
     // crawl day) is an idempotent no-op instead of duplicating its
     // signature rows (which would inflate sig_count, double band-key
     // frequencies, and double-emit its near-dup candidates). The
-    // delta signatures then feed the parquet append AND (healthy path)
+    // delta signatures then feed the epoch write AND (healthy path)
     // the band-key delta — checkpointed so the batch text signs once.
     val fresh = df.join(
-      spark.read.parquet(s"$path/signatures")
-        .select(col("id").as("__mh_seen")),
+      stored.select(col("id").as("__mh_seen")),
       df(idCol) === col("__mh_seen"), "left_anti")
     val delta = minhashSigIndex(fresh, textCol, idCol, meta.shingleK,
         meta.numHashes)
@@ -456,8 +513,11 @@ object DedupOps {
       .localCheckpoint()
     try {
       val deltaCount = delta.count()
-      delta.write.mode("append").parquet(s"$path/signatures")
       val next = meta.epoch + 1
+      // ONE fresh epoch dir per append, mode("overwrite"): a retried
+      // append lands on the same epoch number and replaces a torn
+      // attempt's (invisible) orphan dir wholesale
+      delta.write.mode("overwrite").parquet(minhashSigDir(path, next))
       val nextDir = minhashDerivedDir(path, next)
       if (healthy) {
         val deltaKeys = delta
@@ -472,6 +532,9 @@ object DedupOps {
             .groupBy(col("band_idx"), col("band_hash"))
             .agg(sum(col("freq")).as("freq"))
             .write.mode("overwrite").parquet(s"$nextDir/bandkeys")
+          warnIfMinhashBloomSaturated(path,
+            spark.read.parquet(s"$nextDir/bandkeys").count(),
+            meta.bloomBits)
           val deltaBits = graft.functions.BloomFilter.build(
             deltaKeys.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
             "__bk", meta.bloomBits, meta.bloomHashes)
@@ -481,14 +544,63 @@ object DedupOps {
           writeBloomWords(spark, merged, nextDir)
         } finally deltaKeys.unpersist()
       } else {
-        rebuildDerivedRelations(spark, path, meta, next)
+        val all = spark.read.parquet(
+          (meta.sigBase to next).map(minhashSigDir(path, _)): _*)
+        rebuildDerivedRelations(spark, path, meta, next, all)
       }
       swapMeta(spark, path,
         meta.copy(epoch = next, sigCount = storedCount + deltaCount))
+      // derived epochs keep {current, superseded}; the SIGNATURE
+      // epochs are the window itself — only compaction re-bases them
       pruneEpochs(spark, path, superseded = meta.epoch)
       // the per-day maintenance path must not accumulate one
       // checkpointed RDD per append for the session's lifetime
     } finally delta.unpersist()
+  }
+
+  /** Compact the signature window: rewrite the [sig_base, epoch] union
+    * as ONE fresh epoch at `targetFiles` and re-base the pointer onto
+    * it — [[graft.pipeline.WarcOps.compactWarcIndex]]'s move. Without
+    * it a daily-append index accumulates one parquet file-set per
+    * append in the relation every probe scans (the tiny-files problem
+    * the other lifecycles' compaction steps exist to solve). The
+    * derived relations rebuild from the compacted snapshot into a
+    * fresh epoch (bit-identical by construction — same signatures),
+    * meta swaps last, and the janitor prunes signature generations
+    * below the OLD base (one generation's grace for a racing probe
+    * that resolved the old meta) plus derived epochs below the old
+    * pointer. Probe output is byte-identical before and after — only
+    * the file layout moves. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val meta = readMinhashIndexMeta(spark, path)
+    val next = meta.epoch + 1
+    readStoredSignatures(spark, path, meta).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(minhashSigDir(path, next))
+    val compacted = spark.read.parquet(minhashSigDir(path, next))
+    rebuildDerivedRelations(spark, path, meta, next, compacted)
+    swapMeta(spark, path,
+      meta.copy(epoch = next, sigBase = next,
+        sigCount = compacted.count()))
+    pruneEpochs(spark, path, superseded = meta.epoch)
+    MetaIO.pruneEpochs(spark, Seq(s"$path/signatures"),
+      superseded = meta.sigBase)
+  }
+
+  /** Compact when the live signature window has grown to `maxEpochs`
+    * dirs or more — the policy wrapper for orchestrated daily appends
+    * ([[graft.pipeline.WarcOps.maybeCompactWarcIndex]]'s contract).
+    * Returns whether a compaction ran. */
+  def maybeCompactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, maxEpochs: Int): Boolean = {
+    require(maxEpochs >= 2, s"maxEpochs must be >= 2, got $maxEpochs " +
+      "(1 would compact after every append — pure rewrite churn)")
+    val meta = readMinhashIndexMeta(spark, path)
+    if (meta.epoch - meta.sigBase + 1 >= maxEpochs) {
+      compactMinhashIndex(spark, path)
+      true
+    } else false
   }
 
   /** Remove derived-relation epochs older than the SUPERSEDED one —
@@ -523,10 +635,11 @@ object DedupOps {
                                 textCol: String, idCol: String,
                                 minAgreeFrac: Double = 0.5,
                                 maxBandFreq: Int = DefaultMaxBandFreq): DataFrame = {
-    // the epoch resolves ONCE here, so bandkeys and bloom come from the
-    // same immutable snapshot even if an append lands mid-probe
+    // the epoch resolves ONCE here, so signatures, bandkeys, and bloom
+    // all come from the same immutable snapshot even if an append or a
+    // compaction lands mid-probe
     val meta = readMinhashIndexMeta(spark, path)
-    val iSigs = spark.read.parquet(s"$path/signatures")
+    val iSigs = readStoredSignatures(spark, path, meta)
       .select(col("id").as("old_id"), col("sig").as("old_sig"))
     val keyCounts = spark.read
       .parquet(s"${minhashDerivedDir(path, meta.epoch)}/bandkeys")

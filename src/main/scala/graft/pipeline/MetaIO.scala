@@ -62,6 +62,14 @@ private[graft] object MetaIO {
                 s" $kind artifact, or an interrupted write that never " +
                 "committed", e2) }
       }
+    // a meta relation that EXISTS but holds zero rows is the same
+    // interrupted-write signature wearing a different face — a bare
+    // rows(0) here would surface it as an unlabeled index-out-of-bounds
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        s"$label at $path has an empty meta relation — not " +
+          s"a${nArticle(kind)} $kind artifact, or an interrupted write " +
+          "that never committed")
     rows(0)
   }
 
@@ -76,17 +84,48 @@ private[graft] object MetaIO {
     * artifact's data relations with one batch's worth — silent total
     * loss. (A crash mid-tmp-write leaves the old meta in place, so the
     * first branch already answers true and the partial tmp is
-    * overwritten by the next commit.) */
-  def metaExistsOrRecover(spark: SparkSession, path: String): Boolean = {
+    * overwritten by the next commit.)
+    *
+    * Only a COMMITTED tmp is promoted: a crash mid-FIRST-build (no
+    * prior meta, the sideways write itself interrupted) leaves a
+    * partial `meta__next` with no `_SUCCESS` marker — promoting that
+    * would hand the next ingest an unreadable (or empty) meta and
+    * crash-loop it on a raw parquet error instead of the intended loud
+    * "no recoverable meta" refusal. A partial tmp is deleted and the
+    * answer is false, so the caller's first-build branch runs. */
+  def metaExistsOrRecover(spark: SparkSession, path: String): Boolean =
+    dirExistsOrRecover(spark, s"$path/meta")
+
+  /** The generic form of [[metaExistsOrRecover]] for ANY relation
+    * committed via sideways write + delete + rename (`<dir>__next`):
+    * answers whether `dir` exists, completing an interrupted rename
+    * first when the sideways copy is a COMMITTED Spark write
+    * (`_SUCCESS` marker + at least one data file) and deleting it when
+    * it is a torn partial. */
+  def dirExistsOrRecover(spark: SparkSession, dir: String): Boolean = {
     val hconf = spark.sessionState.newHadoopConf()
-    val target = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(hconf)
     if (fs.exists(target)) true
     else {
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/meta__next")
-      fs.exists(tmp) && fs.rename(tmp, target)
+      val tmp = new org.apache.hadoop.fs.Path(s"${dir}__next")
+      if (!fs.exists(tmp)) false
+      else if (isCommittedWrite(fs, tmp)) fs.rename(tmp, target)
+      else { fs.delete(tmp, true); false }
     }
   }
+
+  /** A directory is a committed Spark write iff the job-level
+    * `_SUCCESS` marker landed AND at least one data file exists (the
+    * marker commits after every task file; an empty-dataset write
+    * still emits one schema-only part file — SPARK-23271). */
+  private def isCommittedWrite(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
+      fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
 
   /** The meta-pointer SWAP, shared by every artifact lifecycle: write
     * the one-row relation SIDEWAYS (`meta__next`), then delete the live

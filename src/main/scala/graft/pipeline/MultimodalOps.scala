@@ -2972,10 +2972,32 @@ object MultimodalOps {
     * stream-fed, batch-API appends leave it untouched). */
   private[graft] final case class MediaHashIndexMeta(
       bands: Int, bloomBits: Int, bloomHashes: Int, epoch: Long,
-      hashCount: Long, lastBatchId: Long = -1L)
+      hashCount: Long, lastBatchId: Long = -1L, hashBase: Long = 0L)
 
   private[graft] def mediaHashDerivedDir(path: String, epoch: Long): String =
     s"$path/derived/e$epoch"
+
+  /** One fingerprint epoch's directory. The stored hashes live in
+    * epoch'd subdirectories with a RANGE pointer ([hash_base, epoch] in
+    * meta — the WARC index's layout): each append lands its delta as
+    * ONE fresh immutable epoch dir instead of `mode("append")` file-sets
+    * into a flat relation, so (a) a torn append's orphan rows are
+    * INVISIBLE to readers (the window never covers an unswapped epoch)
+    * and (b) compaction is an ordinary epoch commit — rewrite the
+    * window's union as one file-set, re-base the pointer — with no
+    * delete-and-rename of a live relation under racing probes. */
+  private[graft] def mediaHashesDir(path: String, epoch: Long): String =
+    s"$path/hashes/e$epoch"
+
+  /** The index's visible fingerprint snapshot: the union of the meta
+    * window's epoch dirs, resolved from ONE meta read — racing appends
+    * or compactions never change what this snapshot covers (superseded
+    * generations get one commit's grace before the janitor). */
+  private[graft] def readStoredMediaHashes(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: MediaHashIndexMeta): DataFrame =
+    spark.read.parquet(
+      (meta.hashBase to meta.epoch).map(mediaHashesDir(path, _)): _*)
 
   private def readMediaHashIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
@@ -2987,7 +3009,11 @@ object MultimodalOps {
       // pre-streaming-format meta has no batch pointer: never-stream-fed
       if (r.schema.fieldNames.contains("last_batch_id"))
         r.getAs[Long]("last_batch_id")
-      else -1L)
+      else -1L,
+      // pre-compaction-format meta has no base: the window starts at 0
+      if (r.schema.fieldNames.contains("hash_base"))
+        r.getAs[Long]("hash_base")
+      else 0L)
   }
 
   private def swapMediaHashMeta(spark: org.apache.spark.sql.SparkSession,
@@ -2996,9 +3022,9 @@ object MultimodalOps {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "media-hash index",
       Seq((meta.bands, meta.bloomBits, meta.bloomHashes, meta.epoch,
-          meta.hashCount, meta.lastBatchId))
+          meta.hashCount, meta.lastBatchId, meta.hashBase))
         .toDF("bands", "bloom_bits", "bloom_hashes", "epoch", "hash_count",
-          "last_batch_id"))
+          "last_batch_id", "hash_base"))
   }
 
   /** One bloom key per (chunk_idx, chunk_val) of each stored hash. */
@@ -3025,9 +3051,11 @@ object MultimodalOps {
     * later segment dedups against all of history at probe cost.
     * Layout (the shared artifact discipline):
     *
-    *   - `path/hashes` — (id, ahash_a, ahash_b), append-only: three
-    *     longs per image — 10^10 images ≈ 240 GB, scanned only by the
-    *     candidate-verify join;
+    *   - `path/hashes/e<N>` — (id, ahash_a, ahash_b) epoch dirs under
+    *     a RANGE pointer ([hash_base, epoch] in meta, the WARC index's
+    *     layout): one immutable delta dir per append, re-based by
+    *     [[compactMediaHashIndex]]. Three longs per image — 10^10
+    *     images ≈ 240 GB, scanned only by the candidate-verify join;
     *   - `path/derived/e<N>/bloom` — the bitmap over the chunk-band
     *     keys of every stored hash (OR-idempotent, so appends
     *     delta-merge it); probes prescreen map-side against it, so a
@@ -3075,25 +3103,50 @@ object MultimodalOps {
     imageAHash(df, contentCol, idCol)
       .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
       .select(col("media_id").as("id"), col("ahash_a"), col("ahash_b"))
-      .write.mode("overwrite").parquet(s"$path/hashes")
-    val stored = spark.read.parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(mediaHashesDir(path, 0L))
+    val stored = spark.read.parquet(mediaHashesDir(path, 0L))
     val bits = graft.functions.BloomFilter.build(
       mediaHashChunkKeys(stored, bands), "__ck", bloomBits, bloomHashes)
     writeMediaHashBloom(spark, bits, mediaHashDerivedDir(path, 0L))
+    val total = stored.count()
+    warnIfMediaBloomSaturated(path, total, bands, bloomBits)
     swapMediaHashMeta(spark, path,
-      MediaHashIndexMeta(bands, bloomBits, bloomHashes, 0L, stored.count(),
+      MediaHashIndexMeta(bands, bloomBits, bloomHashes, 0L, total,
         lastBatchId))
+  }
+
+  /** Loud saturation guard — the decontamination index's capacity WARN
+    * ported to this bloom: geometry is pinned at build time, but a
+    * continuously-maintained index keeps folding segments in, and past
+    * ~numBits/10 inserted chunk keys (< 10 bits per element) the
+    * prescreen's false-positive rate climbs toward pass-everything —
+    * correctness holds (the Hamming join is exact) but every segment
+    * quietly pays the full shuffle the prescreen exists to skip. The
+    * remedy is a rebuild with a larger bloomBits; warn on the way in
+    * rather than letting the probe cost regress without a trace. */
+  private def warnIfMediaBloomSaturated(path: String, hashCount: Long,
+                                        bands: Int, bloomBits: Int): Unit = {
+    val inserted = hashCount * bands
+    val capacity = bloomBits / 10L
+    if (inserted > capacity)
+      System.err.println(
+        s"[graft] media-hash index at $path: $hashCount stored " +
+          s"fingerprints x $bands bands = $inserted bloom keys exceed " +
+          s"the $bloomBits-bit bloom's design capacity (~$capacity at " +
+          "10 bits/element) — the prescreen's false-positive rate is " +
+          "degrading toward pass-everything; rebuild with " +
+          "writeMediaHashIndex and a larger bloomBits")
   }
 
   /** Append a new segment's images at DELTA cost: ids already indexed
     * are skipped (narrow anti-join on the stored id column — a
     * re-dropped segment is an idempotent no-op), the fresh fingerprints
-    * append, and the bloom delta-merges (OR over the delta's chunk
-    * keys) into a NEW epoch directory behind the meta swap. A torn
-    * append (hashes landed, meta didn't) self-heals exactly like the
-    * minhash index: hash_count disagreeing with storage rebuilds the
-    * bloom from ALL stored hashes instead of delta-merging over a
-    * bitmap that never saw the orphaned rows. */
+    * land as one new hash-epoch dir, and the bloom delta-merges (OR
+    * over the delta's chunk keys) into a NEW derived epoch behind the
+    * meta swap. A torn append (the delta dir landed, meta didn't) is
+    * simply INVISIBLE — the meta window never covers an unswapped
+    * epoch — and the retry overwrites the orphan dir wholesale, so
+    * nothing is ever double-counted or silently surfaced. */
   def appendMediaHashIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, df: DataFrame, contentCol: String,
                            idCol: String): Unit = {
@@ -3114,13 +3167,15 @@ object MultimodalOps {
     * was applied.
     *
     * SINGLE-WRITER, NON-DECREASING batch ids — stated plainly: the
-    * skip fires BEFORE the id anti-join, so a batch id at or below the
-    * stored pointer is dropped without hashing even if it carries new
-    * images. Resetting the stream's checkpoint (ids restart at 0) or
-    * pointing two maintainers at one index violates the contract and
-    * silently loses those batches' images; after a checkpoint reset,
-    * backfill once through [[appendMediaHashIndex]], which has no
-    * pointer and always anti-joins. */
+    * skip fires BEFORE the id anti-join, so a batch id at or one below
+    * the stored pointer is dropped without hashing anything (the
+    * crash-replay signature — the replayed batch is always the last
+    * one started). An id regressing FURTHER is not a replay: it is a
+    * reset checkpoint (ids restart at 0) or a second maintainer on one
+    * index, and dropping it would silently lose its images — so it
+    * REFUSES loudly instead, naming the backfill
+    * ([[appendMediaHashIndex]], which has no pointer and always
+    * anti-joins). */
   def ingestMediaHashBatch(spark: org.apache.spark.sql.SparkSession,
                            path: String, batch: DataFrame,
                            contentCol: String, idCol: String,
@@ -3139,8 +3194,17 @@ object MultimodalOps {
       true
     } else {
       val meta = readMediaHashIndexMeta(spark, path)
-      if (batchId <= meta.lastBatchId) false // replayed batch: no-op
-      else {
+      if (batchId <= meta.lastBatchId) {
+        require(batchId >= meta.lastBatchId - 1,
+          s"media-hash index at $path: incoming batch id $batchId " +
+            s"regressed more than one below the stored pointer " +
+            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
+            "0) or a second maintainer writing this index; dropping it " +
+            "would silently lose its images. Backfill once via " +
+            "appendMediaHashIndex (no pointer, always anti-joins), then " +
+            "resume with a fresh checkpoint")
+        false // replayed batch: no-op
+      } else {
         appendMediaHashCore(spark, path, meta, batch, contentCol, idCol,
           batchId)
         true
@@ -3152,17 +3216,26 @@ object MultimodalOps {
                                   path: String, meta: MediaHashIndexMeta,
                                   df: DataFrame, contentCol: String,
                                   idCol: String, lastBatchId: Long): Unit = {
-    val healthy =
-      spark.read.parquet(s"$path/hashes").count() == meta.hashCount
+    val visible = readStoredMediaHashes(spark, path, meta)
+    // the meta window covering exactly hash_count rows is the layout
+    // invariant (a torn append's orphan epoch sits OUTSIDE the window,
+    // so the two can only disagree after manual surgery on the dirs);
+    // on a mismatch the bloom rebuilds from the full visible snapshot
+    // instead of delta-merging — defense in depth, never the hot path
+    val visibleCount = visible.count()
+    val healthy = visibleCount == meta.hashCount
     val delta = imageAHash(df, contentCol, idCol)
       .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
       .select(col("media_id").as("id"), col("ahash_a"), col("ahash_b"))
-      .join(spark.read.parquet(s"$path/hashes").select(col("id")),
-        Seq("id"), "left_anti")
-      .localCheckpoint() // consumed twice: parquet append + bloom delta
+      .join(visible.select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint() // consumed twice: epoch write + bloom delta
     try {
-      delta.write.mode("append").parquet(s"$path/hashes")
       val next = meta.epoch + 1
+      // ONE fresh epoch dir per append, mode("overwrite"): a retried
+      // append lands on the same epoch number and replaces the torn
+      // attempt's (invisible) orphan dir wholesale — never interleaves
+      // file-sets into a live relation
+      delta.write.mode("overwrite").parquet(mediaHashesDir(path, next))
       val nextDir = mediaHashDerivedDir(path, next)
       if (healthy) {
         val deltaBits = graft.functions.BloomFilter.build(
@@ -3172,19 +3245,73 @@ object MultimodalOps {
           .zip(deltaBits).map { case (a, b) => a | b }
         writeMediaHashBloom(spark, merged, nextDir)
       } else {
+        val all = spark.read.parquet(
+          (meta.hashBase to next).map(mediaHashesDir(path, _)): _*)
         val bits = graft.functions.BloomFilter.build(
-          mediaHashChunkKeys(spark.read.parquet(s"$path/hashes"),
-            meta.bands), "__ck", meta.bloomBits, meta.bloomHashes)
+          mediaHashChunkKeys(all, meta.bands), "__ck",
+          meta.bloomBits, meta.bloomHashes)
         writeMediaHashBloom(spark, bits, nextDir)
       }
-      val total = spark.read.parquet(s"$path/hashes").count()
+      val total = visibleCount + delta.count()
+      warnIfMediaBloomSaturated(path, total, meta.bands, meta.bloomBits)
       swapMediaHashMeta(spark, path,
         meta.copy(epoch = next, hashCount = total,
           lastBatchId = lastBatchId))
+      // derived epochs keep {current, superseded}; the HASH epochs are
+      // the window itself — only compaction re-bases and prunes them
       MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
         superseded = meta.epoch)
     } finally delta.unpersist() // a per-segment maintenance path must
     // not accumulate one checkpointed RDD per append for the session
+  }
+
+  /** Compact the fingerprint window: rewrite the [hash_base, epoch]
+    * union as ONE fresh epoch at `targetFiles` and re-base the pointer
+    * onto it — [[compactWarcIndex]]'s move, one artifact over. Without
+    * it a continuously-maintained index ([[ingestMediaHashBatch]] via
+    * the landing-dir stream) accumulates one epoch dir per micro-batch
+    * in the relation every probe scans — the tiny-files problem the
+    * other lifecycles' compaction steps exist to solve. The bloom
+    * rebuilds from the compacted relation into a fresh derived epoch
+    * (bit-identical by construction — same fingerprints), meta swaps
+    * last, and the janitor prunes hash generations below the OLD base
+    * (one generation's grace for a racing probe that resolved the old
+    * meta) plus derived epochs below the old pointer. Probe output is
+    * byte-identical before and after — only the file layout moves. */
+  def compactMediaHashIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val meta = readMediaHashIndexMeta(spark, path)
+    val next = meta.epoch + 1
+    readStoredMediaHashes(spark, path, meta).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(mediaHashesDir(path, next))
+    val compacted = spark.read.parquet(mediaHashesDir(path, next))
+    val bits = graft.functions.BloomFilter.build(
+      mediaHashChunkKeys(compacted, meta.bands), "__ck",
+      meta.bloomBits, meta.bloomHashes)
+    writeMediaHashBloom(spark, bits, mediaHashDerivedDir(path, next))
+    swapMediaHashMeta(spark, path,
+      meta.copy(epoch = next, hashBase = next,
+        hashCount = compacted.count()))
+    MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
+      superseded = meta.epoch)
+    MetaIO.pruneEpochs(spark, Seq(s"$path/hashes"),
+      superseded = meta.hashBase)
+  }
+
+  /** Compact when the live epoch window has grown to `maxEpochs` dirs
+    * or more — the policy wrapper the continuous maintainer calls after
+    * each batch ([[graft.pipeline.WarcOps.maybeCompactWarcIndex]]'s
+    * contract). Returns whether a compaction ran. */
+  def maybeCompactMediaHashIndex(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, maxEpochs: Int): Boolean = {
+    require(maxEpochs >= 2, s"maxEpochs must be >= 2, got $maxEpochs " +
+      "(1 would compact after every append — pure rewrite churn)")
+    val meta = readMediaHashIndexMeta(spark, path)
+    if (meta.epoch - meta.hashBase + 1 >= maxEpochs) {
+      compactMediaHashIndex(spark, path)
+      true
+    } else false
   }
 
   /** Probe a stored fingerprint index: each probe image's chunk keys
@@ -3212,7 +3339,7 @@ object MultimodalOps {
       .filter(graft.functions.BloomFilter.mightContainCol(
         xxhash64(col("chunk_idx"), col("chunk_val")), words,
         meta.bloomHashes, meta.bloomBits))
-    val storedChunks = spark.read.parquet(s"$path/hashes")
+    val storedChunks = readStoredMediaHashes(spark, path, meta)
       .select(col("id").as("match_id"),
         col("ahash_a").as("s_a"), col("ahash_b").as("s_b"),
         posexplode(ahashChunkArr(col("ahash_a"), col("ahash_b"), meta.bands))

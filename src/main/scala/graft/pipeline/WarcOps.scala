@@ -835,9 +835,14 @@ object WarcOps {
     * epoch 0 OVER the existing e0 and strand every later epoch.
     * Returns whether the batch was applied. Batch ids arrive
     * non-decreasing from ONE writer (Structured Streaming's contract):
-    * the replay skip fires before the anti-join, so a checkpoint reset
-    * (ids restarting at 0) silently drops batches — backfill once via
-    * [[appendWarcIndex]] after a reset. */
+    * the replay skip fires before the anti-join, so a batch id at or
+    * one below the stored pointer is dropped quietly (the crash-replay
+    * signature — the replayed batch is always the last one started).
+    * An id REGRESSING further than that is not a replay: it is a reset
+    * checkpoint (ids restart at 0) or a second maintainer on one index,
+    * and silently dropping it would lose its files — so it REFUSES
+    * loudly instead, naming the backfill ([[appendWarcIndex]], which
+    * has no pointer and always anti-joins). */
   def ingestWarcIndexBatch(spark: org.apache.spark.sql.SparkSession,
                            path: String, files: DataFrame, pathCol: String,
                            idCol: String, batchId: Long,
@@ -854,8 +859,17 @@ object WarcOps {
       true
     } else {
       val meta = readWarcIndexMeta(spark, path)
-      if (batchId <= meta.lastBatchId) false // replayed batch: no-op
-      else {
+      if (batchId <= meta.lastBatchId) {
+        require(batchId >= meta.lastBatchId - 1,
+          s"warc index at $path: incoming batch id $batchId regressed " +
+            s"more than one below the stored pointer ${meta.lastBatchId} " +
+            "— a reset checkpoint (ids restart at 0) or a second " +
+            "maintainer writing this index; dropping it would silently " +
+            "lose its files. Backfill once via appendWarcIndex (no " +
+            "pointer, always anti-joins), then resume with a fresh " +
+            "checkpoint")
+        false // replayed batch: no-op
+      } else {
         appendWarcIndexCore(spark, path, meta, files, pathCol, idCol,
           batchId, maxPlainBytes)
         true

@@ -960,7 +960,11 @@ object MultimodalQueries {
     * originals (hamming 0, plus whatever true ≤1 neighbours exist —
     * the oracle recomputes ALL of them from the pixel formulas, so
     * accidental near-pairs are covered, not flaky); keys 50..59 match
-    * only if a genuine ≤1 neighbour exists among the stored hashes. */
+    * only if a genuine ≤1 neighbour exists among the stored hashes.
+    * The window then COMPACTS before the probe (round 16): the oracle
+    * is unchanged by construction — compaction rewrites the file
+    * layout, never the fingerprints — so this row gates the whole
+    * build → append → re-drop → compact → probe lifecycle. */
   def mediaDupIndexQ(spark: SparkSession, sfDir: String): DataFrame = {
     val keys = Tables.read(spark, sfDir, "documents")
       .select((col("doc_id") % 60).as("img_key")).distinct()
@@ -975,6 +979,7 @@ object MultimodalQueries {
       corpusImgs.filter(col("media_id") % 2 === 1), "content", "media_id")
     MultimodalOps.appendMediaHashIndex(spark, idxPath,
       corpusImgs, "content", "media_id") // idempotent re-drop
+    MultimodalOps.compactMediaHashIndex(spark, idxPath)
     MultimodalOps.probeMediaHashIndex(spark, idxPath, probes,
       "content", "media_id", maxHamming = 1)
   }

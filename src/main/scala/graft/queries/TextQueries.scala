@@ -1525,11 +1525,13 @@ object TextQueries {
     // under the SAME path can never serve a stale index (the v1→v2
     // escape class, closed structurally instead of by version bump).
     // v3: epoch-versioned derived relations (meta schema changed).
+    // v4: epoch'd signature window under a [sig_base, epoch] range
+    //     pointer (compaction support; meta schema changed again).
     val idxSide = d.filter(col("doc_id") % 2 === 0)
     val fpRow = idxSide.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L))).collect()(0)
     val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_v3_" +
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_v4_" +
       s"${K}_${NUM_HASHES}_${BANDS}_${math.abs(sfDir.hashCode)}_$fp"
     if (!new java.io.File(s"$dir/meta/_SUCCESS").exists())
       DedupOps.writeMinhashIndex(idxSide,

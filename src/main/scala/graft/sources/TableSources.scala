@@ -159,12 +159,18 @@ object TableSources {
     * The guard covers BOTH ANSI failure modes: the empty no-match
     * string AND a matching capture whose digits overflow long (a
     * 20-digit filename matches `\d+` but `cast` throws CAST_OVERFLOW —
-    * same wedge, different door), so only 1..18-digit captures cast. */
+    * same wedge, different door). 1..18-digit captures always fit;
+    * a 19-digit capture casts only when it compares at or below
+    * Long.MaxValue's digits (same-length numeric strings order
+    * lexicographically, so the string compare IS the numeric one) —
+    * the full non-negative long range parses, not an 18-digit subset. */
   def pathId(path: org.apache.spark.sql.Column,
              pattern: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val cap = regexp_extract(path, pattern, 1)
-    when(cap.rlike("^\\d{1,18}$"), cap).otherwise(lit(null)).cast("long")
+    when(cap.rlike("^\\d{1,18}$") ||
+        (cap.rlike("^\\d{19}$") && cap <= lit(Long.MaxValue.toString)),
+      cap).otherwise(lit(null)).cast("long")
   }
 
   /** Inventory MANIFEST seam for the content-free walks: at corpus

@@ -167,7 +167,7 @@ object PipelineStreams {
     val bits = DedupOps.readStoredBloom(spark, path, m)
     val hot = keyCounts.filter(col("freq") > maxBandFreq)
       .select(col("band_idx"), col("band_hash"))
-    val iBands = spark.read.parquet(s"$path/signatures")
+    val iBands = DedupOps.readStoredSignatures(spark, path, m)
       .select(col("id").as("old_id"), col("sig").as("old_sig"))
       .select(col("old_id"), col("old_sig"),
         posexplode(DedupOps.lshBandKeys(col("old_sig"), bands, rowsPerBand))
@@ -600,12 +600,26 @@ object PipelineStreams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val applied = graft.pipeline.WarcOps.ingestWarcIndexBatch(
+        graft.pipeline.WarcOps.ingestWarcIndexBatch(
           batch.sparkSession, indexPath, batch.toDF(),
           "media_path", "media_id", batchId)
-        if (applied && compactEvery > 0)
-          graft.pipeline.WarcOps.maybeCompactWarcIndex(
+        // the compaction check runs UNCONDITIONALLY (not gated on the
+        // batch having applied) and never fails the batch: the ingest
+        // above already committed, so a compaction error here would
+        // mark an applied batch failed and its replay would be skipped
+        // (applied=false) — deferring compaction until the next applied
+        // batch and reporting a phantom failure. Log it loudly instead;
+        // the unconditional check also means a previously-deferred
+        // compaction catches up on the very next batch, applied or not.
+        if (compactEvery > 0)
+          try graft.pipeline.WarcOps.maybeCompactWarcIndex(
             batch.sparkSession, indexPath, compactEvery)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] warc index maintainer at $indexPath: post-commit " +
+                s"compaction failed (batch $batchId committed fine, " +
+                s"window stays unbounded until a compaction succeeds): $e")
+          }
         ()
       }
       .start()
@@ -622,8 +636,14 @@ object PipelineStreams {
     * data no-op regardless). Unlike the CDX leg this stream DOES carry
     * content — hashing needs the bytes; binaryFile reads each landed
     * file once, and what persists is three longs per image. The
-    * single-pointer epochs GC themselves on every append ({current,
-    * superseded}), so there is no compaction knob. Strays skip +
+    * DERIVED epochs GC themselves on every append ({current,
+    * superseded}); the fingerprint relation is a RANGE window that
+    * grows one epoch dir per applied batch, so `compactEvery` > 0
+    * bounds it exactly like the CDX leg: after each batch, when the
+    * window has grown to that many epoch dirs the maintainer compacts
+    * ([[graft.pipeline.MultimodalOps.compactMediaHashIndex]] — one
+    * file-set, re-based pointer, byte-identical probes) and the janitor
+    * prunes generations no reader can hold. Strays skip +
     * count via the `media_ingest` observed metric. Geometry
     * (`bands`/`bloomBits`/`bloomHashes`) applies only when THIS stream
     * builds the artifact (first batch on an empty path) — an existing
@@ -640,7 +660,8 @@ object PipelineStreams {
                               maxFileAge: String = "7d",
                               bands: Int = 2,
                               bloomBits: Int = 1 << 20,
-                              bloomHashes: Int = 4)
+                              bloomHashes: Int = 4,
+                              compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // validate BEFORE start() — failing inside foreachBatch would
     // crash-loop the query (the warcIndexMaintainStream discipline)
@@ -648,6 +669,9 @@ object PipelineStreams {
       s"bands must be >= 2 and divide 64, got $bands")
     require(bloomBits > 0 && bloomBits % 64 == 0,
       s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
+        "(1 would compact after every append — pure rewrite churn)")
     landingFileStream(spark, dir, glob, idPattern, maxFilesPerTrigger,
         maxFileAge, "media_ingest")
       .select(col("content"), col("media_id"))
@@ -657,6 +681,20 @@ object PipelineStreams {
         graft.pipeline.MultimodalOps.ingestMediaHashBatch(
           batch.sparkSession, indexPath, batch.toDF(),
           "content", "media_id", batchId, bands, bloomBits, bloomHashes)
+        // unconditional + caught, the warcIndexMaintainStream
+        // discipline: the ingest above already committed, so a
+        // post-commit compaction error must not mark the batch failed
+        // (its replay would be skipped) — log it and catch up on the
+        // next batch instead
+        if (compactEvery > 0)
+          try graft.pipeline.MultimodalOps.maybeCompactMediaHashIndex(
+            batch.sparkSession, indexPath, compactEvery)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] media-hash maintainer at $indexPath: post-commit " +
+                s"compaction failed (batch $batchId committed fine, " +
+                s"window stays unbounded until a compaction succeeds): $e")
+          }
         ()
       }
       .start()

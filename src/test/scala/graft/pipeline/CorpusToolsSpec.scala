@@ -11,6 +11,12 @@ class CorpusToolsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** The minhash index's VISIBLE signatures — the meta window's epoch
+    * union, what probes actually read. */
+  private def storedSigs(dir: String) =
+    DedupOps.readStoredSignatures(spark, dir,
+      DedupOps.readMinhashIndexMeta(spark, dir))
+
   test("assignSplit: total cover, determinism, nested buckets, rough proportions") {
     val ids = spark.range(0, 2000).toDF("id")
     val s1 = SamplingOps.assignSplit(ids, "id", 100, 200)
@@ -211,7 +217,7 @@ class CorpusToolsSpec extends AnyFunSuite {
     val ddir = DedupOps.minhashDerivedDir(dir, meta.epoch)
     assert((meta.shingleK, meta.numHashes, meta.bands) == ((3, 12, 4)))
     assert(meta.epoch == 0L && meta.sigCount == 3L)
-    assert(spark.read.parquet(s"$dir/signatures").count() == 3) // empty doc 6 excluded
+    assert(storedSigs(dir).count() == 3) // empty doc 6 excluded
     val keyRows = spark.read.parquet(s"$ddir/bandkeys")
       .select("band_idx", "band_hash", "freq").collect()
     assert(keyRows.map(_.getLong(2)).sum == 3 * 4) // 3 docs × 4 bands, freqs total
@@ -251,7 +257,7 @@ class CorpusToolsSpec extends AnyFunSuite {
     DedupOps.appendMinhashIndex(spark, appended, day2, "text", "doc_id")
     DedupOps.writeMinhashIndex(day1.union(day2), "text", "doc_id",
       oneShot, 3, 12, 4)
-    def sigs(d: String) = spark.read.parquet(s"$d/signatures")
+    def sigs(d: String) = storedSigs(d)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     def ddir(d: String) = DedupOps.minhashDerivedDir(d,
       DedupOps.readMinhashIndexMeta(spark, d).epoch)
@@ -304,21 +310,27 @@ class CorpusToolsSpec extends AnyFunSuite {
     assert(!exists(0) && exists(1) && exists(2))
   }
 
-  test("appendMinhashIndex: an interrupted append (orphaned signatures) " +
-    "self-heals on the next append") {
+  test("appendMinhashIndex: a torn append's orphan epoch is invisible " +
+    "and the retried append replaces it — retry + next day ends " +
+    "byte-identical to the one-shot build") {
     val day1 = Seq((2L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
     val day2 = Seq((4L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
     val day3 = Seq((6L, "m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text")
     val healed = java.nio.file.Files.createTempDirectory("graft_mh_heal").toString
     val oneShot = java.nio.file.Files.createTempDirectory("graft_mh_heal1").toString
     DedupOps.writeMinhashIndex(day1, "text", "doc_id", healed, 3, 12, 4)
-    // simulate a crash mid-append: day2's signatures landed, but the
-    // derived epoch + meta swap never ran -> sig_count disagrees
+    // simulate a crash mid-append: day2's signature epoch dir landed,
+    // but the derived epoch + meta swap never ran — the orphan sits
+    // OUTSIDE the meta window, so probes and counts never see it
     DedupOps.minhashSigIndex(day2, "text", "doc_id", 3, 12)
       .select(col("doc_id").as("id"), col("sig"))
-      .write.mode("append").parquet(s"$healed/signatures")
+      .write.mode("overwrite").parquet(DedupOps.minhashSigDir(healed, 1L))
     assert(DedupOps.readMinhashIndexMeta(spark, healed).sigCount == 1L)
-    // next append detects the orphans and rebuilds from ALL signatures
+    assert(storedSigs(healed).count() == 1L,
+      "an unswapped epoch must be invisible")
+    // the orchestrator RETRIES day2 (the torn batch), which overwrites
+    // the orphan dir wholesale, then day3 proceeds normally
+    DedupOps.appendMinhashIndex(spark, healed, day2, "text", "doc_id")
     DedupOps.appendMinhashIndex(spark, healed, day3, "text", "doc_id")
     DedupOps.writeMinhashIndex(day1.union(day2).union(day3), "text",
       "doc_id", oneShot, 3, 12, 4)
@@ -329,8 +341,56 @@ class CorpusToolsSpec extends AnyFunSuite {
     def bloom(d: String) = spark.read.parquet(s"${ddir(d)}/bloom")
       .orderBy("word_idx").collect().map(_.getLong(1)).toSeq
     assert(DedupOps.readMinhashIndexMeta(spark, healed).sigCount == 3L)
+    assert(storedSigs(healed).filter(col("id") === 4L).count() == 1L,
+      "the retried day must land exactly once")
     assert(keys(healed) == keys(oneShot))
     assert(bloom(healed) == bloom(oneShot))
+  }
+
+  test("compactMinhashIndex: build -> appends -> compact leaves the " +
+    "probe byte-identical, re-bases the window onto one file-set, and " +
+    "the next compaction prunes the superseded generation") {
+    def day(ids: Seq[Long], tok: String) =
+      ids.map(i => (i, s"${tok}1 ${tok}2 ${tok}3 ${tok}4 ${tok}5 ${tok}6"))
+        .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_cmp").toString
+    DedupOps.writeMinhashIndex(day(Seq(2L), "w"), "text", "doc_id", dir, 3, 12, 4)
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(4L), "x"), "text", "doc_id")
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(6L), "y"), "text", "doc_id")
+    val batch = Seq((11L, "w1 w2 w3 w4 w5 w6"), (13L, "y1 y2 y3 y4 y5 y6"))
+      .toDF("doc_id", "text")
+    def probe() = DedupOps.nearDupAgainstStoredIndex(spark, dir, batch,
+        "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def sigEpochs() =
+      Option(new java.io.File(s"$dir/signatures").listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("e")).toSet
+    def windowFiles(): Int = {
+      val m = DedupOps.readMinhashIndexMeta(spark, dir)
+      (m.sigBase to m.epoch).map { e =>
+        Option(new java.io.File(DedupOps.minhashSigDir(dir, e)).listFiles())
+          .toSeq.flatten.count(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+      }.sum
+    }
+    val before = probe()
+    assert(before.map(_._1) == Set(11L, 13L))
+    assert(sigEpochs() == Set("e0", "e1", "e2"))
+    // below the policy threshold nothing happens; at it, compaction runs
+    assert(!DedupOps.maybeCompactMinhashIndex(spark, dir, 4))
+    assert(DedupOps.maybeCompactMinhashIndex(spark, dir, 3))
+    val m = DedupOps.readMinhashIndexMeta(spark, dir)
+    assert(m.epoch == 3L && m.sigBase == 3L && m.sigCount == 3L)
+    assert(probe() == before, "compaction must not change probe output")
+    assert(windowFiles() == 1,
+      "the visible window must be one file-set after compaction")
+    // one generation's grace, then the NEXT compaction prunes it
+    assert(sigEpochs() == Set("e0", "e1", "e2", "e3"))
+    DedupOps.appendMinhashIndex(spark, dir, day(Seq(8L), "z"), "text", "doc_id")
+    DedupOps.compactMinhashIndex(spark, dir)
+    assert(sigEpochs() == Set("e3", "e4", "e5"), s"got ${sigEpochs()}")
+    assert(probe() == before,
+      "the original probe rows survive re-base and prune")
   }
 
   test("maskRepeatedSpans: masks every token of each hot k-gram, " +

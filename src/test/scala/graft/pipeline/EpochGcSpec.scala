@@ -101,8 +101,8 @@ class EpochGcSpec extends AnyFunSuite {
     // grace: the superseded epoch's relations still read cleanly
     assert(spark.read.parquet(s"$dir/derived/e2/bandkeys").count() > 0)
     assert(spark.read.parquet(s"$dir/derived/e2/bloom").count() > 0)
-    // non-epoch siblings intact: all four days' signatures present
-    assert(spark.read.parquet(s"$dir/signatures").count() == 4)
+    // the signature window intact: all four days' signatures present
+    assert(DedupOps.readStoredSignatures(spark, dir, meta).count() == 4)
   }
 
   // ---------------------------------------------------------------

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The persisted media-fingerprint index (eleventh artifact lifecycle):
-  * build/append/probe over real encoded images, torn-append self-heal,
-  * idempotent re-drops, epoch GC, and the undecodable-payload
-  * exclusion — the image analogue of the stored MinHash/decontam
-  * discipline, pinned the same way. */
+  * build/append/probe over real encoded images, torn-append isolation,
+  * idempotent re-drops, epoch GC, window compaction, the streaming
+  * batch discipline, and the undecodable-payload exclusion — the image
+  * analogue of the stored MinHash/decontam discipline, pinned the same
+  * way. */
 class MediaHashIndexSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -22,6 +23,33 @@ class MediaHashIndexSpec extends AnyFunSuite {
   private def epochs(root: String): Set[String] =
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .map(_.getName).filter(_.startsWith("e")).toSet
+
+  /** The index's VISIBLE fingerprints — what probes see: the meta
+    * window's epoch union, never raw directory contents. */
+  private def visibleHashes(dir: String) = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    spark.read.parquet(
+      (meta.getAs[Long]("hash_base") to meta.getAs[Long]("epoch"))
+        .map(e => s"$dir/hashes/e$e"): _*)
+  }
+
+  /** Data files across the visible window — the compaction yardstick. */
+  private def visibleDataFiles(dir: String): Int = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    (meta.getAs[Long]("hash_base") to meta.getAs[Long]("epoch")).map { e =>
+      Option(new java.io.File(s"$dir/hashes/e$e").listFiles()).toSeq.flatten
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }.sum
+  }
+
+  private def capturingErr[T](f: => T): (T, String) = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(baos, true, "UTF-8"))
+    try { val r = f; (r, baos.toString("UTF-8")) }
+    finally System.setErr(old)
+  }
 
   test("build + append + probe: exact copies rediscover their stored " +
     "originals; novel images match nothing; re-append is a no-op; " +
@@ -55,10 +83,10 @@ class MediaHashIndexSpec extends AnyFunSuite {
     val novelTruth = truth.filter(t => t._1 == 100L || t._1 == 101L)
     assert(novelMatches == novelTruth)
     // idempotent re-drop: the whole corpus re-appends, nothing changes
-    val before = spark.read.parquet(s"$dir/hashes").count()
+    val before = visibleHashes(dir).count()
     MultimodalOps.appendMediaHashIndex(spark, dir,
       imgs(Seq(0L, 1L, 2L, 3L, 4L)), "content", "media_id")
-    assert(spark.read.parquet(s"$dir/hashes").count() == before,
+    assert(visibleHashes(dir).count() == before,
       "a re-dropped segment must append zero fingerprints")
     assert(MultimodalOps.probeMediaHashIndex(spark, dir,
       imgs(Seq(0L, 1L, 2L, 3L, 4L, 100L, 101L)), "content", "media_id",
@@ -69,52 +97,122 @@ class MediaHashIndexSpec extends AnyFunSuite {
       s"got ${epochs(s"$dir/derived")}")
   }
 
-  test("torn append self-heals: orphaned fingerprint rows (landed " +
-    "without a meta swap) become probe-visible after the next append") {
+  test("a torn append's orphan epoch is invisible to probes; the " +
+    "retried append replaces it wholesale — landed exactly once") {
     val dir = tmp("torn")
     MultimodalOps.writeMediaHashIndex(imgs(Seq(0L, 1L)),
       "content", "media_id", dir, bands = 2)
-    // simulate the torn append: segment B's hashes land, meta never
-    // swaps (the crash window between the two commits)
+    // simulate the torn append: segment B's delta epoch dir landed,
+    // the derived epoch + meta swap never ran (the crash window)
     MultimodalOps.imageAHash(imgs(Seq(7L)), "content", "media_id")
       .select(col("media_id").as("id"), col("ahash_a"), col("ahash_b"))
-      .write.mode("append").parquet(s"$dir/hashes")
-    // the next healthy append detects the count mismatch and rebuilds
-    // the bloom from ALL stored hashes — B's orphans included
-    MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(9L)),
+      .write.mode("overwrite").parquet(s"$dir/hashes/e1")
+    // the orphan sits OUTSIDE the meta window — probes never see it
+    // (the flat-append layout this replaced surfaced orphans silently)
+    assert(MultimodalOps.probeMediaHashIndex(spark, dir, imgs(Seq(7L)),
+      "content", "media_id", maxHamming = 0).count() == 0L,
+      "an unswapped epoch must be invisible")
+    assert(visibleHashes(dir).count() == 2L)
+    // the orchestrator retries segment B: the retry lands on the same
+    // epoch number, overwrites the orphan dir wholesale, and commits
+    MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(7L)),
       "content", "media_id")
     val got = MultimodalOps.probeMediaHashIndex(spark, dir,
-        imgs(Seq(7L, 9L)), "content", "media_id", maxHamming = 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got.contains((7L, 7L)) && got.contains((9L, 9L)),
-      s"orphaned and fresh rows must both be probe-visible, got $got")
+        imgs(Seq(0L, 1L, 7L)), "content", "media_id", maxHamming = 0)
+      .filter(col("probe_id") === col("match_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 7L))
+    assert(visibleHashes(dir).count() == 3L,
+      "the retried segment must land exactly once")
+    assert(visibleHashes(dir).filter(col("id") === 7L).count() == 1L)
   }
 
   test("streaming batch discipline: first batch builds, later batches " +
-    "append, a replayed batch id commits nothing byte for byte") {
+    "append, a replayed batch id commits nothing byte for byte, an id " +
+    "regressing further than the replay window refuses loudly") {
     val dir = tmp("batch")
     assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
       imgs(Seq(0L, 1L)), "content", "media_id", batchId = 0L),
       "the first batch must build the artifact")
     assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
       imgs(Seq(2L)), "content", "media_id", batchId = 1L))
+    assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
+      imgs(Seq(3L)), "content", "media_id", batchId = 2L))
     val metaAfter = spark.read.parquet(s"$dir/meta").collect()(0).toSeq
-    val hashesAfter = spark.read.parquet(s"$dir/hashes").count()
+    val hashesAfter = visibleHashes(dir).count()
     assert(!MultimodalOps.ingestMediaHashBatch(spark, dir,
-      imgs(Seq(2L)), "content", "media_id", batchId = 1L),
+      imgs(Seq(3L)), "content", "media_id", batchId = 2L),
       "a replayed batch id must be skipped")
+    assert(!MultimodalOps.ingestMediaHashBatch(spark, dir,
+      imgs(Seq(3L)), "content", "media_id", batchId = 1L),
+      "an id one below the pointer is still the crash-replay signature")
     assert(spark.read.parquet(s"$dir/meta").collect()(0).toSeq == metaAfter
-      && spark.read.parquet(s"$dir/hashes").count() == hashesAfter,
+      && visibleHashes(dir).count() == hashesAfter,
       "the replay must leave the artifact byte-identical")
+    // an id regressing MORE than one below the pointer is a reset
+    // checkpoint or second writer — dropped data, so it throws and
+    // names the backfill instead of skipping quietly
+    val err = intercept[IllegalArgumentException] {
+      MultimodalOps.ingestMediaHashBatch(spark, dir,
+        imgs(Seq(9L)), "content", "media_id", batchId = 0L)
+    }
+    assert(err.getMessage.contains("appendMediaHashIndex") &&
+      err.getMessage.contains("regressed"))
     // and the maintained artifact probes like a one-shot build
     val got = MultimodalOps.probeMediaHashIndex(spark, dir,
-        imgs(Seq(0L, 1L, 2L)), "content", "media_id", maxHamming = 0)
+        imgs(Seq(0L, 1L, 2L, 3L)), "content", "media_id", maxHamming = 0)
       .filter(col("probe_id") === col("match_id")).count()
-    assert(got == 3L)
+    assert(got == 4L)
+  }
+
+  test("compaction: build -> N appends -> compact leaves probe output " +
+    "byte-identical, re-bases the window onto one file-set, and the " +
+    "next compaction's janitor prunes the superseded generation") {
+    val dir = tmp("compact")
+    MultimodalOps.writeMediaHashIndex(imgs(Seq(0L, 1L)),
+      "content", "media_id", dir, bands = 2)
+    MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(2L, 3L)),
+      "content", "media_id")
+    MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(4L)),
+      "content", "media_id")
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L, 100L)
+    def probe() = MultimodalOps.probeMediaHashIndex(spark, dir,
+        imgs(probeIds), "content", "media_id", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = probe()
+    val filesBefore = visibleDataFiles(dir)
+    assert(epochs(s"$dir/hashes") == Set("e0", "e1", "e2"),
+      "one hash epoch dir per commit before compaction")
+    // below the policy threshold nothing happens...
+    assert(!MultimodalOps.maybeCompactMediaHashIndex(spark, dir, 4))
+    // ...at it, the window compacts
+    assert(MultimodalOps.maybeCompactMediaHashIndex(spark, dir, 3))
+    val metaRow = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(metaRow.getAs[Long]("epoch") == 3L &&
+      metaRow.getAs[Long]("hash_base") == 3L &&
+      metaRow.getAs[Long]("hash_count") == 5L)
+    assert(probe() == before, "compaction must not change probe output")
+    assert(visibleDataFiles(dir) == 1,
+      s"the visible window must be one file-set, was $filesBefore files")
+    // the superseded generation gets ONE compaction's grace (a racing
+    // probe that resolved the old meta still reads its window)...
+    assert(epochs(s"$dir/hashes") == Set("e0", "e1", "e2", "e3"))
+    // ...and the NEXT compaction's janitor prunes below the old base
+    MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(5L)),
+      "content", "media_id")
+    MultimodalOps.compactMediaHashIndex(spark, dir)
+    assert(epochs(s"$dir/hashes") == Set("e3", "e4", "e5"),
+      s"got ${epochs(s"$dir/hashes")}")
+    assert(probe().subsetOf(
+      MultimodalOps.probeMediaHashIndex(spark, dir, imgs(probeIds),
+        "content", "media_id", maxHamming = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet))
   }
 
   test("maintenance stream: landed PNG segments keep the stored " +
-    "fingerprint index current, including across a restart") {
+    "fingerprint index current, including across a restart, and " +
+    "compactEvery bounds the epoch window") {
     val dir = tmp("live")
     val ckpt = tmp("live_c")
     val idx = tmp("live_i") + "/mh"
@@ -122,7 +220,7 @@ class MediaHashIndexSpec extends AnyFunSuite {
       graft.sources.TableSources.writeBinaryDir(
         imgs(ids), dir, "media_id", "content", ".png")
     def start() = graft.streaming.PipelineStreams
-      .mediaHashMaintainStream(spark, dir, idx, ckpt)
+      .mediaHashMaintainStream(spark, dir, idx, ckpt, compactEvery = 2)
     def selfMatches(ids: Seq[Long]): Set[Long] =
       try MultimodalOps.probeMediaHashIndex(spark, idx, imgs(ids),
           "content", "media_id", maxHamming = 0)
@@ -155,11 +253,16 @@ class MediaHashIndexSpec extends AnyFunSuite {
     try awaitIdx(q2, "down-time segment picked up on restart")(
       selfMatches(Seq(0L, 1L, 2L, 3L)) == Set(0L, 1L, 2L, 3L))
     finally q2.stop()
+    // compactEvery = 2 kept the maintained window bounded: at most
+    // {compacted base} + one uncompacted append at any commit point
+    val m = spark.read.parquet(s"$idx/meta").collect()(0)
+    assert(m.getAs[Long]("epoch") - m.getAs[Long]("hash_base") + 1 <= 2,
+      s"window must stay bounded by compactEvery, meta was $m")
   }
 
   test("a swap that died between delete and rename is RECOVERED by the " +
     "next ingest batch; fingerprints without any meta are refused, " +
-    "never overwritten") {
+    "never overwritten; a PARTIAL meta__next is deleted, not promoted") {
     val dir = tmp("swapwin")
     assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
       imgs(Seq(0L, 1L)), "content", "media_id", batchId = 0L))
@@ -171,7 +274,7 @@ class MediaHashIndexSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$dir/meta__next")))
     // the next batch must COMPLETE the swap and append — a naive
     // missing-meta check would rebuild with overwrite and wipe the
-    // append-only fingerprint relation
+    // fingerprint relation
     assert(MultimodalOps.ingestMediaHashBatch(spark, dir,
       imgs(Seq(2L)), "content", "media_id", batchId = 1L))
     val got = MultimodalOps.probeMediaHashIndex(spark, dir,
@@ -180,14 +283,50 @@ class MediaHashIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(0L, 1L, 2L),
       s"recovery must keep the pre-crash fingerprints, got $got")
+    // a PARTIAL sideways write (crash mid-first-build: no _SUCCESS) is
+    // NOT promoted — promoting it would hand the next ingest an
+    // unreadable meta and crash-loop it; it is deleted and the loud
+    // no-recoverable-meta refusal fires instead
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/meta__next"))
+    val partOut = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/meta__next/part-00000-torn.parquet"))
+    partOut.write(Array[Byte](1, 2, 3)); partOut.close()
+    val errPartial = intercept[IllegalArgumentException] {
+      MultimodalOps.ingestMediaHashBatch(spark, dir,
+        imgs(Seq(3L)), "content", "media_id", batchId = 2L)
+    }
+    assert(errPartial.getMessage.contains("refusing"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta__next")),
+      "the torn partial tmp must be deleted, not left to confuse later " +
+        "recovery")
     // beyond the swap window (no meta, no meta__next, data present):
     // refuse loudly instead of rebuilding over the relation
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
     val err = intercept[IllegalArgumentException] {
       MultimodalOps.ingestMediaHashBatch(spark, dir,
         imgs(Seq(3L)), "content", "media_id", batchId = 2L)
     }
     assert(err.getMessage.contains("refusing"))
+  }
+
+  test("bloom capacity WARN: an append pushing past ~numBits/10 keys " +
+    "warns loudly; below capacity stays silent") {
+    val dir = tmp("satur")
+    // 64-bit bloom: capacity = 6 keys at 10 bits/element; 2 bands
+    val (_, quiet) = capturingErr {
+      MultimodalOps.writeMediaHashIndex(imgs(Seq(0L, 1L)), "content",
+        "media_id", dir, bands = 2, bloomBits = 64)
+      MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(2L)),
+        "content", "media_id") // 3 images x 2 bands = 6 keys == capacity
+    }
+    assert(!quiet.contains("design capacity"),
+      s"below-capacity appends must stay silent, got: $quiet")
+    val (_, loud) = capturingErr {
+      MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(3L)),
+        "content", "media_id") // 4 x 2 = 8 keys > 6
+    }
+    assert(loud.contains("design capacity") && loud.contains(dir),
+      s"an over-capacity append must warn, got: $loud")
   }
 
   test("undecodable payloads are excluded from the index and admitted " +
@@ -198,7 +337,7 @@ class MediaHashIndexSpec extends AnyFunSuite {
     MultimodalOps.writeMediaHashIndex(
       imgs(Seq(0L, 1L)).unionByName(garbage), "content", "media_id", dir,
       bands = 2)
-    assert(spark.read.parquet(s"$dir/hashes").count() == 2,
+    assert(visibleHashes(dir).count() == 2,
       "the undecodable payload must not be fingerprinted")
     val admitted = MultimodalOps.dedupMediaAgainstIndex(spark, dir,
         imgs(Seq(0L, 77L)).unionByName(garbage), "content", "media_id",

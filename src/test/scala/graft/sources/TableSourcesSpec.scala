@@ -203,6 +203,22 @@ class TableSourcesSpec extends AnyFunSuite {
         .warcMemberIndexRanged(files, "media_path", "media_id")
         .select("media_id").distinct().as[Long].collect().toSet
       assert(idx == Set(1L))
+      // 19-digit boundary: the FULL non-negative long range parses —
+      // Long.MaxValue is a valid id, one past it is a stray (null),
+      // and neither throws under ANSI
+      val names = Seq(
+        s"a/clip_${Long.MaxValue}.warc.gz", // 9223372036854775807
+        "a/clip_9223372036854775808.warc.gz", // MaxValue + 1: 19 digits, overflows
+        "a/clip_999999999999999999.warc.gz" // 18 digits, always fine
+      ).toDF("media_path")
+      val parsed = names
+        .withColumn("media_id", TableSources.pathId(col("media_path"), pat))
+        .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Long]))
+      assert(parsed(0).contains(Long.MaxValue),
+        "a 19-digit id at Long.MaxValue must parse")
+      assert(parsed(1).isEmpty,
+        "a 19-digit id past Long.MaxValue must skip as a stray")
+      assert(parsed(2).contains(999999999999999999L))
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 

@@ -188,6 +188,47 @@ class WarcIngestStreamSpec extends AnyFunSuite {
     assert(fetched == wantFetch)
   }
 
+  test("warc ingest batch discipline: a replay of the stored pointer " +
+    "(or one below) skips quietly; an id regressing further refuses " +
+    "loudly and names the backfill") {
+    import graft.pipeline.WarcOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdx-guard").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-cdx-guard-i")
+      .toString + "/cdx"
+    def listed(ids: Seq[Long]) = graft.sources.TableSources
+      .listBinaryDir(spark, dir, "*.warc.gz")
+      .withColumn("media_id", regexp_extract(col("media_path"),
+        "clip_(\\d+)\\.warc\\.gz$", 1).cast("long"))
+      .filter(col("media_id").isin(ids: _*))
+      .select(col("media_path"), col("media_id"))
+    drop(dir, Seq(0L, 1L, 2L))
+    assert(WarcOps.ingestWarcIndexBatch(spark, idx, listed(Seq(0L)),
+      "media_path", "media_id", batchId = 0L))
+    assert(WarcOps.ingestWarcIndexBatch(spark, idx, listed(Seq(1L)),
+      "media_path", "media_id", batchId = 1L))
+    assert(WarcOps.ingestWarcIndexBatch(spark, idx, listed(Seq(2L)),
+      "media_path", "media_id", batchId = 2L))
+    val before = WarcOps.readWarcIndex(spark, idx).collect()
+      .map(_.toSeq).toSet
+    // the crash-replay signature: the replayed batch is always the
+    // LAST one started, so ids at or one below the pointer skip quietly
+    assert(!WarcOps.ingestWarcIndexBatch(spark, idx, listed(Seq(2L)),
+      "media_path", "media_id", batchId = 2L))
+    assert(!WarcOps.ingestWarcIndexBatch(spark, idx, listed(Seq(2L)),
+      "media_path", "media_id", batchId = 1L))
+    assert(WarcOps.readWarcIndex(spark, idx).collect()
+      .map(_.toSeq).toSet == before,
+      "replays must leave the artifact byte-identical")
+    // a FURTHER regression is a reset checkpoint or a second writer —
+    // silently skipping would lose that batch's files, so it throws
+    val err = intercept[IllegalArgumentException] {
+      WarcOps.ingestWarcIndexBatch(spark, idx, listed(Seq(0L)),
+        "media_path", "media_id", batchId = 0L)
+    }
+    assert(err.getMessage.contains("appendWarcIndex") &&
+      err.getMessage.contains("regressed"))
+  }
+
   test("the text tap applies the q_warc_text chain to the live stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-livet").toString
     drop(dir, Seq(2L, 5L))
