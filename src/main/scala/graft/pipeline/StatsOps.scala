@@ -364,15 +364,43 @@ object StatsOps {
   private def commitQsEpoch(spark: org.apache.spark.sql.SparkSession,
                             path: String, sketch: DataFrame,
                             groupCols: Seq[String], subBits: Int,
-                            epoch: Long, lastBatchId: Long): Unit = {
+                            epoch: Long, lastBatchId: Long,
+                            segments: Option[DataFrame] = None): Unit = {
     sketch.write.mode("overwrite").parquet(qsEpochDir(path, epoch))
+    // the epoch's covered-SEGMENT ledger (the walked/covered-docs
+    // pattern applied to this value fold): one row per orchestrator
+    // segment ever folded, committed with the epoch so the meta swap
+    // publishes buckets and ledger atomically. Callers without an
+    // identity to record carry the previous epoch's ledger forward.
+    segments.getOrElse(readQsSegments(spark, path, epoch - 1))
+      .select(col("segment_id").cast("string").as("segment_id")).distinct()
+      .write.mode("overwrite").parquet(qsSegmentsDir(path, epoch))
     val stored = spark.read.parquet(qsEpochDir(path, epoch))
     swapQsMeta(spark, path,
       QuantileIndexMeta(subBits, groupCols, stored.count(), epoch,
         lastBatchId))
     // shared epoch GC: the commit of `epoch` supersedes `epoch - 1`
     // (epochs advance by exactly 1; the initial commit passes -1 → no-op)
-    MetaIO.pruneEpochs(spark, Seq(s"$path/buckets"), superseded = epoch - 1)
+    MetaIO.pruneEpochs(spark, Seq(s"$path/buckets", s"$path/segments"),
+      superseded = epoch - 1)
+  }
+
+  private def qsSegmentsDir(path: String, epoch: Long): String =
+    s"$path/segments/e$epoch"
+
+  /** The epoch's covered-segment ids; a PRE-LEDGER epoch (or epoch -1
+    * on the initial commit) has no segments relation — read it as
+    * empty, so legacy artifacts keep appending exactly as before. */
+  private def readQsSegments(spark: org.apache.spark.sql.SparkSession,
+                             path: String, epoch: Long): DataFrame = {
+    val d = new org.apache.hadoop.fs.Path(qsSegmentsDir(path, epoch))
+    if (epoch >= 0 &&
+        d.getFileSystem(spark.sessionState.newHadoopConf()).exists(d))
+      spark.read.parquet(d.toString)
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF("segment_id")
+    }
   }
 
   /** Build-and-persist: one partial-aggregated bucket fold over the
@@ -412,15 +440,29 @@ object StatsOps {
     * recorded `lastBatchId` makes the replay a no-op, and a commit
     * that died before the meta swap left the old pointer — the retry
     * re-applies cleanly. First call on an empty path builds the
-    * artifact. Returns whether the batch was applied. Batch ids must
-    * arrive non-decreasing (Structured Streaming's contract). */
+    * artifact; a path whose meta is missing because a swap died
+    * mid-commit is RECOVERED, and bucket epochs with no recoverable
+    * meta are refused loudly — never rebuilt over. Returns whether the
+    * batch was applied. Batch ids must arrive non-decreasing
+    * (Structured Streaming's contract): a replay at or one below the
+    * stored pointer skips quietly, an id regressing further (a reset
+    * checkpoint, a second maintainer) REFUSES loudly — bucket counts
+    * are value folds, so a silently-dropped batch is lost data with no
+    * anti-join to catch it; backfill via [[appendQuantileIndex]], once
+    * (it has no replay protection of its own — the round-16 segment
+    * ledger in [[ingestQuantileSegment]] adds an identity when the
+    * orchestrator can name one). */
   def ingestQuantileBatch(spark: org.apache.spark.sql.SparkSession,
                           path: String, batch: DataFrame,
                           groupCols: Seq[String], value: Column,
                           batchId: Long, subBits: Int = 5): Boolean = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    if (!metaPath.getFileSystem(hconf).exists(metaPath)) {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val buckets = new org.apache.hadoop.fs.Path(s"$path/buckets")
+      require(!buckets.getFileSystem(hconf).exists(buckets),
+        s"quantile index at $path holds bucket epochs but no " +
+          "recoverable meta — refusing to build over them; repair or " +
+          "use a fresh path")
       requireQsBits(subBits)
       commitQsEpoch(spark, path,
         quantileSketch(batch, groupCols, value, subBits), groupCols,
@@ -428,8 +470,17 @@ object StatsOps {
       true
     } else {
       val meta = readQuantileIndexMeta(spark, path)
-      if (batchId <= meta.lastBatchId) false // replayed batch: no-op
-      else {
+      if (batchId <= meta.lastBatchId) {
+        require(batchId >= meta.lastBatchId - 1,
+          s"quantile index at $path: incoming batch id $batchId " +
+            s"regressed more than one below the stored pointer " +
+            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
+            "0) or a second maintainer writing this index; dropping it " +
+            "would silently lose its counts. Backfill once via " +
+            "appendQuantileIndex (or ingestQuantileSegment with a " +
+            "ledger id), then resume with a fresh checkpoint")
+        false // replayed batch: no-op
+      } else {
         val delta = quantileSketch(batch, meta.groupCols, value,
           meta.subBits)
         val merged = spark.read.parquet(qsEpochDir(path, meta.epoch))
@@ -438,6 +489,64 @@ object StatsOps {
           .agg(sum(col("__qs_n")).as("__qs_n"))
         commitQsEpoch(spark, path, merged, meta.groupCols, meta.subBits,
           meta.epoch + 1, batchId)
+        true
+      }
+    }
+  }
+
+  /** LEDGERED append for the quantile index — the opt-in re-drop
+    * protection for orchestrated (non-streaming) feeds. Bucket counts
+    * are the one genuinely identity-free value fold in the artifact
+    * family: rows carry no id an anti-join could key on, so a retried
+    * orchestration step that re-lands a slice would silently
+    * double-count it through [[appendQuantileIndex]]. When the CALLER
+    * can name the slice (a crawl day, a segment path — any stable
+    * string), this entry point records that name in a covered-segments
+    * relation committed behind the same meta swap as the buckets (the
+    * walked/covered-docs pattern applied to a value fold): a re-drop
+    * of a covered `segmentId` is a NO-OP, crash-safe because ledger
+    * and buckets publish atomically — a commit that died pre-swap left
+    * neither, so the retry re-applies cleanly. First call on an empty
+    * path builds the artifact. Unledgered appends and the streaming
+    * ingest compose freely with this (they carry the ledger forward
+    * untouched); semantics without a ledger are exactly
+    * [[appendQuantileIndex]]'s. Returns whether the segment was
+    * applied (false = already covered). */
+  def ingestQuantileSegment(spark: org.apache.spark.sql.SparkSession,
+                            path: String, df: DataFrame,
+                            groupCols: Seq[String], value: Column,
+                            segmentId: String, subBits: Int = 5): Boolean = {
+    import spark.implicits._
+    require(segmentId.nonEmpty, "segmentId must be a non-empty name")
+    val one = Seq(segmentId).toDF("segment_id")
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val buckets = new org.apache.hadoop.fs.Path(s"$path/buckets")
+      require(!buckets.getFileSystem(hconf).exists(buckets),
+        s"quantile index at $path holds bucket epochs but no " +
+          "recoverable meta — refusing to build over them; repair or " +
+          "use a fresh path")
+      requireQsBits(subBits)
+      commitQsEpoch(spark, path,
+        quantileSketch(df, groupCols, value, subBits), groupCols,
+        subBits, epoch = 0L, lastBatchId = -1L, segments = Some(one))
+      true
+    } else {
+      val meta = readQuantileIndexMeta(spark, path)
+      val covered = readQsSegments(spark, path, meta.epoch)
+      // the ledger is bounded by segments-ever-folded (one short row
+      // per orchestration step) — the filter is a cheap scan of it
+      if (!covered.filter(col("segment_id") === segmentId).isEmpty)
+        false // re-dropped segment: the retry is a no-op
+      else {
+        val delta = quantileSketch(df, meta.groupCols, value, meta.subBits)
+        val merged = spark.read.parquet(qsEpochDir(path, meta.epoch))
+          .unionByName(delta)
+          .groupBy(meta.groupCols.map(col) :+ col("__qs_b"): _*)
+          .agg(sum(col("__qs_n")).as("__qs_n"))
+        commitQsEpoch(spark, path, merged, meta.groupCols, meta.subBits,
+          meta.epoch + 1, meta.lastBatchId,
+          segments = Some(covered.unionByName(one)))
         true
       }
     }

@@ -240,7 +240,8 @@ object TextOps {
   // stored bloom.
 
   private[graft] final case class DecontamIndexMeta(
-      shingleK: Int, numBits: Int, numHashes: Int, shRows: Long, epoch: Long)
+      shingleK: Int, numBits: Int, numHashes: Int, shRows: Long,
+      epoch: Long, lastBatchId: Long = -1L)
 
   private def decontamEpochDir(path: String, rel: String, epoch: Long): String =
     s"$path/$rel/e$epoch"
@@ -250,8 +251,9 @@ object TextOps {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "decontam index",
       Seq((meta.shingleK, meta.numBits, meta.numHashes, meta.shRows,
-          meta.epoch))
-        .toDF("shingle_k", "num_bits", "num_hashes", "sh_rows", "epoch"))
+          meta.epoch, meta.lastBatchId))
+        .toDF("shingle_k", "num_bits", "num_hashes", "sh_rows", "epoch",
+          "last_batch_id"))
   }
 
   private[graft] def readDecontamIndexMeta(
@@ -262,7 +264,11 @@ object TextOps {
     val r = MetaIO.readMetaRow(spark, path, "decontam index", "index")
     DecontamIndexMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_bits"),
       r.getAs[Int]("num_hashes"), r.getAs[Long]("sh_rows"),
-      r.getAs[Long]("epoch"))
+      r.getAs[Long]("epoch"),
+      // pre-streaming-format meta has no batch pointer: never-stream-fed
+      if (r.schema.fieldNames.contains("last_batch_id"))
+        r.getAs[Long]("last_batch_id")
+      else -1L)
   }
 
   /** Build: ONE text pass over the bench set → distinct (bench_id, sh)
@@ -270,7 +276,14 @@ object TextOps {
     * pipeline never runs twice) → meta swap last. */
   def writeDecontamIndex(bench: DataFrame, textCol: String, idCol: String,
                          path: String, shingleK: Int,
-                         numBits: Int = 1 << 20, numHashes: Int = 4): Unit = {
+                         numBits: Int = 1 << 20, numHashes: Int = 4): Unit =
+    buildDecontamIndex(bench, textCol, idCol, path, shingleK, numBits,
+      numHashes, lastBatchId = -1L)
+
+  private def buildDecontamIndex(bench: DataFrame, textCol: String,
+                                 idCol: String, path: String,
+                                 shingleK: Int, numBits: Int,
+                                 numHashes: Int, lastBatchId: Long): Unit = {
     import graft.functions.BloomFilter
     val spark = bench.sparkSession
     bench.select(col(idCol).as("bench_id"),
@@ -285,7 +298,8 @@ object TextOps {
     val shRows = stored.count()
     warnIfBloomSaturated(path, shRows, numBits)
     swapDecontamMeta(spark, path,
-      DecontamIndexMeta(shingleK, numBits, numHashes, shRows, 0L))
+      DecontamIndexMeta(shingleK, numBits, numHashes, shRows, 0L,
+        lastBatchId))
   }
 
   /** Loud saturation guard: the bloom's geometry is pinned at build
@@ -317,8 +331,16 @@ object TextOps {
   def appendDecontamIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, bench: DataFrame,
                           textCol: String, idCol: String): Unit = {
-    import graft.functions.BloomFilter
     val meta = readDecontamIndexMeta(spark, path)
+    appendDecontamCore(spark, path, meta, bench, textCol, idCol,
+      meta.lastBatchId)
+  }
+
+  private def appendDecontamCore(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, meta: DecontamIndexMeta,
+                                 bench: DataFrame, textCol: String,
+                                 idCol: String, lastBatchId: Long): Unit = {
+    import graft.functions.BloomFilter
     val next = meta.epoch + 1
     val delta = bench.select(col(idCol).as("bench_id"),
       explode(graft.functions.TokenShingleHash.shingleHashes(col(textCol), meta.shingleK))
@@ -332,12 +354,66 @@ object TextOps {
     MetaIO.writeBloomWords(spark, bits, decontamEpochDir(path, "bloom", next))
     val shRows = merged.count()
     warnIfBloomSaturated(path, shRows, meta.numBits)
-    swapDecontamMeta(spark, path, meta.copy(shRows = shRows, epoch = next))
+    swapDecontamMeta(spark, path,
+      meta.copy(shRows = shRows, epoch = next, lastBatchId = lastBatchId))
     // epoch GC (the MinHash-index discipline): the superseded epoch
     // stays for in-flight-probe grace, everything older goes — without
     // this, daily appends leak one full shingle+bloom copy per day
     MetaIO.pruneEpochs(spark,
       Seq(s"$path/shingles", s"$path/bloom"), superseded = meta.epoch)
+  }
+
+  /** The decontamination index's STREAMING maintenance leg — the
+    * foreachBatch body of a continuous benchmark feed (new suites
+    * landing as they are adopted), completing the maintenance symmetry
+    * across the stored artifacts. The shingle relation is
+    * distinct-union idempotent and the bloom OR-idempotent, so a
+    * replayed batch is a DATA no-op regardless; the applied batch id
+    * behind the meta swap additionally spares the replay its text pass
+    * and empty epoch commit. First batch on an empty path builds the
+    * artifact (geometry params apply ONLY then — an existing index's
+    * meta pins its own); a torn meta swap is RECOVERED; shingle epochs
+    * with no recoverable meta are refused loudly. Returns whether the
+    * batch was applied.
+    *
+    * SINGLE-WRITER, NON-DECREASING batch ids: a replay at or one below
+    * the stored pointer skips quietly; an id regressing further is a
+    * reset checkpoint or second maintainer and REFUSES loudly, naming
+    * the backfill ([[appendDecontamIndex]], which has no pointer and
+    * is idempotent by construction). */
+  def ingestDecontamBatch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, bench: DataFrame,
+                          textCol: String, idCol: String, batchId: Long,
+                          shingleK: Int = 3, numBits: Int = 1 << 20,
+                          numHashes: Int = 4): Boolean = {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val shingles = new org.apache.hadoop.fs.Path(s"$path/shingles")
+      require(!shingles.getFileSystem(hconf).exists(shingles),
+        s"decontam index at $path holds shingle epochs but no " +
+          "recoverable meta — refusing to build over them; repair or " +
+          "use a fresh path")
+      buildDecontamIndex(bench, textCol, idCol, path, shingleK, numBits,
+        numHashes, lastBatchId = batchId)
+      true
+    } else {
+      val meta = readDecontamIndexMeta(spark, path)
+      if (batchId <= meta.lastBatchId) {
+        require(batchId >= meta.lastBatchId - 1,
+          s"decontam index at $path: incoming batch id $batchId " +
+            s"regressed more than one below the stored pointer " +
+            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
+            "0) or a second maintainer writing this index; dropping it " +
+            "would silently lose its suites. Backfill once via " +
+            "appendDecontamIndex (no pointer, idempotent), then resume " +
+            "with a fresh checkpoint")
+        false // replayed batch: no-op
+      } else {
+        appendDecontamCore(spark, path, meta, bench, textCol, idCol,
+          batchId)
+        true
+      }
+    }
   }
 
   /** The daily screen against the STORED index: geometry from meta, the
@@ -631,9 +707,11 @@ object TextOps {
   // appends fold a DELTA-sized count relation into the stored one.
 
   /** The model's meta row: vocabulary size pin + epoch pointer +
-    * completeness counts. */
+    * completeness counts + the last applied streaming batch id
+    * ([[ingestLmBatch]]; -1 = never stream-fed, batch-API appends
+    * leave it untouched). */
   private[graft] final case class LmModelMeta(
-      v: Long, c2Rows: Long, epoch: Long)
+      v: Long, c2Rows: Long, epoch: Long, lastBatchId: Long = -1L)
 
   private def lmEpochDir(path: String, rel: String, epoch: Long): String =
     s"$path/$rel/e$epoch"
@@ -642,14 +720,19 @@ object TextOps {
                          path: String, meta: LmModelMeta): Unit = {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "lm model",
-      Seq((meta.v, meta.c2Rows, meta.epoch)).toDF("v", "c2_rows", "epoch"))
+      Seq((meta.v, meta.c2Rows, meta.epoch, meta.lastBatchId))
+        .toDF("v", "c2_rows", "epoch", "last_batch_id"))
   }
 
   private[graft] def readLmModelMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): LmModelMeta = {
     val r = MetaIO.readMetaRow(spark, path, "lm model", "model")
     LmModelMeta(r.getAs[Long]("v"), r.getAs[Long]("c2_rows"),
-      r.getAs[Long]("epoch"))
+      r.getAs[Long]("epoch"),
+      // pre-streaming-format meta has no batch pointer: never-stream-fed
+      if (r.schema.fieldNames.contains("last_batch_id"))
+        r.getAs[Long]("last_batch_id")
+      else -1L)
   }
 
   /** Commit bigram counts from one epoch's count relation: derives the
@@ -661,7 +744,7 @@ object TextOps {
     * double-weights its bigrams), and swaps meta last. */
   private def commitLmEpoch(spark: org.apache.spark.sql.SparkSession,
                             path: String, c2: DataFrame, docs: DataFrame,
-                            epoch: Long): Unit = {
+                            epoch: Long, lastBatchId: Long): Unit = {
     c2.write.mode("overwrite").parquet(lmEpochDir(path, "counts", epoch))
     docs.select(col("id").cast("long").as("id")).distinct()
       .write.mode("overwrite").parquet(lmEpochDir(path, "docs", epoch))
@@ -672,7 +755,8 @@ object TextOps {
     val ctxRel = spark.read.parquet(lmEpochDir(path, "ctx", epoch))
     val v = ctxRel.count()
     require(v > 0, "lm model: empty train slice — no bigrams to count")
-    swapLmMeta(spark, path, LmModelMeta(v, stored.count(), epoch))
+    swapLmMeta(spark, path, LmModelMeta(v, stored.count(), epoch,
+      lastBatchId))
     // epoch GC after the swap: keep the superseded epoch for
     // in-flight-scorer grace, delete older — append- or compact-
     // heavy deployments otherwise hold every count relation ever
@@ -699,12 +783,18 @@ object TextOps {
   /** Train-and-persist: ONE codegen'd text pass over the train slice →
     * one partial-aggregated count shuffle → epoch 0 commit. */
   def writeLmModel(train: DataFrame, textCol: String, idCol: String,
-                   path: String): Unit = {
+                   path: String): Unit =
+    buildLmModel(train, textCol, idCol, path, lastBatchId = -1L)
+
+  private def buildLmModel(train: DataFrame, textCol: String,
+                           idCol: String, path: String,
+                           lastBatchId: Long): Unit = {
     val c2 = lmPairsOf(train, textCol, idCol)
       .groupBy(col("__ctx").as("ctx"), col("__big").as("big"))
       .agg(count(lit(1)).cast("long").as("n"))
     commitLmEpoch(train.sparkSession, path, c2,
-      train.select(col(idCol).as("id")), epoch = 0L)
+      train.select(col(idCol).as("id")), epoch = 0L,
+      lastBatchId = lastBatchId)
   }
 
   /** Fold a new train slice into the stored model: the DELTA's counts
@@ -716,6 +806,14 @@ object TextOps {
   def appendLmModel(spark: org.apache.spark.sql.SparkSession, path: String,
                     train: DataFrame, textCol: String, idCol: String): Unit = {
     val meta = readLmModelMeta(spark, path)
+    appendLmCore(spark, path, meta, train, textCol, idCol,
+      meta.lastBatchId)
+  }
+
+  private def appendLmCore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, meta: LmModelMeta,
+                           train: DataFrame, textCol: String,
+                           idCol: String, lastBatchId: Long): Unit = {
     // docs already folded are SKIPPED before any text is tokenized —
     // counts are value folds with no row identity, so a re-dropped
     // segment would otherwise double-weight its bigrams silently
@@ -731,7 +829,62 @@ object TextOps {
       .agg(sum(col("n")).cast("long").as("n"))
     commitLmEpoch(spark, path, merged,
       covered.unionByName(fresh.select(col(idCol).as("id"))),
-      meta.epoch + 1)
+      meta.epoch + 1, lastBatchId)
+  }
+
+  /** The model's STREAMING maintenance leg — the foreachBatch body of
+    * a continuous training-corpus feed, completing the maintenance
+    * symmetry with the WARC/media-hash/quantile/HLL artifacts: each
+    * micro-batch of documents folds in exactly-once across
+    * crash/replay through the applied batch id recorded behind the
+    * same meta swap as the epoch pointer (the
+    * [[graft.pipeline.WarcOps.ingestWarcIndexBatch]] discipline). The
+    * covered-docs anti-join already makes any replay a DATA no-op;
+    * the pointer additionally spares it the text pass and the empty
+    * epoch commit. First batch on an empty path builds the artifact
+    * (a first batch with NO bigrams defers the build — nothing is
+    * committed and false returns, so the artifact appears with the
+    * first real data); a path whose meta is missing because a swap
+    * died mid-commit is RECOVERED, and count relations with no
+    * recoverable meta are refused loudly — never rebuilt over.
+    * Returns whether the batch was applied.
+    *
+    * SINGLE-WRITER, NON-DECREASING batch ids: a replay at or one below
+    * the stored pointer skips quietly (the crash-replay signature); an
+    * id regressing further is a reset checkpoint or a second
+    * maintainer and REFUSES loudly, naming the backfill
+    * ([[appendLmModel]], which has no pointer and always anti-joins). */
+  def ingestLmBatch(spark: org.apache.spark.sql.SparkSession,
+                    path: String, batch: DataFrame, textCol: String,
+                    idCol: String, batchId: Long): Boolean = {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val counts = new org.apache.hadoop.fs.Path(s"$path/counts")
+      require(!counts.getFileSystem(hconf).exists(counts),
+        s"lm model at $path holds count epochs but no recoverable " +
+          "meta — refusing to build over them; repair or use a fresh path")
+      // a bigram-free first batch cannot commit (the model pins V > 0):
+      // defer the build to the first batch that carries data — the
+      // replay of THIS batch is a no-op either way (nothing committed)
+      if (lmPairsOf(batch, textCol, idCol).isEmpty) false
+      else { buildLmModel(batch, textCol, idCol, path, batchId); true }
+    } else {
+      val meta = readLmModelMeta(spark, path)
+      if (batchId <= meta.lastBatchId) {
+        require(batchId >= meta.lastBatchId - 1,
+          s"lm model at $path: incoming batch id $batchId regressed " +
+            s"more than one below the stored pointer ${meta.lastBatchId} " +
+            "— a reset checkpoint (ids restart at 0) or a second " +
+            "maintainer writing this model; dropping it would silently " +
+            "lose its documents. Backfill once via appendLmModel (no " +
+            "pointer, always anti-joins), then resume with a fresh " +
+            "checkpoint")
+        false // replayed batch: no-op
+      } else {
+        appendLmCore(spark, path, meta, batch, textCol, idCol, batchId)
+        true
+      }
+    }
   }
 
   /** Compact the stored count relations: repeated appends leave the
@@ -747,7 +900,8 @@ object TextOps {
     val c2 = spark.read.parquet(lmEpochDir(path, "counts", meta.epoch))
       .coalesce(targetFiles)
     commitLmEpoch(spark, path, c2,
-      readLmDocs(spark, path, meta.epoch), meta.epoch + 1)
+      readLmDocs(spark, path, meta.epoch), meta.epoch + 1,
+      meta.lastBatchId)
   }
 
   /** The daily scoring pass against the STORED model: pairs of the

@@ -700,6 +700,70 @@ object PipelineStreams {
       .start()
   }
 
+  /** Continuous LM-model maintenance — the quality-pipeline twin of
+    * [[warcIndexMaintainStream]]: each micro-batch of arriving
+    * documents folds into the stored bigram model
+    * ([[graft.pipeline.TextOps.writeLmModel]]) exactly-once via
+    * [[graft.pipeline.TextOps.ingestLmBatch]] (applied batch id behind
+    * the meta swap; the covered-docs anti-join makes replays a data
+    * no-op regardless), so every scorer reading the artifact
+    * ([[TextOps.scoreAgainstStoredLm]], [[lmScoreStream]]) always sees
+    * a consistent, current model. Unlike the WARC/media legs this
+    * takes the STREAMING RELATION rather than owning a landing-dir
+    * watcher: documents arrive from arbitrary upstreams (a parquet
+    * drop dir via `readStream`, the WARC text tap, a queue source), and
+    * any of them plugs in unchanged — only the commit discipline is
+    * this function's business. Pair with periodic
+    * [[graft.pipeline.TextOps.compactLmModel]] if appends leave the
+    * count relation over-fragmented. Returns the started query;
+    * awaitTermination is the caller's. */
+  def lmModelMaintainStream(docs: DataFrame, modelPath: String,
+                            checkpoint: String, textCol: String,
+                            idCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming,
+      "lmModelMaintainStream needs a STREAMING relation; fold batch " +
+        "slices in via TextOps.appendLmModel")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.TextOps.ingestLmBatch(
+          batch.sparkSession, modelPath, batch.toDF(), textCol, idCol,
+          batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** Continuous decontamination-index maintenance: each micro-batch of
+    * newly-adopted benchmark documents folds into the stored index
+    * ([[graft.pipeline.TextOps.writeDecontamIndex]]) exactly-once via
+    * [[graft.pipeline.TextOps.ingestDecontamBatch]], so the daily
+    * training screen ([[TextOps.screenAgainstStoredDecontam]]) always
+    * covers every suite ever landed. Takes the streaming relation (the
+    * [[lmModelMaintainStream]] seam — benchmark feeds are
+    * caller-shaped); geometry params apply only when THIS stream
+    * builds the artifact on first batch, an existing index's meta pins
+    * its own. Returns the started query. */
+  def decontamMaintainStream(bench: DataFrame, indexPath: String,
+                             checkpoint: String, textCol: String,
+                             idCol: String, shingleK: Int = 3,
+                             numBits: Int = 1 << 20, numHashes: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(bench.isStreaming,
+      "decontamMaintainStream needs a STREAMING relation; fold batch " +
+        "suites in via TextOps.appendDecontamIndex")
+    bench.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.TextOps.ingestDecontamBatch(
+          batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
+          batchId, shingleK, numBits, numHashes)
+        ()
+      }
+      .start()
+  }
+
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch
     * `q_warc_text` chain applied to the live crawl tap; still fully

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.pipeline.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-16 maintenance-symmetry streams: a live document feed
+  * keeps the stored LM model current, a live benchmark feed keeps the
+  * decontamination index current — each across a restart, each ending
+  * byte-identical to the one-shot artifact over the same corpus. */
+class ModelMaintainStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mms_$tag").toString
+
+  private def awaitArtifact(q: org.apache.spark.sql.streaming.StreamingQuery,
+                            label: String)(pred: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!pred && System.nanoTime() < deadline) {
+      q.exception.foreach(e => throw e)
+      Thread.sleep(100)
+    }
+    assert(pred, s"timed out waiting for: $label")
+  }
+
+  /** Poll-safe artifact read: no meta yet / a racing swap window reads
+    * as "not there yet", the next poll resolves. */
+  private def tryRows(f: => Set[Seq[Any]]): Set[Seq[Any]] =
+    try f
+    catch {
+      case _: IllegalStateException => Set.empty
+      case _: org.apache.spark.SparkException => Set.empty
+    }
+
+  test("lmModelMaintainStream: landed document batches keep the stored " +
+    "bigram model current across a restart; final scores equal the " +
+    "one-shot build; a batch relation is refused") {
+    val dir = tmp("lm_feed")
+    val model = tmp("lm_model") + "/lm"
+    val ckpt = tmp("lm_ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    val d1 = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"))
+    val d2 = Seq((3L, "a bird flew over the mat"))
+    val d3 = Seq((4L, "the cat ran over the rug"))
+    val scored = Seq((10L, "the cat sat"), (11L, "a dog flew"))
+      .toDF("doc_id", "text")
+    def scores(path: String): Set[Seq[Any]] =
+      TextOps.scoreAgainstStoredLm(spark, path, scored, "text", "doc_id")
+        .collect().map(_.toSeq).toSet
+    def start() = PipelineStreams.lmModelMaintainStream(
+      spark.readStream.schema(docSchema).parquet(dir),
+      model, ckpt, "text", "doc_id")
+    // a non-streaming relation must be refused before start()
+    intercept[IllegalArgumentException] {
+      PipelineStreams.lmModelMaintainStream(
+        d1.toDF("doc_id", "text"), model, ckpt, "text", "doc_id")
+    }
+    // expected artifacts built one-shot per coverage level
+    val exp12 = tmp("lm_e12") + "/lm"
+    val exp123 = tmp("lm_e123") + "/lm"
+    TextOps.writeLmModel((d1 ++ d2).toDF("doc_id", "text"), "text",
+      "doc_id", exp12)
+    TextOps.writeLmModel((d1 ++ d2 ++ d3).toDF("doc_id", "text"), "text",
+      "doc_id", exp123)
+    drop(d1)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first batch folded")(
+        tryRows(scores(model)).nonEmpty)
+      drop(d2) // lands mid-flight
+      awaitArtifact(q1, "second batch folded")(
+        tryRows(scores(model)) == scores(exp12))
+    } finally q1.stop()
+    drop(d3) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitArtifact(q2, "down-time batch picked up on restart")(
+      tryRows(scores(model)) == scores(exp123))
+    finally q2.stop()
+  }
+
+  test("decontamMaintainStream: landed benchmark suites keep the " +
+    "stored index current across a restart; the final screen equals " +
+    "the one-shot build") {
+    val dir = tmp("dc_feed")
+    val index = tmp("dc_index") + "/dc"
+    val ckpt = tmp("dc_ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("bench_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    def suite(id: Long, tok: String) =
+      (id, s"${tok}1 ${tok}2 ${tok}3 ${tok}4 ${tok}5")
+    val s1 = Seq(suite(100L, "w"))
+    val s2 = Seq(suite(200L, "x"))
+    val s3 = Seq(suite(300L, "y"))
+    val train = Seq(
+      (1L, "w1 w2 w3 w4 w5 extra"),
+      (2L, "x1 x2 x3 x4 x5 extra"),
+      (3L, "y1 y2 y3 y4 y5 extra"),
+      (4L, "q1 q2 q3 q4 q5 clean")).toDF("doc_id", "text")
+    def flags(path: String): Set[Seq[Any]] =
+      TextOps.screenAgainstStoredDecontam(spark, path, train, "text",
+          "doc_id", minOverlap = 2L)
+        .collect().map(_.toSeq).toSet
+    val benchSchema = StructType(Seq(
+      StructField("bench_id", LongType), StructField("text", StringType)))
+    def start() = PipelineStreams.decontamMaintainStream(
+      spark.readStream.schema(benchSchema).parquet(dir),
+      index, ckpt, "text", "bench_id", shingleK = 3)
+    val exp12 = tmp("dc_e12") + "/dc"
+    val exp123 = tmp("dc_e123") + "/dc"
+    TextOps.writeDecontamIndex((s1 ++ s2).toDF("bench_id", "text"),
+      "text", "bench_id", exp12, shingleK = 3)
+    TextOps.writeDecontamIndex((s1 ++ s2 ++ s3).toDF("bench_id", "text"),
+      "text", "bench_id", exp123, shingleK = 3)
+    drop(s1)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first suite folded")(
+        tryRows(flags(index)).nonEmpty)
+      drop(s2) // a new benchmark adopted mid-flight
+      awaitArtifact(q1, "second suite folded")(
+        tryRows(flags(index)) == flags(exp12))
+    } finally q1.stop()
+    drop(s3) // adopted while the maintainer is DOWN
+    val q2 = start()
+    try awaitArtifact(q2, "down-time suite picked up on restart")(
+      tryRows(flags(index)) == flags(exp123))
+    finally q2.stop()
+    // and the final screen flags exactly the three overlapping docs
+    assert(flags(index).map(_.head) == Set(1L, 2L, 3L))
+  }
+}
