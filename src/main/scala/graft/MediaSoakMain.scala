@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *     walk must yield EXACTLY the untruncated clips' rows, no
   *     exceptions anywhere.
   *
-  * Args: [nMeta] [nDecode] [nFlac] (defaults 200k / 20k / 500k). */
+  * Args: [nMeta] [nDecode] [nFlac] [nBig] (defaults 200k / 20k / 500k /
+  * 100k; nBig sizes the non-periodic fingerprint leg). */
 object MediaSoakMain {
   def main(args: Array[String]): Unit = {
     val nMeta = args.headOption.map(_.toLong).getOrElse(200000L)
@@ -500,6 +501,88 @@ object MediaSoakMain {
       "that corpus size a 'novel' id IS a stored image — the dedup " +
       "filter catching those is the operator working, not a miss)")
 
+    // ---- 7. NON-PERIODIC fingerprint soak: distinct hashes track the
+    // corpus past the formula period -------------------------------------
+    // Leg 6's formula images repeat with period lcm(9,7,256) = 16,128,
+    // so its distinct fingerprints CAP there regardless of corpus size.
+    // This leg uses the hash-mixed generator (encodeSyntheticPngMixed):
+    // distinct fingerprints must track the corpus (~nBig), and the
+    // bloom prescreen ratio is MEASURED at default vs corpus-sized
+    // geometry — the capacity WARN's cost story in numbers.
+    val nBig = args.drop(3).headOption.map(_.toLong).getOrElse(100000L)
+    def bigImgs(ids: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.encodeSyntheticPngMixed(ids, "id")
+    val bigDflt = graft.sources.TableSources.scratchDir("graft-soak-mhbig-d")
+    val bigSized = graft.sources.TableSources.scratchDir("graft-soak-mhbig-s")
+    // default geometry (2^20 bits ≈ 104k-key capacity): nBig × 2 bands
+    // keys saturate it at the default soak size — the WARN fires below,
+    // on purpose; correctness holds throughout
+    val (_, tBigBuild) = time(
+      f"non-periodic media-hash: build+append+compact, $nBig%,d images " +
+        "(default bloom — expect the capacity WARN)") {
+      MultimodalOps.writeMediaHashIndex(
+        bigImgs(spark.range(nBig).filter(col("id") % 2 === 0)
+          .select(col("id"))), "content", "media_id", bigDflt)
+      MultimodalOps.appendMediaHashIndex(spark, bigDflt,
+        bigImgs(spark.range(nBig).filter(col("id") % 2 === 1)
+          .select(col("id"))), "content", "media_id")
+      MultimodalOps.compactMediaHashIndex(spark, bigDflt)
+    }
+    // distinct fingerprints ≈ corpus size — the property the formula
+    // images cannot deliver past their period
+    val bigMeta = spark.read.parquet(s"$bigDflt/meta").collect()(0)
+    val bigHashes = spark.read.parquet(
+      (bigMeta.getAs[Long]("hash_base") to bigMeta.getAs[Long]("epoch"))
+        .map(e => s"$bigDflt/hashes/e$e"): _*)
+    val distinctFp = bigHashes.select(col("ahash_a"), col("ahash_b"))
+      .distinct().count()
+    require(bigHashes.count() == nBig,
+      s"every image must be fingerprinted exactly once, got ${bigHashes.count()}")
+    require(distinctFp >= nBig * 999 / 1000,
+      s"distinct fingerprints must track the corpus: $distinctFp of $nBig")
+    // prescreen pass ratio on an all-NOVEL probe batch: saturated at
+    // default geometry vs selective at corpus-sized geometry
+    val novel = bigImgs(spark.range(nBig, nBig + 2000L).select(col("id")))
+    val (passD, totD) = MultimodalOps.mediaBloomPassStats(spark, bigDflt,
+      novel, "content", "media_id")
+    val (_, tSizedBuild) = time(
+      f"non-periodic media-hash: one-shot build, $nBig%,d images " +
+        "(corpus-sized bloom 2^24)") {
+      MultimodalOps.writeMediaHashIndex(
+        bigImgs(spark.range(nBig).select(col("id"))), "content",
+        "media_id", bigSized, bloomBits = 1 << 24)
+    }
+    val (passS, totS) = MultimodalOps.mediaBloomPassStats(spark, bigSized,
+      novel, "content", "media_id")
+    require(totD == totS && totD > 0, "both indexes see the same probe keys")
+    require(passS * 10 < totS,
+      s"the corpus-sized bloom must stay selective on novel probes: " +
+        s"$passS of $totS passed")
+    // strict only when the default geometry is actually past capacity
+    // (at reduced nBig both blooms are healthy and both ratios are ~0)
+    if (nBig * 2 > (1L << 20) / 10)
+      require(passD > passS,
+        "the saturated default bloom must pass more than the sized one")
+    // and the probe stays CORRECT on the saturated index: stored-id
+    // probes self-match, novel probes match nothing
+    val bigProbeIds = spark.range(0L, 1000L).select(col("id"))
+      .unionByName(spark.range(nBig, nBig + 1000L).select(col("id")))
+    val (bigSelf, tBigProbe) = time(
+      "non-periodic media-hash: 2,000 probes against the saturated index") {
+      MultimodalOps.probeMediaHashIndex(spark, bigDflt, bigImgs(bigProbeIds),
+          "content", "media_id", maxHamming = 0)
+        .filter(col("probe_id") === col("match_id")).count()
+    }
+    require(bigSelf == 1000L,
+      s"every stored-id probe must self-match on the saturated index: $bigSelf")
+    println(f"  $distinctFp%,d distinct fingerprints over $nBig%,d images " +
+      f"(${nBig / tBigBuild}%,.0f img/s build+append+compact; sized build " +
+      f"${nBig / tSizedBuild}%,.0f img/s); novel-probe prescreen pass " +
+      f"ratio: default 2^20 bloom ${100.0 * passD / totD}%.1f%% " +
+      f"(saturated, as the WARN predicts) vs 2^24 bloom " +
+      f"${100.0 * passS / totS}%.1f%% — geometry, not correctness " +
+      f"(2,000 saturated probes in $tBigProbe%.2f s)")
+
     // every soak corpus/artifact dir is scratch-registered: purge
     // eagerly now that every require above has passed (a failed
     // require leaves them to the JVM-exit hook)
@@ -508,7 +591,8 @@ object MediaSoakMain {
     println(f"SOAK OK  mp4 meta ${nMeta / tMeta}%,.0f clips/s | decode " +
       f"${gotFrames / tDec}%,.0f frames/s | flac ${nFlac / tFlac}%,.0f clips/s" +
       f" | mp3 ${nMp3 / tMp3}%,.0f clips/s | truncation sweep $tTrunc%.1f s" +
-      f" | giant ranged clip $tGiant%.1f s")
+      f" | giant ranged clip $tGiant%.1f s" +
+      f" | non-periodic fp $distinctFp%,d distinct / $nBig%,d")
     spark.stop()
   }
 }

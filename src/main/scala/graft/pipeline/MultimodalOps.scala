@@ -240,6 +240,55 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** NON-PERIODIC synthetic images for fingerprint-scale soaks. The
+    * linear formulas above repeat with period lcm(9, 7, 256) = 16,128 —
+    * past that corpus size a "novel" id is a byte-identical copy of an
+    * earlier image, so distinct aHash fingerprints CAP at 16,128 and a
+    * larger soak silently measures duplicates. Here each pixel is a
+    * 64-bit avalanche mix of (id, x, y) (the SplitMix64 finalizer —
+    * public constants), so distinct ids give independent images and
+    * distinct fingerprints track corpus size into the millions
+    * (128-bit hashes; the expected ≤1-Hamming collision count at 10^5
+    * images is ~1e-8). Deterministic, no RNG state — safe to
+    * regenerate anywhere. Soak-only: the oracle-gated queries stay on
+    * the SQL-recomputable linear formulas. */
+  def synthMixRgb(id: Long, x: Int, y: Int): Int = {
+    var z = id * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L +
+      y * 0x94D049BB133111EBL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z & 0xFFFFFF).toInt
+  }
+
+  /** id → real PNG bytes of a hash-mixed image — the non-periodic twin
+    * of [[encodeSyntheticPng]]. */
+  def encodeSyntheticPngMixed(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("media_id"))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = synthDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, synthMixRgb(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        new GenericRowWithSchema(Array[Any](id, bos.toByteArray),
+          outSchema): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL decode + featurize: `ImageIO.read` (PNG/JPEG via the JDK's
     * built-in readers) in the mapPartitions slot, emitting per-channel
     * pixel sums — `decode_ok = false` with null features for payloads no
@@ -3290,9 +3339,10 @@ object MultimodalOps {
       mediaHashChunkKeys(compacted, meta.bands), "__ck",
       meta.bloomBits, meta.bloomHashes)
     writeMediaHashBloom(spark, bits, mediaHashDerivedDir(path, next))
+    val total = compacted.count()
+    warnIfMediaBloomSaturated(path, total, meta.bands, meta.bloomBits)
     swapMediaHashMeta(spark, path,
-      meta.copy(epoch = next, hashBase = next,
-        hashCount = compacted.count()))
+      meta.copy(epoch = next, hashBase = next, hashCount = total))
     MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
       superseded = meta.epoch)
     MetaIO.pruneEpochs(spark, Seq(s"$path/hashes"),
@@ -3351,6 +3401,33 @@ object MultimodalOps {
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** OBSERVABILITY: the stored bloom's prescreen pass ratio over a
+    * probe batch — (chunk keys passing, total chunk keys). Near 0 on a
+    * mostly-novel batch with healthy geometry; climbing toward 1 as
+    * the bitmap saturates past ~bloomBits/10 inserted keys (the
+    * capacity WARN's cost story, measured instead of asserted: every
+    * passing key is a row the probe join must shuffle). One map-only
+    * pass over the probe batch — run it on a sampled segment when the
+    * WARN starts firing to decide whether the rebuild is due. */
+  def mediaBloomPassStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String, probes: DataFrame,
+                          contentCol: String, idCol: String): (Long, Long) = {
+    val meta = readMediaHashIndexMeta(spark, path)
+    val words = readMediaHashBloom(spark, path, meta)
+    val row = imageAHash(probes, contentCol, idCol)
+      .filter(col("ahash_a").isNotNull && col("ahash_b").isNotNull)
+      .select(
+        posexplode(ahashChunkArr(col("ahash_a"), col("ahash_b"), meta.bands))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .select(xxhash64(col("chunk_idx"), col("chunk_val")).as("__ck"))
+      .agg(count(lit(1)).as("total"),
+        count(when(graft.functions.BloomFilter.mightContainCol(
+          col("__ck"), words, meta.bloomHashes, meta.bloomBits), 1))
+          .as("passed"))
+      .collect()(0)
+    (row.getLong(1), row.getLong(0))
   }
 
   /** The admission filter a crawl pipeline runs on every new segment:

@@ -37,7 +37,8 @@ object MultimodalQueries {
     // the PERSISTED media-fingerprint index (eleventh artifact):
     // build/append/re-append(idempotent no-op)/probe — new images dedup
     // against all of history at probe cost, bloom-prescreened
-    GraftQuery("q_media_dup_index", mediaDupIndexQ, Some(mediaDupIndexSql)),
+    GraftQuery("q_media_dup_index", mediaDupIndexQ, Some(mediaDupIndexSql),
+      bench = true),
     // the admission filter over the same artifact: probes with no
     // stored near-duplicate survive
     GraftQuery("q_media_admit_index", mediaAdmitIndexQ,

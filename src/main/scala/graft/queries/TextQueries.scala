@@ -162,7 +162,7 @@ object TextQueries {
     // a live dir listing (the 100-TB front door: the listing itself is
     // the bottleneck at millions of objects) — identical rows
     GraftQuery("q_warc_index_manifest", warcIndexManifestQ,
-      Some(warcIndexSql)),
+      Some(warcIndexSql), bench = true),
     // the SHARDED builder — intra-file parallelism for giant files (one
     // 500 GB file no longer serializes on one core): shard tasks sync
     // to verified member boundaries and index the members starting in

@@ -329,6 +329,32 @@ class MediaHashIndexSpec extends AnyFunSuite {
       s"an over-capacity append must warn, got: $loud")
   }
 
+  test("non-periodic generator: where the formula images repeat " +
+    "byte-identically (one period apart), the hash-mixed images differ " +
+    "and their fingerprints stay distinct") {
+    val period = 16128L // lcm(9, 7, 256): dims AND pixels realign
+    val ids = Seq(5L, 5L + period, 5L + 2 * period)
+    def bytes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Array[Byte]]("content").toSeq)
+    val formula = bytes(MultimodalOps.encodeSyntheticPng(
+      ids.toDF("id"), "id"))
+    assert(formula.distinct.size == 1,
+      "the formula images must repeat at the period — the soak gotcha " +
+        "this generator exists to fix")
+    val mixed = bytes(MultimodalOps.encodeSyntheticPngMixed(
+      ids.toDF("id"), "id"))
+    assert(mixed.distinct.size == 3,
+      "hash-mixed images must differ across periods")
+    // distinct fingerprints track the id range (300 ids → 300 hashes;
+    // the expected accidental collision count is ~300²/2^65 ≈ 0)
+    val fp = MultimodalOps.imageAHash(
+        MultimodalOps.encodeSyntheticPngMixed(
+          spark.range(0, 300).toDF("id"), "id"),
+        "content", "media_id")
+      .select("ahash_a", "ahash_b").distinct().count()
+    assert(fp == 300L, s"expected 300 distinct fingerprints, got $fp")
+  }
+
   test("undecodable payloads are excluded from the index and admitted " +
     "by the dedup filter — stated-plainly semantics") {
     val dir = tmp("undec")
