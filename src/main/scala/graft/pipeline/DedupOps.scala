@@ -336,7 +336,15 @@ object DedupOps {
                         path: String, shingleK: Int = 3,
                         numHashes: Int = 12, bands: Int = 4,
                         bloomBits: Int = 1 << 20,
-                        bloomHashes: Int = 4): Unit = {
+                        bloomHashes: Int = 4): Unit =
+    buildMinhashIndex(df, textCol, idCol, path, shingleK, numHashes,
+      bands, bloomBits, bloomHashes, lastBatchId = -1L)
+
+  private def buildMinhashIndex(df: DataFrame, textCol: String,
+                                idCol: String, path: String,
+                                shingleK: Int, numHashes: Int, bands: Int,
+                                bloomBits: Int, bloomHashes: Int,
+                                lastBatchId: Long): Unit = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = df.sparkSession
     minhashSigIndex(df, textCol, idCol, shingleK, numHashes)
@@ -345,17 +353,21 @@ object DedupOps {
     val stored = spark.read.parquet(minhashSigDir(path, 0L))
     val sigCount = stored.count()
     val meta = MinhashIndexMeta(shingleK, numHashes, bands, bloomBits,
-      bloomHashes, epoch = 0L, sigCount = sigCount)
+      bloomHashes, epoch = 0L, sigCount = sigCount,
+      lastBatchId = lastBatchId)
     rebuildDerivedRelations(spark, path, meta, meta.epoch, stored)
     swapMeta(spark, path, meta)
   }
 
   /** The artifact's meta row: geometry pin + epoch consistency pointer
     * + the signature window's base ([sig_base, epoch] — the range
-    * pointer [[compactMinhashIndex]] re-bases). */
+    * pointer [[compactMinhashIndex]] re-bases) + the last applied
+    * streaming batch id ([[ingestMinhashBatch]]; -1 = never
+    * stream-fed, batch-API appends leave it untouched). */
   private[graft] final case class MinhashIndexMeta(
       shingleK: Int, numHashes: Int, bands: Int, bloomBits: Int,
-      bloomHashes: Int, epoch: Long, sigCount: Long, sigBase: Long = 0L)
+      bloomHashes: Int, epoch: Long, sigCount: Long, sigBase: Long = 0L,
+      lastBatchId: Long = -1L)
 
   private[graft] def readMinhashIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndexMeta = {
@@ -367,7 +379,11 @@ object DedupOps {
       // pre-compaction-format meta has no base: the window starts at 0
       if (r.schema.fieldNames.contains("sig_base"))
         r.getAs[Long]("sig_base")
-      else 0L)
+      else 0L,
+      // pre-streaming-format meta has no batch pointer: never-stream-fed
+      if (r.schema.fieldNames.contains("last_batch_id"))
+        r.getAs[Long]("last_batch_id")
+      else -1L)
   }
 
   /** The derived-relation directory for one epoch (immutable once
@@ -406,9 +422,11 @@ object DedupOps {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "minhash index",
       Seq((meta.shingleK, meta.numHashes, meta.bands, meta.bloomBits,
-          meta.bloomHashes, meta.epoch, meta.sigCount, meta.sigBase))
+          meta.bloomHashes, meta.epoch, meta.sigCount, meta.sigBase,
+          meta.lastBatchId))
         .toDF("shingle_k", "num_hashes", "bands", "bloom_bits",
-          "bloom_hashes", "epoch", "sig_count", "sig_base"))
+          "bloom_hashes", "epoch", "sig_count", "sig_base",
+          "last_batch_id"))
   }
 
   /** Loud saturation guard — the decontamination index's capacity WARN
@@ -487,6 +505,14 @@ object DedupOps {
                          path: String, df: DataFrame, textCol: String,
                          idCol: String): Unit = {
     val meta = readMinhashIndexMeta(spark, path)
+    appendMinhashCore(spark, path, meta, df, textCol, idCol,
+      meta.lastBatchId)
+  }
+
+  private def appendMinhashCore(spark: org.apache.spark.sql.SparkSession,
+                                path: String, meta: MinhashIndexMeta,
+                                df: DataFrame, textCol: String,
+                                idCol: String, lastBatchId: Long): Unit = {
     val stored = readStoredSignatures(spark, path, meta)
     // the meta window covering exactly sig_count rows is the layout
     // invariant (a torn append's orphan epoch sits OUTSIDE the window);
@@ -549,13 +575,70 @@ object DedupOps {
         rebuildDerivedRelations(spark, path, meta, next, all)
       }
       swapMeta(spark, path,
-        meta.copy(epoch = next, sigCount = storedCount + deltaCount))
+        meta.copy(epoch = next, sigCount = storedCount + deltaCount,
+          lastBatchId = lastBatchId))
       // derived epochs keep {current, superseded}; the SIGNATURE
       // epochs are the window itself — only compaction re-bases them
       pruneEpochs(spark, path, superseded = meta.epoch)
       // the per-day maintenance path must not accumulate one
       // checkpointed RDD per append for the session's lifetime
     } finally delta.unpersist()
+  }
+
+  /** The near-dup index's STREAMING maintenance leg — each micro-batch
+    * of landed documents commits through here with its batch id
+    * recorded behind the meta swap (the
+    * [[graft.pipeline.WarcOps.ingestWarcIndexBatch]] discipline), so a
+    * daily crawl's text keeps the stored signature index current
+    * without hand-run appends and every later segment's screen
+    * ([[nearDupAgainstStoredIndex]]) sees all of history. The stored-id
+    * anti-join already makes replays DATA no-ops; the pointer spares
+    * them the signature kernel and the empty epoch commit. First batch
+    * on an empty path builds the artifact (geometry applies ONLY then —
+    * an existing index's meta pins its own); a torn meta swap is
+    * RECOVERED, signature epochs with no recoverable meta are refused
+    * loudly. Returns whether the batch was applied.
+    *
+    * SINGLE-WRITER, NON-DECREASING batch ids: a replay at or one below
+    * the stored pointer skips quietly (the crash-replay signature); an
+    * id regressing further is a reset checkpoint or a second
+    * maintainer and REFUSES loudly, naming the backfill
+    * ([[appendMinhashIndex]], which has no pointer and always
+    * anti-joins). */
+  def ingestMinhashBatch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame, textCol: String,
+                         idCol: String, batchId: Long, shingleK: Int = 3,
+                         numHashes: Int = 12, bands: Int = 4,
+                         bloomBits: Int = 1 << 20,
+                         bloomHashes: Int = 4): Boolean = {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      val hconf = spark.sessionState.newHadoopConf()
+      val sigs = new org.apache.hadoop.fs.Path(s"$path/signatures")
+      require(!sigs.getFileSystem(hconf).exists(sigs),
+        s"minhash index at $path holds signature epochs but no " +
+          "recoverable meta — refusing to build over them; repair or " +
+          "use a fresh path")
+      buildMinhashIndex(batch, textCol, idCol, path, shingleK, numHashes,
+        bands, bloomBits, bloomHashes, lastBatchId = batchId)
+      true
+    } else {
+      val meta = readMinhashIndexMeta(spark, path)
+      if (batchId <= meta.lastBatchId) {
+        require(batchId >= meta.lastBatchId - 1,
+          s"minhash index at $path: incoming batch id $batchId " +
+            s"regressed more than one below the stored pointer " +
+            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
+            "0) or a second maintainer writing this index; dropping it " +
+            "would silently lose its documents. Backfill once via " +
+            "appendMinhashIndex (no pointer, always anti-joins), then " +
+            "resume with a fresh checkpoint")
+        false // replayed batch: no-op
+      } else {
+        appendMinhashCore(spark, path, meta, batch, textCol, idCol,
+          batchId)
+        true
+      }
+    }
   }
 
   /** Compact the signature window: rewrite the [sig_base, epoch] union

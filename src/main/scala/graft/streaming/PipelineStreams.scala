@@ -735,6 +735,53 @@ object PipelineStreams {
       .start()
   }
 
+  /** Continuous near-dup-index maintenance — the text twin of
+    * [[mediaHashMaintainStream]]: each micro-batch of arriving
+    * documents signs and folds into the stored MinHash index
+    * ([[graft.pipeline.DedupOps.writeMinhashIndex]]) exactly-once via
+    * [[graft.pipeline.DedupOps.ingestMinhashBatch]], so every later
+    * segment's near-dup screen sees all of history without hand-run
+    * appends. Takes the streaming relation (the
+    * [[lmModelMaintainStream]] seam — text corpora are rarely
+    * file-per-doc); geometry applies only when THIS stream builds the
+    * artifact on first batch. `compactEvery` > 0 bounds the signature
+    * window exactly like the CDX/media legs (unconditional + caught:
+    * a post-commit compaction error never fails an applied batch).
+    * Returns the started query. */
+  def minhashMaintainStream(docs: DataFrame, indexPath: String,
+                            checkpoint: String, textCol: String,
+                            idCol: String, shingleK: Int = 3,
+                            numHashes: Int = 12, bands: Int = 4,
+                            bloomBits: Int = 1 << 20,
+                            bloomHashes: Int = 4,
+                            compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming,
+      "minhashMaintainStream needs a STREAMING relation; fold batch " +
+        "slices in via DedupOps.appendMinhashIndex")
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
+        "(1 would compact after every append — pure rewrite churn)")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        DedupOps.ingestMinhashBatch(
+          batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
+          batchId, shingleK, numHashes, bands, bloomBits, bloomHashes)
+        if (compactEvery > 0)
+          try DedupOps.maybeCompactMinhashIndex(
+            batch.sparkSession, indexPath, compactEvery)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] minhash maintainer at $indexPath: post-commit " +
+                s"compaction failed (batch $batchId committed fine, " +
+                s"window stays unbounded until a compaction succeeds): $e")
+          }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous decontamination-index maintenance: each micro-batch of
     * newly-adopted benchmark documents folds into the stored index
     * ([[graft.pipeline.TextOps.writeDecontamIndex]]) exactly-once via

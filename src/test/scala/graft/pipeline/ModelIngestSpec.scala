@@ -184,6 +184,52 @@ class ModelIngestSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("refusing"))
   }
 
+  test("ingestMinhashBatch: the maintained near-dup index screens " +
+    "exactly like the one-shot build; replays skip; regressions refuse " +
+    "loudly; signature epochs without meta are never rebuilt over") {
+    val live = tmp("mh_live") + "/mh"
+    val oneShot = tmp("mh_one") + "/mh"
+    def seg(ids: Seq[Long], tok: String) =
+      ids.map(i => (i, s"${tok}1 ${tok}2 ${tok}3 ${tok}4 ${tok}5 ${tok}6"))
+        .toDF("doc_id", "text")
+    val s1 = seg(Seq(2L), "w")
+    val s2 = seg(Seq(4L), "x")
+    val batch = Seq((11L, "w1 w2 w3 w4 w5 w6"), (13L, "x1 x2 x3 x4 x5 x6"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.ingestMinhashBatch(spark, live, s1, "text", "doc_id",
+      batchId = 0L), "the first batch must build the artifact")
+    assert(DedupOps.ingestMinhashBatch(spark, live, s2, "text", "doc_id",
+      batchId = 1L))
+    def flags(path: String) = DedupOps.nearDupAgainstStoredIndex(spark,
+        path, batch, "text", "doc_id", 0.5)
+      .collect().map(_.toSeq).toSet
+    val before = flags(live)
+    assert(before.map(_.head) == Set(11L, 13L),
+      s"both segments' copies must flag, got $before")
+    assert(!DedupOps.ingestMinhashBatch(spark, live, s2, "text",
+      "doc_id", batchId = 1L), "a replayed batch id must skip")
+    assert(!DedupOps.ingestMinhashBatch(spark, live, s2, "text",
+      "doc_id", batchId = 0L), "one below the pointer is a crash replay")
+    assert(flags(live) == before)
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.ingestMinhashBatch(spark, live, s1, "text", "doc_id",
+        batchId = -1L)
+    }
+    assert(err.getMessage.contains("appendMinhashIndex") &&
+      err.getMessage.contains("regressed"))
+    DedupOps.writeMinhashIndex(s1.union(s2), "text", "doc_id", oneShot)
+    assert(flags(live) == flags(oneShot),
+      "maintained index must screen exactly like the one-shot build")
+    // signature epochs with no recoverable meta: refuse, never rebuild
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$live/meta"), true)
+    val err2 = intercept[IllegalArgumentException] {
+      DedupOps.ingestMinhashBatch(spark, live, s1, "text", "doc_id", 2L)
+    }
+    assert(err2.getMessage.contains("refusing"))
+  }
+
   test("ingestLmBatch: count epochs with no recoverable meta are " +
     "refused loudly, and a torn meta swap is recovered") {
     val live = tmp("lm_swap") + "/lm"

@@ -88,6 +88,57 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     finally q2.stop()
   }
 
+  test("minhashMaintainStream: landed document batches keep the stored " +
+    "near-dup index current across a restart; compactEvery bounds the " +
+    "signature window; the final screen equals the one-shot build") {
+    val dir = tmp("mh_feed")
+    val index = tmp("mh_index") + "/mh"
+    val ckpt = tmp("mh_ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    def seg(id: Long, tok: String) =
+      (id, s"${tok}1 ${tok}2 ${tok}3 ${tok}4 ${tok}5 ${tok}6")
+    val s1 = Seq(seg(2L, "w"))
+    val s2 = Seq(seg(4L, "x"))
+    val s3 = Seq(seg(6L, "y"))
+    val batch = Seq((11L, "w1 w2 w3 w4 w5 w6"),
+      (13L, "x1 x2 x3 x4 x5 x6"), (15L, "y1 y2 y3 y4 y5 y6"))
+      .toDF("doc_id", "text")
+    def flags(path: String): Set[Seq[Any]] =
+      graft.pipeline.DedupOps.nearDupAgainstStoredIndex(spark, path,
+          batch, "text", "doc_id", 0.5)
+        .collect().map(_.toSeq).toSet
+    def start() = PipelineStreams.minhashMaintainStream(
+      spark.readStream.schema(docSchema).parquet(dir),
+      index, ckpt, "text", "doc_id", compactEvery = 2)
+    val exp12 = tmp("mh_e12") + "/mh"
+    val exp123 = tmp("mh_e123") + "/mh"
+    graft.pipeline.DedupOps.writeMinhashIndex(
+      (s1 ++ s2).toDF("doc_id", "text"), "text", "doc_id", exp12)
+    graft.pipeline.DedupOps.writeMinhashIndex(
+      (s1 ++ s2 ++ s3).toDF("doc_id", "text"), "text", "doc_id", exp123)
+    drop(s1)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first segment signed")(
+        tryRows(flags(index)).nonEmpty)
+      drop(s2) // lands mid-flight
+      awaitArtifact(q1, "second segment appended")(
+        tryRows(flags(index)) == flags(exp12))
+    } finally q1.stop()
+    drop(s3) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitArtifact(q2, "down-time segment picked up on restart")(
+      tryRows(flags(index)) == flags(exp123))
+    finally q2.stop()
+    assert(flags(index).map(_.head) == Set(11L, 13L, 15L))
+    // compactEvery = 2 kept the maintained signature window bounded
+    val m = graft.pipeline.DedupOps.readMinhashIndexMeta(spark, index)
+    assert(m.epoch - m.sigBase + 1 <= 2,
+      s"window must stay bounded by compactEvery, meta was $m")
+  }
+
   test("decontamMaintainStream: landed benchmark suites keep the " +
     "stored index current across a restart; the final screen equals " +
     "the one-shot build") {
