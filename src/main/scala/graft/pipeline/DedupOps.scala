@@ -330,8 +330,9 @@ object DedupOps {
     * kernel never re-runs, and no bitmap-building job runs at probe
     * time. Same build/probe split as the IVF-PQ index
     * ([[SimilarityOps.writeIvfPqIndex]]). The band-key derivation
-    * reads `path/signatures` BACK rather than reusing the un-persisted
-    * plan, so the corpus text pipeline runs exactly once. */
+    * reads the just-written signature epoch BACK rather than reusing
+    * the un-persisted plan, so the corpus text pipeline runs exactly
+    * once. */
   def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
                         path: String, shingleK: Int = 3,
                         numHashes: Int = 12, bands: Int = 4,
@@ -356,6 +357,7 @@ object DedupOps {
       bloomHashes, epoch = 0L, sigCount = sigCount,
       lastBatchId = lastBatchId)
     rebuildDerivedRelations(spark, path, meta, meta.epoch, stored)
+    warnIfMinhashBloomSaturated(path, sigCount, bands, bloomBits)
     swapMeta(spark, path, meta)
   }
 
@@ -376,10 +378,18 @@ object DedupOps {
       r.getAs[Int]("bands"), r.getAs[Int]("bloom_bits"),
       r.getAs[Int]("bloom_hashes"), r.getAs[Long]("epoch"),
       r.getAs[Long]("sig_count"),
-      // pre-compaction-format meta has no base: the window starts at 0
+      // a meta with no sig_base is the PRE-round-16 FLAT layout
+      // (signatures as loose part files, not epoch dirs) — a default
+      // would send every read to signatures/e<N> paths that don't
+      // exist. Refuse with the migration instead of a path error.
       if (r.schema.fieldNames.contains("sig_base"))
         r.getAs[Long]("sig_base")
-      else 0L,
+      else throw new IllegalStateException(
+        s"minhash index at $path uses the legacy FLAT signature " +
+          "layout (no sig_base in meta); this build reads epoch'd " +
+          "windows only — rebuild via writeMinhashIndex, or migrate by " +
+          "moving the loose signature files into signatures/e0 and " +
+          "adding sig_base=0 to meta"),
       // pre-streaming-format meta has no batch pointer: never-stream-fed
       if (r.schema.fieldNames.contains("last_batch_id"))
         r.getAs[Long]("last_batch_id")
@@ -430,19 +440,25 @@ object DedupOps {
   }
 
   /** Loud saturation guard — the decontamination index's capacity WARN
-    * ported to this bloom: past ~numBits/10 distinct band keys the
+    * ported to this bloom: past ~numBits/10 inserted band keys the
     * prescreen's false-positive rate climbs toward pass-everything;
     * correctness holds (the agreement join re-verifies) but every
     * probe quietly pays the shuffle the bloom exists to skip. The
-    * remedy is a rebuild with a larger bloomBits. */
-  private def warnIfMinhashBloomSaturated(path: String, keyRows: Long,
-                                          numBits: Int): Unit = {
+    * remedy is a rebuild with a larger bloomBits. Checked against the
+    * INSERT-count upper bound sigCount × bands (the media-hash
+    * discipline — both counts are already on hand, so the WARN costs
+    * nothing): distinct keys ≤ inserted keys, so the guard can fire a
+    * little early on duplicate-heavy corpora, never late. */
+  private def warnIfMinhashBloomSaturated(path: String, sigCount: Long,
+                                          bands: Int, numBits: Int): Unit = {
+    val inserted = sigCount * bands
     val capacity = numBits / 10L
-    if (keyRows > capacity)
+    if (inserted > capacity)
       System.err.println(
-        s"[graft] minhash index at $path: $keyRows distinct band keys " +
-          s"exceed the $numBits-bit bloom's design capacity (~$capacity " +
-          "at 10 bits/element) — the prescreen's false-positive rate is " +
+        s"[graft] minhash index at $path: $sigCount stored signatures " +
+          s"x $bands bands = $inserted bloom keys exceed the " +
+          s"$numBits-bit bloom's design capacity (~$capacity at 10 " +
+          "bits/element) — the prescreen's false-positive rate is " +
           "degrading toward pass-everything; rebuild with " +
           "writeMinhashIndex and a larger bloomBits")
   }
@@ -464,10 +480,8 @@ object DedupOps {
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("freq"))
       .write.mode("overwrite").parquet(s"$dir/bandkeys")
-    val written = spark.read.parquet(s"$dir/bandkeys")
-    warnIfMinhashBloomSaturated(path, written.count(), meta.bloomBits)
     val bits = graft.functions.BloomFilter.build(
-      written
+      spark.read.parquet(s"$dir/bandkeys")
         .select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
       "__bk", meta.bloomBits, meta.bloomHashes)
     writeBloomWords(spark, bits, dir)
@@ -482,8 +496,9 @@ object DedupOps {
     * (the IVF-PQ precedent, [[SimilarityOps.appendIvfPqIndex]]): new
     * docs are signed against the artifact's PINNED geometry (from
     * meta — appends cannot drift the hash family), their signatures
-    * append to `path/signatures`, and the derived relations land in a
-    * NEW epoch directory by DELTA-MERGE — band-key counts are
+    * land as ONE fresh epoch dir under `path/signatures/e<N>` (never
+    * interleaved into a live relation), and the derived relations land
+    * in a NEW epoch directory by DELTA-MERGE — band-key counts are
     * sum-mergeable and the bloom OR-idempotent, so the new epoch is
     * built from the delta's band keys plus the previous epoch's stored
     * relations. Append cost is proportional to the DELTA (plus a
@@ -558,9 +573,6 @@ object DedupOps {
             .groupBy(col("band_idx"), col("band_hash"))
             .agg(sum(col("freq")).as("freq"))
             .write.mode("overwrite").parquet(s"$nextDir/bandkeys")
-          warnIfMinhashBloomSaturated(path,
-            spark.read.parquet(s"$nextDir/bandkeys").count(),
-            meta.bloomBits)
           val deltaBits = graft.functions.BloomFilter.build(
             deltaKeys.select(bloomKey(col("band_idx"), col("band_hash")).as("__bk")),
             "__bk", meta.bloomBits, meta.bloomHashes)
@@ -574,6 +586,8 @@ object DedupOps {
           (meta.sigBase to next).map(minhashSigDir(path, _)): _*)
         rebuildDerivedRelations(spark, path, meta, next, all)
       }
+      warnIfMinhashBloomSaturated(path, storedCount + deltaCount,
+        meta.bands, meta.bloomBits)
       swapMeta(spark, path,
         meta.copy(epoch = next, sigCount = storedCount + deltaCount,
           lastBatchId = lastBatchId))
@@ -612,26 +626,16 @@ object DedupOps {
                          bloomBits: Int = 1 << 20,
                          bloomHashes: Int = 4): Boolean = {
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
-      val hconf = spark.sessionState.newHadoopConf()
-      val sigs = new org.apache.hadoop.fs.Path(s"$path/signatures")
-      require(!sigs.getFileSystem(hconf).exists(sigs),
-        s"minhash index at $path holds signature epochs but no " +
-          "recoverable meta — refusing to build over them; repair or " +
-          "use a fresh path")
+      MetaIO.requireNoOrphanData(spark, "minhash index",
+        s"$path/signatures")
       buildMinhashIndex(batch, textCol, idCol, path, shingleK, numHashes,
         bands, bloomBits, bloomHashes, lastBatchId = batchId)
       true
     } else {
       val meta = readMinhashIndexMeta(spark, path)
       if (batchId <= meta.lastBatchId) {
-        require(batchId >= meta.lastBatchId - 1,
-          s"minhash index at $path: incoming batch id $batchId " +
-            s"regressed more than one below the stored pointer " +
-            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
-            "0) or a second maintainer writing this index; dropping it " +
-            "would silently lose its documents. Backfill once via " +
-            "appendMinhashIndex (no pointer, always anti-joins), then " +
-            "resume with a fresh checkpoint")
+        MetaIO.requireReplayNotRegression("minhash index", path,
+          batchId, meta.lastBatchId, "documents", "appendMinhashIndex")
         false // replayed batch: no-op
       } else {
         appendMinhashCore(spark, path, meta, batch, textCol, idCol,
@@ -653,7 +657,11 @@ object DedupOps {
     * below the OLD base (one generation's grace for a racing probe
     * that resolved the old meta) plus derived epochs below the old
     * pointer. Probe output is byte-identical before and after — only
-    * the file layout moves. */
+    * the file layout moves. Grace is ONE commit, sized for batch
+    * probes: a LONG-LIVED reader that pinned its window at
+    * construction (the stored-index flags STREAM) outlives it once a
+    * later compaction prunes the dirs — restart such readers at least
+    * once per compaction cycle (their scaladoc states it). */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
@@ -663,9 +671,10 @@ object DedupOps {
       .write.mode("overwrite").parquet(minhashSigDir(path, next))
     val compacted = spark.read.parquet(minhashSigDir(path, next))
     rebuildDerivedRelations(spark, path, meta, next, compacted)
+    val total = compacted.count()
+    warnIfMinhashBloomSaturated(path, total, meta.bands, meta.bloomBits)
     swapMeta(spark, path,
-      meta.copy(epoch = next, sigBase = next,
-        sigCount = compacted.count()))
+      meta.copy(epoch = next, sigBase = next, sigCount = total))
     pruneEpochs(spark, path, superseded = meta.epoch)
     MetaIO.pruneEpochs(spark, Seq(s"$path/signatures"),
       superseded = meta.sigBase)

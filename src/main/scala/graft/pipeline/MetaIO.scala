@@ -100,8 +100,18 @@ private[graft] object MetaIO {
     * committed via sideways write + delete + rename (`<dir>__next`):
     * answers whether `dir` exists, completing an interrupted rename
     * first when the sideways copy is a COMMITTED Spark write
-    * (`_SUCCESS` marker + at least one data file) and deleting it when
-    * it is a torn partial. */
+    * (`_SUCCESS` marker + at least one data file). A tmp with NO data
+    * files is an unambiguous torn partial and is deleted; a tmp that
+    * HOLDS data files but no marker is left IN PLACE untouched —
+    * deleting it would permanently destroy the artifact's only meta on
+    * a deployment that disables `_SUCCESS` markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common
+    * on object stores), where a fully-committed write looks exactly
+    * like a torn one. The answer is false either way, so the caller's
+    * loud no-recoverable-meta guard fires and an operator can inspect
+    * (renaming a complete `meta__next` to `meta` by hand is the
+    * repair); marker-less deployments should keep markers ON for
+    * artifact paths to get automatic recovery. */
   def dirExistsOrRecover(spark: SparkSession, dir: String): Boolean = {
     val hconf = spark.sessionState.newHadoopConf()
     val target = new org.apache.hadoop.fs.Path(dir)
@@ -111,7 +121,10 @@ private[graft] object MetaIO {
       val tmp = new org.apache.hadoop.fs.Path(s"${dir}__next")
       if (!fs.exists(tmp)) false
       else if (isCommittedWrite(fs, tmp)) fs.rename(tmp, target)
-      else { fs.delete(tmp, true); false }
+      else {
+        if (!hasDataFile(fs, tmp)) fs.delete(tmp, true)
+        false
+      }
     }
   }
 
@@ -122,10 +135,51 @@ private[graft] object MetaIO {
   private def isCommittedWrite(fs: org.apache.hadoop.fs.FileSystem,
                                dir: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
-      fs.listStatus(dir).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+      hasDataFile(fs, dir)
+
+  private def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** The SHARED batch-pointer replay/regression policy, one
+    * implementation for every streaming ingest leg (WARC, media-hash,
+    * LM, decontam, quantile, MinHash): an incoming id at or ONE below
+    * the stored pointer is the crash-replay signature (the replayed
+    * batch is always the last one started) and returns true — skip
+    * quietly; an id regressing FURTHER is a reset checkpoint (ids
+    * restart at 0) or a second maintainer, and silently dropping it
+    * would lose its data — so it throws, naming the artifact and its
+    * pointer-free backfill. Call only when batchId <= lastBatchId. */
+  def requireReplayNotRegression(label: String, path: String,
+                                 batchId: Long, lastBatchId: Long,
+                                 lostNoun: String,
+                                 backfillName: String): Unit =
+    require(batchId >= lastBatchId - 1,
+      s"$label at $path: incoming batch id $batchId regressed more " +
+        s"than one below the stored pointer $lastBatchId — a reset " +
+        "checkpoint (ids restart at 0) or a second maintainer writing " +
+        s"this $label; dropping it would silently lose its $lostNoun. " +
+        s"Backfill once via $backfillName (no pointer, replay-safe), " +
+        "then resume with a fresh checkpoint")
+
+  /** The SHARED never-rebuild-over guard for the
+    * auto-build-on-first-batch ingest legs: when meta is missing AND
+    * unrecoverable, a data relation already on disk means a naive
+    * rebuild would OVERWRITE it — refuse loudly instead. `relDir` is
+    * the artifact's data-relation root (absolute). */
+  def requireNoOrphanData(spark: SparkSession, label: String,
+                          relDir: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(relDir)
+    require(!p.getFileSystem(hconf).exists(p),
+      s"$label holds data relations at $relDir but no recoverable " +
+        "meta — refusing to build over them; repair (a complete " +
+        "meta__next beside them can be renamed to meta by hand) or " +
+        "use a fresh path")
+  }
 
   /** The meta-pointer SWAP, shared by every artifact lifecycle: write
     * the one-row relation SIDEWAYS (`meta__next`), then delete the live

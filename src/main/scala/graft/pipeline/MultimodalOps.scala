@@ -3059,10 +3059,18 @@ object MultimodalOps {
       if (r.schema.fieldNames.contains("last_batch_id"))
         r.getAs[Long]("last_batch_id")
       else -1L,
-      // pre-compaction-format meta has no base: the window starts at 0
+      // a meta with no hash_base is the PRE-round-16 FLAT layout
+      // (fingerprints as loose part files, not epoch dirs) — a default
+      // would send every read to hashes/e<N> paths that don't exist.
+      // Refuse with the migration instead of a path error.
       if (r.schema.fieldNames.contains("hash_base"))
         r.getAs[Long]("hash_base")
-      else 0L)
+      else throw new IllegalStateException(
+        s"media-hash index at $path uses the legacy FLAT fingerprint " +
+          "layout (no hash_base in meta); this build reads epoch'd " +
+          "windows only — rebuild via writeMediaHashIndex, or migrate " +
+          "by moving the loose files into hashes/e0 and adding " +
+          "hash_base=0 to meta"))
   }
 
   private def swapMediaHashMeta(spark: org.apache.spark.sql.SparkSession,
@@ -3232,26 +3240,16 @@ object MultimodalOps {
                            bloomBits: Int = 1 << 20,
                            bloomHashes: Int = 4): Boolean = {
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
-      val hconf = spark.sessionState.newHadoopConf()
-      val hashes = new org.apache.hadoop.fs.Path(s"$path/hashes")
-      require(!hashes.getFileSystem(hconf).exists(hashes),
-        s"media-hash index at $path holds fingerprints but no " +
-          "recoverable meta — refusing to build over them (the append-" +
-          "only relation would be OVERWRITTEN); repair or use a fresh path")
+      MetaIO.requireNoOrphanData(spark, "media-hash index",
+        s"$path/hashes")
       buildMediaHashIndex(batch, contentCol, idCol, path, bands, bloomBits,
         bloomHashes, lastBatchId = batchId)
       true
     } else {
       val meta = readMediaHashIndexMeta(spark, path)
       if (batchId <= meta.lastBatchId) {
-        require(batchId >= meta.lastBatchId - 1,
-          s"media-hash index at $path: incoming batch id $batchId " +
-            s"regressed more than one below the stored pointer " +
-            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
-            "0) or a second maintainer writing this index; dropping it " +
-            "would silently lose its images. Backfill once via " +
-            "appendMediaHashIndex (no pointer, always anti-joins), then " +
-            "resume with a fresh checkpoint")
+        MetaIO.requireReplayNotRegression("media-hash index", path,
+          batchId, meta.lastBatchId, "images", "appendMediaHashIndex")
         false // replayed batch: no-op
       } else {
         appendMediaHashCore(spark, path, meta, batch, contentCol, idCol,

@@ -457,12 +457,8 @@ object StatsOps {
                           groupCols: Seq[String], value: Column,
                           batchId: Long, subBits: Int = 5): Boolean = {
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
-      val hconf = spark.sessionState.newHadoopConf()
-      val buckets = new org.apache.hadoop.fs.Path(s"$path/buckets")
-      require(!buckets.getFileSystem(hconf).exists(buckets),
-        s"quantile index at $path holds bucket epochs but no " +
-          "recoverable meta — refusing to build over them; repair or " +
-          "use a fresh path")
+      MetaIO.requireNoOrphanData(spark, "quantile index",
+        s"$path/buckets")
       requireQsBits(subBits)
       commitQsEpoch(spark, path,
         quantileSketch(batch, groupCols, value, subBits), groupCols,
@@ -471,14 +467,9 @@ object StatsOps {
     } else {
       val meta = readQuantileIndexMeta(spark, path)
       if (batchId <= meta.lastBatchId) {
-        require(batchId >= meta.lastBatchId - 1,
-          s"quantile index at $path: incoming batch id $batchId " +
-            s"regressed more than one below the stored pointer " +
-            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
-            "0) or a second maintainer writing this index; dropping it " +
-            "would silently lose its counts. Backfill once via " +
-            "appendQuantileIndex (or ingestQuantileSegment with a " +
-            "ledger id), then resume with a fresh checkpoint")
+        MetaIO.requireReplayNotRegression("quantile index", path,
+          batchId, meta.lastBatchId, "counts",
+          "ingestQuantileSegment (with a ledger id) or appendQuantileIndex")
         false // replayed batch: no-op
       } else {
         val delta = quantileSketch(batch, meta.groupCols, value,
@@ -520,12 +511,8 @@ object StatsOps {
     require(segmentId.nonEmpty, "segmentId must be a non-empty name")
     val one = Seq(segmentId).toDF("segment_id")
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
-      val hconf = spark.sessionState.newHadoopConf()
-      val buckets = new org.apache.hadoop.fs.Path(s"$path/buckets")
-      require(!buckets.getFileSystem(hconf).exists(buckets),
-        s"quantile index at $path holds bucket epochs but no " +
-          "recoverable meta — refusing to build over them; repair or " +
-          "use a fresh path")
+      MetaIO.requireNoOrphanData(spark, "quantile index",
+        s"$path/buckets")
       requireQsBits(subBits)
       commitQsEpoch(spark, path,
         quantileSketch(df, groupCols, value, subBits), groupCols,

@@ -387,26 +387,16 @@ object TextOps {
                           shingleK: Int = 3, numBits: Int = 1 << 20,
                           numHashes: Int = 4): Boolean = {
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
-      val hconf = spark.sessionState.newHadoopConf()
-      val shingles = new org.apache.hadoop.fs.Path(s"$path/shingles")
-      require(!shingles.getFileSystem(hconf).exists(shingles),
-        s"decontam index at $path holds shingle epochs but no " +
-          "recoverable meta — refusing to build over them; repair or " +
-          "use a fresh path")
+      MetaIO.requireNoOrphanData(spark, "decontam index",
+        s"$path/shingles")
       buildDecontamIndex(bench, textCol, idCol, path, shingleK, numBits,
         numHashes, lastBatchId = batchId)
       true
     } else {
       val meta = readDecontamIndexMeta(spark, path)
       if (batchId <= meta.lastBatchId) {
-        require(batchId >= meta.lastBatchId - 1,
-          s"decontam index at $path: incoming batch id $batchId " +
-            s"regressed more than one below the stored pointer " +
-            s"${meta.lastBatchId} — a reset checkpoint (ids restart at " +
-            "0) or a second maintainer writing this index; dropping it " +
-            "would silently lose its suites. Backfill once via " +
-            "appendDecontamIndex (no pointer, idempotent), then resume " +
-            "with a fresh checkpoint")
+        MetaIO.requireReplayNotRegression("decontam index", path,
+          batchId, meta.lastBatchId, "suites", "appendDecontamIndex")
         false // replayed batch: no-op
       } else {
         appendDecontamCore(spark, path, meta, bench, textCol, idCol,
@@ -858,27 +848,31 @@ object TextOps {
                     path: String, batch: DataFrame, textCol: String,
                     idCol: String, batchId: Long): Boolean = {
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
-      val hconf = spark.sessionState.newHadoopConf()
-      val counts = new org.apache.hadoop.fs.Path(s"$path/counts")
-      require(!counts.getFileSystem(hconf).exists(counts),
-        s"lm model at $path holds count epochs but no recoverable " +
-          "meta — refusing to build over them; repair or use a fresh path")
+      MetaIO.requireNoOrphanData(spark, "lm model", s"$path/counts")
       // a bigram-free first batch cannot commit (the model pins V > 0):
       // defer the build to the first batch that carries data — the
-      // replay of THIS batch is a no-op either way (nothing committed)
-      if (lmPairsOf(batch, textCol, idCol).isEmpty) false
-      else { buildLmModel(batch, textCol, idCol, path, batchId); true }
+      // replay of THIS batch is a no-op either way (nothing committed).
+      // The pairs checkpoint ONCE and feed both the emptiness check and
+      // the commit — a plain isEmpty would pay the full tokenize pass a
+      // second time when the build runs.
+      val c2 = lmPairsOf(batch, textCol, idCol)
+        .groupBy(col("__ctx").as("ctx"), col("__big").as("big"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint()
+      try {
+        if (c2.isEmpty) false
+        else {
+          commitLmEpoch(spark, path, c2,
+            batch.select(col(idCol).as("id")), epoch = 0L,
+            lastBatchId = batchId)
+          true
+        }
+      } finally c2.unpersist()
     } else {
       val meta = readLmModelMeta(spark, path)
       if (batchId <= meta.lastBatchId) {
-        require(batchId >= meta.lastBatchId - 1,
-          s"lm model at $path: incoming batch id $batchId regressed " +
-            s"more than one below the stored pointer ${meta.lastBatchId} " +
-            "— a reset checkpoint (ids restart at 0) or a second " +
-            "maintainer writing this model; dropping it would silently " +
-            "lose its documents. Backfill once via appendLmModel (no " +
-            "pointer, always anti-joins), then resume with a fresh " +
-            "checkpoint")
+        MetaIO.requireReplayNotRegression("lm model", path, batchId,
+          meta.lastBatchId, "documents", "appendLmModel")
         false // replayed batch: no-op
       } else {
         appendLmCore(spark, path, meta, batch, textCol, idCol, batchId)

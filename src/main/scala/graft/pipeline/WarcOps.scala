@@ -848,11 +848,7 @@ object WarcOps {
                            idCol: String, batchId: Long,
                            maxPlainBytes: Long = 1L << 30): Boolean = {
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
-      val hconf = spark.sessionState.newHadoopConf()
-      val entries = new org.apache.hadoop.fs.Path(s"$path/entries")
-      require(!entries.getFileSystem(hconf).exists(entries),
-        s"warc index at $path holds entry epochs but no recoverable " +
-          "meta — refusing to build over them; repair or use a fresh path")
+      MetaIO.requireNoOrphanData(spark, "warc index", s"$path/entries")
       commitWarcIndexEpoch(spark, path, files, pathCol, idCol,
         next = 0L, baseEpoch = 0L, prevFiles = 0L, prevRecords = 0L,
         lastBatchId = batchId, maxPlainBytes = maxPlainBytes)
@@ -860,14 +856,8 @@ object WarcOps {
     } else {
       val meta = readWarcIndexMeta(spark, path)
       if (batchId <= meta.lastBatchId) {
-        require(batchId >= meta.lastBatchId - 1,
-          s"warc index at $path: incoming batch id $batchId regressed " +
-            s"more than one below the stored pointer ${meta.lastBatchId} " +
-            "— a reset checkpoint (ids restart at 0) or a second " +
-            "maintainer writing this index; dropping it would silently " +
-            "lose its files. Backfill once via appendWarcIndex (no " +
-            "pointer, always anti-joins), then resume with a fresh " +
-            "checkpoint")
+        MetaIO.requireReplayNotRegression("warc index", path, batchId,
+          meta.lastBatchId, "files", "appendWarcIndex")
         false // replayed batch: no-op
       } else {
         appendWarcIndexCore(spark, path, meta, files, pathCol, idCol,

@@ -153,7 +153,17 @@ object PipelineStreams {
                                     maxBandFreq: Int = DedupOps.DefaultMaxBandFreq): DataFrame = {
     import graft.functions.BloomFilter
     // epoch resolves once at stream construction — the whole stream
-    // serves one immutable derived snapshot (restart to pick up appends)
+    // serves one immutable derived snapshot (restart to pick up
+    // appends). Stated plainly: the snapshot's dirs are only
+    // janitor-protected for ONE superseding commit, so a stream that
+    // outlives a later compaction's prune (two compactions of a
+    // concurrent minhashMaintainStream, or an append after a
+    // compaction) fails with a missing-path error when its stream-
+    // static join next scans them — restart the stream at least once
+    // per compaction cycle, or size compactEvery to outlast it. The
+    // flat layout this replaced never deleted signatures, so the old
+    // worst case was staleness; bounded grace cannot cover an unbounded
+    // reader lifetime.
     val m = DedupOps.readMinhashIndexMeta(spark, path)
     val shingleK = m.shingleK
     val numHashes = m.numHashes
@@ -759,6 +769,17 @@ object PipelineStreams {
     require(docs.isStreaming,
       "minhashMaintainStream needs a STREAMING relation; fold batch " +
         "slices in via DedupOps.appendMinhashIndex")
+    // validate geometry BEFORE start() — failing inside foreachBatch
+    // would crash-loop the query (the mediaHashMaintainStream
+    // discipline); these mirror the build path's requires
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(bloomBits >= 64 && bloomBits % 64 == 0 &&
+        bloomBits <= (1 << 27),
+      s"bloomBits must be a positive multiple of 64 up to 2^27, " +
+        s"got $bloomBits")
+    require(bloomHashes >= 1 && bloomHashes <= 16,
+      s"bloomHashes must be in [1,16], got $bloomHashes")
     require(compactEvery == 0 || compactEvery >= 2,
       s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
         "(1 would compact after every append — pure rewrite churn)")
@@ -800,6 +821,15 @@ object PipelineStreams {
     require(bench.isStreaming,
       "decontamMaintainStream needs a STREAMING relation; fold batch " +
         "suites in via TextOps.appendDecontamIndex")
+    // validate geometry BEFORE start() — failing inside foreachBatch
+    // would crash-loop the query (the mediaHashMaintainStream
+    // discipline); these mirror the bloom builder's requires
+    require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
+    require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 27),
+      s"numBits must be a positive multiple of 64 up to 2^27, " +
+        s"got $numBits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1,16], got $numHashes")
     bench.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

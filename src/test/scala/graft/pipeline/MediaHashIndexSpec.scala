@@ -283,11 +283,14 @@ class MediaHashIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(0L, 1L, 2L),
       s"recovery must keep the pre-crash fingerprints, got $got")
-    // a PARTIAL sideways write (crash mid-first-build: no _SUCCESS) is
-    // NOT promoted — promoting it would hand the next ingest an
-    // unreadable meta and crash-loop it; it is deleted and the loud
-    // no-recoverable-meta refusal fires instead
+    // an UNMARKED sideways write (crash mid-first-build, or a complete
+    // write on a marker-less deployment — indistinguishable) is NOT
+    // promoted: promoting a torn one would hand the next ingest an
+    // unreadable meta and crash-loop it. It is left IN PLACE for the
+    // operator (deleting would destroy a marker-less artifact's only
+    // meta) and the loud no-recoverable-meta refusal fires
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta__next"), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/meta__next"))
     val partOut = fs.create(new org.apache.hadoop.fs.Path(
       s"$dir/meta__next/part-00000-torn.parquet"))
@@ -297,11 +300,11 @@ class MediaHashIndexSpec extends AnyFunSuite {
         imgs(Seq(3L)), "content", "media_id", batchId = 2L)
     }
     assert(errPartial.getMessage.contains("refusing"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta__next")),
-      "the torn partial tmp must be deleted, not left to confuse later " +
-        "recovery")
-    // beyond the swap window (no meta, no meta__next, data present):
-    // refuse loudly instead of rebuilding over the relation
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta__next")),
+      "an unmarked tmp holding data is left for the operator")
+    // beyond the swap window (no meta, no recoverable tmp, data
+    // present): refuse loudly instead of rebuilding over the relation
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta__next"), true)
     val err = intercept[IllegalArgumentException] {
       MultimodalOps.ingestMediaHashBatch(spark, dir,
         imgs(Seq(3L)), "content", "media_id", batchId = 2L)

@@ -31,8 +31,9 @@ class MetaIOSpec extends AnyFunSuite {
       err.getMessage.contains("empty meta"))
   }
 
-  test("dirExistsOrRecover: a COMMITTED sideways copy is promoted; a " +
-    "PARTIAL one (no _SUCCESS) is deleted and the answer is false") {
+  test("dirExistsOrRecover: a COMMITTED sideways copy is promoted; an " +
+    "unmarked one holding data is LEFT for the operator (never " +
+    "deleted); a dataless one is deleted") {
     // committed: a real Spark write (produces _SUCCESS + a part file)
     val a = tmp("commit")
     Seq((1L, 2L)).toDF("x", "y").coalesce(1)
@@ -42,25 +43,29 @@ class MetaIOSpec extends AnyFunSuite {
     assert(fs(a).exists(new org.apache.hadoop.fs.Path(s"$a/meta")))
     assert(!fs(a).exists(new org.apache.hadoop.fs.Path(s"$a/meta__next")))
     assert(spark.read.parquet(s"$a/meta").count() == 1L)
-    // partial: a torn write — data file present, no _SUCCESS marker
+    // unmarked-with-data: either a torn write OR a complete write on a
+    // deployment that disables _SUCCESS markers — indistinguishable, so
+    // it must NOT be promoted and must NOT be deleted (deleting would
+    // permanently destroy a marker-less artifact's only meta); the
+    // caller's loud refusal fires and the operator repairs by hand
     val b = tmp("partial")
     fs(b).mkdirs(new org.apache.hadoop.fs.Path(s"$b/meta__next"))
     val out = fs(b).create(new org.apache.hadoop.fs.Path(
       s"$b/meta__next/part-00000-torn.parquet"))
     out.write(Array[Byte](9, 9, 9)); out.close()
     assert(!MetaIO.dirExistsOrRecover(spark, s"$b/meta"),
-      "a partial tmp must not be promoted")
-    assert(!fs(b).exists(new org.apache.hadoop.fs.Path(s"$b/meta__next")),
-      "the partial tmp must be deleted so it cannot confuse later " +
-        "recovery")
+      "an unmarked tmp must not be promoted")
+    assert(fs(b).exists(new org.apache.hadoop.fs.Path(s"$b/meta__next")),
+      "an unmarked tmp HOLDING DATA must be left in place for the " +
+        "operator — it may be a complete marker-less write")
     assert(!fs(b).exists(new org.apache.hadoop.fs.Path(s"$b/meta")))
-    // marker-only (a crash after _SUCCESS cannot leave zero data files
-    // for these one-row coalesced writes, but the guard is total):
+    // dataless (mkdir'd or marker-only): unambiguously torn — deleted
     val c = tmp("marker")
     fs(c).mkdirs(new org.apache.hadoop.fs.Path(s"$c/meta__next"))
     fs(c).create(new org.apache.hadoop.fs.Path(
       s"$c/meta__next/_SUCCESS")).close()
     assert(!MetaIO.dirExistsOrRecover(spark, s"$c/meta"))
-    assert(!fs(c).exists(new org.apache.hadoop.fs.Path(s"$c/meta__next")))
+    assert(!fs(c).exists(new org.apache.hadoop.fs.Path(s"$c/meta__next")),
+      "a dataless tmp is an unambiguous partial and is cleaned up")
   }
 }
