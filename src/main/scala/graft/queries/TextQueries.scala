@@ -1527,15 +1527,20 @@ object TextQueries {
     // v3: epoch-versioned derived relations (meta schema changed).
     // v4: epoch'd signature window under a [sig_base, epoch] range
     //     pointer (compaction support; meta schema changed again).
+    // v5: the build now COMPACTS before serving, so this row also
+    //     oracle-gates compactMinhashIndex (probe output is unchanged
+    //     by construction — only the file layout moves).
     val idxSide = d.filter(col("doc_id") % 2 === 0)
     val fpRow = idxSide.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L))).collect()(0)
     val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_v4_" +
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_v5_" +
       s"${K}_${NUM_HASHES}_${BANDS}_${math.abs(sfDir.hashCode)}_$fp"
-    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists())
+    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
       DedupOps.writeMinhashIndex(idxSide,
         "text", "doc_id", dir, K, NUM_HASHES, BANDS)
+      DedupOps.compactMinhashIndex(spark, dir)
+    }
     DedupOps.nearDupAgainstStoredIndex(spark, dir,
       d.filter(col("doc_id") % 2 === 1), "text", "doc_id", NI_MIN_AGREE)
   }
