@@ -158,6 +158,313 @@ object DedupOps {
           col("n_docs").cast("double")).as("dup_rate")): _*)
   }
 
+  // ---- stored exact-digest index lifecycle -------------------------------
+  //
+  // The PERSISTED form of [[digestIndex]] — exact dedup's managed
+  // artifact, completing the family (MinHash, decontamination,
+  // media-fingerprint indexes all have one; the MOST common pipeline op
+  // did not). A corpus's content digests persist once; every later crawl
+  // segment dedups against all of history at probe cost, without the
+  // caller owning relation layout, bloom derivation, append idempotence,
+  // crash recovery, or compaction. Shared artifact discipline:
+  //
+  //   path/digests/e<N>   one immutable epoch dir per build/append/compact,
+  //                       visible window = meta's [digest_base, epoch]
+  //   path/derived/e<N>/bloom   bloom over xxhash64(content_hash)
+  //   path/meta           geometry + window + count + applied batch id,
+  //                       swapped LAST (MetaIO.swapMetaRow)
+
+  private[graft] final case class DigestIndexMeta(
+      bloomBits: Int, bloomHashes: Int, epoch: Long, digestCount: Long,
+      digestBase: Long = 0L, lastBatchId: Long = -1L)
+
+  /** One digest epoch's directory. Epoch'd subdirectories under a RANGE
+    * pointer ([digest_base, epoch] in meta — the WARC index's layout):
+    * each append lands its delta as ONE fresh immutable dir instead of
+    * `mode("append")` file-sets into a flat relation, so a torn append's
+    * orphan rows are INVISIBLE (the window never covers an unswapped
+    * epoch) and compaction is an ordinary epoch commit with no
+    * delete-and-rename of a live relation under racing probes. */
+  private[graft] def digestsDir(path: String, epoch: Long): String =
+    s"$path/digests/e$epoch"
+
+  private def digestDerivedDir(path: String, epoch: Long): String =
+    s"$path/derived/e$epoch"
+
+  /** The index's visible digest snapshot: the union of the meta window's
+    * epoch dirs, resolved from ONE meta read. */
+  private[graft] def readStoredDigests(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      meta: DigestIndexMeta): DataFrame =
+    spark.read.parquet(
+      (meta.digestBase to meta.epoch).map(digestsDir(path, _)): _*)
+
+  private[graft] def readDigestIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DigestIndexMeta = {
+    val r = MetaIO.readMetaRow(spark, path, "digest index", "index")
+    DigestIndexMeta(r.getAs[Int]("bloom_bits"), r.getAs[Int]("bloom_hashes"),
+      r.getAs[Long]("epoch"), r.getAs[Long]("digest_count"),
+      r.getAs[Long]("digest_base"), r.getAs[Long]("last_batch_id"))
+  }
+
+  private def swapDigestMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, meta: DigestIndexMeta): Unit = {
+    import spark.implicits._
+    MetaIO.swapMetaRow(spark, path, "digest index",
+      Seq((meta.bloomBits, meta.bloomHashes, meta.epoch, meta.digestCount,
+          meta.digestBase, meta.lastBatchId))
+        .toDF("bloom_bits", "bloom_hashes", "epoch", "digest_count",
+          "digest_base", "last_batch_id"))
+  }
+
+  /** One bloom key per stored digest (distinct by construction). */
+  private def digestBloomKeys(digests: DataFrame): DataFrame =
+    digests.select(xxhash64(col("content_hash")).as("__dk"))
+
+  /** Loud saturation guard — the decontamination index's capacity WARN,
+    * one key per digest here: past ~numBits/10 stored digests the
+    * prescreen's false-positive rate climbs toward pass-everything;
+    * correctness holds (the semi-join re-verifies) but every probe
+    * quietly pays the shuffle the bloom exists to skip. */
+  private def warnIfDigestBloomSaturated(path: String, digestCount: Long,
+                                         numBits: Int): Unit = {
+    val capacity = numBits / 10L
+    if (digestCount > capacity)
+      System.err.println(
+        s"[graft] digest index at $path: $digestCount stored digests " +
+          s"exceed the $numBits-bit bloom's design capacity " +
+          s"(~$capacity at 10 bits/element) — the prescreen's " +
+          "false-positive rate is degrading toward pass-everything; " +
+          "rebuild with writeDigestIndex and a larger bloomBits")
+  }
+
+  /** Build the persisted exact-digest index from a corpus snapshot. */
+  def writeDigestIndex(df: DataFrame, contentCol: String, path: String,
+                       bloomBits: Int = 1 << 20,
+                       bloomHashes: Int = 4): Unit =
+    buildDigestIndex(df, contentCol, path, bloomBits, bloomHashes,
+      lastBatchId = -1L)
+
+  private def buildDigestIndex(df: DataFrame, contentCol: String,
+                               path: String, bloomBits: Int,
+                               bloomHashes: Int, lastBatchId: Long): Unit = {
+    val spark = df.sparkSession
+    digestIndex(df, contentCol)
+      .write.mode("overwrite").parquet(digestsDir(path, 0L))
+    val stored = spark.read.parquet(digestsDir(path, 0L))
+    val bits = graft.functions.BloomFilter.build(
+      digestBloomKeys(stored), "__dk", bloomBits, bloomHashes)
+    MetaIO.writeBloomWords(spark, bits,
+      s"${digestDerivedDir(path, 0L)}/bloom")
+    val n = stored.count()
+    warnIfDigestBloomSaturated(path, n, bloomBits)
+    swapDigestMeta(spark, path,
+      DigestIndexMeta(bloomBits, bloomHashes, epoch = 0L, digestCount = n,
+        digestBase = 0L, lastBatchId = lastBatchId))
+  }
+
+  /** Append a crawl segment's digests — the daily maintenance move. The
+    * delta anti-joins against the visible window, so a RE-DROPPED
+    * segment adds zero rows (re-drop idempotent by construction — the
+    * relation is a distinct digest set) and append cost is proportional
+    * to the DELTA plus one bloom OR-merge, never a rescan of stored
+    * digests. Meta swaps LAST: a torn append's epoch dir sits outside
+    * the window and the retry overwrites it wholesale. */
+  def appendDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, df: DataFrame,
+                        contentCol: String): Unit = {
+    val meta = readDigestIndexMeta(spark, path)
+    appendDigestCore(spark, path, meta, df, contentCol, meta.lastBatchId)
+  }
+
+  private def appendDigestCore(spark: org.apache.spark.sql.SparkSession,
+                               path: String, meta: DigestIndexMeta,
+                               df: DataFrame, contentCol: String,
+                               lastBatchId: Long): Unit = {
+    val visible = readStoredDigests(spark, path, meta)
+    // window-covers-digest_count is the layout invariant; on a mismatch
+    // (manual surgery on the dirs) the bloom rebuilds from the full
+    // visible snapshot instead of delta-merging — defense in depth
+    val visibleCount = visible.count()
+    val healthy = visibleCount == meta.digestCount
+    val delta = digestIndex(df, contentCol)
+      .join(visible, Seq("content_hash"), "left_anti")
+      .localCheckpoint() // consumed twice: epoch write + bloom delta
+    try {
+      val next = meta.epoch + 1
+      delta.write.mode("overwrite").parquet(digestsDir(path, next))
+      val nextDir = digestDerivedDir(path, next)
+      val bits =
+        if (healthy) {
+          val deltaBits = graft.functions.BloomFilter.build(
+            digestBloomKeys(delta), "__dk", meta.bloomBits,
+            meta.bloomHashes)
+          MetaIO.readBloomWords(spark,
+              s"${digestDerivedDir(path, meta.epoch)}/bloom",
+              meta.bloomBits)
+            .zip(deltaBits).map { case (a, b) => a | b }
+        } else {
+          val all = spark.read.parquet(
+            (meta.digestBase to next).map(digestsDir(path, _)): _*)
+          graft.functions.BloomFilter.build(
+            digestBloomKeys(all), "__dk", meta.bloomBits, meta.bloomHashes)
+        }
+      MetaIO.writeBloomWords(spark, bits, s"$nextDir/bloom")
+      val total = visibleCount + delta.count()
+      warnIfDigestBloomSaturated(path, total, meta.bloomBits)
+      swapDigestMeta(spark, path,
+        meta.copy(epoch = next, digestCount = total,
+          lastBatchId = lastBatchId))
+      // derived epochs keep {current, superseded}; digest epochs ARE the
+      // window — only compaction re-bases and prunes them
+      MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
+        superseded = meta.epoch)
+    } finally delta.unpersist() // a per-segment maintenance path must
+    // not accumulate one checkpointed RDD per append for the session
+  }
+
+  /** The streaming maintenance leg — each micro-batch of landed
+    * documents commits through here with its batch id recorded behind
+    * the meta swap (the [[graft.pipeline.WarcOps.ingestWarcIndexBatch]]
+    * discipline). First batch on an empty path builds the artifact; a
+    * path whose meta is missing because a swap died mid-commit is
+    * RECOVERED, and a path carrying digests with no recoverable meta is
+    * refused loudly — never rebuilt over. Returns whether the batch was
+    * applied.
+    *
+    * SINGLE-WRITER, NON-DECREASING batch ids: a batch id at or one
+    * below the stored pointer is the crash-replay signature and skips
+    * quietly BEFORE hashing anything; an id regressing further is a
+    * reset checkpoint or a second maintainer and REFUSES loudly, naming
+    * the backfill ([[appendDigestIndex]], which has no pointer and
+    * always anti-joins). */
+  def ingestDigestBatch(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, contentCol: String,
+                        batchId: Long, bloomBits: Int = 1 << 20,
+                        bloomHashes: Int = 4): Boolean = {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      MetaIO.requireNoOrphanData(spark, "digest index", s"$path/digests")
+      buildDigestIndex(batch, contentCol, path, bloomBits, bloomHashes,
+        lastBatchId = batchId)
+      true
+    } else {
+      val meta = readDigestIndexMeta(spark, path)
+      if (batchId <= meta.lastBatchId) {
+        MetaIO.requireReplayNotRegression("digest index", path, batchId,
+          meta.lastBatchId, "documents", "appendDigestIndex")
+        false // replayed batch: no-op
+      } else {
+        appendDigestCore(spark, path, meta, batch, contentCol, batchId)
+        true
+      }
+    }
+  }
+
+  /** Compact the digest window: rewrite the [digest_base, epoch] union
+    * as ONE fresh epoch at `targetFiles` and re-base the pointer — the
+    * [[compactMinhashIndex]] move. Without it a continuously-maintained
+    * index accumulates one epoch dir per micro-batch in the relation
+    * every probe semi-joins. The bloom rebuilds from the compacted
+    * relation (bit-identical by construction — same digests); probe
+    * output is byte-identical before and after. */
+  def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val meta = readDigestIndexMeta(spark, path)
+    val next = meta.epoch + 1
+    readStoredDigests(spark, path, meta).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(digestsDir(path, next))
+    val compacted = spark.read.parquet(digestsDir(path, next))
+    val bits = graft.functions.BloomFilter.build(
+      digestBloomKeys(compacted), "__dk", meta.bloomBits, meta.bloomHashes)
+    MetaIO.writeBloomWords(spark, bits,
+      s"${digestDerivedDir(path, next)}/bloom")
+    val total = compacted.count()
+    warnIfDigestBloomSaturated(path, total, meta.bloomBits)
+    swapDigestMeta(spark, path,
+      meta.copy(epoch = next, digestBase = next, digestCount = total))
+    MetaIO.pruneEpochs(spark, Seq(s"$path/derived"),
+      superseded = meta.epoch)
+    MetaIO.pruneEpochs(spark, Seq(s"$path/digests"),
+      superseded = meta.digestBase)
+  }
+
+  /** Compact when the live epoch window has grown to `maxEpochs` dirs or
+    * more — the policy wrapper the continuous maintainer calls after
+    * each batch. Returns whether a compaction ran. */
+  def maybeCompactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, maxEpochs: Int): Boolean = {
+    require(maxEpochs >= 2, s"maxEpochs must be >= 2, got $maxEpochs " +
+      "(1 would compact after every append — pure rewrite churn)")
+    val meta = readDigestIndexMeta(spark, path)
+    if (meta.epoch - meta.digestBase + 1 >= maxEpochs) {
+      compactDigestIndex(spark, path)
+      true
+    } else false
+  }
+
+  /** Pin a prescreen predicate to ONE FilterExec evaluation site. The
+    * nondeterministic always-false disjunct (monotonically_increasing_id
+    * is non-negative, so `< -1` never holds) leaves semantics untouched
+    * but makes the whole predicate nondeterministic, so the optimizer
+    * neither pushes it into a scan's DataFilters (the PlanAuditSpec
+    * double-eval class) nor lifts it into a constraint that join-key
+    * inference would copy onto the STORED side — where it would
+    * re-evaluate the kernel over every stored row for nothing (stored
+    * keys pass their own bloom by construction). mid(), not rand():
+    * Spark 4 bound-folds rand comparisons to literals outside [0,1),
+    * which would collapse the disjunct and un-pin the predicate. The
+    * other bloom probes get this for free from a Generate/mapPartitions
+    * barrier below the filter; a probe over a bare projection (this
+    * one) has no such barrier. Cost: one long compare per row, inside
+    * whole-stage codegen. */
+  private def pinToFilter(pred: Column): Column =
+    pred || (monotonically_increasing_id() < -1L)
+
+  /** Probe a stored digest index: (probe_id, content_hash) for every
+    * probe row whose content digest exists in the stored window. Each
+    * probe digest prescreens against the bloom (codegen'd, map-side — a
+    * novel document dies before any exchange; no false negatives, so
+    * nothing true is lost), survivors verify by semi-join against the
+    * stored digests. The coalesce mirrors [[digestIndex]]: it marks the
+    * key non-nullable so the join's null-intolerance cannot push an
+    * isnotnull(md5(content)) — a full second hash of the batch — into
+    * the scan. */
+  def probeDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame, contentCol: String,
+                       idCol: String): DataFrame = {
+    val meta = readDigestIndexMeta(spark, path)
+    val words = MetaIO.readBloomWords(spark,
+      s"${digestDerivedDir(path, meta.epoch)}/bloom", meta.bloomBits)
+    val stored = readStoredDigests(spark, path, meta)
+    batch.select(col(idCol).as("probe_id"),
+        coalesce(digest(col(contentCol)), lit("")).as("content_hash"))
+      .filter(pinToFilter(graft.functions.BloomFilter.mightContainCol(
+        xxhash64(col("content_hash")), words, meta.bloomHashes,
+        meta.bloomBits)))
+      .join(stored, Seq("content_hash"), "left_semi")
+      .select(col("probe_id"), col("content_hash"))
+  }
+
+  /** Incremental exact dedup against a STORED index —
+    * [[dedupAgainstIndex]] with the history consulted through the
+    * artifact's bloom + window instead of a caller-owned relation: drop
+    * batch rows whose content already appears in the index, then dedup
+    * the survivors within the batch (keep min id). The matched-id set
+    * from the probe is duplicate-sized (usually small — AQE broadcasts
+    * it), so the batch itself is never shuffled on the digest. */
+  def dedupExactAgainstStoredIndex(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, batch: DataFrame,
+                                   contentCol: String,
+                                   idCol: String): DataFrame = {
+    val dupIds = probeDigestIndex(spark, path, batch, contentCol, idCol)
+      .select(col("probe_id")).distinct()
+    val fresh = batch.join(dupIds, batch(idCol) === col("probe_id"),
+      "left_anti")
+    dedupExact(fresh, contentCol, idCol)
+  }
+
   /** Persistable NEAR-dup index of a corpus snapshot: (id, MinHash
     * signature) for every doc with a real shingle set — the narrow
     * artifact tomorrow's crawl screens against without re-reading

@@ -17,6 +17,8 @@ object TextQueries {
     GraftQuery("q_dedup_exact", dedupExact, Some(dedupExactSql), bench = true),
     GraftQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     GraftQuery("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    GraftQuery("q_dedup_stored", dedupStored, Some(dedupIncrementalSql),
+      bench = true),
     GraftQuery("q_profile", profileDocs, Some(profileDocsSql)),
     GraftQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
@@ -747,6 +749,39 @@ object TextQueries {
     val prior = DedupOps.digestIndex(d.filter(col("doc_id") % 2 === 0), "text")
     DedupOps.dedupAgainstIndex(d.filter(col("doc_id") % 2 === 1), prior,
         "text", "doc_id")
+      .select(col("doc_id"))
+  }
+
+  /** Incremental exact dedup against the STORED digest index — the
+    * lifecycle row: the even-id half plays the prior snapshot, PERSISTED
+    * via [[DedupOps.writeDigestIndex]] in two slices (build doc_id%4==0,
+    * append doc_id%4==2 — so the append's delta anti-join is
+    * oracle-gated too) and then COMPACTED (probe output unchanged by
+    * construction — only the file layout moves, so this row also
+    * oracle-gates compactDigestIndex); the odd-id half screens against
+    * the artifact through the bloom prescreen + digest semi-join. Same
+    * oracle as q_dedup_incremental: the stored path must agree with the
+    * caller-owned relation exactly. Build-once caching keyed on a
+    * content fingerprint of the indexed half (the neardupIncremental
+    * discipline), so the benched steady state measures the PROBE — the
+    * daily-crawl regime, where yesterday's index is already on disk. */
+  def dedupStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val idxSide = d.filter(col("doc_id") % 2 === 0)
+    val fpRow = idxSide.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L)))
+      .collect()(0)
+    val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dg_idx_v1_" +
+      s"${math.abs(sfDir.hashCode)}_$fp"
+    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
+      DedupOps.writeDigestIndex(d.filter(col("doc_id") % 4 === 0), "text", dir)
+      DedupOps.appendDigestIndex(spark, dir,
+        d.filter(col("doc_id") % 4 === 2), "text")
+      DedupOps.compactDigestIndex(spark, dir)
+    }
+    DedupOps.dedupExactAgainstStoredIndex(spark, dir,
+        d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
       .select(col("doc_id"))
   }
 

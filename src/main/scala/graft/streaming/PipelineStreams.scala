@@ -803,6 +803,64 @@ object PipelineStreams {
       .start()
   }
 
+  /** Continuous exact-digest index maintenance — the exact-dedup twin
+    * of [[minhashMaintainStream]]: each micro-batch of arriving
+    * documents folds its content digests into the stored index
+    * ([[graft.pipeline.DedupOps.writeDigestIndex]]) exactly-once via
+    * [[graft.pipeline.DedupOps.ingestDigestBatch]] (applied batch id
+    * behind the meta swap; the digest anti-join makes replays a data
+    * no-op regardless), so every later segment's
+    * [[graft.pipeline.DedupOps.dedupExactAgainstStoredIndex]] probe
+    * sees all of history. Takes the STREAMING RELATION (the
+    * [[lmModelMaintainStream]] seam — document feeds are
+    * caller-shaped). Geometry applies only when THIS stream builds the
+    * artifact on first batch; an existing index's meta pins its own.
+    * `compactEvery` > 0 bounds the digest window exactly like the
+    * CDX/media legs. Returns the started query. */
+  def digestMaintainStream(docs: DataFrame, indexPath: String,
+                           checkpoint: String, contentCol: String,
+                           bloomBits: Int = 1 << 20,
+                           bloomHashes: Int = 4,
+                           compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming,
+      "digestMaintainStream needs a STREAMING relation; fold batch " +
+        "slices in via DedupOps.appendDigestIndex")
+    // validate geometry BEFORE start() — failing inside foreachBatch
+    // would crash-loop the query (the mediaHashMaintainStream
+    // discipline); these mirror the build path's requires
+    require(bloomBits >= 64 && bloomBits % 64 == 0 &&
+        bloomBits <= (1 << 27),
+      s"bloomBits must be a positive multiple of 64 up to 2^27, " +
+        s"got $bloomBits")
+    require(bloomHashes >= 1 && bloomHashes <= 16,
+      s"bloomHashes must be in [1,16], got $bloomHashes")
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
+        "(1 would compact after every append — pure rewrite churn)")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        DedupOps.ingestDigestBatch(
+          batch.sparkSession, indexPath, batch.toDF(), contentCol,
+          batchId, bloomBits, bloomHashes)
+        // unconditional + caught, the warcIndexMaintainStream
+        // discipline: a post-commit compaction error must not mark an
+        // already-committed batch failed
+        if (compactEvery > 0)
+          try DedupOps.maybeCompactDigestIndex(
+            batch.sparkSession, indexPath, compactEvery)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] digest maintainer at $indexPath: post-commit " +
+                s"compaction failed (batch $batchId committed fine, " +
+                s"window stays unbounded until a compaction succeeds): $e")
+          }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous decontamination-index maintenance: each micro-batch of
     * newly-adopted benchmark documents folds into the stored index
     * ([[graft.pipeline.TextOps.writeDecontamIndex]]) exactly-once via

@@ -139,6 +139,61 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
       s"window must stay bounded by compactEvery, meta was $m")
   }
 
+  test("digestMaintainStream: landed document batches keep the stored " +
+    "exact-digest index current across a restart; compactEvery bounds " +
+    "the digest window; the final dedup equals the one-shot build; a " +
+    "batch relation is refused") {
+    val dir = tmp("dg_feed")
+    val index = tmp("dg_index") + "/dg"
+    val ckpt = tmp("dg_ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    val s1 = Seq((0L, "alpha"), (1L, "beta"))
+    val s2 = Seq((2L, "gamma"))
+    val s3 = Seq((3L, "delta"))
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "delta"),
+      (13L, "epsilon"), (14L, "epsilon")).toDF("doc_id", "text")
+    def survivors(path: String): Set[Seq[Any]] =
+      graft.pipeline.DedupOps.dedupExactAgainstStoredIndex(spark, path,
+          batch, "text", "doc_id")
+        .select("doc_id").collect().map(_.toSeq).toSet
+    def start() = PipelineStreams.digestMaintainStream(
+      spark.readStream.schema(docSchema).parquet(dir),
+      index, ckpt, "text", compactEvery = 2)
+    // a non-streaming relation must be refused before start()
+    intercept[IllegalArgumentException] {
+      PipelineStreams.digestMaintainStream(
+        s1.toDF("doc_id", "text"), index, ckpt, "text")
+    }
+    val exp12 = tmp("dg_e12") + "/dg"
+    val exp123 = tmp("dg_e123") + "/dg"
+    graft.pipeline.DedupOps.writeDigestIndex(
+      (s1 ++ s2).toDF("doc_id", "text"), "text", exp12)
+    graft.pipeline.DedupOps.writeDigestIndex(
+      (s1 ++ s2 ++ s3).toDF("doc_id", "text"), "text", exp123)
+    drop(s1)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first batch folded")(
+        tryRows(survivors(index)).nonEmpty)
+      drop(s2) // lands mid-flight
+      awaitArtifact(q1, "second batch folded")(
+        tryRows(survivors(index)) == survivors(exp12))
+    } finally q1.stop()
+    drop(s3) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitArtifact(q2, "down-time batch picked up on restart")(
+      tryRows(survivors(index)) == survivors(exp123))
+    finally q2.stop()
+    // 10/11/12 are stored dups; 13/14 share novel content, 13 survives
+    assert(survivors(index).map(_.head) == Set(13L))
+    // compactEvery = 2 kept the maintained digest window bounded
+    val m = graft.pipeline.DedupOps.readDigestIndexMeta(spark, index)
+    assert(m.epoch - m.digestBase + 1 <= 2,
+      s"window must stay bounded by compactEvery, meta was $m")
+  }
+
   test("decontamMaintainStream: landed benchmark suites keep the " +
     "stored index current across a restart; the final screen equals " +
     "the one-shot build") {
