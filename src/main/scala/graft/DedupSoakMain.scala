@@ -71,6 +71,78 @@ object DedupSoakMain {
     println(f"  flagged=$flagged%,d pairs (>= $expected%,d planted dups; the rest " +
       "are incidental signature collisions in the synthetic vocab), " +
       f"index=$tIdx%.1fs screen=$tScreen%.1fs")
+
+    // ---- 3. STORED digest-index lifecycle at scale --------------------
+    // Its OWN corpus, injective in the id (leg 2's modular vocab has
+    // period 999,983, so past ~1M ids every "novel" odd doc collides
+    // with some even doc — the residue-coverage hole the round-15 notes
+    // warn about, which would make this leg degenerate: zero survivors,
+    // 100% prescreen pass). History = even ids with unique text,
+    // persisted as the managed exact-digest artifact (build half,
+    // append half, re-drop the append to prove idempotence, compact);
+    // the odd-id batch plants a true duplicate every 50 ids and dedups
+    // against the artifact. Correctness is an EQUALITY cross-check
+    // against the caller-owned dedupAgainstIndex path over the same
+    // corpus. Bloom sized for the corpus (2^25 bits ≈ 3.3M digests at
+    // 10 bits/element; the 2^20 default would saturate at this scale —
+    // the capacity WARN's regime).
+    val dgDir = java.nio.file.Files
+      .createTempDirectory("graft_dgsoak").toString + "/dg"
+    def uniqText(id: org.apache.spark.sql.Column) = concat(lit("doc "), id)
+    val dgHistory = spark.range(0, nDocs, 2)
+      .select(col("id").as("doc_id"), uniqText(col("id")).as("text"))
+      .localCheckpoint()
+    val dgBatch = spark.range(1, nDocs, 2).select(col("id").as("doc_id"),
+      when(col("id") % 50 === 1, uniqText(col("id") - 1))
+        .otherwise(uniqText(col("id"))).as("text"))
+      .localCheckpoint()
+    val histA = dgHistory.filter(col("doc_id") % 4 === 0)
+    val histB = dgHistory.filter(col("doc_id") % 4 === 2)
+    val (_, tBuild) = time("digest index build (half history)") {
+      graft.pipeline.DedupOps.writeDigestIndex(histA, "text", dgDir,
+        bloomBits = 1 << 25)
+    }
+    val (_, tAppend) = time("digest append (other half)") {
+      graft.pipeline.DedupOps.appendDigestIndex(spark, dgDir, histB, "text")
+    }
+    def dgCount() = graft.pipeline.DedupOps
+      .readDigestIndexMeta(spark, dgDir).digestCount
+    val afterAppend = dgCount()
+    time("re-dropped append (idempotence)") {
+      graft.pipeline.DedupOps.appendDigestIndex(spark, dgDir, histB, "text")
+    }
+    require(dgCount() == afterAppend,
+      s"re-dropped segment must add zero digests ($afterAppend -> ${dgCount()})")
+    val (_, tCompact) = time("digest window compaction") {
+      graft.pipeline.DedupOps.compactDigestIndex(spark, dgDir)
+    }
+    val (survStored, tProbe) = time(
+      f"stored-index dedup of ${nDocs / 2}%,d batch docs") {
+      graft.pipeline.DedupOps.dedupExactAgainstStoredIndex(spark, dgDir,
+        dgBatch, "text", "doc_id").count()
+    }
+    val (survOwned, _) = time("caller-owned ground truth (dedupAgainstIndex)") {
+      graft.pipeline.DedupOps.dedupAgainstIndex(dgBatch,
+        graft.pipeline.DedupOps.digestIndex(dgHistory, "text"),
+        "text", "doc_id").count()
+    }
+    require(survStored == survOwned,
+      s"stored-path survivors $survStored != caller-owned $survOwned")
+    // closed form on the injective corpus: planted dups are the odd ids
+    // == 1 mod 50 (always odd — 1 + even), everything else survives
+    val planted = (1L until nDocs by 2).count(_ % 50 == 1)
+    require(survStored == nDocs / 2 - planted,
+      s"survivors $survStored != closed-form ${nDocs / 2 - planted}")
+    val (passed, total) = graft.pipeline.DedupOps.digestBloomPassStats(
+      spark, dgDir, dgBatch, "text")
+    println(f"  survivors=$survStored%,d (== caller-owned == closed form), " +
+      f"digests=$afterAppend%,d, build=$tBuild%.1fs append=$tAppend%.1fs " +
+      f"compact=$tCompact%.1fs probe=$tProbe%.1fs")
+    val novel = total - planted
+    val fp = 100.0 * (passed - planted) / novel
+    println(f"  bloom prescreen: $passed%,d / $total%,d probe digests pass " +
+      f"($planted%,d true dups always pass; measured false-positive rate " +
+      f"over the $novel%,d novel digests = $fp%.2f%%)")
     spark.stop()
   }
 }

@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The daily ADMISSION front door — the one-call form of the job a
+  * training-data pipeline actually runs on every new crawl segment:
+  * screen the batch against the quality gates and EVERY stored artifact
+  * (exact-digest index, MinHash near-dup index, decontamination index,
+  * bigram LM model), and give each document its FIRST-FAILURE verdict:
+  *
+  *   gate → exact_dup → near_dup → contaminated → low_quality → admitted
+  *
+  * Each stage is optional (no store path → stage skipped), and each
+  * consults the corresponding persisted artifact through its audited
+  * probe ([[DedupOps.probeDigestIndex]],
+  * [[DedupOps.nearDupAgainstStoredIndex]],
+  * [[TextOps.screenAgainstStoredDecontam]],
+  * [[TextOps.scoreAgainstStoredLm]]) — history is never re-read as a
+  * corpus, and every probe keeps its prescreen (digest bloom, band
+  * bloom + hot-band cap, broadcast bench shingles).
+  *
+  * Verdict semantics are CASCADE-EQUIVALENT while running every stage
+  * over the full batch as one declarative plan: every stage predicate
+  * is a pure function of one document's text against the stores, so a
+  * doc's flags don't depend on which other batch docs survive — and the
+  * one batch-relative stage, in-batch exact dedup, partitions by the
+  * content digest, within which text (hence gate status and every other
+  * flag) is uniform: a group whose keeper a cascade would remove at an
+  * earlier stage has that same earlier verdict here for ALL its
+  * members, keeper included, by precedence.
+  * Trade stated plainly: a cascade would skip screening already-dropped
+  * docs (cheaper on heavy-dup corpora) at the cost of materializing
+  * text-carrying survivor relations between stages; this form scans the
+  * batch once per enabled stage, keeps everything lazy, and yields the
+  * per-stage accounting every pipeline monitors anyway. Flag relations
+  * are dropped-id-sized (AQE broadcasts them); the only full-batch
+  * shuffle is the in-batch dedup window — the same single shuffle as
+  * [[DedupOps.dedupExact]].
+  */
+object AdmissionOps {
+
+  /** Paths of the persisted artifacts a batch screens against; None
+    * skips that stage. */
+  final case class AdmissionStores(
+      digestIndexPath: Option[String] = None,
+      minhashIndexPath: Option[String] = None,
+      decontamIndexPath: Option[String] = None,
+      lmModelPath: Option[String] = None)
+
+  val VerdictGate = "gate"
+  val VerdictExactDup = "exact_dup"
+  val VerdictNearDup = "near_dup"
+  val VerdictContaminated = "contaminated"
+  val VerdictLowQuality = "low_quality"
+  val VerdictAdmitted = "admitted"
+
+  /** The batch with a `verdict` column appended — every input row keeps
+    * all its columns and gains its first-failure stage name (or
+    * "admitted"). Gate semantics mirror [[CorpusFilter.gate]]: a doc
+    * passes only when the configured predicates evaluate TRUE (a null
+    * text/quality fails the gate, as the filter form drops it).
+    * `lmMinAvgScore` is in [[TextOps.scoreAgainstStoredLm]]'s integer
+    * fixed-point units; docs below it (including zero-bigram docs,
+    * which score 0) are rejected as low_quality when the LM stage is
+    * enabled. */
+  def withAdmissionVerdict(spark: SparkSession, batch: DataFrame,
+                           textCol: String, idCol: String,
+                           stores: AdmissionStores,
+                           langCode: Option[String] = None,
+                           minQuality: Option[Double] = None,
+                           nearDupMinAgree: Double = 0.5,
+                           decontamMinOverlap: Long = 5L,
+                           lmMinAvgScore: Option[Long] = None): DataFrame = {
+    require(lmMinAvgScore.isEmpty || stores.lmModelPath.nonEmpty,
+      "lmMinAvgScore needs stores.lmModelPath")
+    import org.apache.spark.sql.expressions.Window
+    val helperCols = Seq("__ad_gate", "__ad_digest", "__ad_rn",
+      "__ad_exact", "__ad_near", "__ad_contam", "__ad_lm")
+    helperCols.foreach(h => require(!batch.columns.contains(h),
+      s"batch already has a column named $h"))
+    val quals = TextOps.qualityColumns(col(textCol)).toMap
+    val gatePass: Column = {
+      val langOk = langCode.map(c =>
+        TextOps.languageId(col(textCol)).getField("lang") === c)
+      val qualOk = minQuality.map(q => quals("quality_score") >= q)
+      (langOk.toSeq ++ qualOk.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    }
+    // keep-min-id per digest (dedupExact's window); within a digest
+    // group the text is identical, so gate status and every stored-side
+    // flag are uniform — the rank never has to look at them
+    val withRank = batch
+      .withColumn("__ad_gate", !coalesce(gatePass, lit(false)))
+      .withColumn("__ad_digest",
+        coalesce(DedupOps.digest(col(textCol)), lit("")))
+      .withColumn("__ad_rn", row_number().over(
+        Window.partitionBy(col("__ad_digest"))
+          .orderBy(col(idCol).asc)))
+    def flagRel(rel: DataFrame, srcId: String, flag: String): DataFrame =
+      rel.select(col(srcId).as(idCol)).distinct()
+        .withColumn(flag, lit(true))
+    val flags = Seq(
+      stores.digestIndexPath.map(p => flagRel(
+        DedupOps.probeDigestIndex(spark, p, batch, textCol, idCol),
+        "probe_id", "__ad_exact")),
+      stores.minhashIndexPath.map(p => flagRel(
+        DedupOps.nearDupAgainstStoredIndex(spark, p, batch, textCol,
+          idCol, nearDupMinAgree),
+        "new_id", "__ad_near")),
+      stores.decontamIndexPath.map(p => flagRel(
+        TextOps.screenAgainstStoredDecontam(spark, p, batch, textCol,
+          idCol, decontamMinOverlap),
+        "train_id", "__ad_contam")),
+      (stores.lmModelPath, lmMinAvgScore) match {
+        case (Some(p), Some(minScore)) => Some(flagRel(
+          TextOps.scoreAgainstStoredLm(spark, p, batch, textCol, idCol)
+            .filter(col("avg_score") < minScore),
+          idCol, "__ad_lm"))
+        case _ => None
+      }).flatten
+    val joined = flags.foldLeft(withRank)(
+      (acc, f) => acc.join(f, Seq(idCol), "left"))
+    def flagged(c: String): Column =
+      if (joined.columns.contains(c)) coalesce(col(c), lit(false))
+      else lit(false)
+    val verdict =
+      when(col("__ad_gate"), VerdictGate)
+        .when(flagged("__ad_exact"), VerdictExactDup)
+        .when(col("__ad_rn") > 1, VerdictExactDup)
+        .when(flagged("__ad_near"), VerdictNearDup)
+        .when(flagged("__ad_contam"), VerdictContaminated)
+        .when(flagged("__ad_lm"), VerdictLowQuality)
+        .otherwise(VerdictAdmitted)
+    joined.withColumn("verdict", verdict)
+      .drop(helperCols: _*)
+  }
+
+  /** (id, verdict) for every batch doc — the monitoring relation. */
+  def admissionVerdicts(spark: SparkSession, batch: DataFrame,
+                        textCol: String, idCol: String,
+                        stores: AdmissionStores,
+                        langCode: Option[String] = None,
+                        minQuality: Option[Double] = None,
+                        nearDupMinAgree: Double = 0.5,
+                        decontamMinOverlap: Long = 5L,
+                        lmMinAvgScore: Option[Long] = None): DataFrame =
+    withAdmissionVerdict(spark, batch, textCol, idCol, stores, langCode,
+      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore)
+      .select(col(idCol), col("verdict"))
+
+  /** The admitted rows only, original schema — the batch that lands in
+    * the corpus. */
+  def admitAgainstStores(spark: SparkSession, batch: DataFrame,
+                         textCol: String, idCol: String,
+                         stores: AdmissionStores,
+                         langCode: Option[String] = None,
+                         minQuality: Option[Double] = None,
+                         nearDupMinAgree: Double = 0.5,
+                         decontamMinOverlap: Long = 5L,
+                         lmMinAvgScore: Option[Long] = None): DataFrame =
+    withAdmissionVerdict(spark, batch, textCol, idCol, stores, langCode,
+      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore)
+      .filter(col("verdict") === VerdictAdmitted)
+      .drop("verdict")
+
+  /** Per-stage drop counts — ONE aggregation over the verdicts, the
+    * number every daily-admission dashboard plots. */
+  def admissionReport(spark: SparkSession, batch: DataFrame,
+                      textCol: String, idCol: String,
+                      stores: AdmissionStores,
+                      langCode: Option[String] = None,
+                      minQuality: Option[Double] = None,
+                      nearDupMinAgree: Double = 0.5,
+                      decontamMinOverlap: Long = 5L,
+                      lmMinAvgScore: Option[Long] = None): DataFrame =
+    admissionVerdicts(spark, batch, textCol, idCol, stores, langCode,
+      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore)
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+}

@@ -447,6 +447,29 @@ object DedupOps {
       .select(col("probe_id"), col("content_hash"))
   }
 
+  /** Measured bloom-prescreen pass ratio for a probe batch against a
+    * stored digest index — the cost observability the capacity WARN
+    * predicts ([[graft.pipeline.MultimodalOps.mediaBloomPassStats]]'s
+    * digest twin): (passed, total) probe digests. True duplicates
+    * always pass (no false negatives); the pass ratio among NOVEL
+    * digests is the bloom's false-positive rate — the fraction of the
+    * batch that needlessly reaches the semi-join's exchange. */
+  def digestBloomPassStats(spark: org.apache.spark.sql.SparkSession,
+                           path: String, probes: DataFrame,
+                           contentCol: String): (Long, Long) = {
+    val meta = readDigestIndexMeta(spark, path)
+    val words = MetaIO.readBloomWords(spark,
+      s"${digestDerivedDir(path, meta.epoch)}/bloom", meta.bloomBits)
+    val row = probes
+      .select(coalesce(digest(col(contentCol)), lit("")).as("__ch"))
+      .agg(count(lit(1)).as("total"),
+        count(when(graft.functions.BloomFilter.mightContainCol(
+          xxhash64(col("__ch")), words, meta.bloomHashes, meta.bloomBits),
+          1)).as("passed"))
+      .collect()(0)
+    (row.getLong(1), row.getLong(0))
+  }
+
   /** Incremental exact dedup against a STORED index —
     * [[dedupAgainstIndex]] with the history consulted through the
     * artifact's bloom + window instead of a caller-owned relation: drop

@@ -19,6 +19,7 @@ object TextQueries {
     GraftQuery("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     GraftQuery("q_dedup_stored", dedupStored, Some(dedupIncrementalSql),
       bench = true),
+    GraftQuery("q_e2e_admit", e2eAdmit, Some(e2eAdmitSql), bench = true),
     GraftQuery("q_profile", profileDocs, Some(profileDocsSql)),
     GraftQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
@@ -767,23 +768,50 @@ object TextQueries {
     * daily-crawl regime, where yesterday's index is already on disk. */
   def dedupStored(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val idxSide = d.filter(col("doc_id") % 2 === 0)
-    val fpRow = idxSide.agg(count(lit(1)),
+    DedupOps.dedupExactAgainstStoredIndex(spark,
+        storedDigestIdxDir(spark, sfDir, d),
+        d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      .select(col("doc_id"))
+  }
+
+  /** Cheap content fingerprint (count + xor of id/length hashes) for
+    * the build-once artifact caches: regenerated testdata under the
+    * SAME path can never serve a stale index (the v1→v2 escape class,
+    * closed structurally instead of by version bump). */
+  private def contentFp(df: DataFrame): String = {
+    val r = df.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L)))
       .collect()(0)
-    val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dg_idx_v1_" +
-      s"${math.abs(sfDir.hashCode)}_$fp"
-    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
+    s"${r.getLong(0)}_${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
+  /** Build-once cache dir for a stored artifact keyed by (tag, testdata
+    * dir, indexed-content fingerprint) — the daily-crawl regime the
+    * lifecycle rows serve: yesterday's artifact is already on disk when
+    * today's batch screens against it, so the benched steady state
+    * measures the PROBE, not a rebuild of an immutable artifact. */
+  private def cachedArtifactDir(tag: String, sfDir: String,
+                                keyDf: DataFrame)
+                               (build: String => Unit): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${math.abs(sfDir.hashCode)}_${contentFp(keyDf)}"
+    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) build(dir)
+    dir
+  }
+
+  /** The stored exact-digest index over the even-id half, built in two
+    * slices + compacted (so its consumers also oracle-gate
+    * appendDigestIndex and compactDigestIndex — probe output is
+    * unchanged by construction, only the file layout moves). */
+  private def storedDigestIdxDir(spark: SparkSession, sfDir: String,
+                                 d: DataFrame): String =
+    cachedArtifactDir("dg_idx_v1", sfDir,
+      d.filter(col("doc_id") % 2 === 0)) { dir =>
       DedupOps.writeDigestIndex(d.filter(col("doc_id") % 4 === 0), "text", dir)
       DedupOps.appendDigestIndex(spark, dir,
         d.filter(col("doc_id") % 4 === 2), "text")
       DedupOps.compactDigestIndex(spark, dir)
     }
-    DedupOps.dedupExactAgainstStoredIndex(spark, dir,
-        d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
-      .select(col("doc_id"))
-  }
 
   def dedupIncrementalSql: String =
     """WITH prior AS (
@@ -1119,12 +1147,12 @@ object TextQueries {
     graft.pipeline.CorpusFilter.filterCorpus(docs(spark, sfDir), "text", "doc_id",
       CF_LANG, CF_MIN_QUALITY, CF_TOK_PERMILLE)
 
-  def corpusFilterSql: String = {
+  /** The gate's quality CTE (`q`), shared by the corpus-filter and
+    * admission oracles so the quality formula cannot drift. */
+  private def qualityCteSql: String = {
     val stopList = TextOps.langProfiles.flatMap(_._2).distinct.sorted
     val stop = TextOps.langScoreSql("text", stopList)
-    val quantile = graft.pipeline.StatsOps.exactQuantilesSql(
-      "SELECT n_tokens AS v FROM kept", Seq(CF_TOK_PERMILLE))
-    s"""$langRankCtes, q AS (
+    s"""q AS (
        |  SELECT doc_id, text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    least(100.0, greatest(0.0,
@@ -1133,7 +1161,13 @@ object TextQueries {
        |      + (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
        |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0)) AS quality_score
        |  FROM documents
-       |), kept AS (
+       |)""".stripMargin
+  }
+
+  def corpusFilterSql: String = {
+    val quantile = graft.pipeline.StatsOps.exactQuantilesSql(
+      "SELECT n_tokens AS v FROM kept", Seq(CF_TOK_PERMILLE))
+    s"""$langRankCtes, $qualityCteSql, kept AS (
        |  SELECT q.* FROM q JOIN l USING (doc_id)
        |  WHERE l.lang_pred = '$CF_LANG' AND q.quality_score >= $CF_MIN_QUALITY
        |), gated AS (
@@ -1550,39 +1584,36 @@ object TextQueries {
     * permutations. */
   def neardupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    // Build the snapshot index ONCE per (testdata dir, geometry,
-    // CONTENT) and probe it thereafter — the daily-crawl regime the
-    // operator serves (yesterday's index is already on disk when
-    // today's crawl screens against it), so the benched steady state
-    // measures the probe, not a rebuild of an immutable artifact.
-    // The cache key carries a cheap content fingerprint of the indexed
-    // half (count + xor of id/length hashes), so regenerated testdata
-    // under the SAME path can never serve a stale index (the v1→v2
-    // escape class, closed structurally instead of by version bump).
-    // v3: epoch-versioned derived relations (meta schema changed).
-    // v4: epoch'd signature window under a [sig_base, epoch] range
-    //     pointer (compaction support; meta schema changed again).
-    // v5: the build now COMPACTS before serving, so this row also
-    //     oracle-gates compactMinhashIndex (probe output is unchanged
-    //     by construction — only the file layout moves).
+    DedupOps.nearDupAgainstStoredIndex(spark,
+      storedMinhashIdxDir(spark, sfDir, d),
+      d.filter(col("doc_id") % 2 === 1), "text", "doc_id", NI_MIN_AGREE)
+  }
+
+  /** The stored MinHash index over the even-id half, compacted after
+    * the build (so consumers also oracle-gate compactMinhashIndex —
+    * probe output unchanged by construction). Cache-dir versions:
+    * v3 epoch-versioned derived relations; v4 epoch'd signature window
+    * under a [sig_base, epoch] range pointer; v5 the build compacts
+    * before serving. */
+  private def storedMinhashIdxDir(spark: SparkSession, sfDir: String,
+                                  d: DataFrame): String = {
     val idxSide = d.filter(col("doc_id") % 2 === 0)
-    val fpRow = idxSide.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L))).collect()(0)
-    val fp = s"${fpRow.getLong(0)}_${java.lang.Long.toHexString(fpRow.getLong(1))}"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_v5_" +
-      s"${K}_${NUM_HASHES}_${BANDS}_${math.abs(sfDir.hashCode)}_$fp"
-    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists()) {
+    cachedArtifactDir(s"mh_idx_v5_${K}_${NUM_HASHES}_${BANDS}", sfDir,
+      idxSide) { dir =>
       DedupOps.writeMinhashIndex(idxSide,
         "text", "doc_id", dir, K, NUM_HASHES, BANDS)
       DedupOps.compactMinhashIndex(spark, dir)
     }
-    DedupOps.nearDupAgainstStoredIndex(spark, dir,
-      d.filter(col("doc_id") % 2 === 1), "text", "doc_id", NI_MIN_AGREE)
   }
 
-  def neardupIncrementalSql: String = {
+  /** The stored-MinHash screen's CTE chain (even-id index side, odd-id
+    * batch side, hot-band cap, full-signature agreement scoring) —
+    * shared by the near-dup row and the admission row so the two
+    * oracles cannot drift. Expects the shingle CTEs (`sh`) upstream;
+    * ends with `scored (new_id, old_id, n_agree)`. */
+  private def minhashScreenCtes: String = {
     val r = NUM_HASHES / BANDS
-    s"""$shinglesCte, sig AS (
+    s"""sig AS (
        |  SELECT doc_id, list_transform(range(0, $NUM_HASHES), h -> $sigExpr) AS sig
        |  FROM sh WHERE len(hs) > 0
        |), idx AS (
@@ -1610,11 +1641,90 @@ object TextQueries {
        |      j -> CASE WHEN bb.new_sig[j] = bi.old_sig[j] THEN 1 ELSE 0 END))
        |      AS BIGINT) AS n_agree
        |  FROM bb JOIN bi ON bb.b = bi.b AND bb.band_hash = bi.band_hash
-       |)
+       |)""".stripMargin
+  }
+
+  def neardupIncrementalSql: String =
+    s"""$shinglesCte, $minhashScreenCtes
        |SELECT new_id, old_id, n_agree,
        |  CAST(n_agree AS DOUBLE) / $NUM_HASHES AS agree_frac
        |FROM scored
        |WHERE CAST(n_agree AS DOUBLE) / $NUM_HASHES >= $NI_MIN_AGREE""".stripMargin
+
+  /** The stored decontamination index over the %97 bench suite — the
+    * decontaminateStored split, cached build-once like the other
+    * lifecycle artifacts. */
+  private def storedDecontamIdxDir(spark: SparkSession, sfDir: String,
+                                   d: DataFrame): String = {
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    cachedArtifactDir("dc_idx_v1", sfDir, bench) { dir =>
+      graft.pipeline.TextOps.writeDecontamIndex(bench, "text", "doc_id",
+        dir, K)
+    }
+  }
+
+  /** The DAILY ADMISSION front door, end to end: the odd-id half plays
+    * today's crawl segment and screens against the quality gates plus
+    * THREE stored artifacts — the exact-digest index, the MinHash
+    * near-dup index (both over the even-id history, built in slices +
+    * compacted), and the decontamination index (%97 bench suite) — via
+    * [[graft.pipeline.AdmissionOps.admissionVerdicts]], yielding each
+    * doc's first-failure verdict (gate → exact_dup → near_dup →
+    * contaminated → admitted). One row per batch doc: the oracle checks
+    * the VERDICT of every document, not just the admitted set, so every
+    * stage's flag AND the precedence order are pinned. */
+  def e2eAdmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val stores = graft.pipeline.AdmissionOps.AdmissionStores(
+      digestIndexPath = Some(storedDigestIdxDir(spark, sfDir, d)),
+      minhashIndexPath = Some(storedMinhashIdxDir(spark, sfDir, d)),
+      decontamIndexPath = Some(storedDecontamIdxDir(spark, sfDir, d)))
+    graft.pipeline.AdmissionOps.admissionVerdicts(spark,
+      d.filter(col("doc_id") % 2 === 1), "text", "doc_id", stores,
+      langCode = Some(CF_LANG), minQuality = Some(CF_MIN_QUALITY),
+      nearDupMinAgree = NI_MIN_AGREE,
+      decontamMinOverlap = DECON_MIN_OVERLAP)
+  }
+
+  def e2eAdmitSql: String = {
+    val shingles = shinglesCte.stripPrefix("WITH ")
+    s"""$langRankCtes, $qualityCteSql, $shingles, $minhashScreenCtes, bat0 AS (
+       |  SELECT q.doc_id, q.text,
+       |    NOT COALESCE(l.lang_pred = '$CF_LANG'
+       |      AND q.quality_score >= $CF_MIN_QUALITY, FALSE) AS gate_fail
+       |  FROM q JOIN l USING (doc_id) WHERE q.doc_id % 2 = 1
+       |), prior AS (
+       |  SELECT DISTINCT md5(text) AS content_hash FROM documents
+       |  WHERE doc_id % 2 = 0
+       |), rnk AS (
+       |  SELECT doc_id, gate_fail,
+       |    md5(text) IN (SELECT content_hash FROM prior) AS exact_hit,
+       |    row_number() OVER (PARTITION BY md5(text)
+       |                       ORDER BY doc_id) AS rn
+       |  FROM bat0
+       |), near AS (
+       |  SELECT DISTINCT new_id FROM scored
+       |  WHERE CAST(n_agree AS DOUBLE) / $NUM_HASHES >= $NI_MIN_AGREE
+       |), contam AS (
+       |  SELECT DISTINCT t.train_id FROM (
+       |    SELECT doc_id AS train_id, unnest(hs) AS sh FROM sh
+       |    WHERE doc_id % 2 = 1
+       |  ) t JOIN (
+       |    SELECT DISTINCT doc_id AS bench_id, sh FROM (
+       |      SELECT doc_id, unnest(hs) AS sh FROM sh WHERE doc_id % 97 = 0
+       |    )
+       |  ) b ON t.sh = b.sh
+       |  GROUP BY t.train_id, b.bench_id
+       |  HAVING count(DISTINCT t.sh) >= $DECON_MIN_OVERLAP
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN gate_fail THEN 'gate'
+       |       WHEN exact_hit THEN 'exact_dup'
+       |       WHEN rn > 1 THEN 'exact_dup'
+       |       WHEN doc_id IN (SELECT new_id FROM near) THEN 'near_dup'
+       |       WHEN doc_id IN (SELECT train_id FROM contam) THEN 'contaminated'
+       |       ELSE 'admitted' END AS verdict
+       |FROM rnk""".stripMargin
   }
 
   private val VOCAB_GROUP_K = 10

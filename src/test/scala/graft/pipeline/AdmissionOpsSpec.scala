@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import graft.pipeline.AdmissionOps.AdmissionStores
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed admission front door: first-failure verdicts against
+  * the stored artifacts, precedence order, stage skipping, cascade
+  * equivalence, the LM quality stage, and the report/admit views. The
+  * individual screens each carry their own oracle; what THIS suite pins
+  * is the composition — that chaining them through one verdict column
+  * neither reorders, drops, nor double-counts any stage. */
+class AdmissionOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_adm_$tag").toString
+
+  // planted texts, one per verdict class (word lengths keep every
+  // non-stopword text's quality above the 10.0 gate; the all-stopword
+  // text scores 8 — below it)
+  private val SharedText = "shared text"                    // in digest store
+  private val StopText = "the the the the the the"          // fails quality gate
+  private val NearText = "w1 w2 w3 w4 w5 w6"                // in minhash store
+  private val BenchText = "c1 c2 c3 c4 c5"                  // decontam bench
+  private val MinQ = 10.0
+
+  /** Build the three stores once per suite. The digest store also
+    * carries StopText so a gate-failing doc can ALSO be a stored exact
+    * dup — the precedence probe. */
+  private lazy val stores: AdmissionStores = {
+    val dg = tmp("dg") + "/dg"
+    DedupOps.writeDigestIndex(
+      Seq((1000L, SharedText), (1001L, StopText)).toDF("doc_id", "text"),
+      "text", dg)
+    val mh = tmp("mh") + "/mh"
+    DedupOps.writeMinhashIndex(
+      Seq((2000L, NearText)).toDF("doc_id", "text"), "text", "doc_id", mh)
+    val dc = tmp("dc") + "/dc"
+    TextOps.writeDecontamIndex(
+      Seq((3000L, BenchText)).toDF("doc_id", "text"), "text", "doc_id",
+      dc, shingleK = 3)
+    AdmissionStores(digestIndexPath = Some(dg), minhashIndexPath = Some(mh),
+      decontamIndexPath = Some(dc))
+  }
+
+  private val batch = Seq(
+    (1L, SharedText),                 // stored exact dup
+    (3L, SharedText),                 // same digest group — also stored dup
+    (5L, NearText),                   // near-dup of the minhash store
+    (7L, "c1 c2 c3 c4 c5 z9 y8 x7"),  // >= 2 bench shingles -> contaminated
+    (9L, "u1 u2 u3"),                 // novel -> admitted
+    (11L, "u1 u2 u3"),                // in-batch dup of 9
+    (13L, StopText),                  // gate fails AND stored dup -> gate
+    (15L, "v1 v2 v3")                 // novel -> admitted
+  ).toDF("doc_id", "text")
+
+  private def verdicts(b: org.apache.spark.sql.DataFrame = batch,
+                       s: AdmissionStores = stores,
+                       minQuality: Option[Double] = Some(MinQ),
+                       lmMin: Option[Long] = None): Map[Long, String] =
+    AdmissionOps.admissionVerdicts(spark, b, "text", "doc_id", s,
+        langCode = None, minQuality = minQuality,
+        nearDupMinAgree = 0.5, decontamMinOverlap = 2L,
+        lmMinAvgScore = lmMin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("first-failure verdicts: every class lands on its planted doc, " +
+    "and precedence beats later stages (gate over exact_dup; exact " +
+    "over near/contam)") {
+    val got = verdicts()
+    assert(got == Map(
+      1L -> "exact_dup", 3L -> "exact_dup", 5L -> "near_dup",
+      7L -> "contaminated", 9L -> "admitted", 11L -> "exact_dup",
+      13L -> "gate", 15L -> "admitted"), s"got $got")
+  }
+
+  test("stage skipping: a None store never yields its verdict; no gates " +
+    "and no stores admits everything except in-batch dups") {
+    val none = AdmissionStores()
+    val got = verdicts(s = none, minQuality = None)
+    assert(got.values.toSet == Set("admitted", "exact_dup"))
+    assert(got(11L) == "exact_dup" && got(9L) == "admitted",
+      "in-batch keep-min-id works with every store disabled")
+    // only the digest store on: near/contam texts admit
+    val dgOnly = AdmissionStores(digestIndexPath = stores.digestIndexPath)
+    val got2 = verdicts(s = dgOnly, minQuality = None)
+    assert(got2(5L) == "admitted" && got2(7L) == "admitted" &&
+      got2(1L) == "exact_dup" && got2(13L) == "exact_dup")
+  }
+
+  test("cascade equivalence: the admitted set equals running the stages " +
+    "one by one on survivors") {
+    val admitted = AdmissionOps.admitAgainstStores(spark, batch, "text",
+        "doc_id", stores, langCode = None, minQuality = Some(MinQ),
+        nearDupMinAgree = 0.5, decontamMinOverlap = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the manual cascade, from the audited primitives
+    val quals = TextOps.qualityColumns(col("text")).toMap
+    val g = batch.filter(coalesce(quals("quality_score") >= MinQ, lit(false)))
+    val s2 = DedupOps.dedupExactAgainstStoredIndex(spark,
+      stores.digestIndexPath.get, g, "text", "doc_id")
+    val s3 = s2.join(
+      DedupOps.nearDupAgainstStoredIndex(spark, stores.minhashIndexPath.get,
+          s2, "text", "doc_id", 0.5)
+        .select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val s4 = s3.join(
+      TextOps.screenAgainstStoredDecontam(spark, stores.decontamIndexPath.get,
+          s3, "text", "doc_id", 2L)
+        .select(col("train_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val cascade = s4.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == cascade, s"one-plan $admitted != cascade $cascade")
+    assert(admitted == Set(9L, 15L))
+  }
+
+  test("LM stage: docs scoring below lmMinAvgScore against the stored " +
+    "model reject as low_quality, after every other stage") {
+    val lm = tmp("lm") + "/lm"
+    TextOps.writeLmModel(
+      Seq((5000L, "a b a b a b a b"), (5001L, "a b a b")).toDF("doc_id", "text"),
+      "text", "doc_id", lm)
+    val s = stores.copy(lmModelPath = Some(lm))
+    // in-model bigrams score high; unseen bigrams low; zero-bigram docs 0
+    val probe = Seq((9L, "a b a b"), (15L, "q9"), (21L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    val scored = TextOps.scoreAgainstStoredLm(spark, lm, probe, "text",
+        "doc_id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // threshold between the in-model doc and the rest
+    val cut = scored(9L)
+    assert(scored(15L) < cut && scored(21L) < cut,
+      s"planted scores must separate, got $scored")
+    val got = verdicts(b = probe, s = s, lmMin = Some(cut))
+    assert(got == Map(9L -> "admitted", 15L -> "low_quality",
+      21L -> "low_quality"), s"got $got")
+    // and the knob without a model path refuses loudly
+    intercept[IllegalArgumentException] {
+      AdmissionOps.admissionVerdicts(spark, probe, "text", "doc_id",
+        stores, lmMinAvgScore = Some(0L))
+    }
+  }
+
+  test("admitAgainstStores keeps the original schema; admissionReport " +
+    "counts match the verdicts; helper-column collisions refuse") {
+    val admitted = AdmissionOps.admitAgainstStores(spark, batch, "text",
+      "doc_id", stores, langCode = None, minQuality = Some(MinQ),
+      decontamMinOverlap = 2L)
+    assert(admitted.columns.toSeq == Seq("doc_id", "text"))
+    val report = AdmissionOps.admissionReport(spark, batch, "text",
+        "doc_id", stores, langCode = None, minQuality = Some(MinQ),
+        decontamMinOverlap = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byVerdict = verdicts().groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(report == byVerdict, s"report $report != verdicts $byVerdict")
+    intercept[IllegalArgumentException] {
+      AdmissionOps.admissionVerdicts(spark,
+        batch.withColumn("__ad_gate", lit(false)), "text", "doc_id", stores)
+    }
+  }
+}
