@@ -163,6 +163,71 @@ object AdmissionOps {
       .filter(col("verdict") === VerdictAdmitted)
       .drop("verdict")
 
+  /** One micro-batch through the ADMIT→INGEST loop, exactly once — the
+    * continuous form of the daily admission job, closing the same loop
+    * for the corpus that [[graft.pipeline.WarcOps.ingestWarcIndexBatch]]
+    * closes for the crawl index: the batch screens against the stores
+    * AS OF the batch start, its admitted rows land at
+    * `outDir/b<batchId>`, and their digests fold into the digest store
+    * so the NEXT batch's exact screen covers everything ever admitted.
+    * The digest store is the loop's own artifact (first batch builds
+    * it; the batch-id pointer lives in its meta); `staticStores` are
+    * read-only snapshots (MinHash/decontam/LM) maintained by their own
+    * legs.
+    *
+    * Store-coverage contract, stated plainly: the digest store covers
+    * the ADMITTED corpus — "exact_dup" means "already in the corpus".
+    * A byte-identical copy of a previously REJECTED doc is not an
+    * exact_dup; it re-derives the same rejection through the same
+    * screens (correct verdict, re-paid compute).
+    *
+    * Crash-window audit (write admitted FIRST, ingest digests SECOND):
+    * a crash before the ingest replays into a recompute against the
+    * unchanged store — same verdicts, `b<batchId>` overwritten
+    * wholesale, then the ingest commits; a crash after the ingest
+    * replays into the pointer skip, leaving the already-written
+    * `b<batchId>` untouched. Either way every admitted row lands
+    * exactly once and is never re-screened against its own digests
+    * (the self-duplicate false-positive a verdict-first replay would
+    * produce). Id regressions refuse loudly like every other pointer. */
+  def ingestAdmissionBatch(spark: SparkSession, batch: DataFrame,
+                           textCol: String, idCol: String, batchId: Long,
+                           outDir: String, digestIndexPath: String,
+                           staticStores: AdmissionStores = AdmissionStores(),
+                           langCode: Option[String] = None,
+                           minQuality: Option[Double] = None,
+                           nearDupMinAgree: Double = 0.5,
+                           decontamMinOverlap: Long = 5L,
+                           lmMinAvgScore: Option[Long] = None,
+                           bloomBits: Int = 1 << 20,
+                           bloomHashes: Int = 4): Boolean = {
+    require(staticStores.digestIndexPath.isEmpty,
+      "the admission loop OWNS the digest store — pass digestIndexPath, " +
+        "not staticStores.digestIndexPath")
+    val hasStore = MetaIO.metaExistsOrRecover(spark, digestIndexPath)
+    if (hasStore) {
+      val meta = DedupOps.readDigestIndexMeta(spark, digestIndexPath)
+      if (batchId <= meta.lastBatchId) {
+        MetaIO.requireReplayNotRegression("admission loop",
+          digestIndexPath, batchId, meta.lastBatchId, "documents",
+          "admitAgainstStores + appendDigestIndex")
+        return false // replayed batch: b<batchId> already on disk
+      }
+    }
+    val stores = staticStores.copy(
+      digestIndexPath = if (hasStore) Some(digestIndexPath) else None)
+    val admitted = admitAgainstStores(spark, batch, textCol, idCol,
+      stores, langCode, minQuality, nearDupMinAgree, decontamMinOverlap,
+      lmMinAvgScore)
+      .localCheckpoint() // consumed twice: the landing write + the ingest
+    try {
+      admitted.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      DedupOps.ingestDigestBatch(spark, digestIndexPath, admitted,
+        textCol, batchId, bloomBits, bloomHashes)
+    } finally admitted.unpersist()
+    true
+  }
+
   /** Per-stage drop counts — ONE aggregation over the verdicts, the
     * number every daily-admission dashboard plots. */
   def admissionReport(spark: SparkSession, batch: DataFrame,

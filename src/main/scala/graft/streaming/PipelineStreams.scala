@@ -861,6 +861,79 @@ object PipelineStreams {
       .start()
   }
 
+  /** The continuous ADMISSION loop — the daily corpus-admission job
+    * ([[graft.pipeline.AdmissionOps]]) as a maintained stream: each
+    * micro-batch of arriving documents screens against the quality
+    * gates + the static store snapshots (MinHash / decontam / LM, each
+    * maintained by its own leg) + the loop's OWN exact-digest store,
+    * lands its admitted rows at `outDir/b<batchId>`, and folds their
+    * digests into the store exactly-once
+    * ([[graft.pipeline.AdmissionOps.ingestAdmissionBatch]] — write
+    * admitted first, ingest digests second, so a crash replays into
+    * either a clean recompute or a pointer skip, never a
+    * self-duplicate re-screen). The first batch builds the digest
+    * store; `compactEvery` > 0 bounds its epoch window exactly like
+    * the other maintained range-pointer artifacts. Takes the STREAMING
+    * RELATION (the [[lmModelMaintainStream]] seam). Returns the
+    * started query. */
+  def admissionMaintainStream(docs: DataFrame, outDir: String,
+                              digestIndexPath: String, checkpoint: String,
+                              textCol: String, idCol: String,
+                              staticStores: graft.pipeline.AdmissionOps.AdmissionStores =
+                                graft.pipeline.AdmissionOps.AdmissionStores(),
+                              langCode: Option[String] = None,
+                              minQuality: Option[Double] = None,
+                              nearDupMinAgree: Double = 0.5,
+                              decontamMinOverlap: Long = 5L,
+                              lmMinAvgScore: Option[Long] = None,
+                              bloomBits: Int = 1 << 20,
+                              bloomHashes: Int = 4,
+                              compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming,
+      "admissionMaintainStream needs a STREAMING relation; run batch " +
+        "slices through AdmissionOps.ingestAdmissionBatch")
+    // validate BEFORE start() — failing inside foreachBatch would
+    // crash-loop the query (the mediaHashMaintainStream discipline)
+    require(staticStores.digestIndexPath.isEmpty,
+      "the admission loop OWNS the digest store — pass digestIndexPath, " +
+        "not staticStores.digestIndexPath")
+    require(lmMinAvgScore.isEmpty || staticStores.lmModelPath.nonEmpty,
+      "lmMinAvgScore needs staticStores.lmModelPath")
+    require(bloomBits >= 64 && bloomBits % 64 == 0 &&
+        bloomBits <= (1 << 27),
+      s"bloomBits must be a positive multiple of 64 up to 2^27, " +
+        s"got $bloomBits")
+    require(bloomHashes >= 1 && bloomHashes <= 16,
+      s"bloomHashes must be in [1,16], got $bloomHashes")
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
+        "(1 would compact after every append — pure rewrite churn)")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.AdmissionOps.ingestAdmissionBatch(
+          batch.sparkSession, batch.toDF(), textCol, idCol, batchId,
+          outDir, digestIndexPath, staticStores, langCode, minQuality,
+          nearDupMinAgree, decontamMinOverlap, lmMinAvgScore,
+          bloomBits, bloomHashes)
+        // unconditional + caught, the warcIndexMaintainStream
+        // discipline: a post-commit compaction error must not mark an
+        // already-committed batch failed
+        if (compactEvery > 0)
+          try DedupOps.maybeCompactDigestIndex(
+            batch.sparkSession, digestIndexPath, compactEvery)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] admission loop at $digestIndexPath: post-commit " +
+                s"compaction failed (batch $batchId committed fine, " +
+                s"window stays unbounded until a compaction succeeds): $e")
+          }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous decontamination-index maintenance: each micro-batch of
     * newly-adopted benchmark documents folds into the stored index
     * ([[graft.pipeline.TextOps.writeDecontamIndex]]) exactly-once via

@@ -143,6 +143,49 @@ class AdmissionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("admit->ingest loop: each batch's admitted digests screen the " +
+    "next batch; replays skip with the landed output untouched; a torn " +
+    "landing dir is overwritten wholesale; id regressions refuse") {
+    val out = tmp("loop_out")
+    val dg = tmp("loop_dg") + "/dg"
+    def ingest(rows: Seq[(Long, String)], id: Long): Boolean =
+      AdmissionOps.ingestAdmissionBatch(spark, rows.toDF("doc_id", "text"),
+        "text", "doc_id", id, out, dg, langCode = None, minQuality = None)
+    def landed(id: Long): Set[Long] =
+      spark.read.parquet(s"$out/b$id").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // batch 0 builds the store: in-batch dup collapses, both novel
+    // texts admit
+    assert(ingest(Seq((1L, "one"), (3L, "two"), (5L, "one")), 0L))
+    assert(landed(0L) == Set(1L, 3L))
+    // batch 1: a byte-identical copy of an ADMITTED doc rejects as
+    // exact_dup without any static store configured — the loop itself
+    // provides the history
+    assert(ingest(Seq((7L, "one"), (9L, "three")), 1L))
+    assert(landed(1L) == Set(9L))
+    // replay of batch 1: pointer skip, nothing rewritten — a
+    // verdict-first replay would re-screen 9 against its own digest
+    // and land an empty dir (the self-duplicate false positive)
+    assert(!ingest(Seq((7L, "one"), (9L, "three")), 1L))
+    assert(landed(1L) == Set(9L))
+    // crash window: batch 2's landing dir half-written, ingest never
+    // ran (pointer still 1) — the replay recomputes against the
+    // unchanged store and overwrites the torn dir wholesale
+    Seq((0L, "garbage")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/b2")
+    assert(ingest(Seq((11L, "three"), (13L, "four")), 2L))
+    assert(landed(2L) == Set(13L),
+      "11 duplicates batch 1's admitted doc 9 and must reject")
+    // id regressions refuse loudly, naming the backfill
+    val err = intercept[IllegalArgumentException] {
+      ingest(Seq((15L, "five")), 0L)
+    }
+    assert(err.getMessage.contains("regressed"))
+    // and the store's coverage is exactly the admitted corpus
+    assert(DedupOps.readDigestIndexMeta(spark, dg).digestCount == 4L,
+      "digests: one, two, three, four")
+  }
+
   test("admitAgainstStores keeps the original schema; admissionReport " +
     "counts match the verdicts; helper-column collisions refuse") {
     val admitted = AdmissionOps.admitAgainstStores(spark, batch, "text",

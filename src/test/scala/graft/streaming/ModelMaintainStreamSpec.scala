@@ -194,6 +194,69 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
       s"window must stay bounded by compactEvery, meta was $m")
   }
 
+  test("admissionMaintainStream: arriving batches admit against the " +
+    "loop's own growing digest store, across a restart; compactEvery " +
+    "bounds the store's window; a batch relation is refused") {
+    val dir = tmp("ad_feed")
+    val out = tmp("ad_out")
+    val dg = tmp("ad_dg") + "/dg"
+    val ckpt = tmp("ad_ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    def start() = PipelineStreams.admissionMaintainStream(
+      spark.readStream.schema(docSchema).parquet(dir),
+      out, dg, ckpt, "text", "doc_id", compactEvery = 2)
+    intercept[IllegalArgumentException] {
+      PipelineStreams.admissionMaintainStream(
+        Seq((0L, "x")).toDF("doc_id", "text"), out, dg, ckpt,
+        "text", "doc_id")
+    }
+    def admittedIds(): Set[Long] = tryRows {
+      // only fully-committed landing dirs (_SUCCESS lands last): a poll
+      // racing an in-flight overwrite must not read a torn dir
+      val dirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("b") &&
+          new java.io.File(f, "_SUCCESS").exists)
+        .map(_.toString)
+      if (dirs.isEmpty) Set.empty
+      else spark.read.parquet(dirs: _*).select("doc_id")
+        .collect().map(r => Seq[Any](r.getLong(0))).toSet
+    }.map(_.head.asInstanceOf[Long])
+    drop(Seq((1L, "alpha"), (3L, "beta"), (5L, "alpha"))) // 5 in-batch dup
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first batch admitted")(
+        admittedIds() == Set(1L, 3L))
+      drop(Seq((7L, "alpha"), (9L, "gamma"))) // 7 dups an admitted doc
+      awaitArtifact(q1, "second batch screened against the store")(
+        admittedIds() == Set(1L, 3L, 9L))
+    } finally q1.stop()
+    drop(Seq((11L, "gamma"), (13L, "delta"))) // lands while DOWN
+    def storeCount(): Long =
+      try graft.pipeline.DedupOps.readDigestIndexMeta(spark, dg).digestCount
+      catch {
+        case _: IllegalStateException => -1L
+        case _: org.apache.spark.SparkException => -1L
+      }
+    val q2 = start()
+    try {
+      awaitArtifact(q2, "down-time batch picked up on restart")(
+        admittedIds() == Set(1L, 3L, 9L, 13L))
+      // the landing dir commits BEFORE the digest ingest (the loop's
+      // crash-window order) — wait for the store commit too, or the
+      // stop() below aborts it mid-flight
+      awaitArtifact(q2, "down-time batch's digests folded")(
+        storeCount() == 4L)
+    } finally q2.stop()
+    // the loop's store covers exactly the admitted corpus, window
+    // bounded by compactEvery
+    val m = graft.pipeline.DedupOps.readDigestIndexMeta(spark, dg)
+    assert(m.digestCount == 4L, s"alpha/beta/gamma/delta, meta was $m")
+    assert(m.epoch - m.digestBase + 1 <= 2,
+      s"window must stay bounded by compactEvery, meta was $m")
+  }
+
   test("decontamMaintainStream: landed benchmark suites keep the " +
     "stored index current across a restart; the final screen equals " +
     "the one-shot build") {
