@@ -77,15 +77,14 @@ object AdmissionOps {
     import org.apache.spark.sql.expressions.Window
     val helperCols = Seq("__ad_gate", "__ad_digest", "__ad_rn",
       "__ad_exact", "__ad_near", "__ad_contam", "__ad_lm")
-    helperCols.foreach(h => require(!batch.columns.contains(h),
+    (helperCols :+ "verdict").foreach(h => require(
+      !batch.columns.contains(h),
       s"batch already has a column named $h"))
-    val quals = TextOps.qualityColumns(col(textCol)).toMap
-    val gatePass: Column = {
-      val langOk = langCode.map(c =>
-        TextOps.languageId(col(textCol)).getField("lang") === c)
-      val qualOk = minQuality.map(q => quals("quality_score") >= q)
-      (langOk.toSeq ++ qualOk.toSeq).reduceOption(_ && _).getOrElse(lit(true))
-    }
+    // the one shared gate definition — CorpusFilter.gate and the
+    // streaming twin consume the same predicate, so the filter form
+    // and the verdict form cannot drift
+    val gatePass: Column =
+      CorpusFilter.gatePassColumn(col(textCol), langCode, minQuality)
     // keep-min-id per digest (dedupExact's window); within a digest
     // group the text is identical, so gate status and every stored-side
     // flag are uniform — the rank never has to look at them

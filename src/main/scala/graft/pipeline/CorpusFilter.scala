@@ -26,20 +26,33 @@ object CorpusFilter {
     * @param minTokPermille  drop docs below this token-count permille of
     *                        the post-gate corpus (e.g. 100 = p10)
     * Returns (idCol, n_tokens, quality_score) for surviving docs. */
+  /** THE gate predicate — the one definition of "this document passes
+    * the language/quality thresholds", shared by the batch filter
+    * ([[gate]]), the streaming twin, and the admission verdicts
+    * ([[AdmissionOps.withAdmissionVerdict]]), so the gates cannot
+    * drift. None disables a clause; with both None the predicate is a
+    * constant TRUE. A null text/quality evaluates to null — callers
+    * treat non-TRUE as fail (the filter form drops such rows). */
+  def gatePassColumn(text: org.apache.spark.sql.Column,
+                     langCode: Option[String],
+                     minQuality: Option[Double]): org.apache.spark.sql.Column = {
+    val quals = TextOps.qualityColumns(text).toMap
+    val langOk = langCode.map(c =>
+      TextOps.languageId(text).getField("lang") === c)
+    val qualOk = minQuality.map(q => quals("quality_score") >= q)
+    (langOk.toSeq ++ qualOk.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
   /** The shared map-only gate: adds n_tokens + quality_score and keeps
-    * rows passing the language and quality thresholds. Both the batch
-    * pipeline and the streaming twin (`PipelineStreams
-    * .corpusFilterStream`) call THIS, so the gates cannot drift apart. */
+    * rows passing [[gatePassColumn]]. Both the batch pipeline and the
+    * streaming twin (`PipelineStreams.corpusFilterStream`) call THIS,
+    * so the gates cannot drift apart. */
   def gate(df: DataFrame, textCol: String, langCode: String,
            minQuality: Double): DataFrame = {
     val quals = TextOps.qualityColumns(col(textCol)).toMap
-    df.withColumn("__cf_lang",
-        TextOps.languageId(col(textCol)).getField("lang"))
-      .withColumn("n_tokens", quals("n_tokens"))
+    df.withColumn("n_tokens", quals("n_tokens"))
       .withColumn("quality_score", quals("quality_score"))
-      .filter(col("__cf_lang") === langCode &&
-        col("quality_score") >= minQuality)
-      .drop("__cf_lang")
+      .filter(gatePassColumn(col(textCol), Some(langCode), Some(minQuality)))
   }
 
   /** Ceiling on the cutoff histogram's distinct-value count (~16 MB of

@@ -267,10 +267,15 @@ object DedupOps {
   /** Append a crawl segment's digests — the daily maintenance move. The
     * delta anti-joins against the visible window, so a RE-DROPPED
     * segment adds zero rows (re-drop idempotent by construction — the
-    * relation is a distinct digest set) and append cost is proportional
-    * to the DELTA plus one bloom OR-merge, never a rescan of stored
-    * digests. Meta swaps LAST: a torn append's epoch dir sits outside
-    * the window and the retry overwrites it wholesale. */
+    * relation is a distinct digest set) and append DATA cost is
+    * proportional to the DELTA plus one bloom OR-merge plus the
+    * anti-join's one read of the stored window. The self-heal check
+    * also counts the visible window each append; that count reads NO
+    * columns (zero-column parquet scan — row counts come from file
+    * metadata), so its cost tracks the window's FILE count, which
+    * compaction bounds, not its bytes. Meta swaps LAST: a torn append's
+    * epoch dir sits outside the window and the retry overwrites it
+    * wholesale. */
   def appendDigestIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, df: DataFrame,
                         contentCol: String): Unit = {
@@ -430,7 +435,12 @@ object DedupOps {
     * stored digests. The coalesce mirrors [[digestIndex]]: it marks the
     * key non-nullable so the join's null-intolerance cannot push an
     * isnotnull(md5(content)) — a full second hash of the batch — into
-    * the scan. */
+    * the scan. Unlike the anti-join form, an equi-join CAN match the
+    * "" sentinel against a stored sentinel (a null-text history doc),
+    * which would diverge from [[dedupAgainstIndex]]'s null-never-joins
+    * semantics — so the sentinel is excluded inside the same pinned
+    * filter: a null-text probe matches nothing, exactly as the
+    * caller-owned path has it. */
   def probeDigestIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, batch: DataFrame, contentCol: String,
                        idCol: String): DataFrame = {
@@ -440,9 +450,11 @@ object DedupOps {
     val stored = readStoredDigests(spark, path, meta)
     batch.select(col(idCol).as("probe_id"),
         coalesce(digest(col(contentCol)), lit("")).as("content_hash"))
-      .filter(pinToFilter(graft.functions.BloomFilter.mightContainCol(
-        xxhash64(col("content_hash")), words, meta.bloomHashes,
-        meta.bloomBits)))
+      .filter(pinToFilter(
+        col("content_hash") =!= lit("") &&
+          graft.functions.BloomFilter.mightContainCol(
+            xxhash64(col("content_hash")), words, meta.bloomHashes,
+            meta.bloomBits)))
       .join(stored, Seq("content_hash"), "left_semi")
       .select(col("probe_id"), col("content_hash"))
   }

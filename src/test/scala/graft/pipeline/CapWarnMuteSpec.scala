@@ -22,16 +22,8 @@ class CapWarnMuteSpec extends AnyFunSuite {
     (0 until n).map(i => (i.toLong, Array.fill(8)(1.0f + (i % 3) * 1e-4f)))
       .toDF("vec_id", "embedding")
 
-  private def capturingErr[T](f: => T): (T, String) = {
-    val baos = new java.io.ByteArrayOutputStream()
-    val old = System.err
-    System.setErr(new java.io.PrintStream(baos, true, "UTF-8"))
-    try { val r = f; (r, baos.toString("UTF-8")) }
-    finally System.setErr(old)
-  }
-
   test("user-facing capped pair generation still warns in the degenerate regime") {
-    val (_, err) = capturingErr {
+    val (_, err) = graft.SpecSupport.capturingErr {
       SimilarityOps.cosineNearDupPairs(coneCorpus(40), "vec_id", "embedding",
         threshold = 0.9, planes = 4, maxBucketFreq = 2).count()
     }
@@ -40,7 +32,7 @@ class CapWarnMuteSpec extends AnyFunSuite {
   }
 
   test("expectedDegenerate mutes the warning without changing the kept pairs") {
-    val ((muted, loud), err) = capturingErr {
+    val ((muted, loud), err) = graft.SpecSupport.capturingErr {
       val m = SimilarityOps.cosineNearDupPairs(coneCorpus(40), "vec_id",
         "embedding", threshold = 0.9, planes = 4, maxBucketFreq = 2,
         expectedDegenerate = true).count()
@@ -54,14 +46,14 @@ class CapWarnMuteSpec extends AnyFunSuite {
   }
 
   test("banded generator: warns by default, mutes under expectedDegenerate") {
-    val (_, errLoud) = capturingErr {
+    val (_, errLoud) = graft.SpecSupport.capturingErr {
       SimilarityOps.cosineNearDupPairsBanded(coneCorpus(40), "vec_id",
         "embedding", threshold = 0.9, bands = 2, planesPerBand = 2,
         maxBandFreq = 2).count()
     }
     assert(errLoud.contains("cosineNearDupPairsBanded") &&
       errLoud.contains("pigeonhole"))
-    val (_, errMuted) = capturingErr {
+    val (_, errMuted) = graft.SpecSupport.capturingErr {
       SimilarityOps.cosineNearDupPairsBanded(coneCorpus(40), "vec_id",
         "embedding", threshold = 0.9, bands = 2, planesPerBand = 2,
         maxBandFreq = 2, expectedDegenerate = true).count()
@@ -70,7 +62,7 @@ class CapWarnMuteSpec extends AnyFunSuite {
   }
 
   test("the recall-compare registry queries run pigeonhole-WARN-free") {
-    val (_, err) = capturingErr {
+    val (_, err) = graft.SpecSupport.capturingErr {
       graft.queries.SimilarityQueries
         .capRecallCompare(spark, "/root/testdata/sf0.001").collect()
       graft.queries.SimilarityQueries
@@ -81,7 +73,7 @@ class CapWarnMuteSpec extends AnyFunSuite {
 
   test("q_mine_triplets (a pinned-degenerate harness row) runs " +
     "pigeonhole-WARN-free, so the bench tail carries no expected noise") {
-    val (_, err) = capturingErr {
+    val (_, err) = graft.SpecSupport.capturingErr {
       graft.queries.SimilarityQueries
         .mineTripletsQ(spark, "/root/testdata/sf0.001").collect()
     }

@@ -23,8 +23,7 @@ class DigestIndexSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(s"graft_dgi_$tag").toString
 
   private def epochs(root: String): Set[String] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.startsWith("e")).toSet
+    graft.SpecSupport.epochs(root)
 
   /** The index's VISIBLE digests — what probes see: the meta window's
     * epoch union, never raw directory contents. */
@@ -42,14 +41,6 @@ class DigestIndexSpec extends AnyFunSuite {
         .count(f => f.isFile && !f.getName.startsWith("_") &&
           !f.getName.startsWith("."))
     }.sum
-  }
-
-  private def capturingErr[T](f: => T): (T, String) = {
-    val baos = new java.io.ByteArrayOutputStream()
-    val old = System.err
-    System.setErr(new java.io.PrintStream(baos, true, "UTF-8"))
-    try { val r = f; (r, baos.toString("UTF-8")) }
-    finally System.setErr(old)
   }
 
   test("build + append + probe: the stored path agrees with the " +
@@ -91,6 +82,30 @@ class DigestIndexSpec extends AnyFunSuite {
     // epoch GC: two appends later only {current, superseded} remain
     assert(epochs(s"$dir/derived") == Set("e1", "e2"),
       s"got ${epochs(s"$dir/derived")}")
+  }
+
+  test("null-text parity with the caller-owned path: a stored null-text " +
+    "sentinel never captures a null-text probe (the equi-join would " +
+    "match \"\" against \"\" where the anti-join's null never joins)") {
+    val dir = tmp("nulls")
+    val hist = Seq((0L, "alpha"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    DedupOps.writeDigestIndex(hist, "text", dir)
+    val batch = Seq((1L, null.asInstanceOf[String]), (3L, "alpha"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val truth = DedupOps.dedupAgainstIndex(batch,
+        DedupOps.digestIndex(hist, "text"), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = DedupOps.dedupExactAgainstStoredIndex(spark, dir, batch,
+        "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == truth, s"stored $got != caller-owned $truth")
+    // spelled out: 1 survives (null never matches the stored sentinel),
+    // 5 is 1's in-batch dup, 3 is a stored dup
+    assert(got == Set(1L))
+    assert(DedupOps.probeDigestIndex(spark, dir, batch, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L),
+      "only the real duplicate may match — never the null sentinel")
   }
 
   test("a torn append's orphan epoch is invisible to probes; the " +
@@ -215,7 +230,7 @@ class DigestIndexSpec extends AnyFunSuite {
     "warns loudly; below capacity stays silent") {
     val dir = tmp("satur")
     // 64-bit bloom: capacity = 6 digests at 10 bits/element
-    val (_, quiet) = capturingErr {
+    val (_, quiet) = graft.SpecSupport.capturingErr {
       DedupOps.writeDigestIndex(docs(Seq(0L, 1L, 2L, 3L)), "text", dir,
         bloomBits = 64)
       DedupOps.appendDigestIndex(spark, dir, docs(Seq(4L, 5L)), "text")
@@ -223,7 +238,7 @@ class DigestIndexSpec extends AnyFunSuite {
     }
     assert(!quiet.contains("design capacity"),
       s"below-capacity appends must stay silent, got: $quiet")
-    val (_, loud) = capturingErr {
+    val (_, loud) = graft.SpecSupport.capturingErr {
       DedupOps.appendDigestIndex(spark, dir, docs(Seq(6L)), "text")
       // 7 distinct digests > 6
     }

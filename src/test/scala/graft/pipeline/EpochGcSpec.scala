@@ -32,13 +32,8 @@ class EpochGcSpec extends AnyFunSuite {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_egc_$tag").toString
 
-  /** Epoch-shaped children (`e<digits>`) of a local dir, by name. */
   private def epochs(root: String): Set[String] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .map(_.getName)
-      .filter(n => n.length > 1 && n.startsWith("e") &&
-        n.drop(1).forall(_.isDigit))
-      .toSet
+    graft.SpecSupport.epochs(root)
 
   private def children(root: String): Set[String] =
     Option(new java.io.File(root).listFiles()).toSeq.flatten

@@ -21,8 +21,7 @@ class MediaHashIndexSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(s"graft_mhi_$tag").toString
 
   private def epochs(root: String): Set[String] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.startsWith("e")).toSet
+    graft.SpecSupport.epochs(root)
 
   /** The index's VISIBLE fingerprints — what probes see: the meta
     * window's epoch union, never raw directory contents. */
@@ -41,14 +40,6 @@ class MediaHashIndexSpec extends AnyFunSuite {
         .count(f => f.isFile && !f.getName.startsWith("_") &&
           !f.getName.startsWith("."))
     }.sum
-  }
-
-  private def capturingErr[T](f: => T): (T, String) = {
-    val baos = new java.io.ByteArrayOutputStream()
-    val old = System.err
-    System.setErr(new java.io.PrintStream(baos, true, "UTF-8"))
-    try { val r = f; (r, baos.toString("UTF-8")) }
-    finally System.setErr(old)
   }
 
   test("build + append + probe: exact copies rediscover their stored " +
@@ -316,7 +307,7 @@ class MediaHashIndexSpec extends AnyFunSuite {
     "warns loudly; below capacity stays silent") {
     val dir = tmp("satur")
     // 64-bit bloom: capacity = 6 keys at 10 bits/element; 2 bands
-    val (_, quiet) = capturingErr {
+    val (_, quiet) = graft.SpecSupport.capturingErr {
       MultimodalOps.writeMediaHashIndex(imgs(Seq(0L, 1L)), "content",
         "media_id", dir, bands = 2, bloomBits = 64)
       MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(2L)),
@@ -324,7 +315,7 @@ class MediaHashIndexSpec extends AnyFunSuite {
     }
     assert(!quiet.contains("design capacity"),
       s"below-capacity appends must stay silent, got: $quiet")
-    val (_, loud) = capturingErr {
+    val (_, loud) = graft.SpecSupport.capturingErr {
       MultimodalOps.appendMediaHashIndex(spark, dir, imgs(Seq(3L)),
         "content", "media_id") // 4 x 2 = 8 keys > 6
     }
