@@ -20,6 +20,7 @@ object TextQueries {
     GraftQuery("q_dedup_stored", dedupStored, Some(dedupIncrementalSql),
       bench = true),
     GraftQuery("q_e2e_admit", e2eAdmit, Some(e2eAdmitSql), bench = true),
+    GraftQuery("q_e2e_admit_report", e2eAdmitReport, Some(e2eAdmitReportSql)),
     GraftQuery("q_profile", profileDocs, Some(profileDocsSql)),
     GraftQuery("q_text_stats", textStats, Some(textStatsSql), bench = true),
     GraftQuery("q_lang_id", langId, Some(langIdSql)),
@@ -1685,6 +1686,28 @@ object TextQueries {
       nearDupMinAgree = NI_MIN_AGREE,
       decontamMinOverlap = DECON_MIN_OVERLAP)
   }
+
+  /** The admission DASHBOARD view: per-stage drop counts over the same
+    * configuration as [[e2eAdmit]] — the number a daily-admission
+    * monitor plots. Oracle = the verdict oracle aggregated, so the two
+    * rows cannot disagree about a single document. */
+  def e2eAdmitReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val stores = graft.pipeline.AdmissionOps.AdmissionStores(
+      digestIndexPath = Some(storedDigestIdxDir(spark, sfDir, d)),
+      minhashIndexPath = Some(storedMinhashIdxDir(spark, sfDir, d)),
+      decontamIndexPath = Some(storedDecontamIdxDir(spark, sfDir, d)))
+    graft.pipeline.AdmissionOps.admissionReport(spark,
+      d.filter(col("doc_id") % 2 === 1), "text", "doc_id", stores,
+      langCode = Some(CF_LANG), minQuality = Some(CF_MIN_QUALITY),
+      nearDupMinAgree = NI_MIN_AGREE,
+      decontamMinOverlap = DECON_MIN_OVERLAP)
+  }
+
+  def e2eAdmitReportSql: String =
+    s"""SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM ($e2eAdmitSql)
+       |GROUP BY verdict""".stripMargin
 
   def e2eAdmitSql: String = {
     val shingles = shinglesCte.stripPrefix("WITH ")
