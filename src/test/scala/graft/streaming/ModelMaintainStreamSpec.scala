@@ -257,6 +257,62 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
       s"window must stay bounded by compactEvery, meta was $m")
   }
 
+  test("crawl -> text -> admit, end to end: warcTextStream feeds " +
+    "admissionMaintainStream; a re-crawled page (same bytes, new " +
+    "filename) is rejected by the loop's own store") {
+    val land = tmp("ca_land")
+    val out = tmp("ca_out")
+    val dg = tmp("ca_dg") + "/dg"
+    val ckpt = tmp("ca_ckpt")
+    def warcBytes(id: Long) = graft.pipeline.WarcOps
+      .encodeSyntheticWarcGz(Seq(id).toDF("id"), "id")
+    def dropAs(content: org.apache.spark.sql.DataFrame, name: Long): Unit =
+      graft.sources.TableSources.writeBinaryDir(
+        content.withColumn("media_id", lit(name)),
+        land, "media_id", "content", ".warc.gz")
+    // the caller-shaped seam: crawl tap -> (doc_id, text) relation
+    val docsStream = PipelineStreams.warcTextStream(spark, land)
+      .select((col("media_id") * 100 + col("record_idx")).as("doc_id"),
+        col("text"))
+    def start() = PipelineStreams.admissionMaintainStream(
+      docsStream, out, dg, ckpt, "text", "doc_id")
+    def admittedCount(): Long = tryRows {
+      val dirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("b") &&
+          new java.io.File(f, "_SUCCESS").exists)
+        .map(_.toString)
+      if (dirs.isEmpty) Set.empty
+      else spark.read.parquet(dirs: _*).select("doc_id")
+        .collect().map(r => Seq[Any](r.getLong(0))).toSet
+    }.size.toLong
+    // file 0: 3 responses, r=0 is the 404 -> 2 training docs
+    dropAs(warcBytes(0L), 0L)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first crawl segment admitted")(
+        admittedCount() == 2L)
+      // file 1: 4 responses, all 200 -> 4 novel docs
+      dropAs(warcBytes(1L), 1L)
+      awaitArtifact(q1, "second segment admitted")(admittedCount() == 6L)
+      // the RE-CRAWL: file 0's exact bytes land again under a new
+      // filename — new doc_ids, byte-identical pages. The loop's own
+      // digest store must reject every one of them.
+      dropAs(warcBytes(0L), 10L)
+      def lastBatch(): Long =
+        try graft.pipeline.DedupOps.readDigestIndexMeta(spark, dg).lastBatchId
+        catch {
+          case _: IllegalStateException => -1L
+          case _: org.apache.spark.SparkException => -1L
+        }
+      awaitArtifact(q1, "re-crawled segment processed")(lastBatch() >= 2L)
+      assert(admittedCount() == 6L,
+        "byte-identical re-crawled pages must all reject as exact_dup")
+      // and the store covers exactly the admitted corpus
+      assert(graft.pipeline.DedupOps.readDigestIndexMeta(spark, dg)
+        .digestCount == 6L)
+    } finally q1.stop()
+  }
+
   test("decontamMaintainStream: landed benchmark suites keep the " +
     "stored index current across a restart; the final screen equals " +
     "the one-shot build") {
