@@ -1687,22 +1687,14 @@ object TextQueries {
       decontamMinOverlap = DECON_MIN_OVERLAP)
   }
 
-  /** The admission DASHBOARD view: per-stage drop counts over the same
-    * configuration as [[e2eAdmit]] — the number a daily-admission
-    * monitor plots. Oracle = the verdict oracle aggregated, so the two
-    * rows cannot disagree about a single document. */
-  def e2eAdmitReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val stores = graft.pipeline.AdmissionOps.AdmissionStores(
-      digestIndexPath = Some(storedDigestIdxDir(spark, sfDir, d)),
-      minhashIndexPath = Some(storedMinhashIdxDir(spark, sfDir, d)),
-      decontamIndexPath = Some(storedDecontamIdxDir(spark, sfDir, d)))
-    graft.pipeline.AdmissionOps.admissionReport(spark,
-      d.filter(col("doc_id") % 2 === 1), "text", "doc_id", stores,
-      langCode = Some(CF_LANG), minQuality = Some(CF_MIN_QUALITY),
-      nearDupMinAgree = NI_MIN_AGREE,
-      decontamMinOverlap = DECON_MIN_OVERLAP)
-  }
+  /** The admission DASHBOARD view: per-stage drop counts — the number a
+    * daily-admission monitor plots. Built as [[e2eAdmit]]'s own output
+    * aggregated (not a re-instantiated configuration), exactly as its
+    * oracle wraps the verdict oracle, so the two rows cannot disagree
+    * about a single document BY CONSTRUCTION. */
+  def e2eAdmitReport(spark: SparkSession, sfDir: String): DataFrame =
+    e2eAdmit(spark, sfDir)
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
 
   def e2eAdmitReportSql: String =
     s"""SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs

@@ -39,6 +39,28 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
       case _: org.apache.spark.SparkException => Set.empty
     }
 
+  /** doc_ids across an admission loop's fully-committed landing dirs
+    * (`b<batchId>`, _SUCCESS lands last): a poll racing an in-flight
+    * overwrite must not read a torn dir. */
+  private def landedDocIds(out: String): Set[Long] = tryRows {
+    val dirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("b") &&
+        new java.io.File(f, "_SUCCESS").exists)
+      .map(_.toString)
+    if (dirs.isEmpty) Set.empty
+    else spark.read.parquet(dirs: _*).select("doc_id")
+      .collect().map(r => Seq[Any](r.getLong(0))).toSet
+  }.map(_.head.asInstanceOf[Long])
+
+  /** Poll-safe digest-store meta read: None until the store exists and
+    * no swap is in flight. */
+  private def storeMeta(path: String): Option[graft.pipeline.DedupOps.DigestIndexMeta] =
+    try Some(graft.pipeline.DedupOps.readDigestIndexMeta(spark, path))
+    catch {
+      case _: IllegalStateException => None
+      case _: org.apache.spark.SparkException => None
+    }
+
   test("lmModelMaintainStream: landed document batches keep the stored " +
     "bigram model current across a restart; final scores equal the " +
     "one-shot build; a batch relation is refused") {
@@ -212,17 +234,7 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
         Seq((0L, "x")).toDF("doc_id", "text"), out, dg, ckpt,
         "text", "doc_id")
     }
-    def admittedIds(): Set[Long] = tryRows {
-      // only fully-committed landing dirs (_SUCCESS lands last): a poll
-      // racing an in-flight overwrite must not read a torn dir
-      val dirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("b") &&
-          new java.io.File(f, "_SUCCESS").exists)
-        .map(_.toString)
-      if (dirs.isEmpty) Set.empty
-      else spark.read.parquet(dirs: _*).select("doc_id")
-        .collect().map(r => Seq[Any](r.getLong(0))).toSet
-    }.map(_.head.asInstanceOf[Long])
+    def admittedIds(): Set[Long] = landedDocIds(out)
     drop(Seq((1L, "alpha"), (3L, "beta"), (5L, "alpha"))) // 5 in-batch dup
     val q1 = start()
     try {
@@ -234,11 +246,7 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     } finally q1.stop()
     drop(Seq((11L, "gamma"), (13L, "delta"))) // lands while DOWN
     def storeCount(): Long =
-      try graft.pipeline.DedupOps.readDigestIndexMeta(spark, dg).digestCount
-      catch {
-        case _: IllegalStateException => -1L
-        case _: org.apache.spark.SparkException => -1L
-      }
+      storeMeta(dg).map(_.digestCount).getOrElse(-1L)
     val q2 = start()
     try {
       awaitArtifact(q2, "down-time batch picked up on restart")(
@@ -276,15 +284,7 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
         col("text"))
     def start() = PipelineStreams.admissionMaintainStream(
       docsStream, out, dg, ckpt, "text", "doc_id")
-    def admittedCount(): Long = tryRows {
-      val dirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("b") &&
-          new java.io.File(f, "_SUCCESS").exists)
-        .map(_.toString)
-      if (dirs.isEmpty) Set.empty
-      else spark.read.parquet(dirs: _*).select("doc_id")
-        .collect().map(r => Seq[Any](r.getLong(0))).toSet
-    }.size.toLong
+    def admittedCount(): Long = landedDocIds(out).size.toLong
     // file 0: 3 responses, r=0 is the 404 -> 2 training docs
     dropAs(warcBytes(0L), 0L)
     val q1 = start()
@@ -299,11 +299,7 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
       // digest store must reject every one of them.
       dropAs(warcBytes(0L), 10L)
       def lastBatch(): Long =
-        try graft.pipeline.DedupOps.readDigestIndexMeta(spark, dg).lastBatchId
-        catch {
-          case _: IllegalStateException => -1L
-          case _: org.apache.spark.SparkException => -1L
-        }
+        storeMeta(dg).map(_.lastBatchId).getOrElse(-1L)
       awaitArtifact(q1, "re-crawled segment processed")(lastBatch() >= 2L)
       assert(admittedCount() == 6L,
         "byte-identical re-crawled pages must all reject as exact_dup")
