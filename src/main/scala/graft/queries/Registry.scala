@@ -20,7 +20,8 @@ final case class GraftQuery(
 object Registry {
   def all: Seq[GraftQuery] =
     BookQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++
+      RetrievalQueries.all
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

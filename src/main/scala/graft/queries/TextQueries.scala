@@ -779,7 +779,7 @@ object TextQueries {
     * the build-once artifact caches: regenerated testdata under the
     * SAME path can never serve a stale index (the v1→v2 escape class,
     * closed structurally instead of by version bump). */
-  private def contentFp(df: DataFrame): String = {
+  private[queries] def contentFp(df: DataFrame): String = {
     val r = df.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("doc_id"), col("n_chars"))), lit(0L)))
       .collect()(0)
@@ -791,7 +791,7 @@ object TextQueries {
     * lifecycle rows serve: yesterday's artifact is already on disk when
     * today's batch screens against it, so the benched steady state
     * measures the PROBE, not a rebuild of an immutable artifact. */
-  private def cachedArtifactDir(tag: String, sfDir: String,
+  private[queries] def cachedArtifactDir(tag: String, sfDir: String,
                                 keyDf: DataFrame)
                                (build: String => Unit): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +

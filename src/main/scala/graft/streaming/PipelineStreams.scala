@@ -861,6 +861,51 @@ object PipelineStreams {
       .start()
   }
 
+  /** Continuous retrieval-index maintenance — ranked retrieval's twin
+    * of [[digestMaintainStream]]: each micro-batch of arriving
+    * documents folds its postings into the stored retrieval index
+    * ([[graft.pipeline.RetrievalOps.writeRetrievalIndex]])
+    * exactly-once via
+    * [[graft.pipeline.RetrievalOps.ingestRetrievalBatch]] (applied
+    * batch id behind the meta swap; the doc-id anti-join makes replays
+    * a data no-op regardless), so every
+    * [[graft.pipeline.RetrievalOps.bm25AgainstStoredIndex]] probe sees
+    * all of history without hand-run appends. Takes the STREAMING
+    * RELATION (the [[lmModelMaintainStream]] seam — document feeds are
+    * caller-shaped). `compactEvery` > 0 bounds the postings window
+    * exactly like the other maintained range-pointer artifacts
+    * (unconditional + caught: a post-commit compaction error never
+    * fails an applied batch). Returns the started query. */
+  def retrievalMaintainStream(docs: DataFrame, indexPath: String,
+                              checkpoint: String, textCol: String,
+                              idCol: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming,
+      "retrievalMaintainStream needs a STREAMING relation; fold batch " +
+        "slices in via RetrievalOps.appendRetrievalIndex")
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
+        "(1 would compact after every append — pure rewrite churn)")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.RetrievalOps.ingestRetrievalBatch(
+          batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
+          batchId)
+        if (compactEvery > 0)
+          try graft.pipeline.RetrievalOps.maybeCompactRetrievalIndex(
+            batch.sparkSession, indexPath, compactEvery)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] retrieval maintainer at $indexPath: post-commit " +
+                s"compaction failed (batch $batchId committed fine, " +
+                s"window stays unbounded until a compaction succeeds): $e")
+          }
+        ()
+      }
+      .start()
+  }
+
   /** The continuous ADMISSION loop — the daily corpus-admission job
     * ([[graft.pipeline.AdmissionOps]]) as a maintained stream: each
     * micro-batch of arriving documents screens against the quality

@@ -1,0 +1,254 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ranked retrieval (integer-exact BM25) and its stored index — the
+  * thirteenth artifact lifecycle: one-shot scoring against an
+  * independent brute-force reimplementation, stored-path ≡ one-shot,
+  * idempotent re-drops, window compaction with byte-identical probes,
+  * the streaming batch discipline, and the loud guards. */
+class RetrievalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_rti_$tag").toString
+
+  /** Synthetic corpus: doc i repeats word families so term/document
+    * frequencies vary — "common" is everywhere, "rare<i>" is unique,
+    * mid-frequency words shard by residue. Lengths vary with id. */
+  private def corpus(ids: Seq[Long]): Seq[(Long, String)] =
+    ids.map { i =>
+      val words = Seq("common") ++
+        (0 to (i % 4).toInt).map(k => s"mid${(i + k) % 3}") ++
+        Seq(s"rare$i", "common")
+      (i, words.mkString(" "))
+    }
+
+  private def corpusDf(ids: Seq[Long]): DataFrame =
+    corpus(ids).toDF("doc_id", "text")
+
+  private def queriesDf(qs: Seq[(Long, String)]): DataFrame =
+    qs.toDF("query_id", "query_text")
+
+  /** Independent brute-force reimplementation of the scoring contract
+    * in RetrievalOps's scaladoc — plain Scala loops, no Spark. A doc
+    * enters a query's candidate set iff it contains at least one query
+    * term (it may then score 0 after flooring). */
+  private def brute(docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+                    k: Int): Set[(Long, Long, Long, Long)] = {
+    val tok = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val dl = tok.map { case (id, ts) => id -> ts.length.toLong }
+    val n = docs.size.toLong
+    val t = dl.values.sum
+    val avgdlMilli = 1000L * t / n
+    val df = tok.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    queries.flatMap { case (qid, qtext) =>
+      val qts = qtext.split(" ", -1).toSeq.distinct
+      val cands = docs.map(_._1).filter(id => qts.exists(tok(id).contains))
+      val scored = cands.map { id =>
+        val s = qts.map { w =>
+          val tf = tok(id).count(_ == w).toLong
+          if (tf == 0L) 0L
+          else {
+            val idf = math.min(
+              1000000L * (2L * (n - df(w)) + 1L) / (2L * df(w) + 1L),
+              RetrievalOps.IdfCapMicro)
+            val tfc = 22000000L * tf /
+              (10L * tf + 3L + 9000L * dl(id) / avgdlMilli)
+            idf * tfc / 1000000L
+          }
+        }.sum
+        (id, s)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, (i + 1).toLong, id, s) }
+    }.toSet
+  }
+
+  private def collectTopK(out: DataFrame): Set[(Long, Long, Long, Long)] =
+    out.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("score_micro"))).toSet
+
+  test("bm25TopK agrees with the brute-force scorer: ranks, ties, " +
+    "scores, and candidate membership (no zero-term docs)") {
+    val docs = corpus(0L to 20L)
+    val queries = Seq(
+      (100L, "common mid0"),        // broad: every doc is a candidate
+      (101L, "rare7 mid1"),          // one unique + one mid term
+      (102L, "rare3"),               // singleton result
+      (103L, "absentword"),          // no candidates: emits nothing
+      (104L, "common common rare2")) // duplicate query terms collapse
+    for (k <- Seq(1, 5, 50)) {
+      val got = collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 20L),
+        "text", "doc_id", queriesDf(queries), "query_id", "query_text", k))
+      assert(got == brute(docs, queries, k), s"k=$k")
+    }
+  }
+
+  test("ranking is sane: a doc matching the rare term outranks " +
+    "common-only docs, and ties break by doc_id ascending") {
+    val out = collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 20L),
+      "text", "doc_id", queriesDf(Seq((1L, "rare7 common"))),
+      "query_id", "query_text", 3))
+    val byRank = out.toSeq.sortBy(_._2)
+    assert(byRank.head._3 == 7L, s"rare7's doc must rank first: $byRank")
+    // identical-content docs tie exactly; among the common-only docs at
+    // equal length/score the lower id wins — verified structurally by
+    // the brute-force equality above, spot-checked here
+    assert(byRank.map(_._2) == Seq(1L, 2L, 3L))
+  }
+
+  test("a query past MaxQueryTerms distinct terms fails loudly") {
+    val longQ = (0 to RetrievalOps.MaxQueryTerms)
+      .map(i => s"w$i").mkString(" ")
+    val e = intercept[Exception] {
+      RetrievalOps.bm25TopK(corpusDf(0L to 3L), "text", "doc_id",
+        queriesDf(Seq((1L, longQ))), "query_id", "query_text", 5).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("distinct terms"),
+      s"got: ${e.getMessage}")
+  }
+
+  // ---- stored lifecycle ---------------------------------------------------
+
+  private val probeQs = Seq((1L, "common mid0"), (2L, "rare5 rare6 mid2"),
+    (3L, "rare14"))
+
+  test("stored path ≡ one-shot over the indexed corpus: build + append " +
+    "+ probe; a re-dropped segment appends nothing; a re-appended id " +
+    "keeps its stored text") {
+    val dir = tmp("life")
+    val built = 0L to 9L
+    val appended = 10L to 15L
+    RetrievalOps.writeRetrievalIndex(corpusDf(built), "text", "doc_id", dir)
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(appended),
+      "text", "doc_id")
+    val oneShot = collectTopK(RetrievalOps.bm25TopK(
+      corpusDf(0L to 15L), "text", "doc_id", queriesDf(probeQs),
+      "query_id", "query_text", 5))
+    val stored = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+      dir, queriesDf(probeQs), "query_id", "query_text", 5))
+    assert(stored == oneShot)
+    val metaBefore = spark.read.parquet(s"$dir/meta").collect()(0)
+    // re-drop: the whole corpus re-appends; counters and probes hold
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(0L to 15L),
+      "text", "doc_id")
+    val metaAfter = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(metaAfter.getAs[Long]("n_docs") ==
+      metaBefore.getAs[Long]("n_docs"))
+    assert(metaAfter.getAs[Long]("total_tokens") ==
+      metaBefore.getAs[Long]("total_tokens"))
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+      queriesDf(probeQs), "query_id", "query_text", 5)) == oneShot)
+    // re-appended id with DIFFERENT text: doc ids are the identity —
+    // the stored version wins, probes unchanged
+    RetrievalOps.appendRetrievalIndex(spark, dir,
+      Seq((5L, "entirely different words")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+      queriesDf(probeQs), "query_id", "query_text", 5)) == oneShot)
+  }
+
+  private def visibleDataFiles(dir: String, rel: String): Int = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    (meta.getAs[Long]("base") to meta.getAs[Long]("epoch")).map { e =>
+      Option(new java.io.File(s"$dir/$rel/e$e").listFiles()).toSeq.flatten
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }.sum
+  }
+
+  test("compaction: probe output identical, visible postings file count " +
+    "reduced to target, window re-based, epochs below the grace " +
+    "generation pruned") {
+    val dir = tmp("compact")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 4L), "text", "doc_id",
+      dir)
+    (1 to 4).foreach { i =>
+      RetrievalOps.appendRetrievalIndex(spark, dir,
+        corpusDf(Seq(4L + i)), "text", "doc_id")
+    }
+    val before = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+      dir, queriesDf(probeQs), "query_id", "query_text", 5))
+    assert(visibleDataFiles(dir, "postings") >= 5)
+    RetrievalOps.compactRetrievalIndex(spark, dir)
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+      queriesDf(probeQs), "query_id", "query_text", 5)) == before)
+    assert(visibleDataFiles(dir, "postings") == 1)
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getAs[Long]("base") == meta.getAs[Long]("epoch"))
+    // grace discipline: the superseded generation survives one commit;
+    // a second compaction prunes it
+    RetrievalOps.compactRetrievalIndex(spark, dir)
+    val left = graft.SpecSupport.epochs(s"$dir/postings")
+      .map(_.drop(1).toLong)
+    assert(left.min >= meta.getAs[Long]("base"),
+      s"epochs below the pre-compaction base must be pruned, got $left")
+  }
+
+  test("maybeCompact honours the window policy and validates maxEpochs") {
+    val dir = tmp("policy")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 2L), "text", "doc_id",
+      dir)
+    assert(!RetrievalOps.maybeCompactRetrievalIndex(spark, dir, 3))
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(Seq(3L)),
+      "text", "doc_id")
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(Seq(4L)),
+      "text", "doc_id")
+    assert(RetrievalOps.maybeCompactRetrievalIndex(spark, dir, 3))
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.maybeCompactRetrievalIndex(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+  }
+
+  test("ingest batch discipline: first batch builds; replay skips " +
+    "quietly as a data no-op; a regressed id refuses loudly naming the " +
+    "backfill; orphan postings with no meta refuse the build") {
+    val dir = tmp("ingest")
+    assert(RetrievalOps.ingestRetrievalBatch(spark, dir,
+      corpusDf(0L to 4L), "text", "doc_id", batchId = 0L))
+    assert(RetrievalOps.ingestRetrievalBatch(spark, dir,
+      corpusDf(5L to 8L), "text", "doc_id", batchId = 1L))
+    val snapshot = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+      dir, queriesDf(probeQs), "query_id", "query_text", 5))
+    // crash-replay of the last batch: skipped, artifact unchanged
+    assert(!RetrievalOps.ingestRetrievalBatch(spark, dir,
+      corpusDf(5L to 8L), "text", "doc_id", batchId = 1L))
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+      queriesDf(probeQs), "query_id", "query_text", 5)) == snapshot)
+    // id regression: a reset checkpoint must refuse, naming the backfill
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.ingestRetrievalBatch(spark, dir, corpusDf(Seq(9L)),
+        "text", "doc_id", batchId = -1L)
+    }
+    assert(e.getMessage.contains("appendRetrievalIndex"))
+    // orphan data: postings present, meta gone → loud refusal, no rebuild
+    val orphan = tmp("orphan")
+    corpusDf(0L to 2L).write.parquet(s"$orphan/postings/e0")
+    val e2 = intercept[IllegalArgumentException] {
+      RetrievalOps.ingestRetrievalBatch(spark, orphan, corpusDf(Seq(3L)),
+        "text", "doc_id", batchId = 0L)
+    }
+    assert(e2.getMessage.toLowerCase.contains("retrieval index"))
+  }
+
+  test("stored probe's literal-filter guard: a workload past maxTerms " +
+    "refuses loudly") {
+    val dir = tmp("guard")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 3L), "text", "doc_id",
+      dir)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(Seq((1L, "a b c"), (2L, "d e f"))),
+        "query_id", "query_text", 5, maxTerms = 4)
+    }
+    assert(e.getMessage.contains("shard the workload"))
+  }
+}

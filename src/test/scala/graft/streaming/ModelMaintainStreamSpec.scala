@@ -360,4 +360,58 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     // and the final screen flags exactly the three overlapping docs
     assert(flags(index).map(_.head) == Set(1L, 2L, 3L))
   }
+
+  test("retrievalMaintainStream: landed document batches keep the " +
+    "stored retrieval index current across a restart; compactEvery " +
+    "bounds the postings window; final probes equal the one-shot " +
+    "build; a batch relation is refused") {
+    val dir = tmp("rt_feed")
+    val index = tmp("rt_index") + "/rt"
+    val ckpt = tmp("rt_ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir)
+    val s1 = Seq((0L, "spark query engine"), (1L, "query planner rules"))
+    val s2 = Seq((2L, "vector search engine"))
+    val s3 = Seq((3L, "spark vector join"))
+    val workload = Seq((100L, "spark engine"), (101L, "vector"))
+      .toDF("query_id", "query_text")
+    def probes(path: String): Set[Seq[Any]] =
+      graft.pipeline.RetrievalOps.bm25AgainstStoredIndex(spark, path,
+          workload, "query_id", "query_text", 3)
+        .collect().map(_.toSeq).toSet
+    def start() = PipelineStreams.retrievalMaintainStream(
+      spark.readStream.schema(docSchema).parquet(dir),
+      index, ckpt, "text", "doc_id", compactEvery = 2)
+    intercept[IllegalArgumentException] {
+      PipelineStreams.retrievalMaintainStream(
+        s1.toDF("doc_id", "text"), index, ckpt, "text", "doc_id")
+    }
+    val exp12 = tmp("rt_e12") + "/rt"
+    val exp123 = tmp("rt_e123") + "/rt"
+    graft.pipeline.RetrievalOps.writeRetrievalIndex(
+      (s1 ++ s2).toDF("doc_id", "text"), "text", "doc_id", exp12)
+    graft.pipeline.RetrievalOps.writeRetrievalIndex(
+      (s1 ++ s2 ++ s3).toDF("doc_id", "text"), "text", "doc_id", exp123)
+    drop(s1)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first segment indexed")(
+        tryRows(probes(index)).nonEmpty)
+      drop(s2) // lands mid-flight
+      awaitArtifact(q1, "second segment appended")(
+        tryRows(probes(index)) == probes(exp12))
+    } finally q1.stop()
+    drop(s3) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitArtifact(q2, "down-time segment picked up on restart")(
+      tryRows(probes(index)) == probes(exp123))
+    finally q2.stop()
+    // the maintained index answers like the one-shot build, and the
+    // compactEvery policy kept the postings window bounded
+    val m = graft.pipeline.RetrievalOps.readRetrievalIndexMeta(spark,
+      index)
+    assert(m.epoch - m.base + 1 <= 2,
+      s"window must stay bounded by compactEvery, meta was $m")
+  }
 }
