@@ -2933,6 +2933,53 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** The `<img src alt>` tag pattern [[imageTextPairs]] mines — src
+    * required, alt may be empty; same pattern semantics in Java regex
+    * (Spark) and RE2 (DuckDB), so the miner carries an exact oracle. A
+    * production system swaps its own HTML extractor in at this seam
+    * (the [[TextOps.redactPii]] pattern-pack convention). */
+  val ImgTagPattern: String = "<img src=\"([^\"]+)\" alt=\"([^\"]*)\"/>"
+
+  /** Image-text PAIR MINING — the CLIP/LAION-style move (Schuhmann et
+    * al., arXiv:2210.08402: mine (image, alt-text) training pairs from
+    * a web crawl's `<img>` reference graph): extract every `<img src
+    * alt>` tag from the crawled pages, fingerprint every fetched image
+    * payload, and join the two on the image URI. Returns one row per
+    * RESOLVED reference — (page_uri, img_uri, alt_text, ahash_a,
+    * ahash_b); dangling references (no fetched image at that URI) and
+    * undecodable payloads drop out of the inner join, exactly like a
+    * real crawl's broken edges.
+    *
+    * `images` must carry a UNIQUE long id per image record (`imgIdCol`
+    * — the fingerprint kernel's key) and a unique `imgUriCol` (a
+    * duplicate URI would multiply every pair that references it).
+    * Scale shape: tag extraction is map-only over the pages; the
+    * fingerprint kernel is 1:1 over the images; the resolve join is
+    * ONE equi-join on the URI — both sides corpus-proportional, AQE
+    * handles the popular-image skew (a hot logo's URI is one key). */
+  def imageTextPairs(pages: DataFrame, pageUriCol: String, htmlCol: String,
+                     images: DataFrame, imgIdCol: String,
+                     imgUriCol: String, contentCol: String): DataFrame = {
+    val refs = pages.select(col(pageUriCol).as("page_uri"),
+        regexp_extract_all(col(htmlCol), lit(ImgTagPattern), lit(1))
+          .as("__srcs"),
+        regexp_extract_all(col(htmlCol), lit(ImgTagPattern), lit(2))
+          .as("__alts"))
+      .select(col("page_uri"), col("__alts"),
+        posexplode(col("__srcs")).as(Seq("__j", "img_uri")))
+      .select(col("page_uri"), col("img_uri"),
+        element_at(col("__alts"), col("__j") + 1).as("alt_text"))
+    val fps = imageAHash(images, contentCol, imgIdCol)
+      .filter(col("decode_ok"))
+    val uris = images.select(col(imgIdCol).cast("long").as("media_id"),
+      col(imgUriCol).as("img_uri"))
+    val resolved = fps.join(uris, Seq("media_id"))
+      .select(col("img_uri"), col("ahash_a"), col("ahash_b"))
+    refs.join(resolved, Seq("img_uri"))
+      .select(col("page_uri"), col("img_uri"), col("alt_text"),
+        col("ahash_a"), col("ahash_b"))
+  }
+
   /** The `bands` bit-chunks of a 64-bit aHash pair as an array column —
     * pigeonhole banding's key material, shared by the in-memory pair
     * join ([[ahashPairs]]) and the persisted fingerprint index. Chunks

@@ -91,6 +91,45 @@ object WarcOps {
           "ISO-8859-1"))
       else ("text/html", synthWarcHtml(id, ri)))
 
+  /** The PAIRED-CRAWL formulas: text response (id, r) embeds
+    * `synthWarcImgRefCount` `<img src alt>` tags, ref j of which
+    * targets response `tr` of file `tid` — deliberately often a
+    * DIFFERENT file (cross-page references are what make pair mining a
+    * distributed join), and deliberately sometimes DANGLING (the
+    * target is a text response, a 404, or past the target file's
+    * response count) — a real crawl's `<img>` graph is full of broken
+    * edges and the miner must drop them. Image responses are the
+    * media-crawl formulas unchanged. */
+  def synthWarcImgRefCount(id: Long, r: Int): Int = (1 + (id + r) % 2).toInt
+
+  /** Ref j of text response (id, r) → (target file id, target response
+    * index). */
+  def synthWarcImgRefTarget(id: Long, r: Int, j: Int): (Long, Int) =
+    ((id * 3 + r * 5 + j * 7) % 40, ((id + r + 2 * j) % 4).toInt)
+
+  /** Ref j's alt text — the caption half of the mined pair. */
+  def synthWarcAlt(id: Long, r: Int, j: Int): String =
+    s"alt${id}_${r}_$j scene${(id + r + j) % 6}"
+
+  /** Text response (id, r)'s HTML for the paired corpus: the plain
+    * formula page plus its `<img>` tags before `</body>`. */
+  def synthWarcHtmlPaired(id: Long, r: Int): String = {
+    val imgs = (0 until synthWarcImgRefCount(id, r)).map { j =>
+      val (tid, tr) = synthWarcImgRefTarget(id, r, j)
+      s"""<img src="http://example.test/$tid/$tr" alt="${synthWarcAlt(id, r, j)}"/>"""
+    }.mkString
+    val base = synthWarcHtml(id, r)
+    base.replace("</body>", s"$imgs</body>")
+  }
+
+  private def warcRecordStringsPaired(id: Long): Seq[String] =
+    warcRecordsWith(id, ri =>
+      if (synthWarcIsImage(id, ri))
+        ("image/png", new String(
+          MultimodalOps.synthPngBytes(synthWarcImgKey(id, ri)),
+          "ISO-8859-1"))
+      else ("text/html", synthWarcHtmlPaired(id, ri)))
+
   /** id → one REAL multi-record WARC file: a warcinfo record followed
     * by `synthWarcResponses(id)` response records, each carrying a full
     * HTTP message (status line + headers + HTML body), CRLF discipline
@@ -123,6 +162,12 @@ object WarcOps {
     * the crawl corpus a multimodal training pipeline actually faces. */
   def encodeSyntheticWarcGzMedia(df: DataFrame, idCol: String): DataFrame =
     encodeWarcGzWith(df, idCol)(warcRecordStringsMedia)
+
+  /** The paired-crawl corpus: media files whose HTML pages carry the
+    * `<img src alt>` reference graph ([[synthWarcHtmlPaired]]) — the
+    * image-text pair miner's input. */
+  def encodeSyntheticWarcGzPaired(df: DataFrame, idCol: String): DataFrame =
+    encodeWarcGzWith(df, idCol)(warcRecordStringsPaired)
 
   private def encodeWarcGzWith(df: DataFrame, idCol: String)(
       strings: Long => Seq[String]): DataFrame = {

@@ -48,6 +48,11 @@ object MultimodalQueries {
     // real decode + fingerprint, one plan, pixel-formula oracle
     GraftQuery("q_e2e_crawl_media", e2eCrawlMediaQ, Some(e2eCrawlMediaSql),
       bench = true),
+    // CROSS-MODAL pair mining over the paired crawl: pages' <img src
+    // alt> tags extracted, fetched images fingerprinted, the two joined
+    // on URI — (caption, image) training pairs; dangling refs drop
+    GraftQuery("q_media_text_pairs", mediaTextPairsQ,
+      Some(mediaTextPairsSql), bench = true),
     // REAL audio: RIFF/WAVE round-trip — columnar header parse and JDK
     // PCM decode, oracle recomputing from the generator formulas
     GraftQuery("q_audio_meta", audioMeta, Some(audioMetaSql)),
@@ -1107,6 +1112,74 @@ object MultimodalQueries {
        |SELECT i.wid AS media_id, CAST(i.r + 1 AS BIGINT) AS record_idx,
        |  h.ahash_a, h.ahash_b
        |FROM imgs i JOIN hashes h ON h.media_id = i.img_key""".stripMargin
+
+  /** CROSS-MODAL pair mining end to end, one declarative plan: the
+    * paired .warc.gz corpus (pages embed `<img src alt>` tags whose
+    * targets are often in OTHER files, and sometimes dangle) →
+    * byte-range index → ranged fetch of 200-survivors → page/image
+    * split by payload sniff → tag extraction + real decode +
+    * fingerprint → the URI resolve join. Output: one (page_uri,
+    * img_uri, alt_text, ahash_a, ahash_b) row per resolved reference —
+    * the CLIP-style training-pair relation. The oracle rebuilds the
+    * reference graph, its dangling-edge drops, and every fingerprint
+    * from the generator formulas without running any operator. */
+  def mediaTextPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select((col("doc_id") % 40).as("warc_key")).distinct()
+    val files = stagedFiles(spark, sfDir, "warc-paired", ".warc.gz")(
+      graft.pipeline.WarcOps.encodeSyntheticWarcGzPaired(keys, "warc_key"))
+    val index = graft.pipeline.WarcOps.warcMemberIndexRanged(
+      files, "media_path", "media_id")
+    val survivors = index.filter(col("warc_type") === "response" &&
+      col("http_status") === 200)
+    val fetched = graft.pipeline.WarcOps.warcFetchRanged(
+      files, "media_path", "media_id", survivors, coalesceGap = 1024L)
+    val pages = fetched.filter(substring(col("body"), 1, 5) === "<html")
+      .select(col("target_uri").as("page_uri"), col("body").as("html"))
+    val images = fetched
+      .filter(substring(col("body"), 1, 4) === "\u0089PNG")
+      .select((col("media_id") * 100 + col("record_idx")).as("pk"),
+        col("target_uri").as("img_uri"),
+        // byte-preserving ISO-8859-1 inverse — the e2eCrawlMediaQ seam
+        encode(col("body"), "ISO-8859-1").as("content"))
+    MultimodalOps.imageTextPairs(pages, "page_uri", "html",
+      images, "pk", "img_uri", "content")
+  }
+
+  def mediaTextPairsSql: String =
+    s"""WITH ids AS (
+       |  SELECT DISTINCT doc_id % 40 AS wid FROM documents
+       |), resp AS (
+       |  SELECT wid, unnest(range(0, 3 + wid % 4)) AS r FROM ids
+       |), pg AS (
+       |  SELECT wid, r FROM resp
+       |  WHERE (wid + r) % 3 != 0 AND (wid + r) % 5 != 0
+       |), refs AS (
+       |  SELECT wid, r, unnest(range(0, 1 + (wid + r) % 2)) AS j FROM pg
+       |), tgt AS (
+       |  SELECT wid, r, j,
+       |    (wid * 3 + r * 5 + j * 7) % 40 AS tid,
+       |    (wid + r + 2 * j) % 4 AS tr
+       |  FROM refs
+       |), valid AS (
+       |  SELECT v.wid, v.r, v.j, v.tid, v.tr FROM tgt v
+       |  JOIN ids t ON t.wid = v.tid
+       |  WHERE v.tr < 3 + v.tid % 4
+       |    AND (v.tid + v.tr) % 3 = 0
+       |    AND (v.tid + v.tr) % 5 != 0
+       |), d AS (
+       |  SELECT DISTINCT (tid * 8 + tr) % 40 AS media_id,
+       |    8 + ((tid * 8 + tr) % 40) % 9 AS w,
+       |    8 + ((tid * 8 + tr) % 40) % 7 AS h
+       |  FROM valid
+       |), $ahashCtesFromD
+       |SELECT 'http://example.test/' || v.wid || '/' || v.r AS page_uri,
+       |  'http://example.test/' || v.tid || '/' || v.tr AS img_uri,
+       |  'alt' || v.wid || '_' || v.r || '_' || v.j
+       |    || ' scene' || (v.wid + v.r + v.j) % 6 AS alt_text,
+       |  h.ahash_a, h.ahash_b
+       |FROM valid v
+       |JOIN hashes h ON h.media_id = (v.tid * 8 + v.tr) % 40""".stripMargin
 
   /** Image dedup end to end: every doc re-encodes the image of
     * doc_id % 50, so each distinct image recurs ~n/50 times under
