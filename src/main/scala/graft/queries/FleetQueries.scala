@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.FleetOps
+
+/** Fleet-observability registry row — the managed-artifact dashboard
+  * ([[graft.pipeline.FleetOps]]) over two of the build-once cached
+  * lifecycles (the stored exact-digest index and the stored retrieval
+  * index). Both artifacts are built write→append→compact, so every
+  * meta value the dashboard reports is DERIVABLE: the window pointers
+  * from the lifecycle's step count, the counters from the documents
+  * table — which is exactly what the oracle recomputes. The on-disk
+  * layout tallies ([[FleetOps.artifactLayout]]) are file-layout facts
+  * with no SQL derivation; FleetOpsSpec pins those. */
+object FleetQueries {
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("q_fleet_health", fleetHealthQ, Some(fleetHealthSql)),
+  )
+
+  def fleetHealthQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.read(spark, sfDir, "documents")
+    FleetOps.artifactMeta(spark, Seq(
+      "digest_index" -> TextQueries.storedDigestIdxDir(spark, sfDir, d),
+      "retrieval_index" ->
+        RetrievalQueries.storedRetrievalIdxDir(spark, sfDir, d)))
+  }
+
+  /** Every meta value, recomputed: the pointers from the
+    * write(e0)→append(e1)→compact(e2, re-based) lifecycle both cached
+    * artifacts share, the counters from the even-id corpus slice they
+    * index (distinct digests for the digest index; doc/token counts
+    * for the retrieval index), the geometry from the builders'
+    * defaults. */
+  def fleetHealthSql: String = {
+    val toks = graft.pipeline.TextOps.tokensSql("text")
+    s"""WITH even AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+       |), rt AS (
+       |  SELECT CAST(count(*) AS VARCHAR) AS n_docs,
+       |    CAST(CAST(sum(len($toks)) AS BIGINT) AS VARCHAR) AS tot
+       |  FROM even
+       |), dg AS (
+       |  SELECT CAST(count(DISTINCT md5(text)) AS VARCHAR) AS n FROM even
+       |)
+       |SELECT * FROM (VALUES
+       |  ('digest_index', 'bloom_bits', '1048576'),
+       |  ('digest_index', 'bloom_hashes', '4'),
+       |  ('digest_index', 'epoch', '2'),
+       |  ('digest_index', 'digest_count', (SELECT n FROM dg)),
+       |  ('digest_index', 'digest_base', '2'),
+       |  ('digest_index', 'last_batch_id', '-1'),
+       |  ('retrieval_index', 'epoch', '2'),
+       |  ('retrieval_index', 'base', '2'),
+       |  ('retrieval_index', 'n_docs', (SELECT n_docs FROM rt)),
+       |  ('retrieval_index', 'total_tokens', (SELECT tot FROM rt)),
+       |  ('retrieval_index', 'last_batch_id', '-1')
+       |) AS t(artifact, "key", "value")""".stripMargin
+  }
+}

@@ -48,7 +48,7 @@ object RetrievalQueries {
   /** The stored retrieval index over the even-id half, built in two
     * slices + compacted (probe output is unchanged by construction,
     * only the file layout moves). */
-  private def storedRetrievalIdxDir(spark: SparkSession, sfDir: String,
+  private[queries] def storedRetrievalIdxDir(spark: SparkSession, sfDir: String,
                                     d: DataFrame): String =
     TextQueries.cachedArtifactDir("rt_idx_v1", sfDir,
       d.filter(col("doc_id") % 2 === 0)) { dir =>

@@ -804,7 +804,7 @@ object TextQueries {
     * slices + compacted (so its consumers also oracle-gate
     * appendDigestIndex and compactDigestIndex — probe output is
     * unchanged by construction, only the file layout moves). */
-  private def storedDigestIdxDir(spark: SparkSession, sfDir: String,
+  private[queries] def storedDigestIdxDir(spark: SparkSession, sfDir: String,
                                  d: DataFrame): String =
     cachedArtifactDir("dg_idx_v1", sfDir,
       d.filter(col("doc_id") % 2 === 0)) { dir =>

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The managed-artifact dashboard: meta long rows match the typed meta
+  * readers exactly, layout rows track the epoch'd relation dirs through
+  * append and compaction (including the grace generation), and a broken
+  * artifact fails the dashboard loudly instead of vanishing from it. */
+class FleetOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_fleet_$tag").toString
+
+  private def corpus(ids: Seq[Long]) =
+    ids.map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+
+  test("meta rows are the typed meta verbatim; layout covers every " +
+    "epoch'd relation and follows append + compaction") {
+    val rt = tmp("rt") + "/rt"
+    val dg = tmp("dg") + "/dg"
+    RetrievalOps.writeRetrievalIndex(corpus(0L to 4L), "text", "doc_id", rt)
+    RetrievalOps.appendRetrievalIndex(spark, rt, corpus(5L to 7L),
+      "text", "doc_id")
+    DedupOps.writeDigestIndex(corpus(0L to 4L), "text", dg)
+    val arts = Seq("rt" -> rt, "dg" -> dg)
+
+    val meta = FleetOps.artifactMeta(spark, arts).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val rtMeta = RetrievalOps.readRetrievalIndexMeta(spark, rt)
+    assert(meta(("rt", "epoch")) == rtMeta.epoch.toString)
+    assert(meta(("rt", "base")) == rtMeta.base.toString)
+    assert(meta(("rt", "n_docs")) == rtMeta.nDocs.toString)
+    assert(meta(("rt", "total_tokens")) == rtMeta.totalTokens.toString)
+    assert(meta(("dg", "bloom_bits")) == (1 << 20).toString)
+    assert(meta(("dg", "digest_count")) == "5")
+
+    def layout() = FleetOps.artifactLayout(spark, arts).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    val l1 = layout()
+    // retrieval index: postings + docs relations, epochs {0, 1}
+    assert(l1(("rt", "postings"))._1 == 2L)
+    assert(l1(("rt", "postings"))._2 == 0L)
+    assert(l1(("rt", "postings"))._3 == 1L)
+    assert(l1(("rt", "postings"))._4 > 0L) // committed data files
+    assert(l1(("rt", "postings"))._5 > 0L) // bytes
+    assert(l1(("rt", "docs"))._1 == 2L)
+    // digest index: one build epoch in digests + derived bloom epoch
+    assert(l1(("dg", "digests"))._1 == 1L)
+    assert(l1(("dg", "derived"))._1 == 1L)
+
+    // compaction re-bases the window; the layout keeps exactly one
+    // grace generation below it (MetaIO.pruneEpochs's contract)
+    RetrievalOps.compactRetrievalIndex(spark, rt)
+    val l2 = layout()
+    val m2 = RetrievalOps.readRetrievalIndexMeta(spark, rt)
+    assert(m2.base == 2L)
+    assert(l2(("rt", "postings"))._3 == 2L) // max epoch = new window
+    assert(l2(("rt", "postings"))._2 >= 0L) // grace below may remain
+    assert(l2(("rt", "postings"))._1 <= 3L)
+    // the dashboard health check: layout range COVERS the meta window
+    assert(l2(("rt", "postings"))._2 <= m2.base &&
+      l2(("rt", "postings"))._3 >= m2.epoch)
+  }
+
+  test("a missing artifact fails the meta dashboard loudly; a path " +
+    "with no epoch'd relations contributes no layout rows") {
+    val e = intercept[IllegalStateException] {
+      FleetOps.artifactMeta(spark, Seq("ghost" -> (tmp("ghost") + "/x")))
+    }
+    assert(e.getMessage.contains("ghost"))
+    val empty = tmp("flat")
+    new java.io.File(s"$empty/notepochs/child").mkdirs()
+    assert(FleetOps.artifactLayout(spark,
+      Seq("flat" -> empty)).count() == 0L)
+  }
+}
