@@ -33,7 +33,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // makes the nested loop the optimal (and only sensible) plan;
       // Catalyst folds any constant-key equi-join disguise back to
       // this shape anyway
-      "q_lm_score")
+      "q_lm_score",
+      // the BM25 scorer attaches the corpus stats row — ONE row by
+      // construction (a global aggregate / the index meta) — via
+      // crossJoin(broadcast): the same single-row-build-side shape as
+      // q_lm_score's V scalar
+      "q_bm25_topk", "q_bm25_stored")
       // (q_cap_recall_compare / q_band_recall_compare once sat here for
       // their one-row denominator cross-join; the denominator is now a
       // collected literal, so their plans are BNLJ-free again)
