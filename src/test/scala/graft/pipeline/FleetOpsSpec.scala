@@ -68,6 +68,52 @@ class FleetOpsSpec extends AnyFunSuite {
       l2(("rt", "postings"))._3 >= m2.epoch)
   }
 
+  test("the dashboard reads EVERY MetaIO lifecycle kind in one call: " +
+    "meta carries each artifact's epoch, layout covers it") {
+    val d = corpus(0L to 7L)
+    val arts = Seq(
+      "digest" -> { val p = tmp("a_dg") + "/a"
+        DedupOps.writeDigestIndex(d, "text", p); p },
+      "retrieval" -> { val p = tmp("a_rt") + "/a"
+        RetrievalOps.writeRetrievalIndex(d, "text", "doc_id", p); p },
+      "minhash" -> { val p = tmp("a_mh") + "/a"
+        DedupOps.writeMinhashIndex(d, "text", "doc_id", p); p },
+      "lm" -> { val p = tmp("a_lm") + "/a"
+        TextOps.writeLmModel(d, "text", "doc_id", p); p },
+      "decontam" -> { val p = tmp("a_dc") + "/a"
+        TextOps.writeDecontamIndex(d, "text", "doc_id", p, shingleK = 3); p },
+      "quantile" -> { val p = tmp("a_qs") + "/a"
+        StatsOps.writeQuantileIndex(d.select(col("doc_id"),
+          lit("g").as("g")), Seq("g"), col("doc_id"), p); p },
+      "hll" -> { val p = tmp("a_hl") + "/a"
+        StatsOps.writeHllIndex(d.select(col("doc_id"), lit("g").as("g")),
+          Seq("g"), col("doc_id"), p); p },
+      "mediahash" -> { val p = tmp("a_im") + "/a"
+        MultimodalOps.writeMediaHashIndex(
+          MultimodalOps.encodeSyntheticPng(
+            d.select(col("doc_id").as("k")), "k"),
+          "content", "media_id", p); p })
+
+    val meta = FleetOps.artifactMeta(spark, arts).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val layout = FleetOps.artifactLayout(spark, arts).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val names = arts.map(_._1)
+    // every lifecycle contributes its meta epoch (all fresh builds: 0)
+    names.foreach { n =>
+      assert(meta((n, "epoch")) == "0", s"$n meta epoch")
+    }
+    // every lifecycle's every epoch'd relation sits AT the meta epoch
+    // with committed bytes — the generic health read
+    assert(layout.map(_._1._1).distinct.sorted.toSeq == names.sorted)
+    layout.foreach { case ((n, rel), (mn, mx, files, bytes)) =>
+      assert(mn == 0L && mx >= 0L && files > 0L && bytes > 0L,
+        s"$n/$rel layout ($mn,$mx,$files,$bytes)")
+      assert(mx <= 1L, s"$n/$rel unexpectedly deep window") // e0 (+derived)
+    }
+  }
+
   test("a missing artifact fails the meta dashboard loudly; a path " +
     "with no epoch'd relations contributes no layout rows") {
     val e = intercept[IllegalStateException] {
