@@ -50,7 +50,9 @@ object WarcOps {
     * carry BINARY payloads byte-for-byte (1 char = 1 byte) — the media
     * encoder threads real PNG bytes through exactly this seam. */
   private def warcRecordsWith(id: Long,
-      response: Int => (String, String)): Seq[String] = {
+      response: Int => (String, String),
+      uriOf: (Long, Int) => String =
+        (i, r) => s"http://example.test/$i/$r"): Seq[String] = {
     var runningLen = 0
     def record(tpe: String, uri: Option[String], payload: String): String = {
       val sb = new StringBuilder
@@ -68,7 +70,7 @@ object WarcOps {
         val (ctype, body) = response(ri)
         val http = s"HTTP/1.1 ${synthWarcStatus(id, ri)} X\r\n" +
           s"Content-Type: $ctype\r\n\r\n" + body
-        record("response", Some(s"http://example.test/$id/$ri"), http)
+        record("response", Some(uriOf(id, ri)), http)
       }
   }
 
@@ -121,6 +123,40 @@ object WarcOps {
     val base = synthWarcHtml(id, r)
     base.replace("</body>", s"$imgs</body>")
   }
+
+  /** The LINKED-CRAWL formulas: pages live on formula HOSTS
+    * ([[synthWarcHost]]) and text response (id, r) embeds
+    * [[synthWarcLinkCount]] `<a href>anchor</a>` tags, link j of which
+    * targets response `tr` of file `tid` ([[synthWarcLinkTarget]]) —
+    * usually on a DIFFERENT host (cross-host edges are what give the
+    * host graph structure) and deliberately sometimes DANGLING (an
+    * index past the target's response count, or a 404 page): an
+    * out-link is an EDGE whether or not its target was ever fetched,
+    * which is exactly what a crawl frontier records. */
+  def synthWarcHost(id: Long): String = s"h${id % 7}.test"
+  def synthWarcLinkCount(id: Long, r: Int): Int = (1 + (id + r) % 3).toInt
+  def synthWarcLinkTarget(id: Long, r: Int, j: Int): (Long, Int) =
+    ((id * 5 + r * 3 + j * 11) % 40, ((id + 2 * r + j) % 4).toInt)
+  def synthWarcAnchor(id: Long, r: Int, j: Int): String =
+    s"a${id}_${r}_$j topic${(id + r + 2L * j) % 5}"
+
+  /** Text response (id, r)'s HTML for the linked corpus: the plain
+    * formula page plus its `<a href>` tags before `</body>`. */
+  def synthWarcHtmlLinked(id: Long, r: Int): String = {
+    val links = (0 until synthWarcLinkCount(id, r)).map { j =>
+      val (tid, tr) = synthWarcLinkTarget(id, r, j)
+      s"""<a href="http://${synthWarcHost(tid)}/$tid/$tr">${synthWarcAnchor(id, r, j)}</a>"""
+    }.mkString
+    synthWarcHtml(id, r).replace("</body>", s"$links</body>")
+  }
+
+  /** The linked-crawl corpus: text-only pages on formula hosts whose
+    * HTML carries the `<a href>` out-link graph
+    * ([[synthWarcHtmlLinked]]) — the link-graph miner's input. */
+  def encodeSyntheticWarcGzLinked(df: DataFrame, idCol: String): DataFrame =
+    encodeWarcGzWith(df, idCol)(id =>
+      warcRecordsWith(id, ri => ("text/html", synthWarcHtmlLinked(id, ri)),
+        (i, r) => s"http://${synthWarcHost(i)}/$i/$r"))
 
   private def warcRecordStringsPaired(id: Long): Seq[String] =
     warcRecordsWith(id, ri =>

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{LinkGraphOps, WarcOps}
+
+/** Crawl-graph registry rows — out-link mining over the linked
+  * synthetic crawl ([[WarcOps.encodeSyntheticWarcGzLinked]]) and
+  * integer-exact host PageRank ([[LinkGraphOps]]).
+  *
+  * Two substrates, deliberately: the LINK rows run the real container
+  * front door (gz member walk → page filter → tag extraction) over the
+  * fixed-size formula crawl, so their oracles rebuild the reference
+  * graph from the generator formulas; the PAGERANK row runs on a
+  * corpus-SCALED host graph derived from the documents table (edge
+  * count grows with SF, host set fixed at a prime 199), so the bench
+  * gate watches the shape that matters at 100 TB — one corpus-sized
+  * rollup, then host-sized iterations. */
+object GraphQueries {
+
+  private val PrHosts = 199L
+  private val PrIters = 5
+
+  def all: Seq[GraftQuery] = Seq(
+    // extraction verbatim: every out-link row incl. positional anchor
+    GraftQuery("q_link_edges", linkEdgesQ, Some(linkEdgesSql)),
+    // the host graph: cross-host rollup with intra-host edges dropped
+    GraftQuery("q_link_hostgraph", linkHostGraphQ, Some(linkHostGraphSql)),
+    // authority scores: K synchronous integer-exact PageRank steps
+    GraftQuery("q_pagerank_hosts", pageRankHostsQ, Some(pageRankSql),
+      bench = true),
+  )
+
+  /** The linked crawl walked back to (page_uri, html) — status-200
+    * text pages of the formula corpus. */
+  private def crawlPages(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Tables.read(spark, sfDir, "documents")
+      .select((col("doc_id") % 40).as("warc_key")).distinct()
+    val recs = WarcOps.warcRecordsGz(
+      WarcOps.encodeSyntheticWarcGzLinked(keys, "warc_key"),
+      "content", "media_id")
+    recs.filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri").as("page_uri"), col("body").as("html"))
+  }
+
+  def linkEdgesQ(spark: SparkSession, sfDir: String): DataFrame =
+    LinkGraphOps.extractLinks(crawlPages(spark, sfDir), "page_uri", "html")
+
+  /** Every `<a href>` of every 200-page, rebuilt from the generator
+    * formulas — URI, target, and anchor text verbatim. */
+  def linkEdgesSql: String =
+    """WITH ids AS (
+      |  SELECT DISTINCT doc_id % 40 AS wid FROM documents
+      |), resp AS (
+      |  SELECT wid, unnest(range(0, 3 + wid % 4)) AS r FROM ids
+      |), pg AS (
+      |  SELECT wid, r FROM resp WHERE (wid + r) % 5 != 0
+      |), lnk AS (
+      |  SELECT wid, r, unnest(range(0, 1 + (wid + r) % 3)) AS j FROM pg
+      |), tgt AS (
+      |  SELECT wid, r, j,
+      |    (wid * 5 + r * 3 + j * 11) % 40 AS tid,
+      |    (wid + 2 * r + j) % 4 AS tr
+      |  FROM lnk
+      |)
+      |SELECT
+      |  'http://h' || (wid % 7) || '.test/' || wid || '/' || r AS src_uri,
+      |  'http://h' || (tid % 7) || '.test/' || tid || '/' || tr AS dst_uri,
+      |  'a' || wid || '_' || r || '_' || j
+      |    || ' topic' || ((wid + r + 2 * j) % 5) AS anchor_text
+      |FROM tgt""".stripMargin
+
+  def linkHostGraphQ(spark: SparkSession, sfDir: String): DataFrame =
+    LinkGraphOps.hostGraph(
+      LinkGraphOps.extractLinks(crawlPages(spark, sfDir), "page_uri", "html"),
+      "src_uri", "dst_uri")
+
+  def linkHostGraphSql: String =
+    """WITH ids AS (
+      |  SELECT DISTINCT doc_id % 40 AS wid FROM documents
+      |), resp AS (
+      |  SELECT wid, unnest(range(0, 3 + wid % 4)) AS r FROM ids
+      |), pg AS (
+      |  SELECT wid, r FROM resp WHERE (wid + r) % 5 != 0
+      |), lnk AS (
+      |  SELECT wid, r, unnest(range(0, 1 + (wid + r) % 3)) AS j FROM pg
+      |), e AS (
+      |  SELECT 'h' || (wid % 7) || '.test' AS src_host,
+      |    'h' || (((wid * 5 + r * 3 + j * 11) % 40) % 7) || '.test' AS dst_host
+      |  FROM lnk
+      |  WHERE wid % 7 != ((wid * 5 + r * 3 + j * 11) % 40) % 7
+      |)
+      |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+      |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** The corpus-scaled synthetic host-link relation: each doc emits
+    * 1 + doc_id % 3 links from host h(doc_id % 199) to host
+    * h((doc_id·7 + j·13 + 1) % 199) — edge volume grows with SF, the
+    * host universe stays a fixed prime so the rank relation is always
+    * host-sized. */
+  private def prHostLinks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
+      .select(
+        concat(lit("h"), (col("doc_id") % PrHosts).cast("string"))
+          .as("src_host"),
+        concat(lit("h"),
+          ((col("doc_id") * 7 + col("j") * 13 + 1) % PrHosts).cast("string"))
+          .as("dst_host"))
+
+  def pageRankHostsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = prHostLinks(spark, sfDir)
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+    LinkGraphOps.pageRankHosts(edges, "src_host", "dst_host", "n_links",
+      PrIters)
+  }
+
+  /** The PageRank recurrence unrolled to `PrIters` CTEs — every step's
+    * floor divisions verbatim (`//` ≡ Spark `div` on these
+    * non-negative operands; sums cast back to BIGINT because DuckDB
+    * widens sum(BIGINT) to HUGEINT). */
+  def pageRankSql: String = {
+    val steps = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.host,
+         |    CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst, CAST(sum((p.r * ew.share) // 1000000) AS BIGINT) AS s
+         |    FROM ew JOIN r${i - 1} p ON ew.src = p.host GROUP BY ew.dst
+         |  ) c ON c.dst = n.host
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j FROM documents
+       |), hrows AS (
+       |  SELECT 'h' || (doc_id % $PrHosts) AS src,
+       |    'h' || ((doc_id * 7 + j * 13 + 1) % $PrHosts) AS dst
+       |  FROM raw
+       |), e AS (
+       |  SELECT src, dst, count(*) AS w FROM hrows
+       |  WHERE src != dst GROUP BY 1, 2
+       |), o AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1
+       |), ew AS (
+       |  SELECT e.src, e.dst, (1000000 * e.w) // o.outw AS share
+       |  FROM e JOIN o USING (src)
+       |), nodes AS (
+       |  SELECT src AS host FROM ew UNION SELECT dst FROM ew
+       |), r0 AS (
+       |  SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $steps
+       |SELECT host, r AS rank_micro FROM r$PrIters""".stripMargin
+  }
+}

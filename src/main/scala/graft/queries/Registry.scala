@@ -21,7 +21,7 @@ object Registry {
   def all: Seq[GraftQuery] =
     BookQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++
-      RetrievalQueries.all ++ FleetQueries.all
+      RetrievalQueries.all ++ FleetQueries.all ++ GraphQueries.all
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

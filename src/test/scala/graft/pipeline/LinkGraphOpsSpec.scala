@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crawl-graph analytics: link extraction with positional anchor
+  * pairing, the host rollup's drop rules, and integer-exact PageRank
+  * against an independent JVM brute force (including a dangling host,
+  * multi-edges, and damping sweep); the crawl→graph composition is
+  * pinned against the generator formulas. */
+class LinkGraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- extraction ----------------------------------------------------
+
+  test("extractLinks: one row per tag, anchors paired positionally; " +
+    "pages without links emit nothing") {
+    val pages = Seq(
+      ("http://a.test/p0",
+        """<html><body><a href="http://b.test/x">first</a>mid""" +
+          """<a href="http://c.test/y"></a></body></html>"""),
+      ("http://a.test/p1", "<html><body>no links</body></html>"))
+      .toDF("uri", "html")
+    val got = LinkGraphOps.extractLinks(pages, "uri", "html")
+      .orderBy("dst_uri").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      ("http://a.test/p0", "http://b.test/x", "first"),
+      ("http://a.test/p0", "http://c.test/y", "")))
+  }
+
+  // ---- host rollup ----------------------------------------------------
+
+  test("hostGraph: intra-host edges and unparseable URIs drop; " +
+    "multi-edges count") {
+    val links = Seq(
+      ("http://a.test/1", "http://b.test/1", "x"),
+      ("http://a.test/2", "http://b.test/9", "y"), // same host pair
+      ("http://a.test/3", "http://a.test/4", "self"), // intra-host
+      ("nohost", "http://b.test/1", "bad src"),
+      ("http://a.test/5", "also-no-host", "bad dst"))
+      .toDF("src_uri", "dst_uri", "anchor_text")
+    val got = LinkGraphOps.hostGraph(links, "src_uri", "dst_uri").collect()
+    assert(got.length === 1)
+    assert((got(0).getString(0), got(0).getString(1), got(0).getLong(2)) ===
+      ("a.test", "b.test", 2L))
+  }
+
+  // ---- PageRank vs JVM brute force -------------------------------------
+
+  private def bruteRank(edges: Seq[(String, String, Long)], iters: Int,
+                        d: Long = 850L): Map[String, Long] = {
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val share = edges.map { case (s, t, w) => (s, t, 1000000L * w / outw(s)) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = share.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, sh) => rank(s) * sh / 1000000L }.sum).toMap
+      rank = nodes.map(n =>
+        n -> ((1000L - d) * 1000L + d * in.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    rank
+  }
+
+  private def runRank(edges: Seq[(String, String, Long)], iters: Int,
+                      d: Long = 850L): Map[String, Long] =
+    LinkGraphOps.pageRankHosts(
+        edges.toDF("src", "dst", "w"), "src", "dst", "w", iters, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private val graph = Seq(
+    ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+    ("c", "a", 1L), ("a", "d", 1L)) // d is dangling (no out-edges)
+
+  test("pageRankHosts ≡ JVM brute force across iteration counts; a " +
+    "dangling host holds exactly the base after every step") {
+    for (k <- Seq(1, 3, 5)) {
+      val got = runRank(graph, k)
+      assert(got === bruteRank(graph, k), s"iters=$k")
+    }
+    // d has in-links, so it ranks above base; give it none and it IS base
+    val noIn = runRank(Seq(("a", "b", 1L), ("c", "b", 1L)), 3)
+    assert(noIn("a") === 150000L && noIn("c") === 150000L)
+    assert(noIn("b") > 150000L)
+  }
+
+  test("damping sweep: d=0 is all-base; d=1000 keeps full mass moving") {
+    assert(runRank(graph, 2, 0L).values.toSet === Set(1000000L))
+    assert(runRank(graph, 2, 1000L) === bruteRank(graph, 2, 1000L))
+  }
+
+  test("authority ordering: the host every other host points at " +
+    "outranks the rest") {
+    // pure star (hub dangling): converges exactly by step 2 —
+    // spokes hold the base, the hub holds base + d·3·base/1000.
+    // (a hub→spoke BACK-edge would 2-cycle the whole mass and make
+    // ranks K-parity-dependent — synchronous PageRank oscillates on
+    // bipartite mass loops; damping bounds but doesn't kill it)
+    val star = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L))
+    val got = runRank(star, 4)
+    assert(got("hub") === 150000L + 850L * (3L * 150000L) / 1000L)
+    assert(got("a") === 150000L && got("b") === 150000L &&
+      got("c") === 150000L)
+  }
+
+  test("validation: iteration and damping bounds refuse loudly") {
+    val e = graph.toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      LinkGraphOps.pageRankHosts(e, "src", "dst", "w", 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraphOps.pageRankHosts(e, "src", "dst", "w", 3, 1001L)
+    }
+  }
+
+  // ---- the crawl→graph composition vs the generator formulas -----------
+
+  test("linked-crawl composition: walk → extract → hostGraph matches " +
+    "the formula-derived edge rollup, and PageRank runs on it") {
+    val ids = Seq(0L, 1L, 5L, 12L, 39L)
+    val warcs = WarcOps.encodeSyntheticWarcGzLinked(
+      ids.toDF("warc_key"), "warc_key")
+    val pages = WarcOps.warcRecordsGz(warcs, "content", "media_id")
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri").as("page_uri"), col("body").as("html"))
+    val got = LinkGraphOps.hostGraph(
+        LinkGraphOps.extractLinks(pages, "page_uri", "html"),
+        "src_uri", "dst_uri")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expect = (for {
+      id <- ids
+      r <- 0 until WarcOps.synthWarcResponses(id)
+      if WarcOps.synthWarcStatus(id, r) == 200
+      j <- 0 until WarcOps.synthWarcLinkCount(id, r)
+    } yield {
+      val (tid, _) = WarcOps.synthWarcLinkTarget(id, r, j)
+      (WarcOps.synthWarcHost(id), WarcOps.synthWarcHost(tid))
+    }).filter(p => p._1 != p._2)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .map { case ((s, t), n) => (s, t, n) }.toSet
+    assert(got === expect)
+    val ranks = LinkGraphOps.pageRankHosts(
+      LinkGraphOps.hostGraph(
+        LinkGraphOps.extractLinks(pages, "page_uri", "html"),
+        "src_uri", "dst_uri"),
+      "src_host", "dst_host", "n_links", 3)
+    assert(ranks.count() ===
+      expect.flatMap(e => Seq(e._1, e._2)).size)
+  }
+}
