@@ -128,4 +128,259 @@ object LinkGraphOps {
     }
     rank
   }
+
+  // ---- stored host-graph lifecycle ----------------------------------------
+  //
+  // The PERSISTED form of the host graph — crawl-graph analytics'
+  // managed artifact (the fourteenth lifecycle): each crawl segment's
+  // out-link rollup folds into a maintained edge store, and ranks
+  // serve from the store without re-walking any crawl. Shared
+  // discipline, with ONE structural difference from the id-keyed
+  // indexes: edge weights are VALUE FOLDS (associative sums), so
+  // epochs hold delta rollups and the read-side sum-merges —
+  //
+  //   path/edges/e<N>     (src_host, dst_host, w) — one DELTA rollup
+  //                       per epoch (already merged per pair within
+  //                       the epoch); the live window is [base, epoch]
+  //   path/segments/e<N>  the covered-segment LEDGER (carried forward
+  //                       on every commit; the quantile-index pattern)
+  //   path/meta           window + row/weight counters + applied batch
+  //                       id, swapped LAST (MetaIO.swapMetaRow)
+  //
+  // Appends are DELTA-sized (never rescan stored edges — the retrieval
+  // index's append economy applied to a value fold); the read
+  // ([[readStoredHostGraph]]) pays one bounded groupBy over the
+  // window's union (distinct host pairs ≪ corpus — a merge the rank's
+  // own out-weight rollup needs anyway); compaction folds the window
+  // into one epoch, bounding both file count and merge width, and
+  // CONSERVES total weight (the auditable invariant — raw sums
+  // commute with the fold). Re-drop semantics are the quantile
+  // index's, stated plainly: weighted edges carry no row identity an
+  // anti-join could key on, so a re-dropped slice double-counts
+  // through the plain append; streams get the exactly-once batch
+  // pointer ([[ingestHostGraphBatch]]), orchestrators the opt-in
+  // covered-segment ledger ([[ingestHostGraphSegment]]).
+
+  private[graft] final case class HostGraphMeta(
+      epoch: Long, base: Long, rowCount: Long, totalW: Long,
+      lastBatchId: Long = -1L)
+
+  private[graft] def edgesDir(path: String, epoch: Long): String =
+    s"$path/edges/e$epoch"
+
+  private def segmentsDir(path: String, epoch: Long): String =
+    s"$path/segments/e$epoch"
+
+  private[graft] def readHostGraphMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): HostGraphMeta = {
+    val r = MetaIO.readMetaRow(spark, path, "host-graph index", "index")
+    HostGraphMeta(r.getAs[Long]("epoch"), r.getAs[Long]("base"),
+      r.getAs[Long]("row_count"), r.getAs[Long]("total_w"),
+      r.getAs[Long]("last_batch_id"))
+  }
+
+  private def swapHostGraphMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String, meta: HostGraphMeta): Unit = {
+    import spark.implicits._
+    MetaIO.swapMetaRow(spark, path, "host-graph index",
+      Seq((meta.epoch, meta.base, meta.rowCount, meta.totalW,
+          meta.lastBatchId))
+        .toDF("epoch", "base", "row_count", "total_w", "last_batch_id"))
+  }
+
+  /** The epoch's covered-segment ids; pre-ledger or initial epochs
+    * read as empty. */
+  private def readSegments(spark: org.apache.spark.sql.SparkSession,
+                           path: String, epoch: Long): DataFrame = {
+    val d = new org.apache.hadoop.fs.Path(segmentsDir(path, epoch))
+    if (epoch >= 0 &&
+        d.getFileSystem(spark.sessionState.newHadoopConf()).exists(d))
+      spark.read.parquet(d.toString)
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF("segment_id")
+    }
+  }
+
+  /** Normalize a caller's edge relation to the stored delta form:
+    * (src_host, dst_host, w), merged per pair within the delta. */
+  private def deltaOf(edges: DataFrame, srcCol: String, dstCol: String,
+                      weightCol: String): DataFrame =
+    edges.select(col(srcCol).as("src_host"), col(dstCol).as("dst_host"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(sum(col("w")).as("w"))
+
+  /** Write one delta epoch + the carried ledger, then swap meta.
+    * Returns nothing; counters are delta-aggregated (one small job),
+    * never a window rescan. */
+  private def commitEdgeEpoch(spark: org.apache.spark.sql.SparkSession,
+                              path: String, delta: DataFrame,
+                              prior: Option[HostGraphMeta], epoch: Long,
+                              lastBatchId: Long,
+                              segments: Option[DataFrame]): Unit = {
+    delta.write.mode("overwrite").parquet(edgesDir(path, epoch))
+    segments.getOrElse(readSegments(spark, path, epoch - 1))
+      .select(col("segment_id").cast("string").as("segment_id")).distinct()
+      .write.mode("overwrite").parquet(segmentsDir(path, epoch))
+    val stored = spark.read.parquet(edgesDir(path, epoch))
+    val agg = stored.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("w")), lit(0L)).as("tw")).collect()(0)
+    swapHostGraphMeta(spark, path, HostGraphMeta(
+      epoch = epoch, base = prior.map(_.base).getOrElse(epoch),
+      rowCount = prior.map(_.rowCount).getOrElse(0L) + agg.getLong(0),
+      totalW = prior.map(_.totalW).getOrElse(0L) + agg.getLong(1),
+      lastBatchId = lastBatchId))
+  }
+
+  /** Build the persisted host graph from an edge snapshot. */
+  def writeHostGraphIndex(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String, path: String): Unit = {
+    val spark = edges.sparkSession
+    commitEdgeEpoch(spark, path, deltaOf(edges, srcCol, dstCol, weightCol),
+      prior = None, epoch = 0L, lastBatchId = -1L, segments = None)
+  }
+
+  /** Fold a new edge slice in — the daily maintenance move. Cost is
+    * delta-sized; NO re-drop protection of its own (weighted edges are
+    * identity-free — see [[ingestHostGraphSegment]] for the ledger). */
+  def appendHostGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, edges: DataFrame, srcCol: String,
+                           dstCol: String, weightCol: String): Unit = {
+    val meta = readHostGraphMeta(spark, path)
+    commitEdgeEpoch(spark, path, deltaOf(edges, srcCol, dstCol, weightCol),
+      prior = Some(meta), epoch = meta.epoch + 1,
+      lastBatchId = meta.lastBatchId, segments = None)
+  }
+
+  /** EXACTLY-ONCE streaming ingest — the foreachBatch body of a
+    * micro-batched edge feed (the [[StatsOps.ingestQuantileBatch]]
+    * discipline: sums are not idempotent, so the applied batch id
+    * commits behind the same meta swap as the epoch pointer). First
+    * batch on an empty path builds; replay of the last batch skips
+    * quietly; an id regressing further refuses loudly naming the
+    * backfill. Returns whether the batch was applied. */
+  def ingestHostGraphBatch(spark: org.apache.spark.sql.SparkSession,
+                           path: String, edges: DataFrame, srcCol: String,
+                           dstCol: String, weightCol: String,
+                           batchId: Long): Boolean = {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      MetaIO.requireNoOrphanData(spark, "host-graph index", s"$path/edges")
+      commitEdgeEpoch(spark, path,
+        deltaOf(edges, srcCol, dstCol, weightCol), prior = None,
+        epoch = 0L, lastBatchId = batchId, segments = None)
+      true
+    } else {
+      val meta = readHostGraphMeta(spark, path)
+      if (batchId <= meta.lastBatchId) {
+        MetaIO.requireReplayNotRegression("host-graph index", path,
+          batchId, meta.lastBatchId, "edge weights",
+          "ingestHostGraphSegment (with a ledger id) or " +
+            "appendHostGraphIndex")
+        false
+      } else {
+        commitEdgeEpoch(spark, path,
+          deltaOf(edges, srcCol, dstCol, weightCol), prior = Some(meta),
+          epoch = meta.epoch + 1, lastBatchId = batchId, segments = None)
+        true
+      }
+    }
+  }
+
+  /** LEDGERED fold — the opt-in re-drop protection for orchestrated
+    * feeds: when the caller can NAME the slice (a crawl day, a segment
+    * path), the name commits in a covered-segments relation behind the
+    * same meta swap as the edges, and a re-drop of a covered name is a
+    * NO-OP. Returns whether the segment was applied. */
+  def ingestHostGraphSegment(spark: org.apache.spark.sql.SparkSession,
+                             path: String, edges: DataFrame,
+                             srcCol: String, dstCol: String,
+                             weightCol: String, segmentId: String)
+      : Boolean = {
+    import spark.implicits._
+    require(segmentId.nonEmpty, "segmentId must be a non-empty name")
+    val one = Seq(segmentId).toDF("segment_id")
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      MetaIO.requireNoOrphanData(spark, "host-graph index", s"$path/edges")
+      commitEdgeEpoch(spark, path,
+        deltaOf(edges, srcCol, dstCol, weightCol), prior = None,
+        epoch = 0L, lastBatchId = -1L, segments = Some(one))
+      true
+    } else {
+      val meta = readHostGraphMeta(spark, path)
+      val covered = readSegments(spark, path, meta.epoch)
+      if (!covered.filter(col("segment_id") === segmentId).isEmpty)
+        false
+      else {
+        commitEdgeEpoch(spark, path,
+          deltaOf(edges, srcCol, dstCol, weightCol), prior = Some(meta),
+          epoch = meta.epoch + 1, lastBatchId = meta.lastBatchId,
+          segments = Some(covered.unionByName(one)))
+        true
+      }
+    }
+  }
+
+  /** The stored graph, sum-merged across the live window — one bounded
+    * groupBy over distinct host pairs, resolved from ONE meta read (a
+    * probe racing an append sees one consistent snapshot). */
+  def readStoredHostGraph(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    val meta = readHostGraphMeta(spark, path)
+    spark.read.parquet(
+        (meta.base to meta.epoch).map(edgesDir(path, _)): _*)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(sum(col("w")).as("w"))
+  }
+
+  /** Compact the window into ONE merged epoch and re-base the pointer
+    * — bounds file count and merge width; total weight is CONSERVED
+    * (sums commute with the fold), which [[readHostGraphMeta]] records
+    * and a spec pins. Prunes generations below the OLD base with one
+    * commit's grace (the shared janitor). */
+  def compactHostGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val meta = readHostGraphMeta(spark, path)
+    val merged = readStoredHostGraph(spark, path).repartition(targetFiles)
+    val next = meta.epoch + 1
+    merged.write.mode("overwrite").parquet(edgesDir(path, next))
+    readSegments(spark, path, meta.epoch)
+      .write.mode("overwrite").parquet(segmentsDir(path, next))
+    val stored = spark.read.parquet(edgesDir(path, next))
+    val agg = stored.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("w")), lit(0L)).as("tw")).collect()(0)
+    require(agg.getLong(1) == meta.totalW,
+      s"host-graph compaction at $path would change total weight " +
+        s"${meta.totalW} -> ${agg.getLong(1)} — merge bug, refusing " +
+        "the swap")
+    swapHostGraphMeta(spark, path, meta.copy(epoch = next, base = next,
+      rowCount = agg.getLong(0)))
+    MetaIO.pruneEpochs(spark, Seq(s"$path/edges", s"$path/segments"),
+      superseded = meta.base)
+  }
+
+  /** Compact when the live window has grown to `maxEpochs` dirs or
+    * more — the policy wrapper the continuous maintainer calls. */
+  def maybeCompactHostGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, maxEpochs: Int): Boolean = {
+    require(maxEpochs >= 2, s"maxEpochs must be >= 2, got $maxEpochs " +
+      "(1 would compact after every append — pure rewrite churn)")
+    val meta = readHostGraphMeta(spark, path)
+    if (meta.epoch - meta.base + 1 >= maxEpochs) {
+      compactHostGraphIndex(spark, path)
+      true
+    } else false
+  }
+
+  /** PageRank off the STORED graph — the serving path: output ≡
+    * [[pageRankHosts]] over the union of every edge slice ever folded
+    * in (weights are associative sums), with no crawl re-walk
+    * anywhere. */
+  def pageRankStoredGraph(spark: org.apache.spark.sql.SparkSession,
+                          path: String, iterations: Int,
+                          dampingMilli: Long = 850L): DataFrame =
+    pageRankHosts(readStoredHostGraph(spark, path), "src_host",
+      "dst_host", "w", iterations, dampingMilli)
 }

@@ -1017,6 +1017,49 @@ object PipelineStreams {
       .start()
   }
 
+  /** Streaming maintenance for the STORED HOST GRAPH
+    * ([[graft.pipeline.LinkGraphOps]]): each micro-batch of edge rows
+    * folds in exactly-once via
+    * [[graft.pipeline.LinkGraphOps.ingestHostGraphBatch]] (edge weights
+    * are value folds — sums, not idempotent — so the applied batch id
+    * rides behind the meta swap, the quantile-index discipline);
+    * `compactEvery` > 0 bounds the delta-epoch window, with post-commit
+    * compaction failures caught so they never fail an applied batch.
+    * Takes the STREAMING RELATION of (src, dst, weight) rows — a crawl
+    * tap's extracted links pre-rolled per micro-batch, a parquet drop
+    * dir, a queue source. */
+  def hostGraphMaintainStream(edges: DataFrame, indexPath: String,
+                              checkpoint: String, srcCol: String,
+                              dstCol: String, weightCol: String,
+                              compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(edges.isStreaming,
+      "hostGraphMaintainStream needs a STREAMING relation; fold batch " +
+        "slices in via LinkGraphOps.appendHostGraphIndex or the " +
+        "segment ledger")
+    require(compactEvery == 0 || compactEvery >= 2,
+      s"compactEvery must be 0 (off) or >= 2, got $compactEvery " +
+        "(1 would compact after every append — pure rewrite churn)")
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.LinkGraphOps.ingestHostGraphBatch(
+          batch.sparkSession, indexPath, batch.toDF(), srcCol, dstCol,
+          weightCol, batchId)
+        if (compactEvery > 0)
+          try graft.pipeline.LinkGraphOps.maybeCompactHostGraphIndex(
+            batch.sparkSession, indexPath, compactEvery)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] host-graph maintainer at $indexPath: post-commit " +
+                s"compaction failed (batch $batchId committed fine, " +
+                s"window stays unbounded until a compaction succeeds): $e")
+          }
+        ()
+      }
+      .start()
+  }
+
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch
     * `q_warc_text` chain applied to the live crawl tap; still fully

@@ -116,6 +116,111 @@ class LinkGraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the stored host-graph lifecycle ---------------------------------
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_lg_$tag").toString + "/g"
+
+  private def edgesDf(rows: Seq[(String, String, Long)]) =
+    rows.toDF("src", "dst", "w")
+
+  private def storedEdges(path: String): Map[(String, String), Long] =
+    LinkGraphOps.readStoredHostGraph(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  private val s0 = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L))
+  private val s2 = Seq(("a", "b", 1L), ("a", "d", 2L))
+  private val s3 = Seq(("d", "a", 5L))
+
+  private def bruteSum(slices: Seq[(String, String, Long)]*)
+      : Map[(String, String), Long] =
+    slices.flatten.groupBy(e => (e._1, e._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+
+  test("stored host graph: ledgered slices sum-merge; a re-dropped " +
+    "segment adds NOTHING; unledgered appends compose; ranks off the " +
+    "store equal the one-shot scorer over the union") {
+    val dir = tmp("life")
+    LinkGraphOps.writeHostGraphIndex(edgesDf(s0), "src", "dst", "w", dir)
+    assert(LinkGraphOps.ingestHostGraphSegment(spark, dir, edgesDf(s2),
+      "src", "dst", "w", "seg-2"))
+    assert(!LinkGraphOps.ingestHostGraphSegment(spark, dir, edgesDf(s2),
+      "src", "dst", "w", "seg-2"), "re-drop must be a no-op")
+    assert(storedEdges(dir) === bruteSum(s0, s2))
+    LinkGraphOps.appendHostGraphIndex(spark, dir, edgesDf(s3),
+      "src", "dst", "w")
+    assert(storedEdges(dir) === bruteSum(s0, s2, s3))
+    // the ledger survived the unledgered append
+    assert(!LinkGraphOps.ingestHostGraphSegment(spark, dir, edgesDf(s2),
+      "src", "dst", "w", "seg-2"))
+    val stored = LinkGraphOps.pageRankStoredGraph(spark, dir, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = runRank(
+      bruteSum(s0, s2, s3).toSeq.map { case ((s, t), w) => (s, t, w) }, 3)
+    assert(stored === oneShot)
+  }
+
+  test("stored host graph: compaction conserves total weight, leaves " +
+    "the probe identical, folds the window, and the janitor keeps one " +
+    "grace generation") {
+    val dir = tmp("compact")
+    LinkGraphOps.writeHostGraphIndex(edgesDf(s0), "src", "dst", "w", dir)
+    LinkGraphOps.appendHostGraphIndex(spark, dir, edgesDf(s2),
+      "src", "dst", "w")
+    LinkGraphOps.appendHostGraphIndex(spark, dir, edgesDf(s3),
+      "src", "dst", "w")
+    val before = storedEdges(dir)
+    val mBefore = LinkGraphOps.readHostGraphMeta(spark, dir)
+    assert(mBefore.epoch === 2L && mBefore.base === 0L)
+    assert(mBefore.totalW === (s0 ++ s2 ++ s3).map(_._3).sum)
+    LinkGraphOps.compactHostGraphIndex(spark, dir)
+    val mAfter = LinkGraphOps.readHostGraphMeta(spark, dir)
+    assert(mAfter.base === 3L && mAfter.epoch === 3L)
+    assert(mAfter.totalW === mBefore.totalW) // conserved
+    assert(mAfter.rowCount === before.size.toLong) // merged pair count
+    assert(storedEdges(dir) === before)
+    // epochs strictly below the OLD base pruned; the old window is the
+    // grace generation here (base was 0 — nothing below it to prune),
+    // so a second compact prunes the first window
+    LinkGraphOps.appendHostGraphIndex(spark, dir, edgesDf(s3),
+      "src", "dst", "w")
+    LinkGraphOps.compactHostGraphIndex(spark, dir)
+    val live = new java.io.File(s"$dir/edges").listFiles()
+      .map(_.getName).toSet
+    assert(!live.contains("e0") && !live.contains("e1") &&
+      !live.contains("e2"), s"old generations must prune, saw $live")
+    assert(live.contains("e3") && live.contains("e5"), // grace + current
+      s"grace + current expected, saw $live")
+  }
+
+  test("stored host graph: ingest batch discipline — first batch " +
+    "builds, replay skips quietly, a regressing id refuses loudly, " +
+    "orphan data refuses a rebuild") {
+    val dir = tmp("ingest")
+    assert(LinkGraphOps.ingestHostGraphBatch(spark, dir, edgesDf(s0),
+      "src", "dst", "w", batchId = 0L))
+    assert(LinkGraphOps.ingestHostGraphBatch(spark, dir, edgesDf(s2),
+      "src", "dst", "w", batchId = 1L))
+    // replay of the last batch: quiet no-op
+    assert(!LinkGraphOps.ingestHostGraphBatch(spark, dir, edgesDf(s2),
+      "src", "dst", "w", batchId = 1L))
+    assert(storedEdges(dir) === bruteSum(s0, s2))
+    val e = intercept[IllegalArgumentException] {
+      LinkGraphOps.ingestHostGraphBatch(spark, dir, edgesDf(s3),
+        "src", "dst", "w", batchId = -5L)
+    }
+    assert(e.getMessage.contains("appendHostGraphIndex"))
+    // a data relation with no recoverable meta refuses the rebuild
+    val orphan = tmp("orphan")
+    edgesDf(s0).write.parquet(
+      LinkGraphOps.edgesDir(orphan, 0L))
+    val e2 = intercept[IllegalArgumentException] {
+      LinkGraphOps.ingestHostGraphBatch(spark, orphan, edgesDf(s0),
+        "src", "dst", "w", batchId = 0L)
+    }
+    assert(e2.getMessage.contains("refusing to build over"))
+  }
+
   // ---- the crawl→graph composition vs the generator formulas -----------
 
   test("linked-crawl composition: walk → extract → hostGraph matches " +

@@ -414,4 +414,55 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     assert(m.epoch - m.base + 1 <= 2,
       s"window must stay bounded by compactEvery, meta was $m")
   }
+
+  test("hostGraphMaintainStream: landed edge batches keep the stored " +
+    "host graph current across a restart (exactly-once sums); " +
+    "compactEvery bounds the window; final graph equals the one-shot " +
+    "sum; a batch relation is refused") {
+    val edgeSchema = StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType),
+      StructField("w", LongType)))
+    val dir = tmp("lg_feed")
+    val index = tmp("lg_index") + "/g"
+    val ckpt = tmp("lg_ckpt")
+    def drop(rows: Seq[(String, String, Long)]): Unit =
+      rows.toDF("src", "dst", "w").coalesce(1)
+        .write.mode("append").parquet(dir)
+    val s1 = Seq(("a", "b", 3L), ("b", "c", 2L))
+    val s2 = Seq(("a", "b", 1L), ("c", "a", 4L))
+    val s3 = Seq(("a", "d", 5L))
+    def graph(): Set[Seq[Any]] = tryRows {
+      graft.pipeline.LinkGraphOps.readStoredHostGraph(spark, index)
+        .collect().map(_.toSeq).toSet
+    }
+    def expect(slices: Seq[(String, String, Long)]*): Set[Seq[Any]] =
+      slices.flatten.groupBy(e => (e._1, e._2))
+        .map { case ((s, t), es) =>
+          Seq[Any](s, t, es.map(_._3).sum) }.toSet
+    def start() = PipelineStreams.hostGraphMaintainStream(
+      spark.readStream.schema(edgeSchema).parquet(dir),
+      index, ckpt, "src", "dst", "w", compactEvery = 2)
+    intercept[IllegalArgumentException] {
+      PipelineStreams.hostGraphMaintainStream(
+        s1.toDF("src", "dst", "w"), index, ckpt, "src", "dst", "w")
+    }
+    drop(s1)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first edge batch folded")(graph() == expect(s1))
+      drop(s2)
+      awaitArtifact(q1, "second batch summed in")(
+        graph() == expect(s1, s2))
+    } finally q1.stop()
+    drop(s3) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitArtifact(q2, "down-time batch picked up on restart")(
+      graph() == expect(s1, s2, s3))
+    finally q2.stop()
+    val m = graft.pipeline.LinkGraphOps.readHostGraphMeta(spark, index)
+    assert(m.epoch - m.base + 1 <= 2,
+      s"window must stay bounded by compactEvery, meta was $m")
+    assert(m.totalW === (s1 ++ s2 ++ s3).map(_._3).sum,
+      "total weight must be the exactly-once sum")
+  }
 }
