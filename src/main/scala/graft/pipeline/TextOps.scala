@@ -1404,6 +1404,126 @@ object TextOps {
       .toDF(idCol, "n_bpe_tokens")
   }
 
+  // ---- stored BPE tokenizer model -----------------------------------------
+  //
+  // The PERSISTED tokenizer — the daily model artifact a training
+  // pipeline versions (every token-budget counter, packing pass, and
+  // mixture weight downstream must use the SAME merges yesterday's
+  // runs used, or counts drift silently). The kmeans-model lifecycle
+  // class, not the appendable-index class: merges are ORDER-DEPENDENT
+  // (rank k's statistics condition on ranks 1..k−1), so there is no
+  // meaningful append — the maintenance move is a full RETRAIN
+  // committed as a new epoch behind the meta swap, readers racing it
+  // resolving the old epoch until the swap lands, one superseded
+  // generation kept for in-flight-encode grace.
+
+  private[graft] final case class BpeModelMeta(
+      nMerges: Int, endOfWord: Boolean, epoch: Long)
+
+  private def bpeEpochDir(path: String, epoch: Long): String =
+    s"$path/merges/e$epoch"
+
+  private def swapBpeMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String, meta: BpeModelMeta): Unit = {
+    import spark.implicits._
+    MetaIO.swapMetaRow(spark, path, "bpe model",
+      Seq((meta.nMerges.toLong, meta.endOfWord, meta.epoch))
+        .toDF("n_merges", "end_of_word", "epoch"))
+  }
+
+  private[graft] def readBpeModelMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModelMeta = {
+    val r = MetaIO.readMetaRow(spark, path, "bpe model", "model")
+    BpeModelMeta(r.getAs[Long]("n_merges").toInt,
+      r.getAs[Boolean]("end_of_word"), r.getAs[Long]("epoch"))
+  }
+
+  private def validateMerges(
+      merges: Seq[(Int, String, String, Long)]): Unit = {
+    require(merges.nonEmpty, "bpe model: empty merge list")
+    val ranks = merges.map(_._1).sorted
+    require(ranks == (1 to merges.size),
+      s"bpe model: ranks must be contiguous 1..${merges.size}, got " +
+        s"${ranks.take(12).mkString(",")}…")
+    merges.foreach { case (rank, l, r, _) =>
+      require(l.nonEmpty && r.nonEmpty,
+        s"bpe model: merge $rank has an empty symbol ('$l', '$r')")
+    }
+  }
+
+  private def commitBpeEpoch(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             merges: Seq[(Int, String, String, Long)],
+                             meta: BpeModelMeta): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left_sym", "right_sym", "n_pair")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(bpeEpochDir(path, meta.epoch))
+    swapBpeMeta(spark, path, meta)
+  }
+
+  /** Persist a trained merge table as the model artifact — validates
+    * the shape ONCE at write time (contiguous ranks, non-empty
+    * symbols) so every later load can trust the meta pin. `endOfWord`
+    * is part of the MODEL (train and encode must agree on it), which
+    * is exactly why it lives in meta and not at the encode call. */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(Int, String, String, Long)], path: String,
+                    endOfWord: Boolean = false): Unit = {
+    validateMerges(merges)
+    commitBpeEpoch(spark, path, merges,
+      BpeModelMeta(merges.size, endOfWord, epoch = 0L))
+  }
+
+  /** Load the stored merge table, rank-sorted, validating the stored
+    * rows against the meta pin — a truncated or foreign relation fails
+    * LOUDLY rather than silently tokenizing with half a tokenizer. */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[(Int, String, String, Long)] = {
+    val meta = readBpeModelMeta(spark, path)
+    val rows = spark.read.parquet(bpeEpochDir(path, meta.epoch))
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("n_pair")))
+      .sortBy(_._1).toSeq
+    require(rows.size == meta.nMerges,
+      s"bpe model at $path: epoch ${meta.epoch} holds ${rows.size} " +
+        s"merges but meta pins ${meta.nMerges} — incomplete or foreign")
+    validateMerges(rows)
+    rows
+  }
+
+  /** The daily serving pass: per-doc token counts against the STORED
+    * tokenizer — output ≡ [[bpeEncode]] with the model's merges and
+    * end-of-word convention, with no training scan anywhere. */
+  def bpeEncodeStored(spark: org.apache.spark.sql.SparkSession,
+                      path: String, df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val meta = readBpeModelMeta(spark, path)
+    bpeEncode(df, textCol, idCol, readBpeModel(spark, path),
+      meta.endOfWord)
+  }
+
+  /** Retrain on a fresh corpus and commit as a NEW epoch — merges are
+    * order-dependent, so the maintenance move is a full retrain, never
+    * an append; readers racing the retrain resolve the old epoch until
+    * the meta swap lands, and the superseded generation survives one
+    * commit for in-flight-encode grace (the kmeans-refit janitor). */
+  def retrainBpeModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String, train: DataFrame, textCol: String,
+                      nMerges: Int): Unit = {
+    val meta = readBpeModelMeta(spark, path)
+    val merges = bpeTrain(train, textCol, nMerges, meta.endOfWord)
+    require(merges.nonEmpty,
+      "bpe retrain produced no merges (corpus has no repeated pair) — " +
+        "keeping the stored model")
+    commitBpeEpoch(spark, path, merges,
+      BpeModelMeta(merges.size, meta.endOfWord, meta.epoch + 1))
+    MetaIO.pruneEpochs(spark, Seq(s"$path/merges"),
+      superseded = meta.epoch)
+  }
+
   // ---- DuckDB oracle fragments ------------------------------------------
 
   def tokensSql(expr: String): String = s"string_split($expr, ' ')"

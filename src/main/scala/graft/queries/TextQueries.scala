@@ -76,6 +76,9 @@ object TextQueries {
       bench = true),
     GraftQuery("q_bpe_pairs", bpePairsQ, Some(bpePairsSql)),
     GraftQuery("q_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
+    // the stored-tokenizer serving path: write→read→encode must agree
+    // with the in-memory merge table exactly, so it shares the oracle
+    GraftQuery("q_bpe_encode_stored", bpeEncodeStoredQ, Some(bpeEncodeSql)),
     GraftQuery("q_mask_spans", maskSpansQ, Some(maskSpansSql), bench = true),
     GraftQuery("q_winnow", winnowQ, Some(winnowSql)),
     GraftQuery("q_text_hash_bow", textHashBow, Some(textHashBowSql)),
@@ -2229,6 +2232,21 @@ object TextQueries {
     * fold). */
   def bpeEncodeQ(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.bpeEncode(docs(spark, sfDir), "text", "doc_id", PINNED_MERGES)
+
+  /** Same counts THROUGH THE STORED TOKENIZER (fifteenth lifecycle):
+    * the pinned merge table persists once as the model artifact, the
+    * corpus encodes against the store — write→read→serve must agree
+    * with the in-memory table exactly, so the row shares
+    * [[bpeEncodeSql]] verbatim. The artifact is content-independent
+    * (the model IS the pinned table), so the cache key is the tag. */
+  def bpeEncodeStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_v1_" +
+      s"${math.abs(sfDir.hashCode)}"
+    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists())
+      TextOps.writeBpeModel(spark, PINNED_MERGES, dir)
+    TextOps.bpeEncodeStored(spark, dir, docs(spark, sfDir), "text",
+      "doc_id")
+  }
 
   /** The oracle frames each word's symbol list as a delimiter string
     * `⁁s1⁁⁁s2⁁…⁁sN⁁` and applies each pinned merge in rank order as a

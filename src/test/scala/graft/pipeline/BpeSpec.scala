@@ -211,4 +211,80 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 4L, 2L -> 0L))
   }
+
+  // ---- the stored tokenizer model (fifteenth lifecycle) ------------------
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_bpe_$tag")
+      .toString + "/m"
+
+  test("stored tokenizer: write→read round-trips the merge table; " +
+    "encoding off the store equals the in-memory encode; endOfWord " +
+    "is part of the model") {
+    val corpus = Seq((1L, "query table query"), (2L, "table scan"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(corpus, "text", nMerges = 6,
+      endOfWord = true)
+    val dir = tmp("serve")
+    TextOps.writeBpeModel(spark, merges, dir, endOfWord = true)
+    assert(TextOps.readBpeModel(spark, dir) === merges)
+    val stored = TextOps.bpeEncodeStored(spark, dir, corpus, "text",
+      "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inMem = TextOps.bpeEncode(corpus, "text", "doc_id", merges,
+      endOfWord = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored === inMem)
+  }
+
+  test("stored tokenizer: shape validation refuses gapped ranks and " +
+    "empty symbols at write; a truncated stored relation fails the " +
+    "read against the meta pin") {
+    val dir = tmp("pin")
+    intercept[IllegalArgumentException] {
+      TextOps.writeBpeModel(spark,
+        Seq((1, "a", "b", 3L), (3, "ab", "c", 2L)), dir)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.writeBpeModel(spark, Seq((1, "", "b", 3L)), dir)
+    }
+    TextOps.writeBpeModel(spark,
+      Seq((1, "a", "b", 3L), (2, "ab", "c", 2L)), dir)
+    // truncate the stored relation under the meta's nose
+    val meta = TextOps.readBpeModelMeta(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val cut = spark.read.parquet(s"$dir/merges/e${meta.epoch}")
+      .filter(col("rank") === 1).localCheckpoint()
+    cut.write.mode("overwrite").parquet(s"$dir/merges/e${meta.epoch}")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.readBpeModel(spark, dir)
+    }
+    assert(e.getMessage.contains("meta pins"))
+  }
+
+  test("stored tokenizer: retrain commits a NEW epoch behind the swap " +
+    "with one superseded generation's grace; the served counts follow " +
+    "the new model") {
+    val dir = tmp("retrain")
+    val c1 = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val c2 = Seq((1L, "zy zy zx zy")).toDF("doc_id", "text")
+    TextOps.writeBpeModel(spark,
+      TextOps.bpeTrain(c1, "text", 2), dir)
+    val m0 = TextOps.readBpeModelMeta(spark, dir)
+    TextOps.retrainBpeModel(spark, dir, c2, "text", nMerges = 2)
+    val m1 = TextOps.readBpeModelMeta(spark, dir)
+    assert(m1.epoch === m0.epoch + 1)
+    assert(TextOps.readBpeModel(spark, dir) ===
+      TextOps.bpeTrain(c2, "text", 2))
+    // grace: the superseded epoch survives exactly one more retrain
+    assert(new java.io.File(s"$dir/merges/e${m0.epoch}").exists)
+    TextOps.retrainBpeModel(spark, dir, c1, "text", nMerges = 2)
+    assert(!new java.io.File(s"$dir/merges/e${m0.epoch}").exists)
+    assert(new java.io.File(s"$dir/merges/e${m1.epoch}").exists)
+    val served = TextOps.bpeEncodeStored(spark, dir, c1, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = TextOps.bpeEncode(c1, "text", "doc_id",
+      TextOps.bpeTrain(c1, "text", 2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === expect)
+  }
 }

@@ -92,7 +92,14 @@ class FleetOpsSpec extends AnyFunSuite {
         MultimodalOps.writeMediaHashIndex(
           MultimodalOps.encodeSyntheticPng(
             d.select(col("doc_id").as("k")), "k"),
-          "content", "media_id", p); p })
+          "content", "media_id", p); p },
+      "hostgraph" -> { val p = tmp("a_hg") + "/a"
+        LinkGraphOps.writeHostGraphIndex(
+          Seq(("a", "b", 2L), ("b", "a", 1L)).toDF("s", "t", "w"),
+          "s", "t", "w", p); p },
+      "bpe" -> { val p = tmp("a_bp") + "/a"
+        TextOps.writeBpeModel(spark,
+          Seq((1, "a", "b", 3L), (2, "ab", "c", 2L)), p); p })
 
     val meta = FleetOps.artifactMeta(spark, arts).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
