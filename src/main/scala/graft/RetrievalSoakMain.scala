@@ -1,0 +1,126 @@
+package graft
+
+import graft.pipeline.RetrievalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval soak at corpus proportions: 1M synthetic docs
+  * (~26 tokens each — ~26M postings tokens), the stored retrieval
+  * index built in two slices + compacted, then a 1,000-query workload
+  * probed against the store, local[32], recorded in BASELINE.md.
+  *
+  * Closed-form relevance invariant instead of a recall estimate: doc i
+  * carries the PLANTED rare term `rare<i/1000>` (shared by exactly the
+  * 1,000 docs of its block) plus high-df filler; a query of one rare
+  * term + filler must rank ONLY that block's docs (the rare idf is
+  * ~1000× the filler idf at this geometry, and within the block the
+  * shorter-dl doc wins) — so every query's top-k membership is
+  * `require`d exactly, not sampled. A second probe of the same
+  * workload through the ONE-SHOT scorer over the same corpus must
+  * agree row-for-row (stored ≡ declarative, at scale).
+  *
+  * Inputs are deterministic functions of spark.range — no files, no
+  * RNG. Args: [nDocs] (default 1M). */
+object RetrievalSoakMain {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+    // doc i: planted block term (df = 1,000) + 24 high-df w-fillers
+    // (df ≈ N/7 each) + one MID-df m-token (df = N/100 — idf one order
+    // below the planted term, so cross-block candidates flow without
+    // outranking the block). dl = 26 exactly for every doc.
+    def corpus(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        concat(
+          lit("rare"), expr("cast(id div 1000 as string)"), lit(" "),
+          concat_ws(" ", (0 until 24).map(k =>
+            concat(lit(s"w$k"), ((col("id") + k) % 7).cast("string"))): _*),
+          lit(" m"), (col("id") % 100).cast("string")).as("text"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt_soak")
+      .toString + "/rt"
+    time(f"build stored index, slice 1 (${n / 2}%,d docs)") {
+      RetrievalOps.writeRetrievalIndex(corpus(0L, n / 2), "text",
+        "doc_id", dir)
+    }
+    time(f"append slice 2 (${n - n / 2}%,d docs)") {
+      RetrievalOps.appendRetrievalIndex(spark, dir, corpus(n / 2, n),
+        "text", "doc_id")
+    }
+    time("compact (window -> one token-sorted epoch)") {
+      RetrievalOps.compactRetrievalIndex(spark, dir, targetFiles = 32)
+    }
+    val meta = RetrievalOps.readRetrievalIndexMeta(spark, dir)
+    require(meta.nDocs == n && meta.totalTokens == 26L * n,
+      s"meta counters drifted: $meta")
+
+    // 1,000 queries: the planted term + a mid-df m-filler. Candidate
+    // volume is the serving cost driver and worth stating exactly:
+    // contrib rows per term = df(term) × queries containing it, so the
+    // mid-df fillers cost ~1,000 × 10,000 = 10M rows across the
+    // workload while keeping cross-block candidates flowing. The
+    // HIGH-df w-fillers are measured separately below as the uncapped
+    // stopword stress case (one w-token shared by every query → 143M
+    // contrib rows) — the blowup a serving stack caps with term-df
+    // ceilings or WAND, which the exact scorer deliberately does not.
+    val queries = spark.range(1000L).select(col("id").as("query_id"),
+      concat(lit("rare"), (col("id") * (n / 1000L / 1000L)).cast("string"),
+        lit(" m"), ((col("id") * 13) % 100).cast("string")).as("query_text"))
+      .localCheckpoint()
+    val k = 10
+    val stored = time("probe 1,000 queries against the STORE (top-10)") {
+      RetrievalOps.bm25AgainstStoredIndex(spark, dir, queries,
+        "query_id", "query_text", k).localCheckpoint()
+    }
+    val nRows = stored.count()
+    require(nRows == 1000L * k, s"expected ${1000 * k} rows, got $nRows")
+    // every hit must come from the query's planted block
+    val offBlock = stored.join(queries, Seq("query_id"))
+      .filter(expr("doc_id div 1000") =!=
+        regexp_extract(col("query_text"), "rare(\\d+)", 1).cast("long"))
+      .count()
+    require(offBlock == 0L,
+      s"$offBlock top-$k hits outside the planted block — idf ordering " +
+        "broke")
+    println(f"  relevance: all ${nRows}%,d hits inside their planted blocks")
+
+    val oneShot = time("same workload through the ONE-SHOT scorer") {
+      RetrievalOps.bm25TopK(corpus(0L, n), "text", "doc_id", queries,
+        "query_id", "query_text", k).localCheckpoint()
+    }
+    val disagree = stored.alias("a").join(oneShot.alias("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.rank") === col("b.rank"),
+        "full")
+      .filter(col("a.doc_id").isNull || col("b.doc_id").isNull ||
+        col("a.doc_id") =!= col("b.doc_id") ||
+        col("a.score_micro") =!= col("b.score_micro"))
+      .count()
+    require(disagree == 0L,
+      s"$disagree (query, rank) rows disagree between stored and " +
+        "one-shot — the two paths must share one scorer")
+    println(f"  stored ≡ one-shot: ${nRows}%,d ranked rows agree exactly")
+
+    // the uncapped stopword STRESS case: one high-df w-token in every
+    // query — 1,000 queries × ~N/7 postings ≈ 143M exact contribs
+    val stress = spark.range(1000L).select(col("id").as("query_id"),
+      concat(lit("rare"), (col("id") * (n / 1000L / 1000L)).cast("string"),
+        lit(" w00")).as("query_text")).localCheckpoint()
+    val sRows = time("stopword stress: every query shares one " +
+      "df≈N/7 term") {
+      RetrievalOps.bm25AgainstStoredIndex(spark, dir, stress,
+        "query_id", "query_text", k).count()
+    }
+    require(sRows == 1000L * k, s"stress rows $sRows")
+    spark.stop()
+  }
+}
