@@ -24,7 +24,9 @@ object FleetQueries {
     FleetOps.artifactMeta(spark, Seq(
       "digest_index" -> TextQueries.storedDigestIdxDir(spark, sfDir, d),
       "retrieval_index" ->
-        RetrievalQueries.storedRetrievalIdxDir(spark, sfDir, d)))
+        RetrievalQueries.storedRetrievalIdxDir(spark, sfDir, d),
+      "host_graph" -> GraphQueries.storedHostGraphDir(spark, sfDir, d),
+      "bpe_model" -> TextQueries.storedBpeDir(spark, sfDir)))
   }
 
   /** Every meta value, recomputed: the pointers from the
@@ -43,6 +45,18 @@ object FleetQueries {
        |  FROM even
        |), dg AS (
        |  SELECT CAST(count(DISTINCT md5(text)) AS VARCHAR) AS n FROM even
+       |), hrows AS (
+       |  SELECT 'h' || (doc_id % 199) AS src,
+       |    'h' || ((doc_id * 7 + j * 13 + 1) % 199) AS dst
+       |  FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
+       |        FROM even)
+       |  WHERE 'h' || (doc_id % 199)
+       |    != 'h' || ((doc_id * 7 + j * 13 + 1) % 199)
+       |), hg_tw AS (
+       |  SELECT CAST(count(*) AS VARCHAR) AS v FROM hrows
+       |), hg_rc AS (
+       |  SELECT CAST(count(*) AS VARCHAR) AS v
+       |  FROM (SELECT DISTINCT src, dst FROM hrows)
        |)
        |SELECT * FROM (VALUES
        |  ('digest_index', 'bloom_bits', '1048576'),
@@ -55,7 +69,15 @@ object FleetQueries {
        |  ('retrieval_index', 'base', '2'),
        |  ('retrieval_index', 'n_docs', (SELECT n_docs FROM rt)),
        |  ('retrieval_index', 'total_tokens', (SELECT tot FROM rt)),
-       |  ('retrieval_index', 'last_batch_id', '-1')
+       |  ('retrieval_index', 'last_batch_id', '-1'),
+       |  ('host_graph', 'epoch', '2'),
+       |  ('host_graph', 'base', '2'),
+       |  ('host_graph', 'row_count', (SELECT v FROM hg_rc)),
+       |  ('host_graph', 'total_w', (SELECT v FROM hg_tw)),
+       |  ('host_graph', 'last_batch_id', '-1'),
+       |  ('bpe_model', 'n_merges', '8'),
+       |  ('bpe_model', 'end_of_word', 'false'),
+       |  ('bpe_model', 'epoch', '0')
        |) AS t(artifact, "key", "value")""".stripMargin
   }
 }

@@ -38,6 +38,10 @@ object GraphQueries {
     GraftQuery("q_pagerank_stored", pageRankStoredQ,
       Some(pageRankSql(corpusWhere = "WHERE doc_id % 2 = 0")),
       bench = true),
+    // frontier prioritization: every 200-page joined to its host's
+    // authority from the crawl's own graph — the recrawl scheduler's
+    // sort key, end to end through the real container
+    GraftQuery("q_rank_frontier", rankFrontierQ, Some(rankFrontierSql)),
   )
 
   /** The linked crawl walked back to (page_uri, html) — status-200
@@ -158,8 +162,9 @@ object GraphQueries {
   /** The PageRank recurrence unrolled to `PrIters` CTEs — every step's
     * floor divisions verbatim (`//` ≡ Spark `div` on these
     * non-negative operands; sums cast back to BIGINT because DuckDB
-    * widens sum(BIGINT) to HUGEINT). */
-  def pageRankSql(corpusWhere: String = ""): String = {
+    * widens sum(BIGINT) to HUGEINT). Expects a prior CTE `e(src, dst,
+    * w)` — the SAME unrolled steps serve every edge substrate. */
+  private def prCtes: String = {
     val steps = (1 to PrIters).map { i =>
       s"""r$i AS (
          |  SELECT n.host,
@@ -170,6 +175,19 @@ object GraphQueries {
          |  ) c ON c.dst = n.host
          |)""".stripMargin
     }.mkString(", ")
+    s"""o AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1
+       |), ew AS (
+       |  SELECT e.src, e.dst, (1000000 * e.w) // o.outw AS share
+       |  FROM e JOIN o USING (src)
+       |), nodes AS (
+       |  SELECT src AS host FROM ew UNION SELECT dst FROM ew
+       |), r0 AS (
+       |  SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $steps""".stripMargin
+  }
+
+  def pageRankSql(corpusWhere: String = ""): String =
     s"""WITH raw AS (
        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
        |  FROM documents $corpusWhere
@@ -180,16 +198,49 @@ object GraphQueries {
        |), e AS (
        |  SELECT src, dst, count(*) AS w FROM hrows
        |  WHERE src != dst GROUP BY 1, 2
-       |), o AS (
-       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1
-       |), ew AS (
-       |  SELECT e.src, e.dst, (1000000 * e.w) // o.outw AS share
-       |  FROM e JOIN o USING (src)
-       |), nodes AS (
-       |  SELECT src AS host FROM ew UNION SELECT dst FROM ew
-       |), r0 AS (
-       |  SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes
-       |), $steps
+       |), $prCtes
        |SELECT host, r AS rank_micro FROM r$PrIters""".stripMargin
+
+  /** FRONTIER PRIORITIZATION end to end: every status-200 page of the
+    * crawl carries its host's authority — the relation a recrawl
+    * scheduler sorts by and a quality pipeline joins as a prior.
+    * Ranks come from the crawl's OWN graph (walk → extract → rollup →
+    * K integer steps), pages from the same walk; one declarative plan,
+    * one broadcast-sized join at the end (ranks are host-cardinality). */
+  def rankFrontierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = crawlPages(spark, sfDir)
+    val ranks = LinkGraphOps.pageRankHosts(
+      LinkGraphOps.hostGraph(
+        LinkGraphOps.extractLinks(pages, "page_uri", "html"),
+        "src_uri", "dst_uri"),
+      "src_host", "dst_host", "n_links", PrIters)
+    pages.select(col("page_uri"),
+        LinkGraphOps.hostOf(col("page_uri")).as("host"))
+      .join(ranks, Seq("host"))
+      .select(col("page_uri"), col("host"), col("rank_micro"))
   }
+
+  def rankFrontierSql: String =
+    s"""WITH ids AS (
+       |  SELECT DISTINCT doc_id % 40 AS wid FROM documents
+       |), resp AS (
+       |  SELECT wid, unnest(range(0, 3 + wid % 4)) AS r FROM ids
+       |), pg AS (
+       |  SELECT wid, r FROM resp WHERE (wid + r) % 5 != 0
+       |), lnk AS (
+       |  SELECT wid, r, unnest(range(0, 1 + (wid + r) % 3)) AS j FROM pg
+       |), e AS (
+       |  SELECT 'h' || (wid % 7) || '.test' AS src,
+       |    'h' || (((wid * 5 + r * 3 + j * 11) % 40) % 7) || '.test' AS dst,
+       |    count(*) AS w
+       |  FROM lnk
+       |  WHERE wid % 7 != ((wid * 5 + r * 3 + j * 11) % 40) % 7
+       |  GROUP BY 1, 2
+       |), $prCtes
+       |SELECT 'http://h' || (p.wid % 7) || '.test/' || p.wid || '/' || p.r
+       |    AS page_uri,
+       |  'h' || (p.wid % 7) || '.test' AS host,
+       |  rk.r AS rank_micro
+       |FROM pg p
+       |JOIN r$PrIters rk ON rk.host = 'h' || (p.wid % 7) || '.test'""".stripMargin
 }

@@ -2239,14 +2239,18 @@ object TextQueries {
     * with the in-memory table exactly, so the row shares
     * [[bpeEncodeSql]] verbatim. The artifact is content-independent
     * (the model IS the pinned table), so the cache key is the tag. */
-  def bpeEncodeStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def storedBpeDir(spark: SparkSession,
+                                    sfDir: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_v1_" +
       s"${math.abs(sfDir.hashCode)}"
     if (!new java.io.File(s"$dir/meta/_SUCCESS").exists())
       TextOps.writeBpeModel(spark, PINNED_MERGES, dir)
-    TextOps.bpeEncodeStored(spark, dir, docs(spark, sfDir), "text",
-      "doc_id")
+    dir
   }
+
+  def bpeEncodeStoredQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.bpeEncodeStored(spark, storedBpeDir(spark, sfDir),
+      docs(spark, sfDir), "text", "doc_id")
 
   /** The oracle frames each word's symbol list as a delimiter string
     * `⁁s1⁁⁁s2⁁…⁁sN⁁` and applies each pinned merge in rank order as a
