@@ -100,6 +100,57 @@ object GraphSoakMain {
     println(f"  hot host h0 rank ${hot}%,d micro; p99.9 " +
       f"${stats.getLong(1)}%,d; surviving mass " +
       f"${stats.getLong(2)}%,d of ${nHosts * 1000000L}%,d initial")
+
+    // ---- leg 2: the STORED lifecycle at the same scale — the edge
+    // corpus folds in as 10 daily segments through the exactly-once
+    // ingest with compactEvery=3 bounding the window, and the served
+    // ranks must agree RANK-FOR-RANK with leg 1's one-shot run (sums
+    // commute with the fold; the store must not change a single micro)
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hg_soak")
+      .toString + "/g"
+    val nSeg = 10
+    val t0 = System.nanoTime()
+    (0 until nSeg).foreach { s =>
+      val lo = nEdges * s / nSeg; val hi = nEdges * (s + 1) / nSeg
+      val seg = spark.range(lo, hi)
+        .select((col("id") % nHosts).as("src"),
+          when(col("id") % 97 === 0, lit(0L))
+            .otherwise(pmod(col("id") * 2654435761L + 7L, lit(nHosts)))
+            .as("dst"),
+          (col("id") % 3 + 1).as("w"))
+        .filter(col("src") =!= col("dst"))
+        .select(concat(lit("h"), col("src")).as("src_host"),
+          concat(lit("h"), col("dst")).as("dst_host"), col("w"))
+      val t = System.nanoTime()
+      require(graft.pipeline.LinkGraphOps.ingestHostGraphBatch(spark, dir,
+        seg, "src_host", "dst_host", "w", batchId = s.toLong))
+      require(!graft.pipeline.LinkGraphOps.ingestHostGraphBatch(spark, dir,
+        seg, "src_host", "dst_host", "w", batchId = s.toLong),
+        "replayed segment must skip")
+      graft.pipeline.LinkGraphOps.maybeCompactHostGraphIndex(spark, dir, 3)
+      println(f"  segment $s%2d folded (+ replay skip + compact check) " +
+        f"${(System.nanoTime() - t) / 1e9}%6.2f s")
+    }
+    println(f"${"stored lifecycle: 10 exactly-once segment folds"}%-52s " +
+      f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    val m = graft.pipeline.LinkGraphOps.readHostGraphMeta(spark, dir)
+    require(m.epoch - m.base + 1 <= 3,
+      s"window must stay bounded by compactEvery=3, meta was $m")
+    val served = time("pagerank OFF THE STORE, 5 iters") {
+      graft.pipeline.LinkGraphOps.pageRankStoredGraph(spark, dir, 5)
+        .persist()
+    }
+    val servedDisagree = r32.alias("a")
+      .join(served.alias("b"), col("a.host") === col("b.host"), "full")
+      .filter(col("a.rank_micro").isNull || col("b.rank_micro").isNull ||
+        col("a.rank_micro") =!= col("b.rank_micro"))
+      .count()
+    require(servedDisagree == 0L,
+      s"$servedDisagree hosts disagree between the maintained store " +
+        "and the one-shot graph — the fold must be exact")
+    println(f"  maintained store ≡ one-shot: $cnt%,d ranks agree; " +
+      f"window ${m.base}%d..${m.epoch}%d, total_w ${m.totalW}%,d")
     spark.stop()
   }
 }

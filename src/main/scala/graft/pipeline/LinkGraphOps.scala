@@ -34,6 +34,17 @@ object LinkGraphOps {
 
   private def div(a: Column, b: Column): Column = call_function("div", a, b)
 
+  /** Edge weights must be strictly positive — a zero or negative
+    * weight would corrupt the rank silently (an all-zero out-weight
+    * divides to NULL shares, a negative one breaks monotonicity), so
+    * the guard rides IN-PLAN on the delta-sized relation and fails the
+    * job naming the edge. */
+  private def positiveWeight(w: Column, src: Column, dst: Column): Column =
+    when(w > 0, w).otherwise(raise_error(concat(
+      lit("host graph: non-positive edge weight "), w.cast("string"),
+      lit(" on ("), src.cast("string"), lit(" -> "), dst.cast("string"),
+      lit(")"))).cast("long"))
+
   /** Every `<a href>` out-link of every crawled page — map-only.
     * Output: (src_uri, dst_uri, anchor_text), one row per tag
     * occurrence, anchors paired positionally with their hrefs. */
@@ -101,7 +112,9 @@ object LinkGraphOps {
     require(dampingMilli >= 0L && dampingMilli <= 1000L,
       s"dampingMilli must be in 0..1000, got $dampingMilli")
     val e0 = edges.select(col(srcCol).as("__pr_src"),
-      col(dstCol).as("__pr_dst"), col(weightCol).cast("long").as("__pr_w"))
+      col(dstCol).as("__pr_dst"),
+      positiveWeight(col(weightCol).cast("long"), col(srcCol),
+        col(dstCol)).as("__pr_w"))
     val outw = e0.groupBy(col("__pr_src"))
       .agg(sum(col("__pr_w")).as("__pr_outw"))
     val e = Checkpoints.sever(e0.join(outw, Seq("__pr_src"))
@@ -208,7 +221,8 @@ object LinkGraphOps {
   private def deltaOf(edges: DataFrame, srcCol: String, dstCol: String,
                       weightCol: String): DataFrame =
     edges.select(col(srcCol).as("src_host"), col(dstCol).as("dst_host"),
-        col(weightCol).cast("long").as("w"))
+        positiveWeight(col(weightCol).cast("long"), col(srcCol),
+          col(dstCol)).as("w"))
       .groupBy(col("src_host"), col("dst_host"))
       .agg(sum(col("w")).as("w"))
 

@@ -116,6 +116,21 @@ class LinkGraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a non-positive edge weight fails the job naming the edge — " +
+    "both at the rank intake and the stored fold (a zero out-weight " +
+    "would otherwise divide to NULL shares silently)") {
+    val bad = Seq(("a", "b", 0L)).toDF("src", "dst", "w")
+    val e1 = intercept[Exception] {
+      LinkGraphOps.pageRankHosts(bad, "src", "dst", "w", 1).collect()
+    }
+    assert(e1.getMessage.contains("non-positive edge weight"))
+    val e2 = intercept[Exception] {
+      LinkGraphOps.writeHostGraphIndex(bad, "src", "dst", "w",
+        tmp("badw"))
+    }
+    assert(e2.getMessage.contains("non-positive edge weight"))
+  }
+
   // ---- the stored host-graph lifecycle ---------------------------------
 
   private def tmp(tag: String): String =
