@@ -85,12 +85,17 @@ object RetrievalOps {
   def queryTerms(queries: DataFrame, queryIdCol: String,
                  queryTextCol: String): DataFrame = {
     val toks = array_distinct(TextOps.tokens(col(queryTextCol)))
+    // a NULL query text makes size(toks) NULL, which fails the when
+    // predicate and would fire the over-width error MISLEADINGLY —
+    // name both causes in one message (the guard stays one in-plan
+    // branch either way)
     queries.select(col(queryIdCol).as("query_id"),
         explode(when(size(toks) <= MaxQueryTerms, toks)
           .otherwise(raise_error(concat(lit("bm25: query "),
             col(queryIdCol).cast("string"),
-            lit(s" has more than $MaxQueryTerms distinct terms — " +
-              "shorten the query or raise the scoring scale headroom")))))
+            lit(s" is null or has more than $MaxQueryTerms distinct " +
+              "terms — shorten the query (or drop null rows) or raise " +
+              "the scoring scale headroom")))))
           .as("token"))
   }
 

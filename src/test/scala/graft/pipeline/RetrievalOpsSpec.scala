@@ -113,6 +113,16 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null && e.getMessage.contains("distinct terms"),
       s"got: ${e.getMessage}")
+    // a NULL query text fails the same in-plan guard (size(null) fails
+    // the when predicate) — the message must name that cause too, not
+    // just claim the query was over-width
+    val eNull = intercept[Exception] {
+      RetrievalOps.bm25TopK(corpusDf(0L to 3L), "text", "doc_id",
+        queriesDf(Seq((1L, null.asInstanceOf[String]))),
+        "query_id", "query_text", 5).collect()
+    }
+    assert(eNull.getMessage != null && eNull.getMessage.contains("is null or"),
+      s"got: ${eNull.getMessage}")
   }
 
   // ---- stored lifecycle ---------------------------------------------------
