@@ -42,6 +42,10 @@ object GraphQueries {
     // authority from the crawl's own graph — the recrawl scheduler's
     // sort key, end to end through the real container
     GraftQuery("q_rank_frontier", rankFrontierQ, Some(rankFrontierSql)),
+    // anchor-text retrieval: targets ranked by what OTHER pages' link
+    // anchors say about them — the classic web-search signal, the
+    // graph family composed with the BM25 scorer
+    GraftQuery("q_bm25_anchors", bm25AnchorsQ, Some(bm25AnchorsSql)),
   )
 
   /** The linked crawl walked back to (page_uri, html) — status-200
@@ -219,6 +223,67 @@ object GraphQueries {
       .join(ranks, Seq("host"))
       .select(col("page_uri"), col("host"), col("rank_micro"))
   }
+
+  private val AnchorTopK = 10
+
+  /** ANCHOR-TEXT RETRIEVAL — rank crawl targets by what the pages
+    * LINKING to them say (the classic web-search signal: anchors
+    * describe a target better than the target describes itself, and
+    * they exist even for pages never fetched). The anchor document of
+    * target (tid, tr) is the bag of every anchor whose link points at
+    * it; BM25 runs over those documents with doc_id = tid·100 + tr.
+    * Bag-of-words scoring is ORDER-INVARIANT, so the nondeterministic
+    * collect_list order inside the anchor concat cannot move a score —
+    * tf, dl, and df all count token multiplicity only. Workload: the
+    * five formula topics. */
+  def bm25AnchorsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val links = LinkGraphOps.extractLinks(
+      crawlPages(spark, sfDir), "page_uri", "html")
+    val anchorDocs = links.select(
+        regexp_extract(col("dst_uri"), "/(\\d+)/(\\d+)$", 1)
+          .cast("long").as("tid"),
+        regexp_extract(col("dst_uri"), "/(\\d+)/(\\d+)$", 2)
+          .cast("long").as("tr"),
+        col("anchor_text"))
+      .groupBy(col("tid"), col("tr"))
+      .agg(concat_ws(" ", collect_list(col("anchor_text")))
+        .as("anchors"))
+      .select((col("tid") * 100 + col("tr")).as("doc_id"), col("anchors"))
+    val workload = spark.range(5L).select(col("id").as("query_id"),
+      concat(lit("topic"), col("id").cast("string")).as("query_text"))
+    graft.pipeline.RetrievalOps.bm25TopK(anchorDocs, "anchors", "doc_id",
+      workload, "query_id", "query_text", AnchorTopK)
+  }
+
+  /** The anchor-token relation rebuilt from the link formulas (two
+    * tokens per link: the unique anchor id and its topic), then the
+    * SHARED BM25 scoring CTEs ([[RetrievalQueries.bm25CtesFromTok]]) —
+    * one scorer oracle across substrates, like the PageRank steps. */
+  def bm25AnchorsSql: String =
+    s"""WITH ids AS (
+       |  SELECT DISTINCT doc_id % 40 AS wid FROM documents
+       |), resp AS (
+       |  SELECT wid, unnest(range(0, 3 + wid % 4)) AS r FROM ids
+       |), pg AS (
+       |  SELECT wid, r FROM resp WHERE (wid + r) % 5 != 0
+       |), lnk AS (
+       |  SELECT wid, r, unnest(range(0, 1 + (wid + r) % 3)) AS j FROM pg
+       |), tgt AS (
+       |  SELECT wid, r, j,
+       |    (wid * 5 + r * 3 + j * 11) % 40 AS tid,
+       |    (wid + 2 * r + j) % 4 AS tr
+       |  FROM lnk
+       |), tok AS (
+       |  SELECT tid * 100 + tr AS doc_id,
+       |    unnest(['a' || wid || '_' || r || '_' || j,
+       |            'topic' || ((wid + r + 2 * j) % 5)]) AS token
+       |  FROM tgt
+       |), q AS (
+       |  SELECT i AS query_id, 'topic' || i AS query_text
+       |  FROM (SELECT unnest(range(0, 5)) AS i)
+       |), ${RetrievalQueries.bm25CtesFromTok}
+       |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id, score_micro
+       |FROM ranked WHERE rnk <= $AnchorTopK""".stripMargin
 
   def rankFrontierSql: String =
     s"""WITH ids AS (

@@ -66,17 +66,17 @@ object RetrievalQueries {
       workload(spark, sfDir), "query_id", "query_text", BmK)
   }
 
-  /** The integer-exact BM25 oracle — the Spark formulas verbatim in
-    * DuckDB arithmetic (`//` floor division ≡ Spark `div` on the
-    * all-non-negative operands here; sums cast back to BIGINT because
-    * DuckDB widens sum(BIGINT) to HUGEINT). */
-  private def bm25Sql(corpusWhere: String = ""): String = {
-    val toks = graft.pipeline.TextOps.tokensSql("text")
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents $corpusWhere
-       |), tok AS (
-       |  SELECT doc_id, unnest($toks) AS token FROM corpus
-       |), post AS (
+  /** The scoring CTE chain of the integer-exact BM25 oracle — the
+    * Spark formulas verbatim in DuckDB arithmetic (`//` floor division
+    * ≡ Spark `div` on the all-non-negative operands here; sums cast
+    * back to BIGINT because DuckDB widens sum(BIGINT) to HUGEINT).
+    * Expects prior CTEs `tok(doc_id, token)` (one row per corpus token
+    * OCCURRENCE) and `q(query_id, query_text)` — written once, shared
+    * by every substrate (the documents table here, the anchor-text
+    * relation in GraphQueries). Callers append the final rank-cutoff
+    * SELECT. */
+  private[queries] def bm25CtesFromTok: String =
+    s"""post AS (
        |  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
        |), dl AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1
@@ -86,10 +86,6 @@ object RetrievalQueries {
        |  FROM dl
        |), dfreq AS (
        |  SELECT token, count(*) AS df FROM post GROUP BY 1
-       |), q AS (
-       |  SELECT doc_id AS query_id,
-       |    array_to_string(($toks)[1:$QueryTokens], ' ') AS query_text
-       |  FROM documents WHERE doc_id % $QueryEvery = 0
        |), qt AS (
        |  SELECT DISTINCT query_id, token FROM (
        |    SELECT query_id,
@@ -116,7 +112,19 @@ object RetrievalQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY score_micro DESC, doc_id) AS rnk
        |  FROM scored
-       |)
+       |)""".stripMargin
+
+  private def bm25Sql(corpusWhere: String = ""): String = {
+    val toks = graft.pipeline.TextOps.tokensSql("text")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents $corpusWhere
+       |), tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM corpus
+       |), q AS (
+       |  SELECT doc_id AS query_id,
+       |    array_to_string(($toks)[1:$QueryTokens], ' ') AS query_text
+       |  FROM documents WHERE doc_id % $QueryEvery = 0
+       |), $bm25CtesFromTok
        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id, score_micro
        |FROM ranked WHERE rnk <= $BmK""".stripMargin
   }

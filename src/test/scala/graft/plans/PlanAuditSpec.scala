@@ -38,7 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // construction (a global aggregate / the index meta) — via
       // crossJoin(broadcast): the same single-row-build-side shape as
       // q_lm_score's V scalar
-      "q_bm25_topk", "q_bm25_stored")
+      "q_bm25_topk", "q_bm25_stored", "q_bm25_anchors")
       // (q_cap_recall_compare / q_band_recall_compare once sat here for
       // their one-row denominator cross-join; the denominator is now a
       // collected literal, so their plans are BNLJ-free again)
