@@ -66,17 +66,27 @@ object LinkGraphOps {
   def hostOf(uri: Column): Column =
     regexp_extract(uri, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
 
-  /** Page-level links rolled up to the HOST graph: (src_host,
-    * dst_host, n_links). Intra-host edges are dropped (they dominate
-    * raw link counts and carry no cross-site authority — the standard
-    * host-graph convention), as are links whose either URI has no
-    * parseable host. ONE partial-aggregated shuffle on the host pair. */
-  def hostGraph(links: DataFrame, srcUriCol: String,
-                dstUriCol: String): DataFrame =
+  /** Unaggregated host-edge rows, one per kept link, weight 1 —
+    * MAP-ONLY, so it composes with a STREAMING link relation (the
+    * continuous crawl→graph loop rolls these up per micro-batch inside
+    * the store's own fold instead of aggregating here). Drop rules are
+    * the host-graph convention: intra-host edges out (they dominate
+    * raw counts and carry no cross-site authority), unparseable URIs
+    * (empty host) out. */
+  def hostLinkRows(links: DataFrame, srcUriCol: String,
+                   dstUriCol: String): DataFrame =
     links.select(hostOf(col(srcUriCol)).as("src_host"),
         hostOf(col(dstUriCol)).as("dst_host"))
       .filter(col("src_host") =!= "" && col("dst_host") =!= "" &&
         col("src_host") =!= col("dst_host"))
+      .withColumn("w", lit(1L))
+
+  /** Page-level links rolled up to the HOST graph: (src_host,
+    * dst_host, n_links) — [[hostLinkRows]] plus ONE partial-aggregated
+    * shuffle on the host pair. */
+  def hostGraph(links: DataFrame, srcUriCol: String,
+                dstUriCol: String): DataFrame =
+    hostLinkRows(links, srcUriCol, dstUriCol)
       .groupBy(col("src_host"), col("dst_host"))
       .agg(count(lit(1)).as("n_links"))
 

@@ -1060,6 +1060,35 @@ object PipelineStreams {
       .start()
   }
 
+  /** The continuous CRAWL→GRAPH loop: landed .warc.gz files stream
+    * through the record walk, their 200-status pages through MAP-ONLY
+    * link extraction and host parsing
+    * ([[graft.pipeline.LinkGraphOps.hostLinkRows]] — no aggregate on
+    * the stream, so no watermark state anywhere), and each
+    * micro-batch's edge rows fold into the STORED host graph
+    * exactly-once (the batch rollup happens inside the store's own
+    * delta fold). The crawl's authority ranks then serve from the
+    * store ([[graft.pipeline.LinkGraphOps.pageRankStoredGraph]])
+    * without re-walking anything — the ingest→index loop of the CDX
+    * leg, applied to the link graph. */
+  def crawlGraphMaintainStream(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, indexPath: String,
+                               checkpoint: String,
+                               glob: String = "*.warc.gz",
+                               idPattern: String =
+                                 "clip_(\\d+)\\.warc\\.gz$",
+                               compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pages = warcIngestStream(spark, dir, glob, idPattern)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri").as("page_uri"), col("body").as("html"))
+    val edges = graft.pipeline.LinkGraphOps.hostLinkRows(
+      graft.pipeline.LinkGraphOps.extractLinks(pages, "page_uri", "html"),
+      "src_uri", "dst_uri")
+    hostGraphMaintainStream(edges, indexPath, checkpoint,
+      "src_host", "dst_host", "w", compactEvery)
+  }
+
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch
     * `q_warc_text` chain applied to the live crawl tap; still fully

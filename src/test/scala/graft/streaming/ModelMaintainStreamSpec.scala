@@ -465,4 +465,63 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     assert(m.totalW === (s1 ++ s2 ++ s3).map(_._3).sum,
       "total weight must be the exactly-once sum")
   }
+
+  test("crawl -> graph, end to end: landed .warc.gz files keep the " +
+    "stored host graph current across a restart, and served ranks " +
+    "equal the one-shot batch chain over the same files") {
+    val land = tmp("cg_land")
+    val index = tmp("cg_index") + "/g"
+    val ckpt = tmp("cg_ckpt")
+    def dropAs(id: Long, name: Long): Unit =
+      graft.sources.TableSources.writeBinaryDir(
+        graft.pipeline.WarcOps
+          .encodeSyntheticWarcGzLinked(Seq(id).toDF("id"), "id")
+          .withColumn("media_id", lit(name)),
+        land, "media_id", "content", ".warc.gz")
+    def graph(): Set[Seq[Any]] = tryRows {
+      graft.pipeline.LinkGraphOps.readStoredHostGraph(spark, index)
+        .collect().map(_.toSeq).toSet
+    }
+    /** The audited one-shot batch chain over file ids. */
+    def expect(ids: Seq[Long]): Set[Seq[Any]] = {
+      val pages = graft.pipeline.WarcOps.warcRecordsGz(
+          graft.pipeline.WarcOps.encodeSyntheticWarcGzLinked(
+            ids.toDF("id"), "id"), "content", "media_id")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("target_uri").as("page_uri"), col("body").as("html"))
+      graft.pipeline.LinkGraphOps.hostGraph(
+          graft.pipeline.LinkGraphOps.extractLinks(pages, "page_uri",
+            "html"), "src_uri", "dst_uri")
+        .collect().map(_.toSeq).toSet
+    }
+    def start() = PipelineStreams.crawlGraphMaintainStream(
+      spark, land, index, ckpt, compactEvery = 2)
+    dropAs(3L, 0L)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first crawl file folded")(
+        graph() == expect(Seq(3L)))
+      dropAs(12L, 1L) // different host (12 % 7 = 5), lands mid-flight
+      awaitArtifact(q1, "second file's edges summed in")(
+        graph() == expect(Seq(3L, 12L)))
+    } finally q1.stop()
+    dropAs(26L, 2L) // lands while the maintainer is DOWN
+    val q2 = start()
+    try awaitArtifact(q2, "down-time file picked up on restart")(
+      graph() == expect(Seq(3L, 12L, 26L)))
+    finally q2.stop()
+    // ranks off the maintained store ≡ ranks over the one-shot graph
+    val served = graft.pipeline.LinkGraphOps.pageRankStoredGraph(
+        spark, index, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = graft.pipeline.LinkGraphOps.pageRankHosts(
+        expect(Seq(3L, 12L, 26L)).toSeq
+          .map(s => (s(0).asInstanceOf[String], s(1).asInstanceOf[String],
+            s(2).asInstanceOf[Long]))
+          .toDF("src", "dst", "w"), "src", "dst", "w", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served === oneShot,
+      "the maintained graph must rank exactly like the batch chain")
+  }
 }
