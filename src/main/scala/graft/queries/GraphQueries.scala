@@ -41,11 +41,13 @@ object GraphQueries {
     // frontier prioritization: every 200-page joined to its host's
     // authority from the crawl's own graph — the recrawl scheduler's
     // sort key, end to end through the real container
-    GraftQuery("q_rank_frontier", rankFrontierQ, Some(rankFrontierSql)),
+    GraftQuery("q_rank_frontier", rankFrontierQ, Some(rankFrontierSql),
+      bench = true),
     // anchor-text retrieval: targets ranked by what OTHER pages' link
     // anchors say about them — the classic web-search signal, the
     // graph family composed with the BM25 scorer
-    GraftQuery("q_bm25_anchors", bm25AnchorsQ, Some(bm25AnchorsSql)),
+    GraftQuery("q_bm25_anchors", bm25AnchorsQ, Some(bm25AnchorsSql),
+      bench = true),
   )
 
   /** The linked crawl walked back to (page_uri, html) — status-200

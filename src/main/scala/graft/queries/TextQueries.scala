@@ -78,7 +78,8 @@ object TextQueries {
     GraftQuery("q_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
     // the stored-tokenizer serving path: write→read→encode must agree
     // with the in-memory merge table exactly, so it shares the oracle
-    GraftQuery("q_bpe_encode_stored", bpeEncodeStoredQ, Some(bpeEncodeSql)),
+    GraftQuery("q_bpe_encode_stored", bpeEncodeStoredQ, Some(bpeEncodeSql),
+      bench = true),
     GraftQuery("q_mask_spans", maskSpansQ, Some(maskSpansSql), bench = true),
     GraftQuery("q_winnow", winnowQ, Some(winnowSql)),
     GraftQuery("q_text_hash_bow", textHashBow, Some(textHashBowSql)),

@@ -241,14 +241,19 @@ class MediaHashIndexSpec extends AnyFunSuite {
     } finally q1.stop()
     dropImgs(Seq(3L)) // lands while the maintainer is DOWN
     val q2 = start()
-    try awaitIdx(q2, "down-time segment picked up on restart")(
-      selfMatches(Seq(0L, 1L, 2L, 3L)) == Set(0L, 1L, 2L, 3L))
-    finally q2.stop()
-    // compactEvery = 2 kept the maintained window bounded: at most
-    // {compacted base} + one uncompacted append at any commit point
-    val m = spark.read.parquet(s"$idx/meta").collect()(0)
-    assert(m.getAs[Long]("epoch") - m.getAs[Long]("hash_base") + 1 <= 2,
-      s"window must stay bounded by compactEvery, meta was $m")
+    try {
+      awaitIdx(q2, "down-time segment picked up on restart")(
+        selfMatches(Seq(0L, 1L, 2L, 3L)) == Set(0L, 1L, 2L, 3L))
+      // window bound awaited WHILE THE STREAM RUNS — compaction is
+      // post-commit, so a stop() right after the probe matches can
+      // interrupt it (caught by design) and leave the window one over:
+      // at most {compacted base} + one uncompacted append once it runs
+      awaitIdx(q2, "compactEvery bounds the fingerprint window")(
+        try {
+          val m = spark.read.parquet(s"$idx/meta").collect()(0)
+          m.getAs[Long]("epoch") - m.getAs[Long]("hash_base") + 1 <= 2
+        } catch { case scala.util.control.NonFatal(_) => false })
+    } finally q2.stop()
   }
 
   test("a swap that died between delete and rename is RECOVERED by the " +
