@@ -174,21 +174,33 @@ object AdmissionOps {
     * read-only snapshots (MinHash/decontam/LM) maintained by their own
     * legs.
     *
-    * Store-coverage contract, stated plainly: the digest store covers
-    * the ADMITTED corpus — "exact_dup" means "already in the corpus".
-    * A byte-identical copy of a previously REJECTED doc is not an
-    * exact_dup; it re-derives the same rejection through the same
-    * screens (correct verdict, re-paid compute).
+    * `minhashIndexPath` closes the loop over NEAR-dups too: when set,
+    * the loop also owns a MinHash signature store — the batch's
+    * near-dup screen consults it, and admitted rows fold their
+    * signatures in ([[DedupOps.ingestMinhashBatch]]), so batch N+1's
+    * near_dup stage catches a PARAPHRASE of what batch N admitted, not
+    * just a byte-identical copy. First batch builds it with the given
+    * geometry; after that the store's meta pins its own.
     *
-    * Crash-window audit (write admitted FIRST, ingest digests SECOND):
-    * a crash before the ingest replays into a recompute against the
-    * unchanged store — same verdicts, `b<batchId>` overwritten
-    * wholesale, then the ingest commits; a crash after the ingest
-    * replays into the pointer skip, leaving the already-written
-    * `b<batchId>` untouched. Either way every admitted row lands
-    * exactly once and is never re-screened against its own digests
-    * (the self-duplicate false-positive a verdict-first replay would
-    * produce). Id regressions refuse loudly like every other pointer. */
+    * Store-coverage contract, stated plainly: the loop-owned stores
+    * cover the ADMITTED corpus — "exact_dup"/"near_dup" mean "already
+    * in (or nearly in) the corpus". A byte-identical copy of a
+    * previously REJECTED doc is not an exact_dup; it re-derives the
+    * same rejection through the same screens (correct verdict, re-paid
+    * compute).
+    *
+    * Crash-window audit (write admitted FIRST, ingest digests SECOND,
+    * ingest signatures THIRD): a crash before the digest ingest
+    * replays into a recompute against the unchanged stores — same
+    * verdicts, `b<batchId>` overwritten wholesale, then both ingests
+    * commit; a crash BETWEEN the two ingests replays into the digest
+    * pointer skip, which re-reads the landed `b<batchId>` rows and
+    * re-offers them to the signature store — whose OWN batch pointer
+    * makes that a no-op if it had already applied (each store is
+    * exactly-once on its own pointer, and the landed parquet is the
+    * replay's source of truth, so the re-offer can never re-screen or
+    * re-admit anything). Id regressions refuse loudly like every other
+    * pointer. */
   def ingestAdmissionBatch(spark: SparkSession, batch: DataFrame,
                            textCol: String, idCol: String, batchId: Long,
                            outDir: String, digestIndexPath: String,
@@ -199,10 +211,24 @@ object AdmissionOps {
                            decontamMinOverlap: Long = 5L,
                            lmMinAvgScore: Option[Long] = None,
                            bloomBits: Int = 1 << 20,
-                           bloomHashes: Int = 4): Boolean = {
+                           bloomHashes: Int = 4,
+                           minhashIndexPath: Option[String] = None,
+                           minhashShingleK: Int = 3,
+                           minhashNumHashes: Int = 12,
+                           minhashBands: Int = 4): Boolean = {
     require(staticStores.digestIndexPath.isEmpty,
       "the admission loop OWNS the digest store — pass digestIndexPath, " +
         "not staticStores.digestIndexPath")
+    require(minhashIndexPath.isEmpty || staticStores.minhashIndexPath.isEmpty,
+      "the admission loop OWNS the near-dup store when minhashIndexPath " +
+        "is set — a second, static MinHash store would screen against " +
+        "a different corpus than the loop admits into")
+    def foldSignatures(rows: DataFrame): Unit =
+      minhashIndexPath.foreach { p =>
+        DedupOps.ingestMinhashBatch(spark, p, rows, textCol, idCol,
+          batchId, minhashShingleK, minhashNumHashes, minhashBands,
+          bloomBits, bloomHashes)
+      }
     val hasStore = MetaIO.metaExistsOrRecover(spark, digestIndexPath)
     if (hasStore) {
       val meta = DedupOps.readDigestIndexMeta(spark, digestIndexPath)
@@ -210,19 +236,30 @@ object AdmissionOps {
         MetaIO.requireReplayNotRegression("admission loop",
           digestIndexPath, batchId, meta.lastBatchId, "documents",
           "admitAgainstStores + appendDigestIndex")
-        return false // replayed batch: b<batchId> already on disk
+        // replayed batch: b<batchId> already on disk. Close the
+        // between-ingests crash window by re-offering the LANDED rows
+        // to the signature store; its own pointer no-ops the common
+        // case where it already applied.
+        if (batchId == meta.lastBatchId && minhashIndexPath.nonEmpty)
+          foldSignatures(spark.read.parquet(s"$outDir/b$batchId"))
+        return false
       }
     }
+    val hasMinhash = minhashIndexPath.exists(p =>
+      MetaIO.metaExistsOrRecover(spark, p))
     val stores = staticStores.copy(
-      digestIndexPath = if (hasStore) Some(digestIndexPath) else None)
+      digestIndexPath = if (hasStore) Some(digestIndexPath) else None,
+      minhashIndexPath =
+        if (hasMinhash) minhashIndexPath else staticStores.minhashIndexPath)
     val admitted = admitAgainstStores(spark, batch, textCol, idCol,
       stores, langCode, minQuality, nearDupMinAgree, decontamMinOverlap,
       lmMinAvgScore)
-      .localCheckpoint() // consumed twice: the landing write + the ingest
+      .localCheckpoint() // consumed thrice: landing write + both ingests
     try {
       admitted.write.mode("overwrite").parquet(s"$outDir/b$batchId")
       DedupOps.ingestDigestBatch(spark, digestIndexPath, admitted,
         textCol, batchId, bloomBits, bloomHashes)
+      foldSignatures(admitted)
     } finally admitted.unpersist()
     true
   }

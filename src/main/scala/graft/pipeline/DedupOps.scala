@@ -409,23 +409,24 @@ object DedupOps {
     } else false
   }
 
-  /** Pin a prescreen predicate to ONE FilterExec evaluation site. The
-    * nondeterministic always-false disjunct (monotonically_increasing_id
-    * is non-negative, so `< -1` never holds) leaves semantics untouched
-    * but makes the whole predicate nondeterministic, so the optimizer
-    * neither pushes it into a scan's DataFilters (the PlanAuditSpec
-    * double-eval class) nor lifts it into a constraint that join-key
-    * inference would copy onto the STORED side — where it would
-    * re-evaluate the kernel over every stored row for nothing (stored
-    * keys pass their own bloom by construction). mid(), not rand():
-    * Spark 4 bound-folds rand comparisons to literals outside [0,1),
-    * which would collapse the disjunct and un-pin the predicate. The
-    * other bloom probes get this for free from a Generate/mapPartitions
-    * barrier below the filter; a probe over a bare projection (this
-    * one) has no such barrier. Cost: one long compare per row, inside
-    * whole-stage codegen. */
+  /** Pin a prescreen predicate to ONE FilterExec evaluation site —
+    * [[graft.functions.Barrier.pin]], the repo-owned nondeterministic
+    * identity. The wrapped predicate is neither pushed into a scan's
+    * DataFilters (the PlanAuditSpec double-eval class) nor lifted into
+    * a constraint that join-key inference would copy onto the STORED
+    * side — where it would re-evaluate the kernel over every stored
+    * row for nothing (stored keys pass their own bloom by
+    * construction). Earlier rounds pinned via always-false
+    * nondeterministic disjuncts (`rand() < -1`, then
+    * `monotonically_increasing_id() < -1` after Spark 4 learned to
+    * bound-fold rand comparisons); the dedicated barrier removes the
+    * dependence on which builtins the optimizer learns to fold. The
+    * other bloom probes get their barrier for free from a
+    * Generate/mapPartitions operator below the filter; a probe over a
+    * bare projection (this one) has no such operator. Cost: zero —
+    * the barrier code-generates as its child. */
   private def pinToFilter(pred: Column): Column =
-    pred || (monotonically_increasing_id() < -1L)
+    graft.functions.Barrier.pin(pred)
 
   /** Probe a stored digest index: (probe_id, content_hash) for every
     * probe row whose content digest exists in the stored window. Each

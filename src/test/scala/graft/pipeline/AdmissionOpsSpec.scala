@@ -186,6 +186,77 @@ class AdmissionOpsSpec extends AnyFunSuite {
       "digests: one, two, three, four")
   }
 
+  test("admit->ingest loop with minhashIndexPath: batch N+1's near-dup " +
+    "stage catches a PARAPHRASE of batch N's admission; both stores are " +
+    "exactly-once across a replay; the between-ingests crash window " +
+    "re-offers the landed rows to the signature store") {
+    val out = tmp("nloop_out")
+    val dg = tmp("nloop_dg") + "/dg"
+    val mh = tmp("nloop_mh") + "/mh"
+    // 30-token base → 28 shingles at k=3; the paraphrase swaps the last
+    // token, sharing 26 of them (Jaccard ≈ 0.87) — byte-distinct, so
+    // the exact screen passes it and only the near-dup screen can
+    // catch it. Texts are fixed and the hashes deterministic, so the
+    // assertion is exact, not probabilistic.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val para = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val para2 = ((1 to 29).map(i => s"tok$i") :+ "other").mkString(" ")
+    def ingest(rows: Seq[(Long, String)], id: Long,
+               withMh: Boolean = true): Boolean =
+      AdmissionOps.ingestAdmissionBatch(spark, rows.toDF("doc_id", "text"),
+        "text", "doc_id", id, out, dg, langCode = None, minQuality = None,
+        minhashIndexPath = if (withMh) Some(mh) else None)
+    def landed(id: Long): Set[Long] =
+      spark.read.parquet(s"$out/b$id").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    def mhMeta = DedupOps.readMinhashIndexMeta(spark, mh)
+    // batch 0 builds BOTH stores from its admissions
+    assert(ingest(Seq((1L, base), (3L, "x1 x2 x3 x4")), 0L))
+    assert(landed(0L) == Set(1L, 3L))
+    assert(mhMeta.sigCount == 2L && mhMeta.lastBatchId == 0L)
+    // batch 1: the paraphrase is a near_dup of batch 0's admission —
+    // caught by the loop's own signature store, no static store set
+    val loopStores = AdmissionStores(digestIndexPath = Some(dg),
+      minhashIndexPath = Some(mh))
+    val v = AdmissionOps.admissionVerdicts(spark,
+        Seq((5L, para)).toDF("doc_id", "text"), "text", "doc_id",
+        loopStores, langCode = None, minQuality = None)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(5L -> "near_dup"),
+      s"paraphrase must flag near_dup against the loop's store, got $v")
+    assert(ingest(Seq((5L, para), (7L, "y1 y2 y3 y4")), 1L))
+    assert(landed(1L) == Set(7L))
+    // replay of batch 1: both pointers skip; neither store grows
+    val sigsBefore = mhMeta.sigCount
+    assert(!ingest(Seq((5L, para), (7L, "y1 y2 y3 y4")), 1L))
+    assert(mhMeta.sigCount == sigsBefore && mhMeta.lastBatchId == 1L,
+      "replay must not re-fold signatures")
+    assert(DedupOps.readDigestIndexMeta(spark, dg).lastBatchId == 1L)
+    // the between-ingests crash window, simulated exactly: batch 2
+    // commits the digest ingest but never reaches the signature fold
+    // (run without minhashIndexPath)...
+    assert(ingest(Seq((9L, para2 + " and more"), (11L, "z1 z2 z3")), 2L,
+      withMh = false))
+    assert(mhMeta.lastBatchId == 1L, "signature store must be behind")
+    // ...the replay hits the digest pointer skip and re-offers the
+    // LANDED rows to the signature store, catching it up exactly once
+    assert(!ingest(Seq((9L, para2 + " and more"), (11L, "z1 z2 z3")), 2L))
+    assert(mhMeta.lastBatchId == 2L && mhMeta.sigCount == sigsBefore + 2,
+      "re-offer must fold exactly the landed batch-2 admissions")
+    // a second replay is a pure no-op on both stores
+    assert(!ingest(Seq((9L, para2 + " and more"), (11L, "z1 z2 z3")), 2L))
+    assert(mhMeta.lastBatchId == 2L && mhMeta.sigCount == sigsBefore + 2)
+    // a static minhash store alongside the loop-owned one refuses
+    val err = intercept[IllegalArgumentException] {
+      AdmissionOps.ingestAdmissionBatch(spark,
+        Seq((13L, "w")).toDF("doc_id", "text"), "text", "doc_id", 3L,
+        out, dg, staticStores = AdmissionStores(
+          minhashIndexPath = Some(mh)),
+        minhashIndexPath = Some(mh))
+    }
+    assert(err.getMessage.contains("OWNS the near-dup store"))
+  }
+
   test("admitAgainstStores keeps the original schema; admissionReport " +
     "counts match the verdicts; helper-column collisions refuse") {
     val admitted = AdmissionOps.admitAgainstStores(spark, batch, "text",

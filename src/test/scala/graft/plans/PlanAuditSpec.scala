@@ -147,6 +147,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("the probe-seam barrier survives optimization at its filter site") {
+    // the stored-digest probe pins its bloom prescreen with the
+    // repo-owned nondeterministic identity (graft.functions.Barrier);
+    // these rows must keep it in a FilterExec condition — if an
+    // optimizer release ever learns to look through it, the failure
+    // mode is silent double evaluation, so the pin is spec-load-bearing
+    val probeRows = Seq("q_dedup_stored", "q_e2e_admit")
+    probeRows.foreach { name =>
+      val plan = Registry.byName(name).run(spark, sfDir)
+        .queryExecution.sparkPlan
+      val inFilter = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f.condition
+      }.exists(_.exists(_.prettyName == "nondet_barrier"))
+      assert(inFilter,
+        s"$name: nondet_barrier missing from every FilterExec — the " +
+          "bloom prescreen lost its pin")
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.foreach { s =>
+        assert(!s.dataFilters.exists(
+            _.exists(_.prettyName == "nondet_barrier")),
+          s"$name: nondet_barrier was pushed into a scan — the barrier " +
+            "no longer blocks pushdown")
+      }
+    }
+  }
+
   test("no unpartitioned window exec in any registry plan") {
     Registry.all.foreach { q =>
       val bad = planOf(q.name).linesIterator.filter { l =>
