@@ -70,9 +70,20 @@ object GraphSoakMain {
       run(32).persist()
     }
     val cnt = r32.count()
-    require(cnt == nHosts,
-      s"rank relation has $cnt rows, expected $nHosts (every host " +
-        "appears as src i%nHosts and edges cover all residues)")
+    // expected node count from the POST-FILTER edge relation, not the
+    // nHosts constant: the no-self-loop argument above is specific to
+    // the default 10⁶ geometry — a custom [nHosts] can lose a host
+    // whose every out-edge self-looped and that nothing points at,
+    // which is correct behavior, not a soak failure
+    val expectedHosts = edges.select(col("src_host").as("host"))
+      .union(edges.select(col("dst_host").as("host")))
+      .distinct().count()
+    require(cnt == expectedHosts,
+      s"rank relation has $cnt rows, expected $expectedHosts distinct " +
+        "hosts in the edge relation")
+    require(nHosts != 1000000L || cnt == nHosts,
+      s"default geometry must cover every host (got $cnt of $nHosts) — " +
+        "the offset argument in the edge comment broke")
 
     val r7 = time("same graph, 5 iters (7 partitions)") {
       run(7).persist()

@@ -115,12 +115,94 @@ object RetrievalSoakMain {
     val stress = spark.range(1000L).select(col("id").as("query_id"),
       concat(lit("rare"), (col("id") * (n / 1000L / 1000L)).cast("string"),
         lit(" w00")).as("query_text")).localCheckpoint()
-    val sRows = time("stopword stress: every query shares one " +
-      "df≈N/7 term") {
+    val t0 = System.nanoTime()
+    val stressExact = time("stopword stress: every query shares one " +
+      "df≈N/7 term (UNCAPPED exact)") {
       RetrievalOps.bm25AgainstStoredIndex(spark, dir, stress,
-        "query_id", "query_text", k).count()
+        "query_id", "query_text", k).localCheckpoint()
     }
+    val uncappedSec = (System.nanoTime() - t0) / 1e9
+    val sRows = stressExact.count()
     require(sRows == 1000L * k, s"stress rows $sRows")
+
+    // the BOUNDED serving mode on the same stress workload: per-term
+    // df ceiling 20,000 — the rare (df 1,000) and mid (df 10,000)
+    // terms clear it untouched, the df≈143k stopword truncates to its
+    // 20k best postings, so candidate volume for the stopword drops
+    // from ~143M to ≤ 20k × 1,000 = 20M rows
+    val cap = 20000
+    // identity first: the ORIGINAL workload's terms all clear the cap,
+    // so the capped probe must agree with the exact stored probe
+    // row-for-row — the serving mode's correctness contract at scale
+    val cappedMain = time("capped probe, cap ABOVE every df " +
+      "(must equal exact)") {
+      RetrievalOps.bm25AgainstStoredIndex(spark, dir, queries,
+        "query_id", "query_text", k, dfCapPerTerm = Some(cap))
+        .localCheckpoint()
+    }
+    val capDisagree = stored.alias("a").join(cappedMain.alias("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.rank") === col("b.rank"), "full")
+      .filter(col("a.doc_id").isNull || col("b.doc_id").isNull ||
+        col("a.doc_id") =!= col("b.doc_id") ||
+        col("a.score_micro") =!= col("b.score_micro"))
+      .count()
+    require(capDisagree == 0L,
+      s"$capDisagree rows: capped-with-headroom must be the identity")
+    println(f"  capped(cap=$cap%,d) ≡ exact on the main workload")
+
+    val t1 = System.nanoTime()
+    val capped = time(f"stopword stress CAPPED (cap=$cap%,d: " +
+      "~20M candidate rows, not 143M)") {
+      RetrievalOps.bm25AgainstStoredIndex(spark, dir, stress,
+        "query_id", "query_text", k, dfCapPerTerm = Some(cap))
+        .localCheckpoint()
+    }
+    val cappedSec = (System.nanoTime() - t1) / 1e9
+    val cRows = capped.count()
+    require(cRows == 1000L * k, s"capped stress rows $cRows")
+    // relevance survives truncation: the planted term (df 1,000, far
+    // under the cap) is untouched, so every hit stays in its block
+    val cOffBlock = capped.join(stress, Seq("query_id"))
+      .filter(expr("doc_id div 1000") =!=
+        regexp_extract(col("query_text"), "rare(\\d+)", 1).cast("long"))
+      .count()
+    require(cOffBlock == 0L, s"$cOffBlock capped hits off-block")
+    println(f"  capped stress: ${cRows}%,d rows, all in-block; " +
+      f"$cappedSec%.2f s vs uncapped $uncappedSec%.2f s " +
+      f"(${uncappedSec / cappedSec}%.1fx)")
+    require(cappedSec <= uncappedSec * 1.2,
+      f"capped stress ($cappedSec%.2f s) must not cost more than the " +
+        f"uncapped run ($uncappedSec%.2f s) — the cap exists to bound " +
+        "exactly this workload")
+
+    // MAX-SCORE on the same stress workload: the planted term
+    // (df 1,000 ≤ split) scores in phase 1, the df≈143k stopword's
+    // Σ UB (~6M micro) sits three orders below the planted θ (~1G
+    // micro), so phase 2 touches only the surviving block docs — and
+    // the output must equal the UNCAPPED EXACT run row for row, which
+    // is the whole point of the mode
+    val t2 = System.nanoTime()
+    val msStress = time(f"stopword stress MAX-SCORE (split=$cap%,d: " +
+      "exact output, pruned cost)") {
+      RetrievalOps.bm25AgainstStoredIndex(spark, dir, stress,
+        "query_id", "query_text", k, maxScoreSplit = Some(cap))
+        .localCheckpoint()
+    }
+    val msSec = (System.nanoTime() - t2) / 1e9
+    val msDisagree = stressExact.alias("a").join(msStress.alias("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.rank") === col("b.rank"), "full")
+      .filter(col("a.doc_id").isNull || col("b.doc_id").isNull ||
+        col("a.doc_id") =!= col("b.doc_id") ||
+        col("a.score_micro") =!= col("b.score_micro"))
+      .count()
+    require(msDisagree == 0L,
+      s"$msDisagree rows: max-score must equal the exact scorer " +
+        "EVERYWHERE — it is a cost mode, not an approximation")
+    println(f"  max-score ≡ exact on all ${1000 * k}%,d stress rows; " +
+      f"$msSec%.2f s vs exact $uncappedSec%.2f s " +
+      f"(${uncappedSec / msSec}%.1fx)")
     spark.stop()
   }
 }

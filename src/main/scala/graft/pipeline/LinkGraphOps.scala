@@ -152,6 +152,105 @@ object LinkGraphOps {
     rank
   }
 
+  /** [[pageRankHosts]] COMPLETED with the two standard refinements the
+    * simple form documents away (Page et al. 1999 §2.4–2.6):
+    *
+    *  - DANGLING-MASS REDISTRIBUTION: a host with no out-edges (a
+    *    destination never seen as a source) no longer drops its mass —
+    *    each step, the dangling hosts' total rank Dⁱ⁻¹ is shared
+    *    equally: every host's inflow gains ⌊Dⁱ⁻¹ / N⌋ before damping.
+    *    Integer-exact recurrence:
+    *
+    *      rankⁱ(v) = (1000−d)·1000
+    *                 + ⌊d·(Σ_{u→v} ⌊rankⁱ⁻¹(u)·share_ppm(u→v)/10⁶⌋
+    *                      + ⌊Dⁱ⁻¹/N⌋) / 1000⌋
+    *
+    *  - L1 EARLY STOP: with `l1StopMicro = Some(ε)`, iteration halts
+    *    once Σ_v |rankⁱ(v) − rankⁱ⁻¹(v)| ≤ ε (Some(0) = run to the
+    *    exact integer fixed point), else after `maxIterations`. The
+    *    delta is one host-sized join + aggregate per step.
+    *
+    * Per-step driver traffic is two SCALARS (the dangling mass and the
+    * delta), each from a host-sized aggregate over the already-severed
+    * rank relation — never a corpus-sized job; carrying them as plan
+    * literals keeps every iteration's plan a plain equi-join (no
+    * one-row cross join, so the registry plan audit stays clean).
+    * Overflow headroom is [[pageRankHosts]]'s, plus redistribution:
+    * total mass is now CONSERVED at ≤ n_hosts·10⁶ instead of
+    * shrinking, which the same ~9.2·10¹² single-host bound already
+    * covers. */
+  def pageRankHostsFull(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, maxIterations: Int,
+                        dampingMilli: Long = 850L,
+                        l1StopMicro: Option[Long] = None): DataFrame =
+    pageRankHostsFullCore(edges, srcCol, dstCol, weightCol,
+      maxIterations, dampingMilli, l1StopMicro)._1
+
+  /** The core with the iteration count exposed (spec hook: early stop
+    * must actually stop early, not just converge by accident). */
+  private[graft] def pageRankHostsFullCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxIterations: Int, dampingMilli: Long,
+      l1StopMicro: Option[Long]): (DataFrame, Int) = {
+    require(maxIterations >= 1 && maxIterations <= 100,
+      s"maxIterations must be in 1..100, got $maxIterations")
+    require(dampingMilli >= 0L && dampingMilli <= 1000L,
+      s"dampingMilli must be in 0..1000, got $dampingMilli")
+    l1StopMicro.foreach(e => require(e >= 0L,
+      s"l1StopMicro must be >= 0, got $e"))
+    val e0 = edges.select(col(srcCol).as("__pr_src"),
+      col(dstCol).as("__pr_dst"),
+      positiveWeight(col(weightCol).cast("long"), col(srcCol),
+        col(dstCol)).as("__pr_w"))
+    val outw = e0.groupBy(col("__pr_src"))
+      .agg(sum(col("__pr_w")).as("__pr_outw"))
+    val e = Checkpoints.sever(e0.join(outw, Seq("__pr_src"))
+      .select(col("__pr_src"), col("__pr_dst"),
+        div(lit(1000000L) * col("__pr_w"), col("__pr_outw"))
+          .as("__pr_share")))
+    val nodes = Checkpoints.sever(
+      e.select(col("__pr_src").as("host"))
+        .union(e.select(col("__pr_dst").as("host")))
+        .distinct())
+    val dangling = Checkpoints.sever(nodes.join(
+      e.select(col("__pr_src").as("host")).distinct(),
+      Seq("host"), "left_anti"))
+    val nHosts = nodes.count()
+    val base = (1000L - dampingMilli) * 1000L
+    var rank = nodes.select(col("host"), lit(1000000L).as("rank_micro"))
+    var iters = 0
+    var done = false
+    while (iters < maxIterations && !done) {
+      val dMass = rank.join(dangling, Seq("host"), "left_semi")
+        .agg(coalesce(sum(col("rank_micro")), lit(0L)))
+        .collect()(0).getLong(0)
+      val redist = dMass / nHosts // both non-negative: floor division
+      val contrib = e.join(rank, col("__pr_src") === col("host"))
+        .groupBy(col("__pr_dst"))
+        .agg(sum(div(col("rank_micro") * col("__pr_share"), lit(1000000L)))
+          .as("__pr_in"))
+      val next = Checkpoints.sever(
+        nodes.join(contrib, col("host") === col("__pr_dst"), "left")
+          .select(col("host"),
+            (lit(base) + div(lit(dampingMilli) *
+              (coalesce(col("__pr_in"), lit(0L)) + lit(redist)),
+              lit(1000L)))
+              .as("rank_micro")))
+      iters += 1
+      l1StopMicro.foreach { eps =>
+        val delta = next.join(
+            rank.select(col("host"), col("rank_micro").as("__pr_prev")),
+            Seq("host"))
+          .agg(coalesce(sum(abs(col("rank_micro") - col("__pr_prev"))),
+            lit(0L)))
+          .collect()(0).getLong(0)
+        if (delta <= eps) done = true
+      }
+      rank = next
+    }
+    (rank, iters)
+  }
+
   // ---- stored host-graph lifecycle ----------------------------------------
   //
   // The PERSISTED form of the host graph — crawl-graph analytics'
@@ -350,13 +449,20 @@ object LinkGraphOps {
     * groupBy over distinct host pairs, resolved from ONE meta read (a
     * probe racing an append sees one consistent snapshot). */
   def readStoredHostGraph(spark: org.apache.spark.sql.SparkSession,
-                          path: String): DataFrame = {
-    val meta = readHostGraphMeta(spark, path)
+                          path: String): DataFrame =
+    readStoredHostGraphAt(spark, path, readHostGraphMeta(spark, path))
+
+  /** The merged window AT a caller-resolved meta snapshot — so a
+    * caller that already read meta (compaction: the same snapshot
+    * names its write target AND its merge window) cannot straddle two
+    * snapshots across a concurrent append. */
+  private def readStoredHostGraphAt(spark: org.apache.spark.sql.SparkSession,
+                                    path: String,
+                                    meta: HostGraphMeta): DataFrame =
     spark.read.parquet(
         (meta.base to meta.epoch).map(edgesDir(path, _)): _*)
       .groupBy(col("src_host"), col("dst_host"))
       .agg(sum(col("w")).as("w"))
-  }
 
   /** Compact the window into ONE merged epoch and re-base the pointer
     * — bounds file count and merge width; total weight is CONSERVED
@@ -367,7 +473,12 @@ object LinkGraphOps {
                             path: String, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val meta = readHostGraphMeta(spark, path)
-    val merged = readStoredHostGraph(spark, path).repartition(targetFiles)
+    // the ONE meta read names both the merge window and the write
+    // target: re-reading meta inside the merge would let a concurrent
+    // append land between the two reads and collide edgesDir(next)
+    // with the appended epoch
+    val merged = readStoredHostGraphAt(spark, path, meta)
+      .repartition(targetFiles)
     val next = meta.epoch + 1
     merged.write.mode("overwrite").parquet(edgesDir(path, next))
     readSegments(spark, path, meta.epoch)

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample plumbing.
   *
-  * PNG and JPEG decode is REAL: `decodeImageFeatures`/`resizeImages`
-  * run `javax.imageio.ImageIO` (ships in the JDK — no external codec)
-  * inside the same `mapPartitions` slot, and `encodeSyntheticPng`
-  * round-trips formula-pixel images through the real encoder so decode
-  * output is oracle-checkable. Only formats with no JDK codec
-  * (video/audio) keep the deterministic byte-stat STUBS. The Spark-side
-  * shape is the part that matters at 100 TB:
+  * Decode is REAL across modalities, all on JDK-only codecs: images
+  * (PNG/JPEG via `javax.imageio.ImageIO`, plus the repo's own WebP
+  * lossless decoder), audio (WAV via `javax.sound`, plus FLAC and
+  * MPEG-1 Layer II stream parsers), and video (MP4/fMP4/MKV/AVI
+  * demuxers in [[MkvOps]] and friends, frames decoded through
+  * ImageIO); `encodeSynthetic*` builders round-trip formula content
+  * through the real encoders so decode output is oracle-checkable.
+  * The deterministic byte-stat path survives only as
+  * `mediaByteStats` — the cheap pre-decode triage column, not a stub.
+  * The Spark-side shape is the part that matters at 100 TB:
   * - payloads stay opaque binary end-to-end (no driver materialization);
   * - cheap metadata (sizes, digests, header dimensions) is columnar
   *   built-in expression work;

@@ -99,34 +99,49 @@ object RetrievalOps {
           .as("token"))
   }
 
-  /** Score candidate postings against the query terms and keep each
-    * query's top-K — the ONE scorer behind the in-memory and stored
-    * paths, so the two are output-identical by construction.
+  /** The exact BM25 saturation term scaled by 10⁶ (see the object
+    * scaladoc); needs `dl` on the row and `avgdl_milli` in scope. */
+  private def tfMicro: Column =
+    div(lit(22000000L) * col("tf"),
+      lit(10L) * col("tf") + lit(3L) +
+        div(lit(9000L) * col("dl"), col("avgdl_milli")))
+
+  /** Per-(query, doc) integer-exact BM25 scores over `cand` — the ONE
+    * scoring kernel behind every path (one-shot, stored, capped,
+    * phrase), so all are score-identical by construction.
     *
-    * `cand` must hold EVERY posting of every query term (and may hold
-    * only those): df per token is then computable from `cand` itself.
-    * Both joins broadcast the query-workload side; the only
-    * corpus-proportional shuffle is the per-(query, doc) score rollup,
-    * partial-aggregated. Top-K is the bounded pair heap on
-    * (−score, doc_id) — ascending pairs give score DESC, doc_id ASC. */
-  private def scoreTopK(cand: DataFrame, stats: DataFrame,
-                        qterms: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"bm25: k must be >= 1, got $k")
-    val dfreq = cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    * Without `dfreqOverride`, `cand` must hold EVERY posting of every
+    * query term (and may hold only those): df per token is then
+    * computable from `cand` itself. The capped path passes the TRUE
+    * pre-truncation df instead, so truncating a posting list never
+    * inflates a term's idf. Both joins broadcast the query-workload
+    * side; the only corpus-proportional shuffle is the per-(query,
+    * doc) score rollup, partial-aggregated. */
+  private def scoredContrib(cand: DataFrame, stats: DataFrame,
+                            qterms: DataFrame,
+                            dfreqOverride: Option[DataFrame] = None)
+      : DataFrame = {
+    val dfreq = dfreqOverride.getOrElse(
+      cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
     val n = col("n_docs")
     val idfRaw = div(lit(1000000L) * (lit(2L) * (n - col("__df")) + lit(1L)),
       lit(2L) * col("__df") + lit(1L))
-    val tfComp = div(lit(22000000L) * col("tf"),
-      lit(10L) * col("tf") + lit(3L) +
-        div(lit(9000L) * col("dl"), col("avgdl_milli")))
-    val contrib = div(least(idfRaw, lit(IdfCapMicro)) * tfComp,
+    val contrib = div(least(idfRaw, lit(IdfCapMicro)) * tfMicro,
       lit(1000000L))
-    val scored = cand
+    cand
       .join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(contrib).as("score_micro"))
+  }
+
+  /** Each query's top-K of a (query_id, doc_id, score_micro) relation
+    * via the bounded pair heap on (−score, doc_id) — ascending pairs
+    * give score DESC, doc_id ASC; O(k) state per query regardless of
+    * candidate volume, no WindowExec. */
+  private def topKOf(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"bm25: k must be >= 1, got $k")
     scored.groupBy(col("query_id"))
       .agg(graft.functions.LongPairMinK.minK(
         -col("score_micro"), col("doc_id"), k).as("__pairs"))
@@ -136,6 +151,57 @@ object RetrievalOps {
         (col("__i") + 1).cast("long").as("rank"),
         col("__pair").getField("b").as("doc_id"),
         (-col("__pair").getField("a")).as("score_micro"))
+  }
+
+  /** Score candidate postings against the query terms and keep each
+    * query's top-K — [[scoredContrib]] + [[topKOf]]. */
+  private def scoreTopK(cand: DataFrame, stats: DataFrame,
+                        qterms: DataFrame, k: Int,
+                        dfreqOverride: Option[DataFrame] = None)
+      : DataFrame =
+    topKOf(scoredContrib(cand, stats, qterms, dfreqOverride), k)
+
+  /** BOUNDED-COST serving: keep only each term's `dfCap`
+    * highest-contribution postings (exact tf_micro order, ties by
+    * doc_id — deterministic), returning the truncated candidates plus
+    * the TRUE pre-truncation df relation. This is the quit/continue
+    * posting-list pruning of Moffat & Zobel ("Self-indexing inverted
+    * files for fast text retrieval", TOIS 1996) in the max-score
+    * family of Robertson & Zaragoza 2009 §6: a term's lowest-tf_micro
+    * postings are exactly its lowest upper-bound contributions, so
+    * they are the ones a WAND-style scan would skip first.
+    *
+    * Contract: for any query workload where NO term's df exceeds
+    * `dfCap`, output ≡ the exact scorer (the truncation filter keeps
+    * every row and df is the true df either way — spec-pinned). When
+    * a stopword term DOES exceed it, that term's candidate volume is
+    * bounded at dfCap × queries-containing-it instead of df × queries
+    * (the 143M-row blowup the exact scorer documents), and its kept
+    * docs still score with the true df. Approximation stated plainly:
+    * a doc whose ONLY evidence for a query is a beyond-cap posting of
+    * an over-cap term drops out of that query's candidates, and a
+    * candidate doc loses the over-cap term's contribution if its
+    * posting ranked beyond the cap — both err toward missing
+    * low-evidence docs, never toward inventing score.
+    *
+    * Scale shape: the rank is a per-token window whose row_number
+    * filter plans as WindowGroupLimit — each MAP partition prunes to
+    * dfCap rows per token before the exchange, so the shuffle carries
+    * ≤ dfCap × input-partitions rows per token, not the full posting
+    * list. */
+  private def truncatePerTerm(cand: DataFrame, stats: DataFrame,
+                              dfCap: Int): (DataFrame, DataFrame) = {
+    require(dfCap >= 1, s"bm25: dfCapPerTerm must be >= 1, got $dfCap")
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("token"))
+      .orderBy(col("__tfm").desc, col("doc_id").asc)
+    val kept = cand.crossJoin(broadcast(stats))
+      .withColumn("__tfm", tfMicro)
+      .withColumn("__prn", row_number().over(w))
+      .filter(col("__prn") <= dfCap)
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    (kept, dfreq)
   }
 
   /** One-shot ranked retrieval: BM25 top-`k` docs per query, scored
@@ -161,6 +227,283 @@ object RetrievalOps {
       .join(dl, Seq("doc_id"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     scoreTopK(cand, stats, qt, k)
+  }
+
+  /** [[bm25TopK]] with BOUNDED candidate volume: every query term's
+    * posting list is truncated to its `dfCapPerTerm`
+    * highest-contribution postings ([[truncatePerTerm]] — exact when
+    * no term's df exceeds the cap, spec-pinned against the exact
+    * scorer; the serving-mode answer to the stopword-query blowup the
+    * exact scorer deliberately keeps as the oracle). */
+  def bm25TopKCapped(docs: DataFrame, textCol: String, idCol: String,
+                     queries: DataFrame, queryIdCol: String,
+                     queryTextCol: String, k: Int,
+                     dfCapPerTerm: Int): DataFrame = {
+    val post = Checkpoints.sever(rawPostings(docs, textCol, idCol))
+    val dl = Checkpoints.sever(
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val stats = statsOf(dl)
+    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val terms = qt.select(col("token")).distinct()
+    val cand0 = post.join(broadcast(terms), Seq("token"), "left_semi")
+      .join(dl, Seq("doc_id"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val (kept, dfreq) = truncatePerTerm(cand0, stats, dfCapPerTerm)
+    scoreTopK(kept, stats, qt, k, dfreqOverride = Some(dfreq))
+  }
+
+  /** EXACT top-K at bounded cost — max-score / WAND-family pruning
+    * (Robertson & Zaragoza 2009 §6; Turtle & Flood's max-score, 1995)
+    * re-expressed as a two-phase bulk plan. Output ≡ [[bm25TopK]] on
+    * every input (the oracle IS the exact scorer's SQL); `dfSplit` is
+    * a COST knob only, never a semantics knob.
+    *
+    * Phase 1 scores the DISCRIMINATIVE terms (df ≤ dfSplit) exactly —
+    * their candidate volume is the workload the exact scorer already
+    * handles. The k-th phase-1 score per query is a threshold θ; each
+    * HIGH-df term contributes at most UB(t) = idf(t)·max_tf_micro(t)
+    * (its best posting's contribution), so a doc whose phase-1 score
+    * plus Σ UB(high terms of q) falls strictly below θ provably
+    * cannot reach the true top-K (true scores only grow with the
+    * high-term contributions, so the true k-th best ≥ θ; boundary
+    * ties survive the non-strict keep). Phase 2 adds the high-df
+    * contributions ONLY for surviving candidates: the high postings
+    * join the candidate relation ON doc_id first, so the volume is
+    * candidates × that-doc's-high-terms, never df × queries — the
+    * stopword blowup dies here.
+    *
+    * Graceful degradation, stated plainly: a query whose Σ UB clears
+    * θ (all-stopword queries, or fewer than K phase-1 candidates ⇒
+    * θ = −∞) cannot prune — its high-matched docs all enter the
+    * candidate set and it pays the exact scorer's cost for exact
+    * results. Pruning pays off exactly when discriminative terms
+    * dominate the scores, which is what makes them discriminative. */
+  def bm25TopKMaxScore(docs: DataFrame, textCol: String, idCol: String,
+                       queries: DataFrame, queryIdCol: String,
+                       queryTextCol: String, k: Int,
+                       dfSplit: Int): DataFrame = {
+    val post = Checkpoints.sever(rawPostings(docs, textCol, idCol))
+    val dl = Checkpoints.sever(
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val stats = statsOf(dl)
+    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val terms = qt.select(col("token")).distinct()
+    val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
+      .join(dl, Seq("doc_id"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    maxScoreCore(cand, stats, qt, k, dfSplit)
+  }
+
+  /** The two-phase max-score engine behind the one-shot and stored
+    * paths — `cand` must hold every posting of every query term (the
+    * [[scoredContrib]] contract). `cand` is deliberately NOT severed:
+    * it is postings-sized, and pinning it in unevictable checkpoint
+    * blocks starves the aggregates that read it (measured as an
+    * executor aggregation OOM at the 10× scale leg) — each consumer
+    * re-derives it from its cheap source (the stored path's
+    * row-group-pruned scan, or the one-shot path's already-severed
+    * postings). Only the term-, query-, and candidate-sized relations
+    * materialize. */
+  private def maxScoreCore(cand: DataFrame, stats: DataFrame,
+                           qt: DataFrame, k: Int,
+                           dfSplit: Int): DataFrame = {
+    require(k >= 1, s"bm25: k must be >= 1, got $k")
+    require(dfSplit >= 1, s"bm25: dfSplit must be >= 1, got $dfSplit")
+    val dfreq = Checkpoints.sever(
+      cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
+    val lowTerms = dfreq.filter(col("__df") <= dfSplit)
+      .select(col("token"))
+    val highTerms = dfreq.filter(col("__df") > dfSplit)
+      .select(col("token"))
+    val qtLow = qt.join(broadcast(lowTerms), Seq("token"), "left_semi")
+    val qtHigh = Checkpoints.sever(
+      qt.join(broadcast(highTerms), Seq("token"), "left_semi"))
+    val candLow = cand.join(broadcast(lowTerms), Seq("token"), "left_semi")
+    val candHigh = cand.join(broadcast(highTerms), Seq("token"), "left_semi")
+
+    // phase 1: exact scores over the discriminative terms (true df)
+    val s1 = Checkpoints.sever(
+      scoredContrib(candLow, stats, qtLow, dfreqOverride = Some(dfreq))
+        .select(col("query_id"), col("doc_id"),
+          col("score_micro").as("__s1")))
+
+    // θ per query: the k-th phase-1 score where one exists, else −∞
+    // (fewer than k phase-1 candidates — including ZERO for an
+    // all-stopword query — can never prune). Seeded from the full
+    // query-id set so the fallback lane sees every query.
+    val kth = topKOf(s1.select(col("query_id"), col("doc_id"),
+        col("__s1").as("score_micro")), k)
+      .groupBy(col("query_id"))
+      .agg(max(col("rank")).as("__nr"), min(col("score_micro")).as("__kth"))
+    val theta = qt.select(col("query_id")).distinct()
+      .join(kth, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("__nr") === k, col("__kth"))
+          .otherwise(lit(Long.MinValue)).as("__theta"))
+
+    // per-high-term upper bound UB(t) = contrib at that term's best
+    // posting; Σ per query = the most the high terms can add anywhere
+    val n = col("n_docs")
+    val idfCapped = least(
+      div(lit(1000000L) * (lit(2L) * (n - col("__df")) + lit(1L)),
+        lit(2L) * col("__df") + lit(1L)),
+      lit(IdfCapMicro))
+    val ub = candHigh.crossJoin(broadcast(stats))
+      .groupBy(col("token")).agg(max(tfMicro).as("__maxtfm"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"), div(idfCapped * col("__maxtfm"),
+        lit(1000000L)).as("__ub"))
+    val sHigh = qtHigh.join(broadcast(ub), Seq("token"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__ub")).as("__shigh"))
+
+    // split the WORKLOAD into a prunable lane (Σ UB < θ strictly: a
+    // doc with no phase-1 evidence provably cannot reach the top-K, so
+    // high-only docs are out and phase-1 survivors are the complete
+    // candidate set) and a fallback lane (Σ UB clears θ, or θ = −∞:
+    // these queries pay the EXACT scorer through the exact scorer's
+    // OWN plan shape — a broadcast token join — not a degenerate
+    // per-doc expansion; an earlier cut routed fallback docs through a
+    // join on doc_id and aggregated OOM at the 10× scale leg, because
+    // the doc side fans out per query BEFORE the rollup)
+    val qMeta = Checkpoints.sever(
+      theta.join(sHigh, Seq("query_id"), "left")
+        .select(col("query_id"), col("__theta"),
+          coalesce(col("__shigh"), lit(0L)).as("__shigh")))
+    val fallbackQ = qMeta.filter(col("__shigh") >= col("__theta"))
+      .select(col("query_id"))
+    val qtFall = qt.join(broadcast(fallbackQ), Seq("query_id"),
+      "left_semi")
+    val fallScored = scoredContrib(cand, stats, qtFall,
+      dfreqOverride = Some(dfreq))
+
+    // prunable lane: phase-1 docs within reach, then phase 2 adds the
+    // high-term contributions for those candidates ONLY — postings
+    // meet the (already small) candidate relation on doc_id
+    val candidates = Checkpoints.sever(
+      s1.join(broadcast(qMeta.filter(col("__shigh") < col("__theta"))),
+          Seq("query_id"))
+        .filter(col("__s1") + col("__shigh") >= col("__theta"))
+        .select(col("query_id"), col("doc_id"), col("__s1")))
+    val highContrib = candHigh
+      .join(candidates.select(col("query_id"), col("doc_id")), Seq("doc_id"))
+      .join(broadcast(qtHigh), Seq("query_id", "token"), "left_semi")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfreq), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(div(idfCapped * tfMicro, lit(1000000L))).as("__sh"))
+    val prunedScored = candidates
+      .join(highContrib, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        (col("__s1") + coalesce(col("__sh"), lit(0L))).as("score_micro"))
+    topKOf(fallScored.unionByName(prunedScored), k)
+  }
+
+  // ---- positional postings / phrase retrieval -----------------------------
+
+  /** POSITIONAL postings: (token, doc_id, pos) with pos 1-based over
+    * the split tokenizer — one row per token OCCURRENCE, map-only.
+    * The bag postings are its rollup (groupBy count), so a job that
+    * needs both touches the corpus text once. */
+  def positionalPostings(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__p0", "token")))
+      .select(col("token"), col("doc_id"),
+        (col("__p0") + 1L).cast("long").as("pos"))
+
+  /** Each query's phrase as ORDERED terms: (query_id, i, token, m)
+    * with i 1-based and m the phrase length — NOT distinct (a phrase
+    * may repeat a token; every occurrence must match). Same loud
+    * [[MaxQueryTerms]] width/null guard as the bag form. */
+  def phraseTerms(queries: DataFrame, queryIdCol: String,
+                  queryTextCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(queryTextCol))
+    queries.select(col(queryIdCol).as("query_id"),
+        posexplode(when(size(toks) <= MaxQueryTerms, toks)
+          .otherwise(raise_error(concat(lit("bm25: query "),
+            col(queryIdCol).cast("string"),
+            lit(s" is null or has more than $MaxQueryTerms " +
+              "terms — shorten the phrase (or drop null rows)")))))
+          .as(Seq("__i0", "token")),
+        size(toks).cast("long").as("m"))
+      .select(col("query_id"), (col("__i0") + 1L).cast("long").as("i"),
+        col("token"), col("m"))
+  }
+
+  /** Exact-phrase occurrences of each query in each doc from a
+    * positional-postings relation: (query_id, doc_id, n_occurrences),
+    * only docs with ≥ 1 occurrence. ONE broadcast join of the
+    * positions against the phrase terms — a posting of phrase term i
+    * at pos p votes for a phrase start at p−i+1, and a start with all
+    * m votes is an occurrence (each i contributes at most one row per
+    * (doc, start), since pos is determined by them) — then one
+    * partial-aggregated rollup. Candidate volume is
+    * Σ_t df_pos(t) × phrase-slots(t): postings of non-phrase tokens
+    * never leave the semi-join the caller applies. */
+  private def phraseOccurrences(pp: DataFrame, pt: DataFrame): DataFrame =
+    pp.join(broadcast(pt), Seq("token"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("i") + 1L).as("__start"), col("m"))
+      .filter(col("__start") >= 1L)
+      .groupBy(col("query_id"), col("doc_id"), col("__start"), col("m"))
+      .agg(count(lit(1)).as("__nm"))
+      .filter(col("__nm") === col("m"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+
+  /** Exact-phrase matching over a corpus: (query_id, doc_id,
+    * n_occurrences) for every doc containing each query's text as a
+    * CONSECUTIVE token run — the decontamination-forensics primitive
+    * ("which docs contain this leaked string verbatim"). */
+  def phraseMatches(docs: DataFrame, textCol: String, idCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTextCol: String): DataFrame = {
+    val pt = phraseTerms(queries, queryIdCol, queryTextCol)
+    val terms = pt.select(col("token")).distinct()
+    val pp = positionalPostings(docs, textCol, idCol)
+      .join(broadcast(terms), Seq("token"), "left_semi")
+    phraseOccurrences(pp, pt)
+  }
+
+  /** PHRASE-FILTERED ranked retrieval: BM25 top-`k` (the exact scorer
+    * over the phrase's distinct terms — [[scoredContrib]], same
+    * integer arithmetic as every other path) restricted to docs
+    * containing the phrase as a consecutive token run, with each hit's
+    * occurrence count attached. Output: (query_id, rank, doc_id,
+    * score_micro, n_occurrences); queries whose phrase appears nowhere
+    * emit nothing.
+    *
+    * Shape: ONE severed positional pass (the bag postings roll up from
+    * it, so text is tokenized once), candidates and phrase votes both
+    * semi-joined down to phrase tokens before anything
+    * corpus-proportional, and the match relation — (query, doc)-sized
+    * — severed once and consumed twice (the restriction join and the
+    * k-sized occurrence attach). */
+  def bm25PhraseTopK(docs: DataFrame, textCol: String, idCol: String,
+                     queries: DataFrame, queryIdCol: String,
+                     queryTextCol: String, k: Int): DataFrame = {
+    val pos = Checkpoints.sever(positionalPostings(docs, textCol, idCol))
+    val post = pos.groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = Checkpoints.sever(
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val stats = statsOf(dl)
+    val pt = phraseTerms(queries, queryIdCol, queryTextCol)
+    val qt = pt.select(col("query_id"), col("token")).distinct()
+    val terms = pt.select(col("token")).distinct()
+    val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
+      .join(dl, Seq("doc_id"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val matches = Checkpoints.sever(phraseOccurrences(
+      pos.join(broadcast(terms), Seq("token"), "left_semi"), pt))
+    val scored = scoredContrib(cand, stats, qt)
+      .join(matches.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+    topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_occurrences"))
   }
 
   // ---- stored retrieval-index lifecycle -----------------------------------
@@ -353,11 +696,25 @@ object RetrievalOps {
     *
     * The term set is collected to the driver (bounded by the query
     * WORKLOAD, not the corpus; `maxTerms` guards the literal-filter
-    * size loudly — a workload past it should shard its queries). */
+    * size loudly — a workload past it should shard its queries).
+    *
+    * `dfCapPerTerm` turns on the BOUNDED serving mode
+    * ([[truncatePerTerm]]): each probed term's posting list truncates
+    * to its dfCap highest-contribution postings, bounding the
+    * stopword-query candidate blowup at dfCap × queries; exact when no
+    * probed term's df exceeds the cap. The truncation costs one extra
+    * row-group-pruned pass over the probed postings (the true-df
+    * count), which the cap repays as soon as one term's df exceeds
+    * it. */
   def bm25AgainstStoredIndex(spark: SparkSession, path: String,
                              queries: DataFrame, queryIdCol: String,
                              queryTextCol: String, k: Int,
-                             maxTerms: Int = 100000): DataFrame = {
+                             maxTerms: Int = 100000,
+                             dfCapPerTerm: Option[Int] = None,
+                             maxScoreSplit: Option[Int] = None): DataFrame = {
+    require(dfCapPerTerm.isEmpty || maxScoreSplit.isEmpty,
+      "pick ONE serving mode: dfCapPerTerm (bounded, approximate past " +
+        "the cap) or maxScoreSplit (bounded common case, always exact)")
     val meta = readRetrievalIndexMeta(spark, path)
     import spark.implicits._
     val stats = Seq((meta.nDocs, meta.totalTokens,
@@ -372,6 +729,12 @@ object RetrievalOps {
         "shard the workload across probes")
     val cand = readStoredPostings(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*))
-    scoreTopK(cand, stats, qt, k)
+    (dfCapPerTerm, maxScoreSplit) match {
+      case (Some(cap), _) =>
+        val (kept, dfreq) = truncatePerTerm(cand, stats, cap)
+        scoreTopK(kept, stats, qt, k, dfreqOverride = Some(dfreq))
+      case (_, Some(split)) => maxScoreCore(cand, stats, qt, k, split)
+      case _ => scoreTopK(cand, stats, qt, k)
+    }
   }
 }

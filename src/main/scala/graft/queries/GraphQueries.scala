@@ -30,6 +30,13 @@ object GraphQueries {
     // authority scores: K synchronous integer-exact PageRank steps
     GraftQuery("q_pagerank_hosts", pageRankHostsQ, Some(pageRankSql()),
       bench = true),
+    // the COMPLETED recurrence: dangling-mass redistribution (run on
+    // an edge substrate with guaranteed dangling hosts — sources drawn
+    // from a 97-host subset, destinations from all 199, so the
+    // redistribution term is live at every SF); the oracle unrolls the
+    // redistributed steps verbatim
+    GraftQuery("q_pagerank_full", pageRankFullQ, Some(pageRankFullSql),
+      bench = true),
     // the serving path: the STORED host graph (fourteenth lifecycle)
     // built in two slices via the segment ledger — including a
     // re-dropped segment (no-op) — then compacted; ranks off the store
@@ -135,6 +142,28 @@ object GraphQueries {
       prHostEdges(Tables.read(spark, sfDir, "documents")),
       "src_host", "dst_host", "n_links", PrIters)
 
+  /** The dangling-substrate variant: sources drawn only from hosts
+    * h0..h96 (doc_id % 97), destinations from all 199 — every
+    * destination-only host is dangling, so the redistributed
+    * recurrence differs from the mass-dropping one at every SF. */
+  private def prHostEdgesDangling(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
+      .select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string"))
+          .as("src_host"),
+        concat(lit("h"),
+          ((col("doc_id") * 7 + col("j") * 13 + 1) % PrHosts).cast("string"))
+          .as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  def pageRankFullQ(spark: SparkSession, sfDir: String): DataFrame =
+    LinkGraphOps.pageRankHostsFull(
+      prHostEdgesDangling(Tables.read(spark, sfDir, "documents")),
+      "src_host", "dst_host", "n_links", PrIters)
+
   /** The stored host graph over the even-id half's edges, built in two
     * ledgered slices — slice 2 dropped TWICE (the re-drop must add
     * nothing: edge counts are value folds, the ledger is the identity)
@@ -192,6 +221,56 @@ object GraphQueries {
        |  SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes
        |), $steps""".stripMargin
   }
+
+  /** The REDISTRIBUTED recurrence unrolled: each step first sums the
+    * dangling hosts' rank (d<i>), then every host's inflow gains
+    * ⌊dm/nn⌋ before damping — the Spark loop's per-step scalars as
+    * one-row CTEs. */
+  private def prFullCtes: String = {
+    val steps = (1 to PrIters).map { i =>
+      s"""d$i AS (
+         |  SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dm FROM r${i - 1}
+         |  WHERE host IN (SELECT host FROM dang)
+         |), r$i AS (
+         |  SELECT n.host,
+         |    CAST(150000 + (850 * (COALESCE(c.s, 0)
+         |      + (SELECT dm // nn FROM d$i, ncnt))) // 1000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst, CAST(sum((p.r * ew.share) // 1000000) AS BIGINT) AS s
+         |    FROM ew JOIN r${i - 1} p ON ew.src = p.host GROUP BY ew.dst
+         |  ) c ON c.dst = n.host
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""o AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1
+       |), ew AS (
+       |  SELECT e.src, e.dst, (1000000 * e.w) // o.outw AS share
+       |  FROM e JOIN o USING (src)
+       |), nodes AS (
+       |  SELECT src AS host FROM ew UNION SELECT dst FROM ew
+       |), dang AS (
+       |  SELECT host FROM nodes
+       |  WHERE host NOT IN (SELECT DISTINCT src FROM ew)
+       |), ncnt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes
+       |), r0 AS (
+       |  SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $steps""".stripMargin
+  }
+
+  def pageRankFullSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS j
+       |  FROM documents
+       |), hrows AS (
+       |  SELECT 'h' || (doc_id % 97) AS src,
+       |    'h' || ((doc_id * 7 + j * 13 + 1) % $PrHosts) AS dst
+       |  FROM raw
+       |), e AS (
+       |  SELECT src, dst, count(*) AS w FROM hrows
+       |  WHERE src != dst GROUP BY 1, 2
+       |), $prFullCtes
+       |SELECT host, r AS rank_micro FROM r$PrIters""".stripMargin
 
   def pageRankSql(corpusWhere: String = ""): String =
     s"""WITH raw AS (

@@ -17,6 +17,13 @@ object RetrievalQueries {
   private val QueryEvery = 25
   private val QueryTokens = 4
 
+  /** The bounded serving mode's per-term posting ceiling — LOW on
+    * purpose, so the truncation window is ACTIVE at every SF and the
+    * oracle (which unrolls the same truncation) pins its semantics
+    * bit-for-bit, not just the no-op case. The cap ≡ exact identity is
+    * spec-pinned separately (RetrievalOpsSpec). */
+  private val CapDf = 25
+
   def all: Seq[GraftQuery] = Seq(
     // one-shot ranked retrieval over the full corpus — the research
     // and forensics move ("which docs does this leaked string rank")
@@ -28,6 +35,20 @@ object RetrievalQueries {
     // so the oracle is the same SQL with the corpus predicate applied
     GraftQuery("q_bm25_stored", bm25StoredQ,
       Some(bm25Sql(corpusWhere = "WHERE doc_id % 2 = 0")), bench = true),
+    // the BOUNDED serving mode: every term's posting list truncated to
+    // its CapDf highest-contribution postings (true df kept), the
+    // stopword-blowup cap — oracle unrolls the same truncation window
+    GraftQuery("q_bm25_capped", bm25CappedQ, Some(bm25CappedSql),
+      bench = true),
+    // EXACT top-K at bounded cost: max-score pruning with the low/high
+    // split at the same CapDf — the oracle is the EXACT scorer's SQL,
+    // because pruning is a cost move, never a semantics move
+    GraftQuery("q_bm25_maxscore", bm25MaxScoreQ, Some(bm25Sql()),
+      bench = true),
+    // phrase forensics: BM25 restricted to docs containing the query
+    // text as a CONSECUTIVE token run, occurrence counts attached
+    GraftQuery("q_bm25_phrase", bm25PhraseQ, Some(bm25PhraseSql),
+      bench = true),
   )
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -65,6 +86,18 @@ object RetrievalQueries {
       storedRetrievalIdxDir(spark, sfDir, d),
       workload(spark, sfDir), "query_id", "query_text", BmK)
   }
+
+  def bm25CappedQ(spark: SparkSession, sfDir: String): DataFrame =
+    RetrievalOps.bm25TopKCapped(docs(spark, sfDir), "text", "doc_id",
+      workload(spark, sfDir), "query_id", "query_text", BmK, CapDf)
+
+  def bm25MaxScoreQ(spark: SparkSession, sfDir: String): DataFrame =
+    RetrievalOps.bm25TopKMaxScore(docs(spark, sfDir), "text", "doc_id",
+      workload(spark, sfDir), "query_id", "query_text", BmK, CapDf)
+
+  def bm25PhraseQ(spark: SparkSession, sfDir: String): DataFrame =
+    RetrievalOps.bm25PhraseTopK(docs(spark, sfDir), "text", "doc_id",
+      workload(spark, sfDir), "query_id", "query_text", BmK)
 
   /** The scoring CTE chain of the integer-exact BM25 oracle — the
     * Spark formulas verbatim in DuckDB arithmetic (`//` floor division
@@ -127,5 +160,126 @@ object RetrievalQueries {
        |), $bm25CtesFromTok
        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id, score_micro
        |FROM ranked WHERE rnk <= $BmK""".stripMargin
+  }
+
+  /** The BOUNDED serving mode's oracle — the exact-scorer CTEs with the
+    * truncation window unrolled verbatim: rank every token's postings
+    * by the tf saturation term (DESC, doc_id ties), keep rank ≤ CapDf,
+    * score the kept postings with the TRUE pre-truncation df. Ranking
+    * all tokens (not just query terms) is equivalent: the per-token
+    * window never looks across tokens, and non-query tokens die at the
+    * qt join either way. */
+  private def bm25CappedSql: String = {
+    val toks = graft.pipeline.TextOps.tokensSql("text")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM corpus
+       |), q AS (
+       |  SELECT doc_id AS query_id,
+       |    array_to_string(($toks)[1:$QueryTokens], ' ') AS query_text
+       |  FROM documents WHERE doc_id % $QueryEvery = 0
+       |), post AS (
+       |  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n,
+       |    (1000 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_milli
+       |  FROM dl
+       |), dfreq AS (
+       |  SELECT token, count(*) AS df FROM post GROUP BY 1
+       |), qt AS (
+       |  SELECT DISTINCT query_id, token FROM (
+       |    SELECT query_id,
+       |      unnest(${graft.pipeline.TextOps.tokensSql("query_text")})
+       |        AS token
+       |    FROM q)
+       |), tfm AS (
+       |  SELECT post.token, post.doc_id, post.tf, dl.dl,
+       |    (22000000 * post.tf)
+       |      // (10 * post.tf + 3 + (9000 * dl.dl) // s.avgdl_milli) AS tfm
+       |  FROM post JOIN dl ON post.doc_id = dl.doc_id
+       |  CROSS JOIN stats s
+       |), kept AS (
+       |  SELECT token, doc_id, tf, dl FROM (
+       |    SELECT token, doc_id, tf, dl,
+       |      row_number() OVER (PARTITION BY token
+       |                         ORDER BY tfm DESC, doc_id) AS prn
+       |    FROM tfm) WHERE prn <= $CapDf
+       |), contrib AS (
+       |  SELECT qt.query_id, kept.doc_id,
+       |    (least((1000000 * (2 * (s.n - dfreq.df) + 1))
+       |        // (2 * dfreq.df + 1), ${RetrievalOps.IdfCapMicro})
+       |      * ((22000000 * kept.tf)
+       |        // (10 * kept.tf + 3 + (9000 * kept.dl) // s.avgdl_milli)))
+       |      // 1000000 AS c
+       |  FROM qt
+       |  JOIN kept USING (token)
+       |  JOIN dfreq USING (token)
+       |  CROSS JOIN stats s
+       |), scored AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_micro DESC, doc_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id, score_micro
+       |FROM ranked WHERE rnk <= $BmK""".stripMargin
+  }
+
+  /** The phrase-retrieval oracle: positions rebuilt by list index, a
+    * phrase-start vote per (phrase slot × matching position), an
+    * occurrence where all m slots voted, and the shared exact-scorer
+    * CTEs restricted to occurring docs (rank AFTER the restriction —
+    * the `ranked` CTE of the shared chain goes unused here). */
+  private def bm25PhraseSql: String = {
+    val toks = graft.pipeline.TextOps.tokensSql("text")
+    val qtoks = graft.pipeline.TextOps.tokensSql("query_text")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM corpus
+       |), q AS (
+       |  SELECT doc_id AS query_id,
+       |    array_to_string(($toks)[1:$QueryTokens], ' ') AS query_text
+       |  FROM documents WHERE doc_id % $QueryEvery = 0
+       |), $bm25CtesFromTok, tarr AS (
+       |  SELECT doc_id, $toks AS toks FROM corpus
+       |), ptok AS (
+       |  SELECT doc_id, pos, toks[pos] AS token FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(range(1, len(toks) + 1)) AS pos
+       |    FROM tarr)
+       |), qarr AS (
+       |  SELECT query_id, $qtoks AS qtoks FROM q
+       |), pterm AS (
+       |  SELECT query_id, i, qtoks[i] AS token, len(qtoks) AS m FROM (
+       |    SELECT query_id, qtoks,
+       |      unnest(range(1, len(qtoks) + 1)) AS i
+       |    FROM qarr)
+       |), votes AS (
+       |  SELECT p.query_id, pp.doc_id, pp.pos - p.i + 1 AS start_pos, p.m
+       |  FROM pterm p JOIN ptok pp USING (token)
+       |  WHERE pp.pos - p.i + 1 >= 1
+       |), occ AS (
+       |  SELECT query_id, doc_id, start_pos, m, count(*) AS nm
+       |  FROM votes GROUP BY 1, 2, 3, 4
+       |), pm AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |  FROM occ WHERE nm = m GROUP BY 1, 2
+       |), pranked AS (
+       |  SELECT s.query_id, s.doc_id, s.score_micro, pm.n_occurrences,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |                       ORDER BY s.score_micro DESC, s.doc_id) AS rnk
+       |  FROM scored s
+       |  JOIN pm ON s.query_id = pm.query_id AND s.doc_id = pm.doc_id
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id,
+       |  score_micro, n_occurrences
+       |FROM pranked WHERE rnk <= $BmK""".stripMargin
   }
 }

@@ -2244,7 +2244,11 @@ object TextQueries {
                                     sfDir: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_v1_" +
       s"${math.abs(sfDir.hashCode)}"
-    if (!new java.io.File(s"$dir/meta/_SUCCESS").exists())
+    // probe through the shared recovery path, not a bare _SUCCESS
+    // check: a torn meta swap then RECOVERS like every other cached
+    // artifact's (and a marker-less deployment doesn't rebuild per
+    // call — metaExistsOrRecover accepts a data-bearing meta dir)
+    if (!graft.pipeline.MetaIO.metaExistsOrRecover(spark, dir))
       TextOps.writeBpeModel(spark, PINNED_MERGES, dir)
     dir
   }

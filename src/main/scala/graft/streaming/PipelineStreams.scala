@@ -1028,6 +1028,30 @@ object PipelineStreams {
     * Takes the STREAMING RELATION of (src, dst, weight) rows — a crawl
     * tap's extracted links pre-rolled per micro-batch, a parquet drop
     * dir, a queue source. */
+  /** CONSECUTIVE post-commit compaction failures per store path, for
+    * the maintainer legs whose batches keep committing fine while
+    * compaction fails (the delta window then grows without bound with
+    * no query-level error) — the machine-visible signal an operator
+    * alerts on instead of scraping stderr. Reset to zero by the next
+    * successful compaction check; process-local (like a metrics
+    * registry — each maintainer JVM reports its own). */
+  private val compactionFailures =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** How many compaction attempts in a row have failed for the
+    * maintainer at `indexPath` (0 = healthy / none yet). Poll it from
+    * the monitoring loop that also reads the stream's progress. */
+  def hostGraphCompactionFailures(indexPath: String): Long =
+    Option(compactionFailures.get(indexPath)).map(_.get()).getOrElse(0L)
+
+  private[streaming] def recordCompactionResult(indexPath: String,
+                                                failed: Boolean): Long = {
+    val c = compactionFailures.computeIfAbsent(indexPath,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+    if (failed) c.incrementAndGet() else { c.set(0L); 0L }
+  }
+
   def hostGraphMaintainStream(edges: DataFrame, indexPath: String,
                               checkpoint: String, srcCol: String,
                               dstCol: String, weightCol: String,
@@ -1047,13 +1071,18 @@ object PipelineStreams {
           batch.sparkSession, indexPath, batch.toDF(), srcCol, dstCol,
           weightCol, batchId)
         if (compactEvery > 0)
-          try graft.pipeline.LinkGraphOps.maybeCompactHostGraphIndex(
-            batch.sparkSession, indexPath, compactEvery)
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            graft.pipeline.LinkGraphOps.maybeCompactHostGraphIndex(
+              batch.sparkSession, indexPath, compactEvery)
+            recordCompactionResult(indexPath, failed = false)
+          } catch { case scala.util.control.NonFatal(e) =>
+            val n = recordCompactionResult(indexPath, failed = true)
             System.err.println(
               s"[graft] host-graph maintainer at $indexPath: post-commit " +
                 s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds): $e")
+                s"window stays unbounded until a compaction succeeds; " +
+                s"$n consecutive failures — poll " +
+                s"hostGraphCompactionFailures to alert): $e")
           }
         ()
       }

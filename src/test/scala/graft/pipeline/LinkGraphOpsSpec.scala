@@ -116,6 +116,84 @@ class LinkGraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- completed recurrence: redistribution + early stop ---------------
+
+  /** JVM brute force of the REDISTRIBUTED recurrence — the Spark loop's
+    * scaladoc formulas in plain Scala. */
+  private def bruteRankFull(edges: Seq[(String, String, Long)], iters: Int,
+                            d: Long = 850L): Map[String, Long] = {
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val share = edges.map { case (s, t, w) => (s, t, 1000000L * w / outw(s)) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val dangling = nodes.filterNot(outw.contains).toSet
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val dm = dangling.toSeq.map(rank).sum
+      val redist = dm / nodes.size
+      val in = share.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, sh) => rank(s) * sh / 1000000L }.sum).toMap
+      rank = nodes.map(n =>
+        n -> ((1000L - d) * 1000L +
+          d * (in.getOrElse(n, 0L) + redist) / 1000L)).toMap
+    }
+    rank
+  }
+
+  private def runRankFull(edges: Seq[(String, String, Long)], iters: Int,
+                          eps: Option[Long] = None): (Map[String, Long], Int) = {
+    val (df, n) = LinkGraphOps.pageRankHostsFullCore(
+      edges.toDF("src", "dst", "w"), "src", "dst", "w", iters, 850L, eps)
+    (df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, n)
+  }
+
+  test("pageRankHostsFull ≡ JVM brute force of the redistributed " +
+    "recurrence; the dangling host's mass provably flows back") {
+    for (k <- Seq(1, 3, 5)) {
+      val (got, n) = runRankFull(graph, k)
+      assert(n == k)
+      assert(got === bruteRankFull(graph, k), s"iters=$k")
+    }
+    // redistribution is LIVE on this graph: the simple form drops d's
+    // mass, the full form hands everyone ⌊D/N⌋ — so every host with
+    // no in-flow ranks strictly above its simple-form self
+    val simple = runRank(graph, 3)
+    val (full, _) = runRankFull(graph, 3)
+    assert(full.values.sum > simple.values.sum,
+      "redistribution must conserve mass the simple form drops")
+    // a graph with NO dangling host: both forms agree exactly
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L))
+    assert(runRankFull(cyc, 4)._1 === runRank(cyc, 4))
+  }
+
+  test("L1 early stop fires at the FIRST step whose delta clears eps " +
+    "and returns exactly that step's ranks") {
+    // the star's deltas shrink geometrically (damping 0.85), so an
+    // eps of 1000 micro fires well inside the 50-step budget; the
+    // brute trajectory pins both the stopping step and the returned
+    // ranks
+    val star = Seq(("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L))
+    val eps = 1000L
+    val (early, iters) = runRankFull(star, 50, eps = Some(eps))
+    assert(iters < 50, s"early stop never fired: ran $iters iterations")
+    assert(early === bruteRankFull(star, iters),
+      "early stop must return the stopping step's exact ranks")
+    def l1(a: Map[String, Long], b: Map[String, Long]): Long =
+      a.keysIterator.map(k => math.abs(a(k) - b(k))).sum
+    assert(l1(bruteRankFull(star, iters),
+      bruteRankFull(star, iters - 1)) <= eps,
+      "the stopping step's delta must clear eps")
+    assert(iters >= 2 && l1(bruteRankFull(star, iters - 1),
+      bruteRankFull(star, iters - 2)) > eps,
+      "the step before must NOT have cleared eps (first-crossing stop)")
+    // eps disabled runs the whole budget
+    assert(runRankFull(star, 7)._2 == 7)
+    // eps validation
+    intercept[IllegalArgumentException] {
+      LinkGraphOps.pageRankHostsFull(star.toDF("src", "dst", "w"),
+        "src", "dst", "w", 5, 850L, Some(-1L))
+    }
+  }
+
   test("a non-positive edge weight fails the job naming the edge — " +
     "both at the rank intake and the stored fold (a zero out-weight " +
     "would otherwise divide to NULL shares silently)") {

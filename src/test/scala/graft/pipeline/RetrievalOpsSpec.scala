@@ -125,6 +125,126 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"got: ${eNull.getMessage}")
   }
 
+  // ---- bounded (capped) serving mode --------------------------------------
+
+  test("capped scorer with a cap no term reaches ≡ the exact scorer — " +
+    "the serving mode's identity contract") {
+    val queries = Seq((100L, "common mid0"), (101L, "rare7 mid1"),
+      (102L, "rare3"), (103L, "absentword"))
+    for (k <- Seq(1, 5, 50)) {
+      val exact = collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 20L),
+        "text", "doc_id", queriesDf(queries), "query_id", "query_text", k))
+      val capped = collectTopK(RetrievalOps.bm25TopKCapped(
+        corpusDf(0L to 20L), "text", "doc_id", queriesDf(queries),
+        "query_id", "query_text", k, dfCapPerTerm = 1000))
+      assert(capped == exact, s"k=$k: cap above every df must be identity")
+    }
+  }
+
+  test("capped truncation: an over-cap term's candidates are bounded at " +
+    "the cap, and a kept doc scores with the TRUE df") {
+    // "common" appears in all 21 docs (df = 21); cap = 1 keeps exactly
+    // one posting — the highest tf_micro, ties by doc_id
+    val out = RetrievalOps.bm25TopKCapped(corpusDf(0L to 20L), "text",
+        "doc_id", queriesDf(Seq((1L, "common"))), "query_id",
+        "query_text", 50, dfCapPerTerm = 1)
+      .collect()
+    assert(out.length == 1, s"cap=1 must yield one candidate, got " +
+      s"${out.length}")
+    val keptDoc = out(0).getAs[Long]("doc_id")
+    val keptScore = out(0).getAs[Long]("score_micro")
+    // true-df contract: the kept doc's score equals the EXACT scorer's
+    // score for that same (query, doc) — truncation must not inflate
+    // idf by counting only surviving postings
+    val exact = collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 20L),
+      "text", "doc_id", queriesDf(Seq((1L, "common"))), "query_id",
+      "query_text", 50))
+    val exactScore = exact.collectFirst {
+      case (_, _, d, s) if d == keptDoc => s
+    }.get
+    assert(keptScore == exactScore,
+      s"kept doc must score with true df: $keptScore != $exactScore")
+  }
+
+  test("max-score pruning is EXACT ≡ bm25TopK for every dfSplit: " +
+    "pruning lane, mixed lane, and the all-high fallback lane") {
+    val queries = Seq(
+      (100L, "common mid0"),         // mixed low/high at small splits
+      (101L, "rare7 mid1"),
+      (102L, "rare3"),               // all-low: pure phase 1
+      (103L, "absentword"),          // no candidates: emits nothing
+      (104L, "common common rare2"),
+      (105L, "common"))              // all-high at small splits: fallback
+    for (k <- Seq(1, 5, 50); split <- Seq(1, 3, 1000)) {
+      val exact = collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 20L),
+        "text", "doc_id", queriesDf(queries), "query_id", "query_text", k))
+      val ms = collectTopK(RetrievalOps.bm25TopKMaxScore(
+        corpusDf(0L to 20L), "text", "doc_id", queriesDf(queries),
+        "query_id", "query_text", k, dfSplit = split))
+      assert(ms == exact, s"k=$k dfSplit=$split: max-score must be exact")
+    }
+  }
+
+  // ---- phrase / positional retrieval --------------------------------------
+
+  private def matchesOf(docs: Seq[(Long, String)],
+                        qs: Seq[(Long, String)]): Map[(Long, Long), Long] =
+    RetrievalOps.phraseMatches(docs.toDF("doc_id", "text"), "text",
+        "doc_id", qs.toDF("query_id", "query_text"), "query_id",
+        "query_text")
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_occurrences")).toMap
+
+  test("phraseMatches: consecutive-run semantics — order matters, " +
+    "overlaps count, repeated tokens must each match, absent phrases " +
+    "emit nothing") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b a" occurs at 1 and 3 (overlapping)
+      (2L, "a b c d"),     // "a b" yes, "b a" no
+      (3L, "b a c"),       // "b a" yes
+      (4L, "a a a"),       // "a a" occurs at 1 and 2
+      (5L, "a c b"))       // has a and b, but no run
+    val got = matchesOf(docs, Seq(
+      (10L, "a b a"), (11L, "a b"), (12L, "b a"), (13L, "a a"),
+      (14L, "z q")))
+    assert(got == Map(
+      (10L, 1L) -> 2L,
+      (11L, 1L) -> 2L, (11L, 2L) -> 1L,
+      (12L, 1L) -> 2L, (12L, 3L) -> 1L,
+      (13L, 4L) -> 2L),
+      s"got $got")
+  }
+
+  test("bm25PhraseTopK: hits are exactly the phrase-matching docs, " +
+    "scored identically to the bag scorer, occurrence counts attached") {
+    val docs = Seq(
+      (1L, "red fox jumps over the fence"),
+      (2L, "fox red jumps red fox again"),
+      (3L, "the red house and the fox den"),  // both terms, no run
+      (4L, "red fox red fox red fox"))
+    val qs = Seq((7L, "red fox"))
+    val out = RetrievalOps.bm25PhraseTopK(docs.toDF("doc_id", "text"),
+        "text", "doc_id", qs.toDF("query_id", "query_text"), "query_id",
+        "query_text", 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("rank"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("n_occurrences")))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"phrase docs only: $out")
+    assert(out(1L)._3 == 1L && out(2L)._3 == 1L && out(4L)._3 == 3L,
+      s"occurrence counts: $out")
+    // scores must equal the bag scorer's for the same pairs (one
+    // kernel): doc 4 has tf(red)=tf(fox)=3 and outranks the rest
+    val bag = collectTopK(RetrievalOps.bm25TopK(docs.toDF("doc_id", "text"),
+      "text", "doc_id", qs.toDF("query_id", "query_text"), "query_id",
+      "query_text", 10)).map { case (_, _, d, s) => d -> s }.toMap
+    out.foreach { case (d, (_, s, _)) =>
+      assert(s == bag(d), s"doc $d: phrase score $s != bag score ${bag(d)}")
+    }
+    assert(out(4L)._1 == 1L, s"doc 4 must rank first: $out")
+  }
+
   // ---- stored lifecycle ---------------------------------------------------
 
   private val probeQs = Seq((1L, "common mid0"), (2L, "rare5 rare6 mid2"),
@@ -163,6 +283,18 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "text", "doc_id")
     assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
       queriesDf(probeQs), "query_id", "query_text", 5)) == oneShot)
+    // the bounded serving mode on the STORED path: identity when the
+    // cap clears every probed df, bounded candidates when it doesn't
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+      queriesDf(probeQs), "query_id", "query_text", 5,
+      dfCapPerTerm = Some(1000))) == oneShot,
+      "stored capped with an unreached cap must equal the exact probe")
+    val capOne = RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(Seq((1L, "common"))), "query_id", "query_text", 50,
+        dfCapPerTerm = Some(1))
+      .collect()
+    assert(capOne.length == 1,
+      s"cap=1 on a df-16 term must keep one candidate, got ${capOne.length}")
   }
 
   private def visibleDataFiles(dir: String, rel: String): Int = {

@@ -37,8 +37,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // the BM25 scorer attaches the corpus stats row — ONE row by
       // construction (a global aggregate / the index meta) — via
       // crossJoin(broadcast): the same single-row-build-side shape as
-      // q_lm_score's V scalar
-      "q_bm25_topk", "q_bm25_stored", "q_bm25_anchors")
+      // q_lm_score's V scalar (the capped row crosses it twice: the
+      // truncation window needs avgdl too; the phrase row scores
+      // through the same kernel)
+      "q_bm25_topk", "q_bm25_stored", "q_bm25_anchors", "q_bm25_capped",
+      "q_bm25_phrase", "q_bm25_maxscore")
       // (q_cap_recall_compare / q_band_recall_compare once sat here for
       // their one-row denominator cross-join; the denominator is now a
       // collected literal, so their plans are BNLJ-free again)
