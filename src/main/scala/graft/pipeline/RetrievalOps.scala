@@ -522,7 +522,7 @@ object RetrievalOps {
 
   private[graft] final case class RetrievalIndexMeta(
       epoch: Long, base: Long, nDocs: Long, totalTokens: Long,
-      lastBatchId: Long = -1L)
+      lastBatchId: Long = -1L, hasPositions: Boolean = false)
 
   private[graft] def postingsDir(path: String, epoch: Long): String =
     s"$path/postings/e$epoch"
@@ -530,12 +530,18 @@ object RetrievalOps {
   private[graft] def docsDir(path: String, epoch: Long): String =
     s"$path/docs/e$epoch"
 
+  private[graft] def positionsDir(path: String, epoch: Long): String =
+    s"$path/positions/e$epoch"
+
   private[graft] def readRetrievalIndexMeta(
       spark: SparkSession, path: String): RetrievalIndexMeta = {
     val r = MetaIO.readMetaRow(spark, path, "retrieval index", "index")
     RetrievalIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("base"),
       r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
-      r.getAs[Long]("last_batch_id"))
+      r.getAs[Long]("last_batch_id"),
+      // pre-positions metas simply lack the flag: bag-only index
+      hasPositions = r.schema.fieldNames.contains("has_positions") &&
+        r.getAs[Boolean]("has_positions"))
   }
 
   private def swapRetrievalMeta(spark: SparkSession, path: String,
@@ -543,8 +549,9 @@ object RetrievalOps {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "retrieval index",
       Seq((meta.epoch, meta.base, meta.nDocs, meta.totalTokens,
-          meta.lastBatchId))
-        .toDF("epoch", "base", "n_docs", "total_tokens", "last_batch_id"))
+          meta.lastBatchId, meta.hasPositions))
+        .toDF("epoch", "base", "n_docs", "total_tokens", "last_batch_id",
+          "has_positions"))
   }
 
   private def readStoredPostings(spark: SparkSession, path: String,
@@ -556,16 +563,39 @@ object RetrievalOps {
                              meta: RetrievalIndexMeta): DataFrame =
     spark.read.parquet((meta.base to meta.epoch).map(docsDir(path, _)): _*)
 
-  /** Write one epoch's postings + docs relations from a doc slice;
-    * returns (docs added, tokens added). Postings sort within
+  private def readStoredPositions(spark: SparkSession, path: String,
+                                  meta: RetrievalIndexMeta): DataFrame =
+    spark.read.parquet(
+      (meta.base to meta.epoch).map(positionsDir(path, _)): _*)
+
+  /** Write one epoch's postings + docs (and, for a POSITIONAL index,
+    * positions) relations from a doc slice; returns (docs added,
+    * tokens added). Both posting-shaped relations sort within
     * partitions by token so parquet row-group min/max stats prune
-    * probe-term scans. */
+    * probe-term scans. With positions on, the corpus text tokenizes
+    * ONCE: positions write first, read back, and the bag postings
+    * roll up from the stored relation. */
   private def writeEpoch(df: DataFrame, textCol: String, idCol: String,
-                         path: String, epoch: Long): (Long, Long) = {
+                         path: String, epoch: Long,
+                         withPositions: Boolean): (Long, Long) = {
     val spark = df.sparkSession
-    postingsWithDocLen(df, textCol, idCol)
-      .sortWithinPartitions(col("token"))
-      .write.mode("overwrite").parquet(postingsDir(path, epoch))
+    if (withPositions) {
+      positionalPostings(df, textCol, idCol)
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(positionsDir(path, epoch))
+      val pos = spark.read.parquet(positionsDir(path, epoch))
+      val post = pos.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      post.join(dl, Seq("doc_id"))
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(postingsDir(path, epoch))
+    } else {
+      postingsWithDocLen(df, textCol, idCol)
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(postingsDir(path, epoch))
+    }
     val stored = spark.read.parquet(postingsDir(path, epoch))
     val docRel = stored.select(col("doc_id"), col("dl"))
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
@@ -576,18 +606,27 @@ object RetrievalOps {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Build the persisted retrieval index from a corpus snapshot. */
+  /** Build the persisted retrieval index from a corpus snapshot.
+    * `withPositions = true` also persists the POSITIONAL postings
+    * (token, doc_id, pos) per epoch — roughly the bag relation's size
+    * again, bought once at build time so phrase forensics
+    * ([[phraseAgainstStoredIndex]]) never re-reads corpus text. The
+    * flag is part of the ARTIFACT (recorded in meta): appends and
+    * compactions maintain whichever relations the build declared. */
   def writeRetrievalIndex(df: DataFrame, textCol: String, idCol: String,
-                          path: String): Unit =
-    buildRetrievalIndex(df, textCol, idCol, path, lastBatchId = -1L)
+                          path: String,
+                          withPositions: Boolean = false): Unit =
+    buildRetrievalIndex(df, textCol, idCol, path, lastBatchId = -1L,
+      withPositions = withPositions)
 
   private def buildRetrievalIndex(df: DataFrame, textCol: String,
                                   idCol: String, path: String,
-                                  lastBatchId: Long): Unit = {
-    val (n, t) = writeEpoch(df, textCol, idCol, path, 0L)
+                                  lastBatchId: Long,
+                                  withPositions: Boolean): Unit = {
+    val (n, t) = writeEpoch(df, textCol, idCol, path, 0L, withPositions)
     swapRetrievalMeta(df.sparkSession, path,
       RetrievalIndexMeta(epoch = 0L, base = 0L, nDocs = n, totalTokens = t,
-        lastBatchId = lastBatchId))
+        lastBatchId = lastBatchId, hasPositions = withPositions))
   }
 
   /** Append a corpus segment — the daily maintenance move. Doc ids are
@@ -613,7 +652,8 @@ object RetrievalOps {
       .withColumnRenamed("doc_id", idCol)
     val delta = df.join(storedIds, Seq(idCol), "left_anti")
     val next = meta.epoch + 1
-    val (n, t) = writeEpoch(delta, textCol, idCol, path, next)
+    val (n, t) = writeEpoch(delta, textCol, idCol, path, next,
+      meta.hasPositions)
     swapRetrievalMeta(spark, path,
       meta.copy(epoch = next, nDocs = meta.nDocs + n,
         totalTokens = meta.totalTokens + t, lastBatchId = lastBatchId))
@@ -630,12 +670,13 @@ object RetrievalOps {
     * anti-joins). Returns whether the batch was applied. */
   def ingestRetrievalBatch(spark: SparkSession, path: String,
                            batch: DataFrame, textCol: String,
-                           idCol: String, batchId: Long): Boolean = {
+                           idCol: String, batchId: Long,
+                           withPositions: Boolean = false): Boolean = {
     if (!MetaIO.metaExistsOrRecover(spark, path)) {
       MetaIO.requireNoOrphanData(spark, "retrieval index",
         s"$path/postings")
       buildRetrievalIndex(batch, textCol, idCol, path,
-        lastBatchId = batchId)
+        lastBatchId = batchId, withPositions = withPositions)
       true
     } else {
       val meta = readRetrievalIndexMeta(spark, path)
@@ -667,8 +708,15 @@ object RetrievalOps {
       .write.mode("overwrite").parquet(postingsDir(path, next))
     readStoredDocs(spark, path, meta).coalesce(targetFiles)
       .write.mode("overwrite").parquet(docsDir(path, next))
+    if (meta.hasPositions)
+      readStoredPositions(spark, path, meta)
+        .repartition(targetFiles)
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(positionsDir(path, next))
     swapRetrievalMeta(spark, path, meta.copy(epoch = next, base = next))
-    MetaIO.pruneEpochs(spark, Seq(s"$path/postings", s"$path/docs"),
+    MetaIO.pruneEpochs(spark,
+      Seq(s"$path/postings", s"$path/docs") ++
+        (if (meta.hasPositions) Seq(s"$path/positions") else Nil),
       superseded = meta.base)
   }
 
@@ -736,5 +784,48 @@ object RetrievalOps {
       case (_, Some(split)) => maxScoreCore(cand, stats, qt, k, split)
       case _ => scoreTopK(cand, stats, qt, k)
     }
+  }
+
+  /** PHRASE forensics against the STORED index — output ≡
+    * [[bm25PhraseTopK]] over the indexed corpus, with no corpus text
+    * read anywhere: candidates come from the stored bag postings,
+    * phrase votes from the stored POSITIONAL postings (both
+    * term-literal-filtered, so token-sorted row groups prune
+    * everything a phrase never mentions), corpus stats from the meta
+    * row. Requires an index built `withPositions = true`; a bag-only
+    * index refuses loudly (rebuilding is the fix — positions cannot
+    * be derived from bag counts). */
+  def phraseAgainstStoredIndex(spark: SparkSession, path: String,
+                               queries: DataFrame, queryIdCol: String,
+                               queryTextCol: String, k: Int,
+                               maxTerms: Int = 100000): DataFrame = {
+    val meta = readRetrievalIndexMeta(spark, path)
+    require(meta.hasPositions,
+      s"retrieval index at $path is bag-of-words only (built without " +
+        "withPositions) — phrase probes need the positional relation; " +
+        "rebuild via writeRetrievalIndex(..., withPositions = true)")
+    import spark.implicits._
+    val stats = Seq((meta.nDocs, meta.totalTokens,
+        1000L * meta.totalTokens / math.max(meta.nDocs, 1L)))
+      .toDF("n_docs", "total_tokens", "avgdl_milli")
+    val pt = phraseTerms(queries, queryIdCol, queryTextCol)
+    val qt = pt.select(col("query_id"), col("token")).distinct()
+    val terms = qt.select(col("token")).distinct()
+      .as[String].collect().sorted
+    require(terms.length <= maxTerms,
+      s"phraseAgainstStoredIndex: query workload has ${terms.length} " +
+        s"distinct terms, past the $maxTerms literal-filter guard — " +
+        "shard the workload across probes")
+    val cand = readStoredPostings(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*))
+    val pp = readStoredPositions(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*))
+    val matches = Checkpoints.sever(phraseOccurrences(pp, pt))
+    val scored = scoredContrib(cand, stats, qt)
+      .join(matches.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+    topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_occurrences"))
   }
 }

@@ -47,7 +47,14 @@ object RetrievalQueries {
       bench = true),
     // phrase forensics: BM25 restricted to docs containing the query
     // text as a CONSECUTIVE token run, occurrence counts attached
-    GraftQuery("q_bm25_phrase", bm25PhraseQ, Some(bm25PhraseSql),
+    GraftQuery("q_bm25_phrase", bm25PhraseQ, Some(bm25PhraseSql()),
+      bench = true),
+    // the same forensics SERVED: positional postings persisted in the
+    // retrieval artifact (built in two slices + compacted, so the
+    // positional append/compact paths are oracle-gated too), no
+    // corpus text read at probe time
+    GraftQuery("q_bm25_phrase_stored", bm25PhraseStoredQ,
+      Some(bm25PhraseSql(corpusWhere = "WHERE doc_id % 2 = 0")),
       bench = true),
   )
 
@@ -98,6 +105,29 @@ object RetrievalQueries {
   def bm25PhraseQ(spark: SparkSession, sfDir: String): DataFrame =
     RetrievalOps.bm25PhraseTopK(docs(spark, sfDir), "text", "doc_id",
       workload(spark, sfDir), "query_id", "query_text", BmK)
+
+  /** The POSITIONAL stored index over the even-id half — the phrase
+    * twin of [[storedRetrievalIdxDir]] (separate artifact: the bag
+    * index deliberately stays positions-less so the refusal path
+    * stays honest). */
+  private def storedPhraseIdxDir(spark: SparkSession, sfDir: String,
+                                 d: DataFrame): String =
+    TextQueries.cachedArtifactDir("rtp_idx_v1", sfDir,
+      d.filter(col("doc_id") % 2 === 0)) { dir =>
+      RetrievalOps.writeRetrievalIndex(
+        d.filter(col("doc_id") % 4 === 0), "text", "doc_id", dir,
+        withPositions = true)
+      RetrievalOps.appendRetrievalIndex(spark, dir,
+        d.filter(col("doc_id") % 4 === 2), "text", "doc_id")
+      RetrievalOps.compactRetrievalIndex(spark, dir)
+    }
+
+  def bm25PhraseStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    RetrievalOps.phraseAgainstStoredIndex(spark,
+      storedPhraseIdxDir(spark, sfDir, d),
+      workload(spark, sfDir), "query_id", "query_text", BmK)
+  }
 
   /** The scoring CTE chain of the integer-exact BM25 oracle — the
     * Spark formulas verbatim in DuckDB arithmetic (`//` floor division
@@ -236,11 +266,11 @@ object RetrievalQueries {
     * occurrence where all m slots voted, and the shared exact-scorer
     * CTEs restricted to occurring docs (rank AFTER the restriction —
     * the `ranked` CTE of the shared chain goes unused here). */
-  private def bm25PhraseSql: String = {
+  private def bm25PhraseSql(corpusWhere: String = ""): String = {
     val toks = graft.pipeline.TextOps.tokensSql("text")
     val qtoks = graft.pipeline.TextOps.tokensSql("query_text")
     s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id, text FROM documents $corpusWhere
        |), tok AS (
        |  SELECT doc_id, unnest($toks) AS token FROM corpus
        |), q AS (

@@ -245,6 +245,60 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out(4L)._1 == 1L, s"doc 4 must rank first: $out")
   }
 
+  test("POSITIONAL stored index: phrase probe ≡ one-shot phrase over " +
+    "the indexed corpus through build + append + re-drop + compact; a " +
+    "bag-only index refuses the phrase probe loudly") {
+    val dir = tmp("poslife")
+    val phraseQs = Seq((1L, "common mid0"), (2L, "rare5"),
+      (3L, "mid1 rare7"), (4L, "absent phrase"))
+    def collectPhrase(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro"),
+        r.getAs[Long]("n_occurrences"))).toSet
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 9L), "text",
+      "doc_id", dir, withPositions = true)
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(10L to 15L),
+      "text", "doc_id")
+    val oneShot = collectPhrase(RetrievalOps.bm25PhraseTopK(
+      corpusDf(0L to 15L), "text", "doc_id", queriesDf(phraseQs),
+      "query_id", "query_text", 5))
+    assert(oneShot.nonEmpty)
+    def stored() = collectPhrase(RetrievalOps.phraseAgainstStoredIndex(
+      spark, dir, queriesDf(phraseQs), "query_id", "query_text", 5))
+    assert(stored() == oneShot)
+    // re-drop adds nothing; positions maintained through the append
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(0L to 15L),
+      "text", "doc_id")
+    assert(stored() == oneShot)
+    // compaction rewrites the positional window too — probe unchanged;
+    // the SECOND compaction's janitor prunes positional generations
+    // below the first's base (one generation of grace, the shared
+    // discipline)
+    RetrievalOps.compactRetrievalIndex(spark, dir)
+    assert(stored() == oneShot)
+    RetrievalOps.compactRetrievalIndex(spark, dir)
+    assert(stored() == oneShot)
+    assert(graft.SpecSupport.epochs(s"$dir/positions").size <= 2,
+      "second compaction must prune superseded positional epochs " +
+        "(one grace generation)")
+    // bag scoring on the same positional index still works (postings
+    // rolled up from the stored positions at build)
+    val bag = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+      dir, queriesDf(probeQs), "query_id", "query_text", 5))
+    assert(bag == collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 15L),
+      "text", "doc_id", queriesDf(probeQs), "query_id", "query_text", 5)))
+    // a bag-only index refuses the phrase probe, naming the rebuild
+    val bagDir = tmp("bagonly")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 5L), "text",
+      "doc_id", bagDir)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalOps.phraseAgainstStoredIndex(spark, bagDir,
+        queriesDf(phraseQs), "query_id", "query_text", 5)
+    }
+    assert(e.getMessage.contains("withPositions"))
+  }
+
   // ---- stored lifecycle ---------------------------------------------------
 
   private val probeQs = Seq((1L, "common mid0"), (2L, "rare5 rare6 mid2"),
