@@ -485,8 +485,13 @@ object RetrievalOps {
                      queries: DataFrame, queryIdCol: String,
                      queryTextCol: String, k: Int): DataFrame = {
     val pos = Checkpoints.sever(positionalPostings(docs, textCol, idCol))
-    val post = pos.groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    // severed too: the rollup is consumed by the doc-length build, the
+    // candidate filter, AND the scorer's df count — unsevered, each
+    // re-aggregates the full positional relation (measured 3× the
+    // bag row's cost at sf0.1 before this)
+    val post = Checkpoints.sever(
+      pos.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")))
     val dl = Checkpoints.sever(
       post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = statsOf(dl)
