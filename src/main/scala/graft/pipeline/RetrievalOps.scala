@@ -467,6 +467,80 @@ object RetrievalOps {
     phraseOccurrences(pp, pt)
   }
 
+  /** PROXIMITY matching from a positional-postings relation: an
+    * ANCHOR is any occurrence of any query term; a window works when
+    * every one of the query's `m` distinct terms occurs in
+    * [anchor, anchor + W − 1]. A doc matches iff some window works —
+    * exactly "minimal span covering all terms ≤ W", since the minimal
+    * span always starts at an occurrence. Output: (query_id, doc_id,
+    * n_windows), only matching docs.
+    *
+    * Shape: anchors × members meet through WIDTH-W POSITION BINS (a
+    * member at pos p can only serve anchors in bins ⌊p/W⌋ and
+    * ⌊p/W⌋−1, so the member side explodes to exactly 2 rows and the
+    * join is a plain equi-join on (query, doc, bin) — never a range
+    * join, never per-doc quadratic beyond the W-bounded fan-in), then
+    * one distinct + two partial-aggregated rollups. */
+  private def proximityFromPositions(pp: DataFrame, qt: DataFrame,
+                                     w: Int): DataFrame = {
+    val qm = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__m"))
+    val occ = pp.join(broadcast(qt), Seq("token"))
+    val anchors = occ.select(col("query_id"), col("doc_id"),
+        col("pos").as("__o")).distinct()
+      .withColumn("__b", div(col("__o"), lit(w.toLong)))
+    val members = occ
+      .withColumn("__b", explode(array(div(col("pos"), lit(w.toLong)),
+        div(col("pos"), lit(w.toLong)) - 1)))
+      .select(col("query_id"), col("doc_id"), col("__b"), col("token"),
+        col("pos"))
+    anchors.join(members, Seq("query_id", "doc_id", "__b"))
+      .filter(col("pos") >= col("__o") &&
+        col("pos") <= col("__o") + (w - 1))
+      .select(col("query_id"), col("doc_id"), col("__o"), col("token"))
+      .distinct()
+      .groupBy(col("query_id"), col("doc_id"), col("__o"))
+      .agg(count(lit(1)).as("__nt"))
+      .join(broadcast(qm), Seq("query_id"))
+      .filter(col("__nt") === col("__m"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
+  /** PROXIMITY-FILTERED ranked retrieval: BM25 top-`k` over the
+    * query's terms, restricted to docs where ALL the terms co-occur
+    * inside a `windowTokens`-token window in any order — the relaxed
+    * sibling of [[bm25PhraseTopK]] (a paraphrase reorders words; a
+    * W-window still catches it). Output: (query_id, rank, doc_id,
+    * score_micro, n_windows). */
+  def bm25ProximityTopK(docs: DataFrame, textCol: String, idCol: String,
+                        queries: DataFrame, queryIdCol: String,
+                        queryTextCol: String, k: Int,
+                        windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1,
+      s"bm25: windowTokens must be >= 1, got $windowTokens")
+    val pos = Checkpoints.sever(positionalPostings(docs, textCol, idCol))
+    val post = Checkpoints.sever(
+      pos.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = Checkpoints.sever(
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val stats = statsOf(dl)
+    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val terms = qt.select(col("token")).distinct()
+    val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
+      .join(dl, Seq("doc_id"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val matches = Checkpoints.sever(proximityFromPositions(
+      pos.join(broadcast(terms), Seq("token"), "left_semi"), qt,
+      windowTokens))
+    val scored = scoredContrib(cand, stats, qt)
+      .join(matches.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+    topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_windows"))
+  }
+
   /** PHRASE-FILTERED ranked retrieval: BM25 top-`k` (the exact scorer
     * over the phrase's distinct terms — [[scoredContrib]], same
     * integer arithmetic as every other path) restricted to docs

@@ -56,7 +56,15 @@ object RetrievalQueries {
     GraftQuery("q_bm25_phrase_stored", bm25PhraseStoredQ,
       Some(bm25PhraseSql(corpusWhere = "WHERE doc_id % 2 = 0")),
       bench = true),
+    // the relaxed sibling: every query term inside a 6-token window
+    // in ANY order (a paraphrase reorders words; the window still
+    // catches it) — windows anchored at term occurrences, matched
+    // through width-W position bins, never a range join
+    GraftQuery("q_bm25_proximity", bm25ProximityQ,
+      Some(bm25ProximitySql), bench = true),
   )
+
+  private val ProxWindow = 6
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, sfDir, "documents")
@@ -128,6 +136,10 @@ object RetrievalQueries {
       storedPhraseIdxDir(spark, sfDir, d),
       workload(spark, sfDir), "query_id", "query_text", BmK)
   }
+
+  def bm25ProximityQ(spark: SparkSession, sfDir: String): DataFrame =
+    RetrievalOps.bm25ProximityTopK(docs(spark, sfDir), "text", "doc_id",
+      workload(spark, sfDir), "query_id", "query_text", BmK, ProxWindow)
 
   /** The scoring CTE chain of the integer-exact BM25 oracle — the
     * Spark formulas verbatim in DuckDB arithmetic (`//` floor division
@@ -259,6 +271,59 @@ object RetrievalQueries {
        |)
        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id, score_micro
        |FROM ranked WHERE rnk <= $BmK""".stripMargin
+  }
+
+  /** The proximity oracle: positions rebuilt by list index, anchors =
+    * term occurrences, a plain range predicate per anchor (DuckDB
+    * handles the non-equi join natively — the Spark side's bin trick
+    * is a cost move with identical semantics), count-distinct-terms
+    * per window, then the shared scorer restricted to matching docs. */
+  private def bm25ProximitySql: String = {
+    val toks = graft.pipeline.TextOps.tokensSql("text")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM corpus
+       |), q AS (
+       |  SELECT doc_id AS query_id,
+       |    array_to_string(($toks)[1:$QueryTokens], ' ') AS query_text
+       |  FROM documents WHERE doc_id % $QueryEvery = 0
+       |), $bm25CtesFromTok, tarr AS (
+       |  SELECT doc_id, $toks AS toks FROM corpus
+       |), ptok AS (
+       |  SELECT doc_id, pos, toks[pos] AS token FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(range(1, len(toks) + 1)) AS pos
+       |    FROM tarr)
+       |), anch AS (
+       |  SELECT DISTINCT qt.query_id, pp.doc_id, pp.pos AS o
+       |  FROM qt JOIN ptok pp USING (token)
+       |), mem AS (
+       |  SELECT qt.query_id, pp.doc_id, pp.token, pp.pos
+       |  FROM qt JOIN ptok pp USING (token)
+       |), wnd AS (
+       |  SELECT a.query_id, a.doc_id, a.o,
+       |    count(DISTINCT m.token) AS nt
+       |  FROM anch a JOIN mem m
+       |    ON m.query_id = a.query_id AND m.doc_id = a.doc_id
+       |   AND m.pos >= a.o AND m.pos <= a.o + $ProxWindow - 1
+       |  GROUP BY 1, 2, 3
+       |), qm AS (
+       |  SELECT query_id, count(*) AS mm FROM qt GROUP BY 1
+       |), prox AS (
+       |  SELECT w.query_id, w.doc_id, CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM wnd w JOIN qm USING (query_id)
+       |  WHERE w.nt = qm.mm GROUP BY 1, 2
+       |), pranked AS (
+       |  SELECT s.query_id, s.doc_id, s.score_micro, prox.n_windows,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |                       ORDER BY s.score_micro DESC, s.doc_id) AS rnk
+       |  FROM scored s
+       |  JOIN prox ON s.query_id = prox.query_id AND s.doc_id = prox.doc_id
+       |)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id,
+       |  score_micro, n_windows
+       |FROM pranked WHERE rnk <= $BmK""".stripMargin
   }
 
   /** The phrase-retrieval oracle: positions rebuilt by list index, a

@@ -878,7 +878,8 @@ object PipelineStreams {
     * fails an applied batch). Returns the started query. */
   def retrievalMaintainStream(docs: DataFrame, indexPath: String,
                               checkpoint: String, textCol: String,
-                              idCol: String, compactEvery: Int = 0)
+                              idCol: String, compactEvery: Int = 0,
+                              withPositions: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(docs.isStreaming,
       "retrievalMaintainStream needs a STREAMING relation; fold batch " +
@@ -889,9 +890,11 @@ object PipelineStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // withPositions applies only to the FIRST batch's build — an
+        // existing artifact's meta pins its own positional flag
         graft.pipeline.RetrievalOps.ingestRetrievalBatch(
           batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
-          batchId)
+          batchId, withPositions = withPositions)
         if (compactEvery > 0)
           try graft.pipeline.RetrievalOps.maybeCompactRetrievalIndex(
             batch.sparkSession, indexPath, compactEvery)

@@ -216,6 +216,44 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("bm25ProximityTopK: window semantics — any order counts, gaps " +
+    "within W count, gaps past W do not; anchors are term occurrences; " +
+    "scores equal the bag scorer's") {
+    val docs = Seq(
+      (1L, "alpha beta x"),                  // adjacent, in order
+      (2L, "beta x alpha"),                  // reordered, span 3
+      (3L, "alpha x x x beta"),              // span 5 > W=4 → no window
+      (4L, "x alpha x x beta alpha"),        // span(β@5, α@6)=2 → match
+      (5L, "alpha only here"))               // missing beta
+    val qs = Seq((7L, "alpha beta"))
+    def run(w: Int): Map[Long, (Long, Long)] =
+      RetrievalOps.bm25ProximityTopK(docs.toDF("doc_id", "text"), "text",
+          "doc_id", qs.toDF("query_id", "query_text"), "query_id",
+          "query_text", 10, windowTokens = w)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("score_micro"), r.getAs[Long]("n_windows"))))
+        .toMap
+    val got = run(4)
+    assert(got.keySet == Set(1L, 2L, 4L), s"W=4 matches: $got")
+    // n_windows: anchors whose [o, o+3] covers both terms.
+    // doc 1 (α@1 β@2): anchors 1 (covers β@2 ✓) and 2 (no α in
+    // [2,5]) → 1. doc 2 (β@1 x α@3): anchor 1 ✓, anchor 3 ✗ → 1.
+    // doc 4 (α@2 β@5 α@6): anchor 2 covers [2,5] ✓, anchor 5 covers
+    // α@6 ✓, anchor 6 ✗ → 2.
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L && got(4L)._2 == 2L,
+      s"window counts: $got")
+    // widening the window admits doc 3 (span 5)
+    assert(run(5).keySet == Set(1L, 2L, 3L, 4L))
+    // shrinking to W=1 needs both terms at one position: impossible
+    assert(run(1).isEmpty)
+    // scores come from the shared bag kernel
+    val bag = collectTopK(RetrievalOps.bm25TopK(docs.toDF("doc_id", "text"),
+      "text", "doc_id", qs.toDF("query_id", "query_text"), "query_id",
+      "query_text", 10)).map { case (_, _, d, s) => d -> s }.toMap
+    got.foreach { case (d, (s, _)) => assert(s == bag(d), s"doc $d") }
+  }
+
   test("bm25PhraseTopK: hits are exactly the phrase-matching docs, " +
     "scored identically to the bag scorer, occurrence counts attached") {
     val docs = Seq(
