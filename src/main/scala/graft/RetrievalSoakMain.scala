@@ -48,9 +48,11 @@ object RetrievalSoakMain {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_rt_soak")
       .toString + "/rt"
-    time(f"build stored index, slice 1 (${n / 2}%,d docs)") {
+    // positional build: ~26M (token, doc, pos) rows persisted alongside
+    // the bag postings — the phrase-forensics leg below probes them
+    time(f"build stored index WITH POSITIONS, slice 1 (${n / 2}%,d docs)") {
       RetrievalOps.writeRetrievalIndex(corpus(0L, n / 2), "text",
-        "doc_id", dir)
+        "doc_id", dir, withPositions = true)
     }
     time(f"append slice 2 (${n - n / 2}%,d docs)") {
       RetrievalOps.appendRetrievalIndex(spark, dir, corpus(n / 2, n),
@@ -203,6 +205,72 @@ object RetrievalSoakMain {
     println(f"  max-score ≡ exact on all ${1000 * k}%,d stress rows; " +
       f"$msSec%.2f s vs exact $uncappedSec%.2f s " +
       f"(${uncappedSec / msSec}%.1fx)")
+
+    // PHRASE forensics from the stored POSITIONAL relation — planted
+    // two-token phrases "rare<q> w00": doc i matches query q iff
+    // i ∈ block q AND i ≡ 0 (mod 7) (the first filler is "w0"+(i%7)),
+    // always at positions (1,2), exactly once. Closed-form hit set,
+    // require'd per query via a full-outer count compare.
+    val phraseQs = spark.range(1000L).select(col("id").as("query_id"),
+      concat(lit("rare"), (col("id") * (n / 1000L / 1000L)).cast("string"),
+        lit(" w00")).as("query_text")).localCheckpoint()
+    val phraseHits = time("phrase probe: 1,000 planted phrases " +
+      "against the stored positions") {
+      RetrievalOps.phraseAgainstStoredIndex(spark, dir, phraseQs,
+        "query_id", "query_text", k = 200).localCheckpoint()
+    }
+    require(phraseHits.filter(col("n_occurrences") =!= 1L).isEmpty,
+      "every planted phrase occurs exactly once per matching doc")
+    val badPhrase = phraseHits.join(phraseQs, Seq("query_id"))
+      .filter(expr("doc_id div 1000") =!=
+        regexp_extract(col("query_text"), "rare(\\d+)", 1).cast("long") ||
+        col("doc_id") % 7 =!= 0L)
+      .count()
+    require(badPhrase == 0L, s"$badPhrase phrase hits off the planted set")
+    val gotCounts = phraseHits.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("got"))
+    val expCounts = spark.range(n).filter(col("id") % 7 === 0)
+      .select(expr("id div 1000").as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("exp"))
+      .join(phraseQs.select(col("query_id"),
+        (col("query_id") * (n / 1000L / 1000L)).as("block")), Seq("block"))
+    val countMismatch = gotCounts.join(expCounts, Seq("query_id"), "full")
+      .filter(col("got").isNull || col("exp").isNull ||
+        col("got") =!= col("exp"))
+      .count()
+    require(countMismatch == 0L,
+      s"$countMismatch queries' phrase hit counts diverge from the " +
+        "closed form")
+    println(f"  phrase: all 1,000 queries match their closed-form " +
+      "hit sets exactly")
+
+    // PROXIMITY at W=26 over the one-shot corpus: "rare<q> m<d>"
+    // co-occur iff doc i is in block q with i ≡ 13q (mod 100) — the
+    // rare term sits at pos 1 and the m-token at pos 26, so exactly
+    // the W=26 window anchored at pos 1 works (10 docs per query,
+    // n_windows = 1, mid-df candidate volume ~10M rows by design)
+    val proxQs = spark.range(1000L).select(col("id").as("query_id"),
+      concat(lit("rare"), (col("id") * (n / 1000L / 1000L)).cast("string"),
+        lit(" m"), ((col("id") * 13) % 100).cast("string"))
+        .as("query_text")).localCheckpoint()
+    val prox = time("proximity probe: 1,000 planted pairs at W=26 " +
+      "(one-shot)") {
+      RetrievalOps.bm25ProximityTopK(corpus(0L, n), "text", "doc_id",
+        proxQs, "query_id", "query_text", k = 20, windowTokens = 26)
+        .localCheckpoint()
+    }
+    require(prox.count() == 1000L * 10L,
+      s"expected 10 proximity hits per query, got ${prox.count()}")
+    require(prox.filter(col("n_windows") =!= 1L).isEmpty,
+      "exactly one window per planted pair")
+    val badProx = prox.join(proxQs, Seq("query_id"))
+      .filter(expr("doc_id div 1000") =!=
+        regexp_extract(col("query_text"), "rare(\\d+)", 1).cast("long") ||
+        col("doc_id") % 100 =!= (col("query_id") * 13) % 100)
+      .count()
+    require(badProx == 0L, s"$badProx proximity hits off the planted set")
+    println(f"  proximity: all 10,000 hits on the planted lattice, " +
+      "one window each")
     spark.stop()
   }
 }

@@ -136,6 +136,32 @@ object RetrievalOps {
       .agg(sum(contrib).as("score_micro"))
   }
 
+  /** [[scoredContrib]] RESTRICTED to a (query_id, doc_id) pair
+    * relation — the match-first scorer behind the phrase and
+    * proximity rows: the pairs meet the postings ON doc_id before any
+    * query-term expansion, so scoring cost tracks the MATCH set
+    * (pairs × that-doc's-workload-terms), not df × queries — a
+    * stopword shared by every phrase costs its postings once, not
+    * once per query. True df still comes from one partial-agg pass
+    * over the full `cand`, so restricted scores equal the exact
+    * scorer's for the same pairs bit for bit. */
+  private def scoredContribForPairs(cand: DataFrame, stats: DataFrame,
+                                    qt: DataFrame,
+                                    pairs: DataFrame): DataFrame = {
+    val dfreq = cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val n = col("n_docs")
+    val idfRaw = div(lit(1000000L) * (lit(2L) * (n - col("__df")) + lit(1L)),
+      lit(2L) * col("__df") + lit(1L))
+    val contrib = div(least(idfRaw, lit(IdfCapMicro)) * tfMicro,
+      lit(1000000L))
+    cand.join(pairs.select(col("query_id"), col("doc_id")), Seq("doc_id"))
+      .join(broadcast(qt), Seq("query_id", "token"), "left_semi")
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score_micro"))
+  }
+
   /** Each query's top-K of a (query_id, doc_id, score_micro) relation
     * via the bounded pair heap on (−score, doc_id) — ascending pairs
     * give score DESC, doc_id ASC; O(k) state per query regardless of
@@ -434,24 +460,52 @@ object RetrievalOps {
 
   /** Exact-phrase occurrences of each query in each doc from a
     * positional-postings relation: (query_id, doc_id, n_occurrences),
-    * only docs with ≥ 1 occurrence. ONE broadcast join of the
-    * positions against the phrase terms — a posting of phrase term i
-    * at pos p votes for a phrase start at p−i+1, and a start with all
-    * m votes is an occurrence (each i contributes at most one row per
-    * (doc, start), since pos is determined by them) — then one
-    * partial-aggregated rollup. Candidate volume is
-    * Σ_t df_pos(t) × phrase-slots(t): postings of non-phrase tokens
-    * never leave the semi-join the caller applies. */
-  private def phraseOccurrences(pp: DataFrame, pt: DataFrame): DataFrame =
-    pp.join(broadcast(pt), Seq("token"))
+    * only docs with ≥ 1 occurrence.
+    *
+    * RAREST-SLOT ANCHORING (the classic intersect-by-rarest move): a
+    * phrase occurrence must place each query's LEAST-FREQUENT slot
+    * token at start + i_rarest − 1, so candidate starts enumerate
+    * only from that token's occurrences — occ(rarest) × queries rows,
+    * not Σ_t occ(t) × queries. Each candidate start then expands to
+    * its m slot probes (start + i − 1, token_i) and verifies by ONE
+    * equi-join against the positions on (token, doc, pos): a start
+    * with all m probes present is an occurrence. A stopword slot
+    * ("the" in "the rare term") now costs its occurrence rows ONCE in
+    * the verify join's build side instead of once per query — the
+    * blowup class the 1M-doc soak measured at 143M vote rows before
+    * this shape. Worst case (every slot equally common) degrades to
+    * the same volume as slot-voting, never worse. */
+  private def phraseOccurrences(pp0: DataFrame, pt: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // severed once: the occurrence counts, the candidate starts, and
+    // the verify join all read the (workload-bounded) filtered
+    // positions — unsevered, each re-scans the full positional
+    // relation behind the caller's term filter
+    val pp = Checkpoints.sever(pp0)
+    val tocc = pp.groupBy(col("token")).agg(count(lit(1)).as("__tocc"))
+    // one rarest slot per query (ties: lowest i) — query-sized. LEFT
+    // join: a slot token absent from the corpus has occ 0 and must
+    // WIN the ranking, zeroing the query's candidate starts outright
+    val rarest = pt.join(broadcast(tocc), Seq("token"), "left")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(coalesce(col("__tocc"), lit(0L)).asc, col("i").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("token"), col("i").as("__ri"))
+    val starts = pp.join(broadcast(rarest), Seq("token"))
       .select(col("query_id"), col("doc_id"),
-        (col("pos") - col("i") + 1L).as("__start"), col("m"))
+        (col("pos") - col("__ri") + 1L).as("__start"))
       .filter(col("__start") >= 1L)
+    val probes = starts.join(broadcast(pt), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("__start"), col("m"),
+        (col("__start") + col("i") - 1L).as("pos"), col("token"))
+    probes.join(pp, Seq("token", "doc_id", "pos"))
       .groupBy(col("query_id"), col("doc_id"), col("__start"), col("m"))
       .agg(count(lit(1)).as("__nm"))
       .filter(col("__nm") === col("m"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
+  }
 
   /** Exact-phrase matching over a corpus: (query_id, doc_id,
     * n_occurrences) for every doc containing each query's text as a
@@ -481,10 +535,28 @@ object RetrievalOps {
     * join is a plain equi-join on (query, doc, bin) — never a range
     * join, never per-doc quadratic beyond the W-bounded fan-in), then
     * one distinct + two partial-aggregated rollups. */
-  private def proximityFromPositions(pp: DataFrame, qt: DataFrame,
+  private def proximityFromPositions(pp0: DataFrame, qt: DataFrame,
                                      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pp = Checkpoints.sever(pp0)
     val qm = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__m"))
-    val occ = pp.join(broadcast(qt), Seq("token"))
+    // rarest-doc prefilter (the phrase matcher's anchoring, applied to
+    // the candidate PAIR set): a matching doc must contain the query's
+    // least-frequent term, so the pair universe enumerates from that
+    // term's occurrences — occ(rarest) × queries — and the full
+    // window machinery runs only inside those pairs, bounded by the
+    // pairs' own occurrence counts instead of Σ_t occ(t) × queries
+    val tocc = pp.groupBy(col("token")).agg(count(lit(1)).as("__tocc"))
+    val rarest = qt.join(broadcast(tocc), Seq("token"), "left")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(coalesce(col("__tocc"), lit(0L)).asc, col("token").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("token"))
+    val pairs = pp.join(broadcast(rarest), Seq("token"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val occ = pp.join(pairs, Seq("doc_id"))
+      .join(broadcast(qt), Seq("query_id", "token"), "left_semi")
     val anchors = occ.select(col("query_id"), col("doc_id"),
         col("pos").as("__o")).distinct()
       .withColumn("__b", div(col("__o"), lit(w.toLong)))
@@ -533,9 +605,7 @@ object RetrievalOps {
     val matches = Checkpoints.sever(proximityFromPositions(
       pos.join(broadcast(terms), Seq("token"), "left_semi"), qt,
       windowTokens))
-    val scored = scoredContrib(cand, stats, qt)
-      .join(matches.select(col("query_id"), col("doc_id")),
-        Seq("query_id", "doc_id"))
+    val scored = scoredContribForPairs(cand, stats, qt, matches)
     topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_windows"))
@@ -577,9 +647,7 @@ object RetrievalOps {
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val matches = Checkpoints.sever(phraseOccurrences(
       pos.join(broadcast(terms), Seq("token"), "left_semi"), pt))
-    val scored = scoredContrib(cand, stats, qt)
-      .join(matches.select(col("query_id"), col("doc_id")),
-        Seq("query_id", "doc_id"))
+    val scored = scoredContribForPairs(cand, stats, qt, matches)
     topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_occurrences"))
@@ -900,9 +968,7 @@ object RetrievalOps {
     val pp = readStoredPositions(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*))
     val matches = Checkpoints.sever(phraseOccurrences(pp, pt))
-    val scored = scoredContrib(cand, stats, qt)
-      .join(matches.select(col("query_id"), col("doc_id")),
-        Seq("query_id", "doc_id"))
+    val scored = scoredContribForPairs(cand, stats, qt, matches)
     topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_occurrences"))
