@@ -973,4 +973,44 @@ object RetrievalOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_occurrences"))
   }
+
+  /** PROXIMITY forensics against the STORED positional index — output
+    * ≡ [[bm25ProximityTopK]] over the indexed corpus, no corpus text
+    * read anywhere (the [[phraseAgainstStoredIndex]] twin, relaxed to
+    * the any-order W-token window). */
+  def proximityAgainstStoredIndex(spark: SparkSession, path: String,
+                                  queries: DataFrame, queryIdCol: String,
+                                  queryTextCol: String, k: Int,
+                                  windowTokens: Int,
+                                  maxTerms: Int = 100000): DataFrame = {
+    require(windowTokens >= 1,
+      s"bm25: windowTokens must be >= 1, got $windowTokens")
+    val meta = readRetrievalIndexMeta(spark, path)
+    require(meta.hasPositions,
+      s"retrieval index at $path is bag-of-words only (built without " +
+        "withPositions) — proximity probes need the positional " +
+        "relation; rebuild via writeRetrievalIndex(..., " +
+        "withPositions = true)")
+    import spark.implicits._
+    val stats = Seq((meta.nDocs, meta.totalTokens,
+        1000L * meta.totalTokens / math.max(meta.nDocs, 1L)))
+      .toDF("n_docs", "total_tokens", "avgdl_milli")
+    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val terms = qt.select(col("token")).distinct()
+      .as[String].collect().sorted
+    require(terms.length <= maxTerms,
+      s"proximityAgainstStoredIndex: query workload has " +
+        s"${terms.length} distinct terms, past the $maxTerms " +
+        "literal-filter guard — shard the workload across probes")
+    val cand = readStoredPostings(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*))
+    val pp = readStoredPositions(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*))
+    val matches = Checkpoints.sever(
+      proximityFromPositions(pp, qt, windowTokens))
+    val scored = scoredContribForPairs(cand, stats, qt, matches)
+    topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_windows"))
+  }
 }

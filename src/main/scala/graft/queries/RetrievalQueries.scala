@@ -61,7 +61,13 @@ object RetrievalQueries {
     // catches it) — windows anchored at term occurrences, matched
     // through width-W position bins, never a range join
     GraftQuery("q_bm25_proximity", bm25ProximityQ,
-      Some(bm25ProximitySql), bench = true),
+      Some(bm25ProximitySql()), bench = true),
+    // proximity SERVED from the same positional artifact the stored
+    // phrase row maintains — one more probe over an index the round
+    // already oracle-gates through build/append/compact
+    GraftQuery("q_bm25_proximity_stored", bm25ProximityStoredQ,
+      Some(bm25ProximitySql(corpusWhere = "WHERE doc_id % 2 = 0")),
+      bench = true),
   )
 
   private val ProxWindow = 6
@@ -140,6 +146,13 @@ object RetrievalQueries {
   def bm25ProximityQ(spark: SparkSession, sfDir: String): DataFrame =
     RetrievalOps.bm25ProximityTopK(docs(spark, sfDir), "text", "doc_id",
       workload(spark, sfDir), "query_id", "query_text", BmK, ProxWindow)
+
+  def bm25ProximityStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    RetrievalOps.proximityAgainstStoredIndex(spark,
+      storedPhraseIdxDir(spark, sfDir, d),
+      workload(spark, sfDir), "query_id", "query_text", BmK, ProxWindow)
+  }
 
   /** The scoring CTE chain of the integer-exact BM25 oracle — the
     * Spark formulas verbatim in DuckDB arithmetic (`//` floor division
@@ -278,10 +291,10 @@ object RetrievalQueries {
     * handles the non-equi join natively — the Spark side's bin trick
     * is a cost move with identical semantics), count-distinct-terms
     * per window, then the shared scorer restricted to matching docs. */
-  private def bm25ProximitySql: String = {
+  private def bm25ProximitySql(corpusWhere: String = ""): String = {
     val toks = graft.pipeline.TextOps.tokensSql("text")
     s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id, text FROM documents $corpusWhere
        |), tok AS (
        |  SELECT doc_id, unnest($toks) AS token FROM corpus
        |), q AS (

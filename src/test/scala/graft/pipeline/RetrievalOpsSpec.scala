@@ -326,7 +326,22 @@ class RetrievalOpsSpec extends AnyFunSuite {
       dir, queriesDf(probeQs), "query_id", "query_text", 5))
     assert(bag == collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 15L),
       "text", "doc_id", queriesDf(probeQs), "query_id", "query_text", 5)))
-    // a bag-only index refuses the phrase probe, naming the rebuild
+    // proximity serves from the same artifact: ≡ the one-shot form
+    // over the indexed corpus (W wide enough to behave like an
+    // unordered filter here)
+    val proxOne = RetrievalOps.bm25ProximityTopK(corpusDf(0L to 15L),
+        "text", "doc_id", queriesDf(phraseQs), "query_id", "query_text",
+        5, windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val proxStored = RetrievalOps.proximityAgainstStoredIndex(spark,
+        dir, queriesDf(phraseQs), "query_id", "query_text", 5,
+        windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(proxStored == proxOne && proxOne.nonEmpty)
+    // a bag-only index refuses the phrase AND proximity probes,
+    // naming the rebuild
     val bagDir = tmp("bagonly")
     RetrievalOps.writeRetrievalIndex(corpusDf(0L to 5L), "text",
       "doc_id", bagDir)
@@ -335,6 +350,11 @@ class RetrievalOpsSpec extends AnyFunSuite {
         queriesDf(phraseQs), "query_id", "query_text", 5)
     }
     assert(e.getMessage.contains("withPositions"))
+    val e2 = intercept[IllegalArgumentException] {
+      RetrievalOps.proximityAgainstStoredIndex(spark, bagDir,
+        queriesDf(phraseQs), "query_id", "query_text", 5, 4)
+    }
+    assert(e2.getMessage.contains("withPositions"))
   }
 
   // ---- stored lifecycle ---------------------------------------------------

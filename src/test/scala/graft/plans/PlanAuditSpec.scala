@@ -42,7 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // through the same kernel)
       "q_bm25_topk", "q_bm25_stored", "q_bm25_anchors", "q_bm25_capped",
       "q_bm25_phrase", "q_bm25_phrase_stored", "q_bm25_proximity",
-      "q_bm25_maxscore")
+      "q_bm25_proximity_stored", "q_bm25_maxscore")
       // (q_cap_recall_compare / q_band_recall_compare once sat here for
       // their one-row denominator cross-join; the denominator is now a
       // collected literal, so their plans are BNLJ-free again)

@@ -494,6 +494,23 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     val m = graft.pipeline.LinkGraphOps.readHostGraphMeta(spark, index)
     assert(m.totalW === (s1 ++ s2 ++ s3).map(_._3).sum,
       "total weight must be the exactly-once sum")
+    assert(PipelineStreams.hostGraphCompactionFailures(index) === 0L,
+      "a healthy maintainer must report zero consecutive failures")
+  }
+
+  test("compaction-failure counter: consecutive failures count up, a " +
+    "success resets to zero, paths are isolated") {
+    val pA = "/tmp/graft_cfc_a"
+    val pB = "/tmp/graft_cfc_b"
+    assert(PipelineStreams.hostGraphCompactionFailures(pA) === 0L)
+    PipelineStreams.recordCompactionResult(pA, failed = true)
+    PipelineStreams.recordCompactionResult(pA, failed = true)
+    assert(PipelineStreams.hostGraphCompactionFailures(pA) === 2L)
+    assert(PipelineStreams.hostGraphCompactionFailures(pB) === 0L,
+      "another path's counter must be untouched")
+    PipelineStreams.recordCompactionResult(pA, failed = false)
+    assert(PipelineStreams.hostGraphCompactionFailures(pA) === 0L,
+      "a successful compaction check resets the streak")
   }
 
   test("crawl -> graph, end to end: landed .warc.gz files keep the " +
