@@ -146,9 +146,11 @@ object RetrievalOps {
     * over the full `cand`, so restricted scores equal the exact
     * scorer's for the same pairs bit for bit. */
   private def scoredContribForPairs(cand: DataFrame, stats: DataFrame,
-                                    qt: DataFrame,
-                                    pairs: DataFrame): DataFrame = {
-    val dfreq = cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+                                    qt: DataFrame, pairs: DataFrame,
+                                    dfreqOverride: Option[DataFrame] = None)
+      : DataFrame = {
+    val dfreq = dfreqOverride.getOrElse(
+      cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
     val n = col("n_docs")
     val idfRaw = div(lit(1000000L) * (lit(2L) * (n - col("__df")) + lit(1L)),
       lit(2L) * col("__df") + lit(1L))
@@ -216,10 +218,13 @@ object RetrievalOps {
     * ≤ dfCap × input-partitions rows per token, not the full posting
     * list. */
   private def truncatePerTerm(cand: DataFrame, stats: DataFrame,
-                              dfCap: Int): (DataFrame, DataFrame) = {
+                              dfCap: Int,
+                              dfreqOverride: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     require(dfCap >= 1, s"bm25: dfCapPerTerm must be >= 1, got $dfCap")
     import org.apache.spark.sql.expressions.Window
-    val dfreq = cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val dfreq = dfreqOverride.getOrElse(
+      cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
     val w = Window.partitionBy(col("token"))
       .orderBy(col("__tfm").desc, col("doc_id").asc)
     val kept = cand.crossJoin(broadcast(stats))
@@ -331,12 +336,14 @@ object RetrievalOps {
     * postings). Only the term-, query-, and candidate-sized relations
     * materialize. */
   private def maxScoreCore(cand: DataFrame, stats: DataFrame,
-                           qt: DataFrame, k: Int,
-                           dfSplit: Int): DataFrame = {
+                           qt: DataFrame, k: Int, dfSplit: Int,
+                           dfreqOverride: Option[DataFrame] = None,
+                           ubOverride: Option[DataFrame] = None)
+      : DataFrame = {
     require(k >= 1, s"bm25: k must be >= 1, got $k")
     require(dfSplit >= 1, s"bm25: dfSplit must be >= 1, got $dfSplit")
-    val dfreq = Checkpoints.sever(
-      cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
+    val dfreq = Checkpoints.sever(dfreqOverride.getOrElse(
+      cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))))
     val lowTerms = dfreq.filter(col("__df") <= dfSplit)
       .select(col("token"))
     val highTerms = dfreq.filter(col("__df") > dfSplit)
@@ -374,12 +381,18 @@ object RetrievalOps {
       div(lit(1000000L) * (lit(2L) * (n - col("__df")) + lit(1L)),
         lit(2L) * col("__df") + lit(1L)),
       lit(IdfCapMicro))
-    val ub = candHigh.crossJoin(broadcast(stats))
-      .groupBy(col("token")).agg(max(tfMicro).as("__maxtfm"))
-      .join(broadcast(dfreq), Seq("token"))
-      .crossJoin(broadcast(stats))
-      .select(col("token"), div(idfCapped * col("__maxtfm"),
-        lit(1000000L)).as("__ub"))
+    val ub = ubOverride match {
+      // stored term stats: an ADMISSIBLE (possibly looser) bound —
+      // less pruning in the worst case, identical output either way
+      case Some(u) => u.join(broadcast(highTerms), Seq("token"),
+        "left_semi")
+      case None => candHigh.crossJoin(broadcast(stats))
+        .groupBy(col("token")).agg(max(tfMicro).as("__maxtfm"))
+        .join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .select(col("token"), div(idfCapped * col("__maxtfm"),
+          lit(1000000L)).as("__ub"))
+    }
     val sHigh = qtHigh.join(broadcast(ub), Seq("token"))
       .groupBy(col("query_id"))
       .agg(sum(col("__ub")).as("__shigh"))
@@ -669,7 +682,8 @@ object RetrievalOps {
 
   private[graft] final case class RetrievalIndexMeta(
       epoch: Long, base: Long, nDocs: Long, totalTokens: Long,
-      lastBatchId: Long = -1L, hasPositions: Boolean = false)
+      lastBatchId: Long = -1L, hasPositions: Boolean = false,
+      hasTermstats: Boolean = false)
 
   private[graft] def postingsDir(path: String, epoch: Long): String =
     s"$path/postings/e$epoch"
@@ -680,25 +694,31 @@ object RetrievalOps {
   private[graft] def positionsDir(path: String, epoch: Long): String =
     s"$path/positions/e$epoch"
 
+  private[graft] def termstatsDir(path: String, epoch: Long): String =
+    s"$path/termstats/e$epoch"
+
   private[graft] def readRetrievalIndexMeta(
       spark: SparkSession, path: String): RetrievalIndexMeta = {
     val r = MetaIO.readMetaRow(spark, path, "retrieval index", "index")
+    def flag(name: String): Boolean =
+      r.schema.fieldNames.contains(name) && r.getAs[Boolean](name)
     RetrievalIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("base"),
       r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
       r.getAs[Long]("last_batch_id"),
-      // pre-positions metas simply lack the flag: bag-only index
-      hasPositions = r.schema.fieldNames.contains("has_positions") &&
-        r.getAs[Boolean]("has_positions"))
+      // pre-positions / pre-termstats metas simply lack the flags —
+      // probes fall back to deriving those relations from postings
+      hasPositions = flag("has_positions"),
+      hasTermstats = flag("has_termstats"))
   }
 
-  private def swapRetrievalMeta(spark: SparkSession, path: String,
-                                meta: RetrievalIndexMeta): Unit = {
+  private[graft] def swapRetrievalMeta(spark: SparkSession, path: String,
+                                       meta: RetrievalIndexMeta): Unit = {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "retrieval index",
       Seq((meta.epoch, meta.base, meta.nDocs, meta.totalTokens,
-          meta.lastBatchId, meta.hasPositions))
+          meta.lastBatchId, meta.hasPositions, meta.hasTermstats))
         .toDF("epoch", "base", "n_docs", "total_tokens", "last_batch_id",
-          "has_positions"))
+          "has_positions", "has_termstats"))
   }
 
   private def readStoredPostings(spark: SparkSession, path: String,
@@ -715,6 +735,34 @@ object RetrievalOps {
     spark.read.parquet(
       (meta.base to meta.epoch).map(positionsDir(path, _)): _*)
 
+  /** Per-epoch TERM STATS (token, df, max_tf, min_dl) derived from a
+    * just-written postings epoch — tiny (one row per distinct token)
+    * and MERGEABLE across epochs (the anti-join keeps each doc in
+    * exactly one epoch, so df sums; max_tf maxes; min_dl mins), which
+    * is what lets a probe answer "true df of these 500 terms" from a
+    * vocabulary-sized relation instead of a postings pass. max_tf and
+    * min_dl exist for the max-score mode's upper bound: tf_micro is
+    * increasing in tf and decreasing in dl, so tf_micro(max_tf,
+    * min_dl) ≥ every posting's tf_micro — ADMISSIBLE (possibly looser
+    * than the scanned max, never lower), which is all pruning needs. */
+  private def writeTermstats(spark: SparkSession, postings: DataFrame,
+                             dir: String): Unit =
+    postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** The term-stats window merged: (token, df, max_tf, min_dl) with
+    * the per-epoch rows folded by their merge ops. */
+  private def readStoredTermstats(spark: SparkSession, path: String,
+                                  meta: RetrievalIndexMeta): DataFrame =
+    spark.read.parquet(
+        (meta.base to meta.epoch).map(termstatsDir(path, _)): _*)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"),
+        min(col("min_dl")).as("min_dl"))
+
   /** Write one epoch's postings + docs (and, for a POSITIONAL index,
     * positions) relations from a doc slice; returns (docs added,
     * tokens added). Both posting-shaped relations sort within
@@ -724,7 +772,8 @@ object RetrievalOps {
     * roll up from the stored relation. */
   private def writeEpoch(df: DataFrame, textCol: String, idCol: String,
                          path: String, epoch: Long,
-                         withPositions: Boolean): (Long, Long) = {
+                         withPositions: Boolean,
+                         withTermstats: Boolean): (Long, Long) = {
     val spark = df.sparkSession
     if (withPositions) {
       positionalPostings(df, textCol, idCol)
@@ -744,6 +793,8 @@ object RetrievalOps {
         .write.mode("overwrite").parquet(postingsDir(path, epoch))
     }
     val stored = spark.read.parquet(postingsDir(path, epoch))
+    if (withTermstats)
+      writeTermstats(spark, stored, termstatsDir(path, epoch))
     val docRel = stored.select(col("doc_id"), col("dl"))
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
     docRel.select(col("doc_id"))
@@ -770,10 +821,15 @@ object RetrievalOps {
                                   idCol: String, path: String,
                                   lastBatchId: Long,
                                   withPositions: Boolean): Unit = {
-    val (n, t) = writeEpoch(df, textCol, idCol, path, 0L, withPositions)
+    // every NEW build carries term stats (vocabulary-sized — the
+    // serving modes' df/UB source); only pre-termstats artifacts lack
+    // them, and their probes fall back to postings passes
+    val (n, t) = writeEpoch(df, textCol, idCol, path, 0L, withPositions,
+      withTermstats = true)
     swapRetrievalMeta(df.sparkSession, path,
       RetrievalIndexMeta(epoch = 0L, base = 0L, nDocs = n, totalTokens = t,
-        lastBatchId = lastBatchId, hasPositions = withPositions))
+        lastBatchId = lastBatchId, hasPositions = withPositions,
+        hasTermstats = true))
   }
 
   /** Append a corpus segment — the daily maintenance move. Doc ids are
@@ -800,7 +856,7 @@ object RetrievalOps {
     val delta = df.join(storedIds, Seq(idCol), "left_anti")
     val next = meta.epoch + 1
     val (n, t) = writeEpoch(delta, textCol, idCol, path, next,
-      meta.hasPositions)
+      meta.hasPositions, meta.hasTermstats)
     swapRetrievalMeta(spark, path,
       meta.copy(epoch = next, nDocs = meta.nDocs + n,
         totalTokens = meta.totalTokens + t, lastBatchId = lastBatchId))
@@ -860,10 +916,16 @@ object RetrievalOps {
         .repartition(targetFiles)
         .sortWithinPartitions(col("token"))
         .write.mode("overwrite").parquet(positionsDir(path, next))
+    if (meta.hasTermstats)
+      // recompute from the compacted postings (self-healing, and the
+      // compaction scans them anyway) rather than folding the window
+      writeTermstats(spark, spark.read.parquet(postingsDir(path, next)),
+        termstatsDir(path, next))
     swapRetrievalMeta(spark, path, meta.copy(epoch = next, base = next))
     MetaIO.pruneEpochs(spark,
       Seq(s"$path/postings", s"$path/docs") ++
-        (if (meta.hasPositions) Seq(s"$path/positions") else Nil),
+        (if (meta.hasPositions) Seq(s"$path/positions") else Nil) ++
+        (if (meta.hasTermstats) Seq(s"$path/termstats") else Nil),
       superseded = meta.base)
   }
 
@@ -924,12 +986,35 @@ object RetrievalOps {
         "shard the workload across probes")
     val cand = readStoredPostings(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*))
+    // a termstats artifact answers "true df of these terms" (and the
+    // max-score upper bounds) from the vocabulary-sized relation —
+    // no df pass over the postings in ANY serving mode. Pre-termstats
+    // indexes fall back to deriving both from cand.
+    val ts = if (meta.hasTermstats)
+      Some(Checkpoints.sever(readStoredTermstats(spark, path, meta)
+        .filter(col("token").isin(terms.toSeq: _*))))
+    else None
+    val dfStore = ts.map(_.select(col("token"), col("df").as("__df")))
     (dfCapPerTerm, maxScoreSplit) match {
       case (Some(cap), _) =>
-        val (kept, dfreq) = truncatePerTerm(cand, stats, cap)
+        val (kept, dfreq) = truncatePerTerm(cand, stats, cap, dfStore)
         scoreTopK(kept, stats, qt, k, dfreqOverride = Some(dfreq))
-      case (_, Some(split)) => maxScoreCore(cand, stats, qt, k, split)
-      case _ => scoreTopK(cand, stats, qt, k)
+      case (_, Some(split)) =>
+        val ubStore = ts.map { t =>
+          val idfUb = least(
+            div(lit(1000000L) *
+              (lit(2L) * (col("n_docs") - col("df")) + lit(1L)),
+              lit(2L) * col("df") + lit(1L)),
+            lit(IdfCapMicro))
+          val tfmUb = div(lit(22000000L) * col("max_tf"),
+            lit(10L) * col("max_tf") + lit(3L) +
+              div(lit(9000L) * col("min_dl"), col("avgdl_milli")))
+          t.crossJoin(broadcast(stats))
+            .select(col("token"),
+              div(idfUb * tfmUb, lit(1000000L)).as("__ub"))
+        }
+        maxScoreCore(cand, stats, qt, k, split, dfStore, ubStore)
+      case _ => scoreTopK(cand, stats, qt, k, dfreqOverride = dfStore)
     }
   }
 
@@ -968,11 +1053,24 @@ object RetrievalOps {
     val pp = readStoredPositions(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*))
     val matches = Checkpoints.sever(phraseOccurrences(pp, pt))
-    val scored = scoredContribForPairs(cand, stats, qt, matches)
+    val scored = scoredContribForPairs(cand, stats, qt, matches,
+      storedDfreq(spark, path, meta, terms))
     topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_occurrences"))
   }
+
+  /** True df of a probe's terms from the termstats relation when the
+    * artifact carries one; None falls the caller back to a postings
+    * pass. */
+  private def storedDfreq(spark: SparkSession, path: String,
+                          meta: RetrievalIndexMeta,
+                          terms: Array[String]): Option[DataFrame] =
+    if (meta.hasTermstats)
+      Some(readStoredTermstats(spark, path, meta)
+        .filter(col("token").isin(terms.toSeq: _*))
+        .select(col("token"), col("df").as("__df")))
+    else None
 
   /** PROXIMITY forensics against the STORED positional index — output
     * ≡ [[bm25ProximityTopK]] over the indexed corpus, no corpus text
@@ -1008,7 +1106,8 @@ object RetrievalOps {
       .filter(col("token").isin(terms.toSeq: _*))
     val matches = Checkpoints.sever(
       proximityFromPositions(pp, qt, windowTokens))
-    val scored = scoredContribForPairs(cand, stats, qt, matches)
+    val scored = scoredContribForPairs(cand, stats, qt, matches,
+      storedDfreq(spark, path, meta, terms))
     topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_windows"))

@@ -70,6 +70,8 @@ object FleetQueries {
        |  ('retrieval_index', 'n_docs', (SELECT n_docs FROM rt)),
        |  ('retrieval_index', 'total_tokens', (SELECT tot FROM rt)),
        |  ('retrieval_index', 'last_batch_id', '-1'),
+       |  ('retrieval_index', 'has_positions', 'false'),
+       |  ('retrieval_index', 'has_termstats', 'true'),
        |  ('host_graph', 'epoch', '2'),
        |  ('host_graph', 'base', '2'),
        |  ('host_graph', 'row_count', (SELECT v FROM hg_rc)),

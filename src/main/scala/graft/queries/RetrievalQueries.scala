@@ -92,7 +92,7 @@ object RetrievalQueries {
     * only the file layout moves). */
   private[queries] def storedRetrievalIdxDir(spark: SparkSession, sfDir: String,
                                     d: DataFrame): String =
-    TextQueries.cachedArtifactDir("rt_idx_v1", sfDir,
+    TextQueries.cachedArtifactDir("rt_idx_v2", sfDir,
       d.filter(col("doc_id") % 2 === 0)) { dir =>
       RetrievalOps.writeRetrievalIndex(
         d.filter(col("doc_id") % 4 === 0), "text", "doc_id", dir)
@@ -126,7 +126,7 @@ object RetrievalQueries {
     * stays honest). */
   private def storedPhraseIdxDir(spark: SparkSession, sfDir: String,
                                  d: DataFrame): String =
-    TextQueries.cachedArtifactDir("rtp_idx_v1", sfDir,
+    TextQueries.cachedArtifactDir("rtp_idx_v2", sfDir,
       d.filter(col("doc_id") % 2 === 0)) { dir =>
       RetrievalOps.writeRetrievalIndex(
         d.filter(col("doc_id") % 4 === 0), "text", "doc_id", dir,

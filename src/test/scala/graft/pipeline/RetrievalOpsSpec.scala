@@ -283,6 +283,52 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out(4L)._1 == 1L, s"doc 4 must rank first: $out")
   }
 
+  test("TERMSTATS artifact: new builds carry the merged (df, max_tf, " +
+    "min_dl) relation; every serving mode answers df from it; a " +
+    "flag-off (pre-termstats) meta falls back to the postings pass " +
+    "with identical output; compaction maintains it") {
+    val dir = tmp("tstats")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 9L), "text",
+      "doc_id", dir)
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(10L to 15L),
+      "text", "doc_id")
+    val meta = RetrievalOps.readRetrievalIndexMeta(spark, dir)
+    assert(meta.hasTermstats)
+    // window-merged df equals the corpus truth ("common" is in all 16
+    // docs, twice each: df counts DOCS, max_tf sees the 2)
+    val ts = spark.read.parquet((meta.base to meta.epoch)
+        .map(RetrievalOps.termstatsDir(dir, _)): _*)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), max(col("max_tf")).as("mtf"))
+      .filter(col("token") === "common").collect()(0)
+    assert(ts.getLong(1) == 16L && ts.getLong(2) == 2L)
+    val oneShot = collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 15L),
+      "text", "doc_id", queriesDf(probeQs), "query_id", "query_text", 5))
+    def probeAll(): Unit = {
+      assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(probeQs), "query_id", "query_text", 5)) == oneShot)
+      assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(probeQs), "query_id", "query_text", 5,
+        dfCapPerTerm = Some(1000))) == oneShot)
+      assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(probeQs), "query_id", "query_text", 5,
+        maxScoreSplit = Some(3))) == oneShot)
+    }
+    probeAll()
+    // legacy fallback: a pre-termstats artifact (flag off) serves the
+    // same answers through the postings pass
+    RetrievalOps.swapRetrievalMeta(spark, dir,
+      meta.copy(hasTermstats = false))
+    probeAll()
+    RetrievalOps.swapRetrievalMeta(spark, dir, meta)
+    // compaction rewrites the relation for the new epoch
+    RetrievalOps.compactRetrievalIndex(spark, dir)
+    val m2 = RetrievalOps.readRetrievalIndexMeta(spark, dir)
+    assert(m2.hasTermstats && new java.io.File(
+      RetrievalOps.termstatsDir(dir, m2.epoch)).exists())
+    probeAll()
+  }
+
   test("POSITIONAL stored index: phrase probe ≡ one-shot phrase over " +
     "the indexed corpus through build + append + re-drop + compact; a " +
     "bag-only index refuses the phrase probe loudly") {
