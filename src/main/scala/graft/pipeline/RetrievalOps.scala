@@ -338,7 +338,8 @@ object RetrievalOps {
   private def maxScoreCore(cand: DataFrame, stats: DataFrame,
                            qt: DataFrame, k: Int, dfSplit: Int,
                            dfreqOverride: Option[DataFrame] = None,
-                           ubOverride: Option[DataFrame] = None)
+                           ubOverride: Option[DataFrame] = None,
+                           blockOpt: Option[(DataFrame, Long)] = None)
       : DataFrame = {
     require(k >= 1, s"bm25: k must be >= 1, got $k")
     require(dfSplit >= 1, s"bm25: dfSplit must be >= 1, got $dfSplit")
@@ -414,8 +415,21 @@ object RetrievalOps {
       .select(col("query_id"))
     val qtFall = qt.join(broadcast(fallbackQ), Seq("query_id"),
       "left_semi")
-    val fallScored = scoredContrib(cand, stats, qtFall,
-      dfreqOverride = Some(dfreq))
+    // the fallback lane: without block stats these queries pay the
+    // exact scorer; with them, the block-max lane prunes whole doc
+    // blocks below a seeded threshold and scores only the survivors —
+    // still exact output, bounded cost on the all-common-token
+    // workloads where the per-term θ test above cannot prune
+    val fallScored = blockOpt match {
+      case Some((blockUb, blockCount)) =>
+        val thetaFall = qMeta
+          .filter(col("__shigh") >= col("__theta"))
+          .select(col("query_id"), col("__theta").as("__theta1"))
+        blockMaxFallback(cand, stats, qtFall, thetaFall, k, dfreq,
+          blockUb, blockCount)
+      case None => scoredContrib(cand, stats, qtFall,
+        dfreqOverride = Some(dfreq))
+    }
 
     // prunable lane: phase-1 docs within reach, then phase 2 adds the
     // high-term contributions for those candidates ONLY — postings
@@ -437,6 +451,67 @@ object RetrievalOps {
       .select(col("query_id"), col("doc_id"),
         (col("__s1") + coalesce(col("__sh"), lit(0L))).as("score_micro"))
     topKOf(fallScored.unionByName(prunedScored), k)
+  }
+
+  /** The BLOCK-MAX lane for the max-score fallback queries — exact
+    * output at block-pruned cost (Ding & Suel 2011's block-max WAND
+    * idea, re-expressed as three bulk joins):
+    *
+    * 1. SEED a per-query threshold θ: score each term's `seedCap`
+    *    highest-contribution postings (the capped mode's truncation)
+    *    with the TRUE df. Partial sums never exceed true scores, so
+    *    the seed's k-th score — and the caller's phase-1 θ, whichever
+    *    is greater — is a valid lower bound on the true k-th score.
+    * 2. PRUNE blocks: QB(q, b) = Σ over q's terms present in block b
+    *    of that cell's upper bound ([[writeBlockstats]]); every
+    *    posting of a doc shares one block ([[blkOf]]), so a doc's true
+    *    score ≤ QB(q, its block), and blocks with QB < θ drop whole.
+    *    A top-k doc's block always survives (QB ≥ its true score ≥
+    *    true k-th ≥ θ), so survivors are complete.
+    * 3. SCORE survivors exactly (true df) — all-or-nothing per
+    *    (query, doc) by construction, so the scores are the exact
+    *    scorer's bit for bit.
+    *
+    * Graceful degradation: a query with < k seed candidates keeps
+    * θ = −∞ and every block survives — the exact scorer's cost, never
+    * worse than the pre-block-max fallback. */
+  private def blockMaxFallback(cand: DataFrame, stats: DataFrame,
+                               qtFall: DataFrame, thetaFall: DataFrame,
+                               k: Int, dfreq: DataFrame,
+                               blockUb: DataFrame, blockCount: Long)
+      : DataFrame = {
+    val seedCap = math.max(256, 8 * k)
+    val (kept, _) = truncatePerTerm(cand, stats, seedCap,
+      dfreqOverride = Some(dfreq))
+    val seed = scoredContrib(kept, stats, qtFall,
+      dfreqOverride = Some(dfreq))
+    val kth = topKOf(seed, k)
+      .groupBy(col("query_id"))
+      .agg(max(col("rank")).as("__nr"), min(col("score_micro")).as("__kth"))
+    val theta = Checkpoints.sever(thetaFall
+      .join(kth, Seq("query_id"), "left")
+      .select(col("query_id"),
+        greatest(col("__theta1"),
+          when(col("__nr") === k, col("__kth"))
+            .otherwise(lit(Long.MinValue))).as("__bth")))
+    val qb = blockUb.join(broadcast(qtFall), Seq("token"))
+      .groupBy(col("query_id"), col("blk"))
+      .agg(sum(col("__bub")).as("__qb"))
+    val sv = qb.join(broadcast(theta), Seq("query_id"))
+      .filter(col("__qb") >= col("__bth"))
+      .select(col("query_id"), col("blk"))
+    val survPost = cand.withColumn("blk", blkOf(blockCount))
+      .join(sv, Seq("blk"))
+      .join(broadcast(qtFall), Seq("query_id", "token"), "left_semi")
+    val n = col("n_docs")
+    val idfRaw = div(lit(1000000L) * (lit(2L) * (n - col("__df")) + lit(1L)),
+      lit(2L) * col("__df") + lit(1L))
+    val contrib = div(least(idfRaw, lit(IdfCapMicro)) * tfMicro,
+      lit(1000000L))
+    survPost.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score_micro"))
   }
 
   // ---- positional postings / phrase retrieval -----------------------------
@@ -550,45 +625,44 @@ object RetrievalOps {
     * one distinct + two partial-aggregated rollups. */
   private def proximityFromPositions(pp0: DataFrame, qt: DataFrame,
                                      w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pp = Checkpoints.sever(pp0)
+    val pp = pp0
     val qm = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__m"))
-    // rarest-doc prefilter (the phrase matcher's anchoring, applied to
-    // the candidate PAIR set): a matching doc must contain the query's
-    // least-frequent term, so the pair universe enumerates from that
-    // term's occurrences — occ(rarest) × queries — and the full
-    // window machinery runs only inside those pairs, bounded by the
-    // pairs' own occurrence counts instead of Σ_t occ(t) × queries
-    val tocc = pp.groupBy(col("token")).agg(count(lit(1)).as("__tocc"))
-    val rarest = qt.join(broadcast(tocc), Seq("token"), "left")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(coalesce(col("__tocc"), lit(0L)).asc, col("token").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("query_id"), col("token"))
-    val pairs = pp.join(broadcast(rarest), Seq("token"))
-      .select(col("query_id"), col("doc_id")).distinct()
-    val occ = pp.join(pairs, Seq("doc_id"))
-      .join(broadcast(qt), Seq("query_id", "token"), "left_semi")
-    val anchors = occ.select(col("query_id"), col("doc_id"),
-        col("pos").as("__o")).distinct()
-      .withColumn("__b", div(col("__o"), lit(w.toLong)))
-    val members = occ
-      .withColumn("__b", explode(array(div(col("pos"), lit(w.toLong)),
-        div(col("pos"), lit(w.toLong)) - 1)))
-      .select(col("query_id"), col("doc_id"), col("__b"), col("token"),
-        col("pos"))
-    anchors.join(members, Seq("query_id", "doc_id", "__b"))
-      .filter(col("pos") >= col("__o") &&
-        col("pos") <= col("__o") + (w - 1))
-      .select(col("query_id"), col("doc_id"), col("__o"), col("token"))
-      .distinct()
-      .groupBy(col("query_id"), col("doc_id"), col("__o"))
-      .agg(count(lit(1)).as("__nt"))
-      .join(broadcast(qm), Seq("query_id"))
-      .filter(col("__nt") === col("__m"))
+    // ONE-SHUFFLE shape: every (query, doc) co-occurrence row — the
+    // term-filtered positions joined MAP-SIDE to the broadcast query
+    // terms — groups straight into a per-pair occurrence list, and
+    // both the all-terms intersection test and the window count run
+    // over that list with array functions. No anchors×members join,
+    // no distincts, no pair-prefilter passes: an earlier cut met
+    // anchors and members through width-W position bins and, with
+    // stopword-like workloads (every doc a candidate, ~10 query-term
+    // occurrences each), fanned 4.5M occurrence rows into ~45M joined
+    // rows plus two distinct shuffles — the 30 s sf0.1 row; a second
+    // cut pre-filtered pairs by bag intersection but paid three
+    // shuffles where this pays one. Per-pair state is the doc's
+    // MATCHED occurrences only (bounded by its length — the tokenizer
+    // seam's own per-doc-array regime); per-pair cost is
+    // O(anchors × occurrences), both factors window-workload-bounded.
+    val grouped = pp.join(broadcast(qt), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"))
+      .agg(collect_list(struct(col("pos"), col("token"))).as("__occ"))
+      .join(broadcast(qm), Seq("query_id"))
+    // the window count per pair — a codegen'd kernel
+    // ([[graft.functions.ProximityWindows]]: sort once, two-pointer
+    // sweep, stamp-array distinct count; folds the all-terms bag
+    // intersection in, since fewer than m distinct tokens in the list
+    // can match no window). The composable HOF form paid a lambda
+    // frame and two array allocations per anchor — the row's dominant
+    // cost on stopword workloads.
+    grouped
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.ProximityWindows.windows(
+          col("__occ"), col("__m"), w).as("n_windows"))
+      // barrier-pinned: unpinned, the predicate substitutes the kernel
+      // into the broadcast join's CONDITION (evaluated once per joined
+      // row, plus again in the project — and the condition eval knocks
+      // the stage out of whole-stage codegen; measured 1.5 s → 8 s on
+      // the sf0.1 row)
+      .filter(graft.functions.Barrier.pin(col("n_windows")) > 0L)
   }
 
   /** PROXIMITY-FILTERED ranked retrieval: BM25 top-`k` over the
@@ -683,7 +757,7 @@ object RetrievalOps {
   private[graft] final case class RetrievalIndexMeta(
       epoch: Long, base: Long, nDocs: Long, totalTokens: Long,
       lastBatchId: Long = -1L, hasPositions: Boolean = false,
-      hasTermstats: Boolean = false)
+      hasTermstats: Boolean = false, blockCount: Long = 0L)
 
   private[graft] def postingsDir(path: String, epoch: Long): String =
     s"$path/postings/e$epoch"
@@ -697,6 +771,27 @@ object RetrievalOps {
   private[graft] def termstatsDir(path: String, epoch: Long): String =
     s"$path/termstats/e$epoch"
 
+  private[graft] def blockstatsDir(path: String, epoch: Long): String =
+    s"$path/blockstats/e$epoch"
+
+  /** Block-count sizing: ~64 docs per block (Ding & Suel 2011's
+    * block-max granularity, in doc-hash-partition form), clamped so
+    * tiny corpora still get ≥ 1 block and the per-term block-stats
+    * relation never exceeds 2²⁰ rows per token. Re-picked at
+    * compaction from the corpus counter, FIXED between compactions —
+    * the modulus must be constant across a window for the per-epoch
+    * stats to merge. */
+  private[graft] def blockCountFor(nDocs: Long): Long =
+    math.max(1L, math.min(1L << 20, nDocs / 64L))
+
+  /** The block a doc's postings belong to — a hash partition of the
+    * doc-id space, so it is COMPUTABLE AT PROBE TIME from the posting
+    * row (no schema change to the stored postings) and every posting
+    * of one doc lands in one block (the all-or-nothing property the
+    * pruning proof needs). */
+  private def blkOf(blockCount: Long): Column =
+    pmod(xxhash64(col("doc_id")), lit(blockCount))
+
   private[graft] def readRetrievalIndexMeta(
       spark: SparkSession, path: String): RetrievalIndexMeta = {
     val r = MetaIO.readMetaRow(spark, path, "retrieval index", "index")
@@ -705,10 +800,13 @@ object RetrievalOps {
     RetrievalIndexMeta(r.getAs[Long]("epoch"), r.getAs[Long]("base"),
       r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
       r.getAs[Long]("last_batch_id"),
-      // pre-positions / pre-termstats metas simply lack the flags —
-      // probes fall back to deriving those relations from postings
+      // pre-positions / pre-termstats / pre-blockstats metas simply
+      // lack the fields — probes fall back to deriving those relations
+      // from postings (or, for block-max, to the unpruned lane)
       hasPositions = flag("has_positions"),
-      hasTermstats = flag("has_termstats"))
+      hasTermstats = flag("has_termstats"),
+      blockCount = if (r.schema.fieldNames.contains("block_count"))
+        r.getAs[Long]("block_count") else 0L)
   }
 
   private[graft] def swapRetrievalMeta(spark: SparkSession, path: String,
@@ -716,9 +814,10 @@ object RetrievalOps {
     import spark.implicits._
     MetaIO.swapMetaRow(spark, path, "retrieval index",
       Seq((meta.epoch, meta.base, meta.nDocs, meta.totalTokens,
-          meta.lastBatchId, meta.hasPositions, meta.hasTermstats))
+          meta.lastBatchId, meta.hasPositions, meta.hasTermstats,
+          meta.blockCount))
         .toDF("epoch", "base", "n_docs", "total_tokens", "last_batch_id",
-          "has_positions", "has_termstats"))
+          "has_positions", "has_termstats", "block_count"))
   }
 
   private def readStoredPostings(spark: SparkSession, path: String,
@@ -763,6 +862,31 @@ object RetrievalOps {
       .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"),
         min(col("min_dl")).as("min_dl"))
 
+  /** Per-epoch BLOCK STATS (token, blk, max_tf, min_dl) — the
+    * block-max relation of Ding & Suel ("Faster top-k document
+    * retrieval using block-max indexes", SIGIR 2011), with blocks as
+    * hash partitions of the doc-id space ([[blkOf]]) instead of
+    * posting-list segments, so no stored column is needed and every
+    * doc's postings share one block across ALL its terms. tf_micro is
+    * increasing in tf and decreasing in dl, so tf_micro(max_tf,
+    * min_dl) bounds every posting of the (token, blk) cell —
+    * ADMISSIBLE, which is all the pruning needs. Mergeable across
+    * epochs (same modulus within a window; max maxes, min mins). */
+  private def writeBlockstats(postings: DataFrame, dir: String,
+                              blockCount: Long): Unit =
+    postings.groupBy(col("token"), blkOf(blockCount).as("blk"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+      .sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** The block-stats window merged: (token, blk, max_tf, min_dl). */
+  private def readStoredBlockstats(spark: SparkSession, path: String,
+                                   meta: RetrievalIndexMeta): DataFrame =
+    spark.read.parquet(
+        (meta.base to meta.epoch).map(blockstatsDir(path, _)): _*)
+      .groupBy(col("token"), col("blk"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+
   /** Write one epoch's postings + docs (and, for a POSITIONAL index,
     * positions) relations from a doc slice; returns (docs added,
     * tokens added). Both posting-shaped relations sort within
@@ -773,7 +897,8 @@ object RetrievalOps {
   private def writeEpoch(df: DataFrame, textCol: String, idCol: String,
                          path: String, epoch: Long,
                          withPositions: Boolean,
-                         withTermstats: Boolean): (Long, Long) = {
+                         withTermstats: Boolean,
+                         blockCount: Long): (Long, Long) = {
     val spark = df.sparkSession
     if (withPositions) {
       positionalPostings(df, textCol, idCol)
@@ -795,6 +920,8 @@ object RetrievalOps {
     val stored = spark.read.parquet(postingsDir(path, epoch))
     if (withTermstats)
       writeTermstats(spark, stored, termstatsDir(path, epoch))
+    if (blockCount > 0L)
+      writeBlockstats(stored, blockstatsDir(path, epoch), blockCount)
     val docRel = stored.select(col("doc_id"), col("dl"))
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
     docRel.select(col("doc_id"))
@@ -822,14 +949,22 @@ object RetrievalOps {
                                   lastBatchId: Long,
                                   withPositions: Boolean): Unit = {
     // every NEW build carries term stats (vocabulary-sized — the
-    // serving modes' df/UB source); only pre-termstats artifacts lack
-    // them, and their probes fall back to postings passes
+    // serving modes' df/UB source) AND block stats (the max-score
+    // mode's block-max pruning relation); only pre-upgrade artifacts
+    // lack them, and their probes fall back to postings passes / the
+    // unpruned lane. The block modulus is sized from THIS epoch's doc
+    // count and re-picked at every compaction; blockstats for epoch 0
+    // write after the doc counter lands (the modulus needs it), one
+    // extra columnar pass over the just-written postings.
     val (n, t) = writeEpoch(df, textCol, idCol, path, 0L, withPositions,
-      withTermstats = true)
+      withTermstats = true, blockCount = 0L)
+    val bc = blockCountFor(n)
+    writeBlockstats(df.sparkSession.read.parquet(postingsDir(path, 0L)),
+      blockstatsDir(path, 0L), bc)
     swapRetrievalMeta(df.sparkSession, path,
       RetrievalIndexMeta(epoch = 0L, base = 0L, nDocs = n, totalTokens = t,
         lastBatchId = lastBatchId, hasPositions = withPositions,
-        hasTermstats = true))
+        hasTermstats = true, blockCount = bc))
   }
 
   /** Append a corpus segment — the daily maintenance move. Doc ids are
@@ -856,7 +991,7 @@ object RetrievalOps {
     val delta = df.join(storedIds, Seq(idCol), "left_anti")
     val next = meta.epoch + 1
     val (n, t) = writeEpoch(delta, textCol, idCol, path, next,
-      meta.hasPositions, meta.hasTermstats)
+      meta.hasPositions, meta.hasTermstats, meta.blockCount)
     swapRetrievalMeta(spark, path,
       meta.copy(epoch = next, nDocs = meta.nDocs + n,
         totalTokens = meta.totalTokens + t, lastBatchId = lastBatchId))
@@ -921,11 +1056,22 @@ object RetrievalOps {
       // compaction scans them anyway) rather than folding the window
       writeTermstats(spark, spark.read.parquet(postingsDir(path, next)),
         termstatsDir(path, next))
-    swapRetrievalMeta(spark, path, meta.copy(epoch = next, base = next))
+    // compaction is the one safe point to RE-PICK the block modulus
+    // (it rewrites every block-stats row anyway, and between
+    // compactions the modulus must stay constant for epoch merges) —
+    // so a corpus that grew far past its build size gets its ~64-docs-
+    // per-block granularity back here
+    val bc = if (meta.blockCount > 0L) blockCountFor(meta.nDocs) else 0L
+    if (bc > 0L)
+      writeBlockstats(spark.read.parquet(postingsDir(path, next)),
+        blockstatsDir(path, next), bc)
+    swapRetrievalMeta(spark, path,
+      meta.copy(epoch = next, base = next, blockCount = bc))
     MetaIO.pruneEpochs(spark,
       Seq(s"$path/postings", s"$path/docs") ++
         (if (meta.hasPositions) Seq(s"$path/positions") else Nil) ++
-        (if (meta.hasTermstats) Seq(s"$path/termstats") else Nil),
+        (if (meta.hasTermstats) Seq(s"$path/termstats") else Nil) ++
+        (if (meta.blockCount > 0L) Seq(s"$path/blockstats") else Nil),
       superseded = meta.base)
   }
 
@@ -941,6 +1087,35 @@ object RetrievalOps {
       compactRetrievalIndex(spark, path)
       true
     } else false
+  }
+
+  /** UPGRADE a pre-termstats / pre-blockstats artifact IN PLACE: one
+    * columnar pass per window epoch over its stored postings writes the
+    * missing termstats and blockstats relations, then the meta swap
+    * arms the fast serving paths — so an old index stops paying the
+    * fallback df pass forever without a rebuild. Postings, positions
+    * and docs are untouched: probe OUTPUT is identical before and
+    * after (the stats only change where df and the pruning bounds come
+    * from — spec-pinned upgraded ≡ rebuilt). Returns whether anything
+    * was written (an already-upgraded artifact is a no-op). A torn
+    * upgrade is safe: the new dirs sit unreferenced until the meta
+    * swap, and the retry overwrites them wholesale. The block modulus
+    * is picked from the CURRENT corpus counter (the compaction rule;
+    * appends keep it until the next compaction re-picks). */
+  def upgradeRetrievalIndex(spark: SparkSession, path: String): Boolean = {
+    val meta = readRetrievalIndexMeta(spark, path)
+    val needTs = !meta.hasTermstats
+    val needBs = meta.blockCount == 0L
+    if (!needTs && !needBs) return false
+    val bc = if (needBs) blockCountFor(meta.nDocs) else meta.blockCount
+    (meta.base to meta.epoch).foreach { e =>
+      val post = spark.read.parquet(postingsDir(path, e))
+      if (needTs) writeTermstats(spark, post, termstatsDir(path, e))
+      if (needBs) writeBlockstats(post, blockstatsDir(path, e), bc)
+    }
+    swapRetrievalMeta(spark, path,
+      meta.copy(hasTermstats = true, blockCount = bc))
+    true
   }
 
   /** Ranked retrieval against the STORED index — the serving path.
@@ -1013,7 +1188,31 @@ object RetrievalOps {
             .select(col("token"),
               div(idfUb * tfmUb, lit(1000000L)).as("__ub"))
         }
-        maxScoreCore(cand, stats, qt, k, split, dfStore, ubStore)
+        // a block-stats artifact arms the fallback lane's block-max
+        // pruning: per-(token, block) upper bounds from the stored
+        // cell maxima, idf from the termstats df — the relation is
+        // (probed terms × their blocks)-sized and severed once
+        val blockOpt = ts match {
+          case Some(t) if meta.blockCount > 0L =>
+            val idfUb = least(
+              div(lit(1000000L) *
+                (lit(2L) * (col("n_docs") - col("df")) + lit(1L)),
+                lit(2L) * col("df") + lit(1L)),
+              lit(IdfCapMicro))
+            val tfmUb = div(lit(22000000L) * col("max_tf"),
+              lit(10L) * col("max_tf") + lit(3L) +
+                div(lit(9000L) * col("min_dl"), col("avgdl_milli")))
+            val bub = readStoredBlockstats(spark, path, meta)
+              .filter(col("token").isin(terms.toSeq: _*))
+              .join(broadcast(t.select(col("token"), col("df"))),
+                Seq("token"))
+              .crossJoin(broadcast(stats))
+              .select(col("token"), col("blk"),
+                div(idfUb * tfmUb, lit(1000000L)).as("__bub"))
+            Some((Checkpoints.sever(bub), meta.blockCount))
+          case _ => None
+        }
+        maxScoreCore(cand, stats, qt, k, split, dfStore, ubStore, blockOpt)
       case _ => scoreTopK(cand, stats, qt, k, dfreqOverride = dfStore)
     }
   }

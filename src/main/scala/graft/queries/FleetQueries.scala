@@ -33,7 +33,9 @@ object FleetQueries {
     * write(e0)→append(e1)→compact(e2, re-based) lifecycle both cached
     * artifacts share, the counters from the even-id corpus slice they
     * index (distinct digests for the digest index; doc/token counts
-    * for the retrieval index), the geometry from the builders'
+    * for the retrieval index; the block-max modulus re-picked at the
+    * compaction from the even-half doc count — RetrievalOps
+    * .blockCountFor verbatim), the geometry from the builders'
     * defaults. */
   def fleetHealthSql: String = {
     val toks = graft.pipeline.TextOps.tokensSql("text")
@@ -72,6 +74,9 @@ object FleetQueries {
        |  ('retrieval_index', 'last_batch_id', '-1'),
        |  ('retrieval_index', 'has_positions', 'false'),
        |  ('retrieval_index', 'has_termstats', 'true'),
+       |  ('retrieval_index', 'block_count',
+       |    (SELECT CAST(greatest(1, least(1048576,
+       |       CAST(count(*) AS BIGINT) // 64)) AS VARCHAR) FROM even)),
        |  ('host_graph', 'epoch', '2'),
        |  ('host_graph', 'base', '2'),
        |  ('host_graph', 'row_count', (SELECT v FROM hg_rc)),

@@ -45,6 +45,14 @@ object RetrievalQueries {
     // because pruning is a cost move, never a semantics move
     GraftQuery("q_bm25_maxscore", bm25MaxScoreQ, Some(bm25Sql()),
       bench = true),
+    // the STORED max-score probe — same exactness contract, and on a
+    // block-stats artifact the fallback lane (all-common-token
+    // queries, where the per-term θ test cannot prune) goes through
+    // BLOCK-MAX pruning: whole doc blocks below a seeded threshold
+    // drop before scoring. The oracle is STILL the exact scorer's SQL
+    // over the indexed half — block-max is a cost move only
+    GraftQuery("q_bm25_blockmax", bm25BlockMaxQ,
+      Some(bm25Sql(corpusWhere = "WHERE doc_id % 2 = 0")), bench = true),
     // phrase forensics: BM25 restricted to docs containing the query
     // text as a CONSECUTIVE token run, occurrence counts attached
     GraftQuery("q_bm25_phrase", bm25PhraseQ, Some(bm25PhraseSql()),
@@ -92,7 +100,7 @@ object RetrievalQueries {
     * only the file layout moves). */
   private[queries] def storedRetrievalIdxDir(spark: SparkSession, sfDir: String,
                                     d: DataFrame): String =
-    TextQueries.cachedArtifactDir("rt_idx_v2", sfDir,
+    TextQueries.cachedArtifactDir("rt_idx_v3", sfDir,
       d.filter(col("doc_id") % 2 === 0)) { dir =>
       RetrievalOps.writeRetrievalIndex(
         d.filter(col("doc_id") % 4 === 0), "text", "doc_id", dir)
@@ -116,6 +124,14 @@ object RetrievalQueries {
     RetrievalOps.bm25TopKMaxScore(docs(spark, sfDir), "text", "doc_id",
       workload(spark, sfDir), "query_id", "query_text", BmK, CapDf)
 
+  def bm25BlockMaxQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    RetrievalOps.bm25AgainstStoredIndex(spark,
+      storedRetrievalIdxDir(spark, sfDir, d),
+      workload(spark, sfDir), "query_id", "query_text", BmK,
+      maxScoreSplit = Some(CapDf))
+  }
+
   def bm25PhraseQ(spark: SparkSession, sfDir: String): DataFrame =
     RetrievalOps.bm25PhraseTopK(docs(spark, sfDir), "text", "doc_id",
       workload(spark, sfDir), "query_id", "query_text", BmK)
@@ -126,7 +142,7 @@ object RetrievalQueries {
     * stays honest). */
   private def storedPhraseIdxDir(spark: SparkSession, sfDir: String,
                                  d: DataFrame): String =
-    TextQueries.cachedArtifactDir("rtp_idx_v2", sfDir,
+    TextQueries.cachedArtifactDir("rtp_idx_v3", sfDir,
       d.filter(col("doc_id") % 2 === 0)) { dir =>
       RetrievalOps.writeRetrievalIndex(
         d.filter(col("doc_id") % 4 === 0), "text", "doc_id", dir,

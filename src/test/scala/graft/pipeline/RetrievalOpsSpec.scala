@@ -551,4 +551,131 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("shard the workload"))
   }
+
+  test("BLOCK-MAX artifact: new builds carry (token, blk, max_tf, " +
+    "min_dl); the stored max-score probe ≡ the exact probe on EVERY " +
+    "workload — including all-common-token queries, where the fallback " +
+    "lane's block pruning fires — across k and dfSplit; compaction " +
+    "re-picks the modulus; a pre-blockstats meta takes the unpruned " +
+    "lane with identical output") {
+    val dir = tmp("blockmax")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 599L), "text",
+      "doc_id", dir)
+    val meta = RetrievalOps.readRetrievalIndexMeta(spark, dir)
+    assert(meta.blockCount == RetrievalOps.blockCountFor(600L) &&
+      meta.blockCount > 1L)
+    assert(new java.io.File(
+      RetrievalOps.blockstatsDir(dir, meta.epoch)).exists())
+    // all-common workload (every term df > any split → pure fallback
+    // lane) + a discriminative one + a missing-term one
+    val qs = Seq((1L, "common mid0 mid1"), (2L, "common common"),
+      (3L, "rare5 common"), (4L, "absent common"), (5L, "mid2"))
+    for (k <- Seq(1, 3, 50); split <- Seq(1, 3, 1000)) {
+      val exact = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+        dir, queriesDf(qs), "query_id", "query_text", k))
+      val bm = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+        dir, queriesDf(qs), "query_id", "query_text", k,
+        maxScoreSplit = Some(split)))
+      assert(bm == exact, s"k=$k split=$split")
+    }
+    // append keeps the modulus; compaction re-picks it from the corpus
+    // counter — probes identical throughout
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(600L to 699L),
+      "text", "doc_id")
+    assert(RetrievalOps.readRetrievalIndexMeta(spark, dir).blockCount ==
+      meta.blockCount)
+    val before = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+      dir, queriesDf(qs), "query_id", "query_text", 5,
+      maxScoreSplit = Some(3)))
+    RetrievalOps.compactRetrievalIndex(spark, dir)
+    val m2 = RetrievalOps.readRetrievalIndexMeta(spark, dir)
+    assert(m2.blockCount == RetrievalOps.blockCountFor(700L))
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+      queriesDf(qs), "query_id", "query_text", 5,
+      maxScoreSplit = Some(3))) == before)
+    // pre-blockstats meta (modulus 0): the fallback lane reverts to
+    // the exact plan — same answers
+    RetrievalOps.swapRetrievalMeta(spark, dir, m2.copy(blockCount = 0L))
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+      queriesDf(qs), "query_id", "query_text", 5,
+      maxScoreSplit = Some(3))) == before)
+  }
+
+  test("upgradeRetrievalIndex: a pre-termstats/pre-blockstats window " +
+    "gains both relations in one pass — probes identical before and " +
+    "after, upgraded ≡ rebuilt, idempotent no-op when current") {
+    val dir = tmp("upgrade")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 9L), "text",
+      "doc_id", dir)
+    RetrievalOps.appendRetrievalIndex(spark, dir, corpusDf(10L to 15L),
+      "text", "doc_id")
+    val meta = RetrievalOps.readRetrievalIndexMeta(spark, dir)
+    // simulate a pre-upgrade artifact: strip the stats relations and
+    // the meta fields (what an old build would have left behind)
+    RetrievalOps.swapRetrievalMeta(spark, dir,
+      meta.copy(hasTermstats = false, blockCount = 0L))
+    Seq("termstats", "blockstats").foreach { rel =>
+      val f = new java.io.File(s"$dir/$rel")
+      if (f.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
+    def probes() = (
+      collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(probeQs), "query_id", "query_text", 5)),
+      collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(probeQs), "query_id", "query_text", 5,
+        maxScoreSplit = Some(3))),
+      collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir,
+        queriesDf(probeQs), "query_id", "query_text", 5,
+        dfCapPerTerm = Some(1000))))
+    val legacy = probes() // fallback lanes exercised (no stats)
+    assert(RetrievalOps.upgradeRetrievalIndex(spark, dir))
+    val m2 = RetrievalOps.readRetrievalIndexMeta(spark, dir)
+    assert(m2.hasTermstats && m2.blockCount ==
+      RetrievalOps.blockCountFor(m2.nDocs))
+    // every window epoch gained both relations
+    (m2.base to m2.epoch).foreach { e =>
+      assert(new java.io.File(RetrievalOps.termstatsDir(dir, e)).exists())
+      assert(new java.io.File(RetrievalOps.blockstatsDir(dir, e)).exists())
+    }
+    assert(probes() == legacy, "upgrade must not change probe output")
+    // upgraded ≡ rebuilt: a fresh build over the same corpus serves
+    // identical answers through the same armed paths
+    val dir2 = tmp("upgrade_rebuilt")
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 15L), "text",
+      "doc_id", dir2)
+    assert(collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark, dir2,
+      queriesDf(probeQs), "query_id", "query_text", 5,
+      maxScoreSplit = Some(3))) == legacy._2)
+    // already-current artifact: no-op
+    assert(!RetrievalOps.upgradeRetrievalIndex(spark, dir))
+  }
+
+  test("proximity_windows kernel: duplicate positions do not double-" +
+    "count anchors; fewer distinct tokens than m yields 0; the " +
+    "slot-width guard refuses a >128-token list loudly") {
+    import graft.functions.ProximityWindows
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def occ(rows: (Long, String)*): GenericArrayData =
+      new GenericArrayData(rows.map { case (p, t) =>
+        InternalRow(p, UTF8String.fromString(t))
+      }.toArray[Any])
+    // "a b" with W=2: anchors 1 (covers b@2) and 2 (no a in [2,3]) → 1
+    assert(ProximityWindows.compute(occ(1L -> "a", 2L -> "b"), 2L, 2) == 1L)
+    // duplicate position rows (defensive): same answer
+    assert(ProximityWindows.compute(
+      occ(1L -> "a", 1L -> "a", 2L -> "b"), 2L, 2) == 1L)
+    // missing token: zero without sweeping
+    assert(ProximityWindows.compute(occ(1L -> "a", 5L -> "a"), 2L, 4) == 0L)
+    // empty list
+    assert(ProximityWindows.compute(occ(), 1L, 3) == 0L)
+    // >128 distinct tokens in one list: loud refusal
+    val wide = occ((1L to 130L).map(i => i -> s"t$i"): _*)
+    val e = intercept[IllegalStateException] {
+      ProximityWindows.compute(wide, 130L, 5)
+    }
+    assert(e.getMessage.contains("128"))
+  }
 }
