@@ -494,24 +494,47 @@ object RetrievalOps {
         greatest(col("__theta1"),
           when(col("__nr") === k, col("__kth"))
             .otherwise(lit(Long.MinValue))).as("__bth")))
-    val qb = blockUb.join(broadcast(qtFall), Seq("token"))
-      .groupBy(col("query_id"), col("blk"))
-      .agg(sum(col("__bub")).as("__qb"))
-    val sv = qb.join(broadcast(theta), Seq("query_id"))
+    val qb = Checkpoints.sever(
+      blockUb.join(broadcast(qtFall), Seq("token"))
+        .groupBy(col("query_id"), col("blk"))
+        .agg(sum(col("__bub")).as("__qb"))
+        .join(broadcast(theta), Seq("query_id")))
+    // COST ROUTING (exactness unaffected either way): a query none of
+    // whose blocks prune gains nothing from the survivor join — it
+    // would pay the exact scorer's volume PLUS the block fan-out
+    // (measured 102 s vs the exact probe's 56 s on the 10× replica
+    // leg before this). Route a query through the block lane only
+    // when a material fraction of its candidate-bearing blocks
+    // actually prune; the rest take the exact scorer's own plan.
+    val routing = qb.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(when(col("__qb") < col("__bth"), 1L).otherwise(0L))
+          .as("__npruned"))
+    val blockQ = routing
+      .filter(col("__npruned") * 4L >= col("__nb"))
+      .select(col("query_id"))
+    val qtBlock = qtFall.join(broadcast(blockQ), Seq("query_id"),
+      "left_semi")
+    val qtExact = qtFall.join(broadcast(blockQ), Seq("query_id"),
+      "left_anti")
+    val sv = qb
+      .join(broadcast(blockQ), Seq("query_id"), "left_semi")
       .filter(col("__qb") >= col("__bth"))
       .select(col("query_id"), col("blk"))
     val survPost = cand.withColumn("blk", blkOf(blockCount))
       .join(sv, Seq("blk"))
-      .join(broadcast(qtFall), Seq("query_id", "token"), "left_semi")
+      .join(broadcast(qtBlock), Seq("query_id", "token"), "left_semi")
     val n = col("n_docs")
     val idfRaw = div(lit(1000000L) * (lit(2L) * (n - col("__df")) + lit(1L)),
       lit(2L) * col("__df") + lit(1L))
     val contrib = div(least(idfRaw, lit(IdfCapMicro)) * tfMicro,
       lit(1000000L))
-    survPost.join(broadcast(dfreq), Seq("token"))
+    val blockScored = survPost.join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(contrib).as("score_micro"))
+    blockScored.unionByName(
+      scoredContrib(cand, stats, qtExact, dfreqOverride = Some(dfreq)))
   }
 
   // ---- positional postings / phrase retrieval -----------------------------
@@ -550,37 +573,60 @@ object RetrievalOps {
     * positional-postings relation: (query_id, doc_id, n_occurrences),
     * only docs with ≥ 1 occurrence.
     *
-    * RAREST-SLOT ANCHORING (the classic intersect-by-rarest move): a
-    * phrase occurrence must place each query's LEAST-FREQUENT slot
-    * token at start + i_rarest − 1, so candidate starts enumerate
-    * only from that token's occurrences — occ(rarest) × queries rows,
-    * not Σ_t occ(t) × queries. Each candidate start then expands to
-    * its m slot probes (start + i − 1, token_i) and verifies by ONE
-    * equi-join against the positions on (token, doc, pos): a start
-    * with all m probes present is an occurrence. A stopword slot
-    * ("the" in "the rare term") now costs its occurrence rows ONCE in
-    * the verify join's build side instead of once per query — the
-    * blowup class the 1M-doc soak measured at 143M vote rows before
-    * this shape. Worst case (every slot equally common) degrades to
-    * the same volume as slot-voting, never worse. */
-  private def phraseOccurrences(pp0: DataFrame, pt: DataFrame): DataFrame = {
+    * RAREST-ADJACENT-PAIR ANCHORING: a phrase occurrence must place
+    * each ADJACENT slot pair (token_i, token_{i+1}) at consecutive
+    * positions, so candidate starts enumerate from the occurrences of
+    * the query's LEAST-FREQUENT adjacent pair in the corpus adjacency
+    * relation (derived from the positions by one pos+1 self-join —
+    * ≤ |positions| rows). This dominates the previous rarest-single-
+    * TOKEN anchor by the pair's selectivity: on the 10× scale leg's
+    * stopword-prefix workload (30-token vocabulary — every token
+    * common), token anchoring enumerated 86.7M starts and a 246 s
+    * verify join; pair anchoring enumerates occ(rarest bigram) ×
+    * queries sharing it. A query whose rarest pair never occurs is
+    * proven matchless BEFORE enumerating anything. Each candidate
+    * start expands to its m slot probes (start + i − 1, token_i) and
+    * verifies by ONE equi-join against the positions: a start with
+    * all m probes present is an occurrence. Single-token phrases
+    * (m = 1) have no pair — their occurrences are exactly the
+    * token's positions, a separate count-only lane. */
+  private def phraseOccurrences(pp0: DataFrame, pt: DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // severed once: the occurrence counts, the candidate starts, and
-    // the verify join all read the (workload-bounded) filtered
-    // positions — unsevered, each re-scans the full positional
-    // relation behind the caller's term filter
-    val pp = Checkpoints.sever(pp0)
-    val tocc = pp.groupBy(col("token")).agg(count(lit(1)).as("__tocc"))
-    // one rarest slot per query (ties: lowest i) — query-sized. LEFT
-    // join: a slot token absent from the corpus has occ 0 and must
-    // WIN the ranking, zeroing the query's candidate starts outright
-    val rarest = pt.join(broadcast(tocc), Seq("token"), "left")
+    // pp0 must arrive SEVERED (callers' contract): the adjacency
+    // self-join, the candidate starts, and the verify join all read
+    // the (workload-bounded) filtered positions
+    val pp = pp0
+    val m1 = pp
+      .join(broadcast(pt.filter(col("m") === 1L)
+        .select(col("query_id"), col("token"))), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    // corpus adjacency over the filtered positions: the tokens at
+    // (pos, pos+1) — both query terms, or the row doesn't matter here
+    val bg = Checkpoints.sever(
+      pp.select(col("doc_id"), col("pos"), col("token").as("__ta"))
+        .join(pp.select(col("doc_id"), (col("pos") - 1L).as("pos"),
+          col("token").as("__tb")), Seq("doc_id", "pos")))
+    val bgocc = bg.groupBy(col("__ta"), col("__tb"))
+      .agg(count(lit(1)).as("__bocc"))
+    // the query's adjacent slot pairs (i, i+1); the rarest one (ties:
+    // lowest i) anchors. An ABSENT pair zeroes the query outright —
+    // filtered here, so matchless stopword queries enumerate nothing.
+    val ptm = pt.filter(col("m") >= 2L)
+    val pairsQ = ptm
+      .select(col("query_id"), col("i"), col("token").as("__ta"))
+      .join(ptm.select(col("query_id"), (col("i") - 1L).as("i"),
+        col("token").as("__tb")), Seq("query_id", "i"))
+    val rarest2 = pairsQ.join(bgocc, Seq("__ta", "__tb"), "left")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(coalesce(col("__tocc"), lit(0L)).asc, col("i").asc)))
+          .orderBy(coalesce(col("__bocc"), lit(0L)).asc, col("i").asc)))
       .filter(col("__rn") === 1)
-      .select(col("query_id"), col("token"), col("i").as("__ri"))
-    val starts = pp.join(broadcast(rarest), Seq("token"))
+      .filter(coalesce(col("__bocc"), lit(0L)) > 0L)
+      .select(col("query_id"), col("__ta"), col("__tb"),
+        col("i").as("__ri"))
+    val starts = bg.join(broadcast(rarest2), Seq("__ta", "__tb"))
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("__ri") + 1L).as("__start"))
       .filter(col("__start") >= 1L)
@@ -593,6 +639,7 @@ object RetrievalOps {
       .filter(col("__nm") === col("m"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
+      .unionByName(m1)
   }
 
   /** Exact-phrase matching over a corpus: (query_id, doc_id,
@@ -604,8 +651,8 @@ object RetrievalOps {
                     queryTextCol: String): DataFrame = {
     val pt = phraseTerms(queries, queryIdCol, queryTextCol)
     val terms = pt.select(col("token")).distinct()
-    val pp = positionalPostings(docs, textCol, idCol)
-      .join(broadcast(terms), Seq("token"), "left_semi")
+    val pp = Checkpoints.sever(positionalPostings(docs, textCol, idCol)
+      .join(broadcast(terms), Seq("token"), "left_semi"))
     phraseOccurrences(pp, pt)
   }
 
@@ -624,14 +671,17 @@ object RetrievalOps {
     * join, never per-doc quadratic beyond the W-bounded fan-in), then
     * one distinct + two partial-aggregated rollups. */
   private def proximityFromPositions(pp0: DataFrame, qt: DataFrame,
-                                     w: Int): DataFrame = {
+                                     w: Int,
+                                     restrictTo: Option[DataFrame] = None)
+      : DataFrame = {
     val pp = pp0
     val qm = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__m"))
     // ONE-SHUFFLE shape: every (query, doc) co-occurrence row — the
     // term-filtered positions joined MAP-SIDE to the broadcast query
-    // terms — groups straight into a per-pair occurrence list, and
-    // both the all-terms intersection test and the window count run
-    // over that list with array functions. No anchors×members join,
+    // terms (or, in the verify-first lane, fanned only into the given
+    // (query, doc) pairs) — groups straight into a per-pair occurrence
+    // list, and both the all-terms intersection test and the window
+    // count run over that list in one kernel. No anchors×members join,
     // no distincts, no pair-prefilter passes: an earlier cut met
     // anchors and members through width-W position bins and, with
     // stopword-like workloads (every doc a candidate, ~10 query-term
@@ -642,7 +692,20 @@ object RetrievalOps {
     // MATCHED occurrences only (bounded by its length — the tokenizer
     // seam's own per-doc-array regime); per-pair cost is
     // O(anchors × occurrences), both factors window-workload-bounded.
-    val grouped = pp.join(broadcast(qt), Seq("token"))
+    val joined = restrictTo match {
+      // (query, doc, token) triples FIRST, then one (doc, token)
+      // equi-join against the positions: the intermediate is exactly
+      // the matched occurrence rows. Joining pairs on doc_id alone
+      // fans every position row out to every query holding that doc
+      // before the term filter (measured ~55M intermediate rows for a
+      // 3.6M output at the 10× leg).
+      case Some(pairs) => pp.join(
+        pairs.select(col("query_id"), col("doc_id"))
+          .join(broadcast(qt), Seq("query_id")),
+        Seq("doc_id", "token"))
+      case None => pp.join(broadcast(qt), Seq("token"))
+    }
+    val grouped = joined
       .groupBy(col("query_id"), col("doc_id"))
       .agg(collect_list(struct(col("pos"), col("token"))).as("__occ"))
       .join(broadcast(qm), Seq("query_id"))
@@ -665,12 +728,98 @@ object RetrievalOps {
       .filter(graft.functions.Barrier.pin(col("n_windows")) > 0L)
   }
 
+  /** VERIFY-FIRST ranked forensic matching — the scale shape behind
+    * the PROXIMITY rows (phrase stays match-first: its pair-anchored
+    * matcher is already bounded, and its matches are sparse — the
+    * prefix pass would dominate). The answer is the top-`k` BY BAG
+    * SCORE among MATCHING docs; positional verification is the
+    * expensive step, and a dense workload (stopword queries matching
+    * half the corpus) makes match-everything-then-rank quadratic
+    * (measured 660 s at the 10× scale leg). So: score ALL bag
+    * candidates once (the exact scorer's cost — the floor any ranked
+    * probe pays), keep each query's EXACT top-K′ prefix in ranking
+    * order, and verify matches only inside it. A query is COMPLETE
+    * when it found ≥ k matches in the prefix (any matching doc
+    * outside the prefix ranks below everything inside it, so the
+    * first k matching prefix docs ARE the global top-k), when the
+    * prefix already holds ALL its candidates (nothing left to check),
+    * or when some term has df = 0 (no doc can match). The residue
+    * takes the r17 match-first lane — full matching restricted to
+    * those queries, scored per matched pair. Exact output either way;
+    * K′ trades prefix width against fallback frequency. */
+  private def rankedForensicTopK(cand: DataFrame, stats: DataFrame,
+                                 qt: DataFrame, k: Int, dfreq: DataFrame,
+                                 restrictedMatch: DataFrame => DataFrame,
+                                 extraCol: String): DataFrame = {
+    // prefix width: wide enough that a dense workload (every doc a
+    // bag candidate, windows loosely correlated with bag score) finds
+    // its k matches inside the prefix — the fallback lane pays the
+    // FULL matcher, so trading a broader (cheap, triple-joined)
+    // restricted pass for fewer fallback queries wins
+    val kPrime = math.max(256, 16 * k)
+    val prefix = Checkpoints.sever(
+      topKOf(scoredContrib(cand, stats, qt, Some(dfreq)), kPrime))
+    val matches1 = Checkpoints.sever(
+      restrictedMatch(prefix.select(col("query_id"), col("doc_id"))))
+    // absent-term shortcut: a query whose rarest term has df = 0 can
+    // match nothing — complete without the fallback matcher
+    val qMinDf = qt.join(dfreq, Seq("token"), "left")
+      .groupBy(col("query_id"))
+      .agg(min(coalesce(col("__df"), lit(0L))).as("__mindf"))
+    val qStats = prefix.groupBy(col("query_id"))
+      .agg(max(col("rank")).as("__nc"))
+      .join(matches1.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("__nm")),
+        Seq("query_id"), "left")
+      .join(qMinDf, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__nm"), lit(0L)) >= k ||
+          col("__nc") < kPrime ||
+          coalesce(col("__mindf"), lit(0L)) === 0L).as("__done"))
+    val doneQ = qStats.filter(col("__done")).select(col("query_id"))
+    val fallQ = qStats.filter(!col("__done")).select(col("query_id"))
+    // complete lane: the matched prefix rows re-ranked — scores are
+    // already in hand, so this is k-sized work per query
+    val okScored = prefix
+      .join(broadcast(doneQ), Seq("query_id"), "left_semi")
+      .join(matches1.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("score_micro"))
+    val okTop = topKOf(okScored, k)
+      .join(matches1, Seq("query_id", "doc_id"))
+    // residue lane: the COMPLETE bag-intersected pair set for the
+    // fallback queries (a window match needs all m distinct terms in
+    // the doc, so the restriction is lossless), through the SAME
+    // restricted matcher — never the token-broadcast fan-out, whose
+    // volume is positions × queries regardless of how few queries
+    // fell back (measured as the residue's ~45 s at the 10× leg)
+    val qtFall = qt.join(broadcast(fallQ), Seq("query_id"), "left_semi")
+    val qmFall = qtFall.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__m"))
+    val bagPairs = cand.join(broadcast(qtFall), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("__np"))
+      .join(broadcast(qmFall), Seq("query_id"))
+      .filter(col("__np") === col("__m"))
+      .select(col("query_id"), col("doc_id"))
+    val matchesF = Checkpoints.sever(restrictedMatch(bagPairs))
+    val fallScored = scoredContribForPairs(cand, stats, qtFall, matchesF,
+      Some(dfreq))
+    val fallTop = topKOf(fallScored, k)
+      .join(matchesF, Seq("query_id", "doc_id"))
+    okTop.unionByName(fallTop)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col(extraCol))
+  }
+
   /** PROXIMITY-FILTERED ranked retrieval: BM25 top-`k` over the
     * query's terms, restricted to docs where ALL the terms co-occur
     * inside a `windowTokens`-token window in any order — the relaxed
     * sibling of [[bm25PhraseTopK]] (a paraphrase reorders words; a
     * W-window still catches it). Output: (query_id, rank, doc_id,
-    * score_micro, n_windows). */
+    * score_micro, n_windows). Verify-first ([[rankedForensicTopK]]):
+    * positional work is bounded by the scored prefix, never the full
+    * match set. */
   def bm25ProximityTopK(docs: DataFrame, textCol: String, idCol: String,
                         queries: DataFrame, queryIdCol: String,
                         queryTextCol: String, k: Int,
@@ -689,13 +838,14 @@ object RetrievalOps {
     val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
-    val matches = Checkpoints.sever(proximityFromPositions(
-      pos.join(broadcast(terms), Seq("token"), "left_semi"), qt,
-      windowTokens))
-    val scored = scoredContribForPairs(cand, stats, qt, matches)
-    topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("score_micro"), col("n_windows"))
+    val dfreq = Checkpoints.sever(
+      cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
+    val pp = Checkpoints.sever(
+      pos.join(broadcast(terms), Seq("token"), "left_semi"))
+    rankedForensicTopK(cand, stats, qt, k, dfreq,
+      restrictedMatch = pairs =>
+        proximityFromPositions(pp, qt, windowTokens, Some(pairs)),
+      extraCol = "n_windows")
   }
 
   /** PHRASE-FILTERED ranked retrieval: BM25 top-`k` (the exact scorer
@@ -732,8 +882,13 @@ object RetrievalOps {
     val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
-    val matches = Checkpoints.sever(phraseOccurrences(
-      pos.join(broadcast(terms), Seq("token"), "left_semi"), pt))
+    // MATCH-FIRST (unlike the proximity row's verify-first): phrase
+    // matches are SPARSE and pair anchoring bounds the matcher on its
+    // own, so paying the exact scorer's full pass for a ranked prefix
+    // would dominate the row (measured 334 s vs ~25 s at the 10× leg)
+    val pp = Checkpoints.sever(
+      pos.join(broadcast(terms), Seq("token"), "left_semi"))
+    val matches = Checkpoints.sever(phraseOccurrences(pp, pt))
     val scored = scoredContribForPairs(cand, stats, qt, matches)
     topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"),
@@ -784,13 +939,22 @@ object RetrievalOps {
   private[graft] def blockCountFor(nDocs: Long): Long =
     math.max(1L, math.min(1L << 20, nDocs / 64L))
 
-  /** The block a doc's postings belong to — a hash partition of the
-    * doc-id space, so it is COMPUTABLE AT PROBE TIME from the posting
-    * row (no schema change to the stored postings) and every posting
-    * of one doc lands in one block (the all-or-nothing property the
-    * pruning proof needs). */
+  /** The block a doc's postings belong to — a (dl-bucket, doc-hash)
+    * COMPOSITE partition, COMPUTABLE AT PROBE TIME from the posting
+    * row (no schema change to the stored postings: dl rides every
+    * posting), and constant per doc, so every posting of one doc lands
+    * in one block (the all-or-nothing property the pruning proof
+    * needs). The dl bucket is ⌊log₂ dl⌋ via `length(bin(dl)) − 1` —
+    * integer-exact (no floating log whose boundary rounding could
+    * assign a doc differently at probe time than at write time), and
+    * it is what makes the per-block min_dl TIGHT: tf_micro decreases
+    * in dl, so without it a long doc's upper bound is inflated to the
+    * block's shortest doc and long-doc blocks (most of a corpus) never
+    * prune — measured as zero pruning on the 10× replica leg with
+    * pure hash blocks. */
   private def blkOf(blockCount: Long): Column =
-    pmod(xxhash64(col("doc_id")), lit(blockCount))
+    (length(bin(col("dl"))) - 1).cast("long") * lit(blockCount) +
+      pmod(xxhash64(col("doc_id")), lit(blockCount))
 
   private[graft] def readRetrievalIndexMeta(
       spark: SparkSession, path: String): RetrievalIndexMeta = {
@@ -1249,8 +1413,9 @@ object RetrievalOps {
         "shard the workload across probes")
     val cand = readStoredPostings(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*))
-    val pp = readStoredPositions(spark, path, meta)
-      .filter(col("token").isin(terms.toSeq: _*))
+    val pp = Checkpoints.sever(readStoredPositions(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*)))
+    // match-first, like the one-shot form (see bm25PhraseTopK)
     val matches = Checkpoints.sever(phraseOccurrences(pp, pt))
     val scored = scoredContribForPairs(cand, stats, qt, matches,
       storedDfreq(spark, path, meta, terms))
@@ -1301,14 +1466,14 @@ object RetrievalOps {
         "literal-filter guard — shard the workload across probes")
     val cand = readStoredPostings(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*))
-    val pp = readStoredPositions(spark, path, meta)
-      .filter(col("token").isin(terms.toSeq: _*))
-    val matches = Checkpoints.sever(
-      proximityFromPositions(pp, qt, windowTokens))
-    val scored = scoredContribForPairs(cand, stats, qt, matches,
-      storedDfreq(spark, path, meta, terms))
-    topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("score_micro"), col("n_windows"))
+    val pp = Checkpoints.sever(readStoredPositions(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*)))
+    val dfreq = storedDfreq(spark, path, meta, terms).getOrElse(
+      Checkpoints.sever(
+        cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))))
+    rankedForensicTopK(cand, stats, qt, k, dfreq,
+      restrictedMatch = pairs =>
+        proximityFromPositions(pp, qt, windowTokens, Some(pairs)),
+      extraCol = "n_windows")
   }
 }
