@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * (exact-digest index, MinHash near-dup index, decontamination index,
   * bigram LM model), and give each document its FIRST-FAILURE verdict:
   *
-  *   gate → exact_dup → near_dup → contaminated → low_quality → admitted
+  *   gate → exact_dup → near_dup → contaminated → low_quality →
+  *   classifier_reject → admitted
   *
   * Each stage is optional (no store path → stage skipped), and each
   * consults the corresponding persisted artifact through its audited
@@ -46,13 +47,15 @@ object AdmissionOps {
       digestIndexPath: Option[String] = None,
       minhashIndexPath: Option[String] = None,
       decontamIndexPath: Option[String] = None,
-      lmModelPath: Option[String] = None)
+      lmModelPath: Option[String] = None,
+      nbModelPath: Option[String] = None)
 
   val VerdictGate = "gate"
   val VerdictExactDup = "exact_dup"
   val VerdictNearDup = "near_dup"
   val VerdictContaminated = "contaminated"
   val VerdictLowQuality = "low_quality"
+  val VerdictClassifierReject = "classifier_reject"
   val VerdictAdmitted = "admitted"
 
   /** The batch with a `verdict` column appended — every input row keeps
@@ -71,12 +74,15 @@ object AdmissionOps {
                            minQuality: Option[Double] = None,
                            nearDupMinAgree: Double = 0.5,
                            decontamMinOverlap: Long = 5L,
-                           lmMinAvgScore: Option[Long] = None): DataFrame = {
+                           lmMinAvgScore: Option[Long] = None,
+                           nbMinMarginMicro: Option[Long] = None): DataFrame = {
     require(lmMinAvgScore.isEmpty || stores.lmModelPath.nonEmpty,
       "lmMinAvgScore needs stores.lmModelPath")
+    require(nbMinMarginMicro.isEmpty || stores.nbModelPath.nonEmpty,
+      "nbMinMarginMicro needs stores.nbModelPath")
     import org.apache.spark.sql.expressions.Window
     val helperCols = Seq("__ad_gate", "__ad_digest", "__ad_rn",
-      "__ad_exact", "__ad_near", "__ad_contam", "__ad_lm")
+      "__ad_exact", "__ad_near", "__ad_contam", "__ad_lm", "__ad_nb")
     (helperCols :+ "verdict").foreach(h => require(
       !batch.columns.contains(h),
       s"batch already has a column named $h"))
@@ -116,6 +122,18 @@ object AdmissionOps {
             .filter(col("avg_score") < minScore),
           idCol, "__ad_lm"))
         case _ => None
+      },
+      // trained-classifier stage: reject docs whose NB margin
+      // (score_pos − score_neg) falls below the floor — margin 0 means
+      // "must be predicted positive" (ties admit, matching predicted)
+      (stores.nbModelPath, nbMinMarginMicro) match {
+        case (Some(p), Some(minMargin)) => Some(flagRel(
+          ClassifierOps.scoreAgainstStoredNb(spark, p, batch, textCol,
+            idCol)
+            .filter(col("score_pos_micro") - col("score_neg_micro") <
+              minMargin),
+          idCol, "__ad_nb"))
+        case _ => None
       }).flatten
     val joined = flags.foldLeft(withRank)(
       (acc, f) => acc.join(f, Seq(idCol), "left"))
@@ -129,6 +147,7 @@ object AdmissionOps {
         .when(flagged("__ad_near"), VerdictNearDup)
         .when(flagged("__ad_contam"), VerdictContaminated)
         .when(flagged("__ad_lm"), VerdictLowQuality)
+        .when(flagged("__ad_nb"), VerdictClassifierReject)
         .otherwise(VerdictAdmitted)
     joined.withColumn("verdict", verdict)
       .drop(helperCols: _*)
@@ -142,9 +161,11 @@ object AdmissionOps {
                         minQuality: Option[Double] = None,
                         nearDupMinAgree: Double = 0.5,
                         decontamMinOverlap: Long = 5L,
-                        lmMinAvgScore: Option[Long] = None): DataFrame =
+                        lmMinAvgScore: Option[Long] = None,
+                        nbMinMarginMicro: Option[Long] = None): DataFrame =
     withAdmissionVerdict(spark, batch, textCol, idCol, stores, langCode,
-      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore)
+      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore,
+      nbMinMarginMicro)
       .select(col(idCol), col("verdict"))
 
   /** The admitted rows only, original schema — the batch that lands in
@@ -156,9 +177,11 @@ object AdmissionOps {
                          minQuality: Option[Double] = None,
                          nearDupMinAgree: Double = 0.5,
                          decontamMinOverlap: Long = 5L,
-                         lmMinAvgScore: Option[Long] = None): DataFrame =
+                         lmMinAvgScore: Option[Long] = None,
+                         nbMinMarginMicro: Option[Long] = None): DataFrame =
     withAdmissionVerdict(spark, batch, textCol, idCol, stores, langCode,
-      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore)
+      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore,
+      nbMinMarginMicro)
       .filter(col("verdict") === VerdictAdmitted)
       .drop("verdict")
 
@@ -247,6 +270,24 @@ object AdmissionOps {
     }
     val hasMinhash = minhashIndexPath.exists(p =>
       MetaIO.metaExistsOrRecover(spark, p))
+    // observability for the one undetectable replay gap: the crash-
+    // window catch-up above fires only when the EXACT batch id is
+    // replayed — a restart with a fresh checkpoint that jumps past a
+    // crashed batch leaves the signature store permanently short of
+    // that batch's signatures with no query-level error. A pointer lag
+    // > 1 is exactly that signature (the common between-ingests crash
+    // is lag ≤ 1 and heals on replay); warn loudly and expose the
+    // number via [[signatureStoreLag]] for the monitoring loop.
+    if (hasStore && hasMinhash) {
+      val lag = signatureStoreLag(spark, digestIndexPath,
+        minhashIndexPath.get)
+      if (lag > 1L) System.err.println(
+        s"[graft] admission loop: signature store at " +
+          s"${minhashIndexPath.get} trails the digest store by $lag " +
+          "batches — a crashed batch's catch-up was skipped; near-dup " +
+          "screening misses those batches until their landed rows are " +
+          "re-offered via DedupOps.ingestMinhashBatch")
+    }
     val stores = staticStores.copy(
       digestIndexPath = if (hasStore) Some(digestIndexPath) else None,
       minhashIndexPath =
@@ -264,6 +305,25 @@ object AdmissionOps {
     true
   }
 
+  /** How far the admission loop's SIGNATURE store's applied-batch
+    * pointer trails its DIGEST store's (0 = in sync). The digest
+    * pointer advances every applied batch; the signature fold follows
+    * in the same call, so lag ≤ 1 is the transient between-ingests
+    * crash window (healed by replaying the same batch id). Lag > 1
+    * means a restart SKIPPED past a crashed batch: those batches'
+    * admitted signatures are missing from the near-dup screen until
+    * their landed `outDir/b<id>` rows are re-offered via
+    * [[DedupOps.ingestMinhashBatch]]. Poll it from the monitoring
+    * loop; [[ingestAdmissionBatch]] also warns at ingest time. */
+  def signatureStoreLag(spark: SparkSession, digestIndexPath: String,
+                        minhashIndexPath: String): Long = {
+    val d = DedupOps.readDigestIndexMeta(spark, digestIndexPath)
+      .lastBatchId
+    val m = DedupOps.readMinhashIndexMeta(spark, minhashIndexPath)
+      .lastBatchId
+    math.max(0L, d - m)
+  }
+
   /** Per-stage drop counts — ONE aggregation over the verdicts, the
     * number every daily-admission dashboard plots. */
   def admissionReport(spark: SparkSession, batch: DataFrame,
@@ -273,8 +333,10 @@ object AdmissionOps {
                       minQuality: Option[Double] = None,
                       nearDupMinAgree: Double = 0.5,
                       decontamMinOverlap: Long = 5L,
-                      lmMinAvgScore: Option[Long] = None): DataFrame =
+                      lmMinAvgScore: Option[Long] = None,
+                      nbMinMarginMicro: Option[Long] = None): DataFrame =
     admissionVerdicts(spark, batch, textCol, idCol, stores, langCode,
-      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore)
+      minQuality, nearDupMinAgree, decontamMinOverlap, lmMinAvgScore,
+      nbMinMarginMicro)
       .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
 }

@@ -89,6 +89,13 @@ object TextQueries {
     // writeLmModel artifact → scoreAgainstStoredLm; output ≡ q_lm_score,
     // so it shares the oracle — the artifact round-trip loses nothing
     GraftQuery("q_lm_score_stored", lmScoreStoredQ, Some(lmScoreSql)),
+    // TRAINED quality classifier (ClassifierOps): integer-exact NB over
+    // hashed-BOW features, trained on the even half (label: lang =
+    // 'en'), served from the persisted model against the odd half —
+    // the oracle recomputes the counts, both fixed-point scores, and
+    // the argmax
+    GraftQuery("q_quality_classifier", qualityClassifierQ,
+      Some(qualityClassifierSql), bench = true),
     // the whole preprocessing pipeline as ONE declarative plan: filter →
     // cross-doc span masking over the survivors → packed-pretraining
     // layout; the oracle chains the three stage oracles as CTEs
@@ -2386,6 +2393,84 @@ object TextQueries {
   def lmScoreQ(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.bigramLmScore(docs(spark, sfDir), "text", "doc_id",
       col("doc_id") % 2 === 0)
+
+  private val NB_DIM = 256
+
+  /** The persisted NB quality model: even-half train slice, positive
+    * class = English docs. */
+  private def storedNbDir(spark: SparkSession, sfDir: String,
+                          d: DataFrame): String =
+    cachedArtifactDir("nb_model_v1", sfDir,
+      d.filter(col("doc_id") % 2 === 0)) { dir =>
+      graft.pipeline.ClassifierOps.writeNbModel(
+        d.filter(col("doc_id") % 2 === 0)
+          .withColumn("lab", col("lang") === "en"),
+        "text", "doc_id", "lab", dir, NB_DIM)
+    }
+
+  def qualityClassifierQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.pipeline.ClassifierOps.scoreAgainstStoredNb(spark,
+      storedNbDir(spark, sfDir, d),
+      d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+  }
+
+  /** The classifier oracle: counts, totals, both fixed-point scores
+    * and the argmax recomputed from the same formulas (`//` floor
+    * division on the all-non-negative operands; sums cast back to
+    * BIGINT against DuckDB's HUGEINT widening). */
+  def qualityClassifierSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("tok")
+    val toks = TextOps.tokensSql("text")
+    s"""WITH tr AS (
+       |  SELECT doc_id, text, (lang = 'en') AS lab FROM documents
+       |  WHERE doc_id % 2 = 0
+       |), trt AS (
+       |  SELECT lab, unnest($toks) AS tok FROM tr
+       |), f AS (
+       |  SELECT lab, $ph % $NB_DIM AS dim, count(*) AS n
+       |  FROM trt WHERE len(tok) > 0 GROUP BY 1, 2
+       |), cnt AS (
+       |  SELECT dim,
+       |    CAST(coalesce(sum(CASE WHEN lab THEN n END), 0) AS BIGINT)
+       |      AS c_pos,
+       |    CAST(coalesce(sum(CASE WHEN NOT lab THEN n END), 0) AS BIGINT)
+       |      AS c_neg
+       |  FROM f GROUP BY 1
+       |), tot AS (
+       |  SELECT
+       |    (SELECT count(*) FROM tr WHERE lab) AS n_pos,
+       |    (SELECT count(*) FROM tr WHERE NOT lab) AS n_neg,
+       |    (SELECT CAST(coalesce(sum(c_pos), 0) AS BIGINT) FROM cnt)
+       |      AS t_pos,
+       |    (SELECT CAST(coalesce(sum(c_neg), 0) AS BIGINT) FROM cnt)
+       |      AS t_neg
+       |), od AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |), odf AS (
+       |  SELECT doc_id, $ph % $NB_DIM AS dim, count(*) AS n FROM (
+       |    SELECT doc_id, unnest($toks) AS tok FROM od)
+       |  WHERE len(tok) > 0 GROUP BY 1, 2
+       |), sums AS (
+       |  SELECT o.doc_id,
+       |    CAST(sum(o.n * (((coalesce(c.c_pos, 0) + 1) * 1000000)
+       |      // (t.t_pos + $NB_DIM))) AS BIGINT) AS sp,
+       |    CAST(sum(o.n * (((coalesce(c.c_neg, 0) + 1) * 1000000)
+       |      // (t.t_neg + $NB_DIM))) AS BIGINT) AS sn
+       |  FROM odf o LEFT JOIN cnt c USING (dim) CROSS JOIN tot t
+       |  GROUP BY 1
+       |), pri AS (
+       |  SELECT (n_pos * 1000000) // (n_pos + n_neg) AS p_pos,
+       |    (n_neg * 1000000) // (n_pos + n_neg) AS p_neg
+       |  FROM tot
+       |)
+       |SELECT od.doc_id,
+       |  CAST(pri.p_pos + coalesce(s.sp, 0) AS BIGINT) AS score_pos_micro,
+       |  CAST(pri.p_neg + coalesce(s.sn, 0) AS BIGINT) AS score_neg_micro,
+       |  (pri.p_pos + coalesce(s.sp, 0)) >= (pri.p_neg + coalesce(s.sn, 0))
+       |    AS predicted
+       |FROM od LEFT JOIN sums s USING (doc_id) CROSS JOIN pri""".stripMargin
+  }
 
   def lmScoreSql: String = {
     val ph = graft.functions.StringPolyHash.polyHashSql("t")

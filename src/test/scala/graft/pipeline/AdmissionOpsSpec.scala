@@ -60,11 +60,12 @@ class AdmissionOpsSpec extends AnyFunSuite {
   private def verdicts(b: org.apache.spark.sql.DataFrame = batch,
                        s: AdmissionStores = stores,
                        minQuality: Option[Double] = Some(MinQ),
-                       lmMin: Option[Long] = None): Map[Long, String] =
+                       lmMin: Option[Long] = None,
+                       nbMin: Option[Long] = None): Map[Long, String] =
     AdmissionOps.admissionVerdicts(spark, b, "text", "doc_id", s,
         langCode = None, minQuality = minQuality,
         nearDupMinAgree = 0.5, decontamMinOverlap = 2L,
-        lmMinAvgScore = lmMin)
+        lmMinAvgScore = lmMin, nbMinMarginMicro = nbMin)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
   test("first-failure verdicts: every class lands on its planted doc, " +
@@ -141,6 +142,55 @@ class AdmissionOpsSpec extends AnyFunSuite {
       AdmissionOps.admissionVerdicts(spark, probe, "text", "doc_id",
         stores, lmMinAvgScore = Some(0L))
     }
+  }
+
+  test("classifier stage: docs whose stored-NB margin falls below " +
+    "nbMinMarginMicro reject as classifier_reject — LAST before " +
+    "admitted, so an LM-rejected doc keeps low_quality") {
+    val nb = tmp("nb") + "/nb"
+    // positive class speaks g-words, negative class z-words
+    graft.pipeline.ClassifierOps.writeNbModel(
+      Seq((1L, "g1 g2 g3 g1 g2", true), (2L, "g2 g3 g1 g3", true),
+        (3L, "z1 z2 z3 z1 z2", false), (4L, "z2 z3 z1 z3", false))
+        .toDF("doc_id", "text", "lab"),
+      "text", "doc_id", "lab", nb, dim = 64)
+    val sNb = stores.copy(nbModelPath = Some(nb))
+    val probe = Seq((9L, "g1 g2 g3"), (15L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    val got = verdicts(b = probe, s = sNb, nbMin = Some(0L))
+    assert(got == Map(9L -> "admitted", 15L -> "classifier_reject"),
+      s"got $got")
+    // precedence: the LM stage still fires FIRST on a doc both would
+    // reject
+    val lm = tmp("nblm") + "/lm"
+    TextOps.writeLmModel(
+      Seq((5000L, "a b a b a b a b")).toDF("doc_id", "text"),
+      "text", "doc_id", lm)
+    val both = verdicts(b = probe, s = sNb.copy(lmModelPath = Some(lm)),
+      lmMin = Some(Long.MaxValue), nbMin = Some(0L))
+    assert(both == Map(9L -> "low_quality", 15L -> "low_quality"),
+      s"LM must outrank the classifier, got $both")
+    // and the knob without a model path refuses loudly
+    intercept[IllegalArgumentException] {
+      AdmissionOps.admissionVerdicts(spark, probe, "text", "doc_id",
+        stores, nbMinMarginMicro = Some(0L))
+    }
+  }
+
+  test("signatureStoreLag: in-sync loop stores report 0; a skipped " +
+    "batch shows as a lag > 1") {
+    val root = tmp("lag")
+    val out = s"$root/out"; val dg = s"$root/dg"; val mh = s"$root/mh"
+    val b0 = Seq((1L, "lag text one")).toDF("doc_id", "text")
+    assert(AdmissionOps.ingestAdmissionBatch(spark, b0, "text", "doc_id",
+      0L, out, dg, minhashIndexPath = Some(mh)))
+    assert(AdmissionOps.signatureStoreLag(spark, dg, mh) == 0L)
+    // simulate the skipped-catch-up gap: advance only the digest store
+    val b5 = Seq((5L, "lag text five")).toDF("doc_id", "text")
+    DedupOps.ingestDigestBatch(spark, dg, b5, "text", 5L,
+      1 << 20, 4)
+    assert(AdmissionOps.signatureStoreLag(spark, dg, mh) == 5L,
+      "the skipped batches must be visible as pointer lag")
   }
 
   test("admit->ingest loop: each batch's admitted digests screen the " +
