@@ -144,6 +144,61 @@ object ScaleBenchMain {
     println(f"  max-score ≡ exact, $msSec%.2f s " +
       f"(${bmSec / msSec}%.1fx vs exact; includes the compare join)")
 
+    // ---- 2b. positional forensics at scale ----------------------------
+    // the phrase/proximity rows' configuration (4-token prefix
+    // workload, k=10, W=6) served from a POSITIONAL index over the
+    // even half — the two rows round 18 re-shaped, now with
+    // driver-visible scale numbers
+    val (_, posIdxSec) = time("bm25: build POSITIONAL stored index " +
+      "(even half)") {
+      graft.pipeline.RetrievalOps.writeRetrievalIndex(evenHalf, "text",
+        "doc_id", s"$root/rtp", withPositions = true)
+    }
+    val (phRows, phSec) = time("phrase: stored probe (top-10)") {
+      graft.pipeline.RetrievalOps.phraseAgainstStoredIndex(spark,
+          s"$root/rtp", workload, "query_id", "query_text", 10)
+        .count()
+    }
+    require(phRows > 0L, "stored phrase probe returned nothing")
+    println(f"  $phRows%,d phrase rows")
+    val (pxRows, pxSec) = time("proximity: stored probe (top-10, W=6)") {
+      graft.pipeline.RetrievalOps.proximityAgainstStoredIndex(spark,
+          s"$root/rtp", workload, "query_id", "query_text", 10, 6)
+        .count()
+    }
+    require(pxRows >= phRows,
+      s"proximity ($pxRows rows) must admit at least the phrase " +
+        s"matches ($phRows) — a consecutive run IS a W-window")
+    println(f"  $pxRows%,d proximity rows")
+
+    // ---- 2c. media-hash lifecycle at scale ----------------------------
+    // the q_media_dup_index recipe (real PNG encode + decode through
+    // build -> append -> idempotent re-drop -> compact -> probe) at
+    // mult x the image count — the suite's slowest lifecycle row
+    val (mdRows, mdSec) = time("media: dup-index lifecycle " +
+      s"(${60 * mult} images, 5 jobs)") {
+      val keys = docs.select((col("doc_id") % (60L * mult))
+        .as("img_key")).distinct()
+      val corpusImgs = graft.pipeline.MultimodalOps.encodeSyntheticPng(
+        keys.filter(col("img_key") < 50L * mult), "img_key")
+      val probes = graft.pipeline.MultimodalOps.encodeSyntheticPng(
+        keys, "img_key")
+      val idxPath = s"$root/mediahash"
+      graft.pipeline.MultimodalOps.writeMediaHashIndex(
+        corpusImgs.filter(col("media_id") % 2 === 0), "content",
+        "media_id", idxPath, bands = 2)
+      graft.pipeline.MultimodalOps.appendMediaHashIndex(spark, idxPath,
+        corpusImgs.filter(col("media_id") % 2 === 1), "content",
+        "media_id")
+      graft.pipeline.MultimodalOps.appendMediaHashIndex(spark, idxPath,
+        corpusImgs, "content", "media_id") // idempotent re-drop
+      graft.pipeline.MultimodalOps.compactMediaHashIndex(spark, idxPath)
+      graft.pipeline.MultimodalOps.probeMediaHashIndex(spark, idxPath,
+        probes, "content", "media_id", maxHamming = 1).count()
+    }
+    require(mdRows > 0L, "media probe returned nothing")
+    println(f"  $mdRows%,d media dup pairs")
+
     // ---- 3. filter -> mask -> pack pipeline ---------------------------
     val (pipeRows, pipeSec) = time("e2e pipeline: filter -> mask -> " +
       "pack (full corpus)") {
@@ -168,6 +223,10 @@ object ScaleBenchMain {
       f""""bm25_index":$idxSec%.4f,"bm25_stored":$bmSec%.4f,""" +
       f""""bm25_stored_capped":$bmcSec%.4f,""" +
       f""""bm25_stored_maxscore":$msSec%.4f,""" +
+      f""""bm25_pos_index":$posIdxSec%.4f,""" +
+      f""""bm25_phrase_stored":$phSec%.4f,""" +
+      f""""bm25_proximity_stored":$pxSec%.4f,""" +
+      f""""media_dup_lifecycle":$mdSec%.4f,""" +
       f""""e2e_pipeline":$pipeSec%.4f}}""")
     spark.stop()
   }

@@ -216,6 +216,11 @@ object LinkGraphOps {
       e.select(col("__pr_src").as("host")).distinct(),
       Seq("host"), "left_anti"))
     val nHosts = nodes.count()
+    // loud named failure instead of a bare ArithmeticException from
+    // the dangling-mass division below (the module's convention)
+    require(nHosts > 0L,
+      "pageRankHostsFull: the edge relation is empty — no hosts to " +
+        "rank (check the src/dst columns or the upstream link filter)")
     val base = (1000L - dampingMilli) * 1000L
     var rank = nodes.select(col("host"), lit(1000000L).as("rank_micro"))
     var iters = 0

@@ -622,13 +622,18 @@ object PipelineStreams {
         // the unconditional check also means a previously-deferred
         // compaction catches up on the very next batch, applied or not.
         if (compactEvery > 0)
-          try graft.pipeline.WarcOps.maybeCompactWarcIndex(
-            batch.sparkSession, indexPath, compactEvery)
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            graft.pipeline.WarcOps.maybeCompactWarcIndex(
+              batch.sparkSession, indexPath, compactEvery)
+            recordCompactionResult(indexPath, failed = false)
+          } catch { case scala.util.control.NonFatal(e) =>
+            val n = recordCompactionResult(indexPath, failed = true)
             System.err.println(
               s"[graft] warc index maintainer at $indexPath: post-commit " +
                 s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds): $e")
+                s"window stays unbounded until a compaction succeeds; " +
+                s"$n consecutive failures — poll " +
+                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -697,13 +702,18 @@ object PipelineStreams {
         // (its replay would be skipped) — log it and catch up on the
         // next batch instead
         if (compactEvery > 0)
-          try graft.pipeline.MultimodalOps.maybeCompactMediaHashIndex(
-            batch.sparkSession, indexPath, compactEvery)
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            graft.pipeline.MultimodalOps.maybeCompactMediaHashIndex(
+              batch.sparkSession, indexPath, compactEvery)
+            recordCompactionResult(indexPath, failed = false)
+          } catch { case scala.util.control.NonFatal(e) =>
+            val n = recordCompactionResult(indexPath, failed = true)
             System.err.println(
               s"[graft] media-hash maintainer at $indexPath: post-commit " +
                 s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds): $e")
+                s"window stays unbounded until a compaction succeeds; " +
+                s"$n consecutive failures — poll " +
+                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -790,13 +800,18 @@ object PipelineStreams {
           batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
           batchId, shingleK, numHashes, bands, bloomBits, bloomHashes)
         if (compactEvery > 0)
-          try DedupOps.maybeCompactMinhashIndex(
-            batch.sparkSession, indexPath, compactEvery)
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            DedupOps.maybeCompactMinhashIndex(
+              batch.sparkSession, indexPath, compactEvery)
+            recordCompactionResult(indexPath, failed = false)
+          } catch { case scala.util.control.NonFatal(e) =>
+            val n = recordCompactionResult(indexPath, failed = true)
             System.err.println(
               s"[graft] minhash maintainer at $indexPath: post-commit " +
                 s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds): $e")
+                s"window stays unbounded until a compaction succeeds; " +
+                s"$n consecutive failures — poll " +
+                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -848,13 +863,18 @@ object PipelineStreams {
         // discipline: a post-commit compaction error must not mark an
         // already-committed batch failed
         if (compactEvery > 0)
-          try DedupOps.maybeCompactDigestIndex(
-            batch.sparkSession, indexPath, compactEvery)
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            DedupOps.maybeCompactDigestIndex(
+              batch.sparkSession, indexPath, compactEvery)
+            recordCompactionResult(indexPath, failed = false)
+          } catch { case scala.util.control.NonFatal(e) =>
+            val n = recordCompactionResult(indexPath, failed = true)
             System.err.println(
               s"[graft] digest maintainer at $indexPath: post-commit " +
                 s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds): $e")
+                s"window stays unbounded until a compaction succeeds; " +
+                s"$n consecutive failures — poll " +
+                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -896,13 +916,18 @@ object PipelineStreams {
           batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
           batchId, withPositions = withPositions)
         if (compactEvery > 0)
-          try graft.pipeline.RetrievalOps.maybeCompactRetrievalIndex(
-            batch.sparkSession, indexPath, compactEvery)
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            graft.pipeline.RetrievalOps.maybeCompactRetrievalIndex(
+              batch.sparkSession, indexPath, compactEvery)
+            recordCompactionResult(indexPath, failed = false)
+          } catch { case scala.util.control.NonFatal(e) =>
+            val n = recordCompactionResult(indexPath, failed = true)
             System.err.println(
               s"[graft] retrieval maintainer at $indexPath: post-commit " +
                 s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds): $e")
+                s"window stays unbounded until a compaction succeeds; " +
+                s"$n consecutive failures — poll " +
+                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -969,13 +994,18 @@ object PipelineStreams {
         // discipline: a post-commit compaction error must not mark an
         // already-committed batch failed
         if (compactEvery > 0)
-          try DedupOps.maybeCompactDigestIndex(
-            batch.sparkSession, digestIndexPath, compactEvery)
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            DedupOps.maybeCompactDigestIndex(
+              batch.sparkSession, digestIndexPath, compactEvery)
+            recordCompactionResult(digestIndexPath, failed = false)
+          } catch { case scala.util.control.NonFatal(e) =>
+            val n = recordCompactionResult(digestIndexPath, failed = true)
             System.err.println(
               s"[graft] admission loop at $digestIndexPath: post-commit " +
                 s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds): $e")
+                s"window stays unbounded until a compaction succeeds; " +
+                s"$n consecutive failures — poll " +
+                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -1043,10 +1073,17 @@ object PipelineStreams {
       String, java.util.concurrent.atomic.AtomicLong]()
 
   /** How many compaction attempts in a row have failed for the
-    * maintainer at `indexPath` (0 = healthy / none yet). Poll it from
-    * the monitoring loop that also reads the stream's progress. */
-  def hostGraphCompactionFailures(indexPath: String): Long =
+    * maintainer at `indexPath` (0 = healthy / none yet) — ANY of the
+    * compacting maintainer legs (WARC/media-hash/minhash/digest/
+    * retrieval/admission/host-graph; the map is keyed by store path).
+    * Poll it from the monitoring loop that also reads the stream's
+    * progress. */
+  def compactionFailuresFor(indexPath: String): Long =
     Option(compactionFailures.get(indexPath)).map(_.get()).getOrElse(0L)
+
+  /** Back-compat alias (the host-graph leg grew the counter first). */
+  def hostGraphCompactionFailures(indexPath: String): Long =
+    compactionFailuresFor(indexPath)
 
   private[streaming] def recordCompactionResult(indexPath: String,
                                                 failed: Boolean): Long = {

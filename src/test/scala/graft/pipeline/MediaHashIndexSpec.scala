@@ -254,6 +254,8 @@ class MediaHashIndexSpec extends AnyFunSuite {
           m.getAs[Long]("epoch") - m.getAs[Long]("hash_base") + 1 <= 2
         } catch { case scala.util.control.NonFatal(_) => false })
     } finally q2.stop()
+    assert(graft.streaming.PipelineStreams.compactionFailuresFor(idx) == 0L,
+      "a healthy media-hash maintainer must report zero failures")
   }
 
   test("a swap that died between delete and rename is RECOVERED by the " +

@@ -165,6 +165,8 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
         } catch { case _: IllegalStateException => false })
     } finally q2.stop()
     assert(flags(index).map(_.head) == Set(11L, 13L, 15L))
+    assert(PipelineStreams.compactionFailuresFor(index) === 0L,
+      "a healthy minhash maintainer must report zero failures")
   }
 
   test("digestMaintainStream: landed document batches keep the stored " +
@@ -225,6 +227,8 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     } finally q2.stop()
     // 10/11/12 are stored dups; 13/14 share novel content, 13 survives
     assert(survivors(index).map(_.head) == Set(13L))
+    assert(PipelineStreams.compactionFailuresFor(index) === 0L,
+      "a healthy digest maintainer must report zero failures")
   }
 
   test("admissionMaintainStream: arriving batches admit against the " +
@@ -278,6 +282,8 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     // the loop's store covers exactly the admitted corpus
     val m = graft.pipeline.DedupOps.readDigestIndexMeta(spark, dg)
     assert(m.digestCount == 4L, s"alpha/beta/gamma/delta, meta was $m")
+    assert(PipelineStreams.compactionFailuresFor(dg) === 0L,
+      "a healthy admission loop must report zero failures")
   }
 
   test("crawl -> text -> admit, end to end: warcTextStream feeds " +
@@ -434,6 +440,8 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
           m.epoch - m.base + 1 <= 2
         } catch { case _: IllegalStateException => false })
     } finally q2.stop()
+    assert(PipelineStreams.compactionFailuresFor(index) === 0L,
+      "a healthy retrieval maintainer must report zero failures")
   }
 
   test("hostGraphMaintainStream: landed edge batches keep the stored " +
@@ -511,6 +519,11 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     PipelineStreams.recordCompactionResult(pA, failed = false)
     assert(PipelineStreams.hostGraphCompactionFailures(pA) === 0L,
       "a successful compaction check resets the streak")
+    // the generic accessor is the same counter (one map, keyed by path)
+    PipelineStreams.recordCompactionResult(pB, failed = true)
+    assert(PipelineStreams.compactionFailuresFor(pB) === 1L &&
+      PipelineStreams.hostGraphCompactionFailures(pB) === 1L)
+    PipelineStreams.recordCompactionResult(pB, failed = false)
   }
 
   test("crawl -> graph, end to end: landed .warc.gz files keep the " +

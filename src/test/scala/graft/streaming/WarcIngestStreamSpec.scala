@@ -168,6 +168,8 @@ class WarcIngestStreamSpec extends AnyFunSuite {
     // file was ever walked twice (the walked union holds each id once)
     assert(readIdx == expect(Seq(0L, 1L, 2L, 3L)) && readIdx.nonEmpty)
     val meta = spark.read.parquet(s"$idx/meta").collect()(0)
+    assert(PipelineStreams.compactionFailuresFor(idx) === 0L,
+      "a healthy warc maintainer must report zero failures")
     val walkedAll = spark.read.parquet(
       (meta.getAs[Long]("base_epoch") to meta.getAs[Long]("epoch"))
         .map(WarcOps.warcIndexWalkedDir(idx, _)): _*).collect()
