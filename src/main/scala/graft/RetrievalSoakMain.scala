@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * agree row-for-row (stored ≡ declarative, at scale).
   *
   * Inputs are deterministic functions of spark.range — no files, no
-  * RNG. Args: [nDocs] (default 1M). */
+  * RNG. Args: [nDocs] (default 1M). Run with SPARK_DRIVER_MEM=16g at
+  * the 1M default: the proximity leg's verify-first prefix pass is a
+  * ~10M-row aggregation on top of the legs' accumulated severed
+  * blocks, and the 8g default heap GC-thrashed there (exit 52). */
 object RetrievalSoakMain {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
