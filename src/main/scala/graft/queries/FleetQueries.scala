@@ -5,12 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.FleetOps
 
 /** Fleet-observability registry row — the managed-artifact dashboard
-  * ([[graft.pipeline.FleetOps]]) over two of the build-once cached
-  * lifecycles (the stored exact-digest index and the stored retrieval
-  * index). Both artifacts are built write→append→compact, so every
-  * meta value the dashboard reports is DERIVABLE: the window pointers
-  * from the lifecycle's step count, the counters from the documents
-  * table — which is exactly what the oracle recomputes. The on-disk
+  * ([[graft.pipeline.FleetOps]]) over five of the build-once cached
+  * lifecycles (the stored exact-digest index, the stored retrieval
+  * index, the host graph, the BPE tokenizer, and the NB quality
+  * model). The index artifacts are built write→append→compact and the
+  * models write-once, so every meta value the dashboard reports is
+  * DERIVABLE: the window pointers from the lifecycle's step count,
+  * the counters from the documents table — which is exactly what the
+  * oracle recomputes. The on-disk
   * layout tallies ([[FleetOps.artifactLayout]]) are file-layout facts
   * with no SQL derivation; FleetOpsSpec pins those. */
 object FleetQueries {
@@ -26,7 +28,8 @@ object FleetQueries {
       "retrieval_index" ->
         RetrievalQueries.storedRetrievalIdxDir(spark, sfDir, d),
       "host_graph" -> GraphQueries.storedHostGraphDir(spark, sfDir, d),
-      "bpe_model" -> TextQueries.storedBpeDir(spark, sfDir)))
+      "bpe_model" -> TextQueries.storedBpeDir(spark, sfDir),
+      "nb_model" -> TextQueries.storedNbDir(spark, sfDir, d)))
   }
 
   /** Every meta value, recomputed: the pointers from the
@@ -35,8 +38,8 @@ object FleetQueries {
     * index (distinct digests for the digest index; doc/token counts
     * for the retrieval index; the block-max modulus re-picked at the
     * compaction from the even-half doc count — RetrievalOps
-    * .blockCountFor verbatim), the geometry from the builders'
-    * defaults. */
+    * .blockCountFor verbatim; per-class doc and non-empty-token counts
+    * for the NB model), the geometry from the builders' defaults. */
   def fleetHealthSql: String = {
     val toks = graft.pipeline.TextOps.tokensSql("text")
     s"""WITH even AS (
@@ -45,6 +48,19 @@ object FleetQueries {
        |  SELECT CAST(count(*) AS VARCHAR) AS n_docs,
        |    CAST(CAST(sum(len($toks)) AS BIGINT) AS VARCHAR) AS tot
        |  FROM even
+       |), nbtok AS (
+       |  SELECT (lang = 'en') AS lab,
+       |    CAST(len(list_filter($toks, t -> len(t) > 0)) AS BIGINT) AS nt
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), nb AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (lab) AS VARCHAR) AS n_pos,
+       |    CAST(count(*) FILTER (NOT lab) AS VARCHAR) AS n_neg,
+       |    CAST(CAST(coalesce(sum(nt) FILTER (lab), 0) AS BIGINT)
+       |      AS VARCHAR) AS t_pos,
+       |    CAST(CAST(coalesce(sum(nt) FILTER (NOT lab), 0) AS BIGINT)
+       |      AS VARCHAR) AS t_neg
+       |  FROM nbtok
        |), dg AS (
        |  SELECT CAST(count(DISTINCT md5(text)) AS VARCHAR) AS n FROM even
        |), hrows AS (
@@ -82,6 +98,11 @@ object FleetQueries {
        |  ('host_graph', 'row_count', (SELECT v FROM hg_rc)),
        |  ('host_graph', 'total_w', (SELECT v FROM hg_tw)),
        |  ('host_graph', 'last_batch_id', '-1'),
+       |  ('nb_model', 'dim', '256'),
+       |  ('nb_model', 'n_pos', (SELECT n_pos FROM nb)),
+       |  ('nb_model', 'n_neg', (SELECT n_neg FROM nb)),
+       |  ('nb_model', 't_pos', (SELECT t_pos FROM nb)),
+       |  ('nb_model', 't_neg', (SELECT t_neg FROM nb)),
        |  ('bpe_model', 'n_merges', '8'),
        |  ('bpe_model', 'end_of_word', 'false'),
        |  ('bpe_model', 'epoch', '0')

@@ -2398,7 +2398,7 @@ object TextQueries {
 
   /** The persisted NB quality model: even-half train slice, positive
     * class = English docs. */
-  private def storedNbDir(spark: SparkSession, sfDir: String,
+  private[queries] def storedNbDir(spark: SparkSession, sfDir: String,
                           d: DataFrame): String =
     cachedArtifactDir("nb_model_v1", sfDir,
       d.filter(col("doc_id") % 2 === 0)) { dir =>
