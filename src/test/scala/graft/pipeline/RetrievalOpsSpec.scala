@@ -214,6 +214,18 @@ class RetrievalOpsSpec extends AnyFunSuite {
       (12L, 1L) -> 2L, (12L, 3L) -> 1L,
       (13L, 4L) -> 2L),
       s"got $got")
+    // SINGLE-TOKEN phrases take the count-only lane (no adjacency to
+    // anchor on): occurrences = the token's tf, per doc; mixed with an
+    // m >= 2 query in one workload (the union seam), and a single
+    // ABSENT token emits nothing
+    val got1 = matchesOf(docs, Seq((20L, "a"), (21L, "c"),
+      (22L, "a b"), (23L, "zz")))
+    assert(got1 == Map(
+      (20L, 1L) -> 3L, (20L, 2L) -> 1L, (20L, 3L) -> 1L,
+      (20L, 4L) -> 3L, (20L, 5L) -> 1L,
+      (21L, 2L) -> 1L, (21L, 3L) -> 1L, (21L, 5L) -> 1L,
+      (22L, 1L) -> 2L, (22L, 2L) -> 1L),
+      s"got $got1")
   }
 
   test("bm25ProximityTopK: window semantics — any order counts, gaps " +
