@@ -233,6 +233,7 @@ object AdmissionOps {
                            nearDupMinAgree: Double = 0.5,
                            decontamMinOverlap: Long = 5L,
                            lmMinAvgScore: Option[Long] = None,
+                           nbMinMarginMicro: Option[Long] = None,
                            bloomBits: Int = 1 << 20,
                            bloomHashes: Int = 4,
                            minhashIndexPath: Option[String] = None,
@@ -294,7 +295,7 @@ object AdmissionOps {
         if (hasMinhash) minhashIndexPath else staticStores.minhashIndexPath)
     val admitted = admitAgainstStores(spark, batch, textCol, idCol,
       stores, langCode, minQuality, nearDupMinAgree, decontamMinOverlap,
-      lmMinAvgScore)
+      lmMinAvgScore, nbMinMarginMicro)
       .localCheckpoint() // consumed thrice: landing write + both ingests
     try {
       admitted.write.mode("overwrite").parquet(s"$outDir/b$batchId")

@@ -959,6 +959,7 @@ object PipelineStreams {
                               nearDupMinAgree: Double = 0.5,
                               decontamMinOverlap: Long = 5L,
                               lmMinAvgScore: Option[Long] = None,
+                              nbMinMarginMicro: Option[Long] = None,
                               bloomBits: Int = 1 << 20,
                               bloomHashes: Int = 4,
                               compactEvery: Int = 0)
@@ -973,6 +974,8 @@ object PipelineStreams {
         "not staticStores.digestIndexPath")
     require(lmMinAvgScore.isEmpty || staticStores.lmModelPath.nonEmpty,
       "lmMinAvgScore needs staticStores.lmModelPath")
+    require(nbMinMarginMicro.isEmpty || staticStores.nbModelPath.nonEmpty,
+      "nbMinMarginMicro needs staticStores.nbModelPath")
     require(bloomBits >= 64 && bloomBits % 64 == 0 &&
         bloomBits <= (1 << 27),
       s"bloomBits must be a positive multiple of 64 up to 2^27, " +
@@ -989,7 +992,7 @@ object PipelineStreams {
           batch.sparkSession, batch.toDF(), textCol, idCol, batchId,
           outDir, digestIndexPath, staticStores, langCode, minQuality,
           nearDupMinAgree, decontamMinOverlap, lmMinAvgScore,
-          bloomBits, bloomHashes)
+          nbMinMarginMicro, bloomBits, bloomHashes)
         // unconditional + caught, the warcIndexMaintainStream
         // discipline: a post-commit compaction error must not mark an
         // already-committed batch failed
