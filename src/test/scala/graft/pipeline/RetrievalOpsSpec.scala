@@ -663,6 +663,36 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(!RetrievalOps.upgradeRetrievalIndex(spark, dir))
   }
 
+  test("verify-first FALLBACK lane: a window match ranked beyond the " +
+    "scored prefix is still found — the residue's bag-intersected " +
+    "pass completes the answer exactly") {
+    // 400 docs all contain both query terms (every doc a bag
+    // candidate, > the 256-wide prefix); only the LONGEST doc — the
+    // worst bag score, provably outside the prefix — has them
+    // adjacent. The done-check cannot stop early (0 matches in the
+    // prefix, candidates exceed it), so the residue lane must find it.
+    val docs = (1L to 400L).map { i =>
+      val filler = (1L to i).map(j => s"f${i}_$j")
+      if (i == 400L) (i, (filler ++ Seq("pa", "pb")).mkString(" "))
+      else (i, ("pa" +: filler :+ "pb").mkString(" "))
+    }
+    val out = RetrievalOps.bm25ProximityTopK(docs.toDF("doc_id", "text"),
+        "text", "doc_id", queriesDf(Seq((1L, "pa pb"))), "query_id",
+        "query_text", 10, windowTokens = 2)
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 400L &&
+      out(0).getAs[Long]("n_windows") == 1L &&
+      out(0).getAs[Long]("rank") == 1L,
+      s"fallback lane must surface the late-ranked match: " +
+        out.mkString(", "))
+    // and its score is the shared bag kernel's
+    val bag = collectTopK(RetrievalOps.bm25TopK(docs.toDF("doc_id", "text"),
+      "text", "doc_id", queriesDf(Seq((1L, "pa pb"))), "query_id",
+      "query_text", 400)).collectFirst {
+        case (_, _, 400L, s) => s }.get
+    assert(out(0).getAs[Long]("score_micro") == bag)
+  }
+
   test("proximity_windows kernel: duplicate positions do not double-" +
     "count anchors; fewer distinct tokens than m yields 0; the " +
     "slot-width guard refuses a >128-token list loudly") {
