@@ -964,4 +964,413 @@ object StatsOps {
        |)
        |SELECT q_permille, min(CASE WHEN cum >= rank THEN v END) AS value
        |FROM cum, ranks GROUP BY q_permille""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Count-min frequency sketch (Cormode & Muthukrishnan, "An improved
+  // data stream summary: the count-min sketch and its applications",
+  // J. Algorithms 2005) — the FREQUENCY member of the sketch family:
+  // HLL answers "how many distinct", the quantile sketch answers "what
+  // value at rank r", this answers "how often does item x occur"
+  // without ever holding the key space. depth×width integer cells,
+  // point estimate = min over rows, NEVER an underestimate; cell-wise
+  // SUM is the merge, so sketches of slices union into the sketch of
+  // the whole — the property the persisted-epoch lifecycle below and
+  // any per-executor partial aggregation both lean on.
+  // -------------------------------------------------------------------
+
+  /** Pinned Carter–Wegman row-hash constants h_j = (A_j·h + B_j) mod P,
+    * P = StringPolyHash.Mod: arbitrary fixed values in [1, P) / [0, P),
+    * identical literals in the Spark expression and the DuckDB oracle.
+    * (P−1)·A_j + B_j < 2^60 — exact int64 in both engines. */
+  private val CmsA = Seq(1000003L, 998244353L, 777767777L, 433494437L,
+    268435459L, 918273645L, 500000003L, 122949829L)
+  private val CmsB = Seq(0L, 362436069L, 521288629L, 88675123L,
+    5783321L, 6615241L, 987654321L, 43112609L)
+
+  /** Max depth is the pinned constant table's length; width caps keep
+    * the cell relation executor-trivial (≤ groups × depth × width). */
+  private def requireCmsGeom(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= CmsA.length,
+      s"cms depth must be in [1, ${CmsA.length}], got $depth")
+    require(width >= 16 && width <= (1 << 20),
+      s"cms width must be in [16, 2^20], got $width")
+  }
+
+  /** The same two-round modular-squaring mix HLL uses, same constants,
+    * same rationale (see [[hllRegisters]]): the raw poly hash of short
+    * sequential strings is near-arithmetic, and the row hashes are
+    * LINEAR in h — without a non-linear pre-mix, an arithmetic
+    * progression of items walks every row's cells in lockstep and
+    * collisions stop being independent across rows. h < 2^30 keeps
+    * h² < 2^60: exact, no floats. */
+  private def cmsMix(h0: Column): Column = {
+    val p0 = graft.functions.StringPolyHash.Mod
+    val r1 = pmod(h0 * h0 + lit(2654435761L), lit(p0))
+    pmod(r1 * r1 + lit(40503L), lit(p0))
+  }
+
+  private def cmsHashed(df: DataFrame, groupCols: Seq[String],
+                        value: Column): DataFrame = {
+    val clash = df.columns.filter(_.startsWith("__cms_"))
+    require(clash.isEmpty,
+      s"input already has reserved __cms_ columns: ${clash.toSet}")
+    df.select(groupCols.map(col) :+ value.as("__cms_v"): _*)
+      .filter(col("__cms_v").isNotNull)
+      .withColumn("__cms_h", cmsMix(graft.functions.StringPolyHash
+        .polyHash(col("__cms_v").cast("string"))))
+  }
+
+  /** (…, __cms_j, __cms_cell) for j in [0, depth): the row/cell address
+    * of one item under the pinned hash family. */
+  private def withCmsCells(hashed: DataFrame, depth: Int,
+                           width: Int): DataFrame = {
+    val p0 = graft.functions.StringPolyHash.Mod
+    val aArr = array(CmsA.take(depth).map(lit): _*)
+    val bArr = array(CmsB.take(depth).map(lit): _*)
+    hashed
+      .withColumn("__cms_j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__cms_cell", pmod(
+        pmod(element_at(aArr, col("__cms_j") + 1) * col("__cms_h")
+          + element_at(bArr, col("__cms_j") + 1), lit(p0)),
+        lit(width.toLong)))
+  }
+
+  /** Per-group count-min cell relation (group…, __cms_j, __cms_cell,
+    * __cms_n): ≤ groups × depth × width rows regardless of input size.
+    * ONE pass over the data — the groupBy partial-aggregates map-side,
+    * so the shuffle carries at most the cell relation per partition,
+    * never the item stream. Null items drop (the HLL convention). */
+  def cmsCells(df: DataFrame, groupCols: Seq[String], value: Column,
+               depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(groupCols.nonEmpty, "cmsCells needs group columns")
+    requireCmsGeom(depth, width)
+    withCmsCells(cmsHashed(df, groupCols, value), depth, width)
+      .groupBy(groupCols.map(col) :+ col("__cms_j") :+ col("__cms_cell"): _*)
+      .agg(count(lit(1)).as("__cms_n"))
+  }
+
+  /** Point estimates off a cell relation: for each probe row (group…,
+    * itemCol), est = min over the depth rows of its cell counts, 0 when
+    * a cell is absent (an item the sketch never saw). The guarantee is
+    * one-sided: est ≥ the item's true count, always. The cell relation
+    * is ≤ groups × depth × width rows, so AQE broadcasts it and the
+    * probe side never shuffles beyond its own depth-fold groupBy. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame,
+                  groupCols: Seq[String], itemCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    requireCmsGeom(depth, width)
+    val gs = groupCols.map(col)
+    val pc = withCmsCells(
+      cmsHashed(probes, groupCols, col(itemCol)), depth, width)
+      .select(gs :+ col("__cms_v").as(itemCol) :+ col("__cms_j")
+        :+ col("__cms_cell"): _*)
+    pc.join(cells, groupCols :+ "__cms_j" :+ "__cms_cell", "left")
+      .groupBy(gs :+ col(itemCol): _*)
+      .agg(min(coalesce(col("__cms_n"), lit(0L))).as("est"))
+  }
+
+  /** Heavy hitters in one declarative plan: items whose CMS estimate
+    * reaches `minFreq`, returned as (group…, itemCol, est). No false
+    * negatives ever (est ≥ truth); false positives are bounded by the
+    * sketch's ε = e/width overestimate band. The candidate relation is
+    * the distinct item stream — linear, one shuffle — and at serving
+    * scale the candidates come from a delta batch probed against a
+    * STORED sketch ([[estimateFromStoredCms]]) instead. */
+  def cmsHeavyHitters(df: DataFrame, groupCols: Seq[String], value: Column,
+                      depth: Int, width: Int, minFreq: Long,
+                      itemCol: String = "item"): DataFrame = {
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
+    val items = df.select(groupCols.map(col) :+ value.as(itemCol): _*)
+      .filter(col(itemCol).isNotNull)
+    val cells = cmsCells(items, groupCols, col(itemCol), depth, width)
+    cmsEstimate(cells, items.distinct(), groupCols, itemCol, depth, width)
+      .filter(col("est") >= minFreq)
+  }
+
+  /** Evaluation form — (group…, itemCol, n_exact, est) for every item
+    * the sketch flags at `minFreq`: the exact count sits next to the
+    * estimate so the overestimate band is MEASURED in the row, the
+    * hllDistinctByGroup discipline. A flagged false positive (est ≥
+    * minFreq, n_exact < minFreq) appears with its true count — that is
+    * the honest CMS semantics, and the oracle reproduces it exactly. */
+  def cmsHeavyHittersWithExact(df: DataFrame, groupCols: Seq[String],
+                               value: Column, depth: Int, width: Int,
+                               minFreq: Long,
+                               itemCol: String = "item"): DataFrame = {
+    val items = df.select(groupCols.map(col) :+ value.as(itemCol): _*)
+      .filter(col(itemCol).isNotNull)
+    val exact = items.groupBy(groupCols.map(col) :+ col(itemCol): _*)
+      .agg(count(lit(1)).as("n_exact"))
+    cmsHeavyHitters(df, groupCols, value, depth, width, minFreq, itemCol)
+      .join(exact, groupCols :+ itemCol)
+      .select(groupCols.map(col) :+ col(itemCol) :+ col("n_exact")
+        :+ col("est"): _*)
+  }
+
+  // --- persisted CMS lifecycle (the epoch'd-artifact discipline the
+  // --- HLL register index set: immutable epoch dirs, meta swapped
+  // --- last, superseded epochs GC'd one commit late) ---
+
+  private[graft] final case class CmsIndexMeta(
+      depth: Int, width: Int, groupCols: Seq[String], cellRows: Long,
+      epoch: Long, lastBatchId: Long)
+
+  private def cmsEpochDir(path: String, epoch: Long): String =
+    s"$path/cells/e$epoch"
+
+  private def cmsSegmentsDir(path: String, epoch: Long): String =
+    s"$path/segments/e$epoch"
+
+  /** The epoch's covered-segment ids; a pre-ledger epoch (or epoch -1
+    * on the initial commit) has no segments relation — read as empty. */
+  private def readCmsSegments(spark: org.apache.spark.sql.SparkSession,
+                              path: String, epoch: Long): DataFrame = {
+    val d = new org.apache.hadoop.fs.Path(cmsSegmentsDir(path, epoch))
+    if (epoch >= 0 &&
+        d.getFileSystem(spark.sessionState.newHadoopConf()).exists(d))
+      spark.read.parquet(d.toString)
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF("segment_id")
+    }
+  }
+
+  private def swapCmsMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String, meta: CmsIndexMeta): Unit = {
+    import spark.implicits._
+    MetaIO.swapMetaRow(spark, path, "cms index",
+      Seq((meta.depth.toLong, meta.width.toLong,
+          meta.groupCols.mkString(","), meta.cellRows, meta.epoch,
+          meta.lastBatchId))
+        .toDF("depth", "width", "group_cols", "cell_rows", "epoch",
+          "last_batch_id"))
+  }
+
+  private[graft] def readCmsIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): CmsIndexMeta = {
+    val r = MetaIO.readMetaRow(spark, path, "cms index", "index")
+    CmsIndexMeta(r.getAs[Long]("depth").toInt, r.getAs[Long]("width").toInt,
+      r.getAs[String]("group_cols").split(",").toSeq,
+      r.getAs[Long]("cell_rows"), r.getAs[Long]("epoch"),
+      r.getAs[Long]("last_batch_id"))
+  }
+
+  private def commitCmsEpoch(spark: org.apache.spark.sql.SparkSession,
+                             path: String, cells: DataFrame,
+                             groupCols: Seq[String], depth: Int, width: Int,
+                             epoch: Long, lastBatchId: Long,
+                             segments: Option[DataFrame] = None): Unit = {
+    cells.write.mode("overwrite").parquet(cmsEpochDir(path, epoch))
+    // the covered-segment ledger commits with the epoch so the meta
+    // swap publishes cells and ledger atomically (the quantile-index
+    // discipline); callers without an identity carry it forward
+    segments.getOrElse(readCmsSegments(spark, path, epoch - 1))
+      .select(col("segment_id").cast("string").as("segment_id")).distinct()
+      .write.mode("overwrite").parquet(cmsSegmentsDir(path, epoch))
+    val stored = spark.read.parquet(cmsEpochDir(path, epoch))
+    swapCmsMeta(spark, path,
+      CmsIndexMeta(depth, width, groupCols, stored.count(), epoch,
+        lastBatchId))
+    MetaIO.pruneEpochs(spark, Seq(s"$path/cells", s"$path/segments"),
+      superseded = epoch - 1)
+  }
+
+  /** Build-and-persist: one partial-aggregated cell fold over the data
+    * (the plan's only corpus-sized shuffle) → epoch 0 commit. */
+  def writeCmsIndex(df: DataFrame, groupCols: Seq[String], value: Column,
+                    path: String, depth: Int = 4, width: Int = 1024): Unit = {
+    requireCmsGeom(depth, width)
+    commitCmsEpoch(df.sparkSession, path,
+      cmsCells(df, groupCols, value, depth, width), groupCols, depth,
+      width, epoch = 0L, lastBatchId = -1L)
+  }
+
+  /** Fold a new data slice into the stored cells: the DELTA's cell
+    * relation SUM-merges with the stored one by (group, j, cell) into a
+    * NEW immutable epoch — one cell fold over the delta plus a
+    * ≤ 2 × groups × depth × width merge groupBy; earlier data is never
+    * rescanned. Geometry and group columns are pinned by meta. NO
+    * replay protection of its own (cell counts are an identity-free
+    * value fold): a retried feed goes through [[ingestCmsBatch]] or
+    * [[ingestCmsSegment]] instead. */
+  def appendCmsIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, df: DataFrame, value: Column): Unit = {
+    val meta = readCmsIndexMeta(spark, path)
+    val delta = cmsCells(df, meta.groupCols, value, meta.depth, meta.width)
+    val merged = spark.read.parquet(cmsEpochDir(path, meta.epoch))
+      .unionByName(delta)
+      .groupBy(meta.groupCols.map(col) :+ col("__cms_j")
+        :+ col("__cms_cell"): _*)
+      .agg(sum(col("__cms_n")).as("__cms_n"))
+    commitCmsEpoch(spark, path, merged, meta.groupCols, meta.depth,
+      meta.width, meta.epoch + 1, meta.lastBatchId)
+  }
+
+  /** EXACTLY-ONCE streaming ingest — the foreachBatch body of a
+    * micro-batched frequency feed. Cell counts are NOT idempotent (a
+    * replayed batch would double-count), so each applied batch id
+    * commits WITH the epoch behind the same last-swapped meta: on a
+    * foreachBatch retry the recorded `lastBatchId` makes the replay a
+    * no-op; a commit that died before the swap left the old pointer,
+    * so the retry re-applies cleanly. An id regressing by more than
+    * the one-batch replay window (a reset checkpoint, a second
+    * maintainer) REFUSES loudly. First call on an empty path builds
+    * the artifact; cells with no recoverable meta are refused, never
+    * rebuilt over. Returns whether the batch was applied. */
+  def ingestCmsBatch(spark: org.apache.spark.sql.SparkSession,
+                     path: String, batch: DataFrame,
+                     groupCols: Seq[String], value: Column,
+                     batchId: Long, depth: Int = 4,
+                     width: Int = 1024): Boolean = {
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      MetaIO.requireNoOrphanData(spark, "cms index", s"$path/cells")
+      requireCmsGeom(depth, width)
+      commitCmsEpoch(spark, path,
+        cmsCells(batch, groupCols, value, depth, width), groupCols,
+        depth, width, epoch = 0L, lastBatchId = batchId)
+      true
+    } else {
+      val meta = readCmsIndexMeta(spark, path)
+      if (batchId <= meta.lastBatchId) {
+        MetaIO.requireReplayNotRegression("cms index", path,
+          batchId, meta.lastBatchId, "counts",
+          "ingestCmsSegment (with a ledger id) or appendCmsIndex")
+        false // replayed batch: no-op
+      } else {
+        val delta = cmsCells(batch, meta.groupCols, value, meta.depth,
+          meta.width)
+        val merged = spark.read.parquet(cmsEpochDir(path, meta.epoch))
+          .unionByName(delta)
+          .groupBy(meta.groupCols.map(col) :+ col("__cms_j")
+            :+ col("__cms_cell"): _*)
+          .agg(sum(col("__cms_n")).as("__cms_n"))
+        commitCmsEpoch(spark, path, merged, meta.groupCols, meta.depth,
+          meta.width, meta.epoch + 1, batchId)
+        true
+      }
+    }
+  }
+
+  /** LEDGERED append — the opt-in re-drop protection for orchestrated
+    * (non-streaming) feeds, exactly the quantile index's segment
+    * ledger: when the caller can NAME the slice (a crawl day, a
+    * segment path), the name commits in a covered-segments relation
+    * behind the same meta swap as the cells, and a re-drop of a
+    * covered `segmentId` is a no-op — crash-safe because a commit that
+    * died pre-swap left neither cells nor ledger. First call on an
+    * empty path builds the artifact. Returns whether the segment was
+    * applied (false = already covered). */
+  def ingestCmsSegment(spark: org.apache.spark.sql.SparkSession,
+                       path: String, df: DataFrame,
+                       groupCols: Seq[String], value: Column,
+                       segmentId: String, depth: Int = 4,
+                       width: Int = 1024): Boolean = {
+    import spark.implicits._
+    require(segmentId.nonEmpty, "segmentId must be a non-empty name")
+    val one = Seq(segmentId).toDF("segment_id")
+    if (!MetaIO.metaExistsOrRecover(spark, path)) {
+      MetaIO.requireNoOrphanData(spark, "cms index", s"$path/cells")
+      requireCmsGeom(depth, width)
+      commitCmsEpoch(spark, path,
+        cmsCells(df, groupCols, value, depth, width), groupCols, depth,
+        width, epoch = 0L, lastBatchId = -1L, segments = Some(one))
+      true
+    } else {
+      val meta = readCmsIndexMeta(spark, path)
+      val covered = readCmsSegments(spark, path, meta.epoch)
+      if (!covered.filter(col("segment_id") === segmentId).isEmpty)
+        false // re-dropped segment: the retry is a no-op
+      else {
+        val delta = cmsCells(df, meta.groupCols, value, meta.depth,
+          meta.width)
+        val merged = spark.read.parquet(cmsEpochDir(path, meta.epoch))
+          .unionByName(delta)
+          .groupBy(meta.groupCols.map(col) :+ col("__cms_j")
+            :+ col("__cms_cell"): _*)
+          .agg(sum(col("__cms_n")).as("__cms_n"))
+        commitCmsEpoch(spark, path, merged, meta.groupCols, meta.depth,
+          meta.width, meta.epoch + 1, meta.lastBatchId,
+          segments = Some(covered.unionByName(one)))
+        true
+      }
+    }
+  }
+
+  /** Frequency estimates off the STORED cells for a probe relation —
+    * no data scan: the inputs are the probe stream and the
+    * ≤ groups × depth × width cell relation of the meta-pointed epoch
+    * (resolved once, so a probe racing an append sees one consistent
+    * snapshot). Cell sum is associative, so this ≡ the one-shot
+    * estimate over the union of every slice ever folded in. */
+  def estimateFromStoredCms(spark: org.apache.spark.sql.SparkSession,
+                            path: String, probes: DataFrame,
+                            itemCol: String): DataFrame = {
+    val meta = readCmsIndexMeta(spark, path)
+    cmsEstimate(spark.read.parquet(cmsEpochDir(path, meta.epoch)), probes,
+      meta.groupCols, itemCol, meta.depth, meta.width)
+  }
+
+  /** Shared DuckDB CTE chain over a (group, v) relation `src`:
+    * rows0 → r1/hs (the two-round mix, each round computed once) →
+    * cellrows (the depth × rows cell addresses) → cells (the sketch) →
+    * est (min-over-rows point estimates for every distinct item).
+    * Constants mirror [[CmsA]]/[[CmsB]]/[[cmsMix]] exactly. */
+  private def cmsCtesSql(srcSql: String, groupCol: String, depth: Int,
+                         width: Int): String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("CAST(v AS VARCHAR)")
+    val p0 = graft.functions.StringPolyHash.Mod
+    val aList = CmsA.take(depth).mkString("[", ", ", "]")
+    val bList = CmsB.take(depth).mkString("[", ", ", "]")
+    s"""rows0 AS (
+       |  SELECT $groupCol, v FROM ($srcSql) WHERE v IS NOT NULL
+       |), h0 AS (
+       |  SELECT $groupCol, v, $ph AS h0 FROM rows0
+       |), r1 AS (
+       |  SELECT $groupCol, v, (h0 * h0 + 2654435761) % $p0 AS r1 FROM h0
+       |), hs AS (
+       |  SELECT $groupCol, v, (r1 * r1 + 40503) % $p0 AS h FROM r1
+       |), cellrows AS (
+       |  SELECT $groupCol, v, j,
+       |    ((($aList)[j + 1] * h + ($bList)[j + 1]) % $p0) % $width AS cell
+       |  FROM hs, (SELECT unnest(range(0, $depth)) AS j)
+       |), cells AS (
+       |  SELECT $groupCol, j, cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM cellrows GROUP BY $groupCol, j, cell
+       |), est AS (
+       |  SELECT p.$groupCol, p.v, min(coalesce(c.n, 0::BIGINT)) AS est
+       |  FROM (SELECT DISTINCT $groupCol, v, j, cell FROM cellrows) p
+       |  LEFT JOIN cells c ON p.$groupCol = c.$groupCol AND p.j = c.j
+       |    AND p.cell = c.cell
+       |  GROUP BY p.$groupCol, p.v
+       |)""".stripMargin
+  }
+
+  /** [[cmsCells]]'s DuckDB form over a (group, v) relation — the raw
+    * sketch, aliased (group, j, cell, n). */
+  def cmsCellsSql(srcSql: String, groupCol: String, depth: Int,
+                  width: Int): String =
+    s"""WITH ${cmsCtesSql(srcSql, groupCol, depth, width)}
+       |SELECT $groupCol, j, cell, n FROM cells""".stripMargin
+
+  /** [[cmsHeavyHitters]]'s DuckDB form: (group, itemCol, est). */
+  def cmsHeavyHittersSql(srcSql: String, groupCol: String, itemCol: String,
+                         depth: Int, width: Int, minFreq: Long): String =
+    s"""WITH ${cmsCtesSql(srcSql, groupCol, depth, width)}
+       |SELECT $groupCol, v AS $itemCol, est FROM est
+       |WHERE est >= $minFreq""".stripMargin
+
+  /** [[cmsHeavyHittersWithExact]]'s DuckDB form:
+    * (group, itemCol, n_exact, est). */
+  def cmsHeavyHittersWithExactSql(srcSql: String, groupCol: String,
+                                  itemCol: String, depth: Int, width: Int,
+                                  minFreq: Long): String =
+    s"""WITH ${cmsCtesSql(srcSql, groupCol, depth, width)}, exact AS (
+       |  SELECT $groupCol, v, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM rows0 GROUP BY $groupCol, v
+       |)
+       |SELECT est.$groupCol, est.v AS $itemCol, exact.n_exact, est.est
+       |FROM est JOIN exact ON est.$groupCol = exact.$groupCol
+       |  AND est.v = exact.v
+       |WHERE est.est >= $minFreq""".stripMargin
 }

@@ -124,6 +124,22 @@ object TextQueries {
     // table, same literals in both engines) with the measured error
     // alongside — the raw-branch rows above stay byte-identical
     GraftQuery("q_hll_small_range", hllSmallRangeQ, Some(hllSmallRangeSql)),
+    // count-min FREQUENCY sketch (StatsOps.cmsCells — the sketch-family
+    // member HLL/quantiles don't cover): the raw per-source cell
+    // relation over 2-gram shingle hashes, pinned bit-for-bit
+    GraftQuery("q_cms_sketch", cmsSketchQ, Some(cmsSketchOracleSql)),
+    // heavy hitters in evaluation form — the exact count rides next to
+    // the estimate so the one-sided error (est >= n_exact, always) is
+    // measured in the row, not asserted; a flagged false positive
+    // surfaces with its true count in both engines
+    GraftQuery("q_cms_heavy_hitters", cmsHeavyHittersQ,
+      Some(cmsHeavyHittersOracleSql), bench = true),
+    // the sketch routed through the PERSISTED cell index: even-id docs
+    // build epoch 0, odd-id docs SUM-merge in via append, probes read
+    // only the stored epoch — cell sum is associative, so the output ≡
+    // the one-shot heavy-hitter scan and the oracle recomputes it from
+    // the full corpus
+    GraftQuery("q_cms_stored", cmsStoredQ, Some(cmsStoredOracleSql)),
     // the bloom screen routed through the persisted decontamination
     // index; output ≡ the in-memory screens, so all three share the oracle
     GraftQuery("q_decontaminate_stored", decontaminateStored,
@@ -2661,6 +2677,84 @@ object TextQueries {
     graft.pipeline.StatsOps.hllDistinctByGroupSql(
       "SELECT source, unnest(string_split(text, ' ')) AS v FROM documents",
       "source")
+
+  // --- count-min frequency sketch rows -------------------------------
+  // Item stream: per-source 2-GRAM SHINGLE hashes (~700 distinct per
+  // source at sf0.01) against a deliberately tight width=2048 sketch:
+  // measured at sf0.01, minFreq=5 flags 366 shingles of which 358 are
+  // true hitters — real cell collisions (the overestimate path is
+  // exercised, 9 strict overestimates), yet the false-positive band
+  // stays ~2%, i.e. the sketch is demonstrably USEFUL at this
+  // geometry, not just correct. The soak runs width=65536 at 50M rows.
+  private val CMS_K = 2
+  private val CMS_DEPTH = 4
+  private val CMS_WIDTH = 2048
+  private val CMS_MIN_FREQ = 5L
+
+  private def cmsShingles(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("source"),
+      explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), CMS_K))
+        .as("shingle"))
+
+  private def cmsSrcSql: String = {
+    val ph = graft.functions.StringPolyHash.polyHashSql("t")
+    val comb = graft.functions.TokenShingleHash.combineSql("th", CMS_K)
+    s"""SELECT source, unnest($comb) AS v FROM (
+       |  SELECT source, list_transform(string_split(text, ' '), t -> $ph) AS th
+       |  FROM documents)""".stripMargin
+  }
+
+  /** The raw sketch: ≤ sources × depth × width cell rows however large
+    * the corpus — the relation an executor partial-aggregates and an
+    * epoch append SUM-merges. Output (source, j, cell, n). */
+  def cmsSketchQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.StatsOps.cmsCells(cmsShingles(spark, sfDir),
+        Seq("source"), col("shingle"), CMS_DEPTH, CMS_WIDTH)
+      .select(col("source"), col("__cms_j").cast("long").as("j"),
+        col("__cms_cell").as("cell"), col("__cms_n").as("n"))
+
+  def cmsSketchOracleSql: String =
+    graft.pipeline.StatsOps.cmsCellsSql(cmsSrcSql, "source",
+      CMS_DEPTH, CMS_WIDTH)
+
+  /** Heavy hitters with the measured one-sided error:
+    * (source, shingle, n_exact, est), est ≥ n_exact for every row. */
+  def cmsHeavyHittersQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.StatsOps.cmsHeavyHittersWithExact(
+      cmsShingles(spark, sfDir), Seq("source"), col("shingle"),
+      CMS_DEPTH, CMS_WIDTH, CMS_MIN_FREQ, itemCol = "shingle")
+
+  def cmsHeavyHittersOracleSql: String =
+    graft.pipeline.StatsOps.cmsHeavyHittersWithExactSql(cmsSrcSql,
+      "source", "shingle", CMS_DEPTH, CMS_WIDTH, CMS_MIN_FREQ)
+
+  /** [[cmsHeavyHittersQ]] through the persisted-cell lifecycle: the
+    * even-id half builds the index (rebuilt fresh each run — never
+    * cached, so a regenerated corpus can't serve stale cells), the
+    * odd-id half folds in via appendCmsIndex (one cell fold over the
+    * delta + a ≤ groups × depth × width SUM-merge), and the estimates
+    * read only the stored epoch. Cell sum is associative, so this ≡
+    * the one-shot heavy-hitter scan over all docs. */
+  def cmsStoredQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    def sh(pred: org.apache.spark.sql.Column) = d.filter(pred)
+      .select(col("source"),
+        explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), CMS_K))
+          .as("shingle"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cms_idx_${math.abs(sfDir.hashCode)}"
+    graft.pipeline.StatsOps.writeCmsIndex(
+      sh(col("doc_id") % 2 === 0), Seq("source"), col("shingle"), dir,
+      CMS_DEPTH, CMS_WIDTH)
+    graft.pipeline.StatsOps.appendCmsIndex(spark, dir,
+      sh(col("doc_id") % 2 === 1), col("shingle"))
+    graft.pipeline.StatsOps.estimateFromStoredCms(spark, dir,
+        sh(lit(true)).distinct(), "shingle")
+      .filter(col("est") >= CMS_MIN_FREQ)
+  }
+
+  def cmsStoredOracleSql: String =
+    graft.pipeline.StatsOps.cmsHeavyHittersSql(cmsSrcSql, "source",
+      "shingle", CMS_DEPTH, CMS_WIDTH, CMS_MIN_FREQ)
 
   private val DSIR_BUCKETS = 4096
 
