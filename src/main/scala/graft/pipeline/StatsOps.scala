@@ -1059,6 +1059,14 @@ object StatsOps {
                   groupCols: Seq[String], itemCol: String,
                   depth: Int, width: Int): DataFrame = {
     requireCmsGeom(depth, width)
+    val missing = (groupCols ++ Seq("__cms_j", "__cms_cell", "__cms_n"))
+      .filterNot(cells.columns.contains)
+    require(missing.isEmpty,
+      s"cmsEstimate: `cells` is not a cmsCells relation for groups " +
+        s"$groupCols — missing columns $missing. The geometry args must " +
+        "also match the build's (depth, width): a mismatch silently " +
+        "probes the wrong cells, which is why the stored path reads " +
+        "them from meta instead")
     val gs = groupCols.map(col)
     val pc = withCmsCells(
       cmsHashed(probes, groupCols, col(itemCol)), depth, width)

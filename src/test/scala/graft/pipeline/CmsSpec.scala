@@ -178,6 +178,41 @@ class CmsSpec extends AnyFunSuite {
       "append dropped the covered-segments ledger")
   }
 
+  test("property sweep: one-sided bound + split-merge associativity across geometries") {
+    // deterministic adversarial stream (no RNG): three groups, per-item
+    // keyspaces that shrink and grow so counts range from 1 to hundreds,
+    // plus values that collide textually across groups
+    val stream = (0 until 3000).map { i =>
+      val g = s"g${i % 3}"
+      val keyspace = 1 + (i * 7919) % 120
+      (g, s"k${(i * 31 + (i * i) % 17) % keyspace}")
+    }
+    val exact = exactCounts(stream)
+    val df = stream.toDF("g", "v")
+    for ((d, w) <- Seq((1, 16), (2, 64), (4, 32), (8, 256))) {
+      val cells = StatsOps.cmsCells(df, Seq("g"), col("v"), d, w)
+      val est = StatsOps.cmsEstimate(cells, df.distinct(), Seq("g"), "v", d, w)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(est.keySet == exact.keySet)
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n, s"d=$d w=$w $k: est ${est(k)} < exact $n")
+      }
+      // split-merge associativity, exact at the CELL level: the sketch
+      // of the whole is the cell-wise SUM of the parts' sketches — the
+      // algebra behind appendCmsIndex and any partial aggregation.
+      // Split point varies with the geometry so each case cuts elsewhere.
+      val cut = stream.size * ((d + w) % 6 + 1) / 8
+      val (pa, pb) = stream.splitAt(cut)
+      def cellMap(xs: Seq[(String, String)]) =
+        StatsOps.cmsCells(xs.toDF("g", "v"), Seq("g"), col("v"), d, w)
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val whole = cellMap(stream)
+      val parts = (cellMap(pa).toSeq ++ cellMap(pb).toSeq)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      assert(parts == whole, s"d=$d w=$w: split sketches do not sum to the whole")
+    }
+  }
+
   test("geometry guards are loud; appends inherit pinned geometry") {
     val df = Seq(("g", "x")).toDF("g", "v")
     intercept[IllegalArgumentException] {
