@@ -199,6 +199,36 @@ object ScaleBenchMain {
     require(mdRows > 0L, "media probe returned nothing")
     println(f"  $mdRows%,d media dup pairs")
 
+    // ---- 2d. count-min frequency lifecycle at scale -------------------
+    // the q_cms_stored recipe (write even half -> append odd half ->
+    // stored heavy-hitter probe) over the inflated corpus's 2-gram
+    // shingle stream; the structural invariant that makes the sketch
+    // the 100 TB answer is REQUIRED below: the stored cell relation
+    // stays <= sources x depth x width rows however large the corpus,
+    // so cost tracks the two data passes, never the key space
+    val (cmsRows, cmsSec) = time("cms: stored-sketch lifecycle " +
+      "(build+append+heavy-hitter probe)") {
+      def sh(half: DataFrame) = half.select(col("source"),
+        explode(graft.functions.TokenShingleHash
+          .shingleHashes(col("text"), 2)).as("shingle"))
+      graft.pipeline.StatsOps.writeCmsIndex(sh(evenHalf), Seq("source"),
+        col("shingle"), s"$root/cms", 4, 2048)
+      graft.pipeline.StatsOps.appendCmsIndex(spark, s"$root/cms",
+        sh(oddHalf), col("shingle"))
+      graft.pipeline.StatsOps.estimateFromStoredCms(spark, s"$root/cms",
+          sh(docs).distinct(), "shingle")
+        .filter(col("est") >= 5L * mult).count()
+    }
+    require(cmsRows > 0L, "cms heavy-hitter probe returned nothing")
+    val cmsMeta = graft.pipeline.StatsOps.readCmsIndexMeta(spark,
+      s"$root/cms")
+    val nSources = docs.select("source").distinct().count()
+    require(cmsMeta.cellRows <= nSources * 4L * 2048L,
+      s"cms cell relation (${cmsMeta.cellRows} rows) exceeded its " +
+        s"sources x depth x width bound (${nSources * 4L * 2048L})")
+    println(f"  $cmsRows%,d heavy hitters off ${cmsMeta.cellRows}%,d " +
+      "stored cells")
+
     // ---- 3. filter -> mask -> pack pipeline ---------------------------
     val (pipeRows, pipeSec) = time("e2e pipeline: filter -> mask -> " +
       "pack (full corpus)") {
@@ -227,6 +257,7 @@ object ScaleBenchMain {
       f""""bm25_phrase_stored":$phSec%.4f,""" +
       f""""bm25_proximity_stored":$pxSec%.4f,""" +
       f""""media_dup_lifecycle":$mdSec%.4f,""" +
+      f""""cms_lifecycle":$cmsSec%.4f,""" +
       f""""e2e_pipeline":$pipeSec%.4f}}""")
     spark.stop()
   }

@@ -989,7 +989,7 @@ object StatsOps {
 
   /** Max depth is the pinned constant table's length; width caps keep
     * the cell relation executor-trivial (≤ groups × depth × width). */
-  private def requireCmsGeom(depth: Int, width: Int): Unit = {
+  private[graft] def requireCmsGeom(depth: Int, width: Int): Unit = {
     require(depth >= 1 && depth <= CmsA.length,
       s"cms depth must be in [1, ${CmsA.length}], got $depth")
     require(width >= 16 && width <= (1 << 20),

@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pipeline.FleetOps
 
 /** Fleet-observability registry row — the managed-artifact dashboard
-  * ([[graft.pipeline.FleetOps]]) over five of the build-once cached
+  * ([[graft.pipeline.FleetOps]]) over six of the build-once cached
   * lifecycles (the stored exact-digest index, the stored retrieval
-  * index, the host graph, the BPE tokenizer, and the NB quality
-  * model). The index artifacts are built write→append→compact and the
+  * index, the host graph, the BPE tokenizer, the NB quality model,
+  * and the count-min frequency sketch). The index artifacts are built
+  * write→append(→compact) and the
   * models write-once, so every meta value the dashboard reports is
   * DERIVABLE: the window pointers from the lifecycle's step count,
   * the counters from the documents table — which is exactly what the
@@ -29,7 +30,8 @@ object FleetQueries {
         RetrievalQueries.storedRetrievalIdxDir(spark, sfDir, d),
       "host_graph" -> GraphQueries.storedHostGraphDir(spark, sfDir, d),
       "bpe_model" -> TextQueries.storedBpeDir(spark, sfDir),
-      "nb_model" -> TextQueries.storedNbDir(spark, sfDir, d)))
+      "nb_model" -> TextQueries.storedNbDir(spark, sfDir, d),
+      "cms_index" -> TextQueries.storedCmsDir(spark, sfDir, d)))
   }
 
   /** Every meta value, recomputed: the pointers from the
@@ -42,6 +44,7 @@ object FleetQueries {
     * for the NB model), the geometry from the builders' defaults. */
   def fleetHealthSql: String = {
     val toks = graft.pipeline.TextOps.tokensSql("text")
+    val (cmsDepth, cmsWidth) = TextQueries.cmsFleetGeom
     s"""WITH even AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
        |), rt AS (
@@ -75,6 +78,9 @@ object FleetQueries {
        |), hg_rc AS (
        |  SELECT CAST(count(*) AS VARCHAR) AS v
        |  FROM (SELECT DISTINCT src, dst FROM hrows)
+       |), cms AS (
+       |  SELECT CAST(count(*) AS VARCHAR) AS v
+       |  FROM (${TextQueries.cmsEvenCellsSql})
        |)
        |SELECT * FROM (VALUES
        |  ('digest_index', 'bloom_bits', '1048576'),
@@ -105,7 +111,13 @@ object FleetQueries {
        |  ('nb_model', 't_neg', (SELECT t_neg FROM nb)),
        |  ('bpe_model', 'n_merges', '8'),
        |  ('bpe_model', 'end_of_word', 'false'),
-       |  ('bpe_model', 'epoch', '0')
+       |  ('bpe_model', 'epoch', '0'),
+       |  ('cms_index', 'depth', '$cmsDepth'),
+       |  ('cms_index', 'width', '$cmsWidth'),
+       |  ('cms_index', 'group_cols', 'source'),
+       |  ('cms_index', 'cell_rows', (SELECT v FROM cms)),
+       |  ('cms_index', 'epoch', '1'),
+       |  ('cms_index', 'last_batch_id', '-1')
        |) AS t(artifact, "key", "value")""".stripMargin
   }
 }

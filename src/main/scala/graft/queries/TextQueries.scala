@@ -2696,13 +2696,49 @@ object TextQueries {
       explode(graft.functions.TokenShingleHash.shingleHashes(col("text"), CMS_K))
         .as("shingle"))
 
-  private def cmsSrcSql: String = {
+  private def cmsSrcSql: String = cmsSrcSqlWhere("")
+
+  private def cmsSrcSqlWhere(where: String): String = {
     val ph = graft.functions.StringPolyHash.polyHashSql("t")
     val comb = graft.functions.TokenShingleHash.combineSql("th", CMS_K)
     s"""SELECT source, unnest($comb) AS v FROM (
        |  SELECT source, list_transform(string_split(text, ' '), t -> $ph) AS th
-       |  FROM documents)""".stripMargin
+       |  FROM documents$where)""".stripMargin
   }
+
+  /** The stored count-min sketch over the even-id half's shingles,
+    * built in two slices (write e0 over doc_id%4==0, append e1 over
+    * %4==2) so the fleet dashboard also gate-checks the append path's
+    * meta arithmetic. Unlike [[cmsStoredQ]]'s always-fresh dir this one
+    * is build-once cached — the fleet contract — keyed on the slice's
+    * content fingerprint so a regenerated corpus rebuilds. */
+  private[queries] def storedCmsDir(spark: SparkSession, sfDir: String,
+                                    d: DataFrame): String =
+    cachedArtifactDir("cms_idx_v1", sfDir,
+      d.filter(col("doc_id") % 2 === 0)) { dir =>
+      def sh(pred: org.apache.spark.sql.Column) = d.filter(pred)
+        .select(col("source"),
+          explode(graft.functions.TokenShingleHash
+            .shingleHashes(col("text"), CMS_K)).as("shingle"))
+      graft.pipeline.StatsOps.writeCmsIndex(
+        sh(col("doc_id") % 4 === 0), Seq("source"), col("shingle"), dir,
+        CMS_DEPTH, CMS_WIDTH)
+      graft.pipeline.StatsOps.appendCmsIndex(spark, dir,
+        sh(col("doc_id") % 4 === 2), col("shingle"))
+    }
+
+  /** The fleet oracle's derivation of [[storedCmsDir]]'s `cell_rows`
+    * meta value: cell sum is associative, so the write+append epoch's
+    * cell relation ≡ the one-shot cells over the whole even half —
+    * which DuckDB recomputes from scratch here. */
+  private[queries] def cmsEvenCellsSql: String =
+    graft.pipeline.StatsOps.cmsCellsSql(
+      cmsSrcSqlWhere(" WHERE doc_id % 2 = 0"), "source",
+      CMS_DEPTH, CMS_WIDTH)
+
+  /** [[storedCmsDir]]'s pinned geometry, exposed for the fleet
+    * oracle's constant rows: (depth, width). */
+  private[queries] def cmsFleetGeom: (Int, Int) = (CMS_DEPTH, CMS_WIDTH)
 
   /** The raw sketch: ≤ sources × depth × width cell rows however large
     * the corpus — the relation an executor partial-aggregates and an

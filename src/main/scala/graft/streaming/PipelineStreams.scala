@@ -1161,6 +1161,54 @@ object PipelineStreams {
       "src_host", "dst_host", "w", compactEvery)
   }
 
+  /** Continuous frequency-sketch maintenance — the sketch family's
+    * maintainer, the live twin of a hand-run
+    * [[graft.pipeline.StatsOps.appendCmsIndex]] loop: each micro-batch
+    * of an arriving (group…, item) feed folds its count-min cells into
+    * the stored sketch exactly-once via
+    * [[graft.pipeline.StatsOps.ingestCmsBatch]]. Cell counts are an
+    * identity-free VALUE fold (unlike the digest index's anti-joined
+    * identities or HLL's idempotent register max), so the
+    * applied-batch-id pointer behind the meta swap is the only thing
+    * standing between a foreachBatch retry and silent double counting —
+    * which is why this maintainer exists instead of a bare
+    * foreachBatch{appendCmsIndex}. Deliberately NO `compactEvery` knob:
+    * every commit's cell relation is bounded at
+    * groups × depth × width and each epoch REPLACES the previous one
+    * (there is no delta window to grow), so the one-late epoch GC
+    * already bounds the on-disk footprint at the grace pair. Geometry
+    * applies only when THIS stream builds the artifact on its first
+    * batch; an existing sketch's meta pins its own. Takes the
+    * STREAMING RELATION (the [[lmModelMaintainStream]] seam — item
+    * feeds are caller-shaped). Returns the started query. */
+  def cmsMaintainStream(items: DataFrame, indexPath: String,
+                        checkpoint: String, groupCols: Seq[String],
+                        itemCol: String, depth: Int = 4,
+                        width: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(items.isStreaming,
+      "cmsMaintainStream needs a STREAMING relation; fold batch " +
+        "slices in via StatsOps.appendCmsIndex (or ingestCmsSegment " +
+        "when the slice has a replayable name)")
+    // validate BEFORE start() — failing inside foreachBatch would
+    // crash-loop the query (the mediaHashMaintainStream discipline)
+    require(groupCols.nonEmpty, "cmsMaintainStream needs group columns")
+    graft.pipeline.StatsOps.requireCmsGeom(depth, width)
+    val missing = (groupCols :+ itemCol).filterNot(items.columns.contains)
+    require(missing.isEmpty,
+      s"cmsMaintainStream: the item feed is missing columns $missing " +
+        s"(have ${items.columns.toSeq})")
+    items.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.StatsOps.ingestCmsBatch(
+          batch.sparkSession, indexPath, batch.toDF(), groupCols,
+          col(itemCol), batchId, depth, width)
+        ()
+      }
+      .start()
+  }
+
   /** [[warcIngestStream]] to TRAINING TEXT: the 200-status response
     * filter + the columnar HTML extractor + token counts — the batch
     * `q_warc_text` chain applied to the live crawl tap; still fully

@@ -584,4 +584,95 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     assert(served === oneShot,
       "the maintained graph must rank exactly like the batch chain")
   }
+
+  test("cmsMaintainStream: landed item batches keep the stored frequency " +
+    "sketch current across a restart; estimates stay EXACTLY equal to " +
+    "the one-shot sketch (a replayed batch that double-counted would " +
+    "overshoot); the footprint stays at the grace pair of epochs; " +
+    "batch relations and bad geometry are refused before start") {
+    val dir = tmp("cms_feed")
+    val index = tmp("cms_index") + "/cms"
+    val ckpt = tmp("cms_ckpt")
+    val itemSchema = StructType(Seq(
+      StructField("g", StringType), StructField("v", StringType)))
+    def drop(rows: Seq[(String, String)]): Unit =
+      rows.toDF("g", "v").coalesce(1).write.mode("append").parquet(dir)
+    // skewed keyspaces so the tight width=64 geometry forces real
+    // collisions — equality below is still exact because the stored
+    // and one-shot sketches share the pinned hash family
+    val s1 = Seq.tabulate(40)(i => ("a", s"k${i % 5}"))
+    val s2 = Seq.tabulate(30)(i => ("a", s"k${i % 3}")) :+ (("b", "x"))
+    val s3 = Seq.tabulate(20)(i => ("b", s"k${i % 4}"))
+    // one fixed probe relation for every comparison: items a slice has
+    // not folded yet estimate 0 on BOTH sides, so equality covers the
+    // unseen-item contract too
+    val probes = (s1 ++ s2 ++ s3).distinct.toDF("g", "v")
+    def oneShot(rows: Seq[(String, String)]): Set[(String, String, Long)] =
+      graft.pipeline.StatsOps.cmsEstimate(
+          graft.pipeline.StatsOps.cmsCells(rows.toDF("g", "v"), Seq("g"),
+            col("v"), 2, 64),
+          probes, Seq("g"), "v", 2, 64)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    def stored(): Set[(String, String, Long)] = try {
+      graft.pipeline.StatsOps.estimateFromStoredCms(spark, index, probes,
+          "v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    } catch {
+      case _: IllegalStateException => Set.empty
+      case _: org.apache.spark.SparkException => Set.empty
+    }
+    def start() = PipelineStreams.cmsMaintainStream(
+      spark.readStream.schema(itemSchema).parquet(dir),
+      index, ckpt, Seq("g"), "v", depth = 2, width = 64)
+    // pre-start refusals: a batch relation, bad geometry, a feed
+    // missing the named columns — each before any query exists
+    intercept[IllegalArgumentException] {
+      PipelineStreams.cmsMaintainStream(
+        s1.toDF("g", "v"), index, ckpt, Seq("g"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      PipelineStreams.cmsMaintainStream(
+        spark.readStream.schema(itemSchema).parquet(dir),
+        index, ckpt, Seq("g"), "v", depth = 0, width = 64)
+    }
+    intercept[IllegalArgumentException] {
+      PipelineStreams.cmsMaintainStream(
+        spark.readStream.schema(itemSchema).parquet(dir),
+        index, ckpt, Seq("g"), "nope")
+    }
+    drop(s1)
+    val q1 = start()
+    try {
+      awaitArtifact(q1, "first batch built the sketch")(
+        stored() == oneShot(s1))
+      drop(s2) // lands mid-flight
+      awaitArtifact(q1, "second batch folded in")(
+        stored() == oneShot(s1 ++ s2))
+    } finally q1.stop()
+    drop(s3) // lands while the maintainer is DOWN
+    val q2 = start()
+    try {
+      awaitArtifact(q2, "down-time batch picked up on restart")(
+        stored() == oneShot(s1 ++ s2 ++ s3))
+    } finally q2.stop()
+    // exactly-once, asserted as EQUALITY after the restart path: any
+    // replay that re-folded a batch would push some estimate ABOVE the
+    // one-shot value (cell sums only grow)
+    assert(stored() == oneShot(s1 ++ s2 ++ s3))
+    // geometry pinned by the first build, epochs advanced per applied
+    // batch, footprint bounded at the grace pair (no compaction knob
+    // exists because no delta window exists)
+    val meta = graft.pipeline.StatsOps.readCmsIndexMeta(spark, index)
+    assert(meta.depth == 2 && meta.width == 64 &&
+      meta.groupCols == Seq("g"))
+    assert(meta.lastBatchId >= 0L,
+      "the applied-batch pointer must have advanced")
+    val epochDirs = Option(new java.io.File(s"$index/cells").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("e")).map(_.getName)
+    assert(epochDirs.toSet.contains(s"e${meta.epoch}") &&
+      epochDirs.size <= 2,
+      s"cells/ must hold at most the grace pair, got $epochDirs")
+  }
 }
