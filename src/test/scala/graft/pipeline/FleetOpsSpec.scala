@@ -68,6 +68,44 @@ class FleetOpsSpec extends AnyFunSuite {
       l2(("rt", "postings"))._3 >= m2.epoch)
   }
 
+  test("a replace-style artifact (the CMS sketch) reads the same way: " +
+    "meta verbatim, layout walks BOTH its relations, the grace pair " +
+    "bounds every epoch range") {
+    val cms = tmp("cms") + "/cms"
+    val items = Seq.tabulate(30)(i => (s"g${i % 2}", s"k${i % 7}"))
+      .toDF("g", "v")
+    StatsOps.writeCmsIndex(items, Seq("g"), col("v"), cms,
+      depth = 2, width = 64)
+    // a ledgered slice exercises the segments relation in the layout
+    StatsOps.ingestCmsSegment(spark, cms,
+      Seq(("g0", "extra")).toDF("g", "v"), Seq("g"), col("v"), "day-1")
+    val arts = Seq("cms" -> cms)
+    val meta = FleetOps.artifactMeta(spark, arts).collect()
+      .map(r => (r.getString(1), r.getString(2))).toMap
+    val typed = StatsOps.readCmsIndexMeta(spark, cms)
+    assert(meta("depth") == typed.depth.toString &&
+      meta("width") == typed.width.toString &&
+      meta("group_cols") == "g" &&
+      meta("cell_rows") == typed.cellRows.toString &&
+      meta("epoch") == typed.epoch.toString &&
+      meta("last_batch_id") == typed.lastBatchId.toString)
+    val layout = FleetOps.artifactLayout(spark, arts).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(layout.keySet == Set("cells", "segments"),
+      s"layout must walk both epoch'd relations, got ${layout.keySet}")
+    // replace-style lifecycle: each commit supersedes the prior epoch
+    // wholesale, so every relation holds at most the grace pair and
+    // the max epoch is the meta pointer
+    Seq("cells", "segments").foreach { rel =>
+      assert(layout(rel)._1 <= 2L,
+        s"$rel holds ${layout(rel)._1} epochs — the grace pair leaked")
+      assert(layout(rel)._3 == typed.epoch,
+        s"$rel max epoch ${layout(rel)._3} != meta ${typed.epoch}")
+      assert(layout(rel)._4 > 0L, s"$rel shows no committed files")
+    }
+  }
+
   test("the dashboard reads EVERY MetaIO lifecycle kind in one call: " +
     "meta carries each artifact's epoch, layout covers it") {
     val d = corpus(0L to 7L)
