@@ -213,6 +213,26 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("the estimate plan BROADCASTS the bounded cell relation: the " +
+    "probe side streams through a BroadcastHashJoin and never " +
+    "sort-merge-shuffles on the cell key") {
+    // the scale claim behind cmsEstimate's scaladoc, asserted: the
+    // cell relation is <= groups x depth x width rows at ANY corpus
+    // size, so the join must resolve as a broadcast — a sort-merge
+    // here would shuffle the (probe x depth) stream on (group, j,
+    // cell) and grow with the workload
+    val df = (0 until 500).map(i => ("g", s"k${i % 40}")).toDF("g", "v")
+    val cells = StatsOps.cmsCells(df, Seq("g"), col("v"), 4, 256)
+    val est = StatsOps.cmsEstimate(cells, df.distinct(), Seq("g"), "v",
+      4, 256)
+    est.collect()
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell join did not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe side shuffled on the cell key:\n${plan.take(1500)}")
+  }
+
   test("geometry guards are loud; appends inherit pinned geometry") {
     val df = Seq(("g", "x")).toDF("g", "v")
     intercept[IllegalArgumentException] {
