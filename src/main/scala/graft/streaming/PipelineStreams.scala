@@ -622,18 +622,10 @@ object PipelineStreams {
         // the unconditional check also means a previously-deferred
         // compaction catches up on the very next batch, applied or not.
         if (compactEvery > 0)
-          try {
+          compactionCheck(indexPath, "warc index maintainer", batchId,
+            "compactionFailuresFor") {
             graft.pipeline.WarcOps.maybeCompactWarcIndex(
               batch.sparkSession, indexPath, compactEvery)
-            recordCompactionResult(indexPath, failed = false)
-          } catch { case scala.util.control.NonFatal(e) =>
-            val n = recordCompactionResult(indexPath, failed = true)
-            System.err.println(
-              s"[graft] warc index maintainer at $indexPath: post-commit " +
-                s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds; " +
-                s"$n consecutive failures — poll " +
-                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -702,18 +694,10 @@ object PipelineStreams {
         // (its replay would be skipped) — log it and catch up on the
         // next batch instead
         if (compactEvery > 0)
-          try {
+          compactionCheck(indexPath, "media-hash maintainer", batchId,
+            "compactionFailuresFor") {
             graft.pipeline.MultimodalOps.maybeCompactMediaHashIndex(
               batch.sparkSession, indexPath, compactEvery)
-            recordCompactionResult(indexPath, failed = false)
-          } catch { case scala.util.control.NonFatal(e) =>
-            val n = recordCompactionResult(indexPath, failed = true)
-            System.err.println(
-              s"[graft] media-hash maintainer at $indexPath: post-commit " +
-                s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds; " +
-                s"$n consecutive failures — poll " +
-                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -800,18 +784,10 @@ object PipelineStreams {
           batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
           batchId, shingleK, numHashes, bands, bloomBits, bloomHashes)
         if (compactEvery > 0)
-          try {
+          compactionCheck(indexPath, "minhash maintainer", batchId,
+            "compactionFailuresFor") {
             DedupOps.maybeCompactMinhashIndex(
               batch.sparkSession, indexPath, compactEvery)
-            recordCompactionResult(indexPath, failed = false)
-          } catch { case scala.util.control.NonFatal(e) =>
-            val n = recordCompactionResult(indexPath, failed = true)
-            System.err.println(
-              s"[graft] minhash maintainer at $indexPath: post-commit " +
-                s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds; " +
-                s"$n consecutive failures — poll " +
-                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -863,18 +839,10 @@ object PipelineStreams {
         // discipline: a post-commit compaction error must not mark an
         // already-committed batch failed
         if (compactEvery > 0)
-          try {
+          compactionCheck(indexPath, "digest maintainer", batchId,
+            "compactionFailuresFor") {
             DedupOps.maybeCompactDigestIndex(
               batch.sparkSession, indexPath, compactEvery)
-            recordCompactionResult(indexPath, failed = false)
-          } catch { case scala.util.control.NonFatal(e) =>
-            val n = recordCompactionResult(indexPath, failed = true)
-            System.err.println(
-              s"[graft] digest maintainer at $indexPath: post-commit " +
-                s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds; " +
-                s"$n consecutive failures — poll " +
-                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -916,18 +884,10 @@ object PipelineStreams {
           batch.sparkSession, indexPath, batch.toDF(), textCol, idCol,
           batchId, withPositions = withPositions)
         if (compactEvery > 0)
-          try {
+          compactionCheck(indexPath, "retrieval maintainer", batchId,
+            "compactionFailuresFor") {
             graft.pipeline.RetrievalOps.maybeCompactRetrievalIndex(
               batch.sparkSession, indexPath, compactEvery)
-            recordCompactionResult(indexPath, failed = false)
-          } catch { case scala.util.control.NonFatal(e) =>
-            val n = recordCompactionResult(indexPath, failed = true)
-            System.err.println(
-              s"[graft] retrieval maintainer at $indexPath: post-commit " +
-                s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds; " +
-                s"$n consecutive failures — poll " +
-                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -997,18 +957,10 @@ object PipelineStreams {
         // discipline: a post-commit compaction error must not mark an
         // already-committed batch failed
         if (compactEvery > 0)
-          try {
+          compactionCheck(digestIndexPath, "admission loop", batchId,
+            "compactionFailuresFor") {
             DedupOps.maybeCompactDigestIndex(
               batch.sparkSession, digestIndexPath, compactEvery)
-            recordCompactionResult(digestIndexPath, failed = false)
-          } catch { case scala.util.control.NonFatal(e) =>
-            val n = recordCompactionResult(digestIndexPath, failed = true)
-            System.err.println(
-              s"[graft] admission loop at $digestIndexPath: post-commit " +
-                s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds; " +
-                s"$n consecutive failures — poll " +
-                s"compactionFailuresFor to alert): $e")
           }
         ()
       }
@@ -1095,6 +1047,58 @@ object PipelineStreams {
     if (failed) c.incrementAndGet() else { c.set(0L); 0L }
   }
 
+  /** Is `e` the STREAM-SHUTDOWN cancellation signature? stop() cancels
+    * the micro-batch's job group, so a post-commit compaction caught
+    * mid-flight surfaces SPARK_JOB_CANCELLED (or a bare
+    * InterruptedException from the blocked action) — a deliberate
+    * shutdown, not a compaction-health event. The cause chain is
+    * walked bounded, the [[graft.pipeline.MetaIO]] discipline. */
+  private[streaming] def isStopCancellation(e: Throwable): Boolean = {
+    @annotation.tailrec
+    def walk(t: Throwable, depth: Int): Boolean =
+      if (t == null || depth > 10) false
+      else t match {
+        case _: InterruptedException => true
+        case s: org.apache.spark.SparkException
+            if Option(s.getCondition)
+              .exists(_.startsWith("SPARK_JOB_CANCELLED")) ||
+              Option(s.getMessage).exists(_.contains("cancelled")) => true
+        case _ => walk(t.getCause, depth + 1)
+      }
+    walk(e, 0)
+  }
+
+  /** The shared post-commit compaction check: run `body`, classify the
+    * outcome for the per-path failure counter. A genuine failure
+    * increments the streak and logs loudly WITHOUT failing the batch
+    * (it already committed; failing it would skip its replay and defer
+    * compaction with a phantom error). A shutdown cancellation
+    * ([[isStopCancellation]]) leaves the streak untouched: counting it
+    * made every deliberate stop() racing an in-flight compaction
+    * report a phantom consecutive-failure to the monitoring loop — the
+    * check is unconditional per batch, so the next start's first batch
+    * re-attempts it either way. */
+  private def compactionCheck(indexPath: String, label: String,
+                              batchId: Long, accessor: String)
+                             (body: => Unit): Unit =
+    try { body; recordCompactionResult(indexPath, failed = false) }
+    catch {
+      case e: Throwable if isStopCancellation(e) =>
+        System.err.println(
+          s"[graft] $label at $indexPath: post-commit compaction " +
+            s"check interrupted by stream shutdown after batch " +
+            s"$batchId (not a health failure; the next batch " +
+            s"re-checks): $e")
+      case scala.util.control.NonFatal(e) =>
+        val n = recordCompactionResult(indexPath, failed = true)
+        System.err.println(
+          s"[graft] $label at $indexPath: post-commit " +
+            s"compaction failed (batch $batchId committed fine, " +
+            s"window stays unbounded until a compaction succeeds; " +
+            s"$n consecutive failures — poll " +
+            s"$accessor to alert): $e")
+    }
+
   def hostGraphMaintainStream(edges: DataFrame, indexPath: String,
                               checkpoint: String, srcCol: String,
                               dstCol: String, weightCol: String,
@@ -1114,18 +1118,10 @@ object PipelineStreams {
           batch.sparkSession, indexPath, batch.toDF(), srcCol, dstCol,
           weightCol, batchId)
         if (compactEvery > 0)
-          try {
+          compactionCheck(indexPath, "host-graph maintainer", batchId,
+            "hostGraphCompactionFailures") {
             graft.pipeline.LinkGraphOps.maybeCompactHostGraphIndex(
               batch.sparkSession, indexPath, compactEvery)
-            recordCompactionResult(indexPath, failed = false)
-          } catch { case scala.util.control.NonFatal(e) =>
-            val n = recordCompactionResult(indexPath, failed = true)
-            System.err.println(
-              s"[graft] host-graph maintainer at $indexPath: post-commit " +
-                s"compaction failed (batch $batchId committed fine, " +
-                s"window stays unbounded until a compaction succeeds; " +
-                s"$n consecutive failures — poll " +
-                s"hostGraphCompactionFailures to alert): $e")
           }
         ()
       }

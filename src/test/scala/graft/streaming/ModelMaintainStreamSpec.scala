@@ -37,6 +37,10 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     catch {
       case _: IllegalStateException => Set.empty
       case _: org.apache.spark.SparkException => Set.empty
+      // a dir caught BETWEEN an overwrite's delete and its first data
+      // file reads as "parquet with no inferable schema" — the same
+      // racing-swap window wearing an analyzer face
+      case _: org.apache.spark.sql.AnalysisException => Set.empty
     }
 
   /** doc_ids across an admission loop's fully-committed landing dirs
@@ -59,6 +63,7 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     catch {
       case _: IllegalStateException => None
       case _: org.apache.spark.SparkException => None
+      case _: org.apache.spark.sql.AnalysisException => None
     }
 
   test("lmModelMaintainStream: landed document batches keep the stored " +
@@ -524,6 +529,23 @@ class ModelMaintainStreamSpec extends AnyFunSuite {
     assert(PipelineStreams.compactionFailuresFor(pB) === 1L &&
       PipelineStreams.hostGraphCompactionFailures(pB) === 1L)
     PipelineStreams.recordCompactionResult(pB, failed = false)
+    // SHUTDOWN CANCELLATION is not a health failure: stop() racing an
+    // in-flight post-commit compaction cancels its job group, and that
+    // signature must leave the streak untouched (a phantom consecutive
+    // failure here is exactly what the counter exists to NOT cry wolf
+    // about) — the classifier walks the cause chain like MetaIO does
+    val cancelled = new org.apache.spark.SparkException(
+      "Job 7 cancelled Query [id = x, runId = y] was stopped")
+    assert(PipelineStreams.isStopCancellation(cancelled),
+      "a job-group cancellation from stop() must classify as shutdown")
+    assert(PipelineStreams.isStopCancellation(
+      new RuntimeException("wrapped", cancelled)),
+      "the signature must be found through a cause chain")
+    assert(PipelineStreams.isStopCancellation(new InterruptedException()),
+      "a bare interrupt of the blocked action is the same shutdown")
+    assert(!PipelineStreams.isStopCancellation(
+      new org.apache.spark.SparkException("FAILED_READ_FILE at part-0")),
+      "a genuine compaction failure must still count")
   }
 
   test("crawl -> graph, end to end: landed .warc.gz files keep the " +
