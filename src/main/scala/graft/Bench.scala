@@ -14,6 +14,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor (r18 optimization, guide §2.2/§6): with
+      // parallelismFirst (default on) AQE coalesces a post-shuffle
+      // stage down to ~minPartitionSize chunks; the 1 MB default
+      // collapses this engine's hot relations — highly compressed,
+      // CPU-dense per byte (tokenize/score/kernel work) — to ONE task
+      // (measured: the 12 MB scoring fan-out of q_bm25_topk ran 1-task
+      // serial; 64k → 16 tasks, warm row 10.3 s → 3.2 s on the same
+      // box). Scale-adaptive by construction: the floor only bounds
+      // how far a SMALL shuffle collapses, never splits a large one —
+      // at production shuffle sizes partitions sit far above any floor
+      // and the knob is inert. Env-overridable, local default 64k.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -45,6 +45,20 @@ object RetrievalOps {
 
   private def div(a: Column, b: Column): Column = call_function("div", a, b)
 
+  /** Spread a small-but-CPU-DENSE probe relation across the session's
+    * cores before its fan-out stages (r18 optimization, guide §2.5/§6
+    * input-skew corner): a compacted artifact reads as ONE file split,
+    * so every map stage rooted at it — the term filter, the broadcast
+    * joins, the partial aggregation of the scoring fan-out — ran as a
+    * single task (measured: the stored probe's 6 MB contrib fan-out was
+    * a 1.3 s single-task stage at sf0.1 while 31 cores idled). The
+    * exchange moves ONLY the probed (term-filtered) rows, never the
+    * artifact; the width is the environment's own parallelism, so on a
+    * real cluster a large probe spreads to the fleet and a small one
+    * costs one tiny round-robin pass. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Per-(token, doc) term frequencies — the postings relation, ONE
     * partial-aggregated corpus shuffle. */
   private def rawPostings(df: DataFrame, textCol: String,
@@ -252,7 +266,8 @@ object RetrievalOps {
     val dl = Checkpoints.sever(
       post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = statsOf(dl)
-    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val qt = Checkpoints.sever(
+      queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
     val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
@@ -274,7 +289,8 @@ object RetrievalOps {
     val dl = Checkpoints.sever(
       post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = statsOf(dl)
-    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val qt = Checkpoints.sever(
+      queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
     val cand0 = post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
@@ -317,7 +333,8 @@ object RetrievalOps {
     val dl = Checkpoints.sever(
       post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = statsOf(dl)
-    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val qt = Checkpoints.sever(
+      queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
     val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
@@ -649,10 +666,12 @@ object RetrievalOps {
   def phraseMatches(docs: DataFrame, textCol: String, idCol: String,
                     queries: DataFrame, queryIdCol: String,
                     queryTextCol: String): DataFrame = {
-    val pt = phraseTerms(queries, queryIdCol, queryTextCol)
+    val pt = Checkpoints.sever(
+      phraseTerms(queries, queryIdCol, queryTextCol))
     val terms = pt.select(col("token")).distinct()
-    val pp = Checkpoints.sever(positionalPostings(docs, textCol, idCol)
-      .join(broadcast(terms), Seq("token"), "left_semi"))
+    val pp = Checkpoints.sever(spread(
+      positionalPostings(docs, textCol, idCol)
+        .join(broadcast(terms), Seq("token"), "left_semi")))
     phraseOccurrences(pp, pt)
   }
 
@@ -766,7 +785,10 @@ object RetrievalOps {
     val qMinDf = qt.join(dfreq, Seq("token"), "left")
       .groupBy(col("query_id"))
       .agg(min(coalesce(col("__df"), lit(0L))).as("__mindf"))
-    val qStats = prefix.groupBy(col("query_id"))
+    // severed: the per-query completion verdict is consumed by BOTH
+    // lane filters below, each through its own broadcast build —
+    // unsevered, every build replanted the three-way aggregate join
+    val qStats = Checkpoints.sever(prefix.groupBy(col("query_id"))
       .agg(max(col("rank")).as("__nc"))
       .join(matches1.groupBy(col("query_id"))
           .agg(count(lit(1)).as("__nm")),
@@ -775,7 +797,7 @@ object RetrievalOps {
       .select(col("query_id"),
         (coalesce(col("__nm"), lit(0L)) >= k ||
           col("__nc") < kPrime ||
-          coalesce(col("__mindf"), lit(0L)) === 0L).as("__done"))
+          coalesce(col("__mindf"), lit(0L)) === 0L).as("__done")))
     val doneQ = qStats.filter(col("__done")).select(col("query_id"))
     val fallQ = qStats.filter(!col("__done")).select(col("query_id"))
     // complete lane: the matched prefix rows re-ranked — scores are
@@ -833,15 +855,16 @@ object RetrievalOps {
     val dl = Checkpoints.sever(
       post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = statsOf(dl)
-    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val qt = Checkpoints.sever(
+      queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
     val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val dfreq = Checkpoints.sever(
       cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
-    val pp = Checkpoints.sever(
-      pos.join(broadcast(terms), Seq("token"), "left_semi"))
+    val pp = Checkpoints.sever(spread(
+      pos.join(broadcast(terms), Seq("token"), "left_semi")))
     rankedForensicTopK(cand, stats, qt, k, dfreq,
       restrictedMatch = pairs =>
         proximityFromPositions(pp, qt, windowTokens, Some(pairs)),
@@ -876,7 +899,8 @@ object RetrievalOps {
     val dl = Checkpoints.sever(
       post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = statsOf(dl)
-    val pt = phraseTerms(queries, queryIdCol, queryTextCol)
+    val pt = Checkpoints.sever(
+      phraseTerms(queries, queryIdCol, queryTextCol))
     val qt = pt.select(col("query_id"), col("token")).distinct()
     val terms = pt.select(col("token")).distinct()
     val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
@@ -886,8 +910,8 @@ object RetrievalOps {
     // matches are SPARSE and pair anchoring bounds the matcher on its
     // own, so paying the exact scorer's full pass for a ranked prefix
     // would dominate the row (measured 334 s vs ~25 s at the 10× leg)
-    val pp = Checkpoints.sever(
-      pos.join(broadcast(terms), Seq("token"), "left_semi"))
+    val pp = Checkpoints.sever(spread(
+      pos.join(broadcast(terms), Seq("token"), "left_semi")))
     val matches = Checkpoints.sever(phraseOccurrences(pp, pt))
     val scored = scoredContribForPairs(cand, stats, qt, matches)
     topKOf(scored, k).join(matches, Seq("query_id", "doc_id"))
@@ -1316,15 +1340,16 @@ object RetrievalOps {
     val stats = Seq((meta.nDocs, meta.totalTokens,
         1000L * meta.totalTokens / math.max(meta.nDocs, 1L)))
       .toDF("n_docs", "total_tokens", "avgdl_milli")
-    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val qt = Checkpoints.sever(
+      queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
       .as[String].collect().sorted
     require(terms.length <= maxTerms,
       s"bm25AgainstStoredIndex: query workload has ${terms.length} " +
         s"distinct terms, past the $maxTerms literal-filter guard — " +
         "shard the workload across probes")
-    val cand = readStoredPostings(spark, path, meta)
-      .filter(col("token").isin(terms.toSeq: _*))
+    val cand = spread(readStoredPostings(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*)))
     // a termstats artifact answers "true df of these terms" (and the
     // max-score upper bounds) from the vocabulary-sized relation —
     // no df pass over the postings in ANY serving mode. Pre-termstats
@@ -1373,7 +1398,7 @@ object RetrievalOps {
               .crossJoin(broadcast(stats))
               .select(col("token"), col("blk"),
                 div(idfUb * tfmUb, lit(1000000L)).as("__bub"))
-            Some((Checkpoints.sever(bub), meta.blockCount))
+            Some((Checkpoints.sever(spread(bub)), meta.blockCount))
           case _ => None
         }
         maxScoreCore(cand, stats, qt, k, split, dfStore, ubStore, blockOpt)
@@ -1403,7 +1428,8 @@ object RetrievalOps {
     val stats = Seq((meta.nDocs, meta.totalTokens,
         1000L * meta.totalTokens / math.max(meta.nDocs, 1L)))
       .toDF("n_docs", "total_tokens", "avgdl_milli")
-    val pt = phraseTerms(queries, queryIdCol, queryTextCol)
+    val pt = Checkpoints.sever(
+      phraseTerms(queries, queryIdCol, queryTextCol))
     val qt = pt.select(col("query_id"), col("token")).distinct()
     val terms = qt.select(col("token")).distinct()
       .as[String].collect().sorted
@@ -1411,10 +1437,11 @@ object RetrievalOps {
       s"phraseAgainstStoredIndex: query workload has ${terms.length} " +
         s"distinct terms, past the $maxTerms literal-filter guard — " +
         "shard the workload across probes")
-    val cand = readStoredPostings(spark, path, meta)
-      .filter(col("token").isin(terms.toSeq: _*))
-    val pp = Checkpoints.sever(readStoredPositions(spark, path, meta)
+    val cand = spread(readStoredPostings(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*)))
+    val pp = Checkpoints.sever(spread(
+      readStoredPositions(spark, path, meta)
+        .filter(col("token").isin(terms.toSeq: _*))))
     // match-first, like the one-shot form (see bm25PhraseTopK)
     val matches = Checkpoints.sever(phraseOccurrences(pp, pt))
     val scored = scoredContribForPairs(cand, stats, qt, matches,
@@ -1457,17 +1484,19 @@ object RetrievalOps {
     val stats = Seq((meta.nDocs, meta.totalTokens,
         1000L * meta.totalTokens / math.max(meta.nDocs, 1L)))
       .toDF("n_docs", "total_tokens", "avgdl_milli")
-    val qt = queryTerms(queries, queryIdCol, queryTextCol)
+    val qt = Checkpoints.sever(
+      queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
       .as[String].collect().sorted
     require(terms.length <= maxTerms,
       s"proximityAgainstStoredIndex: query workload has " +
         s"${terms.length} distinct terms, past the $maxTerms " +
         "literal-filter guard — shard the workload across probes")
-    val cand = readStoredPostings(spark, path, meta)
-      .filter(col("token").isin(terms.toSeq: _*))
-    val pp = Checkpoints.sever(readStoredPositions(spark, path, meta)
+    val cand = spread(readStoredPostings(spark, path, meta)
       .filter(col("token").isin(terms.toSeq: _*)))
+    val pp = Checkpoints.sever(spread(
+      readStoredPositions(spark, path, meta)
+        .filter(col("token").isin(terms.toSeq: _*))))
     val dfreq = storedDfreq(spark, path, meta, terms).getOrElse(
       Checkpoints.sever(
         cand.groupBy(col("token")).agg(count(lit(1)).as("__df"))))
