@@ -1348,8 +1348,9 @@ object RetrievalOps {
       s"bm25AgainstStoredIndex: query workload has ${terms.length} " +
         s"distinct terms, past the $maxTerms literal-filter guard — " +
         "shard the workload across probes")
-    val cand = spread(readStoredPostings(spark, path, meta)
-      .filter(col("token").isin(terms.toSeq: _*)))
+    val cand0 = readStoredPostings(spark, path, meta)
+      .filter(col("token").isin(terms.toSeq: _*))
+    val cand = spread(cand0)
     // a termstats artifact answers "true df of these terms" (and the
     // max-score upper bounds) from the vocabulary-sized relation —
     // no df pass over the postings in ANY serving mode. Pre-termstats
@@ -1361,7 +1362,13 @@ object RetrievalOps {
     val dfStore = ts.map(_.select(col("token"), col("df").as("__df")))
     (dfCapPerTerm, maxScoreSplit) match {
       case (Some(cap), _) =>
-        val (kept, dfreq) = truncatePerTerm(cand, stats, cap, dfStore)
+        // UNspread on purpose: the truncation window's own by-token
+        // exchange supplies the parallelism, and spreading its INPUT
+        // multiplies the map-side WindowGroupLimit's retained rows by
+        // the partition count (≤ cap × partitions per token crosses
+        // the exchange instead of ≤ cap — measured 6.5 → 16.9 s on
+        // the 10× capped serving leg before this carve-out)
+        val (kept, dfreq) = truncatePerTerm(cand0, stats, cap, dfStore)
         scoreTopK(kept, stats, qt, k, dfreqOverride = Some(dfreq))
       case (_, Some(split)) =>
         val ubStore = ts.map { t =>
