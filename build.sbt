@@ -34,3 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ~100 suites share ONE forked test JVM; at 8g, accumulated heap
+// pressure can fatally wound the shared SparkContext mid-run (the
+// DAGScheduler event loop stops the context on an OOM, and every later
+// suite then fails on a stopped context — the r18 driver gate). The
+// later -Xmx wins in HotSpot, so this overrides the 8g above for the
+// test fork only. The box has 128 GiB; 16g is cheap insurance.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "16g")}"

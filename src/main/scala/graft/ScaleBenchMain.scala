@@ -26,10 +26,10 @@ object ScaleBenchMain {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
-      // same AQE coalescing floor as Bench (see the note there): keeps
-      // CPU-dense post-shuffle stages parallel instead of 1-task
+      // same AQE coalescing floor as Bench (see the note there):
+      // Spark default, env knob for experiments only
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

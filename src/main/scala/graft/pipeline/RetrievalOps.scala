@@ -269,9 +269,17 @@ object RetrievalOps {
     val qt = Checkpoints.sever(
       queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
-    val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
+    // spread (r19, guide §2.5 input-skew corner): the severed postings
+    // relation is tiny-compressed, so AQE coalesces the stage under it
+    // to ONE task and the scoring fan-out — the broadcast joins plus
+    // the partial aggregation, the row's dominant CPU — ran serial
+    // while the other cores idled (the stored probes' r18 fix, driver-
+    // validated at 3.3× there; the r18 GLOBAL AQE floor aimed at this
+    // same stage regressed the suite and is reverted). The exchange
+    // moves only matched postings, workload-sized at any scale.
+    val cand = spread(post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl")))
     scoreTopK(cand, stats, qt, k)
   }
 
@@ -336,9 +344,11 @@ object RetrievalOps {
     val qt = Checkpoints.sever(
       queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
-    val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
+    // spread: same single-task-fan-out fix as bm25TopK (the stored
+    // max-score path already feeds maxScoreCore a spread cand)
+    val cand = spread(post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl")))
     maxScoreCore(cand, stats, qt, k, dfSplit)
   }
 
@@ -858,9 +868,11 @@ object RetrievalOps {
     val qt = Checkpoints.sever(
       queryTerms(queries, queryIdCol, queryTextCol))
     val terms = qt.select(col("token")).distinct()
-    val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
+    // spread: same single-task-fan-out fix as bm25TopK (the stored
+    // proximity path already spreads its cand)
+    val cand = spread(post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl")))
     val dfreq = Checkpoints.sever(
       cand.groupBy(col("token")).agg(count(lit(1)).as("__df")))
     val pp = Checkpoints.sever(spread(
@@ -903,9 +915,11 @@ object RetrievalOps {
       phraseTerms(queries, queryIdCol, queryTextCol))
     val qt = pt.select(col("query_id"), col("token")).distinct()
     val terms = pt.select(col("token")).distinct()
-    val cand = post.join(broadcast(terms), Seq("token"), "left_semi")
+    // spread: same single-task-fan-out fix as bm25TopK (the stored
+    // phrase path already spreads its cand)
+    val cand = spread(post.join(broadcast(terms), Seq("token"), "left_semi")
       .join(dl, Seq("doc_id"))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl")))
     // MATCH-FIRST (unlike the proximity row's verify-first): phrase
     // matches are SPARSE and pair anchoring bounds the matcher on its
     // own, so paying the exact scorer's full pass for a ranked prefix
