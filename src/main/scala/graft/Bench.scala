@@ -25,6 +25,16 @@ object Bench {
       // The env knob stays for experiments only.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
+      // guide §3.1/§9: let the planner pick shuffled-hash join where its
+      // size conditions hold (build side below the per-partition
+      // threshold) instead of always sort-merge — removes the sort from
+      // the small shuffle joins in the matcher/scorer/lifecycle paths.
+      // Same-session alternating A/B medians (this box): q_bm25_phrase
+      // 9.1→8.2 s, q_media_dup_index 9.7→7.9, q_revenue_by_nation
+      // 3.0→2.0, q_bm25_proximity 11.2→10.7; full-suite A/B below in
+      // OPTIMIZATION_r19.md. Env-overridable back to the Spark default.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -43,6 +43,25 @@ object RetrievalOps {
     * and max tf saturation sum to ~1.4·10¹⁹/8 ≈ 1.8·10¹⁸ < 2⁶³. */
   val MaxQueryTerms: Int = 64
 
+  /** Session-conf key for the EXACT stored probe's block-max routing
+    * threshold (expected candidate rows Σ_t df·queries at or above
+    * which the probe arms block pruning) — see the exact branch of
+    * [[bm25AgainstStoredIndex]]. OPT-IN by default: candidate volume
+    * alone does not predict block PRUNABILITY, and on the prescribed
+    * ×10 scale workload (a 30-token all-common vocabulary — no block's
+    * upper bound ever falls below the seeded threshold) the armed lane
+    * measured 68.7 s vs the plain exact probe's 54.0 s (median of 3
+    * alternating same-session pairs, warm). Workloads with
+    * discriminative terms can opt in by setting a finite threshold;
+    * exactness is spec-pinned either way. */
+  val ExactBlockMaxMinRowsKey =
+    "spark.graft.retrieval.exactBlockMaxMinRows"
+
+  /** Default for [[ExactBlockMaxMinRowsKey]] — effectively "never"
+    * (see the key's scaladoc for the measured justification). */
+  val ExactBlockMaxMinRows: Long = Long.MaxValue
+  private val ExactBlockMaxMinRowsDefault = ExactBlockMaxMinRows
+
   private def div(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** Spread a small-but-CPU-DENSE probe relation across the session's
@@ -366,7 +385,8 @@ object RetrievalOps {
                            qt: DataFrame, k: Int, dfSplit: Int,
                            dfreqOverride: Option[DataFrame] = None,
                            ubOverride: Option[DataFrame] = None,
-                           blockOpt: Option[(DataFrame, Long)] = None)
+                           blockOpt: Option[(DataFrame, Long)] = None,
+                           seedCand: Option[DataFrame] = None)
       : DataFrame = {
     require(k >= 1, s"bm25: k must be >= 1, got $k")
     require(dfSplit >= 1, s"bm25: dfSplit must be >= 1, got $dfSplit")
@@ -453,7 +473,7 @@ object RetrievalOps {
           .filter(col("__shigh") >= col("__theta"))
           .select(col("query_id"), col("__theta").as("__theta1"))
         blockMaxFallback(cand, stats, qtFall, thetaFall, k, dfreq,
-          blockUb, blockCount)
+          blockUb, blockCount, seedCand)
       case None => scoredContrib(cand, stats, qtFall,
         dfreqOverride = Some(dfreq))
     }
@@ -505,11 +525,22 @@ object RetrievalOps {
   private def blockMaxFallback(cand: DataFrame, stats: DataFrame,
                                qtFall: DataFrame, thetaFall: DataFrame,
                                k: Int, dfreq: DataFrame,
-                               blockUb: DataFrame, blockCount: Long)
+                               blockUb: DataFrame, blockCount: Long,
+                               seedCand: Option[DataFrame] = None)
       : DataFrame = {
     val seedCap = math.max(256, 8 * k)
-    val (kept, _) = truncatePerTerm(cand, stats, seedCap,
-      dfreqOverride = Some(dfreq))
+    // seed truncation over the UNSPREAD candidate relation when the
+    // caller has one (r18's noted seed-inflation carve-out, measured
+    // r19): the map-side WindowGroupLimit retains ≤ seedCap rows per
+    // token PER PARTITION, so a spread input exchanges up to
+    // seedCap × partitions per token AND — the dominant cost — fans
+    // the inflated kept relation into the seed scorer's broadcast
+    // query join before the window's own exchange dedups nothing.
+    // truncatePerTerm's OUTPUT is partitioning-independent (the
+    // row_number ranks after the by-token exchange), so this is a
+    // pure cost move.
+    val (kept, _) = truncatePerTerm(seedCand.getOrElse(cand), stats,
+      seedCap, dfreqOverride = Some(dfreq))
     val seed = scoredContrib(kept, stats, qtFall,
       dfreqOverride = Some(dfreq))
     val kth = topKOf(seed, k)
@@ -1374,6 +1405,28 @@ object RetrievalOps {
         .filter(col("token").isin(terms.toSeq: _*))))
     else None
     val dfStore = ts.map(_.select(col("token"), col("df").as("__df")))
+    // admissible upper-bound columns over a termstats/blockstats row
+    // (df, max_tf, min_dl with the corpus stats in scope): tf_micro is
+    // increasing in tf and decreasing in dl, so the cell maxima bound
+    // every posting of the cell — shared by the max-score branch's
+    // per-term UB and both branches' per-(token, block) UB
+    val idfUbCol = least(
+      div(lit(1000000L) * (lit(2L) * (col("n_docs") - col("df")) + lit(1L)),
+        lit(2L) * col("df") + lit(1L)),
+      lit(IdfCapMicro))
+    val tfmUbCol = div(lit(22000000L) * col("max_tf"),
+      lit(10L) * col("max_tf") + lit(3L) +
+        div(lit(9000L) * col("min_dl"), col("avgdl_milli")))
+    // per-(token, block) upper bounds from the stored cell maxima, idf
+    // from the termstats df — (probed terms × their blocks)-sized,
+    // severed + spread once by the caller
+    def blockUbOf(t: DataFrame): DataFrame =
+      readStoredBlockstats(spark, path, meta)
+        .filter(col("token").isin(terms.toSeq: _*))
+        .join(broadcast(t.select(col("token"), col("df"))), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .select(col("token"), col("blk"),
+          div(idfUbCol * tfmUbCol, lit(1000000L)).as("__bub"))
     (dfCapPerTerm, maxScoreSplit) match {
       case (Some(cap), _) =>
         // UNspread on purpose: the truncation window's own by-token
@@ -1386,44 +1439,56 @@ object RetrievalOps {
         scoreTopK(kept, stats, qt, k, dfreqOverride = Some(dfreq))
       case (_, Some(split)) =>
         val ubStore = ts.map { t =>
-          val idfUb = least(
-            div(lit(1000000L) *
-              (lit(2L) * (col("n_docs") - col("df")) + lit(1L)),
-              lit(2L) * col("df") + lit(1L)),
-            lit(IdfCapMicro))
-          val tfmUb = div(lit(22000000L) * col("max_tf"),
-            lit(10L) * col("max_tf") + lit(3L) +
-              div(lit(9000L) * col("min_dl"), col("avgdl_milli")))
           t.crossJoin(broadcast(stats))
             .select(col("token"),
-              div(idfUb * tfmUb, lit(1000000L)).as("__ub"))
+              div(idfUbCol * tfmUbCol, lit(1000000L)).as("__ub"))
         }
         // a block-stats artifact arms the fallback lane's block-max
-        // pruning: per-(token, block) upper bounds from the stored
-        // cell maxima, idf from the termstats df — the relation is
-        // (probed terms × their blocks)-sized and severed once
+        // pruning (see blockUbOf)
         val blockOpt = ts match {
           case Some(t) if meta.blockCount > 0L =>
-            val idfUb = least(
-              div(lit(1000000L) *
-                (lit(2L) * (col("n_docs") - col("df")) + lit(1L)),
-                lit(2L) * col("df") + lit(1L)),
-              lit(IdfCapMicro))
-            val tfmUb = div(lit(22000000L) * col("max_tf"),
-              lit(10L) * col("max_tf") + lit(3L) +
-                div(lit(9000L) * col("min_dl"), col("avgdl_milli")))
-            val bub = readStoredBlockstats(spark, path, meta)
-              .filter(col("token").isin(terms.toSeq: _*))
-              .join(broadcast(t.select(col("token"), col("df"))),
-                Seq("token"))
-              .crossJoin(broadcast(stats))
-              .select(col("token"), col("blk"),
-                div(idfUb * tfmUb, lit(1000000L)).as("__bub"))
-            Some((Checkpoints.sever(spread(bub)), meta.blockCount))
+            Some((Checkpoints.sever(spread(blockUbOf(t))), meta.blockCount))
           case _ => None
         }
-        maxScoreCore(cand, stats, qt, k, split, dfStore, ubStore, blockOpt)
-      case _ => scoreTopK(cand, stats, qt, k, dfreqOverride = dfStore)
+        maxScoreCore(cand, stats, qt, k, split, dfStore, ubStore, blockOpt,
+          seedCand = Some(cand0))
+      case _ =>
+        // EXACT serving. On a termstats + blockstats artifact the probe
+        // CAN seed a per-query score threshold from each term's best
+        // postings and drop whole doc blocks whose summed upper bound
+        // cannot reach it ([[blockMaxFallback]] — Ding & Suel 2011's
+        // block-max pruning; output ≡ the plain exact scorer by its
+        // completeness proof, and the row's oracle IS the exact SQL).
+        // The route is volume-gated ([[ExactBlockMaxMinRowsKey]]):
+        // expected candidate volume Σ_t df(t)·|queries holding t|
+        // comes from the two workload-/vocabulary-sized severed
+        // relations — no postings touched. The gate defaults to
+        // OPT-IN-ONLY: measured at the ×10 scale leg (147M candidate
+        // rows), the armed lane LOST 54.0 → 68.7 s because the
+        // workload's all-common vocabulary leaves nothing to prune and
+        // the seed + per-(query, block) UB rollup is pure overhead —
+        // see the key's scaladoc.
+        (ts, dfStore) match {
+          case (Some(t), Some(dfr)) if meta.blockCount > 0L =>
+            val minRows = spark.conf.get(ExactBlockMaxMinRowsKey,
+              ExactBlockMaxMinRowsDefault.toString).toLong
+            val vol = qt.groupBy(col("token"))
+              .agg(count(lit(1)).as("__nq"))
+              .join(dfr, Seq("token"))
+              .agg(coalesce(sum(col("__df") * col("__nq")), lit(0L)))
+              .collect()(0).getLong(0)
+            if (vol >= minRows) {
+              val bub = Checkpoints.sever(spread(blockUbOf(t)))
+              // no phase-1 θ exists in the exact mode — the seed inside
+              // the block lane supplies the only threshold
+              val thetaSeed = qt.select(col("query_id")).distinct()
+                .select(col("query_id"),
+                  lit(Long.MinValue).as("__theta1"))
+              topKOf(blockMaxFallback(cand, stats, qt, thetaSeed, k, dfr,
+                bub, meta.blockCount, seedCand = Some(cand0)), k)
+            } else scoreTopK(cand, stats, qt, k, dfreqOverride = Some(dfr))
+          case _ => scoreTopK(cand, stats, qt, k, dfreqOverride = dfStore)
+        }
     }
   }
 

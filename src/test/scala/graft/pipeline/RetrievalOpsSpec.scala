@@ -467,6 +467,32 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"cap=1 on a df-16 term must keep one candidate, got ${capOne.length}")
   }
 
+  test("EXACT stored probe through the BLOCK-MAX lane ≡ the plain " +
+    "exact probe: forcing the cost route arms block pruning without " +
+    "changing a row; the default route leaves a small probe alone") {
+    val dir = tmp("exblk")
+    // 40 docs → blockCountFor picks ≥ 1 block; workload mixes an
+    // everywhere-term, mid-frequency terms, a unique term, and an
+    // absent term (df = 0 — the no-candidate edge the seed must not
+    // trip on)
+    RetrievalOps.writeRetrievalIndex(corpusDf(0L to 39L), "text",
+      "doc_id", dir)
+    val qs = queriesDf(probeQs ++ Seq((4L, "common nowhere")))
+    val plain = collectTopK(RetrievalOps.bm25AgainstStoredIndex(spark,
+      dir, qs, "query_id", "query_text", 5))
+    val oneShot = collectTopK(RetrievalOps.bm25TopK(corpusDf(0L to 39L),
+      "text", "doc_id", qs, "query_id", "query_text", 5))
+    assert(plain == oneShot,
+      "default-routed exact probe must equal the one-shot scorer")
+    spark.conf.set(RetrievalOps.ExactBlockMaxMinRowsKey, "0")
+    try {
+      val viaBlocks = collectTopK(RetrievalOps.bm25AgainstStoredIndex(
+        spark, dir, qs, "query_id", "query_text", 5))
+      assert(viaBlocks == oneShot,
+        "block-max-routed exact probe must equal the one-shot scorer")
+    } finally spark.conf.unset(RetrievalOps.ExactBlockMaxMinRowsKey)
+  }
+
   private def visibleDataFiles(dir: String, rel: String): Int = {
     val meta = spark.read.parquet(s"$dir/meta").collect()(0)
     (meta.getAs[Long]("base") to meta.getAs[Long]("epoch")).map { e =>
